@@ -1,0 +1,25 @@
+from osmgraft.geo.cells import GridSpec, cell_col, kring_cells_col, morton_col
+from osmgraft.geo.geometry import (
+    planar_area_col,
+    planar_centroid_cols,
+    planar_length_col,
+    polygon_wkb,
+    point_wkb,
+)
+from osmgraft.geo.pip import STRtree, pip_join
+from osmgraft.geo.knn import knn_join
+
+__all__ = [
+    "GridSpec",
+    "cell_col",
+    "kring_cells_col",
+    "morton_col",
+    "planar_area_col",
+    "planar_centroid_cols",
+    "planar_length_col",
+    "polygon_wkb",
+    "point_wkb",
+    "STRtree",
+    "pip_join",
+    "knn_join",
+]

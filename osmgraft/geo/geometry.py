@@ -1,0 +1,150 @@
+"""Planar geometry math: WKB codec + vectorized area/centroid/length.
+
+Replaces the PostGIS scalar surface the reference uses — ST_X/ST_Y
+(07_pipeline_point.sh:206-207), ST_Centroid (07_pipeline_polygon.sh:274-275),
+ST_Area (07_pipeline_polygon.sh:143), ST_Length
+(scripts/verify/verify_import.py:339) — with planar (EPSG:3857-style) math,
+matching the reference's Mercator-planar semantics (SURVEY.md §7.3 item 6).
+
+Geometry travels as WKB `binary` columns; math runs as Arrow-batched pandas
+UDFs over numpy (never per-row Python). WKB here is the standard OGC
+little-endian encoding (public format), written/read with `struct`/numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+WKB_POINT = 1
+WKB_LINESTRING = 2
+WKB_POLYGON = 3
+
+# ---------------------------------------------------------------------------
+# WKB codec (little-endian, 2D)
+# ---------------------------------------------------------------------------
+
+
+def point_wkb(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, WKB_POINT, x, y)
+
+
+def linestring_wkb(coords: np.ndarray) -> bytes:
+    head = struct.pack("<BII", 1, WKB_LINESTRING, len(coords))
+    return head + np.asarray(coords, dtype="<f8").tobytes()
+
+
+def polygon_wkb(ring: np.ndarray) -> bytes:
+    """Single-ring polygon; ring must be closed (first == last vertex)."""
+    ring = np.asarray(ring, dtype="<f8")
+    head = struct.pack("<BIII", 1, WKB_POLYGON, 1, len(ring))
+    return head + ring.tobytes()
+
+
+def parse_wkb(buf: bytes) -> tuple[int, np.ndarray]:
+    """Return (geom_type, coords[n,2]) for point/linestring/polygon(1 ring)."""
+    endian = "<" if buf[0] == 1 else ">"
+    (gtype,) = struct.unpack_from(f"{endian}I", buf, 1)
+    if gtype == WKB_POINT:
+        x, y = struct.unpack_from(f"{endian}dd", buf, 5)
+        return gtype, np.array([[x, y]])
+    if gtype == WKB_LINESTRING:
+        (n,) = struct.unpack_from(f"{endian}I", buf, 5)
+        coords = np.frombuffer(buf, dtype=f"{endian}f8", count=2 * n, offset=9)
+        return gtype, coords.reshape(n, 2)
+    if gtype == WKB_POLYGON:
+        (nrings,) = struct.unpack_from(f"{endian}I", buf, 5)
+        (n,) = struct.unpack_from(f"{endian}I", buf, 9)  # outer ring only
+        coords = np.frombuffer(buf, dtype=f"{endian}f8", count=2 * n, offset=13)
+        return gtype, coords.reshape(n, 2)
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+# ---------------------------------------------------------------------------
+# vectorized kernels
+# ---------------------------------------------------------------------------
+
+
+def shoelace_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+
+def ring_centroid(ring: np.ndarray) -> tuple[float, float]:
+    """Area-weighted polygon centroid (planar, matches ST_Centroid)."""
+    x, y = ring[:, 0], ring[:, 1]
+    cross = x * np.roll(y, -1) - np.roll(x, -1) * y
+    a = cross.sum() / 2.0
+    if abs(a) < 1e-12:  # degenerate: fall back to vertex mean
+        return float(x[:-1].mean()), float(y[:-1].mean())
+    cx = ((x + np.roll(x, -1)) * cross).sum() / (6.0 * a)
+    cy = ((y + np.roll(y, -1)) * cross).sum() / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def path_length(coords: np.ndarray) -> float:
+    d = np.diff(coords, axis=0)
+    return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+
+# ---------------------------------------------------------------------------
+# pandas UDFs (Arrow-batched; the engine's only Python execution surface)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(DoubleType())
+def _area_udf(wkb: pd.Series) -> pd.Series:
+    out = np.empty(len(wkb))
+    for i, buf in enumerate(wkb):
+        gtype, coords = parse_wkb(buf)
+        out[i] = shoelace_area(coords) if gtype == WKB_POLYGON else 0.0
+    return pd.Series(out)
+
+
+@F.pandas_udf(DoubleType())
+def _centroid_x_udf(wkb: pd.Series) -> pd.Series:
+    return pd.Series([_centroid_of(buf)[0] for buf in wkb])
+
+
+@F.pandas_udf(DoubleType())
+def _centroid_y_udf(wkb: pd.Series) -> pd.Series:
+    return pd.Series([_centroid_of(buf)[1] for buf in wkb])
+
+
+def _centroid_of(buf: bytes) -> tuple[float, float]:
+    gtype, coords = parse_wkb(buf)
+    if gtype == WKB_POINT:
+        return float(coords[0, 0]), float(coords[0, 1])
+    if gtype == WKB_LINESTRING:
+        return float(coords[:, 0].mean()), float(coords[:, 1].mean())
+    return ring_centroid(coords)
+
+
+@F.pandas_udf(DoubleType())
+def _length_udf(wkb: pd.Series) -> pd.Series:
+    out = np.empty(len(wkb))
+    for i, buf in enumerate(wkb):
+        gtype, coords = parse_wkb(buf)
+        out[i] = path_length(coords) if gtype in (WKB_LINESTRING, WKB_POLYGON) else 0.0
+    return pd.Series(out)
+
+
+def planar_area_col(wkb_col: str | Column) -> Column:
+    """ST_Area equivalent (planar m² in the source projection)."""
+    return _area_udf(F.col(wkb_col) if isinstance(wkb_col, str) else wkb_col)
+
+
+def planar_centroid_cols(wkb_col: str | Column) -> tuple[Column, Column]:
+    """(ST_X(ST_Centroid(g)), ST_Y(ST_Centroid(g))) equivalents."""
+    c = F.col(wkb_col) if isinstance(wkb_col, str) else wkb_col
+    return _centroid_x_udf(c), _centroid_y_udf(c)
+
+
+def planar_length_col(wkb_col: str | Column) -> Column:
+    """ST_Length equivalent (planar)."""
+    return _length_udf(F.col(wkb_col) if isinstance(wkb_col, str) else wkb_col)

@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k against a query vector, JVM-side via
+  higher-order functions (zip_with + aggregate) — the correctness baseline.
+- lsh_bucket_topk: random-hyperplane (SimHash-for-vectors) LSH: a fixed
+  seeded projection matrix is broadcast, signatures computed in a vectorized
+  pandas UDF (numpy matmul over Arrow batches), search restricted to the
+  query's bucket ± multiprobe neighbors. The scale path: the bucket column
+  becomes the partition/cluster key so queries touch one partition instead
+  of the full corpus (IVF-style).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from pyspark.sql import Column
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns (JVM-side)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k. Deterministic: ties broken by id."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    sim = cosine_col(vec, q)
+    return (
+        embeddings.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def make_projections(dim: int, n_bits: int = 16, seed: int = 42) -> np.ndarray:
+    """Deterministic random-hyperplane matrix (n_bits, dim)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).astype(np.float64)
+
+
+def with_lsh_bucket(
+    embeddings: DataFrame,
+    projections: np.ndarray,
+    vec_col: str = "embedding",
+    out: str = "bucket",
+) -> DataFrame:
+    """Attach the hyperplane-sign bucket id (vectorized numpy over Arrow)."""
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast(projections)
+
+    @F.pandas_udf(LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        proj = bc.value
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (mat @ proj.T) > 0  # (batch, n_bits)
+        weights = (1 << np.arange(proj.shape[0], dtype=np.int64))
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return embeddings.withColumn(out, bucket_udf(F.col(vec_col)))
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_bits: int = 16,
+    multiprobe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: search only buckets within `multiprobe_hamming`
+    bit-flips of the query's bucket."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    proj = make_projections(len(query_vec), n_bits, seed)
+    qsig = int(((q @ proj.T) > 0) @ (1 << np.arange(n_bits, dtype=np.int64)))
+    probe = [qsig]
+    if multiprobe_hamming >= 1:
+        probe += [qsig ^ (1 << i) for i in range(n_bits)]
+    bucketed = with_lsh_bucket(embeddings, proj, vec_col)
+    cand = bucketed.where(F.col("bucket").isin(probe))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,788 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle pairs.
+
+Each entry exercises operators from SURVEY.md §2 (reference citations inline)
+on the driver's deterministic parquet tables (TESTDATA.md). The oracle SQL is
+ANSI/DuckDB and — wherever a rules/cell expression is involved — is *generated
+from the same rule data / bit-twiddling constants* as the Spark plan
+(osmgraft.rules.sqlgen), mirroring the reference's YAML→SQL generator
+architecture (README.md:172-196), so the two sides cannot drift.
+
+Column-name/type discipline: every computed column is aliased identically on
+both sides; aggregates are cast so Spark and DuckDB types agree (count→BIGINT,
+ratios→DOUBLE, rounded to fixed decimals).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osmgraft.geo.cells import GridSpec, with_cell
+from osmgraft.rules.compiler import RuleSet, compile_score, compile_tier
+from osmgraft.rules.sqlgen import morton_sql, score_sql, tier_sql
+
+# ---------------------------------------------------------------------------
+# registry plumbing
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared derived-geometry expressions (identical SQL text on both engines)
+# ---------------------------------------------------------------------------
+
+# deterministic planar coordinates derived from event ids; constants chosen so
+# no point falls near a tile edge (SURVEY.md §7.3 boundary determinism)
+X_EXPR = "(event_id % 787) * 889.45 + 17.3"
+Y_EXPR = "(CAST(FLOOR(event_id / 13.0) AS BIGINT) % 787) * 889.45 + 11.7"
+
+SPEC = GridSpec()  # 700000 × 700000 planar extent
+CELL_RES = 7
+CELL_W = SPEC.cell_width(CELL_RES)  # 5468.75 (exact)
+
+# fixed POI set for kNN/DWithin (literal on both sides)
+POIS = [
+    (0, 530000.0, 185000.0), (1, 80000.0, 620000.0), (2, 350000.0, 350000.0),
+    (3, 120000.0, 90000.0), (4, 640000.0, 480000.0), (5, 300000.0, 640000.0),
+    (6, 60000.0, 300000.0), (7, 590000.0, 60000.0), (8, 430000.0, 150000.0),
+    (9, 200000.0, 500000.0), (10, 660000.0, 660000.0), (11, 500000.0, 330000.0),
+]
+_POIS_SQL = ", ".join(f"({i}, {x}, {y})" for i, x, y in POIS)
+
+KNN_RADIUS = 120000.0
+KNN_K = 3
+DWITHIN_RADIUS = 60000.0
+
+
+def _event_points(spark: SparkSession, sf_dir: str, modulus: int | None = None) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id")
+    if modulus:
+        ev = ev.where(F.col("event_id") % modulus == 0)
+    return ev.select(
+        "event_id", F.expr(X_EXPR).alias("x"), F.expr(Y_EXPR).alias("y")
+    )
+
+
+def _pts_cte(modulus: int | None = None) -> str:
+    where = f"WHERE event_id % {modulus} = 0" if modulus else ""
+    return (
+        f"SELECT event_id, {X_EXPR} AS x, {Y_EXPR} AS y FROM events {where}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# demo rule set over `documents` (rules engine on shared data → full oracle)
+# ---------------------------------------------------------------------------
+
+DOC_SCORER = RuleSet.from_dict("docs_demo", [
+    {"kind": "regex", "column": "text", "pattern": "(spark|stream)", "weight": 100},
+    {"kind": "regex", "column": "text", "pattern": "(window|merge|sort)", "weight": 70},
+    {"kind": "regex", "column": "text", "pattern": "(vector|hash)", "weight": 50},
+    {"kind": "expr", "pattern": "lang = 'en'", "weight": 20},
+    {"kind": "expr", "pattern": "n_chars > 300", "weight": 10},
+    {"kind": "regex", "column": "text", "pattern": "(slow|dup)", "weight": -30},
+])
+TIER_BANDS = ((150, "tier1_candidate"), (80, "tier2_candidate"), (40, "potential_candidate"))
+
+
+# ===========================================================================
+# 1. rules engine / scoring pipeline shapes (C1–C8, F1, F8, T1)
+# ===========================================================================
+
+@q(
+    "scored_documents",
+    oracle=f"""
+    SELECT doc_id,
+           {score_sql(DOC_SCORER)} AS score,
+           {tier_sql(score_sql(DOC_SCORER), TIER_BANDS)} AS tier
+    FROM documents
+    WHERE {score_sql(DOC_SCORER)} >= 40
+    ORDER BY score DESC, doc_id LIMIT 200
+    """,
+)
+def scored_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive rule scoring + tier ladder (reference C1–C7) on documents."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("score", compile_score(DOC_SCORER))
+        .withColumn("tier", compile_tier("score", TIER_BANDS))
+        .where(F.col("score") >= 40)
+        .select("doc_id", "score", "tier")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(200)
+    )
+
+
+_KW = ["spark", "window", "vector", "merge", "dup"]
+_KW_SQL = "[" + ", ".join(f"'{k}'" for k in _KW) + "]"
+
+@q(
+    "matched_keywords",
+    oracle=f"""
+    SELECT doc_id,
+           COALESCE(array_to_string(list_filter({_KW_SQL}, kw -> contains(text, kw)), ','), '') AS keywords
+    FROM documents ORDER BY doc_id
+    """,
+)
+def matched_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 correlated keyword-array extraction, JVM higher-order filter."""
+    docs = t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.array(*[F.lit(k) for k in _KW]), lambda kw: F.col("text").contains(kw)
+    )
+    return docs.select("doc_id", F.array_join(arr, ",").alias("keywords")).orderBy("doc_id")
+
+
+@q(
+    "exclusion_filter",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE ((event_type IS NULL OR event_type NOT IN ('click','view'))
+           AND value >= 10.0)
+       OR contains(props, '"k": 9')
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def exclusion_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-shaped exclusion + override-keep filter (07_pipeline_point.sh:31-49)."""
+    ev = t(spark, sf_dir, "events")
+    keep = (
+        (F.col("event_type").isNull() | ~F.col("event_type").isin("click", "view"))
+        & (F.col("value") >= 10.0)
+    ) | F.col("props").contains('"k": 9')
+    return ev.where(keep).groupBy("event_type").agg(
+        F.count("*").alias("n")
+    ).orderBy("event_type")
+
+
+# ===========================================================================
+# 2. aggregations (A1–A16)
+# ===========================================================================
+
+@q(
+    "agg_tier_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 400000 THEN 'high'
+                WHEN o_totalprice >= 200000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY price_band ORDER BY price_band
+    """,
+)
+def agg_tier_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 histogram banding via when-ladder bucket + grouped agg."""
+    o = t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") >= 400000, "high")
+        .when(F.col("o_totalprice") >= 200000, "mid")
+        .otherwise("low")
+    )
+    return (
+        o.groupBy(band.alias("price_band"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("price_band")
+    )
+
+
+@q(
+    "agg_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_discounted,
+           ROUND(AVG(CASE WHEN l_tax > 0.0 THEN l_quantity END), 4) AS avg_taxed_qty,
+           CAST(COUNT(DISTINCT CASE WHEN l_quantity >= 25 THEN l_suppkey END) AS BIGINT) AS n_bulk_suppliers
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A4/A5: FILTER-style conditional aggregates."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+            F.round(
+                F.avg(F.when(F.col("l_tax") > 0.0, F.col("l_quantity"))), 4
+            ).alias("avg_taxed_qty"),
+            F.countDistinct(
+                F.when(F.col("l_quantity") >= 25, F.col("l_suppkey"))
+            ).alias("n_bulk_suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "agg_having_rollup",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(c_acctbal), 2) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    HAVING COUNT(*) >= 100 ORDER BY c_mktsegment
+    """,
+)
+def agg_having_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3/A7: grouped count/avg with HAVING."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+        .where(F.col("n") >= 100)
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "completeness_profile",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en,
+           CAST(COUNT(CASE WHEN n_chars > 200 THEN 1 END) AS BIGINT) AS n_long,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM documents
+    """,
+)
+def completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 one-pass multi-metric completeness profile."""
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+        F.count(F.when(F.col("n_chars") > 200, 1)).alias("n_long"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+@q(
+    "word_freq",
+    oracle="""
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE length(w) > 4
+    GROUP BY w HAVING COUNT(*) >= 50
+    ORDER BY cnt DESC, word LIMIT 20
+    """,
+)
+def word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13/A14 word-frequency mining: explode(split) → filter → group/HAVING."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 4)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 50)
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(20)
+    )
+
+
+@q(
+    "mode_event_type",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    ORDER BY cnt DESC, event_type LIMIT 1
+    """,
+)
+def mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 per-column mode (count desc, deterministic tie-break)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "event_type")
+        .limit(1)
+    )
+
+
+@q(
+    "string_agg_sorted",
+    oracle="""
+    SELECT r.r_name,
+           array_to_string(list_sort(list(DISTINCT n.n_name)), '; ') AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+)
+def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 ordered-DISTINCT string_agg → array_sort(collect_set) (§7.3 #4)."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.concat_ws("; ", F.array_sort(F.collect_set("n_name"))).alias("nations"))
+        .orderBy("r_name")
+    )
+
+
+# ===========================================================================
+# 3. windows / top-k / set ops (W1–W3, T1, U1–U3)
+# ===========================================================================
+
+@q(
+    "window_rank",
+    oracle="""
+    SELECT rn, o_orderkey, o_totalprice FROM (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             o_orderkey, o_totalprice
+      FROM orders)
+    WHERE rn <= 10 ORDER BY rn
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 ROW_NUMBER global ranking."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(F.row_number().over(w).alias("rn"), "o_orderkey", "o_totalprice")
+        .where(F.col("rn") <= 10)
+        .orderBy("rn")
+    )
+
+
+@q(
+    "pct_of_total",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 2) AS pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 SUM(COUNT(*)) OVER () percent-of-total."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "pct",
+            F.round(F.lit(100.0) * F.col("n") / F.sum("n").over(Window.partitionBy()), 2),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 top-k by measure with deterministic tie-break."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(15)
+    )
+
+
+@q(
+    "union_all_metrics",
+    oracle="""
+    SELECT 'total_orders' AS metric, CAST(COUNT(*) AS VARCHAR) AS value FROM orders
+    UNION ALL
+    SELECT 'open_orders', CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'max_price_gbp', CAST(CAST(ROUND(MAX(o_totalprice)) AS BIGINT) AS VARCHAR) FROM orders
+    """,
+)
+def union_all_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 summary dashboard (07_run_all_pipelines.sh:251-302) as one agg+stack."""
+    o = t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count("*").alias("c1"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("c2"),
+        F.round(F.max("o_totalprice")).cast("long").alias("c3"),
+    )
+    return agg.selectExpr(
+        "stack(3, 'total_orders', CAST(c1 AS STRING), "
+        "'open_orders', CAST(c2 AS STRING), "
+        "'max_price_gbp', CAST(c3 AS STRING)) AS (metric, value)"
+    )
+
+
+@q(
+    "priority_union_cascade",
+    oracle="""
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+               AND o_custkey NOT IN (SELECT o_custkey FROM f)),
+         p AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+               AND o_custkey NOT IN (SELECT o_custkey FROM f UNION SELECT o_custkey FROM o))
+    SELECT 'F' AS src, CAST(COUNT(*) AS BIGINT) AS n FROM f
+    UNION ALL SELECT 'O', CAST(COUNT(*) AS BIGINT) FROM o
+    UNION ALL SELECT 'P', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def priority_union_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/U2/U3 priority dedup-union cascade via left_anti (§7.3 #2-3)."""
+    o = t(spark, sf_dir, "orders")
+
+    def ids(status: str) -> DataFrame:
+        return o.where(F.col("o_orderstatus") == status).select("o_custkey").distinct()
+
+    f = ids("F")
+    oo = ids("O").join(f, "o_custkey", "left_anti")
+    prior = f.union(oo).distinct()
+    p = ids("P").join(prior, "o_custkey", "left_anti")
+    rows = [
+        f.agg(F.lit("F").alias("src"), F.count("*").alias("n")),
+        oo.agg(F.lit("O").alias("src"), F.count("*").alias("n")),
+        p.agg(F.lit("P").alias("src"), F.count("*").alias("n")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ===========================================================================
+# 4. joins (J1–J7)
+# ===========================================================================
+
+@q(
+    "anti_join_unsold_parts",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    ORDER BY p_partkey LIMIT 100
+    """,
+)
+def anti_join_unsold_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 NOT-IN dedup as left_anti (keys non-null ⇒ equivalent)."""
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return (
+        p.join(li, "p_partkey", "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+_COVER_KW = ["spark", "vector", "window", "dup", "zephyr"]
+_COVER_SQL = ", ".join(f"('{k}')" for k in _COVER_KW)
+
+@q(
+    "fuzzy_coverage_join",
+    oracle=f"""
+    SELECT k.kw,
+           CAST(COUNT(d.doc_id) AS BIGINT) AS n_docs,
+           CASE WHEN COUNT(d.doc_id) > 0 THEN 'FOUND' ELSE 'MISSING' END AS status
+    FROM (VALUES {_COVER_SQL}) AS k(kw)
+    LEFT JOIN documents d ON contains(d.text, k.kw)
+    GROUP BY k.kw ORDER BY k.kw
+    """,
+)
+def fuzzy_coverage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J6 fuzzy containment coverage join (known_suppliers_check.sql:53-56):
+    broadcast nested-loop LIKE join + FOUND/MISSING coverage report."""
+    d = t(spark, sf_dir, "documents")
+    spark_kw = spark.createDataFrame([(k,) for k in _COVER_KW], "kw string")
+    joined = F.broadcast(spark_kw).join(
+        d, F.col("text").contains(F.col("kw")), "left"
+    )
+    return (
+        joined.groupBy("kw")
+        .agg(F.count("doc_id").alias("n_docs"))
+        .withColumn(
+            "status", F.when(F.col("n_docs") > 0, "FOUND").otherwise("MISSING")
+        )
+        .orderBy("kw")
+    )
+
+
+@q(
+    "theta_pairs_same_region",
+    oracle="""
+    SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    JOIN region r ON r.r_regionkey = a.n_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+)
+def theta_pairs_same_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 theta/cross join with inequality predicate."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .join(r, F.col("a.n_regionkey") == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("r_name")
+    )
+
+
+@q(
+    "semi_join_colocation",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def semi_join_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 co-location left-semi join."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("c_nationkey"))
+    return (
+        c.join(F.broadcast(s), "c_nationkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name, ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY revenue DESC, n.n_name LIMIT 10
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star aggregation (broadcastable dims)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return (
+        o.join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# 5. time windows (batch shape of §2.10)
+# ===========================================================================
+
+@q(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (batch form; streaming variant uses
+    the same plan under readStream + watermark)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ===========================================================================
+# 6. geospatial: cells, PIP tiling, kNN, DWithin, bbox (J4, J7, north star)
+# ===========================================================================
+
+_IX = f"CAST(LEAST(127, GREATEST(0, FLOOR(x / {CELL_W}))) AS BIGINT)"
+_IY = f"CAST(LEAST(127, GREATEST(0, FLOOR(y / {CELL_W}))) AS BIGINT)"
+
+@q(
+    "cell_assign_counts",
+    oracle=f"""
+    WITH pts AS ({_pts_cte()}),
+         g AS (SELECT {_IX} AS ix, {_IY} AS iy FROM pts)
+    SELECT (({morton_sql('ix', 'iy')} << 5) | {CELL_RES}) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY cell ORDER BY cell
+    """,
+)
+def cell_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order cell assignment (H3/S2-equivalent tiling) + per-cell rollup.
+    The oracle recomputes the Morton interleave in raw SQL bit arithmetic."""
+    pts = _event_points(spark, sf_dir)
+    cells = with_cell(pts, "x", "y", SPEC, CELL_RES, out="cell", keep_ixy=False)
+    return cells.groupBy("cell").agg(F.count("*").alias("n")).orderBy("cell")
+
+
+@q(
+    "pip_tile_counts",
+    oracle=f"""
+    WITH pts AS ({_pts_cte()}),
+         g AS (SELECT event_id, x, y,
+                      CAST(FLOOR(x / 87500.0) AS BIGINT) AS ti,
+                      CAST(FLOOR(y / 87500.0) AS BIGINT) AS tj
+               FROM pts),
+         a AS (SELECT event_id, (tj * 8 + ti) AS bid,
+                      x - ti * 87500.0 AS dx, y - tj * 87500.0 AS dy
+               FROM g),
+         r AS (SELECT event_id,
+                      CASE WHEN bid % 7 = 3 AND dx > 43750.0 AND dy > 43750.0
+                           THEN NULL ELSE bid END AS boundary_id
+               FROM a)
+    SELECT boundary_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM r GROUP BY boundary_id ORDER BY boundary_id
+    """,
+)
+def pip_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast R-tree point-in-polygon tile assignment. The Spark side runs
+    the real machinery (WKB polygons incl. concave L-tiles, STR-tree, ray
+    cast); the oracle derives the same assignment arithmetically from the
+    tile layout. NULL = the concave notch (covered by no tile)."""
+    from osmgraft.datagen.fixtures import gen_uk_boundaries
+    from osmgraft.datagen.spark_io import to_spark
+    from osmgraft.geo.pip import pip_join
+
+    pts = _event_points(spark, sf_dir)
+    bounds = to_spark(spark, gen_uk_boundaries(8, 8), "boundaries")
+    assigned = pip_join(pts, bounds, how="left")
+    return (
+        assigned.groupBy("boundary_id").agg(F.count("*").alias("n")).orderBy("boundary_id")
+    )
+
+
+@q(
+    "knn_pois",
+    oracle=f"""
+    WITH pts AS ({_pts_cte(41)}),
+         pois(poi_id, px, py) AS (VALUES {_POIS_SQL}),
+         d AS (SELECT event_id, poi_id,
+                      SQRT((x - px) * (x - px) + (y - py) * (y - py)) AS dist
+               FROM pts CROSS JOIN pois),
+         r AS (SELECT event_id, poi_id, dist,
+                      ROW_NUMBER() OVER (PARTITION BY event_id
+                                         ORDER BY dist, poi_id) AS knn_rank
+               FROM d WHERE dist <= {KNN_RADIUS})
+    SELECT event_id, poi_id, knn_rank, ROUND(dist, 3) AS dist_r
+    FROM r WHERE knn_rank <= {KNN_K}
+    ORDER BY event_id, knn_rank
+    """,
+)
+def knn_pois(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 cell-partitioned kNN: k-ring expansion equi-join + exact refine;
+    the oracle brute-forces the same result with a window over distance."""
+    from osmgraft.geo.knn import knn_join
+
+    pts = _event_points(spark, sf_dir, modulus=41)
+    pois = spark.createDataFrame(POIS, "poi_id long, x double, y double")
+    res = 4  # cell 43750; k-ring covers the 120 km radius
+    out = knn_join(
+        pts, pois, SPEC, res=res, k=KNN_K, radius=KNN_RADIUS,
+        point_key="event_id", poi_key="poi_id",
+    )
+    return out.select(
+        "event_id", "poi_id", "knn_rank", F.round("dist", 3).alias("dist_r")
+    ).orderBy("event_id", "knn_rank")
+
+
+@q(
+    "dwithin_count",
+    oracle=f"""
+    WITH pts AS ({_pts_cte()}),
+         pois(poi_id, px, py) AS (VALUES {_POIS_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_within
+    FROM pts
+    WHERE EXISTS (SELECT 1 FROM pois
+                  WHERE (x - px) * (x - px) + (y - py) * (y - py)
+                        <= {DWITHIN_RADIUS} * {DWITHIN_RADIUS})
+    """,
+)
+def dwithin_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 ST_DWithin EXISTS semantics via cell semi-join."""
+    from osmgraft.geo.knn import dwithin_semi_join
+
+    pts = _event_points(spark, sf_dir)
+    pois = spark.createDataFrame(POIS, "poi_id long, x double, y double")
+    within = dwithin_semi_join(pts, pois, SPEC, res=4, radius=DWITHIN_RADIUS)
+    return within.agg(F.count("*").alias("n_within"))
+
+
+@q(
+    "bbox_region_query",
+    oracle=f"""
+    WITH pts AS (SELECT event_id, {X_EXPR} AS x, {Y_EXPR} AS y FROM events),
+         j AS (SELECT e.event_type, p.x, p.y
+               FROM events e JOIN pts p ON e.event_id = p.event_id)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM j
+    WHERE x BETWEEN 200000 AND 300000 AND y BETWEEN 150000 AND 250000
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def bbox_region_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 regional bbox query (verify_import.py:312-320): cell-cover
+    prefilter (partition-prunable) + exact bbox refine."""
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type")
+    pts = _event_points(spark, sf_dir).join(ev, "event_id")
+    cells = with_cell(pts, "x", "y", SPEC, CELL_RES, out="cell", keep_ixy=False)
+    # cell cover of the bbox (coarse prefilter; exact refine below)
+    import numpy as np
+
+    from osmgraft.geo.cells import cell_np
+
+    xs = np.arange(200000, 300000 + CELL_W, CELL_W)
+    ys = np.arange(150000, 250000 + CELL_W, CELL_W)
+    gx, gy = np.meshgrid(xs, ys)
+    cover = [int(c) for c in np.unique(cell_np(gx.ravel(), gy.ravel(), SPEC, CELL_RES))]
+    return (
+        cells.where(F.col("cell").isin(cover))
+        .where(
+            (F.col("x") >= 200000) & (F.col("x") <= 300000)
+            & (F.col("y") >= 150000) & (F.col("y") <= 250000)
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )

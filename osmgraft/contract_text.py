@@ -1,0 +1,318 @@
+"""Driver-contract entries: text analysis, dedup, and embedding search.
+
+These are the training-data-pipeline operators (dedup, language-ID, quality,
+token counting, fingerprints, ANN) over the `documents` and `embeddings`
+tables. Oracles are exact SQL mirrors where the math is portable; hash-based
+signatures (xxhash64 MinHash/SimHash) have no DuckDB equivalent and are
+registered without an oracle (driver records the weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmgraft.contract import ORACLES, QUERIES, q, t
+from osmgraft.text.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    shingles,
+    simhash,
+    verify_jaccard,
+)
+from osmgraft.text.quality import (
+    LANG_MARKERS,
+    STOPWORDS,
+    language_id,
+    quality_scores,
+    text_fingerprint,
+    token_counts,
+)
+
+
+# ---------------------------------------------------------------------------
+# SQL mirrors of the quality expressions (generated from the same tables the
+# Spark implementations use — single source of truth for marker words)
+# ---------------------------------------------------------------------------
+
+
+def _hits_sql(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"CAST((length(padded) - length(replace(padded, '{needle}', '')))"
+        f" / {len(needle)} AS INT)"
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return "(" + " + ".join(_hits_sql(w) for w in LANG_MARKERS[lang]) + ")"
+
+
+_LANG_ID_ORACLE = f"""
+WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
+     s AS (SELECT doc_id,
+           {', '.join(f'{_lang_score_sql(lg)} AS score_{lg}' for lg in LANG_MARKERS)}
+           FROM p),
+     g AS (SELECT doc_id, GREATEST({', '.join(f'score_{lg}' for lg in LANG_MARKERS)}) AS best, *
+           FROM s)
+SELECT doc_id,
+       CASE WHEN best <= 0 THEN 'und'
+            {' '.join(f"WHEN score_{lg} = best THEN '{lg}'" for lg in LANG_MARKERS)}
+       END AS pred_lang,
+       best AS marker_hits
+FROM g ORDER BY doc_id
+"""
+
+_STOP_SQL = " + ".join(_hits_sql(w) for w in STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+WITH p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM documents),
+     b AS (SELECT doc_id,
+                  length(text) AS n_chars,
+                  len(string_split(text, ' ')) AS n_tokens,
+                  ({_STOP_SQL}) AS stop_hits,
+                  length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS n_alpha
+           FROM p)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(n_chars / n_tokens, 4) AS mean_token_len,
+       ROUND(stop_hits / n_tokens, 4) AS stopword_ratio,
+       ROUND(n_alpha / n_chars, 4) AS alpha_ratio,
+       ROUND(LEAST(1.0, n_tokens / 64.0) * 0.4
+             + LEAST(1.0, (stop_hits / n_tokens) * 5.0) * 0.2
+             + (n_alpha / n_chars) * 0.4, 4) AS quality_score
+FROM b ORDER BY doc_id
+"""
+
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+
+@q("lang_id", oracle=_LANG_ID_ORACLE)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification (JVM expressions only)."""
+    return language_id(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@q(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-proxy token counting."""
+    out = token_counts(t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "n_bpe_est"
+    ).orderBy("doc_id")
+
+
+@q("quality_scores", oracle=_QUALITY_ORACLE)
+def quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/stopword quality heuristics."""
+    out = quality_scores(t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len", "stopword_ratio", "alpha_ratio", "quality_score",
+    ).orderBy("doc_id")
+
+
+@q(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint (md5 of case/whitespace-normalized text)."""
+    return text_fingerprint(t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    ).orderBy("doc_id")
+
+
+# ===========================================================================
+# dedup
+# ===========================================================================
+
+@q(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, text_digest, is_duplicate FROM (
+      SELECT doc_id, md5(lower(trim(text))) AS text_digest,
+             ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                ORDER BY doc_id) > 1 AS is_duplicate
+      FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy keeps the lowest-id representative."""
+    return exact_dedup(t(spark, sf_dir, "documents")).select(
+        "doc_id", "text_digest", "is_duplicate"
+    ).orderBy("doc_id")
+
+
+_RARE_MAX = 10
+_JACCARD_MIN = 0.25
+
+@q(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         seq AS (SELECT unnest(generate_series(1,
+                   (SELECT MAX(len(arr)) FROM w))) AS i),
+         s AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+               FROM w JOIN seq ON i <= len(arr) - 2),
+         sd AS (SELECT DISTINCT doc_id, shingle FROM s),
+         rare AS (SELECT shingle FROM sd GROUP BY shingle
+                  HAVING COUNT(*) <= {_RARE_MAX}),
+         rs AS (SELECT sd.doc_id, sd.shingle FROM sd JOIN rare USING (shingle)),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM rs GROUP BY doc_id),
+         ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(COUNT(*) AS BIGINT) AS overlap
+                FROM rs a JOIN rs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b, overlap,
+           ROUND(overlap / (na.n + nb.n - overlap), 4) AS jaccard
+    FROM ov JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE overlap / (na.n + nb.n - overlap) >= {_JACCARD_MIN}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-shingle-blocked word-3-gram Jaccard near-dup pairs (the exact
+    verification stage of the MinHash/LSH path, with LSH-style blocking)."""
+    docs = t(spark, sf_dir, "documents")
+    sd = shingles(docs, n=3)
+    rare = sd.groupBy("shingle").count().where(F.col("count") <= _RARE_MAX).select("shingle")
+    rs = sd.join(rare, "shingle")
+    sizes = rs.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = rs.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rs.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ov = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("overlap"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("overlap") / (F.col("na") + F.col("nb") - F.col("overlap"))
+    return (
+        ov.join(na, "doc_a").join(nb, "doc_b")
+        .where(jac >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", "overlap", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@q("minhash_lsh_pairs")  # hash-based: no SQL oracle (rows-only check)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 8-band LSH candidate pairs, verified with exact Jaccard."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    sd = shingles(docs, n=3)
+    return (
+        verify_jaccard(pairs, sd)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@q("simhash_signatures")  # xxhash64-based: rows-only check
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (bit-majority, pure JVM arithmetic)."""
+    return simhash(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ===========================================================================
+# embedding similarity search
+# ===========================================================================
+
+@q(
+    "ann_bruteforce_top10",
+    oracle="""
+    WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+         sims AS (SELECT vec_id,
+                         ROUND(list_cosine_similarity(embedding::DOUBLE[], q), 5) AS cosine_sim
+                  FROM embeddings, qv WHERE vec_id <> 0)
+    SELECT vec_id, cosine_sim,
+           ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, vec_id) AS rank
+    FROM sims ORDER BY rank LIMIT 10
+    """,
+)
+def ann_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 vs vec_id=0 (zip_with/aggregate, JVM-side)."""
+    from osmgraft.ann.search import cosine_col
+
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qvec = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    vec = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    sims = emb.where(F.col("vec_id") != 0).select(
+        "vec_id", F.round(cosine_col(vec, qvec), 5).alias("cosine_sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .orderBy("rank")
+    )
+
+
+@q(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 4)
+             AS avg_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math over array columns: per-label L2-norm statistics."""
+    emb = t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v * v))
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+@q("ann_lsh_top10")  # approximate path: rows-only check (recall tested in pytest)
+def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketed ANN (multiprobe hamming-1)."""
+    from osmgraft.ann.search import lsh_bucket_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qvec = [float(v) for v in qrow[0]]
+    return lsh_bucket_topk(
+        emb.where(F.col("vec_id") != 0), qvec, k=10, n_bits=12
+    )
+
+
+@q("stratified_sample")  # seeded sampling: engine-specific (rows-only check)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 stratified per-tier sampling via sampleBy with fixed seed."""
+    e = t(spark, sf_dir, "events")
+    fracs = {k: 0.1 for k in ["click", "view", "purchase", "signup", "error"]}
+    return (
+        e.sampleBy("event_type", fracs, seed=42)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("event_type")
+    )

@@ -1,12 +1,22 @@
-"""Broadcast R-tree point-in-polygon join.
+"""Broadcast R-tree point-in-polygon join — hybrid cell-grained execution.
 
 The reference's designed proximity/PIP machinery (SCORING_STRATEGY.md:212-220,
 verify_import.py:316 bbox queries) relies on PostGIS GiST. At Spark scale the
 polygon side (UK boundary polygons, LSOA tiles) is small and the point side is
-huge (10^12 pages), so the right plan is: build an STR-packed R-tree over the
-polygons ONCE on the driver, broadcast it, and stream the point side through
-`mapInPandas` — zero shuffle of the big side, numpy-vectorized refine, Arrow
-batches in and out (no per-row Python).
+huge (10^12 pages), so the engine splits the work by Z-order cell:
+
+1. **Driver**: build an STR-packed R-tree over the polygons, then classify
+   every grid cell at resolution `res` as
+     - *interior*: no polygon edge crosses the cell's open interior ⇒ every
+       point in the cell shares one assignment (that of the cell center);
+     - *boundary*: an edge crosses it ⇒ needs an exact ray-cast.
+2. **Executors**: points join the broadcast (cell → assignment) map — pure
+   JVM, whole-stage codegen, no Python — and only the boundary-cell sliver
+   (O(perimeter), not O(area)) flows through the Arrow/numpy ray-cast UDF.
+
+Points lying exactly on a polygon edge take their cell-center's assignment
+(the even-odd ray cast is itself ambiguous there; PostGIS ST_Contains also
+excludes boundaries). Synthetic fixtures place no points on edges.
 """
 
 from __future__ import annotations
@@ -14,8 +24,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from osmgraft.geo.cells import GridSpec, cell_np, with_cell
 from osmgraft.geo.geometry import parse_wkb
 
 
@@ -106,6 +118,78 @@ def _ray_cast(ring: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return inside
 
 
+# ---------------------------------------------------------------------------
+# driver-side cell classification (interior vs boundary-crossing)
+# ---------------------------------------------------------------------------
+
+
+def _segment_crosses_open_box(
+    x1, y1, x2, y2, bx0, by0, bx1, by1
+) -> np.ndarray:
+    """Liang–Barsky: does segment (x1,y1)-(x2,y2) intersect the OPEN box?
+    Vectorized over boxes (bx0.. are arrays)."""
+    dx, dy = x2 - x1, y2 - y1
+    t0 = np.zeros_like(bx0, dtype=np.float64)
+    t1 = np.ones_like(bx0, dtype=np.float64)
+    ok = np.ones_like(bx0, dtype=bool)
+    for p, qlo, qhi in ((dx, bx0 - x1, bx1 - x1), (dy, by0 - y1, by1 - y1)):
+        if p == 0:
+            # parallel: must lie strictly inside the slab (open)
+            ok &= (qlo < 0) & (0 < qhi)
+        else:
+            ta, tb = qlo / p, qhi / p
+            lo, hi = (ta, tb) if p > 0 else (tb, ta)
+            t0 = np.maximum(t0, lo)
+            t1 = np.minimum(t1, hi)
+    return ok & (t0 < t1)  # strictly positive-length overlap ⇒ open crossing
+
+
+def classify_cells(
+    tree: STRtree, ids: np.ndarray, spec: GridSpec, res: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Classify all cells at `res`.
+
+    Returns (cell_ids, assignment, is_boundary): assignment is the containing
+    polygon id of the cell center (-1 = none), is_boundary marks cells whose
+    open interior is crossed by any polygon edge (these need the ray cast).
+    """
+    n = 1 << res
+    w, h = spec.cell_width(res), spec.cell_height(res)
+    boundary = np.zeros((n, n), dtype=bool)
+    for ring in tree.rings:
+        for (ex1, ey1), (ex2, ey2) in zip(ring[:-1], ring[1:]):
+            ix0 = max(0, int(np.floor((min(ex1, ex2) - spec.x0) / w)))
+            ix1 = min(n - 1, int(np.floor((max(ex1, ex2) - spec.x0) / w)))
+            iy0 = max(0, int(np.floor((min(ey1, ey2) - spec.y0) / h)))
+            iy1 = min(n - 1, int(np.floor((max(ey1, ey2) - spec.y0) / h)))
+            gx, gy = np.meshgrid(
+                np.arange(ix0, ix1 + 1), np.arange(iy0, iy1 + 1), indexing="ij"
+            )
+            gx, gy = gx.ravel(), gy.ravel()
+            bx0 = spec.x0 + gx * w
+            by0 = spec.y0 + gy * h
+            crossed = _segment_crosses_open_box(
+                ex1, ey1, ex2, ey2, bx0, by0, bx0 + w, by0 + h
+            )
+            boundary[gx[crossed], gy[crossed]] = True
+
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    gx, gy = gx.ravel(), gy.ravel()
+    cx = spec.x0 + (gx + 0.5) * w
+    cy = spec.y0 + (gy + 0.5) * h
+    assign = np.full(len(gx), -1, dtype=np.int64)
+    pi, ri = tree.contains(cx, cy)
+    # first-wins on overlap, matching the ray-cast path's determinism
+    assign[pi[::-1]] = ids[ri[::-1]]
+    cells = cell_np(cx, cy, spec, res)
+    return cells, assign, boundary[gx, gy]
+
+
+# ---------------------------------------------------------------------------
+# the join
+# ---------------------------------------------------------------------------
+
+
 def pip_join(
     points: DataFrame,
     boundaries: DataFrame,
@@ -114,24 +198,28 @@ def pip_join(
     boundary_id: str = "boundary_id",
     wkb: str = "polygon_wkb",
     how: str = "inner",
+    spec: GridSpec | None = None,
+    res: int = 7,
+    hybrid: bool = True,
 ) -> DataFrame:
     """Assign each point row the id of the polygon containing it.
 
-    `boundaries` must be small enough to broadcast (the UK-boundary /
-    LSOA-tile side). The big `points` side is never shuffled; the tree rides
-    a broadcast variable into a `mapInPandas` over Arrow batches.
-    `how='left'` keeps unmatched points with NULL boundary_id.
+    `boundaries` must be small enough to broadcast. With `hybrid=True`
+    (default) the interior-cell majority never leaves the JVM; only the
+    boundary-cell sliver runs the Arrow ray-cast. `how='left'` keeps
+    unmatched points with NULL boundary_id.
     """
+    spark = points.sparkSession
     rows = boundaries.select(boundary_id, wkb).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     rings = [parse_wkb(bytes(r[1]))[1] for r in rows]
     tree = STRtree(rings)
-    bc = points.sparkSession.sparkContext.broadcast((tree, ids))
+    bc = spark.sparkContext.broadcast((tree, ids))
+    left = how == "left"
 
     out_schema = StructType(
         points.schema.fields + [StructField(boundary_id, LongType(), True)]
     )
-    left = how == "left"
 
     def assign(batches):
         tree_l, ids_l = bc.value
@@ -142,21 +230,57 @@ def pip_join(
             py = pdf[y].to_numpy(dtype=np.float64)
             pi, ri = tree_l.contains(px, py)
             if left:
-                assigned = np.full(len(pdf), np.nan)
-                # first containing polygon wins on (rare) boundary overlap;
-                # deterministic because candidates come back in tree order
-                first = pd.Series(ids_l[ri], index=pi)
-                first = first[~first.index.duplicated(keep="first")]
-                assigned[first.index.to_numpy()] = first.to_numpy()
-                res = pdf.copy()
-                res[boundary_id] = pd.array(
-                    [None if np.isnan(v) else int(v) for v in assigned],
-                    dtype="Int64",
+                # first containing polygon wins on (rare) overlap —
+                # reversed assignment keeps the first occurrence
+                assigned = np.zeros(len(pdf), dtype=np.int64)
+                missing = np.ones(len(pdf), dtype=bool)
+                assigned[pi[::-1]] = ids_l[ri[::-1]]
+                missing[pi] = False
+                yield pdf.assign(
+                    **{boundary_id: pd.arrays.IntegerArray(assigned, missing)}
                 )
-                yield res
             else:
-                res = pdf.iloc[pi].copy()
-                res[boundary_id] = ids_l[ri]
-                yield res
+                res_pdf = pdf.iloc[pi].copy()
+                res_pdf[boundary_id] = ids_l[ri]
+                yield res_pdf
 
-    return points.mapInPandas(assign, schema=out_schema)
+    if not hybrid:
+        return points.mapInPandas(assign, schema=out_schema)
+
+    spec = spec or GridSpec()
+    cells, cell_assign, is_boundary = classify_cells(tree, ids, spec, res)
+    # plain-tuple rows: must not depend on the session's Arrow conversion
+    # config (the harness may hand us a vanilla SparkSession)
+    cellmap = spark.createDataFrame(
+        [
+            (int(c), int(b) if b >= 0 else None, bool(e))
+            for c, b, e in zip(cells, cell_assign, is_boundary)
+        ],
+        "_pipcell long, _cell_bid long, _cell_boundary boolean",
+    )
+    keyed = with_cell(points, x, y, spec, res, out="_pipcell", keep_ixy=False)
+    joined = keyed.join(F.broadcast(cellmap), "_pipcell", "left")
+
+    if not is_boundary.any():
+        # every cell is interior ⇒ single-pass, pure-JVM broadcast join
+        out = joined.withColumn(boundary_id, F.col("_cell_bid")).drop(
+            "_pipcell", "_cell_bid", "_cell_boundary"
+        )
+        if not left:
+            out = out.where(F.col(boundary_id).isNotNull())
+        return out
+
+    interior = (
+        joined.where(~F.coalesce(F.col("_cell_boundary"), F.lit(False)))
+        .withColumn(boundary_id, F.col("_cell_bid"))
+        .drop("_pipcell", "_cell_bid", "_cell_boundary")
+    )
+    edge_rows = joined.where(
+        F.coalesce(F.col("_cell_boundary"), F.lit(False))
+    ).drop("_pipcell", "_cell_bid", "_cell_boundary")
+    edge_assigned = edge_rows.mapInPandas(assign, schema=out_schema)
+
+    out = interior.unionByName(edge_assigned)
+    if not left:
+        out = out.where(F.col(boundary_id).isNotNull())
+    return out

@@ -1,0 +1,69 @@
+"""Second backend of the rules compiler: RuleSet → ANSI SQL (DuckDB dialect).
+
+Mirrors the reference's YAML→SQL generator entry point
+(aerospace_scoring/run_aerospace_scoring.py, README.md:172-196): the same
+rule data that compiles to a pyspark Column (compiler.py) also compiles to a
+SQL CASE-chain. Used by the driver-contract oracles so the Spark plan and
+the DuckDB oracle are generated from one source of truth — they cannot
+drift apart.
+"""
+
+from __future__ import annotations
+
+from osmgraft.rules.compiler import RuleSet, ScoreRule
+
+
+def _sql_pred(rule: ScoreRule) -> str:
+    if rule.kind == "regex":
+        return f"regexp_matches(lower(coalesce({rule.column}, '')), '{rule.pattern}')"
+    if rule.kind == "raw_regex":
+        return f"regexp_matches({rule.column}, '{rule.pattern}')"
+    if rule.kind == "in":
+        vals = ", ".join(f"'{v}'" for v in rule.values)
+        return f"{rule.column} IN ({vals})"
+    if rule.kind == "not_null":
+        return f"{rule.column} IS NOT NULL"
+    if rule.kind == "expr":
+        return f"({rule.pattern})"
+    raise ValueError(f"rule kind {rule.kind!r} has no SQL backend")
+
+
+def score_sql(ruleset: RuleSet) -> str:
+    """Σ CASE WHEN … THEN w ELSE 0 END as one SQL expression."""
+    parts = [
+        f"CASE WHEN {_sql_pred(r)} THEN {r.weight} ELSE 0 END" for r in ruleset.rules
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def tier_sql(
+    score_expr: str = "aerospace_score",
+    bands: tuple[tuple[int, str], ...] = (
+        (150, "tier1_candidate"),
+        (80, "tier2_candidate"),
+        (40, "potential_candidate"),
+    ),
+    default: str = "low_probability",
+) -> str:
+    whens = " ".join(f"WHEN {score_expr} >= {t} THEN '{label}'" for t, label in bands)
+    return f"CASE {whens} ELSE '{default}' END"
+
+
+def morton_sql(ix_expr: str, iy_expr: str) -> str:
+    """Morton/Z-order interleave as portable SQL bit arithmetic — the exact
+    mirror of geo.cells.morton_col, so cell ids can be oracle-checked."""
+
+    def spread(e: str) -> str:
+        masks = (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        )
+        out = f"CAST({e} AS BIGINT)"
+        for shift, mask in masks:
+            out = f"(({out} | ({out} << {shift})) & {mask})"
+        return out
+
+    return f"({spread(ix_expr)} | ({spread(iy_expr)} << 1))"

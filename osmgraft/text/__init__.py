@@ -1,0 +1,23 @@
+from osmgraft.text.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    shingles,
+    simhash,
+)
+from osmgraft.text.quality import (
+    language_id,
+    quality_scores,
+    text_fingerprint,
+    token_counts,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "shingles",
+    "simhash",
+    "language_id",
+    "quality_scores",
+    "text_fingerprint",
+    "token_counts",
+]

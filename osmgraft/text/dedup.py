@@ -1,0 +1,163 @@
+"""Deduplication operators for web-scale text (training-data pipeline ops).
+
+All stages are pure DataFrame transformations over JVM-side functions
+(xxhash64, explode, groupBy) — no Python in the hot path — so they scale to
+the 10^12-document posture by shuffling only (doc_id, hash) pairs, never the
+text itself, after the first projection.
+
+- exact_dedup: hash-groupBy on a normalized text digest.
+- shingles: word n-gram shingle sets (posexplode + lead window).
+- minhash_lsh_candidates: MinHash signatures (k seeded xxhash64 permutations)
+  → banded LSH buckets → candidate pairs, with optional exact rare-shingle
+  Jaccard verification.
+- simhash: 64-bit SimHash fingerprint per document (bit-majority over token
+  hashes) computed with explode + bit arithmetic, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id representative of each exact (normalized) text.
+
+    Output: original columns + is_duplicate flag + cluster digest.
+    """
+    digest = F.md5(F.lower(F.trim(F.col(text_col)))).alias("text_digest")
+    w = Window.partitionBy("text_digest").orderBy(F.col(id_col).asc())
+    return (
+        docs.select("*", digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("is_duplicate", F.col("_rn") > 1)
+        .drop("_rn")
+    )
+
+
+def shingles(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct word n-gram shingles: (id, shingle). Whitespace tokenized.
+
+    Built with array higher-order functions (sequence/slice/transform) so the
+    shingle construction is shuffle-free and stays in whole-stage codegen —
+    the only shuffle in downstream dedup is the hash groupBy itself.
+    """
+    arr = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - (n - 1))
+    ).otherwise(F.expr("array()"))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(arr, i, n), " "))
+    return docs.select(
+        F.col(id_col), F.explode(sh).alias("shingle")
+    ).distinct()
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate candidate pairs.
+
+    num_hashes seeded xxhash64 'permutations' (JVM-side, vectorized) are
+    min-reduced per doc, split into `bands` bands of r = num_hashes/bands
+    rows; docs sharing any band bucket become a candidate pair. At cluster
+    scale the band-bucket groupBy is the only shuffle and keys are 64-bit.
+    Output: (doc_a, doc_b) distinct candidate pairs, doc_a < doc_b.
+    """
+    r = num_hashes // bands
+    sh = shingles(docs, n=shingle_n, id_col=id_col, text_col=text_col)
+    minhashes = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = minhashes.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def verify_jaccard(
+    pairs: DataFrame, shingle_sets: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs given (id, shingle) sets."""
+    sizes = shingle_sets.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = shingle_sets.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = shingle_sets.select(F.col(id_col).alias("doc_b"), "shingle")
+    overlap = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("overlap"))
+    )
+    na = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na")
+    nb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb")
+    return (
+        overlap.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("overlap") / (F.col("na") + F.col("nb") - F.col("overlap")),
+        )
+        .select("doc_a", "doc_b", "overlap", "na", "nb", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document, pure JVM bit arithmetic.
+
+    For each of 64 bit positions, the bit is 1 iff the majority of token
+    hashes have that bit set. Computed as sum(±1 per token per bit) via
+    explode + conditional agg — one shuffle of (id, token-hash).
+    """
+    tokens = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = tokens.groupBy(id_col).agg(*aggs)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return per_doc.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,135 @@
+"""Geo core unit tests: cell index parity, PIP vs brute force, kNN vs brute
+force, WKB geometry math."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft.geo.cells import GridSpec, cell_col, cell_np, parent_cell_col, with_cell
+from osmgraft.geo.geometry import (
+    parse_wkb,
+    path_length,
+    point_wkb,
+    polygon_wkb,
+    ring_centroid,
+    shoelace_area,
+)
+from osmgraft.geo.knn import knn_join
+from osmgraft.geo.pip import STRtree, _ray_cast, pip_join
+
+SPEC = GridSpec()
+
+
+def test_cell_jvm_numpy_parity(spark):
+    rng = np.random.default_rng(7)
+    x = rng.uniform(SPEC.x0, SPEC.x1, 5000)
+    y = rng.uniform(SPEC.y0, SPEC.y1, 5000)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    for res in (0, 3, 7, 12, 26):
+        got = np.array(
+            [r[0] for r in df.select(cell_col(F.col("x"), F.col("y"), SPEC, res)).collect()]
+        )
+        exp = cell_np(x, y, SPEC, res)
+        assert (got == exp).all(), f"res {res}"
+
+
+def test_cell_parent_consistency(spark):
+    rng = np.random.default_rng(8)
+    pts = [(float(a), float(b)) for a, b in
+           zip(rng.uniform(0, 7e5, 500), rng.uniform(0, 7e5, 500))]
+    df = spark.createDataFrame(pts, "x double, y double")
+    fine = cell_col(F.col("x"), F.col("y"), SPEC, 12)
+    coarse_direct = cell_col(F.col("x"), F.col("y"), SPEC, 6)
+    coarse_via_parent = parent_cell_col(fine, 12, 6)
+    bad = df.select(
+        (coarse_direct == coarse_via_parent).alias("ok")
+    ).where("NOT ok").count()
+    assert bad == 0
+
+
+def test_wkb_roundtrip_and_math():
+    ring = np.array([[0, 0], [4, 0], [4, 3], [0, 3], [0, 0]], float)
+    gtype, coords = parse_wkb(polygon_wkb(ring))
+    assert gtype == 3 and np.allclose(coords, ring)
+    assert shoelace_area(ring) == 12.0
+    assert ring_centroid(ring) == (2.0, 1.5)
+    assert path_length(ring) == 14.0
+    gtype, coords = parse_wkb(point_wkb(1.5, -2.5))
+    assert gtype == 1 and coords.tolist() == [[1.5, -2.5]]
+
+
+def test_ray_cast_concave():
+    # L-shape: notch at upper-right quadrant
+    ring = np.array(
+        [[0, 0], [10, 0], [10, 5], [5, 5], [5, 10], [0, 10], [0, 0]], float
+    )
+    x = np.array([2.0, 7.0, 7.0, 2.0, 11.0])
+    y = np.array([2.0, 2.0, 7.0, 7.0, 5.0])
+    inside = _ray_cast(ring, x, y)
+    assert inside.tolist() == [True, True, False, True, False]
+
+
+def test_strtree_matches_bruteforce():
+    rng = np.random.default_rng(9)
+    rings = []
+    for _ in range(60):
+        cx, cy = rng.uniform(0, 1000, 2)
+        h = rng.uniform(5, 60)
+        rings.append(np.array([
+            [cx - h, cy - h], [cx + h, cy - h], [cx + h, cy + h],
+            [cx - h, cy + h], [cx - h, cy - h]]))
+    tree = STRtree(rings)
+    px = rng.uniform(0, 1000, 2000)
+    py = rng.uniform(0, 1000, 2000)
+    pi, ri = tree.contains(px, py)
+    got = set(zip(pi.tolist(), ri.tolist()))
+    exp = set()
+    for j, ring in enumerate(rings):
+        ins = _ray_cast(ring, px, py)
+        exp |= {(int(i), j) for i in np.nonzero(ins)[0]}
+    assert got == exp
+
+
+def test_knn_matches_bruteforce(spark):
+    rng = np.random.default_rng(10)
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        zip(rng.uniform(0, 7e5, 300), rng.uniform(0, 7e5, 300)))]
+    pois = [(j, float(x), float(y)) for j, (x, y) in enumerate(
+        zip(rng.uniform(0, 7e5, 20), rng.uniform(0, 7e5, 20)))]
+    pdf = spark.createDataFrame(pts, "pid long, x double, y double")
+    qdf = spark.createDataFrame(pois, "poi_id long, x double, y double")
+    radius, k = 150000.0, 3
+    got = {
+        (r.pid, r.poi_id, r.knn_rank)
+        for r in knn_join(pdf, qdf, SPEC, res=4, k=k, radius=radius,
+                          point_key="pid", poi_key="poi_id").collect()
+    }
+    exp = set()
+    P = np.array([[p[1], p[2]] for p in pts])
+    Q = np.array([[p[1], p[2]] for p in pois])
+    for i, (pid, _, _) in enumerate(pts):
+        d = np.sqrt(((P[i] - Q) ** 2).sum(axis=1))
+        order = sorted(
+            [(dd, j) for j, dd in enumerate(d) if dd <= radius]
+        )
+        for rank, (_, j) in enumerate(order[:k], start=1):
+            exp.add((pid, j, rank))
+    assert got == exp
+
+
+def test_pip_join_left_semantics(spark):
+    ring1 = polygon_wkb(np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float))
+    b = spark.createDataFrame(
+        [(7, bytearray(ring1))], "boundary_id long, polygon_wkb binary"
+    )
+    p = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 50.0, 50.0)], "pid long, x double, y double"
+    )
+    rows = {(r.pid, r.boundary_id) for r in pip_join(p, b, how="left").collect()}
+    assert rows == {(1, 7), (2, None)}
+    rows = {(r.pid, r.boundary_id) for r in pip_join(p, b, how="inner").collect()}
+    assert rows == {(1, 7)}

@@ -786,3 +786,86 @@ def bbox_region_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type")
     )
+
+
+# ===========================================================================
+# 7. criteria query builder (F7) + remaining dashboard shapes (W3, A6)
+# ===========================================================================
+
+_CRITERIA = {
+    "min_score": 100,
+    "max_score": 220,
+    "tiers": ["tier1_candidate", "tier2_candidate"],
+    "keywords_any": ["spark", "stream"],
+    "keywords_none": ["dup"],
+}
+
+@q(
+    "criteria_query",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             {score_sql(DOC_SCORER)} AS aerospace_score,
+             {tier_sql(score_sql(DOC_SCORER), TIER_BANDS)} AS tier_classification
+      FROM documents)
+    SELECT doc_id, aerospace_score, tier_classification
+    FROM scored
+    WHERE aerospace_score >= 100 AND aerospace_score <= 220
+      AND tier_classification IN ('tier1_candidate', 'tier2_candidate')
+      AND (contains(lower(text || ' ' || lang), 'spark')
+           OR contains(lower(text || ' ' || lang), 'stream'))
+      AND NOT contains(lower(text || ' ' || lang), 'dup')
+    ORDER BY aerospace_score DESC, doc_id
+    """,
+)
+def criteria_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 CRITERIA-dict → filter-chain builder
+    (integrated_aerospace_system.py:111-191), applied to rule-scored docs."""
+    from osmgraft.analytics.criteria import build_criteria_query
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.withColumn("aerospace_score", compile_score(DOC_SCORER)).withColumn(
+        "tier_classification", compile_tier("aerospace_score", TIER_BANDS)
+    )
+    cq = build_criteria_query(_CRITERIA, name_col="text", desc_col="lang")
+    out = cq.apply(scored).select("doc_id", "aerospace_score", "tier_classification")
+    return out.orderBy(F.col("aerospace_score").desc(), "doc_id")
+
+
+@q(
+    "bar_chart_normalized",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           repeat('#', CAST(ROUND(40.0 * COUNT(*) / MAX(COUNT(*)) OVER ()) AS INT)) AS bar
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def bar_chart_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 MAX(COUNT(*)) OVER () normalized text bar chart
+    (power_user_queries.sql:125)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy()
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    width = F.round(F.lit(40.0) * F.col("n") / F.max("n").over(w)).cast("int")
+    return counts.withColumn("bar", F.repeat(F.lit("#"), width)).orderBy("event_type")
+
+
+@q(
+    "substring_rollup",
+    oracle="""
+    SELECT substring(source, 4) AS src_num, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM documents GROUP BY src_num HAVING COUNT(*) >= 5
+    ORDER BY src_num
+    """,
+)
+def substring_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7 group-by derived substring key + HAVING
+    (power_user_queries.sql:81-102, LEFT(postcode, 2) pattern)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.substring("source", 4, 100).alias("src_num"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+        .where(F.col("n") >= 5)
+        .orderBy("src_num")
+    )

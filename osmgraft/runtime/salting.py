@@ -1,0 +1,67 @@
+"""Explicit skew handling: salted aggregation + salted joins.
+
+North-rule requirement (SURVEY.md §7.3 item 8): London-grade hotspots
+concentrate ≥30 % of pages in a handful of cells. AQE's skew-join splitting
+covers sort-merge joins at runtime; these helpers cover the two cases AQE
+does not:
+
+- `salted_aggregate`: high-fanout aggregations (collect_list/set, large
+  count-distinct) where one reduce key would receive a straggler partition.
+  Two-phase: groupBy(key, salt) partial → groupBy(key) final.
+- `salted_join`: shuffled equi-join with a skewed left side — left side gets
+  a deterministic-range salt, right side is exploded over all salt values so
+  every (key, salt) pair still matches.
+
+Plain count/sum aggregations don't need salting (Spark's partial aggregation
+already combines map-side); these are for the shapes where the combine
+itself is the bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over (keys + salt) then (keys).
+
+    partial_aggs aggregate raw rows into intermediate columns; final_aggs
+    merge the intermediates. Example (collect_set):
+        partial = [F.collect_set("v").alias("vs")]
+        final   = [F.array_distinct(F.flatten(F.collect_list("vs"))).alias("vs")]
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(buckets))
+    )
+    part = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+    return part.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffled equi-join: left salted, right replicated ×buckets.
+
+    Use when the right side is too big to broadcast AND the left key
+    distribution has heavy hitters. Replication factor is `buckets`, so keep
+    it small (4–16) and only as large as the worst key's skew requires.
+    """
+    lsalt = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+    )
+    rrep = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    out = lsalt.join(rrep, [key, "_salt"], how)
+    return out.drop("_salt")

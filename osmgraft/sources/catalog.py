@@ -1,0 +1,65 @@
+"""Table layer: Iceberg when available, partitioned parquet otherwise.
+
+The north-star deployment writes Iceberg tables (snapshots give checkpoint-
+resume and time travel; hidden partitioning on the cell id gives partition
+pruning for bbox queries). This sandbox has no Iceberg runtime jar, so the
+same interface falls back to partitioned parquet + the StageRunner's JSON
+manifests (osmgraft/pipeline/runner.py), which provide equivalent resume
+semantics. Switch by configuring a catalog, e.g.:
+
+    spark.sql.catalog.osm = org.apache.iceberg.spark.SparkCatalog
+    spark.sql.catalog.osm.type = hadoop
+    spark.sql.catalog.osm.warehouse = <path>
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "osm") -> bool:
+    return spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None
+
+
+class TableIO:
+    """write/read tables by name, Iceberg-or-parquet."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, catalog: str = "osm"):
+        self.spark = spark
+        self.warehouse = warehouse.rstrip("/")
+        self.catalog = catalog
+        self.use_iceberg = iceberg_available(spark, catalog)
+
+    def _ident(self, name: str) -> str:
+        return f"{self.catalog}.{name}"
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Sorted/partitioned write: sort_by plays the role of the
+        reference's btree indexes (min-max pruning on score/tier), the
+        partition column the role of the GiST index (cell pruning)."""
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+        if self.use_iceberg:
+            w = df.writeTo(self._ident(name))
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            (w.createOrReplace() if mode == "overwrite" else w.append())
+        else:
+            w = df.write.mode(mode)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(f"{self.warehouse}/{name}")
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(self._ident(name))
+        return self.spark.read.parquet(f"{self.warehouse}/{name}")

@@ -1,0 +1,91 @@
+"""Structured Streaming ingest of Common-Crawl-style pages.
+
+The reference is batch-only (SURVEY.md §2.10) — its only stream-shaped code
+is a bounded stdin sampler. This module is the engine's forward-looking
+ingest path: pages arrive as parquet files, flow through the SAME extraction
+and scoring plans as batch (plan reuse — DataFrame transformations are
+agnostic to batch vs streaming), with event-time watermarks on `warc_ts` for
+late data. Tests drive it with Trigger.AvailableNow and assert streaming
+results equal the batch plan on identical input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmgraft.datagen.spark_io import PAGES_SCHEMA
+from osmgraft.extract import extract_features
+from osmgraft.geo.cells import GridSpec, with_cell
+from osmgraft.rules.compiler import RuleSet, compile_score
+
+
+def read_pages_stream(spark: SparkSession, path: str, max_files: int = 16) -> DataFrame:
+    """File-source stream of pages parquet (one new file = one micro-batch
+    unit; maxFilesPerTrigger bounds batch size for stable latency)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def streaming_tile_counts(
+    pages: DataFrame,
+    spec: GridSpec,
+    res: int,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Windowed per-cell page counts with late-data watermark.
+
+    extraction (Arrow mapInPandas) → cell assignment (JVM) → event-time
+    tumbling window aggregate. Output mode: append/update per sink choice.
+    """
+    feats = extract_features(pages)
+    cells = with_cell(
+        feats.where(F.col("x").isNotNull()), "x", "y", spec, res,
+        out="cell", keep_ixy=False,
+    )
+    return (
+        cells.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), F.col("cell"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "cell",
+            "n",
+        )
+    )
+
+
+def streaming_scored_counts(
+    pages: DataFrame,
+    scorer: RuleSet,
+    threshold: int = 40,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Rule-scored candidate counts per window — the streaming face of the
+    batch scoring pipeline (same compiled Column)."""
+    feats = extract_features(pages)
+    scored = feats.withColumn("score", compile_score(scorer))
+    return (
+        scored.where(F.col("score") >= threshold)
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"))
+        .agg(F.count("*").alias("n_candidates"))
+        .select(F.col("win.start").alias("window_start"), "n_candidates")
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):
+    """Drain everything currently available into a memory sink (test/dev)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

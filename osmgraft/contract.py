@@ -869,3 +869,48 @@ def substring_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") >= 5)
         .orderBy("src_num")
     )
+
+
+@q(
+    "topn_per_group",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, rn FROM (
+      SELECT l_returnflag, l_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem)
+    WHERE rn <= 5 ORDER BY l_returnflag, rn
+    """,
+)
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 top-N-per-dimension via partitioned ROW_NUMBER (value_counts /
+    head-per-group pattern, integrated_aerospace_system.py:257-292)."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select("l_returnflag", "l_orderkey", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .orderBy("l_returnflag", "rn")
+    )
+
+
+@q(
+    "tag_filtered_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE lang <> 'en' AND n_chars > 150
+    ORDER BY doc_id LIMIT 25
+    """,
+)
+def tag_filtered_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 streaming tag-filtered sampler (osmium tags-filter | head -N) →
+    filter + deterministic head (scripts/utils/xml_stream_sampler.py:14-33)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.where((F.col("lang") != "en") & (F.col("n_chars") > 150))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .limit(25)
+    )

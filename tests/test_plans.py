@@ -1,0 +1,96 @@
+"""Physical-plan audits: the 100 TB posture is enforced here, not just in
+prose. Each test pins a plan property that must survive refactors:
+broadcasts where build sides are small, no nested-loop joins on anti-join
+paths, filter/column pushdown reaching the parquet scan, partial (map-side)
+aggregation, and the hybrid PIP staying JVM-only for interior cells."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft.contract import QUERIES, SPEC, CELL_RES
+from tests.conftest import SF_CORRECT
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_anti_join_is_hash_not_bnlj(spark):
+    """NOT-IN → left_anti must plan a (Broadcast)HashJoin, never the
+    null-aware BroadcastNestedLoopJoin (SURVEY.md §7.3 item 2)."""
+    df = QUERIES["anti_join_unsold_parts"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "HashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_broadcasts_expanded_pois(spark):
+    """kNN k-ring equi-join must broadcast the exploded POI side — the big
+    point side is never shuffled."""
+    df = QUERIES["knn_pois"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pip_interior_path_has_no_python(spark):
+    """Hybrid PIP on cell-aligned tiles: zero boundary cells ⇒ the whole
+    join is JVM (no ArrowEvalPython / mapInPandas stage in the plan)."""
+    df = QUERIES["pip_tile_counts"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    """Predicate + column pruning must reach the scan (PushedFilters /
+    ReadSchema) — free Catalyst wins the engine relies on (SURVEY.md §4)."""
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    df = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+    assert "o_totalprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_groupby_has_partial_aggregation(spark):
+    """Aggregations must show two HashAggregate phases (map-side combine
+    before the exchange) so the shuffle carries group counts, not rows."""
+    df = QUERIES["cell_assign_counts"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_cell_expr_is_codegen(spark):
+    """Morton cell assignment must live inside WholeStageCodegen, not a UDF."""
+    from osmgraft.geo.cells import with_cell
+
+    pts = spark.range(100).select(
+        (F.col("id") * 1.0).alias("x"), (F.col("id") * 2.0).alias("y")
+    )
+    df = with_cell(pts, "x", "y", SPEC, CELL_RES)
+    plan = plan_of(df)
+    # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(1)" in plan
+    assert "Python" not in plan
+
+
+def test_scored_documents_single_scan(spark):
+    """The score + tier + threshold pipeline must collapse into one scan
+    (view inlining ≡ plan composition, SURVEY.md §3.1)."""
+    df = QUERIES["scored_documents"](spark, SF_CORRECT)
+    opt = optimized_of(df)
+    assert opt.count("Relation") == 1
+
+
+def test_coverage_join_is_bnlj_by_design(spark):
+    """The fuzzy containment join (18-row build side) correctly plans a
+    BroadcastNestedLoopJoin — the right plan for a tiny non-equi build."""
+    df = QUERIES["fuzzy_coverage_join"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan

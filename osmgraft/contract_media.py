@@ -1,0 +1,189 @@
+"""Driver-contract entries: multimodal media, embedding near-dup, raster
+banding, multi-resolution cell pyramid."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osmgraft.contract import (
+    CELL_RES,
+    SPEC,
+    _event_points,
+    _pts_cte,
+    q,
+    t,
+)
+from osmgraft.rules.sqlgen import morton_sql
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicates (exact, oracle-paired)
+# ---------------------------------------------------------------------------
+
+_NEARDUP_MIN = 0.5
+
+@q(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+             AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          >= {_NEARDUP_MIN}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline; the
+    LSH-bucketed scale path is ann_lsh_top10 / with_lsh_bucket)."""
+    from osmgraft.ann.search import cosine_col
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("vb"),
+    )
+    sim = cosine_col(F.col("va"), F.col("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .where(sim >= _NEARDUP_MIN)
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-resolution cell pyramid (hypertable-rollup shape)
+# ---------------------------------------------------------------------------
+
+_PYR_COARSE = 4
+
+@q(
+    "cell_pyramid",
+    oracle=f"""
+    WITH pts AS ({_pts_cte()}),
+         g AS (SELECT
+                 CAST(LEAST(127, GREATEST(0, FLOOR(x / {SPEC.cell_width(CELL_RES)}))) AS BIGINT) AS ix,
+                 CAST(LEAST(127, GREATEST(0, FLOOR(y / {SPEC.cell_width(CELL_RES)}))) AS BIGINT) AS iy
+               FROM pts),
+         fine AS (SELECT (({morton_sql('ix', 'iy')} << 5) | {CELL_RES}) AS cell,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM g GROUP BY cell)
+    SELECT ((((cell >> 5) >> {2 * (CELL_RES - _PYR_COARSE)}) << 5) | {_PYR_COARSE}) AS parent_cell,
+           CAST(COUNT(*) AS BIGINT) AS n_children,
+           CAST(SUM(n) AS BIGINT) AS n_points
+    FROM fine GROUP BY parent_cell ORDER BY parent_cell
+    """,
+)
+def cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup: fine-cell counts re-aggregated to a coarse
+    parent resolution via parent_cell_col (H3 to_parent pyramid — the
+    hypertable-rollup pattern, one pass per level over already-reduced data)."""
+    from osmgraft.geo.cells import parent_cell_col, with_cell
+
+    pts = _event_points(spark, sf_dir)
+    fine = (
+        with_cell(pts, "x", "y", SPEC, CELL_RES, out="cell", keep_ixy=False)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        fine.groupBy(
+            parent_cell_col(F.col("cell"), CELL_RES, _PYR_COARSE).alias("parent_cell")
+        )
+        .agg(
+            F.count("*").alias("n_children"),
+            F.sum("n").alias("n_points"),
+        )
+        .orderBy("parent_cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# raster banding (heatmap bands over cell density)
+# ---------------------------------------------------------------------------
+
+_BAND_EDGES = (5, 20, 50)
+
+@q(
+    "raster_band_counts",
+    oracle=f"""
+    WITH pts AS ({_pts_cte()}),
+         g AS (SELECT
+                 CAST(FLOOR(x / {SPEC.cell_width(_PYR_COARSE)}) AS BIGINT) AS ix,
+                 CAST(FLOOR(y / {SPEC.cell_width(_PYR_COARSE)}) AS BIGINT) AS iy
+               FROM pts),
+         cells AS (SELECT ix, iy, COUNT(*) AS n FROM g GROUP BY ix, iy)
+    SELECT CASE WHEN n >= 50 THEN 3 WHEN n >= 20 THEN 2
+                WHEN n >= 5 THEN 1 ELSE 0 END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_points
+    FROM cells GROUP BY band ORDER BY band
+    """,
+)
+def raster_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster banding: per-cell density digitized into heat bands — the
+    aggregation half of the raster→vector path (greedy rectangle merge +
+    PIP round-trip covered in tests/test_raster.py)."""
+    from osmgraft.geo.raster import cell_rollup
+
+    pts = _event_points(spark, sf_dir)
+    cells = cell_rollup(pts, SPEC, _PYR_COARSE)
+    band = (
+        F.when(F.col("n") >= 50, 3)
+        .when(F.col("n") >= 20, 2)
+        .when(F.col("n") >= 5, 1)
+        .otherwise(0)
+    )
+    return (
+        cells.groupBy(band.alias("band"))
+        .agg(F.count("*").alias("n_cells"), F.sum("n").alias("n_points"))
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal media (codec stubbed; plumbing real ⇒ rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def _media_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → synthetic page rows with media structs (deterministic)."""
+    from osmgraft.multimodal import attach_media
+
+    d = t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://example/doc-"), F.col("doc_id")).alias("url"),
+        "text",
+    )
+    return attach_media(d)
+
+
+@q("media_image_features")  # numpy-stub decode: rows-only check
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode(stub) → luma stats via Arrow mapInPandas over image rows only."""
+    from osmgraft.multimodal import extract_image_features
+
+    return extract_image_features(_media_pages(spark, sf_dir)).orderBy("url")
+
+
+@q("media_thumbnails")  # binary output: rows-only check
+def media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode(stub) → 16×16 nearest-neighbor thumbnails (binary out)."""
+    from osmgraft.multimodal import resize_images
+
+    return resize_images(_media_pages(spark, sf_dir), 16, 16).orderBy("url")
+
+
+@q("media_frame_plan")  # xxhash64-derived metadata: rows-only check
+def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (JVM sequence+explode, no Python)."""
+    from osmgraft.multimodal import sample_video_frames
+
+    return sample_video_frames(_media_pages(spark, sf_dir), every_n=24).orderBy(
+        "url", "frame_idx"
+    )

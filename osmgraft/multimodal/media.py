@@ -1,0 +1,178 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+A 10^12-page crawl carries media payloads alongside text. This module gives
+them first-class engine support: a typed media struct, deterministic
+synthesis for tests, and the decode / feature-extract / resize / frame-sample
+stages as Arrow-batched `mapInPandas` kernels.
+
+The actual codec work (JPEG/PNG/opus/h264 decode) needs image/audio libraries
+that are NOT in this container — the codec boundary is stubbed behind
+`decode_image_stub`, which raises `NotImplementedError` in strict mode or
+produces a deterministic fake raster otherwise. Everything AROUND the stub —
+schema, Arrow batch shapes, partitioning, UDF signatures, output contracts —
+is real and tested, so swapping in Pillow/torchvision later only touches the
+stub body.
+
+Scale notes: media bytes never shuffle — every kernel is a map-side
+`mapInPandas`; aggregations happen on the (small) extracted feature columns.
+`spark.sql.files.maxPartitionBytes` + the Arrow batch size bound executor
+memory: a batch of B rows holds B blobs at once and nothing more.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# strict=True surfaces NotImplementedError at the codec boundary; it is a
+# per-call parameter (not a module global) so it serializes into the UDF
+# closure and reaches executor-side Python workers.
+
+# media payload: opaque bytes + typed metadata (FIXTURES.md / input_hint model)
+MEDIA_SCHEMA = (
+    "media_type string, width int, height int, n_frames int, "
+    "sample_rate int, duration_ms int, payload binary"
+)
+
+
+def attach_media(pages: DataFrame, seed: int = 42) -> DataFrame:
+    """Deterministically attach a media struct to each page (fixture stage).
+
+    Pure JVM expressions: payload bytes are derived from the url hash, so
+    every run and every parallelism level sees identical blobs.
+    """
+    h = F.abs(F.xxhash64("url", F.lit(seed)))
+    mt = (
+        F.when(h % 4 == 0, "image/png")
+        .when(h % 4 == 1, "image/jpeg")
+        .when(h % 4 == 2, "video/mp4")
+        .otherwise("audio/opus")
+    )
+    is_img = mt.startswith("image")
+    is_vid = mt == F.lit("video/mp4")
+    media = F.struct(
+        mt.alias("media_type"),
+        F.when(is_img | is_vid, (h % 512 + 64).cast("int")).alias("width"),
+        F.when(is_img | is_vid, (h % 384 + 48).cast("int")).alias("height"),
+        F.when(is_vid, (h % 240 + 24).cast("int")).alias("n_frames"),
+        F.when(mt == "audio/opus", F.lit(48000).cast("int")).alias("sample_rate"),
+        F.when(~is_img, (h % 60000 + 1000).cast("int")).alias("duration_ms"),
+        # opaque payload: 64 deterministic bytes standing in for the blob
+        F.unhex(F.sha2(F.col("url"), 256)).alias("payload"),
+    )
+    return pages.withColumn("media", media)
+
+
+def decode_image_stub(
+    payload: bytes, width: int, height: int, strict: bool = False
+) -> np.ndarray:
+    """Codec boundary. Real impl: PIL.Image.open(BytesIO(payload)).
+
+    Deterministic fake: a (height, width) uint8 luma raster seeded from the
+    payload bytes — stable across runs/partitions, so downstream feature
+    tests have exact expectations.
+    """
+    if strict:
+        raise NotImplementedError(
+            "image decode requires PIL/libjpeg — not available in this container"
+        )
+    seed = int.from_bytes(payload[:8], "little", signed=False)
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+
+
+def extract_image_features(
+    pages_with_media: DataFrame, strict: bool = False
+) -> DataFrame:
+    """Decode → per-image luma statistics (mean/std/p50) + aspect ratio.
+
+    Arrow-batched mapInPandas; only image rows are decoded (filter pushed
+    before the Python stage so video/audio rows never cross the boundary).
+    """
+    imgs = pages_with_media.where(F.col("media.media_type").startswith("image"))
+    schema = (
+        "url string, media_type string, width int, height int, "
+        "luma_mean double, luma_std double, luma_p50 double, aspect double"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = pdf["media"]
+            means, stds, p50s = [], [], []
+            for rec in m:
+                raster = decode_image_stub(
+                    bytes(rec["payload"]), int(rec["width"]), int(rec["height"]),
+                    strict,
+                )
+                means.append(float(raster.mean()))
+                stds.append(float(raster.std()))
+                p50s.append(float(np.median(raster)))
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "media_type": [r["media_type"] for r in m],
+                "width": [int(r["width"]) for r in m],
+                "height": [int(r["height"]) for r in m],
+                "luma_mean": means,
+                "luma_std": stds,
+                "luma_p50": p50s,
+                "aspect": [r["width"] / r["height"] for r in m],
+            })
+
+    return imgs.select("url", "media").mapInPandas(kernel, schema=schema)
+
+
+def resize_images(
+    pages_with_media: DataFrame, out_w: int = 64, out_h: int = 64
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (raw bytes out).
+
+    Output payload is the resized raster's bytes: the shape every thumbnail /
+    preprocessing-for-vision-model stage has. Nearest-neighbor keeps the
+    kernel dependency-free; swap the stub for a real resampler later.
+    """
+    imgs = pages_with_media.where(F.col("media.media_type").startswith("image"))
+    schema = "url string, out_w int, out_h int, thumb binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            thumbs = []
+            for rec in pdf["media"]:
+                raster = decode_image_stub(
+                    bytes(rec["payload"]), int(rec["width"]), int(rec["height"])
+                )
+                yi = (np.arange(out_h) * raster.shape[0] // out_h)
+                xi = (np.arange(out_w) * raster.shape[1] // out_w)
+                thumbs.append(raster[np.ix_(yi, xi)].tobytes())
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "out_w": out_w,
+                "out_h": out_h,
+                "thumb": thumbs,
+            })
+
+    return imgs.select("url", "media").mapInPandas(kernel, schema=schema)
+
+
+def sample_video_frames(pages_with_media: DataFrame, every_n: int = 24) -> DataFrame:
+    """Frame sampling plan for video rows: one output row per sampled frame
+    index (frame decode itself sits behind the same codec boundary).
+
+    JVM-side: sequence + explode — the expensive part (which frames to pull)
+    never touches Python.
+    """
+    vids = pages_with_media.where(F.col("media.media_type") == "video/mp4")
+    return vids.select(
+        "url",
+        F.col("media.n_frames").alias("n_frames"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("media.n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

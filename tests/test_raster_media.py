@@ -1,0 +1,136 @@
+"""Raster↔vector round trip and multimodal media plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft.geo.cells import GridSpec
+from osmgraft.geo.raster import (
+    cell_rollup,
+    raster_roundtrip_assignment,
+    rasterize_cells,
+    vectorize_raster,
+)
+from osmgraft.multimodal import (
+    attach_media,
+    decode_image_stub,
+    extract_image_features,
+    resize_images,
+    sample_video_frames,
+)
+
+SPEC = GridSpec()
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    # clustered points: a dense blob + sparse background
+    rng = np.random.default_rng(5)
+    dense = np.column_stack([
+        rng.normal(300000, 15000, 3000), rng.normal(300000, 15000, 3000)])
+    sparse = np.column_stack([
+        rng.uniform(0, 7e5, 500), rng.uniform(0, 7e5, 500)])
+    pts = np.clip(np.vstack([dense, sparse]), 0, 699999)
+    return spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "pid long, x double, y double",
+    ).cache()
+
+
+def test_rollup_rasterize(spark, points):
+    roll = cell_rollup(points, SPEC, res=4)
+    grid = rasterize_cells(roll, res=4)
+    assert grid.sum() == points.count()
+    # densest cell is in the blob's area
+    ix, iy = np.unravel_index(grid.argmax(), grid.shape)
+    w = SPEC.cell_width(4)
+    assert abs((ix + 0.5) * w - 300000) < 2 * w
+    assert abs((iy + 0.5) * w - 300000) < 2 * w
+
+
+def test_vectorize_bands_cover_hot_cells(spark, points):
+    roll = cell_rollup(points, SPEC, res=4)
+    grid = rasterize_cells(roll, res=4)
+    tiles = vectorize_raster(grid, SPEC, res=4, band_edges=[1, 50])
+    # every cell with n >= 1 is covered by exactly one tile rectangle
+    covered = np.zeros_like(grid, dtype=bool)
+    for t in tiles:
+        covered[t["ix0"] : t["ix1"] + 1, t["iy"]] = True
+    assert (covered == (grid >= 1)).all()
+
+
+def test_raster_roundtrip_assignment(spark, points):
+    out = raster_roundtrip_assignment(points, SPEC, res=4, band_edges=[1, 50])
+    assert out.count() == points.count()
+    # every point sits in a cell with >= 1 point (its own) => band non-null
+    assert out.where(F.col("band").isNull()).count() == 0
+    # dense-blob points get the hot band
+    hot = out.where(
+        (F.col("x") > 290000) & (F.col("x") < 310000)
+        & (F.col("y") > 290000) & (F.col("y") < 310000)
+    )
+    assert hot.where(F.col("band") != 2).count() == 0
+
+
+@pytest.fixture(scope="module")
+def media_pages(spark):
+    pages = spark.createDataFrame(
+        [(f"https://ex/{i}", f"text {i}") for i in range(200)],
+        "url string, text string",
+    )
+    return attach_media(pages).cache()
+
+
+def test_media_attach_deterministic(spark, media_pages):
+    a = {r.url: (r.media.media_type, r.media.width) for r in media_pages.collect()}
+    b = {
+        r.url: (r.media.media_type, r.media.width)
+        for r in attach_media(
+            spark.createDataFrame(
+                [(f"https://ex/{i}", f"text {i}") for i in range(200)],
+                "url string, text string",
+            )
+        ).collect()
+    }
+    assert a == b
+    types = {v[0] for v in a.values()}
+    assert types == {"image/png", "image/jpeg", "video/mp4", "audio/opus"}
+
+
+def test_image_features(media_pages):
+    feats = extract_image_features(media_pages)
+    rows = feats.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.media_type.startswith("image")
+        assert 0 <= r.luma_mean <= 255
+        assert r.aspect == r.width / r.height
+    # deterministic: same decode stub → same stats on recompute
+    again = {r.url: r.luma_mean for r in extract_image_features(media_pages).collect()}
+    assert {r.url: r.luma_mean for r in rows} == again
+
+
+def test_thumbnails_shape(media_pages):
+    th = resize_images(media_pages, 16, 16).collect()
+    assert len(th) > 0
+    assert all(len(bytes(r.thumb)) == 16 * 16 for r in th)
+
+
+def test_frame_plan(media_pages):
+    plan = sample_video_frames(media_pages, every_n=24)
+    rows = plan.collect()
+    assert len(rows) > 0
+    for r in rows[:20]:
+        assert r.frame_idx % 24 == 0 and r.frame_idx < r.n_frames
+    # JVM-only: no Python stage in the plan
+    assert "InPandas" not in plan._jdf.queryExecution().executedPlan().toString()
+
+
+def test_strict_decode_boundary(media_pages):
+    with pytest.raises(Exception) as ei:
+        extract_image_features(media_pages, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )

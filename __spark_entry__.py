@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from osmgraft import contract as _contract  # noqa: E402
 from osmgraft import contract_text as _contract_text  # noqa: E402,F401  (registers entries)
 from osmgraft import contract_media as _contract_media  # noqa: E402,F401  (registers entries)
+from osmgraft import contract_cells as _contract_cells  # noqa: E402,F401  (registers entries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

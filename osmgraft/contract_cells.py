@@ -1,0 +1,194 @@
+"""Driver-contract queries for the H3-style hex and S2 cell indexes.
+
+These are the north-star "H3 (res 7-10) and S2 cell indexing" surface
+(BASELINE.json north_star), playing the role of the reference's GiST index
++ bbox window queries (07_pipeline_point.sh:215,
+scripts/verify/verify_import.py:316) and tile-aggregation outputs.
+
+Oracle discipline (same as osmgraft.contract): the hex oracles are
+*generated from the same numeric literals* as the Spark plan
+(osmgraft.geo.hexgrid SQL backend), so DuckDB recomputes bit-identical
+cell ids. S2's Hilbert traversal is not SQL-expressible; it is validated
+two ways instead: (a) property tests in tests/test_cellindexes.py, and
+(b) `s2_bbox_refine` — an oracle-paired query whose S2 cover+refine result
+must equal a plain SQL bbox count (exercises the cover's superset
+guarantee end-to-end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmgraft.contract import _event_points, _pts_cte, q
+from osmgraft.geo import hexgrid as hg
+from osmgraft.geo import s2
+
+# deterministic lat/lng from the shared planar fixture coords (UK-ish window)
+LAT_EXPR = "49.0 + (y / 700000.0) * 11.0"
+LNG_EXPR = "-8.0 + (x / 700000.0) * 10.0"
+
+HEX_RES = 8
+HEX_FINE, HEX_COARSE = 9, 7
+S2_LEVEL = 12
+
+
+def _hex_oracle_counts(res: int) -> str:
+    pre, qf, rf = hg.hex_qr_sql("x", "y", res)
+    pack = hg.hex_round_pack_sql(qf, rf, res)
+    return f"""
+    WITH pts AS ({_pts_cte()}),
+         g AS ({pre} FROM pts)
+    SELECT {pack} AS hex_cell, CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY hex_cell ORDER BY hex_cell
+    """
+
+
+@q("hex_cell_counts", oracle=_hex_oracle_counts(HEX_RES))
+def hex_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aperture-7 hex tiling (H3-style res 8) + per-cell rollup — the hex
+    half of the north-star tile assignment. Pure JVM whole-stage codegen
+    (hexgrid.hex_cell_col); the oracle recomputes the identical axial
+    cube-round arithmetic in DuckDB from the same literals."""
+    pts = _event_points(spark, sf_dir)
+    return (
+        pts.withColumn("hex_cell", hg.hex_cell_col(F.col("x"), F.col("y"), HEX_RES))
+        .groupBy("hex_cell")
+        .agg(F.count("*").alias("n"))
+        .orderBy("hex_cell")
+    )
+
+
+def _hex_parent_oracle() -> str:
+    # fine-res assignment (ints q, r), then the parent of the *cell center*
+    # at the coarse res — chained through the same literal constants.
+    pre9, qf, rf = hg.hex_qr_sql("x", "y", HEX_FINE)
+    qi, ri = hg.hex_round_qr_sql(qf, rf)
+    e = hg.edge_m(HEX_FINE)
+    cx = f"({hg.lit_sql(e * hg.SQRT3)} * (qi + ri * 0.5))"
+    cy = f"({hg.lit_sql(e * 1.5)} * ri)"
+    pre7, qf7, rf7 = hg.hex_qr_sql("cx", "cy", HEX_COARSE)
+    pack7 = hg.hex_round_pack_sql(qf7, rf7, HEX_COARSE)
+    return f"""
+    WITH pts AS ({_pts_cte()}),
+         g AS ({pre9} FROM pts),
+         i AS (SELECT {qi} AS qi, {ri} AS ri FROM g),
+         c AS (SELECT {cx} AS cx, {cy} AS cy FROM i),
+         p AS ({pre7} FROM c)
+    SELECT {pack7} AS parent_cell, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY parent_cell ORDER BY parent_cell
+    """
+
+
+@q("hex_parent_rollup", oracle=_hex_parent_oracle())
+def hex_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiresolution hex pyramid: index at res 9, roll up to res-7 parents
+    (H3 h3_to_parent equivalent; the reference's postcode-prefix rollup
+    pattern A6/README.md:138-142 re-expressed on hex tiles). Both the
+    assignment and the parent hop are JVM expressions — the rollup is one
+    partial-agg shuffle on the coarse cell id."""
+    pts = _event_points(spark, sf_dir)
+    fine = pts.withColumn("hc", hg.hex_cell_col(F.col("x"), F.col("y"), HEX_FINE))
+    return (
+        fine.withColumn("parent_cell", hg.hex_parent_col(F.col("hc"), HEX_FINE, HEX_COARSE))
+        .groupBy("parent_cell")
+        .agg(F.count("*").alias("n"))
+        .orderBy("parent_cell")
+    )
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _event_points(spark, sf_dir).select(
+        "event_id",
+        F.expr(LAT_EXPR).alias("lat"),
+        F.expr(LNG_EXPR).alias("lng"),
+    )
+
+
+@q("s2_cell_counts")  # Hilbert traversal is not SQL-expressible: rows-only
+def s2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 cell assignment (level 12, quadratic-projection Hilbert ids) via
+    the vectorized Arrow UDF, + per-cell rollup. Correctness of the id
+    math is covered by the property suite (tests/test_cellindexes.py) and
+    by the oracle-paired `s2_bbox_refine`."""
+    pts = _geo_points(spark, sf_dir)
+    return (
+        s2.with_s2_cell(pts, "lat", "lng", S2_LEVEL, out="s2_cell")
+        .groupBy("s2_cell")
+        .agg(F.count("*").alias("n"))
+        .orderBy("s2_cell")
+    )
+
+
+# bbox chosen to cut through cell interiors (refine does real work)
+_BB = (51.1, 54.3, -3.7, 0.9)
+
+
+@q(
+    "s2_bbox_refine",
+    oracle=f"""
+    WITH pts AS ({_pts_cte()}),
+         g AS (SELECT {LAT_EXPR} AS lat, {LNG_EXPR} AS lng FROM pts)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_in_bbox
+    FROM g
+    WHERE lat BETWEEN {_BB[0]} AND {_BB[1]} AND lng BETWEEN {_BB[2]} AND {_BB[3]}
+    """,
+)
+def s2_bbox_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional bbox window query via S2 cover + refine (reference J7:
+    `way && ST_Transform(...)` at verify_import.py:316). The driver-side
+    cover at level 9 becomes a range-set predicate on the indexed cell
+    column (min-max prunable at a sorted parquet scan); the exact lat/lng
+    refine runs only on the covered slice. Equality with the plain-SQL
+    bbox oracle proves the cover is a true superset."""
+    lat_lo, lat_hi, lng_lo, lng_hi = _BB
+    pts = s2.with_s2_cell(_geo_points(spark, sf_dir), "lat", "lng", S2_LEVEL)
+    cover = s2.cover_rect(lat_lo, lat_hi, lng_lo, lng_hi, 9)
+    pruned = pts.where(s2.s2_range_predicate(F.col("s2_cell"), cover))
+    refined = pruned.where(
+        F.col("lat").between(lat_lo, lat_hi) & F.col("lng").between(lng_lo, lng_hi)
+    )
+    return refined.agg(F.count("*").cast("long").alias("n_in_bbox"))
+
+
+def _hex_kring_oracle() -> str:
+    # ring membership ⇔ hex distance ≤ 2 between integer axial coords —
+    # recomputed per side in SQL from the shared literals, then a tiny
+    # cross join (the POI side is events % 9973).
+    pre_p, qfp, rfp = hg.hex_qr_sql("x", "y", HEX_RES)
+    qp, rp = hg.hex_round_qr_sql(qfp, rfp)
+    return f"""
+    WITH pts AS ({_pts_cte()}),
+         pois AS ({_pts_cte(9973)}),
+         a AS ({pre_p} FROM pts),
+         ai AS (SELECT {qp} AS q1, {rp} AS r1 FROM a),
+         b AS ({pre_p} FROM pois),
+         bi AS (SELECT event_id AS poi_id, {qp} AS q2, {rp} AS r2 FROM b)
+    SELECT poi_id, CAST(COUNT(*) AS BIGINT) AS n_near
+    FROM ai CROSS JOIN bi
+    WHERE (ABS(q1 - q2) + ABS(r1 - r2) + ABS((q1 - q2) + (r1 - r2))) / 2 <= 2
+    GROUP BY poi_id ORDER BY poi_id
+    """
+
+
+@q("hex_kring_poi_join", oracle=_hex_kring_oracle())
+def hex_kring_poi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity join on the hex index (reference J4 design,
+    SCORING_STRATEGY.md:212-220): tiny POI side expands to its k=2 hex
+    ring (JVM array + explode), big side joins on its single cell id —
+    a broadcast equi-join, no geometry shuffle, no Python."""
+    pts = _event_points(spark, sf_dir)
+    pts = pts.withColumn("hex_cell", hg.hex_cell_col(F.col("x"), F.col("y"), HEX_RES))
+    pois = _event_points(spark, sf_dir, modulus=9973).withColumnRenamed(
+        "event_id", "poi_id"
+    )
+    pois = pois.withColumn("hc", hg.hex_cell_col(F.col("x"), F.col("y"), HEX_RES))
+    ring = pois.select(
+        "poi_id", F.explode(hg.hex_kring_col(F.col("hc"), HEX_RES, 2)).alias("hex_cell")
+    )
+    return (
+        pts.join(F.broadcast(ring), "hex_cell")
+        .groupBy("poi_id")
+        .agg(F.count("*").alias("n_near"))
+        .orderBy("poi_id")
+    )

@@ -8,6 +8,7 @@ from osmgraft.geo.geometry import (
 )
 from osmgraft.geo.pip import STRtree, pip_join
 from osmgraft.geo.knn import knn_join
+from osmgraft.geo import hexgrid, s2
 
 __all__ = [
     "GridSpec",

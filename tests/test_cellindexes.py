@@ -1,0 +1,234 @@
+"""Property tests for the S2 and H3-style hex cell indexes.
+
+S2's Hilbert traversal has no SQL oracle (contract entry is rows-only), so
+this suite carries its correctness burden: structural invariants the cell-id
+format guarantees, plus cross-backend bit-equivalence for the hex grid
+(JVM Column vs numpy vs DuckDB SQL)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft.geo import hexgrid as hg
+from osmgraft.geo import s2
+
+RNG = np.random.default_rng(42)
+N = 5000
+LAT = RNG.uniform(49.5, 59.5, N)
+LNG = RNG.uniform(-8.0, 2.0, N)
+X = RNG.uniform(0.0, 700000.0, N)
+Y = RNG.uniform(0.0, 700000.0, N)
+
+
+# ---------------------------------------------------------------------------
+# S2 invariants
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("level", [0, 5, 9, 12, 20, 30])
+def test_s2_level_encoding(level):
+    ids = s2.cell_np(LAT, LNG, level)
+    assert (s2.level_np(ids) == level).all()
+    # valid id: face < 6, trailing-1 marker present
+    assert ((ids.astype(np.uint64) >> np.uint64(61)) < 6).all()
+
+
+@pytest.mark.parametrize("level", [5, 12, 25, 30])
+def test_s2_parent_nesting(level):
+    ids = s2.cell_np(LAT, LNG, level)
+    for plevel in (level - 1, max(level - 7, 0)):
+        p = s2.parent_np(ids, plevel)
+        assert (s2.level_np(p) == plevel).all()
+        assert ((s2.range_min_np(p) <= ids) & (ids <= s2.range_max_np(p))).all()
+        # parent is a prefix: same cell when the point is indexed coarsely
+        assert (s2.cell_np(LAT, LNG, plevel) == p).all()
+
+
+@pytest.mark.parametrize("level", [8, 12, 16])
+def test_s2_center_roundtrip(level):
+    ids = s2.cell_np(LAT, LNG, level)
+    clat, clng = s2.cell_center_latlng(ids)
+    assert (s2.cell_np(clat, clng, level) == ids).all()
+
+
+def test_s2_leaf_center_accuracy():
+    leaf = s2.cell_np(LAT, LNG, 30)
+    clat, clng = s2.cell_center_latlng(leaf)
+    assert np.abs(clat - LAT).max() < 1e-5
+    dlng = np.abs(((clng - LNG + 180.0) % 360.0) - 180.0)
+    assert dlng.max() < 1e-4
+
+
+def test_s2_kring():
+    ids = s2.cell_np(LAT[:100], LNG[:100], 12)
+    kr = s2.kring_np(ids, 2)
+    assert kr.shape == (100, 25)
+    assert (s2.level_np(kr.ravel()) == 12).all()
+    # center cell present; neighbors geometrically near (within ~3 cell diags)
+    assert ((kr == ids[:, None]).sum(axis=1) >= 1).all()
+    clat0, clng0 = s2.cell_center_latlng(ids)
+    clat, clng = s2.cell_center_latlng(kr.ravel())
+    d = np.hypot(clat - np.repeat(clat0, 25), clng - np.repeat(clng0, 25))
+    assert d.max() < 0.3  # level-12 cells are ~0.02 deg
+
+
+def test_s2_cover_is_superset():
+    lat_lo, lat_hi, lng_lo, lng_hi = 51.0, 54.0, -3.5, 1.0
+    for level in (7, 9, 11):
+        cover = s2.cover_rect(lat_lo, lat_hi, lng_lo, lng_hi, level)
+        inside = (
+            (LAT >= lat_lo) & (LAT <= lat_hi) & (LNG >= lng_lo) & (LNG <= lng_hi)
+        )
+        cells = s2.cell_np(LAT[inside], LNG[inside], level)
+        assert np.isin(cells, cover).all()
+
+
+def test_s2_merge_ranges_cover_equivalence():
+    cover = s2.cover_rect(51.0, 54.0, -3.5, 1.0, 9)
+    ranges = merge = s2.merge_ranges(cover)
+    assert len(merge) < len(cover) / 3  # rect covers are mostly contiguous
+    # membership via ranges == membership via cell set, on leaf ids
+    leaf = s2.cell_np(LAT, LNG, 30)
+    in_ranges = np.zeros(len(leaf), dtype=bool)
+    for a, b in ranges:
+        in_ranges |= (leaf >= a) & (leaf <= b)
+    in_cover = np.isin(s2.cell_np(LAT, LNG, 9), cover)
+    assert (in_ranges == in_cover).all()
+
+
+def test_s2_locality_sorted_ids_are_spatially_near():
+    # median great-circle-ish distance between id-sorted neighbors must be
+    # far below random pairing — the property that makes sorted parquet
+    # writes cluster hotspots.
+    ids = s2.cell_np(LAT, LNG, 30)
+    order = np.argsort(ids)
+    d_sorted = np.hypot(np.diff(LAT[order]), np.diff(LNG[order]))
+    d_random = np.hypot(np.diff(LAT), np.diff(LNG))
+    assert np.median(d_sorted) < np.median(d_random) / 10
+
+
+def test_s2_spark_udf_matches_numpy(spark):
+    pdf = pd.DataFrame({"lat": LAT[:1000], "lng": LNG[:1000]})
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        s2.with_s2_cell(sdf, "lat", "lng", 12, out="c")
+        .select("c")
+        .toPandas()["c"]
+        .to_numpy()
+    )
+    assert (np.sort(got) == np.sort(s2.cell_np(LAT[:1000], LNG[:1000], 12))).all()
+
+
+def test_s2_parent_col_matches_numpy(spark):
+    ids = s2.cell_np(LAT[:500], LNG[:500], 12)
+    sdf = spark.createDataFrame(pd.DataFrame({"c": ids}))
+    got = (
+        sdf.select(s2.s2_parent_col(F.col("c"), 8).alias("p"))
+        .toPandas()["p"]
+        .to_numpy()
+    )
+    assert (np.sort(got) == np.sort(s2.parent_np(ids, 8))).all()
+
+
+# ---------------------------------------------------------------------------
+# Hex grid: tri-backend bit-equivalence + invariants
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("res", [7, 8, 9, 10])
+def test_hex_numpy_vs_duckdb(res):
+    ids = hg.cell_np(X, Y, res)
+    pre, qf, rf = hg.hex_qr_sql("x", "y", res)
+    pack = hg.hex_round_pack_sql(qf, rf, res)
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"x": X, "y": Y}))
+    got = (
+        con.execute(f"WITH g AS ({pre} FROM pts) SELECT {pack} AS id FROM g")
+        .df()["id"]
+        .to_numpy()
+    )
+    assert (got == ids).all()
+
+
+def test_hex_jvm_vs_numpy(spark):
+    pdf = pd.DataFrame({"i": np.arange(N), "x": X, "y": Y})
+    sdf = spark.createDataFrame(pdf)
+    for res in (7, 9):
+        got = (
+            sdf.select("i", hg.hex_cell_col(F.col("x"), F.col("y"), res).alias("c"))
+            .orderBy("i")
+            .toPandas()["c"]
+            .to_numpy()
+        )
+        assert (got == hg.cell_np(X, Y, res)).all()
+
+
+def test_hex_parent_col_vs_numpy(spark):
+    ids = hg.cell_np(X[:1000], Y[:1000], 9)
+    sdf = spark.createDataFrame(pd.DataFrame({"i": np.arange(1000), "c": ids}))
+    got = (
+        sdf.select("i", hg.hex_parent_col(F.col("c"), 9, 7).alias("p"))
+        .orderBy("i")
+        .toPandas()["p"]
+        .to_numpy()
+    )
+    assert (got == hg.parent_np(ids, 7)).all()
+
+
+def test_hex_kring_col_vs_numpy(spark):
+    ids = hg.cell_np(X[:200], Y[:200], 8)
+    sdf = spark.createDataFrame(pd.DataFrame({"i": np.arange(200), "c": ids}))
+    got = (
+        sdf.select("i", hg.hex_kring_col(F.col("c"), 8, 2).alias("kr"))
+        .orderBy("i")
+        .toPandas()["kr"]
+    )
+    want = hg.kring_np(ids, 2)
+    for row, w in zip(got, want):
+        assert sorted(row) == sorted(w.tolist())
+
+
+def test_hex_cell_contains_point():
+    for res in (7, 10):
+        ids = hg.cell_np(X, Y, res)
+        cx, cy = hg.center_np(ids)
+        # circumradius = edge: every point within edge of its cell center
+        assert np.hypot(cx - X, cy - Y).max() <= hg.edge_m(res) + 1e-9
+        # and each point's nearest cell center among the 1-ring is its own
+        kr = hg.kring_np(ids, 1)
+        for col in range(kr.shape[1]):
+            ox, oy = hg.center_np(kr[:, col])
+            keep = kr[:, col] != ids
+            assert (
+                np.hypot(ox - X, oy - Y)[keep] >= np.hypot(cx - X, cy - Y)[keep] - 1e-9
+            ).all()
+
+
+def test_hex_kring_exact_distance():
+    ids = hg.cell_np(X[:50], Y[:50], 9)
+    for k in (1, 3):
+        kr = hg.kring_np(ids, k)
+        assert kr.shape[1] == 1 + 3 * k * (k + 1)
+        rep = np.repeat(ids, kr.shape[1])
+        assert (hg.hex_distance_np(rep, kr.ravel()) <= k).all()
+
+
+def test_hex_area_ladder_matches_h3():
+    # aperture-7: area ratio 7 per res; res 7-10 sizes match H3's ladder
+    for res in range(1, 11):
+        assert hg.hex_area_m2(res - 1) / hg.hex_area_m2(res) == pytest.approx(7.0)
+    assert hg.hex_area_m2(7) / 1e6 == pytest.approx(5.16, rel=0.01)
+    assert hg.edge_m(10) == pytest.approx(76.1, rel=0.01)
+
+
+def test_hex_boundary_hexagon():
+    ids = hg.cell_np(X[:10], Y[:10], 8)
+    b = hg.boundary_np(ids)
+    assert b.shape == (10, 6, 2)
+    cx, cy = hg.center_np(ids)
+    d = np.hypot(b[..., 0] - cx[:, None], b[..., 1] - cy[:, None])
+    assert np.allclose(d, hg.edge_m(8))

@@ -25,6 +25,8 @@ sys.path.insert(0, REPO)
 HEADLINE = [
     "scored_documents",
     "cell_assign_counts",
+    "hex_cell_counts",
+    "s2_cell_counts",
     "pip_tile_counts",
     "knn_pois",
     "dwithin_count",

@@ -1,0 +1,120 @@
+"""Deployment surface: spark-submit --py-files packaging + the widen bridge.
+
+North-rule requirement: "run via spark-submit --py-files on a
+multi-executor cluster". Evidence here: the zip artifact is deterministic,
+imports resolve from inside it (no repo-path leakage), and the full
+pages → extract → widen → candidate pipeline → tiles job runs end-to-end
+under a real `spark-submit` subprocess."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_package_zip_deterministic(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import package
+
+    a = package.build(str(tmp_path / "a.zip"))
+    b = package.build(str(tmp_path / "b.zip"))
+    ha = hashlib.sha256(open(a, "rb").read()).hexdigest()
+    hb = hashlib.sha256(open(b, "rb").read()).hexdigest()
+    assert ha == hb
+    import zipfile
+
+    names = zipfile.ZipFile(a).namelist()
+    assert "osmgraft/__init__.py" in names
+    assert "osmgraft/geo/s2.py" in names
+    assert not any("__pycache__" in n for n in names)
+
+
+def test_widen_features_schema(spark):
+    from osmgraft.datagen.fixtures import gen_pages
+    from osmgraft.datagen.spark_io import to_spark
+    from osmgraft.extract.page_extract import extract_features
+    from osmgraft.extract.widen import WIDE_TAG_COLS, widen_features
+
+    pages = to_spark(spark, gen_pages(300), "pages")
+    wide = widen_features(extract_features(pages))
+    for c in WIDE_TAG_COLS + ["osm_id", "way_wkb"]:
+        assert c in wide.columns, c
+    rows = wide.select("url", "osm_id", "geom_kind", "way_wkb", "x").collect()
+    assert len(rows) == pages.count()  # widening is row-preserving
+    # osm_id deterministic per url
+    again = {
+        r["url"]: r["osm_id"]
+        for r in widen_features(extract_features(pages)).select("url", "osm_id").collect()
+    }
+    for r in rows:
+        assert again[r["url"]] == r["osm_id"]
+    # WKB kind byte layout: geom type code at offset 1 matches geom_kind
+    import struct
+
+    for r in rows:
+        if r["x"] is None:
+            assert r["way_wkb"] is None
+            continue
+        code = struct.unpack_from("<I", r["way_wkb"], 1)[0]
+        want = {"polygon": 3, "line": 2, "roads": 2}.get(r["geom_kind"], 1)
+        assert code == want, (r["geom_kind"], code)
+
+
+def test_widen_polygon_area_passes_gate(spark):
+    from osmgraft.datagen.fixtures import gen_pages
+    from osmgraft.datagen.spark_io import to_spark
+    from osmgraft.extract.page_extract import extract_features
+    from osmgraft.extract.widen import widen_features
+    from osmgraft.geo.geometry import planar_area_col
+
+    pages = to_spark(spark, gen_pages(500), "pages")
+    wide = widen_features(extract_features(pages))
+    polys = wide.where(F.col("geom_kind") == "polygon").where(F.col("x").isNotNull())
+    areas = polys.select(planar_area_col("way_wkb").alias("a")).toPandas()["a"]
+    if len(areas):
+        assert np.allclose(areas, 400.0)  # nominal 20 m square
+
+
+@pytest.mark.slow
+def test_spark_submit_end_to_end(tmp_path):
+    zip_path = str(tmp_path / "osmgraft.zip")
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import package
+
+    package.build(zip_path)
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--workdir", str(tmp_path / "wd"),
+            "--out", str(tmp_path / "out"),
+            "--n-synthetic", "800",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(tmp_path),  # not the repo: imports must come from the zip
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith('{"job"')][-1]
+    res = json.loads(line)
+    assert res["candidates"] > 0
+    assert res["tiles"] > 0
+    # stage manifests written (checkpoint-resume surface)
+    stages = os.listdir(tmp_path / "wd")
+    assert "stage=final_union" in stages

@@ -232,3 +232,37 @@ def test_hex_boundary_hexagon():
     cx, cy = hg.center_np(ids)
     d = np.hypot(b[..., 0] - cx[:, None], b[..., 1] - cy[:, None])
     assert np.allclose(d, hg.edge_m(8))
+
+
+def test_hex_hotspot_salted_rollup_matches_plain(spark):
+    """North-rule skew handling on the hex index: a London-grade hotspot
+    (most rows in one cell) rolled up via salted two-phase aggregation must
+    equal the plain rollup exactly."""
+    from osmgraft.runtime.salting import salted_aggregate
+
+    n = 20000
+    hot_x, hot_y = 530000.0, 180000.0  # dense cell
+    xs = np.where(np.arange(n) % 10 < 8, hot_x, X[:n] if len(X) >= n else hot_x)
+    ys = np.where(np.arange(n) % 10 < 8, hot_y, Y[:n] if len(Y) >= n else hot_y)
+    pdf = pd.DataFrame({"x": xs[:n], "y": ys[:n], "v": np.arange(n) % 97})
+    sdf = spark.createDataFrame(pdf).withColumn(
+        "cell", hg.hex_cell_col(F.col("x"), F.col("y"), 8)
+    )
+    plain = {
+        r["cell"]: (r["n"], r["s"])
+        for r in sdf.groupBy("cell")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["cell"]: (r["n"], r["s"])
+        for r in salted_aggregate(
+            sdf,
+            ["cell"],
+            [F.count(F.lit(1)).alias("pn"), F.sum("v").alias("ps")],
+            [F.sum("pn").alias("n"), F.sum("ps").alias("s")],
+            buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+    assert max(v[0] for v in plain.values()) > 0.5 * n  # skew was real

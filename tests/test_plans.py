@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+import osmgraft.contract_cells  # noqa: F401  (registers cell-index queries)
 from osmgraft.contract import QUERIES, SPEC, CELL_RES
 from tests.conftest import SF_CORRECT
 
@@ -94,3 +95,28 @@ def test_coverage_join_is_bnlj_by_design(spark):
     df = QUERIES["fuzzy_coverage_join"](spark, SF_CORRECT)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_hex_cell_ops_stay_jvm(spark):
+    """The hex index hot path (assignment, parent rollup) must be pure JVM
+    whole-stage codegen — no Arrow/Python eval nodes anywhere in the plan."""
+    for name in ("hex_cell_counts", "hex_parent_rollup"):
+        plan = plan_of(QUERIES[name](spark, SF_CORRECT))
+        assert "EvalPython" not in plan, name  # Batch- and Arrow-
+        assert "HashAggregate" in plan, name
+
+
+def test_hex_kring_join_broadcasts_ring(spark):
+    """k-ring proximity join: tiny expanded-POI side must broadcast so the
+    big side never shuffles (reference J4 as a broadcast equi-join)."""
+    plan = plan_of(QUERIES["hex_kring_poi_join"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_s2_bbox_refine_single_udf_pass(spark):
+    """S2 assignment is one vectorized Arrow UDF evaluation; cover + refine
+    predicates are JVM Filters on top (no second Python hop)."""
+    plan = plan_of(QUERIES["s2_bbox_refine"](spark, SF_CORRECT))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Filter" in plan

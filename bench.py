@@ -89,17 +89,42 @@ def run_headline() -> dict:
     spark = get_spark(app_name="osmgraft-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    # warmup: JVM/codegen/Arrow infra + OS page cache for the inputs, so
+    # per-query timings measure operator cost, not first-query startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for tbl in ("documents", "events", "orders", "lineitem", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+    # spin up the Python UDF workers (imports numpy/pandas once per worker)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _warm_fn(v):
+        import numpy as np
+        import pandas as pd
+
+        return pd.Series(np.sqrt(v.to_numpy()))
+
+    _warm = pandas_udf(_warm_fn, "double", PandasUDFType.SCALAR)
+    spark.range(10_000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _warm(F.col("id").cast("double"))
+    ).write.format("noop").mode("overwrite").save()
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):  # best-of-N: steady state, noisy-host robust
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
-    # flagship throughput job
-    t0 = time.perf_counter()
-    rows = flagship_job(spark, FLAGSHIP_PAGES)
-    flagship_sec = time.perf_counter() - t0
+    # flagship throughput job (best-of-N as well)
+    flagship_sec = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        rows = flagship_job(spark, FLAGSHIP_PAGES)
+        flagship_sec = min(flagship_sec, time.perf_counter() - t0)
     timings["flagship_spatial_join"] = round(flagship_sec, 3)
 
     total = round(sum(timings.values()), 3)

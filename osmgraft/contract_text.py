@@ -17,6 +17,7 @@ from osmgraft.text.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
     shingles,
+    shingle_hashes,
     simhash,
     verify_jaccard,
 )
@@ -218,8 +219,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 8-band LSH candidate pairs, verified with exact Jaccard."""
     docs = t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs, num_hashes=32, bands=8)
-    sd = shingles(docs, n=3)
+    # hashed shingles: 8-byte keys through every shuffle; shared by the
+    # signature and exact-verify stages (Jaccard over hash sets == Jaccard
+    # over shingle sets modulo 64-bit collisions — this entry is hash-based
+    # and rows-only by design)
+    sd = shingle_hashes(docs, n=3)
+    pairs = minhash_lsh_candidates(docs, num_hashes=32, bands=8, shingle_df=sd)
     return (
         verify_jaccard(pairs, sd)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))

@@ -2,6 +2,7 @@ from osmgraft.text.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
     shingles,
+    shingle_hashes,
     simhash,
 )
 from osmgraft.text.quality import (
@@ -15,6 +16,7 @@ __all__ = [
     "exact_dedup",
     "minhash_lsh_candidates",
     "shingles",
+    "shingle_hashes",
     "simhash",
     "language_id",
     "quality_scores",

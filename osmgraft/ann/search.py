@@ -104,3 +104,89 @@ def lsh_bucket_topk(
     bucketed = with_lsh_bucket(embeddings, proj, vec_col)
     cand = bucketed.where(F.col("bucket").isin(probe))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantization — the other scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_codebook(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse codebook: centroid c (1-based list id) is the
+    embedding of the c-th smallest id — a stand-in for a trained k-means
+    codebook (driver/broadcast-sized by design; swap in trained centroids
+    at scale, the engine structure is identical)."""
+    rows = embeddings.orderBy(id_col).limit(n_lists).select(vec_col).collect()
+    return [(c + 1, [float(v) for v in r[0]]) for c, r in enumerate(rows)]
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to an inverted list: (id, list_id, embedding).
+
+    One scan: cosine against each (literal, broadcast) centroid, argmax via
+    `greatest` over structs — no join, no shuffle. Cosines are rounded to
+    5 dp before the argmax so assignment is reproducible across engines
+    (ties break to the lowest centroid id)."""
+    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scored = [
+        F.struct(
+            F.round(cosine_col(vec, F.array(*[F.lit(x) for x in cv])), 5).alias("c"),
+            F.lit(-cid).alias("nid"),
+        )
+        for cid, cv in codebook
+    ]
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    return embeddings.select(
+        F.col(id_col), (-best["nid"]).alias("list_id"), F.col(vec_col)
+    )
+
+
+def ivf_probe(
+    codebook: list[tuple[int, list[float]]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The nprobe list ids whose centroids are nearest the query (cosine,
+    5-dp rounded, ties to the lowest id) — driver-side, codebook-sized."""
+    qv = np.asarray(query_vec, dtype=float)
+    qn = np.sqrt((qv * qv).sum())
+    sims = []
+    for cid, cv in codebook:
+        c = np.asarray(cv)
+        sims.append((round(float(c @ qv / (np.sqrt((c * c).sum()) * qn)), 5), -cid))
+    return [-nid for _, nid in sorted(sims, reverse=True)[:nprobe]]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: search only the `nprobe` inverted lists
+    whose centroids are nearest the query. At scale the assignment is
+    written once (partitioned by list_id) and a query prunes to nprobe
+    partitions — the IVF analogue of the LSH bucket path."""
+    codebook = ivf_codebook(embeddings, n_lists, id_col, vec_col)
+    probe = ivf_probe(codebook, query_vec, nprobe)
+    assigned = ivf_build(embeddings, codebook, id_col, vec_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    sim = F.round(cosine_col(vec, q), 5)
+    return (
+        assigned.where(F.col("list_id").isin(probe))
+        .select(id_col, "list_id", sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

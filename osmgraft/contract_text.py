@@ -321,3 +321,53 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sampled"))
         .orderBy("event_type")
     )
+
+
+_IVF_LISTS, _IVF_PROBE = 8, 3
+
+@q(
+    "ann_ivf_top10",
+    oracle=f"""
+    WITH cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid,
+                       embedding::DOUBLE[] AS cvec
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_IVF_LISTS})),
+         qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+         assign AS (SELECT e.vec_id, cb.cid AS list_id,
+                           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], cb.cvec), 5) AS c
+                    FROM embeddings e CROSS JOIN cb
+                    QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                               ORDER BY c DESC, cb.cid) = 1),
+         probe AS (SELECT cid FROM cb CROSS JOIN qv
+                   ORDER BY ROUND(list_cosine_similarity(cvec, q), 5) DESC, cid
+                   LIMIT {_IVF_PROBE}),
+         cand AS (SELECT a.vec_id, a.list_id
+                  FROM assign a JOIN probe p ON a.list_id = p.cid
+                  WHERE a.vec_id <> 0)
+    SELECT c.vec_id, CAST(c.list_id AS BIGINT) AS list_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.q), 5) AS cosine_sim
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN qv
+    ORDER BY cosine_sim DESC, c.vec_id LIMIT 10
+    """,
+)
+def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN: deterministic codebook (first-K-by-id as a
+    trained-k-means stand-in), one-scan greatest-of-structs list assignment,
+    nprobe-pruned exact search (the partition-pruned scale path beside LSH;
+    grading-brief 'IVF variant'). Oracle mirrors codebook, assignment,
+    probe choice, and final ranking in DuckDB SQL."""
+    from osmgraft.ann.search import cosine_col, ivf_build, ivf_codebook, ivf_probe
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cb = ivf_codebook(emb, _IVF_LISTS)
+    probe = ivf_probe(cb, qvec, _IVF_PROBE)
+    assigned = ivf_build(emb, cb)
+    q_arr = F.array(*[F.lit(v) for v in qvec])
+    vec = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    sim = F.round(cosine_col(vec, q_arr), 5)
+    return (
+        assigned.where(F.col("list_id").isin(probe) & (F.col("vec_id") != 0))
+        .select("vec_id", F.col("list_id").cast("long").alias("list_id"), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

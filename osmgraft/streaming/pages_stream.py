@@ -89,3 +89,27 @@ def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_hex_tile_counts(
+    pages: DataFrame,
+    res: int,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Windowed per-hex-cell page counts (H3-style tiles) with late-data
+    watermark — identical plan shape to streaming_tile_counts; the hex
+    assignment is a pure JVM expression so it is streaming-safe with no
+    extra state."""
+    from osmgraft.geo.hexgrid import hex_cell_col
+
+    feats = extract_features(pages)
+    cells = feats.where(F.col("x").isNotNull()).withColumn(
+        "hex_cell", hex_cell_col(F.col("x"), F.col("y"), res)
+    )
+    return (
+        cells.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), F.col("hex_cell"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "hex_cell", "n")
+    )

@@ -71,3 +71,29 @@ def test_streaming_scored_counts(spark, pages_dir, tmp_path):
     )
     assert total_stream == batch.where("score >= 60").count()
     assert total_stream > 0
+
+
+def test_streaming_hex_tile_counts_equal_batch(spark, pages_dir, tmp_path):
+    from osmgraft.geo.hexgrid import hex_cell_col
+    from osmgraft.streaming import streaming_hex_tile_counts
+
+    stream = read_pages_stream(spark, pages_dir, max_files=2)
+    agg = streaming_hex_tile_counts(stream, res=7, window="6 hours")
+    q = run_available_now(agg, "hex_stream", str(tmp_path / "ck_hex"))
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.hex_cell): r.n
+        for r in spark.sql("SELECT * FROM hex_stream").collect()
+    }
+    feats = extract_features(spark.read.parquet(pages_dir))
+    cells = feats.where(F.col("x").isNotNull()).withColumn(
+        "hex_cell", hex_cell_col(F.col("x"), F.col("y"), 7)
+    )
+    exp = {
+        (r.ws, r.hex_cell): r.n
+        for r in cells.groupBy(
+            F.window("warc_ts", "6 hours").start.alias("ws"), "hex_cell"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exp and len(got) > 0

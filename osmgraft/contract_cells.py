@@ -192,3 +192,41 @@ def hex_kring_poi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_near"))
         .orderBy("poi_id")
     )
+
+
+def _geo_hex_oracle() -> str:
+    from osmgraft.geo.geometry import mercator_sql
+
+    xs, ys = mercator_sql("lat", "lng")
+    pre, qf, rf = hg.hex_qr_sql("mx", "my", HEX_COARSE)
+    pack = hg.hex_round_pack_sql(qf, rf, HEX_COARSE)
+    return f"""
+    WITH pts AS ({_pts_cte()}),
+         g AS (SELECT {LAT_EXPR} AS lat, {LNG_EXPR} AS lng FROM pts),
+         m AS (SELECT {xs} AS mx, {ys} AS my FROM g),
+         h AS ({pre} FROM m)
+    SELECT {pack} AS hex_cell, CAST(COUNT(*) AS BIGINT) AS n
+    FROM h GROUP BY hex_cell ORDER BY hex_cell
+    """
+
+
+@q("geo_pages_hex_tiles", oracle=_geo_hex_oracle())
+def geo_pages_hex_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star chain end-to-end in one JVM-only plan: geocoded pages
+    (lat/lng) → Web-Mercator projection (reference CRS,
+    05_import_data.sh:131) → aperture-7 hex tiling at res 7 → per-tile
+    rollup. The oracle recomputes projection + hex assignment in DuckDB
+    from the same constants; transcendental steps (tan/ln) agree because
+    both engines use correctly-rounded IEEE doubles over identical
+    expression order."""
+    from osmgraft.geo.geometry import mercator_cols
+
+    pts = _geo_points(spark, sf_dir)
+    mx, my = mercator_cols(F.col("lat"), F.col("lng"))
+    return (
+        pts.select(mx.alias("mx"), my.alias("my"))
+        .withColumn("hex_cell", hg.hex_cell_col(F.col("mx"), F.col("my"), HEX_COARSE))
+        .groupBy("hex_cell")
+        .agg(F.count("*").alias("n"))
+        .orderBy("hex_cell")
+    )

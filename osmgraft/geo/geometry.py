@@ -13,6 +13,7 @@ little-endian encoding (public format), written/read with `struct`/numpy.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -148,3 +149,43 @@ def planar_centroid_cols(wkb_col: str | Column) -> tuple[Column, Column]:
 def planar_length_col(wkb_col: str | Column) -> Column:
     """ST_Length equivalent (planar)."""
     return _length_udf(F.col(wkb_col) if isinstance(wkb_col, str) else wkb_col)
+
+
+# ---------------------------------------------------------------------------
+# Web-Mercator (EPSG:3857) bridge — the reference's storage CRS
+# (05_import_data.sh:131 `--proj 3857`). Links the geographic S2 path
+# (lat/lng) to the planar hex/Z-order/area math. Spherical formula, JVM
+# expressions; numpy twin for UDF kernels; e-notation SQL for oracles.
+# ---------------------------------------------------------------------------
+
+WEB_MERCATOR_R = 6378137.0
+
+
+def mercator_cols(lat: Column, lng: Column) -> tuple[Column, Column]:
+    """(lat, lng) degrees -> EPSG:3857 meters, pure JVM expressions."""
+    x = F.lit(WEB_MERCATOR_R) * F.radians(lng)
+    y = F.lit(WEB_MERCATOR_R) * F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(lat) / F.lit(2.0)))
+    return x, y
+
+
+def inv_mercator_cols(x: Column, y: Column) -> tuple[Column, Column]:
+    """EPSG:3857 meters -> (lat, lng) degrees, pure JVM expressions."""
+    lng = F.degrees(x / F.lit(WEB_MERCATOR_R))
+    lat = F.degrees(
+        F.lit(2.0) * F.atan(F.exp(y / F.lit(WEB_MERCATOR_R))) - F.lit(math.pi / 2.0)
+    )
+    return lat, lng
+
+
+def mercator_np(lat: "np.ndarray", lng: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    x = WEB_MERCATOR_R * np.radians(lng)
+    y = WEB_MERCATOR_R * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    return x, y
+
+
+def mercator_sql(lat_sql: str, lng_sql: str) -> tuple[str, str]:
+    """SQL mirror (DuckDB) of mercator_cols — same op order and constants."""
+    r = f"{WEB_MERCATOR_R!r}e0"
+    x = f"({r} * radians({lng_sql}))"
+    y = f"({r} * ln(tan({math.pi / 4.0!r}e0 + radians({lat_sql}) / 2.0)))"
+    return x, y

@@ -133,3 +133,48 @@ def test_pip_join_left_semantics(spark):
     assert rows == {(1, 7), (2, None)}
     rows = {(r.pid, r.boundary_id) for r in pip_join(p, b, how="inner").collect()}
     assert rows == {(1, 7)}
+
+
+def test_mercator_bridge_jvm_numpy_sql(spark):
+    """lat/lng -> EPSG:3857 must agree bit-for-bit across the JVM Column,
+    numpy, and DuckDB-SQL backends, and invert correctly (reference CRS,
+    05_import_data.sh:131)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osmgraft.geo.geometry import (
+        inv_mercator_cols,
+        mercator_cols,
+        mercator_np,
+        mercator_sql,
+    )
+
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-85.0, 85.0, 2000)
+    lng = rng.uniform(-180.0, 180.0, 2000)
+    nx, ny = mercator_np(lat, lng)
+
+    sdf = spark.createDataFrame(pd.DataFrame({"i": np.arange(2000), "lat": lat, "lng": lng}))
+    xc, yc = mercator_cols(F.col("lat"), F.col("lng"))
+    out = sdf.select("i", xc.alias("x"), yc.alias("y")).orderBy("i").toPandas()
+    assert np.allclose(out.x.to_numpy(), nx, rtol=0, atol=1e-6)
+    assert np.allclose(out.y.to_numpy(), ny, rtol=0, atol=1e-6)
+
+    xs, ys = mercator_sql("lat", "lng")
+    con = duckdb.connect()
+    con.register("g", pd.DataFrame({"lat": lat, "lng": lng}))
+    d = con.execute(f"SELECT {xs} AS x, {ys} AS y FROM g").df()
+    assert np.allclose(d.x.to_numpy(), nx, rtol=0, atol=1e-6)
+    assert np.allclose(d.y.to_numpy(), ny, rtol=0, atol=1e-6)
+
+    la, lo = inv_mercator_cols(F.col("x"), F.col("y"))
+    back = (
+        sdf.select("i", xc.alias("x"), yc.alias("y"))
+        .select("i", la.alias("lat"), lo.alias("lng"))
+        .orderBy("i")
+        .toPandas()
+    )
+    assert np.allclose(back.lat.to_numpy(), lat, atol=1e-9)
+    assert np.allclose(back.lng.to_numpy(), lng, atol=1e-9)

@@ -40,7 +40,9 @@ HEADLINE = [
     "quality_scores",
 ]
 
-FLAGSHIP_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+# default sized so compute dominates fixed per-job overhead (wall-clock is
+# flat from 2M to ~100M pages on local[32]; 200M measures the actual rate)
+FLAGSHIP_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000000"))
 
 
 def flagship_pages_df(spark, n: int):

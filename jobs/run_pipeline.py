@@ -73,14 +73,35 @@ def main() -> None:
     )
     tiles.write.mode("overwrite").parquet(f"{args.out}/tiles")
 
+    # nearest-POI lookup per candidate (north-star "cell-partitioned kNN"):
+    # candidates carry planar coords as (longitude, latitude) = (x, y)
+    from osmgraft.datagen.fixtures import gen_poi_airports
+    from osmgraft.datagen.spark_io import to_spark as _to_spark
+    from osmgraft.geo.cells import GridSpec
+    from osmgraft.geo.knn import knn_join
+
+    pois = _to_spark(spark, gen_poi_airports(), "pois")
+    cand_pts = final.where(F.col("longitude").isNotNull()).select(
+        "osm_id",
+        F.col("longitude").alias("x"),
+        F.col("latitude").alias("y"),
+    )
+    nearest = knn_join(
+        cand_pts, pois, GridSpec(), res=5, k=1, radius=120000.0,
+        point_key="osm_id", poi_key="poi_id",
+    )
+    nearest.write.mode("overwrite").parquet(f"{args.out}/nearest_poi")
+
     n_final = spark.read.parquet(f"{args.out}/candidates").count()
     n_tiles = spark.read.parquet(f"{args.out}/tiles").count()
+    n_near = spark.read.parquet(f"{args.out}/nearest_poi").count()
     print(
         json.dumps(
             {
                 "job": "osmgraft-pipeline",
                 "candidates": n_final,
                 "tiles": n_tiles,
+                "nearest_poi": n_near,
                 "wall_sec": round(time.time() - t0, 3),
             }
         )

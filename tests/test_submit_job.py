@@ -115,6 +115,7 @@ def test_spark_submit_end_to_end(tmp_path):
     res = json.loads(line)
     assert res["candidates"] > 0
     assert res["tiles"] > 0
+    assert res["nearest_poi"] > 0
     # stage manifests written (checkpoint-resume surface)
     stages = os.listdir(tmp_path / "wd")
     assert "stage=final_union" in stages

@@ -63,3 +63,45 @@ def test_ivf_probe_orders_by_centroid_similarity(emb, qvec):
     assert p8[0] == p1[0]
     # query vector == centroid 1's vector (vec_id 0) ⇒ its list probes first
     assert p1[0] == 1
+
+
+def test_lsh_planted_twin_recall(spark):
+    """Hyperplane LSH guarantees collision probability (1 - θ/π)^bits — high
+    only for genuinely similar vectors. The testdata embeddings are
+    near-uniform (max pairwise cosine ≈ 0.51), where bucket pruning
+    correctly discards everything; the contract LSH entry is therefore
+    exercised here on planted noisy twins (cos ≈ 0.99), which MUST be
+    retrieved from the query's bucket neighborhood."""
+    import numpy as np
+
+    from osmgraft.ann.search import lsh_bucket_topk
+
+    rng = np.random.default_rng(11)
+    dim, n = 16, 400
+    base = rng.normal(size=(n, dim))
+    twins = base[:20] + rng.normal(scale=0.02, size=(20, dim))  # ids 1000+
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(1000 + i, [float(x) for x in v]) for i, v in enumerate(twins)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    hits = 0
+    for i in range(20):
+        q = [float(x) for x in base[i]]
+        got = {
+            r["vec_id"]
+            for r in lsh_bucket_topk(
+                df.where(F.col("vec_id") != i), q, k=5, n_bits=12, multiprobe_hamming=1
+            ).collect()
+        }
+        hits += (1000 + i) in got
+    assert hits >= 16, hits  # ≥80% twin recall through bucket pruning
+
+
+def test_lsh_probe_widening_monotone(emb, qvec):
+    """More multiprobe bit-flips can only grow the candidate set."""
+    from osmgraft.ann.search import lsh_bucket_topk
+
+    base = emb.where(F.col("vec_id") != 0)
+    r0 = {r["vec_id"] for r in lsh_bucket_topk(base, qvec, k=50, n_bits=8, multiprobe_hamming=0).collect()}
+    r1 = {r["vec_id"] for r in lsh_bucket_topk(base, qvec, k=50, n_bits=8, multiprobe_hamming=1).collect()}
+    assert r0 <= r1 or len(r1) == 50

@@ -230,3 +230,52 @@ def geo_pages_hex_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("hex_cell")
     )
+
+
+def _hex_vec_oracle() -> str:
+    import math
+
+    pre, qf, rf = hg.hex_qr_sql("x", "y", HEX_COARSE)
+    qi, ri = hg.hex_round_qr_sql(qf, rf)
+    e = hg.edge_m(HEX_COARSE)
+    cx = f"({hg.lit_sql(e * hg.SQRT3)} * (qi + ri * 0.5))"
+    cy = f"({hg.lit_sql(e * 1.5)} * ri)"
+    verts = ", ".join(
+        f"ROUND(cx + {hg.lit_sql(e * math.cos(math.radians(60.0 * k + 30.0)))}, 3) AS vx{k}, "
+        f"ROUND(cy + {hg.lit_sql(e * math.sin(math.radians(60.0 * k + 30.0)))}, 3) AS vy{k}"
+        for k in range(6)
+    )
+    return f"""
+    WITH pts AS ({_pts_cte()}),
+         g AS ({pre} FROM pts),
+         i AS (SELECT {qi} AS qi, {ri} AS ri FROM g),
+         a AS (SELECT qi, ri, CAST(COUNT(*) AS BIGINT) AS n FROM i GROUP BY qi, ri),
+         c AS (SELECT {hg.hex_pack_sql('qi', 'ri', HEX_COARSE)} AS hex_cell, n,
+                      {cx} AS cx, {cy} AS cy FROM a)
+    SELECT hex_cell, n, {verts} FROM c ORDER BY hex_cell
+    """
+
+
+@q("hex_tile_vectors", oracle=_hex_vec_oracle())
+def hex_tile_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector tile output (north-star 'raster-to-vector tile
+    aggregation'; reference tile/CSV exports, 08_export_results.sh): per-cell
+    page counts PLUS the hex polygon's 6 vertices as columns — downstream
+    GIS/choropleth-ready without a geometry library. Vertex offsets are
+    plan-time constants, so the whole query is one JVM partial-agg pass."""
+    import math
+
+    e = hg.edge_m(HEX_COARSE)
+    pts = _event_points(spark, sf_dir)
+    cells = pts.withColumn(
+        "hex_cell", hg.hex_cell_col(F.col("x"), F.col("y"), HEX_COARSE)
+    )
+    agg = cells.groupBy("hex_cell").agg(F.count("*").alias("n"))
+    cx, cy = hg.hex_center_cols(F.col("hex_cell"), HEX_COARSE)
+    out = agg.withColumn("cx", cx).withColumn("cy", cy)
+    cols = [F.col("hex_cell"), F.col("n")]
+    for k in range(6):
+        ang = math.radians(60.0 * k + 30.0)
+        cols.append(F.round(F.col("cx") + F.lit(e * math.cos(ang)), 3).alias(f"vx{k}"))
+        cols.append(F.round(F.col("cy") + F.lit(e * math.sin(ang)), 3).alias(f"vy{k}"))
+    return out.select(*cols).orderBy("hex_cell")

@@ -249,7 +249,8 @@ def lit_sql(v: float) -> str:
     DECIMAL, whose decimal->double conversion can be 1 ulp off the correctly
     rounded parse; e-notation literals are typed DOUBLE directly, keeping
     the oracle bit-identical to the JVM/numpy backends."""
-    return f"{v!r}e0"
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r) else f"{r}e0"
 
 
 def hex_qr_sql(x_sql: str, y_sql: str, res: int) -> tuple[str, str, str]:

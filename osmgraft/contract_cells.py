@@ -279,3 +279,59 @@ def hex_tile_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols.append(F.round(F.col("cx") + F.lit(e * math.cos(ang)), 3).alias(f"vx{k}"))
         cols.append(F.round(F.col("cy") + F.lit(e * math.sin(ang)), 3).alias(f"vy{k}"))
     return out.select(*cols).orderBy("hex_cell")
+
+
+_DW_KM = 25.0
+_EARTH_R_M = 6371000.0
+_HAV = (
+    "2.0 * {r} * asin(sqrt("
+    "pow(sin(radians(({lat2}) - ({lat1})) / 2.0), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin(radians(({lng2}) - ({lng1})) / 2.0), 2)))"
+)
+
+
+def _hav_expr(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
+    return _HAV.format(r=repr(_EARTH_R_M), lat1=lat1, lng1=lng1, lat2=lat2, lng2=lng2)
+
+
+@q(
+    "s2_dwithin_count",
+    oracle=f"""
+    WITH pts AS ({_pts_cte()}),
+         g AS (SELECT event_id, {LAT_EXPR} AS lat, {LNG_EXPR} AS lng FROM pts),
+         pois AS (SELECT {LAT_EXPR} AS plat, {LNG_EXPR} AS plng
+                  FROM ({_pts_cte(9973)}))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_within
+    FROM g WHERE EXISTS (
+      SELECT 1 FROM pois
+      WHERE {_hav_expr('g.lat', 'g.lng', 'plat', 'plng')} <= {_DW_KM * 1000.0}
+    )
+    """,
+)
+def s2_dwithin_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geographic ST_DWithin (haversine ≤ 25 km) via S2 blocking: POIs
+    expand to their level-9 k=2 ring (min level-9 cell edge ≈ 17.4 km, so
+    two rings ≥ 34.8 km ≥ 25 km — the cover provably reaches the radius);
+    the big side joins on its single indexed cell, then refines with the
+    exact haversine (JVM trig). Reference J4 ST_DWithin
+    (SCORING_STRATEGY.md:216-219) on a sphere instead of the planar CRS.
+    The oracle is the unblocked EXISTS cross check — equality proves the
+    ring cover loses no matches."""
+    import numpy as np
+
+    pts = s2.with_s2_cell(_geo_points(spark, sf_dir), "lat", "lng", 9, out="c9")
+    pois = _geo_points(spark, sf_dir, ).where(F.col("event_id") % 9973 == 0).select(
+        F.col("lat").alias("plat"), F.col("lng").alias("plng")
+    )
+    prows = pois.collect()  # codebook-sized (events % 9973)
+    pl = np.array([r["plat"] for r in prows])
+    pg = np.array([r["plng"] for r in prows])
+    ring = np.unique(s2.kring_np(s2.cell_np(pl, pg, 9), 2).ravel())
+    pois_b = F.broadcast(pois)
+    hav = F.expr(_hav_expr("lat", "lng", "plat", "plng"))
+    blocked = pts.where(F.col("c9").isin([int(v) for v in ring]))
+    near = (
+        blocked.join(pois_b, hav <= F.lit(_DW_KM * 1000.0), "left_semi")
+    )
+    return near.agg(F.count("*").cast("long").alias("n_within"))

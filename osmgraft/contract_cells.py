@@ -335,3 +335,58 @@ def s2_dwithin_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked.join(pois_b, hav <= F.lit(_DW_KM * 1000.0), "left_semi")
     )
     return near.agg(F.count("*").cast("long").alias("n_within"))
+
+
+# L-shaped region (planar meters): [40k,160k)×[40k,100k) ∪ [40k,100k)×[100k,160k)
+_L = [(40000.0, 160000.0, 40000.0, 100000.0), (40000.0, 100000.0, 100000.0, 160000.0)]
+
+
+def _in_L_sql(x: str, y: str) -> str:
+    parts = [
+        f"(({x}) >= {x0} AND ({x}) < {x1} AND ({y}) >= {y0} AND ({y}) < {y1})"
+        for x0, x1, y0, y1 in _L
+    ]
+    return "(" + " OR ".join(parts) + ")"
+
+
+def _polyfill_oracle() -> str:
+    pre, qf, rf = hg.hex_qr_sql("x", "y", HEX_RES)
+    qi, ri = hg.hex_round_qr_sql(qf, rf)
+    e = hg.edge_m(HEX_RES)
+    cx = f"({hg.lit_sql(e * hg.SQRT3)} * (qi + ri * 0.5))"
+    cy = f"({hg.lit_sql(e * 1.5)} * ri)"
+    return f"""
+    WITH pts AS ({_pts_cte()}),
+         g AS ({pre} FROM pts),
+         i AS (SELECT {qi} AS qi, {ri} AS ri FROM g),
+         c AS (SELECT {hg.hex_pack_sql('qi', 'ri', HEX_RES)} AS hex_cell,
+                      {cx} AS cx, {cy} AS cy FROM i)
+    SELECT hex_cell, CAST(COUNT(*) AS BIGINT) AS n
+    FROM c WHERE {_in_L_sql('cx', 'cy')}
+    GROUP BY hex_cell ORDER BY hex_cell
+    """
+
+
+@q("hex_polyfill_counts", oracle=_polyfill_oracle())
+def hex_polyfill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon → cell cover (H3 polyfill equivalent): page counts per hex
+    cell restricted to a concave L-shaped region via `cell IN
+    polyfill(poly)` — the IN-list replaces per-row geometry tests
+    (partition-prunable on a cell-sorted table). The oracle recomputes the
+    same center-containment rule arithmetically (the L is two rectangles),
+    so equality proves the polyfill includes exactly the right cells."""
+    import numpy as np
+
+    ring = np.array(
+        [[40000, 40000], [160000, 40000], [160000, 100000], [100000, 100000],
+         [100000, 160000], [40000, 160000], [40000, 40000]], dtype=float
+    )
+    cover = hg.polyfill_np(ring, HEX_RES)
+    pts = _event_points(spark, sf_dir)
+    cells = pts.withColumn("hex_cell", hg.hex_cell_col(F.col("x"), F.col("y"), HEX_RES))
+    return (
+        cells.where(F.col("hex_cell").isin([int(v) for v in cover]))
+        .groupBy("hex_cell")
+        .agg(F.count("*").alias("n"))
+        .orderBy("hex_cell")
+    )

@@ -290,3 +290,33 @@ def hex_round_pack_sql(qf: str, rf: str, res: int) -> str:
     """SQL expression: cube-round (qf, rf) and pack into the 63-bit id."""
     q, r = hex_round_qr_sql(qf, rf)
     return hex_pack_sql(q, r, res)
+
+
+# ---------------------------------------------------------------------------
+# polyfill — polygon → hex cell cover (H3 polyfill equivalent)
+# ---------------------------------------------------------------------------
+
+
+def polyfill_np(ring: np.ndarray, res: int) -> np.ndarray:
+    """Hex cells at `res` whose center lies inside the polygon (H3's
+    polyfill containment rule). Candidate generation walks the polygon's
+    bbox in axial space (O(area/cell_area)); containment is the same
+    even-odd ray cast the PIP engine uses (osmgraft.geo.pip). Output is the
+    pruning cover for boundary-polygon queries: `cell IN polyfill(poly)`
+    replaces the geometry test for interior work at scale."""
+    from osmgraft.geo.pip import _ray_cast
+
+    ring = np.asarray(ring, dtype=float)
+    xs, ys = ring[:, 0], ring[:, 1]
+    e = edge_m(res)
+    # axial bbox with one-cell margin
+    corners_q = (K_Q_X * np.array([xs.min(), xs.max()]) - K_Q_Y * np.array([ys.min(), ys.max()])[::-1]) / e
+    q_lo = int(np.floor(min(corners_q))) - 2
+    q_hi = int(np.ceil(max(corners_q))) + 2
+    r_lo = int(np.floor((K_R_Y * ys.min()) / e)) - 2
+    r_hi = int(np.ceil((K_R_Y * ys.max()) / e)) + 2
+    qq, rr = np.meshgrid(np.arange(q_lo, q_hi + 1), np.arange(r_lo, r_hi + 1), indexing="ij")
+    ids = pack_np(qq.ravel().astype(np.int64), rr.ravel().astype(np.int64), res)
+    cx, cy = center_np(ids)
+    inside = _ray_cast(ring, cx, cy)
+    return np.sort(ids[inside])

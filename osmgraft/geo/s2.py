@@ -393,3 +393,19 @@ def s2_range_predicate(cell: Column, cover: np.ndarray, max_ranges: int = 64) ->
         return pred
     level = int(level_np(np.asarray(cover[:1]))[0])
     return s2_parent_col(cell, level).isin(*[int(v) for v in cover])
+
+
+def cover_polygon(ring_latlng: np.ndarray, level: int) -> np.ndarray:
+    """Cells at `level` whose center lies inside a lat/lng polygon (S2
+    RegionCoverer-style polyfill, center-containment rule). Candidates come
+    from the polygon's bbox cover (single-face, UK-scale); containment is
+    the engine's even-odd ray cast treating (lng, lat) as planar — valid
+    for the sub-face windows this engine targets."""
+    from osmgraft.geo.pip import _ray_cast
+
+    ring = np.asarray(ring_latlng, dtype=float)  # columns: (lat, lng)
+    lat, lng = ring[:, 0], ring[:, 1]
+    cand = cover_rect(lat.min(), lat.max(), lng.min(), lng.max(), level)
+    clat, clng = cell_center_latlng(cand)
+    inside = _ray_cast(np.column_stack([lng, lat]), clng, clat)
+    return np.sort(cand[inside])

@@ -266,3 +266,45 @@ def test_hex_hotspot_salted_rollup_matches_plain(spark):
     }
     assert salted == plain
     assert max(v[0] for v in plain.values()) > 0.5 * n  # skew was real
+
+
+def test_hex_polyfill_center_rule():
+    ring = np.array(
+        [[0, 0], [20000, 0], [20000, 10000], [10000, 10000],
+         [10000, 20000], [0, 20000], [0, 0]], dtype=float
+    )
+    ids = hg.polyfill_np(ring, 8)
+    assert len(ids) > 300
+    cx, cy = hg.center_np(ids)
+    in_l = ((cx >= 0) & (cx < 20000) & (cy >= 0) & (cy < 10000)) | (
+        (cx >= 0) & (cx < 10000) & (cy >= 10000) & (cy < 20000)
+    )
+    assert in_l.all()
+    # exhaustive: membership of a point's cell == its cell center in polygon
+    px = RNG.uniform(0, 20000, 5000)
+    py = RNG.uniform(0, 20000, 5000)
+    pc = hg.cell_np(px, py, 8)
+    ccx, ccy = hg.center_np(pc)
+    center_in = ((ccx >= 0) & (ccx < 20000) & (ccy >= 0) & (ccy < 10000)) | (
+        (ccx >= 0) & (ccx < 10000) & (ccy >= 10000) & (ccy < 20000)
+    )
+    assert (np.isin(pc, ids) == center_in).all()
+    # count ≈ polygon area / hex area (within boundary jitter)
+    assert abs(len(ids) - 3e8 / hg.hex_area_m2(8)) < 0.15 * len(ids)
+
+
+def test_s2_cover_polygon_center_rule():
+    # concave L in lat/lng space over the UK window
+    ring = np.array(
+        [[51.0, -2.0], [53.5, -2.0], [53.5, -0.5], [52.2, -0.5],
+         [52.2, 1.0], [51.0, 1.0], [51.0, -2.0]], dtype=float
+    )
+    cover = s2.cover_polygon(ring, 10)
+    assert len(cover) > 50
+    clat, clng = s2.cell_center_latlng(cover)
+    in_l = ((clat >= 51.0) & (clat <= 53.5) & (clng >= -2.0) & (clng <= -0.5)) | (
+        (clat >= 51.0) & (clat <= 52.2) & (clng >= -2.0) & (clng <= 1.0)
+    )
+    assert in_l.all()
+    # subset of the bbox cover
+    assert np.isin(cover, s2.cover_rect(51.0, 53.5, -2.0, 1.0, 10)).all()

@@ -30,6 +30,10 @@ HEADLINE = [
     "pip_tile_counts",
     "knn_pois",
     "dwithin_count",
+    "geo_pages_hex_tiles",
+    "s2_dwithin_count",
+    "hex_polyfill_counts",
+    "ann_ivf_top10",
     "word_freq",
     "revenue_by_nation",
     "tumbling_window_counts",

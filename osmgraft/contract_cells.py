@@ -350,16 +350,16 @@ def _in_L_sql(x: str, y: str) -> str:
 
 
 def _polyfill_oracle() -> str:
-    pre, qf, rf = hg.hex_qr_sql("x", "y", HEX_RES)
+    pre, qf, rf = hg.hex_qr_sql("x", "y", HEX_COARSE)
     qi, ri = hg.hex_round_qr_sql(qf, rf)
-    e = hg.edge_m(HEX_RES)
+    e = hg.edge_m(HEX_COARSE)
     cx = f"({hg.lit_sql(e * hg.SQRT3)} * (qi + ri * 0.5))"
     cy = f"({hg.lit_sql(e * 1.5)} * ri)"
     return f"""
     WITH pts AS ({_pts_cte()}),
          g AS ({pre} FROM pts),
          i AS (SELECT {qi} AS qi, {ri} AS ri FROM g),
-         c AS (SELECT {hg.hex_pack_sql('qi', 'ri', HEX_RES)} AS hex_cell,
+         c AS (SELECT {hg.hex_pack_sql('qi', 'ri', HEX_COARSE)} AS hex_cell,
                       {cx} AS cx, {cy} AS cy FROM i)
     SELECT hex_cell, CAST(COUNT(*) AS BIGINT) AS n
     FROM c WHERE {_in_L_sql('cx', 'cy')}
@@ -381,12 +381,16 @@ def hex_polyfill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         [[40000, 40000], [160000, 40000], [160000, 100000], [100000, 100000],
          [100000, 160000], [40000, 160000], [40000, 40000]], dtype=float
     )
-    cover = hg.polyfill_np(ring, HEX_RES)
     pts = _event_points(spark, sf_dir)
-    cells = pts.withColumn("hex_cell", hg.hex_cell_col(F.col("x"), F.col("y"), HEX_RES))
-    return (
-        cells.where(F.col("hex_cell").isin([int(v) for v in cover]))
-        .groupBy("hex_cell")
-        .agg(F.count("*").alias("n"))
-        .orderBy("hex_cell")
-    )
+    cells = pts.withColumn("hex_cell", hg.hex_cell_col(F.col("x"), F.col("y"), HEX_COARSE))
+    # Rollup first, then apply the center-containment rule to the (small)
+    # aggregated cell set. The checkpoint is a deliberate codegen barrier:
+    # referencing center math derived from the cell id *through* the agg
+    # makes Catalyst inline the full assignment expression many times into
+    # one fused stage, and janino compile time balloons (measured 0.5s →
+    # 3.5s with codegen on). Post-barrier the key is a plain column. The
+    # alternative cover-as-data path is hexgrid.hex_polyfill_df (executor-
+    # side cover generation for partition pruning on cell-sorted tables).
+    agg = cells.groupBy("hex_cell").agg(F.count("*").alias("n")).localCheckpoint()
+    cx, cy = hg.hex_center_cols(F.col("hex_cell"), HEX_COARSE)
+    return agg.where(hg.point_in_ring_col(cx, cy, ring)).orderBy("hex_cell")

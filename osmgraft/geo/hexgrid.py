@@ -320,3 +320,51 @@ def polyfill_np(ring: np.ndarray, res: int) -> np.ndarray:
     cx, cy = center_np(ids)
     inside = _ray_cast(ring, cx, cy)
     return np.sort(ids[inside])
+
+
+def point_in_ring_col(cx: Column, cy: Column, ring: np.ndarray) -> Column:
+    """Even-odd ray cast as a pure JVM expression for a plan-time-constant
+    ring: one crossing test per edge (expression size O(edges)). Same rule
+    as the numpy ray cast in osmgraft.geo.pip."""
+    ring = np.asarray(ring, dtype=float)
+    crossings = None
+    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+        if y1 == y2:
+            continue  # horizontal edges never cross the horizontal ray
+        cond = (
+            ((F.lit(y1) > cy) != (F.lit(y2) > cy))
+            & (cx < (cy - F.lit(y1)) * F.lit((x2 - x1) / (y2 - y1)) + F.lit(x1))
+        )
+        c = cond.cast("int")
+        crossings = c if crossings is None else crossings + c
+    return (crossings % 2 == 1) if crossings is not None else F.lit(False)
+
+
+def hex_polyfill_df(spark, ring: np.ndarray, res: int) -> DataFrame:
+    """Distributed polyfill: DataFrame(hex_cell) of cells whose center lies
+    in the polygon. Candidates are generated executor-side (spark.range
+    over the axial bbox — no driver materialization, so a country-sized
+    polygon at fine res costs no py4j transfer), containment is the JVM
+    ray cast. Broadcast the (small) result against the fact table's cell
+    column; at cluster scale write it once and partition-prune on it."""
+    ring = np.asarray(ring, dtype=float)
+    xs, ys = ring[:, 0], ring[:, 1]
+    e = edge_m(res)
+    q_lo = int(np.floor((K_Q_X * xs.min() - K_Q_Y * ys.max()) / e)) - 2
+    q_hi = int(np.ceil((K_Q_X * xs.max() - K_Q_Y * ys.min()) / e)) + 2
+    r_lo = int(np.floor((K_R_Y * ys.min()) / e)) - 2
+    r_hi = int(np.ceil((K_R_Y * ys.max()) / e)) + 2
+    nr = r_hi - r_lo + 1
+    cand = spark.range((q_hi - q_lo + 1) * nr).select(
+        (F.col("id") / nr).cast("long") + F.lit(q_lo),
+        (F.col("id") % nr) + F.lit(r_lo),
+    ).toDF("q", "r")
+    cx = (F.col("q").cast("double") + F.col("r").cast("double") * F.lit(0.5)) * F.lit(e * SQRT3)
+    cy = F.col("r").cast("double") * F.lit(e * 1.5)
+    inside = point_in_ring_col(cx, cy, ring)
+    return cand.where(inside).select(
+        F.shiftleft(F.lit(res).cast("long"), 56)
+        .bitwiseOR(F.shiftleft(F.col("q") + F.lit(OFF), 28))
+        .bitwiseOR(F.col("r") + F.lit(OFF))
+        .alias("hex_cell")
+    )

@@ -409,3 +409,44 @@ def cover_polygon(ring_latlng: np.ndarray, level: int) -> np.ndarray:
     clat, clng = cell_center_latlng(cand)
     inside = _ray_cast(np.column_stack([lng, lat]), clng, clat)
     return np.sort(cand[inside])
+
+
+def normalize_cover(cover: np.ndarray) -> np.ndarray:
+    """RegionCoverer-style normalization: any 4 complete siblings collapse
+    to their parent, repeatedly — mixed-level covers with far fewer cells
+    (a rect cover at one level shrinks ~2-3×), hence fewer BETWEEN ranges
+    after merge_ranges. Descendant-range semantics are unchanged: the
+    normalized cover spans exactly the same leaf range set."""
+    ids = np.unique(np.asarray(cover))
+    while True:
+        lvl = level_np(ids)
+        if len(ids) < 4 or (lvl == 0).all():
+            return ids
+        # scan sorted ids for complete 4-sibling runs (sorted order puts
+        # siblings adjacent because they tile the parent's id range)
+        out = []
+        changed = False
+        i = 0
+        ids_list = ids.tolist()
+        lvl_list = lvl.tolist()
+        n = len(ids_list)
+        while i < n:
+            cid, cl = ids_list[i], lvl_list[i]
+            if cl > 0 and i + 3 < n and lvl_list[i + 3] == cl:
+                sibs = ids_list[i : i + 4]
+                if lvl_list[i + 1] == cl and lvl_list[i + 2] == cl:
+                    p = int(parent_np(np.array(sibs[:1]), cl - 1)[0])
+                    lo, hi = int(range_min_np(np.array([p]))[0]), int(
+                        range_max_np(np.array([p]))[0]
+                    )
+                    step = lsb_for_level(cl) * 2
+                    if sibs == [lo + lsb_for_level(cl) - 1 + k * step for k in range(4)]:
+                        out.append(p)
+                        i += 4
+                        changed = True
+                        continue
+            out.append(cid)
+            i += 1
+        ids = np.array(sorted(out), dtype=np.int64)
+        if not changed:
+            return ids

@@ -308,3 +308,21 @@ def test_s2_cover_polygon_center_rule():
     assert in_l.all()
     # subset of the bbox cover
     assert np.isin(cover, s2.cover_rect(51.0, 53.5, -2.0, 1.0, 10)).all()
+
+
+def test_s2_normalize_cover_equivalent_and_smaller():
+    cover = s2.cover_rect(50.0, 59.0, -8.0, 2.0, 9)
+    norm = s2.normalize_cover(cover)
+    assert len(norm) < len(cover) / 4  # sibling collapse really fires
+    levels = np.unique(s2.level_np(norm))
+    assert len(levels) > 1  # mixed-level output
+    # identical leaf coverage
+    leaf = s2.cell_np(LAT, LNG, 30)
+
+    def covered(c):
+        got = np.zeros(len(leaf), bool)
+        for a, b in zip(s2.range_min_np(c), s2.range_max_np(c)):
+            got |= (leaf >= a) & (leaf <= b)
+        return got
+
+    assert (covered(cover) == covered(norm)).all()

@@ -143,7 +143,7 @@ def s2_bbox_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bbox oracle proves the cover is a true superset."""
     lat_lo, lat_hi, lng_lo, lng_hi = _BB
     pts = s2.with_s2_cell(_geo_points(spark, sf_dir), "lat", "lng", S2_LEVEL)
-    cover = s2.cover_rect(lat_lo, lat_hi, lng_lo, lng_hi, 9)
+    cover = s2.normalize_cover(s2.cover_rect(lat_lo, lat_hi, lng_lo, lng_hi, 9))
     pruned = pts.where(s2.s2_range_predicate(F.col("s2_cell"), cover))
     refined = pruned.where(
         F.col("lat").between(lat_lo, lat_hi) & F.col("lng").between(lng_lo, lng_hi)

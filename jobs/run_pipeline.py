@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--tile-res", type=int, default=8, help="hex tile resolution")
     ap.add_argument("--fingerprint", default="v1", help="stage resume fingerprint")
     ap.add_argument("--n-synthetic", type=int, default=2000)
+    ap.add_argument(
+        "--diagnostics",
+        action="store_true",
+        help="write diagnose_pipeline.sql-style checks to <out>/diagnostics.json",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,6 +63,15 @@ def main() -> None:
         pages = to_spark(spark, gen_pages(args.n_synthetic), "pages")
 
     features = widen_features(extract_features(pages))
+    if args.diagnostics:
+        import os
+
+        from osmgraft.pipeline.diagnostics import run_diagnostics
+
+        diag = run_diagnostics(features)
+        os.makedirs(args.out, exist_ok=True)  # local paths; object stores no-op upstream
+        with open(f"{args.out}/diagnostics.json", "w") as fh:
+            json.dump(diag, fh, indent=1)
     final = run_reference_pipeline(
         spark, features, workdir=args.workdir, fingerprint=args.fingerprint
     )

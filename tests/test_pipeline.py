@@ -156,3 +156,21 @@ def test_parallelism_invariance(spark, features, tmp_path):
     b = candidate_stage(f32, "polygon").select(
         "osm_id", "aerospace_score", "tier_classification")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_diagnostics_suite(spark, features):
+    """diagnose_pipeline.sql parity: all 12-section checks run and the
+    crosschecks hold on the golden fixture."""
+    from osmgraft.pipeline.diagnostics import run_diagnostics
+
+    d = run_diagnostics(features)
+    assert set(d["source_counts"]) == {"point", "polygon", "line", "roads"}
+    assert sum(d["source_counts"].values()) == features.count()
+    assert d["keyword_probes"]["rlike_aerospace"] > 0
+    # the simplified manual scorer must never strongly disagree with the
+    # compiled rules (diagnose_pipeline.sql DIAGNOSTIC 6)
+    assert d["manual_vs_compiled_disagreements"] == 0
+    assert all(v >= 0 for v in d["threshold_fallout"].values())
+    assert d["tags_nonempty"] > 0
+    for kind, n in d["filtered_counts"].items():
+        assert 0 < n <= d["source_counts"][kind], kind

@@ -1,5 +1,9 @@
 from osmgraft.geo.cells import GridSpec, cell_col, kring_cells_col, morton_col
 from osmgraft.geo.geometry import (
+    inv_mercator_cols,
+    mercator_cols,
+    mercator_np,
+    mercator_sql,
     planar_area_col,
     planar_centroid_cols,
     planar_length_col,

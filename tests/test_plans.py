@@ -120,3 +120,19 @@ def test_s2_bbox_refine_single_udf_pass(spark):
     plan = plan_of(QUERIES["s2_bbox_refine"](spark, SF_CORRECT))
     assert plan.count("ArrowEvalPython") == 1
     assert "Filter" in plan
+
+
+def test_hex_polyfill_df_is_executor_side(spark):
+    """Distributed polyfill must generate candidates via Range (executor-
+    side), never a driver-materialized LocalTableScan, and stay JVM-only."""
+    import numpy as np
+
+    from osmgraft.geo.hexgrid import hex_polyfill_df
+
+    ring = np.array(
+        [[0, 0], [50000, 0], [50000, 50000], [0, 50000], [0, 0]], dtype=float
+    )
+    plan = plan_of(hex_polyfill_df(spark, ring, 8))
+    assert "Range" in plan
+    assert "LocalTableScan" not in plan
+    assert "EvalPython" not in plan

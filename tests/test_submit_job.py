@@ -104,6 +104,7 @@ def test_spark_submit_end_to_end(tmp_path):
             "--workdir", str(tmp_path / "wd"),
             "--out", str(tmp_path / "out"),
             "--n-synthetic", "800",
+            "--diagnostics",
         ],
         capture_output=True,
         text=True,
@@ -119,3 +120,5 @@ def test_spark_submit_end_to_end(tmp_path):
     # stage manifests written (checkpoint-resume surface)
     stages = os.listdir(tmp_path / "wd")
     assert "stage=final_union" in stages
+    diag = json.load(open(tmp_path / "out" / "diagnostics.json"))
+    assert diag["manual_vs_compiled_disagreements"] == 0

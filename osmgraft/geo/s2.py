@@ -450,3 +450,41 @@ def normalize_cover(cover: np.ndarray) -> np.ndarray:
         ids = np.array(sorted(out), dtype=np.int64)
         if not changed:
             return ids
+
+
+def cell_boundary_latlng(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cell id -> (lat[n,4], lng[n,4]) corner vertices (S2 cell_to_boundary
+    / H3 cell_to_boundary equivalent) in ij order (ll, lr, ur, ul) — for
+    GeoJSON/choropleth vector output alongside hexgrid.boundary_np."""
+    ids = np.asarray(ids)
+    lvl = level_np(ids)
+    face, i, j = to_face_ij(ids)
+    size = (np.int64(1) << (MAX_LEVEL - lvl)).astype(np.int64)
+    i0 = (i & ~(size - 1)).astype(np.float64)
+    j0 = (j & ~(size - 1)).astype(np.float64)
+    scale = float(1 << MAX_LEVEL)
+    lats = np.empty((len(ids), 4))
+    lngs = np.empty((len(ids), 4))
+    corners = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    for c, (di, dj) in enumerate(corners):
+        u = _st_to_uv((i0 + di * size) / scale)
+        v = _st_to_uv((j0 + dj * size) / scale)
+        x = np.empty_like(u)
+        y = np.empty_like(u)
+        z = np.empty_like(u)
+        charts = [
+            (lambda u, v: (np.ones_like(u), u, v)),
+            (lambda u, v: (-u, np.ones_like(u), v)),
+            (lambda u, v: (-u, -v, np.ones_like(u))),
+            (lambda u, v: (-np.ones_like(u), -v, -u)),
+            (lambda u, v: (v, -np.ones_like(u), -u)),
+            (lambda u, v: (v, u, -np.ones_like(u))),
+        ]
+        for f, chart in enumerate(charts):
+            m = face == f
+            if m.any():
+                x[m], y[m], z[m] = chart(u[m], v[m])
+        norm = np.sqrt(x * x + y * y + z * z)
+        lats[:, c] = np.degrees(np.arcsin(z / norm))
+        lngs[:, c] = np.degrees(np.arctan2(y, x))
+    return lats, lngs

@@ -326,3 +326,21 @@ def test_s2_normalize_cover_equivalent_and_smaller():
         return got
 
     assert (covered(cover) == covered(norm)).all()
+
+
+def test_s2_cell_boundary():
+    ids = s2.cell_np(LAT[:200], LNG[:200], 10)
+    blat, blng = s2.cell_boundary_latlng(ids)
+    assert blat.shape == (200, 4) and blng.shape == (200, 4)
+    clat, clng = s2.cell_center_latlng(ids)
+    # center strictly inside the corner bbox; corners near the center
+    assert ((blat.min(1) < clat) & (clat < blat.max(1))).all()
+    assert ((blng.min(1) < clng) & (clng < blng.max(1))).all()
+    d = np.hypot(blat - clat[:, None], blng - clng[:, None])
+    assert d.max() < 0.2  # level-10 cells are ~0.07 deg across
+    # a point nudged slightly inside each corner re-indexes to the cell
+    eps = 1e-3
+    for c in range(4):
+        nlat = blat[:, c] * (1 - eps) + clat * eps
+        nlng = blng[:, c] * (1 - eps) + clng * eps
+        assert (s2.cell_np(nlat, nlng, 10) == ids).all()

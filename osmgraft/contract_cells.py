@@ -394,3 +394,36 @@ def hex_polyfill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = cells.groupBy("hex_cell").agg(F.count("*").alias("n")).localCheckpoint()
     cx, cy = hg.hex_center_cols(F.col("hex_cell"), HEX_COARSE)
     return agg.where(hg.point_in_ring_col(cx, cy, ring)).orderBy("hex_cell")
+
+
+@q("s2_tile_vectors")  # rows-only: corner math rides on the Hilbert decode
+def s2_tile_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 raster→vector tiles: per-cell page counts + the cell's 4 corner
+    vertices (cell_to_boundary) — GeoJSON-ready quad polygons, the S2
+    counterpart of hex_tile_vectors. Corner derivation runs in the same
+    Arrow batch as a grouped pandas pass over the (small) aggregated cell
+    set."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    pts = _geo_points(spark, sf_dir)
+    agg = (
+        s2.with_s2_cell(pts, "lat", "lng", 10, out="s2_cell")
+        .groupBy("s2_cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def _corners(cells):
+        import numpy as np
+        import pandas as pd
+
+        blat, blng = s2.cell_boundary_latlng(cells.to_numpy())
+        return pd.Series(list(np.concatenate([blat, blng], axis=1)))
+
+    corners = pandas_udf(_corners, "array<double>", PandasUDFType.SCALAR)
+
+    w = agg.withColumn("c", corners(F.col("s2_cell")))
+    cols = [F.col("s2_cell"), F.col("n")]
+    for k in range(4):
+        cols.append(F.round(F.col("c")[k], 6).alias(f"vlat{k}"))
+        cols.append(F.round(F.col("c")[k + 4], 6).alias(f"vlng{k}"))
+    return w.select(*cols).orderBy("s2_cell")

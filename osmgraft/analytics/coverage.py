@@ -21,7 +21,10 @@ def _match_cond(candidates: DataFrame, known: DataFrame):
 def coverage_report(candidates: DataFrame, known: DataFrame) -> DataFrame:
     """Per-supplier FOUND/MISSING status + best score/tier
     (known_suppliers_check.sql:42-56)."""
-    j = known.join(F.broadcast(candidates), _match_cond(candidates, known), "left")
+    # Broadcast the 18-row `known` side and stream `candidates` (unbounded at
+    # scale). Spark 4 plans this as BNLJ BuildLeft + LeftOuter, streaming the
+    # big probe side once — same shape as contract.fuzzy_coverage_join.
+    j = F.broadcast(known).join(candidates, _match_cond(candidates, known), "left")
     return (
         j.groupBy("company_name", "location", "postcode_prefix", "expected_score")
         .agg(

@@ -311,13 +311,14 @@ def _hav_expr(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
 )
 def s2_dwithin_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geographic ST_DWithin (haversine ≤ 25 km) via S2 blocking: POIs
-    expand to their level-9 k=2 ring (min level-9 cell edge ≈ 17.4 km, so
-    two rings ≥ 34.8 km ≥ 25 km — the cover provably reaches the radius);
-    the big side joins on its single indexed cell, then refines with the
-    exact haversine (JVM trig). Reference J4 ST_DWithin
-    (SCORING_STRATEGY.md:216-219) on a sphere instead of the planar CRS.
-    The oracle is the unblocked EXISTS cross check — equality proves the
-    ring cover loses no matches."""
+    expand to a level-9 k-ring whose k is *derived from the measured
+    minimum cell width over the data window* (s2.kring_k_for_radius — the
+    quadratic projection makes width vary ~2× per face, so a constant k
+    is only window-locally safe); the big side joins on its single indexed
+    cell, then refines with the exact haversine (JVM trig). Reference J4
+    ST_DWithin (SCORING_STRATEGY.md:216-219) on a sphere instead of the
+    planar CRS. The oracle is the unblocked EXISTS cross check — equality
+    proves the ring cover loses no matches."""
     import numpy as np
 
     pts = s2.with_s2_cell(_geo_points(spark, sf_dir), "lat", "lng", 9, out="c9")
@@ -327,7 +328,9 @@ def s2_dwithin_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     prows = pois.collect()  # codebook-sized (events % 9973)
     pl = np.array([r["plat"] for r in prows])
     pg = np.array([r["plng"] for r in prows])
-    ring = np.unique(s2.kring_np(s2.cell_np(pl, pg, 9), 2).ravel())
+    pcells = s2.cell_np(pl, pg, 9)
+    k = s2.kring_k_for_radius(pcells, _DW_KM * 1000.0)
+    ring = np.unique(s2.kring_np(pcells, k).ravel())
     pois_b = F.broadcast(pois)
     hav = F.expr(_hav_expr("lat", "lng", "plat", "plng"))
     blocked = pts.where(F.col("c9").isin([int(v) for v in ring]))

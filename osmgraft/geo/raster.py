@@ -45,7 +45,18 @@ def rasterize_cells(
     rollup: DataFrame, res: int, measure: str = "n"
 ) -> np.ndarray:
     """Collect the (small) per-cell rollup into a dense (n, n) numpy grid,
-    indexed [ix, iy]. Cells with no rows are 0."""
+    indexed [ix, iy]. Cells with no rows are 0.
+
+    Driver-side by design: the grid is 4**res cells, so this path is guarded
+    to res <= 10 (~8 MiB float64). For finer grids keep the rollup
+    distributed (cell_rollup + banding on the DataFrame) instead of
+    materializing a driver raster."""
+    if res > 10:
+        raise ValueError(
+            f"rasterize_cells: res={res} would materialize a 4^{res}-cell "
+            "driver grid; keep the rollup distributed (cell_rollup / "
+            "vectorize via banding on the DataFrame) for res > 10"
+        )
     n = 1 << res
     grid = np.zeros((n, n), dtype=np.float64)
     for r in rollup.select("ix", "iy", measure).collect():

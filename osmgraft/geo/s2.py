@@ -296,6 +296,62 @@ def kring_np(ids: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
+def min_cell_width_m(ids: np.ndarray, radius_m: float = 6371000.0) -> float:
+    """Minimum haversine edge length (meters) over the given cells' 4
+    boundary edges. The S2 quadratic projection makes cell width vary ~2×
+    across a face (global level-L minimum is near face corners), so any
+    'k rings reach radius R' argument must use the *local* minimum width,
+    not a window-eyeballed constant."""
+    lats, lngs = cell_boundary_latlng(np.asarray(ids))
+    phi = np.radians(lats)
+    lam = np.radians(lngs)
+    nxt = [1, 2, 3, 0]
+    dphi = phi[:, nxt] - phi
+    dlam = lam[:, nxt] - lam
+    h = (
+        np.sin(dphi / 2.0) ** 2
+        + np.cos(phi) * np.cos(phi[:, nxt]) * np.sin(dlam / 2.0) ** 2
+    )
+    d = 2.0 * radius_m * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+    return float(d.min())
+
+
+def kring_k_for_radius(ids: np.ndarray, radius_m: float, max_k: int = 16) -> int:
+    """Smallest k such that k rings around any of `ids` provably span
+    `radius_m`, derived from the measured minimum cell width over the
+    traversed band (iterated to a fixed point: widening the ring can lower
+    the local minimum width, which can demand a larger k). Raises if the
+    ring would hit a face edge — kring_np is face-local, so cross-face
+    neighbors would be silently dropped."""
+    ids = np.asarray(ids)
+    k = max(1, int(np.ceil(radius_m / min_cell_width_m(ids))))
+    for _ in range(8):
+        band = np.unique(kring_np(ids, k).ravel())
+        k_new = max(1, int(np.ceil(radius_m / min_cell_width_m(band))))
+        if k_new <= k:
+            break
+        k = k_new
+    else:
+        raise ValueError("kring_k_for_radius: k did not converge")
+    if k > max_k:
+        raise ValueError(f"kring_k_for_radius: k={k} exceeds max_k={max_k}")
+    lvl = int(level_np(ids[:1])[0])
+    size = np.int64(1) << np.int64(MAX_LEVEL - lvl)
+    _, i, j = to_face_ij(ids)
+    hi = np.int64(1 << MAX_LEVEL)
+    if (
+        (i - k * size < 0).any()
+        or (j - k * size < 0).any()
+        or (i + (k + 1) * size > hi).any()
+        or (j + (k + 1) * size > hi).any()
+    ):
+        raise ValueError(
+            "kring_k_for_radius: ring reaches an S2 face edge; kring_np is "
+            "face-local and would drop cross-face neighbors"
+        )
+    return k
+
+
 def cover_rect(
     lat_lo: float, lat_hi: float, lng_lo: float, lng_hi: float, level: int
 ) -> np.ndarray:
@@ -306,17 +362,46 @@ def cover_rect(
     the returned IN-list/range set prunes parquet row groups via min-max
     stats on the sorted cell column.
     """
-    corners_lat = np.array([lat_lo, lat_lo, lat_hi, lat_hi])
-    corners_lng = np.array([lng_lo, lng_hi, lng_lo, lng_hi])
-    x, y, z = _latlng_to_xyz(corners_lat, corners_lng)
+    # lat/lng rectangles do NOT map to uv-rectangles on a face: on the polar
+    # face (UK latitudes) u = -cot(lat)·cos(lng) has an interior extremum
+    # along a constant-lat edge where the window straddles the chart
+    # centerline (lng = 0 / ±90 / 180), so corner-derived ij boxes can bulge
+    # short. uv extremes over the closed rect still occur on its *boundary*
+    # (u and v are monotone in lat at fixed lng), so: densely sample all four
+    # edges, explicitly include the centerline crossings, then pad the ij box
+    # by one cell per side to absorb residual sampling error — a guaranteed
+    # superset, at most one extra ring of cells.
+    t = np.linspace(0.0, 1.0, 257)
+    edge_lat = np.concatenate(
+        [
+            np.full_like(t, lat_lo),
+            np.full_like(t, lat_hi),
+            lat_lo + (lat_hi - lat_lo) * t,
+            lat_lo + (lat_hi - lat_lo) * t,
+        ]
+    )
+    edge_lng = np.concatenate(
+        [
+            lng_lo + (lng_hi - lng_lo) * t,
+            lng_lo + (lng_hi - lng_lo) * t,
+            np.full_like(t, lng_lo),
+            np.full_like(t, lng_hi),
+        ]
+    )
+    for meridian in (-180.0, -90.0, 0.0, 90.0, 180.0):
+        if lng_lo < meridian < lng_hi:
+            edge_lat = np.concatenate([edge_lat, [lat_lo, lat_hi]])
+            edge_lng = np.concatenate([edge_lng, [meridian, meridian]])
+    x, y, z = _latlng_to_xyz(edge_lat, edge_lng)
     face, u, v = _xyz_to_face_uv(x, y, z)
     if len(np.unique(face)) != 1:
         raise ValueError("cover_rect: rectangle spans multiple S2 faces")
     i = _st_to_ij(_uv_to_st(u))
     j = _st_to_ij(_uv_to_st(v))
     step = 1 << (MAX_LEVEL - level)
-    i0, i1 = i.min() // step, i.max() // step
-    j0, j1 = j.min() // step, j.max() // step
+    n_cells = (1 << MAX_LEVEL) // step - 1
+    i0, i1 = max(i.min() // step - 1, 0), min(i.max() // step + 1, n_cells)
+    j0, j1 = max(j.min() // step - 1, 0), min(j.max() // step + 1, n_cells)
     ii, jj = np.meshgrid(
         np.arange(i0, i1 + 1) * step, np.arange(j0, j1 + 1) * step, indexing="ij"
     )
@@ -391,8 +476,18 @@ def s2_range_predicate(cell: Column, cover: np.ndarray, max_ranges: int = 64) ->
             c = cell.between(F.lit(a), F.lit(b))
             pred = c if pred is None else pred | c
         return pred
-    level = int(level_np(np.asarray(cover[:1]))[0])
-    return s2_parent_col(cell, level).isin(*[int(v) for v in cover])
+    # The wide-cover fallback must honor mixed-level covers (normalize_cover
+    # emits them): snapping every cell to one member's level silently excludes
+    # cells under coarser members. Group cover ids by level and OR one
+    # snapped-isin predicate per level.
+    cover_arr = np.asarray(cover)
+    levels = level_np(cover_arr)
+    pred = None
+    for lvl in np.unique(levels):
+        members = cover_arr[levels == lvl]
+        c = s2_parent_col(cell, int(lvl)).isin(*[int(v) for v in members])
+        pred = c if pred is None else pred | c
+    return pred
 
 
 def cover_polygon(ring_latlng: np.ndarray, level: int) -> np.ndarray:

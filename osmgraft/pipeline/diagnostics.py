@@ -60,10 +60,14 @@ def run_diagnostics(features: DataFrame, threshold: int = R.SCORE_THRESHOLD) -> 
         ),
     ).head()
     out["keyword_probes"] = probes.asDict()
-    # POSIX `~` vs Java rlike must agree with LIKE on a plain substring
-    assert out["keyword_probes"]["rlike_engineering"] == out["keyword_probes"][
-        "like_engineering"
-    ], "regex dialect drift: rlike != LIKE on literal substring"
+    # POSIX `~` vs Java rlike must agree with LIKE on a plain substring.
+    # Explicit raise (not assert): the check must survive `python -O`.
+    if (
+        out["keyword_probes"]["rlike_engineering"]
+        != out["keyword_probes"]["like_engineering"]
+    ):
+        raise RuntimeError("regex dialect drift: rlike != LIKE on literal substring")
+    out["regex_dialect_ok"] = True
 
     # D4: filtered-stage cardinality per kind (:84-104)
     filtered = {}

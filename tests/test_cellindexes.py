@@ -344,3 +344,85 @@ def test_s2_cell_boundary():
         nlat = blat[:, c] * (1 - eps) + clat * eps
         nlng = blng[:, c] * (1 - eps) + clng * eps
         assert (s2.cell_np(nlat, nlng, 10) == ids).all()
+
+
+def test_s2_cover_rect_edge_heavy_superset():
+    """Round-2 regression (ADVICE r1): lat/lng rects don't map to
+    uv-rects — on the polar face u has an interior extremum along
+    constant-lat edges where the window straddles lng=0, so corner-derived
+    ij boxes undercover. The fixed cover must be a superset on edge-heavy
+    samples for straddling windows at several levels."""
+    rng = np.random.default_rng(7)
+    cases = [
+        (52.07, 53.33, -2.94, 1.17, 13),  # the verified counterexample
+        (51.1, 54.3, -3.7, 0.9, 9),       # the shipped _BB
+        (49.5, 58.0, -7.5, 1.8, 11),
+        (50.2, 51.9, -0.4, 0.6, 14),
+    ]
+    for lat_lo, lat_hi, lng_lo, lng_hi, level in cases:
+        cover = s2.cover_rect(lat_lo, lat_hi, lng_lo, lng_hi, level)
+        t = rng.random(3000)
+        elat = np.concatenate(
+            [np.full_like(t, lat_lo), np.full_like(t, lat_hi),
+             lat_lo + (lat_hi - lat_lo) * t, lat_lo + (lat_hi - lat_lo) * t,
+             lat_lo + (lat_hi - lat_lo) * rng.random(1000)]
+        )
+        elng = np.concatenate(
+            [lng_lo + (lng_hi - lng_lo) * t, lng_lo + (lng_hi - lng_lo) * t,
+             np.full_like(t, lng_lo), np.full_like(t, lng_hi),
+             lng_lo + (lng_hi - lng_lo) * rng.random(1000)]
+        )
+        cells = s2.cell_np(elat, elng, level)
+        missing = np.setdiff1d(cells, cover)
+        assert len(missing) == 0, (lat_lo, lat_hi, lng_lo, lng_hi, level)
+
+
+def test_s2_range_predicate_mixed_level_fallback(spark):
+    """Round-2 regression (ADVICE r1): the wide-cover isin fallback must
+    honor mixed-level covers (normalize_cover emits them) — membership via
+    the fallback must equal membership via the BETWEEN ranges."""
+    cover = s2.normalize_cover(s2.cover_rect(50.0, 59.0, -8.0, 2.0, 9))
+    assert len(np.unique(s2.level_np(cover))) > 1  # genuinely mixed
+    ids = s2.cell_np(LAT, LNG, 12)
+    sdf = spark.createDataFrame(pd.DataFrame({"c": ids}))
+    via_ranges = (
+        sdf.select(s2.s2_range_predicate(F.col("c"), cover, max_ranges=10**6).alias("m"))
+        .toPandas()["m"].to_numpy()
+    )
+    via_fallback = (
+        sdf.select(s2.s2_range_predicate(F.col("c"), cover, max_ranges=0).alias("m"))
+        .toPandas()["m"].to_numpy()
+    )
+    assert via_fallback.any() and not via_fallback.all()
+    assert (via_ranges == via_fallback).all()
+
+
+def test_s2_kring_k_for_radius():
+    """k derivation from measured minimum cell width: 25 km at level 9 over
+    the UK window needs k=2 (local min width ~17 km); the same radius is
+    guaranteed even for wider windows; face-edge rings raise."""
+    pcells = s2.cell_np(LAT[:200], LNG[:200], 9)
+    k = s2.kring_k_for_radius(pcells, 25_000.0)
+    assert 2 <= k <= 3
+    w = s2.min_cell_width_m(pcells)
+    assert 10_000.0 < w < 40_000.0  # level-9 width sanity
+    # derived k actually spans the radius: every point within 25 km of a
+    # POI lands in the POI's k-ring
+    rng = np.random.default_rng(3)
+    bearings = rng.random(5000) * 2 * np.pi
+    dists = rng.random(5000) * 25_000.0
+    pick = rng.integers(0, 200, 5000)
+    dlat = (dists * np.cos(bearings)) / 111_320.0
+    dlng = (dists * np.sin(bearings)) / (111_320.0 * np.cos(np.radians(LAT[pick])))
+    qlat, qlng = LAT[pick] + dlat, LNG[pick] + dlng
+    qcells = s2.cell_np(qlat, qlng, 9)
+    rings = s2.kring_np(pcells, k)
+    ok = (rings[pick] == qcells[:, None]).any(axis=1)
+    assert ok.all()
+    # a cell adjacent to the face edge must raise rather than silently clamp
+    import pytest as _pytest
+
+    edge = s2.parent_np(s2.from_face_ij(
+        np.array([2]), np.array([10]), np.array([1 << 20])), 9)
+    with _pytest.raises(ValueError):
+        s2.kring_k_for_radius(edge, 25_000.0)

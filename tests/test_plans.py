@@ -136,3 +136,22 @@ def test_hex_polyfill_df_is_executor_side(spark):
     assert "Range" in plan
     assert "LocalTableScan" not in plan
     assert "EvalPython" not in plan
+
+
+def test_coverage_report_broadcasts_known_side(spark):
+    """Round-2 regression (VERDICT r1 item 2): the known-supplier coverage
+    join must broadcast the 18-row known side (BuildLeft) and stream the
+    unbounded candidates side — never the reverse."""
+    from osmgraft.analytics.coverage import coverage_report
+    from osmgraft.datagen import gen_known_suppliers, gen_osm_features
+    from osmgraft.datagen.spark_io import to_spark
+    from osmgraft.pipeline.runner import run_reference_pipeline
+
+    feats = to_spark(spark, gen_osm_features(300), "features")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        final = run_reference_pipeline(spark, feats, d)
+        ks = to_spark(spark, gen_known_suppliers(), "suppliers")
+        plan = plan_of(coverage_report(final, ks))
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan

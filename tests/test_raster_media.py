@@ -134,3 +134,11 @@ def test_strict_decode_boundary(media_pages):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_rasterize_res_guard(spark, points):
+    """Round-2 guard: rasterize_cells must refuse to materialize a 4^res
+    driver grid for res > 10 and point at the distributed path."""
+    roll = cell_rollup(points, SPEC, 4, x="x", y="y")
+    with pytest.raises(ValueError, match="distributed"):
+        rasterize_cells(roll, 11)

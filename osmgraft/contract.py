@@ -131,6 +131,44 @@ def scored_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The full reference-shaped 10-tier YAML system (scoring.yaml:8-357 shape:
+# weighted pattern groups, condition mappings/lists, prefix codes, numeric
+# thresholds, override_if penalty suppression), loaded from the shipped
+# asset and compiled to BOTH engines from the one parsed RuleSet.
+from osmgraft.rules.yamlspec import load_documents_scoring as _lds
+
+_DOC_SPEC = _lds()
+
+
+@q(
+    "yaml_scored_documents",
+    oracle=f"""
+    SELECT doc_id,
+           {score_sql(_DOC_SPEC.rules)} AS score,
+           {tier_sql(score_sql(_DOC_SPEC.rules), _DOC_SPEC.tier_bands)} AS tier
+    FROM documents
+    WHERE {score_sql(_DOC_SPEC.rules)} >= {_DOC_SPEC.minimum_score}
+    ORDER BY score DESC, doc_id LIMIT 300
+    """,
+)
+def yaml_scored_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference C7 end-to-end: the 10-tier YAML rule system (groups fire
+    once, condition mappings OR, condition lists AND, prefix codes,
+    override_if-suppressed penalties — scoring.yaml:8-357, esp. :304-312)
+    loaded via yamlspec.load_scoring_yaml and compiled to one additive
+    Column; the DuckDB oracle is generated from the same parsed rules by
+    rules.sqlgen, so the two engines cannot drift."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("score", compile_score(_DOC_SPEC.rules))
+        .withColumn("tier", compile_tier("score", _DOC_SPEC.tier_bands))
+        .where(F.col("score") >= _DOC_SPEC.minimum_score)
+        .select("doc_id", "score", "tier")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(300)
+    )
+
+
 _KW = ["spark", "window", "vector", "merge", "dup"]
 _KW_SQL = "[" + ", ".join(f"'{k}'" for k in _KW) + "]"
 

@@ -37,12 +37,21 @@ class ScoreRule:
     kind:
       regex        — lower(coalesce(col,'')) rlike pattern
       raw_regex    — col rlike pattern (no lower/coalesce; e.g. postcode '^(BA|BS)')
+      contains     — lower(coalesce(col,'')) contains literal substring `pattern`
       in           — col IN (values)
       not_null     — col IS NOT NULL
+      gt           — col > value (NULL → no match)
       map_has_key  — any of `values` present as a key of MapType `column`
       map_regex    — deterministic text serialization of map rlike pattern
       blob_regex   — lower(name || ' ' || tags_text) rlike pattern (penalty blobs)
       expr         — raw SQL expression string in `pattern`
+      any_of       — OR of `children` predicates
+      all_of       — AND of `children` predicates
+
+    `override_if` (reference scoring.yaml:304-312): when any of these
+    predicates matches, the branch contributes 0 regardless of the main
+    predicate — "penalty UNLESS explicit aerospace". Applies to positive
+    weights too (weight granted unless overridden).
     """
 
     kind: str
@@ -51,6 +60,9 @@ class ScoreRule:
     values: tuple[str, ...] = ()
     weight: int = 0
     label: str | None = None
+    value: float | None = None
+    children: tuple["ScoreRule", ...] = ()
+    override_if: tuple["ScoreRule", ...] = ()
 
 
 @dataclass(frozen=True)
@@ -62,18 +74,7 @@ class RuleSet:
 
     @staticmethod
     def from_dict(name: str, raw: list[dict[str, Any]]) -> "RuleSet":
-        rules = tuple(
-            ScoreRule(
-                kind=r["kind"],
-                column=r.get("column"),
-                pattern=_pg_regex_to_java(r.get("pattern")),
-                values=tuple(r.get("values", ())),
-                weight=int(r["weight"]),
-                label=r.get("label"),
-            )
-            for r in raw
-        )
-        return RuleSet(name=name, rules=rules)
+        return RuleSet(name=name, rules=tuple(rule_from_dict(r) for r in raw))
 
     @staticmethod
     def from_yaml(name: str, text: str) -> "RuleSet":
@@ -87,6 +88,21 @@ def _pg_regex_to_java(pattern: str | None) -> str | None:
     if pattern is None:
         return None
     return pattern.replace("\\m", "\\b").replace("\\M", "\\b")
+
+
+def rule_from_dict(r: dict[str, Any]) -> ScoreRule:
+    """Recursive dict → ScoreRule (children / override_if nest)."""
+    return ScoreRule(
+        kind=r["kind"],
+        column=r.get("column"),
+        pattern=_pg_regex_to_java(r.get("pattern")),
+        values=tuple(r.get("values", ())),
+        weight=int(r.get("weight", 0)),
+        label=r.get("label"),
+        value=r.get("value"),
+        children=tuple(rule_from_dict(c) for c in r.get("children", ())),
+        override_if=tuple(rule_from_dict(c) for c in r.get("override_if", ())),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -146,6 +162,14 @@ def _rule_predicate(rule: ScoreRule) -> Column:
         return blob.rlike(rule.pattern)
     if rule.kind == "expr":
         return F.expr(rule.pattern)
+    if rule.kind == "contains":
+        return lower_coalesce(rule.column).contains(rule.pattern)
+    if rule.kind == "gt":
+        return F.col(rule.column) > F.lit(rule.value)
+    if rule.kind == "any_of":
+        return reduce(lambda a, b: a | b, map(_rule_predicate, rule.children))
+    if rule.kind == "all_of":
+        return reduce(lambda a, b: a & b, map(_rule_predicate, rule.children))
     raise ValueError(f"unknown rule kind: {rule.kind}")
 
 
@@ -158,11 +182,20 @@ def compile_score(ruleset: RuleSet) -> Column:
     """Σ CASE WHEN pred THEN weight ELSE 0 END — one Column, codegen-friendly.
 
     Mirrors the reference's additive scorers (07_pipeline_point.sh:70-115 etc).
+    Rules with `override_if` contribute 0 when any override predicate matches
+    (scoring.yaml:304-312: "penalty UNLESS explicit aerospace") — the
+    override test is the FIRST branch of the CASE, so it wins.
     """
-    branches = [
-        F.when(_rule_predicate(r), F.lit(r.weight)).otherwise(F.lit(0))
-        for r in ruleset.rules
-    ]
+    branches = []
+    for r in ruleset.rules:
+        pred = _rule_predicate(r)
+        if r.override_if:
+            ov = reduce(lambda a, b: a | b, map(_rule_predicate, r.override_if))
+            branches.append(
+                F.when(ov, F.lit(0)).when(pred, F.lit(r.weight)).otherwise(F.lit(0))
+            )
+        else:
+            branches.append(F.when(pred, F.lit(r.weight)).otherwise(F.lit(0)))
     return reduce(lambda a, b: a + b, branches).cast("int")
 
 

@@ -18,21 +18,42 @@ def _sql_pred(rule: ScoreRule) -> str:
         return f"regexp_matches(lower(coalesce({rule.column}, '')), '{rule.pattern}')"
     if rule.kind == "raw_regex":
         return f"regexp_matches({rule.column}, '{rule.pattern}')"
+    if rule.kind == "contains":
+        esc = rule.pattern.replace("'", "''")
+        return f"contains(lower(coalesce({rule.column}, '')), '{esc}')"
     if rule.kind == "in":
         vals = ", ".join(f"'{v}'" for v in rule.values)
         return f"{rule.column} IN ({vals})"
     if rule.kind == "not_null":
         return f"{rule.column} IS NOT NULL"
+    if rule.kind == "gt":
+        # integral thresholds as INT literals (DuckDB types bare decimals as
+        # DECIMAL, not DOUBLE — see hexgrid.lit_sql for the 1-ulp trap)
+        v = rule.value
+        lit = str(int(v)) if float(v) == int(v) else f"{v!r}e0"
+        return f"{rule.column} > {lit}"
+    if rule.kind == "any_of":
+        return "(" + " OR ".join(_sql_pred(c) for c in rule.children) + ")"
+    if rule.kind == "all_of":
+        return "(" + " AND ".join(_sql_pred(c) for c in rule.children) + ")"
     if rule.kind == "expr":
         return f"({rule.pattern})"
     raise ValueError(f"rule kind {rule.kind!r} has no SQL backend")
 
 
 def score_sql(ruleset: RuleSet) -> str:
-    """Σ CASE WHEN … THEN w ELSE 0 END as one SQL expression."""
-    parts = [
-        f"CASE WHEN {_sql_pred(r)} THEN {r.weight} ELSE 0 END" for r in ruleset.rules
-    ]
+    """Σ CASE WHEN … THEN w ELSE 0 END as one SQL expression. Rules with
+    override_if emit the override test as the FIRST branch (→ 0), mirroring
+    compiler.compile_score exactly."""
+    parts = []
+    for r in ruleset.rules:
+        if r.override_if:
+            ov = "(" + " OR ".join(_sql_pred(c) for c in r.override_if) + ")"
+            parts.append(
+                f"CASE WHEN {ov} THEN 0 WHEN {_sql_pred(r)} THEN {r.weight} ELSE 0 END"
+            )
+        else:
+            parts.append(f"CASE WHEN {_sql_pred(r)} THEN {r.weight} ELSE 0 END")
     return "(" + " + ".join(parts) + ")"
 
 

@@ -117,12 +117,95 @@ def ivf_codebook(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic coarse codebook: centroid c (1-based list id) is the
-    embedding of the c-th smallest id — a stand-in for a trained k-means
-    codebook (driver/broadcast-sized by design; swap in trained centroids
-    at scale, the engine structure is identical)."""
+    """Untrained init codebook: centroid c (1-based list id) is the
+    embedding of the c-th smallest id. Used only to SEED k-means training
+    (ivf_train_codebook) — recall at scale needs trained centroids."""
     rows = embeddings.orderBy(id_col).limit(n_lists).select(vec_col).collect()
     return [(c + 1, [float(v) for v in r[0]]) for c, r in enumerate(rows)]
+
+
+def ivf_train_codebook(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    sample_mod: int = 3,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seeded-sample k-means codebook (Lloyd iterations on a
+    cosine metric). Every step is reproducible across engines so a SQL
+    oracle can recompute the identical centroids:
+
+    - training sample: `id % sample_mod == 0` (deterministic, no RNG);
+    - init: the first n_lists sample vectors by id;
+    - assignment: argmax of 5-dp-rounded cosine, ties to the lowest cid;
+    - update: per-dimension mean rounded to 6 dp (absorbs summation-order
+      differences between engines); an empty cluster keeps its previous
+      centroid.
+
+    Training is collect-based but sample-bounded: at 100 TB the sample
+    modulus scales so the training set stays driver-sized (k-means on a
+    seeded sample is the standard IVF recipe); assignment of the full
+    corpus stays distributed (ivf_build, one scan, no shuffle)."""
+    rows = (
+        embeddings.where(F.col(id_col) % sample_mod == 0)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([[float(v) for v in r[0]] for r in rows], dtype=np.float64)
+    if len(X) < n_lists:
+        raise ValueError("training sample smaller than n_lists; lower sample_mod")
+    C = X[:n_lists].copy()
+    for _ in range(n_iter):
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        sims = np.round(Xn @ Cn.T, 5)
+        assign = np.argmax(sims, axis=1)  # first max ⇒ lowest cid on ties
+        for c in range(n_lists):
+            members = X[assign == c]
+            if len(members):
+                C[c] = np.round(members.mean(axis=0), 6)
+    return [(c + 1, [float(x) for x in C[c]]) for c in range(n_lists)]
+
+
+def ivf_train_sql(
+    n_lists: int = 8,
+    sample_mod: int = 3,
+    n_iter: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB CTE chain recomputing ivf_train_codebook exactly: unrolled
+    Lloyd iterations (assignment via 5-dp-rounded cosine + QUALIFY, update
+    via 6-dp-rounded per-dimension AVG, empty clusters COALESCE to the
+    previous centroid). Returns SQL whose final CTE `cb{n_iter}` has
+    (cid, c) — splice into an oracle WITH-chain."""
+    parts = [
+        f"train AS (SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v "
+        f"FROM {table} WHERE {id_col} % {sample_mod} = 0)",
+        f"cb0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vid) AS cid, v AS c "
+        f"FROM (SELECT * FROM train ORDER BY vid LIMIT {n_lists}))",
+    ]
+    for it in range(1, n_iter + 1):
+        prev, cur = f"cb{it - 1}", f"cb{it}"
+        parts.append(
+            f"a{it} AS (SELECT t.vid, t.v, p.cid FROM train t CROSS JOIN {prev} p "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY t.vid ORDER BY "
+            f"ROUND(list_cosine_similarity(t.v, p.c), 5) DESC, p.cid) = 1)"
+        )
+        parts.append(
+            f"m{it} AS (SELECT cid, LIST(mv ORDER BY dim) AS c FROM ("
+            f"SELECT cid, dim, ROUND(AVG(val), 6) AS mv FROM ("
+            f"SELECT cid, UNNEST(v) AS val, UNNEST(range(1, len(v) + 1)) AS dim "
+            f"FROM a{it}) GROUP BY cid, dim) GROUP BY cid)"
+        )
+        parts.append(
+            f"{cur} AS (SELECT p.cid, COALESCE(m.c, p.c) AS c "
+            f"FROM {prev} p LEFT JOIN m{it} m USING (cid))"
+        )
+    return ",\n         ".join(parts)
 
 
 def ivf_build(
@@ -178,7 +261,9 @@ def ivf_topk(
     whose centroids are nearest the query. At scale the assignment is
     written once (partitioned by list_id) and a query prunes to nprobe
     partitions — the IVF analogue of the LSH bucket path."""
-    codebook = ivf_codebook(embeddings, n_lists, id_col, vec_col)
+    codebook = ivf_train_codebook(
+        embeddings, n_lists, id_col=id_col, vec_col=vec_col
+    )
     probe = ivf_probe(codebook, query_vec, nprobe)
     assigned = ivf_build(embeddings, codebook, id_col, vec_col)
     q = F.array(*[F.lit(float(v)) for v in query_vec])

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -361,6 +362,59 @@ def mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "event_type")
         .limit(1)
+    )
+
+
+# per-column stringification for the all-columns mode profile — expressions
+# chosen to render identically in Spark and DuckDB (date-truncated ts; 2-dp
+# doubles print shortest-repr the same in both engines)
+_MODE_COLS = [
+    ("event_id", "CAST(event_id AS STRING)", "CAST(event_id AS VARCHAR)"),
+    ("ts_day", "CAST(CAST(ts AS DATE) AS STRING)", "CAST(CAST(ts AS DATE) AS VARCHAR)"),
+    ("user_id", "CAST(user_id AS STRING)", "CAST(user_id AS VARCHAR)"),
+    ("event_type", "event_type", "event_type"),
+    ("value", "CAST(value AS STRING)", "CAST(value AS VARCHAR)"),
+    ("props", "props", "props"),
+]
+_MODE_STACK = ", ".join(f"'{n}', {ex}" for n, ex, _ in _MODE_COLS)
+_MODE_UNION = " UNION ALL ".join(
+    f"SELECT '{n}' AS column_name, {ex} AS v FROM s" for n, _, ex in _MODE_COLS
+)
+
+
+@q(
+    "mode_profile",
+    oracle=f"""
+    WITH s AS (SELECT * FROM events WHERE event_id % 100 = 0),
+         u AS ({_MODE_UNION}),
+         c AS (SELECT column_name, v, CAST(COUNT(*) AS BIGINT) AS n FROM u
+               WHERE v IS NOT NULL GROUP BY column_name, v)
+    SELECT column_name, v AS mode_value, n
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY column_name
+                               ORDER BY n DESC, v) = 1
+    ORDER BY column_name
+    """,
+)
+def mode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 in full: the sampled mode of EVERY column of a table (reference
+    0P_schema_modes_all_sample.sh:37-72 — per-column mode over a 1 %
+    sample). Deterministic sample (id % 100), one stack/unpivot →
+    single partial-agg shuffle → per-column top-1 window; ties break to
+    the lowest value string on both engines."""
+    e = t(spark, sf_dir, "events").where(F.col("event_id") % 100 == 0)
+    unpivoted = e.select(
+        F.expr(
+            f"stack({len(_MODE_COLS)}, {_MODE_STACK}) AS (column_name, v)"
+        )
+    ).where(F.col("v").isNotNull())
+    counts = unpivoted.groupBy("column_name", "v").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("column_name").orderBy(F.col("n").desc(), F.col("v"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("column_name", F.col("v").alias("mode_value"), "n")
+        .orderBy("column_name")
     )
 
 
@@ -728,6 +782,71 @@ def pip_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = pip_join(pts, bounds, how="left")
     return (
         assigned.groupBy("boundary_id").agg(F.count("*").alias("n")).orderBy("boundary_id")
+    )
+
+
+@q(
+    "length_rollup",
+    oracle=f"""
+    WITH pts AS (SELECT event_id, user_id, event_type,
+                        {X_EXPR} AS x, {Y_EXPR} AS y FROM events),
+         seg AS (SELECT user_id,
+                        SQRT(POW(x - LAG(x) OVER w, 2) +
+                             POW(y - LAG(y) OVER w, 2)) AS d
+                 FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         tl AS (SELECT user_id, COALESCE(SUM(d), 0.0) AS track_len
+                FROM seg GROUP BY user_id),
+         k AS (SELECT user_id, MIN_BY(event_type, event_id) AS kind
+               FROM pts GROUP BY user_id)
+    SELECT kind, ROUND(SUM(track_len), 1) AS total_len_m,
+           CAST(COUNT(*) AS BIGINT) AS n_tracks
+    FROM tl JOIN k USING (user_id) GROUP BY kind ORDER BY kind
+    """,
+)
+def length_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship full-scan aggregate: per-kind SUM(ST_Length)
+    over line features (verify_import.py:336-344, 12.95 s / 31.7 M rows on
+    the PG backend). Lines are per-user event tracks assembled executor-side
+    into LINESTRING WKB (one groupBy shuffle), measured by the vectorized
+    planar length kernel (geo/geometry.py:130 _length_udf), then rolled up
+    by kind. The oracle recomputes every segment with LAG arithmetic —
+    equality proves WKB assembly + kernel against pure SQL."""
+    from osmgraft.geo.geometry import planar_length_col
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.expr(X_EXPR).alias("x"), F.expr(Y_EXPR).alias("y"),
+    )
+    tracks = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("event_id", "x", "y"))).alias("pts"),
+        F.min_by("event_type", "event_id").alias("kind"),
+    )
+
+    @F.pandas_udf("binary")
+    def _linestring(pts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from osmgraft.geo.geometry import linestring_wkb
+
+        return pd.Series(
+            [
+                linestring_wkb(
+                    np.array([[p["x"], p["y"]] for p in lst], dtype=float)
+                )
+                for lst in pts
+            ]
+        )
+
+    measured = tracks.withColumn("wkb", _linestring(F.col("pts"))).withColumn(
+        "track_len", planar_length_col("wkb")
+    )
+    return (
+        measured.groupBy("kind")
+        .agg(
+            F.round(F.sum("track_len"), 1).alias("total_len_m"),
+            F.count("*").alias("n_tracks"),
+        )
+        .orderBy("kind")
     )
 
 

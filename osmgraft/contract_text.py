@@ -324,13 +324,20 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_LISTS, _IVF_PROBE = 8, 3
+_IVF_ITER = 2
+
+
+def _ivf_train_cte() -> str:
+    from osmgraft.ann.search import ivf_train_sql
+
+    return ivf_train_sql(_IVF_LISTS, n_iter=_IVF_ITER)
+
 
 @q(
     "ann_ivf_top10",
     oracle=f"""
-    WITH cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid,
-                       embedding::DOUBLE[] AS cvec
-                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_IVF_LISTS})),
+    WITH {_ivf_train_cte()},
+         cb AS (SELECT cid, c AS cvec FROM cb{_IVF_ITER}),
          qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
          assign AS (SELECT e.vec_id, cb.cid AS list_id,
                            ROUND(list_cosine_similarity(e.embedding::DOUBLE[], cb.cvec), 5) AS c
@@ -350,16 +357,19 @@ _IVF_LISTS, _IVF_PROBE = 8, 3
     """,
 )
 def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized ANN: deterministic codebook (first-K-by-id as a
-    trained-k-means stand-in), one-scan greatest-of-structs list assignment,
-    nprobe-pruned exact search (the partition-pruned scale path beside LSH;
-    grading-brief 'IVF variant'). Oracle mirrors codebook, assignment,
-    probe choice, and final ranking in DuckDB SQL."""
-    from osmgraft.ann.search import cosine_col, ivf_build, ivf_codebook, ivf_probe
+    """IVF coarse-quantized ANN with a TRAINED codebook: deterministic
+    seeded-sample k-means (2 Lloyd iterations, 5-dp assignment rounding,
+    6-dp centroid rounding — ann.search.ivf_train_codebook), one-scan
+    greatest-of-structs list assignment, nprobe-pruned exact search (the
+    partition-pruned scale path beside LSH). The oracle recomputes the
+    ENTIRE pipeline in DuckDB SQL — k-means training included
+    (ivf_train_sql: unrolled Lloyd CTEs), then assignment, probe choice,
+    and final ranking."""
+    from osmgraft.ann.search import cosine_col, ivf_build, ivf_probe, ivf_train_codebook
 
     emb = t(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
-    cb = ivf_codebook(emb, _IVF_LISTS)
+    cb = ivf_train_codebook(emb, _IVF_LISTS, n_iter=_IVF_ITER)
     probe = ivf_probe(cb, qvec, _IVF_PROBE)
     assigned = ivf_build(emb, cb)
     q_arr = F.array(*[F.lit(v) for v in qvec])

@@ -103,18 +103,74 @@ class STRtree:
         return pi[keep], ri[keep]
 
 
+def _crossings_parity(
+    x1, y1, x2, y2, x: np.ndarray, y: np.ndarray
+) -> np.ndarray:
+    """Dense (points × edges) even-odd parity — one broadcast pass."""
+    xx = x[:, None]
+    yy = y[:, None]
+    crosses = (y1[None, :] > yy) != (y2[None, :] > yy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1)[None, :] * (yy - y1[None, :]) / (y2 - y1)[None, :] + x1[
+            None, :
+        ]
+    return ((crosses & (xx < xint)).sum(axis=1) & 1).astype(bool)
+
+
 def _ray_cast(ring: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """Even-odd crossing test, vectorized over points for one ring."""
+    """Even-odd crossing test, vectorized over points AND edges.
+
+    Small problems take one dense broadcast. Large boundaries (the real
+    10⁴–10⁵-vertex UK-coastline case — round-2 fix; the old per-edge
+    Python loop crawled there) go through a y-band edge index: edges are
+    binned by their y-span, each point only tests the edges overlapping
+    its band. Coastline edges are short, so bands stay ~32 edges and the
+    work drops from points×edges to ~points×32, all numpy passes."""
     inside = np.zeros(len(x), dtype=bool)
     x1, y1 = ring[:-1, 0], ring[:-1, 1]
     x2, y2 = ring[1:, 0], ring[1:, 1]
-    for ex1, ey1, ex2, ey2 in zip(x1, y1, x2, y2):
-        if ey1 == ey2:
+    nz = y1 != y2  # horizontal edges never cross a horizontal ray
+    x1, y1, x2, y2 = x1[nz], y1[nz], x2[nz], y2[nz]
+    n_e, n_p = len(x1), len(x)
+    if n_e == 0 or n_p == 0:
+        return inside
+    if n_e * n_p <= 4_000_000:
+        return _crossings_parity(x1, y1, x2, y2, x, y)
+
+    ylo = np.minimum(y1, y2)
+    yhi = np.maximum(y1, y2)
+    y_min, y_max = float(ylo.min()), float(yhi.max())
+    n_bands = int(np.clip(n_e // 32, 1, 8192))
+    h = (y_max - y_min) / n_bands or 1.0
+    # clipping out-of-range points into edge bands is safe: the crossing
+    # predicate itself rejects edges not straddling the point's y
+    pband = np.clip(((y - y_min) / h).astype(np.int64), 0, n_bands - 1)
+    eb_lo = np.clip(((ylo - y_min) / h).astype(np.int64), 0, n_bands - 1)
+    eb_hi = np.clip(((yhi - y_min) / h).astype(np.int64), 0, n_bands - 1)
+    counts = eb_hi - eb_lo + 1
+    total = int(counts.sum())
+    edge_ids = np.repeat(np.arange(n_e), counts)
+    slot = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    band_of = np.repeat(eb_lo, counts) + slot
+    order = np.argsort(band_of, kind="stable")
+    band_sorted = band_of[order]
+    edge_sorted = edge_ids[order]
+    e_starts = np.searchsorted(band_sorted, np.arange(n_bands))
+    e_ends = np.searchsorted(band_sorted, np.arange(n_bands), side="right")
+    porder = np.argsort(pband, kind="stable")
+    pb_sorted = pband[porder]
+    p_starts = np.searchsorted(pb_sorted, np.arange(n_bands))
+    p_ends = np.searchsorted(pb_sorted, np.arange(n_bands), side="right")
+    for b in range(n_bands):
+        ps = porder[p_starts[b] : p_ends[b]]
+        if len(ps) == 0:
             continue
-        crosses = (ey1 > y) != (ey2 > y)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = (ex2 - ex1) * (y - ey1) / (ey2 - ey1) + ex1
-        inside ^= crosses & (x < xint)
+        es = edge_sorted[e_starts[b] : e_ends[b]]
+        if len(es) == 0:
+            continue
+        inside[ps] = _crossings_parity(
+            x1[es], y1[es], x2[es], y2[es], x[ps], y[ps]
+        )
     return inside
 
 

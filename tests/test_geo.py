@@ -178,3 +178,42 @@ def test_mercator_bridge_jvm_numpy_sql(spark):
     )
     assert np.allclose(back.lat.to_numpy(), lat, atol=1e-9)
     assert np.allclose(back.lng.to_numpy(), lng, atol=1e-9)
+
+
+def test_ray_cast_big_boundary_banded_path():
+    """Round-2 (VERDICT r1 item 6): a 3×10⁴-vertex coastline-like boundary
+    must go through the y-band edge index and agree exactly with the
+    per-edge reference loop; the dense small path must agree too."""
+    import numpy as np
+
+    from osmgraft.geo.pip import _ray_cast
+
+    def ref_loop(ring, x, y):
+        inside = np.zeros(len(x), dtype=bool)
+        x1, y1 = ring[:-1, 0], ring[:-1, 1]
+        x2, y2 = ring[1:, 0], ring[1:, 1]
+        for ex1, ey1, ex2, ey2 in zip(x1, y1, x2, y2):
+            if ey1 == ey2:
+                continue
+            crosses = (ey1 > y) != (ey2 > y)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = (ex2 - ex1) * (y - ey1) / (ey2 - ey1) + ex1
+            inside ^= crosses & (x < xint)
+        return inside
+
+    rng = np.random.default_rng(11)
+    n = 30000
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    rad = 1.0 + 0.35 * np.sin(ang * 97) + 0.1 * rng.random(n)
+    ring = np.column_stack([rad * np.cos(ang), rad * np.sin(ang)])
+    ring = np.vstack([ring, ring[:1]])
+    x = rng.uniform(-1.5, 1.5, 4000)
+    y = rng.uniform(-1.5, 1.5, 4000)
+    got = _ray_cast(ring, x, y)  # n_e * n_p > 4M ⇒ banded path
+    assert (got == ref_loop(ring, x, y)).all()
+    assert 0.2 < got.mean() < 0.7  # non-degenerate split
+    # concave + degenerate cases through the dense path
+    L = np.array([[0, 0], [16, 0], [16, 10], [10, 10], [10, 16], [0, 16], [0, 0]], float)
+    xr = rng.uniform(-2.0, 18.0, 3000)
+    yr = rng.uniform(-2.0, 18.0, 3000)
+    assert (_ray_cast(L, xr, yr) == ref_loop(L, xr, yr)).all()

@@ -70,15 +70,22 @@ def attach_media(pages: DataFrame, seed: int = 42) -> DataFrame:
 def decode_image_stub(
     payload: bytes, width: int, height: int, strict: bool = False
 ) -> np.ndarray:
-    """Codec boundary. Real impl: PIL.Image.open(BytesIO(payload)).
-
-    Deterministic fake: a (height, width) uint8 luma raster seeded from the
-    payload bytes — stable across runs/partitions, so downstream feature
-    tests have exact expectations.
+    """Codec boundary with a REAL path: PNG payloads (magic-sniffed) decode
+    through the engine's pure-stdlib codec (multimodal/png.py — full chunk
+    parsing, CRC checks, zlib inflate, all five scanline filters). Other
+    formats (JPEG/etc.) still need PIL/libjpeg, absent in this container:
+    strict mode raises; non-strict produces a deterministic fake raster
+    seeded from the payload bytes (stable across runs/partitions, so
+    downstream feature tests have exact expectations).
     """
+    from osmgraft.multimodal.png import PNG_MAGIC, decode_png_gray
+
+    if payload[:8] == PNG_MAGIC:
+        return decode_png_gray(payload)
     if strict:
         raise NotImplementedError(
-            "image decode requires PIL/libjpeg — not available in this container"
+            "non-PNG image decode requires PIL/libjpeg — not available in "
+            "this container (PNG decodes natively via multimodal/png.py)"
         )
     seed = int.from_bytes(payload[:8], "little", signed=False)
     rng = np.random.default_rng(seed)

@@ -142,3 +142,37 @@ def test_rasterize_res_guard(spark, points):
     roll = cell_rollup(points, SPEC, 4, x="x", y="y")
     with pytest.raises(ValueError, match="distributed"):
         rasterize_cells(roll, 11)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Round-2 real codec (multimodal/png.py): lossless round trip for all
+    five PNG scanline filters, CRC corruption detected, unsupported color
+    types rejected cleanly."""
+    from osmgraft.multimodal.png import decode_png_gray, encode_png_gray
+
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1), (5, 3), (48, 64)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        for filters in [None] + [[f] * shape[0] for f in (1, 2, 3, 4)] + [
+            list(rng.integers(0, 5, shape[0]))
+        ]:
+            buf = encode_png_gray(a, filters)
+            assert np.array_equal(decode_png_gray(buf), a)
+    buf = bytearray(encode_png_gray(rng.integers(0, 256, (8, 8), dtype=np.uint8)))
+    buf[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_gray(bytes(buf))
+
+
+def test_strict_mode_decodes_real_png():
+    """strict=True must DECODE a PNG payload (real path) and only raise for
+    non-PNG formats."""
+    from osmgraft.multimodal import decode_image_stub
+    from osmgraft.multimodal.png import encode_png_gray
+
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 256, (12, 9), dtype=np.uint8)
+    got = decode_image_stub(encode_png_gray(a), 9, 12, strict=True)
+    assert np.array_equal(got, a)
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\xff\xd8\xff\xe0 fake jpeg bytes", 4, 4, strict=True)

@@ -105,12 +105,86 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("s2_cell_counts")  # Hilbert traversal is not SQL-expressible: rows-only
+def _s2_assign_cte(level: int) -> str:
+    """DuckDB CTE chain assigning every event point its S2 cell: the
+    algebraic chart math (xyz → face → u,v → s,t → i,j) in plain SQL, then
+    the Hilbert curve as 8 unrolled lookup-table iterations — the
+    1024-entry ij→pos table (geo/s2.py:_build_lookups) inlined as a VALUES
+    list. Round-2 upgrade from rows-only (the traversal IS SQL-expressible
+    once the lookup table is data). Final CTE `asgn` has
+    (event_id, face, i, j, s2_cell)."""
+    lut = ", ".join(f"({i}, {int(v)})" for i, v in enumerate(s2._LOOKUP_POS))
+    max_ij = (1 << s2.MAX_LEVEL) - 1
+    lsb = s2.lsb_for_level(level)
+    sql = f"""lut(idx, val) AS (VALUES {lut}),
+         pts AS ({_pts_cte()}),
+         g AS (SELECT event_id, {LAT_EXPR} AS lat, {LNG_EXPR} AS lng FROM pts),
+         xyz AS (SELECT event_id,
+                        COS(RADIANS(lat)) * COS(RADIANS(lng)) AS x,
+                        COS(RADIANS(lat)) * SIN(RADIANS(lng)) AS y,
+                        SIN(RADIANS(lat)) AS z
+                 FROM g),
+         fc AS (SELECT event_id, x, y, z,
+                       CASE WHEN ABS(x) >= ABS(y) AND ABS(x) >= ABS(z)
+                            THEN CASE WHEN x < 0 THEN 3 ELSE 0 END
+                            WHEN ABS(y) >= ABS(z)
+                            THEN CASE WHEN y < 0 THEN 4 ELSE 1 END
+                            ELSE CASE WHEN z < 0 THEN 5 ELSE 2 END END AS face
+                FROM xyz),
+         uv AS (SELECT event_id, face,
+                       CASE face WHEN 0 THEN y / x WHEN 1 THEN -x / y
+                                 WHEN 2 THEN -x / z WHEN 3 THEN z / x
+                                 WHEN 4 THEN z / y ELSE -y / z END AS u,
+                       CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y
+                                 WHEN 2 THEN -y / z WHEN 3 THEN y / x
+                                 WHEN 4 THEN -x / y ELSE -x / z END AS v
+                FROM fc),
+         st AS (SELECT event_id, face,
+                       CASE WHEN u >= 0 THEN 0.5 * SQRT(1 + 3 * u)
+                            ELSE 1 - 0.5 * SQRT(1 - 3 * u) END AS s,
+                       CASE WHEN v >= 0 THEN 0.5 * SQRT(1 + 3 * v)
+                            ELSE 1 - 0.5 * SQRT(1 - 3 * v) END AS t
+                FROM uv),
+         ij AS (SELECT event_id, face,
+                       LEAST(GREATEST(CAST(FLOOR(1073741824 * s) AS BIGINT), 0), {max_ij}) AS i,
+                       LEAST(GREATEST(CAST(FLOOR(1073741824 * t) AS BIGINT), 0), {max_ij}) AS j
+                FROM st),
+         h8 AS (SELECT event_id, i, j,
+                       CAST(face AS BIGINT) << 60 AS n,
+                       CAST(face & 1 AS BIGINT) AS bits
+                FROM ij)"""
+    for k in range(7, -1, -1):
+        sql += f""",
+         h{k} AS (SELECT p.event_id, p.i, p.j,
+                         p.n | ((CAST(l.val AS BIGINT) >> 2) << {k * 8}) AS n,
+                         (l.val & 3) AS bits
+                  FROM h{k + 1} p JOIN lut l
+                    ON l.idx = p.bits + (((p.i >> {k * 4}) & 15) << 6)
+                               + (((p.j >> {k * 4}) & 15) << 2))"""
+    sql += f""",
+         asgn AS (SELECT event_id, i, j, (h0.n >> 60) AS face,
+                         (((h0.n * 2 + 1) & -{lsb}) | {lsb}) AS s2_cell
+                  FROM h0)"""
+    return sql
+
+
+def _s2_counts_oracle(level: int) -> str:
+    return f"""
+    WITH {_s2_assign_cte(level)}
+    SELECT s2_cell, CAST(COUNT(*) AS BIGINT) AS n
+    FROM asgn GROUP BY s2_cell ORDER BY s2_cell
+    """
+
+
+@q("s2_cell_counts", oracle=_s2_counts_oracle(S2_LEVEL))
 def s2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 cell assignment (level 12, quadratic-projection Hilbert ids) via
-    the vectorized Arrow UDF, + per-cell rollup. Correctness of the id
-    math is covered by the property suite (tests/test_cellindexes.py) and
-    by the oracle-paired `s2_bbox_refine`."""
+    the vectorized Arrow UDF, + per-cell rollup. Round-2: now fully
+    oracle-paired — the DuckDB oracle recomputes the chart algebra in SQL
+    and walks the Hilbert curve through the inlined lookup table
+    (_s2_oracle_sql), so every id is cross-engine verified, replacing the
+    rows-only check (property suite still covers the structural
+    invariants)."""
     pts = _geo_points(spark, sf_dir)
     return (
         s2.with_s2_cell(pts, "lat", "lng", S2_LEVEL, out="s2_cell")
@@ -399,13 +473,65 @@ def hex_polyfill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.where(hg.point_in_ring_col(cx, cy, ring)).orderBy("hex_cell")
 
 
-@q("s2_tile_vectors")  # rows-only: corner math rides on the Hilbert decode
+def _s2_vec_oracle(level: int) -> str:
+    """Oracle for the S2 vector tiles: forward-assign cells (shared
+    _s2_assign_cte — every point carries its face/i/j), group, then derive
+    the 4 corner lat/lngs algebraically (st → uv quadratic inverse → face
+    chart → xyz → asin/atan2). Round-2 upgrade from rows-only."""
+    size = 1 << (s2.MAX_LEVEL - level)
+    inv = "9.313225746154785e-10"  # exact 2^-30 (power of two ⇒ * == /)
+    third = hg.lit_sql(1.0 / 3.0)
+
+    def st2uv(e: str) -> str:
+        return (
+            f"CASE WHEN {e} >= 0.5 THEN {third} * (4*({e})*({e}) - 1) "
+            f"ELSE {third} * (1 - 4*(1-({e}))*(1-({e}))) END"
+        )
+
+    corners = [(0, 0), (1, 0), (1, 1), (0, 1)]  # ij order (ll, lr, ur, ul)
+    ucols = []
+    for c, (di, dj) in enumerate(corners):
+        se = f"((i0 + {di * size}) * {inv})"
+        te = f"((j0 + {dj * size}) * {inv})"
+        ucols.append(f"{st2uv(se)} AS u{c}, {st2uv(te)} AS v{c}")
+    # face charts (geo/s2.py cell_boundary_latlng)
+    xyz = {
+        "x": ["1", "-u{c}", "-u{c}", "-1", "v{c}", "v{c}"],
+        "y": ["u{c}", "1", "-v{c}", "-v{c}", "-1", "u{c}"],
+        "z": ["v{c}", "v{c}", "1", "-u{c}", "-u{c}", "-1"],
+    }
+    outs = []
+    for c in range(4):
+        def cf(axis: str) -> str:
+            branches = " ".join(
+                f"WHEN {f} THEN {xyz[axis][f].format(c=c)}" for f in range(6)
+            )
+            return f"(CASE face {branches} END)"
+
+        xe, ye, ze = cf("x"), cf("y"), cf("z")
+        nrm = f"SQRT({xe}*{xe} + {ye}*{ye} + {ze}*{ze})"
+        outs.append(f"ROUND(DEGREES(ASIN({ze} / {nrm})), 6) AS vlat{c}")
+        outs.append(f"ROUND(DEGREES(ATAN2({ye}, {xe})), 6) AS vlng{c}")
+    return f"""
+    WITH {_s2_assign_cte(level)},
+         cells AS (SELECT s2_cell, MIN(face) AS face,
+                          MIN(i & -{size}) AS i0, MIN(j & -{size}) AS j0,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM asgn GROUP BY s2_cell),
+         cor AS (SELECT s2_cell, n, face, {", ".join(ucols)} FROM cells)
+    SELECT s2_cell, n, {", ".join(outs)}
+    FROM cor ORDER BY s2_cell
+    """
+
+
+@q("s2_tile_vectors", oracle=_s2_vec_oracle(10))
 def s2_tile_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 raster→vector tiles: per-cell page counts + the cell's 4 corner
     vertices (cell_to_boundary) — GeoJSON-ready quad polygons, the S2
     counterpart of hex_tile_vectors. Corner derivation runs in the same
     Arrow batch as a grouped pandas pass over the (small) aggregated cell
-    set."""
+    set. Round-2: fully oracle-paired — assignment via the Hilbert lookup
+    chain, corners via the algebraic chart inverse (_s2_vec_oracle)."""
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     pts = _geo_points(spark, sf_dir)

@@ -42,6 +42,12 @@ HEADLINE = [
     "dedup_exact",
     "ann_bruteforce_top10",
     "quality_scores",
+    # round-2 additions
+    "yaml_scored_documents",   # full 10-tier YAML rule system, one scan
+    "length_rollup",           # the reference's flagship SUM(ST_Length) scan
+    "mode_profile",            # all-columns sampled mode (unpivot + window)
+    "media_png_roundtrip",     # real PNG codec through mapInPandas
+    "s2_tile_vectors",         # cell rollup + boundary corners
 ]
 
 # default sized so compute dominates fixed per-job overhead (wall-clock is

@@ -297,16 +297,58 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ann_lsh_top10")  # approximate path: rows-only check (recall tested in pytest)
+_LSH_BITS = 12
+
+
+def _lsh_oracle_sql() -> str:
+    """Full oracle for the hyperplane-LSH path (round-2 upgrade from
+    rows-only): the seeded projection matrix is a plan-time constant, so
+    it inlines as DOUBLE[] literals (e-notation — the DuckDB decimal
+    trap); signatures, the hamming-1 multiprobe set, and the in-bucket
+    exact rerank are all recomputed in SQL."""
+    from osmgraft.ann.search import make_projections
+    from osmgraft.geo.hexgrid import lit_sql
+
+    proj = make_projections(64, _LSH_BITS, seed=42)
+    rows = ", ".join(
+        "(" + str(b) + ", [" + ", ".join(lit_sql(float(v)) for v in proj[b]) + "]::DOUBLE[])"
+        for b in range(_LSH_BITS)
+    )
+    return f"""
+    WITH proj(b, p) AS (VALUES {rows}),
+         q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         sig AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                        CAST(SUM(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.p) > 0
+                                      THEN 1 << p.b ELSE 0 END) AS BIGINT) AS bucket
+                 FROM embeddings e CROSS JOIN proj p
+                 WHERE e.vec_id <> 0 GROUP BY e.vec_id, v),
+         qs AS (SELECT CAST(SUM(CASE WHEN list_inner_product(q.qv, p.p) > 0
+                                     THEN 1 << p.b ELSE 0 END) AS BIGINT) AS b0
+                FROM q CROSS JOIN proj p),
+         probe AS (SELECT b0 AS pb FROM qs
+                   UNION ALL
+                   SELECT xor(b0, CAST(1 << i AS BIGINT))
+                   FROM qs, UNNEST(range(0, {_LSH_BITS})) AS t(i)),
+         cand AS (SELECT s.vec_id, s.v FROM sig s
+                  WHERE s.bucket IN (SELECT pb FROM probe))
+    SELECT c.vec_id, ROUND(list_cosine_similarity(c.v, q.qv), 6) AS cosine_sim
+    FROM cand c CROSS JOIN q
+    ORDER BY cosine_sim DESC, c.vec_id LIMIT 10
+    """
+
+
+@q("ann_lsh_top10", oracle=_lsh_oracle_sql())
 def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucketed ANN (multiprobe hamming-1)."""
+    """Random-hyperplane LSH bucketed ANN (multiprobe hamming-1). Round-2:
+    fully oracle-paired — the oracle recomputes signatures from the inlined
+    projection literals, the probe set, and the in-bucket exact rerank."""
     from osmgraft.ann.search import lsh_bucket_topk
 
     emb = t(spark, sf_dir, "embeddings")
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
     qvec = [float(v) for v in qrow[0]]
     return lsh_bucket_topk(
-        emb.where(F.col("vec_id") != 0), qvec, k=10, n_bits=12
+        emb.where(F.col("vec_id") != 0), qvec, k=10, n_bits=_LSH_BITS
     )
 
 

@@ -155,3 +155,30 @@ def test_coverage_report_broadcasts_known_side(spark):
         ks = to_spark(spark, gen_known_suppliers(), "suppliers")
         plan = plan_of(coverage_report(final, ks))
     assert "BroadcastNestedLoopJoin BuildLeft" in plan
+
+
+def test_yaml_scorer_single_scan_no_python(spark):
+    """The 31-rule 10-tier YAML system must fold into ONE parquet scan with
+    no exchange and no Python stage — the whole CASE chain is JVM codegen."""
+    df = QUERIES["yaml_scored_documents"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    assert "EvalPython" not in plan
+    opt = optimized_of(df)
+    assert opt.count("Relation") == 1
+
+
+def test_length_rollup_single_python_stage(spark):
+    """WKB assembly + length kernel must fuse into one Arrow batch; the
+    rollup keeps map-side partial aggregation."""
+    plan = plan_of(QUERIES["length_rollup"](spark, SF_CORRECT))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "partial_" in plan
+
+
+def test_mode_profile_partial_agg(spark):
+    """All-columns mode: unpivot feeds ONE partial-agg shuffle, then the
+    per-column top-1 window on the (tiny) aggregated set."""
+    plan = plan_of(QUERIES["mode_profile"](spark, SF_CORRECT))
+    assert "partial_" in plan
+    assert "EvalPython" not in plan

@@ -418,6 +418,55 @@ def mode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_S = 36000  # 10 h — real splits at the fixture's ~7 h median gap
+
+
+@q(
+    "session_stats",
+    oracle=f"""
+    WITH o AS (SELECT user_id, event_id, ts,
+                      LAG(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+               FROM events),
+         f AS (SELECT user_id, event_id, ts,
+                      CASE WHEN prev IS NULL
+                                OR date_diff('second', prev, ts) > {_SESSION_GAP_S}
+                           THEN 1 ELSE 0 END AS ns
+               FROM o),
+         s AS (SELECT user_id,
+                      SUM(ns) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS sid
+               FROM f),
+         g AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n
+               FROM s GROUP BY user_id, sid)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n) AS BIGINT) AS max_session_events,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-gap sessionization (round-2 §2.10 widening): per-user session
+    rollup from the batch twin of the custom stateful streaming operator
+    (streaming/sessionize.py — applyInPandasWithState with event-time
+    timeout; batch==stream equivalence in test_streaming). One window pass
+    (LAG gap flag + running SUM) then two partial-agg shuffles on already
+    user-partitioned data."""
+    from osmgraft.streaming.sessionize import sessionize_batch
+
+    ev = t(spark, sf_dir, "events")
+    sess = sessionize_batch(ev, _SESSION_GAP_S)
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @q(
     "string_agg_sorted",
     oracle="""

@@ -97,3 +97,85 @@ def test_streaming_hex_tile_counts_equal_batch(spark, pages_dir, tmp_path):
         ).agg(F.count("*").alias("n")).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
+    """Round-2 custom stateful operator (applyInPandasWithState +
+    EventTimeTimeout): streamed sessions must equal the batch twin.
+    A far-future sentinel user in the last file advances the watermark
+    past every real session's last_ts + gap, so all real sessions close
+    via timeout before the availableNow drain finishes."""
+    import datetime as dt
+
+    from osmgraft.streaming.sessionize import sessionize_batch, sessionize_stream
+
+    gap_s = 600
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(6):
+        ts = base + dt.timedelta(minutes=user * 7)
+        for s in range(3):  # 3 sessions per user
+            for k in range(4):  # 4 events per session, 2-min spacing
+                rows.append((eid, ts, user))
+                eid += 1
+                ts += dt.timedelta(minutes=2)
+            ts += dt.timedelta(seconds=gap_s + 61)  # close the session
+    schema = "event_id long, ts timestamp, user_id long"
+    d = tmp_path / "sess_in"
+    # files are ordered in event time: earlier events in file 0, later in 1,
+    # sentinel last — the file source picks them up oldest-first
+    all_df = spark.createDataFrame(rows, schema)
+    split_ts = base + dt.timedelta(minutes=30)
+    all_df.where(F.col("ts") < split_ts).coalesce(1).write.parquet(str(d / "f0"))
+    all_df.where(F.col("ts") >= split_ts).coalesce(1).write.parquet(str(d / "f1"))
+    sentinel = spark.createDataFrame(
+        [(999999, base + dt.timedelta(days=30), 999)], schema
+    )
+    sentinel.coalesce(1).write.parquet(str(d / "f2"))
+    # one flat dir for the file source
+    import shutil
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    i = 0
+    import os
+    import time as _time
+
+    now = _time.time()
+    for sub in ["f0", "f1", "f2"]:
+        for f in sorted((d / sub).glob("*.parquet")):
+            dst = src / f"{i:03d}.parquet"
+            shutil.copy(f, dst)
+            # the file source orders micro-batches by mtime; make the
+            # intended order unambiguous (copies can tie at ms granularity)
+            os.utime(dst, (now + i * 10, now + i * 10))
+            i += 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sess = sessionize_stream(stream, gap_s=gap_s, watermark="0 seconds")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+    exp = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(
+            spark.createDataFrame(rows, schema), gap_s
+        ).collect()
+    }
+    assert exp  # 18 sessions
+    assert got == exp

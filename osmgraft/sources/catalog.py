@@ -63,3 +63,48 @@ class TableIO:
         if self.use_iceberg:
             return self.spark.read.table(self._ident(name))
         return self.spark.read.parquet(f"{self.warehouse}/{name}")
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_by: list[str],
+        n_buckets: int = 32,
+        sort_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Bucketed (hash-clustered) write — the co-located-join lever.
+
+        Both sides of a join bucketed on the join key with the same bucket
+        count read back ALREADY distributed: Catalyst elides the Exchange
+        on both sides (plan-audited in tests/test_plans.py), so at 100 TB
+        the repeated joins/aggregations on a hot key (cell id, user id,
+        url) pay the shuffle ONCE at write time instead of per query.
+        sort_by additionally orders within buckets (min-max pruning +
+        sort-merge-ready runs). Iceberg path uses the bucket partition
+        transform; the parquet path uses Spark's native bucketed tables
+        (requires saveAsTable — bucket metadata lives in the catalog)."""
+        if self.use_iceberg:
+            from pyspark.sql import functions as F
+
+            w = df.writeTo(self._ident(name)).partitionedBy(
+                F.bucket(n_buckets, F.col(bucket_by[0]))
+            )
+            (w.createOrReplace() if mode == "overwrite" else w.append())
+            return
+        w = (
+            df.write.format("parquet")
+            .mode(mode)
+            .option("path", f"{self.warehouse}/{name}")
+            .bucketBy(n_buckets, *bucket_by)
+        )
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        w.saveAsTable(name)
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Catalog read — REQUIRED for the bucketing metadata to reach the
+        planner (a raw path read sees plain parquet and re-shuffles)."""
+        if self.use_iceberg:
+            return self.spark.read.table(self._ident(name))
+        return self.spark.table(name)

@@ -182,3 +182,36 @@ def test_mode_profile_partial_agg(spark):
     plan = plan_of(QUERIES["mode_profile"](spark, SF_CORRECT))
     assert "partial_" in plan
     assert "EvalPython" not in plan
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """Round-2 co-location lever: joining two tables bucketed on the join
+    key (same bucket count) must plan with NO Exchange — the shuffle was
+    paid once at write time. The same join on plain parquet shuffles."""
+    from osmgraft.sources import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    ev = spark.range(2000).select(
+        (F.col("id") % 64).alias("user_id"), F.col("id").alias("event_id")
+    )
+    us = spark.range(64).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("segment")
+    )
+    io.write_bucketed(ev, "b_events_t", ["user_id"], n_buckets=8)
+    io.write_bucketed(us, "b_users_t", ["user_id"], n_buckets=8)
+    try:
+        a = io.read_bucketed("b_events_t")
+        b = io.read_bucketed("b_users_t")
+        # force SMJ so the test isolates bucketing (not broadcast)
+        joined = a.hint("merge").join(b, "user_id")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # control: identical join on non-bucketed data DOES shuffle
+        plain = ev.hint("merge").join(us, "user_id")
+        assert "Exchange" in plan_of(plain)
+        # result parity
+        assert joined.count() == 2000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_events_t")
+        spark.sql("DROP TABLE IF EXISTS b_users_t")

@@ -238,6 +238,18 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+@q("simhash_neardup_pairs")  # xxhash64-based sigs: rows-only check
+def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (round-2): banded pigeonhole blocking,
+    LOSSLESS within the hamming radius (exactness vs all-pairs popcount
+    proven in test_pipeline), exact bit_count refine — equi-join on
+    (band, 16-bit key), never all-pairs."""
+    from osmgraft.text.dedup import simhash_neardup_pairs
+
+    sigs = simhash(t(spark, sf_dir, "documents"))
+    return simhash_neardup_pairs(sigs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
 # ===========================================================================
 # embedding similarity search
 # ===========================================================================

@@ -204,3 +204,69 @@ def simhash(
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseOR(term)
     return per_doc.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    bucket_cap: int = 10000,
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash signatures via banded pigeonhole
+    blocking — LOSSLESS for the hamming radius: split the 64-bit signature
+    into (max_hamming + 1) bands; any pair within `max_hamming` bit flips
+    must agree EXACTLY on at least one band (pigeonhole), so a per-band
+    equi-self-join finds every qualifying pair. Candidates then refine
+    with the exact popcount of the XOR (pure JVM bit_count).
+
+    Scale: the join key is (band, 16-bit value) — a hash-partitioned
+    equi-join, no all-pairs. `bucket_cap` drops degenerate hot buckets
+    (e.g. the all-zeros band of empty docs) the same way the rare-shingle
+    blocker caps ngram buckets; dropped buckets are the only recall loss.
+    """
+    n_bands = max_hamming + 1
+    if 64 % n_bands:
+        raise ValueError("max_hamming + 1 must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    counts = bands.groupBy("band", "key").agg(F.count("*").alias("bn"))
+    bounded = bands.join(
+        counts.where(F.col("bn") <= bucket_cap), ["band", "key"]
+    )
+    a = bounded.select(
+        F.col("band"), F.col("key"),
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
+    )
+    b = bounded.select(
+        F.col("band"), F.col("key"),
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"),
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -174,3 +174,30 @@ def test_diagnostics_suite(spark, features):
     assert d["tags_nonempty"] > 0
     for kind, n in d["filtered_counts"].items():
         assert 0 < n <= d["source_counts"][kind], kind
+
+
+def test_simhash_banded_pairs_exact_vs_allpairs(spark):
+    """Round-2: banded pigeonhole blocking must find EXACTLY the pairs an
+    all-pairs popcount scan finds at the same hamming radius (the blocking
+    is lossless by pigeonhole), on the shared documents table."""
+    from osmgraft.text.dedup import simhash, simhash_neardup_pairs
+    from tests.conftest import SF_CORRECT
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    sigs = simhash(docs).cache()
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_neardup_pairs(sigs, max_hamming=3).collect()
+    }
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("h", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int"))
+        .where(F.col("h") <= 3)
+    )
+    exp = {(r.doc_a, r.doc_b, r.h) for r in brute.collect()}
+    sigs.unpersist()
+    assert got == exp
+    assert len(exp) > 0  # fixture contains near-dup docs

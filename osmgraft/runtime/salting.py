@@ -65,3 +65,24 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("long"))
     out = lsalt.join(rrep, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def aqe_skew_configs(
+    threshold_bytes: str = "256m",
+    advisory_bytes: str = "64m",
+    factor: int = 5,
+) -> dict[str, str]:
+    """Recommended AQE skew-join settings for hotspot-cell workloads
+    (London-grade dense cells — BASELINE.json north_star). AQE splits a
+    skewed shuffle partition into advisory-sized reads at runtime
+    (SortMergeJoin(skew=true) + "AQEShuffleRead coalesced and skewed" in
+    the final plan — asserted in tests/test_plans.py); salted_aggregate /
+    salted_join above remain the explicit fallback where AQE can't reach
+    (aggregations, broadcast-ineligible non-equi joins)."""
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": threshold_bytes,
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": str(factor),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": advisory_bytes,
+    }

@@ -215,3 +215,37 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_events_t")
         spark.sql("DROP TABLE IF EXISTS b_users_t")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Round-2: the hotspot-cell skew story must hold at the AQE layer too
+    — a 90%-hot-key shuffled join's final adaptive plan shows
+    SortMergeJoin(skew=true), i.e. the runtime split the hot partition
+    into advisory-sized reads (salting covers what AQE can't)."""
+    from osmgraft.runtime.salting import aqe_skew_configs
+
+    saved = {}
+    tuned = dict(aqe_skew_configs("32k", "16k", 2))
+    tuned["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+    for k, v in tuned.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(200000).select(
+            F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        small = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(small, "k")
+        assert len(j.collect()) == 200000
+        plan = plan_of(j)
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

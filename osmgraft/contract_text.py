@@ -163,9 +163,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RARE_MAX = 10
 _JACCARD_MIN = 0.25
 
-@q(
-    "ngram_jaccard_pairs",
-    oracle=f"""
+_NGRAM_PAIRS_SQL = f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
          seq AS (SELECT unnest(generate_series(1,
                    (SELECT MAX(len(arr)) FROM w))) AS i),
@@ -186,8 +184,10 @@ _JACCARD_MIN = 0.25
             JOIN sizes nb ON nb.doc_id = doc_b
     WHERE overlap / (na.n + nb.n - overlap) >= {_JACCARD_MIN}
     ORDER BY doc_a, doc_b
-    """,
-)
+    """
+
+
+@q("ngram_jaccard_pairs", oracle=_NGRAM_PAIRS_SQL)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rare-shingle-blocked word-3-gram Jaccard near-dup pairs (the exact
     verification stage of the MinHash/LSH path, with LSH-style blocking)."""
@@ -212,6 +212,45 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= _JACCARD_MIN)
         .select("doc_a", "doc_b", "overlap", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@q(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pr AS ({_NGRAM_PAIRS_SQL}),
+         edges AS (SELECT doc_a AS s, doc_b AS t FROM pr
+                   UNION SELECT doc_b, doc_a FROM pr),
+         nodes AS (SELECT DISTINCT s AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT rr.id, e.t FROM reach rr JOIN edges e ON e.s = rr.r),
+         lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+                 FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM lab ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING (round-2): connected components over the
+    rare-shingle Jaccard pair graph via distributed min-label propagation
+    (text/dedup.py::connected_components — O(diameter) rounds of
+    join + partial-agg on 8-byte labels, lineage-cut per round). The step
+    every dedup pipeline ends with: one representative per component. The
+    oracle recomputes the transitive closure with a recursive CTE —
+    equality proves the iterative algorithm reached the true components."""
+    from pyspark.sql import Window
+
+    from osmgraft.text.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    cc = connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.withColumn("cluster_size", F.count("*").over(w).cast("long"))
+        .orderBy("doc_id")
     )
 
 

@@ -270,3 +270,47 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (doc_id, cluster_id) where cluster_id is the minimum doc id in the
+    component — the clustering step every dedup pipeline ends with
+    (keep one representative per component).
+
+    Min-label propagation: each round joins labels across edges and takes
+    the per-node minimum; converges in O(component diameter) rounds, and
+    near-dup components are shallow (pairs are mutual near-copies), so a
+    handful of rounds suffices at any scale. Each round is one equi-join +
+    one partial-agg shuffle on (id, 8-byte label); lineage is cut with
+    localCheckpoint so the loop's plan stays bounded. Convergence is
+    detected by the (monotone non-increasing) global label sum."""
+    und = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+    )
+    und = und.localCheckpoint()
+    labels = (
+        und.select(F.col("s").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    ).localCheckpoint()
+    cur_sum = labels.agg(F.sum("lbl")).head()[0]
+    for _ in range(max_iter):
+        nbr = und.join(labels, und["s"] == labels["id"]).select(
+            F.col("t").alias("id"), F.col("lbl")
+        )
+        labels = (
+            labels.unionByName(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        new_sum = labels.agg(F.sum("lbl")).head()[0]
+        if new_sum == cur_sum:
+            break
+        cur_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -201,3 +201,21 @@ def test_simhash_banded_pairs_exact_vs_allpairs(spark):
     sigs.unpersist()
     assert got == exp
     assert len(exp) > 0  # fixture contains near-dup docs
+
+
+def test_connected_components_known_graph(spark):
+    """Min-label propagation on a graph with known components: a 5-chain
+    (diameter 4 — needs multiple rounds), a star, and an isolated edge."""
+    from osmgraft.text.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),        # chain → component 1
+         (10, 11), (10, 12), (10, 13),          # star → component 10
+         (20, 21)],                              # edge → component 20
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}

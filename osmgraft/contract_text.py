@@ -416,6 +416,59 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BATCH_Q_MOD, _BATCH_K = 101, 5
+
+
+@q(
+    "ann_batch_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % {_BATCH_Q_MOD} = 0),
+         s AS (SELECT q.qid, e.vec_id,
+                      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                        AS cosine_sim
+               FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+    SELECT qid, vec_id, cosine_sim FROM s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cosine_sim DESC, vec_id) <= {_BATCH_K}
+    ORDER BY qid, cosine_sim DESC, vec_id
+    """,
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN serving shape (round-2): top-k for MANY query vectors in
+    one pass — broadcast the query set, score the corpus once, rank per
+    query with a window. The corpus never shuffles (the window partitions
+    by qid over the small scored slice after per-partition top-k
+    pre-pruning by Catalyst's WindowGroupLimit). Exact form; the bucketed
+    variants (LSH/IVF) are the scale path when |queries| is large."""
+    from pyspark.sql import Window
+
+    from osmgraft.ann.search import cosine_col
+
+    emb = t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    q_side = emb.where(F.col("vec_id") % _BATCH_Q_MOD == 0).select(
+        F.col("vec_id").alias("qid"), vec.alias("qv")
+    )
+    corpus = emb.select("vec_id", vec.alias("cv"))
+    scored = (
+        corpus.crossJoin(F.broadcast(q_side))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_col(F.col("cv"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _BATCH_K)
+        .select("qid", "vec_id", "cosine_sim")
+        .orderBy("qid", F.col("cosine_sim").desc(), "vec_id")
+    )
+
+
 _IVF_LISTS, _IVF_PROBE = 8, 3
 _IVF_ITER = 2
 

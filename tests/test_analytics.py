@@ -147,3 +147,32 @@ def test_tableio_parquet_fallback(spark, final, tmp_path):
     one = back.where(F.col("tier_classification") == "tier1_candidate")
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or one.count() >= 0
+
+
+def test_asof_join_semantics(spark):
+    """Round-2 as-of operator: inclusive backward match (<=), ties take
+    the same-timestamp right row, NULL before any right row — verified
+    against a hand-computed truth incl. the tie case."""
+    from osmgraft.analytics.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 25), (4, "a", 40), (5, "b", 15),
+         (6, "b", 5)],
+        "lid long, k string, lt long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, 2.0), ("a", 30, 3.0), ("b", 10, 9.0)],
+        "k string, rt long, val double",
+    )
+    got = {
+        r.lid: (r.val, r.matched_ts)
+        for r in asof_join(left, right, ["k"], "lt", "rt", ["val"]).collect()
+    }
+    assert got == {
+        1: (1.0, 10),   # equal ts matches (inclusive)
+        2: (2.0, 20),   # tie takes the same-ts right row
+        3: (2.0, 20),   # backward between right rows
+        4: (3.0, 30),   # latest right
+        5: (9.0, 10),   # per-key isolation
+        6: (None, None),  # before any right row
+    }

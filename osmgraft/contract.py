@@ -796,6 +796,48 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# overlapping value bands (lo inclusive, hi exclusive) — literal on both
+# engines; overlaps make the interval join genuinely multi-match
+_BANDS = [(i, float(i * 15), float(i * 15 + 25)) for i in range(16)]
+_BANDS_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
+
+
+@q(
+    "range_band_join",
+    oracle=f"""
+    WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_SQL}),
+         s AS (SELECT event_id, value FROM events WHERE event_id % 11 = 0)
+    SELECT b.band_id, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(s.value), 2) AS sum_value
+    FROM s JOIN bands b ON b.lo <= s.value AND s.value < b.hi
+    GROUP BY b.band_id ORDER BY b.band_id
+    """,
+)
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (round-2; brief-named operator): events matched
+    to OVERLAPPING value bands via the bucketed equi-join
+    (analytics/rangejoin.py — intervals explode to fixed-width buckets and
+    broadcast; the probe side joins on its single bucket id and never
+    shuffles; exact predicate refines in-stage). The oracle is the naive
+    theta join — equality proves the bucketing loses and invents
+    nothing."""
+    from osmgraft.analytics.rangejoin import range_interval_join
+
+    ev = t(spark, sf_dir, "events").where(F.col("event_id") % 11 == 0).select(
+        "event_id", "value"
+    )
+    bands = spark.createDataFrame(_BANDS, "band_id int, lo double, hi double")
+    joined = range_interval_join(ev, bands, "value")
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("band_id")
+    )
+
+
 @q(
     "asof_daily_rate",
     oracle="""

@@ -249,3 +249,12 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_range_join_is_broadcast_equi_not_bnlj(spark):
+    """Round-2 interval join: the bucketed form must plan a
+    BroadcastHashJoin on the bucket key — never the quadratic
+    BroadcastNestedLoopJoin the raw range condition would produce."""
+    plan = plan_of(QUERIES["range_band_join"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

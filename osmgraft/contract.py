@@ -796,6 +796,50 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "session_window_counts",
+    oracle=f"""
+    WITH o AS (SELECT user_id, ts,
+                      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+               FROM events),
+         f AS (SELECT user_id, ts,
+                      CASE WHEN prev IS NULL
+                                OR epoch_us(ts) - epoch_us(prev) >= {_SESSION_GAP_S * 1_000_000}
+                           THEN 1 ELSE 0 END AS ns
+               FROM o),
+         s AS (SELECT user_id, ts,
+                      SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+               FROM f)
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
+    """,
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session window (round-2): dynamic-gap event-time
+    sessions via F.session_window — the built-in counterpart of the
+    custom applyInPandasWithState operator (streaming/sessionize.py).
+    Native semantics split when the gap is >= the threshold at full
+    microsecond precision; the oracle recomputes that exact rule with
+    LAG arithmetic on epoch microseconds."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{_SESSION_GAP_S} seconds")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            # ts is TIMESTAMP_NTZ; the UTC session tz makes the cast exact
+            F.unix_micros(
+                F.col("session_window.start").cast("timestamp")
+            ).alias("session_start_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
 # overlapping value bands (lo inclusive, hi exclusive) — literal on both
 # engines; overlaps make the interval join genuinely multi-match
 _BANDS = [(i, float(i * 15), float(i * 15 + 25)) for i in range(16)]

@@ -797,6 +797,92 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "geomean_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(EXP(AVG(LN(value))), 6) AS geomean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE value > 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def geomean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDAF (round-2 §2.11 widening — the GROUPED_AGG
+    surface beside the scalar/Arrow and mapInPandas kernels): geometric
+    mean per group as one Arrow-batched reduction. Oracle: EXP(AVG(LN))
+    in SQL; exp/log parity holds at 6 dp."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Spark disallows mixing pandas UDAFs with JVM aggregates in one
+        # agg — the count rides the same Arrow reduction instead
+        return len(v)
+
+    ev = t(spark, sf_dir, "events").where(F.col("value") > 0)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(geomean("value"), 6).alias("geomean"),
+            n_rows("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "user_value_trend",
+    oracle="""
+    WITH x AS (SELECT user_id, value,
+                      epoch_us(ts) / 1000000.0
+                        - 1704067200.0 AS xs  -- seconds since 2024-01-01
+               FROM events)
+    SELECT user_id,
+           ROUND(regr_slope(value, xs) * 1000000.0, 6) AS slope_per_ms,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM x GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (round-2 §2.11): per-user OLS slope of
+    value over event time — the custom-model-per-group shape (one Arrow
+    batch per user group, stats computed in numpy with centered x for
+    numeric stability). Oracle: SQL regr_slope over the same centered
+    regressor. Slope scaled to per-million-seconds so 6-dp rounding is
+    meaningful."""
+    import numpy as np
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6 - 1704067200.0).alias("xs"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["xs"].to_numpy()
+        y = pdf["value"].to_numpy()
+        xc = x - x.mean()
+        slope = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "slope_per_ms": [round(slope * 1e6, 6)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(fit, "user_id long, slope_per_ms double, n long")
+        .orderBy("user_id")
+    )
+
+
+@q(
     "session_window_counts",
     oracle=f"""
     WITH o AS (SELECT user_id, ts,

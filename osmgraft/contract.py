@@ -796,6 +796,86 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("distinct_users_sketch")  # DataSketches HLL payload: engine-specific (rows-only)
+def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch cardinality (round-2): per-type HLL sketches of
+    distinct users + a grand total from hll_union_agg of the SAME
+    sketches — the 100 TB rollup primitive (pre-aggregate once, merge
+    per dashboard slice without rescanning). Estimates are
+    DataSketches-specific ⇒ rows-only; the error bound vs exact
+    countDistinct is pytest-gated (test_analytics)."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    per_rows = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+        "exact_distinct",
+    )
+    total = per.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+    )
+    return per_rows.unionByName(total).orderBy("event_type")
+
+
+@q(
+    "quality_filter_cascade",
+    oracle="""
+    WITH m AS (SELECT doc_id,
+                      len(string_split(text, ' ')) AS n_words,
+                      len(replace(text, ' ', '')) AS n_letters,
+                      len(list_distinct(string_split(text, ' '))) AS n_distinct
+               FROM documents),
+         r AS (SELECT doc_id, n_words,
+                      CASE WHEN n_words < 30 THEN 'too_short'
+                           WHEN n_words > 120 THEN 'too_long'
+                           WHEN n_letters / CAST(n_words AS DOUBLE) < 2.5
+                                OR n_letters / CAST(n_words AS DOUBLE) > 8.0
+                                THEN 'word_length'
+                           WHEN n_distinct / CAST(n_words AS DOUBLE) < 0.25
+                                THEN 'low_diversity'
+                           ELSE 'kept' END AS reason
+               FROM m)
+    SELECT reason, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(n_words), 3) AS avg_words
+    FROM r GROUP BY reason ORDER BY reason
+    """,
+)
+def quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (round-2): word-count bounds,
+    mean-word-length band, lexical-diversity floor, applied as a
+    FIRST-FAILING-RULE cascade so every dropped doc carries one reason —
+    the accounting shape a training-data pipeline reports. Pure-Column
+    (array higher-order fns), single scan, partial-agg rollup."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_letters = F.length(F.regexp_replace("text", " ", ""))
+    n_distinct = F.size(F.array_distinct(words))
+    mean_len = n_letters / n_words.cast("double")
+    diversity = n_distinct / n_words.cast("double")
+    reason = (
+        F.when(n_words < 30, "too_short")
+        .when(n_words > 120, "too_long")
+        .when((mean_len < 2.5) | (mean_len > 8.0), "word_length")
+        .when(diversity < 0.25, "low_diversity")
+        .otherwise("kept")
+    )
+    return (
+        d.select(reason.alias("reason"), n_words.alias("n_words"))
+        .groupBy("reason")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("n_words"), 3).alias("avg_words"),
+        )
+        .orderBy("reason")
+    )
+
+
 @q(
     "geomean_by_type",
     oracle="""

@@ -176,3 +176,21 @@ def test_asof_join_semantics(spark):
         5: (9.0, 10),   # per-key isolation
         6: (None, None),  # before any right row
     }
+
+
+def test_hll_sketch_error_bound_and_merge(spark):
+    """Round-2 sketch gate: HLL estimates within 5% of exact per group,
+    and the union of per-group sketches estimates the global cardinality
+    (merge-without-rescan property)."""
+    from osmgraft.contract import QUERIES
+    from tests.conftest import SF_CORRECT
+
+    rows = QUERIES["distinct_users_sketch"](spark, SF_CORRECT).collect()
+    per = [r for r in rows if r.event_type != "ALL"]
+    assert len(per) == 5
+    for r in per:
+        assert abs(r.est_distinct - r.exact_distinct) / r.exact_distinct < 0.05
+    total = next(r for r in rows if r.event_type == "ALL")
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    exact_total = ev.select(F.countDistinct("user_id")).head()[0]
+    assert abs(total.est_distinct - exact_total) / exact_total < 0.05

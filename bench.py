@@ -48,6 +48,9 @@ HEADLINE = [
     "mode_profile",            # all-columns sampled mode (unpivot + window)
     "media_png_roundtrip",     # real PNG codec through mapInPandas
     "s2_tile_vectors",         # cell rollup + boundary corners
+    "session_stats",           # sessionization batch twin (window pass)
+    "asof_daily_rate",         # as-of join (union-marker window)
+    "dedup_clusters",          # iterative connected components
 ]
 
 # default sized so compute dominates fixed per-job overhead (wall-clock is

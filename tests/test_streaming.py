@@ -179,3 +179,62 @@ def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
     }
     assert exp  # 18 sessions
     assert got == exp
+
+
+def test_sessionize_drops_late_data_past_watermark(spark, tmp_path):
+    """Watermark discipline: once the event-time watermark has advanced
+    past an event's timestamp, a late-arriving event must NOT create or
+    extend state — the final sessions equal the batch twin over the
+    on-time rows only."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from osmgraft.streaming.sessionize import sessionize_batch, sessionize_stream
+
+    gap_s = 600
+    base = dt.datetime(2024, 3, 1)
+    schema = "event_id long, ts timestamp, user_id long"
+    on_time = [(i, base + dt.timedelta(minutes=2 * i), 1) for i in range(4)]
+    sentinel = [(100, base + dt.timedelta(days=30), 999)]
+    late = [(200, base + dt.timedelta(minutes=1), 1)]  # behind the watermark
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    now = _time.time()
+    for i, rows in enumerate([on_time, sentinel, late]):
+        f = src / f"{i:03d}.parquet"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(f) + "_d")
+        import shutil
+
+        part = next((tmp_path / f"late_src/{i:03d}.parquet_d").glob("*.parquet"))
+        shutil.copy(part, f)
+        _os.utime(f, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_s=gap_s, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM late_sessions").collect()
+        if r.user_id == 1
+    }
+    exp = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(
+            spark.createDataFrame(on_time, schema), gap_s
+        ).collect()
+    }
+    assert got == exp  # the late event neither extended nor created a session

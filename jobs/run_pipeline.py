@@ -62,6 +62,24 @@ def main() -> None:
 
         pages = to_spark(spark, gen_pages(args.n_synthetic), "pages")
 
+    # training-data hygiene stage: exact text dedup BEFORE extraction —
+    # duplicate pages never pay the Arrow extraction cost; the dedup
+    # report (per-digest duplicate counts) ships with the outputs. The
+    # shuffle carries only (url, 16-byte digest), never page text.
+    from osmgraft.text.dedup import exact_dedup
+
+    deduped = exact_dedup(pages, id_col="url", text_col="text")
+    dedup_report = (
+        deduped.groupBy("text_digest")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.col("is_duplicate").cast("int")).alias("n_dropped"),
+        )
+        .where(F.col("n_dropped") > 0)
+    )
+    dedup_report.write.mode("overwrite").parquet(f"{args.out}/dedup_report")
+    pages = deduped.where(~F.col("is_duplicate")).drop("text_digest", "is_duplicate")
+
     features = widen_features(extract_features(pages))
     if args.diagnostics:
         import os
@@ -109,6 +127,7 @@ def main() -> None:
     n_final = spark.read.parquet(f"{args.out}/candidates").count()
     n_tiles = spark.read.parquet(f"{args.out}/tiles").count()
     n_near = spark.read.parquet(f"{args.out}/nearest_poi").count()
+    n_dup = spark.read.parquet(f"{args.out}/dedup_report").count()
     print(
         json.dumps(
             {
@@ -116,6 +135,7 @@ def main() -> None:
                 "candidates": n_final,
                 "tiles": n_tiles,
                 "nearest_poi": n_near,
+                "dup_digests": n_dup,
                 "wall_sec": round(time.time() - t0, 3),
             }
         )

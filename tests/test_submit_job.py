@@ -117,6 +117,7 @@ def test_spark_submit_end_to_end(tmp_path):
     assert res["candidates"] > 0
     assert res["tiles"] > 0
     assert res["nearest_poi"] > 0
+    assert res["dup_digests"] >= 0  # dedup stage ran and wrote its report
     # stage manifests written (checkpoint-resume surface)
     stages = os.listdir(tmp_path / "wd")
     assert "stage=final_union" in stages

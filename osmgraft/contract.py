@@ -796,6 +796,96 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ETYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "pivot_dow_by_type",
+    oracle=f"""
+    SELECT dow,
+           {", ".join(f"CAST(COUNT(*) FILTER (event_type = '{e}') AS BIGINT) AS {e}" for e in _ETYPES)}
+    FROM (SELECT dayofweek(CAST(ts AS DATE)) AS dow, event_type FROM events)
+    GROUP BY dow ORDER BY dow
+    """,
+)
+def pivot_dow_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface (round-2): day-of-week × event-type count matrix via
+    groupBy().pivot() with explicit pivot values (no extra distinct scan).
+    Catalyst compiles it to the same conditional-aggregation the SQL
+    FILTER oracle spells out — one scan, one partial-agg shuffle.
+    Day-of-week normalized to DuckDB's Sunday=0 convention."""
+    ev = t(spark, sf_dir, "events")
+    # Spark dayofweek: Sunday=1..Saturday=7; DuckDB dayofweek: Sunday=0
+    dow = (F.dayofweek(F.col("ts").cast("date")) - 1).alias("dow")
+    return (
+        ev.select(dow, "event_type")
+        .groupBy("dow")
+        .pivot("event_type", _ETYPES)
+        .count()
+        .na.fill(0)
+        .orderBy("dow")
+    )
+
+
+@q(
+    "value_deciles",
+    oracle="""
+    WITH d AS (SELECT value,
+                      NTILE(10) OVER (ORDER BY value, event_id) AS decile
+               FROM events)
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 2) AS lo, ROUND(MAX(value), 2) AS hi
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+)
+def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE windowing (round-2): global decile assignment (deterministic
+    tie-break by event_id) + per-decile bounds. A global NTILE is a
+    single-partition sort at scale — the documented alternative is
+    approx-quantile bucketing (value_percentiles); this query pins the
+    exact-window semantics."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+@q(
+    "props_json_rollup",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events WHERE props IS NOT NULL
+    GROUP BY k_mod ORDER BY k_mod
+    """,
+)
+def props_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column processing (round-2): extract a field from the events
+    JSON props string (get_json_object — JVM-side Jackson path, no UDF)
+    and roll up. The web-scale shape: semi-structured payload columns
+    queried without a schema migration."""
+    ev = t(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_mod"), "value")
+        .groupBy("k_mod")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("k_mod")
+    )
+
+
 @q("distinct_users_sketch")  # DataSketches HLL payload: engine-specific (rows-only)
 def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch cardinality (round-2): per-type HLL sketches of

@@ -430,6 +430,96 @@ def with_s2_cell(
     return df.withColumn(out, s2_cell_udf(level)(F.col(lat), F.col(lng)))
 
 
+def s2_cell_col(lat: Column, lng: Column, level: int) -> Column:
+    """S2 cell id as a PURE JVM Column expression — no Python anywhere.
+
+    Same construction the DuckDB oracle uses (contract_cells._s2_assign_cte):
+    chart algebra (trig + CASE chains) for (face, i, j), then the Hilbert
+    walk as 8 unrolled element_at lookups into the 1024-entry ij→pos table,
+    which constant-folds to a single array Literal in codegen. Catalyst's
+    subexpression elimination computes the (face, i, j) chain once even
+    though 8 iterations reference it.
+
+    vs the Arrow UDF (s2_cell_udf): identical math in java.lang.Math
+    instead of numpy — measured BIT-IDENTICAL over 20M rows (equal modular
+    checksums) and on the fixtures (tests/test_cellindexes.py). Measured
+    throughput on this VM is ~0.8× the Arrow kernel (numpy's masked
+    vectorization beats the per-row CASE chains; Catalyst CSE does not
+    fully collapse the 16 references to the chart chain), so the UDF
+    remains the default. This form's value: zero Python-worker dependency,
+    and it fuses with adjacent JVM operators in whole-stage codegen.
+
+    Codegen caveats (the hex_polyfill janino lesson, extended): (a)
+    aggregating DIRECTLY through this expression fuses the whole chain
+    into the hash-agg stage and can overflow janino's generated class —
+    keep an exchange (repartition / checkpoint) between assignment and
+    any aggregate referencing it; (b) the expression TREE doubles per
+    Hilbert iteration (each iteration references the previous state
+    twice), so analysis+codegen cost ~10-15 s per compiled query — fine
+    for a long-running cluster job, wrong for interactive use (the Arrow
+    UDF has no such cost)."""
+    phi = F.radians(lat)
+    theta = F.radians(lng)
+    cosphi = F.cos(phi)
+    x = cosphi * F.cos(theta)
+    y = cosphi * F.sin(theta)
+    z = F.sin(phi)
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    face = (
+        F.when((ax >= ay) & (ax >= az), F.when(x < 0, 3).otherwise(0))
+        .when(ay >= az, F.when(y < 0, 4).otherwise(1))
+        .otherwise(F.when(z < 0, 5).otherwise(2))
+    )
+    u = (
+        F.when(face == 0, y / x)
+        .when(face == 1, -x / y)
+        .when(face == 2, -x / z)
+        .when(face == 3, z / x)
+        .when(face == 4, z / y)
+        .otherwise(-y / z)
+    )
+    v = (
+        F.when(face == 0, z / x)
+        .when(face == 1, z / y)
+        .when(face == 2, -y / z)
+        .when(face == 3, y / x)
+        .when(face == 4, -x / y)
+        .otherwise(-x / z)
+    )
+
+    def st(w: Column) -> Column:
+        return F.when(w >= 0, 0.5 * F.sqrt(1 + 3 * w)).otherwise(
+            1 - 0.5 * F.sqrt(1 - 3 * w)
+        )
+
+    max_ij = (1 << MAX_LEVEL) - 1
+
+    def ij(s: Column) -> Column:
+        raw = F.floor(F.lit(float(1 << MAX_LEVEL)) * s).cast("long")
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(max_ij))
+
+    i = ij(st(u))
+    j = ij(st(v))
+    # direct array Literal (F.lit(list)) — a CreateArray of 1024 foldable
+    # children costs ~1 min of plan-time constant folding; the Literal is
+    # free
+    lut = F.lit([int(val) for val in _LOOKUP_POS])
+    bits = face.cast("long").bitwiseAND(F.lit(1))
+    n = face.cast("long") * F.lit(1 << 60)
+    for k in range(7, -1, -1):
+        idx = (
+            bits
+            + F.shiftright(i, k * 4).bitwiseAND(F.lit(15)) * F.lit(64)
+            + F.shiftright(j, k * 4).bitwiseAND(F.lit(15)) * F.lit(4)
+        )
+        val = F.element_at(lut, (idx + 1).cast("int")).cast("long")
+        n = n.bitwiseOR(F.shiftleft(F.shiftright(val, 2), k * 8))
+        bits = val.bitwiseAND(F.lit(3))
+    leaf = n * 2 + 1
+    lsb = lsb_for_level(level)
+    return leaf.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
+
+
 def s2_parent_col(cell: Column, parent_level: int) -> Column:
     """Parent cell id — pure JVM bit ops (no Python), so rollups from a
     fine indexed level to coarser tiles stay in whole-stage codegen."""

@@ -238,3 +238,73 @@ def test_sessionize_drops_late_data_past_watermark(spark, tmp_path):
         ).collect()
     }
     assert got == exp  # the late event neither extended nor created a session
+
+
+def test_sessionize_checkpoint_restart_preserves_state(spark, tmp_path):
+    """Ops-critical stateful recovery: drain half the files with
+    availableNow, STOP, drop more files, restart from the SAME checkpoint
+    — open-session state must survive the restart and the final sessions
+    equal the batch twin (no session split at the restart boundary)."""
+    import datetime as dt
+    import os as _os
+    import shutil
+    import time as _time
+
+    from osmgraft.streaming.sessionize import sessionize_batch, sessionize_stream
+
+    gap_s = 600
+    base = dt.datetime(2024, 5, 1)
+    schema = "event_id long, ts timestamp, user_id long"
+    # one user, one LONG session spanning the restart, then a second session
+    s1 = [(i, base + dt.timedelta(minutes=2 * i), 7) for i in range(8)]
+    s2 = [(100 + i, base + dt.timedelta(minutes=16 + 11 + 2 * i), 7) for i in range(3)]
+    sentinel = [(999, base + dt.timedelta(days=30), 999)]
+    all_rows = s1 + s2
+
+    src = tmp_path / "ck_restart_src"
+    src.mkdir()
+    now = _time.time()
+
+    def drop(idx, rows):
+        tmpd = tmp_path / f"w{idx}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmpd))
+        part = next(tmpd.glob("*.parquet"))
+        dst = src / f"{idx:03d}.parquet"
+        shutil.copy(part, dst)
+        _os.utime(dst, (now + idx * 10, now + idx * 10))
+
+    def run_drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            sessionize_stream(stream, gap_s=gap_s, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sess_out"))
+            .option("checkpointLocation", str(tmp_path / "ck_restart"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drop(0, s1[:4])       # first half of session 1
+    run_drain()           # drains, stops — session 1 still OPEN in state
+    drop(1, s1[4:])       # rest of session 1
+    drop(2, s2)           # second session
+    drop(3, sentinel)     # advances watermark → closes everything
+    run_drain()           # RESTART from checkpoint
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(str(tmp_path / "sess_out")).collect()
+        if r.user_id == 7
+    }
+    exp = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(spark.createDataFrame(all_rows, schema), gap_s).collect()
+    }
+    assert len(exp) == 2  # the long session + the later one
+    assert got == exp     # no split at the restart boundary

@@ -93,17 +93,25 @@ def decode_image_stub(
 
 
 def extract_image_features(
-    pages_with_media: DataFrame, strict: bool = False
+    pages_with_media: DataFrame,
+    strict: bool = False,
+    tolerate_errors: bool = False,
 ) -> DataFrame:
     """Decode → per-image luma statistics (mean/std/p50) + aspect ratio.
 
     Arrow-batched mapInPandas; only image rows are decoded (filter pushed
     before the Python stage so video/audio rows never cross the boundary).
-    """
+
+    `tolerate_errors=True` gives poisoned-row isolation: a corrupt payload
+    yields a row with NULL stats and the error class in `decode_error`
+    instead of failing the task — at 10^12 pages a handful of truncated
+    blobs must not kill a stage (retries would re-hit the same bytes).
+    With tolerate_errors=False (default) decode errors propagate."""
     imgs = pages_with_media.where(F.col("media.media_type").startswith("image"))
     schema = (
         "url string, media_type string, width int, height int, "
-        "luma_mean double, luma_std double, luma_p50 double, aspect double"
+        "luma_mean double, luma_std double, luma_p50 double, aspect double, "
+        "decode_error string"
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,15 +119,24 @@ def extract_image_features(
             if len(pdf) == 0:
                 continue
             m = pdf["media"]
-            means, stds, p50s = [], [], []
+            means, stds, p50s, errs = [], [], [], []
             for rec in m:
-                raster = decode_image_stub(
-                    bytes(rec["payload"]), int(rec["width"]), int(rec["height"]),
-                    strict,
-                )
-                means.append(float(raster.mean()))
-                stds.append(float(raster.std()))
-                p50s.append(float(np.median(raster)))
+                try:
+                    raster = decode_image_stub(
+                        bytes(rec["payload"]), int(rec["width"]), int(rec["height"]),
+                        strict,
+                    )
+                    means.append(float(raster.mean()))
+                    stds.append(float(raster.std()))
+                    p50s.append(float(np.median(raster)))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — poisoned-row isolation
+                    if not tolerate_errors:
+                        raise
+                    means.append(None)
+                    stds.append(None)
+                    p50s.append(None)
+                    errs.append(type(e).__name__)
             yield pd.DataFrame({
                 "url": pdf["url"],
                 "media_type": [r["media_type"] for r in m],
@@ -129,6 +146,7 @@ def extract_image_features(
                 "luma_std": stds,
                 "luma_p50": p50s,
                 "aspect": [r["width"] / r["height"] for r in m],
+                "decode_error": errs,
             })
 
     return imgs.select("url", "media").mapInPandas(kernel, schema=schema)

@@ -176,3 +176,32 @@ def test_strict_mode_decodes_real_png():
     assert np.array_equal(got, a)
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\xff\xd8\xff\xe0 fake jpeg bytes", 4, 4, strict=True)
+
+
+def test_poisoned_row_isolation(spark):
+    """tolerate_errors=True: one corrupt PNG in a batch yields a NULL-stat
+    row with the error class, the rest decode normally; the default mode
+    still propagates."""
+    from osmgraft.multimodal.png import PNG_MAGIC, encode_png_gray
+
+    good = encode_png_gray(np.full((4, 4), 7, dtype=np.uint8))
+    corrupt = PNG_MAGIC + b"\x00\x00\x00\x0dIHDRgarbagegarbage!!"
+    rows = [
+        ("https://ok", ("image/png", 4, 4, None, None, None, good)),
+        ("https://bad", ("image/png", 4, 4, None, None, None, corrupt)),
+    ]
+    schema = (
+        "url string, media struct<media_type:string,width:int,height:int,"
+        "n_frames:int,sample_rate:int,duration_ms:int,payload:binary>"
+    )
+    pages = spark.createDataFrame(rows, schema)
+    out = {
+        r.url: (r.luma_mean, r.decode_error)
+        for r in extract_image_features(
+            pages, strict=True, tolerate_errors=True
+        ).collect()
+    }
+    assert out["https://ok"] == (7.0, None)
+    assert out["https://bad"][0] is None and out["https://bad"][1] == "ValueError"
+    with pytest.raises(Exception):
+        extract_image_features(pages, strict=True).collect()

@@ -83,3 +83,53 @@ def weekly_markdown_report(
                   f"Found {s['found']}/{s['total_known']} "
                   f"({s['coverage_pct']}%) of the ground-truth suppliers."]
     return "\n".join(lines) + "\n"
+
+
+def export_geojson_tiles(
+    tiles: DataFrame,
+    path: str,
+    n_vertices: int,
+    lat_prefix: str = "vlat",
+    lng_prefix: str = "vlng",
+    properties: list[str] | None = None,
+) -> None:
+    """GeoJSON FeatureCollection sink for the vector-tile outputs
+    (hex_tile_vectors / s2_tile_vectors): each row's corner columns
+    (<lat_prefix>{0..n-1}, <lng_prefix>{0..n-1}) become one closed Polygon
+    feature with the remaining columns as properties — the GIS-ready end
+    of the raster→vector chain (north-star 'raster-to-vector tile
+    aggregation'; reference CSV exports, 08_export_results.sh).
+
+    Feature JSON is built executor-side with to_json (JVM), written as one
+    JSON line per feature (a scale-safe 'GeoJSONSeq'); the driver only
+    wraps the collection envelope for the single-file form."""
+    props = properties or [
+        c
+        for c in tiles.columns
+        if not (c.startswith(lat_prefix) or c.startswith(lng_prefix))
+    ]
+    ring = F.array(
+        *[
+            F.array(F.col(f"{lng_prefix}{k}"), F.col(f"{lat_prefix}{k}"))
+            for k in range(n_vertices)
+        ],
+        F.array(F.col(f"{lng_prefix}0"), F.col(f"{lat_prefix}0")),  # close
+    )
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Polygon").alias("type"),
+                F.array(ring).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(*[F.col(c).alias(c) for c in props]).alias("properties"),
+        )
+    )
+    lines = [r[0] for r in tiles.select(feature).collect()]
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(
+        '{"type": "FeatureCollection", "features": [\n'
+        + ",\n".join(lines)
+        + "\n]}\n"
+    )

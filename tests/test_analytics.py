@@ -194,3 +194,27 @@ def test_hll_sketch_error_bound_and_merge(spark):
     ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
     exact_total = ev.select(F.countDistinct("user_id")).head()[0]
     assert abs(total.est_distinct - exact_total) / exact_total < 0.05
+
+
+def test_export_geojson_tiles(spark, tmp_path):
+    """Round-2 GeoJSON sink: vector-tile rows (counts + corner columns)
+    become valid closed-Polygon features with properties."""
+    import json as _json
+
+    from osmgraft.contract_cells import s2_tile_vectors
+    from osmgraft.sources import export_geojson_tiles
+    from tests.conftest import SF_CORRECT
+
+    tiles = s2_tile_vectors(spark, SF_CORRECT).limit(20)
+    out = tmp_path / "tiles.geojson"
+    export_geojson_tiles(tiles, str(out), n_vertices=4)
+    doc = _json.loads(out.read_text())
+    assert doc["type"] == "FeatureCollection"
+    assert len(doc["features"]) == 20
+    f = doc["features"][0]
+    assert f["geometry"]["type"] == "Polygon"
+    ring = f["geometry"]["coordinates"][0]
+    assert len(ring) == 5 and ring[0] == ring[-1]  # closed quad
+    assert {"s2_cell", "n"} <= set(f["properties"])
+    lng, lat = ring[0]
+    assert -9 < lng < 3 and 48 < lat < 61  # UK window

@@ -250,6 +250,79 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(_media_pages(spark, sf_dir)).orderBy("url")
 
 
+_TH = 8  # thumbnail side
+
+
+@q(
+    "media_thumbnail_checksums",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      CAST(32 + doc_id % 48 AS INT) AS width,
+                      CAST(24 + doc_id % 36 AS INT) AS height
+               FROM documents WHERE doc_id % {_PNG_MOD} = 0),
+         px AS (SELECT doc_id, width, height, ty, tx,
+                       -- nearest-neighbor source pixel: (ty*h/T, tx*w/T)
+                       ((ty * height) // {_TH}) * width + ((tx * width) // {_TH}) AS k
+                FROM d,
+                     UNNEST(range(0, {_TH})) AS a(ty),
+                     UNNEST(range(0, {_TH})) AS b(tx)),
+         v AS (SELECT doc_id, ty, tx,
+                      (doc_id * {_PNG_A} + k * {_PNG_B}) % 256 AS val
+               FROM px)
+    SELECT doc_id,
+           CAST(SUM(val) AS BIGINT) AS thumb_sum,
+           CAST(SUM(val * (ty * {_TH} + tx)) AS BIGINT) AS thumb_checksum
+    FROM v GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def media_thumbnail_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail path, oracle-paired (round-2): PNG-encode the
+    deterministic raster, decode through the real codec, nearest-neighbor
+    resize to {_TH}×{_TH} (resize_images' exact index rule
+    yi = ty·h // T), and checksum the thumbnail PIXELS. The oracle
+    recomputes the resize index arithmetic and the raster formula in SQL
+    — equality proves decode + resize reproduce every sampled pixel at
+    its position."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _PNG_MOD == 0
+    ).select("doc_id")
+    schema = "doc_id long, thumb_sum long, thumb_checksum long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from osmgraft.multimodal.media import decode_image_stub
+        from osmgraft.multimodal.png import encode_png_gray
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"doc_id": [], "thumb_sum": [], "thumb_checksum": []}
+            w_idx = np.arange(_TH)
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 32 + d % 48, 24 + d % 36
+                k = np.arange(w * h, dtype=np.int64)
+                raster = ((d * _PNG_A + k * _PNG_B) % 256).astype(np.uint8)
+                decoded = decode_image_stub(
+                    encode_png_gray(raster.reshape(h, w)), w, h, strict=True
+                )
+                yi = (w_idx * decoded.shape[0] // _TH)
+                xi = (w_idx * decoded.shape[1] // _TH)
+                thumb = decoded[np.ix_(yi, xi)].astype(np.int64)
+                pos = np.arange(_TH * _TH).reshape(_TH, _TH)
+                out["doc_id"].append(d)
+                out["thumb_sum"].append(int(thumb.sum()))
+                out["thumb_checksum"].append(int((thumb * pos).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, schema=schema).orderBy("doc_id")
+
+
 @q("media_thumbnails")  # binary output: rows-only check
 def media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode(stub) → 16×16 nearest-neighbor thumbnails (binary out)."""

@@ -64,13 +64,23 @@ def main() -> None:
 
     # training-data hygiene stage: exact text dedup BEFORE extraction —
     # duplicate pages never pay the Arrow extraction cost; the dedup
-    # report (per-digest duplicate counts) ships with the outputs. The
-    # shuffle carries only (url, 16-byte digest), never page text.
-    from osmgraft.text.dedup import exact_dedup
+    # report (per-digest duplicate counts) ships with the outputs.
+    # Duplicate DECISIONS are made on a slim (url, 16-byte digest)
+    # projection, so the digest-keyed shuffle never carries page bodies;
+    # the final anti-join is the only place text can move, at most once
+    # (and Spark broadcasts the duplicate-url set when it is small).
+    from pyspark.sql import Window
 
-    deduped = exact_dedup(pages, id_col="url", text_col="text")
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    slim = pages.select("url", digest.alias("text_digest"))
+    w = Window.partitionBy("text_digest").orderBy("url")
+    flags = (
+        slim.withColumn("_rn", F.row_number().over(w))
+        .withColumn("is_duplicate", F.col("_rn") > 1)
+        .drop("_rn")
+    )
     dedup_report = (
-        deduped.groupBy("text_digest")
+        flags.groupBy("text_digest")
         .agg(
             F.count("*").alias("n_pages"),
             F.sum(F.col("is_duplicate").cast("int")).alias("n_dropped"),
@@ -78,7 +88,8 @@ def main() -> None:
         .where(F.col("n_dropped") > 0)
     )
     dedup_report.write.mode("overwrite").parquet(f"{args.out}/dedup_report")
-    pages = deduped.where(~F.col("is_duplicate")).drop("text_digest", "is_duplicate")
+    dup_urls = flags.where(F.col("is_duplicate")).select("url")
+    pages = pages.join(dup_urls, "url", "left_anti")
 
     features = widen_features(extract_features(pages))
     if args.diagnostics:

@@ -39,20 +39,34 @@ def asof_join(
     matches (<= semantics, mirroring DuckDB `ASOF JOIN ... ON l.ts >= r.ts`).
     """
     lcols = [c for c in left.columns]
+    # the carried payload is ONE struct so a matched right row whose value
+    # column happens to be NULL still wins (last-ignorenulls over separate
+    # value columns would skip it and fall back to an OLDER right row,
+    # silently mixing fields from two different matches)
+    carrier_t = (
+        "struct<_r_ts:"
+        + right.schema[right_ts].dataType.simpleString()
+        + ","
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        )
+        + ">"
+    )
     l2 = left.select(
         *lcols,
         F.col(left_ts).alias("_asof_ts"),
         F.lit(0).alias("_is_r"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        F.lit(None).cast(carrier_t).alias("_carrier"),
     )
     r2 = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
         *on,
         F.col(right_ts).alias("_asof_ts"),
         F.lit(1).alias("_is_r"),
-        *value_cols,
-        F.col(right_ts).alias("_r_ts"),
+        F.struct(
+            F.col(right_ts).alias("_r_ts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("_carrier"),
     )
     u = l2.unionByName(r2)
     w = (
@@ -63,7 +77,13 @@ def asof_join(
     filled = u.select(
         *lcols,
         F.col("_is_r"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("matched_ts"),
+        F.last("_carrier", ignorenulls=True).over(w).alias("_m"),
     )
-    return filled.where(F.col("_is_r") == 0).drop("_is_r")
+    return (
+        filled.where(F.col("_is_r") == 0)
+        .select(
+            *lcols,
+            *[F.col(f"_m.{c}").alias(c) for c in value_cols],
+            F.col("_m._r_ts").alias("matched_ts"),
+        )
+    )

@@ -157,15 +157,18 @@ def ivf_train_codebook(
     if len(X) < n_lists:
         raise ValueError("training sample smaller than n_lists; lower sample_mod")
     C = X[:n_lists].copy()
+    # floor(v*10^p + 0.5)/10^p on BOTH engines — np.round is banker's and
+    # DuckDB ROUND is half-away-from-zero, so ties at the rounding
+    # boundary would diverge (the round-1 cube-round lesson)
     for _ in range(n_iter):
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-        sims = np.round(Xn @ Cn.T, 5)
+        sims = np.floor((Xn @ Cn.T) * 1e5 + 0.5) / 1e5
         assign = np.argmax(sims, axis=1)  # first max ⇒ lowest cid on ties
         for c in range(n_lists):
             members = X[assign == c]
             if len(members):
-                C[c] = np.round(members.mean(axis=0), 6)
+                C[c] = np.floor(members.mean(axis=0) * 1e6 + 0.5) / 1e6
     return [(c + 1, [float(x) for x in C[c]]) for c in range(n_lists)]
 
 
@@ -193,11 +196,11 @@ def ivf_train_sql(
         parts.append(
             f"a{it} AS (SELECT t.vid, t.v, p.cid FROM train t CROSS JOIN {prev} p "
             f"QUALIFY ROW_NUMBER() OVER (PARTITION BY t.vid ORDER BY "
-            f"ROUND(list_cosine_similarity(t.v, p.c), 5) DESC, p.cid) = 1)"
+            f"FLOOR(list_cosine_similarity(t.v, p.c) * 100000 + 0.5) DESC, p.cid) = 1)"
         )
         parts.append(
             f"m{it} AS (SELECT cid, LIST(mv ORDER BY dim) AS c FROM ("
-            f"SELECT cid, dim, ROUND(AVG(val), 6) AS mv FROM ("
+            f"SELECT cid, dim, FLOOR(AVG(val) * 1000000 + 0.5) / 1000000 AS mv FROM ("
             f"SELECT cid, UNNEST(v) AS val, UNNEST(range(1, len(v) + 1)) AS dim "
             f"FROM a{it}) GROUP BY cid, dim) GROUP BY cid)"
         )

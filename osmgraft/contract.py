@@ -1033,14 +1033,25 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         x = pdf["xs"].to_numpy()
         y = pdf["value"].to_numpy()
         xc = x - x.mean()
-        slope = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+        den = float((xc * xc).sum())
+        if den == 0.0:  # zero variance ⇒ regr_slope is NULL
+            slope_r = None
+        else:
+            slope = float((xc * (y - y.mean())).sum() / den) * 1e6
+            # half-AWAY-from-zero to match DuckDB ROUND (Python round()
+            # is banker's — the documented cross-engine tie trap)
+            slope_r = math.copysign(
+                math.floor(abs(slope) * 1e6 + 0.5) / 1e6, slope
+            )
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
-                "slope_per_ms": [round(slope * 1e6, 6)],
+                "slope_per_ms": [slope_r],
                 "n": [len(pdf)],
             }
         )

@@ -163,7 +163,10 @@ def _s2_assign_cte(level: int) -> str:
                                + (((p.j >> {k * 4}) & 15) << 2))"""
     sql += f""",
          asgn AS (SELECT event_id, i, j, (h0.n >> 60) AS face,
-                         (((h0.n * 2 + 1) & -{lsb}) | {lsb}) AS s2_cell
+                         -- shift, not *2: faces 4/5 put a bit in position
+                         -- 62 and signed multiply would overflow; << wraps
+                         -- bitwise exactly like the uint64 kernel
+                         ((((h0.n << 1) | 1) & -{lsb}) | {lsb}) AS s2_cell
                   FROM h0)"""
     return sql
 

@@ -505,7 +505,10 @@ def s2_cell_col(lat: Column, lng: Column, level: int) -> Column:
     # free
     lut = F.lit([int(val) for val in _LOOKUP_POS])
     bits = face.cast("long").bitwiseAND(F.lit(1))
-    n = face.cast("long") * F.lit(1 << 60)
+    # shifts, not multiplies: faces 4/5 reach bit 62 and the final leaf
+    # step touches bit 63 — signed multiply would overflow where the
+    # uint64 kernel wraps; shiftleft wraps bitwise identically
+    n = F.shiftleft(face.cast("long"), 60)
     for k in range(7, -1, -1):
         idx = (
             bits
@@ -515,7 +518,7 @@ def s2_cell_col(lat: Column, lng: Column, level: int) -> Column:
         val = F.element_at(lut, (idx + 1).cast("int")).cast("long")
         n = n.bitwiseOR(F.shiftleft(F.shiftright(val, 2), k * 8))
         bits = val.bitwiseAND(F.lit(3))
-    leaf = n * 2 + 1
+    leaf = F.shiftleft(n, 1).bitwiseOR(F.lit(1))
     lsb = lsb_for_level(level)
     return leaf.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
 

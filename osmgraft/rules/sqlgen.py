@@ -27,10 +27,13 @@ def _sql_pred(rule: ScoreRule) -> str:
     if rule.kind == "not_null":
         return f"{rule.column} IS NOT NULL"
     if rule.kind == "gt":
-        # integral thresholds as INT literals (DuckDB types bare decimals as
-        # DECIMAL, not DOUBLE — see hexgrid.lit_sql for the 1-ulp trap)
+        # integral thresholds as INT literals; fractional ones through
+        # lit_sql (DuckDB types bare decimals as DECIMAL — 1-ulp trap —
+        # and lit_sql guards reprs that already carry an exponent)
+        from osmgraft.geo.hexgrid import lit_sql
+
         v = rule.value
-        lit = str(int(v)) if float(v) == int(v) else f"{v!r}e0"
+        lit = str(int(v)) if float(v) == int(v) else lit_sql(float(v))
         return f"{rule.column} > {lit}"
     if rule.kind == "any_of":
         return "(" + " OR ".join(_sql_pred(c) for c in rule.children) + ")"

@@ -87,6 +87,21 @@ class TableIO:
         if self.use_iceberg:
             from pyspark.sql import functions as F
 
+            # refuse rather than silently degrade: the writeTo API exposes
+            # only single-transform bucketing here, and within-bucket sort
+            # needs a table sort-order DDL — callers relying on multi-key
+            # co-location or sorted runs must not get a different layout
+            if len(bucket_by) != 1:
+                raise NotImplementedError(
+                    "Iceberg path supports a single bucket column "
+                    f"(got {bucket_by!r}); pre-combine keys or use the "
+                    "parquet path"
+                )
+            if sort_by:
+                raise NotImplementedError(
+                    "Iceberg path does not apply sort_by (needs a table "
+                    "sort-order); drop sort_by or use the parquet path"
+                )
             w = df.writeTo(self._ident(name)).partitionedBy(
                 F.bucket(n_buckets, F.col(bucket_by[0]))
             )

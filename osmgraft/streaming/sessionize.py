@@ -48,11 +48,14 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
+from pyspark.sql.types import ArrayType
+
 _STATE_SCHEMA = StructType(
     [
         StructField("start_us", LongType()),
         StructField("last_us", LongType()),
         StructField("count", IntegerType()),
+        StructField("pend_us", ArrayType(LongType())),
     ]
 )
 
@@ -88,9 +91,15 @@ def sessionize_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:
 def sessionize_stream(events: DataFrame, gap_s: int = 1800, watermark: str = "0 seconds") -> DataFrame:
     """Streaming twin via applyInPandasWithState (EventTimeTimeout).
 
-    Emits a session row when it CLOSES: either a same-user event arrives
-    more than gap_s after the open session's last event, or the watermark
-    passes last_ts + gap_s (timeout — no in-order event can extend it)."""
+    Disorder-tolerant: arriving events are BUFFERED in per-key state and
+    only folded into sessions once the watermark has passed them — at
+    that point no earlier event can still arrive (watermark contract), so
+    fold order equals event-time order and the result matches the batch
+    twin under any bounded disorder the watermark delay admits. A session
+    emits when a folded gap exceeds gap_s, or when the watermark passes
+    last_ts + gap_s (no future event, which must carry ts > watermark,
+    can extend it). State per key: the open-session triple + the pending
+    timestamp buffer (bounded by events inside the watermark delay)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_s * 1_000_000
@@ -99,40 +108,58 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800, watermark: str = "0 
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        out: list[tuple[int, int, int, int]] = []  # (user, start_us, last_us, n)
-        if state.hasTimedOut:
-            start_us, last_us, count = state.get
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        if state.exists:
+            start_us, last_us, count, pend = state.get
+            pend = list(pend or [])
+        else:
+            start_us, last_us, count, pend = None, None, 0, []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf):
+                    # normalize to µs (Arrow hands pandas datetime64[ns])
+                    pend.extend(
+                        pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+                    )
+        pend.sort()
+        ripe = [t for t in pend if t <= wm_us]
+        rest = [t for t in pend if t > wm_us]
+        out: list[tuple[int, int, int, int]] = []
+        for t in ripe:  # sorted; all > last_us (last_us was sealed earlier)
+            if start_us is None:
+                start_us, last_us, count = t, t, 1
+            elif t // 1_000_000 - last_us // 1_000_000 > gap_s:
+                # whole-second gap rule — identical to the batch twin
+                out.append((user_id, start_us, last_us, count))
+                start_us, last_us, count = t, t, 1
+            else:
+                last_us = t
+                count += 1
+        if (
+            start_us is not None
+            and wm_us // 1_000_000 - last_us // 1_000_000 > gap_s
+        ):
             out.append((user_id, start_us, last_us, count))
+            start_us, last_us, count = None, None, 0
+        if start_us is None and not rest:
             state.remove()
         else:
-            if state.exists:
-                start_us, last_us, count = state.get
-            else:
-                start_us = None
-                last_us = None
-                count = 0
-            rows = pd.concat(list(pdfs))
-            rows = rows.sort_values(["ts", "event_id"])
-            # normalize to µs (Arrow hands pandas datetime64[ns])
-            us = rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-            # whole-second gap rule — identical to the batch twin
-            secs = us // 1_000_000
-            for i in range(len(rows)):
-                if start_us is None:
-                    start_us, last_us, count = int(us[i]), int(us[i]), 1
-                elif secs[i] - (last_us // 1_000_000) > gap_s:
-                    out.append((user_id, start_us, last_us, count))
-                    start_us, last_us, count = int(us[i]), int(us[i]), 1
-                else:
-                    last_us = int(us[i])
-                    count += 1
-            state.update((int(start_us), int(last_us), int(count)))
-            # the watermark may already have passed last_ts + gap (e.g. a
-            # later batch advanced it before this user's slice processed):
-            # clamp so the timeout fires on the very next micro-batch
-            desired = last_us // 1000 + gap_s * 1000 + 1000
+            state.update(
+                (
+                    None if start_us is None else int(start_us),
+                    None if last_us is None else int(last_us),
+                    int(count),
+                    [int(t) for t in rest],
+                )
+            )
+            wake_us = []
+            if start_us is not None:
+                wake_us.append(last_us + gap_us)
+            if rest:
+                wake_us.append(min(rest))
             state.setTimeoutTimestamp(
-                max(desired, state.getCurrentWatermarkMs() + 1)
+                max(min(wake_us) // 1000 + 1000, wm_ms + 1)
             )
         if out:
             yield pd.DataFrame(

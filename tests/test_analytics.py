@@ -218,3 +218,17 @@ def test_export_geojson_tiles(spark, tmp_path):
     assert {"s2_cell", "n"} <= set(f["properties"])
     lng, lat = ring[0]
     assert -9 < lng < 3 and 48 < lat < 61  # UK window
+
+
+def test_asof_join_null_value_row_still_matches(spark):
+    """Review finding (round-2): a matched right row whose VALUE is NULL
+    must win (value NULL, matched_ts of that row) — not fall back to an
+    older right row's value."""
+    from osmgraft.analytics.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", 12)], "lid long, k string, lt long")
+    right = spark.createDataFrame(
+        [("k", 5, 3.0), ("k", 10, None)], "k string, rt long, val double"
+    )
+    r = asof_join(left, right, ["k"], "lt", "rt", ["val"]).collect()[0]
+    assert r.matched_ts == 10 and r.val is None

@@ -308,3 +308,65 @@ def test_sessionize_checkpoint_restart_preserves_state(spark, tmp_path):
     }
     assert len(exp) == 2  # the long session + the later one
     assert got == exp     # no split at the restart boundary
+
+
+def test_sessionize_out_of_order_within_watermark(spark, tmp_path):
+    """Review finding (round-2): an older-but-not-late event arriving in a
+    later micro-batch (inside the watermark delay) must fold in event-time
+    order — sessions must equal the batch twin, never emit end < start,
+    and never split at the disorder point."""
+    import datetime as dt
+    import os as _os
+    import shutil
+    import time as _time
+
+    from osmgraft.streaming.sessionize import sessionize_batch, sessionize_stream
+
+    gap_s = 1800
+    base = dt.datetime(2024, 6, 1, 10, 0)
+    schema = "event_id long, ts timestamp, user_id long"
+    b1 = [(1, base, 5), (2, base + dt.timedelta(minutes=10), 5)]
+    # out-of-order: 09:50 arrives AFTER 10:10 but within the 30-min delay
+    b2 = [(3, base - dt.timedelta(minutes=10), 5),
+          (4, base + dt.timedelta(minutes=35), 5)]
+    sentinel = [(9, base + dt.timedelta(days=30), 999)]
+    all_rows = b1 + b2
+
+    src = tmp_path / "ooo_src"
+    src.mkdir()
+    now = _time.time()
+    for idx, rows in enumerate([b1, b2, sentinel]):
+        tmpd = tmp_path / f"ooo_w{idx}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmpd))
+        dst = src / f"{idx:03d}.parquet"
+        shutil.copy(next(tmpd.glob("*.parquet")), dst)
+        _os.utime(dst, (now + idx * 10, now + idx * 10))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_s=gap_s, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("ooo_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ooo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM ooo_sessions").collect()
+        if r.user_id == 5
+    }
+    for _, s, e, _n in got:
+        assert s <= e  # no inverted sessions
+    exp = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(spark.createDataFrame(all_rows, schema), gap_s).collect()
+    }
+    assert exp == {(5, b2[0][1], b2[1][1], 4)}  # one session 09:50→10:35
+    assert got == exp

@@ -113,3 +113,66 @@ def streaming_hex_tile_counts(
         .agg(F.count("*").alias("n"))
         .select(F.col("win.start").alias("window_start"), "hex_cell", "n")
     )
+
+
+def streaming_dedup_pages(
+    pages: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exactly-once URL dedup: dropDuplicatesWithinWatermark
+    keeps state only for the watermark horizon, so the dedup state is
+    bounded (a plain dropDuplicates on an unbounded stream grows state
+    forever — the 10^12-page killer). Re-crawls of a url inside the
+    horizon are suppressed; the batch exact-dedup stage remains the
+    cross-horizon guarantee."""
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
+def incremental_tile_counts(
+    pages_stream: DataFrame,
+    spec: GridSpec,
+    res: int,
+    out_dir: str,
+    checkpoint: str,
+    query_name: str = "tiles_incremental",
+):
+    """Incremental materialized tile rollup via foreachBatch: each
+    micro-batch's per-cell counts MERGE-ADD into a running table — the
+    incremental-view-maintenance shape (a dashboard reads fresh totals
+    without rescanning history). The merge here is read+union+rewrite of
+    the (tiny, aggregated) tile table; with an Iceberg catalog the same
+    hook issues MERGE INTO instead. State in the stream itself stays
+    zero — aggregation happens per batch, history lives in the table."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.extract import extract_features
+    from osmgraft.geo.cells import with_cell
+
+    feats = extract_features(pages_stream)
+    cells = with_cell(
+        feats.where(F.col("x").isNotNull()), "x", "y", spec, res,
+        out="cell", keep_ixy=False,
+    ).select("cell")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy("cell").agg(F.count("*").alias("n"))
+        try:
+            current = spark.read.parquet(out_dir)
+            merged = (
+                current.unionByName(delta)
+                .groupBy("cell")
+                .agg(F.sum("n").alias("n"))
+            )
+        except Exception:  # first batch: no table yet
+            merged = delta
+        merged.localCheckpoint().write.mode("overwrite").parquet(out_dir)
+
+    return (
+        cells.writeStream.foreachBatch(merge_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -370,3 +370,62 @@ def test_sessionize_out_of_order_within_watermark(spark, tmp_path):
     }
     assert exp == {(5, b2[0][1], b2[1][1], 4)}  # one session 09:50→10:35
     assert got == exp
+
+
+def test_streaming_dedup_within_watermark(spark, pages_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: re-delivered urls inside the horizon
+    are suppressed — the streamed distinct-url count equals the batch
+    distinct count on doubled input."""
+    from osmgraft.streaming.pages_stream import streaming_dedup_pages
+
+    import shutil
+
+    dup_dir = tmp_path / "dup_pages"
+    dup_dir.mkdir()
+    i = 0
+    for f in sorted(__import__("pathlib").Path(pages_dir).glob("*.parquet")):
+        for _ in range(2):  # every file delivered twice
+            shutil.copy(f, dup_dir / f"{i:03d}.parquet")
+            i += 1
+    stream = read_pages_stream(spark, str(dup_dir), max_files=3)
+    q = (
+        streaming_dedup_pages(stream, watermark="10 days")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_stream = spark.sql("SELECT COUNT(DISTINCT url) c FROM dedup_stream").head()["c"]
+    n_rows = spark.sql("SELECT COUNT(*) c FROM dedup_stream").head()["c"]
+    n_batch = spark.read.parquet(pages_dir).select("url").distinct().count()
+    assert n_stream == n_batch
+    assert n_rows == n_batch  # exact suppression, not just distinct-at-read
+
+
+def test_incremental_tile_counts_match_batch(spark, pages_dir, tmp_path):
+    """foreachBatch merge-add rollup: the accumulated tile table equals
+    the one-shot batch rollup over the same input."""
+    from osmgraft.extract import extract_features
+    from osmgraft.geo.cells import with_cell
+    from osmgraft.streaming.pages_stream import incremental_tile_counts
+
+    stream = read_pages_stream(spark, pages_dir, max_files=2)
+    out = str(tmp_path / "tiles_inc")
+    q = incremental_tile_counts(
+        stream, SPEC, 5, out, str(tmp_path / "ck_inc")
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.cell): r.n for r in spark.read.parquet(out).collect()
+    }
+    feats = extract_features(spark.read.parquet(pages_dir))
+    cells = with_cell(feats.where(F.col("x").isNotNull()), "x", "y", SPEC, 5,
+                      out="cell", keep_ixy=False)
+    exp = {
+        (r.cell): r.n
+        for r in cells.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exp and len(got) > 0

@@ -1,5 +1,7 @@
 from osmgraft.streaming.pages_stream import (
+    incremental_tile_counts,
     read_pages_stream,
+    streaming_dedup_pages,
     streaming_hex_tile_counts,
     streaming_scored_counts,
     streaming_tile_counts,
@@ -10,7 +12,9 @@ from osmgraft.streaming.sessionize import (
 )
 
 __all__ = [
+    "incremental_tile_counts",
     "read_pages_stream",
+    "streaming_dedup_pages",
     "sessionize_batch",
     "sessionize_stream",
     "streaming_hex_tile_counts",

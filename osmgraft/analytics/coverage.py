@@ -29,9 +29,12 @@ def coverage_report(candidates: DataFrame, known: DataFrame) -> DataFrame:
         j.groupBy("company_name", "location", "postcode_prefix", "expected_score")
         .agg(
             F.max("aerospace_score").alias("aerospace_score"),
-            F.max_by("tier_classification", "aerospace_score").alias(
-                "tier_classification"
-            ),
+            # deterministic tiebreak: max_by on score alone is partition-
+            # order dependent when two candidates tie on score with
+            # different tiers (round-2 fix) — order by (score, tier)
+            F.max(
+                F.struct(F.col("aerospace_score"), F.col("tier_classification"))
+            )["tier_classification"].alias("tier_classification"),
         )
         .withColumn(
             "status",

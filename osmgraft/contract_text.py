@@ -50,7 +50,9 @@ def _lang_score_sql(lang: str) -> str:
 
 
 _LANG_ID_ORACLE = f"""
-WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
+WITH p AS (SELECT doc_id,
+                  ' ' || replace(lower(text), ' ', '  ') || ' ' AS padded
+           FROM documents),
      s AS (SELECT doc_id,
            {', '.join(f'{_lang_score_sql(lg)} AS score_{lg}' for lg in LANG_MARKERS)}
            FROM p),
@@ -67,22 +69,27 @@ FROM g ORDER BY doc_id
 _STOP_SQL = " + ".join(_hits_sql(w) for w in STOPWORDS)
 
 _QUALITY_ORACLE = f"""
-WITH p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM documents),
+WITH p AS (SELECT doc_id, text,
+                  ' ' || replace(lower(text), ' ', '  ') || ' ' AS padded
+           FROM documents),
      b AS (SELECT doc_id,
                   length(text) AS n_chars,
                   len(string_split(text, ' ')) AS n_tokens,
                   ({_STOP_SQL}) AS stop_hits,
                   length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS n_alpha
-           FROM p)
+           FROM p),
+     r AS (SELECT *, CASE WHEN n_chars > 0
+                          THEN n_alpha / CAST(n_chars AS DOUBLE)
+                          ELSE 0.0 END AS alpha FROM b)
 SELECT doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        ROUND(n_chars / n_tokens, 4) AS mean_token_len,
        ROUND(stop_hits / n_tokens, 4) AS stopword_ratio,
-       ROUND(n_alpha / n_chars, 4) AS alpha_ratio,
+       ROUND(alpha, 4) AS alpha_ratio,
        ROUND(LEAST(1.0, n_tokens / 64.0) * 0.4
              + LEAST(1.0, (stop_hits / n_tokens) * 5.0) * 0.2
-             + (n_alpha / n_chars) * 0.4, 4) AS quality_score
-FROM b ORDER BY doc_id
+             + alpha * 0.4, 4) AS quality_score
+FROM r ORDER BY doc_id
 """
 
 

@@ -44,7 +44,12 @@ def _extract_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kind = t.str.extract(r"kind=(\w+)", expand=False)
         tail = parts.str[-1]
 
-        def parse_tags(s: str) -> dict:
+        def parse_tags(s) -> dict:
+            # NULL text rows reach here as NaN through the .str chain —
+            # a crawl row with no extracted text must not kill the task
+            # (round-2 fix)
+            if not isinstance(s, str):
+                return {}
             out = {}
             for tok in s.split(" "):
                 if "=" in tok:

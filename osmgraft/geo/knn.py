@@ -34,16 +34,18 @@ def dwithin_semi_join(
     small_y: str = "y",
 ) -> DataFrame:
     """Rows of `big` having at least one `small` row within `radius`
-    (ST_DWithin EXISTS semantics). Left-semi ⇒ no duplication of `big`."""
+    (ST_DWithin EXISTS semantics). True left-semi with the distance
+    predicate IN the join condition — round-2 fix: the previous
+    inner-join + distinct() silently collapsed legitimately duplicate
+    `big` rows (and paid a full-width global distinct shuffle)."""
     expanded = _expand_small(small, spec, res, radius, small_x, small_y)
     keyed = with_cell(big, big_x, big_y, spec, res, out="_cell", keep_ixy=False)
-    joined = keyed.join(
-        F.broadcast(expanded), keyed["_cell"] == expanded["_kcell"], "inner"
-    ).where(
-        (keyed[big_x] - expanded["_sx"]) ** 2 + (keyed[big_y] - expanded["_sy"]) ** 2
+    cond = (keyed["_cell"] == expanded["_kcell"]) & (
+        (keyed[big_x] - expanded["_sx"]) ** 2
+        + (keyed[big_y] - expanded["_sy"]) ** 2
         <= radius * radius
     )
-    return joined.select(*[keyed[c] for c in big.columns]).distinct()
+    return keyed.join(F.broadcast(expanded), cond, "left_semi").drop("_cell")
 
 
 def knn_join(

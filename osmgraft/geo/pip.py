@@ -304,6 +304,17 @@ def pip_join(
         return points.mapInPandas(assign, schema=out_schema)
 
     spec = spec or GridSpec()
+    if res > 8:
+        # the hybrid path builds a dense 4^res driver cell map and ships
+        # it as py4j tuples — ~1M tuples at res 10 is minutes of driver
+        # stall (the round-1 createDataFrame lesson). Finer grids should
+        # go executor-side (hexgrid.hex_polyfill_df pattern) or use the
+        # pure-Arrow path (hybrid=False).
+        raise ValueError(
+            f"pip_join hybrid path: res={res} materializes a 4^{res}-cell "
+            "driver map; use res <= 8, hybrid=False, or an executor-side "
+            "cover"
+        )
     cells, cell_assign, is_boundary = classify_cells(tree, ids, spec, res)
     # plain-tuple rows: must not depend on the session's Arrow conversion
     # config (the harness may hand us a vanilla SparkSession)

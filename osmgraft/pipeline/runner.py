@@ -28,17 +28,6 @@ from osmgraft.rules.reference_rules import PRIORITY_ORDER
 MANIFEST = "_manifest.json"
 
 
-def _partition_lineage(df: DataFrame) -> list[dict]:
-    """Row count per physical partition via spark_partition_id — one pass."""
-    rows = (
-        df.groupBy(F.spark_partition_id().alias("partition"))
-        .count()
-        .orderBy("partition")
-        .collect()
-    )
-    return [{"partition": r["partition"], "rows": r["count"]} for r in rows]
-
-
 class StageRunner:
     def __init__(self, spark: SparkSession, workdir: str):
         self.spark = spark
@@ -69,7 +58,11 @@ class StageRunner:
         df = df_fn()
         df.write.mode("overwrite").parquet(str(sdir / "data"))
         out = self.spark.read.parquet(str(sdir / "data"))
-        lineage = _partition_lineage(out)
+        # single source of per-partition lineage (round-2 dedup: the
+        # runner previously re-implemented this collector)
+        from osmgraft.runtime.metrics import collect_stage_metrics
+
+        lineage = collect_stage_metrics(out)["partitions"]
         manifest = {
             "stage": name,
             "status": "ok",

@@ -1,12 +1,11 @@
 """Per-stage lineage/metrics capture (north rule: "every stage writes
 per-partition lineage and row-count metrics").
 
-Two collectors:
+Collectors:
 - `collect_stage_metrics`: per-partition row counts via spark_partition_id
-  (one extra pass; used by the StageRunner manifests).
-- `QueryMetricsListener`: a QueryExecutionListener that records executed
-  plans' row counts and durations without extra passes — attach once per
-  session for always-on lineage.
+  (one extra pass; the single lineage source — StageRunner manifests call
+  it directly).
+- `StageMetricsLog`: JSON-lines sink for per-stage records.
 """
 
 from __future__ import annotations

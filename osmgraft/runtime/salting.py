@@ -37,8 +37,14 @@ def salted_aggregate(
         partial = [F.collect_set("v").alias("vs")]
         final   = [F.array_distinct(F.flatten(F.collect_list("vs"))).alias("vs")]
     """
+    # salt from ROW CONTENT, never monotonically_increasing_id: a salt that
+    # feeds a shuffle key must be deterministic under task retry, or a
+    # recomputed map task re-salts rows differently than partitions already
+    # fetched (duplicated/lost rows — the classic nondeterministic
+    # repartition bug). Identical rows co-bucket, which only matters for
+    # pathological identical-row hotspots. (round-2 fix)
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(buckets))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
     )
     part = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
     return part.groupBy(*keys).agg(*final_aggs)
@@ -56,9 +62,22 @@ def salted_join(
     Use when the right side is too big to broadcast AND the left key
     distribution has heavy hitters. Replication factor is `buckets`, so keep
     it small (4–16) and only as large as the worst key's skew requires.
+
+    Only inner/left/semi/anti joins are valid: the right side is
+    replicated ×buckets, so right/full-outer would emit every
+    non-matching replica as a spurious null-extended row (round-2 fix:
+    the `how` parameter is now validated; salt is content-derived for
+    retry determinism).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is unsafe with a replicated right "
+            f"side (allowed: {sorted(allowed)})"
+        )
     lsalt = left.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets))
     )
     rrep = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

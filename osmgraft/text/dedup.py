@@ -288,8 +288,9 @@ def connected_components(
     near-dup components are shallow (pairs are mutual near-copies), so a
     handful of rounds suffices at any scale. Each round is one equi-join +
     one partial-agg shuffle on (id, 8-byte label); lineage is cut with
-    localCheckpoint so the loop's plan stays bounded. Convergence is
-    detected by the (monotone non-increasing) global label sum."""
+    localCheckpoint so the loop's plan stays bounded. Convergence is the
+    changed-label COUNT per round — a label-sum check would overflow
+    int64 under ANSI mode with hashed ids near ±2^63 (round-2 fix)."""
     und = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).union(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
     )
@@ -297,18 +298,22 @@ def connected_components(
     labels = (
         und.select(F.col("s").alias("id")).distinct().withColumn("lbl", F.col("id"))
     ).localCheckpoint()
-    cur_sum = labels.agg(F.sum("lbl")).head()[0]
     for _ in range(max_iter):
         nbr = und.join(labels, und["s"] == labels["id"]).select(
             F.col("t").alias("id"), F.col("lbl")
         )
-        labels = (
+        new_labels = (
             labels.unionByName(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint()
-        new_sum = labels.agg(F.sum("lbl")).head()[0]
-        if new_sum == cur_sum:
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             break
-        cur_sum = new_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

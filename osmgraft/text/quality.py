@@ -23,8 +23,18 @@ STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
 
 
 def _word_hits(text: Column, word: str) -> Column:
-    """Occurrences of ` word ` in ` text ` (space-padded containment count)."""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    """Occurrences of ` word ` in ` text ` (space-padded containment count).
+
+    Single spaces are DOUBLED before counting: non-overlapping replace
+    would otherwise consume the shared delimiter between adjacent
+    occurrences ('the the' counted 1) — with doubled spaces every
+    occurrence owns both its delimiters (round-2 fix; the SQL mirror in
+    contract_text._hits_sql applies the same doubling)."""
+    padded = F.concat(
+        F.lit(" "),
+        F.replace(F.lower(text), F.lit(" "), F.lit("  ")),
+        F.lit(" "),
+    )
     needle = f" {word} "
     return (
         (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
@@ -80,11 +90,14 @@ def quality_scores(
     for wrd in STOPWORDS:
         h = _word_hits(t, wrd)
         stop_hits = h if stop_hits is None else stop_hits + h
-    stop_ratio = stop_hits / n_tokens
+    stop_ratio = stop_hits / n_tokens  # split('') is [''] ⇒ n_tokens ≥ 1
     mean_tok_len = n_chars / n_tokens
-    alpha_ratio = (
-        F.length(F.regexp_replace(t, "[^a-zA-Z ]", "")) / n_chars
-    )
+    # empty text: n_chars = 0 and ANSI mode (Spark 4 default) turns the
+    # division into a DIVIDE_BY_ZERO crash — define alpha_ratio as 0
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(t, "[^a-zA-Z ]", "")) / n_chars,
+    ).otherwise(F.lit(0.0))
     score = (
         F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * 0.4
         + F.least(F.lit(1.0), stop_ratio * 5.0) * 0.2

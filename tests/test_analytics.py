@@ -232,3 +232,27 @@ def test_asof_join_null_value_row_still_matches(spark):
     )
     r = asof_join(left, right, ["k"], "lt", "rt", ["val"]).collect()[0]
     assert r.matched_ts == 10 and r.val is None
+
+
+def test_dwithin_semi_preserves_duplicates(spark):
+    """Review finding: EXISTS semantics must keep legitimately duplicate
+    big-side rows (the old inner+distinct collapsed them)."""
+    from osmgraft.geo.cells import GridSpec
+    from osmgraft.geo.knn import dwithin_semi_join
+
+    big = spark.createDataFrame(
+        [(100.0, 100.0), (100.0, 100.0), (650000.0, 650000.0)],
+        "x double, y double",
+    )
+    small = spark.createDataFrame([(120.0, 120.0)], "x double, y double")
+    out = dwithin_semi_join(big, small, GridSpec(), res=5, radius=1000.0)
+    assert out.count() == 2  # both duplicate in-radius rows survive
+
+
+def test_salted_join_rejects_outer(spark):
+    """Review finding: replicated-right outer joins emit spurious rows —
+    the how parameter must be validated."""
+    left = spark.range(10).select((F.col("id") % 2).alias("k"), "id")
+    right = spark.createDataFrame([(0, "a"), (1, "b")], "k long, label string")
+    with pytest.raises(ValueError, match="unsafe"):
+        salted_join(left, right, "k", buckets=4, how="right")

@@ -219,3 +219,72 @@ def test_connected_components_known_graph(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_quality_scores_empty_text_no_ansi_crash(spark):
+    """Review finding: empty text gave DIVIDE_BY_ZERO under Spark 4's
+    default ANSI mode; alpha_ratio must be 0 instead."""
+    from osmgraft.text.quality import language_id, quality_scores
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "the quick brown fox")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in quality_scores(docs).collect()}
+    assert rows[1].alpha_ratio == 0.0
+    assert rows[2].quality_score > 0
+    assert {r.doc_id for r in language_id(docs).collect()} == {1, 2}
+
+
+def test_extract_tolerates_null_text(spark):
+    """Review finding: a NULL text row crashed the Arrow extract kernel."""
+    import datetime as dt
+
+    from osmgraft.extract import extract_features
+
+    pages = spark.createDataFrame(
+        [("https://a", dt.datetime(2024, 1, 1), None, None, "en"),
+         ("https://b", dt.datetime(2024, 1, 1), None,
+          "Acme Ltd | operator=acme | postcode=BS1 2AA | loc=1000.0,2000.0 | "
+          "landuse=industrial | kind=point | building=yes", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    rows = {r.url: r for r in extract_features(pages).collect()}
+    assert rows["https://a"].tags == {}
+    assert rows["https://b"].name == "Acme Ltd"
+
+
+def test_connected_components_hashed_ids_no_overflow(spark):
+    """Review finding: label-sum convergence overflowed int64 with hashed
+    ids near ±2^63 under ANSI mode; the changed-count check must not."""
+    from osmgraft.text.dedup import connected_components
+
+    big = 2**63 - 10
+    edges = spark.createDataFrame(
+        [(big, big - 1), (big - 1, big - 2), (-big, -big + 1)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {big: big - 2, big - 1: big - 2, big - 2: big - 2,
+                   -big: -big, -big + 1: -big}
+
+
+def test_word_hits_counts_adjacent_occurrences(spark):
+    """Review finding: non-overlapping replace undercounted adjacent
+    words ('the the' → 1). Space doubling fixes it in both backends."""
+    import duckdb
+
+    from osmgraft.text.quality import _word_hits
+
+    docs = spark.createDataFrame(
+        [(1, "the the end"), (2, "a a a"), (3, "the cat the")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.h_the, r.h_a)
+        for r in docs.select(
+            "doc_id",
+            _word_hits(F.col("text"), "the").alias("h_the"),
+            _word_hits(F.col("text"), "a").alias("h_a"),
+        ).collect()
+    }
+    assert got == {1: (2, 0), 2: (0, 3), 3: (2, 0)}

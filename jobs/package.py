@@ -25,7 +25,10 @@ def build(out: str | None = None) -> str:
     for root, dirs, files in os.walk(pkg):
         dirs[:] = sorted(d for d in dirs if d != "__pycache__")
         for f in sorted(files):
-            if f.endswith(".py"):
+            # .yaml: the rules engine ships its scoring assets
+            # (rules/assets/*.yaml) inside the zip; yamlspec reads them
+            # via importlib.resources so zipimport works
+            if f.endswith((".py", ".yaml")):
                 full = os.path.join(root, f)
                 members.append((full, os.path.relpath(full, REPO)))
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:

@@ -64,32 +64,27 @@ def main() -> None:
 
     # training-data hygiene stage: exact text dedup BEFORE extraction —
     # duplicate pages never pay the Arrow extraction cost; the dedup
-    # report (per-digest duplicate counts) ships with the outputs.
-    # Duplicate DECISIONS are made on a slim (url, 16-byte digest)
-    # projection, so the digest-keyed shuffle never carries page bodies;
-    # the final anti-join is the only place text can move, at most once
-    # (and Spark broadcasts the duplicate-url set when it is small).
-    from pyspark.sql import Window
-
+    # report builds from a slim (url, digest) projection and the keeper
+    # selection is row-level (dedup_pages_keep_first), so text moves at
+    # most once and a re-crawled url keeps exactly one copy.
     digest = F.md5(F.lower(F.trim(F.col("text"))))
     slim = pages.select("url", digest.alias("text_digest"))
-    w = Window.partitionBy("text_digest").orderBy("url")
-    flags = (
-        slim.withColumn("_rn", F.row_number().over(w))
-        .withColumn("is_duplicate", F.col("_rn") > 1)
-        .drop("_rn")
-    )
+    # report from the slim projection only (url + 16-byte digest shuffle).
+    # NULL-text rows have a NULL digest and are never duplicates of each
+    # other — exclude them from the report and keep them all.
     dedup_report = (
-        flags.groupBy("text_digest")
-        .agg(
-            F.count("*").alias("n_pages"),
-            F.sum(F.col("is_duplicate").cast("int")).alias("n_dropped"),
-        )
+        slim.where(F.col("text_digest").isNotNull())
+        .groupBy("text_digest")
+        .agg(F.count("*").alias("n_pages"))
+        .withColumn("n_dropped", F.col("n_pages") - 1)
         .where(F.col("n_dropped") > 0)
     )
     dedup_report.write.mode("overwrite").parquet(f"{args.out}/dedup_report")
-    dup_urls = flags.where(F.col("is_duplicate")).select("url")
-    pages = pages.join(dup_urls, "url", "left_anti")
+    # keeper selection needs ROW identity, which an url anti-join cannot
+    # provide when the duplicate IS a re-crawl of the same url
+    from osmgraft.text.dedup import dedup_pages_keep_first
+
+    pages = dedup_pages_keep_first(pages)
 
     features = widen_features(extract_features(pages))
     if args.diagnostics:

@@ -94,13 +94,20 @@ def lsh_bucket_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: search only buckets within `multiprobe_hamming`
-    bit-flips of the query's bucket."""
+    bit-flips of the query's bucket (ALL flip subsets up to that radius —
+    round-2 fix: radii >= 2 were silently truncated to 1)."""
+    from itertools import combinations
+
     q = np.asarray(query_vec, dtype=np.float64)
     proj = make_projections(len(query_vec), n_bits, seed)
     qsig = int(((q @ proj.T) > 0) @ (1 << np.arange(n_bits, dtype=np.int64)))
     probe = [qsig]
-    if multiprobe_hamming >= 1:
-        probe += [qsig ^ (1 << i) for i in range(n_bits)]
+    for radius in range(1, multiprobe_hamming + 1):
+        for flips in combinations(range(n_bits), radius):
+            mask = 0
+            for b in flips:
+                mask |= 1 << b
+            probe.append(qsig ^ mask)
     bucketed = with_lsh_bucket(embeddings, proj, vec_col)
     cand = bucketed.where(F.col("bucket").isin(probe))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
@@ -220,13 +227,17 @@ def ivf_build(
     """Assign every vector to an inverted list: (id, list_id, embedding).
 
     One scan: cosine against each (literal, broadcast) centroid, argmax via
-    `greatest` over structs — no join, no shuffle. Cosines are rounded to
-    5 dp before the argmax so assignment is reproducible across engines
-    (ties break to the lowest centroid id)."""
+    `greatest` over structs — no join, no shuffle. Cosines are snapped with
+    floor(v*1e5 + 0.5) before the argmax so assignment is reproducible
+    across engines — F.round (HALF_UP) and DuckDB ROUND (half-away) break
+    ties differently for negative cosines (ties break to the lowest
+    centroid id)."""
     vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     scored = [
         F.struct(
-            F.round(cosine_col(vec, F.array(*[F.lit(x) for x in cv])), 5).alias("c"),
+            F.floor(
+                cosine_col(vec, F.array(*[F.lit(x) for x in cv])) * 100000 + 0.5
+            ).alias("c"),
             F.lit(-cid).alias("nid"),
         )
         for cid, cv in codebook
@@ -242,12 +253,17 @@ def ivf_probe(
 ) -> list[int]:
     """The nprobe list ids whose centroids are nearest the query (cosine,
     5-dp rounded, ties to the lowest id) — driver-side, codebook-sized."""
+    import math
+
     qv = np.asarray(query_vec, dtype=float)
     qn = np.sqrt((qv * qv).sum())
     sims = []
     for cid, cv in codebook:
         c = np.asarray(cv)
-        sims.append((round(float(c @ qv / (np.sqrt((c * c).sum()) * qn)), 5), -cid))
+        sim = float(c @ qv / (np.sqrt((c * c).sum()) * qn))
+        # floor-half-up, NOT Python round() (banker's) — must order ties
+        # exactly like the oracle's rounding (the repo-wide parity rule)
+        sims.append((math.floor(sim * 1e5 + 0.5), -cid))
     return [-nid for _, nid in sorted(sims, reverse=True)[:nprobe]]
 
 

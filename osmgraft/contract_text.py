@@ -493,18 +493,19 @@ def _ivf_train_cte() -> str:
          cb AS (SELECT cid, c AS cvec FROM cb{_IVF_ITER}),
          qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
          assign AS (SELECT e.vec_id, cb.cid AS list_id,
-                           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], cb.cvec), 5) AS c
+                           FLOOR(list_cosine_similarity(e.embedding::DOUBLE[], cb.cvec) * 100000 + 0.5) AS c
                     FROM embeddings e CROSS JOIN cb
                     QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                                ORDER BY c DESC, cb.cid) = 1),
          probe AS (SELECT cid FROM cb CROSS JOIN qv
-                   ORDER BY ROUND(list_cosine_similarity(cvec, q), 5) DESC, cid
+                   ORDER BY FLOOR(list_cosine_similarity(cvec, q) * 100000 + 0.5) DESC, cid
                    LIMIT {_IVF_PROBE}),
          cand AS (SELECT a.vec_id, a.list_id
                   FROM assign a JOIN probe p ON a.list_id = p.cid
                   WHERE a.vec_id <> 0)
     SELECT c.vec_id, CAST(c.list_id AS BIGINT) AS list_id,
-           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.q), 5) AS cosine_sim
+           FLOOR(list_cosine_similarity(e.embedding::DOUBLE[], qv.q) * 100000 + 0.5) / 100000
+             AS cosine_sim
     FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN qv
     ORDER BY cosine_sim DESC, c.vec_id LIMIT 10
     """,
@@ -527,7 +528,8 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ivf_build(emb, cb)
     q_arr = F.array(*[F.lit(v) for v in qvec])
     vec = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    sim = F.round(cosine_col(vec, q_arr), 5)
+    # floor-half snap, same rule as assignment/probe (tie-mode parity)
+    sim = F.floor(cosine_col(vec, q_arr) * 100000 + 0.5) / 100000
     return (
         assigned.where(F.col("list_id").isin(probe) & (F.col("vec_id") != 0))
         .select("vec_id", F.col("list_id").cast("long").alias("list_id"), sim.alias("cosine_sim"))

@@ -119,35 +119,36 @@ def extract_image_features(
             if len(pdf) == 0:
                 continue
             m = pdf["media"]
-            means, stds, p50s, errs = [], [], [], []
+            out = {k: [] for k in (
+                "media_type", "width", "height", "luma_mean", "luma_std",
+                "luma_p50", "aspect", "decode_error",
+            )}
             for rec in m:
+                # ALL per-row field access inside the guard: poisoned
+                # metadata (NULL width, height=0 aspect) must not escape
+                # the isolation either (round-2 review fix)
                 try:
-                    raster = decode_image_stub(
-                        bytes(rec["payload"]), int(rec["width"]), int(rec["height"]),
-                        strict,
+                    w = int(rec["width"])
+                    h = int(rec["height"])
+                    aspect = w / h
+                    raster = decode_image_stub(bytes(rec["payload"]), w, h, strict)
+                    vals = (
+                        w, h, float(raster.mean()), float(raster.std()),
+                        float(np.median(raster)), aspect, None,
                     )
-                    means.append(float(raster.mean()))
-                    stds.append(float(raster.std()))
-                    p50s.append(float(np.median(raster)))
-                    errs.append(None)
                 except Exception as e:  # noqa: BLE001 — poisoned-row isolation
                     if not tolerate_errors:
                         raise
-                    means.append(None)
-                    stds.append(None)
-                    p50s.append(None)
-                    errs.append(type(e).__name__)
-            yield pd.DataFrame({
-                "url": pdf["url"],
-                "media_type": [r["media_type"] for r in m],
-                "width": [int(r["width"]) for r in m],
-                "height": [int(r["height"]) for r in m],
-                "luma_mean": means,
-                "luma_std": stds,
-                "luma_p50": p50s,
-                "aspect": [r["width"] / r["height"] for r in m],
-                "decode_error": errs,
-            })
+                    vals = (None, None, None, None, None, None, type(e).__name__)
+                out["media_type"].append(rec["media_type"])
+                out["width"].append(vals[0])
+                out["height"].append(vals[1])
+                out["luma_mean"].append(vals[2])
+                out["luma_std"].append(vals[3])
+                out["luma_p50"].append(vals[4])
+                out["aspect"].append(vals[5])
+                out["decode_error"].append(vals[6])
+            yield pd.DataFrame({"url": pdf["url"], **out})
 
     return imgs.select("url", "media").mapInPandas(kernel, schema=schema)
 

@@ -163,7 +163,9 @@ def _rule_predicate(rule: ScoreRule) -> Column:
     if rule.kind == "expr":
         return F.expr(rule.pattern)
     if rule.kind == "contains":
-        return lower_coalesce(rule.column).contains(rule.pattern)
+        # lower the literal too (case-insensitive semantics; the blob side
+        # is lowercased, so an uppercase keyword would never match)
+        return lower_coalesce(rule.column).contains(rule.pattern.lower())
     if rule.kind == "gt":
         return F.col(rule.column) > F.lit(rule.value)
     if rule.kind == "any_of":

@@ -15,11 +15,16 @@ from osmgraft.rules.compiler import RuleSet, ScoreRule
 
 def _sql_pred(rule: ScoreRule) -> str:
     if rule.kind == "regex":
-        return f"regexp_matches(lower(coalesce({rule.column}, '')), '{rule.pattern}')"
-    if rule.kind == "raw_regex":
-        return f"regexp_matches({rule.column}, '{rule.pattern}')"
-    if rule.kind == "contains":
         esc = rule.pattern.replace("'", "''")
+        return f"regexp_matches(lower(coalesce({rule.column}, '')), '{esc}')"
+    if rule.kind == "raw_regex":
+        esc = rule.pattern.replace("'", "''")
+        return f"regexp_matches({rule.column}, '{esc}')"
+    if rule.kind == "contains":
+        # lower the literal too — the blob side is lowercased, so an
+        # uppercase keyword could otherwise never match (case-insensitive
+        # semantics are documented in yamlspec)
+        esc = rule.pattern.lower().replace("'", "''")
         return f"contains(lower(coalesce({rule.column}, '')), '{esc}')"
     if rule.kind == "in":
         vals = ", ".join(f"'{v}'" for v in rule.values)

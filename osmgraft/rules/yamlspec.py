@@ -235,12 +235,20 @@ def load_scoring_yaml(text: str, cm: ColumnMap | None = None) -> ScoringSpec:
 # shipped assets
 # ---------------------------------------------------------------------------
 
-_ASSETS = __file__.rsplit("/", 1)[0] + "/assets"
-
-
 def _read_asset(name: str) -> str:
-    with open(f"{_ASSETS}/{name}", encoding="utf-8") as f:
-        return f.read()
+    """Read a shipped YAML asset — importlib.resources first so the
+    engine works from the spark-submit --py-files zip (a plain
+    __file__-relative open() cannot read inside a zip)."""
+    try:
+        from importlib.resources import files
+
+        return files("osmgraft.rules").joinpath(f"assets/{name}").read_text(
+            encoding="utf-8"
+        )
+    except Exception:
+        assets = __file__.rsplit("/", 1)[0] + "/assets"
+        with open(f"{assets}/{name}", encoding="utf-8") as f:
+            return f.read()
 
 
 def load_aerospace_scoring(cm: ColumnMap | None = None) -> ScoringSpec:

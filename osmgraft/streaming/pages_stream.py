@@ -137,13 +137,14 @@ def incremental_tile_counts(
     checkpoint: str,
     query_name: str = "tiles_incremental",
 ):
-    """Incremental materialized tile rollup via foreachBatch: each
-    micro-batch's per-cell counts MERGE-ADD into a running table — the
-    incremental-view-maintenance shape (a dashboard reads fresh totals
-    without rescanning history). The merge here is read+union+rewrite of
-    the (tiny, aggregated) tile table; with an Iceberg catalog the same
-    hook issues MERGE INTO instead. State in the stream itself stays
-    zero — aggregation happens per batch, history lives in the table."""
+    """Incremental materialized tile rollup via foreachBatch — IDEMPOTENT
+    under foreachBatch's at-least-once replay: each micro-batch writes its
+    per-cell DELTA to a `batch_id=N` partition (overwrite of that
+    partition only), so a replayed batch rewrites its own partition
+    instead of double-adding into a running total. Totals are the sum of
+    deltas (`read_tile_totals` — cheap: deltas are already aggregated).
+    With an Iceberg catalog the same hook becomes an atomic MERGE INTO.
+    Stream-side state stays zero — history lives in the table."""
     from pyspark.sql import functions as F
 
     from osmgraft.extract import extract_features
@@ -156,18 +157,9 @@ def incremental_tile_counts(
     ).select("cell")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         delta = batch_df.groupBy("cell").agg(F.count("*").alias("n"))
-        try:
-            current = spark.read.parquet(out_dir)
-            merged = (
-                current.unionByName(delta)
-                .groupBy("cell")
-                .agg(F.sum("n").alias("n"))
-            )
-        except Exception:  # first batch: no table yet
-            merged = delta
-        merged.localCheckpoint().write.mode("overwrite").parquet(out_dir)
+        # replay of batch N overwrites batch N's partition — idempotent
+        delta.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (
         cells.writeStream.foreachBatch(merge_batch)
@@ -175,4 +167,16 @@ def incremental_tile_counts(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def read_tile_totals(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Current totals of an incremental_tile_counts table: sum the
+    per-batch delta partitions (each already cell-aggregated)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch_id=*")
+        .groupBy("cell")
+        .agg(F.sum("n").alias("n"))
     )

@@ -319,3 +319,24 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_pages_keep_first(
+    pages: DataFrame, text_col: str = "text", order_cols: tuple[str, ...] = ("url", "warc_ts")
+) -> DataFrame:
+    """Exact-content page dedup keeping ONE row per normalized-text digest
+    (deterministic keeper: first by `order_cols`). Row-level — correct
+    even when the duplicate is a re-crawl of the SAME url (an url
+    anti-join would drop the keeper too). NULL-text rows have no digest
+    and are all kept (they are not duplicates of each other). Text moves
+    at most once, in the single digest-keyed shuffle."""
+    digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    with_d = pages.withColumn("_digest", digest)
+    w = Window.partitionBy("_digest").orderBy(*order_cols)
+    kept = (
+        with_d.where(F.col("_digest").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_digest")
+    )
+    return kept.unionByName(with_d.where(F.col("_digest").isNull()).drop("_digest"))

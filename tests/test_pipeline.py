@@ -288,3 +288,27 @@ def test_word_hits_counts_adjacent_occurrences(spark):
         ).collect()
     }
     assert got == {1: (2, 0), 2: (0, 3), 3: (2, 0)}
+
+
+def test_dedup_pages_keeps_one_copy_of_recrawled_url(spark):
+    """Review finding: an url anti-join dropped ALL copies of a re-crawled
+    url; row-level dedup must keep exactly one, and NULL-text rows are
+    never duplicates of each other."""
+    import datetime as dt
+
+    from osmgraft.text.dedup import dedup_pages_keep_first
+
+    t0 = dt.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [("https://u", t0, "same body"),
+         ("https://u", t0 + dt.timedelta(days=1), "same body"),  # re-crawl
+         ("https://v", t0, "other body"),
+         ("https://w1", t0, None),
+         ("https://w2", t0, None)],
+        "url string, warc_ts timestamp, text string",
+    )
+    out = dedup_pages_keep_first(pages).collect()
+    urls = sorted(r.url for r in out)
+    assert urls == ["https://u", "https://v", "https://w1", "https://w2"]
+    kept_u = [r for r in out if r.url == "https://u"][0]
+    assert kept_u.warc_ts == t0  # deterministic keeper: first by order

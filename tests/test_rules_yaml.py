@@ -55,7 +55,7 @@ def _naive_postcode_match(codes, pc) -> bool:
 
 def _naive_cond_item(row, key, val) -> bool:
     if key == "name_contains":
-        return any(s in _blob(row) for s in val)
+        return any(s.lower() in _blob(row) for s in val)
     if key == "website_contains":
         w = (row.get("website") or "").lower()
         return any(s in w for s in val)
@@ -88,7 +88,7 @@ def _naive_group_fires(row, spec) -> bool:
             re.search(_naive_pat(p), _blob(row)) for p in spec["patterns"]
         )
     if "keywords" in spec:
-        fired = fired or any(k in _blob(row) for k in spec["keywords"])
+        fired = fired or any(k.lower() in _blob(row) for k in spec["keywords"])
     if "postcodes" in spec:
         fired = fired or _naive_postcode_match(
             spec["postcodes"], row.get("addr_postcode")

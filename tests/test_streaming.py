@@ -418,9 +418,9 @@ def test_incremental_tile_counts_match_batch(spark, pages_dir, tmp_path):
         stream, SPEC, 5, out, str(tmp_path / "ck_inc")
     )
     q.awaitTermination(120)
-    got = {
-        (r.cell): r.n for r in spark.read.parquet(out).collect()
-    }
+    from osmgraft.streaming.pages_stream import read_tile_totals
+
+    got = {(r.cell): r.n for r in read_tile_totals(spark, out).collect()}
     feats = extract_features(spark.read.parquet(pages_dir))
     cells = with_cell(feats.where(F.col("x").isNotNull()), "x", "y", SPEC, 5,
                       out="cell", keep_ixy=False)

@@ -36,7 +36,24 @@ def test_package_zip_deterministic(tmp_path):
     names = zipfile.ZipFile(a).namelist()
     assert "osmgraft/__init__.py" in names
     assert "osmgraft/geo/s2.py" in names
+    # the rules engine's YAML assets must ship inside the zip
+    assert "osmgraft/rules/assets/aerospace_scoring.yaml" in names
+    assert "osmgraft/rules/assets/scoring_documents.yaml" in names
     assert not any("__pycache__" in n for n in names)
+    # and must be LOADABLE from the zip (importlib.resources path)
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "from osmgraft.rules.yamlspec import load_aerospace_scoring; "
+        "print(len(load_aerospace_scoring().rules.rules))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, a],
+        capture_output=True, text=True, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert out.stdout.strip() == "31"
 
 
 def test_widen_features_schema(spark):

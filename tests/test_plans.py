@@ -258,3 +258,43 @@ def test_range_join_is_broadcast_equi_not_bnlj(spark):
     plan = plan_of(QUERIES["range_band_join"](spark, SF_CORRECT))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_spatial_cell_join_no_shuffle(spark, tmp_path):
+    """The bucketing and spatial stories composed: two BIG point tables
+    pre-bucketed on their cell id join cell-to-cell with zero Exchange —
+    the co-located big-big spatial join (neither side broadcastable at
+    10^12 rows; the shuffle was paid once at ingest)."""
+    from osmgraft.geo.cells import with_cell
+    from osmgraft.sources import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    a = with_cell(
+        spark.range(5000).select(
+            (F.col("id") % 700000 * 1.0).alias("x"),
+            (F.col("id") % 690000 * 1.0).alias("y"),
+            F.col("id").alias("pid"),
+        ),
+        "x", "y", SPEC, CELL_RES, out="cell", keep_ixy=False,
+    )
+    b = with_cell(
+        spark.range(3000).select(
+            (F.col("id") % 695000 * 1.0).alias("x"),
+            (F.col("id") % 688000 * 1.0).alias("y"),
+            F.col("id").alias("qid"),
+        ),
+        "x", "y", SPEC, CELL_RES, out="cell", keep_ixy=False,
+    )
+    io.write_bucketed(a.select("cell", "pid"), "sp_a_t", ["cell"], n_buckets=8)
+    io.write_bucketed(b.select("cell", "qid"), "sp_b_t", ["cell"], n_buckets=8)
+    try:
+        j = io.read_bucketed("sp_a_t").hint("merge").join(
+            io.read_bucketed("sp_b_t"), "cell"
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sp_a_t")
+        spark.sql("DROP TABLE IF EXISTS sp_b_t")

@@ -140,3 +140,56 @@ def test_spark_submit_end_to_end(tmp_path):
     assert "stage=final_union" in stages
     diag = json.load(open(tmp_path / "out" / "diagnostics.json"))
     assert diag["manual_vs_compiled_disagreements"] == 0
+
+
+def test_spark_submit_streaming_end_to_end(tmp_path):
+    """The streaming entry point as a real spark-submit job: dedup →
+    extract → incremental tiles via availableNow; a second run with more
+    files resumes from the checkpoint and extends the totals."""
+    zip_path = str(tmp_path / "osmgraft.zip")
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import package
+
+    package.build(zip_path)
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    # stage pages: write with a driver session, duplicated urls included
+    sys.path.insert(0, REPO)
+    from osmgraft.datagen import gen_pages
+    from osmgraft.datagen.spark_io import to_spark
+    from osmgraft.session import get_spark
+
+    spark = get_spark(app_name="stage-pages", master="local[4]")
+    pages_dir = tmp_path / "pages_in"
+    pdf = to_spark(spark, gen_pages(400), "pages")
+    pdf.coalesce(1).write.mode("overwrite").parquet(str(pages_dir))
+
+    def submit():
+        return subprocess.run(
+            [
+                spark_submit,
+                "--master", "local[4]",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", "run_stream.py"),
+                "--pages-dir", str(pages_dir),
+                "--out", str(tmp_path / "out"),
+                "--checkpoint", str(tmp_path / "ck"),
+                "--once",
+            ],
+            capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+        )
+
+    out = submit()
+    assert out.returncode == 0, out.stdout[-1500:] + out.stderr[-1500:]
+    res = json.loads([l for l in out.stdout.splitlines() if l.startswith('{"job"')][-1])
+    assert res["tile_cells"] > 0
+
+    # second batch of files → resumed run extends the totals
+    pdf2 = to_spark(spark, gen_pages(400, seed=99), "pages")
+    pdf2.coalesce(1).write.mode("append").parquet(str(pages_dir))
+    out2 = submit()
+    assert out2.returncode == 0, out2.stdout[-1500:] + out2.stderr[-1500:]
+    res2 = json.loads([l for l in out2.stdout.splitlines() if l.startswith('{"job"')][-1])
+    assert res2["tile_cells"] >= res["tile_cells"]

@@ -52,8 +52,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # deterministic planar coordinates derived from event ids; constants chosen so
 # no point falls near a tile edge (SURVEY.md §7.3 boundary determinism)
-X_EXPR = "(event_id % 787) * 889.45 + 17.3"
-Y_EXPR = "(CAST(FLOOR(event_id / 13.0) AS BIGINT) % 787) * 889.45 + 11.7"
+# e-notation literals: bare decimals type as DECIMAL in Spark SQL (and the
+# division chain then quantizes at the literal scale) but DOUBLE in DuckDB —
+# e-notation forces binary-double arithmetic on BOTH engines so the shared
+# expression text is bit-identical at any scale (round-2 review fix; the
+# decimal path only agreed by luck of fixture size)
+X_EXPR = "(event_id % 787) * 889.45e0 + 17.3e0"
+Y_EXPR = "(CAST(FLOOR(event_id / 13.0e0) AS BIGINT) % 787) * 889.45e0 + 11.7e0"
 
 SPEC = GridSpec()  # 700000 × 700000 planar extent
 CELL_RES = 7
@@ -373,7 +378,9 @@ _MODE_COLS = [
     ("ts_day", "CAST(CAST(ts AS DATE) AS STRING)", "CAST(CAST(ts AS DATE) AS VARCHAR)"),
     ("user_id", "CAST(user_id AS STRING)", "CAST(user_id AS VARCHAR)"),
     ("event_type", "event_type", "event_type"),
-    ("value", "CAST(value AS STRING)", "CAST(value AS VARCHAR)"),
+    # printf-style rendering: structural (no scientific-notation divergence
+    # outside [1e-3, 1e7) between Java Double.toString and DuckDB casts)
+    ("value", "format_string('%.2f', value)", "printf('%.2f', value)"),
     ("props", "props", "props"),
 ]
 _MODE_STACK = ", ".join(f"'{n}', {ex}" for n, ex, _ in _MODE_COLS)
@@ -1561,7 +1568,9 @@ def substring_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (power_user_queries.sql:81-102, LEFT(postcode, 2) pattern)."""
     d = t(spark, sf_dir, "documents")
     return (
-        d.groupBy(F.substring("source", 4, 100).alias("src_num"))
+        # unbounded substring, matching the oracle exactly (a length cap
+        # would silently truncate grouping keys past it)
+        d.groupBy(F.expr("substring(source, 4)").alias("src_num"))
         .agg(F.count("*").alias("n"), F.round(F.avg("n_chars"), 2).alias("avg_chars"))
         .where(F.col("n") >= 5)
         .orderBy("src_num")

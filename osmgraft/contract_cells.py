@@ -17,6 +17,7 @@ guarantee end-to-end).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,9 +25,13 @@ from osmgraft.contract import _event_points, _pts_cte, q
 from osmgraft.geo import hexgrid as hg
 from osmgraft.geo import s2
 
-# deterministic lat/lng from the shared planar fixture coords (UK-ish window)
-LAT_EXPR = "49.0 + (y / 700000.0) * 11.0"
-LNG_EXPR = "-8.0 + (x / 700000.0) * 10.0"
+# deterministic lat/lng from the shared planar fixture coords (UK-ish
+# window). e-notation literals force DOUBLE on both engines (see
+# contract.X_EXPR note): with bare decimals Spark typed this chain
+# decimal(38,8) — quantized at 1e-8 degrees — while DuckDB computed in
+# doubles, a latent boundary-flip source at scale.
+LAT_EXPR = "49.0e0 + (y / 700000.0e0) * 11.0e0"
+LNG_EXPR = "-8.0e0 + (x / 700000.0e0) * 10.0e0"
 
 HEX_RES = 8
 HEX_FINE, HEX_COARSE = 9, 7
@@ -64,9 +69,7 @@ def _hex_parent_oracle() -> str:
     # at the coarse res — chained through the same literal constants.
     pre9, qf, rf = hg.hex_qr_sql("x", "y", HEX_FINE)
     qi, ri = hg.hex_round_qr_sql(qf, rf)
-    e = hg.edge_m(HEX_FINE)
-    cx = f"({hg.lit_sql(e * hg.SQRT3)} * (qi + ri * 0.5))"
-    cy = f"({hg.lit_sql(e * 1.5)} * ri)"
+    cx, cy = hg.hex_center_sql("qi", "ri", HEX_FINE)
     pre7, qf7, rf7 = hg.hex_qr_sql("cx", "cy", HEX_COARSE)
     pack7 = hg.hex_round_pack_sql(qf7, rf7, HEX_COARSE)
     return f"""
@@ -105,20 +108,25 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _s2_assign_cte(level: int) -> str:
+def _s2_assign_cte(
+    level: int, lat_expr: str | None = None, lng_expr: str | None = None
+) -> str:
     """DuckDB CTE chain assigning every event point its S2 cell: the
     algebraic chart math (xyz → face → u,v → s,t → i,j) in plain SQL, then
     the Hilbert curve as 8 unrolled lookup-table iterations — the
     1024-entry ij→pos table (geo/s2.py:_build_lookups) inlined as a VALUES
     list. Round-2 upgrade from rows-only (the traversal IS SQL-expressible
     once the lookup table is data). Final CTE `asgn` has
-    (event_id, face, i, j, s2_cell)."""
+    (event_id, face, i, j, s2_cell). `lat_expr`/`lng_expr` default to the
+    fixture window; tests override them to exercise all six faces."""
+    lat_expr = lat_expr or LAT_EXPR
+    lng_expr = lng_expr or LNG_EXPR
     lut = ", ".join(f"({i}, {int(v)})" for i, v in enumerate(s2._LOOKUP_POS))
     max_ij = (1 << s2.MAX_LEVEL) - 1
     lsb = s2.lsb_for_level(level)
     sql = f"""lut(idx, val) AS (VALUES {lut}),
          pts AS ({_pts_cte()}),
-         g AS (SELECT event_id, {LAT_EXPR} AS lat, {LNG_EXPR} AS lng FROM pts),
+         g AS (SELECT event_id, {lat_expr} AS lat, {lng_expr} AS lng FROM pts),
          xyz AS (SELECT event_id,
                         COS(RADIANS(lat)) * COS(RADIANS(lng)) AS x,
                         COS(RADIANS(lat)) * SIN(RADIANS(lng)) AS y,
@@ -162,12 +170,18 @@ def _s2_assign_cte(level: int) -> str:
                     ON l.idx = p.bits + (((p.i >> {k * 4}) & 15) << 6)
                                + (((p.j >> {k * 4}) & 15) << 2))"""
     sql += f""",
-         asgn AS (SELECT event_id, i, j, (h0.n >> 60) AS face,
-                         -- shift, not *2: faces 4/5 put a bit in position
-                         -- 62 and signed multiply would overflow; << wraps
-                         -- bitwise exactly like the uint64 kernel
-                         ((((h0.n << 1) | 1) & -{lsb}) | {lsb}) AS s2_cell
-                  FROM h0)"""
+         -- the leaf step sets bit 63 for faces 4/5; DuckDB raises on BOTH
+         -- signed multiply AND left-shift overflow, so wrap explicitly
+         -- through HUGEINT (2's-complement, exactly like the uint64 kernel)
+         lf AS (SELECT event_id, i, j, (h0.n >> 60) AS face,
+                       CAST(h0.n AS HUGEINT) * 2 + 1 AS leaf_h
+                FROM h0),
+         asgn AS (SELECT event_id, i, j, face,
+                         ((CAST(CASE WHEN leaf_h >= 9223372036854775808
+                                     THEN leaf_h - 18446744073709551616
+                                     ELSE leaf_h END AS BIGINT)
+                           & -{lsb}) | {lsb}) AS s2_cell
+                  FROM lf)"""
     return sql
 
 
@@ -315,8 +329,7 @@ def _hex_vec_oracle() -> str:
     pre, qf, rf = hg.hex_qr_sql("x", "y", HEX_COARSE)
     qi, ri = hg.hex_round_qr_sql(qf, rf)
     e = hg.edge_m(HEX_COARSE)
-    cx = f"({hg.lit_sql(e * hg.SQRT3)} * (qi + ri * 0.5))"
-    cy = f"({hg.lit_sql(e * 1.5)} * ri)"
+    cx, cy = hg.hex_center_sql("qi", "ri", HEX_COARSE)
     verts = ", ".join(
         f"ROUND(cx + {hg.lit_sql(e * math.cos(math.radians(60.0 * k + 30.0)))}, 3) AS vx{k}, "
         f"ROUND(cy + {hg.lit_sql(e * math.sin(math.radians(60.0 * k + 30.0)))}, 3) AS vy{k}"
@@ -433,8 +446,7 @@ def _polyfill_oracle() -> str:
     pre, qf, rf = hg.hex_qr_sql("x", "y", HEX_COARSE)
     qi, ri = hg.hex_round_qr_sql(qf, rf)
     e = hg.edge_m(HEX_COARSE)
-    cx = f"({hg.lit_sql(e * hg.SQRT3)} * (qi + ri * 0.5))"
-    cy = f"({hg.lit_sql(e * 1.5)} * ri)"
+    cx, cy = hg.hex_center_sql("qi", "ri", HEX_COARSE)
     return f"""
     WITH pts AS ({_pts_cte()}),
          g AS ({pre} FROM pts),
@@ -535,7 +547,7 @@ def s2_tile_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batch as a grouped pandas pass over the (small) aggregated cell
     set. Round-2: fully oracle-paired — assignment via the Hilbert lookup
     chain, corners via the algebraic chart inverse (_s2_vec_oracle)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     pts = _geo_points(spark, sf_dir)
     agg = (
@@ -544,14 +556,12 @@ def s2_tile_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
 
-    def _corners(cells):
+    @pandas_udf("array<double>")
+    def corners(cells: pd.Series) -> pd.Series:
         import numpy as np
-        import pandas as pd
 
         blat, blng = s2.cell_boundary_latlng(cells.to_numpy())
         return pd.Series(list(np.concatenate([blat, blng], axis=1)))
-
-    corners = pandas_udf(_corners, "array<double>", PandasUDFType.SCALAR)
 
     w = agg.withColumn("c", corners(F.col("s2_cell")))
     cols = [F.col("s2_cell"), F.col("n")]

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from osmgraft.contract import ORACLES, QUERIES, q, t
+from osmgraft.contract import q, t
 from osmgraft.text.dedup import (
     exact_dedup,
     minhash_lsh_candidates,

@@ -368,3 +368,15 @@ def hex_polyfill_df(spark, ring: np.ndarray, res: int) -> DataFrame:
         .bitwiseOR(F.col("r") + F.lit(OFF))
         .alias("hex_cell")
     )
+
+
+def hex_center_sql(qi: str, ri: str, res: int) -> tuple[str, str]:
+    """SQL (cx, cy) cell-center expressions from integer axial (qi, ri) —
+    the single source for the center formula (oracles previously
+    re-derived it in three places; a drifted copy would silently break
+    the bit-identity the oracles prove)."""
+    e = edge_m(res)
+    return (
+        f"({lit_sql(e * SQRT3)} * ({qi} + ({ri}) * 0.5))",
+        f"({lit_sql(e * 1.5)} * ({ri}))",
+    )

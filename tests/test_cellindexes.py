@@ -445,3 +445,35 @@ def test_s2_cell_col_jvm_matches_numpy(spark):
     # plan stays JVM: no Python eval anywhere
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_s2_sql_oracle_all_faces():
+    """Round-2 review fix: the S2 SQL oracle must work on ALL six faces —
+    faces 4/5 set bit 63 in the leaf step, where DuckDB raises on signed
+    shift/multiply overflow; the HUGEINT wrap must reproduce the kernel's
+    uint64 two's-complement ids exactly (negative int64 for faces 4/5)."""
+    import duckdb
+
+    from osmgraft.contract_cells import _s2_assign_cte
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT range AS event_id, NULL::TIMESTAMP ts, "
+        "0::BIGINT user_id, 'x' event_type, 0.0 AS \"value\", "
+        "NULL::VARCHAR props FROM range(5000)"
+    )
+    lat_e = "(-70.0e0 + (event_id % 140))"
+    lng_e = "(-170.0e0 + ((event_id * 7) % 340))"
+    sql = (
+        "WITH " + _s2_assign_cte(12, lat_e, lng_e)
+        + " SELECT event_id, s2_cell, face FROM asgn ORDER BY event_id"
+    )
+    rows = con.sql(sql).fetchall()
+    ids = np.arange(5000)
+    lat = -70.0 + (ids % 140)
+    lng = -170.0 + ((ids * 7) % 340)
+    exp = s2.cell_np(lat.astype(float), lng.astype(float), 12)
+    got = np.array([r[1] for r in rows])
+    assert sorted(set(r[2] for r in rows)) == [0, 1, 2, 3, 4, 5]
+    assert (got == exp).all()
+    assert (got < 0).any()  # the wrap actually exercised

@@ -1157,6 +1157,72 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "orders_status_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE (round-2; completes the grouping-set family beside
+    revenue_rollup's hierarchy): all four aggregation combinations of
+    (status, priority) in one Expand + partial-agg pass."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@q(
+    "set_ops_users",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'purchase'),
+         clickers AS (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'click'),
+         both_u AS (SELECT user_id FROM buyers INTERSECT
+                    SELECT user_id FROM clickers),
+         only_buy AS (SELECT user_id FROM buyers EXCEPT
+                      SELECT user_id FROM clickers)
+    SELECT 'both' AS segment, CAST(COUNT(*) AS BIGINT) AS n FROM both_u
+    UNION ALL
+    SELECT 'buy_only', CAST(COUNT(*) AS BIGINT) FROM only_buy
+    ORDER BY segment
+    """,
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface (round-2): INTERSECT / EXCEPT audience
+    segmentation — Catalyst plans both as (semi/anti) hash joins on the
+    deduplicated keys, never a row-comparison sort."""
+    ev = t(spark, sf_dir, "events")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    clickers = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    both_u = buyers.intersect(clickers).agg(F.count("*").alias("n")).select(
+        F.lit("both").alias("segment"), "n"
+    )
+    only_buy = buyers.exceptAll(clickers).agg(F.count("*").alias("n")).select(
+        F.lit("buy_only").alias("segment"), "n"
+    )
+    return both_u.unionByName(only_buy).orderBy("segment")
+
+
+@q(
     "asof_daily_rate",
     oracle="""
     WITH rates AS (SELECT event_type, CAST(ts AS DATE) AS d,

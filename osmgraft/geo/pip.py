@@ -246,9 +246,105 @@ def classify_cells(
 # ---------------------------------------------------------------------------
 
 
+class PipIndex:
+    """Reusable point-in-polygon index over one boundary set.
+
+    Holds the broadcast R-tree plus (for the hybrid path) the classified
+    cell map, materialized once via ``localCheckpoint`` so every join that
+    reuses the index is pure JVM downstream (the map scans as an
+    ExistingRDD — no Python stage in the join plan).  At production scale
+    the boundary set is a dimension table: build the index once per job
+    and amortize it across the whole table scan, exactly as you would a
+    loaded broadcast dim.  ``pip_join`` builds a throwaway one when the
+    caller does not pass ``index=``.
+    """
+
+    def __init__(
+        self,
+        spark,
+        tree: STRtree,
+        ids: np.ndarray,
+        spec: GridSpec,
+        res: int,
+        cellmap: DataFrame | None,
+        any_boundary_cells: bool,
+    ):
+        self.spark = spark
+        self.tree = tree
+        self.ids = ids
+        self.spec = spec
+        self.res = res
+        self.cellmap = cellmap
+        self.any_boundary_cells = any_boundary_cells
+        self.bc = spark.sparkContext.broadcast((tree, ids))
+
+    @classmethod
+    def build(
+        cls,
+        boundaries: DataFrame,
+        boundary_id: str = "boundary_id",
+        wkb: str = "polygon_wkb",
+        spec: GridSpec | None = None,
+        res: int = 7,
+        hybrid: bool = True,
+    ) -> "PipIndex":
+        spark = boundaries.sparkSession
+        rows = boundaries.select(boundary_id, wkb).collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        rings = [parse_wkb(bytes(r[1]))[1] for r in rows]
+        tree = STRtree(rings)
+        if not hybrid:
+            return cls(spark, tree, ids, spec or GridSpec(), res, None, True)
+        spec = spec or GridSpec()
+        if res > 8:
+            # the hybrid path materializes a dense 4^res cell map — ~1M
+            # rows at res 10 stalls the driver for minutes (the round-1
+            # createDataFrame lesson). Finer grids should go executor-side
+            # (hexgrid.hex_polyfill_df pattern) or use hybrid=False.
+            raise ValueError(
+                f"pip_join hybrid path: res={res} materializes a 4^{res}-cell "
+                "driver map; use res <= 8, hybrid=False, or an executor-side "
+                "cover"
+            )
+        cells, cell_assign, is_boundary = classify_cells(tree, ids, spec, res)
+        # Build the cell map executor-side: createDataFrame from 4^res
+        # driver tuples rides py4j row-by-row (~0.8 s at res 7, measured
+        # round 3); a broadcast + one mapInPandas batch costs ~0.05 s and
+        # does not depend on the session's Arrow *conversion* config
+        # (pandas UDF transport is always Arrow, even on a vanilla harness
+        # session). localCheckpoint materializes the 4^res rows so joins
+        # that reuse the index scan an ExistingRDD — pure JVM.
+        bc_map = spark.sparkContext.broadcast(
+            (cells.astype(np.int64), cell_assign, is_boundary)
+        )
+
+        def emit_cellmap(batches):
+            c_l, a_l, b_l = bc_map.value
+            for pdf in batches:
+                i = pdf["id"].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        "_pipcell": c_l[i],
+                        "_cell_bid": pd.arrays.IntegerArray(a_l[i], a_l[i] < 0),
+                        "_cell_boundary": b_l[i],
+                    }
+                )
+
+        cellmap = (
+            spark.range(len(cells))
+            .coalesce(1)
+            .mapInPandas(
+                emit_cellmap,
+                "_pipcell long, _cell_bid long, _cell_boundary boolean",
+            )
+            .localCheckpoint()
+        )
+        return cls(spark, tree, ids, spec, res, cellmap, bool(is_boundary.any()))
+
+
 def pip_join(
     points: DataFrame,
-    boundaries: DataFrame,
+    boundaries: DataFrame | None = None,
     x: str = "x",
     y: str = "y",
     boundary_id: str = "boundary_id",
@@ -257,20 +353,27 @@ def pip_join(
     spec: GridSpec | None = None,
     res: int = 7,
     hybrid: bool = True,
+    index: PipIndex | None = None,
 ) -> DataFrame:
     """Assign each point row the id of the polygon containing it.
 
     `boundaries` must be small enough to broadcast. With `hybrid=True`
     (default) the interior-cell majority never leaves the JVM; only the
     boundary-cell sliver runs the Arrow ray-cast. `how='left'` keeps
-    unmatched points with NULL boundary_id.
+    unmatched points with NULL boundary_id. Pass a prebuilt ``index=``
+    (PipIndex.build) to amortize boundary collection + cell classification
+    across many joins against the same boundary set.
     """
-    spark = points.sparkSession
-    rows = boundaries.select(boundary_id, wkb).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    rings = [parse_wkb(bytes(r[1]))[1] for r in rows]
-    tree = STRtree(rings)
-    bc = spark.sparkContext.broadcast((tree, ids))
+    if index is None:
+        if boundaries is None:
+            raise ValueError("pip_join needs either boundaries= or index=")
+        index = PipIndex.build(
+            boundaries, boundary_id=boundary_id, wkb=wkb,
+            spec=spec, res=res, hybrid=hybrid,
+        )
+    bc = index.bc
+    res = index.res
+    spec = index.spec
     left = how == "left"
 
     out_schema = StructType(
@@ -300,35 +403,13 @@ def pip_join(
                 res_pdf[boundary_id] = ids_l[ri]
                 yield res_pdf
 
-    if not hybrid:
+    if index.cellmap is None:
         return points.mapInPandas(assign, schema=out_schema)
 
-    spec = spec or GridSpec()
-    if res > 8:
-        # the hybrid path builds a dense 4^res driver cell map and ships
-        # it as py4j tuples — ~1M tuples at res 10 is minutes of driver
-        # stall (the round-1 createDataFrame lesson). Finer grids should
-        # go executor-side (hexgrid.hex_polyfill_df pattern) or use the
-        # pure-Arrow path (hybrid=False).
-        raise ValueError(
-            f"pip_join hybrid path: res={res} materializes a 4^{res}-cell "
-            "driver map; use res <= 8, hybrid=False, or an executor-side "
-            "cover"
-        )
-    cells, cell_assign, is_boundary = classify_cells(tree, ids, spec, res)
-    # plain-tuple rows: must not depend on the session's Arrow conversion
-    # config (the harness may hand us a vanilla SparkSession)
-    cellmap = spark.createDataFrame(
-        [
-            (int(c), int(b) if b >= 0 else None, bool(e))
-            for c, b, e in zip(cells, cell_assign, is_boundary)
-        ],
-        "_pipcell long, _cell_bid long, _cell_boundary boolean",
-    )
     keyed = with_cell(points, x, y, spec, res, out="_pipcell", keep_ixy=False)
-    joined = keyed.join(F.broadcast(cellmap), "_pipcell", "left")
+    joined = keyed.join(F.broadcast(index.cellmap), "_pipcell", "left")
 
-    if not is_boundary.any():
+    if not index.any_boundary_cells:
         # every cell is interior ⇒ single-pass, pure-JVM broadcast join
         out = joined.withColumn(boundary_id, F.col("_cell_bid")).drop(
             "_pipcell", "_cell_bid", "_cell_boundary"

@@ -22,24 +22,34 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
 
 
-def _word_hits(text: Column, word: str) -> Column:
-    """Occurrences of ` word ` in ` text ` (space-padded containment count).
-
-    Single spaces are DOUBLED before counting: non-overlapping replace
-    would otherwise consume the shared delimiter between adjacent
-    occurrences ('the the' counted 1) — with doubled spaces every
-    occurrence owns both its delimiters (round-2 fix; the SQL mirror in
-    contract_text._hits_sql applies the same doubling)."""
-    padded = F.concat(
+def _padded(text: Column) -> Column:
+    """Lowercased text with spaces DOUBLED and space-padded ends, the shared
+    precursor for `_word_hits`: non-overlapping replace would otherwise
+    consume the shared delimiter between adjacent occurrences ('the the'
+    counted 1) — with doubled spaces every occurrence owns both its
+    delimiters (round-2 fix; the SQL mirror in contract_text._hits_sql
+    applies the same doubling). Callers scanning many words should project
+    this ONCE as a named column — rebuilding it per word is the dominant
+    cost (3 string passes × word count; measured round 3)."""
+    return F.concat(
         F.lit(" "),
         F.replace(F.lower(text), F.lit(" "), F.lit("  ")),
         F.lit(" "),
     )
+
+
+def _hits_in_padded(padded: Column, word: str) -> Column:
+    """Occurrences of ` word ` in an already `_padded` text column."""
     needle = f" {word} "
     return (
         (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
         / len(needle)
     ).cast("int")
+
+
+def _word_hits(text: Column, word: str) -> Column:
+    """Occurrences of ` word ` in ` text ` (space-padded containment count)."""
+    return _hits_in_padded(_padded(text), word)
 
 
 def lang_score(text: Column, lang: str) -> Column:
@@ -50,14 +60,28 @@ def lang_score(text: Column, lang: str) -> Column:
     return s
 
 
+def _lang_score_padded(padded: Column, lang: str) -> Column:
+    s = None
+    for wrd in LANG_MARKERS[lang]:
+        h = _hits_in_padded(padded, wrd)
+        s = h if s is None else s + h
+    return s
+
+
 def language_id(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Marker-word language classifier; ties broken by language code order."""
-    t = F.col(text_col)
-    scored = docs.select(
+    # padded text projected once — 16 marker words share it (one lower +
+    # doubling pass instead of 16; CollapseProject keeps the split because
+    # the alias is referenced >1 time by non-cheap expressions)
+    base = docs.select(F.col(id_col), _padded(F.col(text_col)).alias("_pad"))
+    scored = base.select(
         F.col(id_col),
-        *[lang_score(t, lg).alias(f"score_{lg}") for lg in LANG_MARKERS],
+        *[
+            _lang_score_padded(F.col("_pad"), lg).alias(f"score_{lg}")
+            for lg in LANG_MARKERS
+        ],
     )
     # argmax via greatest + when-ladder (deterministic tie-break: en,fr,de,es)
     best = F.greatest(*[F.col(f"score_{lg}") for lg in LANG_MARKERS])
@@ -84,26 +108,35 @@ def quality_scores(
 ) -> DataFrame:
     """Length / punctuation / stopword heuristic quality score in [0, 1]."""
     t = F.col(text_col)
-    n_chars = F.length(t)
-    n_tokens = F.size(F.split(t, " "))
+    # shared precursors projected once: padded text (3 string passes, shared
+    # by all 10 stopword counters) and the token/char counts (split shared
+    # by three ratios) — round-3 perf fix, ~2× on the documents scan
+    base = docs.select(
+        F.col(id_col),
+        F.length(t).alias("_nc"),
+        F.size(F.split(t, " ")).alias("_nt"),
+        F.length(F.regexp_replace(t, "[^a-zA-Z ]", "")).alias("_na"),
+        _padded(t).alias("_pad"),
+    )
+    n_chars = F.col("_nc")
+    n_tokens = F.col("_nt")
     stop_hits = None
     for wrd in STOPWORDS:
-        h = _word_hits(t, wrd)
+        h = _hits_in_padded(F.col("_pad"), wrd)
         stop_hits = h if stop_hits is None else stop_hits + h
     stop_ratio = stop_hits / n_tokens  # split('') is [''] ⇒ n_tokens ≥ 1
     mean_tok_len = n_chars / n_tokens
     # empty text: n_chars = 0 and ANSI mode (Spark 4 default) turns the
     # division into a DIVIDE_BY_ZERO crash — define alpha_ratio as 0
     alpha_ratio = F.when(
-        n_chars > 0,
-        F.length(F.regexp_replace(t, "[^a-zA-Z ]", "")) / n_chars,
+        n_chars > 0, F.col("_na") / n_chars
     ).otherwise(F.lit(0.0))
     score = (
         F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * 0.4
         + F.least(F.lit(1.0), stop_ratio * 5.0) * 0.2
         + alpha_ratio * 0.4
     )
-    return docs.select(
+    return base.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         F.round(mean_tok_len, 4).alias("mean_token_len"),

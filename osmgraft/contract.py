@@ -510,14 +510,23 @@ def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 ROW_NUMBER global ranking."""
+    """W1 ROW_NUMBER global ranking, top-10.
+
+    ROW_NUMBER + rn<=10 over a raw table would single-partition the whole
+    sort; since only the head survives the filter, plan-equivalent output
+    comes from distributed top-k (TakeOrderedAndProject: per-partition
+    heaps, driver merge of 10-row heads) and ranking the 10-row result —
+    round-3 fix for the round-2 `weak at 100×` finding."""
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        o.select(F.row_number().over(w).alias("rn"), "o_orderkey", "o_totalprice")
-        .where(F.col("rn") <= 10)
-        .orderBy("rn")
+    top = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
     )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return top.select(
+        F.row_number().over(w).alias("rn"), "o_orderkey", "o_totalprice"
+    ).orderBy("rn")
 
 
 @q(
@@ -846,15 +855,21 @@ def pivot_dow_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE windowing (round-2): global decile assignment (deterministic
-    tie-break by event_id) + per-decile bounds. A global NTILE is a
-    single-partition sort at scale — the documented alternative is
-    approx-quantile bucketing (value_percentiles); this query pins the
-    exact-window semantics."""
-    ev = t(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
+    """Exact NTILE(10) decile profile WITHOUT a single-partition window
+    (round-3 rework of the round-2 `weak at 100×` finding): two-level
+    ranking — approxQuantile range buckets, per-bucket ROW_NUMBER + driver
+    prefix-sum offsets → exact global rank → arithmetic NTILE. Bit-identical
+    to the NTILE window (the oracle keeps the window form); widest stage is
+    64-way parallel instead of 1. See osmgraft/analytics/ranking.py."""
+    from osmgraft.analytics.ranking import ntile_from_rank, with_global_rank
+
+    ev = t(spark, sf_dir, "events").select("value", "event_id")
+    n_rows = ev.count()
+    ranked = with_global_rank(ev, ["value", "event_id"], rank_col="_rnk")
     return (
-        ev.select("value", F.ntile(10).over(w).alias("decile"))
+        ranked.select(
+            "value", ntile_from_rank(F.col("_rnk"), n_rows, 10).alias("decile")
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),

@@ -256,3 +256,39 @@ def test_salted_join_rejects_outer(spark):
     right = spark.createDataFrame([(0, "a"), (1, "b")], "k long, label string")
     with pytest.raises(ValueError, match="unsafe"):
         salted_join(left, right, "k", buckets=4, how="right")
+
+
+class TestDistributedRanking:
+    """with_global_rank + ntile_from_rank must be bit-identical to the
+    single-partition ROW_NUMBER / NTILE windows they replace."""
+
+    def test_global_rank_matches_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from osmgraft.analytics.ranking import with_global_rank
+
+        df = spark.range(5000).select(
+            ((F.col("id") * 37) % 101).cast("double").alias("v"),  # heavy ties
+            F.col("id").alias("k"),
+        )
+        got = with_global_rank(df, ["v", "k"], rank_col="r", n_buckets=16)
+        w = Window.orderBy("v", "k")
+        want = df.select("v", "k", F.row_number().over(w).alias("r"))
+        assert got.select("v", "k", "r").exceptAll(want).count() == 0
+        assert want.exceptAll(got.select("v", "k", "r")).count() == 0
+
+    def test_ntile_formula_matches_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from osmgraft.analytics.ranking import ntile_from_rank
+
+        for n, k in [(25, 10), (1000, 10), (7, 10), (10, 10), (9999, 7)]:
+            df = spark.range(n).select(F.col("id").alias("k"))
+            w = Window.orderBy("k")
+            both = df.select(
+                F.ntile(k).over(w).alias("want"),
+                ntile_from_rank(F.row_number().over(w).cast("long"), n, k).alias("got"),
+            )
+            assert both.where(F.col("want") != F.col("got")).count() == 0, (n, k)

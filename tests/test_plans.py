@@ -298,3 +298,24 @@ def test_bucketed_spatial_cell_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS sp_a_t")
         spark.sql("DROP TABLE IF EXISTS sp_b_t")
+
+
+def test_window_rank_uses_distributed_topk(spark):
+    """window_rank must not single-partition-sort the raw table: the top-k
+    filter plans as TakeOrderedAndProject (per-partition heaps); the
+    ROW_NUMBER window only ever sees the 10-row result (round-3 fix)."""
+    df = QUERIES["window_rank"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    # the only Window sits above the TakeOrdered, never above the scan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_value_deciles_has_no_single_partition_exchange(spark):
+    """value_deciles' exact NTILE must run the two-level ranking plan:
+    the ROW_NUMBER window partitions by the range bucket (64-way parallel)
+    and no stage collapses to a single partition (round-3 fix)."""
+    df = QUERIES["value_deciles"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "_rk_bucket" in plan
+    assert "SinglePartition" not in plan

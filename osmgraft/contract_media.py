@@ -35,32 +35,19 @@ _NEARDUP_MIN = 0.5
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline; the
-    LSH-bucketed scale path is ann_lsh_top10 / with_lsh_bucket). Norms are
-    precomputed PER ROW before the pair join — bit-identical to the
-    per-pair form (same fold over the same array) but 3× fewer
-    higher-order-function evaluations across the O(n²) pairs (round-2
-    perf fix: 57 s → ~20 s at sf0.1)."""
-    from osmgraft.ann.search import _dot, _norm
+    """Embedding-cosine near-duplicate pairs — PRIMARY operator is the
+    lossless pivot-angle-banded equi-join (ann/pairs.py, round-3 rework of
+    the round-2 `weak` all-pairs finding): identical rows to the all-pairs
+    form at any threshold (triangle-inequality guarantee, pytest-proven),
+    but candidates come from a Chebyshev-1 band-grid equi-join instead of
+    an O(n²) theta join. The all-pairs form survives as this query's SQL
+    oracle and as `allpairs_neardup_pairs` (tests/test_ann.py) at fixture
+    scale."""
+    from osmgraft.ann.pairs import neardup_pairs_blocked
 
     emb = t(spark, sf_dir, "embeddings")
-    vec = F.transform("embedding", lambda v: v.cast("double"))
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        vec.alias("va"),
-        _norm(vec).alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        vec.alias("vb"),
-        _norm(vec).alias("nb"),
-    )
-    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .where(sim >= _NEARDUP_MIN)
-        .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine_sim"))
-        .orderBy("vec_a", "vec_b")
+    return neardup_pairs_blocked(emb, threshold=_NEARDUP_MIN).orderBy(
+        "vec_a", "vec_b"
     )
 
 

@@ -136,3 +136,63 @@ def test_lsh_probe_widening_monotone(emb, qvec):
     r0 = {r["vec_id"] for r in lsh_bucket_topk(base, qvec, k=50, n_bits=8, multiprobe_hamming=0).collect()}
     r1 = {r["vec_id"] for r in lsh_bucket_topk(base, qvec, k=50, n_bits=8, multiprobe_hamming=1).collect()}
     assert r0 <= r1 or len(r1) == 50
+
+
+class TestBlockedNeardupPairs:
+    """neardup_pairs_blocked must equal the all-pairs result at ANY
+    threshold — the blocking is lossless by the triangle inequality on
+    angular distance (ann/pairs.py), not probabilistic LSH recall."""
+
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        # 12 cluster centers in 8 dims, 16 jittered members each: hundreds
+        # of true near-dup pairs at 0.9 plus cross-cluster pairs near the
+        # 0.5 boundary — exercises band-edge and tie cases
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = []
+        vid = 0
+        for _c in range(12):
+            center = rng.standard_normal(8)
+            center /= np.linalg.norm(center)
+            for _m in range(16):
+                v = center + rng.standard_normal(8) * rng.choice([0.02, 0.3, 0.9])
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _allpairs(self, emb, thr):
+        from osmgraft.ann.search import _dot, _norm
+
+        vec = F.transform("embedding", lambda v: v.cast("double"))
+        a = emb.select(F.col("vec_id").alias("vec_a"), vec.alias("va"), _norm(vec).alias("na"))
+        b = emb.select(F.col("vec_id").alias("vec_b"), vec.alias("vb"), _norm(vec).alias("nb"))
+        sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        return (
+            a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+            .where(sim >= thr)
+            .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine_sim"))
+        )
+
+    @pytest.mark.parametrize("thr", [0.5, 0.9])
+    def test_blocked_equals_allpairs(self, clustered, thr):
+        from osmgraft.ann.pairs import neardup_pairs_blocked
+
+        blocked = neardup_pairs_blocked(clustered, threshold=thr)
+        ap = self._allpairs(clustered, thr)
+        n_ap = ap.count()
+        assert n_ap > 50, "fixture must produce a dense pair set"
+        assert blocked.exceptAll(ap).count() == 0
+        assert ap.exceptAll(blocked).count() == 0
+
+    def test_blocked_plan_is_equi_join(self, clustered):
+        from osmgraft.ann.pairs import neardup_pairs_blocked
+
+        plan = (
+            neardup_pairs_blocked(clustered, threshold=0.5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -175,6 +175,63 @@ def yaml_scored_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _red_flags_oracle() -> str:
+    from osmgraft.rules.yamlspec import trigger_sql
+
+    ss = score_sql(_DOC_SPEC.rules)
+    ts = tier_sql("score", _DOC_SPEC.tier_bands)
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT '{tr.name}' AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+           string_agg(DISTINCT substring(text, 1, 30), '; '
+                      ORDER BY substring(text, 1, 30)) AS examples
+    FROM scored WHERE {trigger_sql(tr)}"""
+        for tr in _DOC_SPEC.triggers
+    )
+    return f"""
+    WITH scored AS (SELECT text, source, lang,
+                           {ss} AS score,
+                           {ts} AS tier
+                    FROM documents)
+    SELECT flag, n, examples FROM (
+{arms}
+    ) WHERE n > 0 ORDER BY flag
+    """
+
+
+@q("red_flags", oracle=_red_flags_oracle())
+def red_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suspicious-records dashboard (reference power_user_queries.sql:190-237
+    '7. SUSPICIOUS RECORDS' + validation workflow PHASE 2): one UNION arm
+    per `validation.suspicion_triggers` entry of the scoring YAML —
+    compiled to predicates by yamlspec (round 3; the block was inert
+    metadata through round 2) — with count + sorted distinct truncated
+    examples, empty flags dropped (the reference's GROUP BY flag does the
+    same). One scan per flag over the same scored frame; each arm is a
+    partial-agg count, no shuffle of raw rows."""
+    from functools import reduce as _reduce
+
+    from osmgraft.rules.yamlspec import trigger_predicate
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.withColumn("score", compile_score(_DOC_SPEC.rules)).withColumn(
+        "tier", compile_tier("score", _DOC_SPEC.tier_bands)
+    )
+    ex = F.substring("text", 1, 30)
+    arms = [
+        scored.where(trigger_predicate(tr)).agg(
+            F.lit(tr.name).alias("flag"),
+            F.count("*").alias("n"),
+            F.array_join(F.sort_array(F.collect_set(ex)), "; ").alias("examples"),
+        )
+        for tr in _DOC_SPEC.triggers
+    ]
+    return (
+        _reduce(lambda a, b: a.unionByName(b), arms)
+        .where(F.col("n") > 0)
+        .orderBy("flag")
+    )
+
+
 _KW = ["spark", "window", "vector", "merge", "dup"]
 _KW_SQL = "[" + ", ".join(f"'{k}'" for k in _KW) + "]"
 

@@ -69,6 +69,25 @@ class ColumnMap:
 
 
 @dataclass(frozen=True)
+class SuspicionTrigger:
+    """One compiled `validation.suspicion_triggers` entry (round-3; the
+    block was inert metadata through round 2). A trigger flags rows of the
+    SCORED output for manual review: optional score floor, optional tier
+    equality, optional column matcher (reusing the ScoreRule predicate
+    machinery so it compiles to both engines).
+
+    Reference: scoring.yaml:349-357 declares the triggers;
+    power_user_queries.sql:190-237 ('7. SUSPICIOUS RECORDS') and
+    validation_and_refinement_workflow.sh:85-135 ('PHASE 2: Red Flags
+    Detection') are the queries they drive."""
+
+    name: str
+    min_score: int | None = None
+    tier: str | None = None
+    matcher: ScoreRule | None = None
+
+
+@dataclass(frozen=True)
 class ScoringSpec:
     """Parsed scoring YAML: additive ruleset + tier bands + metadata."""
 
@@ -76,6 +95,7 @@ class ScoringSpec:
     tier_bands: tuple[tuple[int, str], ...]
     minimum_score: int
     validation: dict[str, Any]
+    triggers: tuple[SuspicionTrigger, ...] = ()
 
 
 def _postcode_regex(codes: list[str]) -> str:
@@ -201,6 +221,114 @@ def _group_rule(section: str, group: str, spec: dict, cm: ColumnMap) -> dict:
     return rule
 
 
+def _builtin_trigger(name: str, cm: ColumnMap) -> SuspicionTrigger:
+    """The reference's boolean trigger names (scoring.yaml:349-357) carry
+    their semantics in the companion queries
+    (power_user_queries.sql:190-237, validation workflow PHASE 2)."""
+    from osmgraft.rules.compiler import rule_from_dict
+
+    if name == "score_above_150_no_website":
+        # 'Score >150 + No Contact'
+        return SuspicionTrigger(
+            name,
+            min_score=150,
+            matcher=rule_from_dict(
+                {"kind": "expr", "pattern": f"{cm.website} IS NULL"}
+            ),
+        )
+    if name == "tier1_but_residential_postcode":
+        # 'High Score + Residential' (tier1 + residential building/landuse)
+        return SuspicionTrigger(
+            name,
+            tier="tier1_candidate",
+            matcher=rule_from_dict(
+                {
+                    "kind": "in",
+                    "column": cm.building,
+                    "values": ("house", "apartments", "residential"),
+                }
+            ),
+        )
+    if name == "high_score_but_consumer_amenity":
+        # 'High Score + Consumer Keywords'
+        return SuspicionTrigger(
+            name,
+            min_score=80,
+            matcher=rule_from_dict(
+                {
+                    "kind": "regex",
+                    "column": cm.text_blob,
+                    "pattern": "(cafe|restaurant|hotel|pub|retail|shop|gym)",
+                }
+            ),
+        )
+    raise ValueError(f"unknown built-in suspicion trigger: {name!r}")
+
+
+def _parse_triggers(validation: dict, cm: ColumnMap) -> tuple[SuspicionTrigger, ...]:
+    from osmgraft.rules.compiler import rule_from_dict
+
+    raw = validation.get("suspicion_triggers")
+    if not raw:
+        return ()
+    out: list[SuspicionTrigger] = []
+    if isinstance(raw, list):  # reference shape: [{name: true}, ...]
+        for item in raw:
+            for name, enabled in item.items():
+                if enabled:
+                    out.append(_builtin_trigger(str(name), cm))
+        return tuple(out)
+    # mapping shape: {name: {min_score?, tier?, patterns/keywords/conditions?}}
+    for name, spec in raw.items():
+        matcher_keys = {"patterns", "keywords", "postcodes", "conditions"}
+        matcher_spec = {k: v for k, v in spec.items() if k in matcher_keys}
+        matcher = None
+        if matcher_spec:
+            gd = _group_rule("suspicion", str(name), {**matcher_spec, "weight": 1}, cm)
+            matcher = rule_from_dict(gd)
+        out.append(
+            SuspicionTrigger(
+                str(name),
+                min_score=(
+                    int(spec["min_score"]) if spec.get("min_score") is not None else None
+                ),
+                tier=spec.get("tier"),
+                matcher=matcher,
+            )
+        )
+    return tuple(out)
+
+
+def trigger_predicate(trig: SuspicionTrigger, score_col: str = "score", tier_col: str = "tier"):
+    """Spark Column predicate over a scored DataFrame."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.rules.compiler import _rule_predicate
+
+    pred = F.lit(True)
+    if trig.min_score is not None:
+        pred = pred & (F.col(score_col) >= trig.min_score)
+    if trig.tier is not None:
+        pred = pred & (F.col(tier_col) == trig.tier)
+    if trig.matcher is not None:
+        pred = pred & _rule_predicate(trig.matcher)
+    return pred
+
+
+def trigger_sql(trig: SuspicionTrigger, score_expr: str = "score", tier_expr: str = "tier") -> str:
+    """The same predicate as ANSI SQL (DuckDB oracle side)."""
+    from osmgraft.rules.sqlgen import _sql_pred
+
+    parts = []
+    if trig.min_score is not None:
+        parts.append(f"{score_expr} >= {trig.min_score}")
+    if trig.tier is not None:
+        parts.append(f"{tier_expr} = '{trig.tier}'")
+    if trig.matcher is not None:
+        parts.append(_sql_pred(trig.matcher))
+    return " AND ".join(parts) if parts else "TRUE"
+
+
 def load_scoring_yaml(text: str, cm: ColumnMap | None = None) -> ScoringSpec:
     import yaml
 
@@ -223,11 +351,13 @@ def load_scoring_yaml(text: str, cm: ColumnMap | None = None) -> ScoringSpec:
             reverse=True,
         )
     )
+    validation = doc.get("validation", {}) or {}
     return ScoringSpec(
         rules=RuleSet.from_dict("yaml_scoring", raw_rules),
         tier_bands=bands,
         minimum_score=int(thresholds.get("minimum_score", 0)),
-        validation=doc.get("validation", {}),
+        validation=validation,
+        triggers=_parse_triggers(validation, cm),
     )
 
 

@@ -309,3 +309,68 @@ def test_documents_spec_sql_and_spark_agree_on_fixture(spark):
     )
     assert (sdf["score"].to_numpy() == ddf["score"].to_numpy()).all()
     assert sdf["score"].nunique() > 5  # real spread, not constant
+
+
+class TestSuspicionTriggers:
+    """validation.suspicion_triggers compile to real predicates (round 3 —
+    inert metadata through round 2)."""
+
+    def test_documents_triggers_parse(self):
+        from osmgraft.rules.yamlspec import load_documents_scoring
+
+        spec = load_documents_scoring()
+        names = {t.name for t in spec.triggers}
+        assert names == {
+            "high_score_but_lowtrust_source",
+            "high_score_but_filler_terms",
+            "score_above_150_no_english",
+            "tier1_but_generic_text",
+        }
+
+    def test_reference_boolean_shape_maps_to_builtins(self):
+        from osmgraft.rules.yamlspec import load_aerospace_scoring
+
+        spec = load_aerospace_scoring()
+        names = [t.name for t in spec.triggers]
+        assert names == [
+            "score_above_150_no_website",
+            "tier1_but_residential_postcode",
+            "high_score_but_consumer_amenity",
+        ]
+        # 'Score >150 + No Contact' semantics (power_user_queries.sql:223-229)
+        t0 = spec.triggers[0]
+        assert t0.min_score == 150 and t0.matcher is not None
+
+    def test_trigger_toggles_its_flag(self, spark):
+        """Flipping one attribute of an otherwise-identical row must flip
+        exactly its trigger (both engines' predicates agree)."""
+        from osmgraft.rules.yamlspec import (
+            load_documents_scoring,
+            trigger_predicate,
+            trigger_sql,
+        )
+
+        spec = load_documents_scoring()
+        trig = {t.name: t for t in spec.triggers}["score_above_150_no_english"]
+        rows = [
+            (1, "spark stream vector merge", "de", "src9", 160),  # fires
+            (2, "spark stream vector merge", "en", "src9", 160),  # lang flip
+            (3, "spark stream vector merge", "de", "src9", 100),  # score flip
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, score int"
+        ).withColumn("tier", F.lit("tier1_candidate"))
+        hit = {r.doc_id for r in df.where(trigger_predicate(trig)).collect()}
+        assert hit == {1}
+
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+            "source VARCHAR, score INT, tier VARCHAR)"
+        )
+        for r in rows:
+            con.execute("INSERT INTO t VALUES (?, ?, ?, ?, ?, 'tier1_candidate')", list(r))
+        got = {r[0] for r in con.sql(f"SELECT doc_id FROM t WHERE {trigger_sql(trig)}").fetchall()}
+        assert got == {1}

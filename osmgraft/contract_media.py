@@ -147,20 +147,32 @@ def raster_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → synthetic page rows with media structs (deterministic)."""
+    """documents → synthetic page rows with media structs (deterministic).
+
+    Keyed by doc_id (round 3): every media attribute is SQL-expressible,
+    and the image/png rows carry GENUINE PNG bytes (attach_png_payloads →
+    multimodal/png.py encoder) so the feature/thumbnail queries exercise
+    the real codec and pair with raster-formula oracles."""
     from osmgraft.multimodal import attach_media
+    from osmgraft.multimodal.media import attach_png_payloads
 
     d = t(spark, sf_dir, "documents").select(
+        "doc_id",
         F.concat(F.lit("https://example/doc-"), F.col("doc_id")).alias("url"),
         "text",
     )
-    return attach_media(d)
+    return attach_png_payloads(attach_media(d, key_col="doc_id"), "doc_id")
 
 
 # deterministic raster formula — identical in the Spark kernel and the
-# DuckDB oracle (pixel k of doc d: (d*A + k*B) % 256)
-_PNG_A, _PNG_B = 2654435761, 2246822519
-_PNG_MOD = 5  # every 5th document carries a PNG
+# DuckDB oracle (pixel k of doc d: (d*A + k*B) % 256); canonical constants
+# live in multimodal/media.py (raster_for_key)
+from osmgraft.multimodal.media import RASTER_A as _PNG_A  # noqa: E402
+from osmgraft.multimodal.media import RASTER_B as _PNG_B  # noqa: E402
+
+_PNG_MOD = 5  # every 5th document carries a PNG (png_roundtrip queries)
+# _media_pages png-ness: attach_media(key_col=doc_id) ⇒ doc_id % 4 == 0
+_MEDIA_PNG_MOD = 4
 
 
 @q(
@@ -236,12 +248,47 @@ def media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(kernel, schema=schema).orderBy("doc_id")
 
 
-@q("media_image_features")  # numpy-stub decode: rows-only check
+@q(
+    "media_image_features",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      'https://example/doc-' || doc_id AS url,
+                      CAST(32 + doc_id % 48 AS INT) AS width,
+                      CAST(24 + doc_id % 36 AS INT) AS height
+               FROM documents WHERE doc_id % {_MEDIA_PNG_MOD} = 0),
+         px AS (SELECT doc_id, url, width, height,
+                       (doc_id * {_PNG_A} + k * {_PNG_B}) % 256 AS val
+                FROM d, UNNEST(range(0, CAST(width AS BIGINT) * height)) AS t(k))
+    SELECT url, 'image/png' AS media_type, width, height,
+           ROUND(SUM(val) / COUNT(*), 4) AS luma_mean,
+           ROUND(SQRT(SUM(val * val) / COUNT(*)
+                      - (SUM(val) / COUNT(*)) * (SUM(val) / COUNT(*))), 4)
+             AS luma_std,
+           ROUND(MEDIAN(val), 4) AS luma_p50,
+           ROUND(CAST(width AS DOUBLE) / height, 4) AS aspect
+    FROM px GROUP BY url, width, height ORDER BY url
+    """,
+)
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode(stub) → luma stats via Arrow mapInPandas over image rows only."""
+    """REAL decode → luma stats, oracle-paired (round 3; rows-only through
+    round 2): the fixture's image/png rows carry genuine PNG bytes, the
+    kernel decodes them through the pure-stdlib codec (strict — no fake
+    fallback can slip in), and the oracle recomputes mean/std/median/aspect
+    from the raster formula in SQL. std uses integer power sums on both
+    sides so the 4-dp rounding is bit-stable (see extract_image_features)."""
     from osmgraft.multimodal import extract_image_features
 
-    return extract_image_features(_media_pages(spark, sf_dir)).orderBy("url")
+    pages = _media_pages(spark, sf_dir).where(
+        F.col("media.media_type") == "image/png"
+    )
+    feats = extract_image_features(pages, strict=True)
+    return feats.select(
+        "url", "media_type", "width", "height",
+        F.round("luma_mean", 4).alias("luma_mean"),
+        F.round("luma_std", 4).alias("luma_std"),
+        F.round("luma_p50", 4).alias("luma_p50"),
+        F.round("aspect", 4).alias("aspect"),
+    ).orderBy("url")
 
 
 _TH = 8  # thumbnail side
@@ -317,12 +364,47 @@ def media_thumbnail_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(kernel, schema=schema).orderBy("doc_id")
 
 
-@q("media_thumbnails")  # binary output: rows-only check
+_TH16 = 16  # media_thumbnails side
+
+
+@q(
+    "media_thumbnails",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      'https://example/doc-' || doc_id AS url,
+                      CAST(32 + doc_id % 48 AS INT) AS width,
+                      CAST(24 + doc_id % 36 AS INT) AS height
+               FROM documents WHERE doc_id % {_MEDIA_PNG_MOD} = 0),
+         px AS (SELECT doc_id, url, ty, tx,
+                       (doc_id * {_PNG_A}
+                        + (((ty * height) // {_TH16}) * width
+                           + ((tx * width) // {_TH16})) * {_PNG_B}) % 256 AS val
+                FROM d,
+                     UNNEST(range(0, {_TH16})) AS a(ty),
+                     UNNEST(range(0, {_TH16})) AS b(tx))
+    SELECT url, {_TH16} AS out_w, {_TH16} AS out_h,
+           string_agg(lpad(upper(hex(val)), 2, '0'), ''
+                      ORDER BY ty, tx) AS thumb_hex
+    FROM px GROUP BY url ORDER BY url
+    """,
+)
 def media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode(stub) → 16×16 nearest-neighbor thumbnails (binary out)."""
+    """REAL decode → 16×16 nearest-neighbor thumbnails, BYTE-exact
+    oracle-paired (round 3; rows-only through round 2): genuine PNG
+    payloads decode through the stdlib codec, resize_images samples
+    yi = ty·h // 16 / xi = tx·w // 16, and the raw thumbnail bytes are
+    hex-encoded so DuckDB can rebuild the exact string from the raster
+    formula + the same index arithmetic — equality proves every sampled
+    byte at its position through decode → resize → tobytes."""
     from osmgraft.multimodal import resize_images
 
-    return resize_images(_media_pages(spark, sf_dir), 16, 16).orderBy("url")
+    pages = _media_pages(spark, sf_dir).where(
+        F.col("media.media_type") == "image/png"
+    )
+    thumbs = resize_images(pages, _TH16, _TH16)
+    return thumbs.select(
+        "url", "out_w", "out_h", F.hex("thumb").alias("thumb_hex")
+    ).orderBy("url")
 
 
 @q("media_frame_plan")  # xxhash64-derived metadata: rows-only check

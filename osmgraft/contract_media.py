@@ -407,9 +407,23 @@ def media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
-@q("media_frame_plan")  # xxhash64-derived metadata: rows-only check
+@q(
+    "media_frame_plan",
+    oracle="""
+    SELECT 'https://example/doc-' || doc_id AS url,
+           CAST(doc_id % 240 + 24 AS INT) AS n_frames,
+           CAST(f AS INT) AS frame_idx
+    FROM documents,
+         UNNEST(range(0, CAST(doc_id % 240 + 24 AS BIGINT), 24)) AS t(f)
+    WHERE doc_id % 4 = 2
+    ORDER BY url, frame_idx
+    """,
+)
 def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plan (JVM sequence+explode, no Python)."""
+    """Video frame-sampling plan (JVM sequence+explode, no Python) —
+    oracle-paired round 3: the doc_id-keyed fixture makes video rows
+    (doc_id % 4 == 2) and n_frames (doc_id % 240 + 24) SQL-expressible,
+    so DuckDB regenerates the exact sampled index set."""
     from osmgraft.multimodal import sample_video_frames
 
     return sample_video_frames(_media_pages(spark, sf_dir), every_n=24).orderBy(

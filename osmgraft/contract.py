@@ -1529,6 +1529,105 @@ def length_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "wkb_validity",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id,
+                      {X_EXPR} AS x, {Y_EXPR} AS y,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY event_id) AS rn,
+                      COUNT(*) OVER (PARTITION BY user_id) AS cnt
+               FROM events),
+         p AS (SELECT user_id, rn,
+                      CASE WHEN rn = 1 AND user_id % 11 = 0
+                           THEN 'NaN'::DOUBLE ELSE x END AS x,
+                      y,
+                      user_id % 4 + 2 AS m,
+                      CASE WHEN user_id % 7 = 0 THEN 0 ELSE 1 END AS closed
+               FROM e WHERE cnt >= 5 AND rn <= user_id % 4 + 2),
+         pairs AS (SELECT user_id, m, closed, x, y,
+                          COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w2) AS x2,
+                          COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w2) AS y2
+                   FROM p
+                   WINDOW w AS (PARTITION BY user_id ORDER BY rn),
+                          w2 AS (PARTITION BY user_id ORDER BY rn
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING)),
+         g AS (SELECT user_id, MAX(m) AS m, MAX(closed) AS closed,
+                      MAX(CASE WHEN isnan(x) OR isnan(y) THEN 1 ELSE 0 END)
+                        AS bad,
+                      ABS(SUM(x * y2 - x2 * y)) / 2 AS area
+               FROM pairs GROUP BY user_id)
+    SELECT CASE WHEN bad = 1 THEN 'nonfinite_coord'
+                WHEN m + closed < 4 THEN 'too_few_points'
+                WHEN closed = 0 THEN 'unclosed_ring'
+                WHEN area < 1.0e0 THEN 'zero_area'
+                ELSE 'valid' END AS reason,
+           CAST(COUNT(*) AS BIGINT) AS n_geoms
+    FROM g GROUP BY reason ORDER BY reason
+    """,
+)
+def wkb_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry validity audit (reference verify_import.py:223-231 runs
+    ST_IsValid counts as an import-verification step; round-3 gap-close).
+    Per-user rings are assembled into polygon WKB with deliberately
+    degenerate cases (ring left unclosed for user_id%7==0, too few points
+    for short rings, a NaN coordinate for user_id%11==0, naturally
+    collinear zero-area tracks) and classified by the vectorized validity
+    kernel (geo/geometry.wkb_validity_col — parse, finite, closure, point
+    count, shoelace area). The oracle recomputes every check from the
+    construction parameters in pure SQL with the same precedence —
+    equality proves the WKB bytes round-trip every defect class."""
+    from pyspark.sql.window import Window as W
+
+    from osmgraft.geo.geometry import wkb_validity_col
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr(X_EXPR).alias("x"), F.expr(Y_EXPR).alias("y"),
+    )
+    w = W.partitionBy("user_id").orderBy("event_id")
+    wc = W.partitionBy("user_id")
+    m = F.col("user_id") % 4 + 2
+    pts = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(wc))
+        .where((F.col("cnt") >= 5) & (F.col("rn") <= m))
+        .withColumn(
+            "x",
+            F.when(
+                (F.col("rn") == 1) & (F.col("user_id") % 11 == 0),
+                F.lit(float("nan")),
+            ).otherwise(F.col("x")),
+        )
+    )
+    rings = pts.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("rn", "x", "y"))).alias("pts"),
+        (~(F.first("user_id") % 7 == 0)).alias("closed"),
+    )
+
+    @F.pandas_udf("binary")
+    def _ring_wkb(pts: pd.Series, closed: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from osmgraft.geo.geometry import polygon_wkb
+
+        out = []
+        for lst, cl in zip(pts, closed):
+            ring = np.array([[p["x"], p["y"]] for p in lst], dtype=float)
+            if cl:
+                ring = np.vstack([ring, ring[:1]])
+            out.append(polygon_wkb(ring))
+        return pd.Series(out)
+
+    audited = rings.withColumn(
+        "reason", wkb_validity_col(_ring_wkb(F.col("pts"), F.col("closed")))
+    )
+    return (
+        audited.groupBy("reason").agg(F.count("*").alias("n_geoms")).orderBy("reason")
+    )
+
+
+@q(
     "knn_pois",
     oracle=f"""
     WITH pts AS ({_pts_cte(41)}),

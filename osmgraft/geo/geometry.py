@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, StringType
 
 WKB_POINT = 1
 WKB_LINESTRING = 2
@@ -189,3 +189,53 @@ def mercator_sql(lat_sql: str, lng_sql: str) -> tuple[str, str]:
     x = f"({r} * radians({lng_sql}))"
     y = f"({r} * ln(tan({math.pi / 4.0!r}e0 + radians({lat_sql}) / 2.0)))"
     return x, y
+
+
+# ---------------------------------------------------------------------------
+# geometry validity audit (reference verify_import.py:223-231 ST_IsValid)
+# ---------------------------------------------------------------------------
+
+# classification precedence (first failing check wins) — the SQL oracle in
+# contract.wkb_validity mirrors this exact CASE order
+VALIDITY_REASONS = (
+    "unparseable",
+    "nonfinite_coord",
+    "too_few_points",
+    "unclosed_ring",
+    "zero_area",
+    "valid",
+)
+
+# collinear rings cancel to ~1e-4 of float noise at UK-grid magnitudes;
+# genuine fixture areas are >= 1e5 m² — a 1.0 m² floor is engine-robust
+ZERO_AREA_EPS = 1.0
+
+
+def wkb_validity_reason(buf: bytes) -> str:
+    """First failing validity check for one WKB blob (polygon semantics:
+    point/linestring blobs only get the parse + finite checks)."""
+    try:
+        gtype, coords = parse_wkb(bytes(buf))
+    except Exception:  # noqa: BLE001 — any malformed byte layout
+        return "unparseable"
+    if not np.isfinite(coords).all():
+        return "nonfinite_coord"
+    if gtype != WKB_POLYGON:
+        return "valid"
+    if len(coords) < 4:
+        return "too_few_points"
+    if coords[0, 0] != coords[-1, 0] or coords[0, 1] != coords[-1, 1]:
+        return "unclosed_ring"
+    if shoelace_area(coords[:-1]) < ZERO_AREA_EPS:
+        return "zero_area"
+    return "valid"
+
+
+@F.pandas_udf(StringType())
+def _validity_udf(wkb: pd.Series) -> pd.Series:
+    return pd.Series([wkb_validity_reason(b) for b in wkb])
+
+
+def wkb_validity_col(wkb_col: "str | Column") -> Column:
+    """ST_IsValid-style audit reason per geometry (vectorized Arrow pass)."""
+    return _validity_udf(F.col(wkb_col) if isinstance(wkb_col, str) else wkb_col)

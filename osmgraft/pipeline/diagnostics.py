@@ -114,4 +114,18 @@ def run_diagnostics(features: DataFrame, threshold: int = R.SCORE_THRESHOLD) -> 
     # D11: tag map health (:225-242)
     out["tags_nonempty"] = features.where(F.size(F.col("tags")) > 0).count()
 
+    # D13: geometry validity audit (verify_import.py:223-231 ST_IsValid
+    # counts; round-3 gap-close) — every WKB blob classified by the
+    # vectorized validity kernel (parse / finite / closure / point count /
+    # area); reasons beyond 'valid' demand import investigation
+    from osmgraft.geo.geometry import wkb_validity_col
+
+    out["geometry_validity"] = {
+        r["reason"]: r["n"]
+        for r in features.select(wkb_validity_col("way_wkb").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
     return out

@@ -196,3 +196,19 @@ class TestBlockedNeardupPairs:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ivf_training_sample_ceiling(spark):
+    """The max_train_rows guard must refuse an oversized training collect
+    (round 3): the error names a modulus that would fit."""
+    from osmgraft.ann.search import ivf_train_codebook
+
+    df = spark.range(600).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[ (F.col("id") % (i + 3)).cast("double") for i in range(4) ]).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_train_rows"):
+        ivf_train_codebook(df, n_lists=4, sample_mod=1, max_train_rows=100)
+    # and the fitting modulus from the message keeps training usable
+    cb = ivf_train_codebook(df, n_lists=4, sample_mod=7, max_train_rows=100)
+    assert len(cb) == 4

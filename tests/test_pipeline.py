@@ -174,6 +174,10 @@ def test_diagnostics_suite(spark, features):
     assert d["tags_nonempty"] > 0
     for kind, n in d["filtered_counts"].items():
         assert 0 < n <= d["source_counts"][kind], kind
+    # D13 (round 3): every fixture geometry classifies, and the fixture's
+    # well-formed WKB must all be valid (any other reason = import defect)
+    assert sum(d["geometry_validity"].values()) == features.count()
+    assert set(d["geometry_validity"]) == {"valid"}
 
 
 def test_simhash_banded_pairs_exact_vs_allpairs(spark):

@@ -51,6 +51,9 @@ HEADLINE = [
     "session_stats",           # sessionization batch twin (window pass)
     "asof_daily_rate",         # as-of join (union-marker window)
     "dedup_clusters",          # iterative connected components
+    # round-3 additions
+    "red_flags",               # YAML suspicion triggers -> 4-arm dashboard
+    "wkb_validity",            # geometry validity audit kernel
 ]
 
 # default sized so compute dominates fixed per-job overhead (wall-clock is

@@ -155,18 +155,24 @@ def ivf_train_codebook(
     ENFORCED driver-memory ceiling (round 3 — the round-2 verdict flagged
     the 'modulus scales' promise as aspirational): an oversized sample
     raises with the modulus that fits instead of silently OOMing the
-    driver mid-collect. Assignment of the full corpus stays distributed
-    (ivf_build, one scan, no shuffle)."""
+    driver mid-collect. The guard rides the SAME job as the training
+    collect (limit ceiling+1, TakeOrderedAndProject — per-partition heads
+    only) so the overflow check never scans the corpus twice; the exact
+    overflow size is then counted only on the failure path, where its
+    cost buys the actionable modulus suggestion. Assignment of the full
+    corpus stays distributed (ivf_build, one scan, no shuffle)."""
     sample = embeddings.where(F.col(id_col) % sample_mod == 0)
-    n_sample = sample.count()
-    if n_sample > max_train_rows:
+    rows = (
+        sample.orderBy(id_col).select(vec_col).limit(max_train_rows + 1).collect()
+    )
+    if len(rows) > max_train_rows:
+        n_sample = sample.count()
         needed = sample_mod * (n_sample // max_train_rows + 1)
         raise ValueError(
             f"IVF training sample is {n_sample} rows (> max_train_rows="
             f"{max_train_rows}); raise sample_mod to ~{needed} or lift the "
             "ceiling explicitly"
         )
-    rows = sample.orderBy(id_col).select(vec_col).collect()
     X = np.array([[float(v) for v in r[0]] for r in rows], dtype=np.float64)
     if len(X) < n_lists:
         raise ValueError("training sample smaller than n_lists; lower sample_mod")

@@ -47,6 +47,24 @@ def _hits_in_padded(padded: Column, word: str) -> Column:
     ).cast("int")
 
 
+def _multi_hits_in_padded(padded: Column, words: list[str]) -> Column:
+    """Total occurrences of any ` word ` across a word list, as ONE
+    regexp_count pass over the padded text (round-3 perf: 10 stopwords
+    via per-word replace-counting = 10 full string scans; one alternation
+    scan is ~4× faster on the documents table, measured sf0.1).
+
+    Equivalence with summed `_hits_in_padded` holds because space-doubling
+    makes every ` word ` occurrence a DISJOINT substring owning both its
+    delimiters: the left-to-right non-overlapping regex scan consumes one
+    delimiter per match but doubling always leaves the next occurrence its
+    own (pytest: test_multi_hits_equals_per_word_sum, incl. 'the the' and
+    adjacent distinct stopwords)."""
+    import re as _re
+
+    rx = " (?:" + "|".join(_re.escape(w) for w in words) + ") "
+    return F.regexp_count(padded, F.lit(rx)).cast("int")
+
+
 def _word_hits(text: Column, word: str) -> Column:
     """Occurrences of ` word ` in ` text ` (space-padded containment count)."""
     return _hits_in_padded(_padded(text), word)
@@ -60,26 +78,21 @@ def lang_score(text: Column, lang: str) -> Column:
     return s
 
 
-def _lang_score_padded(padded: Column, lang: str) -> Column:
-    s = None
-    for wrd in LANG_MARKERS[lang]:
-        h = _hits_in_padded(padded, wrd)
-        s = h if s is None else s + h
-    return s
-
-
 def language_id(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Marker-word language classifier; ties broken by language code order."""
-    # padded text projected once — 16 marker words share it (one lower +
-    # doubling pass instead of 16; CollapseProject keeps the split because
-    # the alias is referenced >1 time by non-cheap expressions)
+    # padded text projected once — all marker words share it (one lower +
+    # doubling pass; CollapseProject keeps the split because the alias is
+    # referenced >1 time by non-cheap expressions); each language's 4
+    # markers count in ONE alternation pass (see _multi_hits_in_padded)
     base = docs.select(F.col(id_col), _padded(F.col(text_col)).alias("_pad"))
     scored = base.select(
         F.col(id_col),
         *[
-            _lang_score_padded(F.col("_pad"), lg).alias(f"score_{lg}")
+            _multi_hits_in_padded(F.col("_pad"), LANG_MARKERS[lg]).alias(
+                f"score_{lg}"
+            )
             for lg in LANG_MARKERS
         ],
     )
@@ -108,22 +121,25 @@ def quality_scores(
 ) -> DataFrame:
     """Length / punctuation / stopword heuristic quality score in [0, 1]."""
     t = F.col(text_col)
-    # shared precursors projected once: padded text (3 string passes, shared
-    # by all 10 stopword counters) and the token/char counts (split shared
-    # by three ratios) — round-3 perf fix, ~2× on the documents scan
+    # shared precursors projected once: padded text and the token/char
+    # counts (split shared by three ratios). Alpha chars counted via
+    # translate (char-map, no regex engine) and the 10 stopwords via one
+    # alternation regexp_count — together ~4× over the round-2 form on the
+    # documents scan (measured sf0.1; oracle SQL keeps the per-word
+    # replace-count form, values identical)
+    alpha_set = " " + "".join(chr(c) for c in range(97, 123)) + "".join(
+        chr(c) for c in range(65, 91)
+    )
     base = docs.select(
         F.col(id_col),
         F.length(t).alias("_nc"),
         F.size(F.split(t, " ")).alias("_nt"),
-        F.length(F.regexp_replace(t, "[^a-zA-Z ]", "")).alias("_na"),
+        (F.length(t) - F.length(F.translate(t, alpha_set, ""))).alias("_na"),
         _padded(t).alias("_pad"),
     )
     n_chars = F.col("_nc")
     n_tokens = F.col("_nt")
-    stop_hits = None
-    for wrd in STOPWORDS:
-        h = _hits_in_padded(F.col("_pad"), wrd)
-        stop_hits = h if stop_hits is None else stop_hits + h
+    stop_hits = _multi_hits_in_padded(F.col("_pad"), STOPWORDS)
     stop_ratio = stop_hits / n_tokens  # split('') is [''] ⇒ n_tokens ≥ 1
     mean_tok_len = n_chars / n_tokens
     # empty text: n_chars = 0 and ANSI mode (Spark 4 default) turns the

@@ -294,6 +294,45 @@ def test_word_hits_counts_adjacent_occurrences(spark):
     assert got == {1: (2, 0), 2: (0, 3), 3: (2, 0)}
 
 
+def test_multi_hits_equals_per_word_sum(spark):
+    """The round-3 single-pass alternation counter must equal the summed
+    per-word replace counters on adversarial inputs: repeated words,
+    ADJACENT DISTINCT stopwords (regex scan must not eat the next match's
+    delimiter), words at string ends, prefix-shadowing ('a' vs 'an'),
+    empty text."""
+    from osmgraft.text.quality import (
+        STOPWORDS,
+        _hits_in_padded,
+        _multi_hits_in_padded,
+        _padded,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the"),
+            (2, "a an a an and"),
+            (3, "of to in is it for"),
+            (4, "the"),
+            (5, ""),
+            (6, "an anthem is not an an"),
+            (7, "for for for it it the a"),
+        ],
+        "doc_id long, text string",
+    )
+    per_word = None
+    for w in STOPWORDS:
+        h = _hits_in_padded(F.col("_pad"), w)
+        per_word = h if per_word is None else per_word + h
+    base = docs.select("doc_id", _padded(F.col("text")).alias("_pad"))
+    rows = base.select(
+        "doc_id",
+        per_word.alias("naive"),
+        _multi_hits_in_padded(F.col("_pad"), STOPWORDS).alias("fused"),
+    ).collect()
+    for r in rows:
+        assert r.naive == r.fused, (r.doc_id, r.naive, r.fused)
+
+
 def test_dedup_pages_keeps_one_copy_of_recrawled_url(spark):
     """Review finding: an url anti-join dropped ALL copies of a re-crawled
     url; row-level dedup must keep exactly one, and NULL-text rows are

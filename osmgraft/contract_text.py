@@ -9,7 +9,7 @@ registered without an oracle (driver records the weaker rows-only check).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osmgraft.contract import q, t
@@ -535,4 +535,272 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("list_id").cast("long").alias("list_id"), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
         .limit(10)
+    )
+
+
+# ===========================================================================
+# round-3 text-mining / corpus-statistics additions
+# ===========================================================================
+
+
+@q(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tf AS (SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE length(w) > 3 GROUP BY source, w),
+         df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+         ns AS (SELECT COUNT(DISTINCT source) AS ns FROM documents),
+         sc AS (SELECT tf.source, tf.word, tf.tf,
+                       FLOOR(ln(ns.ns / CAST(df.df AS DOUBLE)) * 1000000 + 0.5)
+                         / 1000000 AS idf
+                FROM tf JOIN df USING (word) CROSS JOIN ns)
+    SELECT source, word, tf,
+           FLOOR(tf * idf * 10000 + 0.5) / 10000 AS tfidf
+    FROM sc
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY tf * idf DESC, word) <= 3
+    ORDER BY source, tfidf DESC, word
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per source — the corpus-characterization staple of
+    a web-text training pipeline (word mining A13/A14 extended with an
+    inverse-document-frequency join). Shape at scale: the tf aggregation is
+    the only big shuffle (on (source, word) — high cardinality, well
+    spread); df is a second partial-agg over the ALREADY-aggregated tf
+    rows; idf joins back by word (spread keys); ranking windows partition
+    by source, never a global sort. The idf is snapped to 6 dp with the
+    floor-half rule before the tf multiply so the transcendental ln's
+    engine ulp can't flip the 4-dp tfidf (the IVF cosine discipline)."""
+    d = t(spark, sf_dir, "documents")
+    ns = d.select("source").distinct().count()
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 3)
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.floor(F.log(F.lit(float(ns)) / F.col("df")) * 1000000 + 0.5) / 1000000
+    sc = tf.join(df, "word").withColumn("idf", idf)
+    w = Window.partitionBy("source").orderBy(
+        (F.col("tf") * F.col("idf")).desc(), "word"
+    )
+    return (
+        sc.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .select(
+            "source", "word", "tf",
+            (F.floor(F.col("tf") * F.col("idf") * 10000 + 0.5) / 10000).alias("tfidf"),
+        )
+        .orderBy("source", F.col("tfidf").desc(), "word")
+    )
+
+
+@q(
+    "bigram_freq",
+    oracle="""
+    SELECT bg AS bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT w[i] || ' ' || w[i + 1] AS bg
+          FROM (SELECT string_split(text, ' ') AS w FROM documents) d,
+               LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i))
+    GROUP BY bg HAVING COUNT(*) >= 20
+    ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram mining (A13/A14 at n=2 — the phrase-level twin of
+    word_freq). Bigrams are built WITHIN the row by zipping the token array
+    against its own tail (slice + zip_with, pure JVM; a self-join on token
+    position would shuffle the exploded corpus twice); only the bigram
+    counts shuffle, with map-side partial aggregation."""
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    bgs = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(bgs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 20)
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@q(
+    "repetition_ratio",
+    oracle="""
+    WITH b AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+               FROM (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents) d,
+                    LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)),
+         c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM b GROUP BY doc_id, bg),
+         r AS (SELECT doc_id,
+                      FLOOR(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE) * 10000 + 0.5)
+                        / 10000 AS ratio
+               FROM c GROUP BY doc_id)
+    SELECT CASE WHEN ratio >= 0.07 THEN 'high'
+                WHEN ratio >= 0.035 THEN 'mid'
+                ELSE 'low' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio
+    FROM r GROUP BY band ORDER BY band
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: per document, the fraction of
+    bigrams occupied by the MOST REPEATED bigram, banded into a corpus
+    histogram. The per-doc top-bigram count is computed WITHIN the row by
+    nested higher-order functions (count of each bigram's occurrences in
+    its own array, then array_max) — O(len²) per doc in exchange for ZERO
+    shuffle before the 3-row band rollup; the oracle takes the equivalent
+    group-by route (cnt/sum-max per doc), proving the in-row kernel equals
+    the relational form. Ratios are floor-half 4-dp so min/max aggregate
+    already-exact values."""
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    bgs = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = d.select(F.col("doc_id"), bgs.alias("_bgs")).where(F.size("_bgs") > 0)
+    max_cnt = F.array_max(
+        F.transform(
+            F.col("_bgs"),
+            lambda x: F.size(F.filter(F.col("_bgs"), lambda y: y == x)),
+        )
+    )
+    ratio = (
+        F.floor(max_cnt / F.size("_bgs").cast("double") * 10000 + 0.5) / 10000
+    )
+    band = (
+        F.when(ratio >= 0.07, "high").when(ratio >= 0.035, "mid").otherwise("low")
+    )
+    return (
+        base.select(band.alias("band"), ratio.alias("_r"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("_r").alias("min_ratio"),
+            F.max("_r").alias("max_ratio"),
+        )
+        .orderBy("band")
+    )
+
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _entropy_sql() -> str:
+    cnts = ",\n                  ".join(
+        f"length(lt) - length(replace(lt, '{c}', '')) AS c_{c}"
+        for c in _LETTERS
+    )
+    total = " + ".join(f"c_{c}" for c in _LETTERS)
+    terms = " + ".join(
+        f"(CASE WHEN c_{c} > 0 THEN -(c_{c} / CAST(n AS DOUBLE))"
+        f" * ln(c_{c} / CAST(n AS DOUBLE)) ELSE 0 END)"
+        for c in _LETTERS
+    )
+    return f"""
+    WITH l AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         c AS (SELECT doc_id,
+                  {cnts}
+               FROM l),
+         g AS (SELECT doc_id, {total} AS n FROM c),
+         e AS (SELECT c.doc_id,
+                      FLOOR(({terms}) * 10000 + 0.5) / 10000 AS ent
+               FROM c JOIN g ON c.doc_id = g.doc_id WHERE n > 0)
+    SELECT FLOOR(ent * 10) / 10 AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(ent) AS min_entropy, MAX(ent) AS max_entropy
+    FROM e GROUP BY band ORDER BY band
+    """
+
+
+@q("char_entropy_bands", oracle=_entropy_sql())
+def char_entropy_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letter-distribution Shannon entropy per document, banded to a corpus
+    histogram — the gibberish/boilerplate detector of a web-text quality
+    stack (natural prose sits near 2.9–3.1 nats; keyboard mash and
+    repeated-token spam fall far below). Letter counts come from 26
+    single-char replace scans (char-map work, no regex engine, no
+    explode): the WHOLE query is one scan + a tiny band rollup, the right
+    shape at 10^12 docs. Entropy snapped floor-half 4-dp before banding so
+    engine ln ulp cannot move a document across a band edge."""
+    d = t(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    base = d.select(
+        "doc_id",
+        *[
+            (F.length(lt) - F.length(F.replace(lt, F.lit(c), F.lit("")))).alias(
+                f"_c_{c}"
+            )
+            for c in _LETTERS
+        ],
+    )
+    n = None
+    for c in _LETTERS:
+        col = F.col(f"_c_{c}")
+        n = col if n is None else n + col
+    base = base.withColumn("_n", n).where(F.col("_n") > 0)
+    terms = None
+    for c in _LETTERS:
+        p = F.col(f"_c_{c}") / F.col("_n").cast("double")
+        term = F.when(F.col(f"_c_{c}") > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+        terms = term if terms is None else terms + term
+    ent = F.floor(terms * 10000 + 0.5) / 10000
+    return (
+        base.select((F.floor(ent * 10) / 10).alias("band"), ent.alias("_e"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("_e").alias("min_entropy"),
+            F.max("_e").alias("max_entropy"),
+        )
+        .orderBy("band")
+    )
+
+
+@q(
+    "embedding_centroid_by_label",
+    oracle="""
+    SELECT label, i AS dim,
+           FLOOR(AVG(embedding[i]::DOUBLE) * 1000000 + 0.5) / 1000000
+             AS centroid_v,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM embeddings,
+         LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, i ORDER BY label, dim
+    """,
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (the class-prototype primitive behind IVF
+    codebooks, cluster summaries, and embedding-space drift monitoring).
+    posexplode fans each vector into (label, dim, v) rows — a dim×larger
+    but perfectly-spread shuffle keyed on (label, dim), partial-agg
+    map-side; output cardinality is labels × dim. Centroids snap to 6 dp
+    floor-half so partial-agg summation order (Spark) vs sequential (the
+    oracle) cannot differ at the emitted precision."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label", F.posexplode(F.col("embedding")).alias("_p", "_v")
+        )
+        .select("label", (F.col("_p") + 1).alias("dim"), F.col("_v").cast("double").alias("_v"))
+        .groupBy("label", "dim")
+        .agg(
+            (F.floor(F.avg("_v") * 1000000 + 0.5) / 1000000).alias("centroid_v"),
+            F.count("*").alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
     )

@@ -319,3 +319,51 @@ def test_value_deciles_has_no_single_partition_exchange(spark):
     plan = plan_of(df)
     assert "_rk_bucket" in plan
     assert "SinglePartition" not in plan
+
+
+def test_repetition_ratio_single_shuffle(spark):
+    """The Gopher repetition signal computes the per-doc top-bigram count
+    WITHIN the row (nested higher-order functions) — the only Exchange in
+    the plan is the 3-row band rollup's partial-agg shuffle, never a
+    shuffle of exploded bigrams."""
+    import osmgraft.contract_text  # noqa: F401
+
+    df = QUERIES["repetition_ratio"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert plan.count("Exchange") <= 2  # partial-agg hash + final sort
+    assert "Generate" not in plan  # no explode anywhere
+
+
+def test_bigram_freq_one_count_shuffle(spark):
+    """Bigrams are built by zipping the token array against its own tail
+    in-row; only the (bigram, count) partial aggregation shuffles."""
+    import osmgraft.contract_text  # noqa: F401
+
+    df = QUERIES["bigram_freq"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    # explode of the in-row bigram array is expected (Generate), but there
+    # must be exactly one hash-partitioned Exchange (the count rollup) —
+    # the top-20 is TakeOrdered, not a global sort exchange
+    assert plan.count("hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_windows_partition_by_source(spark):
+    """tfidf_top_terms' ranking window must partition by source (parallel),
+    never a bare global window."""
+    import osmgraft.contract_text  # noqa: F401
+
+    df = QUERIES["tfidf_top_terms"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan
+
+
+def test_char_entropy_scan_only(spark):
+    """char_entropy_bands is a pure scan + band rollup: no explode, no join,
+    only the tiny band aggregation exchanges."""
+    import osmgraft.contract_text  # noqa: F401
+
+    df = QUERIES["char_entropy_bands"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "Generate" not in plan
+    assert "Join" not in plan

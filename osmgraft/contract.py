@@ -1413,6 +1413,86 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sliding_window_counts",
+    oracle="""
+    WITH s AS (SELECT date_trunc('hour', ts) - (k * INTERVAL 1 HOUR)
+                 AS window_start, event_type, value
+               FROM events CROSS JOIN (VALUES (0), (1)) AS t(k))
+    SELECT window_start,
+           window_start + INTERVAL 2 HOUR AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM s GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 2-hour window with 1-hour slide — the overlapping
+    third of the window-operator family (tumbling + session shipped
+    earlier). Uses Spark's native F.window slide form (each row expands to
+    size/slide = 2 epoch-aligned windows before the partial-agg shuffle);
+    the oracle derives the same membership relationally: an event at t
+    belongs to exactly the windows starting at trunc_hour(t) and
+    trunc_hour(t) − 1 h."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@q(
+    "event_transition_counts",
+    oracle="""
+    WITH o AS (SELECT user_id, event_type,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+         c AS (SELECT prev AS from_type, event_type AS to_type,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type)
+    SELECT from_type, to_type, n,
+           FLOOR(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS p
+    FROM c ORDER BY from_type, to_type
+    """,
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (the sequence-mining primitive behind funnel and next-action models,
+    and the sessionizer's batch-twin shape). One LAG window partitioned by
+    user (parallel, key-spread), then a (from, to)-keyed partial-agg
+    shuffle whose output is |event_types|² rows; the probability
+    normalization windows over THAT tiny frame, never the raw table."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    c = o.groupBy(
+        F.col("prev").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("from_type")
+    return (
+        c.select(
+            "from_type", "to_type", "n",
+            (
+                F.floor(F.col("n") / F.sum("n").over(tot).cast("double") * 10000 + 0.5)
+                / 10000
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 # ===========================================================================
 # 6. geospatial: cells, PIP tiling, kNN, DWithin, bbox (J4, J7, north star)
 # ===========================================================================

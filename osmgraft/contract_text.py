@@ -588,11 +588,25 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     idf = F.floor(F.log(F.lit(float(ns)) / F.col("df")) * 1000000 + 0.5) / 1000000
     sc = tf.join(df, "word").withColumn("idf", idf)
-    w = Window.partitionBy("source").orderBy(
+    # salted two-phase top-k: a bare partitionBy(source) window would rank
+    # each source's ENTIRE vocabulary in one task (sources are few — the
+    # skew twin of the value_deciles finding). Phase 1 takes top-3 within
+    # (source, content-hash salt) — 32-way parallel per source; phase 2
+    # ranks the ≤96 survivors per source. Global top-3 ⊆ union of per-salt
+    # top-3, so the result is identical (plan audit: no window ever spans
+    # a full source partition).
+    salt = F.pmod(F.xxhash64("word"), F.lit(32))
+    w1 = Window.partitionBy("source", salt.alias("_salt")).orderBy(
+        (F.col("tf") * F.col("idf")).desc(), "word"
+    )
+    survivors = (
+        sc.withColumn("_rn1", F.row_number().over(w1)).where(F.col("_rn1") <= 3)
+    )
+    w2 = Window.partitionBy("source").orderBy(
         (F.col("tf") * F.col("idf")).desc(), "word"
     )
     return (
-        sc.withColumn("_rn", F.row_number().over(w))
+        survivors.withColumn("_rn", F.row_number().over(w2))
         .where(F.col("_rn") <= 3)
         .select(
             "source", "word", "tf",

@@ -349,13 +349,17 @@ def test_bigram_freq_one_count_shuffle(spark):
 
 
 def test_tfidf_windows_partition_by_source(spark):
-    """tfidf_top_terms' ranking window must partition by source (parallel),
-    never a bare global window."""
+    """tfidf_top_terms ranks via the salted two-phase top-k: phase 1's
+    window partitions by (source, salt) — so no task ever ranks a full
+    source vocabulary — and phase 2 ranks only the per-salt survivors.
+    Never a bare global window."""
     import osmgraft.contract_text  # noqa: F401
 
     df = QUERIES["tfidf_top_terms"](spark, SF_CORRECT)
     plan = plan_of(df)
     assert "SinglePartition" not in plan
+    assert "xxhash64" in plan  # phase-1 content-hash salt present
+    assert plan.count("Window") >= 2  # both ranking phases windowed
 
 
 def test_char_entropy_scan_only(spark):

@@ -54,6 +54,10 @@ HEADLINE = [
     # round-3 additions
     "red_flags",               # YAML suspicion triggers -> 4-arm dashboard
     "wkb_validity",            # geometry validity audit kernel
+    "tfidf_top_terms",         # tf/df/idf joins + salted two-phase top-k
+    "repetition_ratio",        # in-row sort+run-scan Gopher signal
+    "char_entropy_bands",      # Arrow bincount entropy kernel
+    "sliding_window_counts",   # hopping-window member of the window family
 ]
 
 # default sized so compute dominates fixed per-job overhead (wall-clock is

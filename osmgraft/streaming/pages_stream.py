@@ -36,20 +36,30 @@ def streaming_tile_counts(
     res: int,
     watermark: str = "1 hour",
     window: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
     """Windowed per-cell page counts with late-data watermark.
 
     extraction (Arrow mapInPandas) → cell assignment (JVM) → event-time
-    tumbling window aggregate. Output mode: append/update per sink choice.
+    window aggregate. ``slide=None`` gives tumbling windows; pass a slide
+    shorter than ``window`` for overlapping (hopping) windows — each row
+    expands to window/slide window instances before the stateful
+    aggregation, exactly as in the batch twin (`sliding_window_counts`).
+    Output mode: append/update per sink choice.
     """
     feats = extract_features(pages)
     cells = with_cell(
         feats.where(F.col("x").isNotNull()), "x", "y", spec, res,
         out="cell", keep_ixy=False,
     )
+    win = (
+        F.window("warc_ts", window)
+        if slide is None
+        else F.window("warc_ts", window, slide)
+    )
     return (
         cells.withWatermark("warc_ts", watermark)
-        .groupBy(F.window("warc_ts", window).alias("win"), F.col("cell"))
+        .groupBy(win.alias("win"), F.col("cell"))
         .agg(F.count("*").alias("n"))
         .select(
             F.col("win.start").alias("window_start"),

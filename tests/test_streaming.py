@@ -58,6 +58,34 @@ def test_streaming_tile_counts_equal_batch(spark, pages_dir, tmp_path):
     assert got == exp and len(got) > 0
 
 
+def test_streaming_sliding_tile_counts_equal_batch(spark, pages_dir, tmp_path):
+    """Sliding (hopping) windows must match the batch twin row-for-row: an
+    event belongs to window/slide overlapping instances, and the stateful
+    streaming aggregation over micro-batches equals one batch pass."""
+    stream = read_pages_stream(spark, pages_dir, max_files=2)
+    agg = streaming_tile_counts(
+        stream, SPEC, res=5, window="6 hours", slide="3 hours"
+    )
+    q = run_available_now(agg, "tiles_slide_stream", str(tmp_path / "ck_sl"))
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.cell): r.n
+        for r in spark.sql("SELECT * FROM tiles_slide_stream").collect()
+    }
+    batch_pages = spark.read.parquet(pages_dir)
+    feats = extract_features(batch_pages)
+    cells = with_cell(feats.where(F.col("x").isNotNull()), "x", "y", SPEC, 5,
+                      out="cell", keep_ixy=False)
+    exp = {
+        (r.ws, r.cell): r.n
+        for r in cells.groupBy(
+            F.window("warc_ts", "6 hours", "3 hours").start.alias("ws"), "cell"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exp and len(got) > len(set(k[1] for k in got))  # overlap real
+
+
 def test_streaming_scored_counts(spark, pages_dir, tmp_path):
     stream = read_pages_stream(spark, pages_dir)
     agg = streaming_scored_counts(stream, SCORER, threshold=60, window="12 hours")

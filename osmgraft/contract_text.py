@@ -846,3 +846,71 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+_KNN_Q_MOD, _KNN_K = 83, 15
+
+
+@q(
+    "knn_classify",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % {_KNN_Q_MOD} = 0),
+         s AS (SELECT q.qid, e.vec_id, e.label,
+                      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                        AS cosine_sim
+               FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         nn AS (SELECT qid, label, cosine_sim FROM s
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                           ORDER BY cosine_sim DESC, vec_id)
+                        <= {_KNN_K}),
+         v AS (SELECT qid, label, CAST(COUNT(*) AS BIGINT) AS votes,
+                      MAX(cosine_sim) AS best_sim
+               FROM nn GROUP BY qid, label)
+    SELECT qid, label AS pred_label, votes, best_sim FROM v
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY votes DESC, label) = 1
+    ORDER BY qid
+    """,
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification — the similarity-search APPLICATION op: each
+    query vector takes the majority label of its {k} nearest neighbors by
+    exact cosine (batch form: broadcast the query set, score the corpus
+    once). The per-query rank filter plans through Catalyst's
+    LimitPushDownThroughWindow/WindowGroupLimit as a per-partition top-k
+    pre-prune, so the corpus never funnels into one task; the vote rollup
+    runs over queries × k rows only. Deterministic ties: cosine 6-dp then
+    vec_id for neighbors, votes desc then label for the verdict."""
+    from osmgraft.ann.search import cosine_col
+
+    emb = t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    q_side = emb.where(F.col("vec_id") % _KNN_Q_MOD == 0).select(
+        F.col("vec_id").alias("qid"), vec.alias("qv")
+    )
+    corpus = emb.select("vec_id", "label", vec.alias("cv"))
+    scored = (
+        corpus.crossJoin(F.broadcast(q_side))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", "label",
+            F.round(cosine_col(F.col("cv"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+    )
+    wn = Window.partitionBy("qid").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    nn = scored.withColumn("_rn", F.row_number().over(wn)).where(
+        F.col("_rn") <= _KNN_K
+    )
+    votes = nn.groupBy("qid", "label").agg(
+        F.count("*").alias("votes"), F.max("cosine_sim").alias("best_sim")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("votes").desc(), "label")
+    return (
+        votes.withColumn("_rv", F.row_number().over(wv))
+        .where(F.col("_rv") == 1)
+        .select("qid", F.col("label").alias("pred_label"), "votes", "best_sim")
+        .orderBy("qid")
+    )

@@ -131,3 +131,86 @@ def test_range_interval_join_property(seed):
         for r in range_interval_join(p, iv, "value", bucket_width=width).collect()
     }
     assert got == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_fused_stopword_counter_property(seed):
+    """Round-3 kernel: the single-pass regexp_count alternation counter ==
+    summed per-word replace counters on random stopword-dense texts
+    (adjacent repeats, prefix-shadowing words, random punctuation)."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.text.quality import (
+        STOPWORDS,
+        _hits_in_padded,
+        _multi_hits_in_padded,
+        _padded,
+    )
+    from tests.conftest import get_spark
+
+    rng = np.random.default_rng(seed)
+    vocab = STOPWORDS + ["ant", "theory", "offer", "spark", "x", "the.", ""]
+    docs = []
+    for i in range(20):
+        words = rng.choice(vocab, size=int(rng.integers(0, 30)))
+        docs.append((i, " ".join(words)))
+    spark = get_spark()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    per_word = None
+    for w in STOPWORDS:
+        h = _hits_in_padded(F.col("_pad"), w)
+        per_word = h if per_word is None else per_word + h
+    rows = (
+        df.select("doc_id", _padded(F.col("text")).alias("_pad"))
+        .select("doc_id", per_word.alias("naive"),
+                _multi_hits_in_padded(F.col("_pad"), STOPWORDS).alias("fused"))
+        .collect()
+    )
+    for r in rows:
+        assert r.naive == r.fused, (r.doc_id, r.naive, r.fused)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_repetition_run_length_equals_multiplicity(seed):
+    """Round-3 kernel: longest equal-run in the sorted bigram array ==
+    max bigram multiplicity (the naive nested filter-count form), on
+    random repetitive token streams."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import get_spark
+
+    rng = np.random.default_rng(seed)
+    vocab = ["a", "b", "ab", "ba", "x y", "z"]
+    docs = []
+    for i in range(15):
+        words = rng.choice(vocab, size=int(rng.integers(2, 40)))
+        docs.append((i, " ".join(words)))
+    spark = get_spark()
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    w = F.split("text", " ")
+    n = F.size(w)
+    bgs = F.zip_with(
+        F.slice(w, 1, n - 1), F.slice(w, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = d.select("doc_id", bgs.alias("_bgs")).where(F.size("_bgs") > 0)
+    naive = F.array_max(
+        F.transform(F.col("_bgs"),
+                    lambda x: F.size(F.filter(F.col("_bgs"), lambda y: y == x)))
+    )
+    srt = F.array_sort(F.col("_bgs"))
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"), F.lit(0).alias("best"),
+    )
+
+    def _step(acc, x):
+        newrun = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), newrun.alias("run"),
+                        F.greatest(acc["best"], newrun).alias("best"))
+
+    fast = F.aggregate(srt, acc0, _step, lambda a: a["best"])
+    for r in base.select("doc_id", naive.alias("nv"), fast.alias("fs")).collect():
+        assert r.nv == r.fs, (r.doc_id, r.nv, r.fs)

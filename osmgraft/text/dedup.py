@@ -290,7 +290,12 @@ def connected_components(
     one partial-agg shuffle on (id, 8-byte label); lineage is cut with
     localCheckpoint so the loop's plan stays bounded. Convergence is the
     changed-label COUNT per round — a label-sum check would overflow
-    int64 under ANSI mode with hashed ids near ±2^63 (round-2 fix)."""
+    int64 under ANSI mode with hashed ids near ±2^63 (round-2 fix).
+    The previous round's label rides THROUGH the min-aggregation as a
+    second column (unique per id, so min(old) == old; nulls from the
+    neighbor rows are ignored) — the change count is then a filter over
+    the just-checkpointed frame instead of a new-vs-old equi-join,
+    halving the per-round job cost (round-3 perf fix)."""
     und = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).union(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
     )
@@ -300,18 +305,19 @@ def connected_components(
     ).localCheckpoint()
     for _ in range(max_iter):
         nbr = und.join(labels, und["s"] == labels["id"]).select(
-            F.col("t").alias("id"), F.col("lbl")
+            F.col("t").alias("id"), F.col("lbl"),
+            F.lit(None).cast("long").alias("old"),
         )
-        new_labels = (
-            labels.unionByName(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        carried = labels.select(
+            "id", "lbl", F.col("lbl").alias("old")
+        ).unionByName(nbr)
+        new_full = (
+            carried.groupBy("id").agg(
+                F.min("lbl").alias("lbl"), F.min("old").alias("old")
+            )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_full.where(F.col("lbl") != F.col("old")).count()
+        labels = new_full.select("id", "lbl")
         if changed == 0:
             break
     else:

@@ -243,6 +243,122 @@ def red_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "refinement_opportunities",
+    oracle=f"""
+    WITH s AS (SELECT lower(text) AS lt, {score_sql(DOC_SCORER)} AS score
+               FROM documents
+               WHERE {score_sql(DOC_SCORER)} BETWEEN 40 AND 60),
+         w AS (SELECT unnest(string_split(lt, ' ')) AS word, score FROM s),
+         g AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+                      CAST(FLOOR(AVG(score) + 0.5) AS BIGINT) AS avg_score
+               FROM w WHERE length(word) > 3
+               GROUP BY word HAVING COUNT(*) >= 3)
+    SELECT word, freq, avg_score,
+           CASE WHEN avg_score < 50 THEN 'negative_keyword'
+                WHEN regexp_matches(word, '(ltd|limited|company|group)')
+                  THEN 'noise_word'
+                ELSE 'ok' END AS recommendation
+    FROM g ORDER BY freq DESC, word LIMIT 20
+    """,
+)
+def refinement_opportunities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """False-positive pattern mining (reference iterative_improvement.sh:
+    60-105 'FALSE POSITIVE PATTERNS'): words over-represented in the
+    BORDERLINE score band (40–60) with their frequency, rounded average
+    score, and the reference's recommendation CASE (negative-keyword /
+    noise-word / ok) — the weekly rule-refinement loop's input. One scan +
+    one (word)-keyed partial-agg shuffle of the borderline slice only;
+    avg snapped floor-half so integer-score averages are engine-exact."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.withColumn("score", compile_score(DOC_SCORER)).where(
+        F.col("score").between(40, 60)
+    )
+    words = scored.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word"), "score"
+    ).where(F.length("word") > 3)
+    g = (
+        words.groupBy("word")
+        .agg(
+            F.count("*").alias("freq"),
+            F.floor(F.avg("score") + 0.5).cast("long").alias("avg_score"),
+        )
+        .where(F.col("freq") >= 3)
+    )
+    rec = (
+        F.when(F.col("avg_score") < 50, "negative_keyword")
+        .when(F.col("word").rlike("(ltd|limited|company|group)"), "noise_word")
+        .otherwise("ok")
+    )
+    return (
+        g.select("word", "freq", "avg_score", rec.alias("recommendation"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(20)
+    )
+
+
+_SCENARIOS = [
+    ("current", (150, 80, 40)),
+    ("stricter", (180, 100, 50)),
+    ("looser", (130, 70, 35)),
+]
+
+
+def _tier_scenarios_oracle() -> str:
+    ss = score_sql(DOC_SCORER)
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT '{name}' AS scenario,
+           CAST(COUNT(*) FILTER (score >= {t1}) AS BIGINT) AS tier1,
+           CAST(COUNT(*) FILTER (score >= {t2} AND score < {t1}) AS BIGINT) AS tier2,
+           CAST(COUNT(*) FILTER (score >= {t3} AND score < {t2}) AS BIGINT) AS potential
+    FROM scored"""
+        for name, (t1, t2, t3) in _SCENARIOS
+    )
+    return f"""
+    WITH scored AS (SELECT {ss} AS score FROM documents)
+    SELECT scenario, tier1, tier2, potential FROM (
+{arms}
+    ) ORDER BY scenario
+    """
+
+
+@q("tier_scenarios", oracle=_tier_scenarios_oracle())
+def tier_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold A/B testing (reference iterative_improvement.sh:124-163
+    'A/B TEST: What if we adjusted thresholds?'): candidate counts per
+    tier under the current, +20 %-stricter, and −15 %-looser threshold
+    ladders — ONE scan with a conditional-aggregate arm per scenario,
+    stacked to rows (the oracle spells the reference's 3-scan UNION; at
+    10^12 rows the single-scan plan is the only sane one)."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.withColumn("score", compile_score(DOC_SCORER))
+    aggs = []
+    for i, (_, (t1, t2, t3)) in enumerate(_SCENARIOS):
+        s = F.col("score")
+        aggs.append(F.sum(F.when(s >= t1, 1).otherwise(0)).cast("long").alias(f"_t1_{i}"))
+        aggs.append(
+            F.sum(F.when((s >= t2) & (s < t1), 1).otherwise(0)).cast("long").alias(f"_t2_{i}")
+        )
+        aggs.append(
+            F.sum(F.when((s >= t3) & (s < t2), 1).otherwise(0)).cast("long").alias(f"_t3_{i}")
+        )
+    agg = scored.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("scenario"),
+                F.col(f"_t1_{i}").alias("tier1"),
+                F.col(f"_t2_{i}").alias("tier2"),
+                F.col(f"_t3_{i}").alias("potential"),
+            )
+            for i, (name, _) in enumerate(_SCENARIOS)
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r")).select("r.*").orderBy("scenario")
+    )
+
+
 _KW = ["spark", "window", "vector", "merge", "dup"]
 _KW_SQL = "[" + ", ".join(f"'{k}'" for k in _KW) + "]"
 

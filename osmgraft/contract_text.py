@@ -14,6 +14,7 @@ import pandas as pd  # module-global: pandas_udf hint resolution under
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 from osmgraft.contract import q, t
 from osmgraft.text.dedup import (
@@ -756,31 +757,28 @@ def _entropy_sql() -> str:
     """
 
 
-def _entropy_kernel():
+@F.pandas_udf(DoubleType())  # DataType object, NOT a DDL string — string
+# parsing needs an active session and would break module import
+def _entropy_kernel(texts: pd.Series) -> pd.Series:
     """Vectorized letter-entropy kernel (one bincount per doc, numpy ln).
     NULL text or a letterless doc yields NaN→NULL (filtered by the
     caller). a–z counting on utf-8 bytes is exact: multi-byte sequences
-    only produce bytes ≥ 0x80, which cannot collide with ASCII letters.
-    Built lazily — pandas_udf's DDL return type needs an active session."""
+    only produce bytes ≥ 0x80, which cannot collide with ASCII letters."""
     import numpy as np
 
-    @F.pandas_udf("double")
-    def kernel(texts: pd.Series) -> pd.Series:
-        out = np.full(len(texts), np.nan)
-        for i, s in enumerate(texts):
-            if s is None:
-                continue
-            b = np.frombuffer(s.lower().encode("utf-8"), dtype=np.uint8)
-            cnt = np.bincount(b, minlength=123)[97:123]
-            n = cnt.sum()
-            if n == 0:
-                continue
-            p = cnt[cnt > 0] / n
-            e = float(-(p * np.log(p)).sum())
-            out[i] = np.floor(e * 10000 + 0.5) / 10000
-        return pd.Series(out)
-
-    return kernel
+    out = np.full(len(texts), np.nan)
+    for i, s in enumerate(texts):
+        if s is None:
+            continue
+        b = np.frombuffer(s.lower().encode("utf-8"), dtype=np.uint8)
+        cnt = np.bincount(b, minlength=123)[97:123]
+        n = cnt.sum()
+        if n == 0:
+            continue
+        p = cnt[cnt > 0] / n
+        e = float(-(p * np.log(p)).sum())
+        out[i] = np.floor(e * 10000 + 0.5) / 10000
+    return pd.Series(out)
 
 
 @q("char_entropy_bands", oracle=_entropy_sql())
@@ -798,7 +796,7 @@ def char_entropy_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-half 4-dp IN the kernel before banding; numpy ln and DuckDB ln
     are the same libm on this host, tighter parity than StrictMath."""
     d = t(spark, sf_dir, "documents")
-    base = d.select(_entropy_kernel()(F.col("text")).alias("_e")).where(
+    base = d.select(_entropy_kernel(F.col("text")).alias("_e")).where(
         F.col("_e").isNotNull()
     )
     return (

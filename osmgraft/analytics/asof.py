@@ -69,9 +69,19 @@ def asof_join(
         ).alias("_carrier"),
     )
     u = l2.unionByName(r2)
+    # _carrier as the final sort key: several RIGHT rows can share a
+    # (key, ts) — without a total order the one last() carries would be
+    # partition-order-dependent (nondeterministic across runs/retries).
+    # Struct ordering is field-wise, so the largest (ts, values...) tuple
+    # deterministically wins; left rows all carry NULL (nulls-first) and
+    # are mutually order-independent, so the tiebreak never reorders a
+    # right row past a left probe at the same timestamp (_is_r desc keeps
+    # right-before-left for <= semantics).
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_asof_ts").asc(), F.col("_is_r").desc())
+        .orderBy(
+            F.col("_asof_ts").asc(), F.col("_is_r").desc(), F.col("_carrier").asc()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

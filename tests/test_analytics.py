@@ -220,6 +220,23 @@ def test_export_geojson_tiles(spark, tmp_path):
     assert -9 < lng < 3 and 48 < lat < 61  # UK window
 
 
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    """Review finding (round 3): several right rows sharing one (key, ts)
+    were matched nondeterministically (partition-order-dependent last()).
+    The struct tiebreak must make the LARGEST (ts, values...) carrier win,
+    identically across partition layouts."""
+    from osmgraft.analytics.asof import asof_join
+
+    left = spark.createDataFrame([(1, "a", 20)], "lid long, k string, lt long")
+    right_rows = [("a", 10, 5.0), ("a", 10, 7.0), ("a", 10, 6.0)]
+    for nparts in (1, 3):
+        right = spark.createDataFrame(
+            right_rows, "k string, rt long, val double"
+        ).repartition(nparts)
+        got = asof_join(left, right, ["k"], "lt", "rt", ["val"]).collect()
+        assert [(r.lid, r.val, r.matched_ts) for r in got] == [(1, 7.0, 10)], nparts
+
+
 def test_asof_join_null_value_row_still_matches(spark):
     """Review finding (round-2): a matched right row whose VALUE is NULL
     must win (value NULL, matched_ts of that row) — not fall back to an

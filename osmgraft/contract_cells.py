@@ -569,3 +569,34 @@ def s2_tile_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols.append(F.round(F.col("c")[k], 6).alias(f"vlat{k}"))
         cols.append(F.round(F.col("c")[k + 4], 6).alias(f"vlng{k}"))
     return w.select(*cols).orderBy("s2_cell")
+
+
+_S2_COARSE = 10
+
+
+def _s2_parent_oracle() -> str:
+    lsb = s2.lsb_for_level(_S2_COARSE)
+    return f"""
+    WITH {_s2_assign_cte(S2_LEVEL)}
+    SELECT CAST((s2_cell & {-lsb}) | {lsb} AS BIGINT) AS parent_cell,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM asgn GROUP BY parent_cell ORDER BY parent_cell
+    """
+
+
+@q("s2_parent_rollup", oracle=_s2_parent_oracle())
+def s2_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiresolution S2 pyramid — index at level 12, roll up to level-10
+    parents (the S2 twin of hex_parent_rollup; S2 parenthood is PREFIX
+    nesting, so the hop is two bit-ops on the id: clear below the parent's
+    lsb, set the lsb — pure JVM, zero extra kernel work). One partial-agg
+    shuffle on the coarse id; the oracle reuses the full Hilbert SQL
+    assignment CTE and applies the same bit arithmetic."""
+    pts = _geo_points(spark, sf_dir)
+    fine = s2.with_s2_cell(pts, "lat", "lng", S2_LEVEL, out="s2_cell")
+    return (
+        fine.withColumn("parent_cell", s2.s2_parent_col(F.col("s2_cell"), _S2_COARSE))
+        .groupBy("parent_cell")
+        .agg(F.count("*").alias("n"))
+        .orderBy("parent_cell")
+    )

@@ -214,3 +214,49 @@ def test_repetition_run_length_equals_multiplicity(seed):
     fast = F.aggregate(srt, acc0, _step, lambda a: a["best"])
     for r in base.select("doc_id", naive.alias("nv"), fast.alias("fs")).collect():
         assert r.nv == r.fs, (r.doc_id, r.nv, r.fs)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_blocked_neardup_pairs_lossless_property(seed):
+    """Round-3 pairs operator: pivot-angle banded blocking must equal the
+    all-pairs result at RANDOM thresholds over random (clustered +
+    isotropic) vector sets — the triangle-inequality losslessness claim,
+    property-tested beyond the two fixed thresholds of test_ann."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.ann.pairs import neardup_pairs_blocked
+    from osmgraft.ann.search import _dot, _norm
+    from tests.conftest import get_spark
+
+    rng = np.random.default_rng(seed)
+    dim = int(rng.integers(4, 12))
+    n = int(rng.integers(8, 24))
+    # half clustered around a few directions, half isotropic
+    centers = rng.normal(size=(3, dim))
+    vecs = []
+    for i in range(n):
+        if i % 2 == 0:
+            v = centers[i % 3] + 0.15 * rng.normal(size=dim)
+        else:
+            v = rng.normal(size=dim)
+        vecs.append((i, [float(x) for x in v]))
+    threshold = float(rng.uniform(0.2, 0.95))
+    spark = get_spark()
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    blocked = {
+        (r.vec_a, r.vec_b)
+        for r in neardup_pairs_blocked(emb, threshold=threshold).collect()
+    }
+    vec = F.transform("embedding", lambda v: v.cast("double"))
+    a = emb.select(F.col("vec_id").alias("va"), vec.alias("xa"), _norm(vec).alias("na"))
+    b = emb.select(F.col("vec_id").alias("vb"), vec.alias("xb"), _norm(vec).alias("nb"))
+    sim = _dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb"))
+    allpairs = {
+        (r.va, r.vb)
+        for r in a.join(b, F.col("va") < F.col("vb"))
+        .where(sim >= threshold)
+        .collect()
+    }
+    assert blocked == allpairs, (threshold, blocked ^ allpairs)

@@ -371,3 +371,53 @@ def test_char_entropy_scan_only(spark):
     plan = plan_of(df)
     assert "Generate" not in plan
     assert "Join" not in plan
+
+
+def test_hot_cell_profile_aggregates_through_salt(spark):
+    """hot_cell_salted_profile must plan the explicit two-phase skew
+    rewrite: a partial stage keyed by (hex_cell, _salt) — the content-hash
+    salt shows up as xxhash64 — and a final stage keyed by hex_cell alone.
+    Two hash-partitioned exchanges, no single-partition stage."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["hot_cell_salted_profile"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "xxhash64" in plan  # deterministic content salt feeds the key
+    assert "_salt" in plan
+    assert plan.count("hashpartitioning") >= 2  # (cell,salt) then (cell)
+    assert "SinglePartition" not in plan
+
+
+def test_contamination_probe_broadcasts_benchmark_grams(spark):
+    """The decontamination probe joins the (small) benchmark gram set by
+    broadcast — the corpus-side gram stream must never shuffle for the
+    probe itself (only the per-doc rollup hashes on doc_id)."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["contamination_check"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_inverted_index_bounds_postings_before_collect(spark):
+    """Posting lists are cut to k rows per term by a row_number INSIDE the
+    term partition before any collect_list — the plan must show the
+    Window stage feeding the aggregation, and no single-partition sort."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["inverted_index"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_line_dedup_no_cartesian(spark):
+    """Cross-doc line dedup joins lines back on the line key (hash join)
+    and re-aggregates per doc — never a nested-loop/cartesian pair plan."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["line_dedup_stats"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -346,3 +346,227 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "df", "postings")
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (IR primitive for corpus curation / quality retrieval)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+_BM25_SQL = f"""
+    WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                         AS dl
+                FROM documents),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+               FROM dl),
+         tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE w IN {_BM25_TERMS!r}
+                GROUP BY doc_id, w),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+                GROUP BY term),
+         idf AS (SELECT term,
+                        FLOOR(ln((n.n - df.df + 0.5e0) / (df.df + 0.5e0)
+                                 + 1.0e0) * 1000000 + 0.5) / 1000000 AS idf
+                 FROM df CROSS JOIN n),
+         sc AS (SELECT tf.doc_id,
+                       SUM(idf.idf * tf.tf * ({_BM25_K1}e0 + 1.0e0)
+                           / (tf.tf + {_BM25_K1}e0
+                              * (1.0e0 - {_BM25_B}e0
+                                 + {_BM25_B}e0 * dl.dl / n.avgdl))) AS s
+                FROM tf JOIN idf USING (term)
+                        JOIN dl USING (doc_id)
+                        CROSS JOIN n
+                GROUP BY tf.doc_id)
+    SELECT doc_id, FLOOR(s * 10000 + 0.5) / 10000 AS bm25
+    FROM sc
+    ORDER BY FLOOR(s * 10000 + 0.5) / 10000 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """
+
+
+@q("bm25_top_docs", oracle=_BM25_SQL)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k documents for a fixed query-term set — the
+    retrieval primitive a curation pipeline uses to mine quality
+    documents near a topic seed.
+
+    Scale shape: terms are filtered to the query set BEFORE the tf
+    aggregation (the explode emits only query-term hits, so the shuffle
+    carries |Q| rows per doc at most); df and idf are aggregates over the
+    already-tiny tf frame, broadcast back; the global top-k plans as
+    TakeOrderedAndProject, never a single-partition sort. The idf ln is
+    snapped at 6 dp (floor-half, both engines) before the per-term score
+    so transcendental ulp can't flip the 4-dp final ranking.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    n_row = dl.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = df_counts.crossJoin(F.broadcast(n_row)).select(
+        "term",
+        (
+            F.floor(
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("idf"),
+        "avgdl",
+    )
+    per_term = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (_BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    snapped = (F.floor(F.sum("s") * 10000 + 0.5) / 10000).alias("bm25")
+    return (
+        per_term.groupBy("doc_id")
+        .agg(snapped)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# windowed PMI co-occurrence (word-association mining)
+# ---------------------------------------------------------------------------
+
+_PMI_WINDOW = 3
+_PMI_MIN_PAIRS = 30
+
+_PMI_SQL = f"""
+    WITH w AS (SELECT string_split(text, ' ') AS arr FROM documents),
+         pairs AS (SELECT least(arr[i + 1], arr[i + d + 1]) || ' ' ||
+                          greatest(arr[i + 1], arr[i + d + 1]) AS pair
+                   FROM w,
+                        UNNEST(range(len(arr) - 1)) AS t(i),
+                        UNNEST(range(1, {_PMI_WINDOW} + 1)) AS s(d)
+                   WHERE i + d < len(arr)),
+         pc AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c_pair FROM pairs
+                GROUP BY pair),
+         tp AS (SELECT SUM(c_pair) AS t_pairs FROM pc),
+         wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c_w
+                FROM (SELECT unnest(arr) AS word FROM w) GROUP BY word),
+         tw AS (SELECT SUM(c_w) AS t_words FROM wc)
+    SELECT pair, c_pair,
+           FLOOR(ln((c_pair / CAST(t_pairs AS DOUBLE))
+                    / ((w1.c_w / CAST(t_words AS DOUBLE))
+                       * (w2.c_w / CAST(t_words AS DOUBLE))))
+                 * 10000 + 0.5) / 10000 AS pmi
+    FROM pc CROSS JOIN tp CROSS JOIN tw
+         JOIN wc w1 ON w1.word = string_split(pair, ' ')[1]
+         JOIN wc w2 ON w2.word = string_split(pair, ' ')[2]
+    WHERE c_pair >= {_PMI_MIN_PAIRS}
+    ORDER BY pair
+    """
+
+
+@q("pmi_cooccurrence", oracle=_PMI_SQL)
+def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over word pairs co-occurring within a
+    ±3-token window (the word2vec/GloVe context-window statistic, and the
+    collocation miner behind phrase vocabularies for tokenizer training).
+
+    Scale shape: pair generation is IN-ROW (nested transform over the
+    token array — no positional self-join ever materializes); the only
+    big shuffle is the (pair, count) partial aggregation on a string key.
+    Marginal word counts aggregate the same scan, and the two scalar
+    totals broadcast. The window width bounds pair fanout at w x len per
+    doc — linear in corpus size, never quadratic.
+    """
+    docs = t(spark, sf_dir, "documents").select("text")
+    arr = F.split("text", " ")
+    words = docs.select(arr.alias("arr"))
+    pair_arrays = words.select(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size("arr") - 2),
+                lambda i: F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(_PMI_WINDOW), F.size("arr") - 1 - i)
+                    ),
+                    lambda d: F.concat_ws(
+                        " ",
+                        F.least(
+                            F.element_at("arr", (i + 1).cast("int")),
+                            F.element_at("arr", (i + d + 1).cast("int")),
+                        ),
+                        F.greatest(
+                            F.element_at("arr", (i + 1).cast("int")),
+                            F.element_at("arr", (i + d + 1).cast("int")),
+                        ),
+                    ),
+                ),
+            )
+        ).alias("pairs")
+    )
+    pc = (
+        pair_arrays.select(F.explode("pairs").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("long").alias("c_pair"))
+    )
+    wc = (
+        words.select(F.explode("arr").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("c_w"))
+    )
+    tp = pc.agg(F.sum("c_pair").alias("t_pairs"))
+    tw = wc.agg(F.sum("c_w").alias("t_words"))
+    w1 = wc.select(F.col("word").alias("_w1"), F.col("c_w").alias("c_w1"))
+    w2 = wc.select(F.col("word").alias("_w2"), F.col("c_w").alias("c_w2"))
+    split_pair = F.split("pair", " ")
+    joined = (
+        pc.where(F.col("c_pair") >= _PMI_MIN_PAIRS)
+        .withColumn("_w1", split_pair.getItem(0))
+        .withColumn("_w2", split_pair.getItem(1))
+        .join(F.broadcast(w1), "_w1")
+        .join(F.broadcast(w2), "_w2")
+        .crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tw))
+    )
+    pmi = (
+        F.floor(
+            F.log(
+                (F.col("c_pair") / F.col("t_pairs").cast("double"))
+                / (
+                    (F.col("c_w1") / F.col("t_words").cast("double"))
+                    * (F.col("c_w2") / F.col("t_words").cast("double"))
+                )
+            )
+            * 10000
+            + 0.5
+        )
+        / 10000
+    ).alias("pmi")
+    return joined.select("pair", "c_pair", pmi).orderBy("pair")

@@ -421,3 +421,32 @@ def test_line_dedup_no_cartesian(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """BM25's global top-20 must plan as TakeOrderedAndProject (distributed
+    partial top-k), never a single-partition full sort; the idf/scalar
+    sides join by broadcast."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["bm25_top_docs"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    # the only single-partition stage allowed is the scalar (N, avgdl)
+    # aggregate, which reduces map-side partials — its input must be a
+    # partial aggregation, and the doc ranking itself must never be a
+    # global Sort
+    assert "partial_count" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_pmi_pairs_generated_in_row(spark):
+    """PMI pair generation happens inside the row (nested transform →
+    one Generate) — no positional self-join: the plan must contain no
+    CartesianProduct and no join keyed on a position column."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["pmi_cooccurrence"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan

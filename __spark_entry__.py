@@ -30,6 +30,7 @@ from osmgraft import contract as _contract  # noqa: E402
 from osmgraft import contract_text as _contract_text  # noqa: E402,F401  (registers entries)
 from osmgraft import contract_media as _contract_media  # noqa: E402,F401  (registers entries)
 from osmgraft import contract_cells as _contract_cells  # noqa: E402,F401  (registers entries)
+from osmgraft import contract_tracks as _contract_tracks  # noqa: E402,F401  (registers entries)
 from osmgraft import contract_corpus as _contract_corpus  # noqa: E402,F401  (registers entries)
 
 # The 50 entries that received green driver rows in CORRECTNESS_r02.json

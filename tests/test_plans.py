@@ -450,3 +450,16 @@ def test_pmi_pairs_generated_in_row(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "Generate" in plan
+
+
+def test_track_simplify_single_user_shuffle(spark):
+    """Douglas-Peucker tracks: ONE hash exchange on user_id delivers each
+    track to its task; the kernel is Arrow-batched (FlatMapGroupsInPandas),
+    and nothing plans cartesian."""
+    import osmgraft.contract_tracks  # noqa: F401
+
+    df = QUERIES["track_simplify"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("hashpartitioning") <= 2  # window seq + group delivery
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

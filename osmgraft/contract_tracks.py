@@ -100,3 +100,103 @@ def track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "user_id", "seq", snap("x").alias("x"), snap("y").alias("y")
     ).orderBy("user_id", "seq")
+
+
+_TRACK_STATS_SQL = f"""
+    WITH pts0 AS (SELECT user_id, event_id, {X_EXPR} AS x, {Y_EXPR} AS y
+                  FROM events),
+         hops AS (SELECT user_id, x, y,
+                         LAG(x) OVER w AS px, LAG(y) OVER w AS py
+                  FROM pts0 WINDOW w AS (PARTITION BY user_id
+                                         ORDER BY event_id)),
+         ends AS (SELECT user_id,
+                         FIRST(x ORDER BY event_id) AS x0,
+                         FIRST(y ORDER BY event_id) AS y0,
+                         LAST(x ORDER BY event_id) AS x1,
+                         LAST(y ORDER BY event_id) AS y1
+                  FROM pts0 GROUP BY user_id),
+         agg AS (SELECT user_id,
+                        CAST(COUNT(*) AS BIGINT) AS n_points,
+                        SUM(CASE WHEN px IS NULL THEN 0.0e0
+                                 ELSE sqrt((x - px) * (x - px)
+                                           + (y - py) * (y - py)) END)
+                          AS path_len
+                 FROM hops GROUP BY user_id)
+    SELECT a.user_id, a.n_points,
+           FLOOR(a.path_len * 100 + 0.5) / 100 AS path_len,
+           FLOOR(sqrt((e.x1 - e.x0) * (e.x1 - e.x0)
+                      + (e.y1 - e.y0) * (e.y1 - e.y0)) * 100 + 0.5) / 100
+             AS net_disp,
+           CASE WHEN sqrt((e.x1 - e.x0) * (e.x1 - e.x0)
+                          + (e.y1 - e.y0) * (e.y1 - e.y0)) = 0.0e0 THEN NULL
+                ELSE FLOOR(a.path_len
+                           / sqrt((e.x1 - e.x0) * (e.x1 - e.x0)
+                                  + (e.y1 - e.y0) * (e.y1 - e.y0))
+                           * 10000 + 0.5) / 10000 END AS sinuosity
+    FROM agg a JOIN ends e USING (user_id)
+    ORDER BY a.user_id
+    """
+
+
+@q("track_stats", oracle=_TRACK_STATS_SQL)
+def track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory characterization: point count, total path
+    length (sum of hop lengths), net displacement, and sinuosity
+    (path/displacement — the tortuosity measure trajectory-mining uses to
+    separate commutes from wandering).
+
+    Scale shape: the LAG window partitions by user_id (partition-local
+    sort inside each user's frame — never global); one partial-agg
+    shuffle rolls up hops, a second tiny join attaches the endpoint pair.
+    Floating parity: hop lengths sum in the SAME order on both engines
+    only if addition order is fixed — it is not, so path_len is snapped
+    at 1e-2 where the fixture's ~1e6-magnitude sums agree bit-stably
+    (double addition reordering error ~1e-9 relative).
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(X_EXPR).alias("x"),
+        F.expr(Y_EXPR).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    hops = ev.select(
+        "user_id",
+        "x",
+        "y",
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+    )
+    hop_len = F.when(F.col("px").isNull(), F.lit(0.0)).otherwise(
+        F.sqrt(
+            (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+            + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))
+        )
+    )
+    agg = hops.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum(hop_len).alias("path_len"),
+    )
+    ends = ev.groupBy("user_id").agg(
+        F.min_by("x", "event_id").alias("x0"),
+        F.min_by("y", "event_id").alias("y0"),
+        F.max_by("x", "event_id").alias("x1"),
+        F.max_by("y", "event_id").alias("y1"),
+    )
+    disp = F.sqrt(
+        (F.col("x1") - F.col("x0")) * (F.col("x1") - F.col("x0"))
+        + (F.col("y1") - F.col("y0")) * (F.col("y1") - F.col("y0"))
+    )
+    return (
+        agg.join(ends, "user_id")
+        .select(
+            "user_id",
+            "n_points",
+            (F.floor(F.col("path_len") * 100 + 0.5) / 100).alias("path_len"),
+            (F.floor(disp * 100 + 0.5) / 100).alias("net_disp"),
+            F.when(disp == 0.0, F.lit(None).cast("double"))
+            .otherwise(F.floor(F.col("path_len") / disp * 10000 + 0.5) / 10000)
+            .alias("sinuosity"),
+        )
+        .orderBy("user_id")
+    )

@@ -63,11 +63,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return _contract.QUERIES["scored_documents"](spark, "/root/testdata/sf0.001")
 
 
+# Session-3 additions beyond the original 46 never-driver-verified entries.
+# The driver's correctness window is its first 50 rows, so only 4 of these
+# fit this round: the priority list picks which (skew evidence + the new
+# geo/LLM-pipeline flagships); the rest sort after and get their driver
+# rows next round via the same never-verified-first rule.
+_SESSION3_NEW = (
+    # window priority (4 spare slots after the 46 carried-over entries)
+    "track_simplify", "line_dedup_stats", "contamination_check",
+    "hot_cell_salted_profile",
+    # next round's window candidates
+    "track_stats", "inverted_index", "bm25_top_docs", "pmi_cooccurrence",
+)
+
+
 def _ordered_names() -> list[str]:
     names = list(_contract.QUERIES)
-    fresh = [n for n in names if n not in _R02_VERIFIED]
+    s3 = [n for n in _SESSION3_NEW if n in names]
+    fresh = [
+        n for n in names if n not in _R02_VERIFIED and n not in _SESSION3_NEW
+    ]
     seen = [n for n in names if n in _R02_VERIFIED]
-    return fresh + seen
+    return fresh + s3 + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -32,6 +32,7 @@ from osmgraft import contract_media as _contract_media  # noqa: E402,F401  (regi
 from osmgraft import contract_cells as _contract_cells  # noqa: E402,F401  (registers entries)
 from osmgraft import contract_tracks as _contract_tracks  # noqa: E402,F401  (registers entries)
 from osmgraft import contract_corpus as _contract_corpus  # noqa: E402,F401  (registers entries)
+from osmgraft import contract_web as _contract_web  # noqa: E402,F401  (registers entries)
 
 # The 50 entries that received green driver rows in CORRECTNESS_r02.json
 # (frozen literal — evidence already recorded; these sort AFTER the rest).
@@ -74,6 +75,8 @@ _SESSION3_NEW = (
     "hot_cell_salted_profile",
     # next round's window candidates
     "track_stats", "inverted_index", "bm25_top_docs", "pmi_cooccurrence",
+    "url_host_rollup", "crawl_latest_snapshot", "funnel_conversion",
+    "session_paths", "pagerank_cosupply",
 )
 
 

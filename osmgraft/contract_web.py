@@ -1,0 +1,513 @@
+"""Driver-contract entries: web-corpus analytics operators.
+
+Round-3 session-4 additions — the query surface a Common-Crawl-style page
+store (BASELINE input_hint: ``url, warc_ts, html, text, lang``) needs on
+every snapshot, each oracle-paired and each built on the deterministic
+driver tables (urls/timestamps are synthesised in-query from ``doc_id`` so
+the DuckDB oracle can mirror the derivation exactly — the sanctioned
+small-scale stand-in for the crawl table; no external data):
+
+- ``url_host_rollup``: URL normalisation (case-fold host, strip default
+  port / fragment / ``utm_*`` tracking params) + per-host hygiene rollup.
+- ``crawl_latest_snapshot``: keep-latest-crawl-per-url dedup (the WARC
+  recency rule) via a single ``max_by`` partial aggregation — never a
+  per-url window sort.
+- ``funnel_conversion``: ordered signup→click→purchase funnel over the
+  events stream, one user-keyed shuffle for all three stages.
+- ``session_paths``: gap-sessionised top-k event-type paths (the
+  clickstream path-mining classic).
+- ``pagerank_cosupply``: weighted PageRank over the supplier co-purchase
+  graph — the iterative keyed-join propagation loop (damping 0.85, 5
+  rounds) with the same bounded-lineage discipline as
+  ``text/dedup.dedup_clusters``; oracle = 5 unrolled CTE iterations.
+
+Reference surface being generalized: the reference scores a *geospatial*
+entity table; a web-page corpus adds the url/crawl axis (normalise, dedup
+by recency) and behavioural axes (funnel, paths, link-graph authority).
+Cross-engine float discipline per BENCH/BASELINE.md: every carried-forward
+rank is snapped to 10 dp per iteration, outputs to 6 dp/4 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osmgraft.contract import q, t
+
+# ---------------------------------------------------------------------------
+# url normalisation + host rollup
+# ---------------------------------------------------------------------------
+
+_URL_ROLLUP_SQL = """
+    WITH raw AS (
+      SELECT doc_id, lang, n_chars,
+             'https://'
+             || CASE WHEN doc_id % 3 = 0
+                     THEN 'EXAMPLE-' || CAST(doc_id % 7 AS VARCHAR) || '.CO.UK'
+                     WHEN doc_id % 3 = 1
+                     THEN 'example-' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+                     ELSE 'Example-' || CAST(doc_id % 7 AS VARCHAR) || '.Co.Uk'
+                END
+             || CASE WHEN doc_id % 4 = 0 THEN ':443'
+                     WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+             || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '?utm_campaign=x&id=' || CAST(doc_id % 50 AS VARCHAR)
+                     WHEN doc_id % 5 = 1
+                     THEN '?id=' || CAST(doc_id % 50 AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END
+             AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, lang, n_chars, url,
+             regexp_replace(url, '#.*$', '') AS nofrag
+      FROM raw),
+    norm AS (
+      SELECT doc_id, lang, n_chars, url,
+             lower(regexp_extract(nofrag, '^https://([^/:?#]+)', 1)) AS host,
+             regexp_extract(nofrag, '^https://[^/:?#]+:([0-9]+)', 1) AS port,
+             regexp_extract(nofrag, '^https://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_replace(
+               regexp_replace(regexp_extract(nofrag, '\\?([^#]*)', 1),
+                              'utm_[a-z]+=[^&]*&?', ''),
+               '&$', '') AS qs
+      FROM parts)
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(DISTINCT 'https://' || host
+                      || CASE WHEN port IN ('', '443') THEN ''
+                              ELSE ':' || port END
+                      || path
+                      || CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
+                AS BIGINT) AS n_urls,
+           CAST(COUNT(*) FILTER (WHERE url LIKE '%#%') AS BIGINT)
+             AS n_fragment,
+           CAST(COUNT(*) FILTER (WHERE port = '443') AS BIGINT)
+             AS n_default_port,
+           CAST(COUNT(*) FILTER (WHERE url LIKE '%utm\\_%' ESCAPE '\\')
+                AS BIGINT) AS n_tracking,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM norm GROUP BY host ORDER BY host
+    """
+
+
+@q("url_host_rollup", oracle=_URL_ROLLUP_SQL)
+def url_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalisation + per-host hygiene rollup (crawl-frontier shape).
+
+    Synthesises a deterministically messy url per document (mixed-case
+    host, default/exotic port, ``utm_*`` tracking param, fragment), then
+    normalises with pure Column ops — lower-cased host, ``:443`` dropped,
+    fragment stripped, tracking params removed — and rolls up per host:
+    page/url counts and how many raw urls each hygiene rule touched.
+
+    Scale shape: the normalisation is per-row JVM regex (no UDF, no
+    shuffle); the rollup is ONE partial-agg shuffle keyed by host (~1e7
+    hosts in a real crawl — far below executor memory after partial
+    aggregation). COUNT(DISTINCT url) expands to the standard two-phase
+    distinct aggregate on the same key. Nothing is quadratic.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    did = F.col("doc_id")
+    hostnum = (did % 7).cast("string")
+    host_raw = (
+        F.when(did % 3 == 0, F.concat(F.lit("EXAMPLE-"), hostnum, F.lit(".CO.UK")))
+        .when(did % 3 == 1, F.concat(F.lit("example-"), hostnum, F.lit(".co.uk")))
+        .otherwise(F.concat(F.lit("Example-"), hostnum, F.lit(".Co.Uk")))
+    )
+    port_raw = (
+        F.when(did % 4 == 0, F.lit(":443"))
+        .when(did % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    pathnum = (did % 50).cast("string")
+    qs_raw = (
+        F.when(did % 5 == 0, F.concat(F.lit("?utm_campaign=x&id="), pathnum))
+        .when(did % 5 == 1, F.concat(F.lit("?id="), pathnum))
+        .otherwise(F.lit(""))
+    )
+    frag_raw = F.when(
+        did % 2 == 0, F.concat(F.lit("#sec"), (did % 4).cast("string"))
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"), host_raw, port_raw, F.lit("/p/"), pathnum,
+        qs_raw, frag_raw,
+    )
+
+    raw = d.withColumn("url", url)
+    nofrag = F.regexp_replace("url", r"#.*$", "")
+    norm = raw.select(
+        "lang", "n_chars", "url",
+        F.lower(F.regexp_extract(nofrag, r"^https://([^/:?#]+)", 1)).alias("host"),
+        F.regexp_extract(nofrag, r"^https://[^/:?#]+:([0-9]+)", 1).alias("port"),
+        F.regexp_extract(nofrag, r"^https://[^/?#]+([^?#]*)", 1).alias("path"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_extract(nofrag, r"\?([^#]*)", 1),
+                r"utm_[a-z]+=[^&]*&?", "",
+            ),
+            r"&$", "",
+        ).alias("qs"),
+    )
+    url_norm = F.concat(
+        F.lit("https://"), F.col("host"),
+        F.when(F.col("port").isin("", "443"), F.lit(""))
+        .otherwise(F.concat(F.lit(":"), F.col("port"))),
+        F.col("path"),
+        F.when(F.col("qs") == "", F.lit(""))
+        .otherwise(F.concat(F.lit("?"), F.col("qs"))),
+    )
+    return (
+        norm.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.countDistinct(url_norm).cast("long").alias("n_urls"),
+            F.sum(F.col("url").contains("#").cast("int")).cast("long")
+            .alias("n_fragment"),
+            F.sum((F.col("port") == "443").cast("int")).cast("long")
+            .alias("n_default_port"),
+            F.sum(F.col("url").contains("utm_").cast("int")).cast("long")
+            .alias("n_tracking"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# keep-latest-crawl-per-url dedup
+# ---------------------------------------------------------------------------
+
+_EPOCH_2024_03_01 = 1709251200  # seconds; exact integer arithmetic on both engines
+
+_LATEST_SNAPSHOT_SQL = f"""
+    WITH snaps AS (
+      SELECT doc_id, text,
+             doc_id // 4 AS url_key,
+             (doc_id % 4) * 100000 + (doc_id * 7919) % 86400 AS secs
+      FROM documents),
+    keyed AS (
+      SELECT 'https://example-' || CAST(url_key % 7 AS VARCHAR)
+             || '.co.uk/p/' || CAST(url_key AS VARCHAR) AS url,
+             doc_id, text, secs
+      FROM snaps)
+    SELECT url,
+           CAST(COUNT(*) AS BIGINT) AS n_snapshots,
+           make_timestamp(({_EPOCH_2024_03_01} + MAX(secs)) * 1000000)
+             AS latest_ts,
+           CAST(arg_max(doc_id, secs) AS BIGINT) AS kept_doc_id,
+           md5(arg_max(text, secs)) AS kept_md5,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_replaced
+    FROM keyed GROUP BY url ORDER BY url
+    """
+
+
+@q("crawl_latest_snapshot", oracle=_LATEST_SNAPSHOT_SQL)
+def crawl_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-crawl-per-url dedup (WARC recency rule).
+
+    Documents stand in for crawl snapshots: every 4 consecutive doc_ids
+    share one url, each with a deterministic distinct ``warc_ts``; the
+    pipeline keeps the newest snapshot per url and reports how many were
+    superseded, plus the md5 of the kept payload (byte-identity evidence
+    across engines — the per-row invariant of the north rule).
+
+    Scale shape: ONE partial-agg shuffle on the url key using ``max_by``
+    (argmax folds map-side) — NOT a per-url window sort, which would
+    shuffle the full snapshot history and sort inside every url group.
+    At 10^12 pages with ~3 crawls/url this is the difference between a
+    combiner-friendly agg and a full-table sort.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    snaps = d.select(
+        "doc_id", "text",
+        F.expr("doc_id div 4").alias("url_key"),
+        ((did % 4) * 100000 + (did * 7919) % 86400).alias("secs"),
+    )
+    keyed = snaps.select(
+        F.concat(
+            F.lit("https://example-"), (F.col("url_key") % 7).cast("string"),
+            F.lit(".co.uk/p/"), F.col("url_key").cast("string"),
+        ).alias("url"),
+        "doc_id", "text", "secs",
+    )
+    return (
+        keyed.groupBy("url")
+        .agg(
+            F.count("*").cast("long").alias("n_snapshots"),
+            F.timestamp_seconds(
+                F.lit(_EPOCH_2024_03_01) + F.max("secs")
+            ).alias("latest_ts"),
+            F.max_by("doc_id", "secs").cast("long").alias("kept_doc_id"),
+            F.md5(F.max_by("text", "secs").cast("binary")).alias("kept_md5"),
+            (F.count("*") - 1).cast("long").alias("n_replaced"),
+        )
+        .orderBy("url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered conversion funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+    WITH e AS (SELECT user_id, ts, event_type FROM events),
+    s1 AS (SELECT *, MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                       OVER (PARTITION BY user_id) AS signup_ts FROM e),
+    s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > signup_ts
+                              THEN ts END)
+                       OVER (PARTITION BY user_id) AS click_ts FROM s1),
+    s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > click_ts
+                              THEN ts END)
+                       OVER (PARTITION BY user_id) AS purchase_ts FROM s2),
+    pu AS (SELECT user_id, MIN(signup_ts) AS s, MIN(click_ts) AS c,
+                  MIN(purchase_ts) AS p
+           FROM s3 GROUP BY user_id),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+                   CAST(COUNT(s) AS BIGINT) AS ns,
+                   CAST(COUNT(c) AS BIGINT) AS nc,
+                   CAST(COUNT(p) AS BIGINT) AS np
+            FROM pu)
+    SELECT 'all_users' AS stage, total AS users, 1.0e0 AS pct FROM agg
+    UNION ALL SELECT 'signup', ns, ROUND(ns / CAST(total AS DOUBLE), 4) FROM agg
+    UNION ALL SELECT 'click_after_signup', nc,
+                     ROUND(nc / CAST(total AS DOUBLE), 4) FROM agg
+    UNION ALL SELECT 'purchase_after_click', np,
+                     ROUND(np / CAST(total AS DOUBLE), 4) FROM agg
+    """
+
+
+@q("funnel_conversion", oracle=_FUNNEL_SQL)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup → click → purchase funnel (web-analytics classic).
+
+    A user converts at stage k only via an event strictly AFTER their
+    stage-(k-1) event: earliest signup, then earliest click after it,
+    then earliest purchase after that click.
+
+    Scale shape: three chained unbounded MIN windows over the SAME
+    ``user_id`` partitioning — Catalyst plans ONE Exchange; no
+    per-stage self-joins (the naive form joins events to itself twice).
+    The per-user reduction and the final 4-row stack are partial aggs.
+    """
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    et = F.col("event_type")
+    s = (
+        e.withColumn("signup_ts", F.min(F.when(et == "signup", F.col("ts"))).over(w))
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when((et == "click") & (F.col("ts") > F.col("signup_ts")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "purchase_ts",
+            F.min(
+                F.when(
+                    (et == "purchase") & (F.col("ts") > F.col("click_ts")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    pu = s.groupBy("user_id").agg(
+        F.min("signup_ts").alias("s"),
+        F.min("click_ts").alias("c"),
+        F.min("purchase_ts").alias("p"),
+    )
+    agg = pu.agg(
+        F.count("*").cast("long").alias("total"),
+        F.count("s").cast("long").alias("ns"),
+        F.count("c").cast("long").alias("nc"),
+        F.count("p").cast("long").alias("np"),
+    )
+    return agg.selectExpr(
+        "stack(4, "
+        "'all_users', total, CAST(1.0 AS DOUBLE), "
+        "'signup', ns, ROUND(ns / CAST(total AS DOUBLE), 4), "
+        "'click_after_signup', nc, ROUND(nc / CAST(total AS DOUBLE), 4), "
+        "'purchase_after_click', np, ROUND(np / CAST(total AS DOUBLE), 4)"
+        ") AS (stage, users, pct)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# gap-sessionised path mining
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_SQL = "INTERVAL 24 HOUR"
+_PATHS_TOP_K = 20
+
+_SESSION_PATHS_SQL = f"""
+    WITH e AS (SELECT user_id, ts, event_type FROM events),
+    l AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM e),
+    m AS (SELECT *, CASE WHEN prev_ts IS NULL
+                              OR ts > prev_ts + {_SESSION_GAP_SQL}
+                         THEN 1 ELSE 0 END AS new_s FROM l),
+    s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+          FROM m),
+    p AS (SELECT user_id, sess,
+                 string_agg(event_type, '>' ORDER BY ts) AS path
+          FROM s GROUP BY user_id, sess)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT {_PATHS_TOP_K}
+    """
+
+
+@q("session_paths", oracle=_SESSION_PATHS_SQL)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k session event-type paths (clickstream path mining).
+
+    Sessions split on a 24 h inactivity gap (the fixture's per-user
+    inter-arrival is ~9 h, so sessions chain several events); each
+    session's ordered event types join into a ``a>b>c`` path string and
+    the k most frequent paths are reported.
+
+    Scale shape: LAG + running SUM share one ``user_id``-ordered window
+    sort (one Exchange); the path build is an in-row ``array_sort`` over
+    the collected (ts, type) structs of ONE session (bounded by session
+    length, never a global sort); the final top-k is
+    ``TakeOrderedAndProject`` (per-partition heads only). This is the
+    same two-phase top-k discipline as ``tfidf_top_terms``.
+    """
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.expr(f"prev_ts + {_SESSION_GAP_SQL}")
+    m = (
+        e.withColumn("prev_ts", F.lag("ts").over(wo))
+        .withColumn(
+            "new_s",
+            (F.col("prev_ts").isNull() | (F.col("ts") > gap)).cast("int"),
+        )
+        .withColumn(
+            "sess",
+            F.sum("new_s").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    paths = m.groupBy("user_id", "sess").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATHS_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted PageRank on the supplier co-purchase graph
+# ---------------------------------------------------------------------------
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 5
+_PR_SNAP = 10  # per-iteration rank snap (dp); output rounds to 6
+
+def _pagerank_sql() -> str:
+    """5 unrolled weighted-PageRank iterations as CTEs (DuckDB oracle).
+
+    Mirrors the Spark loop op-for-op: identical edge fractions (exact
+    integer division), identical per-iteration ROUND snap, so both
+    engines carry bit-identical ranks between rounds.
+    """
+    head = f"""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e0 AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+                  CAST(COUNT(*) AS DOUBLE) AS w
+           FROM os a JOIN os b USING (l_orderkey)
+           WHERE a.l_suppkey <> b.l_suppkey GROUP BY 1, 2),
+    deg AS (SELECT src, SUM(w) AS wsum FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, e0.w / deg.wsum AS frac
+          FROM e0 JOIN deg USING (src)),
+    n AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS nn FROM e),
+    r0 AS (SELECT src AS node, 1.0e0 / n.nn AS rank
+           FROM (SELECT DISTINCT src FROM e), n)"""
+    iters = "".join(
+        f""",
+    r{k + 1} AS (SELECT e.dst AS node,
+                 ROUND((1.0e0 - {_PR_DAMPING}e0) / n.nn
+                       + {_PR_DAMPING}e0 * SUM(r{k}.rank * e.frac),
+                       {_PR_SNAP}) AS rank
+           FROM e JOIN r{k} ON e.src = r{k}.node, n GROUP BY e.dst, n.nn)"""
+        for k in range(_PR_ITERS)
+    )
+    return (
+        head + iters
+        + f"""
+    SELECT CAST(node AS BIGINT) AS suppkey, ROUND(rank, 6) AS rank
+    FROM r{_PR_ITERS} ORDER BY rank DESC, suppkey
+    """
+    )
+
+
+@q("pagerank_cosupply", oracle=_pagerank_sql())
+def pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the supplier co-purchase graph (damping
+    0.85, 5 fixed iterations) — link-graph authority, the web-corpus
+    ranking primitive (host graphs at crawl scale).
+
+    Graph: suppliers are nodes; an edge (s1, s2) carries the number of
+    orders both supplied; contributions are weight-normalised per source.
+
+    Scale shape: the edge build is a per-order equi-self-join (bounded by
+    order width, never table-quadratic) + one partial-agg count; each
+    iteration is ONE equi-join on the 8-byte node key + ONE partial agg —
+    the identical propagation shape as ``dedup_clusters``'s CC loop, with
+    ``localCheckpoint`` cutting lineage per round so the plan stays
+    bounded. Per-iteration ranks snap to 10 dp on both engines (sum order
+    across partitions is engine-specific; the snap re-synchronises every
+    round — see BENCH/BASELINE.md float discipline).
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    os_ = li.distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    e0 = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    deg = e0.groupBy("src").agg(F.sum("w").alias("wsum"))
+    edges = (
+        e0.join(deg, "src")
+        .select("src", "dst", (F.col("w") / F.col("wsum")).alias("frac"))
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # scalar for the teleport term; one number, any scale
+    base = (1.0 - _PR_DAMPING) / float(n)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / float(n)))
+    for _ in range(_PR_ITERS):
+        ranks = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(
+                F.round(
+                    F.lit(base)
+                    + F.lit(_PR_DAMPING) * F.sum(F.col("rank") * F.col("frac")),
+                    _PR_SNAP,
+                ).alias("rank")
+            )
+            .withColumnRenamed("dst", "node")
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("node").cast("long").alias("suppkey"),
+        F.round("rank", 6).alias("rank"),
+    ).orderBy(F.desc("rank"), "suppkey")

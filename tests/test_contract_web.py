@@ -1,0 +1,77 @@
+"""Invariant + plan audits for the web-corpus analytics operators
+(osmgraft/contract_web.py). Cross-engine value parity is covered by
+tests/test_contract_oracle.py; these pin semantic invariants and the
+at-scale plan shapes."""
+
+from __future__ import annotations
+
+from osmgraft import contract_web as cw
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def test_funnel_is_monotone(spark):
+    rows = {r["stage"]: r for r in cw.funnel_conversion(spark, SF_CORRECT).collect()}
+    assert set(rows) == {
+        "all_users", "signup", "click_after_signup", "purchase_after_click"
+    }
+    total = rows["all_users"]["users"]
+    s, c, p = (
+        rows["signup"]["users"],
+        rows["click_after_signup"]["users"],
+        rows["purchase_after_click"]["users"],
+    )
+    assert total >= s >= c >= p >= 0
+    assert all(0.0 <= r["pct"] <= 1.0 for r in rows.values())
+
+
+def test_pagerank_is_a_distribution(spark):
+    df = cw.pagerank_cosupply(spark, SF_SMOKE).collect()
+    assert len(df) > 1
+    assert all(r["rank"] > 0 for r in df)
+    # teleport + conservation: ranks sum to ~1 (snapped at 10 dp/iteration)
+    assert abs(sum(r["rank"] for r in df) - 1.0) < 1e-3
+
+
+def test_crawl_latest_keeps_the_newest_snapshot(spark):
+    rows = cw.crawl_latest_snapshot(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_snapshots"] <= 4
+        assert r["n_replaced"] == r["n_snapshots"] - 1
+        # url embeds its url_key; the kept doc must belong to that key group
+        url_key = int(r["url"].rsplit("/", 1)[1])
+        assert r["kept_doc_id"] // 4 == url_key
+
+
+def test_url_rollup_partitions_the_corpus(spark):
+    rows = cw.url_host_rollup(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == 7  # doc_id % 7 hosts, case-folded together
+    assert sum(r["n_pages"] for r in rows) == docs
+    assert all(r["n_urls"] <= r["n_pages"] for r in rows)
+    assert all(r["host"] == r["host"].lower() for r in rows)
+
+
+def test_session_paths_topk_is_distributed(spark):
+    df = cw.session_paths(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort for the top-k
+
+
+def test_pagerank_edges_join_is_equi(spark):
+    # the per-order pair expansion must plan as an equi-join, never a
+    # cartesian/broadcast-nested-loop (table-quadratic at scale)
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    os_ = li.distinct()
+    import pyspark.sql.functions as F
+
+    pairs = (
+        os_.alias("a")
+        .join(os_.alias("b"), "l_orderkey")
+        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

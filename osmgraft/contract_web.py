@@ -410,6 +410,202 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HTML outlink extraction -> host link graph
+# ---------------------------------------------------------------------------
+
+_OUTLINK_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             'example-' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk' AS src_host,
+             '<html><body>'
+             || '<a href="https://example-'
+                || CAST((doc_id + 1) % 7 AS VARCHAR) || '.co.uk/p/'
+                || CAST((doc_id * 2) % 50 AS VARCHAR) || '">x</a>'
+             || CASE WHEN doc_id % 3 >= 1
+                     THEN '<a href="https://example-'
+                          || CAST((doc_id + 4) % 7 AS VARCHAR) || '.co.uk/p/'
+                          || CAST((doc_id * 3) % 50 AS VARCHAR) || '">x</a>'
+                     ELSE '' END
+             || CASE WHEN doc_id % 3 >= 2
+                     THEN '<a href="https://example-'
+                          || CAST(doc_id % 7 AS VARCHAR) || '.co.uk/p/'
+                          || CAST((doc_id * 4) % 50 AS VARCHAR) || '">x</a>'
+                     ELSE '' END
+             || '</body></html>' AS html
+      FROM documents),
+    x AS (
+      SELECT doc_id, src_host,
+             UNNEST(regexp_extract_all(html, 'href="https://([^/"]+)', 1))
+               AS dst_host
+      FROM d)
+    SELECT src_host, dst_host,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN src_host = dst_host THEN 1 ELSE 0 END) AS BIGINT)
+             AS is_self
+    FROM x GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+    """
+
+
+@q("outlink_host_graph", oracle=_OUTLINK_SQL)
+def outlink_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML outlink extraction → host-to-host link graph (edge rollup).
+
+    Synthesises a deterministic html payload per document (1–3 anchor
+    tags, targets derived from ``doc_id``; the in-query stand-in for the
+    input-hint's ``html`` column), extracts the href hosts with ONE
+    ``regexp_extract_all`` pass, explodes, and rolls the edges up to
+    (src_host, dst_host) with link/doc counts and a self-loop marker —
+    the first stage of every host-graph build (PageRank's edge input).
+
+    Scale shape: extraction is per-row JVM regex over the html bytes (no
+    UDF); the explode multiplies rows by out-degree (bounded, ~links per
+    page); the rollup is ONE partial-agg shuffle on the edge key. Host
+    edges at crawl scale (~1e9) fit a downstream broadcast or a bucketed
+    write — this query IS the map side of that build.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+
+    def _a(host_off: int, path_mul: int) -> F.Column:
+        return F.concat(
+            F.lit('<a href="https://example-'),
+            ((did + host_off) % 7).cast("string"),
+            F.lit(".co.uk/p/"),
+            ((did * path_mul) % 50).cast("string"),
+            F.lit('">x</a>'),
+        )
+
+    html = F.concat(
+        F.lit("<html><body>"),
+        _a(1, 2),
+        F.when(did % 3 >= 1, _a(4, 3)).otherwise(F.lit("")),
+        F.when(did % 3 >= 2, _a(0, 4)).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("example-"), (did % 7).cast("string"), F.lit(".co.uk")
+        ).alias("src_host"),
+        html.alias("html"),
+    )
+    edges = pages.select(
+        "doc_id",
+        "src_host",
+        F.explode(
+            F.regexp_extract_all("html", F.lit(r'href="https://([^/"]+)'), 1)
+        ).alias("dst_host"),
+    )
+    return (
+        edges.groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.max((F.col("src_host") == F.col("dst_host")).cast("int"))
+            .cast("long")
+            .alias("is_self"),
+        )
+        .orderBy("src_host", "dst_host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl-to-crawl change-data-capture
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_SQL = """
+    WITH snaps AS (
+      SELECT doc_id, n_chars, doc_id // 4 AS url_key, doc_id % 4 AS rev
+      FROM documents),
+    a AS (
+      SELECT 'https://example-' || CAST(url_key % 7 AS VARCHAR)
+             || '.co.uk/p/' || CAST(url_key AS VARCHAR) AS url,
+             arg_max(n_chars, rev) // 50 AS band
+      FROM snaps WHERE rev IN (0, 2) AND url_key % 5 <> 0
+      GROUP BY url_key),
+    b AS (
+      SELECT 'https://example-' || CAST(url_key % 7 AS VARCHAR)
+             || '.co.uk/p/' || CAST(url_key AS VARCHAR) AS url,
+             arg_max(n_chars, rev) // 50 AS band
+      FROM snaps WHERE rev IN (1, 3) AND url_key % 7 <> 0
+      GROUP BY url_key),
+    j AS (
+      SELECT COALESCE(a.url, b.url) AS url,
+             CASE WHEN a.url IS NULL THEN 'added'
+                  WHEN b.url IS NULL THEN 'removed'
+                  WHEN a.band = b.band THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM a FULL OUTER JOIN b ON a.url = b.url)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_urls, MIN(url) AS example_url
+    FROM j GROUP BY status ORDER BY status
+    """
+
+
+@q("snapshot_diff", oracle=_SNAPSHOT_DIFF_SQL)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-crawl change-data-capture (added / removed / changed /
+    unchanged urls between two consecutive crawl snapshots).
+
+    Crawl A keeps each url's newest even-rev snapshot, crawl B the newest
+    odd-rev one; membership differs per crawl (coverage gaps modelled by
+    the ``url_key % 5`` / ``% 7`` drop rules), and a page "changed" when
+    its content-length band moved between the kept snapshots. This is the
+    incremental-ingest primitive: the diff's ``added + changed`` set is
+    exactly the work list a re-extraction pass must touch.
+
+    Scale shape: each crawl reduces with ONE ``max_by`` partial agg on
+    the url key; the diff is a single full-outer sort-merge join on that
+    same key (both sides already url-keyed — bucketed-by-url snapshot
+    tables elide the Exchange entirely); the status rollup is a 4-group
+    partial agg. No window sorts, nothing quadratic.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    did = F.col("doc_id")
+    snaps = d.select(
+        "n_chars",
+        F.expr("doc_id div 4").alias("url_key"),
+        (did % 4).alias("rev"),
+    )
+    url = F.concat(
+        F.lit("https://example-"), (F.col("url_key") % 7).cast("string"),
+        F.lit(".co.uk/p/"), F.col("url_key").cast("string"),
+    )
+
+    def crawl(revs: tuple[int, int], drop_mod: int) -> DataFrame:
+        return (
+            snaps.where(
+                F.col("rev").isin(*revs) & (F.col("url_key") % drop_mod != 0)
+            )
+            .groupBy("url_key")
+            .agg(F.expr("max_by(n_chars, rev) div 50").alias("band"))
+            .select(url.alias("url"), "band")
+        )
+
+    a = crawl((0, 2), 5)
+    b = crawl((1, 3), 7)
+    j = a.alias("a").join(b.alias("b"), F.col("a.url") == F.col("b.url"), "full_outer")
+    status = (
+        F.when(F.col("a.url").isNull(), F.lit("added"))
+        .when(F.col("b.url").isNull(), F.lit("removed"))
+        .when(F.col("a.band") == F.col("b.band"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.url"), F.col("b.url")).alias("url"),
+            status.alias("status"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.min("url").alias("example_url"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
 # weighted PageRank on the supplier co-purchase graph
 # ---------------------------------------------------------------------------
 

@@ -58,6 +58,38 @@ def test_session_paths_topk_is_distributed(spark):
     assert "TakeOrderedAndProject" in plan  # no global sort for the top-k
 
 
+def test_outlink_graph_degree_accounting(spark):
+    import pyspark.sql.functions as F
+
+    rows = cw.outlink_host_graph(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_docs = docs.count()
+    # every doc emits 1 + (doc_id % 3) links; total edge weight must match
+    expected_links = (
+        docs.select(F.sum(1 + F.col("doc_id") % 3)).collect()[0][0]
+    )
+    assert sum(r["n_links"] for r in rows) == expected_links
+    assert all(r["n_docs"] <= r["n_links"] for r in rows)
+    # the third anchor targets the page's own host -> self loops exist
+    assert any(r["is_self"] == 1 and r["src_host"] == r["dst_host"] for r in rows)
+    assert n_docs > 0
+
+
+def test_snapshot_diff_partitions_the_url_universe(spark):
+    rows = {r["status"]: r for r in cw.snapshot_diff(spark, SF_SMOKE).collect()}
+    # all four CDC statuses fire on the fixture
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    url_keys = (docs + 3) // 4
+    in_a = sum(1 for k in range(url_keys) if k % 5 != 0)
+    in_b = sum(1 for k in range(url_keys) if k % 7 != 0)
+    union = sum(1 for k in range(url_keys) if k % 5 != 0 or k % 7 != 0)
+    total = sum(r["n_urls"] for r in rows.values())
+    assert total == union
+    assert rows["removed"]["n_urls"] == in_a - (in_a + in_b - union)
+    assert rows["added"]["n_urls"] == in_b - (in_a + in_b - union)
+
+
 def test_pagerank_edges_join_is_equi(spark):
     # the per-order pair expansion must plan as an equi-join, never a
     # cartesian/broadcast-nested-loop (table-quadratic at scale)

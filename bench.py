@@ -58,6 +58,12 @@ HEADLINE = [
     "repetition_ratio",        # in-row sort+run-scan Gopher signal
     "char_entropy_bands",      # Arrow bincount entropy kernel
     "sliding_window_counts",   # hopping-window member of the window family
+    # round-3 web-corpus additions (pagerank_cosupply excluded: iterative,
+    # ~5 s at sf0.1 — timed by its oracle test, not the per-round bench)
+    "url_host_rollup",         # URL normalisation + host hygiene rollup
+    "crawl_latest_snapshot",   # keep-latest-per-url via max_by partial agg
+    "session_paths",           # gap-sessionised top-k event paths
+    "snapshot_diff",           # crawl CDC: url-keyed full-outer diff
 ]
 
 # default sized so compute dominates fixed per-job overhead (wall-clock is

@@ -90,6 +90,56 @@ def test_snapshot_diff_partitions_the_url_universe(spark):
     assert rows["added"]["n_urls"] == in_b - (in_a + in_b - union)
 
 
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+
+    row = cw.triangle_count(spark, SF_SMOKE).collect()[0]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id")
+    edges = set()
+    for (i,) in docs.collect():
+        u = i % cw._TRI_N
+        v = ((i // cw._TRI_N) * 2311 + i * 7919 + 13) % cw._TRI_N
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if c > b  # each triangle once: a < b < c by canonical edge order
+    )
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(adj)
+    assert row["max_degree"] == max(len(s) for s in adj.values())
+    assert row["n_triangles"] == tri
+    assert tri > 0  # the fixture graph must actually contain triangles
+
+
+def test_triangle_count_plans_no_cartesian(spark):
+    plan = (
+        cw.triangle_count(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the two scalar summary frames are 1-row crossJoins (BNLJ on 1 row is
+    # fine); the wedge and closing joins must be hash equi-joins
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_url_normalisation_is_idempotent(spark):
+    # normalising an already-normal url must be a fixed point: the rollup's
+    # n_urls (distinct normalised) for a host never exceeds its page count,
+    # and every reported host is already lower-case with no port/fragment
+    rows = cw.url_host_rollup(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert ":" not in r["host"] and "#" not in r["host"]
+        assert r["host"] == r["host"].lower()
+        assert 0 < r["n_urls"] <= r["n_pages"]
+
+
 def test_pagerank_edges_join_is_equi(spark):
     # the per-order pair expansion must plan as an equi-join, never a
     # cartesian/broadcast-nested-loop (table-quadratic at scale)

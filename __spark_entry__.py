@@ -77,7 +77,7 @@ _SESSION3_NEW = (
     "track_stats", "inverted_index", "bm25_top_docs", "pmi_cooccurrence",
     "url_host_rollup", "crawl_latest_snapshot", "funnel_conversion",
     "session_paths", "pagerank_cosupply", "outlink_host_graph",
-    "snapshot_diff", "triangle_count",
+    "snapshot_diff", "triangle_count", "click_attribution",
 )
 
 

@@ -606,6 +606,85 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# click -> purchase attribution (interval-join application)
+# ---------------------------------------------------------------------------
+
+_ATTR_LAG_H = 24
+
+_ATTRIBUTION_SQL = f"""
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.event_id, MIN(p.ts) AS pts, MAX(c.ts) AS cts
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+       AND c.ts > p.ts - INTERVAL {_ATTR_LAG_H} HOUR
+      GROUP BY p.event_id),
+    b AS (
+      SELECT CASE WHEN cts IS NULL THEN 'unattributed'
+                  WHEN date_diff('second', cts, pts) < 3600 THEN '<1h'
+                  WHEN date_diff('second', cts, pts) < 21600 THEN '1-6h'
+                  ELSE '6-24h' END AS lag_band,
+             date_diff('second', cts, pts) AS lag_s
+      FROM j)
+    SELECT lag_band,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(AVG(lag_s), 2) AS avg_lag_s
+    FROM b GROUP BY lag_band ORDER BY lag_band
+    """
+
+
+@q("click_attribution", oracle=_ATTRIBUTION_SQL)
+def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-click purchase attribution over a 24 h lookback window.
+
+    Each purchase is attributed to the LATEST click by the same user in
+    ``(purchase_ts - 24h, purchase_ts]`` and reported by lag band. The
+    pair expansion is `streaming/joins.interval_join_batch` — the exact
+    batch twin of the watermarked stream-stream interval join
+    (`interval_join_stream`), so this oracle also pins the streaming
+    join's semantics (stream==batch is asserted in test_streaming).
+
+    Scale shape: the join is an equi-join on ``user_id`` with a residual
+    time-range filter (never a cartesian); pair multiplicity is bounded
+    by clicks-per-user-per-day; attribution reduces with ONE ``max``
+    partial agg on the purchase id; the band rollup is a 4-group agg.
+    """
+    from osmgraft.streaming.joins import interval_join_batch
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    pairs = interval_join_batch(e, lag=f"{_ATTR_LAG_H} hours")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").alias("purchase_ts")
+    )
+    attributed = (
+        purchases.join(
+            pairs.groupBy("event_id").agg(F.max("click_ts").alias("cts")),
+            "event_id",
+            "left",
+        )
+    )
+    lag_s = F.unix_timestamp("purchase_ts") - F.unix_timestamp("cts")
+    banded = attributed.select(
+        F.when(F.col("cts").isNull(), F.lit("unattributed"))
+        .when(lag_s < 3600, F.lit("<1h"))
+        .when(lag_s < 21600, F.lit("1-6h"))
+        .otherwise(F.lit("6-24h"))
+        .alias("lag_band"),
+        lag_s.alias("lag_s"),
+    )
+    return (
+        banded.groupBy("lag_band")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.round(F.avg("lag_s"), 2).alias("avg_lag_s"),
+        )
+        .orderBy("lag_band")
+    )
+
+
+# ---------------------------------------------------------------------------
 # degree-oriented triangle counting
 # ---------------------------------------------------------------------------
 

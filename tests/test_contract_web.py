@@ -140,6 +140,22 @@ def test_url_normalisation_is_idempotent(spark):
         assert 0 < r["n_urls"] <= r["n_pages"]
 
 
+def test_click_attribution_accounts_for_every_purchase(spark):
+    import pyspark.sql.functions as F
+
+    rows = cw.click_attribution(spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_purchases = ev.where(F.col("event_type") == "purchase").count()
+    assert sum(r["n_purchases"] for r in rows) == n_purchases
+    bands = {r["lag_band"] for r in rows}
+    assert bands <= {"<1h", "1-6h", "6-24h", "unattributed"}
+    for r in rows:
+        if r["lag_band"] == "unattributed":
+            assert r["avg_lag_s"] is None
+        else:
+            assert 0 <= r["avg_lag_s"] <= 24 * 3600
+
+
 def test_pagerank_edges_join_is_equi(spark):
     # the per-order pair expansion must plan as an equi-join, never a
     # cartesian/broadcast-nested-loop (table-quadratic at scale)

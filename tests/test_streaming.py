@@ -457,3 +457,53 @@ def test_incremental_tile_counts_match_batch(spark, pages_dir, tmp_path):
         for r in cells.groupBy("cell").agg(F.count("*").alias("n")).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (click->purchase pairs) must emit exactly
+    the batch twin's pairs when the stream is split into time-ordered
+    micro-batches whose gap stays inside the watermark+lag retention."""
+    from osmgraft.streaming.joins import interval_join_batch, interval_join_stream
+    from tests.conftest import SF_SMOKE
+
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id",
+        "user_id",
+        # watermarks require TIMESTAMP (tz-aware); the fixture is NTZ
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    mid = batch.select(
+        F.expr("percentile(unix_timestamp(ts), 0.5)").alias("m")
+    ).collect()[0]["m"]
+    mid = F.timestamp_seconds(F.lit(mid))
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    for i, part in enumerate(
+        (batch.where(F.col("ts") <= mid), batch.where(F.col("ts") > mid))
+    ):
+        tmpd = tmp_path / f"chunk{i}"
+        part.coalesce(1).write.parquet(str(tmpd))
+        import shutil
+
+        shutil.copy(next(tmpd.glob("*.parquet")), src / f"{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = interval_join_stream(stream, lag="24 hours", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ivj_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ivj_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ivj_pairs").collect()))
+    want = sorted(map(tuple, interval_join_batch(batch, "24 hours").collect()))
+    assert len(want) > 0  # the fixture must actually produce pairs
+    assert got == want

@@ -685,6 +685,100 @@ def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-user daily gap fill (date spine + forward fill)
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_SQL = """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)),
+    bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id, d0, CAST(UNNEST(generate_series(d0, d1,
+             INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    joined AS (
+      SELECT s.user_id, s.day, date_diff('day', s.d0, s.day) AS idx, daily.v
+      FROM spine s LEFT JOIN daily
+        ON daily.user_id = s.user_id AND daily.day = s.day),
+    filled AS (
+      SELECT user_id, idx, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+      FROM joined)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(v) AS BIGINT) AS n_observed,
+           CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_filled,
+           ROUND(SUM((idx + 1) * fv), 2) AS fill_checksum
+    FROM filled GROUP BY user_id ORDER BY user_id
+    """
+
+
+@q("gap_fill_daily", oracle=_GAP_FILL_SQL)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily date-spine + forward fill (time-series gap fill).
+
+    Builds each user's complete daily spine from their first to last
+    active day (``sequence`` + ``explode`` — no calendar table needed),
+    left-joins the observed daily totals, forward-fills gaps with the
+    last observed value (``last(..., ignorenulls)`` over an ordered
+    running frame), and emits per-user fill accounting plus a
+    position-weighted checksum that pins every filled value.
+
+    Scale shape: spine expansion is bounded by each user's active span
+    (never a global calendar cross-join); the join and the fill window
+    share the ``user_id`` partitioning (the fill sorts only within each
+    user's bounded series); the final rollup folds map-side. Daily
+    totals snap to 4 dp before filling so both engines fill identical
+    floats (BENCH/BASELINE.md float discipline).
+    """
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    daily = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        "d0",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id", F.datediff("day", "d0").alias("idx"), "v"
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = joined.withColumn("fv", F.last("v", ignorenulls=True).over(wf))
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.count("v").cast("long").alias("n_observed"),
+            (F.count("*") - F.count("v")).cast("long").alias("n_filled"),
+            F.round(F.sum((F.col("idx") + 1) * F.col("fv")), 2).alias(
+                "fill_checksum"
+            ),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_days", "n_observed", "n_filled", "fill_checksum",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # degree-oriented triangle counting
 # ---------------------------------------------------------------------------
 

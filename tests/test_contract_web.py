@@ -156,6 +156,22 @@ def test_click_attribution_accounts_for_every_purchase(spark):
             assert 0 <= r["avg_lag_s"] <= 24 * 3600
 
 
+def test_gap_fill_accounting(spark):
+    import pyspark.sql.functions as F
+
+    rows = cw.gap_fill_daily(spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert len(rows) == n_users
+    assert any(r["n_filled"] > 0 for r in rows)  # fixture has real gaps
+    for r in rows:
+        assert r["n_days"] == r["n_observed"] + r["n_filled"]
+        assert r["n_observed"] >= 1
+        # with >=1 observed day and forward fill from day 0, the
+        # position-weighted checksum is always defined
+        assert r["fill_checksum"] is not None
+
+
 def test_pagerank_edges_join_is_equi(spark):
     # the per-order pair expansion must plan as an equi-join, never a
     # cartesian/broadcast-nested-loop (table-quadratic at scale)

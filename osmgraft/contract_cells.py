@@ -331,8 +331,11 @@ def _hex_vec_oracle() -> str:
     e = hg.edge_m(HEX_COARSE)
     cx, cy = hg.hex_center_sql("qi", "ri", HEX_COARSE)
     verts = ", ".join(
-        f"ROUND(cx + {hg.lit_sql(e * math.cos(math.radians(60.0 * k + 30.0)))}, 3) AS vx{k}, "
-        f"ROUND(cy + {hg.lit_sql(e * math.sin(math.radians(60.0 * k + 30.0)))}, 3) AS vy{k}"
+        # "+ 0.0" maps an IEEE -0.0 to +0.0 — DuckDB can round a tiny
+        # negative offset to -0.0 where Spark lands on +0.0 (equal by ==,
+        # different bit patterns under hash-based compares)
+        f"ROUND(cx + {hg.lit_sql(e * math.cos(math.radians(60.0 * k + 30.0)))}, 3) + 0.0 AS vx{k}, "
+        f"ROUND(cy + {hg.lit_sql(e * math.sin(math.radians(60.0 * k + 30.0)))}, 3) + 0.0 AS vy{k}"
         for k in range(6)
     )
     return f"""
@@ -366,8 +369,15 @@ def hex_tile_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [F.col("hex_cell"), F.col("n")]
     for k in range(6):
         ang = math.radians(60.0 * k + 30.0)
-        cols.append(F.round(F.col("cx") + F.lit(e * math.cos(ang)), 3).alias(f"vx{k}"))
-        cols.append(F.round(F.col("cy") + F.lit(e * math.sin(ang)), 3).alias(f"vy{k}"))
+        # + 0.0: normalize -0.0 (see _hex_vec_oracle)
+        cols.append(
+            (F.round(F.col("cx") + F.lit(e * math.cos(ang)), 3) + F.lit(0.0))
+            .alias(f"vx{k}")
+        )
+        cols.append(
+            (F.round(F.col("cy") + F.lit(e * math.sin(ang)), 3) + F.lit(0.0))
+            .alias(f"vy{k}")
+        )
     return out.select(*cols).orderBy("hex_cell")
 
 
@@ -525,8 +535,10 @@ def _s2_vec_oracle(level: int) -> str:
 
         xe, ye, ze = cf("x"), cf("y"), cf("z")
         nrm = f"SQRT({xe}*{xe} + {ye}*{ye} + {ze}*{ze})"
-        outs.append(f"ROUND(DEGREES(ASIN({ze} / {nrm})), 6) AS vlat{c}")
-        outs.append(f"ROUND(DEGREES(ATAN2({ye}, {xe})), 6) AS vlng{c}")
+        # "+ 0.0" maps -0.0 to +0.0 (ATAN2 of a tiny negative y rounds to
+        # -0.0 here while the numpy kernel lands on +0.0)
+        outs.append(f"ROUND(DEGREES(ASIN({ze} / {nrm})), 6) + 0.0 AS vlat{c}")
+        outs.append(f"ROUND(DEGREES(ATAN2({ye}, {xe})), 6) + 0.0 AS vlng{c}")
     return f"""
     WITH {_s2_assign_cte(level)},
          cells AS (SELECT s2_cell, MIN(face) AS face,
@@ -566,8 +578,13 @@ def s2_tile_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = agg.withColumn("c", corners(F.col("s2_cell")))
     cols = [F.col("s2_cell"), F.col("n")]
     for k in range(4):
-        cols.append(F.round(F.col("c")[k], 6).alias(f"vlat{k}"))
-        cols.append(F.round(F.col("c")[k + 4], 6).alias(f"vlng{k}"))
+        # + 0.0: normalize -0.0 (see _s2_vec_oracle)
+        cols.append(
+            (F.round(F.col("c")[k], 6) + F.lit(0.0)).alias(f"vlat{k}")
+        )
+        cols.append(
+            (F.round(F.col("c")[k + 4], 6) + F.lit(0.0)).alias(f"vlng{k}")
+        )
     return w.select(*cols).orderBy("s2_cell")
 
 

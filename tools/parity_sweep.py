@@ -77,6 +77,17 @@ def main() -> int:
             n_fail += 1
             continue
         s, d = canon(sdf), canon(ddf)
+        # flag IEEE -0.0 in either engine's output: equal by == but
+        # hash-different under the driver's value-hash compare
+        import numpy as np
+
+        for side, df in (("spark", s), ("duck", d)):
+            for c in df.columns:
+                if str(df[c].dtype).startswith("float"):
+                    vals = df[c].to_numpy()
+                    nz = int((np.signbit(vals) & (vals == 0)).sum())
+                    if nz:
+                        print(f"  NEG-ZERO {name}.{c} [{side}] x{nz}", flush=True)
         ok = (
             s.shape == d.shape
             and list(s.columns) == list(d.columns)

@@ -78,7 +78,7 @@ _SESSION3_NEW = (
     "url_host_rollup", "crawl_latest_snapshot", "funnel_conversion",
     "session_paths", "pagerank_cosupply", "outlink_host_graph",
     "snapshot_diff", "triangle_count", "click_attribution",
-    "gap_fill_daily",
+    "gap_fill_daily", "cohort_retention", "cms_heavy_hitters",
 )
 
 

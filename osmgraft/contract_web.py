@@ -685,6 +685,172 @@ def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# weekly cohort retention matrix
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT e.user_id, f.cw,
+             date_diff('day', f.cw, CAST(date_trunc('week', e.ts) AS DATE))
+               // 7 AS wk
+      FROM events e JOIN f ON e.user_id = f.user_id),
+    m AS (
+      SELECT cw, wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM a GROUP BY cw, wk),
+    cs AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size
+           FROM f GROUP BY cw)
+    SELECT m.cw AS cohort_week, CAST(m.wk AS BIGINT) AS week_offset,
+           n_active, cohort_size,
+           ROUND(n_active / CAST(cohort_size AS DOUBLE), 4) AS retention_pct
+    FROM m JOIN cs ON m.cw = cs.cw
+    ORDER BY cohort_week, week_offset
+    """
+
+
+@q("cohort_retention", oracle=_COHORT_SQL)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (signup-week × week-offset active
+    users) — the clickstream product-analytics classic.
+
+    A user's cohort is the Monday-truncated week of their FIRST event;
+    each (cohort, offset) cell counts distinct users active that many
+    weeks later, with retention as a share of the cohort.
+
+    Scale shape: first-week derivation is one user-keyed partial agg;
+    the join back is user-keyed (same partitioning — one Exchange pair);
+    the matrix is a two-key partial agg with a distinct-count expansion;
+    the cohort-size join is a broadcast (|weeks| rows). Nothing scans
+    events twice beyond the two keyed aggs.
+    """
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    f = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cw")
+    )
+    a = e.join(f, "user_id").select(
+        "user_id",
+        "cw",
+        F.expr("datediff(cast(date_trunc('week', ts) as date), cw) div 7")
+        .alias("wk"),
+    )
+    m = a.groupBy("cw", "wk").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )
+    cs = f.groupBy("cw").agg(F.count("*").cast("long").alias("cohort_size"))
+    return (
+        m.join(F.broadcast(cs), "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.col("wk").cast("long").alias("week_offset"),
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 4
+            ).alias("retention_pct"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters (fully SQL-expressible hashes)
+# ---------------------------------------------------------------------------
+
+_CMS_P = 1000003  # prime modulus for the 2-universal hash family
+_CMS_W = 64  # buckets per row
+_CMS_HASHES = ((131, 7), (1031, 101), (8191, 23))  # (a, b) per row
+_CMS_TOP = 20
+
+_CMS_SQL = f"""
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY user_id),
+    prs AS (
+      SELECT h.r, ((e.user_id * h.a + h.b) % {_CMS_P}) % {_CMS_W} AS bkt
+      FROM events e, (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CMS_HASHES))})
+           AS h(r, a, b)),
+    counters AS (
+      SELECT r, bkt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM prs GROUP BY r, bkt),
+    est AS (
+      SELECT u.user_id, u.exact_count,
+             LEAST({", ".join(f"c{i}.c" for i in range(len(_CMS_HASHES)))}) AS est_count
+      FROM u
+      {" ".join(
+        f"JOIN counters c{i} ON c{i}.r = {i} AND "
+        f"c{i}.bkt = ((u.user_id * {a} + {b}) % {_CMS_P}) % {_CMS_W}"
+        for i, (a, b) in enumerate(_CMS_HASHES))}
+      )
+    SELECT CAST(user_id AS BIGINT) AS user_id, est_count, exact_count,
+           est_count - exact_count AS overestimate
+    FROM est ORDER BY est_count DESC, user_id LIMIT {_CMS_TOP}
+    """
+
+
+@q("cms_heavy_hitters", oracle=_CMS_SQL)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters with exact-count verification.
+
+    Builds a 3×64 count-min sketch over per-user event counts using a
+    2-universal integer hash family (``((a·x + b) mod p) mod w`` — fully
+    SQL-expressible, so unlike the DataSketches HLL query this mergeable
+    sketch is oracle-paired end to end), estimates every user's count as
+    the row-wise minimum, and reports the top-k with the exact count and
+    the (provably non-negative) overestimate beside it.
+
+    Scale shape: the sketch build is ONE pass — each event expands to
+    d=3 (row, bucket) pairs that partial-agg map-side into a table of at
+    most d×w = 192 counters (THE mergeable-rollup property: counters
+    from any partitioning of the input sum to the same sketch); the
+    estimate phase broadcasts those 192 rows into 3 equi-joins against
+    the distinct-key agg; top-k is TakeOrderedAndProject. State is O(d·w)
+    regardless of input size — that is the entire point of the sketch.
+    """
+    e = t(spark, sf_dir, "events").select("user_id")
+    uid = F.col("user_id")
+    pairs = e.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        (((uid * a + b) % _CMS_P) % _CMS_W).alias("bkt"),
+                    )
+                    for i, (a, b) in enumerate(_CMS_HASHES)
+                ]
+            )
+        ).alias("s")
+    ).select("s.r", "s.bkt")
+    counters = pairs.groupBy("r", "bkt").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    users = e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    for i, (a, b) in enumerate(_CMS_HASHES):
+        side = counters.where(F.col("r") == i).select(
+            F.col("bkt").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+        )
+        users = users.join(
+            F.broadcast(side),
+            ((uid * a + b) % _CMS_P) % _CMS_W == F.col(f"b{i}"),
+        ).drop(f"b{i}")
+    est = F.least(*[F.col(f"c{i}") for i in range(len(_CMS_HASHES))])
+    return (
+        users.select(
+            uid.cast("long").alias("user_id"),
+            est.alias("est_count"),
+            "exact_count",
+            (est - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(_CMS_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-user daily gap fill (date spine + forward fill)
 # ---------------------------------------------------------------------------
 

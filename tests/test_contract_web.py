@@ -172,6 +172,62 @@ def test_gap_fill_accounting(spark):
         assert r["fill_checksum"] is not None
 
 
+def test_cohort_retention_matrix_invariants(spark):
+    rows = cw.cohort_retention(spark, SF_SMOKE).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        assert 0.0 < r["retention_pct"] <= 1.0
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r
+    for cells in by_cohort.values():
+        # week 0 always contains the cohort's own first events
+        assert cells[0]["n_active"] == cells[0]["cohort_size"]
+        assert cells[0]["retention_pct"] == 1.0
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    import pyspark.sql.functions as F
+
+    # top-k surface: overestimate >= 0 by construction
+    for r in cw.cms_heavy_hitters(spark, SF_SMOKE).collect():
+        assert r["overestimate"] >= 0
+        assert r["est_count"] >= r["exact_count"] >= 1
+    # mergeability: sketch(first half) + sketch(second half) == sketch(all)
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    uid = F.col("user_id")
+
+    def sketch(df):
+        pairs = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("r"),
+                            (((uid * a + b) % cw._CMS_P) % cw._CMS_W).alias("bkt"),
+                        )
+                        for i, (a, b) in enumerate(cw._CMS_HASHES)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.r", "s.bkt")
+        return {
+            (r["r"], r["bkt"]): r["c"]
+            for r in pairs.groupBy("r", "bkt").agg(F.count("*").alias("c")).collect()
+        }
+
+    lo = sketch(e.where(F.col("event_id") % 2 == 0))
+    hi = sketch(e.where(F.col("event_id") % 2 == 1))
+    full = sketch(e)
+    merged: dict = {}
+    for part in (lo, hi):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == full
+
+
 def test_pagerank_edges_join_is_equi(spark):
     # the per-order pair expansion must plan as an equi-join, never a
     # cartesian/broadcast-nested-loop (table-quadratic at scale)

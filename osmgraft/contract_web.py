@@ -685,6 +685,88 @@ def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# daily volume anomaly detection (z-score over integer power sums)
+# ---------------------------------------------------------------------------
+
+_ANOM_Z = 1.5
+
+_ANOMALY_SQL = f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS s1,
+             CAST(SUM(n * n) AS BIGINT) AS s2
+      FROM daily GROUP BY event_type),
+    z AS (
+      SELECT d.event_type, d.day, d.n,
+             s1 / CAST(n_days AS DOUBLE) AS mean_n,
+             SQRT((s2 - s1 * (s1 / CAST(n_days AS DOUBLE)))
+                  / CAST(n_days - 1 AS DOUBLE)) AS sd_n
+      FROM daily d JOIN stats USING (event_type)
+      WHERE n_days > 1)
+    SELECT event_type, day, n,
+           ROUND(mean_n, 4) AS mean_n,
+           ROUND(sd_n, 4) AS sd_n,
+           ROUND((n - mean_n) / sd_n, 4) AS z
+    FROM z
+    WHERE sd_n > 0 AND ABS((n - mean_n) / sd_n) >= {_ANOM_Z}
+    ORDER BY event_type, day
+    """
+
+
+@q("daily_anomalies", oracle=_ANOMALY_SQL)
+def daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume anomaly detection (|z| >= 1.5 days per type) —
+    the pipeline-monitoring primitive every ingest dashboard runs.
+
+    Variance comes from exact INTEGER power sums (count, sum n, sum n²)
+    with a single final division/sqrt — daily counts are integers, so
+    both engines compute the statistics from identical exact sums and
+    there is no float-accumulation-order exposure (the same discipline
+    as the media-feature std; stddev_samp aggregates would sum doubles
+    in engine-specific order).
+
+    Scale shape: the daily rollup is one two-key partial agg; the stats
+    pass aggregates the (types × days)-sized rollup — tiny — and joins
+    back broadcast-sized; the z filter is a scan of the rollup. Nothing
+    touches raw events twice.
+    """
+    e = t(spark, sf_dir, "events").select("event_type", "ts")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_days").cast("double")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * mean) / (F.col("n_days") - 1).cast("double")
+    )
+    z = (F.col("n") - mean) / sd
+    return (
+        daily.join(F.broadcast(stats.where(F.col("n_days") > 1)), "event_type")
+        .withColumn("mean_raw", mean)
+        .withColumn("sd_raw", sd)
+        .where((F.col("sd_raw") > 0) & (F.abs(z) >= _ANOM_Z))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round("mean_raw", 4).alias("mean_n"),
+            F.round("sd_raw", 4).alias("sd_n"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
 # weekly cohort retention matrix
 # ---------------------------------------------------------------------------
 

@@ -228,6 +228,16 @@ def test_cms_never_underestimates_and_merges(spark):
     assert merged == full
 
 
+def test_daily_anomalies_flags_real_outliers(spark):
+    rows = cw.daily_anomalies(spark, SF_CORRECT).collect()
+    assert rows  # the fixture has genuine volume outliers
+    for r in rows:
+        assert abs(r["z"]) >= cw._ANOM_Z
+        assert r["sd_n"] > 0
+        # z sign must agree with which side of the mean the day sits on
+        assert (r["n"] > r["mean_n"]) == (r["z"] > 0)
+
+
 def test_pagerank_edges_join_is_equi(spark):
     # the per-order pair expansion must plan as an equi-join, never a
     # cartesian/broadcast-nested-loop (table-quadratic at scale)

@@ -39,7 +39,7 @@ def test_streaming_tile_counts_equal_batch(spark, pages_dir, tmp_path):
     stream = read_pages_stream(spark, pages_dir, max_files=2)
     agg = streaming_tile_counts(stream, SPEC, res=5, window="6 hours")
     q = run_available_now(agg, "tiles_stream", str(tmp_path / "ck1"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # partial drains must fail loudly
 
     got = {
         (r.window_start, r.cell): r.n
@@ -67,7 +67,7 @@ def test_streaming_sliding_tile_counts_equal_batch(spark, pages_dir, tmp_path):
         stream, SPEC, res=5, window="6 hours", slide="3 hours"
     )
     q = run_available_now(agg, "tiles_slide_stream", str(tmp_path / "ck_sl"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # partial drains must fail loudly
 
     got = {
         (r.window_start, r.cell): r.n
@@ -90,7 +90,7 @@ def test_streaming_scored_counts(spark, pages_dir, tmp_path):
     stream = read_pages_stream(spark, pages_dir)
     agg = streaming_scored_counts(stream, SCORER, threshold=60, window="12 hours")
     q = run_available_now(agg, "scored_stream", str(tmp_path / "ck2"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # partial drains must fail loudly
     rows = spark.sql("SELECT * FROM scored_stream").collect()
     total_stream = sum(r.n_candidates for r in rows)
 
@@ -108,7 +108,7 @@ def test_streaming_hex_tile_counts_equal_batch(spark, pages_dir, tmp_path):
     stream = read_pages_stream(spark, pages_dir, max_files=2)
     agg = streaming_hex_tile_counts(stream, res=7, window="6 hours")
     q = run_available_now(agg, "hex_stream", str(tmp_path / "ck_hex"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # partial drains must fail loudly
 
     got = {
         (r.window_start, r.hex_cell): r.n
@@ -194,7 +194,7 @@ def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600)  # partial drains must fail loudly
     got = {
         (r.user_id, r.session_start, r.session_end, r.n_events)
         for r in spark.sql("SELECT * FROM sessions_stream").collect()
@@ -253,7 +253,7 @@ def test_sessionize_drops_late_data_past_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600)  # partial drains must fail loudly
     got = {
         (r.user_id, r.session_start, r.session_end, r.n_events)
         for r in spark.sql("SELECT * FROM late_sessions").collect()
@@ -316,7 +316,7 @@ def test_sessionize_checkpoint_restart_preserves_state(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(600)  # partial drains must fail loudly
 
     drop(0, s1[:4])       # first half of session 1
     run_drain()           # drains, stops — session 1 still OPEN in state
@@ -384,7 +384,7 @@ def test_sessionize_out_of_order_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600)  # partial drains must fail loudly
     got = {
         (r.user_id, r.session_start, r.session_end, r.n_events)
         for r in spark.sql("SELECT * FROM ooo_sessions").collect()
@@ -425,7 +425,7 @@ def test_streaming_dedup_within_watermark(spark, pages_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # partial drains must fail loudly
     n_stream = spark.sql("SELECT COUNT(DISTINCT url) c FROM dedup_stream").head()["c"]
     n_rows = spark.sql("SELECT COUNT(*) c FROM dedup_stream").head()["c"]
     n_batch = spark.read.parquet(pages_dir).select("url").distinct().count()
@@ -445,7 +445,7 @@ def test_incremental_tile_counts_match_batch(spark, pages_dir, tmp_path):
     q = incremental_tile_counts(
         stream, SPEC, 5, out, str(tmp_path / "ck_inc")
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # partial drains must fail loudly
     from osmgraft.streaming.pages_stream import read_tile_totals
 
     got = {(r.cell): r.n for r in read_tile_totals(spark, out).collect()}
@@ -502,7 +502,7 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # partial drains must fail loudly
     got = sorted(map(tuple, spark.sql("SELECT * FROM ivj_pairs").collect()))
     want = sorted(map(tuple, interval_join_batch(batch, "24 hours").collect()))
     assert len(want) > 0  # the fixture must actually produce pairs

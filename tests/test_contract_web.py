@@ -238,6 +238,35 @@ def test_daily_anomalies_flags_real_outliers(spark):
         assert (r["n"] > r["mean_n"]) == (r["z"] > 0)
 
 
+def test_funnel_plans_one_user_exchange(spark):
+    # three chained MIN windows over the same partitioning must share ONE
+    # hashpartitioning Exchange on user_id (the docstring's claim)
+    plan = (
+        cw.funnel_conversion(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_crawl_latest_plans_no_window_sort(spark):
+    # keep-latest must be a max_by partial agg, never a per-url window sort
+    plan = (
+        cw.crawl_latest_snapshot(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+
+
+def test_cms_estimate_joins_are_broadcast(spark):
+    # the 192-row counter table must broadcast into all 3 estimate joins
+    plan = (
+        cw.cms_heavy_hitters(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
 def test_pagerank_edges_join_is_equi(spark):
     # the per-order pair expansion must plan as an equi-join, never a
     # cartesian/broadcast-nested-loop (table-quadratic at scale)

@@ -79,7 +79,7 @@ _SESSION3_NEW = (
     "session_paths", "pagerank_cosupply", "outlink_host_graph",
     "snapshot_diff", "triangle_count", "click_attribution",
     "gap_fill_daily", "cohort_retention", "cms_heavy_hitters",
-    "daily_anomalies",
+    "daily_anomalies", "rolling_daily_totals",
 )
 
 

@@ -767,6 +767,65 @@ def daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 7-day rolling daily totals (RANGE-frame window)
+# ---------------------------------------------------------------------------
+
+_ROLLING_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE))
+    SELECT day, n,
+           CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+           ROUND(AVG(n) OVER w, 4) AS avg_n_7d,
+           ROUND(SUM(v) OVER w, 4) AS v_7d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS days_in_window
+    FROM daily
+    WINDOW w AS (ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """
+
+
+@q("rolling_daily_totals", oracle=_ROLLING_SQL)
+def rolling_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling totals over daily event volume — the
+    RANGE-frame window (value-based frame on event-time, robust to
+    missing days, unlike a ROWS frame which silently widens its span
+    across gaps).
+
+    Scale shape: the window runs over the DAILY ROLLUP (|days| rows, one
+    partial agg over raw events first), not over raw events — the
+    rolling pass is bounded by the calendar, so the global sort is a
+    few-hundred-row operation at any corpus size. ``days_in_window``
+    exposes the warm-up edge (< 7 early days) instead of hiding it.
+    """
+    e = t(spark, sf_dir, "events").select("ts", "value")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("v"),
+    )
+    w = (
+        Window.orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "day",
+            "n",
+            F.sum("n").over(w).cast("long").alias("n_7d"),
+            F.round(F.avg("n").over(w), 4).alias("avg_n_7d"),
+            F.round(F.sum("v").over(w), 4).alias("v_7d"),
+            F.count("*").over(w).cast("long").alias("days_in_window"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
 # weekly cohort retention matrix
 # ---------------------------------------------------------------------------
 

@@ -267,6 +267,21 @@ def test_cms_estimate_joins_are_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_rolling_totals_window_semantics(spark):
+    rows = cw.rolling_daily_totals(spark, SF_SMOKE).collect()
+    assert rows
+    by_day = {r["day"]: r for r in rows}
+    days = sorted(by_day)
+    for i, day in enumerate(days):
+        r = by_day[day]
+        # RANGE frame: exactly the calendar days within [day-6, day]
+        in_window = [d for d in days if 0 <= (day - d).days <= 6]
+        assert r["days_in_window"] == len(in_window)
+        assert r["n_7d"] == sum(by_day[d]["n"] for d in in_window)
+        if i >= 7:
+            assert r["days_in_window"] <= 7
+
+
 def test_pagerank_edges_join_is_equi(spark):
     # the per-order pair expansion must plan as an equi-join, never a
     # cartesian/broadcast-nested-loop (table-quadratic at scale)

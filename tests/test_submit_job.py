@@ -193,3 +193,32 @@ def test_spark_submit_streaming_end_to_end(tmp_path):
     assert out2.returncode == 0, out2.stdout[-1500:] + out2.stderr[-1500:]
     res2 = json.loads([l for l in out2.stdout.splitlines() if l.startswith('{"job"')][-1])
     assert res2["tile_cells"] >= res["tile_cells"]
+
+
+def test_run_web_report_job(tmp_path):
+    """The web-analytics submit job writes every section + the JSON report
+    when driven exactly as a cluster runs it (fresh interpreter)."""
+    import json
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "run_web_report.py"),
+            "--data", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "webout"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    report = json.loads((tmp_path / "webout" / "web_report.json").read_text())
+    assert set(report["sections"]) == {
+        "host_rollup", "latest_snapshot", "funnel", "session_paths",
+        "daily_anomalies", "rolling_daily_totals", "cohort_retention",
+    }
+    assert all(s["rows"] > 0 for s in report["sections"].values())
+    assert report["headline"]["funnel"]["all_users"]["pct"] == 1.0

@@ -80,6 +80,9 @@ _SESSION3_NEW = (
     "snapshot_diff", "triangle_count", "click_attribution",
     "gap_fill_daily", "cohort_retention", "cms_heavy_hitters",
     "daily_anomalies", "rolling_daily_totals",
+    # session-5 additions (also queued behind the round-3 window)
+    "quadkey_tile_counts", "unigram_logprob", "zipf_vocab_fit",
+    "user_growth_daily",
 )
 
 

@@ -18,7 +18,7 @@ guarantee end-to-end).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osmgraft.contract import _event_points, _pts_cte, q
@@ -617,3 +617,94 @@ def s2_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("parent_cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# slippy-map z/x/y quadkey tiles (Bing-style digit-interleave pyramid)
+# ---------------------------------------------------------------------------
+
+_QK_Z = 4  # zoom: 2^4 × 2^4 tiles over the planar extent
+_QK_W = 700000.0 / (1 << _QK_Z)  # 43750.0 — exact in binary
+
+
+def _qk_digit(shift: int) -> str:
+    """Quadkey digit at bit position `shift` (0..3) from tile coords —
+    shared expression text, identical on Spark and DuckDB."""
+    p = f"{float(1 << shift):.1f}e0"
+    return (
+        f"((CAST(FLOOR(ty / {p}) AS BIGINT) % 2) * 2"
+        f" + CAST(FLOOR(tx / {p}) AS BIGINT) % 2)"
+    )
+
+
+# integer quadkey: base-4 digits written as base-10 digits (msb first), so
+# the z-1 parent is floor(qk / 10) — prefix nesting without string casts
+_QK_EXPR = " + ".join(
+    f"{_qk_digit(s)} * {10 ** s}" if s else _qk_digit(0)
+    for s in range(_QK_Z - 1, -1, -1)
+)
+_QK_PARENT = "CAST(FLOOR(quadkey / 10.0e0) AS BIGINT)"
+_QK_TILES_CTE = (
+    f"SELECT CAST(FLOOR(x / {_QK_W:.1f}e0) AS BIGINT) AS tx,"
+    f"       CAST(FLOOR(y / {_QK_W:.1f}e0) AS BIGINT) AS ty FROM pts"
+)
+
+_QK_SQL = f"""
+    WITH pts AS ({_pts_cte()}),
+    tiles AS ({_QK_TILES_CTE}),
+    qk AS (SELECT tx, ty, {_QK_EXPR} AS quadkey FROM tiles),
+    c AS (SELECT quadkey, tx, ty, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM qk GROUP BY quadkey, tx, ty)
+    SELECT quadkey, {_QK_PARENT} AS parent_quadkey, tx, ty, n_events,
+           ROUND(n_events / CAST(SUM(n_events)
+                 OVER (PARTITION BY {_QK_PARENT}) AS DOUBLE), 6)
+             AS pct_of_parent
+    FROM c ORDER BY quadkey
+    """
+
+
+@q("quadkey_tile_counts", oracle=_QK_SQL)
+def quadkey_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy-map z/x/y tiling with Bing-style quadkeys — the THIRD cell
+    system (after aperture-7 hex and S2 Hilbert), covering the web-mapping
+    tile scheme the reference's raster/vector tile outputs target
+    (tile-aggregation surface, verify_import.py:316 bbox windows).
+
+    The quadkey interleaves the tile x/y bits msb-first, so (a) a tile's
+    zoom-(z-1) parent is a pure digit shift (prefix nesting, like S2), and
+    (b) lexicographic quadkey order is Z-order — sorted writes cluster
+    spatial neighbours for Parquet min-max pruning. Here the digit string
+    is carried as a base-10 integer (one digit per base-4 quadkey digit)
+    so both engines stay in 64-bit arithmetic — no string casts.
+
+    Output: per-tile counts plus each tile's share of its parent tile
+    (the pyramid roll-up check: shares sum to 1 within every parent).
+
+    Scale shape: digit interleave is whole-stage-codegen arithmetic on the
+    scan (no UDF); ONE partial-agg shuffle keyed by quadkey; the share
+    window partitions by parent over the POST-AGG tile relation (≤ 4^z
+    rows, fanout 4) — never over raw events. At production zooms the tile
+    relation is millions of rows, still hash-partitioned by parent.
+    """
+    pts = _event_points(spark, sf_dir)
+    tiles = pts.select(
+        F.expr(f"CAST(FLOOR(x / {_QK_W:.1f}e0) AS BIGINT)").alias("tx"),
+        F.expr(f"CAST(FLOOR(y / {_QK_W:.1f}e0) AS BIGINT)").alias("ty"),
+    )
+    c = (
+        tiles.withColumn("quadkey", F.expr(_QK_EXPR))
+        .groupBy("quadkey", "tx", "ty")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .withColumn("parent_quadkey", F.expr(_QK_PARENT))
+    )
+    w = Window.partitionBy("parent_quadkey")
+    return c.select(
+        "quadkey",
+        "parent_quadkey",
+        "tx",
+        "ty",
+        "n_events",
+        F.round(
+            F.col("n_events") / F.sum("n_events").over(w).cast("double"), 6
+        ).alias("pct_of_parent"),
+    ).orderBy("quadkey")

@@ -570,3 +570,141 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 10000
     ).alias("pmi")
     return joined.select("pair", "c_pair", pmi).orderBy("pair")
+
+
+# ---------------------------------------------------------------------------
+# corpus unigram LM quality score (CCNet-style bits-per-token bands)
+# ---------------------------------------------------------------------------
+
+_ULM_SQL = """
+    WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM wc),
+    lp AS (SELECT w, ROUND(-LOG2(c / CAST(n AS DOUBLE)), 10) AS bits
+           FROM wc, tot),
+    d AS (SELECT doc_id, lang, ROUND(AVG(bits), 6) AS score
+          FROM toks JOIN lp USING (w) GROUP BY doc_id, lang)
+    SELECT lang, CAST(FLOOR(score) AS BIGINT) AS bits_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(score), 4) AS avg_bits,
+           ROUND(MIN(score), 4) AS min_bits,
+           ROUND(MAX(score), 4) AS max_bits
+    FROM d GROUP BY lang, bits_band ORDER BY lang, bits_band
+    """
+
+
+@q("unigram_logprob", oracle=_ULM_SQL)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score — the CCNet/KenLM-style
+    "bits per token under a corpus LM" filter, banded per language.
+
+    The model is the corpus's own unigram distribution (one word-keyed
+    partial agg); each document scores the mean -log2 p(w) over its
+    tokens — high bits = improbable vocabulary (noise/boilerplate salad),
+    low bits = repetitive stopword soup. Training pipelines cut both
+    tails. Per-word bits are snapped to 10 dp on both engines before the
+    per-doc mean (cross-engine float discipline, BENCH/BASELINE.md).
+
+    Scale shape: model build = ONE explode + word-keyed partial agg; the
+    model itself (vocab rows; bounded by a min-count cut at production
+    scale, where OOV words share an UNK floor probability) broadcasts to
+    the scoring pass, so scoring is a broadcast join + doc-keyed partial
+    agg — two shuffles total, both on 8-byte keys, nothing quadratic.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("arr")
+    )
+    toks = docs.select("doc_id", "lang", F.explode("arr").alias("w"))
+    wc = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    tot = wc.agg(F.sum("c").cast("long").alias("n"))
+    lp = wc.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(-F.log2(F.col("c") / F.col("n").cast("double")), 10).alias("bits"),
+    )
+    d = (
+        toks.join(F.broadcast(lp), "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg("bits"), 6).alias("score"))
+    )
+    return (
+        d.groupBy("lang", F.floor("score").cast("long").alias("bits_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_bits"),
+            F.round(F.min("score"), 4).alias("min_bits"),
+            F.round(F.max("score"), 4).alias("max_bits"),
+        )
+        .orderBy("lang", "bits_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit over the vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_SLOPE = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+
+_ZIPF_SQL = f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r FROM wc),
+    pts AS (SELECT LN(CAST(r AS DOUBLE)) AS lx, LN(CAST(c AS DOUBLE)) AS ly
+            FROM ranked),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+                 SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy, SUM(ly * ly) AS syy
+          FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           ROUND({_ZIPF_SLOPE}, 4) AS zipf_slope,
+           ROUND((sy - ({_ZIPF_SLOPE}) * sx) / n, 4) AS intercept,
+           ROUND(POWER(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM s
+    """
+
+
+@q("zipf_vocab_fit", oracle=_ZIPF_SQL)
+def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic: OLS fit of ln(freq) on ln(rank)
+    over the corpus vocabulary — natural text runs slope ≈ -1; a corpus
+    whose slope drifts toward 0 (flat: template/ID spam) or below -2
+    (degenerate: few tokens dominate) fails the health check. A standard
+    whole-corpus statistic in web-scale data audits.
+
+    Scale shape: vocabulary counts are one explode + word-keyed partial
+    agg; the rank window and the OLS sums run over the POST-AGG vocab
+    relation (≪ corpus — bounded further by a min-count cut at
+    production scale), and the fit itself is a closed-form single-row
+    aggregate. The raw corpus is scanned exactly once.
+    """
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    wc = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    ranked = wc.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "w"))
+        .alias("r"),
+    )
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("lx"),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_vocab"),
+        F.expr(f"ROUND({_ZIPF_SLOPE}, 4)").alias("zipf_slope"),
+        F.expr(f"ROUND((sy - ({_ZIPF_SLOPE}) * sx) / n, 4)").alias("intercept"),
+        F.expr(
+            "ROUND(POWER(n * sxy - sx * sy, 2)"
+            " / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)"
+        ).alias("r2"),
+    )

@@ -1304,3 +1304,64 @@ def pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("suppkey"),
         F.round("rank", 6).alias("rank"),
     ).orderBy(F.desc("rank"), "suppkey")
+
+
+# ---------------------------------------------------------------------------
+# daily user growth: active / first-seen / cumulative distinct
+# ---------------------------------------------------------------------------
+
+_GROWTH_SQL = """
+    WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+               FROM events),
+    act AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+            FROM e GROUP BY day),
+    f AS (SELECT user_id, MIN(day) AS day FROM e GROUP BY user_id),
+    nw AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+           FROM f GROUP BY day)
+    SELECT act.day, act.active_users,
+           CAST(COALESCE(nw.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(nw.new_users, 0))
+                OVER (ORDER BY act.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM act LEFT JOIN nw ON act.day = nw.day
+    ORDER BY act.day
+    """
+
+
+@q("user_growth_daily", oracle=_GROWTH_SQL)
+def user_growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily audience growth: active users per day, first-seen ("new")
+    users per day, and the running cumulative distinct-user count — the
+    growth-accounting dashboard every event stream reports.
+
+    Cumulative DISTINCT is not a windowable aggregate; the standard
+    distributed rewrite is first-touch attribution: cum distinct through
+    day D = COUNT of users whose MIN(day) ≤ D, i.e. a running SUM of the
+    per-day first-seen counts — exact, no per-day re-scan.
+
+    Scale shape: two user/day-keyed partial aggs over one scan pass each
+    (active via the two-phase distinct expansion, first-touch via a
+    user-keyed MIN); the join and running sum operate on the POST-AGG
+    daily relation (|days| rows), so the ordered window is calendar-
+    bounded, never data-bounded.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    act = e.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("active_users")
+    )
+    f = e.groupBy("user_id").agg(F.min("day").alias("day"))
+    nw = f.groupBy("day").agg(F.count("*").cast("long").alias("new_users"))
+    j = act.join(nw, "day", "left").select(
+        "day",
+        "active_users",
+        F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "day",
+        "active_users",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day")

@@ -477,3 +477,40 @@ def test_s2_sql_oracle_all_faces():
     assert sorted(set(r[2] for r in rows)) == [0, 1, 2, 3, 4, 5]
     assert (got == exp).all()
     assert (got < 0).any()  # the wrap actually exercised
+
+
+def test_quadkey_interleave_nesting_and_shares(spark):
+    """Quadkey digits recompute from tile coords; parent = digit shift;
+    child shares sum to 1 within every parent; counts partition events."""
+    from osmgraft import contract_cells as cc
+    from tests.conftest import SF_SMOKE
+
+    rows = cc.quadkey_tile_counts(spark, SF_SMOKE).collect()
+    assert rows
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    shares: dict[int, float] = {}
+    for r in rows:
+        # recompute the msb-first bit interleave in plain python
+        digits = [
+            (((r["ty"] >> s) & 1) << 1) | ((r["tx"] >> s) & 1)
+            for s in range(cc._QK_Z - 1, -1, -1)
+        ]
+        assert r["quadkey"] == int("".join(map(str, digits)))
+        assert r["parent_quadkey"] == r["quadkey"] // 10
+        assert 0 <= r["tx"] < (1 << cc._QK_Z) and 0 <= r["ty"] < (1 << cc._QK_Z)
+        shares[r["parent_quadkey"]] = shares.get(r["parent_quadkey"], 0.0) + r["pct_of_parent"]
+    for parent, total in shares.items():
+        assert abs(total - 1.0) < 1e-4, (parent, total)
+
+
+def test_quadkey_plan_has_no_single_partition_exchange(spark):
+    """The share window partitions by parent — the pyramid rollup must
+    never funnel through one task (global-window trap, VERDICT r2 #4)."""
+    from osmgraft import contract_cells as cc
+    from tests.conftest import SF_SMOKE
+
+    df = cc.quadkey_tile_counts(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

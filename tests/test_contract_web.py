@@ -299,3 +299,23 @@ def test_pagerank_edges_join_is_equi(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_user_growth_accounting(spark):
+    """First-touch accounting: new users sum to the distinct-user total,
+    the cumulative series is monotone and ends at that total, and daily
+    active is bounded by the users seen so far."""
+    rows = cw.user_growth_daily(spark, SF_CORRECT).collect()
+    assert rows == sorted(rows, key=lambda r: r["day"])
+    total = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert sum(r["new_users"] for r in rows) == total
+    assert rows[-1]["cum_users"] == total
+    prev = 0
+    for r in rows:
+        assert r["cum_users"] == prev + r["new_users"]
+        assert 0 < r["active_users"] <= r["cum_users"]
+        assert r["new_users"] <= r["active_users"]
+        prev = r["cum_users"]

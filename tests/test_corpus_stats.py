@@ -1,0 +1,67 @@
+"""Invariant + plan audits for the corpus-statistics operators
+(osmgraft/contract_corpus.py session-5 additions). Cross-engine value
+parity is covered by tests/test_contract_oracle.py."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from osmgraft import contract_corpus as cc
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def test_unigram_logprob_bounds_and_accounting(spark):
+    """Every doc's bits-per-token score lies between the corpus's
+    most-frequent-word bits (lower bound) and rarest-word bits (upper
+    bound); band doc counts account for every document."""
+    rows = cc.unigram_logprob(spark, SF_CORRECT).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # recompute the model bounds directly
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    wc = toks.groupBy("w").count().collect()
+    total = sum(r["count"] for r in wc)
+    bits = [-math.log2(r["count"] / total) for r in wc]
+    lo, hi = min(bits) - 1e-6, max(bits) + 1e-6
+    for r in rows:
+        assert lo <= r["min_bits"] <= r["avg_bits"] <= r["max_bits"] <= hi
+        assert r["bits_band"] == math.floor(r["min_bits"] + 1e-9) or (
+            # min_bits is rounded to 4dp for display; band uses 6dp score
+            abs(r["min_bits"] - round(r["min_bits"])) < 1e-3
+        )
+        assert r["n_docs"] > 0
+
+
+def test_unigram_model_is_broadcast(spark):
+    """The scoring join must broadcast the vocabulary model — the corpus
+    side (10^12 tokens at scale) never shuffles for the join."""
+    df = cc.unigram_logprob(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_fit_shape(spark):
+    """On the word-soup fixture the rank-frequency fit must be a
+    well-formed OLS result: negative slope, r2 in [0, 1], vocab matches
+    the distinct word count."""
+    row = cc.zipf_vocab_fit(spark, SF_CORRECT).collect()
+    assert len(row) == 1
+    r = row[0]
+    vocab = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .count()
+    )
+    assert r["n_vocab"] == vocab
+    assert r["zipf_slope"] < 0
+    assert 0.0 <= r["r2"] <= 1.0
+    # intercept is ln(freq) at rank 1 — must be at least the slope line's
+    # value at the largest rank (frequencies are positive)
+    assert r["intercept"] > 0

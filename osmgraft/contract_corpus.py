@@ -708,3 +708,126 @@ def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)"
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (email / phone / IP redaction with audit counts)
+# ---------------------------------------------------------------------------
+
+# dialect-portable patterns: character classes instead of backslash escapes
+# ([.] not \.) so the identical pattern string runs on Java regex AND RE2
+_PII_EMAIL = "[a-z0-9.]+@[a-z0-9-]+[.][a-z]{2,}"
+_PII_PHONE = "[+]44 7[0-9]{9}"
+_PII_IP = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+
+_PII_SQL = f"""
+    WITH aug AS (
+      SELECT doc_id, lang,
+             text
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' contact user' || CAST(doc_id % 97 AS VARCHAR)
+                          || '@mail-' || CAST(doc_id % 9 AS VARCHAR) || '.co.uk'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' tel +44 7'
+                          || CAST(100000000 + doc_id % 899999999 AS VARCHAR)
+                     ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' ip ' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                          || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+                          || '.' || CAST(doc_id % 250 + 1 AS VARCHAR)
+                     ELSE '' END AS t
+      FROM documents),
+    scrub AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(t, '{_PII_EMAIL}')) AS c_email,
+             len(regexp_extract_all(t, '{_PII_PHONE}')) AS c_phone,
+             len(regexp_extract_all(t, '{_PII_IP}')) AS c_ip,
+             length(t) - length(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g')) AS len_saved
+      FROM aug)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE c_email > 0) AS BIGINT) AS n_email_docs,
+           CAST(COUNT(*) FILTER (WHERE c_phone > 0) AS BIGINT) AS n_phone_docs,
+           CAST(COUNT(*) FILTER (WHERE c_ip > 0) AS BIGINT) AS n_ip_docs,
+           CAST(SUM(c_email + c_phone + c_ip) AS BIGINT) AS total_redactions,
+           ROUND(AVG(CAST(len_saved AS DOUBLE)), 4) AS avg_len_saved
+    FROM scrub GROUP BY lang ORDER BY lang
+    """
+
+
+@q("pii_scrub_stats", oracle=_PII_SQL)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit — the scrub stage every released training corpus
+    runs (emails, phone numbers, IP addresses → typed placeholder tokens)
+    with per-language counts of what was removed.
+
+    The fixture text carries no PII, so deterministic doc_id-derived PII
+    strings are appended first (the sanctioned stand-in pattern, as in
+    url_host_rollup) and the scrubber must find exactly those. Patterns
+    are written with character classes only ([.] not backslash-dot) so the
+    SAME pattern string is valid Java regex (Spark) and RE2 (DuckDB);
+    DuckDB's regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all default.
+
+    Scale shape: scrub + count are per-row JVM regex on the scan (no UDF,
+    no shuffle); the audit rollup is one partial agg keyed by lang. At
+    10^12 pages this is scan-bound — exactly what a hygiene pass must be.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" contact user"), s(did % 97),
+                F.lit("@mail-"), s(did % 9), F.lit(".co.uk"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" tel +44 7"), s(did % 899999999 + 100000000)),
+        ).otherwise(""),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" ip "), s(did % 256), F.lit("."), s((did * 7) % 256),
+                F.lit("."), s((did * 13) % 256), F.lit("."), s(did % 250 + 1),
+            ),
+        ).otherwise(""),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE), F.lit("<PHONE>"),
+        ),
+        F.lit(_PII_IP), F.lit("<IP>"),
+    )
+    sc = d.select("lang", aug.alias("t")).select(
+        "lang",
+        F.regexp_count("t", F.lit(_PII_EMAIL)).alias("c_email"),
+        F.regexp_count("t", F.lit(_PII_PHONE)).alias("c_phone"),
+        F.regexp_count("t", F.lit(_PII_IP)).alias("c_ip"),
+        (F.length("t") - F.length(scrubbed)).alias("len_saved"),
+    )
+    return (
+        sc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("c_email") > 0).cast("long")).cast("long").alias("n_email_docs"),
+            F.sum((F.col("c_phone") > 0).cast("long")).cast("long").alias("n_phone_docs"),
+            F.sum((F.col("c_ip") > 0).cast("long")).cast("long").alias("n_ip_docs"),
+            F.sum(F.col("c_email") + F.col("c_phone") + F.col("c_ip"))
+            .cast("long").alias("total_redactions"),
+            F.round(F.avg(F.col("len_saved").cast("double")), 4).alias("avg_len_saved"),
+        )
+        .orderBy("lang")
+    )

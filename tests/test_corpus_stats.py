@@ -65,3 +65,35 @@ def test_zipf_fit_shape(spark):
     # intercept is ln(freq) at rank 1 — must be at least the slope line's
     # value at the largest rank (frequencies are positive)
     assert r["intercept"] > 0
+
+
+def test_pii_scrub_finds_exactly_the_injected_pii(spark):
+    """The scrubber must find exactly the PII the injection schedule
+    placed: doc_id % 4 == 0 emails, % 5 == 0 phones, % 3 == 0 IPs —
+    nothing more (no false positives on the clean fixture text)."""
+    rows = cc.pii_scrub_stats(spark, SF_CORRECT).collect()
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "lang").collect()
+    )
+    exp: dict[str, dict[str, int]] = {}
+    for d in docs:
+        e = exp.setdefault(
+            d["lang"],
+            {"n_docs": 0, "email": 0, "phone": 0, "ip": 0, "total": 0},
+        )
+        e["n_docs"] += 1
+        e["email"] += d["doc_id"] % 4 == 0
+        e["phone"] += d["doc_id"] % 5 == 0
+        e["ip"] += d["doc_id"] % 3 == 0
+        e["total"] += (d["doc_id"] % 4 == 0) + (d["doc_id"] % 5 == 0) + (
+            d["doc_id"] % 3 == 0
+        )
+    for r in rows:
+        e = exp[r["lang"]]
+        assert r["n_docs"] == e["n_docs"]
+        assert r["n_email_docs"] == e["email"]
+        assert r["n_phone_docs"] == e["phone"]
+        assert r["n_ip_docs"] == e["ip"]
+        assert r["total_redactions"] == e["total"]
+        assert r["avg_len_saved"] > 0  # placeholders are shorter than PII

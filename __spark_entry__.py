@@ -82,7 +82,7 @@ _SESSION3_NEW = (
     "daily_anomalies", "rolling_daily_totals",
     # session-5 additions (also queued behind the round-3 window)
     "quadkey_tile_counts", "unigram_logprob", "zipf_vocab_fit",
-    "user_growth_daily", "pii_scrub_stats",
+    "user_growth_daily", "pii_scrub_stats", "bloom_prune_join",
 )
 
 

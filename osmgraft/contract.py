@@ -2064,3 +2064,153 @@ def tag_filtered_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (runtime-filter primitive, exact refine)
+# ---------------------------------------------------------------------------
+
+_BLOOM_P = 1000003  # prime modulus for the 2-universal hash family
+_BLOOM_BITS = 4096  # filter size m (sized to |dim keys|; see docstring)
+_BLOOM_HASHES = ((131, 7), (1031, 101), (8191, 23))  # (a, b) per hash
+_BLOOM_DIM_PRED = "c_mktsegment = 'BUILDING' AND c_nationkey < 5"
+
+
+def _bloom_oracle() -> str:
+    pos_union = "\n      UNION ALL ".join(
+        f"SELECT ((k * {a} + {b}) % {_BLOOM_P}) % {_BLOOM_BITS} AS pos FROM dimk"
+        for a, b in _BLOOM_HASHES
+    )
+    probe_cols = ", ".join(
+        f"((o_custkey * {a} + {b}) % {_BLOOM_P}) % {_BLOOM_BITS} AS p{i}"
+        for i, (a, b) in enumerate(_BLOOM_HASHES)
+    )
+    joins = "\n      ".join(
+        f"LEFT JOIN bm b{i} ON b{i}.w = CAST(FLOOR(o.p{i} / 32.0e0) AS BIGINT)"
+        for i in range(len(_BLOOM_HASHES))
+    )
+    passes = " AND ".join(
+        f"((COALESCE(b{i}.m, 0) >> CAST(o.p{i} % 32 AS INT)) & 1) = 1"
+        for i in range(len(_BLOOM_HASHES))
+    )
+    return f"""
+    WITH dimk AS (SELECT DISTINCT c_custkey AS k FROM customer
+                  WHERE {_BLOOM_DIM_PRED}),
+    pos AS ({pos_union}),
+    bm AS (SELECT CAST(FLOOR(pos / 32.0e0) AS BIGINT) AS w,
+                  bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS m
+           FROM pos GROUP BY CAST(FLOOR(pos / 32.0e0) AS BIGINT)),
+    o AS (SELECT o_custkey, o_orderstatus, o_totalprice, {probe_cols}
+          FROM orders),
+    prb AS (SELECT o.o_orderstatus, o.o_custkey, o.o_totalprice
+            FROM o
+      {joins}
+      WHERE {passes}),
+    sel AS (SELECT prb.*,
+                   CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM prb LEFT JOIN dimk d ON prb.o_custkey = d.k)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(hit) AS BIGINT) AS n_matched,
+           CAST(COUNT(*) - SUM(hit) AS BIGINT) AS n_false_pos,
+           ROUND(SUM(CASE WHEN hit = 1 THEN o_totalprice ELSE 0e0 END), 2)
+             AS matched_revenue
+    FROM sel GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """
+
+
+@q("bloom_prune_join", oracle=_bloom_oracle())
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning — the runtime-filter primitive that
+    makes selective big-table⋈small-dim joins scan-bound at 100 TB: build
+    an m-bit Bloom filter over the dim keys (k=3 hashes from the same
+    2-universal family as cms_heavy_hitters — fully SQL-expressible, so
+    the ENTIRE filter, false positives included, is oracle-paired), prune
+    the fact scan against the broadcast bitmap, then exact-join to
+    eliminate false positives. Output reports the pruning audit per order
+    status: rows passing the bloom, true matches, false positives, and
+    matched revenue — byte-equal to the plain join by construction (a
+    Bloom filter has no false negatives).
+
+    Scale shape: the bitmap build aggregates k·|dim| bit positions into
+    m/32 words (bit_or partial agg — mergeable, like every sketch here);
+    the m/32-row bitmap broadcasts to k equi-joins against the fact scan
+    (pure JVM bit tests, no shuffle of the fact table); the refine join
+    broadcasts the dim. m is a constant chosen ≈ 10·k·|dim| bits — at
+    production scale the same build emits a gigabit filter as ~4M words,
+    still broadcastable. Bits live in 32-bit lanes so no engine ever
+    shifts past bit 62 (DuckDB raises on signed-shift overflow).
+    """
+    cust = t(spark, sf_dir, "customer").where(F.expr(_BLOOM_DIM_PRED))
+    dim = cust.select(F.col("c_custkey").alias("k")).distinct()
+    pos = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    (((F.col("k") * a + b) % _BLOOM_P) % _BLOOM_BITS).alias("p")
+                    for a, b in _BLOOM_HASHES
+                ]
+            )
+        ).alias("pos")
+    )
+    bm = (
+        pos.select(
+            F.expr("CAST(FLOOR(pos / 32.0e0) AS BIGINT)").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "m"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("m"))
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        *[
+            (((F.col("o_custkey") * a + b) % _BLOOM_P) % _BLOOM_BITS).alias(
+                f"p{i}"
+            )
+            for i, (a, b) in enumerate(_BLOOM_HASHES)
+        ],
+    )
+    for i in range(len(_BLOOM_HASHES)):
+        side = bm.select(F.col("w").alias(f"w{i}"), F.col("m").alias(f"m{i}"))
+        o = o.join(
+            F.broadcast(side),
+            F.expr(f"CAST(FLOOR(p{i} / 32.0e0) AS BIGINT)") == F.col(f"w{i}"),
+            "left",
+        )
+    passes = [
+        F.expr(
+            f"(shiftright(COALESCE(m{i}, CAST(0 AS BIGINT)),"
+            f" CAST(p{i} % 32 AS INT)) & 1) = 1"
+        )
+        for i in range(len(_BLOOM_HASHES))
+    ]
+    cond = passes[0]
+    for p in passes[1:]:
+        cond = cond & p
+    prb = o.where(cond).select("o_orderstatus", "o_custkey", "o_totalprice")
+    sel = prb.join(
+        F.broadcast(dim.withColumn("hit", F.lit(1))),
+        prb.o_custkey == F.col("k"),
+        "left",
+    ).select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+    )
+    return (
+        sel.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_bloom_pass"),
+            F.sum("hit").cast("long").alias("n_matched"),
+            (F.count("*") - F.sum("hit")).cast("long").alias("n_false_pos"),
+            F.round(
+                F.sum(F.when(F.col("hit") == 1, F.col("o_totalprice")).otherwise(F.lit(0.0))),
+                2,
+            ).alias("matched_revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -97,3 +97,58 @@ def test_pii_scrub_finds_exactly_the_injected_pii(spark):
         assert r["n_ip_docs"] == e["ip"]
         assert r["total_redactions"] == e["total"]
         assert r["avg_len_saved"] > 0  # placeholders are shorter than PII
+
+
+def test_bloom_prune_join_has_no_false_negatives(spark):
+    """The bloom-pruned + refined result must equal the plain exact join
+    (Bloom filters never drop a true match), and every probe join in the
+    plan must be a broadcast — the fact table never shuffles."""
+    from osmgraft import contract as c
+
+    df = c.bloom_prune_join(spark, SF_CORRECT)
+    rows = {r["o_orderstatus"]: r for r in df.collect()}
+    cust = spark.read.parquet(f"{SF_CORRECT}/customer.parquet").where(
+        c._BLOOM_DIM_PRED
+    ).select("c_custkey")
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    exact = {
+        r["o_orderstatus"]: r
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+        .collect()
+    }
+    for status, e in exact.items():
+        r = rows[status]
+        assert r["n_matched"] == e["n"]
+        assert abs(r["matched_revenue"] - e["rev"]) < 1e-4
+        assert r["n_false_pos"] >= 0
+        assert r["n_bloom_pass"] == r["n_matched"] + r["n_false_pos"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 bitmap probes + refine
+
+
+def test_bloom_refine_survives_a_saturated_filter(spark, monkeypatch):
+    """Shrink the filter to 64 bits so it saturates and MUST emit false
+    positives — the exact-refine stage still reports precisely the true
+    matches (the fp path is otherwise dormant at the sized m=4096)."""
+    from osmgraft import contract as c
+
+    monkeypatch.setattr(c, "_BLOOM_BITS", 64)
+    rows = c.bloom_prune_join(spark, SF_CORRECT).collect()
+    assert sum(r["n_false_pos"] for r in rows) > 0  # saturated ⇒ fps exist
+    cust = spark.read.parquet(f"{SF_CORRECT}/customer.parquet").where(
+        c._BLOOM_DIM_PRED
+    ).select("c_custkey")
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert r["n_matched"] == exact[r["o_orderstatus"]]

@@ -831,3 +831,96 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS-style robust local document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 4  # words per shingle
+_WIN_W = 5  # shingles per winnowing window
+_WIN_P = 1000003  # polynomial-hash modulus (portable integer arithmetic)
+
+_WINNOW_SQL = f"""
+    WITH d0 AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+      WHERE len(string_split(text, ' ')) >= {_WIN_K + _WIN_W - 1}),
+    hsx AS (
+      SELECT doc_id,
+             list_transform(range(1, len(arr) - {_WIN_K - 1} + 1), i ->
+               list_reduce(list_prepend(0,
+                 list_transform(
+                   string_split(array_to_string(
+                     list_slice(arr, i, i + {_WIN_K - 1}), ' '), ''),
+                   c -> unicode(c))),
+                 (h, c) -> (h * 31 + c) % {_WIN_P})) AS hs
+      FROM d0),
+    fpx AS (
+      SELECT doc_id, len(hs) AS n_shingles,
+             list_distinct(list_transform(
+               range(1, len(hs) - {_WIN_W - 1} + 1),
+               j -> list_min(list_slice(hs, j, j + {_WIN_W - 1})))) AS fps
+      FROM hsx),
+    e AS (SELECT doc_id, n_shingles, unnest(fps) AS fp FROM fpx),
+    s AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM e GROUP BY fp)
+    SELECT e.doc_id, CAST(MIN(e.n_shingles) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) AS BIGINT) AS n_fps,
+           CAST(COUNT(*) FILTER (WHERE s.nd >= 2) AS BIGINT) AS n_shared_fps
+    FROM e JOIN s ON e.fp = s.fp
+    GROUP BY e.doc_id ORDER BY e.doc_id
+    """
+
+
+@q("winnowing_fingerprints", oracle=_WINNOW_SQL)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-word shingle with a portable polynomial
+    rolling hash, then keep the MINIMUM hash of every w-shingle window —
+    the selected fingerprints are position-independent and guarantee that
+    any shared run of ≥ w+k-1 words between two documents shares at least
+    one fingerprint (the local-fingerprinting detection guarantee MinHash
+    does not give). Output: per-doc shingle/fingerprint counts and how
+    many of the doc's fingerprints recur in other documents.
+
+    The hash is plain modular integer arithmetic ((h·31 + char) mod p) so
+    — unlike the xxhash64 MinHash/SimHash entries — the ENTIRE algorithm
+    is oracle-paired: DuckDB recomputes identical fingerprints via
+    list_reduce from the same constants.
+
+    Scale shape: shingling, hashing, and window-min selection are all
+    in-row higher-order expressions (no UDF, no shuffle; per-row work is
+    O(len·k) — the density-reduced fingerprint set is ~n/w per doc); the
+    corpus-wide sharing stats are one fp-keyed partial agg plus one
+    fp-keyed equi-join back — the same two-shuffle shape as every dedup
+    entry here.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    arr = "split(text, ' ')"
+    d0 = docs.where(F.expr(f"size({arr}) >= {_WIN_K + _WIN_W - 1}")).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size({arr}) - {_WIN_K - 1}), i -> "
+            f"aggregate(split(concat_ws(' ', slice({arr}, i, {_WIN_K})), ''),"
+            f" 0L, (h, c) -> (h * 31 + ascii(c)) % {_WIN_P}))"
+        ).alias("hs"),
+    )
+    fpx = d0.select(
+        "doc_id",
+        F.expr("size(hs)").cast("long").alias("n_shingles"),
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(hs) - {_WIN_W - 1}),"
+            f" j -> array_min(slice(hs, j, {_WIN_W}))))"
+        ).alias("fps"),
+    )
+    e = fpx.select("doc_id", "n_shingles", F.explode("fps").alias("fp"))
+    s = e.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        e.join(s, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_shingles").cast("long").alias("n_shingles"),
+            F.count("*").cast("long").alias("n_fps"),
+            F.sum((F.col("nd") >= 2).cast("long")).cast("long").alias("n_shared_fps"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1365,3 +1365,104 @@ def user_growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# domain-blocklist URL filter (suffix match rewritten as an equi-join)
+# ---------------------------------------------------------------------------
+
+_BL_RULES = ("example-2.co.uk", "example-5.co.uk", "sub1.example-3.co.uk")
+
+_BLOCKLIST_SQL = f"""
+    WITH pages AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'sub' || CAST(doc_id % 3 AS VARCHAR) || '.' ELSE '' END
+             || 'example-' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk' AS host
+      FROM documents),
+    bl(rule) AS (VALUES {", ".join(f"('{r}')" for r in _BL_RULES)}),
+    sfx AS (
+      SELECT doc_id, host,
+             unnest(list_transform(
+               range(1, len(string_split(host, '.')) + 1),
+               i -> array_to_string(
+                      list_slice(string_split(host, '.'), i, 99), '.')))
+               AS suffix
+      FROM pages),
+    hits AS (SELECT s.doc_id, MIN(b.rule) AS rule
+             FROM sfx s JOIN bl b ON s.suffix = b.rule GROUP BY s.doc_id),
+    lab AS (SELECT p.host, COALESCE(h.rule, 'ALLOWED') AS rule
+            FROM pages p LEFT JOIN hits h ON p.doc_id = h.doc_id),
+    agg AS (SELECT rule, CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+            FROM lab GROUP BY rule)
+    SELECT rule, n_pages, n_hosts,
+           ROUND(n_pages / CAST(SUM(n_pages) OVER () AS DOUBLE), 6) AS pct
+    FROM agg ORDER BY rule
+    """
+
+
+@q("blocklist_filter_stats", oracle=_BLOCKLIST_SQL)
+def blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering (the UT1/URL-filterlist crawl-hygiene
+    stage): a host is blocked when it equals a listed domain OR sits under
+    one (label-boundary suffix match — `sub0.example-2.co.uk` matches rule
+    `example-2.co.uk`, but `notexample-2.co.uk` does not).
+
+    The naive form is a LIKE theta-join (host LIKE '%.'||rule) — a
+    nested-loop at 10^12 pages. The scalable rewrite expands each host
+    into its label-suffix chain (≤ |labels| rows, bounded by hostname
+    syntax) and EQUI-joins the broadcast blocklist, then keeps the
+    most-specific match per page. Suffix expansion is an in-row
+    higher-order transform (no UDF).
+
+    Scale shape: one broadcast equi-join on the exploded suffixes (fanout
+    ≤ ~6 per page), one page-keyed partial agg to dedup multi-rule hits,
+    one rule-keyed rollup; the pct window runs over the post-agg rule
+    relation (|rules|+1 rows). The blocklist (even UT1's ~4M domains)
+    broadcasts.
+    """
+    did = F.col("doc_id")
+    host = F.concat(
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("sub"), (did % 3).cast("string"), F.lit(".")),
+        ).otherwise(""),
+        F.lit("example-"),
+        (did % 7).cast("string"),
+        F.lit(".co.uk"),
+    )
+    pages = t(spark, sf_dir, "documents").select("doc_id", host.alias("host"))
+    sfx = pages.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(host, '[.]'))),"
+                " i -> concat_ws('.', slice(split(host, '[.]'), i, 99)))"
+            )
+        ).alias("suffix"),
+    )
+    bl = pages.sparkSession.createDataFrame(
+        [(r,) for r in _BL_RULES], "rule string"
+    )
+    hits = (
+        sfx.join(F.broadcast(bl), F.col("suffix") == F.col("rule"))
+        .groupBy("doc_id")
+        .agg(F.min("rule").alias("rule"))
+    )
+    lab = pages.join(hits, "doc_id", "left").select(
+        "host", F.coalesce("rule", F.lit("ALLOWED")).alias("rule")
+    )
+    agg = lab.groupBy("rule").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "rule",
+        "n_pages",
+        "n_hosts",
+        F.round(
+            F.col("n_pages") / F.sum("n_pages").over(w).cast("double"), 6
+        ).alias("pct"),
+    ).orderBy("rule")

@@ -319,3 +319,31 @@ def test_user_growth_accounting(spark):
         assert 0 < r["active_users"] <= r["cum_users"]
         assert r["new_users"] <= r["active_users"]
         prev = r["cum_users"]
+
+
+def test_blocklist_label_boundary_semantics(spark):
+    """Blocking must follow the injection schedule exactly: a page is
+    blocked iff its registrable domain is listed (doc_id % 7 ∈ {2, 5})
+    or its full sub-host is the listed sub rule (even doc_id with
+    doc_id % 3 == 1 and doc_id % 7 == 3). Nothing else may match — the
+    suffix expansion only matches at label boundaries."""
+    rows = {r["rule"]: r for r in cw.blocklist_filter_stats(spark, SF_CORRECT).collect()}
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id").collect()
+    ]
+    exp = {"ALLOWED": 0, "example-2.co.uk": 0, "example-5.co.uk": 0,
+           "sub1.example-3.co.uk": 0}
+    for i in ids:
+        if i % 7 in (2, 5):
+            exp[f"example-{i % 7}.co.uk"] += 1
+        elif i % 2 == 0 and i % 3 == 1 and i % 7 == 3:
+            exp["sub1.example-3.co.uk"] += 1
+        else:
+            exp["ALLOWED"] += 1
+    assert set(rows) == {k for k, v in exp.items() if v > 0}
+    for rule, n in exp.items():
+        if n:
+            assert rows[rule]["n_pages"] == n, rule
+    assert abs(sum(r["pct"] for r in rows.values()) - 1.0) < 1e-4

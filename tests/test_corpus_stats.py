@@ -152,3 +152,48 @@ def test_bloom_refine_survives_a_saturated_filter(spark, monkeypatch):
     }
     for r in rows:
         assert r["n_matched"] == exact[r["o_orderstatus"]]
+
+
+def test_winnowing_matches_reference_python(spark):
+    """Recompute winnowing in plain Python for a sample of documents —
+    shingle hashes, window minima, distinct fingerprints — and check the
+    engine's counts; also pin the duplicate-document guarantee: exact
+    dup pairs share ALL fingerprints."""
+    out = {r["doc_id"]: r for r in cc.winnowing_fingerprints(spark, SF_CORRECT).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .where(F.col("doc_id") < 40).collect()
+    }
+
+    def fps(text: str) -> set[int]:
+        ws = text.split(" ")
+        hs = []
+        for i in range(len(ws) - cc._WIN_K + 1):
+            h = 0
+            for ch in " ".join(ws[i : i + cc._WIN_K]):
+                h = (h * 31 + ord(ch)) % cc._WIN_P
+            hs.append(h)
+        return {
+            min(hs[j : j + cc._WIN_W])
+            for j in range(len(hs) - cc._WIN_W + 1)
+        }
+
+    by_fp: dict[int, set[int]] = {}
+    for did, text in docs.items():
+        if len(text.split(" ")) < cc._WIN_K + cc._WIN_W - 1:
+            assert did not in out
+            continue
+        f = fps(text)
+        assert out[did]["n_fps"] == len(f), did
+        assert out[did]["n_shingles"] == len(text.split(" ")) - cc._WIN_K + 1
+        for v in f:
+            by_fp.setdefault(v, set()).add(did)
+    # exact duplicate texts must share every fingerprint
+    texts: dict[str, list[int]] = {}
+    for did, text in docs.items():
+        texts.setdefault(text, []).append(did)
+    for dups in texts.values():
+        if len(dups) > 1:
+            a = dups[0]
+            assert out[a]["n_shared_fps"] == out[a]["n_fps"]

@@ -912,3 +912,127 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("label").alias("pred_label"), "votes", "best_sim")
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar-quantization recall audit
+# ---------------------------------------------------------------------------
+
+_QZ_QMOD = 50  # every 50th vec_id is a probe query
+
+_QZ_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sc AS (SELECT vec_id, v,
+                  greatest(list_max(list_transform(v, y -> abs(y))),
+                           1.0e-12) AS s
+           FROM e),
+    qz AS (SELECT vec_id, v,
+                  list_transform(v, x -> floor(x * 1.27e2 / s + 5.0e-1))
+                    AS qv
+           FROM sc),
+    qs AS (SELECT vec_id AS qid, v AS q_v, qv AS q_qv FROM qz
+           WHERE vec_id % {_QZ_QMOD} = 0),
+    pairs AS (SELECT qs.qid, z.vec_id,
+                     ROUND(list_cosine_similarity(z.v, qs.q_v), 5) AS simf,
+                     ROUND(list_cosine_similarity(z.qv, qs.q_qv), 5) AS simq
+              FROM qz z CROSS JOIN qs WHERE z.vec_id <> qs.qid),
+    rf AS (SELECT qid, vec_id, simf, simq,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY simf DESC, vec_id) AS r
+           FROM pairs),
+    rq AS (SELECT qid, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY simq DESC, vec_id) AS r
+           FROM pairs)
+    SELECT f.qid, CAST(COUNT(g.vec_id) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(g.vec_id) / 1.0e1, 2) AS recall_at10,
+           ROUND(AVG(ABS(f.simf - f.simq)), 6) AS mean_abs_sim_err
+    FROM (SELECT * FROM rf WHERE r <= 10) f
+    LEFT JOIN (SELECT * FROM rq WHERE r <= 10) g
+      ON f.qid = g.qid AND f.vec_id = g.vec_id
+    GROUP BY f.qid ORDER BY f.qid
+    """
+
+
+@q("int8_quant_recall", oracle=_QZ_SQL)
+def int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization recall audit — the 4× memory/IO-reduction
+    path for embedding search at 10^12 scale: each vector is max-abs
+    scaled to integer steps in [-127, 127] (`floor(x·127/s + 0.5)`, the
+    portable round-half-up form; per-vector scale CANCELS in cosine, so
+    quantized cosine needs no dequantization), then every sampled probe's
+    float top-10 is compared against its quantized top-10 — recall@10 and
+    the mean within-top-10 cosine error per probe.
+
+    Quantization itself is an in-row array transform (no UDF, no
+    shuffle, no state) — at scale it runs at parquet-write time and the
+    int8 column is what IVF/LSH serving reads. The audit is the standard
+    bounded-probe brute-force recall harness: |Q| = n/50 sampled probes
+    broadcast against the corpus, two per-probe rank windows over the
+    pair relation (keyed by probe — parallel, never single-partition),
+    one (probe, vec) equi-join for the overlap count.
+
+    Values stay integer-valued DOUBLEs on both engines (products ≤ 127²
+    over 64 dims are exact in double), so the entire pipeline —
+    quantize, cosine, rank, overlap — is oracle-paired arithmetic.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    s = F.greatest(
+        F.array_max(F.transform(v, lambda y: F.abs(y))), F.lit(1.0e-12)
+    )
+    qz = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.transform(
+            v, lambda x: F.floor(x * 127.0 / s + 0.5).cast("double")
+        ).alias("qv"),
+    )
+    qs = (
+        qz.where(F.col("vec_id") % _QZ_QMOD == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("q_v"),
+            F.col("qv").alias("q_qv"),
+        )
+    )
+    from osmgraft.ann.search import cosine_col
+
+    pairs = (
+        qz.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_col(F.col("v"), F.col("q_v")), 5).alias("simf"),
+            F.round(cosine_col(F.col("qv"), F.col("q_qv")), 5).alias("simq"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("simf"), "vec_id")
+    wq = Window.partitionBy("qid").orderBy(F.desc("simq"), "vec_id")
+    topf = pairs.withColumn("r", F.row_number().over(wf)).where(F.col("r") <= 10)
+    # rename BOTH right-side columns before the self-lineage join: topf and
+    # topq descend from the same `pairs` plan, so `topf.qid == topq.qid`
+    # resolves ambiguously (and a post-join drop("qid") can remove the
+    # WRONG side, leaving the nullable right key as the group key)
+    topq = (
+        pairs.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= 10)
+        .select(F.col("qid").alias("g_qid"), F.col("vec_id").alias("q_hit"))
+    )
+    return (
+        topf.join(
+            topq,
+            (F.col("qid") == F.col("g_qid"))
+            & (F.col("vec_id") == F.col("q_hit")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("q_hit").cast("long").alias("n_overlap"),
+            F.round(F.count("q_hit") / 10.0, 2).alias("recall_at10"),
+            F.round(F.avg(F.abs(F.col("simf") - F.col("simq"))), 6).alias(
+                "mean_abs_sim_err"
+            ),
+        )
+        .orderBy("qid")
+    )

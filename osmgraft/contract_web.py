@@ -1466,3 +1466,116 @@ def blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pages") / F.sum("n_pages").over(w).cast("double"), 6
         ).alias("pct"),
     ).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# mergeable equi-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+_HQ_B = 32  # histogram bins per group
+
+
+def _hq_sql() -> str:
+    """Oracle mirrors the sketch arithmetic expression-for-expression
+    (e-notation literals — the DuckDB decimal trap; ceil→BIGINT on both
+    engines; ROWS==RANGE cum-sum safe because post-agg bins are unique)."""
+    est = []
+    for name, qf in (("p50", "5.0e-1"), ("p90", "9.0e-1"), ("p99", "9.9e-1")):
+        r = f"CAST(ceil({qf} * n) AS BIGINT)"
+        est.append(
+            f"ROUND(MAX(CASE WHEN cum >= {r} AND cum - c < {r} THEN "
+            f"lo + (bin + ({r} - (cum - c)) / CAST(c AS DOUBLE)) * width "
+            f"END), 6) AS {name}_est"
+        )
+    return f"""
+    WITH rng AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM events GROUP BY event_type),
+    b AS (SELECT e.event_type,
+                 LEAST(CAST(floor((e.value - r.lo) * {_HQ_B}.0e0
+                                  / (r.hi - r.lo)) AS INTEGER),
+                       {_HQ_B - 1}) AS bin
+          FROM events e JOIN rng r ON e.event_type = r.event_type),
+    h AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+          FROM b GROUP BY event_type, bin),
+    cum AS (SELECT event_type, bin, c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+            FROM h),
+    x AS (SELECT c.event_type, c.bin, c.c, c.cum, r.lo, r.n,
+                 (r.hi - r.lo) / {_HQ_B}.0e0 AS width
+          FROM cum c JOIN rng r ON c.event_type = r.event_type)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           {", ".join(est)}
+    FROM x GROUP BY event_type ORDER BY event_type
+    """
+
+
+@q("hist_quantile_sketch", oracle=_hq_sql())
+def hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width-histogram quantile sketch — the third
+    mergeable-summary primitive beside HLL (`distinct_users_sketch`) and
+    count-min (`cms_heavy_hitters`): per event_type, bin every value into
+    B=32 equi-width bins over the group's [min, max], then read p50/p90/
+    p99 off the cumulative histogram with within-bin linear interpolation
+    (rank target r = ceil(q·n); the estimate is provably within one bin
+    width of the exact order statistic — pytest-pinned against the exact
+    `percentile`).
+
+    Mergeability is the point: bin counts from ANY partitioning of the
+    input SUM to the same sketch (pytest proves half+half == full), so at
+    10^12 rows the sketch builds map-side in one pass and the driver never
+    sees raw values — unlike exact percentile, which must shuffle every
+    value to its group. Contrast `value_percentiles` (the exact baseline)
+    and Spark's built-in approx_percentile (same idea, engine-opaque —
+    this one is oracle-paired end to end because the arithmetic is plain
+    SQL on both engines).
+
+    Scale shape: one min/max/count partial agg (broadcast back, ~|groups|
+    rows), one (group, bin) partial agg — ≤ |groups|·B counters regardless
+    of input size; the cum-sum window and quantile read run over that
+    post-agg relation only. No full sort, no single-partition stage.
+    """
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").cast("long").alias("n"),
+    )
+    j = ev.join(F.broadcast(rng), "event_type")
+    binc = F.least(
+        F.floor(
+            (F.col("value") - F.col("lo"))
+            * float(_HQ_B)
+            / (F.col("hi") - F.col("lo"))
+        ).cast("int"),
+        F.lit(_HQ_B - 1),
+    )
+    h = (
+        j.select("event_type", binc.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bin")
+    x = (
+        h.select("event_type", "bin", "c", F.sum("c").over(w).alias("cum"))
+        .join(F.broadcast(rng), "event_type")
+        .withColumn("width", (F.col("hi") - F.col("lo")) / float(_HQ_B))
+    )
+    ests = []
+    for name, qf in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        r = F.ceil(F.lit(qf) * F.col("n")).cast("long")
+        est = F.when(
+            (F.col("cum") >= r) & (F.col("cum") - F.col("c") < r),
+            F.col("lo")
+            + (
+                F.col("bin")
+                + (r - (F.col("cum") - F.col("c"))) / F.col("c").cast("double")
+            )
+            * F.col("width"),
+        )
+        ests.append(F.round(F.max(est), 6).alias(f"{name}_est"))
+    return (
+        x.groupBy("event_type")
+        .agg(F.max("n").cast("long").alias("n"), *ests)
+        .orderBy("event_type")
+    )

@@ -212,3 +212,32 @@ def test_ivf_training_sample_ceiling(spark):
     # and the fitting modulus from the message keeps training usable
     cb = ivf_train_codebook(df, n_lists=4, sample_mod=7, max_train_rows=100)
     assert len(cb) == 4
+
+
+def test_int8_quant_recall_invariants(spark):
+    """Int8 scalar quantization: (a) quantized steps stay in [-127, 127]
+    and scaling a vector by any positive constant leaves its quantized
+    form unchanged (scale cancels); (b) the audit's recall@10 stays high
+    and the within-top-10 cosine error small (64-dim maxabs int8 is a
+    ~1e-3-grade approximation)."""
+    from osmgraft.contract_text import int8_quant_recall
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    s = F.greatest(F.array_max(F.transform(v, F.abs)), F.lit(1.0e-12))
+    qv = F.transform(v, lambda x: F.floor(x * 127.0 / s + 0.5))
+    v2 = F.transform(F.col("embedding"), lambda x: x.cast("double") * 3.5)
+    s2 = F.greatest(F.array_max(F.transform(v2, F.abs)), F.lit(1.0e-12))
+    qv2 = F.transform(v2, lambda x: F.floor(x * 127.0 / s2 + 0.5))
+    chk = emb.select(
+        F.array_max(F.transform(qv, F.abs)).alias("maxq"),
+        (qv == qv2).alias("scale_invariant"),
+    ).collect()
+    assert all(r["maxq"] <= 127 for r in chk)
+    assert all(r["scale_invariant"] for r in chk)
+
+    rows = int8_quant_recall(spark, SF_CORRECT).collect()
+    assert rows, "no probe queries"
+    avg_recall = sum(r["recall_at10"] for r in rows) / len(rows)
+    assert avg_recall >= 0.8, avg_recall
+    assert all(r["mean_abs_sim_err"] < 0.01 for r in rows)

@@ -347,3 +347,60 @@ def test_blocklist_label_boundary_semantics(spark):
         if n:
             assert rows[rule]["n_pages"] == n, rule
     assert abs(sum(r["pct"] for r in rows.values()) - 1.0) < 1e-4
+
+
+def test_hist_quantile_sketch_error_bound_and_mergeability(spark):
+    """The histogram estimate must land within one bin width of the exact
+    order statistic (≤ 2 widths of the interpolated continuous quantile),
+    and bin counters built from disjoint halves of the input must SUM to
+    the full sketch (the mergeable-summary property)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = {r["event_type"]: r for r in cw.hist_quantile_sketch(spark, SF_CORRECT).collect()}
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    vals: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for et, vs in vals.items():
+        vs.sort()
+        width = (vs[-1] - vs[0]) / cw._HQ_B
+        for name, qf in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            exact = vs[math.ceil(qf * len(vs)) - 1]
+            assert abs(rows[et][f"{name}_est"] - exact) <= width + 1e-9, (et, name)
+
+    # mergeability: per-(group, bin) counters from even/odd event_id halves
+    # sum to the full histogram
+    def hist(df):
+        rng = df.groupBy("event_type").agg(
+            F.min("value").alias("lo"), F.max("value").alias("hi")
+        )
+        # bins must come from the GLOBAL range (merge contract: shared edges)
+        full_rng = ev.groupBy("event_type").agg(
+            F.min("value").alias("lo"), F.max("value").alias("hi")
+        )
+        del rng
+        b = df.join(F.broadcast(full_rng), "event_type").select(
+            "event_type",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo")) * float(cw._HQ_B)
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("int"),
+                F.lit(cw._HQ_B - 1),
+            ).alias("bin"),
+        )
+        return {
+            (r["event_type"], r["bin"]): r["c"]
+            for r in b.groupBy("event_type", "bin").agg(F.count("*").alias("c")).collect()
+        }
+
+    full = hist(ev)
+    even = hist(ev.where(F.col("event_id") % 2 == 0))
+    odd = hist(ev.where(F.col("event_id") % 2 == 1))
+    merged: dict = {}
+    for part in (even, odd):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == full

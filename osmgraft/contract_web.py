@@ -1579,3 +1579,180 @@ def hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n").cast("long").alias("n"), *ests)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# politeness-constrained crawl schedule timeline
+# ---------------------------------------------------------------------------
+
+_CRAWL_SCHED_SQL = """
+    WITH pages AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'sub' || CAST(doc_id % 3 AS VARCHAR) || '.' ELSE '' END
+             || 'example-' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk' AS host
+      FROM documents),
+    sched AS (
+      SELECT host, 1 + (length(host) % 3) AS delay_s,
+             (ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+               * (1 + (length(host) % 3)) AS start_s
+      FROM pages),
+    b AS (SELECT CAST(start_s // 10 AS BIGINT) AS slot_10s, host,
+                 start_s + delay_s AS end_s
+          FROM sched)
+    SELECT slot_10s, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts_active,
+           CAST(MAX(end_s) AS BIGINT) AS makespan_s
+    FROM b GROUP BY slot_10s ORDER BY slot_10s
+    """
+
+
+@q("crawl_schedule_timeline", oracle=_CRAWL_SCHED_SQL)
+def crawl_schedule_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-constrained crawl scheduling: each host's pages fetch
+    STRICTLY serially with a per-host crawl-delay (robots.txt
+    Crawl-delay semantics — the binding constraint of every polite
+    crawler), so page i of a host starts at i·delay(host). The timeline
+    rolls fetch starts into 10-second buckets: fetch volume, hosts
+    active, and the running makespan per bucket — the capacity-planning view
+    ("how many fetchers does this frontier need, where are the
+    single-host tails").
+
+    Scale shape: the serialization is ONE host-keyed ROW_NUMBER window —
+    partitioned by host, so 10^8 hosts parallelize across executors and
+    no single-partition stage exists (a host's fetch list is the
+    per-partition unit, exactly how a real fetcher shards); the timeline
+    is one partial-agg rollup on the minute key. Host fanout is the
+    crawl's own skew profile — a mega-host (the crawl-scheduling
+    London-hotspot analogue) serializes by DESIGN, and the timeline
+    makes that tail visible (its buckets show n_hosts_active == 1).
+    """
+    did = F.col("doc_id")
+    host = F.concat(
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("sub"), (did % 3).cast("string"), F.lit(".")),
+        ).otherwise(""),
+        F.lit("example-"),
+        (did % 7).cast("string"),
+        F.lit(".co.uk"),
+    )
+    pages = t(spark, sf_dir, "documents").select("doc_id", host.alias("host"))
+    delay = 1 + (F.length("host") % 3)
+    w = Window.partitionBy("host").orderBy("doc_id")
+    sched = pages.select(
+        "host",
+        delay.alias("delay_s"),
+        ((F.row_number().over(w) - 1) * delay).alias("start_s"),
+    )
+    return (
+        sched.select(
+            F.floor(F.col("start_s") / 10).cast("long").alias("slot_10s"),
+            "host",
+            (F.col("start_s") + F.col("delay_s")).alias("end_s"),
+        )
+        .groupBy("slot_10s")
+        .agg(
+            F.count("*").cast("long").alias("n_fetches"),
+            F.countDistinct("host").cast("long").alias("n_hosts_active"),
+            F.max("end_s").cast("long").alias("makespan_s"),
+        )
+        .orderBy("slot_10s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BFS crawl frontier (multi-hop reachability by min depth)
+# ---------------------------------------------------------------------------
+
+_BFS_SEED_MOD = 97
+
+_FRONTIER_SQL = f"""
+    WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+    edges AS (
+      SELECT doc_id AS src, (doc_id * 2 + 1) % nn AS dst FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id * 3 + 2) % nn FROM documents, n),
+    f0 AS (SELECT doc_id AS node FROM documents
+           WHERE doc_id % {_BFS_SEED_MOD} = 0),
+    f1 AS (SELECT DISTINCT e.dst AS node FROM f0 JOIN edges e ON e.src = f0.node
+           WHERE e.dst NOT IN (SELECT node FROM f0)),
+    f2 AS (SELECT DISTINCT e.dst AS node FROM f1 JOIN edges e ON e.src = f1.node
+           WHERE e.dst NOT IN (SELECT node FROM f0)
+             AND e.dst NOT IN (SELECT node FROM f1)),
+    f3 AS (SELECT DISTINCT e.dst AS node FROM f2 JOIN edges e ON e.src = f2.node
+           WHERE e.dst NOT IN (SELECT node FROM f0)
+             AND e.dst NOT IN (SELECT node FROM f1)
+             AND e.dst NOT IN (SELECT node FROM f2)),
+    lab AS (
+      SELECT 0 AS depth, node FROM f0
+      UNION ALL SELECT 1, node FROM f1
+      UNION ALL SELECT 2, node FROM f2
+      UNION ALL SELECT 3, node FROM f3
+      UNION ALL
+      SELECT -1, doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM f0)
+        AND doc_id NOT IN (SELECT node FROM f1)
+        AND doc_id NOT IN (SELECT node FROM f2)
+        AND doc_id NOT IN (SELECT node FROM f3))
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(node) AS BIGINT) AS min_doc,
+           CAST(MAX(node) AS BIGINT) AS max_doc
+    FROM lab GROUP BY depth ORDER BY depth
+    """
+
+
+@q("frontier_bfs_depths", oracle=_FRONTIER_SQL)
+def frontier_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier BFS: min-hop depth of every page from a seed set
+    over a deterministic outlink graph (2 outlinks per page, targets
+    `(id·2+1) mod N` and `(id·3+2) mod N`), expanded THREE rounds —
+    frontier(d+1) = neighbors(frontier(d)) minus everything already
+    discovered — then rolled up per depth with the undiscovered backlog
+    as depth -1. This is the scheduler's view of a crawl wave: how much
+    NEW surface each round discovers and how much remains.
+
+    Scale shape: each round is one src-keyed equi-join (frontier ⋈
+    edges) followed by LEFT-ANTI joins against the discovered set — all
+    key-partitioned, no driver-side iteration state beyond the loop
+    counter (contrast `dedup_clusters`' label propagation, which loops
+    to convergence; a crawl wave is a FIXED small number of rounds by
+    design). The discovered set stays a DataFrame throughout; at 10^12
+    nodes each round is a shuffle on the node key and the anti-joins
+    ride the same partitioning.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    nn = docs.count()
+    did = F.col("doc_id")
+    edges = docs.select(
+        did.alias("src"), ((did * 2 + 1) % nn).alias("dst")
+    ).unionAll(docs.select(did, (did * 3 + 2) % nn))
+    frontier = docs.where(did % _BFS_SEED_MOD == 0).select(
+        did.alias("node")
+    )
+    seen = frontier
+    labelled = frontier.select(F.lit(0).alias("depth"), "node")
+    for d in (1, 2, 3):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(seen, "node", "left_anti")
+        )
+        labelled = labelled.unionAll(
+            frontier.select(F.lit(d).alias("depth"), "node")
+        )
+        seen = seen.unionAll(frontier)
+    unreached = docs.select(did.alias("node")).join(seen, "node", "left_anti")
+    labelled = labelled.unionAll(
+        unreached.select(F.lit(-1).alias("depth"), "node")
+    )
+    return (
+        labelled.groupBy("depth")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("node").cast("long").alias("min_doc"),
+            F.max("node").cast("long").alias("max_doc"),
+        )
+        .orderBy("depth")
+    )

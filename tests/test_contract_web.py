@@ -404,3 +404,56 @@ def test_hist_quantile_sketch_error_bound_and_mergeability(spark):
         for k, v in part.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == full
+
+
+def _fixture_host(i: int) -> str:
+    sub = f"sub{i % 3}." if i % 2 == 0 else ""
+    return f"{sub}example-{i % 7}.co.uk"
+
+
+def test_crawl_schedule_politeness_invariants(spark):
+    """Per-host serialization must hold: total fetches == total pages,
+    and the final makespan equals max over hosts of n_pages·delay (the
+    last fetch's end time); makespan is monotone across slots."""
+    rows = cw.crawl_schedule_timeline(spark, SF_CORRECT).collect()
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id").collect()
+    ]
+    per_host: dict[str, int] = {}
+    for i in ids:
+        per_host[_fixture_host(i)] = per_host.get(_fixture_host(i), 0) + 1
+    assert sum(r["n_fetches"] for r in rows) == len(ids)
+    exp_makespan = max(
+        n * (1 + len(h) % 3) for h, n in per_host.items()
+    )
+    assert rows[-1]["makespan_s"] == exp_makespan
+    spans = [r["makespan_s"] for r in rows]
+    assert spans == sorted(spans)
+    assert all(r["n_hosts_active"] <= len(per_host) for r in rows)
+
+
+def test_frontier_bfs_matches_python_bfs(spark):
+    """Recompute the 3-round min-depth BFS in plain Python over the same
+    deterministic outlink rule and compare the full depth histogram."""
+    rows = {r["depth"]: r for r in cw.frontier_bfs_depths(spark, SF_CORRECT).collect()}
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id").collect()
+    )
+    nn = len(ids)
+    out = {i: [(i * 2 + 1) % nn, (i * 3 + 2) % nn] for i in ids}
+    depth = {i: 0 for i in ids if i % cw._BFS_SEED_MOD == 0}
+    frontier = set(depth)
+    for d in (1, 2, 3):
+        nxt = {v for u in frontier for v in out[u]} - set(depth)
+        for v in nxt:
+            depth[v] = d
+        frontier = nxt
+    exp: dict[int, int] = {}
+    for i in ids:
+        exp[depth.get(i, -1)] = exp.get(depth.get(i, -1), 0) + 1
+    assert {d: r["n_docs"] for d, r in rows.items()} == exp
+    assert sum(r["n_docs"] for r in rows.values()) == nn

@@ -1756,3 +1756,115 @@ def frontier_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+# ---------------------------------------------------------------------------
+# html -> visible-text extraction (boilerplate removal, md5-pinned)
+# ---------------------------------------------------------------------------
+
+_HTE_SQL = """
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><head><title>t' || CAST(doc_id AS VARCHAR)
+             || '</title><script>var x=' || CAST(doc_id % 7 AS VARCHAR)
+             || ';</script></head><body><h1>' || substring(text, 1, 40)
+             || '</h1><script>nav()</script><p>' || text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' &amp; 5 &lt;five&gt; &quot;q&#39;' ELSE '' END
+             || '</p><!-- c' || CAST(doc_id % 3 AS VARCHAR)
+             || ' --><div style="x">footer nav</div></body></html>' AS html
+      FROM documents),
+    s1 AS (SELECT doc_id, html,
+                  regexp_replace(html, '(?s)<head.*?</head>', ' ', 'g') AS s
+           FROM pages),
+    s2 AS (SELECT doc_id, html,
+                  regexp_replace(s, '(?s)<script.*?</script>', ' ', 'g') AS s
+           FROM s1),
+    s3 AS (SELECT doc_id, html,
+                  regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s
+           FROM s2),
+    s4 AS (SELECT doc_id, html,
+                  len(regexp_extract_all(s, '<[^>]*>')) AS n_tags,
+                  regexp_replace(s, '<[^>]*>', ' ', 'g') AS s
+           FROM s3),
+    s5 AS (SELECT doc_id, html, n_tags,
+                  replace(replace(replace(replace(replace(s,
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&#39;', CHR(39)), '&amp;', '&') AS s
+           FROM s4),
+    s6 AS (SELECT doc_id, html, n_tags,
+                  trim(regexp_replace(s, '\\s+', ' ', 'g')) AS txt
+           FROM s5)
+    SELECT doc_id, md5(txt) AS text_md5,
+           CAST(length(txt) AS BIGINT) AS n_chars,
+           CAST(n_tags AS BIGINT) AS n_tags_stripped,
+           ROUND(length(txt) / CAST(length(html) AS DOUBLE), 4)
+             AS content_ratio
+    FROM s6 ORDER BY doc_id
+    """
+
+
+@q("html_text_extract", oracle=_HTE_SQL)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible-text extraction (the boilerplate-removal stage every
+    Common-Crawl pipeline runs before anything else; the input-hint's
+    ``html:binary → text`` step): synthesize a deterministic html payload
+    per document (head/title, script blocks, comments, entity escapes,
+    boilerplate footer), then extract the visible text entirely JVM-side —
+    drop <head>, drop <script> blocks, drop comments, strip tags to
+    spaces, decode the 5 core entities, collapse whitespace.
+
+    The output pins the PER-ROW INVARIANT the north rule demands
+    (byte-identical extracted text per url): both engines run the same
+    extraction and emit ``md5(text)`` — a single differing byte in any
+    row fails the parity gate. Alongside: extracted length, tags
+    stripped, and content ratio (visible/raw bytes — the boilerplate-
+    density quality signal CCNet-style filters threshold on).
+
+    Scale shape: pure per-row regexp_replace chain — no UDF, no shuffle,
+    no state; whole-stage-codegen over the html bytes. The regexes are
+    deliberately RE2∩Java-portable ((?s) non-greedy blocks, '<[^>]*>'),
+    so the oracle replays extraction byte-for-byte.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    html_str = F.concat(
+        F.lit("<html><head><title>t"),
+        did.cast("string"),
+        F.lit("</title><script>var x="),
+        (did % 7).cast("string"),
+        F.lit(";</script></head><body><h1>"),
+        F.substring("text", 1, 40),
+        F.lit("</h1><script>nav()</script><p>"),
+        F.col("text"),
+        F.when(did % 5 == 0, F.lit(" &amp; 5 &lt;five&gt; &quot;q&#39;")).otherwise(""),
+        F.lit("</p><!-- c"),
+        (did % 3).cast("string"),
+        F.lit(' --><div style="x">footer nav</div></body></html>'),
+    )
+    # carry the hint's binary column shape: encode → binary, decode at use
+    pages = d.select("doc_id", F.encode(html_str, "utf-8").alias("html"))
+    s = F.decode("html", "utf-8")
+    s = F.regexp_replace(s, r"(?s)<head.*?</head>", " ")
+    s = F.regexp_replace(s, r"(?s)<script.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    n_tags = F.size(F.regexp_extract_all(s, F.lit(r"<[^>]*>"), 0))
+    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    txt = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return (
+        pages.select(
+            "doc_id",
+            F.md5(F.encode(txt, "utf-8")).alias("text_md5"),
+            F.length(txt).cast("long").alias("n_chars"),
+            n_tags.cast("long").alias("n_tags_stripped"),
+            F.round(
+                F.length(txt) / F.length(F.decode("html", "utf-8")).cast("double"), 4
+            ).alias("content_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -457,3 +457,40 @@ def test_frontier_bfs_matches_python_bfs(spark):
         exp[depth.get(i, -1)] = exp.get(depth.get(i, -1), 0) + 1
     assert {d: r["n_docs"] for d, r in rows.items()} == exp
     assert sum(r["n_docs"] for r in rows.values()) == nn
+
+
+def test_html_text_extract_reference_python(spark):
+    """Recompute the extraction in plain Python (re module) for a doc
+    sample and compare md5/char counts — pins tag stripping, entity
+    decoding, and whitespace collapse byte-for-byte."""
+    import hashlib
+    import re
+
+    out = {r["doc_id"]: r for r in cw.html_text_extract(spark, SF_CORRECT).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .where("doc_id < 30").collect()
+    }
+    for i, text in docs.items():
+        ent = " &amp; 5 &lt;five&gt; &quot;q&#39;" if i % 5 == 0 else ""
+        html = (
+            f"<html><head><title>t{i}</title><script>var x={i % 7};"
+            f"</script></head><body><h1>{text[:40]}</h1>"
+            f"<script>nav()</script><p>{text}{ent}</p><!-- c{i % 3} -->"
+            f'<div style="x">footer nav</div></body></html>'
+        )
+        s = re.sub(r"(?s)<head.*?</head>", " ", html)
+        s = re.sub(r"(?s)<script.*?</script>", " ", s)
+        s = re.sub(r"(?s)<!--.*?-->", " ", s)
+        n_tags = len(re.findall(r"<[^>]*>", s))
+        s = re.sub(r"<[^>]*>", " ", s)
+        for e, c in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "'"), ("&amp;", "&")):
+            s = s.replace(e, c)
+        txt = re.sub(r"\s+", " ", s).strip()
+        r = out[i]
+        assert r["text_md5"] == hashlib.md5(txt.encode()).hexdigest(), i
+        assert r["n_chars"] == len(txt)
+        assert r["n_tags_stripped"] == n_tags
+        assert 0 < r["content_ratio"] < 1

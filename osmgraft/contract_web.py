@@ -1856,15 +1856,141 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         s = F.replace(s, F.lit(ent), F.lit(ch))
     txt = F.trim(F.regexp_replace(s, r"\s+", " "))
+    # evaluate the regex chain ONCE: CollapseProject would inline a plain
+    # alias into every downstream reference (md5, length, ratio → 3×
+    # recompute of the whole chain); explode(array(struct(...))) plants a
+    # Generate operator, whose output attribute downstream projections
+    # reference without inlining
+    ex = pages.select(
+        "doc_id",
+        F.length(F.decode("html", "utf-8")).alias("html_chars"),
+        F.explode(
+            F.array(
+                F.struct(
+                    txt.alias("txt"), n_tags.cast("long").alias("n_tags")
+                )
+            )
+        ).alias("i"),
+    )
     return (
-        pages.select(
+        ex.select(
             "doc_id",
-            F.md5(F.encode(txt, "utf-8")).alias("text_md5"),
-            F.length(txt).cast("long").alias("n_chars"),
-            n_tags.cast("long").alias("n_tags_stripped"),
+            F.md5(F.encode("i.txt", "utf-8")).alias("text_md5"),
+            F.length("i.txt").cast("long").alias("n_chars"),
+            F.col("i.n_tags").alias("n_tags_stripped"),
             F.round(
-                F.length(txt) / F.length(F.decode("html", "utf-8")).cast("double"), 4
+                F.length("i.txt") / F.col("html_chars").cast("double"), 4
             ).alias("content_ratio"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt allow/disallow audit (longest-prefix-match policy join)
+# ---------------------------------------------------------------------------
+
+# (host_mod, rule_path, allow) — per-host rule sets; longest matching rule
+# wins, allow wins prefix-length ties (the Google REP tiebreak)
+_ROBOTS_RULES = (
+    (0, "/", 0),
+    (0, "/p/", 1),
+    (1, "/p/1", 0),
+    (2, "/", 0),
+    (2, "/p/2", 1),
+    (2, "/p/22", 0),
+    (4, "/private/", 0),
+    (5, "/p/", 0),
+    (5, "/p/3", 1),
+)
+
+
+def _robots_sql() -> str:
+    rules = ", ".join(f"({h}, '{p}', {a})" for h, p, a in _ROBOTS_RULES)
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, doc_id % 7 AS host_mod,
+             CASE WHEN doc_id % 11 = 0 THEN '/private/' ELSE '/p/' END
+             || CAST(doc_id % 40 AS VARCHAR) AS path
+      FROM documents),
+    rules(host_mod, rule_path, allow) AS (VALUES {rules}),
+    hits AS (
+      SELECT p.doc_id, r.rule_path, r.allow,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.doc_id
+               ORDER BY length(r.rule_path) DESC, r.allow DESC) AS rn
+      FROM pages p JOIN rules r
+        ON p.host_mod = r.host_mod
+       AND substring(p.path, 1, length(r.rule_path)) = r.rule_path),
+    lab AS (
+      SELECT p.host_mod,
+             CASE WHEN h.allow IS NULL THEN 'ALLOW (no rule)'
+                  WHEN h.allow = 1 THEN 'ALLOW ' || h.rule_path
+                  ELSE 'DISALLOW ' || h.rule_path END AS verdict
+      FROM pages p LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h
+        ON p.doc_id = h.doc_id)
+    SELECT CAST(host_mod AS BIGINT) AS host_mod, verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_pages
+    FROM lab GROUP BY host_mod, verdict ORDER BY host_mod, verdict
+    """
+
+
+@q("robots_allow_audit", oracle=_robots_sql())
+def robots_allow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt Robots-Exclusion-Protocol evaluation over the frontier:
+    each page's path is checked against its host's Allow/Disallow rule
+    set with the REP winning-rule semantics — the LONGEST matching rule
+    path wins, Allow wins length ties. Output: per (host, winning rule)
+    page counts — the pre-fetch policy audit every polite crawler runs.
+
+    The naive evaluation is per-URL sequential rule scanning (the
+    reference-shaped per-row loop); the scalable rewrite joins pages to
+    the broadcast per-host rule table on host + prefix condition, then
+    picks the winner with ONE page-keyed ROW_NUMBER window (ORDER BY
+    rule length DESC, allow DESC — the REP tiebreak as a sort key).
+    Prefix matching uses substring equality, not LIKE, so the planner
+    keeps the join equi on host with a residual filter.
+
+    Scale shape: rules broadcast (real-world robots sets are small per
+    host, and even a 10^8-rule global table is a broadcast-able dim
+    after per-host bucketing); the window is page-keyed (matched rules
+    per page ≤ |host rules|); one final rollup shuffle on (host,
+    verdict). No UDF, no driver loop.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    pages = d.select(
+        "doc_id",
+        (did % 7).alias("host_mod"),
+        F.concat(
+            F.when(did % 11 == 0, F.lit("/private/")).otherwise(F.lit("/p/")),
+            (did % 40).cast("string"),
+        ).alias("path"),
+    )
+    rules = pages.sparkSession.createDataFrame(
+        list(_ROBOTS_RULES), "host_mod long, rule_path string, allow int"
+    )
+    hits = pages.join(
+        F.broadcast(rules),
+        (pages.host_mod == rules.host_mod)
+        & (
+            F.col("path").substr(F.lit(1), F.length("rule_path"))
+            == F.col("rule_path")
+        ),
+    ).select("doc_id", "rule_path", "allow")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("rule_path").desc(), F.desc("allow")
+    )
+    win = hits.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    lab = pages.join(win, "doc_id", "left").select(
+        "host_mod",
+        F.when(F.col("allow").isNull(), F.lit("ALLOW (no rule)"))
+        .when(F.col("allow") == 1, F.concat(F.lit("ALLOW "), F.col("rule_path")))
+        .otherwise(F.concat(F.lit("DISALLOW "), F.col("rule_path")))
+        .alias("verdict"),
+    )
+    return (
+        lab.groupBy("host_mod", "verdict")
+        .agg(F.count("*").cast("long").alias("n_pages"))
+        .orderBy("host_mod", "verdict")
     )

@@ -494,3 +494,38 @@ def test_html_text_extract_reference_python(spark):
         assert r["n_chars"] == len(txt)
         assert r["n_tags_stripped"] == n_tags
         assert 0 < r["content_ratio"] < 1
+
+
+def test_robots_rep_winning_rule_semantics(spark):
+    """Recompute REP longest-match/allow-tiebreak verdicts in plain
+    Python per page and compare the (host, verdict) histogram exactly."""
+    rows = {
+        (r["host_mod"], r["verdict"]): r["n_pages"]
+        for r in cw.robots_allow_audit(spark, SF_CORRECT).collect()
+    }
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id").collect()
+    ]
+    exp: dict[tuple[int, str], int] = {}
+    for i in ids:
+        host = i % 7
+        path = ("/private/" if i % 11 == 0 else "/p/") + str(i % 40)
+        best = None
+        for h, rp, allow in cw._ROBOTS_RULES:
+            if h == host and path.startswith(rp):
+                key = (len(rp), allow)
+                if best is None or key > (len(best[0]), best[1]):
+                    best = (rp, allow)
+        if best is None:
+            v = "ALLOW (no rule)"
+        elif best[1] == 1:
+            v = f"ALLOW {best[0]}"
+        else:
+            v = f"DISALLOW {best[0]}"
+        exp[(host, v)] = exp.get((host, v), 0) + 1
+    assert rows == exp
+    # the tiebreak case must actually occur in the fixture: host 2 pages
+    # under /p/22 hit both the allow /p/2 and disallow /p/22 rules
+    assert any("DISALLOW /p/22" in v for _, v in rows)

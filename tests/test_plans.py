@@ -463,3 +463,111 @@ def test_track_simplify_single_user_shuffle(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("hashpartitioning") <= 2  # window seq + group delivery
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocklist_suffix_join_is_broadcast(spark):
+    """The suffix-expansion blocklist join must broadcast the rule table
+    (equi-join on the exploded suffix) — never LIKE-shaped nested-loop."""
+    import osmgraft.contract_web  # noqa: F401
+
+    df = QUERIES["blocklist_filter_stats"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hist_quantile_sketch_no_value_sort(spark):
+    """The histogram sketch never sorts raw values: the cum-sum window is
+    keyed by event_type over the post-agg bins, the range stats broadcast
+    back, and both aggs are partial (map-side combine)."""
+    import osmgraft.contract_web  # noqa: F401
+
+    df = QUERIES["hist_quantile_sketch"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_int8_quant_recall_broadcasts_probes(spark):
+    """Probe set broadcasts against the corpus; ranking windows are keyed
+    by probe id (no single-partition window); quantization is in-row
+    (no Python eval anywhere)."""
+    import osmgraft.contract_text  # noqa: F401
+
+    df = QUERIES["int8_quant_recall"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_crawl_schedule_window_keyed_by_host(spark):
+    """Politeness serialization is a host-keyed window — the plan must
+    hash-partition on host and never collapse to one partition."""
+    import osmgraft.contract_web  # noqa: F401
+
+    df = QUERIES["crawl_schedule_timeline"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "Window" in plan
+    assert "hashpartitioning(host" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_frontier_bfs_hash_joins_only(spark):
+    """Every BFS round is an equi-join + left-anti join on the node key —
+    no nested-loop pair plan anywhere in the unrolled expansion."""
+    import osmgraft.contract_web  # noqa: F401
+
+    df = QUERIES["frontier_bfs_depths"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_html_extract_is_scan_only_codegen(spark):
+    """The extraction chain is pure per-row expression work: one scan, no
+    exchange before the final sort, no Python eval — and the expensive
+    regex chain is evaluated behind a Generate barrier, NOT inlined by
+    CollapseProject into every downstream reference (md5/length/ratio
+    would otherwise each recompute it)."""
+    import osmgraft.contract_web  # noqa: F401
+
+    df = QUERIES["html_text_extract"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan
+    # txt + n_tags inside the one Generate struct — never 3+ copies from
+    # CollapseProject inlining
+    assert plan.count("(?s)<head") <= 2
+    # only the output ORDER BY doc_id may shuffle (rangepartitioning);
+    # the extraction itself must not hash-shuffle
+    assert "hashpartitioning" not in plan
+
+
+def test_robots_audit_broadcast_rules_page_keyed_window(spark):
+    """REP rule evaluation: rules broadcast, winner selection is a
+    page-keyed window, never single-partition."""
+    import osmgraft.contract_web  # noqa: F401
+
+    df = QUERIES["robots_allow_audit"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_winnowing_two_shuffle_shape(spark):
+    """Winnowing: shingle/window-min selection is in-row; the corpus-wide
+    stats are one fp-keyed agg + one fp equi-join + one doc-keyed agg —
+    no cartesian, no Python."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["winnowing_fingerprints"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -924,3 +924,132 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis-Spirakis weighted sampling (deterministic keys)
+# ---------------------------------------------------------------------------
+
+_WS_K = 25
+_WS_HASH_A = 2654435761  # Knuth multiplicative constant
+_WS_HASH_P = 1000003
+
+_WSAMPLE_SQL = f"""
+    WITH keyed AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             POWER(((doc_id * {_WS_HASH_A}) % {_WS_HASH_P})
+                     / {_WS_HASH_P}.0e0,
+                   1.0e0 / n_chars) AS k
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, weight, ROUND(k, 6) AS sample_key
+    FROM keyed
+    ORDER BY ROUND(k, 6) DESC, doc_id LIMIT {_WS_K}
+    """
+
+
+@q("weighted_sample_topk", oracle=_WSAMPLE_SQL)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    each document draws key u^(1/w) — u uniform, w its weight (n_chars as
+    the quality/size proxy) — and the top-k keys ARE a weighted sample
+    without replacement. The one-pass, merge-friendly way to sample a
+    corpus proportional to per-document quality weights (the corpus-
+    curation counterpart of `stratified_sample`, which samples by group).
+
+    u comes from a deterministic multiplicative-hash of doc_id
+    ((doc_id·2654435761) mod 1000003 / 1000003 — plain integer+double
+    arithmetic), so unlike engine-RNG sampling the ENTIRE sample is
+    oracle-paired: DuckDB recomputes identical keys and must select the
+    identical k documents.
+
+    Scale shape: key assignment is per-row arithmetic in the scan; the
+    top-k plans as TakeOrderedAndProject (per-partition partial top-k,
+    driver merges k·partitions rows — never a global sort). Keys round to
+    6 dp before ranking with doc_id as the total tiebreak, keeping the
+    selection stable across engines and partitionings.
+    """
+    d = t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    did = F.col("doc_id")
+    u = ((did * _WS_HASH_A) % _WS_HASH_P) / float(_WS_HASH_P)
+    key = F.round(F.pow(u, 1.0 / F.col("n_chars")), 6)
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(_WS_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixing plan (per-source target proportions)
+# ---------------------------------------------------------------------------
+
+_MIX_SQL = f"""
+    WITH w0 AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(substring(source, 4) AS BIGINT) + 1 AS raw_w
+      FROM documents GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 raw_w / CAST(SUM(raw_w) OVER () AS DOUBLE) AS target_w
+          FROM w0),
+    t AS (SELECT MIN(n_docs / target_w) AS cap FROM w),
+    plan AS (
+      SELECT source, n_docs, target_w,
+             CAST(floor(target_w * cap) AS BIGINT) AS k_sel
+      FROM w, t)
+    SELECT source, n_docs, ROUND(target_w, 6) AS target_w, k_sel,
+           ROUND(k_sel / CAST(SUM(k_sel) OVER () AS DOUBLE), 6)
+             AS achieved_share,
+           ROUND(k_sel / CAST(n_docs AS DOUBLE), 6) AS keep_rate
+    FROM plan ORDER BY source
+    """
+
+
+@q("corpus_mix_plan", oracle=_MIX_SQL)
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus mixing plan (the DoReMi/Pile-style static data-mix
+    stage): given target proportions per source (here w_s ∝ source index,
+    normalized to sum 1), compute the largest corpus achievable WITHOUT
+    upsampling — cap = min_s(n_s / w_s) — and each source's selected
+    count floor(w_s·cap), achieved share, and keep rate. The plan is what
+    a 10^12-doc pipeline computes BEFORE the sampling pass (the pass
+    itself is then a per-source hash-gate filter at the planned keep
+    rate — see `weighted_sample_topk` for the deterministic-key
+    machinery).
+
+    Scale shape: one source-keyed partial agg (|sources| rows out), the
+    feasibility cap is a scalar over that post-agg relation, and the
+    share window runs over |sources| rows — nothing after the first agg
+    touches raw data. Broadcast-scale throughout.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    w = w.withColumn(
+        "raw_w", F.substring("source", 4, 10).cast("long") + 1
+    ).withColumn(
+        "target_w",
+        F.col("raw_w")
+        / F.sum("raw_w").over(Window.partitionBy()).cast("double"),
+    ).drop("raw_w")
+    cap = w.select(
+        F.min(F.col("n_docs") / F.col("target_w")).alias("cap")
+    )
+    plan = w.crossJoin(F.broadcast(cap)).withColumn(
+        "k_sel", F.floor(F.col("target_w") * F.col("cap")).cast("long")
+    )
+    win = Window.partitionBy()
+    return plan.select(
+        "source",
+        "n_docs",
+        F.round("target_w", 6).alias("target_w"),
+        "k_sel",
+        F.round(
+            F.col("k_sel") / F.sum("k_sel").over(win).cast("double"), 6
+        ).alias("achieved_share"),
+        F.round(F.col("k_sel") / F.col("n_docs").cast("double"), 6).alias(
+            "keep_rate"
+        ),
+    ).orderBy("source")

@@ -1994,3 +1994,86 @@ def robots_allow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_pages"))
         .orderBy("host_mod", "verdict")
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing over the per-type daily series
+# ---------------------------------------------------------------------------
+
+_EWMA_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 6) AS x
+      FROM events GROUP BY event_type, day),
+    g AS (SELECT event_type,
+                 list_transform(list_sort(list_zip(
+                     array_agg(day), array_agg(x))), p -> p[1]) AS days,
+                 list_transform(list_sort(list_zip(
+                     array_agg(day), array_agg(x))), p -> p[2]) AS xs
+          FROM daily GROUP BY event_type),
+    e AS (SELECT event_type, days, xs,
+                 list_transform(range(1, len(xs) + 1), k ->
+                   list_reduce(list_slice(xs, 1, k),
+                     (acc, x) -> 3.0e-1 * x + 7.0e-1 * acc)) AS ew
+          FROM g)
+    SELECT event_type, UNNEST(days) AS day,
+           UNNEST(xs) AS daily_sum,
+           ROUND(UNNEST(ew), 6) AS ewma
+    FROM e ORDER BY event_type, day
+    """
+
+
+@q("ewma_daily_values", oracle=_EWMA_SQL)
+def ewma_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over each event type's daily
+    value series (α = 0.3, the monitoring-dashboard smoother): EWMA is a
+    RECURSIVE definition (ewma_t = α·x_t + (1-α)·ewma_{t-1}) that SQL
+    windows cannot express directly — the scalable rewrite collects each
+    key's bounded day series in-row (time is the bounded dimension; keys
+    are the unbounded one) and runs the recursion as an array left-fold:
+    Spark `aggregate(slice(xs,2,k-1), xs[1], …)` ≡ DuckDB
+    `list_reduce(list_slice(xs,1,k), …)` — identical fold order, so the
+    recursion is oracle-paired bit-for-bit after input rounding.
+
+    Daily sums are rounded BEFORE the fold: raw float SUM order differs
+    between engines (and between Spark partitionings), and the recursion
+    would amplify a last-ulp divergence; folding the 6-dp-snapped series
+    makes the whole recursion deterministic.
+
+    Scale shape: one (type, day) partial-agg shuffle, one per-type
+    collect of a BOUNDED array (days, not rows — ~365 elements/key/year),
+    the O(n²) prefix-fold runs in-row (n ≤ days, so ≤ ~133k mults/key/
+    year) and parallelism is the key count. No window over raw rows, no
+    driver iteration.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    g = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    xs = F.transform(F.col("s"), lambda r: r.x)
+    days = F.transform(F.col("s"), lambda r: r.day)
+    ew = F.transform(
+        F.sequence(F.lit(1), F.size(xs)),
+        lambda k: F.aggregate(
+            F.slice(xs, F.lit(2), k - 1),
+            F.element_at(xs, 1),
+            lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+        ),
+    )
+    return (
+        g.select(
+            "event_type",
+            F.explode(F.arrays_zip(days.alias("day"), xs.alias("daily_sum"),
+                                   ew.alias("ewma"))).alias("z"),
+        )
+        .select(
+            "event_type",
+            F.col("z.day").alias("day"),
+            F.col("z.daily_sum").alias("daily_sum"),
+            F.round("z.ewma", 6).alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+    )

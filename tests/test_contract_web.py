@@ -529,3 +529,23 @@ def test_robots_rep_winning_rule_semantics(spark):
     # the tiebreak case must actually occur in the fixture: host 2 pages
     # under /p/22 hit both the allow /p/2 and disallow /p/22 rules
     assert any("DISALLOW /p/22" in v for _, v in rows)
+
+
+def test_ewma_matches_python_recursion(spark):
+    """Recompute the EWMA recursion in plain Python from the rounded
+    daily sums; every smoothed value must also stay inside the series'
+    running min/max envelope."""
+    rows = cw.ewma_daily_values(spark, SF_CORRECT).collect()
+    series: dict[str, list] = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append(r)
+    for et, rs in series.items():
+        rs.sort(key=lambda r: r["day"])
+        ew = rs[0]["daily_sum"]
+        assert abs(rs[0]["ewma"] - round(ew, 6)) < 1e-9
+        lo = hi = rs[0]["daily_sum"]
+        for r in rs[1:]:
+            ew = 0.3 * r["daily_sum"] + 0.7 * ew
+            lo, hi = min(lo, r["daily_sum"]), max(hi, r["daily_sum"])
+            assert abs(r["ewma"] - round(ew, 6)) < 1e-6, (et, r["day"])
+            assert lo - 1e-6 <= r["ewma"] <= hi + 1e-6

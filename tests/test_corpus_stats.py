@@ -197,3 +197,39 @@ def test_winnowing_matches_reference_python(spark):
         if len(dups) > 1:
             a = dups[0]
             assert out[a]["n_shared_fps"] == out[a]["n_fps"]
+
+
+def test_weighted_sample_matches_python_es(spark):
+    """Recompute Efraimidis-Spirakis keys in plain Python and verify the
+    engine selected exactly the true top-k; higher weight at equal u must
+    produce a higher key (the A-Res property)."""
+    rows = cc.weighted_sample_topk(spark, SF_CORRECT).collect()
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "n_chars").collect()
+    keyed = []
+    for r in docs:
+        if r["n_chars"] <= 0:
+            continue
+        u = (r["doc_id"] * cc._WS_HASH_A) % cc._WS_HASH_P / cc._WS_HASH_P
+        keyed.append((round(u ** (1.0 / r["n_chars"]), 6), -r["doc_id"], r["doc_id"]))
+    keyed.sort(reverse=True)
+    exp = [(d, round(k, 6)) for k, _, d in keyed[: cc._WS_K]]
+    got = [(r["doc_id"], r["sample_key"]) for r in rows]
+    assert got == exp
+    assert 0.9 ** (1 / 100.0) > 0.9 ** (1 / 50.0)  # key monotone in weight
+
+
+def test_corpus_mix_plan_invariants(spark):
+    """No source upsamples (k_sel ≤ n_docs), the binding source is taken
+    ~whole (its keep_rate is the max), achieved shares sum to 1 and track
+    the targets within the floor() slack."""
+    rows = cc.corpus_mix_plan(spark, SF_CORRECT).collect()
+    assert len(rows) == 20
+    assert all(r["k_sel"] <= r["n_docs"] for r in rows)
+    assert abs(sum(r["achieved_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["target_w"] for r in rows) - 1.0) < 1e-9
+    total = sum(r["k_sel"] for r in rows)
+    for r in rows:
+        # floor() can cost at most one doc per source
+        assert abs(r["achieved_share"] - r["target_w"]) <= 1.5 / total + 1e-6
+    assert max(r["keep_rate"] for r in rows) > 0.99

@@ -64,6 +64,11 @@ HEADLINE = [
     "crawl_latest_snapshot",   # keep-latest-per-url via max_by partial agg
     "session_paths",           # gap-sessionised top-k event paths
     "snapshot_diff",           # crawl CDC: url-keyed full-outer diff
+    # round-3 session-6 additions
+    "html_text_extract",       # boilerplate removal, md5-pinned, scan-only
+    "hist_quantile_sketch",    # mergeable histogram quantiles (3rd sketch)
+    "blocklist_filter_stats",  # suffix-chain equi-join URL filter
+    "int8_quant_recall",       # quantized-ANN recall audit
 ]
 
 # default sized so compute dominates fixed per-job overhead (wall-clock is

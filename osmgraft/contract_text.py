@@ -936,21 +936,20 @@ _QZ_SQL = f"""
                      ROUND(list_cosine_similarity(z.v, qs.q_v), 5) AS simf,
                      ROUND(list_cosine_similarity(z.qv, qs.q_qv), 5) AS simq
               FROM qz z CROSS JOIN qs WHERE z.vec_id <> qs.qid),
-    rf AS (SELECT qid, vec_id, simf, simq,
-                  ROW_NUMBER() OVER (PARTITION BY qid
-                                     ORDER BY simf DESC, vec_id) AS r
-           FROM pairs),
-    rq AS (SELECT qid, vec_id,
-                  ROW_NUMBER() OVER (PARTITION BY qid
-                                     ORDER BY simq DESC, vec_id) AS r
-           FROM pairs)
-    SELECT f.qid, CAST(COUNT(g.vec_id) AS BIGINT) AS n_overlap,
-           ROUND(COUNT(g.vec_id) / 1.0e1, 2) AS recall_at10,
-           ROUND(AVG(ABS(f.simf - f.simq)), 6) AS mean_abs_sim_err
-    FROM (SELECT * FROM rf WHERE r <= 10) f
-    LEFT JOIN (SELECT * FROM rq WHERE r <= 10) g
-      ON f.qid = g.qid AND f.vec_id = g.vec_id
-    GROUP BY f.qid ORDER BY f.qid
+    ranked AS (SELECT qid, simf, simq,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY simf DESC, vec_id) AS rf,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY simq DESC, vec_id) AS rq
+               FROM pairs)
+    SELECT qid,
+           CAST(SUM(CASE WHEN rf <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           ROUND(SUM(CASE WHEN rf <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+                 / 1.0e1, 2) AS recall_at10,
+           ROUND(AVG(CASE WHEN rf <= 10 THEN ABS(simf - simq) END), 6)
+             AS mean_abs_sim_err
+    FROM ranked GROUP BY qid ORDER BY qid
     """
 
 
@@ -981,12 +980,23 @@ def int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.greatest(
         F.array_max(F.transform(v, lambda y: F.abs(y))), F.lit(1.0e-12)
     )
+    from osmgraft.ann.search import _dot, _norm
+
+    # norms are per-VECTOR, so compute them once per row here — not per
+    # pair inside the cross join (cosine factors as dot/(na·nb); same
+    # float ops on the same values, so the 5-dp rounded sims are
+    # bit-identical to the fused cosine, but each pair pays 2 folds
+    # instead of 4)
     qz = emb.select(
         "vec_id",
         v.alias("v"),
         F.transform(
             v, lambda x: F.floor(x * 127.0 / s + 0.5).cast("double")
         ).alias("qv"),
+    ).select(
+        "vec_id", "v", "qv",
+        _norm(F.col("v")).alias("nv"),
+        _norm(F.col("qv")).alias("nqv"),
     )
     qs = (
         qz.where(F.col("vec_id") % _QZ_QMOD == 0)
@@ -994,45 +1004,55 @@ def int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("qid"),
             F.col("v").alias("q_v"),
             F.col("qv").alias("q_qv"),
+            F.col("nv").alias("q_nv"),
+            F.col("nqv").alias("q_nqv"),
         )
     )
-    from osmgraft.ann.search import cosine_col
-
     pairs = (
         qz.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            F.round(cosine_col(F.col("v"), F.col("q_v")), 5).alias("simf"),
-            F.round(cosine_col(F.col("qv"), F.col("q_qv")), 5).alias("simq"),
+            F.round(
+                _dot(F.col("v"), F.col("q_v"))
+                / (F.col("nv") * F.col("q_nv")),
+                5,
+            ).alias("simf"),
+            F.round(
+                _dot(F.col("qv"), F.col("q_qv"))
+                / (F.col("nqv") * F.col("q_nqv")),
+                5,
+            ).alias("simq"),
         )
     )
     wf = Window.partitionBy("qid").orderBy(F.desc("simf"), "vec_id")
     wq = Window.partitionBy("qid").orderBy(F.desc("simq"), "vec_id")
-    topf = pairs.withColumn("r", F.row_number().over(wf)).where(F.col("r") <= 10)
-    # rename BOTH right-side columns before the self-lineage join: topf and
-    # topq descend from the same `pairs` plan, so `topf.qid == topq.qid`
-    # resolves ambiguously (and a post-join drop("qid") can remove the
-    # WRONG side, leaving the nullable right key as the group key)
-    topq = (
-        pairs.withColumn("r", F.row_number().over(wq))
-        .where(F.col("r") <= 10)
-        .select(F.col("qid").alias("g_qid"), F.col("vec_id").alias("q_hit"))
+    ranked = pairs.select(
+        "qid",
+        "simf",
+        "simq",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wq).alias("rq"),
     )
+    # both ranks live on the same row, so the float-vs-quantized overlap
+    # needs NO self-join (an earlier join formulation recomputed the pair
+    # cross-join per branch AND hit the Spark ambiguous-self-lineage trap
+    # where drop() removed the wrong side's key): one conditional agg
+    # straight off the window output, riding its qid partitioning
+    hit = ((F.col("rf") <= 10) & (F.col("rq") <= 10)).cast("long")
     return (
-        topf.join(
-            topq,
-            (F.col("qid") == F.col("g_qid"))
-            & (F.col("vec_id") == F.col("q_hit")),
-            "left",
-        )
-        .groupBy("qid")
+        ranked.groupBy("qid")
         .agg(
-            F.count("q_hit").cast("long").alias("n_overlap"),
-            F.round(F.count("q_hit") / 10.0, 2).alias("recall_at10"),
-            F.round(F.avg(F.abs(F.col("simf") - F.col("simq"))), 6).alias(
-                "mean_abs_sim_err"
-            ),
+            F.sum(hit).cast("long").alias("n_overlap"),
+            F.round(F.sum(hit) / 10.0, 2).alias("recall_at10"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("rf") <= 10, F.abs(F.col("simf") - F.col("simq"))
+                    )
+                ),
+                6,
+            ).alias("mean_abs_sim_err"),
         )
         .orderBy("qid")
     )

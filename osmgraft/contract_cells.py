@@ -708,3 +708,97 @@ def quadkey_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events") / F.sum("n_events").over(w).cast("double"), 6
         ).alias("pct_of_parent"),
     ).orderBy("quadkey")
+
+
+# ---------------------------------------------------------------------------
+# geohash cells (base-32, asymmetric lon/lat bit interleave) — 4th cell system
+# ---------------------------------------------------------------------------
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_CHARS = 3  # 15 bits: 8 lon + 7 lat (odd char count -> 2:1 cells)
+_GH_XW = 700000.0 / 256  # 2734.375 — exact in binary
+_GH_YW = 700000.0 / 128  # 5468.75  — exact in binary
+
+
+def _gh_exprs() -> tuple[str, str, str]:
+    """(gx, gy, code) expression text shared verbatim by both engines."""
+    gx = f"LEAST(CAST(FLOOR(x / {_GH_XW}e0) AS BIGINT), 255)"
+    gy = f"LEAST(CAST(FLOOR(y / {_GH_YW}e0) AS BIGINT), 127)"
+    bits = []
+    for j in range(8):  # lon bit j -> code bit 2j
+        bits.append(f"(CAST(FLOOR(gx / {float(1 << j):.1f}e0) AS BIGINT) % 2)"
+                    f" * {1 << (2 * j)}")
+    for j in range(7):  # lat bit j -> code bit 2j+1
+        bits.append(f"(CAST(FLOOR(gy / {float(1 << j):.1f}e0) AS BIGINT) % 2)"
+                    f" * {1 << (2 * j + 1)}")
+    return gx, gy, " + ".join(bits)
+
+
+def _gh_str(code_col: str) -> str:
+    chars = []
+    for c in range(_GH_CHARS):
+        shift = 5 * (_GH_CHARS - 1 - c)
+        chars.append(
+            f"substring('{_GH_ALPHABET}', "
+            f"CAST(CAST(FLOOR({code_col} / {float(1 << shift):.1f}e0) AS BIGINT)"
+            f" % 32 + 1 AS INT), 1)"
+        )
+    return "CONCAT(" + ", ".join(chars) + ")"
+
+
+def _gh_sql() -> str:
+    gx, gy, code = _gh_exprs()
+    return f"""
+    WITH pts AS ({_pts_cte()}),
+    g AS (SELECT {gx} AS gx, {gy} AS gy FROM pts),
+    k AS (SELECT gx, gy, {code} AS code FROM g),
+    h AS (SELECT gx, gy, {_gh_str("code")} AS geohash FROM k),
+    c AS (SELECT geohash, gx, gy, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM h GROUP BY geohash, gx, gy)
+    SELECT geohash, substring(geohash, 1, 2) AS parent_gh, gx, gy, n_events,
+           ROUND(n_events / CAST(SUM(n_events)
+                 OVER (PARTITION BY substring(geohash, 1, 2)) AS DOUBLE), 6)
+             AS pct_of_parent
+    FROM c ORDER BY geohash, gx, gy
+    """
+
+
+@q("geohash_cell_counts", oracle=_gh_sql())
+def geohash_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash tiling — the FOURTH cell system (aperture-7 hex, S2
+    Hilbert, quadkey, now geohash): base-32 character cells built from an
+    ASYMMETRIC lon/lat bit interleave (8 lon + 7 lat bits at 3 chars, so
+    odd-precision cells are 2:1 rectangles — the geohash property the
+    square quadkey scheme doesn't have). Prefix nesting is by CHARACTER:
+    the 2-char parent is substring(geohash, 1, 2), giving the same
+    pyramid roll-up/share shape as `quadkey_tile_counts` but keyed by
+    short strings (the form most geo data lakes actually persist and
+    range-prune on, since lexicographic geohash order is Z-order).
+
+    Scale shape: bit interleave + base-32 encode are whole-stage-codegen
+    arithmetic on the scan (shared expression text with the oracle — no
+    UDF, no lookup join); ONE partial-agg shuffle keyed by geohash; the
+    share window partitions by parent over the POST-AGG cell relation
+    (≤ 2^15 rows here; millions at production precisions — still
+    hash-partitioned, never single-partition).
+    """
+    pts = _event_points(spark, sf_dir)
+    gx, gy, code = _gh_exprs()
+    c = (
+        pts.select(F.expr(gx).alias("gx"), F.expr(gy).alias("gy"))
+        .select("gx", "gy", F.expr(code).alias("code"))
+        .select("gx", "gy", F.expr(_gh_str("code")).alias("geohash"))
+        .groupBy("geohash", "gx", "gy")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy(F.substring("geohash", 1, 2))
+    return c.select(
+        "geohash",
+        F.substring("geohash", 1, 2).alias("parent_gh"),
+        "gx",
+        "gy",
+        "n_events",
+        F.round(
+            F.col("n_events") / F.sum("n_events").over(w).cast("double"), 6
+        ).alias("pct_of_parent"),
+    ).orderBy("geohash", "gx", "gy")

@@ -514,3 +514,38 @@ def test_quadkey_plan_has_no_single_partition_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_geohash_encode_matches_python(spark):
+    """Recompute the asymmetric-interleave geohash in plain Python per
+    cell: base-32 chars, 8+7 bit split, and the 2-char-parent block
+    identity (same parent_gh ⇔ same (gx>>3, gy>>2)); per-parent shares
+    sum to 1."""
+    from osmgraft.contract_cells import (
+        _GH_ALPHABET,
+        geohash_cell_counts,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = geohash_cell_counts(spark, SF_CORRECT).collect()
+    assert rows
+    shares: dict[str, float] = {}
+    parents: dict[str, set] = {}
+    for r in rows:
+        gx, gy = r["gx"], r["gy"]
+        code = 0
+        for j in range(8):
+            code |= ((gx >> j) & 1) << (2 * j)
+        for j in range(7):
+            code |= ((gy >> j) & 1) << (2 * j + 1)
+        gh = "".join(
+            _GH_ALPHABET[(code >> (5 * (2 - c))) & 31] for c in range(3)
+        )
+        assert r["geohash"] == gh, (gx, gy)
+        assert r["parent_gh"] == gh[:2]
+        shares[r["parent_gh"]] = shares.get(r["parent_gh"], 0.0) + r["pct_of_parent"]
+        parents.setdefault(r["parent_gh"], set()).add((gx >> 3, gy >> 2))
+    for p, s in shares.items():
+        assert abs(s - 1.0) < 1e-3, p
+    for p, blocks in parents.items():
+        assert len(blocks) == 1, p

@@ -1053,3 +1053,70 @@ def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep_rate"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe group-aware train/val/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_A = 1103515245  # LCG multiplier — portable integer arithmetic
+_SPLIT_P = 999983
+
+_SPLIT_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             ((CAST(substring(source, 4) AS BIGINT) * {_SPLIT_A} + 12345)
+              % {_SPLIT_P}) % 10 AS bucket
+      FROM documents),
+    lab AS (
+      SELECT lang, source,
+             CASE WHEN bucket < 8 THEN 'train'
+                  WHEN bucket = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM d)
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM lab GROUP BY split, lang ORDER BY split, lang
+    """
+
+
+@q("leakage_safe_split", oracle=_SPLIT_SQL)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split (the decontamination-grade ML
+    split): the split key is a deterministic hash of the GROUP (source),
+    not the row, so every document from one source lands in exactly one
+    split — near-duplicates and templated pages inside a source can never
+    straddle train/test (the leakage mode row-level random splits cause).
+    80/10/10 by hash bucket; output is the split × lang census with the
+    per-split source counts.
+
+    Determinism is the operational property: the same source hashes to
+    the same split on every run, every engine, every scale — re-crawls
+    append to the SAME split (append-stable splits, no reshuffling as the
+    corpus grows), and the DuckDB oracle reproduces the assignment
+    exactly (plain LCG integer arithmetic, no engine RNG).
+
+    Scale shape: the split label is per-row arithmetic in the scan; the
+    census is ONE partial-agg shuffle on (split, lang). The split itself
+    adds NO shuffle to whatever pipeline it feeds — it's a derived
+    column, not a repartition.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    bucket = (
+        (F.substring("source", 4, 10).cast("long") * _SPLIT_A + 12345)
+        % _SPLIT_P
+    ) % 10
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "lang", "source")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("split", "lang")
+    )

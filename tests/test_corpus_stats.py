@@ -233,3 +233,34 @@ def test_corpus_mix_plan_invariants(spark):
         # floor() can cost at most one doc per source
         assert abs(r["achieved_share"] - r["target_w"]) <= 1.5 / total + 1e-6
     assert max(r["keep_rate"] for r in rows) > 0.99
+
+
+def test_leakage_safe_split_group_integrity(spark):
+    """No source may straddle splits (the leakage-safety property), the
+    assignment must be deterministic across invocations, and every
+    document is assigned exactly once."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    bucket = (
+        (F.substring("source", 4, 10).cast("long") * cc._SPLIT_A + 12345)
+        % cc._SPLIT_P
+    ) % 10
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per_source = (
+        docs.select("source", split.alias("split"))
+        .groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in per_source)
+    rows1 = cc.leakage_safe_split(spark, SF_CORRECT).collect()
+    rows2 = cc.leakage_safe_split(spark, SF_CORRECT).collect()
+    assert rows1 == rows2
+    assert sum(r["n_docs"] for r in rows1) == docs.count()
+    splits = {r["split"] for r in rows1}
+    assert splits == {"train", "val", "test"}

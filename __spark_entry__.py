@@ -83,6 +83,13 @@ _SESSION3_NEW = (
     # session-5 additions (also queued behind the round-3 window)
     "quadkey_tile_counts", "unigram_logprob", "zipf_vocab_fit",
     "user_growth_daily", "pii_scrub_stats", "bloom_prune_join",
+    # session-6 additions (queued behind the round-3 window; without this
+    # they would land in the `fresh` block and displace the planned picks)
+    "winnowing_fingerprints", "blocklist_filter_stats",
+    "hist_quantile_sketch", "int8_quant_recall", "crawl_schedule_timeline",
+    "frontier_bfs_depths", "html_text_extract", "robots_allow_audit",
+    "ewma_daily_values", "weighted_sample_topk", "corpus_mix_plan",
+    "geohash_cell_counts", "leakage_safe_split",
 )
 
 

@@ -89,7 +89,7 @@ _SESSION3_NEW = (
     "hist_quantile_sketch", "int8_quant_recall", "crawl_schedule_timeline",
     "frontier_bfs_depths", "html_text_extract", "robots_allow_audit",
     "ewma_daily_values", "weighted_sample_topk", "corpus_mix_plan",
-    "geohash_cell_counts", "leakage_safe_split",
+    "geohash_cell_counts", "leakage_safe_split", "bot_regularity_profile",
 )
 
 

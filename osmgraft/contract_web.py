@@ -2077,3 +2077,91 @@ def ewma_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# bot detection: inter-event gap regularity (coefficient of variation)
+# ---------------------------------------------------------------------------
+
+_BOT_MIN_EVENTS = 8
+_BOT_TOP = 25
+
+_BOT_SQL = f"""
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id
+      FROM events),
+    g AS (
+      SELECT user_id,
+             sec - LAG(sec) OVER (PARTITION BY user_id
+                                  ORDER BY sec, event_id) AS gap
+      FROM e),
+    s AS (
+      SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS sum_g,
+             CAST(SUM(gap * gap) AS BIGINT) AS sum_g2
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+      HAVING COUNT(gap) >= {_BOT_MIN_EVENTS}),
+    m AS (
+      SELECT user_id, n_gaps,
+             sum_g / CAST(n_gaps AS DOUBLE) AS mean_gap,
+             (sum_g2 - sum_g * (sum_g / CAST(n_gaps AS DOUBLE)))
+               / CAST(n_gaps AS DOUBLE) AS var_gap
+      FROM s WHERE sum_g > 0)
+    SELECT user_id, n_gaps, ROUND(mean_gap, 4) AS mean_gap_s,
+           ROUND(SQRT(GREATEST(var_gap, 0.0e0)) / mean_gap, 6) AS gap_cv
+    FROM m
+    ORDER BY ROUND(SQRT(GREATEST(var_gap, 0.0e0)) / mean_gap, 6), user_id
+    LIMIT {_BOT_TOP}
+    """
+
+
+@q("bot_regularity_profile", oracle=_BOT_SQL)
+def bot_regularity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-traffic candidates by inter-event timing regularity: real
+    humans produce bursty gaps (coefficient of variation ≈ 1 for
+    Poisson-ish arrivals); schedulers and scrapers tick (cv → 0). Per
+    user: consecutive-event gaps, then the gap cv from EXACT integer
+    power sums — gaps are whole seconds (BIGINT), so SUM(g) and SUM(g²)
+    aggregate without float-order noise (the `daily_anomalies` trick) and
+    variance = (Σg² − (Σg)²/n)/n only becomes a double at the final
+    division. The 25 most-regular users with ≥ 8 gaps surface for review.
+
+    Scale shape: ONE user-keyed shuffle serves both the LAG window and
+    the power-sum agg (same partitioning, no second exchange); the top-k
+    is TakeOrderedAndProject. State per user is 3 integers — this is the
+    sketch-shaped form of a per-user profile, mergeable across snapshot
+    increments by summing the power sums.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    g = e.select(
+        "user_id", (F.col("sec") - F.lag("sec").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("sum_g"),
+            F.sum(F.col("gap") * F.col("gap")).cast("long").alias("sum_g2"),
+        )
+        .where((F.col("n_gaps") >= _BOT_MIN_EVENTS) & (F.col("sum_g") > 0))
+    )
+    mean = F.col("sum_g") / F.col("n_gaps").cast("double")
+    var = (F.col("sum_g2") - F.col("sum_g") * mean) / F.col("n_gaps").cast(
+        "double"
+    )
+    cv = F.round(F.sqrt(F.greatest(var, F.lit(0.0))) / mean, 6)
+    return (
+        s.select(
+            "user_id",
+            "n_gaps",
+            F.round(mean, 4).alias("mean_gap_s"),
+            cv.alias("gap_cv"),
+        )
+        .orderBy("gap_cv", "user_id")
+        .limit(_BOT_TOP)
+    )

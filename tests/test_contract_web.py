@@ -549,3 +549,34 @@ def test_ewma_matches_python_recursion(spark):
             lo, hi = min(lo, r["daily_sum"]), max(hi, r["daily_sum"])
             assert abs(r["ewma"] - round(ew, 6)) < 1e-6, (et, r["day"])
             assert lo - 1e-6 <= r["ewma"] <= hi + 1e-6
+
+
+def test_bot_regularity_power_sum_variance(spark):
+    """Recompute per-user gap cv in plain Python (exact integer power
+    sums) for the reported users and check values; the LAG+agg must share
+    one user-keyed exchange (plan audit)."""
+    rows = cw.bot_regularity_profile(spark, SF_CORRECT).collect()
+    assert rows and len(rows) <= cw._BOT_TOP
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet").select(
+        "user_id", "ts", "event_id").collect()
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(
+            (int(r["ts"].timestamp()), r["event_id"])
+        )
+    import math
+
+    for r in rows:
+        secs = sorted(per_user[r["user_id"]])
+        gaps = [b[0] - a[0] for a, b in zip(secs, secs[1:])]
+        assert len(gaps) == r["n_gaps"] >= cw._BOT_MIN_EVENTS
+        n, sg, sg2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        mean = sg / n
+        var = (sg2 - sg * mean) / n
+        assert abs(r["mean_gap_s"] - round(mean, 4)) < 1e-9
+        assert abs(r["gap_cv"] - round(math.sqrt(max(var, 0.0)) / mean, 6)) < 1e-9
+    cvs = [r["gap_cv"] for r in rows]
+    assert cvs == sorted(cvs)
+    plan = cw.bot_regularity_profile(spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(user_id") <= 1
+    assert "TakeOrderedAndProject" in plan

@@ -63,3 +63,36 @@ def interval_join_stream(
     clicks = clicks.withWatermark("click_ts", watermark)
     purchases = purchases.withWatermark("purchase_ts", watermark)
     return purchases.join(clicks, _join_cond(lag)).select(*_PAIR_COLS)
+
+
+# ---------------------------------------------------------------------------
+# stream-static enrichment join
+# ---------------------------------------------------------------------------
+
+def enrich_with_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-STATIC enrichment join — the remaining join class beside the
+    watermarked stream-stream interval join above: a streaming fact side
+    joined to a bounded dimension (event_type → weight/category here;
+    host → robots policy or source → mix weight in the crawl pipeline).
+
+    Semantics Spark gives this for free: NO state store and NO watermark
+    requirement — the static side is (re)planned per micro-batch as an
+    ordinary broadcast hash join, so dimension updates between batches
+    are picked up and stream state stays O(0). That property (vs the
+    stream-stream join's keyed state stores) is exactly why a 10^12-page
+    pipeline pushes every bounded lookup to stream-static instead of
+    stream-stream. Works identically on a batch DataFrame — the
+    stream==batch equivalence test runs this same function on both.
+    """
+    from pyspark.sql import functions as F  # local: keep module header lean
+
+    return events.join(F.broadcast(dim), "event_type", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.coalesce("type_weight", F.lit(0.0)).alias("type_weight"),
+        (F.col("value") * F.coalesce("type_weight", F.lit(0.0))).alias(
+            "weighted_value"
+        ),
+    )

@@ -507,3 +507,54 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
     want = sorted(map(tuple, interval_join_batch(batch, "24 hours").collect()))
     assert len(want) > 0  # the fixture must actually produce pairs
     assert got == want
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment: the streaming result must equal
+    running the same function on the batch frame (no state store, no
+    watermark needed), and the micro-batch plan must broadcast the dim."""
+    from osmgraft.streaming.joins import enrich_with_static
+    from tests.conftest import SF_SMOKE
+
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0)],
+        "event_type string, type_weight double",
+    )
+    src = tmp_path / "ess_src"
+    src.mkdir()
+    import shutil
+
+    tmpd = tmp_path / "chunk"
+    batch.coalesce(2).write.parquet(str(tmpd))
+    for i, f in enumerate(sorted(tmpd.glob("*.parquet"))):
+        shutil.copy(f, src / f"{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = enrich_with_static(stream, dim)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ess_rows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ess_rows").collect()))
+    want = sorted(map(tuple, enrich_with_static(batch, dim).collect()))
+    assert len(want) > 0
+    assert got == want
+    # 'error' events have no dim row -> weight coalesces to 0, never dropped
+    assert any(r[4] == 0.0 for r in got)
+    # the join must plan as a broadcast of the static side
+    plan = enrich_with_static(batch, dim)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1056,3 +1056,175 @@ def int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# shingle containment pairs (asymmetric quote/subset detection)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_MIN = 0.5
+
+_CONTAIN_SQL = f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         seq AS (SELECT unnest(generate_series(1,
+                   (SELECT MAX(len(arr)) FROM w))) AS i),
+         s AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+               FROM w JOIN seq ON i <= len(arr) - 2),
+         sd AS (SELECT DISTINCT doc_id, shingle FROM s),
+         rare AS (SELECT shingle FROM sd GROUP BY shingle
+                  HAVING COUNT(*) <= {_RARE_MAX}),
+         rs AS (SELECT sd.doc_id, sd.shingle FROM sd JOIN rare USING (shingle)),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM rs GROUP BY doc_id),
+         ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(COUNT(*) AS BIGINT) AS overlap
+                FROM rs a JOIN rs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b, overlap,
+           ROUND(overlap / CAST(LEAST(na.n, nb.n) AS DOUBLE), 4)
+             AS containment,
+           ROUND(overlap / CAST(na.n + nb.n - overlap AS DOUBLE), 4)
+             AS jaccard
+    FROM ov JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE overlap / CAST(LEAST(na.n, nb.n) AS DOUBLE) >= {_CONTAIN_MIN}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@q("containment_pairs", oracle=_CONTAIN_SQL)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs (Broder's second measure): containment
+    |A∩B| / min(|A|, |B|) catches what Jaccard resemblance misses — a
+    short document quoted or embedded inside a long one scores near 1.0
+    containment but near-zero Jaccard (the quote/subset/boilerplate-
+    inclusion dedup mode; `ngram_jaccard_pairs` is the resemblance twin
+    and deliberately filters those pairs out). Output carries BOTH
+    measures, so the interesting rows are exactly
+    high-containment/low-jaccard.
+
+    Scale shape: identical to the Jaccard path — rare-shingle blocking
+    (df ≤ {_RARE_MAX}) bounds the per-shingle pair expansion, one
+    shingle-keyed equi-join, one pair-keyed partial agg, two broadcast
+    size joins. Containment adds zero extra shuffles: min(|A|,|B|) is
+    arithmetic over the already-joined sizes.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sd = shingles(docs, n=3)
+    rare = (
+        sd.groupBy("shingle").count().where(F.col("count") <= _RARE_MAX)
+        .select("shingle")
+    )
+    rs = sd.join(rare, "shingle")
+    sizes = rs.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    a = rs.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rs.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ov = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("overlap"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("overlap") / F.least("na", "nb").cast("double")
+    jac = F.col("overlap") / (
+        F.col("na") + F.col("nb") - F.col("overlap")
+    ).cast("double")
+    return (
+        ov.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(cont >= _CONTAIN_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            "overlap",
+            F.round(cont, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-source mirror matrix (which sources duplicate which)
+# ---------------------------------------------------------------------------
+
+_MIRROR_PREFIX_WORDS = 6
+
+_MIRROR_SQL = f"""
+    WITH h AS (SELECT doc_id, source,
+                      md5(array_to_string(list_slice(
+                            string_split(lower(trim(text)), ' '),
+                            1, {_MIRROR_PREFIX_WORDS}), ' ')) AS dig
+               FROM documents),
+    p AS (SELECT a.source AS src_a, b.source AS src_b
+          FROM h a JOIN h b
+            ON a.dig = b.dig AND a.doc_id < b.doc_id
+          WHERE a.source <> b.source),
+    m AS (SELECT LEAST(src_a, src_b) AS source_a,
+                 GREATEST(src_a, src_b) AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+          FROM p GROUP BY 1, 2)
+    SELECT source_a, source_b, n_dup_pairs
+    FROM m ORDER BY n_dup_pairs DESC, source_a, source_b
+    """
+
+
+@q("mirror_source_matrix", oracle=_MIRROR_SQL)
+def mirror_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source mirror detection: documents sharing the same opening
+    template (digest of the first 6 normalized words — the syndication/
+    boilerplate signature; exact-body digests almost never cross sources
+    because mirrors edit bylines and footers) appearing under DIFFERENT
+    sources, rolled up to an unordered source-pair matrix — the
+    diagnostic every crawl curator runs to find mirrors, scrapers, and
+    syndication networks (then collapses them in `corpus_mix_plan`'s
+    weights). Within-source template reuse is excluded (in-house
+    boilerplate, already visible in `line_dedup_stats`).
+
+    Scale shape: one digest-keyed equi-join (the same one-shuffle shape
+    as exact dedup — the digest partial-aggs map-side before pairing at
+    scale via a group-then-expand, and the `doc_id <` orientation halves
+    the pair space), one pair-keyed rollup. The matrix is ≤ |sources|²
+    rows — broadcast-scale output.
+    """
+    docs = t(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.split(F.lower(F.trim("text")), " "),
+                        1,
+                        _MIRROR_PREFIX_WORDS,
+                    ),
+                ),
+                "utf-8",
+            )
+        ).alias("dig"),
+    )
+    a = h.select(
+        F.col("dig").alias("dig"),
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src_a"),
+    )
+    b = h.select(
+        F.col("dig").alias("dig_b"),
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src_b"),
+    )
+    p = a.join(b, (F.col("dig") == F.col("dig_b")) & (F.col("id_a") < F.col("id_b"))).where(
+        F.col("src_a") != F.col("src_b")
+    )
+    return (
+        p.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_dup_pairs"))
+        .orderBy(F.desc("n_dup_pairs"), "source_a", "source_b")
+    )

@@ -264,3 +264,61 @@ def test_leakage_safe_split_group_integrity(spark):
     assert sum(r["n_docs"] for r in rows1) == docs.count()
     splits = {r["split"] for r in rows1}
     assert splits == {"train", "val", "test"}
+
+
+def test_containment_pairs_reference_and_identity(spark):
+    """Containment ≥ Jaccard for every pair (min ≤ union identity), and a
+    plain-Python recompute over the rare-blocked shingle sets agrees."""
+    from osmgraft import contract_text as ct
+
+    rows = ct.containment_pairs(spark, SF_CORRECT).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet").collect()
+    }
+    sets: dict[int, set[str]] = {}
+    df_count: dict[str, int] = {}
+    for did, text in docs.items():
+        ws = text.split(" ")
+        sh = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        sets[did] = sh
+        for s in sh:
+            df_count[s] = df_count.get(s, 0) + 1
+    rare = {s for s, c in df_count.items() if c <= ct._RARE_MAX}
+    blocked = {d: s & rare for d, s in sets.items()}
+    for r in rows:
+        a, b = blocked[r["doc_a"]], blocked[r["doc_b"]]
+        ov = len(a & b)
+        assert r["overlap"] == ov
+        cont = ov / min(len(a), len(b))
+        jac = ov / (len(a) + len(b) - ov)
+        assert abs(r["containment"] - round(cont, 4)) < 1e-9
+        assert abs(r["jaccard"] - round(jac, 4)) < 1e-9
+        assert r["containment"] >= r["jaccard"]
+
+
+def test_mirror_matrix_counts_cross_source_templates(spark):
+    """Recompute the cross-source template-prefix pair matrix in Python."""
+    from osmgraft import contract_text as ct
+
+    rows = {
+        (r["source_a"], r["source_b"]): r["n_dup_pairs"]
+        for r in ct.mirror_source_matrix(spark, SF_CORRECT).collect()
+    }
+    assert rows
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "source", "text").collect()
+    by_dig: dict[str, list] = {}
+    for r in docs:
+        pref = " ".join(r["text"].strip().lower().split(" ")[: ct._MIRROR_PREFIX_WORDS])
+        by_dig.setdefault(pref, []).append((r["doc_id"], r["source"]))
+    exp: dict[tuple, int] = {}
+    for members in by_dig.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (ia, sa), (ib, sb) = members[i], members[j]
+                if sa != sb:
+                    key = (min(sa, sb), max(sa, sb))
+                    exp[key] = exp.get(key, 0) + 1
+    assert rows == exp

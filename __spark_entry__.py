@@ -90,7 +90,7 @@ _SESSION3_NEW = (
     "frontier_bfs_depths", "html_text_extract", "robots_allow_audit",
     "ewma_daily_values", "weighted_sample_topk", "corpus_mix_plan",
     "geohash_cell_counts", "leakage_safe_split", "bot_regularity_profile",
-    "containment_pairs", "mirror_source_matrix",
+    "containment_pairs", "mirror_source_matrix", "redirect_resolution",
 )
 
 

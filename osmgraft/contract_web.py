@@ -2165,3 +2165,114 @@ def bot_regularity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("gap_cv", "user_id")
         .limit(_BOT_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution via pointer doubling
+# ---------------------------------------------------------------------------
+
+_RD_MOD = 5       # doc_id % 5 == 0 pages are redirects
+_RD_ROUNDS = 3    # doubling rounds: resolves chains up to 2^3 = 8 hops
+
+_REDIRECT_SQL = f"""
+    WITH RECURSIVE n AS (SELECT COUNT(*) AS nn FROM documents),
+    f AS (SELECT doc_id,
+                 doc_id % {_RD_MOD} = 0 AS is_rd,
+                 (doc_id * 7 + doc_id // 5) % nn AS nxt
+          FROM documents, n),
+    rd AS (SELECT doc_id, nxt FROM f WHERE is_rd),
+    walk(start, cur, hops) AS (
+      SELECT doc_id, nxt, 1 FROM rd
+      UNION ALL
+      SELECT w.start, r.nxt, w.hops + 1
+      FROM walk w JOIN rd r ON r.doc_id = w.cur
+      WHERE w.hops < {1 << _RD_ROUNDS}),
+    res AS (SELECT start, MIN(hops) AS hops
+            FROM walk WHERE cur NOT IN (SELECT doc_id FROM rd)
+            GROUP BY start),
+    lab AS (
+      SELECT r.doc_id,
+             COALESCE(res.hops, -1) AS hops
+      FROM rd r LEFT JOIN res ON res.start = r.doc_id)
+    SELECT hops, CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM lab GROUP BY hops ORDER BY hops
+    """
+
+
+@q("redirect_resolution", oracle=_REDIRECT_SQL)
+def redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING: every redirect page
+    points at `(id·7 + id//5) mod N`; chains (and cycles) form a functional
+    graph (the `id//5` term breaks the affine map's modular structure —
+    a plain `a·id+b` step sends the redirect residue class to one fixed
+    class, making every chain length 1 or ∞), and each page must resolve
+    to its canonical terminal — the
+    crawl-normalization step behind `crawl_latest_snapshot`. The naive
+    resolver walks one hop per round (O(chain length) shuffles); this one
+    SQUARES the pointer each round — after r rounds every pointer has
+    advanced 2^r hops — so 3 rounds resolve every chain up to 8 hops and
+    anything still pointing at a redirect is flagged -1 (cycle or
+    over-length). Output: hops-to-terminal histogram.
+
+    The doubling state is (ptr, hops, done); a round self-joins the state
+    on ptr and adds the pointee's hop count — the classic parallel
+    pointer-jumping recurrence (log-diameter rounds of key-partitioned
+    equi-joins, the same shape `dedup_clusters` uses for components but
+    with path-LENGTH accounting, which label propagation doesn't give).
+    The oracle walks hop-by-hop with a recursive CTE instead — two
+    different algorithms, same answer, which is the point of pairing.
+
+    Scale shape: each round is ONE equi-join keyed by the current
+    pointer over ONLY the unresolved rows (resolved rows exit the join
+    early); no driver-side iteration state, lineage bounded by the fixed
+    round count.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    nn = docs.count()
+    did = F.col("doc_id")
+    f = docs.select(
+        "doc_id",
+        (did % _RD_MOD == 0).alias("is_rd"),
+        ((did * 7 + F.floor(did / 5).cast("long")) % nn).alias("nxt"),
+    )
+    rd = f.where("is_rd").select("doc_id", "nxt")
+    terminals = f.where(~F.col("is_rd")).select(F.col("doc_id").alias("t_id"))
+    # state: start, ptr, hops, done (ptr is terminal)
+    state = rd.join(
+        terminals, rd.nxt == terminals.t_id, "left"
+    ).select(
+        F.col("doc_id").alias("start"),
+        F.col("nxt").alias("ptr"),
+        F.lit(1).alias("hops"),
+        F.col("t_id").isNotNull().alias("done"),
+    )
+    for _ in range(_RD_ROUNDS):
+        pointee = state.select(
+            F.col("start").alias("p_id"),
+            F.col("ptr").alias("p_ptr"),
+            F.col("hops").alias("p_hops"),
+            F.col("done").alias("p_done"),
+        )
+        undone = state.where(~F.col("done"))
+        jumped = undone.join(
+            pointee, undone.ptr == pointee.p_id, "inner"
+        ).select(
+            "start",
+            F.col("p_ptr").alias("ptr"),
+            (F.col("hops") + F.col("p_hops")).alias("hops"),
+            F.col("p_done").alias("done"),
+        )
+        # an unresolved pointer aimed at a TERMINAL page (not in the state
+        # key set) resolves directly — it has no pointee row to join
+        direct = undone.join(
+            pointee, undone.ptr == pointee.p_id, "left_anti"
+        ).select("start", "ptr", "hops", F.lit(True).alias("done"))
+        state = state.where("done").unionAll(jumped).unionAll(direct)
+    out = state.select(
+        "start", F.when(F.col("done"), F.col("hops")).otherwise(-1).alias("hops")
+    )
+    return (
+        out.groupBy("hops")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+        .orderBy("hops")
+    )

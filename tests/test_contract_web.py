@@ -580,3 +580,30 @@ def test_bot_regularity_power_sum_variance(spark):
     plan = cw.bot_regularity_profile(spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("hashpartitioning(user_id") <= 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_redirect_doubling_matches_python_walk(spark):
+    """Walk the functional redirect graph hop-by-hop in Python (the
+    oracle's algorithm) and compare the doubling implementation's
+    histogram; chains past 2^rounds hops and cycles must report -1."""
+    rows = {r["hops"]: r["n_urls"] for r in cw.redirect_resolution(spark, SF_CORRECT).collect()}
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id").collect()
+    )
+    nn = len(ids)
+    is_rd = lambda i: i % cw._RD_MOD == 0  # noqa: E731
+    nxt = lambda i: (i * 7 + i // 5) % nn  # noqa: E731
+    exp: dict[int, int] = {}
+    cap = 1 << cw._RD_ROUNDS
+    for i in ids:
+        if not is_rd(i):
+            continue
+        cur, hops = nxt(i), 1
+        while is_rd(cur) and hops < cap:
+            cur, hops = nxt(cur), hops + 1
+        h = hops if not is_rd(cur) else -1
+        exp[h] = exp.get(h, 0) + 1
+    assert rows == exp
+    assert sum(rows.values()) == sum(1 for i in ids if is_rd(i))

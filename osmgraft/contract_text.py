@@ -1228,3 +1228,51 @@ def mirror_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_dup_pairs"))
         .orderBy(F.desc("n_dup_pairs"), "source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# language confusion matrix (declared vs predicted)
+# ---------------------------------------------------------------------------
+
+_LANG_CONFUSION_SQL = f"""
+    WITH pred AS ({_LANG_ID_ORACLE.replace("ORDER BY doc_id", "")})
+    SELECT d.lang AS declared_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.lang = p.pred_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY declared_lang, p.pred_lang
+    ORDER BY declared_lang, p.pred_lang
+    """
+
+
+@q("lang_confusion_matrix", oracle=_LANG_CONFUSION_SQL)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-metadata QA: confusion matrix between the DECLARED lang
+    column (crawl metadata — HTTP headers / html lang attributes, wrong
+    embarrassingly often in real crawls) and the engine's marker-word
+    `lang_id` prediction. The per-cell counts are what a corpus curator
+    reads to decide whether to trust metadata, the classifier, or
+    neither per language — the standard pre-filter audit before
+    `corpus_mix_plan` allocates by language.
+
+    Scale shape: the prediction is the same scan-only expression stack
+    as `lang_id` (no UDF); the matrix is ONE partial-agg shuffle on the
+    (declared, predicted) pair — ≤ |langs|² rows out; the join back to
+    the declared column is keyed by doc_id on the same scan.
+    """
+    docs = t(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "pred_lang")
+    out = docs.select("doc_id", F.col("lang").alias("declared_lang")).join(
+        pred, "doc_id"
+    )
+    return (
+        out.groupBy("declared_lang", "pred_lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("declared_lang") == F.col("pred_lang")).cast("long")
+            ).cast("long").alias("n_agree"),
+        )
+        .orderBy("declared_lang", "pred_lang")
+    )

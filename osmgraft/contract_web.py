@@ -2276,3 +2276,108 @@ def redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_urls"))
         .orderBy("hops")
     )
+
+
+# ---------------------------------------------------------------------------
+# anchor-text index (per-target-host top anchor terms)
+# ---------------------------------------------------------------------------
+
+_ANCHOR_TOP = 3
+
+_ANCHOR_SQL = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+               WHERE len(string_split(text, ' ')) >= 4),
+    pages AS (
+      SELECT doc_id,
+             '<html><body><a href="https://example-'
+             || CAST((doc_id + 1) % 7 AS VARCHAR) || '.co.uk/p">'
+             || arr[1] || ' ' || arr[2] || '</a>'
+             || CASE WHEN doc_id % 3 >= 1 THEN
+                  '<a href="https://example-'
+                  || CAST((doc_id + 4) % 7 AS VARCHAR) || '.co.uk/q">'
+                  || arr[3] || ' ' || arr[4] || '</a>' ELSE '' END
+             || '</body></html>' AS html
+      FROM d),
+    ax AS (
+      SELECT regexp_extract_all(html, 'href="https://([^/"]+)', 1) AS hosts,
+             regexp_extract_all(html, '">([^<]+)</a>', 1) AS texts
+      FROM pages),
+    pairs AS (
+      SELECT UNNEST(hosts) AS dst_host, UNNEST(texts) AS anchor
+      FROM ax),
+    terms AS (
+      SELECT dst_host, UNNEST(string_split(anchor, ' ')) AS term
+      FROM pairs),
+    c AS (SELECT dst_host, term, CAST(COUNT(*) AS BIGINT) AS n
+          FROM terms GROUP BY dst_host, term),
+    r AS (SELECT dst_host, term, n,
+                 ROW_NUMBER() OVER (PARTITION BY dst_host
+                                    ORDER BY n DESC, term) AS rank
+          FROM c)
+    SELECT dst_host, term, n, rank
+    FROM r WHERE rank <= {_ANCHOR_TOP} ORDER BY dst_host, rank
+    """
+
+
+@q("anchor_text_index", oracle=_ANCHOR_SQL)
+def anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index: what the WEB says a page is about — the classic
+    off-page ranking signal (anchor terms aggregated per TARGET host,
+    not per source page). Synthesizes anchors whose link text comes from
+    the linking document's words, extracts (href host, anchor text) with
+    two aligned regexp_extract_all passes (both arrays index the same
+    anchors in document order — zipped in-row, no join), explodes anchor
+    terms, and keeps each target's top-3 terms by count.
+
+    Scale shape: extraction is per-row JVM regex; the term rollup is ONE
+    partial-agg shuffle on (dst_host, term); the top-3 cut is a
+    host-keyed window over the POST-AGG term relation (bounded by
+    per-host vocabulary, hash-partitioned by host — the same
+    two-phase-top-k discipline as `tfidf_top_terms`). This is the map
+    side of the anchor-text posting list a web-scale ranker builds.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    arr = F.split("text", " ")
+    d = d.where(F.size(arr) >= 4).select(
+        "doc_id", arr.alias("arr")
+    )
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="https://example-'),
+        ((did + 1) % 7).cast("string"),
+        F.lit('.co.uk/p">'),
+        F.element_at("arr", 1), F.lit(" "), F.element_at("arr", 2),
+        F.lit("</a>"),
+        F.when(
+            did % 3 >= 1,
+            F.concat(
+                F.lit('<a href="https://example-'),
+                ((did + 4) % 7).cast("string"),
+                F.lit('.co.uk/q">'),
+                F.element_at("arr", 3), F.lit(" "), F.element_at("arr", 4),
+                F.lit("</a>"),
+            ),
+        ).otherwise(""),
+        F.lit("</body></html>"),
+    )
+    ax = d.select(
+        F.regexp_extract_all(html, F.lit(r'href="https://([^/"]+)'), 1).alias("hosts"),
+        F.regexp_extract_all(html, F.lit(r'">([^<]+)</a>'), 1).alias("texts"),
+    )
+    pairs = ax.select(
+        F.explode(F.arrays_zip("hosts", "texts")).alias("z")
+    ).select(
+        F.col("z.hosts").alias("dst_host"), F.col("z.texts").alias("anchor")
+    )
+    terms = pairs.select(
+        "dst_host", F.explode(F.split("anchor", " ")).alias("term")
+    )
+    c = terms.groupBy("dst_host", "term").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), "term")
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _ANCHOR_TOP)
+        .orderBy("dst_host", "rank")
+    )

@@ -322,3 +322,48 @@ def test_mirror_matrix_counts_cross_source_templates(spark):
                     key = (min(sa, sb), max(sa, sb))
                     exp[key] = exp.get(key, 0) + 1
     assert rows == exp
+
+
+def test_lang_confusion_diagonal_and_accounting(spark):
+    """Matrix cells account for every document; n_agree is n_docs on the
+    diagonal and 0 off it; the word-soup fixture must show meaningful
+    diagonal mass for at least one language."""
+    from osmgraft import contract_text as ct
+
+    rows = ct.lang_confusion_matrix(spark, SF_CORRECT).collect()
+    total = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        if r["declared_lang"] == r["pred_lang"]:
+            assert r["n_agree"] == r["n_docs"]
+        else:
+            assert r["n_agree"] == 0
+    diag = sum(r["n_docs"] for r in rows if r["declared_lang"] == r["pred_lang"])
+    assert diag > 0
+
+
+def test_anchor_text_terms_come_from_linking_docs(spark):
+    """Every reported anchor term must be one of the first 4 words of
+    some linking document, each host reports at most top-3 with ranks
+    1..k, and counts are non-increasing within a host."""
+    from osmgraft import contract_web as cwq
+
+    rows = cwq.anchor_text_index(spark, SF_CORRECT).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "text").collect()
+    lead_words = set()
+    for r in docs:
+        ws = r["text"].split(" ")
+        if len(ws) >= 4:
+            lead_words.update(ws[:4])
+    per_host: dict[str, list] = {}
+    for r in rows:
+        assert r["term"] in lead_words
+        per_host.setdefault(r["dst_host"], []).append(r)
+    for host, rs in per_host.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        ns = [r["n"] for r in rs]
+        assert ns == sorted(ns, reverse=True)
+        assert len(rs) <= cwq._ANCHOR_TOP

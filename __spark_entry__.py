@@ -91,7 +91,8 @@ _SESSION3_NEW = (
     "ewma_daily_values", "weighted_sample_topk", "corpus_mix_plan",
     "geohash_cell_counts", "leakage_safe_split", "bot_regularity_profile",
     "containment_pairs", "mirror_source_matrix", "redirect_resolution",
-    "anchor_text_index", "lang_confusion_matrix",
+    "anchor_text_index", "lang_confusion_matrix", "compaction_bin_plan",
+    "zonemap_prune_audit",
 )
 
 

@@ -1120,3 +1120,160 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# small-files compaction plan (per-partition streaming bin-pack)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 40  # target bin size (proxy units = row counts)
+
+_COMPACT_SQL = f"""
+    WITH files AS (
+      SELECT event_id % 7 AS part, event_id % 173 AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS size_u
+      FROM events GROUP BY part, file_id),
+    binned AS (
+      SELECT part, file_id, size_u,
+             CAST(FLOOR((SUM(size_u) OVER (PARTITION BY part
+                                           ORDER BY file_id) - size_u)
+                        / {_COMPACT_TARGET}.0e0) AS BIGINT) AS bin
+      FROM files)
+    SELECT part, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(size_u) AS BIGINT) AS bin_size
+    FROM binned GROUP BY part, bin ORDER BY part, bin
+    """
+
+
+@q("compaction_bin_plan", oracle=_COMPACT_SQL)
+def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning (the Iceberg
+    `rewrite_data_files` / OPTIMIZE bin-packing stage — the maintenance
+    job every 10^12-row table needs or scans drown in file-open
+    overhead): per table partition, files stream in key order into bins
+    by cumulative size — `bin = floor(size_before / target)` — the
+    deterministic streaming bin-pack (first-fit in sorted order), then
+    the plan reports each output bin's file count and size.
+
+    Scale shape: file metadata (NOT data) is the input — one partial agg
+    builds the per-file sizes, the cum-sum window is keyed by TABLE
+    PARTITION (the natural compaction unit — bins never span partitions,
+    so the window never collapses to one task), and the plan output is
+    O(bins). The rewrite this plan drives then touches each input file
+    exactly once.
+    """
+    ev = t(spark, sf_dir, "events").select("event_id")
+    files = (
+        ev.groupBy(
+            (F.col("event_id") % 7).alias("part"),
+            (F.col("event_id") % 173).alias("file_id"),
+        )
+        .agg(F.count("*").cast("long").alias("size_u"))
+    )
+    w = Window.partitionBy("part").orderBy("file_id")
+    binned = files.select(
+        "part",
+        "file_id",
+        "size_u",
+        F.floor(
+            (F.sum("size_u").over(w) - F.col("size_u"))
+            / float(_COMPACT_TARGET)
+        ).cast("long").alias("bin"),
+    )
+    return (
+        binned.groupBy("part", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("size_u").cast("long").alias("bin_size"),
+        )
+        .orderBy("part", "bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# zone-map pruning effectiveness (clustered vs scattered layout)
+# ---------------------------------------------------------------------------
+
+_ZM_FILES = 50
+_ZM_LO, _ZM_HI = 200, 240  # range predicate on n_chars
+
+_ZONEMAP_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM documents),
+    assigned AS (
+      SELECT 'clustered' AS layout,
+             CAST(FLOOR((rnk - 1) * {_ZM_FILES} / CAST(n AS DOUBLE))
+                  AS BIGINT) AS file_id,
+             n_chars
+      FROM d
+      UNION ALL
+      SELECT 'scattered', doc_id % {_ZM_FILES}, n_chars FROM d),
+    zones AS (
+      SELECT layout, file_id,
+             MIN(n_chars) AS zmin, MAX(n_chars) AS zmax
+      FROM assigned GROUP BY layout, file_id)
+    SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN zmax < {_ZM_LO} OR zmin > {_ZM_HI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           ROUND(SUM(CASE WHEN zmax < {_ZM_LO} OR zmin > {_ZM_HI}
+                          THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS pruned_pct
+    FROM zones GROUP BY layout ORDER BY layout
+    """
+
+
+@q("zonemap_prune_audit", oracle=_ZONEMAP_SQL)
+def zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (parquet min/max) pruning effectiveness audit: the same
+    rows written under two layouts — CLUSTERED (sorted by the predicate
+    column at write time, each file takes a contiguous value slice) vs
+    SCATTERED (hash placement) — then a range predicate is tested
+    against each file's min/max zone. Clustered layouts prune almost
+    every file; scattered layouts prune none: THE quantified argument
+    for sort-order/Z-order table maintenance at 100 TB, where a pruned
+    file is IO that never happens (`geohash`/`quadkey` docstrings claim
+    this property — this query measures it).
+
+    Scale shape: zone construction is one (layout, file) partial agg;
+    the audit output is O(files). The global rank that builds the
+    clustered layout stands in for the write-time sort (at production
+    scale that's the range-partitioned write — `value_deciles`' ranking
+    machinery — not a query-time window; documented, and the relation
+    here is the post-scan document set, not raw events).
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n = d.count()
+    w = Window.orderBy("n_chars", "doc_id")
+    clustered = d.select(
+        F.lit("clustered").alias("layout"),
+        F.floor(
+            (F.row_number().over(w) - 1) * _ZM_FILES / float(n)
+        ).cast("long").alias("file_id"),
+        "n_chars",
+    )
+    scattered = d.select(
+        F.lit("scattered").alias("layout"),
+        (F.col("doc_id") % _ZM_FILES).alias("file_id"),
+        "n_chars",
+    )
+    zones = (
+        clustered.unionAll(scattered)
+        .groupBy("layout", "file_id")
+        .agg(F.min("n_chars").alias("zmin"), F.max("n_chars").alias("zmax"))
+    )
+    pruned = ((F.col("zmax") < _ZM_LO) | (F.col("zmin") > _ZM_HI)).cast("long")
+    return (
+        zones.groupBy("layout")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(pruned).cast("long").alias("n_pruned"),
+            F.round(F.sum(pruned) / F.count("*").cast("double"), 4).alias(
+                "pruned_pct"
+            ),
+        )
+        .orderBy("layout")
+    )

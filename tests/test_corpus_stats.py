@@ -367,3 +367,53 @@ def test_anchor_text_terms_come_from_linking_docs(spark):
         ns = [r["n"] for r in rs]
         assert ns == sorted(ns, reverse=True)
         assert len(rs) <= cwq._ANCHOR_TOP
+
+
+def test_compaction_bins_bounded_and_lossless(spark):
+    """Streaming bin-pack invariants: total size is preserved, every bin
+    except possibly a partition's last is ≥ target OR ends a partition,
+    and no bin exceeds target + max single file (the streaming bound)."""
+    rows = cc.compaction_bin_plan(spark, SF_CORRECT).collect()
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    assert sum(r["bin_size"] for r in rows) == ev.count()
+    files = (
+        ev.groupBy(
+            (F.col("event_id") % 7).alias("part"),
+            (F.col("event_id") % 173).alias("file_id"),
+        )
+        .count().collect()
+    )
+    max_file = max(r["count"] for r in files)
+    per_part: dict[int, list] = {}
+    for r in rows:
+        per_part.setdefault(r["part"], []).append(r)
+    for part, rs in per_part.items():
+        rs.sort(key=lambda r: r["bin"])
+        for r in rs[:-1]:
+            # a non-final bin closed because cum size crossed the target
+            assert r["bin_size"] + max_file > cc._COMPACT_TARGET
+        for r in rs:
+            assert r["bin_size"] <= cc._COMPACT_TARGET + max_file
+
+
+def test_zonemap_clustered_prunes_scattered_does_not(spark):
+    """Recompute both layouts' zone maps in Python; clustered pruning
+    must dominate scattered by a wide margin (the sort-order argument)."""
+    rows = {r["layout"]: r for r in cc.zonemap_prune_audit(spark, SF_CORRECT).collect()}
+    docs = sorted(
+        ((r["n_chars"], r["doc_id"])
+         for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+         .select("doc_id", "n_chars").collect())
+    )
+    n = len(docs)
+    zones: dict[int, list] = {}
+    for rnk, (nc, did) in enumerate(docs):
+        f = int(rnk * cc._ZM_FILES / n)
+        zones.setdefault(f, []).append(nc)
+    pruned = sum(
+        1 for v in zones.values()
+        if max(v) < cc._ZM_LO or min(v) > cc._ZM_HI
+    )
+    assert rows["clustered"]["n_pruned"] == pruned
+    assert rows["clustered"]["n_files"] == cc._ZM_FILES
+    assert rows["clustered"]["pruned_pct"] >= rows["scattered"]["pruned_pct"] + 0.5

@@ -200,3 +200,165 @@ def track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-track segment intersections (cell-bucketed candidate join)
+# ---------------------------------------------------------------------------
+
+_XC_CS = 100000  # cell size; jitter box is one cell, so a segment spans ≤ 4
+
+_XC_PTS_CTE = """
+      SELECT user_id, event_id,
+             (user_id * 131) % 600000 + (event_id * 37) % 100000 AS x,
+             (user_id * 197) % 600000 + (event_id * 59) % 100000 AS y
+      FROM events WHERE user_id % 4 = 0
+"""
+
+_XC_SQL = f"""
+    WITH pts AS ({_XC_PTS_CTE}),
+    sq AS (SELECT user_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS seq,
+                  x, y
+           FROM pts),
+    segs AS (
+      SELECT user_id, seq, x AS x2, y AS y2,
+             LAG(x) OVER (PARTITION BY user_id ORDER BY seq) AS x1,
+             LAG(y) OVER (PARTITION BY user_id ORDER BY seq) AS y1
+      FROM sq QUALIFY x1 IS NOT NULL),
+    cells AS (
+      SELECT s.*, cx, cy
+      FROM segs s,
+           UNNEST(range(LEAST(x1, x2) // {_XC_CS},
+                        GREATEST(x1, x2) // {_XC_CS} + 1)) t1(cx),
+           UNNEST(range(LEAST(y1, y2) // {_XC_CS},
+                        GREATEST(y1, y2) // {_XC_CS} + 1)) t2(cy)),
+    cand AS (
+      SELECT DISTINCT
+             a.user_id AS ua, a.seq AS sa,
+             a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+             b.user_id AS ub, b.seq AS sb,
+             b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+      FROM cells a JOIN cells b
+        ON a.cx = b.cx AND a.cy = b.cy AND a.user_id < b.user_id),
+    hits AS (
+      SELECT ua, ub FROM cand
+      WHERE SIGN((ax2 - ax1) * (by1 - ay1) - (bx1 - ax1) * (ay2 - ay1))
+          * SIGN((ax2 - ax1) * (by2 - ay1) - (bx2 - ax1) * (ay2 - ay1)) < 0
+        AND SIGN((bx2 - bx1) * (ay1 - by1) - (ax1 - bx1) * (by2 - by1))
+          * SIGN((bx2 - bx1) * (ay2 - by1) - (ax2 - bx1) * (by2 - by1)) < 0)
+    SELECT ua AS user_a, ub AS user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_crossings
+    FROM hits GROUP BY user_a, user_b
+    ORDER BY n_crossings DESC, user_a, user_b LIMIT 20
+    """
+
+
+@q("track_crossings", oracle=_XC_SQL)
+def track_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-track segment intersections (road-crossing / encounter
+    analytics): tracks are locality-synthesized (per-user anchor + one-
+    cell jitter — GPS tracks are spatially LOCAL, which is exactly what
+    makes the cell strategy work; the global-random fixture points would
+    make every bbox span the map), segments come from a per-user LAG,
+    candidate pairs from an EQUI-join on shared grid cells (a segment
+    spans ≤ 4 cells by construction), duplicates from multi-cell overlap
+    removed by DISTINCT before the exact test, and the exact test is the
+    classic orientation predicate — integer coordinates make every cross
+    product EXACT in int64, and comparing SIGN products avoids the
+    d1·d2 overflow (crosses ~5e11; their product would not fit).
+
+    Scale shape: the quadratic risk lives only inside a cell (the
+    standard spatial-join bound — salting via `hot_cell_salted_profile`'s
+    machinery if a cell is London-hot); everything else is windows keyed
+    by user, one cell-keyed equi-join, one pair-keyed dedup + rollup,
+    TakeOrderedAndProject for the top-20.
+    """
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") % 4 == 0)
+    uid, eid = F.col("user_id"), F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        ((uid * 131) % 600000 + (eid * 37) % 100000).alias("x"),
+        ((uid * 197) % 600000 + (eid * 59) % 100000).alias("y"),
+    )
+    wseq = Window.partitionBy("user_id").orderBy("event_id")
+    sq = pts.select(
+        "user_id", F.row_number().over(wseq).alias("seq"), "x", "y"
+    )
+    wlag = Window.partitionBy("user_id").orderBy("seq")
+    segs = sq.select(
+        "user_id",
+        "seq",
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        F.lag("x").over(wlag).alias("x1"),
+        F.lag("y").over(wlag).alias("y1"),
+    ).where(F.col("x1").isNotNull())
+    cs = _XC_CS
+    cells = (
+        segs.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.least("x1", "x2") / cs).cast("long"),
+                    F.floor(F.greatest("x1", "x2") / cs).cast("long"),
+                )
+            ).alias("cx"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.least("y1", "y2") / cs).cast("long"),
+                    F.floor(F.greatest("y1", "y2") / cs).cast("long"),
+                )
+            ).alias("cy"),
+        )
+    )
+    a = cells.select(
+        F.col("user_id").alias("ua"), F.col("seq").alias("sa"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+        F.col("x2").alias("ax2"), F.col("y2").alias("ay2"),
+        "cx", "cy",
+    )
+    b = cells.select(
+        F.col("user_id").alias("ub"), F.col("seq").alias("sb"),
+        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+        F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
+        F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("cx") == F.col("bcx"))
+            & (F.col("cy") == F.col("bcy"))
+            & (F.col("ua") < F.col("ub")),
+        )
+        .drop("cx", "cy", "bcx", "bcy")
+        .distinct()
+    )
+    d1 = (F.col("ax2") - F.col("ax1")) * (F.col("by1") - F.col("ay1")) - (
+        F.col("bx1") - F.col("ax1")
+    ) * (F.col("ay2") - F.col("ay1"))
+    d2 = (F.col("ax2") - F.col("ax1")) * (F.col("by2") - F.col("ay1")) - (
+        F.col("bx2") - F.col("ax1")
+    ) * (F.col("ay2") - F.col("ay1"))
+    d3 = (F.col("bx2") - F.col("bx1")) * (F.col("ay1") - F.col("by1")) - (
+        F.col("ax1") - F.col("bx1")
+    ) * (F.col("by2") - F.col("by1"))
+    d4 = (F.col("bx2") - F.col("bx1")) * (F.col("ay2") - F.col("by1")) - (
+        F.col("ax2") - F.col("bx1")
+    ) * (F.col("by2") - F.col("by1"))
+    hits = cand.where(
+        (F.signum(d1) * F.signum(d2) < 0) & (F.signum(d3) * F.signum(d4) < 0)
+    )
+    return (
+        hits.groupBy(
+            F.col("ua").alias("user_a"), F.col("ub").alias("user_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_crossings"))
+        .orderBy(F.desc("n_crossings"), "user_a", "user_b")
+        .limit(20)
+    )

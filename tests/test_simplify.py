@@ -61,3 +61,59 @@ def test_dp_tiny_inputs():
     assert dp_keep_mask(
         np.array([1.0, 2.0]), np.array([2.0, 3.0]), 1.0
     ).tolist() == [True, True]
+
+
+def test_track_crossings_matches_bruteforce(spark):
+    """Recompute ALL cross-user segment intersections by brute force with
+    exact integer orientation tests and compare the engine's top-20 —
+    proves the cell-bucketed candidate join misses nothing (the shared-
+    cell guarantee: two crossing segments always share the cell of the
+    intersection point) and double-counts nothing."""
+    from osmgraft.contract_tracks import track_crossings
+    from tests.conftest import SF_CORRECT
+
+    rows = [tuple(r) for r in track_crossings(spark, SF_CORRECT).collect()]
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .select("user_id", "event_id")
+        .where("user_id % 4 = 0")
+        .collect()
+    )
+    tracks: dict[int, list] = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["event_id"])):
+        u, e = r["user_id"], r["event_id"]
+        tracks.setdefault(u, []).append(
+            ((u * 131) % 600000 + (e * 37) % 100000,
+             (u * 197) % 600000 + (e * 59) % 100000)
+        )
+    segs = [
+        (u, a, b)
+        for u, pts in tracks.items()
+        for a, b in zip(pts, pts[1:])
+    ]
+
+    def sgn(v):
+        return (v > 0) - (v < 0)
+
+    def crosses(p1, p2, q1, q2):
+        d1 = (p2[0] - p1[0]) * (q1[1] - p1[1]) - (q1[0] - p1[0]) * (p2[1] - p1[1])
+        d2 = (p2[0] - p1[0]) * (q2[1] - p1[1]) - (q2[0] - p1[0]) * (p2[1] - p1[1])
+        d3 = (q2[0] - q1[0]) * (p1[1] - q1[1]) - (p1[0] - q1[0]) * (q2[1] - q1[1])
+        d4 = (q2[0] - q1[0]) * (p2[1] - q1[1]) - (p2[0] - q1[0]) * (q2[1] - q1[1])
+        return sgn(d1) * sgn(d2) < 0 and sgn(d3) * sgn(d4) < 0
+
+    counts: dict[tuple, int] = {}
+    for i in range(len(segs)):
+        ua, a1, a2 = segs[i]
+        for j in range(i + 1, len(segs)):
+            ub, b1, b2 = segs[j]
+            if ua == ub:
+                continue
+            if crosses(a1, a2, b1, b2):
+                key = (min(ua, ub), max(ua, ub))
+                counts[key] = counts.get(key, 0) + 1
+    exp = sorted(
+        ((ua, ub, n) for (ua, ub), n in counts.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:20]
+    assert rows == exp

@@ -92,7 +92,7 @@ _SESSION3_NEW = (
     "geohash_cell_counts", "leakage_safe_split", "bot_regularity_profile",
     "containment_pairs", "mirror_source_matrix", "redirect_resolution",
     "anchor_text_index", "lang_confusion_matrix", "compaction_bin_plan",
-    "zonemap_prune_audit", "track_crossings",
+    "zonemap_prune_audit", "track_crossings", "ks_value_drift",
 )
 
 

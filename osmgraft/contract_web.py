@@ -2381,3 +2381,86 @@ def anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _ANCHOR_TOP)
         .orderBy("dst_host", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# KS two-sample drift detection between snapshot halves
+# ---------------------------------------------------------------------------
+
+_KS_SPLIT_DAY = 16  # days 1-15 = sample A, 16+ = sample B
+
+_KS_SQL = f"""
+    WITH e AS (
+      SELECT event_type, value, event_id,
+             CASE WHEN dayofmonth(ts) < {_KS_SPLIT_DAY} THEN 1 ELSE 0 END
+               AS in_a
+      FROM events),
+    n AS (SELECT event_type,
+                 CAST(SUM(in_a) AS BIGINT) AS n_a,
+                 CAST(SUM(1 - in_a) AS BIGINT) AS n_b
+          FROM e GROUP BY event_type),
+    c AS (SELECT e.event_type,
+                 SUM(e.in_a) OVER w / CAST(n.n_a AS DOUBLE)
+               - SUM(1 - e.in_a) OVER w / CAST(n.n_b AS DOUBLE) AS diff
+          FROM e JOIN n ON e.event_type = n.event_type
+          WINDOW w AS (PARTITION BY e.event_type
+                       ORDER BY e.value, e.event_id))
+    SELECT c.event_type, n.n_a, n.n_b,
+           ROUND(MAX(ABS(diff)), 6) AS ks_d
+    FROM c JOIN n ON c.event_type = n.event_type
+    GROUP BY c.event_type, n.n_a, n.n_b ORDER BY c.event_type
+    """
+
+
+@q("ks_value_drift", oracle=_KS_SQL)
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift detection: per event type, the
+    value distribution of the snapshot's first half (days < 16) against
+    its second half — KS D = max |F_A(v) − F_B(v)| over the pooled
+    sorted sample. THE distribution-drift gate a production pipeline
+    runs between crawl snapshots before retraining on the new data
+    (`daily_anomalies` catches volume shifts; this catches SHAPE shifts
+    volume metrics miss).
+
+    Exact, not binned: both empirical CDFs are running window sums over
+    the pooled sample ordered by (value, event_id) — the deterministic
+    tiebreak keeps every per-row CDF evaluation identical across
+    engines, so D pairs exactly at 6 dp.
+
+    Scale shape: one (type)-keyed count agg (broadcast back), ONE
+    type-keyed window over the pooled rows (keys parallelize; within a
+    key this is the sort KS fundamentally requires — at 10^12 rows per
+    key you'd run the binned variant via `hist_quantile_sketch`'s
+    counters instead, trading exactness for mergeability; both now
+    exist), one max rollup.
+    """
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.when(F.dayofmonth("ts") < _KS_SPLIT_DAY, 1).otherwise(0).alias("in_a"),
+    )
+    n = e.groupBy("event_type").agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = e.join(F.broadcast(n), "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (
+            F.sum("in_a").over(w) / F.col("n_a").cast("double")
+            - F.sum(1 - F.col("in_a")).over(w) / F.col("n_b").cast("double")
+        ).alias("diff"),
+    )
+    return (
+        c.groupBy("event_type", "n_a", "n_b")
+        .agg(F.round(F.max(F.abs("diff")), 6).alias("ks_d"))
+        .orderBy("event_type")
+    )

@@ -607,3 +607,30 @@ def test_redirect_doubling_matches_python_walk(spark):
         exp[h] = exp.get(h, 0) + 1
     assert rows == exp
     assert sum(rows.values()) == sum(1 for i in ids if is_rd(i))
+
+
+def test_ks_drift_matches_python_ks(spark):
+    """Recompute the two-sample KS statistic in plain Python per event
+    type (pooled-sort CDF walk) and compare; D must sit in [0, 1]."""
+    rows = {r["event_type"]: r for r in cw.ks_value_drift(spark, SF_CORRECT).collect()}
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet").select(
+        "event_type", "value", "event_id", "ts").collect()
+    samples: dict[str, list] = {}
+    for r in ev:
+        samples.setdefault(r["event_type"], []).append(
+            (r["value"], r["event_id"], 1 if r["ts"].day < cw._KS_SPLIT_DAY else 0)
+        )
+    for et, pts in samples.items():
+        pts.sort(key=lambda p: (p[0], p[1]))
+        n_a = sum(p[2] for p in pts)
+        n_b = len(pts) - n_a
+        ca = cb = 0
+        d = 0.0
+        for _, _, in_a in pts:
+            ca += in_a
+            cb += 1 - in_a
+            d = max(d, abs(ca / n_a - cb / n_b))
+        r = rows[et]
+        assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+        assert abs(r["ks_d"] - round(d, 6)) < 1e-9
+        assert 0.0 <= r["ks_d"] <= 1.0

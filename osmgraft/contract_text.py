@@ -1276,3 +1276,45 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("declared_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-language quantile normalization (percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+_QNORM_SQL = """
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+                                      ORDER BY n_chars), 6) AS len_pctrank,
+           ROUND(CUME_DIST() OVER (PARTITION BY lang
+                                   ORDER BY n_chars), 6) AS len_cume
+    FROM documents ORDER BY doc_id
+    """
+
+
+@q("quantile_normalize_lengths", oracle=_QNORM_SQL)
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile normalization of document length — the
+    feature-engineering transform that makes a length-based quality
+    threshold comparable ACROSS languages (a 400-char Chinese page and a
+    400-char German page sit at very different percentiles of their
+    language's distribution; thresholding the raw value, as the plain
+    `quality_scores` length band does, biases the corpus mix).
+    `percent_rank` = (rank−1)/(n−1) and `cume_dist` = rank_end/n are
+    both RANK-based, so ties need no arbitrary ordering — the outputs
+    are deterministic across engines and partitionings with no tiebreak
+    column at all (unlike every row_number query here).
+
+    Scale shape: ONE lang-keyed window over the scan (keys parallelize);
+    no joins, no second pass — rank normalization is exactly as
+    expensive as the sort the window needs.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.percent_rank().over(w), 6).alias("len_pctrank"),
+        F.round(F.cume_dist().over(w), 6).alias("len_cume"),
+    ).orderBy("doc_id")

@@ -417,3 +417,31 @@ def test_zonemap_clustered_prunes_scattered_does_not(spark):
     assert rows["clustered"]["n_pruned"] == pruned
     assert rows["clustered"]["n_files"] == cc._ZM_FILES
     assert rows["clustered"]["pruned_pct"] >= rows["scattered"]["pruned_pct"] + 0.5
+
+
+def test_quantile_normalization_rank_semantics(spark):
+    """percent_rank/cume_dist must follow the rank-based definitions
+    exactly (recomputed in Python per language, ties sharing values) and
+    ties in n_chars must produce identical normalized values."""
+    from osmgraft import contract_text as ct
+
+    rows = ct.quantile_normalize_lengths(spark, SF_CORRECT).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        vals = sorted(r["n_chars"] for r in rs)
+        n = len(vals)
+        import bisect
+
+        for r in rs:
+            lo = bisect.bisect_left(vals, r["n_chars"])
+            hi = bisect.bisect_right(vals, r["n_chars"])
+            pct = lo / (n - 1) if n > 1 else 0.0
+            cume = hi / n
+            assert abs(r["len_pctrank"] - round(pct, 6)) < 1e-9, (lang, r)
+            assert abs(r["len_cume"] - round(cume, 6)) < 1e-9
+        seen: dict[int, tuple] = {}
+        for r in rs:
+            key = (r["len_pctrank"], r["len_cume"])
+            assert seen.setdefault(r["n_chars"], key) == key  # ties identical

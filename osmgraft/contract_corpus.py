@@ -841,20 +841,25 @@ _WIN_K = 4  # words per shingle
 _WIN_W = 5  # shingles per winnowing window
 _WIN_P = 1000003  # polynomial-hash modulus (portable integer arithmetic)
 
+_WIN_B = 131  # word-hash combine multiplier
+
 _WINNOW_SQL = f"""
     WITH d0 AS (
       SELECT doc_id, string_split(text, ' ') AS arr FROM documents
       WHERE len(string_split(text, ' ')) >= {_WIN_K + _WIN_W - 1}),
+    wh AS (
+      SELECT doc_id,
+             list_transform(arr, w ->
+               list_reduce(list_prepend(0,
+                 list_transform(string_split(w, ''), c -> unicode(c))),
+                 (h, c) -> (h * 31 + c) % {_WIN_P})) AS whs
+      FROM d0),
     hsx AS (
       SELECT doc_id,
-             list_transform(range(1, len(arr) - {_WIN_K - 1} + 1), i ->
-               list_reduce(list_prepend(0,
-                 list_transform(
-                   string_split(array_to_string(
-                     list_slice(arr, i, i + {_WIN_K - 1}), ' '), ''),
-                   c -> unicode(c))),
-                 (h, c) -> (h * 31 + c) % {_WIN_P})) AS hs
-      FROM d0),
+             list_transform(range(1, len(whs) - {_WIN_K - 1} + 1), i ->
+               list_reduce(list_slice(whs, i, i + {_WIN_K - 1}),
+                 (h, v) -> (h * {_WIN_B} + v) % {_WIN_P})) AS hs
+      FROM wh),
     fpx AS (
       SELECT doc_id, len(hs) AS n_shingles,
              list_distinct(list_transform(
@@ -874,8 +879,10 @@ _WINNOW_SQL = f"""
 @q("winnowing_fingerprints", oracle=_WINNOW_SQL)
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
-    MOSS algorithm): hash every k-word shingle with a portable polynomial
-    rolling hash, then keep the MINIMUM hash of every w-shingle window —
+    MOSS algorithm): hash every word with a portable polynomial hash,
+    combine the k word-hashes of each shingle (h·131 + wh mod p — a
+    function of the k words only, so the detection guarantee is
+    unchanged), then keep the MINIMUM hash of every w-shingle window —
     the selected fingerprints are position-independent and guarantee that
     any shared run of ≥ w+k-1 words between two documents shares at least
     one fingerprint (the local-fingerprinting detection guarantee MinHash
@@ -897,14 +904,38 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     arr = "split(text, ' ')"
     d0 = docs.where(F.expr(f"size({arr}) >= {_WIN_K + _WIN_W - 1}")).select(
+        "doc_id", F.expr(arr).alias("arr")
+    )
+    # hash each WORD once (explode(array(..)) = Generate barrier, so the
+    # char fold is never re-inlined), then combine k word-hashes per
+    # shingle — ~5 chars/word of fold work instead of ~25 chars/shingle
+    # (the original concat-the-shingle form was the sweep's 300 s outlier
+    # at sf0.1: char folds recomputed under CollapseProject on BOTH
+    # engines)
+    wh = d0.select(
         "doc_id",
-        F.expr(
-            f"transform(sequence(1, size({arr}) - {_WIN_K - 1}), i -> "
-            f"aggregate(split(concat_ws(' ', slice({arr}, i, {_WIN_K})), ''),"
-            f" 0L, (h, c) -> (h * 31 + ascii(c)) % {_WIN_P}))"
+        F.explode(
+            F.array(
+                F.expr(
+                    f"transform(arr, w -> aggregate(split(w, ''), 0L,"
+                    f" (h, c) -> (h * 31 + ascii(c)) % {_WIN_P}))"
+                )
+            )
+        ).alias("whs"),
+    )
+    hsx = wh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.expr(
+                    f"transform(sequence(1, size(whs) - {_WIN_K - 1}), i -> "
+                    f"aggregate(slice(whs, i, {_WIN_K}), 0L,"
+                    f" (h, v) -> (h * {_WIN_B} + v) % {_WIN_P}))"
+                )
+            )
         ).alias("hs"),
     )
-    fpx = d0.select(
+    fpx = hsx.select(
         "doc_id",
         F.expr("size(hs)").cast("long").alias("n_shingles"),
         F.expr(

@@ -168,11 +168,17 @@ def test_winnowing_matches_reference_python(spark):
 
     def fps(text: str) -> set[int]:
         ws = text.split(" ")
+        whs = []
+        for w in ws:
+            h = 0
+            for ch in w:
+                h = (h * 31 + ord(ch)) % cc._WIN_P
+            whs.append(h)
         hs = []
         for i in range(len(ws) - cc._WIN_K + 1):
             h = 0
-            for ch in " ".join(ws[i : i + cc._WIN_K]):
-                h = (h * 31 + ord(ch)) % cc._WIN_P
+            for v in whs[i : i + cc._WIN_K]:
+                h = (h * cc._WIN_B + v) % cc._WIN_P
             hs.append(h)
         return {
             min(hs[j : j + cc._WIN_W])

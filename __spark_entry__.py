@@ -93,7 +93,7 @@ _SESSION3_NEW = (
     "containment_pairs", "mirror_source_matrix", "redirect_resolution",
     "anchor_text_index", "lang_confusion_matrix", "compaction_bin_plan",
     "zonemap_prune_audit", "track_crossings", "ks_value_drift",
-    "quantile_normalize_lengths",
+    "quantile_normalize_lengths", "title_editdist_pairs",
 )
 
 

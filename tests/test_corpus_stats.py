@@ -451,3 +451,45 @@ def test_quantile_normalization_rank_semantics(spark):
         for r in rs:
             key = (r["len_pctrank"], r["len_cume"])
             assert seen.setdefault(r["n_chars"], key) == key  # ties identical
+
+
+def test_editdist_pairs_python_reference(spark):
+    """Recompute blocked levenshtein pairs in plain Python (full
+    Wagner-Fischer) and compare exactly; every reported distance must be
+    ≥ 1 (equal titles excluded) and ≤ the cap; the typo-injected twins
+    must actually appear (distance 1 pairs exist)."""
+    from osmgraft import contract_text as ct
+
+    rows = [tuple(r) for r in ct.title_editdist_pairs(spark, SF_CORRECT).collect()]
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "text").collect()
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    titles = {}
+    for r in docs:
+        t0 = " ".join(r["text"].lower().split(" ")[:6])
+        titles[r["doc_id"]] = t0[:2] + t0[3:] if r["doc_id"] % 6 == 0 else t0
+    ids = sorted(titles)
+    exp = []
+    for i, da in enumerate(ids):
+        ta = titles[da]
+        for db in ids[i + 1:]:
+            tb = titles[db]
+            if ta == tb or ta[:2] != tb[:2] or abs(len(ta) - len(tb)) > ct._ED_MAX:
+                continue
+            d = lev(ta, tb)
+            if d <= ct._ED_MAX:
+                exp.append((da, db, d))
+    assert rows == sorted(exp)
+    assert rows and all(1 <= r[2] <= ct._ED_MAX for r in rows)
+    assert any(r[2] == 1 for r in rows)

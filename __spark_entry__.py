@@ -94,6 +94,7 @@ _SESSION3_NEW = (
     "anchor_text_index", "lang_confusion_matrix", "compaction_bin_plan",
     "zonemap_prune_audit", "track_crossings", "ks_value_drift",
     "quantile_normalize_lengths", "title_editdist_pairs",
+    "metric_correlation_matrix",
 )
 
 

@@ -2464,3 +2464,80 @@ def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.max(F.abs("diff")), 6).alias("ks_d"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-metric correlation matrix (pairwise Pearson over daily series)
+# ---------------------------------------------------------------------------
+
+_CORR_SQL = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             ROUND(SUM(value), 6) AS x
+      FROM events GROUP BY day, event_type),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 a.x AS xa, b.x AS xb
+          FROM daily a JOIN daily b
+            ON a.day = b.day AND a.event_type < b.event_type),
+    s AS (SELECT type_a, type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 SUM(xa) AS sx, SUM(xb) AS sy,
+                 SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy,
+                 SUM(xa * xb) AS sxy
+          FROM p GROUP BY type_a, type_b)
+    SELECT type_a, type_b, n_days,
+           ROUND((n_days * sxy - sx * sy)
+                 / SQRT((n_days * sxx - sx * sx)
+                        * (n_days * syy - sy * sy)), 5) AS pearson_r
+    FROM s ORDER BY type_a, type_b
+    """
+
+
+@q("metric_correlation_matrix", oracle=_CORR_SQL)
+def metric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event types' daily value
+    series — the cross-metric dependence scan behind every monitoring
+    dashboard ("which metrics move together") and the input to
+    `daily_anomalies`-style alert dedup (two correlated metrics alerting
+    together is one incident, not two). Computed from power sums
+    ((nΣxy − ΣxΣy) / √(…)) over the 6-dp-snapped daily rollup — the snap
+    kills engine sum-order noise BEFORE the power sums, the same
+    discipline as `ewma_daily_values`.
+
+    Scale shape: one (day, type) partial agg, one day-keyed self-join
+    (fanout = |types|² per day — bounded by the metric catalog, not the
+    data), one pair-keyed agg; all downstream of the first rollup
+    touches |days|·|types| rows only. At 10^12 raw events this is
+    sketch-cheap because the reduction happens FIRST.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    a = daily.select(
+        F.col("day").alias("d"), F.col("event_type").alias("type_a"),
+        F.col("x").alias("xa"),
+    )
+    b = daily.select(
+        F.col("day").alias("d_b"), F.col("event_type").alias("type_b"),
+        F.col("x").alias("xb"),
+    )
+    p = a.join(
+        b, (F.col("d") == F.col("d_b")) & (F.col("type_a") < F.col("type_b"))
+    )
+    s = p.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+    )
+    n = F.col("n_days")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "type_a", "type_b", "n_days", F.round(r, 5).alias("pearson_r")
+    ).orderBy("type_a", "type_b")

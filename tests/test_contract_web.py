@@ -634,3 +634,38 @@ def test_ks_drift_matches_python_ks(spark):
         assert (r["n_a"], r["n_b"]) == (n_a, n_b)
         assert abs(r["ks_d"] - round(d, 6)) < 1e-9
         assert 0.0 <= r["ks_d"] <= 1.0
+
+
+def test_correlation_matrix_bounds_and_python(spark):
+    """Pearson r ∈ [-1, 1] for every pair; recompute one pair in plain
+    Python from the rounded daily sums and match to 5 dp; the matrix
+    covers all C(types, 2) pairs."""
+    rows = cw.metric_correlation_matrix(spark, SF_CORRECT).collect()
+    types = set()
+    for r in rows:
+        assert -1.0 <= r["pearson_r"] <= 1.0
+        types.update((r["type_a"], r["type_b"]))
+    k = len(types)
+    assert len(rows) == k * (k - 1) // 2
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet").collect()
+    daily: dict[tuple, float] = {}
+    for e in ev:
+        key = (e["ts"].date(), e["event_type"])
+        daily[key] = daily.get(key, 0.0) + e["value"]
+    daily = {k2: round(v, 6) for k2, v in daily.items()}
+    ta, tb = rows[0]["type_a"], rows[0]["type_b"]
+    xs, ys = [], []
+    for (day, et), v in daily.items():
+        if et == ta and (day, tb) in daily:
+            xs.append(v)
+            ys.append(daily[(day, tb)])
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    r_ref = (n * sxy - sx * sy) / (
+        ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    )
+    assert rows[0]["n_days"] == n
+    assert abs(rows[0]["pearson_r"] - round(r_ref, 5)) < 2e-5

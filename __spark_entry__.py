@@ -95,6 +95,8 @@ _SESSION3_NEW = (
     "zonemap_prune_audit", "track_crossings", "ks_value_drift",
     "quantile_normalize_lengths", "title_editdist_pairs",
     "metric_correlation_matrix",
+    # session-7 additions (same queue discipline)
+    "dup_span_stats",
 )
 
 

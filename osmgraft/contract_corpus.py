@@ -1308,3 +1308,126 @@ def zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring span dedup (Lee et al. ExactSubstr shape)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # gram width in words; spans are maximal unions of overlapping
+# duplicated grams, so the removable region is position-exact (unlike
+# line_dedup_stats' fixed non-overlapping lines)
+
+_DUP_SPAN_SQL = f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         e AS (SELECT doc_id, arr, len(arr) AS nw FROM w
+               WHERE len(arr) >= {_SPAN_K}),
+         g AS (SELECT doc_id, k AS pos,
+                      array_to_string(
+                        list_slice(arr, k + 1, k + {_SPAN_K}), ' ') AS gram
+               FROM e, UNNEST(range(nw - {_SPAN_K} + 1)) AS t(k)),
+         dup AS (SELECT gram FROM g GROUP BY gram
+                 HAVING COUNT(DISTINCT doc_id) >= 2),
+         hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+         brk AS (SELECT doc_id, pos,
+                        CASE WHEN pos - LAG(pos) OVER
+                               (PARTITION BY doc_id ORDER BY pos)
+                             <= {_SPAN_K} THEN 0 ELSE 1 END AS is_new
+                 FROM hits),
+         isl AS (SELECT doc_id, pos,
+                        SUM(is_new) OVER
+                          (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM brk),
+         spans AS (SELECT doc_id, island,
+                          MAX(pos) - MIN(pos) + {_SPAN_K} AS span_words
+                   FROM isl GROUP BY doc_id, island),
+         per_doc AS (SELECT doc_id, COUNT(*) AS n_spans,
+                            SUM(span_words) AS covered
+                     FROM spans GROUP BY doc_id)
+    SELECT e.doc_id,
+           CAST(e.nw AS BIGINT) AS n_words,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.covered, 0) AS BIGINT) AS covered_words,
+           ROUND(COALESCE(p.covered, 0) / e.nw, 4) AS dup_coverage
+    FROM e LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY e.doc_id
+    """
+
+
+@q("dup_span_stats", oracle=_DUP_SPAN_SQL)
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring span dedup (the Lee et al. 2022
+    "Deduplicating Training Data" ExactSubstr shape, at word granularity):
+    every overlapping 8-word gram occurring in >= 2 distinct documents
+    marks its positions duplicated; overlapping/adjacent duplicated grams
+    merge into maximal spans (the removable regions). Per document: word
+    count, span count, covered word count, coverage ratio.
+
+    Extends ``line_dedup_stats`` (fixed non-overlapping 8-word lines —
+    reference keyword-mining A13/A14 explode shape, power_user_queries.sql)
+    to position-exact overlapping grams: the real substring-dedup
+    algorithm, where a duplicated region is found wherever it starts.
+
+    Scale shape: one explode (n_words grams/doc), dup-gram set via
+    partial-agg count-distinct on the gram key, equi-join back, then the
+    span merge is a PER-DOC window (lag + running sum island detection) —
+    partitioned by doc_id, never global. Because all grams share width k,
+    sorted starts have sorted ends, so islands need only lag(pos), not a
+    running cummax. At 10^12 docs the gram string is replaced by an
+    8-byte hash with an identical plan (``winnowing_fingerprints`` ships
+    that hashed path); the text-gram key here lets DuckDB mirror the join
+    byte-for-byte.
+    """
+    k = _SPAN_K
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    e = docs.withColumn("nw", F.size("arr")).filter(F.col("nw") >= k)
+    g = e.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, nw - {k}), "
+                f"i -> array_join(slice(arr, i + 1, {k}), ' '))"
+            )
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = hits.withColumn(
+        "is_new",
+        F.when(F.col("pos") - F.lag("pos").over(w_doc) <= k, F.lit(0))
+        .otherwise(F.lit(1)),
+    )
+    isl = brk.withColumn(
+        "island",
+        F.sum("is_new").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        (F.max("pos") - F.min("pos") + k).alias("span_words")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"), F.sum("span_words").alias("covered")
+    )
+    return (
+        e.select("doc_id", "nw")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("nw").cast("long").alias("n_words"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered_words"),
+            F.round(
+                F.coalesce("covered", F.lit(0)) / F.col("nw").cast("double"), 4
+            ).alias("dup_coverage"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2541,3 +2541,146 @@ def metric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "type_a", "type_b", "n_days", F.round(r, 5).alias("pearson_r")
     ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# merged-interval union + concurrency depth (sweep line)
+# ---------------------------------------------------------------------------
+
+# deterministic half-open interval per event: [start, start + 1-4.5 h).
+# p10 inter-event gap in the fixture is ~4100 s, so islands genuinely merge.
+_IVL_DUR = "3600 + (event_id % 8) * 1800"
+
+_IVL_SQL = f"""
+    WITH iv AS (SELECT user_id, event_id,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+                       CAST(FLOOR(epoch(ts)) + {_IVL_DUR} AS BIGINT) AS e
+                FROM events),
+         m AS (SELECT user_id, event_id, s, e,
+                      MAX(e) OVER (PARTITION BY user_id
+                                   ORDER BY s, e, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev_max_e
+               FROM iv),
+         b AS (SELECT user_id, event_id, s, e,
+                      CASE WHEN s > prev_max_e OR prev_max_e IS NULL
+                           THEN 1 ELSE 0 END AS is_new
+               FROM m),
+         isl AS (SELECT user_id, s, e,
+                        SUM(is_new) OVER (PARTITION BY user_id
+                                          ORDER BY s, e, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS island
+                 FROM b),
+         per_isl AS (SELECT user_id, island,
+                            MAX(e) - MIN(s) AS covered
+                     FROM isl GROUP BY user_id, island),
+         unions AS (SELECT user_id,
+                           CAST(COUNT(*) AS BIGINT) AS n_islands,
+                           CAST(SUM(covered) AS BIGINT) AS union_s
+                    FROM per_isl GROUP BY user_id),
+         pts AS (SELECT user_id, s AS tick, 1 AS delta, event_id FROM iv
+                 UNION ALL
+                 SELECT user_id, e AS tick, -1 AS delta, event_id FROM iv),
+         depth AS (SELECT user_id,
+                          SUM(delta) OVER (PARTITION BY user_id
+                                           ORDER BY tick, delta, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS d
+                   FROM pts),
+         md AS (SELECT user_id, CAST(MAX(d) AS BIGINT) AS max_depth
+                FROM depth GROUP BY user_id),
+         cnt AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+                 FROM iv GROUP BY user_id)
+    SELECT cnt.user_id, cnt.n_events, unions.n_islands, unions.union_s,
+           md.max_depth
+    FROM cnt JOIN unions USING (user_id) JOIN md USING (user_id)
+    ORDER BY user_id
+    """
+
+
+@q("interval_union_coverage", oracle=_IVL_SQL)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user merged-interval union length + peak concurrency depth.
+
+    Each event opens a deterministic half-open activity interval
+    [start, start + 1-4.5 h); overlapping/touching intervals merge into
+    islands (running-cummax break detection — the variable-length general
+    case of ``dup_span_stats``'s equal-width span merge) and the union of
+    covered seconds plus the island count is reported, alongside the peak
+    overlap depth from a +1/-1 sweep line (ends release before starts at
+    the same tick, matching half-open semantics).
+
+    Reference surface: generalizes the reference's session/duration
+    analytics (validation_and_refinement_workflow.sh activity windows)
+    to exact interval algebra — the primitive behind crawl-window
+    scheduling and rate-limit audits at fleet scale.
+
+    Scale shape: every window is PARTITIONED BY user_id — no global sort;
+    one exchange on user_id feeds islands, sweep, and counts. Integer
+    epoch arithmetic end-to-end (exact on both engines).
+    """
+    dur = F.expr(_IVL_DUR).cast("long")
+    iv = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + dur).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    m = iv.withColumn(
+        "prev_max_e",
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    b = m.withColumn(
+        "is_new",
+        F.when(
+            (F.col("s") > F.col("prev_max_e"))
+            | F.col("prev_max_e").isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    isl = b.withColumn(
+        "island",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id")
+            .orderBy("s", "e", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    unions = (
+        isl.groupBy("user_id", "island")
+        .agg((F.max("e") - F.min("s")).alias("covered"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_islands"),
+            F.sum("covered").cast("long").alias("union_s"),
+        )
+    )
+    pts = iv.select(
+        "user_id", F.col("s").alias("tick"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        iv.select(
+            "user_id",
+            F.col("e").alias("tick"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    wd = Window.partitionBy("user_id").orderBy(
+        "tick", "delta", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    md = (
+        pts.withColumn("d", F.sum("delta").over(wd))
+        .groupBy("user_id")
+        .agg(F.max("d").cast("long").alias("max_depth"))
+    )
+    cnt = iv.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    return (
+        cnt.join(unions, "user_id")
+        .join(md, "user_id")
+        .select("user_id", "n_events", "n_islands", "union_s", "max_depth")
+        .orderBy("user_id")
+    )

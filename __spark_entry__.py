@@ -96,7 +96,7 @@ _SESSION3_NEW = (
     "quantile_normalize_lengths", "title_editdist_pairs",
     "metric_correlation_matrix",
     # session-7 additions (same queue discipline)
-    "dup_span_stats", "interval_union_coverage",
+    "dup_span_stats", "interval_union_coverage", "encoding_advisor",
 )
 
 

@@ -1431,3 +1431,165 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# column-encoding advisor (RLE vs dictionary vs plain, per column)
+# ---------------------------------------------------------------------------
+
+_ENC_ROWS_PER_FILE = 1000  # runs never cross file boundaries, exactly as in
+# a real columnar layout — and it keeps run detection a PER-FILE window
+
+_ENC_SQL = f"""
+    WITH f AS (SELECT event_id // {_ENC_ROWS_PER_FILE} AS file_id,
+                      event_id, event_type, user_id, props
+               FROM events),
+         per_col AS (
+           SELECT 'event_type' AS col_name,
+                  CAST(LENGTH(event_type) AS BIGINT) AS width,
+                  file_id, event_id,
+                  event_type AS v FROM f
+           UNION ALL
+           SELECT 'user_id', 8, file_id, event_id, CAST(user_id AS VARCHAR)
+           FROM f
+           UNION ALL
+           SELECT 'props', CAST(LENGTH(props) AS BIGINT), file_id, event_id,
+                  props FROM f),
+         runs AS (SELECT col_name, width, v,
+                         CASE WHEN v = LAG(v) OVER
+                                (PARTITION BY col_name, file_id
+                                 ORDER BY event_id)
+                              THEN 0 ELSE 1 END AS is_run_start
+                  FROM per_col),
+         stats AS (SELECT col_name,
+                          CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+                          CAST(SUM(is_run_start) AS BIGINT) AS n_runs,
+                          CAST(SUM(width) AS BIGINT) AS plain_bytes,
+                          CAST(SUM(is_run_start * (width + 4)) AS BIGINT)
+                            AS rle_bytes
+                   FROM runs GROUP BY col_name),
+         dict_w AS (SELECT col_name,
+                           CAST(SUM(LENGTH(v)) AS BIGINT) AS dict_entry_bytes
+                    FROM (SELECT DISTINCT col_name, v FROM per_col)
+                    GROUP BY col_name)
+    SELECT s.col_name, s.n, s.n_distinct, s.n_runs, s.plain_bytes,
+           s.rle_bytes,
+           d.dict_entry_bytes
+             + s.n * (CASE WHEN s.n_distinct <= 256 THEN 1
+                           WHEN s.n_distinct <= 65536 THEN 2
+                           ELSE 4 END) AS dict_bytes,
+           CASE WHEN s.rle_bytes <= s.plain_bytes
+                 AND s.rle_bytes <= d.dict_entry_bytes
+                       + s.n * (CASE WHEN s.n_distinct <= 256 THEN 1
+                                     WHEN s.n_distinct <= 65536 THEN 2
+                                     ELSE 4 END)
+                THEN 'rle'
+                WHEN d.dict_entry_bytes
+                       + s.n * (CASE WHEN s.n_distinct <= 256 THEN 1
+                                     WHEN s.n_distinct <= 65536 THEN 2
+                                     ELSE 4 END) <= s.plain_bytes
+                THEN 'dict'
+                ELSE 'plain' END AS best_encoding
+    FROM stats s JOIN dict_w d USING (col_name)
+    ORDER BY s.col_name
+    """
+
+
+@q("encoding_advisor", oracle=_ENC_SQL)
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding advisor: per column, estimate encoded sizes under
+    plain, run-length, and dictionary encodings from exact layout stats
+    (run counts within 1000-row files, distinct counts, value widths) and
+    pick the smallest — the decision a lakehouse table optimizer makes
+    per column per rewrite (completes the layout-tuning family with
+    ``compaction_bin_plan`` and ``zonemap_prune_audit``).
+
+    Scale shape: run detection is a window PARTITIONED BY (column,
+    file_id) — runs never cross file boundaries, exactly as in a real
+    columnar format, so no global sort exists; the size roll-up is one
+    partial agg. All arithmetic integer-exact on both engines.
+    """
+    n_file = _ENC_ROWS_PER_FILE
+    f = t(spark, sf_dir, "events").select(
+        (F.col("event_id") / n_file).cast("long").alias("file_id"),
+        "event_id",
+        "event_type",
+        "user_id",
+        "props",
+    )
+    per_col = (
+        f.select(
+            F.lit("event_type").alias("col_name"),
+            F.length("event_type").cast("long").alias("width"),
+            "file_id",
+            "event_id",
+            F.col("event_type").alias("v"),
+        )
+        .unionAll(
+            f.select(
+                F.lit("user_id"),
+                F.lit(8).cast("long"),
+                "file_id",
+                "event_id",
+                F.col("user_id").cast("string"),
+            )
+        )
+        .unionAll(
+            f.select(
+                F.lit("props"),
+                F.length("props").cast("long"),
+                "file_id",
+                "event_id",
+                "props",
+            )
+        )
+    )
+    w = Window.partitionBy("col_name", "file_id").orderBy("event_id")
+    runs = per_col.withColumn(
+        "is_run_start",
+        F.when(F.col("v") == F.lag("v").over(w), F.lit(0)).otherwise(F.lit(1)),
+    )
+    stats = runs.groupBy("col_name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+        F.sum("is_run_start").cast("long").alias("n_runs"),
+        F.sum("width").cast("long").alias("plain_bytes"),
+        F.sum(F.col("is_run_start") * (F.col("width") + 4))
+        .cast("long")
+        .alias("rle_bytes"),
+    )
+    dict_w = (
+        per_col.select("col_name", "v")
+        .distinct()
+        .groupBy("col_name")
+        .agg(F.sum(F.length("v")).cast("long").alias("dict_entry_bytes"))
+    )
+    code_bytes = (
+        F.when(F.col("n_distinct") <= 256, 1)
+        .when(F.col("n_distinct") <= 65536, 2)
+        .otherwise(4)
+    )
+    joined = stats.join(dict_w, "col_name").withColumn(
+        "dict_bytes",
+        (F.col("dict_entry_bytes") + F.col("n") * code_bytes).cast("long"),
+    )
+    best = (
+        F.when(
+            (F.col("rle_bytes") <= F.col("plain_bytes"))
+            & (F.col("rle_bytes") <= F.col("dict_bytes")),
+            F.lit("rle"),
+        )
+        .when(F.col("dict_bytes") <= F.col("plain_bytes"), F.lit("dict"))
+        .otherwise(F.lit("plain"))
+    )
+    return joined.select(
+        "col_name",
+        "n",
+        "n_distinct",
+        "n_runs",
+        "plain_bytes",
+        "rle_bytes",
+        "dict_bytes",
+        best.alias("best_encoding"),
+    ).orderBy("col_name")

@@ -2684,3 +2684,127 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "n_islands", "union_s", "max_depth")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over daily series
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 6) AS x
+      FROM events GROUP BY event_type, day),
+    g AS (SELECT event_type,
+                 list_transform(list_sort(list_zip(
+                     array_agg(day), array_agg(x))), p -> p[1]) AS days,
+                 list_transform(list_sort(list_zip(
+                     array_agg(day), array_agg(x))), p -> p[2]) AS xs
+          FROM daily GROUP BY event_type),
+    p AS (SELECT event_type, days, xs, len(xs) AS n,
+                 ROUND(list_reduce(list_prepend(0.0e0,
+                         list_slice(xs, 1, 7)), (a, b) -> a + b)
+                       / LEAST(7, len(xs)), 6) AS target
+          FROM g),
+    c AS (SELECT event_type, days, xs, n, target,
+                 target AS allowance,
+                 ROUND(5.0e-1 * target, 6) AS h
+          FROM p),
+    s AS (SELECT event_type, days, n, target, h,
+                 list_transform(range(1, n + 1), k ->
+                   list_reduce(list_prepend(0.0e0, list_slice(xs, 1, k)),
+                     (acc, x) -> GREATEST(0.0e0, acc + x - allowance)))
+                   AS cus
+          FROM c),
+    a AS (SELECT event_type, days, n, target, h, cus,
+                 list_filter(range(1, n + 1), k -> cus[k] > h) AS ks
+          FROM s)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           target,
+           CAST(len(ks) AS BIGINT) AS n_alarms,
+           COALESCE(CAST(CASE WHEN len(ks) > 0 THEN days[ks[1]] END
+                          AS VARCHAR), 'never') AS first_alarm_day,
+           ROUND(list_aggregate(cus, 'max'), 6) AS max_cusum
+    FROM a ORDER BY event_type
+    """
+
+
+@q("cusum_changepoints", oracle=_CUSUM_SQL)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection per event type: fold
+    S_k = max(0, S_{k-1} + x_k - allowance) over the 6-dp-snapped daily
+    value series (allowance = the first-week baseline mean, alarm
+    threshold h = 0.5x baseline) and report alarm count, first alarm day,
+    and peak statistic. Like ``ewma_daily_values``, CUSUM is a recursion
+    SQL windows cannot express — it runs as an in-row array left-fold
+    with identical fold order on both engines (Spark ``aggregate`` with a
+    0-initial accumulator ≡ DuckDB ``list_reduce`` over a 0-prepended
+    slice), on inputs snapped BEFORE folding so a last-ulp SUM divergence
+    cannot be amplified by the recursion.
+
+    Scale shape: one (type, day) partial-agg shuffle, one per-type
+    bounded-array collect (days, not rows), O(n_days^2) in-row prefix
+    folds, parallelism = key count. No global window, no driver loop.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    g = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    xs = F.transform(F.col("s"), lambda r: r.x)
+    days = F.transform(F.col("s"), lambda r: r.day)
+    n = F.size(xs)
+    target = F.round(
+        F.aggregate(
+            F.slice(xs, 1, 7), F.lit(0.0), lambda acc, x: acc + x
+        )
+        / F.least(F.lit(7), n),
+        6,
+    )
+    base = g.select(
+        "event_type",
+        days.alias("days"),
+        xs.alias("xs"),
+        n.alias("n"),
+        target.alias("target"),
+    ).select(
+        "*",
+        F.col("target").alias("allowance"),
+        F.round(F.lit(0.5) * F.col("target"), 6).alias("h"),
+    )
+    cus = F.transform(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda k: F.aggregate(
+            F.slice(F.col("xs"), F.lit(1), k),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(
+                F.lit(0.0), acc + x - F.col("allowance")
+            ),
+        ),
+    )
+    withc = base.select(
+        "event_type", "days", "n", "target", "h", cus.alias("cus")
+    ).withColumn(
+        "ks",
+        F.filter(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda k: F.element_at("cus", k) > F.col("h"),
+        ),
+    )
+    return withc.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        "target",
+        F.size("ks").cast("long").alias("n_alarms"),
+        F.coalesce(
+            F.when(
+                F.size("ks") > 0,
+                F.element_at("days", F.element_at("ks", 1)),
+            ).cast("string"),
+            F.lit("never"),
+        ).alias("first_alarm_day"),
+        F.round(F.array_max("cus"), 6).alias("max_cusum"),
+    ).orderBy("event_type")

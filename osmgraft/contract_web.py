@@ -2808,3 +2808,92 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first_alarm_day"),
         F.round(F.array_max("cus"), 6).alias("max_cusum"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# chi-square categorical drift (two-sample homogeneity)
+# ---------------------------------------------------------------------------
+
+_CHI2_SQL = """
+    WITH s AS (SELECT event_type,
+                      CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+               FROM events),
+         cnt AS (SELECT event_type,
+                        CAST(SUM(in_a) AS BIGINT) AS cnt_a,
+                        CAST(SUM(1 - in_a) AS BIGINT) AS cnt_b
+                 FROM s GROUP BY event_type),
+         tot AS (SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM cnt),
+         x AS (SELECT c.event_type, c.cnt_a, c.cnt_b,
+                      (c.cnt_a + c.cnt_b) * t.ta / (t.ta + t.tb) AS exp_a,
+                      (c.cnt_a + c.cnt_b) * t.tb / (t.ta + t.tb) AS exp_b
+               FROM cnt c CROSS JOIN tot t),
+         y AS (SELECT event_type, cnt_a, cnt_b,
+                      ROUND((cnt_a - exp_a) * (cnt_a - exp_a) / exp_a
+                            + (cnt_b - exp_b) * (cnt_b - exp_b) / exp_b,
+                            6) AS contrib
+               FROM x)
+    SELECT event_type, cnt_a, cnt_b, contrib,
+           ROUND(SUM(contrib) OVER (), 6) AS chi2_stat
+    FROM y ORDER BY event_type
+    """
+
+
+@q("chi2_category_drift", oracle=_CHI2_SQL)
+def chi2_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-square homogeneity drift over a categorical column:
+    the event stream is split deterministically into halves (event_id
+    parity — the batch stand-in for yesterday-vs-today snapshots), the
+    event-type distribution is cross-tabulated, and each category's
+    chi-square contribution plus the total statistic is reported — the
+    categorical complement of ``ks_value_drift`` (numeric CDF drift), the
+    pair a training-data pipeline runs per ingest to catch source-mix
+    shifts.
+
+    Scale shape: one partial-agg shuffle on the category key; the totals
+    side is a 1-row broadcast cross join; the SUM() OVER () window runs
+    over category-count rows (bounded by the vocabulary, not the data).
+    Counts are integer-exact; float division happens once per category
+    and contributions are snapped before the windowed total.
+    """
+    s = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_id") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("in_a"),
+    )
+    cnt = s.groupBy("event_type").agg(
+        F.sum("in_a").cast("long").alias("cnt_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("cnt_b"),
+    )
+    tot = cnt.agg(
+        F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb")
+    )
+    x = cnt.crossJoin(F.broadcast(tot))
+    exp_a = (F.col("cnt_a") + F.col("cnt_b")) * F.col("ta") / (
+        F.col("ta") + F.col("tb")
+    )
+    exp_b = (F.col("cnt_a") + F.col("cnt_b")) * F.col("tb") / (
+        F.col("ta") + F.col("tb")
+    )
+    y = x.select(
+        "event_type",
+        "cnt_a",
+        "cnt_b",
+        F.round(
+            (F.col("cnt_a") - exp_a) * (F.col("cnt_a") - exp_a) / exp_a
+            + (F.col("cnt_b") - exp_b) * (F.col("cnt_b") - exp_b) / exp_b,
+            6,
+        ).alias("contrib"),
+    )
+    return y.select(
+        "event_type",
+        "cnt_a",
+        "cnt_b",
+        "contrib",
+        F.round(
+            F.sum("contrib").over(
+                Window.partitionBy()
+            ),
+            6,
+        ).alias("chi2_stat"),
+    ).orderBy("event_type")

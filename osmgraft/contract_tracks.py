@@ -362,3 +362,175 @@ def track_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_crossings"), "user_a", "user_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# map matching: snap points to the nearest road segment within a radius
+# ---------------------------------------------------------------------------
+
+_MM_R = 60000  # match radius == cell size: a point within R of a segment is
+# always within 1 cell ring of the segment's dilated bbox cells, so the
+# bucketed candidate join provably contains the true nearest segment
+
+# point-to-segment squared distance with endpoint clamping; identical
+# expression TEXT on both engines so every double is recomputed bit-equal
+_MM_DOT = "((px - ax) * (bx - ax) + (py - ay) * (by - ay))"
+_MM_LEN2 = "((bx - ax) * (bx - ax) + (by - ay) * (by - ay))"
+_MM_CROSS = "((bx - ax) * (ay - py) - (ax - px) * (by - ay))"
+_MM_DIST2 = f"""CASE
+    WHEN {_MM_DOT} <= 0e0
+    THEN (px - ax) * (px - ax) + (py - ay) * (py - ay)
+    WHEN {_MM_DOT} >= {_MM_LEN2}
+    THEN (px - bx) * (px - bx) + (py - by) * (py - by)
+    ELSE {_MM_CROSS} * {_MM_CROSS} / {_MM_LEN2}
+    END"""
+
+_MM_SQL = f"""
+    WITH roads AS (
+      SELECT k AS seg_id,
+             CAST(CASE WHEN k % 2 = 0 THEN ((k * 37) % 13) * 30000
+                  ELSE (k * 16807) % 650000 END AS BIGINT) AS ax,
+             CAST(CASE WHEN k % 2 = 0 THEN (k * 16807) % 650000
+                  ELSE ((k * 37) % 13) * 30000 END AS BIGINT) AS ay
+      FROM UNNEST(range(40)) AS t(k)),
+    r2 AS (SELECT seg_id, ax, ay,
+                  ax + CASE WHEN seg_id % 2 = 0 THEN 250000 ELSE 0 END AS bx,
+                  ay + CASE WHEN seg_id % 2 = 0 THEN 0 ELSE 250000 END AS by
+           FROM roads),
+    segcells AS (SELECT seg_id, ax, ay, bx, by, cx, cy
+                 FROM r2,
+                      UNNEST(range(ax // {_MM_R} - 1, bx // {_MM_R} + 2))
+                        AS u(cx),
+                      UNNEST(range(ay // {_MM_R} - 1, by // {_MM_R} + 2))
+                        AS v(cy)),
+    pts AS (SELECT event_id, {{X}} AS px, {{Y}} AS py FROM events),
+    p2 AS (SELECT event_id, px, py,
+                  CAST(FLOOR(px / {_MM_R}.0e0) AS BIGINT) AS cx,
+                  CAST(FLOOR(py / {_MM_R}.0e0) AS BIGINT) AS cy
+           FROM pts),
+    cand0 AS (SELECT p.event_id, s.seg_id, {_MM_DIST2} AS dist2
+              FROM p2 p JOIN segcells s ON p.cx = s.cx AND p.cy = s.cy),
+    cand AS (SELECT * FROM cand0
+             WHERE dist2 <= {_MM_R}.0e0 * {_MM_R}.0e0),
+    best AS (SELECT event_id, seg_id,
+                    ROUND(SQRT(dist2), 4) AS d,
+                    ROW_NUMBER() OVER (PARTITION BY event_id
+                                       ORDER BY dist2, seg_id) AS rn
+             FROM cand),
+    j AS (SELECT e.event_id,
+                 COALESCE(b.seg_id, -1) AS seg_id,
+                 COALESCE(b.d, -1.0e0) AS d
+          FROM (SELECT event_id FROM events) e
+          LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id))
+    SELECT seg_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           MIN(d) AS min_d, MAX(d) AS max_d
+    FROM j GROUP BY seg_id ORDER BY seg_id
+    """
+
+
+def _mm_oracle() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    return _MM_SQL.replace("{X}", X_EXPR).replace("{Y}", Y_EXPR)
+
+
+@q("map_match_points", oracle=_mm_oracle())
+def map_match_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching: snap every event point to its nearest road segment
+    within a 60 000-unit radius (deterministic 40-segment axis-aligned
+    synthetic road grid over the 700 000-unit fixture extent), reporting
+    per-segment match counts and snap-distance extrema plus the unmatched
+    bucket (seg_id = -1). Point-to-segment distance uses the clamped
+    projection form (endpoint / interior cases) written as ONE shared
+    expression text so both engines recompute identical doubles.
+
+    Completes the trajectory family (simplify/stats/crossings) with the
+    nearest-LINE primitive — ``knn_pois`` is nearest-POINT; snapping GPS
+    tracks to a road network is the canonical geospatial join the
+    reference's POI scoring pipeline never needed but a tile-serving
+    engine does.
+
+    Scale shape: segments explode to dilated-bbox cover cells at cell
+    size == match radius (1-ring containment guarantee, so the bucketed
+    equi-join provably contains the true nearest segment); the exploded
+    road side is tiny and BROADCAST — the point side never shuffles for
+    the join; the argmin is a per-point window over <= 40 candidates; one
+    partial-agg shuffle on seg_id ends the plan. MIN/MAX aggregates only
+    (order-insensitive), no float SUM.
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    r = _MM_R
+    roads = spark.range(40).select(
+        F.col("id").alias("seg_id"),
+        F.expr(
+            "CAST(CASE WHEN id % 2 = 0 THEN ((id * 37) % 13) * 30000 "
+            "ELSE (id * 16807) % 650000 END AS BIGINT)"
+        ).alias("ax"),
+        F.expr(
+            "CAST(CASE WHEN id % 2 = 0 THEN (id * 16807) % 650000 "
+            "ELSE ((id * 37) % 13) * 30000 END AS BIGINT)"
+        ).alias("ay"),
+    )
+    r2 = roads.select(
+        "seg_id",
+        "ax",
+        "ay",
+        F.expr(
+            "ax + CASE WHEN seg_id % 2 = 0 THEN 250000 ELSE 0 END"
+        ).alias("bx"),
+        F.expr(
+            "ay + CASE WHEN seg_id % 2 = 0 THEN 0 ELSE 250000 END"
+        ).alias("by"),
+    )
+    segcells = (
+        r2.withColumn(
+            "cx", F.explode(F.expr(f"sequence(ax div {r} - 1, bx div {r} + 1)"))
+        )
+        .withColumn(
+            "cy", F.explode(F.expr(f"sequence(ay div {r} - 1, by div {r} + 1)"))
+        )
+    )
+    p2 = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(X_EXPR).alias("px"),
+        F.expr(Y_EXPR).alias("py"),
+    ).select(
+        "event_id",
+        "px",
+        "py",
+        F.expr(f"CAST(FLOOR(px / {r}.0e0) AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(FLOOR(py / {r}.0e0) AS BIGINT)").alias("cy"),
+    )
+    cand = (
+        p2.join(F.broadcast(segcells), ["cx", "cy"])
+        .withColumn("dist2", F.expr(_MM_DIST2))
+        .filter(F.col("dist2") <= float(r) * float(r))
+    )
+    w = Window.partitionBy("event_id").orderBy("dist2", "seg_id")
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id", "seg_id", F.round(F.sqrt("dist2"), 4).alias("d")
+        )
+    )
+    j = (
+        t(spark, sf_dir, "events")
+        .select("event_id")
+        .join(best, "event_id", "left")
+        .select(
+            F.coalesce("seg_id", F.lit(-1)).alias("seg_id"),
+            F.coalesce("d", F.lit(-1.0)).alias("d"),
+        )
+    )
+    return (
+        j.groupBy("seg_id")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+        )
+        .orderBy("seg_id")
+    )

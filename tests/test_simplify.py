@@ -117,3 +117,68 @@ def test_track_crossings_matches_bruteforce(spark):
         key=lambda t: (-t[2], t[0], t[1]),
     )[:20]
     assert rows == exp
+
+
+def test_map_match_matches_bruteforce(spark):
+    """Recompute every point's nearest segment by brute force over ALL 40
+    road segments (no radius, no cells) and compare: proves the
+    cell-bucketed candidate join is lossless within the match radius —
+    the 1-ring dilation at cell == radius really does contain the true
+    nearest segment — and that the unmatched bucket is exactly the set of
+    points farther than the radius from every segment."""
+    import numpy as np
+
+    from osmgraft.contract_tracks import _MM_R, map_match_points
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        r["seg_id"]: (r["n_points"], r["min_d"], r["max_d"])
+        for r in map_match_points(spark, SF_CORRECT).collect()
+    }
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "event_id",
+            "(event_id % 787) * 889.45e0 + 17.3e0 AS px",
+            "(CAST(FLOOR(event_id / 13.0e0) AS BIGINT) % 787) * 889.45e0"
+            " + 11.7e0 AS py",
+        )
+        .collect()
+    )
+    segs = []
+    for k in range(40):
+        if k % 2 == 0:
+            ax, ay = ((k * 37) % 13) * 30000, (k * 16807) % 650000
+            bx, by = ax + 250000, ay
+        else:
+            ax, ay = (k * 16807) % 650000, ((k * 37) % 13) * 30000
+            bx, by = ax, ay + 250000
+        segs.append((k, ax, ay, bx, by))
+
+    def d2(px, py, ax, ay, bx, by):
+        dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+        len2 = (bx - ax) ** 2 + (by - ay) ** 2
+        if dot <= 0:
+            return (px - ax) ** 2 + (py - ay) ** 2
+        if dot >= len2:
+            return (px - bx) ** 2 + (py - by) ** 2
+        cr = (bx - ax) * (ay - py) - (ax - px) * (by - ay)
+        return cr * cr / len2
+
+    from collections import defaultdict
+
+    agg = defaultdict(list)
+    for r in ev:
+        best = min(
+            (d2(r["px"], r["py"], *s[1:]), s[0]) for s in segs
+        )
+        if best[0] <= float(_MM_R) * float(_MM_R):
+            agg[best[1]].append(round(np.sqrt(best[0]), 4))
+        else:
+            agg[-1].append(-1.0)
+
+    want = {
+        k: (len(v), min(v), max(v)) for k, v in agg.items()
+    }
+    assert got == want

@@ -2897,3 +2897,60 @@ def chi2_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_stat"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide -> long) metrics
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_SQL = """
+    WITH wide AS (SELECT event_type,
+                         CAST(COUNT(*) AS DOUBLE) AS n_events,
+                         CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users,
+                         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE)
+                           AS n_days,
+                         ROUND(MAX(value), 6) AS max_value
+                  FROM events GROUP BY event_type)
+    SELECT event_type, metric, metric_value
+    FROM (UNPIVOT wide
+          ON n_events, n_users, n_days, max_value
+          INTO NAME metric VALUE metric_value)
+    ORDER BY event_type, metric
+    """
+
+
+@q("unpivot_metrics", oracle=_UNPIVOT_SQL)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): a per-type metrics dashboard computed wide
+    (one row per event type, one column per metric) and melted to tidy
+    (type, metric, value) rows — the inverse of ``pivot_dow_by_type`` and
+    the last relational reshaping class the registry lacked. Spark's
+    native ``DataFrame.unpivot`` (Expand operator) against DuckDB's
+    ``UNPIVOT``.
+
+    Metrics are chosen order-insensitive (counts, distinct counts, MAX)
+    so no float accumulation order can diverge between engines.
+
+    Scale shape: one partial-agg shuffle to the wide form (rows = type
+    vocabulary); Expand multiplies the tiny wide result, not the raw
+    table — melting happens after aggregation, which is the only
+    placement that survives 100x.
+    """
+    wide = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("n_events"),
+            F.countDistinct("user_id").cast("double").alias("n_users"),
+            F.countDistinct(F.col("ts").cast("date"))
+            .cast("double")
+            .alias("n_days"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+    return wide.unpivot(
+        ["event_type"],
+        ["n_events", "n_users", "n_days", "max_value"],
+        "metric",
+        "metric_value",
+    ).orderBy("event_type", "metric")

@@ -2954,3 +2954,135 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "metric_value",
     ).orderBy("event_type", "metric")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities over the supplier -> customer bipartite graph
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+_HITS_SNAP = 10  # per-iteration snap (dp), same discipline as pagerank
+_HITS_TOPK = 15
+
+
+def _hits_sql() -> str:
+    """Unrolled HITS iterations as CTEs (DuckDB oracle). Mirrors the Spark
+    loop op-for-op: identical edge weights, per-iteration ROUND snap and
+    max-normalisation, so both engines carry bit-identical scores."""
+    head = """
+    WITH e AS (SELECT l.l_suppkey AS s, o.o_custkey AS c,
+                      CAST(COUNT(*) AS DOUBLE) AS w
+               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+               GROUP BY 1, 2),
+    h0 AS (SELECT DISTINCT s AS node, 1.0e0 AS score FROM e)"""
+    body = ""
+    for k in range(1, _HITS_ITERS + 1):
+        body += f""",
+    a{k}r AS (SELECT e.c AS node,
+                     ROUND(SUM(h{k - 1}.score * e.w), {_HITS_SNAP}) AS raw
+              FROM e JOIN h{k - 1} ON e.s = h{k - 1}.node GROUP BY e.c),
+    a{k} AS (SELECT node,
+                    ROUND(raw / (SELECT MAX(raw) FROM a{k}r),
+                          {_HITS_SNAP}) AS score
+             FROM a{k}r),
+    h{k}r AS (SELECT e.s AS node,
+                     ROUND(SUM(a{k}.score * e.w), {_HITS_SNAP}) AS raw
+              FROM e JOIN a{k} ON e.c = a{k}.node GROUP BY e.s),
+    h{k} AS (SELECT node,
+                    ROUND(raw / (SELECT MAX(raw) FROM h{k}r),
+                          {_HITS_SNAP}) AS score
+             FROM h{k}r)"""
+    n = _HITS_ITERS
+    return (
+        head
+        + body
+        + f"""
+    SELECT * FROM (
+      (SELECT 'authority' AS role, CAST(node AS BIGINT) AS node,
+              ROUND(score, 6) AS score
+       FROM a{n} ORDER BY score DESC, node LIMIT {_HITS_TOPK})
+      UNION ALL
+      (SELECT 'hub', CAST(node AS BIGINT), ROUND(score, 6)
+       FROM h{n} ORDER BY score DESC, node LIMIT {_HITS_TOPK}))
+    ORDER BY role, score DESC, node
+    """
+    )
+
+
+@q("hits_hub_authority", oracle=_hits_sql())
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities over the directed supplier -> customer
+    purchase graph (hub score: suppliers reaching high-authority
+    customers; authority: customers fed by strong hubs) — 3 mutual-
+    reinforcement iterations, max-normalised, top-15 per role. The
+    bipartite dual of ``pagerank_cosupply``'s single-score propagation
+    (link-graph authority, Kleinberg 1999 shape).
+
+    Cross-engine float discipline: every per-iteration sum and the
+    max-normalised quotient are snapped to 10 dp before the next round
+    (the ``pagerank_cosupply`` rule), so both engines carry identical
+    doubles; output rounds to 6 dp.
+
+    Scale shape: each iteration is ONE equi-join of the edge list with a
+    node-score table plus a partial-agg shuffle on the receiving key —
+    O(iters) passes, bounded lineage (loop in the driver builds the plan;
+    nothing is collected). The normalising MAX is a 1-row broadcast.
+    Top-k per role is TakeOrderedAndProject, never a global sort.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    h = e.select(F.col("s").alias("node")).distinct().withColumn(
+        "score", F.lit(1.0)
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            e.join(h.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("c").alias("node"))
+            .agg(F.round(F.sum(F.col("score") * F.col("w")), _HITS_SNAP)
+                 .alias("raw"))
+        )
+        amax = ar.agg(F.max("raw").alias("mx"))
+        a = ar.crossJoin(F.broadcast(amax)).select(
+            "node",
+            F.round(F.col("raw") / F.col("mx"), _HITS_SNAP).alias("score"),
+        )
+        hr = (
+            e.join(a.withColumnRenamed("node", "c"), "c")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.round(F.sum(F.col("score") * F.col("w")), _HITS_SNAP)
+                 .alias("raw"))
+        )
+        hmax = hr.agg(F.max("raw").alias("mx"))
+        h = hr.crossJoin(F.broadcast(hmax)).select(
+            "node",
+            F.round(F.col("raw") / F.col("mx"), _HITS_SNAP).alias("score"),
+        )
+    top_a = (
+        a.orderBy(F.col("score").desc(), "node")
+        .limit(_HITS_TOPK)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("node").cast("long").alias("node"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+    top_h = (
+        h.orderBy(F.col("score").desc(), "node")
+        .limit(_HITS_TOPK)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("node").cast("long").alias("node"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+    return top_a.unionAll(top_h).orderBy(
+        "role", F.col("score").desc(), "node"
+    )

@@ -98,7 +98,7 @@ _SESSION3_NEW = (
     # session-7 additions (same queue discipline)
     "dup_span_stats", "interval_union_coverage", "encoding_advisor",
     "cusum_changepoints", "chi2_category_drift", "map_match_points",
-    "unpivot_metrics", "hits_hub_authority",
+    "unpivot_metrics", "hits_hub_authority", "dow_seasonal_profile",
 )
 
 

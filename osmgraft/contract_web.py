@@ -3086,3 +3086,117 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_a.unionAll(top_h).orderBy(
         "role", F.col("score").desc(), "node"
     )
+
+
+# ---------------------------------------------------------------------------
+# day-of-week seasonal profile (exact integer micro-unit sums)
+# ---------------------------------------------------------------------------
+
+_DOW_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 6) AS x
+      FROM events GROUP BY event_type, day),
+    micro AS (
+      SELECT event_type,
+             (CAST(day - DATE '1970-01-01' AS INTEGER) + 4) % 7 AS dow,
+             CAST(FLOOR(x * 1000000.0e0 + 5.0e-1) AS BIGINT) AS v
+      FROM daily),
+    per_dow AS (SELECT event_type, dow,
+                       CAST(COUNT(*) AS BIGINT) AS n_days,
+                       SUM(v) AS s
+                FROM micro GROUP BY event_type, dow),
+    per_type AS (SELECT event_type,
+                        CAST(COUNT(*) AS BIGINT) AS nt, SUM(v) AS st
+                 FROM micro GROUP BY event_type),
+    m AS (SELECT d.event_type, d.dow, d.n_days,
+                 ROUND(d.s * 1.0e0 / d.n_days / 1000000.0e0, 6) AS dow_mean,
+                 ROUND(t.st * 1.0e0 / t.nt / 1000000.0e0, 6) AS type_mean
+          FROM per_dow d JOIN per_type t USING (event_type)),
+    dev AS (SELECT event_type, dow, n_days, dow_mean,
+                   ROUND(dow_mean - type_mean, 6) + 0.0e0 AS deviation,
+                   CAST(FLOOR(ABS(dow_mean - type_mean) * 1000000.0e0
+                              + 5.0e-1) AS BIGINT) AS devu
+            FROM m)
+    SELECT event_type, dow, n_days, dow_mean, deviation,
+           ROUND(SUM(devu) OVER (PARTITION BY event_type) * 1.0e0
+                 / (COUNT(*) OVER (PARTITION BY event_type))
+                 / 1000000.0e0, 6) AS mad_strength
+    FROM dev ORDER BY event_type, dow
+    """
+
+
+@q("dow_seasonal_profile", oracle=_DOW_SQL)
+def dow_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality decomposition per event type: each dow
+    bucket's mean daily value vs the type's overall mean (the additive
+    seasonal component) plus the type's mean-absolute-deviation
+    seasonality strength — the weekly-cycle profile a crawl scheduler
+    and an anomaly detector both subtract before alerting (pairs with
+    ``daily_anomalies``/``cusum_changepoints``, which assume a
+    deseasonalised series).
+
+    Exactness: 6-dp-snapped daily sums are scaled to integer micro-units
+    before any cross-row SUM, so every aggregate is integer-exact on both
+    engines regardless of accumulation order (the
+    ``metric_correlation_matrix`` power-sum discipline); each float
+    division happens once per output row. The dow index is epoch-anchored
+    ((days-since-epoch + 4) % 7, Sunday = 0) — engine dayofweek()
+    conventions differ, arithmetic does not. Deviations get the +0.0
+    negative-zero guard.
+
+    Scale shape: two partial-agg shuffles ((type, day), then (type, dow))
+    and a window over <= 7 rows per type. Nothing global.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    micro = daily.select(
+        "event_type",
+        ((F.datediff("day", F.lit("1970-01-01")) + 4) % 7).alias("dow"),
+        F.floor(F.col("x") * 1000000.0 + 0.5).cast("long").alias("v"),
+    )
+    per_dow = micro.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("n_days"), F.sum("v").alias("s")
+    )
+    per_type = micro.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nt"), F.sum("v").alias("st")
+    )
+    m = per_dow.join(per_type, "event_type").select(
+        "event_type",
+        "dow",
+        "n_days",
+        F.round(F.col("s") * 1.0 / F.col("n_days") / 1000000.0, 6).alias(
+            "dow_mean"
+        ),
+        F.round(F.col("st") * 1.0 / F.col("nt") / 1000000.0, 6).alias(
+            "type_mean"
+        ),
+    )
+    dev = m.select(
+        "event_type",
+        "dow",
+        "n_days",
+        "dow_mean",
+        (F.round(F.col("dow_mean") - F.col("type_mean"), 6) + 0.0).alias(
+            "deviation"
+        ),
+        F.floor(
+            F.abs(F.col("dow_mean") - F.col("type_mean")) * 1000000.0 + 0.5
+        )
+        .cast("long")
+        .alias("devu"),
+    )
+    wt = Window.partitionBy("event_type")
+    return dev.select(
+        "event_type",
+        "dow",
+        "n_days",
+        "dow_mean",
+        "deviation",
+        F.round(
+            F.sum("devu").over(wt) * 1.0 / F.count("*").over(wt) / 1000000.0,
+            6,
+        ).alias("mad_strength"),
+    ).orderBy("event_type", "dow")

@@ -1593,3 +1593,100 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dict_bytes",
         best.alias("best_encoding"),
     ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# skyline / Pareto front (minimize price, maximize size)
+# ---------------------------------------------------------------------------
+
+_SKY_BUCKET = 256  # cents per price bucket: the two-phase prefix-max never
+# sorts raw rows globally — in-bucket windows are bounded by rows/bucket,
+# the bucket-level window by the bucket count
+
+
+_SKYLINE_SQL = """
+    WITH pts AS (SELECT p_partkey,
+                        CAST(FLOOR(p_retailprice * 100.0e0 + 5.0e-1)
+                             AS BIGINT) AS x,
+                        CAST(p_size AS BIGINT) AS y
+                 FROM part),
+         gx AS (SELECT x, MAX(y) AS ymax FROM pts GROUP BY x),
+         m AS (SELECT x, ymax,
+                      MAX(ymax) OVER (ORDER BY x
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS m1
+               FROM gx),
+         sky_x AS (SELECT x, ymax FROM m
+                   WHERE m1 IS NULL OR ymax > m1)
+    SELECT p.p_partkey, p.x AS price_cents, p.y AS size
+    FROM pts p JOIN sky_x s ON p.x = s.x AND p.y = s.ymax
+    ORDER BY p.x, p.p_partkey
+    """
+
+
+@q("skyline_pareto_front", oracle=_SKYLINE_SQL)
+def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front) query: parts not dominated on (price low,
+    size high) — part j dominates i if it is no worse on both axes and
+    strictly better on one. The classic multi-criteria OLAP operator
+    (Borzsony/Kossmann/Stocker 2001) the registry lacked.
+
+    Dominance resolves through two prefix maxima over distinct prices:
+    a group survives iff its max size strictly exceeds the best size at
+    any strictly cheaper price (M1), and within the group only max-size
+    points survive (equal-(x,y) duplicates all survive — nothing strictly
+    dominates them).
+
+    Scale shape: the Spark side computes M1 WITHOUT a global window —
+    prices hash into fixed-width buckets; per-bucket maxima (one partial
+    agg) feed a bucket-level running max over the BOUNDED bucket list,
+    and in-bucket running maxima are windows PARTITIONED by bucket (the
+    ``analytics/ranking.py`` range-bucket + offsets design). The oracle
+    states the same skyline with the naive global window, proving the
+    bucketed rewrite exact. Join back to points is an equi-join on
+    (price, max-size). Integer cents/sizes — no float comparisons.
+    """
+    w_bkt = _SKY_BUCKET
+    pts = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("x"),
+        F.col("p_size").cast("long").alias("y"),
+    )
+    gx = pts.groupBy("x").agg(F.max("y").alias("ymax")).withColumn(
+        "b", F.expr(f"x div {w_bkt}")
+    )
+    bmax = gx.groupBy("b").agg(F.max("ymax").alias("bmax"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bmax.withColumn("bpre", F.max("bmax").over(wb)).select("b", "bpre")
+    wi = (
+        Window.partitionBy("b")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = (
+        gx.withColumn("run1", F.max("ymax").over(wi))
+        .join(F.broadcast(bpre), "b")
+        .withColumn(
+            "m1",
+            F.greatest(
+                F.coalesce("bpre", F.lit(-1)), F.coalesce("run1", F.lit(-1))
+            ),
+        )
+    )
+    sky_x = m.filter(F.col("ymax") > F.col("m1")).select(
+        F.col("x").alias("sx"), F.col("ymax").alias("sy")
+    )
+    return (
+        pts.join(
+            F.broadcast(sky_x),
+            (F.col("x") == F.col("sx")) & (F.col("y") == F.col("sy")),
+        )
+        .select(
+            "p_partkey",
+            F.col("x").alias("price_cents"),
+            F.col("y").alias("size"),
+        )
+        .orderBy("price_cents", "p_partkey")
+    )

@@ -493,3 +493,39 @@ def test_editdist_pairs_python_reference(spark):
     assert rows == sorted(exp)
     assert rows and all(1 <= r[2] <= ct._ED_MAX for r in rows)
     assert any(r[2] == 1 for r in rows)
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """Recompute the Pareto front from the DEFINITION (no j that is no
+    worse on both axes and strictly better on one) by brute force over
+    all parts — proves the bucketed two-phase prefix-max rewrite AND the
+    window-form oracle both equal textbook dominance semantics."""
+    import numpy as np
+
+    from osmgraft.contract_corpus import skyline_pareto_front
+    from tests.conftest import SF_CORRECT
+
+    got = sorted(
+        (r["p_partkey"], r["price_cents"], r["size"])
+        for r in skyline_pareto_front(spark, SF_CORRECT).collect()
+    )
+    rows = (
+        spark.read.parquet(f"{SF_CORRECT}/part.parquet")
+        .selectExpr(
+            "p_partkey",
+            "CAST(FLOOR(p_retailprice * 100.0e0 + 5.0e-1) AS BIGINT) AS x",
+            "CAST(p_size AS BIGINT) AS y",
+        )
+        .collect()
+    )
+    x = np.array([r["x"] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    k = np.array([r["p_partkey"] for r in rows])
+    want = []
+    for i in range(len(rows)):
+        dominated = (
+            (x <= x[i]) & (y >= y[i]) & ((x < x[i]) | (y > y[i]))
+        ).any()
+        if not dominated:
+            want.append((int(k[i]), int(x[i]), int(y[i])))
+    assert got == sorted(want)

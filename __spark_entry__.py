@@ -99,7 +99,7 @@ _SESSION3_NEW = (
     "dup_span_stats", "interval_union_coverage", "encoding_advisor",
     "cusum_changepoints", "chi2_category_drift", "map_match_points",
     "unpivot_metrics", "hits_hub_authority", "dow_seasonal_profile",
-    "skyline_pareto_front",
+    "skyline_pareto_front", "json_key_profile",
 )
 
 

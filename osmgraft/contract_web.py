@@ -3200,3 +3200,136 @@ def dow_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mad_strength"),
     ).orderBy("event_type", "dow")
+
+
+# ---------------------------------------------------------------------------
+# JSON schema-drift profile (key presence + value-type distribution)
+# ---------------------------------------------------------------------------
+
+# deterministically messy JSON per document: optional keys, a number-vs-
+# string type drift on "score", explicit nulls, booleans, a nested object
+_JSONP_DOC = """
+    '{"id": ' || CAST(doc_id AS VARCHAR)
+    || ', "lang": "' || lang || '"'
+    || CASE WHEN doc_id % 3 = 0
+            THEN ', "score": ' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE ', "score": "' || CAST(doc_id % 100 AS VARCHAR) || '"' END
+    || CASE WHEN doc_id % 4 = 0 THEN ', "tags": ["a", "b"]'
+            WHEN doc_id % 4 = 1 THEN ', "tags": null' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ', "active": true'
+            WHEN doc_id % 5 = 1 THEN ', "active": false' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ', "meta": {"w": 1}' ELSE '' END
+    || '}'
+    """
+
+_JSONP_KEY_RE = '"([a-z]+)": (.)'
+
+_JSONP_SQL = f"""
+    WITH raw AS (SELECT doc_id, {_JSONP_DOC} AS j FROM documents),
+         kv AS (SELECT doc_id,
+                       UNNEST(list_zip(
+                         regexp_extract_all(j, '{_JSONP_KEY_RE}', 1),
+                         regexp_extract_all(j, '{_JSONP_KEY_RE}', 2)))
+                         AS z
+                FROM raw),
+         f AS (SELECT doc_id, z[1] AS key_name,
+                      CASE WHEN z[2] = '"' THEN 'string'
+                           WHEN z[2] = '[' THEN 'array'
+                           WHEN z[2] = '{{' THEN 'object'
+                           WHEN z[2] IN ('t', 'f') THEN 'boolean'
+                           WHEN z[2] = 'n' THEN 'null'
+                           ELSE 'number' END AS vtype
+               FROM kv),
+         tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM raw)
+    SELECT key_name,
+           CAST(COUNT(*) AS BIGINT) AS n_occur,
+           ROUND(COUNT(*) / tot.n_docs, 4) AS present_pct,
+           CAST(COUNT(*) FILTER (WHERE vtype = 'string') AS BIGINT)
+             AS n_string,
+           CAST(COUNT(*) FILTER (WHERE vtype = 'number') AS BIGINT)
+             AS n_number,
+           CAST(COUNT(*) FILTER (WHERE vtype = 'boolean') AS BIGINT)
+             AS n_boolean,
+           CAST(COUNT(*) FILTER (WHERE vtype = 'array') AS BIGINT)
+             AS n_array,
+           CAST(COUNT(*) FILTER (WHERE vtype = 'object') AS BIGINT)
+             AS n_object,
+           CAST(COUNT(*) FILTER (WHERE vtype = 'null') AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT vtype) > 1 AS BIGINT) AS polymorphic
+    FROM f, tot
+    GROUP BY key_name, tot.n_docs ORDER BY key_name
+    """
+
+
+@q("json_key_profile", oracle=_JSONP_SQL)
+def json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON schema-drift profile over a semi-structured payload column:
+    per key (nested keys included — it is a flat scan of the raw text),
+    occurrence count, presence ratio, the value-TYPE distribution
+    (string/number/boolean/array/object/null) and a polymorphic flag —
+    catching exactly the drift the synthetic payload injects ("score"
+    arrives as a number on some documents and a quoted string on others).
+    Extends ``props_json_rollup`` (single-path extraction) to schema
+    INFERENCE, the audit a lakehouse runs before evolving a JSON column
+    to typed.
+
+    Value types come from the first value character captured by the same
+    regex that captures the key (two aligned ``regexp_extract_all``
+    arrays zipped in-row — the ``anchor_text_index`` pattern), so no
+    per-key dynamic regex and no JSON parser differences between engines.
+
+    Scale shape: per-row JVM regex, one explode, one partial-agg shuffle
+    on the key name (vocabulary-bounded); the doc-count side is a 1-row
+    broadcast. Nothing quadratic, no UDF.
+    """
+    raw = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_JSONP_DOC.replace("AS VARCHAR", "AS STRING")).alias("j")
+    )
+    keys = F.expr(f"regexp_extract_all(j, '{_JSONP_KEY_RE}', 1)")
+    firsts = F.expr(f"regexp_extract_all(j, '{_JSONP_KEY_RE}', 2)")
+    kv = raw.select(
+        "doc_id", F.explode(F.arrays_zip(keys, firsts)).alias("z")
+    ).select(
+        "doc_id",
+        F.col("z").getField("0").alias("key_name"),
+        F.col("z").getField("1").alias("c"),
+    )
+    vtype = (
+        F.when(F.col("c") == '"', "string")
+        .when(F.col("c") == "[", "array")
+        .when(F.col("c") == "{", "object")
+        .when(F.col("c").isin("t", "f"), "boolean")
+        .when(F.col("c") == "n", "null")
+        .otherwise("number")
+    )
+    f = kv.select("doc_id", "key_name", vtype.alias("vtype"))
+    tot = raw.agg(F.count("*").cast("double").alias("n_docs"))
+    return (
+        f.crossJoin(F.broadcast(tot))
+        .groupBy("key_name", "n_docs")
+        .agg(
+            F.count("*").cast("long").alias("n_occur"),
+            F.round(F.count("*") / F.col("n_docs"), 4).alias("present_pct"),
+            F.sum((F.col("vtype") == "string").cast("long"))
+            .cast("long")
+            .alias("n_string"),
+            F.sum((F.col("vtype") == "number").cast("long"))
+            .cast("long")
+            .alias("n_number"),
+            F.sum((F.col("vtype") == "boolean").cast("long"))
+            .cast("long")
+            .alias("n_boolean"),
+            F.sum((F.col("vtype") == "array").cast("long"))
+            .cast("long")
+            .alias("n_array"),
+            F.sum((F.col("vtype") == "object").cast("long"))
+            .cast("long")
+            .alias("n_object"),
+            F.sum((F.col("vtype") == "null").cast("long"))
+            .cast("long")
+            .alias("n_null"),
+            (F.countDistinct("vtype") > 1).cast("long").alias("polymorphic"),
+        )
+        .drop("n_docs")
+        .orderBy("key_name")
+    )

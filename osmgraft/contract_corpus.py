@@ -1690,3 +1690,40 @@ def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price_cents", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with a custom set list (neither CUBE nor ROLLUP)
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus))
+    ORDER BY gid, returnflag, linestatus
+    """
+
+
+@q("grouping_sets_report", oracle=_GSETS_SQL)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with a CUSTOM set list — (flag, status), (flag),
+    (status) — which neither CUBE (would add the grand total) nor ROLLUP
+    (cannot produce the (status)-only margin) expresses; GROUPING() bits
+    disambiguate a margin row from a genuine NULL key. Completes the
+    grouping-set family beside ``orders_status_cube`` and
+    ``revenue_rollup``.
+
+    Scale shape: ONE Expand (3 replicas per row — exactly the set count)
+    feeding one partial-agg shuffle; Catalyst plans the identical Expand
+    for the SQL form and the DataFrame form. Margins aggregate in the
+    same pass — no second scan per set.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gsets_lineitem")
+    return spark.sql(_GSETS_SQL.replace("FROM lineitem", "FROM _gsets_lineitem"))

@@ -3333,3 +3333,81 @@ def json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_docs")
         .orderBy("key_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# event-time lateness audit (watermark tuning)
+# ---------------------------------------------------------------------------
+
+# deterministic heavy-tailed delivery delay: most events arrive in
+# minutes, a 1-in-16 tail takes hours, a 1-in-64 tail up to ~2 days
+_LATE_DELAY = (
+    "(event_id % 17) * 60"
+    " + CASE WHEN event_id % 16 = 0 THEN 3600 * (1 + event_id % 7)"
+    "        ELSE 0 END"
+    " + CASE WHEN event_id % 64 = 0 THEN 86400 * (1 + event_id % 2)"
+    "        ELSE 0 END"
+)
+
+_LATE_SQL = f"""
+    WITH a AS (SELECT event_type,
+                      CAST({_LATE_DELAY} AS BIGINT) AS late_s
+               FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(late_s) AS max_late_s,
+           CAST(COUNT(*) FILTER (WHERE late_s <= 3600) AS BIGINT)
+             AS n_within_1h,
+           CAST(COUNT(*) FILTER (WHERE late_s <= 21600) AS BIGINT)
+             AS n_within_6h,
+           CAST(COUNT(*) FILTER (WHERE late_s <= 86400) AS BIGINT)
+             AS n_within_1d,
+           CASE WHEN COUNT(*) FILTER (WHERE late_s <= 3600) * 100
+                     >= COUNT(*) * 99 THEN '1h'
+                WHEN COUNT(*) FILTER (WHERE late_s <= 21600) * 100
+                     >= COUNT(*) * 99 THEN '6h'
+                WHEN COUNT(*) FILTER (WHERE late_s <= 86400) * 100
+                     >= COUNT(*) * 99 THEN '1d'
+                ELSE '>1d' END AS watermark_for_p99
+    FROM a GROUP BY event_type ORDER BY event_type
+    """
+
+
+@q("late_arrival_audit", oracle=_LATE_SQL)
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness audit: per event type, the distribution of
+    delivery delay (arrival time minus event time — synthesised with a
+    deterministic heavy tail) against candidate watermark horizons, and
+    the smallest candidate horizon that would retain >= 99 % of events —
+    the measurement that justifies the watermark used by the streaming
+    jobs (``streaming/pages_stream.py``) instead of guessing it. The p99
+    pick uses integer cross-multiplication (count*100 >= total*99), no
+    float percentile.
+
+    Scale shape: pure per-row integer arithmetic then ONE partial-agg
+    shuffle on event_type; conditional counts all fold into the same
+    aggregate pass. Nothing sorts.
+    """
+    a = t(spark, sf_dir, "events").select(
+        "event_type", F.expr(_LATE_DELAY).cast("long").alias("late_s")
+    )
+    cnt = F.count("*")
+    w1 = F.sum((F.col("late_s") <= 3600).cast("long"))
+    w6 = F.sum((F.col("late_s") <= 21600).cast("long"))
+    wd = F.sum((F.col("late_s") <= 86400).cast("long"))
+    return (
+        a.groupBy("event_type")
+        .agg(
+            cnt.cast("long").alias("n_events"),
+            F.max("late_s").alias("max_late_s"),
+            w1.cast("long").alias("n_within_1h"),
+            w6.cast("long").alias("n_within_6h"),
+            wd.cast("long").alias("n_within_1d"),
+            F.when(w1 * 100 >= cnt * 99, "1h")
+            .when(w6 * 100 >= cnt * 99, "6h")
+            .when(wd * 100 >= cnt * 99, "1d")
+            .otherwise(">1d")
+            .alias("watermark_for_p99"),
+        )
+        .orderBy("event_type")
+    )

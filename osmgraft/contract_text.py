@@ -1421,3 +1421,105 @@ def title_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", dist.cast("long").alias("edit_dist"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# reciprocal rank fusion of two rankers
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_POOL = 20  # candidates taken from each ranker
+_RRF_TOP = 15
+
+_RRF_SQL = f"""
+    WITH tfs AS (SELECT doc_id,
+                        CAST(len(list_filter(string_split(text, ' '),
+                                             w -> w = 'table'))
+                             AS BIGINT) AS s
+                 FROM documents),
+         ra0 AS (SELECT doc_id, s FROM tfs
+                 ORDER BY s DESC, doc_id LIMIT {_RRF_POOL}),
+         ra AS (SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+                FROM ra0),
+         rb0 AS (SELECT doc_id, n_chars FROM documents
+                 ORDER BY n_chars DESC, doc_id LIMIT {_RRF_POOL}),
+         rb AS (SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+                         AS r
+                FROM rb0),
+         f AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+                      ra.r AS ra_r, rb.r AS rb_r,
+                      ROUND(COALESCE(1.0e0 / ({_RRF_K} + ra.r), 0.0e0)
+                            + COALESCE(1.0e0 / ({_RRF_K} + rb.r), 0.0e0),
+                            6) AS rrf
+               FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+    SELECT doc_id,
+           CAST(COALESCE(ra_r, -1) AS BIGINT) AS rank_tf,
+           CAST(COALESCE(rb_r, -1) AS BIGINT) AS rank_len,
+           rrf
+    FROM f ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOP}
+    """
+
+
+@q("rrf_fusion", oracle=_RRF_SQL)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al. 2009): combine a lexical
+    ranker (term frequency of 'table') and a length ranker over the
+    document corpus — score = sum over rankers of 1/(k + rank), k = 60,
+    missing-from-list contributes nothing — the standard hybrid-search
+    combiner a retrieval pipeline puts between ``bm25_top_docs`` and an
+    ANN ranker.
+
+    Scale shape: each ranker's candidate pool is an
+    ``orderBy().limit(20)`` — Catalyst rewrites it to
+    TakeOrderedAndProject (no global sort of raw rows; the
+    ``window_rank`` precedent) — and the rank window + full outer join
+    run over <= 20-row pools. Deterministic (score, doc_id) tiebreaks
+    everywhere.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tfs = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w == F.lit("table"))
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    ra0 = tfs.orderBy(F.col("s").desc(), "doc_id").limit(_RRF_POOL)
+    ra = ra0.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("s").desc(), "doc_id"))
+        .alias("ra_r"),
+    )
+    rb0 = docs.select("doc_id", "n_chars").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    ).limit(_RRF_POOL)
+    rb = rb0.select(
+        F.col("doc_id").alias("rb_doc"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rb_r"),
+    )
+    f = ra.join(rb, ra.doc_id == rb.rb_doc, "full_outer").select(
+        F.coalesce("doc_id", "rb_doc").alias("doc_id"),
+        "ra_r",
+        "rb_r",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("ra_r")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rb_r")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return (
+        f.select(
+            "doc_id",
+            F.coalesce("ra_r", F.lit(-1)).cast("long").alias("rank_tf"),
+            F.coalesce("rb_r", F.lit(-1)).cast("long").alias("rank_len"),
+            "rrf",
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_TOP)
+    )

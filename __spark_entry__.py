@@ -100,7 +100,7 @@ _SESSION3_NEW = (
     "cusum_changepoints", "chi2_category_drift", "map_match_points",
     "unpivot_metrics", "hits_hub_authority", "dow_seasonal_profile",
     "skyline_pareto_front", "json_key_profile",
-    "grouping_sets_report", "late_arrival_audit", "rrf_fusion",
+    "grouping_sets_report", "late_arrival_audit", "rrf_fusion", "ngram_novelty_decay",
 )
 
 

@@ -1727,3 +1727,85 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("_gsets_lineitem")
     return spark.sql(_GSETS_SQL.replace("FROM lineitem", "FROM _gsets_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty decay across crawl batches (corpus saturation curve)
+# ---------------------------------------------------------------------------
+
+_NOV_SQL = """
+    WITH w AS (SELECT doc_id, doc_id % 10 AS day,
+                      string_split(text, ' ') AS arr
+               FROM documents),
+         g AS (SELECT day,
+                      array_to_string(list_slice(arr, k + 1, k + 3), ' ')
+                        AS gram
+               FROM w, UNNEST(range(len(arr) - 2)) AS t(k)
+               WHERE len(arr) >= 3),
+         fd AS (SELECT gram, CAST(MIN(day) AS BIGINT) AS first_day
+                FROM g GROUP BY gram),
+         per AS (SELECT g.day,
+                        CAST(COUNT(*) AS BIGINT) AS n_occur,
+                        CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_distinct,
+                        CAST(COUNT(DISTINCT g.gram)
+                               FILTER (WHERE fd.first_day = g.day)
+                             AS BIGINT) AS n_novel
+                 FROM g JOIN fd USING (gram) GROUP BY g.day)
+    SELECT CAST(day AS BIGINT) AS day, n_occur, n_distinct, n_novel,
+           ROUND(n_novel * 1.0e0 / n_distinct, 4) AS novelty_pct
+    FROM per ORDER BY day
+    """
+
+
+@q("ngram_novelty_decay", oracle=_NOV_SQL)
+def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus saturation curve: per crawl batch (doc_id % 10 as the
+    deterministic batch stand-in), how many distinct word 3-grams appear
+    and what fraction is NOVEL — first seen in that batch, computed from
+    each gram's global min batch. Declining novelty is the signal a
+    crawl operator uses to decide a source is exhausted (the diminishing-
+    returns counterpart of ``zipf_vocab_fit``'s static profile and
+    ``user_growth_daily``'s first-seen logic, lifted to corpus content).
+
+    Scale shape: one explode, a gram-keyed partial-agg MIN for first-
+    seen, an equi-join back on the gram key, one batch-keyed agg. The
+    distinct counts expand to standard two-phase distinct aggregates.
+    At 10^12 docs the gram key is an 8-byte hash (``dup_span_stats``
+    note); text grams keep the oracle byte-mirrorable here.
+    """
+    w = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 10).alias("day"),
+        F.split("text", " ").alias("arr"),
+    ).filter(F.size("arr") >= 3)
+    g = w.select(
+        "day",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(arr) - 3), "
+                "i -> array_join(slice(arr, i + 1, 3), ' '))"
+            )
+        ).alias("gram"),
+    )
+    fd = g.groupBy("gram").agg(F.min("day").cast("long").alias("first_day"))
+    per = (
+        g.join(fd, "gram")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_occur"),
+            F.countDistinct("gram").cast("long").alias("n_distinct"),
+            F.countDistinct(
+                F.when(F.col("first_day") == F.col("day"), F.col("gram"))
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("day").cast("long").alias("day"),
+        "n_occur",
+        "n_distinct",
+        "n_novel",
+        F.round(F.col("n_novel") * 1.0 / F.col("n_distinct"), 4).alias(
+            "novelty_pct"
+        ),
+    ).orderBy("day")

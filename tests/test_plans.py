@@ -571,3 +571,79 @@ def test_winnowing_two_shuffle_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_map_match_broadcasts_road_cells(spark):
+    """Map matching: the exploded road-cell side broadcasts (points never
+    shuffle for the join); argmin is a per-point window; no BNLJ."""
+    import osmgraft.contract_tracks  # noqa: F401
+
+    df = QUERIES["map_match_points"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(event_id" in plan  # per-point argmin window
+
+
+def test_skyline_no_global_window_over_raw_rows(spark):
+    """Skyline: in-bucket prefix maxima are windows PARTITIONED by
+    bucket; only the bounded bucket list may pass through a single
+    partition; the join back to points is a broadcast equi-join."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["skyline_pareto_front"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "hashpartitioning(b" in plan  # in-bucket windows keyed by bucket
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_span_window_partitioned_by_doc(spark):
+    """Duplicated-substring spans: the island merge is a doc-keyed
+    window (never global); the dup-gram set joins back on the gram key
+    as a shuffled equi-join; no Python eval anywhere."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["dup_span_stats"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "hashpartitioning(doc_id" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_union_windows_keyed_by_user(spark):
+    """Interval union + sweep line: every window is user-keyed; no
+    single-partition window over raw events."""
+    import osmgraft.contract_web  # noqa: F401
+
+    df = QUERIES["interval_union_coverage"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_hits_iterations_are_hash_joins(spark):
+    """HITS: each iteration is an edge-list equi-join + partial agg;
+    top-k per role is TakeOrderedAndProject, not a global sort. (The
+    only nested-loop joins are the 1-row max-normaliser broadcasts —
+    scalar builds, constant cost at any scale.)"""
+    import osmgraft.contract_web  # noqa: F401
+
+    df = QUERIES["hits_hub_authority"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # every edge propagation must be a hash equi-join on the node key
+    assert "hashpartitioning(c" in plan and "hashpartitioning(s" in plan
+
+
+def test_encoding_advisor_runs_partitioned_by_file(spark):
+    """Encoding advisor: run detection windows are (column, file)-keyed
+    — runs never cross file boundaries, no global sort."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["encoding_advisor"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "hashpartitioning(col_name" in plan
+    assert "SinglePartition" not in plan

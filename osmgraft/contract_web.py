@@ -3411,3 +3411,110 @@ def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation (ACF) of the daily series at lags 1..7
+# ---------------------------------------------------------------------------
+
+_ACF_MAXLAG = 7
+
+_ACF_SQL = f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 6) AS x
+      FROM events GROUP BY event_type, day),
+    g AS (SELECT event_type,
+                 list_transform(list_sort(list_zip(
+                     array_agg(day), array_agg(x))), p -> p[2]) AS xs
+          FROM daily GROUP BY event_type),
+    st AS (SELECT event_type, xs, len(xs) AS n,
+                  list_reduce(list_prepend(0.0e0, xs), (a, b) -> a + b)
+                    / len(xs) AS m
+           FROM g),
+    den AS (SELECT event_type, xs, n, m,
+                   list_reduce(list_prepend(0.0e0,
+                     list_transform(xs, v -> (v - m) * (v - m))),
+                     (a, b) -> a + b) AS d
+            FROM st),
+    lags AS (SELECT event_type, xs, n, m, d, k
+             FROM den, UNNEST(range(1, {_ACF_MAXLAG} + 1)) AS t(k)
+             WHERE n > k),
+    num AS (SELECT event_type, CAST(k AS BIGINT) AS lag,
+                   CAST(n AS BIGINT) AS n_days,
+                   list_reduce(list_prepend(0.0e0,
+                     list_transform(
+                       list_zip(list_slice(xs, 1, n - k),
+                                list_slice(xs, k + 1, n)),
+                       p -> (p[1] - m) * (p[2] - m))),
+                     (a, b) -> a + b) / d AS r
+            FROM lags)
+    SELECT event_type, lag, n_days, ROUND(r, 5) AS acf
+    FROM num ORDER BY event_type, lag
+    """
+
+
+@q("acf_daily_lags", oracle=_ACF_SQL)
+def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event type's daily value series at lags
+    1..7 — the weekly-cycle detector that tells an operator WHICH
+    seasonal profile (``dow_seasonal_profile``) to subtract, and whether
+    ``cusum_changepoints`` needs deseasonalised input.
+
+    Determinism: all statistics (mean, variance, lag products) are LEFT
+    FOLDS over the per-type day-sorted array of 6-dp-snapped daily sums
+    (the ``ewma_daily_values`` recursion discipline) — both engines fold
+    in the same order, so the float sums are bit-identical; one division
+    per output row, snapped to 5 dp.
+
+    Scale shape: one (type, day) partial-agg shuffle, one per-type
+    bounded-array collect (days, not rows), O(maxlag * n_days) in-row
+    arithmetic; parallelism = key count. No window over raw rows.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    g = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    xs = F.transform(F.col("s"), lambda r: r.x)
+    fold_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda a, b: a + b
+    )
+    st = g.select(
+        "event_type",
+        xs.alias("xs"),
+        F.size(xs).alias("n"),
+        (fold_sum(xs) / F.size(xs)).alias("m"),
+    )
+    den = st.withColumn(
+        "d",
+        fold_sum(
+            F.transform(
+                F.col("xs"),
+                lambda v: (v - F.col("m")) * (v - F.col("m")),
+            )
+        ),
+    )
+    lags = den.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAXLAG))).alias("k")
+    ).filter(F.col("n") > F.col("k"))
+    num = lags.select(
+        "event_type",
+        F.col("k").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        (
+            fold_sum(
+                F.zip_with(
+                    F.slice(F.col("xs"), F.lit(1), F.col("n") - F.col("k")),
+                    F.expr("slice(xs, k + 1, n - k)"),
+                    lambda a, b: (a - F.col("m")) * (b - F.col("m")),
+                )
+            )
+            / F.col("d")
+        ).alias("r"),
+    )
+    return num.select(
+        "event_type", "lag", "n_days", F.round("r", 5).alias("acf")
+    ).orderBy("event_type", "lag")

@@ -1809,3 +1809,166 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_pct"
         ),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Z-order vs linear-sort vs scattered layout under a 2D box predicate
+# ---------------------------------------------------------------------------
+
+_ZO_FILES = 64
+_ZO_QUANT = 2800  # quantizer: 700 000-unit extent / 2800 = 250 < 2^8 cells
+# the 2D box predicate being audited (planar units, ~1/8 of each axis)
+_ZO_X_LO, _ZO_X_HI = 100000, 180000
+_ZO_Y_LO, _ZO_Y_HI = 300000, 380000
+
+# 8-bit x 8-bit morton interleave, unrolled to shared expression text
+_ZO_MORTON = " + ".join(
+    f"(((bx >> {i}) & 1) << {2 * i + 1}) + (((by >> {i}) & 1) << {2 * i})"
+    for i in range(8)
+)
+
+
+def _zorder_sql() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    return f"""
+    WITH pts AS (SELECT event_id, {X_EXPR} AS px, {Y_EXPR} AS py
+                 FROM events),
+    b AS (SELECT event_id, px, py,
+                 CAST(FLOOR(px / {_ZO_QUANT}.0e0) AS BIGINT) AS bx,
+                 CAST(FLOOR(py / {_ZO_QUANT}.0e0) AS BIGINT) AS by
+          FROM pts),
+    keyed AS (SELECT event_id, px, py,
+                     {_ZO_MORTON} AS zkey, bx AS xkey
+              FROM b),
+    d AS (SELECT event_id, px, py,
+                 ROW_NUMBER() OVER (ORDER BY xkey, event_id) AS xr,
+                 ROW_NUMBER() OVER (ORDER BY zkey, event_id) AS zr,
+                 COUNT(*) OVER () AS n
+          FROM keyed),
+    assigned AS (
+      SELECT 'linear_x' AS layout,
+             CAST(FLOOR((xr - 1) * {_ZO_FILES} / CAST(n AS DOUBLE))
+                  AS BIGINT) AS file_id, px, py
+      FROM d
+      UNION ALL
+      SELECT 'zorder',
+             CAST(FLOOR((zr - 1) * {_ZO_FILES} / CAST(n AS DOUBLE))
+                  AS BIGINT), px, py
+      FROM d
+      UNION ALL
+      SELECT 'scattered', event_id % {_ZO_FILES}, px, py FROM d),
+    zones AS (SELECT layout, file_id,
+                     MIN(px) AS xmin, MAX(px) AS xmax,
+                     MIN(py) AS ymin, MAX(py) AS ymax
+              FROM assigned GROUP BY layout, file_id)
+    SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN xmax < {_ZO_X_LO} OR xmin > {_ZO_X_HI}
+                          OR ymax < {_ZO_Y_LO} OR ymin > {_ZO_Y_HI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           ROUND(SUM(CASE WHEN xmax < {_ZO_X_LO} OR xmin > {_ZO_X_HI}
+                           OR ymax < {_ZO_Y_LO} OR ymin > {_ZO_Y_HI}
+                          THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS pruned_pct
+    FROM zones GROUP BY layout ORDER BY layout
+    """
+
+
+@q("zorder_prune_audit", oracle=_zorder_sql())
+def zorder_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order pruning audit — the 2D extension of
+    ``zonemap_prune_audit``: the same points written under THREE layouts
+    (linear sort on x; morton/Z-order interleave of 8-bit x/y buckets;
+    hash-scattered) and a 2D box predicate tested against each file's
+    per-column min/max zones. Linear-x prunes the x slice but every
+    surviving file spans all of y; Z-order clusters BOTH dimensions so
+    the box hits only the files whose curve section crosses it — the
+    measured justification for Z-order table maintenance on spatial
+    columns (the claim ``geohash_cell_counts``'s docstring makes, here
+    quantified; same bit-interleave, expressed as shared arithmetic
+    text on both engines).
+
+    Scale shape: zone construction is one (layout, file) partial agg;
+    output is O(files). The rank building each layout stands in for the
+    write-time range-partitioned sort (see ``zonemap_prune_audit``).
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    pts = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(X_EXPR).alias("px"),
+        F.expr(Y_EXPR).alias("py"),
+    )
+    b = pts.select(
+        "event_id",
+        "px",
+        "py",
+        F.expr(f"CAST(FLOOR(px / {_ZO_QUANT}.0e0) AS BIGINT)").alias("bx"),
+        F.expr(f"CAST(FLOOR(py / {_ZO_QUANT}.0e0) AS BIGINT)").alias("by"),
+    )
+    keyed = b.select(
+        "event_id",
+        "px",
+        "py",
+        F.expr(_ZO_MORTON).alias("zkey"),
+        F.col("bx").alias("xkey"),
+    )
+    d = keyed.select(
+        "event_id",
+        "px",
+        "py",
+        F.row_number().over(Window.orderBy("xkey", "event_id")).alias("xr"),
+        F.row_number().over(Window.orderBy("zkey", "event_id")).alias("zr"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    nf = _ZO_FILES
+    assigned = (
+        d.select(
+            F.lit("linear_x").alias("layout"),
+            F.floor((F.col("xr") - 1) * nf / F.col("n").cast("double"))
+            .cast("long")
+            .alias("file_id"),
+            "px",
+            "py",
+        )
+        .unionAll(
+            d.select(
+                F.lit("zorder"),
+                F.floor((F.col("zr") - 1) * nf / F.col("n").cast("double"))
+                .cast("long"),
+                "px",
+                "py",
+            )
+        )
+        .unionAll(
+            d.select(
+                F.lit("scattered"),
+                (F.col("event_id") % nf).cast("long"),
+                "px",
+                "py",
+            )
+        )
+    )
+    zones = assigned.groupBy("layout", "file_id").agg(
+        F.min("px").alias("xmin"),
+        F.max("px").alias("xmax"),
+        F.min("py").alias("ymin"),
+        F.max("py").alias("ymax"),
+    )
+    pruned = (
+        (F.col("xmax") < _ZO_X_LO)
+        | (F.col("xmin") > _ZO_X_HI)
+        | (F.col("ymax") < _ZO_Y_LO)
+        | (F.col("ymin") > _ZO_Y_HI)
+    ).cast("long")
+    return (
+        zones.groupBy("layout")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(pruned).cast("long").alias("n_pruned"),
+            F.round(
+                F.sum(pruned) / F.count("*").cast("double"), 4
+            ).alias("pruned_pct"),
+        )
+        .orderBy("layout")
+    )

@@ -1972,3 +1972,108 @@ def zorder_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier calibration audit (reliability bins + ECE)
+# ---------------------------------------------------------------------------
+
+# deterministic score in [0,1) correlated with the label, with injected
+# miscalibration in the upper bins (score inflated vs true rate)
+_CAL_SCORE = "((n_chars % 400) + (doc_id % 97)) / 500.0e0"
+_CAL_LABEL = (
+    "CASE WHEN (n_chars % 400) * 3 + (doc_id % 89) * 2 > 650"
+    " THEN 1 ELSE 0 END"
+)
+
+_CAL_SQL = f"""
+    WITH s AS (SELECT doc_id,
+                      {_CAL_SCORE} AS score,
+                      CAST({_CAL_LABEL} AS BIGINT) AS label
+               FROM documents),
+    b AS (SELECT CAST(LEAST(FLOOR(score * 10.0e0), 9) AS BIGINT) AS bin,
+                 CAST(FLOOR(score * 1000000.0e0 + 5.0e-1) AS BIGINT) AS su,
+                 label
+          FROM s),
+    per AS (SELECT bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(su) * 1.0e0 / COUNT(*) / 1000000.0e0, 6)
+                     AS mean_score,
+                   ROUND(SUM(label) * 1.0e0 / COUNT(*), 6) AS pos_rate
+            FROM b GROUP BY bin),
+    gap AS (SELECT bin, n, mean_score, pos_rate,
+                   ROUND(ABS(mean_score - pos_rate), 6) AS cal_gap,
+                   CAST(FLOOR(ABS(mean_score - pos_rate) * n
+                              * 1000000.0e0 + 5.0e-1) AS BIGINT) AS gu
+            FROM per)
+    SELECT bin, n, mean_score, pos_rate, cal_gap,
+           ROUND(SUM(gu) OVER () * 1.0e0
+                 / (SUM(n) OVER ()) / 1000000.0e0, 6) AS ece
+    FROM gap ORDER BY bin
+    """
+
+
+@q("calibration_bins", oracle=_CAL_SQL)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration audit: a deterministic quality score in
+    [0,1) against its binary label across 10 reliability bins — per bin
+    the mean predicted score vs the observed positive rate, the
+    calibration gap, and the expected calibration error (ECE) repeated
+    on every row — the reliability-diagram check a training pipeline
+    runs on its quality/toxicity filter before trusting its thresholds
+    (``quality_filter_cascade``'s scores are consumed as if calibrated;
+    this measures whether they are).
+
+    Exactness: scores scale to integer micro-units before any cross-row
+    SUM (the power-sum discipline), labels are integers, each division
+    happens once per bin; the ECE window runs over the 10 bin rows.
+
+    Scale shape: one partial-agg shuffle on the bin key; the windowed
+    ECE is over bins, not rows.
+    """
+    s = t(spark, sf_dir, "documents").select(
+        F.expr(_CAL_SCORE).alias("score"),
+        F.expr(_CAL_LABEL).cast("long").alias("label"),
+    )
+    b = s.select(
+        F.least(F.floor(F.col("score") * 10.0), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        F.floor(F.col("score") * 1000000.0 + 0.5).cast("long").alias("su"),
+        "label",
+    )
+    per = b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("su") * 1.0 / F.count("*") / 1000000.0, 6).alias(
+            "mean_score"
+        ),
+        F.round(F.sum("label") * 1.0 / F.count("*"), 6).alias("pos_rate"),
+    )
+    gap = per.select(
+        "bin",
+        "n",
+        "mean_score",
+        "pos_rate",
+        F.round(F.abs(F.col("mean_score") - F.col("pos_rate")), 6).alias(
+            "cal_gap"
+        ),
+        F.floor(
+            F.abs(F.col("mean_score") - F.col("pos_rate"))
+            * F.col("n")
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("gu"),
+    )
+    w = Window.partitionBy()
+    return gap.select(
+        "bin",
+        "n",
+        "mean_score",
+        "pos_rate",
+        "cal_gap",
+        F.round(
+            F.sum("gu").over(w) * 1.0 / F.sum("n").over(w) / 1000000.0, 6
+        ).alias("ece"),
+    ).orderBy("bin")

@@ -2077,3 +2077,87 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gu").over(w) * 1.0 / F.sum("n").over(w) / 1000000.0, 6
         ).alias("ece"),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out target encoding (leakage-safe categorical feature)
+# ---------------------------------------------------------------------------
+
+_TE_SMOOTH = 10  # prior pseudo-count
+_TE_SAMPLE = 37  # deterministic output sample: event_id % 37 == 0
+
+_TE_SQL = f"""
+    WITH e AS (SELECT event_id, event_type,
+                      CAST(FLOOR(value * 1000000.0e0 + 5.0e-1) AS BIGINT)
+                        AS vu
+               FROM events),
+    cat AS (SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_cat,
+                   SUM(vu) AS s_cat
+            FROM e GROUP BY event_type),
+    g AS (SELECT SUM(vu) AS s_all, CAST(COUNT(*) AS BIGINT) AS n_all
+          FROM e)
+    SELECT e.event_id, e.event_type,
+           ROUND((c.s_cat - e.vu
+                  + {_TE_SMOOTH} * (g.s_all * 1.0e0 / g.n_all))
+                 / (c.n_cat - 1 + {_TE_SMOOTH}) / 1000000.0e0, 6)
+             AS loo_encoding
+    FROM e JOIN cat c USING (event_type) CROSS JOIN g
+    WHERE e.event_id % {_TE_SAMPLE} = 0
+    ORDER BY e.event_id
+    """
+
+
+@q("target_encoding_loo", oracle=_TE_SQL)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing: each row's
+    categorical feature becomes the mean target of its category computed
+    WITHOUT the row itself ((sum_cat - own) / (n_cat - 1)), shrunk
+    toward the global prior by 10 pseudo-counts — the leakage-safe
+    categorical encoder every tabular training pipeline ships (a plain
+    category mean leaks each row's own label into its feature;
+    ``leakage_safe_split`` guards split leakage, this guards feature
+    leakage). Output is a deterministic 1-in-37 row sample.
+
+    Exactness: targets scale to integer micro-units so the category and
+    global sums are exact; subtracting the own value stays integer; the
+    single float division per row is identical expression text on both
+    engines.
+
+    Scale shape: one partial-agg shuffle builds the (small) category
+    table, broadcast back over the fact rows; the global prior is a
+    1-row broadcast. Per-row arithmetic only — no window, no self-join.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("long").alias("vu"),
+    )
+    cat = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_cat"),
+        F.sum("vu").alias("s_cat"),
+    )
+    g = e.agg(
+        F.sum("vu").alias("s_all"), F.count("*").cast("long").alias("n_all")
+    )
+    return (
+        e.join(F.broadcast(cat), "event_type")
+        .crossJoin(F.broadcast(g))
+        .filter(F.col("event_id") % _TE_SAMPLE == 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (
+                    F.col("s_cat")
+                    - F.col("vu")
+                    + _TE_SMOOTH
+                    * (F.col("s_all") * 1.0 / F.col("n_all"))
+                )
+                / (F.col("n_cat") - 1 + _TE_SMOOTH)
+                / 1000000.0,
+                6,
+            ).alias("loo_encoding"),
+        )
+        .orderBy("event_id")
+    )

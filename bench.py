@@ -69,6 +69,11 @@ HEADLINE = [
     "hist_quantile_sketch",    # mergeable histogram quantiles (3rd sketch)
     "blocklist_filter_stats",  # suffix-chain equi-join URL filter
     "int8_quant_recall",       # quantized-ANN recall audit
+    # round-3 session-7 additions
+    "map_match_points",        # nearest-road-segment snap (celled broadcast)
+    "dup_span_stats",          # exact duplicated-substring span dedup
+    "interval_union_coverage", # merged intervals + sweep-line depth
+    "skyline_pareto_front",    # bucketed two-phase Pareto front
 ]
 
 # default sized so compute dominates fixed per-job overhead (wall-clock is

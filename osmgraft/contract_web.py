@@ -3518,3 +3518,89 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return num.select(
         "event_type", "lag", "n_days", F.round("r", 5).alias("acf")
     ).orderBy("event_type", "lag")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over a quasi-identifier tuple
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5  # privacy threshold: equivalence classes smaller than k leak
+
+_KANON_SQL = f"""
+    WITH qi AS (SELECT event_type,
+                       (CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                             AS INTEGER) + 4) % 7 AS dow,
+                       CAST(FLOOR(value / 500.0e0) AS BIGINT) AS value_band
+                FROM events),
+    eq AS (SELECT event_type, dow, value_band,
+                  CAST(COUNT(*) AS BIGINT) AS class_size
+           FROM qi GROUP BY event_type, dow, value_band),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+                 CAST(SUM(class_size) AS BIGINT) AS n_rows,
+                 CAST(MIN(class_size) AS BIGINT) AS min_k,
+                 CAST(SUM(CASE WHEN class_size < {_KANON_K}
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_small_classes,
+                 CAST(SUM(CASE WHEN class_size < {_KANON_K}
+                               THEN class_size ELSE 0 END) AS BIGINT)
+                   AS n_risky_rows
+          FROM eq)
+    SELECT n_classes, n_rows, min_k, n_small_classes, n_risky_rows,
+           ROUND(n_risky_rows * 1.0e0 / n_rows, 6) AS risky_pct,
+           CAST(CASE WHEN min_k >= {_KANON_K} THEN 1 ELSE 0 END AS BIGINT)
+             AS is_k_anonymous
+    FROM s
+    """
+
+
+@q("k_anonymity_audit", oracle=_KANON_SQL)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: group rows by a quasi-identifier tuple
+    (event type, epoch-anchored day-of-week, 500-unit value band) and
+    report the equivalence-class size distribution — the minimum k, how
+    many classes fall under the privacy threshold (k = 5), and the
+    fraction of rows living in those re-identifiable classes. The
+    release-gate audit a training-data pipeline runs AFTER
+    ``pii_scrub_stats`` removes direct identifiers: scrubbing does not
+    help if quasi-identifier combinations still single users out
+    (Sweeney 2002).
+
+    Scale shape: one partial-agg shuffle on the QI tuple, then a scalar
+    rollup of the (bounded) class table. Integer-exact throughout; one
+    division at the end.
+    """
+    ev = t(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        ((F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) + 4) % 7)
+        .alias("dow"),
+        F.floor(F.col("value") / 500.0).cast("long").alias("value_band"),
+    )
+    eq = qi.groupBy("event_type", "dow", "value_band").agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    small = F.when(F.col("class_size") < _KANON_K, 1).otherwise(0)
+    risky = F.when(
+        F.col("class_size") < _KANON_K, F.col("class_size")
+    ).otherwise(0)
+    s = eq.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.min("class_size").cast("long").alias("min_k"),
+        F.sum(small).cast("long").alias("n_small_classes"),
+        F.sum(risky).cast("long").alias("n_risky_rows"),
+    )
+    return s.select(
+        "n_classes",
+        "n_rows",
+        "min_k",
+        "n_small_classes",
+        "n_risky_rows",
+        F.round(F.col("n_risky_rows") * 1.0 / F.col("n_rows"), 6).alias(
+            "risky_pct"
+        ),
+        F.when(F.col("min_k") >= _KANON_K, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_k_anonymous"),
+    )

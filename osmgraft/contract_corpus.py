@@ -2161,3 +2161,149 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert apply (lakehouse CDC write path, relationally expressed)
+# ---------------------------------------------------------------------------
+
+_MERGE_SQL = """
+    WITH base AS (SELECT doc_id, n_chars FROM documents
+                  WHERE doc_id % 11 <> 0),
+    changes AS (
+      SELECT doc_id, n_chars + 7 AS n_chars, 'update' AS op
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id % 11 <> 0
+                       AND doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id, n_chars, 'insert' FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id, CAST(NULL AS BIGINT), 'delete'
+      FROM documents WHERE doc_id % 13 = 0 AND doc_id % 11 <> 0),
+    merged AS (
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             CASE WHEN c.op = 'delete' THEN NULL
+                  WHEN c.op IS NOT NULL THEN c.n_chars
+                  ELSE b.n_chars END AS n_chars,
+             CASE WHEN c.op = 'delete' AND b.doc_id IS NOT NULL
+                    THEN 'deleted'
+                  WHEN c.op = 'update' AND b.doc_id IS NOT NULL
+                    THEN 'updated'
+                  WHEN c.op = 'insert' AND b.doc_id IS NULL
+                    THEN 'inserted'
+                  ELSE 'kept' END AS action
+      FROM base b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id),
+    final AS (SELECT doc_id, n_chars FROM merged
+              WHERE action <> 'deleted'),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_base,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM changes) AS n_changes,
+             CAST(SUM(CASE WHEN action = 'inserted' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_inserted,
+             CAST(SUM(CASE WHEN action = 'updated' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_updated,
+             CAST(SUM(CASE WHEN action = 'deleted' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_deleted,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM final) AS n_final,
+             (SELECT CAST(SUM((doc_id * 1000003 + n_chars) % 2147483647)
+                          AS BIGINT) FROM final) AS final_checksum
+      FROM merged)
+    SELECT * FROM stats
+    """
+
+
+@q("merge_upsert_apply", oracle=_MERGE_SQL)
+def merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics expressed relationally: a deterministic
+    change set (updates, inserts, delete tombstones — delete wins over
+    update, matched/not-matched arms as in ANSI MERGE) applied to a base
+    snapshot through ONE full-outer join + CASE, reporting per-action
+    counts and an order-insensitive additive checksum of the final table
+    state. The write path ``snapshot_diff`` is the read path of: that
+    query derives a change set from two crawls, this one applies it —
+    together the copy-on-write loop an Iceberg-style table runs per
+    ingest, minus the format metadata.
+
+    Scale shape: one key-keyed full-outer shuffle join (both sides
+    partition on doc_id); counts and checksum are partial aggs. The
+    checksum is a SUM of per-row integer hashes — distributed and
+    order-insensitive, unlike an md5-of-concatenation which would
+    serialise the table through one task.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    base = d.filter(F.col("doc_id") % 11 != 0)
+    changes = (
+        d.filter(
+            (F.col("doc_id") % 3 == 0)
+            & (F.col("doc_id") % 11 != 0)
+            & (F.col("doc_id") % 13 != 0)
+        )
+        .select(
+            "doc_id",
+            (F.col("n_chars") + 7).alias("c_chars"),
+            F.lit("update").alias("op"),
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                "doc_id",
+                F.col("n_chars").alias("c_chars"),
+                F.lit("insert").alias("op"),
+            )
+        )
+        .unionAll(
+            d.filter(
+                (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 11 != 0)
+            ).select(
+                "doc_id",
+                F.lit(None).cast("long").alias("c_chars"),
+                F.lit("delete").alias("op"),
+            )
+        )
+    )
+    b = base.select(F.col("doc_id").alias("b_id"), "n_chars")
+    c = changes.select(F.col("doc_id").alias("c_id"), "c_chars", "op")
+    merged = b.join(c, b.b_id == c.c_id, "full_outer").select(
+        F.coalesce("b_id", "c_id").alias("doc_id"),
+        F.when(F.col("op") == "delete", F.lit(None).cast("long"))
+        .when(F.col("op").isNotNull(), F.col("c_chars"))
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+        F.when(
+            (F.col("op") == "delete") & F.col("b_id").isNotNull(), "deleted"
+        )
+        .when((F.col("op") == "update") & F.col("b_id").isNotNull(), "updated")
+        .when((F.col("op") == "insert") & F.col("b_id").isNull(), "inserted")
+        .otherwise("kept")
+        .alias("action"),
+    )
+    final = merged.filter(F.col("action") != "deleted")
+    n_base = base.count()
+    n_changes = changes.count()
+    fin = final.agg(
+        F.count("*").cast("long").alias("n_final"),
+        F.sum((F.col("doc_id") * 1000003 + F.col("n_chars")) % 2147483647)
+        .cast("long")
+        .alias("final_checksum"),
+    )
+    acts = merged.agg(
+        F.sum((F.col("action") == "inserted").cast("long"))
+        .cast("long")
+        .alias("n_inserted"),
+        F.sum((F.col("action") == "updated").cast("long"))
+        .cast("long")
+        .alias("n_updated"),
+        F.sum((F.col("action") == "deleted").cast("long"))
+        .cast("long")
+        .alias("n_deleted"),
+    )
+    return (
+        acts.crossJoin(F.broadcast(fin))
+        .select(
+            F.lit(n_base).cast("long").alias("n_base"),
+            F.lit(n_changes).cast("long").alias("n_changes"),
+            "n_inserted",
+            "n_updated",
+            "n_deleted",
+            "n_final",
+            "final_checksum",
+        )
+    )

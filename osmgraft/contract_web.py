@@ -3604,3 +3604,104 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_k_anonymous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph reciprocity + degree assortativity (edge-level structure metrics)
+# ---------------------------------------------------------------------------
+
+_RECIP_SQL = """
+    WITH e0 AS (SELECT DISTINCT l.l_suppkey AS src, o.o_custkey % 100 AS dst
+                FROM lineitem l JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey),
+    e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+    r AS (SELECT a.src, a.dst,
+                 CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END AS has_rev
+          FROM e a LEFT JOIN e b ON a.src = b.dst AND a.dst = b.src),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY src),
+    ind AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS indeg
+            FROM e GROUP BY dst),
+    ps AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                  CAST(SUM(has_rev) AS BIGINT) AS n_recip
+           FROM r),
+    dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                  CAST(MAX(COALESCE(d.outdeg, 0)) AS BIGINT) AS max_out,
+                  CAST(MAX(COALESCE(i.indeg, 0)) AS BIGINT) AS max_in
+           FROM (SELECT node FROM deg UNION SELECT node FROM ind) n
+           LEFT JOIN deg d USING (node) LEFT JOIN ind i USING (node))
+    SELECT ps.n_edges, ps.n_recip,
+           ROUND(ps.n_recip * 1.0e0 / ps.n_edges, 6) AS reciprocity,
+           dd.n_nodes, dd.max_out, dd.max_in
+    FROM ps CROSS JOIN dd
+    """
+
+
+@q("graph_reciprocity", oracle=_RECIP_SQL)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed supplier -> customer-bucket graph
+    (fraction of edges whose reverse edge also exists) plus node/degree
+    extrema — the directed-structure metric that distinguishes a mutual-
+    link web community from a broadcast hub, completing the graph-metric
+    family (degree extrema here, triangles in ``triangle_count``, paths
+    in ``frontier_bfs_depths``). Customer keys fold mod 100 so the two
+    endpoint domains overlap and reverse edges genuinely occur.
+
+    Scale shape: reciprocity is ONE self equi-join on the reversed key
+    pair (hash join — the reversed edge list partitions the same way);
+    degrees are partial aggs; the final combine is two 1-row broadcasts.
+    Exact integers, one division.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") % 100).alias("dst"),
+        )
+        .distinct()
+        .filter(F.col("src") != F.col("dst"))
+    )
+    b = e.select(F.col("src").alias("b_src"), F.col("dst").alias("b_dst"))
+    r = e.join(
+        b,
+        (e.src == b.b_dst) & (e.dst == b.b_src),
+        "left",
+    ).select(
+        F.when(F.col("b_src").isNotNull(), 1).otherwise(0).alias("has_rev")
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("outdeg")
+    )
+    ind = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("indeg")
+    )
+    nodes = deg.select("node").union(ind.select("node")).distinct()
+    dd = (
+        nodes.join(deg, "node", "left")
+        .join(ind, "node", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.max(F.coalesce("outdeg", F.lit(0)))
+            .cast("long")
+            .alias("max_out"),
+            F.max(F.coalesce("indeg", F.lit(0)))
+            .cast("long")
+            .alias("max_in"),
+        )
+    )
+    ps = r.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("has_rev").cast("long").alias("n_recip"),
+    )
+    return ps.crossJoin(F.broadcast(dd)).select(
+        "n_edges",
+        "n_recip",
+        F.round(F.col("n_recip") * 1.0 / F.col("n_edges"), 6).alias(
+            "reciprocity"
+        ),
+        "n_nodes",
+        "max_out",
+        "max_in",
+    )

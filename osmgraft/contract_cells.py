@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from osmgraft.contract import _event_points, _pts_cte, q
+from osmgraft.contract import _event_points, _pts_cte, q, t
 from osmgraft.geo import hexgrid as hg
 from osmgraft.geo import s2
 
@@ -802,3 +802,144 @@ def geohash_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events") / F.sum("n_events").over(w).cast("double"), 6
         ).alias("pct_of_parent"),
     ).orderBy("geohash", "gx", "gy")
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN-style dense-cell hotspot clusters (grid CC over dense cells)
+# ---------------------------------------------------------------------------
+
+_DC_W = 25000  # cell width (planar units)
+_DC_DEN = 50  # density threshold: a cell is dense iff n * 50 >= total
+
+# deterministic hotspot mixture: 70 % of points gather around 5 anchors
+# (25 000-unit jitter ≈ 1-2 cells), 30 % uniform background — so dense
+# cells exist, touch, and merge, unlike the uniform X_EXPR/Y_EXPR field
+_DC_PX = (
+    "CASE WHEN event_id % 10 < 3 THEN (event_id % 787) * 889.45e0 + 17.3e0 "
+    "ELSE ((event_id % 5) * 131071) % 650000 "
+    "     + ((event_id // 10) % 100) * 250 END"
+)
+_DC_PY = (
+    "CASE WHEN event_id % 10 < 3 "
+    "THEN (CAST(FLOOR(event_id / 13.0e0) AS BIGINT) % 787) * 889.45e0 "
+    "     + 11.7e0 "
+    "ELSE ((event_id % 5) * 524287) % 650000 "
+    "     + ((event_id // 7) % 100) * 250 END"
+)
+
+_DC_SQL = f"""
+    WITH RECURSIVE
+    pts AS (SELECT CAST(FLOOR(({_DC_PX}) / {_DC_W}.0e0) AS BIGINT) AS cx,
+                   CAST(FLOOR(({_DC_PY}) / {_DC_W}.0e0) AS BIGINT) AS cy
+            FROM events),
+    cells AS (SELECT cx, cy, cx * 1000 + cy AS key,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM pts GROUP BY cx, cy),
+    tot AS (SELECT SUM(n) AS total FROM cells),
+    dense AS (SELECT cx, cy, key, n FROM cells, tot
+              WHERE n * {_DC_DEN} >= total),
+    edges AS (SELECT a.key AS s, b.key AS t
+              FROM dense a JOIN dense b
+                ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+               AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+               AND a.key <> b.key),
+    reach(id, r) AS (
+      SELECT key, key FROM dense
+      UNION
+      SELECT rr.id, e.t FROM reach rr JOIN edges e ON e.s = rr.r),
+    lab AS (SELECT id AS key, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT l.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(d.n) AS BIGINT) AS n_points,
+           CAST(MIN(d.cx) AS BIGINT) AS min_cx,
+           CAST(MAX(d.cx) AS BIGINT) AS max_cx,
+           CAST(MIN(d.cy) AS BIGINT) AS min_cy,
+           CAST(MAX(d.cy) AS BIGINT) AS max_cy
+    FROM lab l JOIN dense d USING (key)
+    GROUP BY l.cluster_id ORDER BY l.cluster_id
+    """
+
+
+@q("dense_cell_clusters", oracle=_DC_SQL)
+def dense_cell_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-style hotspot extraction — the north star's 'London-grade
+    dense cell' surface made first-class: grid-quantize a deterministic
+    hotspot mixture (5 anchors + uniform background), keep cells holding
+    >= 1/50 of all points (a RELATIVE threshold — integer
+    cross-multiplication, scale-invariant across SFs), and merge
+    8-neighbor-adjacent dense cells into clusters with the SAME
+    distributed min-label propagation as ``dedup_clusters``
+    (text/dedup.py::connected_components — O(diameter) rounds,
+    lineage-cut). Per cluster: cell count, point mass, bbox.
+
+    The oracle recomputes the components as a recursive-CTE transitive
+    closure over the identical dense-cell adjacency — two algorithms,
+    one answer (isolated dense cells appear as singletons on both
+    sides).
+
+    Scale shape: one (cx, cy) partial-agg shuffle builds the cell table
+    (grid-bounded, data-independent size); the adjacency self-join runs
+    over DENSE cells only (threshold-bounded); CC iterates on 8-byte
+    keys. The raw points never touch a window or a self-join.
+    """
+    from osmgraft.text.dedup import connected_components
+
+    w = _DC_W
+    px = _DC_PX.replace("//", " div ")  # Spark SQL spells int-div `div`
+    py = _DC_PY.replace("//", " div ")
+    pts = t(spark, sf_dir, "events").select(
+        F.expr(f"CAST(FLOOR(({px}) / {w}.0e0) AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(FLOOR(({py}) / {w}.0e0) AS BIGINT)").alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(
+        F.count("*").cast("long").alias("n")
+    ).withColumn("key", F.col("cx") * 1000 + F.col("cy"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    dense = (
+        cells.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * _DC_DEN >= F.col("total"))
+        .select("cx", "cy", "key", "n")
+    )
+    nbr = dense.select(
+        F.col("key").alias("a_key"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> "
+                "struct(cx + dx AS nx, cy + dy AS ny))))"
+            )
+        ).alias("z"),
+    ).select("a_key", F.col("z.nx").alias("nx"), F.col("z.ny").alias("ny"))
+    b = dense.select(
+        F.col("cx").alias("b_cx"),
+        F.col("cy").alias("b_cy"),
+        F.col("key").alias("b_key"),
+    )
+    pairs = (
+        nbr.join(b, (nbr.nx == b.b_cx) & (nbr.ny == b.b_cy))
+        .filter(F.col("a_key") != F.col("b_key"))
+        .select(
+            F.col("a_key").alias("doc_a"), F.col("b_key").alias("doc_b")
+        )
+    )
+    cc = connected_components(pairs).select(
+        F.col("doc_id").alias("key"), "cluster_id"
+    )
+    lab = dense.join(cc, "key", "left").select(
+        "cx",
+        "cy",
+        "n",
+        F.coalesce("cluster_id", F.col("key")).alias("cluster_id"),
+    )
+    return (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("n").cast("long").alias("n_points"),
+            F.min("cx").cast("long").alias("min_cx"),
+            F.max("cx").cast("long").alias("max_cx"),
+            F.min("cy").cast("long").alias("min_cy"),
+            F.max("cy").cast("long").alias("max_cy"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -943,3 +943,124 @@ def dense_cell_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# adaptive quadtree tiling (split until cell count <= cap)
+# ---------------------------------------------------------------------------
+
+_QT_BASE_W = 684  # base grid ~1024x1024 over the 700 000-unit extent
+_QT_MAX_L = 5  # leaf levels 0..5 (1x1 .. 32x32 ancestor grids of the base)
+_QT_CAP_DIV = 16  # capacity: a cell is a leaf iff n * 16 <= total
+
+_QT_SQL = f"""
+    WITH pts AS (SELECT CAST(FLOOR(({{X}}) / {_QT_BASE_W}.0e0) AS BIGINT)
+                          AS ix,
+                        CAST(FLOOR(({{Y}}) / {_QT_BASE_W}.0e0) AS BIGINT)
+                          AS iy
+                 FROM events),
+    base AS (SELECT ix, iy, CAST(COUNT(*) AS BIGINT) AS n
+             FROM pts GROUP BY ix, iy),
+    tot AS (SELECT SUM(n) AS total FROM base),
+    lv AS (SELECT b.ix, b.iy, b.n, l,
+                  (b.ix >> (10 - l)) AS cx, (b.iy >> (10 - l)) AS cy
+           FROM base b, UNNEST(range({_QT_MAX_L} + 1)) AS t(l)),
+    cnt AS (SELECT l, cx, cy, SUM(n) AS cn
+            FROM lv GROUP BY l, cx, cy),
+    fit AS (SELECT l, cx, cy FROM cnt, tot
+            WHERE cn * {_QT_CAP_DIV} <= total),
+    leaf AS (SELECT b.ix, b.iy, b.n,
+                    COALESCE(MIN(f.l), {_QT_MAX_L}) AS leaf_l
+             FROM base b
+             LEFT JOIN fit f
+               ON f.cx = (b.ix >> (10 - f.l))
+              AND f.cy = (b.iy >> (10 - f.l))
+             GROUP BY b.ix, b.iy, b.n)
+    SELECT CAST(leaf_l AS BIGINT) AS level,
+           CAST(ix >> (10 - leaf_l) AS BIGINT) AS cx,
+           CAST(iy >> (10 - leaf_l) AS BIGINT) AS cy,
+           CAST(SUM(n) AS BIGINT) AS n_points,
+           CAST(COUNT(*) AS BIGINT) AS n_base_cells
+    FROM leaf GROUP BY leaf_l, cx, cy
+    ORDER BY level, cx, cy
+    """
+
+
+def _qt_oracle() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    return _QT_SQL.replace("{X}", X_EXPR).replace("{Y}", Y_EXPR)
+
+
+@q("quadtree_leaves", oracle=_qt_oracle())
+def quadtree_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree tiling: starting from the whole extent, a tile
+    splits into 4 children until it holds <= 1/16 of all points (or the
+    max depth) — the adaptive raster->vector tile layout the north star's
+    fixed-resolution ``cell_pyramid`` cannot produce: dense regions get
+    deep small tiles, empty regions stay coarse. A point's leaf is the
+    SHALLOWEST ancestor tile under the cap (integer cross-multiplied
+    relative threshold, scale-invariant); output is the leaf tile table
+    with point mass and base-cell coverage.
+
+    Scale shape: the raw points aggregate ONCE onto the (bounded,
+    data-independent) 1024x1024 base grid; every later step — the 6
+    ancestor rollups, the cap filter, the shallowest-fit join — runs on
+    CELL tables, each a bit-shift GROUP BY of the base table. No window,
+    no point-level self-join; the fit join is bounded by (base cells x
+    levels).
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    w = _QT_BASE_W
+    pts = t(spark, sf_dir, "events").select(
+        F.expr(f"CAST(FLOOR(({X_EXPR}) / {w}.0e0) AS BIGINT)").alias("ix"),
+        F.expr(f"CAST(FLOOR(({Y_EXPR}) / {w}.0e0) AS BIGINT)").alias("iy"),
+    )
+    base = pts.groupBy("ix", "iy").agg(F.count("*").cast("long").alias("n"))
+    tot = base.agg(F.sum("n").alias("total"))
+    lv = base.select(
+        "ix",
+        "iy",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(_QT_MAX_L))).alias("l"),
+    ).select(
+        "ix",
+        "iy",
+        "n",
+        "l",
+        F.expr("ix >> (10 - l)").alias("cx"),
+        F.expr("iy >> (10 - l)").alias("cy"),
+    )
+    cnt = lv.groupBy("l", "cx", "cy").agg(F.sum("n").alias("cn"))
+    fit = (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("cn") * _QT_CAP_DIV <= F.col("total"))
+        .select(
+            F.col("l").alias("f_l"),
+            F.col("cx").alias("f_cx"),
+            F.col("cy").alias("f_cy"),
+        )
+    )
+    leaf = (
+        base.join(
+            F.broadcast(fit),
+            (F.col("f_cx") == F.expr("ix >> (10 - f_l)"))
+            & (F.col("f_cy") == F.expr("iy >> (10 - f_l)")),
+            "left",
+        )
+        .groupBy("ix", "iy", "n")
+        .agg(F.coalesce(F.min("f_l"), F.lit(_QT_MAX_L)).alias("leaf_l"))
+    )
+    return (
+        leaf.groupBy(
+            F.col("leaf_l").cast("long").alias("level"),
+            F.expr("ix >> (10 - leaf_l)").cast("long").alias("cx"),
+            F.expr("iy >> (10 - leaf_l)").cast("long").alias("cy"),
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_points"),
+            F.count("*").cast("long").alias("n_base_cells"),
+        )
+        .orderBy("level", "cx", "cy")
+    )

@@ -1523,3 +1523,154 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(_RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sparse-vector similarity join (tf-idf cosine pairs)
+# ---------------------------------------------------------------------------
+
+_TC_RARE_DF = 12  # blocking: candidate pairs must share a term this rare
+_TC_MIN_COS = 0.5
+
+_TC_SQL = f"""
+    WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr
+                  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    toks AS (SELECT doc_id,
+                    array_to_string(list_slice(arr, k + 1, k + 3), ' ') AS w
+             FROM arrs, UNNEST(range(len(arr) - 2)) AS t(k)),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, w),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    wt AS (SELECT tf.doc_id, tf.w,
+                  CAST(FLOOR(tf.tf * LN(nd.n * 1.0e0 / df.df) * 1000000.0e0
+                             + 5.0e-1) AS BIGINT) AS wu
+           FROM tf JOIN df USING (w) CROSS JOIN nd),
+    norms AS (SELECT doc_id, SUM(wu * wu) AS n2 FROM wt GROUP BY doc_id),
+    rare AS (SELECT w FROM df WHERE df BETWEEN 2 AND {_TC_RARE_DF}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM tf a JOIN rare USING (w) JOIN tf b USING (w)
+             WHERE a.doc_id < b.doc_id),
+    dots AS (SELECT c.doc_a, c.doc_b, SUM(x.wu * y.wu) AS dot
+             FROM cand c
+             JOIN wt x ON x.doc_id = c.doc_a
+             JOIN wt y ON y.doc_id = c.doc_b AND y.w = x.w
+             GROUP BY c.doc_a, c.doc_b),
+    cos AS (SELECT d.doc_a, d.doc_b,
+                   ROUND(d.dot / (SQRT(na.n2 * 1.0e0) * SQRT(nb.n2 * 1.0e0)),
+                         6) AS cosine
+            FROM dots d
+            JOIN norms na ON na.doc_id = d.doc_a
+            JOIN norms nb ON nb.doc_id = d.doc_b)
+    SELECT doc_a, doc_b, cosine FROM cos
+    WHERE cosine >= {_TC_MIN_COS}e0
+    ORDER BY doc_a, doc_b
+    """
+
+
+@q("tfidf_cosine_pairs", oracle=_TC_SQL)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sparse-vector similarity join: tf-idf cosine over
+    document 3-gram-shingle vectors, candidate pairs blocked by shared
+    RARE shingles (2 <= df <= 12 — the prefix-filter family; ``ngram_jaccard_pairs`` is the
+    unweighted set version, this is the weighted one a plagiarism/
+    near-dup reranker uses), full dot product computed over ALL shared
+    terms of each candidate pair.
+
+    Exactness: tf-idf weights snap to integer micro-units, so the dot
+    product and squared norms are exact integer SUMs (order-free); the
+    one float step per pair (sqrt of the norm product — kept as
+    sqrt*sqrt, the integer product would overflow int64) is identical
+    expression text on both engines.
+
+    Scale shape: candidates come from a rare-term equi-self-join
+    (df-capped buckets); the dot product is a (pair, term) equi-join on
+    the term key feeding one partial agg — never an all-pairs scan;
+    norms are doc-keyed partial aggs broadcast back by key join.
+    """
+    arrs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    ).filter(F.size("arr") >= 3)
+    toks = arrs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(arr) - 3), "
+                "i -> array_join(slice(arr, i + 1, 3), ' '))"
+            )
+        ).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    wt = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "w",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n") * 1.0 / F.col("df"))
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("wu"),
+        )
+    )
+    norms = wt.groupBy("doc_id").agg(
+        F.sum(F.col("wu") * F.col("wu")).alias("n2")
+    )
+    rare = df.filter(
+        (F.col("df") >= 2) & (F.col("df") <= _TC_RARE_DF)
+    ).select("w")
+    ta = tf.select(F.col("doc_id").alias("doc_a"), "w")
+    tb = tf.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
+    cand = (
+        ta.join(rare, "w")
+        .join(tb, F.col("w") == F.col("wb"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = wt.select(
+        F.col("doc_id").alias("doc_a"), F.col("w").alias("xw"),
+        F.col("wu").alias("xu"),
+    )
+    y = wt.select(
+        F.col("doc_id").alias("y_doc"), F.col("w").alias("yw"),
+        F.col("wu").alias("yu"),
+    )
+    dots = (
+        cand.join(x, "doc_a")
+        .join(
+            y,
+            (F.col("doc_b") == F.col("y_doc"))
+            & (F.col("xw") == F.col("yw")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("xu") * F.col("yu")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cos = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("na2") * 1.0) * F.sqrt(F.col("nb2") * 1.0)),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return (
+        cos.filter(F.col("cosine") >= _TC_MIN_COS)
+        .select("doc_a", "doc_b", "cosine")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1674,3 +1674,106 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "cosine")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# stored-query percolation (reverse search / alerting)
+# ---------------------------------------------------------------------------
+
+_PERC_NQ = 8  # stored conjunctive queries, seeded from corpus text
+
+_PERC_SQL = f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr
+               FROM documents),
+    seeds AS (SELECT doc_id // 37 AS q_id, arr FROM w
+              WHERE doc_id % 37 = 0 AND doc_id // 37 < {_PERC_NQ}
+                AND len(arr) >= 9),
+    qterms AS (SELECT q_id, arr[(q_id % 3) + 1] AS term FROM seeds
+               UNION
+               SELECT q_id, arr[(q_id % 3) + 3] FROM seeds
+               UNION
+               SELECT q_id, arr[(q_id % 3) + 5] FROM seeds),
+    qsize AS (SELECT q_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+              FROM qterms GROUP BY q_id),
+    dw AS (SELECT DISTINCT doc_id, unnest(arr) AS term FROM w),
+    hits AS (SELECT q.q_id, d.doc_id,
+                    CAST(COUNT(DISTINCT d.term) AS BIGINT) AS n_hit
+             FROM qterms q JOIN dw d USING (term)
+             GROUP BY q.q_id, d.doc_id),
+    m AS (SELECT h.q_id, h.doc_id
+          FROM hits h JOIN qsize s USING (q_id)
+          WHERE h.n_hit = s.n_terms)
+    SELECT s.q_id, s.n_terms,
+           CAST(COUNT(m.doc_id) AS BIGINT) AS n_matched_docs,
+           CAST(MIN(m.doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(m.doc_id) AS BIGINT) AS last_doc
+    FROM qsize s LEFT JOIN m USING (q_id)
+    GROUP BY s.q_id, s.n_terms ORDER BY s.q_id
+    """
+
+
+@q("stored_query_match", oracle=_PERC_SQL)
+def stored_query_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-query percolation (reverse search): 8 conjunctive stored
+    queries — seeded from corpus text so matches provably exist — are
+    evaluated against EVERY document in one pass: a doc matches iff its
+    word set contains all the query's terms, decided by counting
+    distinct matched terms against the query size (the Elasticsearch
+    percolator / alerting shape, and the inverse of ``bm25_top_docs``:
+    there a query ranks docs, here docs trigger queries).
+
+    Scale shape: the stored-query term list is tiny and BROADCAST; the
+    document side explodes to distinct (doc, term) once and semi-joins
+    on the term key; one (query, doc) partial agg decides conjunctions.
+    Per-alert cost is independent of the query count until queries
+    outgrow the broadcast — then the same plan shards by term.
+    """
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    seeds = w.filter(
+        (F.col("doc_id") % 37 == 0)
+        & (F.col("doc_id") / 37 < _PERC_NQ)
+        & (F.size("arr") >= 9)
+    ).select((F.col("doc_id") / 37).cast("long").alias("q_id"), "arr")
+    qterms = (
+        seeds.select(
+            "q_id", F.element_at("arr", (F.col("q_id") % 3 + 1).cast("int")).alias("term")
+        )
+        .union(
+            seeds.select(
+                "q_id",
+                F.element_at("arr", (F.col("q_id") % 3 + 3).cast("int")),
+            )
+        )
+        .union(
+            seeds.select(
+                "q_id",
+                F.element_at("arr", (F.col("q_id") % 3 + 5).cast("int")),
+            )
+        )
+        .distinct()
+    )
+    qsize = qterms.groupBy("q_id").agg(
+        F.countDistinct("term").cast("long").alias("n_terms")
+    )
+    dw = w.select("doc_id", F.explode("arr").alias("term")).distinct()
+    hits = (
+        F.broadcast(qterms)
+        .join(dw, "term")
+        .groupBy("q_id", "doc_id")
+        .agg(F.countDistinct("term").cast("long").alias("n_hit"))
+    )
+    m = hits.join(F.broadcast(qsize), "q_id").filter(
+        F.col("n_hit") == F.col("n_terms")
+    ).select("q_id", "doc_id")
+    return (
+        qsize.join(m, "q_id", "left")
+        .groupBy("q_id", "n_terms")
+        .agg(
+            F.count("doc_id").cast("long").alias("n_matched_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("q_id")
+    )

@@ -2307,3 +2307,88 @@ def merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "final_checksum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# time travel: table state AS OF each version from an add/remove file log
+# ---------------------------------------------------------------------------
+
+_TT_MAX_V = 8
+
+_TT_SQL = f"""
+    WITH log AS (
+      SELECT doc_id AS file_id,
+             CAST(n_chars AS BIGINT) AS bytes,
+             CAST(doc_id % 5 AS BIGINT) AS added_v,
+             CASE WHEN doc_id % 3 = 0
+                  THEN CAST(doc_id % 5 + 1 + doc_id % 4 AS BIGINT)
+             END AS removed_v
+      FROM documents),
+    v AS (SELECT CAST(k AS BIGINT) AS version
+          FROM UNNEST(range({_TT_MAX_V} + 1)) AS t(k)),
+    state AS (SELECT v.version, l.file_id, l.bytes
+              FROM v JOIN log l
+                ON l.added_v <= v.version
+               AND (l.removed_v IS NULL OR l.removed_v > v.version))
+    SELECT v.version,
+           CAST(COUNT(s.file_id) AS BIGINT) AS n_files,
+           CAST(COALESCE(SUM(s.bytes), 0) AS BIGINT) AS total_bytes,
+           CAST(COALESCE(SUM((s.file_id * 1000003 + s.bytes)
+                             % 2147483647), 0) AS BIGINT) AS state_checksum
+    FROM v LEFT JOIN state s USING (version)
+    GROUP BY v.version ORDER BY v.version
+    """
+
+
+@q("time_travel_file_state", oracle=_TT_SQL)
+def time_travel_file_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: reconstruct the live file set AS OF every version
+    from an append-only add/remove log (files enter at their add version
+    and leave at their remove version — the Iceberg/Delta snapshot
+    semantics ``merge_upsert_apply`` writes and ``compaction_bin_plan``
+    rewrites), reporting per version the live file count, byte total,
+    and the same distributed additive checksum — so any two engines (or
+    any replay after restore) can prove they materialised the identical
+    snapshot.
+
+    Scale shape: the version spine is 9 literal rows broadcast against
+    the file log (an interval join on two integer comparisons — each log
+    row lands in at most max_v+1 versions); one partial agg per version.
+    A real manifest store would prune by version range the same way.
+    """
+    log = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").cast("long").alias("bytes"),
+        (F.col("doc_id") % 5).cast("long").alias("added_v"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            (F.col("doc_id") % 5 + 1 + F.col("doc_id") % 4).cast("long"),
+        ).alias("removed_v"),
+    )
+    v = spark.range(_TT_MAX_V + 1).select(F.col("id").alias("version"))
+    state = log.join(
+        F.broadcast(v),
+        (F.col("added_v") <= F.col("version"))
+        & (F.col("removed_v").isNull() | (F.col("removed_v") > F.col("version"))),
+    )
+    agg = state.groupBy("version").agg(
+        F.count("file_id").cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.sum((F.col("file_id") * 1000003 + F.col("bytes")) % 2147483647)
+        .cast("long")
+        .alias("state_checksum"),
+    )
+    return (
+        v.join(agg, "version", "left")
+        .select(
+            "version",
+            F.coalesce("n_files", F.lit(0)).cast("long").alias("n_files"),
+            F.coalesce("total_bytes", F.lit(0))
+            .cast("long")
+            .alias("total_bytes"),
+            F.coalesce("state_checksum", F.lit(0))
+            .cast("long")
+            .alias("state_checksum"),
+        )
+        .orderBy("version")
+    )

@@ -1777,3 +1777,121 @@ def stored_query_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SymSpell deletion-neighborhood typo pairs (complete at distance 1)
+# ---------------------------------------------------------------------------
+
+_SYMSPELL_SQL = """
+    WITH t0 AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(lower(text), ' '),
+                                        1, 6), ' ') AS title0
+      FROM documents),
+    titles AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 = 0
+                  THEN substring(title0, 1, 2) || substring(title0, 4)
+                  ELSE title0 END AS title
+      FROM t0),
+    vars AS (
+      SELECT doc_id, title, title AS variant FROM titles
+      UNION ALL
+      SELECT doc_id, title,
+             substring(title, 1, k) || substring(title, k + 2) AS variant
+      FROM titles, UNNEST(range(length(title))) AS t(k)),
+    v AS (SELECT DISTINCT doc_id, title, variant FROM vars),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.title AS title_a,
+             b.doc_id AS doc_b, b.title AS title_b
+      FROM v a JOIN v b USING (variant)
+      WHERE a.doc_id < b.doc_id AND a.title <> b.title)
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(title_a, title_b) AS BIGINT) AS edit_dist
+    FROM cand
+    WHERE levenshtein(title_a, title_b) <= 1
+    ORDER BY doc_a, doc_b
+    """
+
+
+@q("symspell_typo_pairs", oracle=_SYMSPELL_SQL)
+def symspell_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell deletion-neighborhood near-dup pairs: every title emits
+    itself plus its |title| single-deletion variants; two titles within
+    edit distance 1 ALWAYS share a variant (deletion/insertion: one IS a
+    variant of the other; substitution: both delete the same position;
+    a theorem, not a heuristic — pytest-checked against a brute-force
+    distance-1 scan), so an equi-join on the variant key finds every
+    typo pair with no quadratic stage. The exact-levenshtein refine then
+    discards hash-style false positives. Complements
+    ``title_editdist_pairs`` (prefix+length blocked, radius 3 — fast but
+    heuristic) with the provably complete radius-1 member of the
+    fuzzy-match family.
+
+    Scale shape: the variant explode multiplies each title by its length
+    (bounded), the join is an equi-join on the variant string (8-byte
+    hash at production scale), candidates dedup before the refine. No
+    cross join anywhere.
+    """
+    t0 = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 6), " ")
+        .alias("title0"),
+    )
+    titles = t0.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.substring("title0", 1, 2), F.expr("substring(title0, 4)")
+            ),
+        )
+        .otherwise(F.col("title0"))
+        .alias("title"),
+    )
+    dels = titles.select(
+        "doc_id",
+        "title",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(title) - 1), k -> "
+                "concat(substring(title, 1, k), substring(title, k + 2)))"
+            )
+        ).alias("variant"),
+    )
+    v = (
+        titles.select("doc_id", "title", F.col("title").alias("variant"))
+        .unionAll(dels)
+        .distinct()
+    )
+    a = v.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("title").alias("title_a"),
+        "variant",
+    )
+    b = v.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("title_b"),
+        F.col("variant").alias("vb"),
+    )
+    cand = (
+        a.join(b, F.col("variant") == F.col("vb"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("title_a") != F.col("title_b"))
+        )
+        .select("doc_a", "title_a", "doc_b", "title_b")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("title_a", "title_b").cast("long").alias(
+                "edit_dist"
+            ),
+        )
+        .filter(F.col("edit_dist") <= 1)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -529,3 +529,65 @@ def test_skyline_matches_bruteforce_dominance(spark):
         if not dominated:
             want.append((int(k[i]), int(x[i]), int(y[i])))
     assert got == sorted(want)
+
+
+def test_symspell_pairs_complete_at_distance_one(spark):
+    """Brute-force every title pair with an O(L) distance-1 check (equal
+    lengths: exactly one substitution; off-by-one lengths: one
+    insertion) — the deletion-neighborhood theorem says the blocked join
+    must find EXACTLY these pairs."""
+    from osmgraft.contract_text import symspell_typo_pairs
+    from tests.conftest import SF_CORRECT
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in symspell_typo_pairs(spark, SF_CORRECT).collect()
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .selectExpr(
+            "doc_id",
+            "array_join(slice(split(lower(text), ' '), 1, 6), ' ') AS t0",
+        )
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id % 6 = 0 THEN "
+            "concat(substring(t0, 1, 2), substring(t0, 4)) ELSE t0 END "
+            "AS title",
+        )
+        .collect()
+    )
+
+    def dist_le_1(a: str, b: str) -> bool:
+        if a == b:
+            return False  # equal titles are excluded by the query
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = j = edits = 0
+        while i < la and j < lb:
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+            else:
+                edits += 1
+                if edits > 1:
+                    return False
+                j += 1
+        return True
+
+    want = sorted(
+        (x["doc_id"], y["doc_id"])
+        for i, x in enumerate(rows)
+        for y in rows[i + 1:]
+        if dist_le_1(x["title"], y["title"])
+    )
+    want = [
+        (min(p), max(p)) for p in want
+    ]
+    assert got == sorted(want)

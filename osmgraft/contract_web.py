@@ -3705,3 +3705,104 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_out",
         "max_in",
     )
+
+
+# ---------------------------------------------------------------------------
+# stream disorder: Kendall tau between event-time and arrival order
+# ---------------------------------------------------------------------------
+
+_KT_SQL = f"""
+    WITH a AS (SELECT user_id, event_id,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS et,
+                      CAST(FLOOR(epoch(ts)) + {_LATE_DELAY} AS BIGINT)
+                        AS arrival
+               FROM events),
+    g AS (SELECT user_id,
+                 list_transform(list_sort(list_zip(
+                     array_agg(arrival), array_agg(event_id),
+                     array_agg(et))), p -> p[3]) AS xs
+          FROM a GROUP BY user_id),
+    s AS (SELECT user_id, xs, len(xs) AS n FROM g WHERE len(xs) >= 2),
+    c AS (SELECT user_id, n, xs,
+                 list_reduce(list_prepend(0,
+                   list_transform(range(1, n + 1), i ->
+                     len(list_filter(list_slice(xs, i + 1, n),
+                                     v -> v < xs[i])))), (p, q) -> p + q)
+                   AS n_disc,
+                 list_reduce(list_prepend(0,
+                   list_transform(range(1, n + 1), i ->
+                     len(list_filter(list_slice(xs, i + 1, n),
+                                     v -> v = xs[i])))), (p, q) -> p + q)
+                   AS n_tie
+          FROM s)
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(n_disc AS BIGINT) AS n_inversions,
+           ROUND((n * (n - 1) / 2 - n_tie - 2.0e0 * n_disc)
+                 / (n * (n - 1) / 2), 6) AS kendall_tau
+    FROM c ORDER BY user_id
+    """
+
+
+@q("stream_disorder_kendall", oracle=_KT_SQL)
+def stream_disorder_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream disorder per user: Kendall tau-a between event-time order
+    and ARRIVAL order (arrival = event time + the same deterministic
+    heavy-tailed delay as ``late_arrival_audit``) — tau 1.0 means the
+    stream arrives perfectly ordered, every inversion is a pair a
+    streaming operator must buffer past; together with the lateness
+    audit this is how a watermark and a state-store budget are actually
+    chosen.
+
+    Exactness: inversion/tie counts are pure integer in-row folds over
+    the per-user arrival-sorted event-time array (bounded per user);
+    one float division per user at the end.
+
+    Scale shape: one user-keyed partial-agg collect of a bounded array,
+    O(n²) in-row counting (n = events/user), parallelism = user count.
+    No window over raw rows, no join.
+    """
+    dl = F.expr(_LATE_DELAY).cast("long")
+    a = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("et"),
+        (F.unix_timestamp("ts") + dl).alias("arrival"),
+    )
+    g = a.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("arrival", "event_id", "et"))
+        ).alias("s")
+    )
+    xs = F.transform(F.col("s"), lambda r: r.et)
+    s = g.select(
+        "user_id", xs.alias("xs"), F.size(xs).alias("n")
+    ).filter(F.col("n") >= 2)
+    count_of = lambda cmp: F.aggregate(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: F.size(
+                F.filter(
+                    F.slice(F.col("xs"), i + 1, F.col("n")),
+                    lambda v: cmp(v, F.element_at(F.col("xs"), i)),
+                )
+            ),
+        ),
+        F.lit(0),
+        lambda p, q: p + q,
+    )
+    c = s.select(
+        "user_id",
+        "n",
+        count_of(lambda v, x: v < x).alias("n_disc"),
+        count_of(lambda v, x: v == x).alias("n_tie"),
+    )
+    pairs = F.col("n") * (F.col("n") - 1) / 2
+    return c.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("n_disc").cast("long").alias("n_inversions"),
+        F.round(
+            (pairs - F.col("n_tie") - 2.0 * F.col("n_disc")) / pairs, 6
+        ).alias("kendall_tau"),
+    ).orderBy("user_id")

@@ -1064,3 +1064,116 @@ def quadtree_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level", "cx", "cy")
     )
+
+
+# ---------------------------------------------------------------------------
+# cell-set compaction (H3 compact(): full sibling groups -> parent)
+# ---------------------------------------------------------------------------
+
+_CP_SQL = """
+    WITH pts AS (SELECT event_id % 32 AS cx,
+                        (event_id // 32) % 32 AS cy
+                 FROM events
+                 WHERE event_id % 32 + (event_id // 32) % 32 < 40),
+    r5 AS (SELECT DISTINCT cx, cy FROM pts),
+    p4 AS (SELECT cx >> 1 AS px, cy >> 1 AS py,
+                  CAST(COUNT(*) AS BIGINT) AS nkids
+           FROM r5 GROUP BY px, py),
+    up4 AS (SELECT px AS cx, py AS cy FROM p4 WHERE nkids = 4),
+    keep5 AS (SELECT r5.cx, r5.cy FROM r5
+              LEFT JOIN up4 u ON u.cx = r5.cx >> 1 AND u.cy = r5.cy >> 1
+              WHERE u.cx IS NULL),
+    p3 AS (SELECT cx >> 1 AS px, cy >> 1 AS py,
+                  CAST(COUNT(*) AS BIGINT) AS nkids
+           FROM up4 GROUP BY px, py),
+    up3 AS (SELECT px AS cx, py AS cy FROM p3 WHERE nkids = 4),
+    keep4 AS (SELECT up4.cx, up4.cy FROM up4
+              LEFT JOIN up3 u ON u.cx = up4.cx >> 1 AND u.cy = up4.cy >> 1
+              WHERE u.cx IS NULL),
+    compacted AS (
+      SELECT 5 AS res, cx, cy FROM keep5
+      UNION ALL SELECT 4, cx, cy FROM keep4
+      UNION ALL SELECT 3, cx, cy FROM up3)
+    SELECT CAST(res AS BIGINT) AS res,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MIN(cx * 100 + cy) AS BIGINT) AS min_key,
+           CAST(MAX(cx * 100 + cy) AS BIGINT) AS max_key,
+           CAST(SUM((cx * 131 + cy) % 1000003) AS BIGINT) AS key_checksum
+    FROM compacted GROUP BY res ORDER BY res
+    """
+
+
+@q("cell_compact", oracle=_CP_SQL)
+def cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-set compaction — the H3 ``compact()`` operation the pyramid
+    queries lack: the covered-cell set (a diagonal-cut region of the
+    32x32 grid, so interiors are complete and the cut edge is ragged at
+    every resolution) at resolution 5 is losslessly
+    rewritten by replacing every COMPLETE 2x2 sibling group with its
+    parent, recursively (res 5 -> 4 -> 3), so uniform regions serve from
+    coarse cells and only ragged coverage edges stay fine — the standard
+    trick that shrinks a polygon cover by orders of magnitude before a
+    cell-keyed join (``hex_polyfill_counts`` would consume exactly this).
+
+    The exact set semantics (a child survives iff its sibling group is
+    incomplete) make the per-resolution census + order-insensitive key
+    checksum a complete witness of the compacted set.
+
+    Scale shape: one distinct over the fine cells (grid-bounded), then
+    per level ONE bit-shift groupBy (complete-group test: count = 4) and
+    one anti-join of children against promoted parents — every step on
+    cell tables, never points.
+    """
+    pts = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.expr("event_id % 32 + (event_id div 32) % 32 < 40")
+        )
+        .select(
+            F.expr("event_id % 32").alias("cx"),
+            F.expr("(event_id div 32) % 32").alias("cy"),
+        )
+    )
+    r5 = pts.distinct()
+
+    def promote(cells):
+        p = cells.groupBy(
+            F.expr("cx >> 1").alias("px"), F.expr("cy >> 1").alias("py")
+        ).agg(F.count("*").alias("nkids"))
+        up = p.filter(F.col("nkids") == 4).select(
+            F.col("px").alias("cx"), F.col("py").alias("cy")
+        )
+        parents = up.select(
+            F.col("cx").alias("ucx"), F.col("cy").alias("ucy")
+        )
+        keep = cells.join(
+            parents,
+            (F.expr("cx >> 1") == F.col("ucx"))
+            & (F.expr("cy >> 1") == F.col("ucy")),
+            "left_anti",
+        )
+        return up, keep
+
+    up4, keep5 = promote(r5)
+    up3, keep4 = promote(up4)
+    compacted = (
+        keep5.select(F.lit(5).alias("res"), "cx", "cy")
+        .unionAll(keep4.select(F.lit(4).alias("res"), "cx", "cy"))
+        .unionAll(up3.select(F.lit(3).alias("res"), "cx", "cy"))
+    )
+    return (
+        compacted.groupBy(F.col("res").cast("long").alias("res"))
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.min(F.col("cx") * 100 + F.col("cy"))
+            .cast("long")
+            .alias("min_key"),
+            F.max(F.col("cx") * 100 + F.col("cy"))
+            .cast("long")
+            .alias("max_key"),
+            F.sum((F.col("cx") * 131 + F.col("cy")) % 1000003)
+            .cast("long")
+            .alias("key_checksum"),
+        )
+        .orderBy("res")
+    )

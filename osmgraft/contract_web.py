@@ -3806,3 +3806,87 @@ def stream_disorder_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pairs - F.col("n_tie") - 2.0 * F.col("n_disc")) / pairs, 6
         ).alias("kendall_tau"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# source diversity index (Shannon entropy / effective host count)
+# ---------------------------------------------------------------------------
+
+_DIV_SQL = """
+    WITH d AS (SELECT source,
+                      'example-' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+                        AS host
+               FROM documents),
+    hc AS (SELECT source, host, CAST(COUNT(*) AS BIGINT) AS n
+           FROM d GROUP BY source, host),
+    st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot,
+                  CAST(COUNT(*) AS BIGINT) AS n_hosts
+           FROM hc GROUP BY source),
+    terms AS (SELECT hc.source, st.tot, st.n_hosts,
+                     CAST(FLOOR(-(hc.n * 1.0e0 / st.tot)
+                                * LN(hc.n * 1.0e0 / st.tot)
+                                * 1000000000.0e0 + 5.0e-1) AS BIGINT) AS tu
+              FROM hc JOIN st USING (source)),
+    h AS (SELECT source, tot, n_hosts,
+                 SUM(tu) * 1.0e0 / 1000000000.0e0 AS shannon
+          FROM terms GROUP BY source, tot, n_hosts)
+    SELECT source,
+           CAST(tot AS BIGINT) AS n_docs,
+           n_hosts,
+           ROUND(shannon, 6) AS shannon_h,
+           ROUND(EXP(shannon), 4) AS effective_hosts
+    FROM h ORDER BY source
+    """
+
+
+@q("source_diversity_index", oracle=_DIV_SQL)
+def source_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source diversity: Shannon entropy of each source's host mix and
+    the effective host count exp(H) — the concentration metric a corpus
+    curator reads next to ``corpus_mix_plan``: a source with 10 000 pages
+    but 1.2 effective hosts is a mirror farm, not breadth
+    (``mirror_source_matrix`` finds the pairs; this scores the
+    concentration).
+
+    Exactness: each host's -p·ln p term is computed once from an integer
+    ratio and snapped to nano-units BEFORE the cross-host SUM (the
+    power-sum discipline), so accumulation order cannot diverge; exp and
+    the final rounds run once per source row.
+
+    Scale shape: two partial-agg shuffles ((source, host), then source);
+    the entropy sum runs over host rows (vocabulary-bounded).
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(
+            F.lit("example-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".co.uk"),
+        ).alias("host"),
+    )
+    hc = d.groupBy("source", "host").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    st = hc.groupBy("source").agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("n_hosts"),
+    )
+    p = F.col("n") * 1.0 / F.col("tot")
+    terms = hc.join(st, "source").select(
+        "source",
+        "tot",
+        "n_hosts",
+        F.floor(-p * F.log(p) * 1000000000.0 + 0.5)
+        .cast("long")
+        .alias("tu"),
+    )
+    h = terms.groupBy("source", "tot", "n_hosts").agg(
+        (F.sum("tu") * 1.0 / 1000000000.0).alias("shannon")
+    )
+    return h.select(
+        "source",
+        F.col("tot").cast("long").alias("n_docs"),
+        "n_hosts",
+        F.round("shannon", 6).alias("shannon_h"),
+        F.round(F.exp("shannon"), 4).alias("effective_hosts"),
+    ).orderBy("source")

@@ -1177,3 +1177,122 @@ def cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("res")
     )
+
+
+# ---------------------------------------------------------------------------
+# IDW raster interpolation (scattered points -> grid surface)
+# ---------------------------------------------------------------------------
+
+_IDW_W = 50000  # raster cell width: 14x14 grid over the fixture extent
+
+# squared distance from a point to the TARGET cell's center, shared text
+_IDW_D2 = (
+    f"((px - (tcx + 5.0e-1) * {_IDW_W}.0e0) * "
+    f"(px - (tcx + 5.0e-1) * {_IDW_W}.0e0) + "
+    f"(py - (tcy + 5.0e-1) * {_IDW_W}.0e0) * "
+    f"(py - (tcy + 5.0e-1) * {_IDW_W}.0e0))"
+)
+
+
+def _idw_sql() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    return f"""
+    WITH pts AS (SELECT {X_EXPR} AS px, {Y_EXPR} AS py,
+                        CAST(FLOOR(value * 10000.0e0 + 5.0e-1) AS BIGINT)
+                          AS vu
+                 FROM events),
+    c AS (SELECT px, py, vu,
+                 CAST(FLOOR(px / {_IDW_W}.0e0) AS BIGINT) AS pcx,
+                 CAST(FLOOR(py / {_IDW_W}.0e0) AS BIGINT) AS pcy
+          FROM pts),
+    fan AS (SELECT px, py, vu, pcx + dx AS tcx, pcy + dy AS tcy
+            FROM c,
+                 UNNEST(range(-1, 2)) AS u(dx),
+                 UNNEST(range(-1, 2)) AS v(dy)),
+    wgt AS (SELECT tcx, tcy, vu,
+                   CAST(FLOOR(1.0e12 / GREATEST({_IDW_D2}, 1.0e6) + 5.0e-1)
+                        AS BIGINT) AS wu
+            FROM fan)
+    SELECT tcx, tcy,
+           CAST(COUNT(*) AS BIGINT) AS n_pts,
+           ROUND(SUM(wu * vu) * 1.0e0 / SUM(wu) / 10000.0e0, 4)
+             AS idw_value
+    FROM wgt
+    WHERE tcx BETWEEN 0 AND 13 AND tcy BETWEEN 0 AND 13
+    GROUP BY tcx, tcy ORDER BY tcx, tcy
+    """
+
+
+@q("idw_grid_interpolation", oracle=_idw_sql())
+def idw_grid_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted raster interpolation: scattered event
+    points become a continuous 14x14 grid surface — each cell center
+    averages the values of every point in its 3x3 cell ring, weighted by
+    1/d² (clamped near zero) — the scattered-to-raster step between the
+    point layer and ``raster_band_counts``/``cell_pyramid``'s
+    raster-side ops (the reference pipeline scores points; serving a
+    heatmap tile needs the field).
+
+    Exactness: values and weights both snap to integers BEFORE the
+    weighted sums (weight = floor(1e12 / max(d², 1e6)) from the shared
+    distance expression text), so numerator and denominator are exact
+    integer SUMs; one division per output cell.
+
+    Scale shape: each point fans out to its 9 ring cells (a Generate,
+    no join — the target grid is implicit in the arithmetic) and ONE
+    (cell)-keyed partial agg builds the surface. This is the same
+    k-ring-fanout-then-aggregate shape as ``hex_kring_poi_join``, with
+    weights.
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    w = _IDW_W
+    c = t(spark, sf_dir, "events").select(
+        F.expr(X_EXPR).alias("px"),
+        F.expr(Y_EXPR).alias("py"),
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("vu"),
+    ).select(
+        "px",
+        "py",
+        "vu",
+        F.expr(f"CAST(FLOOR(px / {w}.0e0) AS BIGINT)").alias("pcx"),
+        F.expr(f"CAST(FLOOR(py / {w}.0e0) AS BIGINT)").alias("pcy"),
+    )
+    fan = (
+        c.withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            "px",
+            "py",
+            "vu",
+            (F.col("pcx") + F.col("dx")).alias("tcx"),
+            (F.col("pcy") + F.col("dy")).alias("tcy"),
+        )
+    )
+    wgt = fan.select(
+        "tcx",
+        "tcy",
+        "vu",
+        F.expr(
+            f"CAST(FLOOR(1.0e12 / GREATEST({_IDW_D2}, 1.0e6) + 5.0e-1) "
+            "AS BIGINT)"
+        ).alias("wu"),
+    )
+    return (
+        wgt.filter(
+            F.col("tcx").between(0, 13) & F.col("tcy").between(0, 13)
+        )
+        .groupBy("tcx", "tcy")
+        .agg(
+            F.count("*").cast("long").alias("n_pts"),
+            F.round(
+                F.sum(F.col("wu") * F.col("vu"))
+                * 1.0
+                / F.sum("wu")
+                / 10000.0,
+                4,
+            ).alias("idw_value"),
+        )
+        .orderBy("tcx", "tcy")
+    )

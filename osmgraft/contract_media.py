@@ -429,3 +429,121 @@ def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(_media_pages(spark, sf_dir), every_n=24).orderBy(
         "url", "frame_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# top principal component via distributed power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 3
+_PCA_PSNAP = 12  # per-term product snap (1e12) feeding integer sums
+_PCA_CSNAP = 9  # per-contribution snap (1e9)
+
+
+def _pca_sql() -> str:
+    head = """
+    WITH e AS (SELECT vec_id, j, CAST(embedding[j] AS DOUBLE) AS x
+               FROM embeddings, UNNEST(range(1, 65)) AS t(j)),
+    v0 AS (SELECT j AS dim, 1.25e-1 AS val
+           FROM UNNEST(range(1, 65)) AS t(j))"""
+    body = ""
+    for k in range(1, _PCA_ITERS + 1):
+        body += f""",
+    s{k} AS (SELECT e.vec_id,
+                    SUM(CAST(FLOOR(e.x * v.val * 1.0e{_PCA_PSNAP}
+                                   + 5.0e-1) AS BIGINT)) AS su
+             FROM e JOIN v{k - 1} v ON v.dim = e.j GROUP BY e.vec_id),
+    u{k} AS (SELECT e.j AS dim,
+                    SUM(CAST(FLOOR(e.x * (s.su * 1.0e0 / 1.0e{_PCA_PSNAP})
+                                   * 1.0e{_PCA_CSNAP} + 5.0e-1)
+                             AS BIGINT)) AS uu
+             FROM e JOIN s{k} s ON s.vec_id = e.vec_id GROUP BY e.j),
+    m{k} AS (SELECT MAX(ABS(uu)) AS mx FROM u{k}),
+    v{k} AS (SELECT dim, ROUND(uu * 1.0e0 / m{k}.mx, 10) AS val
+             FROM u{k}, m{k})"""
+    n = _PCA_ITERS
+    return (
+        head
+        + body
+        + f"""
+    SELECT CAST(v.dim AS BIGINT) AS dim, v.val AS component,
+           ROUND(m{n}.mx * 1.0e0 / 1.0e{_PCA_CSNAP}, 6) AS lambda_scale
+    FROM v{n} v, m{n} ORDER BY dim
+    """
+    )
+
+
+@q("embedding_top_component", oracle=_pca_sql())
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by DISTRIBUTED
+    power iteration (3 rounds of v <- X'Xv with max-abs normalisation) —
+    matrix-free linear algebra expressed entirely as DataFrame joins and
+    aggregations: the spectral summary an embedding-quality audit reads
+    (a collapsed top component = anisotropic embeddings; pairs with
+    ``embedding_norm_stats`` and the int8 quantization audit).
+
+    Exactness: both per-round reductions (row scores x·v, then
+    dimension-wise contributions) snap every term to integers BEFORE the
+    cross-row SUM, so accumulation order cannot diverge; the carried
+    vector snaps to 10 dp after each max-abs normalisation (the
+    ``pagerank_cosupply`` discipline). No driver collect — the iterate
+    lives as a 64-row table joined back by dimension key.
+
+    Scale shape: per round, one row-keyed and one dim-keyed partial agg
+    over the exploded (vector, dim) relation; the 64-row iterate and its
+    scalar max broadcast. Rounds are O(iters), lineage is linear.
+    """
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .alias("p", "x"),
+    ).select("vec_id", (F.col("p") + 1).alias("j"), "x")
+    v = spark.range(1, 65).select(
+        F.col("id").alias("dim"), F.lit(0.125).alias("val")
+    )
+    psnap = float(10 ** _PCA_PSNAP)
+    csnap = float(10 ** _PCA_CSNAP)
+    mx_col = None
+    for _ in range(_PCA_ITERS):
+        s = (
+            e.join(F.broadcast(v), e.j == v.dim)
+            .select(
+                "vec_id",
+                F.floor(F.col("x") * F.col("val") * psnap + 0.5)
+                .cast("long")
+                .alias("pu"),
+            )
+            .groupBy("vec_id")
+            .agg(F.sum("pu").alias("su"))
+        )
+        u = (
+            e.join(s, "vec_id")
+            .select(
+                "j",
+                F.floor(
+                    F.col("x") * (F.col("su") * 1.0 / psnap) * csnap + 0.5
+                )
+                .cast("long")
+                .alias("cu"),
+            )
+            .groupBy("j")
+            .agg(F.sum("cu").alias("uu"))
+        )
+        m = u.agg(F.max(F.abs(F.col("uu"))).alias("mx"))
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                F.col("j").alias("dim"),
+                F.round(F.col("uu") * 1.0 / F.col("mx"), 10).alias("val"),
+            )
+        )
+        mx_col = m
+    return (
+        v.crossJoin(F.broadcast(mx_col))
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.col("val").alias("component"),
+            F.round(F.col("mx") * 1.0 / csnap, 6).alias("lambda_scale"),
+        )
+        .orderBy("dim")
+    )

@@ -4006,3 +4006,159 @@ def conformal_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier retention curve with right-censoring
+# ---------------------------------------------------------------------------
+
+_KM_SQL = """
+    WITH u AS (SELECT user_id,
+                      MIN(CAST(ts AS DATE)) AS first_day,
+                      MAX(CAST(ts AS DATE)) AS last_day
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id),
+    w AS (SELECT MAX(CAST(ts AS DATE)) AS wend FROM events),
+    lt AS (SELECT u.user_id,
+                  CAST(u.last_day - u.first_day AS BIGINT) AS t,
+                  CASE WHEN u.last_day >= w.wend - 2 THEN 1 ELSE 0 END
+                    AS censored
+           FROM u, w),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM lt),
+    byt AS (SELECT t,
+                   CAST(SUM(1 - censored) AS BIGINT) AS d,
+                   CAST(SUM(censored) AS BIGINT) AS c
+            FROM lt GROUP BY t),
+    g AS (SELECT list_sort(array_agg(t)) AS ts_,
+                 list_transform(list_sort(list_zip(array_agg(t),
+                                                   array_agg(d))),
+                                p -> p[2]) AS ds,
+                 list_transform(list_sort(list_zip(array_agg(t),
+                                                   array_agg(c))),
+                                p -> p[2]) AS cs
+          FROM byt),
+    k AS (SELECT ts_, ds, cs, tot.n_users,
+                 list_transform(range(1, len(ts_) + 1), i ->
+                   tot.n_users
+                   - list_reduce(list_prepend(0,
+                       list_slice(ds, 1, i - 1)), (a, b) -> a + b)
+                   - list_reduce(list_prepend(0,
+                       list_slice(cs, 1, i - 1)), (a, b) -> a + b))
+                   AS risks
+          FROM g, tot),
+    s AS (SELECT ts_, ds, cs, risks,
+                 list_transform(range(1, len(ts_) + 1), i ->
+                   list_reduce(list_prepend(1.0e0,
+                     list_transform(range(1, i + 1), m ->
+                       ROUND(1.0e0 - ds[m] * 1.0e0 / risks[m], 9))),
+                     (a, b) -> a * b)) AS surv
+          FROM k)
+    SELECT UNNEST(ts_) AS t,
+           CAST(UNNEST(risks) AS BIGINT) AS n_at_risk,
+           CAST(UNNEST(ds) AS BIGINT) AS n_churned,
+           CAST(UNNEST(cs) AS BIGINT) AS n_censored,
+           ROUND(UNNEST(surv), 6) AS survival
+    FROM s ORDER BY t
+    """
+
+
+@q("kaplan_meier_retention", oracle=_KM_SQL)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit retention curve with right-censoring:
+    a user's purchase lifetime spans first to last purchase; users still
+    purchasing near the observation-window end are CENSORED, not
+    churned —
+    the distinction ``cohort_retention``'s raw ratios cannot make, and
+    the reason naive retention under-counts survivors. S(t) multiplies
+    (1 - churned/at-risk) over event times, with censored users leaving
+    the risk set without counting as deaths.
+
+    Determinism: the curve folds in-row over the day-sorted (bounded)
+    per-day count arrays — risk sets by integer prefix sums, survival by
+    a left-fold product of 9-dp-snapped factors — so both engines
+    compute identical doubles (the ``ewma_daily_values`` recursion
+    discipline).
+
+    Scale shape: one user-keyed agg (lifetimes), one day-keyed agg
+    (counts), then a single bounded-array row (distinct days, ~30) does
+    the curve; unbounded dimensions never meet a window or a fold.
+    """
+    ev = t(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("first_day"),
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+        )
+    )
+    w = ev.agg(F.max(F.col("ts").cast("date")).alias("wend"))
+    lt = u.crossJoin(F.broadcast(w)).select(
+        F.datediff("last_day", "first_day").cast("long").alias("t"),
+        F.when(
+            F.datediff("wend", "last_day") <= 2, F.lit(1)
+        ).otherwise(F.lit(0)).alias("censored"),
+    )
+    tot = lt.agg(F.count("*").cast("long").alias("n_users"))
+    byt = lt.groupBy("t").agg(
+        F.sum(F.lit(1) - F.col("censored")).cast("long").alias("d"),
+        F.sum("censored").cast("long").alias("c"),
+    )
+    g = byt.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "c"))).alias("z")
+    )
+    ts_ = F.transform(F.col("z"), lambda r: r.t)
+    ds = F.transform(F.col("z"), lambda r: r.d)
+    cs = F.transform(F.col("z"), lambda r: r.c)
+    base = g.crossJoin(F.broadcast(tot)).select(
+        ts_.alias("ts_"), ds.alias("ds"), cs.alias("cs"), "n_users"
+    )
+    prefix = lambda arr, i: F.aggregate(  # noqa: E731
+        F.slice(arr, 1, i - 1), F.lit(0).cast("long"), lambda a, b: a + b
+    )
+    risks = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("ts_"))),
+        lambda i: F.col("n_users")
+        - prefix(F.col("ds"), i)
+        - prefix(F.col("cs"), i),
+    )
+    k = base.select("ts_", "ds", "cs", risks.alias("risks"))
+    surv = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("ts_"))),
+        lambda i: F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), i),
+                lambda m: F.round(
+                    F.lit(1.0)
+                    - F.element_at(F.col("ds"), m)
+                    * 1.0
+                    / F.element_at(F.col("risks"), m),
+                    9,
+                ),
+            ),
+            F.lit(1.0),
+            lambda a, b: a * b,
+        ),
+    )
+    s = k.select("ts_", "ds", "cs", "risks", surv.alias("surv"))
+    return (
+        s.select(
+            F.explode(
+                F.arrays_zip(
+                    F.col("ts_").alias("t"),
+                    F.col("risks").alias("n_at_risk"),
+                    F.col("ds").alias("n_churned"),
+                    F.col("cs").alias("n_censored"),
+                    F.col("surv").alias("survival"),
+                )
+            ).alias("r")
+        )
+        .select(
+            F.col("r.t").cast("long").alias("t"),
+            F.col("r.n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("r.n_churned").cast("long").alias("n_churned"),
+            F.col("r.n_censored").cast("long").alias("n_censored"),
+            F.round(F.col("r.survival"), 6).alias("survival"),
+        )
+        .orderBy("t")
+    )

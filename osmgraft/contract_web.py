@@ -4162,3 +4162,93 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+# ---------------------------------------------------------------------------
+# mutual information between two discretised columns
+# ---------------------------------------------------------------------------
+
+_MI_SQL = """
+    WITH d AS (SELECT (CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                            AS INTEGER) + 4) % 7 AS dow,
+                      CAST(FLOOR(value / 50.0e0) AS BIGINT) AS band
+               FROM events),
+    joint AS (SELECT dow, band, CAST(COUNT(*) AS BIGINT) AS nxy
+              FROM d GROUP BY dow, band),
+    mx AS (SELECT dow, CAST(SUM(nxy) AS BIGINT) AS nx FROM joint
+           GROUP BY dow),
+    my AS (SELECT band, CAST(SUM(nxy) AS BIGINT) AS ny FROM joint
+           GROUP BY band),
+    tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM joint),
+    terms AS (SELECT j.dow, j.band, j.nxy,
+                     CAST(FLOOR((j.nxy * 1.0e0 / t.n)
+                                * LN((j.nxy * 1.0e0 * t.n)
+                                     / (mx.nx * 1.0e0 * my.ny))
+                                * 1000000000.0e0 + 5.0e-1) AS BIGINT)
+                       AS tu
+              FROM joint j JOIN mx USING (dow) JOIN my USING (band)
+              CROSS JOIN tot t)
+    SELECT dow, band, nxy,
+           ROUND(tu / 1000000000.0e0, 6) AS mi_term,
+           ROUND(SUM(tu) OVER () / 1000000000.0e0, 6) AS mutual_info
+    FROM terms ORDER BY dow, band
+    """
+
+
+@q("mutual_information_profile", oracle=_MI_SQL)
+def mutual_information_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two discretised columns (day-of-week x
+    50-unit value band): per-cell contribution p(x,y)·ln(p(x,y)/
+    (p(x)p(y))) and the windowed total — the model-free dependency
+    measure a feature-selection pass runs before ``target_encoding_loo``
+    invests in a feature, and the bivariate counterpart of
+    ``source_diversity_index``'s univariate entropy.
+
+    Exactness: all probabilities are integer-count ratios; each cell's
+    MI term is computed once and snapped to nano-units before the
+    windowed SUM over (vocabulary-bounded) cells. Epoch-anchored dow.
+
+    Scale shape: one (x, y) partial-agg shuffle; the marginals are
+    re-aggregations of the joint table (never the raw rows); the total
+    is a window over joint cells.
+    """
+    d = t(spark, sf_dir, "events").select(
+        ((F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) + 4) % 7)
+        .alias("dow"),
+        F.floor(F.col("value") / 50.0).cast("long").alias("band"),
+    )
+    joint = d.groupBy("dow", "band").agg(
+        F.count("*").cast("long").alias("nxy")
+    )
+    mx = joint.groupBy("dow").agg(F.sum("nxy").cast("long").alias("nx"))
+    my = joint.groupBy("band").agg(F.sum("nxy").cast("long").alias("ny"))
+    tot = joint.agg(F.sum("nxy").cast("long").alias("n"))
+    terms = (
+        joint.join(F.broadcast(mx), "dow")
+        .join(F.broadcast(my), "band")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "band",
+            "nxy",
+            F.floor(
+                (F.col("nxy") * 1.0 / F.col("n"))
+                * F.log(
+                    (F.col("nxy") * 1.0 * F.col("n"))
+                    / (F.col("nx") * 1.0 * F.col("ny"))
+                )
+                * 1000000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("tu"),
+        )
+    )
+    w = Window.partitionBy()
+    return terms.select(
+        "dow",
+        "band",
+        "nxy",
+        F.round(F.col("tu") / 1000000000.0, 6).alias("mi_term"),
+        F.round(F.sum("tu").over(w) / 1000000000.0, 6).alias("mutual_info"),
+    ).orderBy("dow", "band")

@@ -2392,3 +2392,100 @@ def time_travel_file_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version")
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket association rules (pair support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_BK_MIN_CO = 3  # minimum co-occurrence count
+_BK_TOP = 25
+
+_BASKET_SQL = f"""
+    WITH oi AS (SELECT DISTINCT l_orderkey AS o,
+                                CAST(l_partkey % 50 AS BIGINT) AS item
+                FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM oi),
+    ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS ni FROM oi
+           GROUP BY item),
+    pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+                     CAST(COUNT(*) AS BIGINT) AS nab
+              FROM oi a JOIN oi b ON a.o = b.o AND a.item < b.item
+              GROUP BY a.item, b.item),
+    m AS (SELECT p.item_a, p.item_b, p.nab,
+                 ROUND(p.nab * 1.0e0 / n.n_orders, 6) AS support,
+                 ROUND(p.nab * 1.0e0 / ia.ni, 6) AS conf_a_to_b,
+                 ROUND(p.nab * 1.0e0 / ib.ni, 6) AS conf_b_to_a,
+                 ROUND(p.nab * 1.0e0 * n.n_orders / (ia.ni * ib.ni), 6)
+                   AS lift
+          FROM pairs p
+          JOIN ic ia ON ia.item = p.item_a
+          JOIN ic ib ON ib.item = p.item_b
+          CROSS JOIN n
+          WHERE p.nab >= {_BK_MIN_CO})
+    SELECT * FROM m ORDER BY lift DESC, item_a, item_b LIMIT {_BK_TOP}
+    """
+
+
+@q("basket_pair_lift", oracle=_BASKET_SQL)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at pair granularity: for items
+    co-occurring in >= 3 orders, support, both conditional confidences,
+    and lift — the transactional counterpart of ``pmi_cooccurrence``
+    (words) over the order/lineitem star, top-25 by lift. Lift > 1 is
+    the recommender's signal; the reference's co-purchase graph
+    (``pagerank_cosupply``'s edge list) is this table without the
+    probabilistic normalisation.
+
+    Scale shape: the distinct (order, item) relation shuffles once; the
+    pair expansion is an order-keyed equi-self-join (baskets are small,
+    so in-order pair counts stay bounded); item marginals broadcast; the
+    final top-k is TakeOrderedAndProject. Integer counts, one division
+    per metric.
+    """
+    oi = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"),
+            (F.col("l_partkey") % 50).cast("long").alias("item"),
+        )
+        .distinct()
+    )
+    n = oi.agg(F.countDistinct("o").cast("long").alias("n_orders"))
+    ic = oi.groupBy("item").agg(F.count("*").cast("long").alias("ni"))
+    b = oi.select(F.col("o").alias("ob"), F.col("item").alias("item_b"))
+    pairs = (
+        oi.join(b, (F.col("o") == F.col("ob")) & (F.col("item") < F.col("item_b")))
+        .groupBy(F.col("item").alias("item_a"), "item_b")
+        .agg(F.count("*").cast("long").alias("nab"))
+        .filter(F.col("nab") >= _BK_MIN_CO)
+    )
+    ia = ic.select(F.col("item").alias("item_a"), F.col("ni").alias("na"))
+    ib = ic.select(F.col("item").alias("item_b"), F.col("ni").alias("nb"))
+    m = (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "nab",
+            F.round(F.col("nab") * 1.0 / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("nab") * 1.0 / F.col("na"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("nab") * 1.0 / F.col("nb"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                F.col("nab") * 1.0 * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return m.orderBy(F.col("lift").desc(), "item_a", "item_b").limit(
+        _BK_TOP
+    )

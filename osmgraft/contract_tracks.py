@@ -534,3 +534,140 @@ def map_match_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# turning behaviour: left/right turn counts + straightness ratio
+# ---------------------------------------------------------------------------
+
+
+def _turn_sql() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    return f"""
+    WITH p AS (SELECT user_id, event_id, {X_EXPR} AS x, {Y_EXPR} AS y
+               FROM events),
+    o AS (SELECT user_id, x, y,
+                 LAG(x, 1) OVER w AS x1, LAG(y, 1) OVER w AS y1,
+                 LAG(x, 2) OVER w AS x2, LAG(y, 2) OVER w AS y2,
+                 FIRST_VALUE(x) OVER w AS fx, FIRST_VALUE(y) OVER w AS fy,
+                 ROW_NUMBER() OVER w AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS np
+          FROM p WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+    seg AS (SELECT user_id, np, rn, x, y, fx, fy,
+                   CASE WHEN x1 IS NOT NULL THEN
+                     CAST(FLOOR(SQRT((x - x1) * (x - x1)
+                                     + (y - y1) * (y - y1))
+                                * 10000.0e0 + 5.0e-1) AS BIGINT)
+                   END AS seg_lu,
+                   CASE WHEN x2 IS NOT NULL THEN
+                     SIGN((x1 - x2) * (y - y1) - (y1 - y2) * (x - x1))
+                   END AS turn
+            FROM o)
+    SELECT user_id,
+           CAST(COUNT(seg_lu) AS BIGINT) AS n_segments,
+           CAST(COUNT(CASE WHEN turn > 0 THEN 1 END) AS BIGINT) AS n_left,
+           CAST(COUNT(CASE WHEN turn < 0 THEN 1 END) AS BIGINT) AS n_right,
+           ROUND(SUM(seg_lu) / 10000.0e0, 4) AS path_len,
+           ROUND(MAX(CASE WHEN rn = np THEN
+                     SQRT((x - fx) * (x - fx) + (y - fy) * (y - fy))
+                   END), 4) AS net_disp,
+           ROUND(MAX(CASE WHEN rn = np THEN
+                     SQRT((x - fx) * (x - fx) + (y - fy) * (y - fy))
+                   END)
+                 / (SUM(seg_lu) / 10000.0e0), 6) AS straightness
+    FROM seg GROUP BY user_id HAVING COUNT(seg_lu) >= 2
+    ORDER BY user_id
+    """
+
+
+@q("track_turning_stats", oracle=_turn_sql())
+def track_turning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning behaviour per track: consecutive-segment cross-product
+    signs count left vs right turns, and the straightness ratio (net
+    displacement / path length) separates purposeful movement from
+    wander — the kinematic profile beside ``track_stats`` (lengths) and
+    ``track_simplify`` (geometry), and a standard GPS-quality signal
+    (a jittery sensor turns constantly; a highway track doesn't).
+
+    Exactness: turn counts are integer conditional counts on the SIGN of
+    the cross product (both engines compute the identical double);
+    per-segment lengths snap to 1e-4 units BEFORE the per-user SUM
+    (order-free); net displacement is computed once from the endpoint
+    row.
+
+    Scale shape: ONE user-keyed window serves both LAGs, FIRST_VALUE,
+    and the endpoint pick; one partial agg ends the plan. No self-join.
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    p = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(X_EXPR).alias("x"),
+        F.expr(Y_EXPR).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    o = p.select(
+        "user_id",
+        "x",
+        "y",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("x", 2).over(w).alias("x2"),
+        F.lag("y", 2).over(w).alias("y2"),
+        F.first("x").over(w).alias("fx"),
+        F.first("y").over(w).alias("fy"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("np"),
+    )
+    seg_lu = F.when(
+        F.col("x1").isNotNull(),
+        F.floor(
+            F.sqrt(
+                (F.col("x") - F.col("x1")) * (F.col("x") - F.col("x1"))
+                + (F.col("y") - F.col("y1")) * (F.col("y") - F.col("y1"))
+            )
+            * 10000.0
+            + 0.5
+        ).cast("long"),
+    )
+    turn = F.when(
+        F.col("x2").isNotNull(),
+        F.signum(
+            (F.col("x1") - F.col("x2")) * (F.col("y") - F.col("y1"))
+            - (F.col("y1") - F.col("y2")) * (F.col("x") - F.col("x1"))
+        ),
+    )
+    end_disp = F.when(
+        F.col("rn") == F.col("np"),
+        F.sqrt(
+            (F.col("x") - F.col("fx")) * (F.col("x") - F.col("fx"))
+            + (F.col("y") - F.col("fy")) * (F.col("y") - F.col("fy"))
+        ),
+    )
+    seg = o.select(
+        "user_id",
+        seg_lu.alias("seg_lu"),
+        turn.alias("turn"),
+        end_disp.alias("ed"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("seg_lu").cast("long").alias("n_segments"),
+            F.count(F.when(F.col("turn") > 0, 1)).cast("long").alias(
+                "n_left"
+            ),
+            F.count(F.when(F.col("turn") < 0, 1)).cast("long").alias(
+                "n_right"
+            ),
+            F.round(F.sum("seg_lu") / 10000.0, 4).alias("path_len"),
+            F.round(F.max("ed"), 4).alias("net_disp"),
+            F.round(F.max("ed") / (F.sum("seg_lu") / 10000.0), 6).alias(
+                "straightness"
+            ),
+        )
+        .filter(F.col("n_segments") >= 2)
+        .orderBy("user_id")
+    )

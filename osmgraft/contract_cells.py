@@ -1296,3 +1296,101 @@ def idw_grid_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tcx", "tcy")
     )
+
+
+# ---------------------------------------------------------------------------
+# origin-destination flow matrix (daily first -> last cell per user)
+# ---------------------------------------------------------------------------
+
+_OD_W = 175000  # coarse 4x4 OD zones over the fixture extent
+
+
+def _od_sql() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    return f"""
+    WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+                      CAST(FLOOR(({X_EXPR}) / {_OD_W}.0e0) AS BIGINT) AS cx,
+                      CAST(FLOOR(({Y_EXPR}) / {_OD_W}.0e0) AS BIGINT) AS cy
+               FROM events),
+    r AS (SELECT user_id, day, cx, cy,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                    ORDER BY event_id) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                    ORDER BY event_id DESC) AS rl
+          FROM p),
+    od AS (SELECT f.user_id, f.day,
+                  f.cx * 10 + f.cy AS o_zone,
+                  l.cx * 10 + l.cy AS d_zone
+           FROM (SELECT * FROM r WHERE rf = 1) f
+           JOIN (SELECT * FROM r WHERE rl = 1) l
+             USING (user_id, day))
+    SELECT o_zone, d_zone,
+           CAST(COUNT(*) AS BIGINT) AS n_trips,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MAX(CASE WHEN o_zone = d_zone THEN 1 ELSE 0 END) AS BIGINT)
+             AS is_intrazonal
+    FROM od GROUP BY o_zone, d_zone ORDER BY o_zone, d_zone
+    """
+
+
+@q("od_flow_matrix", oracle=_od_sql())
+def od_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix: each user-day contributes one
+    trip from its first event's zone to its last event's zone (4x4
+    coarse zones), aggregated into the OD matrix every transport/
+    mobility analysis starts from — the per-day trip generalisation of
+    the static cell censuses (``cell_assign_counts``) and the spatial
+    twin of ``event_transition_counts``'s categorical flows.
+
+    Scale shape: ONE (user, day)-keyed window pass marks first and last
+    events (two ROW_NUMBERs over the same partitioning — one exchange),
+    a self-equi-join on the (user, day) key pairs them, and a zone-keyed
+    partial agg builds the matrix. Nothing global, integer arithmetic.
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    w = _OD_W
+    p = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_id",
+        F.expr(f"CAST(FLOOR(({X_EXPR}) / {w}.0e0) AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(FLOOR(({Y_EXPR}) / {w}.0e0) AS BIGINT)").alias("cy"),
+    )
+    wf = Window.partitionBy("user_id", "day").orderBy("event_id")
+    wl = Window.partitionBy("user_id", "day").orderBy(
+        F.col("event_id").desc()
+    )
+    r = p.select(
+        "user_id",
+        "day",
+        "cx",
+        "cy",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    f = r.filter(F.col("rf") == 1).select(
+        "user_id", "day", (F.col("cx") * 10 + F.col("cy")).alias("o_zone")
+    )
+    l_ = r.filter(F.col("rl") == 1).select(
+        F.col("user_id").alias("lu"),
+        F.col("day").alias("ld"),
+        (F.col("cx") * 10 + F.col("cy")).alias("d_zone"),
+    )
+    od = f.join(
+        l_, (F.col("user_id") == F.col("lu")) & (F.col("day") == F.col("ld"))
+    ).select("user_id", "o_zone", "d_zone")
+    return (
+        od.groupBy("o_zone", "d_zone")
+        .agg(
+            F.count("*").cast("long").alias("n_trips"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.max(
+                F.when(F.col("o_zone") == F.col("d_zone"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("is_intrazonal"),
+        )
+        .orderBy("o_zone", "d_zone")
+    )

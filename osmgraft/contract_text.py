@@ -1895,3 +1895,100 @@ def symspell_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 1)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup-detector evaluation: precision / recall vs template ground truth
+# ---------------------------------------------------------------------------
+
+_EVAL_SQL = f"""
+    WITH pr AS ({_NGRAM_PAIRS_SQL}),
+    sys AS (SELECT doc_a, doc_b FROM pr),
+    h AS (SELECT doc_id,
+                 md5(array_to_string(list_slice(
+                       string_split(lower(trim(text)), ' '),
+                       1, {_MIRROR_PREFIX_WORDS}), ' ')) AS dig
+          FROM documents),
+    truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM h a JOIN h b ON a.dig = b.dig AND a.doc_id < b.doc_id),
+    j AS (SELECT COALESCE(s.doc_a, t.doc_a) AS doc_a,
+                 CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_sys,
+                 CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth
+          FROM sys s FULL OUTER JOIN truth t
+            ON s.doc_a = t.doc_a AND s.doc_b = t.doc_b),
+    c AS (SELECT CAST(SUM(in_sys) AS BIGINT) AS n_sys,
+                 CAST(SUM(in_truth) AS BIGINT) AS n_truth,
+                 CAST(SUM(in_sys * in_truth) AS BIGINT) AS n_both
+          FROM j)
+    SELECT n_sys, n_truth, n_both,
+           ROUND(n_both * 1.0e0 / n_sys, 6) AS precision_,
+           ROUND(n_both * 1.0e0 / n_truth, 6) AS recall_,
+           ROUND(2.0e0 * n_both / (n_sys + n_truth), 6) AS f1
+    FROM c
+    """
+
+
+@q("dedup_eval_pr", oracle=_EVAL_SQL)
+def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-detector evaluation harness: the rare-shingle Jaccard pair
+    detector (``ngram_jaccard_pairs``) scored against an in-corpus
+    ground truth (pairs sharing the 6-word template prefix — the
+    ``mirror_source_matrix`` digest) — precision, recall, F1 from exact
+    pair-set intersection counts. The eval loop every dedup pipeline
+    needs before trusting a detector at 10^12 docs, expressed as a
+    query: truth and system are both relations, so the confusion counts
+    are one full-outer join.
+
+    Scale shape: both pair sets are key-keyed relations; the
+    intersection is a (doc_a, doc_b) full-outer equi-join + one scalar
+    agg. Integer counts, three divisions.
+    """
+    sys_pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    h = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.split(F.lower(F.trim(F.col("text"))), " "),
+                    1,
+                    _MIRROR_PREFIX_WORDS,
+                ),
+                " ",
+            )
+        ).alias("dig"),
+    )
+    hb = h.select(F.col("doc_id").alias("doc_b2"), F.col("dig").alias("d2"))
+    truth = h.join(
+        hb, (F.col("dig") == F.col("d2")) & (F.col("doc_id") < F.col("doc_b2"))
+    ).select(
+        F.col("doc_id").alias("t_a"), F.col("doc_b2").alias("t_b")
+    )
+    j = sys_pairs.join(
+        truth,
+        (F.col("doc_a") == F.col("t_a")) & (F.col("doc_b") == F.col("t_b")),
+        "full_outer",
+    ).select(
+        F.when(F.col("doc_a").isNotNull(), 1).otherwise(0).alias("in_sys"),
+        F.when(F.col("t_a").isNotNull(), 1).otherwise(0).alias("in_truth"),
+    )
+    c = j.agg(
+        F.sum("in_sys").cast("long").alias("n_sys"),
+        F.sum("in_truth").cast("long").alias("n_truth"),
+        F.sum(F.col("in_sys") * F.col("in_truth"))
+        .cast("long")
+        .alias("n_both"),
+    )
+    return c.select(
+        "n_sys",
+        "n_truth",
+        "n_both",
+        F.round(F.col("n_both") * 1.0 / F.col("n_sys"), 6).alias(
+            "precision_"
+        ),
+        F.round(F.col("n_both") * 1.0 / F.col("n_truth"), 6).alias(
+            "recall_"
+        ),
+        F.round(
+            2.0 * F.col("n_both") / (F.col("n_sys") + F.col("n_truth")), 6
+        ).alias("f1"),
+    )

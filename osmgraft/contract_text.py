@@ -1992,3 +1992,135 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("n_both") / (F.col("n_sys") + F.col("n_truth")), 6
         ).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (stopword-boundary phrases, degree/freq scores)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = "'the', 'a', 'an', 'and', 'of', 'to', 'in', 'is', 'it', 'for'"
+_RAKE_TOP = 15
+_RAKE_MAX_LEN = 6  # cap phrase length (standard RAKE hygiene)
+
+_RAKE_SQL = f"""
+    WITH w AS (SELECT doc_id, k AS pos, arr[k + 1] AS word
+               FROM (SELECT doc_id, string_split(text, ' ') AS arr
+                     FROM documents),
+                    UNNEST(range(len(arr))) AS t(k)),
+    nw AS (SELECT doc_id, pos, word FROM w
+           WHERE word NOT IN ({_RAKE_STOPS})),
+    brk AS (SELECT doc_id, pos, word,
+                   CASE WHEN pos - LAG(pos) OVER
+                          (PARTITION BY doc_id ORDER BY pos) = 1
+                        THEN 0 ELSE 1 END AS is_new
+            FROM nw),
+    isl AS (SELECT doc_id, pos, word,
+                   SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS phrase_id
+            FROM brk),
+    ph AS (SELECT doc_id, phrase_id,
+                  string_agg(word, ' ' ORDER BY pos) AS phrase,
+                  CAST(COUNT(*) AS BIGINT) AS plen
+           FROM isl GROUP BY doc_id, phrase_id
+           HAVING COUNT(*) <= {_RAKE_MAX_LEN}),
+    pw AS (SELECT i.doc_id, i.phrase_id, i.word, p.plen, p.phrase
+           FROM isl i JOIN ph p USING (doc_id, phrase_id)),
+    ws AS (SELECT word,
+                  CAST(COUNT(*) AS BIGINT) AS freq,
+                  CAST(SUM(plen) AS BIGINT) AS degree
+           FROM pw GROUP BY word),
+    su AS (SELECT word, (degree * 1000000) // freq AS score_u FROM ws),
+    inst AS (SELECT pw.doc_id, pw.phrase_id, pw.phrase,
+                    CAST(SUM(su.score_u) AS BIGINT) AS score_u
+             FROM pw JOIN su USING (word)
+             GROUP BY pw.doc_id, pw.phrase_id, pw.phrase),
+    agg AS (SELECT phrase,
+                   CAST(COUNT(*) AS BIGINT) AS n_instances,
+                   CAST(MAX(score_u) AS BIGINT) AS score_u
+            FROM inst GROUP BY phrase)
+    SELECT phrase, n_instances,
+           ROUND(score_u / 1000000.0e0, 6) AS rake_score
+    FROM agg ORDER BY rake_score DESC, phrase LIMIT {_RAKE_TOP}
+    """
+
+
+@q("rake_keyphrases", oracle=_RAKE_SQL)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free word runs (found with the same per-doc
+    lag-window island detection as ``dup_span_stats``), each scored by
+    the sum of its words' degree/frequency ratios — the classic
+    unsupervised keyphrase extractor, and a phrase-level upgrade over
+    the single-word ``word_freq``/``tfidf_top_terms`` surfaces.
+
+    Exactness: degree and frequency are integer aggregates over phrase
+    words; each word's score snaps to micro-units via integer division
+    BEFORE the per-phrase sum, so phrase scores are exact integers until
+    one final display division. Top-k is (score, phrase)-tiebroken.
+
+    Scale shape: one explode, one doc-keyed island window, word stats as
+    a word-keyed partial agg joined back by word key, phrase rollup on
+    the phrase key, TakeOrdered top-k. No global sort of raw rows.
+    """
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    stops = [s.strip().strip("'") for s in _RAKE_STOPS.split(",")]
+    nw = w.filter(~F.col("word").isin(stops))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    brk = nw.withColumn(
+        "is_new",
+        F.when(F.col("pos") - F.lag("pos").over(wd) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    isl = brk.withColumn(
+        "phrase_id",
+        F.sum("is_new").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ph = (
+        isl.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                    lambda r: r.word,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("long").alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_LEN)
+    )
+    pw = isl.join(ph, ["doc_id", "phrase_id"]).select(
+        "doc_id", "phrase_id", "word", "plen", "phrase"
+    )
+    ws = pw.groupBy("word").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    su = ws.select(
+        "word",
+        F.expr("(degree * 1000000) div freq").alias("score_u"),
+    )
+    inst = (
+        pw.join(F.broadcast(su), "word")
+        .groupBy("doc_id", "phrase_id", "phrase")
+        .agg(F.sum("score_u").cast("long").alias("score_u"))
+    )
+    agg = inst.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_instances"),
+        F.max("score_u").cast("long").alias("score_u"),
+    )
+    return (
+        agg.select(
+            "phrase",
+            "n_instances",
+            F.round(F.col("score_u") / 1000000.0, 6).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(_RAKE_TOP)
+    )

@@ -4252,3 +4252,92 @@ def mutual_information_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tu") / 1000000000.0, 6).alias("mi_term"),
         F.round(F.sum("tu").over(w) / 1000000000.0, 6).alias("mutual_info"),
     ).orderBy("dow", "band")
+
+
+# ---------------------------------------------------------------------------
+# per-host h-index of page inlink counts
+# ---------------------------------------------------------------------------
+
+_HIDX_SQL = """
+    WITH links AS (
+      SELECT 'example-' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.co.uk'
+               AS dst_host,
+             (doc_id * 2) % 50 AS dst_page
+      FROM documents
+      UNION ALL
+      SELECT 'example-' || CAST((doc_id + 4) % 7 AS VARCHAR) || '.co.uk',
+             (doc_id * 3) % 50
+      FROM documents WHERE doc_id % 3 >= 1),
+    inl AS (SELECT dst_host, dst_page,
+                   CAST(COUNT(*) AS BIGINT) AS inlinks
+            FROM links GROUP BY dst_host, dst_page),
+    g AS (SELECT dst_host,
+                 list_sort(array_agg(inlinks), 'DESC') AS xs,
+                 CAST(COUNT(*) AS BIGINT) AS n_pages,
+                 CAST(SUM(inlinks) AS BIGINT) AS total_inlinks
+          FROM inl GROUP BY dst_host)
+    SELECT dst_host AS host, n_pages, total_inlinks,
+           CAST(len(list_filter(range(1, len(xs) + 1), i -> xs[i] >= i))
+                AS BIGINT) AS h_index,
+           CAST(xs[1] AS BIGINT) AS max_inlinks
+    FROM g ORDER BY host
+    """
+
+
+@q("host_h_index", oracle=_HIDX_SQL)
+def host_h_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host h-index over page inlink counts (the same synthetic link
+    graph as ``outlink_host_graph``, page-granular): a host has h-index
+    h if h of its pages have >= h inlinks each — the robust authority
+    summary that a single viral page cannot inflate, complementing
+    ``hits_hub_authority``'s eigenvector scores with a rank-based one.
+
+    Exactness: pure integer counting; the h-index is computed in-row on
+    the descending-sorted (bounded, pages-per-host) inlink array — with
+    xs sorted descending, xs[i] >= i is monotone, so the count of
+    positions satisfying it IS the h-index.
+
+    Scale shape: one (host, page) partial agg, one host-keyed bounded
+    collect; no window over raw rows.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    l1 = d.select(
+        F.concat(
+            F.lit("example-"),
+            ((F.col("doc_id") + 1) % 7).cast("string"),
+            F.lit(".co.uk"),
+        ).alias("dst_host"),
+        ((F.col("doc_id") * 2) % 50).alias("dst_page"),
+    )
+    l2 = d.filter(F.col("doc_id") % 3 >= 1).select(
+        F.concat(
+            F.lit("example-"),
+            ((F.col("doc_id") + 4) % 7).cast("string"),
+            F.lit(".co.uk"),
+        ).alias("dst_host"),
+        ((F.col("doc_id") * 3) % 50).alias("dst_page"),
+    )
+    inl = (
+        l1.unionAll(l2)
+        .groupBy("dst_host", "dst_page")
+        .agg(F.count("*").cast("long").alias("inlinks"))
+    )
+    g = inl.groupBy("dst_host").agg(
+        F.reverse(F.sort_array(F.collect_list("inlinks"))).alias("xs"),
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("inlinks").cast("long").alias("total_inlinks"),
+    )
+    return g.select(
+        F.col("dst_host").alias("host"),
+        "n_pages",
+        "total_inlinks",
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size("xs")),
+                lambda i: F.element_at("xs", i) >= i,
+            )
+        )
+        .cast("long")
+        .alias("h_index"),
+        F.element_at("xs", 1).cast("long").alias("max_inlinks"),
+    ).orderBy("host")

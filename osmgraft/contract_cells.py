@@ -1394,3 +1394,121 @@ def od_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_zone", "d_zone")
     )
+
+
+# ---------------------------------------------------------------------------
+# Moran's I spatial autocorrelation over the cell grid
+# ---------------------------------------------------------------------------
+
+_MI_W = 8750  # 80x80 grid: each 25 000-unit hotspot spans ~3 cells
+
+_MORAN_SQL = f"""
+    WITH pts AS (SELECT CAST(FLOOR(({_DC_PX}) / {_MI_W}.0e0) AS BIGINT)
+                          AS cx,
+                        CAST(FLOOR(({_DC_PY}) / {_MI_W}.0e0) AS BIGINT)
+                          AS cy
+                 FROM events),
+    grid AS (SELECT gx.cx, gy.cy
+             FROM UNNEST(range(80)) AS gx(cx),
+                  UNNEST(range(80)) AS gy(cy)),
+    cells AS (SELECT g.cx, g.cy,
+                     CAST(COUNT(p.cx) AS BIGINT) AS n
+              FROM grid g LEFT JOIN pts p
+                ON p.cx = g.cx AND p.cy = g.cy
+              GROUP BY g.cx, g.cy),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+                   CAST(SUM(n) AS BIGINT) AS tn
+            FROM cells),
+    z AS (SELECT c.cx, c.cy, c.n * t.nc - t.tn AS zv, t.nc
+          FROM cells c CROSS JOIN tot t),
+    num AS (SELECT SUM(a.zv * b.zv) AS cross_sum,
+                   CAST(COUNT(*) AS BIGINT) AS w_sum
+            FROM z a JOIN z b
+              ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+             AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+             AND NOT (a.cx = b.cx AND a.cy = b.cy)),
+    den AS (SELECT SUM(zv * zv) AS z2, MAX(nc) AS nc FROM z)
+    SELECT den.nc AS n_cells, num.w_sum,
+           ROUND(den.nc * 1.0e0 * num.cross_sum
+                 / (num.w_sum * 1.0e0 * den.z2), 6) AS morans_i
+    FROM num CROSS JOIN den
+    """
+
+
+@q("morans_i_autocorrelation", oracle=_MORAN_SQL)
+def morans_i_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation of the cell-count surface
+    (8-neighbour queen contiguity over the full 80x80 grid, empty cells
+    included) on the hotspot point mixture — THE global clustering
+    statistic (Moran 1950): I near +1 = hotspots cluster (this fixture),
+    near 0 = spatial randomness. The inferential companion to
+    ``dense_cell_clusters`` (which extracts the clusters this statistic
+    certifies exist).
+
+    Exactness: deviations are scaled integers (z'_i = n_i·N - total — the
+    N·mean subtraction without a division), so the cross-product and
+    variance sums are exact integer aggregates and the scale factor
+    cancels in the ratio; ONE float division at the end.
+
+    Scale shape: points aggregate once onto the (bounded) grid; the
+    neighbour cross-sum is a grid self-join bounded by cells x 8, never
+    points. At production resolution the neighbour join shards on cell
+    blocks exactly like ``track_crossings``.
+    """
+    px = _DC_PX.replace("//", " div ")
+    py = _DC_PY.replace("//", " div ")
+    w = _MI_W
+    pts = t(spark, sf_dir, "events").select(
+        F.expr(f"CAST(FLOOR(({px}) / {w}.0e0) AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(FLOOR(({py}) / {w}.0e0) AS BIGINT)").alias("cy"),
+    )
+    gx = spark.range(80).select(F.col("id").alias("cx"))
+    gy = spark.range(80).select(F.col("id").alias("cy"))
+    grid = gx.crossJoin(gy)
+    pc = pts.groupBy("cx", "cy").agg(F.count("*").cast("long").alias("pn"))
+    cells = (
+        grid.join(pc, ["cx", "cy"], "left")
+        .select(
+            "cx", "cy", F.coalesce("pn", F.lit(0)).cast("long").alias("n")
+        )
+    )
+    tot = cells.agg(
+        F.count("*").cast("long").alias("nc"),
+        F.sum("n").cast("long").alias("tn"),
+    )
+    z = cells.crossJoin(F.broadcast(tot)).select(
+        "cx",
+        "cy",
+        (F.col("n") * F.col("nc") - F.col("tn")).alias("zv"),
+        "nc",
+    )
+    zb = z.select(
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+        F.col("zv").alias("bzv"),
+    )
+    num = (
+        z.join(
+            F.broadcast(zb),
+            F.col("bx").between(F.col("cx") - 1, F.col("cx") + 1)
+            & F.col("by").between(F.col("cy") - 1, F.col("cy") + 1)
+            & ~((F.col("cx") == F.col("bx")) & (F.col("cy") == F.col("by"))),
+        )
+        .agg(
+            F.sum(F.col("zv") * F.col("bzv")).alias("cross_sum"),
+            F.count("*").cast("long").alias("w_sum"),
+        )
+    )
+    den = z.agg(
+        F.sum(F.col("zv") * F.col("zv")).alias("z2"),
+        F.max("nc").alias("nc"),
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("nc").cast("long").alias("n_cells"),
+        "w_sum",
+        F.round(
+            F.col("nc") * 1.0 * F.col("cross_sum")
+            / (F.col("w_sum") * 1.0 * F.col("z2")),
+            6,
+        ).alias("morans_i"),
+    )

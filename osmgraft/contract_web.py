@@ -4411,3 +4411,121 @@ def value_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# burst-episode detection over daily counts
+# ---------------------------------------------------------------------------
+
+_BURST_NUM = 3  # burst when day count * 2 > trailing-week mean * 3 (1.5x)
+_BURST_DEN = 2
+_BURST_WIN = 7
+
+_BURST_SQL = f"""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events WHERE value > 150.0e0
+                   GROUP BY event_type, day),
+    base AS (SELECT event_type, day, n,
+                    SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN {_BURST_WIN} PRECEDING
+                                      AND 1 PRECEDING) AS wsum,
+                    COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                                   ROWS BETWEEN {_BURST_WIN} PRECEDING
+                                        AND 1 PRECEDING) AS wn
+             FROM daily),
+    flag AS (SELECT event_type, day, n,
+                    CASE WHEN wn > 0
+                          AND n * wn * {_BURST_DEN} > wsum * {_BURST_NUM}
+                         THEN 1 ELSE 0 END AS is_burst
+             FROM base),
+    b AS (SELECT event_type, day, n,
+                 CASE WHEN day - LAG(day) OVER
+                        (PARTITION BY event_type ORDER BY day) = 1
+                      THEN 0 ELSE 1 END AS is_new
+          FROM flag WHERE is_burst = 1),
+    ep AS (SELECT event_type, day, n,
+                  SUM(is_new) OVER (PARTITION BY event_type ORDER BY day)
+                    AS episode
+           FROM b)
+    SELECT event_type, CAST(episode AS BIGINT) AS episode,
+           CAST(MIN(day) AS VARCHAR) AS start_day,
+           CAST(MAX(day) AS VARCHAR) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(n) AS BIGINT) AS peak_count
+    FROM ep GROUP BY event_type, episode
+    ORDER BY event_type, episode
+    """
+
+
+@q("burst_episodes", oracle=_BURST_SQL)
+def burst_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-episode detection over the rare-event subseries (value >
+    150 — the tail whose daily counts genuinely fluctuate; the full
+    stream is flat by construction): a day bursts when its count
+    exceeds 1.5x its trailing-week mean (integer cross-multiplication —
+    no float rate), and consecutive burst days merge into episodes with
+    start/end/peak — the episode-level output an incident review wants,
+    where ``daily_anomalies`` gives per-day z-scores and
+    ``cusum_changepoints`` gives a single alarm point.
+
+    Scale shape: one (type, day) partial agg, then every window
+    (trailing sum, lag, episode numbering) is TYPE-KEYED over day rows —
+    bounded by the calendar, never by events.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value") > 150.0)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    wr = wt.rowsBetween(-_BURST_WIN, -1)
+    base = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(wr).alias("wsum"),
+        F.count("*").over(wr).alias("wn"),
+    )
+    flag = base.select(
+        "event_type",
+        "day",
+        "n",
+        F.when(
+            (F.col("wn") > 0)
+            & (
+                F.col("n") * F.col("wn") * _BURST_DEN
+                > F.col("wsum") * _BURST_NUM
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_burst"),
+    )
+    b = flag.filter(F.col("is_burst") == 1).withColumn(
+        "is_new",
+        F.when(
+            F.datediff(
+                "day", F.lag("day").over(wt)
+            )
+            == 1,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    ep = b.withColumn(
+        "episode",
+        F.sum("is_new").over(
+            wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        ep.groupBy("event_type", F.col("episode").cast("long").alias("episode"))
+        .agg(
+            F.min("day").cast("string").alias("start_day"),
+            F.max("day").cast("string").alias("end_day"),
+            F.count("*").cast("long").alias("n_days"),
+            F.max("n").cast("long").alias("peak_count"),
+        )
+        .orderBy("event_type", "episode")
+    )

@@ -4529,3 +4529,81 @@ def burst_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "episode")
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive forecast backtest (MAE / MAPE per type)
+# ---------------------------------------------------------------------------
+
+_SNAIVE_SQL = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                          CAST(FLOOR(SUM(value) * 1000000.0e0 + 5.0e-1)
+                               AS BIGINT) AS vu
+                   FROM events GROUP BY event_type, day),
+    p AS (SELECT event_type, day, vu,
+                 LAG(vu, 7) OVER (PARTITION BY event_type ORDER BY day)
+                   AS pred
+          FROM daily),
+    e AS (SELECT event_type, vu, pred, ABS(vu - pred) AS err,
+                 (ABS(vu - pred) * 1000000) // GREATEST(vu, 1) AS ape_u
+          FROM p WHERE pred IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_eval,
+           ROUND(SUM(err) * 1.0e0 / COUNT(*) / 1000000.0e0, 4) AS mae,
+           ROUND(SUM(ape_u) * 1.0e0 / COUNT(*) / 10000.0e0, 4)
+             AS mape_pct
+    FROM e GROUP BY event_type ORDER BY event_type
+    """
+
+
+@q("forecast_backtest_snaive", oracle=_SNAIVE_SQL)
+def forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    value sum with the same weekday last week (the baseline every
+    forecasting system must beat) and score MAE and MAPE on the
+    out-of-sample days — the missing forecasting-evaluation member of
+    the monitoring family (``ewma_daily_values`` smooths,
+    ``dow_seasonal_profile`` explains, this one MEASURES predictability;
+    a type with 40 % sMAPE gets an anomaly threshold, not a forecast).
+
+    Exactness: daily sums snap to integer micro-units; absolute errors
+    and cross-multiplied percentage errors are exact integer aggregates;
+    one division per metric per type.
+
+    Scale shape: one (type, day) partial agg, one type-keyed lag window
+    over day rows (calendar-bounded), one final partial agg.
+    """
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.floor(F.sum("value") * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("vu")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = daily.withColumn("pred", F.lag("vu", 7).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    e = p.select(
+        "event_type",
+        "vu",
+        F.abs(F.col("vu") - F.col("pred")).alias("err"),
+        F.expr(
+            "(ABS(vu - pred) * 1000000) div GREATEST(vu, 1)"
+        ).alias("ape_u"),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days_eval"),
+            F.round(
+                F.sum("err") * 1.0 / F.count("*") / 1000000.0, 4
+            ).alias("mae"),
+            F.round(
+                F.sum("ape_u") * 1.0 / F.count("*") / 10000.0, 4
+            ).alias("mape_pct"),
+        )
+        .orderBy("event_type")
+    )

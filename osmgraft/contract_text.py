@@ -2124,3 +2124,141 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rake_score").desc(), "phrase")
         .limit(_RAKE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (unrolled merge rounds)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_sql() -> str:
+    """Unrolled BPE training rounds as CTEs. Each round: weighted
+    adjacent-pair counts over the tokenised vocabulary, deterministic
+    best pair (count DESC, pair ASC), then a boundary-padded
+    space-delimited replace applies the merge (both engines scan
+    left-to-right, non-overlapping, continuing after the match — the
+    BPE application rule)."""
+    head = """
+    WITH wf AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                GROUP BY w),
+    s0 AS (SELECT word, freq,
+                  array_to_string(string_split(word, ''), ' ') AS toks
+           FROM wf)"""
+    body = ""
+    for r in range(1, _BPE_ROUNDS + 1):
+        body += f""",
+    p{r} AS (SELECT ts[i] AS a, ts[i + 1] AS b, SUM(freq) AS cnt
+             FROM (SELECT freq, string_split(toks, ' ') AS ts
+                   FROM s{r - 1}),
+                  UNNEST(range(1, len(ts))) AS t(i)
+             GROUP BY a, b),
+    b{r} AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p{r}
+             ORDER BY cnt DESC, a, b LIMIT 1),
+    s{r} AS (SELECT s.word, s.freq,
+                    trim(replace(' ' || s.toks || ' ',
+                                 ' ' || b.a || ' ' || b.b || ' ',
+                                 ' ' || b.a || b.b || ' ')) AS toks
+             FROM s{r - 1} s CROSS JOIN b{r} b)"""
+    merges = "\n    UNION ALL\n".join(
+        f"""    SELECT {r} AS round, a AS token_a, b AS token_b,
+           a || b AS new_token, cnt AS pair_count FROM b{r}"""
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return (
+        head
+        + body
+        + f"""
+    SELECT CAST(round AS BIGINT) AS round, token_a, token_b, new_token,
+           pair_count
+    FROM (\n{merges}\n) ORDER BY round
+    """
+    )
+
+
+@q("bpe_train_merges", oracle=_bpe_sql())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016), 5
+    merge rounds: the corpus word-frequency table is tokenised to
+    characters, and each round counts frequency-weighted adjacent token
+    pairs, picks the best deterministically (count DESC, pair ASC), and
+    applies the merge everywhere via a boundary-padded space-delimited
+    replace — the exact algorithm that produces GPT-style merge tables,
+    expressed entirely relationally (the token-COUNTING side already
+    ships in ``token_counts``; this is the training side).
+
+    Scale shape: training runs on the WORD-FREQUENCY table, not the
+    corpus — one explode + word-keyed partial agg compresses 10^12
+    documents to a vocabulary, and each round is a pair-keyed partial
+    agg (TakeOrdered top-1) plus a broadcast of the single winning pair
+    into a per-row replace. Rounds are O(merges), like
+    ``pagerank_cosupply``'s iterations.
+
+    Exactness: integer pair counts; string manipulation only — both
+    engines' plain replace() scans left-to-right non-overlapping,
+    which IS the BPE application rule.
+    """
+    wf = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    state = wf.select(
+        "word",
+        "freq",
+        F.array_join(F.split("word", ""), " ").alias("toks"),
+    )
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        ts = F.split("toks", " ")
+        pairs = state.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(split(toks, ' '), 1, "
+                    "size(split(toks, ' ')) - 1), "
+                    "slice(split(toks, ' '), 2, "
+                    "size(split(toks, ' ')) - 1), "
+                    "(x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("z"),
+        ).select("freq", F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("a").alias("token_a"),
+                F.col("b").alias("token_b"),
+                F.concat("a", "b").alias("new_token"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        state = state.crossJoin(F.broadcast(best)).select(
+            "word",
+            "freq",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("toks"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "), F.col("a"), F.lit(" "), F.col("b"),
+                        F.lit(" "),
+                    ),
+                    F.concat(
+                        F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")
+                    ),
+                )
+            ).alias("toks"),
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("round")

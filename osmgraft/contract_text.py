@@ -2262,3 +2262,115 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionAll(m)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding statistics (apply learned merges to the corpus)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_sql() -> str:
+    # reuse the training CTE chain, then re-join the final tokenisation
+    # to the corpus and aggregate per language
+    train = _bpe_sql()
+    head = train[: train.index("\n    SELECT CAST(round")]
+    return (
+        head
+        + f"""
+    , enc AS (SELECT word, len(string_split(toks, ' ')) AS n_bpe,
+                     length(word) AS n_chars
+              FROM s{_BPE_ROUNDS}),
+    docs AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+             FROM documents)
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_chars) AS BIGINT) AS char_tokens,
+           CAST(SUM(e.n_bpe) AS BIGINT) AS bpe_tokens,
+           ROUND(SUM(e.n_chars) * 1.0e0 / SUM(e.n_bpe), 6)
+             AS compression
+    FROM docs d JOIN enc e USING (word)
+    GROUP BY d.lang ORDER BY d.lang
+    """
+    )
+
+
+@q("bpe_encode_stats", oracle=_bpe_encode_sql())
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING statistics: the 5 merges learned by
+    ``bpe_train_merges`` are applied to every corpus word (the final
+    training state IS the vocabulary's tokenisation — encoding is a
+    broadcast join, not a re-derivation) and per-language token counts
+    report the compression the merge table buys — the
+    chars-per-token/fertility metric a tokenizer evaluation reports per
+    language before committing to a vocab.
+
+    Scale shape: the corpus side is one explode + a broadcast join on
+    the word key (the tokenised vocabulary is small by construction);
+    per-language rollup is one partial agg. Integer counts, one
+    division.
+    """
+    wf = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    state = wf.select(
+        "word", "freq", F.array_join(F.split("word", ""), " ").alias("toks")
+    )
+    for _ in range(_BPE_ROUNDS):
+        pairs = state.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(split(toks, ' '), 1, "
+                    "size(split(toks, ' ')) - 1), "
+                    "slice(split(toks, ' '), 2, "
+                    "size(split(toks, ' ')) - 1), "
+                    "(x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("z"),
+        ).select("freq", F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+        )
+        state = state.crossJoin(F.broadcast(best)).select(
+            "word",
+            "freq",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("toks"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "), F.col("a"), F.lit(" "), F.col("b"),
+                        F.lit(" "),
+                    ),
+                    F.concat(
+                        F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")
+                    ),
+                )
+            ).alias("toks"),
+        )
+    enc = state.select(
+        "word",
+        F.size(F.split("toks", " ")).cast("long").alias("n_bpe"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        docs.join(F.broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("char_tokens"),
+            F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+            F.round(
+                F.sum("n_chars") * 1.0 / F.sum("n_bpe"), 6
+            ).alias("compression"),
+        )
+        .orderBy("lang")
+    )

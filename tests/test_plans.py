@@ -647,3 +647,65 @@ def test_encoding_advisor_runs_partitioned_by_file(spark):
     plan = plan_of(df)
     assert "hashpartitioning(col_name" in plan
     assert "SinglePartition" not in plan
+
+
+def test_tfidf_cosine_pairs_equi_joins_only(spark):
+    """Weighted sparse-vector join: candidates and dot products are hash
+    equi-joins on term/doc keys — no cartesian, no Python. (The only
+    nested-loop joins are 1-row scalar broadcasts of the corpus count —
+    constant cost at any scale.)"""
+    import osmgraft.contract_text  # noqa: F401
+
+    df = QUERIES["tfidf_cosine_pairs"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # candidate + dot-product joins are hash equi-joins on term/doc keys
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_stored_query_match_broadcasts_query_terms(spark):
+    """Percolation: the stored-query term set broadcasts; the document
+    side never shuffles for the semi-join."""
+    import osmgraft.contract_text  # noqa: F401
+
+    df = QUERIES["stored_query_match"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dense_cell_clusters_points_never_self_join(spark):
+    """Hotspot clusters: the adjacency self-join runs over DENSE CELLS
+    (threshold-bounded), never points; CC label propagation is hash
+    equi-joins."""
+    import osmgraft.contract_cells  # noqa: F401
+
+    df = QUERIES["dense_cell_clusters"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cx" in plan  # the one point-level shuffle
+
+
+def test_bpe_training_topk_is_take_ordered(spark):
+    """BPE: per-round best pair is TakeOrderedAndProject over the pair
+    counts; the merge applies via a 1-row broadcast, and the corpus is
+    touched once (word-frequency compression)."""
+    import osmgraft.contract_text  # noqa: F401
+
+    df = QUERIES["bpe_train_merges"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_morans_i_neighbor_join_is_cell_bounded(spark):
+    """Moran's I: the queen-contiguity cross-sum joins the CELL table to
+    its broadcast copy; raw points appear only in the one grid
+    aggregation."""
+    import osmgraft.contract_cells  # noqa: F401
+
+    df = QUERIES["morans_i_autocorrelation"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "hashpartitioning(cx" in plan
+    assert "CartesianProduct" not in plan

@@ -661,7 +661,13 @@ def test_tfidf_cosine_pairs_equi_joins_only(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # candidate + dot-product joins are hash equi-joins on term/doc keys
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # (at fixture scale AQE broadcasts the small sides — any of the three
+    # equi-join operators is acceptable; the point is no quadratic join)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
 
 
 def test_stored_query_match_broadcasts_query_terms(spark):

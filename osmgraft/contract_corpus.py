@@ -2489,3 +2489,100 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.orderBy(F.col("lift").desc(), "item_a", "item_b").limit(
         _BK_TOP
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation for stratified sampling
+# ---------------------------------------------------------------------------
+
+_NEY_BUDGET = 1000  # total sample budget to allocate across strata
+
+_NEYMAN_SQL = f"""
+    WITH s AS (SELECT event_type,
+                      CAST(COUNT(*) AS BIGINT) AS nh,
+                      SUM(CAST(FLOOR(value * 1000000.0e0 + 5.0e-1)
+                               AS BIGINT)) AS s1,
+                      SUM(CAST(FLOOR(value * 1000.0e0 + 5.0e-1) AS BIGINT)
+                          * CAST(FLOOR(value * 1000.0e0 + 5.0e-1)
+                                 AS BIGINT)) AS s2
+               FROM events GROUP BY event_type),
+    v AS (SELECT event_type, nh,
+                 SQRT(GREATEST(
+                   s2 * 1.0e0 / nh / 1000000.0e0
+                   - (s1 * 1.0e0 / nh / 1000000.0e0)
+                     * (s1 * 1.0e0 / nh / 1000000.0e0), 0.0e0)) AS sd
+          FROM s),
+    w AS (SELECT event_type, nh, ROUND(sd, 6) AS sd,
+                 CAST(FLOOR(nh * ROUND(sd, 6) * 1000000.0e0 + 5.0e-1)
+                      AS BIGINT) AS wu
+          FROM v)
+    SELECT event_type, nh, sd,
+           CAST(FLOOR({_NEY_BUDGET}.0e0 * wu
+                      / (SUM(wu) OVER ()) + 5.0e-1) AS BIGINT)
+             AS neyman_n,
+           CAST(FLOOR({_NEY_BUDGET}.0e0 * nh
+                      / (SUM(nh) OVER ()) + 5.0e-1) AS BIGINT)
+             AS proportional_n
+    FROM w ORDER BY event_type
+    """
+
+
+@q("neyman_allocation", oracle=_NEYMAN_SQL)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: each stratum's share
+    of the 1000-row budget is proportional to N_h·S_h (size times
+    standard deviation) — the variance-minimising design (Neyman 1934)
+    that ``stratified_sample`` should use instead of proportional
+    allocation when strata differ in spread; both allocations are
+    reported for comparison. The sampling-theory companion to
+    ``corpus_mix_plan`` (which allocates by target weights, not
+    variance).
+
+    Exactness: per-stratum variance comes from integer power sums
+    (milli-unit squares stay far below int64); the standard deviation is
+    snapped to 6 dp before the weight products, and allocations use
+    integer-scaled weights with one window over the (bounded) stratum
+    rows.
+
+    Scale shape: one partial-agg shuffle on the stratum key; windows run
+    over strata, not rows.
+    """
+    ev = t(spark, sf_dir, "events")
+    vu6 = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+    vu3 = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum(vu6).alias("s1"),
+        F.sum(vu3 * vu3).alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("nh") / 1000000.0
+    ex2 = F.col("s2") * 1.0 / F.col("nh") / 1000000.0
+    v = s.select(
+        "event_type",
+        "nh",
+        F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0))).alias("sd"),
+    )
+    w = v.select(
+        "event_type",
+        "nh",
+        F.round("sd", 6).alias("sd"),
+        F.floor(F.col("nh") * F.round("sd", 6) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("wu"),
+    )
+    win = Window.partitionBy()
+    return w.select(
+        "event_type",
+        "nh",
+        "sd",
+        F.floor(
+            _NEY_BUDGET * 1.0 * F.col("wu") / F.sum("wu").over(win) + 0.5
+        )
+        .cast("long")
+        .alias("neyman_n"),
+        F.floor(
+            _NEY_BUDGET * 1.0 * F.col("nh") / F.sum("nh").over(win) + 0.5
+        )
+        .cast("long")
+        .alias("proportional_n"),
+    ).orderBy("event_type")

@@ -2374,3 +2374,103 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter tuning curve (expected collisions from the S-curve)
+# ---------------------------------------------------------------------------
+
+_LSH_CONFIGS = ((4, 8), (8, 4), (16, 2), (32, 1))  # (bands, rows), 32 hashes
+
+_LSH_TUNE_SQL = f"""
+    WITH pr AS ({_NGRAM_PAIRS_SQL}),
+    h AS (SELECT CAST(FLOOR(jaccard * 20.0e0) AS BIGINT) AS jb,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM pr GROUP BY jb),
+    cfg AS (SELECT * FROM (VALUES {", ".join(f"({b}, {r})" for b, r in _LSH_CONFIGS)})
+              AS t(bands, rows_)),
+    terms AS (SELECT c.bands, c.rows_, h.jb, h.n_pairs,
+                     CAST(FLOOR(h.n_pairs
+                                * (1.0e0 - POWER(1.0e0 - POWER(
+                                     (h.jb + 5.0e-1) / 20.0e0, c.rows_),
+                                     c.bands))
+                                * 1000000.0e0 + 5.0e-1) AS BIGINT) AS eu,
+                     CASE WHEN h.jb >= 10 THEN h.n_pairs ELSE 0 END
+                       AS n_hi,
+                     CASE WHEN h.jb >= 10 THEN
+                       CAST(FLOOR(h.n_pairs
+                                  * (1.0e0 - POWER(1.0e0 - POWER(
+                                       (h.jb + 5.0e-1) / 20.0e0, c.rows_),
+                                       c.bands))
+                                  * 1000000.0e0 + 5.0e-1) AS BIGINT)
+                     ELSE 0 END AS eu_hi
+              FROM cfg c CROSS JOIN h)
+    SELECT CAST(bands AS BIGINT) AS bands, CAST(rows_ AS BIGINT) AS rows_,
+           CAST(SUM(n_pairs) AS BIGINT) AS n_true_pairs,
+           ROUND(SUM(eu) / 1000000.0e0, 4) AS expected_candidates,
+           ROUND(SUM(eu_hi) * 1.0e0 / GREATEST(SUM(n_hi), 1)
+                 / 1000000.0e0, 6) AS expected_recall_hi
+    FROM terms GROUP BY bands, rows_ ORDER BY bands, rows_
+    """
+
+
+@q("lsh_tuning_curve", oracle=_LSH_TUNE_SQL)
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter tuning advisor: for four 32-hash (bands x rows)
+    configurations, apply the banding S-curve P(candidate | j) =
+    1 - (1 - j^r)^b to the corpus's MEASURED Jaccard-similarity
+    histogram (from the exact ``ngram_jaccard_pairs`` relation) and
+    report expected candidate volume plus expected recall on the
+    j >= 0.5 pairs — the calculation that picks ``minhash_lsh_pairs``'s
+    (bands=8, rows=4) instead of guessing, run on real data rather than
+    a textbook uniform assumption.
+
+    Exactness: the histogram is integer counts; each S-curve term is
+    evaluated once per (config, band) at the band midpoint and snapped
+    to micro-units before the (bounded) config rollup.
+
+    Scale shape: everything after the pair relation is arithmetic over
+    (configs x 20 bands) rows; the pair relation itself is the audited
+    rare-shingle blocked join.
+    """
+    pr = ngram_jaccard_pairs(spark, sf_dir)
+    h = pr.groupBy(
+        F.floor(F.col("jaccard") * 20.0).cast("long").alias("jb")
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+    cfg = spark.createDataFrame(
+        list(_LSH_CONFIGS), "bands int, rows_ int"
+    )
+    jmid = (F.col("jb") + 0.5) / 20.0
+    p_col = 1.0 - F.pow(
+        1.0 - F.pow(jmid, F.col("rows_")), F.col("bands")
+    )
+    eu = F.floor(F.col("n_pairs") * p_col * 1000000.0 + 0.5).cast("long")
+    hi = F.col("jb") >= 10
+    terms = F.broadcast(cfg).crossJoin(h).select(
+        "bands",
+        "rows_",
+        "n_pairs",
+        eu.alias("eu"),
+        F.when(hi, F.col("n_pairs")).otherwise(0).alias("n_hi"),
+        F.when(hi, eu).otherwise(0).alias("eu_hi"),
+    )
+    return (
+        terms.groupBy(
+            F.col("bands").cast("long").alias("bands"),
+            F.col("rows_").cast("long").alias("rows_"),
+        )
+        .agg(
+            F.sum("n_pairs").cast("long").alias("n_true_pairs"),
+            F.round(F.sum("eu") / 1000000.0, 4).alias(
+                "expected_candidates"
+            ),
+            F.round(
+                F.sum("eu_hi")
+                * 1.0
+                / F.greatest(F.sum("n_hi"), F.lit(1))
+                / 1000000.0,
+                6,
+            ).alias("expected_recall_hi"),
+        )
+        .orderBy("bands", "rows_")
+    )

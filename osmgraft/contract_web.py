@@ -4607,3 +4607,108 @@ def forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B test: two-proportion z statistic on conversion
+# ---------------------------------------------------------------------------
+
+_AB_SQL = """
+    WITH u AS (SELECT user_id,
+                      CASE WHEN (user_id * 2654435761) % 100 < 50
+                           THEN 'A' ELSE 'B' END AS arm,
+                      CAST(MAX(CASE WHEN event_type = 'purchase'
+                                     AND value > 250.0e0
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                        AS converted
+               FROM events GROUP BY user_id),
+    c AS (SELECT arm,
+                 CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(converted) AS BIGINT) AS n_conv
+          FROM u GROUP BY arm),
+    w AS (SELECT MAX(CASE WHEN arm = 'A' THEN n_users END) AS na,
+                 MAX(CASE WHEN arm = 'A' THEN n_conv END) AS ca,
+                 MAX(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+                 MAX(CASE WHEN arm = 'B' THEN n_conv END) AS cb
+          FROM c)
+    SELECT na, ca, nb, cb,
+           ROUND(ca * 1.0e0 / na, 6) AS rate_a,
+           ROUND(cb * 1.0e0 / nb, 6) AS rate_b,
+           ROUND((ca * 1.0e0 / na - cb * 1.0e0 / nb)
+                 / SQRT(((ca + cb) * 1.0e0 / (na + nb))
+                        * (1.0e0 - (ca + cb) * 1.0e0 / (na + nb))
+                        * (1.0e0 / na + 1.0e0 / nb)), 6) AS z_stat
+    FROM w
+    """
+
+
+@q("abtest_conversion_z", oracle=_AB_SQL)
+def abtest_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion (a high-value purchase
+    — every user makes SOME purchase in this fixture, so the raw flag
+    saturates at rate 1.0 and the pooled variance collapses to zero)
+    between experiment arms
+    (deterministic multiplicative-hash split — the assignment function a
+    real experimentation platform uses, so arms are user-stable and
+    ~50/50): pooled-variance z statistic over per-arm conversion rates —
+    the canonical A/B readout, complementing ``chi2_category_drift``
+    (distribution drift) with the targeted one-metric test.
+
+    Exactness: conversions are integer per-user MAX flags aggregated
+    exactly; every float expression runs once on the single assembled
+    row, written as identical text on both engines.
+
+    Scale shape: one user-keyed partial agg, one 2-row arm rollup, one
+    1-row pivot — the z arithmetic never sees row counts.
+    """
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 250.0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("converted")
+        )
+        .select(
+            F.when(
+                (F.col("user_id") * 2654435761) % 100 < 50, "A"
+            )
+            .otherwise("B")
+            .alias("arm"),
+            "converted",
+        )
+    )
+    c = u.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    w = c.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_conv"))).alias("cb"),
+    )
+    ra = F.col("ca") * 1.0 / F.col("na")
+    rb = F.col("cb") * 1.0 / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")) * 1.0 / (F.col("na") + F.col("nb"))
+    return w.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(
+            (ra - rb)
+            / F.sqrt(
+                pool * (1.0 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+            ),
+            6,
+        ).alias("z_stat"),
+    )

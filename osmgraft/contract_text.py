@@ -2474,3 +2474,96 @@ def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands", "rows_")
     )
+
+
+# ---------------------------------------------------------------------------
+# trigram-accelerated substring search (pg_trgm shape)
+# ---------------------------------------------------------------------------
+
+_TRGM_PATTERN = "window batch"  # the LIKE '%window batch%' being accelerated
+
+_TRGM_SQL = f"""
+    WITH pat AS (SELECT substring('{_TRGM_PATTERN}', k + 1, 3) AS tg
+                 FROM UNNEST(range(length('{_TRGM_PATTERN}') - 2)) AS t(k)),
+    pd AS (SELECT DISTINCT tg FROM pat),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ptrgm FROM pd),
+    dt AS (SELECT DISTINCT doc_id, substring(text, k + 1, 3) AS tg
+           FROM documents, UNNEST(range(length(text) - 2)) AS t(k)),
+    cand AS (SELECT dt.doc_id
+             FROM dt JOIN pd USING (tg)
+             GROUP BY dt.doc_id
+             HAVING COUNT(*) = (SELECT n_ptrgm FROM np)),
+    ver AS (SELECT c.doc_id,
+                   CASE WHEN position('{_TRGM_PATTERN}' IN d.text) > 0
+                        THEN 1 ELSE 0 END AS hit
+            FROM cand c JOIN documents d USING (doc_id))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT n_ptrgm FROM np) AS n_pattern_trigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(hit) AS BIGINT) AS n_matches,
+           CAST(COUNT(*) - SUM(hit) AS BIGINT) AS n_false_positives
+    FROM ver
+    """
+
+
+@q("trigram_like_search", oracle=_TRGM_SQL)
+def trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-accelerated substring search (the pg_trgm GIN-index
+    shape): a document containing the pattern necessarily contains every
+    character trigram of the pattern, so the trigram containment test is
+    a LOSSLESS prefilter — candidates sharing ALL pattern trigrams are
+    then verified with the exact substring test, and the report counts
+    how many candidates the verification kills (the index's false-
+    positive rate). The indexing answer to "LIKE '%...%' cannot use the
+    zonemap" — at 10^12 docs this posting-list intersection IS how
+    substring search runs (``inverted_index`` is the word-level sibling).
+
+    Scale shape: pattern trigrams are a tiny broadcast; the document
+    trigram relation is one explode + distinct; the containment test is
+    a trigram-keyed semi-join + doc-keyed count compare; verification
+    touches only candidates. Integer counts throughout.
+    """
+    pat = _TRGM_PATTERN
+    pd_ = (
+        spark.range(len(pat) - 2)
+        .select(
+            F.expr(f"substring('{pat}', id + 1, 3)").alias("tg")
+        )
+        .distinct()
+    )
+    n_ptrgm = pd_.count()
+    docs = t(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, length(text) - 3), "
+                    "k -> substring(text, k + 1, 3))"
+                )
+            ).alias("tg"),
+        )
+        .distinct()
+    )
+    cand = (
+        dt.join(F.broadcast(pd_), "tg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") == n_ptrgm)
+        .select("doc_id")
+    )
+    ver = cand.join(docs.select("doc_id", "text"), "doc_id").select(
+        F.when(F.expr(f"position('{pat}' IN text) > 0"), 1)
+        .otherwise(0)
+        .alias("hit")
+    )
+    n_docs = docs.count()
+    return ver.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.lit(n_ptrgm).cast("long").alias("n_pattern_trigrams"),
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum("hit").cast("long").alias("n_matches"),
+        (F.count("*") - F.sum("hit")).cast("long").alias(
+            "n_false_positives"
+        ),
+    )

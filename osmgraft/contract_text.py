@@ -2567,3 +2567,125 @@ def trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_positives"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the near-dup clustering
+# ---------------------------------------------------------------------------
+
+_MODULARITY_SQL = f"""
+    WITH RECURSIVE pr AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (SELECT doc_a AS s, doc_b AS t FROM pr
+              UNION SELECT doc_b, doc_a FROM pr),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT rr.id, e.t FROM reach rr JOIN edges e ON e.s = rr.r),
+    lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY id),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pr),
+    deg AS (SELECT s AS doc_id, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY s),
+    dc AS (SELECT l.cluster_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                  CAST(SUM(deg.d) AS BIGINT) AS d_sum
+           FROM lab l JOIN deg USING (doc_id) GROUP BY l.cluster_id),
+    ec AS (SELECT la.cluster_id, CAST(COUNT(*) AS BIGINT) AS e_in
+           FROM pr JOIN lab la ON la.doc_id = pr.doc_a
+                   JOIN lab lb ON lb.doc_id = pr.doc_b
+           WHERE la.cluster_id = lb.cluster_id
+           GROUP BY la.cluster_id),
+    terms AS (SELECT dc.cluster_id, dc.n_nodes, dc.d_sum,
+                     COALESCE(ec.e_in, 0) AS e_in,
+                     CAST(FLOOR((COALESCE(ec.e_in, 0) * 1.0e0 / m.n_edges
+                                 - (dc.d_sum * 1.0e0
+                                    / (2.0e0 * m.n_edges))
+                                   * (dc.d_sum * 1.0e0
+                                      / (2.0e0 * m.n_edges)))
+                                * 1000000000.0e0 + 5.0e-1) AS BIGINT)
+                       AS qu
+              FROM dc LEFT JOIN ec USING (cluster_id) CROSS JOIN m)
+    SELECT cluster_id, n_nodes, e_in, d_sum,
+           ROUND(qu / 1000000000.0e0, 6) AS q_term,
+           ROUND(SUM(qu) OVER () / 1000000000.0e0, 6) AS modularity
+    FROM terms ORDER BY cluster_id
+    """
+
+
+@q("cluster_modularity", oracle=_MODULARITY_SQL)
+def cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the near-dup clustering against its own
+    pair graph (Q = Σ_c [e_c/m − (d_c/2m)²]) — the clustering-quality
+    score that says whether ``dedup_clusters``' components are genuine
+    communities or artifacts of the pair threshold (for connected
+    components every edge is intra-cluster, so Q reduces to
+    1 − Σ(d_c/2m)², maximal when components are balanced — the number a
+    curator compares across threshold settings).
+
+    Exactness: edge counts and degree sums are integers; each
+    community's Q term is computed once and snapped to nano-units before
+    the windowed total over (bounded) community rows.
+
+    Scale shape: degrees and labels are key-keyed partial aggs; the
+    intra-edge count joins the pair list to the label table twice on the
+    doc key; the total is a window over community rows.
+    """
+    from osmgraft.text.dedup import connected_components
+
+    pr = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lab = connected_components(pr)
+    m = pr.count()
+    edges = pr.select(F.col("doc_a").alias("s")).unionAll(
+        pr.select(F.col("doc_b").alias("s"))
+    )
+    deg = edges.groupBy(F.col("s").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    dc = (
+        lab.join(deg, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("d_sum"),
+        )
+    )
+    la = lab.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca")
+    )
+    lb = lab.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb")
+    )
+    ec = (
+        pr.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("cluster_id"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    terms = dc.join(ec, "cluster_id", "left").select(
+        "cluster_id",
+        "n_nodes",
+        F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+        "d_sum",
+        F.floor(
+            (
+                F.coalesce("e_in", F.lit(0)) * 1.0 / m
+                - (F.col("d_sum") * 1.0 / (2.0 * m))
+                * (F.col("d_sum") * 1.0 / (2.0 * m))
+            )
+            * 1000000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("qu"),
+    )
+    w = Window.partitionBy()
+    return terms.select(
+        "cluster_id",
+        "n_nodes",
+        "e_in",
+        "d_sum",
+        F.round(F.col("qu") / 1000000000.0, 6).alias("q_term"),
+        F.round(F.sum("qu").over(w) / 1000000000.0, 6).alias("modularity"),
+    ).orderBy("cluster_id")

@@ -2586,3 +2586,91 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("proportional_n"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Merkle tree over partition checksums (data-integrity primitive)
+# ---------------------------------------------------------------------------
+
+_MERKLE_SQL = """
+    WITH leaf AS (SELECT doc_id % 16 AS part_id,
+                         CAST(SUM((doc_id * 1000003 + n_chars)
+                                  % 2147483647) AS BIGINT) AS chk
+                  FROM documents GROUP BY part_id),
+    l0 AS (SELECT CAST(2 AS BIGINT) AS lvl, part_id AS node_id,
+                  md5(CAST(chk AS VARCHAR)) AS h
+           FROM leaf),
+    l1 AS (SELECT CAST(1 AS BIGINT) AS lvl, node_id // 4 AS node_id,
+                  md5(string_agg(h, '' ORDER BY node_id)) AS h
+           FROM l0 GROUP BY node_id // 4),
+    l2 AS (SELECT CAST(0 AS BIGINT) AS lvl, CAST(0 AS BIGINT) AS node_id,
+                  md5(string_agg(h, '' ORDER BY node_id)) AS h
+           FROM l1)
+    SELECT lvl, CAST(node_id AS BIGINT) AS node_id, h
+    FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+          UNION ALL SELECT * FROM l2)
+    ORDER BY lvl, node_id
+    """
+
+
+@q("merkle_partition_tree", oracle=_MERKLE_SQL)
+def merkle_partition_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle tree over partition checksums: 16 hash-partition leaves
+    (the order-insensitive additive checksum of ``merge_upsert_apply``),
+    md5-combined 4-at-a-time up to the root — the integrity structure
+    that lets two replicas find a diverging partition in O(log parts)
+    hash comparisons instead of re-reading data (the verification
+    counterpart of ``time_travel_file_state``'s per-version checksums).
+
+    Exactness: leaf checksums are integer sums (order-free); the
+    interior combine concatenates child hashes in node-id order (a
+    4-element ordered string_agg — deterministic on both engines).
+
+    Scale shape: one partition-keyed partial agg builds the leaves; the
+    interior levels aggregate 16 -> 4 -> 1 rows. The tree height is
+    log(parts), never data-dependent.
+    """
+    leaf = (
+        t(spark, sf_dir, "documents")
+        .groupBy((F.col("doc_id") % 16).alias("part_id"))
+        .agg(
+            F.sum(
+                (F.col("doc_id") * 1000003 + F.col("n_chars")) % 2147483647
+            )
+            .cast("long")
+            .alias("chk")
+        )
+    )
+    l0 = leaf.select(
+        F.lit(2).cast("long").alias("lvl"),
+        F.col("part_id").alias("node_id"),
+        F.md5(F.col("chk").cast("string")).alias("h"),
+    )
+    def combine(df, lvl):
+        return (
+            df.groupBy(F.expr("node_id div 4").alias("node_id"))
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(F.struct("node_id", "h"))
+                            ),
+                            lambda r: r.h,
+                        ),
+                        "",
+                    )
+                ).alias("h")
+            )
+            .select(
+                F.lit(lvl).cast("long").alias("lvl"), "node_id", "h"
+            )
+        )
+    l1 = combine(l0.select(F.col("node_id"), "h"), 1)
+    l2 = combine(l1.select("node_id", "h"), 0)
+    return (
+        l0.unionAll(l1)
+        .unionAll(l2)
+        .select("lvl", F.col("node_id").cast("long").alias("node_id"), "h")
+        .orderBy("lvl", "node_id")
+    )

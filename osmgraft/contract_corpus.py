@@ -2674,3 +2674,82 @@ def merkle_partition_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lvl", F.col("node_id").cast("long").alias("node_id"), "h")
         .orderBy("lvl", "node_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# trending terms (frequency-rank movement between crawl halves)
+# ---------------------------------------------------------------------------
+
+_TREND_TOP = 15
+
+_TREND_SQL = f"""
+    WITH toks AS (SELECT doc_id % 2 AS half,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    c AS (SELECT w,
+                 CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS n_old,
+                 CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS n_new
+          FROM toks GROUP BY w),
+    r AS (SELECT w, n_old, n_new,
+                 ROW_NUMBER() OVER (ORDER BY n_old DESC, w) AS r_old,
+                 ROW_NUMBER() OVER (ORDER BY n_new DESC, w) AS r_new
+          FROM c)
+    SELECT w AS term, n_old, n_new,
+           CAST(r_old AS BIGINT) AS rank_old,
+           CAST(r_new AS BIGINT) AS rank_new,
+           CAST(r_old - r_new AS BIGINT) AS rank_gain
+    FROM r ORDER BY rank_gain DESC, term LIMIT {_TREND_TOP}
+    """
+
+
+@q("trending_terms", oracle=_TREND_SQL)
+def trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending terms: frequency ranks computed independently on two
+    crawl halves (doc_id parity as the batch stand-in) and the top
+    rank GAINERS reported — the movers dashboard a crawl operator reads
+    to catch emerging vocabulary, where ``word_freq`` is a static
+    census and ``ngram_novelty_decay`` counts only brand-new grams.
+
+    Scale shape: one explode + word-keyed partial agg; the rank windows
+    run over VOCABULARY rows (both engines rank the same integer counts
+    with the same (count, term) tiebreak — deterministic); top-k is
+    TakeOrdered. At web scale the vocabulary rank uses the range-bucket
+    two-phase ranking (``tfidf_top_terms``'s salted top-k shape).
+    """
+    toks = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    c = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_old"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+    )
+    r = c.select(
+        "w",
+        "n_old",
+        "n_new",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_old").desc(), "w"))
+        .alias("r_old"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n_new").desc(), "w"))
+        .alias("r_new"),
+    )
+    return (
+        r.select(
+            F.col("w").alias("term"),
+            "n_old",
+            "n_new",
+            F.col("r_old").cast("long").alias("rank_old"),
+            F.col("r_new").cast("long").alias("rank_new"),
+            (F.col("r_old") - F.col("r_new")).cast("long").alias(
+                "rank_gain"
+            ),
+        )
+        .orderBy(F.col("rank_gain").desc(), "term")
+        .limit(_TREND_TOP)
+    )

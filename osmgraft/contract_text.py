@@ -2689,3 +2689,157 @@ def cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qu") / 1000000000.0, 6).alias("q_term"),
         F.round(F.sum("qu").over(w) / 1000000000.0, 6).alias("modularity"),
     ).orderBy("cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# staged dedup funnel report (exact -> near-dup -> typo)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = f"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    -- stage 1: exact dedup (keep the smallest doc_id per content digest)
+    keep1 AS (SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY md5(text)),
+    s1 AS (SELECT d.doc_id, d.text FROM docs d JOIN keep1 USING (doc_id)),
+    -- stage 2: near-dup pairs among stage-1 survivors (keep-first rule:
+    -- a doc is removed iff it is the LARGER id of any surviving pair)
+    pr AS ({_NGRAM_PAIRS_SQL}),
+    rm2 AS (SELECT DISTINCT p.doc_b AS doc_id
+            FROM pr p JOIN keep1 a ON a.doc_id = p.doc_a
+                      JOIN keep1 b ON b.doc_id = p.doc_b),
+    s2 AS (SELECT s1.doc_id, s1.text FROM s1
+           LEFT JOIN rm2 USING (doc_id) WHERE rm2.doc_id IS NULL),
+    -- stage 3: distance-1 title typos among stage-2 survivors
+    t0 AS (SELECT doc_id,
+                  array_to_string(list_slice(string_split(lower(text), ' '),
+                                             1, 6), ' ') AS title0
+           FROM s2),
+    titles AS (SELECT doc_id,
+                      CASE WHEN doc_id % 6 = 0
+                           THEN substring(title0, 1, 2)
+                                || substring(title0, 4)
+                           ELSE title0 END AS title
+               FROM t0),
+    vars AS (SELECT doc_id, title, title AS variant FROM titles
+             UNION ALL
+             SELECT doc_id, title,
+                    substring(title, 1, k) || substring(title, k + 2)
+             FROM titles, UNNEST(range(length(title))) AS t(k)),
+    v AS (SELECT DISTINCT doc_id, title, variant FROM vars),
+    rm3 AS (SELECT DISTINCT b.doc_id
+            FROM v a JOIN v b USING (variant)
+            WHERE a.doc_id < b.doc_id AND a.title <> b.title
+              AND levenshtein(a.title, b.title) <= 1),
+    s3 AS (SELECT s2.doc_id FROM s2 LEFT JOIN rm3 USING (doc_id)
+           WHERE rm3.doc_id IS NULL),
+    stages AS (
+      SELECT 1 AS stage, 'exact' AS method,
+             (SELECT COUNT(*) FROM docs) AS n_in,
+             (SELECT COUNT(*) FROM docs) - (SELECT COUNT(*) FROM s1)
+               AS n_removed,
+             (SELECT COUNT(*) FROM s1) AS n_out
+      UNION ALL
+      SELECT 2, 'near_dup',
+             (SELECT COUNT(*) FROM s1),
+             (SELECT COUNT(*) FROM s1) - (SELECT COUNT(*) FROM s2),
+             (SELECT COUNT(*) FROM s2)
+      UNION ALL
+      SELECT 3, 'typo',
+             (SELECT COUNT(*) FROM s2),
+             (SELECT COUNT(*) FROM s2) - (SELECT COUNT(*) FROM s3),
+             (SELECT COUNT(*) FROM s3))
+    SELECT CAST(stage AS BIGINT) AS stage, method,
+           CAST(n_in AS BIGINT) AS n_in,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(n_out AS BIGINT) AS n_out
+    FROM stages ORDER BY stage
+    """
+
+
+@q("dedup_funnel_report", oracle=_FUNNEL_SQL)
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged dedup funnel — the report a training-data pipeline emits
+    per snapshot: exact content dedup (keep smallest id per digest),
+    then rare-shingle near-dup removal among survivors (keep-first: the
+    larger id of any surviving pair drops), then distance-1 title-typo
+    removal among what remains — each stage's input/removed/output
+    counts. Composes the registry's detectors (``dedup_exact``,
+    ``ngram_jaccard_pairs``, ``symspell_typo_pairs``) into the cascade
+    they exist for; ordering matters and the funnel makes the
+    marginal contribution of each stage visible.
+
+    Scale shape: each stage is the already-audited detector plus an
+    anti-join against the previous survivor set on the doc key; counts
+    are partial aggs. Nothing here exceeds the component plans.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    keep1 = docs.groupBy(F.md5("text").alias("dig")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    s1 = docs.join(keep1, "doc_id")
+    pr = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    k_a = keep1.select(F.col("doc_id").alias("doc_a"))
+    k_b = keep1.select(F.col("doc_id").alias("doc_b"))
+    rm2 = (
+        pr.join(k_a, "doc_a")
+        .join(k_b, "doc_b")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(rm2, "doc_id", "left_anti")
+    t0 = s2.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 6), " ")
+        .alias("title0"),
+    )
+    titles = t0.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.substring("title0", 1, 2), F.expr("substring(title0, 4)")
+            ),
+        )
+        .otherwise(F.col("title0"))
+        .alias("title"),
+    )
+    dels = titles.select(
+        "doc_id",
+        "title",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(title) - 1), k -> "
+                "concat(substring(title, 1, k), substring(title, k + 2)))"
+            )
+        ).alias("variant"),
+    )
+    v = (
+        titles.select("doc_id", "title", F.col("title").alias("variant"))
+        .unionAll(dels)
+        .distinct()
+    )
+    vb = v.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("title").alias("b_title"),
+        F.col("variant").alias("b_var"),
+    )
+    rm3 = (
+        v.join(vb, F.col("variant") == F.col("b_var"))
+        .filter(
+            (F.col("doc_id") < F.col("b_id"))
+            & (F.col("title") != F.col("b_title"))
+            & (F.levenshtein("title", "b_title") <= 1)
+        )
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(rm3, "doc_id", "left_anti")
+    n_docs, n1, n2, n3 = docs.count(), s1.count(), s2.count(), s3.count()
+    rows = [
+        (1, "exact", n_docs, n_docs - n1, n1),
+        (2, "near_dup", n1, n1 - n2, n2),
+        (3, "typo", n2, n2 - n3, n3),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage long, method string, n_in long, n_removed long, n_out long",
+    ).orderBy("stage")

@@ -671,3 +671,159 @@ def track_turning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_segments") >= 2)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# geometric median of each track (Weiszfeld iterations, in-row)
+# ---------------------------------------------------------------------------
+
+
+def _gm_sql() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    # one Weiszfeld step from (mx{r-1}, my{r-1}) -> (mx{r}, my{r});
+    # numbered names because DuckDB resolves LATERAL column aliases —
+    # reusing `mx` would make the `my` expression read the NEW mx
+    def step(r):
+        pm, qm = f"mx{r - 1}", f"my{r - 1}"
+        dexpr = (
+            f"GREATEST(SQRT((xs[i] - {pm}) * (xs[i] - {pm})"
+            f" + (ys[i] - {qm}) * (ys[i] - {qm})), 1.0e0)"
+        )
+        return f"""
+    g{r} AS (SELECT user_id, xs, ys, n,
+                    ROUND(
+                      list_reduce(list_prepend(0.0e0,
+                        list_transform(range(1, n + 1), i ->
+                          xs[i] / {dexpr})), (a, b) -> a + b)
+                      / list_reduce(list_prepend(0.0e0,
+                          list_transform(range(1, n + 1), i ->
+                            1.0e0 / {dexpr})), (a, b) -> a + b), 6)
+                      AS mx{r},
+                    ROUND(
+                      list_reduce(list_prepend(0.0e0,
+                        list_transform(range(1, n + 1), i ->
+                          ys[i] / {dexpr})), (a, b) -> a + b)
+                      / list_reduce(list_prepend(0.0e0,
+                          list_transform(range(1, n + 1), i ->
+                            1.0e0 / {dexpr})), (a, b) -> a + b), 6)
+                      AS my{r}
+             FROM g{r - 1})"""
+
+    head = f"""
+    WITH p AS (SELECT user_id, event_id, {X_EXPR} AS x, {Y_EXPR} AS y
+               FROM events),
+    g AS (SELECT user_id,
+                 list_transform(list_sort(list_zip(
+                     array_agg(event_id), array_agg(x))), q -> q[2]) AS xs,
+                 list_transform(list_sort(list_zip(
+                     array_agg(event_id), array_agg(y))), q -> q[2]) AS ys,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM p GROUP BY user_id),
+    g0 AS (SELECT user_id, xs, ys, n,
+                  ROUND(list_reduce(list_prepend(0.0e0, xs),
+                                    (a, b) -> a + b) / n, 6) AS mx0,
+                  ROUND(list_reduce(list_prepend(0.0e0, ys),
+                                    (a, b) -> a + b) / n, 6) AS my0
+           FROM g)"""
+    body = "".join("," + step(r) for r in [1, 2, 3])
+    return (
+        head
+        + body
+        + """
+    SELECT user_id, CAST(n AS BIGINT) AS n_points, mx3 AS median_x,
+           my3 AS median_y
+    FROM g3 ORDER BY user_id
+    """
+    )
+
+
+@q("geometric_median_tracks", oracle=_gm_sql())
+def geometric_median_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric median of each user's track by 3 Weiszfeld iterations
+    (w_i = 1/max(dist, 1), next = Σw·p/Σw, seeded at the centroid) —
+    the ROBUST center an outlier GPS fix cannot drag, where the mean
+    centroid (§2.9 geo scalars) moves with every bad point; the robust
+    counterpart to ``track_stats``.
+
+    Determinism: all sums are left-folds over the event-id-sorted
+    per-user coordinate arrays (identical fold order on both engines)
+    and the iterate snaps to 6 dp between iterations — the
+    ``ewma_daily_values`` recursion discipline applied to a 2-D fixed-
+    point iteration.
+
+    Scale shape: one user-keyed bounded-array collect; O(iters·n) in-row
+    arithmetic; parallelism = user count. No joins, no windows.
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    p = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(X_EXPR).alias("x"),
+        F.expr(Y_EXPR).alias("y"),
+    )
+    g = p.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("event_id", "x", "y"))).alias(
+            "s"
+        )
+    )
+    xs = F.transform(F.col("s"), lambda r: r.x)
+    ys = F.transform(F.col("s"), lambda r: r.y)
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda a, b: a + b
+    )
+    base = g.select(
+        "user_id",
+        xs.alias("xs"),
+        ys.alias("ys"),
+        F.size(xs).alias("n"),
+    ).select(
+        "*",
+        F.round(fold(F.col("xs")) / F.col("n"), 6).alias("mx"),
+        F.round(fold(F.col("ys")) / F.col("n"), 6).alias("my"),
+    )
+    cur = base
+    for _ in range(3):
+        d = lambda i: F.greatest(  # noqa: E731
+            F.sqrt(
+                (F.element_at(F.col("xs"), i) - F.col("mx"))
+                * (F.element_at(F.col("xs"), i) - F.col("mx"))
+                + (F.element_at(F.col("ys"), i) - F.col("my"))
+                * (F.element_at(F.col("ys"), i) - F.col("my"))
+            ),
+            F.lit(1.0),
+        )
+        seq = F.sequence(F.lit(1), F.col("n"))
+        num_x = fold(
+            F.transform(seq, lambda i: F.element_at(F.col("xs"), i) / d(i))
+        )
+        num_y = fold(
+            F.transform(seq, lambda i: F.element_at(F.col("ys"), i) / d(i))
+        )
+        den = fold(F.transform(seq, lambda i: F.lit(1.0) / d(i)))
+        # compute to fresh names, then rename: BOTH engines resolve a
+        # reused alias in the same select list laterally (Spark 4 lateral
+        # column aliases; DuckDB lateral aliases), which would feed the
+        # my-update the NEW mx
+        cur = cur.select(
+            "user_id",
+            "xs",
+            "ys",
+            "n",
+            F.round(num_x / den, 6).alias("mx_next"),
+            F.round(num_y / den, 6).alias("my_next"),
+        ).select(
+            "user_id",
+            "xs",
+            "ys",
+            "n",
+            F.col("mx_next").alias("mx"),
+            F.col("my_next").alias("my"),
+        )
+    return cur.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_points"),
+        F.col("mx").alias("median_x"),
+        F.col("my").alias("median_y"),
+    ).orderBy("user_id")

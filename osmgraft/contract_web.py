@@ -4712,3 +4712,125 @@ def abtest_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis-distance multivariate outliers over (value, inter-event gap)
+# ---------------------------------------------------------------------------
+
+_MAHA_TOP = 15
+
+_MAHA_SQL = f"""
+    WITH e AS (SELECT event_id, user_id, value,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+               FROM events),
+    g AS (SELECT event_id,
+                 CAST(FLOOR(value * 1000.0e0 + 5.0e-1) AS BIGINT) AS v,
+                 s - LAG(s) OVER (PARTITION BY user_id ORDER BY s,
+                                  event_id) AS gap
+          FROM e),
+    f AS (SELECT event_id, v, gap FROM g WHERE gap IS NOT NULL),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(v) AS sv, SUM(gap) AS sg,
+                  SUM(v * v) AS svv, SUM(gap * gap) AS sgg,
+                  SUM(v * gap) AS svg
+           FROM f),
+    mo AS (SELECT n,
+                  sv * 1.0e0 / n AS mv, sg * 1.0e0 / n AS mg,
+                  svv * 1.0e0 / n - (sv * 1.0e0 / n) * (sv * 1.0e0 / n)
+                    AS cvv,
+                  sgg * 1.0e0 / n - (sg * 1.0e0 / n) * (sg * 1.0e0 / n)
+                    AS cgg,
+                  svg * 1.0e0 / n - (sv * 1.0e0 / n) * (sg * 1.0e0 / n)
+                    AS cvg
+           FROM st),
+    d AS (SELECT f.event_id,
+                 ROUND(((f.v - mo.mv) * (f.v - mo.mv) * mo.cgg
+                        - 2.0e0 * (f.v - mo.mv) * (f.gap - mo.mg) * mo.cvg
+                        + (f.gap - mo.mg) * (f.gap - mo.mg) * mo.cvv)
+                       / (mo.cvv * mo.cgg - mo.cvg * mo.cvg), 4) AS d2
+          FROM f CROSS JOIN mo)
+    SELECT event_id, d2 FROM d
+    ORDER BY d2 DESC, event_id LIMIT {_MAHA_TOP}
+    """
+
+
+@q("mahalanobis_outliers", oracle=_MAHA_SQL)
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outliers by Mahalanobis distance over (value,
+    inter-event gap): the 2x2 covariance comes from exact integer power
+    sums, its inverse is the closed form, and each event's squared
+    distance accounts for the CORRELATION between the features — the
+    points ``daily_anomalies``' univariate z-scores cannot flag (a
+    large value alone may be normal; a large value arriving after an
+    abnormal gap is not). Top-15 by distance.
+
+    Exactness: all six moments are integer sums (milli-unit values,
+    second-unit gaps — far below int64); the moment matrix and each
+    row's quadratic form are identical float expressions from those
+    integers; one ROUND per row.
+
+    Scale shape: the gap feature is a user-keyed lag window; moments are
+    ONE partial agg broadcast back as a 1-row cross join; top-k is
+    TakeOrderedAndProject.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_timestamp("ts").alias("s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    g = e.select(
+        "event_id",
+        F.floor(F.col("value") * 1000.0 + 0.5).cast("long").alias("v"),
+        (F.col("s") - F.lag("s").over(w)).alias("gap"),
+    )
+    f = g.filter(F.col("gap").isNotNull())
+    st = f.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum("gap").alias("sg"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sgg"),
+        F.sum(F.col("v") * F.col("gap")).alias("svg"),
+    )
+    mo = st.select(
+        (F.col("sv") * 1.0 / F.col("n")).alias("mv"),
+        (F.col("sg") * 1.0 / F.col("n")).alias("mg"),
+        (
+            F.col("svv") * 1.0 / F.col("n")
+            - (F.col("sv") * 1.0 / F.col("n"))
+            * (F.col("sv") * 1.0 / F.col("n"))
+        ).alias("cvv"),
+        (
+            F.col("sgg") * 1.0 / F.col("n")
+            - (F.col("sg") * 1.0 / F.col("n"))
+            * (F.col("sg") * 1.0 / F.col("n"))
+        ).alias("cgg"),
+        (
+            F.col("svg") * 1.0 / F.col("n")
+            - (F.col("sv") * 1.0 / F.col("n"))
+            * (F.col("sg") * 1.0 / F.col("n"))
+        ).alias("cvg"),
+    )
+    d = f.crossJoin(F.broadcast(mo)).select(
+        "event_id",
+        F.round(
+            (
+                (F.col("v") - F.col("mv"))
+                * (F.col("v") - F.col("mv"))
+                * F.col("cgg")
+                - 2.0
+                * (F.col("v") - F.col("mv"))
+                * (F.col("gap") - F.col("mg"))
+                * F.col("cvg")
+                + (F.col("gap") - F.col("mg"))
+                * (F.col("gap") - F.col("mg"))
+                * F.col("cvv")
+            )
+            / (F.col("cvv") * F.col("cgg") - F.col("cvg") * F.col("cvg")),
+            4,
+        ).alias("d2"),
+    )
+    return d.orderBy(F.col("d2").desc(), "event_id").limit(_MAHA_TOP)

@@ -4834,3 +4834,118 @@ def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d2"),
     )
     return d.orderBy(F.col("d2").desc(), "event_id").limit(_MAHA_TOP)
+
+
+# ---------------------------------------------------------------------------
+# difference-in-differences estimate over arm x period cells
+# ---------------------------------------------------------------------------
+
+_DID_SQL = """
+    WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0,
+                           MAX(CAST(ts AS DATE)) AS d1
+                    FROM events),
+    cells AS (SELECT CASE WHEN (user_id * 2654435761) % 100 < 50
+                          THEN 'treat' ELSE 'control' END AS arm,
+                     CASE WHEN CAST(ts AS DATE) - b.d0
+                               <= (b.d1 - b.d0) // 2
+                          THEN 'pre' ELSE 'post' END AS period,
+                     CAST(FLOOR(value * 1000000.0e0 + 5.0e-1) AS BIGINT)
+                       AS vu
+              FROM events CROSS JOIN bounds b),
+    m AS (SELECT arm, period,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(vu) AS s
+          FROM cells GROUP BY arm, period),
+    p AS (SELECT
+            MAX(CASE WHEN arm = 'treat' AND period = 'pre'
+                     THEN s * 1.0e0 / n / 1000000.0e0 END) AS t_pre,
+            MAX(CASE WHEN arm = 'treat' AND period = 'post'
+                     THEN s * 1.0e0 / n / 1000000.0e0 END) AS t_post,
+            MAX(CASE WHEN arm = 'control' AND period = 'pre'
+                     THEN s * 1.0e0 / n / 1000000.0e0 END) AS c_pre,
+            MAX(CASE WHEN arm = 'control' AND period = 'post'
+                     THEN s * 1.0e0 / n / 1000000.0e0 END) AS c_post
+          FROM m)
+    SELECT ROUND(t_pre, 6) AS treat_pre, ROUND(t_post, 6) AS treat_post,
+           ROUND(c_pre, 6) AS control_pre, ROUND(c_post, 6) AS control_post,
+           ROUND((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate
+    FROM p
+    """
+
+
+@q("did_estimate", oracle=_DID_SQL)
+def did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: mean event value per (arm x period)
+    cell — hash-assigned arms (the ``abtest_conversion_z`` split),
+    periods split at the window midpoint — and the DiD estimator
+    (Δtreat − Δcontrol), which cancels both arm-level baseline
+    differences and period-level trends: the causal-inference workhorse
+    when randomisation happens at assignment but the metric moves with
+    time. On this null fixture the estimate is ~0 — exactly what an
+    A/A-style validity check should produce.
+
+    Exactness: values snap to integer micro-units, cell means are one
+    division each from exact sums, and the estimator arithmetic runs on
+    the single pivoted row (identical expression text).
+
+    Scale shape: one partial agg on 4 cells, a 1-row pivot. The date
+    bounds are a 1-row broadcast.
+    """
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    cells = ev.crossJoin(F.broadcast(bounds)).select(
+        F.when((F.col("user_id") * 2654435761) % 100 < 50, "treat")
+        .otherwise("control")
+        .alias("arm"),
+        F.when(
+            F.datediff(F.col("ts").cast("date"), F.col("d0"))
+            <= F.expr("datediff(d1, d0) div 2"),
+            "pre",
+        )
+        .otherwise("post")
+        .alias("period"),
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("long").alias("vu"),
+    )
+    m = cells.groupBy("arm", "period").agg(
+        F.count("*").cast("long").alias("n"), F.sum("vu").alias("s")
+    )
+    mean = F.col("s") * 1.0 / F.col("n") / 1000000.0
+    p = m.agg(
+        F.max(
+            F.when(
+                (F.col("arm") == "treat") & (F.col("period") == "pre"), mean
+            )
+        ).alias("t_pre"),
+        F.max(
+            F.when(
+                (F.col("arm") == "treat") & (F.col("period") == "post"),
+                mean,
+            )
+        ).alias("t_post"),
+        F.max(
+            F.when(
+                (F.col("arm") == "control") & (F.col("period") == "pre"),
+                mean,
+            )
+        ).alias("c_pre"),
+        F.max(
+            F.when(
+                (F.col("arm") == "control") & (F.col("period") == "post"),
+                mean,
+            )
+        ).alias("c_post"),
+    )
+    return p.select(
+        F.round("t_pre", 6).alias("treat_pre"),
+        F.round("t_post", 6).alias("treat_post"),
+        F.round("c_pre", 6).alias("control_pre"),
+        F.round("c_post", 6).alias("control_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            6,
+        ).alias("did_estimate"),
+    )

@@ -4949,3 +4949,113 @@ def did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend of the daily series
+# ---------------------------------------------------------------------------
+
+_TS_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 6) AS x
+      FROM events GROUP BY event_type, day),
+    g AS (SELECT event_type,
+                 list_transform(list_sort(list_zip(
+                     array_agg(day), array_agg(x))), p -> p[1]) AS days,
+                 list_transform(list_sort(list_zip(
+                     array_agg(day), array_agg(x))), p -> p[2]) AS xs
+          FROM daily GROUP BY event_type),
+    s AS (SELECT event_type, len(xs) AS n,
+                 list_sort(flatten(
+                   list_transform(range(1, len(xs)), i ->
+                     list_transform(range(i + 1, len(xs) + 1), j ->
+                       ROUND((xs[j] - xs[i])
+                             / CAST(days[j] - days[i] AS DOUBLE), 6)))))
+                   AS slopes
+          FROM g),
+    m AS (SELECT event_type, n, len(slopes) AS np, slopes FROM s)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(np AS BIGINT) AS n_pairs,
+           ROUND(CASE WHEN np % 2 = 1 THEN slopes[(np + 1) // 2]
+                      ELSE (slopes[np // 2] + slopes[np // 2 + 1]) / 2.0e0
+                 END, 6) AS theil_sen_slope
+    FROM m ORDER BY event_type
+    """
+
+
+@q("theil_sen_daily_trend", oracle=_TS_SQL)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all pairwise
+    slopes of the daily series — a single wild day moves an OLS slope
+    (``zipf_vocab_fit``'s regression machinery) arbitrarily but shifts
+    this estimator by at most one rank; the robust-statistics member of
+    the trend family.
+
+    Determinism: pairwise slopes are computed in-row over the day-sorted
+    snapped series, snapped to 6 dp, sorted in-row, and the median is an
+    exact order statistic on that array — no cross-row float
+    accumulation anywhere.
+
+    Scale shape: one (type, day) partial agg, one per-type bounded-array
+    collect, O(n_days²) in-row slopes; parallelism = key count.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    g = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    xs = F.transform(F.col("s"), lambda r: r.x)
+    days = F.transform(F.col("s"), lambda r: r.day)
+    base = g.select(
+        "event_type", xs.alias("xs"), days.alias("days"),
+        F.size(xs).alias("n"),
+    )
+    slopes = F.sort_array(
+        F.flatten(
+            F.transform(
+                # outer bound n-1: sequence(n+1, n) would generate a
+                # DESCENDING [n+1, n] (the known gotcha) and index past
+                # the array
+                F.sequence(F.lit(1), F.col("n") - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.col("n")),
+                    lambda j: F.round(
+                        (
+                            F.element_at(F.col("xs"), j)
+                            - F.element_at(F.col("xs"), i)
+                        )
+                        / F.datediff(
+                            F.element_at(F.col("days"), j),
+                            F.element_at(F.col("days"), i),
+                        ).cast("double"),
+                        6,
+                    ),
+                ),
+            )
+        )
+    )
+    s = base.select(
+        "event_type", "n", slopes.alias("slopes")
+    ).withColumn("np", F.size("slopes"))
+    med = F.when(
+        F.col("np") % 2 == 1,
+        F.element_at(F.col("slopes"), ((F.col("np") + 1) / 2).cast("int")),
+    ).otherwise(
+        (
+            F.element_at(F.col("slopes"), (F.col("np") / 2).cast("int"))
+            + F.element_at(
+                F.col("slopes"), (F.col("np") / 2).cast("int") + 1
+            )
+        )
+        / 2.0
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("np").cast("long").alias("n_pairs"),
+        F.round(med, 6).alias("theil_sen_slope"),
+    ).orderBy("event_type")

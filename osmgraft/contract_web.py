@@ -5059,3 +5059,92 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").cast("long").alias("n_pairs"),
         F.round(med, 6).alias("theil_sen_slope"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# conditional entropy of event-type transitions (sequence predictability)
+# ---------------------------------------------------------------------------
+
+_TE_ENT_SQL = """
+    WITH s AS (SELECT user_id, event_type,
+                      LEAD(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                        AS next_type
+               FROM events),
+    tr AS (SELECT event_type AS cur, next_type AS nxt,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM s WHERE next_type IS NOT NULL GROUP BY cur, nxt),
+    row_t AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS rn FROM tr
+              GROUP BY cur),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM tr),
+    terms AS (SELECT tr.cur, tr.nxt, tr.n, row_t.rn,
+                     CAST(FLOOR(-(tr.n * 1.0e0 / row_t.rn)
+                                * LN(tr.n * 1.0e0 / row_t.rn)
+                                * 1000000000.0e0 + 5.0e-1) AS BIGINT)
+                       AS hu
+              FROM tr JOIN row_t USING (cur)),
+    per_cur AS (SELECT t.cur, MAX(t.rn) AS rn,
+                       SUM(t.hu) AS hrow_u
+                FROM terms t GROUP BY t.cur)
+    SELECT p.cur AS event_type,
+           CAST(p.rn AS BIGINT) AS n_transitions,
+           ROUND(p.hrow_u / 1000000000.0e0, 6) AS h_next_given_cur,
+           ROUND(SUM(p.rn * p.hrow_u) OVER ()
+                 / (SUM(p.rn) OVER ()) / 1000000000.0e0, 6)
+             AS conditional_entropy
+    FROM per_cur p ORDER BY event_type
+    """
+
+
+@q("transition_entropy", oracle=_TE_ENT_SQL)
+def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(next | current) of the per-user event-type
+    sequence: per current type, the entropy of its next-step
+    distribution, plus the row-weighted total — the predictability
+    number behind ``event_transition_counts``' raw matrix (0 bits =
+    deterministic sessions worth modelling; log2(k) = noise) and the
+    sequence-level sibling of ``source_diversity_index``.
+
+    Exactness: transition counts are integers from ONE user-keyed LEAD
+    window; each -p·ln p term is computed once from an integer ratio and
+    snapped to nano-units before any cross-row SUM; the weighted total
+    uses integer-count weights over (vocabulary²-bounded) rows.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t(spark, sf_dir, "events").select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    tr = (
+        s.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("cur"),
+            F.col("next_type").alias("nxt"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    row_t = tr.groupBy("cur").agg(F.sum("n").cast("long").alias("rn"))
+    p = F.col("n") * 1.0 / F.col("rn")
+    terms = tr.join(F.broadcast(row_t), "cur").select(
+        "cur",
+        "rn",
+        F.floor(-p * F.log(p) * 1000000000.0 + 0.5)
+        .cast("long")
+        .alias("hu"),
+    )
+    per_cur = terms.groupBy("cur").agg(
+        F.max("rn").alias("rn"), F.sum("hu").alias("hrow_u")
+    )
+    win = Window.partitionBy()
+    return per_cur.select(
+        F.col("cur").alias("event_type"),
+        F.col("rn").cast("long").alias("n_transitions"),
+        F.round(F.col("hrow_u") / 1000000000.0, 6).alias(
+            "h_next_given_cur"
+        ),
+        F.round(
+            F.sum(F.col("rn") * F.col("hrow_u")).over(win)
+            / F.sum("rn").over(win)
+            / 1000000000.0,
+            6,
+        ).alias("conditional_entropy"),
+    ).orderBy("event_type")

@@ -5148,3 +5148,101 @@ def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("conditional_entropy"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+_BENFORD_SQL = """
+    WITH d AS (SELECT CAST(substring(CAST(CAST(FLOOR(value * 100.0e0
+                                                      + 5.0e-1) AS BIGINT)
+                                          AS VARCHAR), 1, 1) AS BIGINT)
+                        AS digit
+               FROM events WHERE value >= 0.01e0),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+          WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM c),
+    x AS (SELECT c.digit, c.n, tot.tn,
+                 ROUND(LOG10(1.0e0 + 1.0e0 / c.digit), 6) AS benford_p,
+                 ROUND(c.n * 1.0e0 / tot.tn, 6) AS observed_p
+          FROM c CROSS JOIN tot),
+    y AS (SELECT digit, n, benford_p, observed_p,
+                 CAST(FLOOR((n - tn * ROUND(LOG10(1.0e0 + 1.0e0 / digit),
+                                            6))
+                            * (n - tn * ROUND(LOG10(1.0e0 + 1.0e0
+                                                    / digit), 6))
+                            / (tn * ROUND(LOG10(1.0e0 + 1.0e0 / digit),
+                                          6))
+                            * 1000000.0e0 + 5.0e-1) AS BIGINT) AS cu
+          FROM x)
+    SELECT digit, n, benford_p, observed_p,
+           ROUND(SUM(cu) OVER () / 1000000.0e0, 4) AS chi2_vs_benford
+    FROM y ORDER BY digit
+    """
+
+
+@q("benford_audit", oracle=_BENFORD_SQL)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit: the leading-digit distribution of the
+    value column against Benford's law (P(d) = log10(1 + 1/d)) with a
+    chi-square statistic — the classic fabricated-data / unit-mixing
+    detector an ingest pipeline runs on numeric columns (this fixture's
+    bounded-uniform values genuinely violate Benford, and the audit says
+    by how much). Complements ``chi2_category_drift`` (two observed
+    samples) with the one-sample goodness-of-fit member.
+
+    Exactness: digits come from integer string manipulation on
+    cent-scaled values; counts are integers; expectations use the
+    6-dp-snapped Benford constants, each chi-square term snapped to
+    micro-units before the windowed total over <= 9 rows.
+
+    Scale shape: one digit-keyed partial agg; everything after runs on
+    nine rows.
+    """
+    d = t(spark, sf_dir, "events").filter(F.col("value") >= 0.01).select(
+        F.substring(
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.filter(F.col("digit").between(1, 9)).groupBy("digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = c.agg(F.sum("n").cast("long").alias("tn"))
+    bp = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+    x = c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        "tn",
+        bp.alias("benford_p"),
+        F.round(F.col("n") * 1.0 / F.col("tn"), 6).alias("observed_p"),
+    )
+    y = x.select(
+        "digit",
+        "n",
+        "benford_p",
+        "observed_p",
+        F.floor(
+            (F.col("n") - F.col("tn") * F.col("benford_p"))
+            * (F.col("n") - F.col("tn") * F.col("benford_p"))
+            / (F.col("tn") * F.col("benford_p"))
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("cu"),
+    )
+    w = Window.partitionBy()
+    return y.select(
+        "digit",
+        "n",
+        "benford_p",
+        "observed_p",
+        F.round(F.sum("cu").over(w) / 1000000.0, 4).alias(
+            "chi2_vs_benford"
+        ),
+    ).orderBy("digit")

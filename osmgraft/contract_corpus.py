@@ -2753,3 +2753,106 @@ def trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_gain").desc(), "term")
         .limit(_TREND_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# optimizer-statistics audit: histogram selectivity estimate vs actual
+# ---------------------------------------------------------------------------
+
+_SEL_BUCKETS = 20
+_SEL_LO, _SEL_HI = 120.0, 333.3  # the range predicate being estimated
+
+_SEL_SQL = f"""
+    WITH b AS (SELECT LEAST(CAST(FLOOR(value / 25.0e0) AS BIGINT),
+                            {_SEL_BUCKETS - 1}) AS bucket,
+                      value
+               FROM events),
+    hist AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+             FROM b GROUP BY bucket),
+    est AS (SELECT SUM(
+                     n * GREATEST(0.0e0, LEAST(
+                           (LEAST({_SEL_HI}e0,
+                                  (bucket + 1) * 25.0e0)
+                            - GREATEST({_SEL_LO}e0, bucket * 25.0e0))
+                           / 25.0e0, 1.0e0))) AS est_rows
+            FROM hist),
+    act AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+            FROM events
+            WHERE value >= {_SEL_LO}e0 AND value < {_SEL_HI}e0),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_rows FROM events)
+    SELECT tot.total_rows,
+           CAST(FLOOR(est.est_rows + 5.0e-1) AS BIGINT) AS estimated_rows,
+           act.actual_rows,
+           ROUND(est.est_rows / tot.total_rows, 6) AS est_selectivity,
+           ROUND(act.actual_rows * 1.0e0 / tot.total_rows, 6)
+             AS actual_selectivity,
+           ROUND(ABS(est.est_rows - act.actual_rows)
+                 / act.actual_rows, 6) AS rel_error
+    FROM est CROSS JOIN act CROSS JOIN tot
+    """
+
+
+@q("selectivity_estimate_audit", oracle=_SEL_SQL)
+def selectivity_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics audit: estimate a range predicate's
+    selectivity from a 20-bucket equi-width histogram with uniform
+    in-bucket interpolation — exactly how a cost-based optimizer prices
+    `value BETWEEN a AND b` from column stats — then run the predicate
+    and report the relative estimation error. The measured answer to
+    "can this histogram be trusted for join ordering", companion to
+    ``zonemap_prune_audit`` (which audits pruning, not cardinality).
+
+    Exactness: histogram counts and the actual count are integers; the
+    interpolation arithmetic is one shared expression over (bounded)
+    bucket rows.
+
+    Scale shape: one bucket-keyed partial agg (the histogram build —
+    what ANALYZE TABLE does), one counting scan for ground truth,
+    scalar combine.
+    """
+    ev = t(spark, sf_dir, "events")
+    b = ev.select(
+        F.least(
+            F.floor(F.col("value") / 25.0).cast("long"),
+            F.lit(_SEL_BUCKETS - 1),
+        ).alias("bucket")
+    )
+    hist = b.groupBy("bucket").agg(F.count("*").cast("long").alias("n"))
+    frac = F.greatest(
+        F.lit(0.0),
+        F.least(
+            (
+                F.least(F.lit(_SEL_HI), (F.col("bucket") + 1) * 25.0)
+                - F.greatest(F.lit(_SEL_LO), F.col("bucket") * 25.0)
+            )
+            / 25.0,
+            F.lit(1.0),
+        ),
+    )
+    est = hist.agg(F.sum(F.col("n") * frac).alias("est_rows"))
+    act = ev.filter(
+        (F.col("value") >= _SEL_LO) & (F.col("value") < _SEL_HI)
+    ).agg(F.count("*").cast("long").alias("actual_rows"))
+    tot = ev.agg(F.count("*").cast("long").alias("total_rows"))
+    return (
+        est.crossJoin(F.broadcast(act))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "total_rows",
+            F.floor(F.col("est_rows") + 0.5).cast("long").alias(
+                "estimated_rows"
+            ),
+            "actual_rows",
+            F.round(F.col("est_rows") / F.col("total_rows"), 6).alias(
+                "est_selectivity"
+            ),
+            F.round(
+                F.col("actual_rows") * 1.0 / F.col("total_rows"), 6
+            ).alias("actual_selectivity"),
+            F.round(
+                F.abs(F.col("est_rows") - F.col("actual_rows"))
+                / F.col("actual_rows"),
+                6,
+            ).alias("rel_error"),
+        )
+    )

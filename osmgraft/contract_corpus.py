@@ -2856,3 +2856,98 @@ def selectivity_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# shuffle-partition skew audit (key imbalance under hash partitioning)
+# ---------------------------------------------------------------------------
+
+_SKEW_NPART = 32
+
+_SKEW_SQL = f"""
+    WITH keyed AS (
+      SELECT 'uniform_user' AS keying,
+             CAST((user_id * 2654435761) % 97 % {_SKEW_NPART} AS BIGINT)
+               AS part
+      FROM events
+      UNION ALL
+      SELECT 'skewed_type',
+             CAST((CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                        WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                        ELSE 4 END) % {_SKEW_NPART} AS BIGINT)
+      FROM events),
+    sizes AS (SELECT keying, part, CAST(COUNT(*) AS BIGINT) AS n
+              FROM keyed GROUP BY keying, part),
+    s AS (SELECT keying,
+                 CAST(COUNT(*) AS BIGINT) AS n_parts,
+                 CAST(SUM(n) AS BIGINT) AS n_rows,
+                 CAST(MAX(n) AS BIGINT) AS max_part,
+                 CAST(MIN(n) AS BIGINT) AS min_part
+          FROM sizes GROUP BY keying)
+    SELECT keying, n_parts, n_rows, max_part, min_part,
+           ROUND(max_part * 1.0e0 * n_parts / n_rows, 4)
+             AS max_over_avg,
+           ROUND(max_part * 1.0e0 * {_SKEW_NPART} / n_rows, 4)
+             AS stragglers_factor
+    FROM s ORDER BY keying
+    """
+
+
+@q("partition_skew_audit", oracle=_SKEW_SQL)
+def partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition skew audit: the same rows hashed into 32 shuffle
+    partitions under two keyings — a well-hashed user key vs the
+    5-value event-type key — and each layout's max/avg partition ratio,
+    the number that IS the straggler slowdown of a shuffle stage keyed
+    that way. The query-surface measurement behind the north rule's
+    explicit skew handling: ``hot_cell_salted_profile`` fixes this for
+    dense cells; this audit shows which keys need it BEFORE the job runs
+    (a max/avg of ~6 here means a type-keyed shuffle wastes 5/6 of the
+    cluster).
+
+    Scale shape: one (keying, part) partial agg over the doubled rows;
+    the report is 2 rows. Integer counts, two divisions per row.
+    """
+    ev = t(spark, sf_dir, "events")
+    n = _SKEW_NPART
+    uniform = ev.select(
+        F.lit("uniform_user").alias("keying"),
+        ((F.col("user_id") * 2654435761) % 97 % n)
+        .cast("long")
+        .alias("part"),
+    )
+    type_part = (
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .otherwise(4)
+    )
+    skewed = ev.select(
+        F.lit("skewed_type").alias("keying"),
+        (type_part % n).cast("long").alias("part"),
+    )
+    sizes = (
+        uniform.unionAll(skewed)
+        .groupBy("keying", "part")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    s = sizes.groupBy("keying").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_part"),
+        F.min("n").cast("long").alias("min_part"),
+    )
+    return s.select(
+        "keying",
+        "n_parts",
+        "n_rows",
+        "max_part",
+        "min_part",
+        F.round(
+            F.col("max_part") * 1.0 * F.col("n_parts") / F.col("n_rows"), 4
+        ).alias("max_over_avg"),
+        F.round(
+            F.col("max_part") * 1.0 * n / F.col("n_rows"), 4
+        ).alias("stragglers_factor"),
+    ).orderBy("keying")

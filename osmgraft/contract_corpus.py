@@ -2951,3 +2951,85 @@ def partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_part") * 1.0 * n / F.col("n_rows"), 4
         ).alias("stragglers_factor"),
     ).orderBy("keying")
+
+
+# ---------------------------------------------------------------------------
+# concurrent-writer merge conflict audit (optimistic concurrency)
+# ---------------------------------------------------------------------------
+
+_CONFLICT_SQL = """
+    WITH w1 AS (SELECT doc_id, n_chars + 7 AS new_val, 101 AS commit_v
+                FROM documents WHERE doc_id % 3 = 0),
+    w2 AS (SELECT doc_id, n_chars + 13 AS new_val, 102 AS commit_v
+           FROM documents WHERE doc_id % 4 = 0),
+    j AS (SELECT COALESCE(w1.doc_id, w2.doc_id) AS doc_id,
+                 w1.new_val AS v1, w2.new_val AS v2,
+                 CASE WHEN w1.doc_id IS NOT NULL
+                       AND w2.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS is_conflict,
+                 COALESCE(w2.new_val, w1.new_val) AS resolved_val
+          FROM w1 FULL OUTER JOIN w2 ON w1.doc_id = w2.doc_id)
+    SELECT CAST(SUM(CASE WHEN v1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_writer1,
+           CAST(SUM(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_writer2,
+           CAST(SUM(is_conflict) AS BIGINT) AS n_conflicts,
+           ROUND(SUM(is_conflict) * 1.0e0 / COUNT(*), 6) AS conflict_pct,
+           CAST(SUM((doc_id * 1000003 + resolved_val) % 2147483647)
+                AS BIGINT) AS resolved_checksum
+    FROM j
+    """
+
+
+@q("merge_conflict_audit", oracle=_CONFLICT_SQL)
+def merge_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-writer conflict audit: two deterministic change sets
+    (writer 1 touches doc_id % 3, writer 2 touches doc_id % 4 — their
+    overlap is the conflict set) are merged under last-writer-wins
+    (higher commit version), reporting conflict counts, the conflict
+    rate, and the resolved-state checksum — the optimistic-concurrency
+    decision an Iceberg/Delta commit protocol makes when two writers
+    race (``merge_upsert_apply`` is one writer's apply; this is the
+    two-writer case a retry loop must detect).
+
+    Scale shape: ONE key-keyed full-outer join between the change sets
+    (both partition on doc_id); the audit is a scalar agg with the same
+    distributed additive checksum as the other integrity ops.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w1 = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("id1"),
+        (F.col("n_chars") + 7).alias("v1"),
+    )
+    w2 = d.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("id2"),
+        (F.col("n_chars") + 13).alias("v2"),
+    )
+    j = w1.join(w2, w1.id1 == w2.id2, "full_outer").select(
+        F.coalesce("id1", "id2").alias("doc_id"),
+        "v1",
+        "v2",
+        F.when(
+            F.col("id1").isNotNull() & F.col("id2").isNotNull(), 1
+        )
+        .otherwise(0)
+        .alias("is_conflict"),
+        F.coalesce("v2", "v1").alias("resolved_val"),
+    )
+    return j.agg(
+        F.sum(F.when(F.col("v1").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_writer1"),
+        F.sum(F.when(F.col("v2").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_writer2"),
+        F.sum("is_conflict").cast("long").alias("n_conflicts"),
+        F.round(F.sum("is_conflict") * 1.0 / F.count("*"), 6).alias(
+            "conflict_pct"
+        ),
+        F.sum(
+            (F.col("doc_id") * 1000003 + F.col("resolved_val")) % 2147483647
+        )
+        .cast("long")
+        .alias("resolved_checksum"),
+    )

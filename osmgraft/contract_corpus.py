@@ -3033,3 +3033,77 @@ def merge_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("resolved_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join-cardinality estimation audit (System-R formula vs actual)
+# ---------------------------------------------------------------------------
+
+_JCARD_SQL = """
+    WITH lstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_l,
+                           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                             AS ndv_l
+                    FROM lineitem),
+    ostats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_o,
+                      CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv_o
+               FROM orders),
+    act AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey)
+    SELECT l.n_l, l.ndv_l, o.n_o, o.ndv_o,
+           CAST(FLOOR(l.n_l * 1.0e0 * o.n_o
+                      / GREATEST(l.ndv_l, o.ndv_o) + 5.0e-1) AS BIGINT)
+             AS estimated_rows,
+           a.actual_rows,
+           ROUND(ABS(l.n_l * 1.0e0 * o.n_o / GREATEST(l.ndv_l, o.ndv_o)
+                     - a.actual_rows) / a.actual_rows, 6) AS rel_error
+    FROM lstats l CROSS JOIN ostats o CROSS JOIN act a
+    """
+
+
+@q("join_cardinality_audit", oracle=_JCARD_SQL)
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit: the System-R textbook estimate
+    |L ⋈ O| ≈ |L|·|O| / max(ndv_L, ndv_O) computed from table statistics
+    only, then the join actually run and the relative error reported —
+    the second half of the optimizer-statistics surface
+    (``selectivity_estimate_audit`` audits predicate selectivity; this
+    audits the join formula that multiplies on top of it, and on a
+    PK-FK join like orders-lineitem the formula should be near-exact —
+    the audit proves whether the stats justify that trust).
+
+    Scale shape: two stats scans with two-phase distinct aggregates,
+    one hash join for ground truth, scalar combine.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    lstats = li.agg(
+        F.count("*").cast("long").alias("n_l"),
+        F.countDistinct("l_orderkey").cast("long").alias("ndv_l"),
+    )
+    ostats = o.agg(
+        F.count("*").cast("long").alias("n_o"),
+        F.countDistinct("o_orderkey").cast("long").alias("ndv_o"),
+    )
+    act = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+        F.count("*").cast("long").alias("actual_rows")
+    )
+    est = (
+        F.col("n_l") * 1.0 * F.col("n_o")
+        / F.greatest(F.col("ndv_l"), F.col("ndv_o"))
+    )
+    return (
+        lstats.crossJoin(F.broadcast(ostats))
+        .crossJoin(F.broadcast(act))
+        .select(
+            "n_l",
+            "ndv_l",
+            "n_o",
+            "ndv_o",
+            F.floor(est + 0.5).cast("long").alias("estimated_rows"),
+            "actual_rows",
+            F.round(
+                F.abs(est - F.col("actual_rows")) / F.col("actual_rows"), 6
+            ).alias("rel_error"),
+        )
+    )

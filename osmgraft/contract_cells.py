@@ -1512,3 +1512,91 @@ def morans_i_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("morans_i"),
     )
+
+
+# ---------------------------------------------------------------------------
+# flow vector field (mean displacement per origin cell)
+# ---------------------------------------------------------------------------
+
+_FV_W = 87500  # 8x8 origin zones
+
+
+def _fv_sql() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    return f"""
+    WITH p AS (SELECT user_id, event_id, {X_EXPR} AS x, {Y_EXPR} AS y
+               FROM events),
+    m AS (SELECT user_id, x, y,
+                 LEAD(x) OVER (PARTITION BY user_id
+                               ORDER BY event_id) AS nx,
+                 LEAD(y) OVER (PARTITION BY user_id
+                               ORDER BY event_id) AS ny
+          FROM p),
+    seg AS (SELECT CAST(FLOOR(x / {_FV_W}.0e0) AS BIGINT) AS cx,
+                   CAST(FLOOR(y / {_FV_W}.0e0) AS BIGINT) AS cy,
+                   CAST(FLOOR((nx - x) * 10000.0e0 + 5.0e-1) AS BIGINT)
+                     AS dxu,
+                   CAST(FLOOR((ny - y) * 10000.0e0 + 5.0e-1) AS BIGINT)
+                     AS dyu
+            FROM m WHERE nx IS NOT NULL)
+    SELECT cx, cy,
+           CAST(COUNT(*) AS BIGINT) AS n_moves,
+           ROUND(SUM(dxu) * 1.0e0 / COUNT(*) / 10000.0e0, 4) AS mean_dx,
+           ROUND(SUM(dyu) * 1.0e0 / COUNT(*) / 10000.0e0, 4) AS mean_dy
+    FROM seg GROUP BY cx, cy ORDER BY cx, cy
+    """
+
+
+@q("flow_vector_field", oracle=_fv_sql())
+def flow_vector_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow vector field: the mean displacement vector of movements
+    ORIGINATING in each 8x8 zone (consecutive per-user points via one
+    LEAD window) — the aggregate wind-map a mobility dashboard renders
+    over the ``od_flow_matrix``'s zone-to-zone counts; a zone whose mean
+    vector is long and coherent is a corridor, one near zero is a
+    destination or noise.
+
+    Exactness: displacements snap to 1e-4 units BEFORE the per-cell SUM
+    (order-free integer aggregation); one division per component.
+
+    Scale shape: one user-keyed LEAD window, one cell-keyed partial agg.
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    p = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(X_EXPR).alias("x"),
+        F.expr(Y_EXPR).alias("y"),
+    )
+    m = p.select(
+        "x",
+        "y",
+        F.lead("x").over(w).alias("nx"),
+        F.lead("y").over(w).alias("ny"),
+    ).filter(F.col("nx").isNotNull())
+    seg = m.select(
+        F.floor(F.col("x") / _FV_W).cast("long").alias("cx"),
+        F.floor(F.col("y") / _FV_W).cast("long").alias("cy"),
+        F.floor((F.col("nx") - F.col("x")) * 10000.0 + 0.5)
+        .cast("long")
+        .alias("dxu"),
+        F.floor((F.col("ny") - F.col("y")) * 10000.0 + 0.5)
+        .cast("long")
+        .alias("dyu"),
+    )
+    return (
+        seg.groupBy("cx", "cy")
+        .agg(
+            F.count("*").cast("long").alias("n_moves"),
+            F.round(
+                F.sum("dxu") * 1.0 / F.count("*") / 10000.0, 4
+            ).alias("mean_dx"),
+            F.round(
+                F.sum("dyu") * 1.0 / F.count("*") / 10000.0, 4
+            ).alias("mean_dy"),
+        )
+        .orderBy("cx", "cy")
+    )

@@ -1600,3 +1600,132 @@ def flow_vector_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cx", "cy")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ripley's K function at fixed radii (point-pattern clustering test)
+# ---------------------------------------------------------------------------
+
+_RK_RADII = (15000, 30000, 60000)
+_RK_CELL = 60000  # bucket cell == max radius: pair completeness guarantee
+_RK_EXTENT = 700000.0  # analysis window (area = extent²)
+
+_RK_SQL = f"""
+    WITH pts AS (SELECT event_id, ({_DC_PX}) AS px, ({_DC_PY}) AS py
+                 FROM events WHERE event_id % 7 = 0),
+    c AS (SELECT event_id, px, py,
+                 CAST(FLOOR(px / {_RK_CELL}.0e0) AS BIGINT) AS cx,
+                 CAST(FLOOR(py / {_RK_CELL}.0e0) AS BIGINT) AS cy
+          FROM pts),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM pts),
+    fan AS (SELECT event_id, px, py, cx + dx AS tx, cy + dy AS ty
+            FROM c,
+                 UNNEST(range(-1, 2)) AS u(dx),
+                 UNNEST(range(-1, 2)) AS v(dy)),
+    pairs AS (SELECT a.event_id AS ea,
+                     (a.px - b.px) * (a.px - b.px)
+                     + (a.py - b.py) * (a.py - b.py) AS d2
+              FROM fan a JOIN c b
+                ON a.tx = b.cx AND a.ty = b.cy
+               AND a.event_id < b.event_id),
+    r AS (SELECT CAST(rad AS BIGINT) AS radius
+          FROM UNNEST([{", ".join(str(r) for r in _RK_RADII)}]) AS t(rad)),
+    k AS (SELECT r.radius,
+                 CAST(SUM(CASE WHEN p.d2 <= r.radius * 1.0e0 * r.radius
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+          FROM r CROSS JOIN pairs p GROUP BY r.radius)
+    SELECT k.radius, k.n_pairs,
+           ROUND(2.0e0 * k.n_pairs * {_RK_EXTENT}e0 * {_RK_EXTENT}e0
+                 / (n.np * 1.0e0 * n.np), 4) AS k_r,
+           ROUND(PI() * k.radius * 1.0e0 * k.radius, 4) AS k_csr
+    FROM k CROSS JOIN n ORDER BY k.radius
+    """
+
+
+@q("ripley_k_function", oracle=_RK_SQL)
+def ripley_k_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K function at radii 15/30/60 km-equivalents over the
+    hotspot point mixture (1-in-7 sample): K(r) = area·2·pairs(r)/n²
+    against the CSR expectation πr² — K >> πr² certifies clustering at
+    that SCALE, the distance-resolved companion to
+    ``morans_i_autocorrelation``'s single global statistic (Moran says
+    "clustered"; Ripley says at WHICH radius the clustering lives).
+
+    Exact pair counting: bucket cell == max radius, so every pair within
+    any audited radius shares a cell or an adjacent cell (the
+    ``map_match_points`` 1-ring guarantee applied point-to-point), and
+    each unordered pair counts once via the id ordering.
+
+    Scale shape: points fan to their 9-cell ring (Generate, no raw
+    self-join); the pair join is cell-keyed; per-radius counting is one
+    conditional agg over pairs x 3 literal radii.
+    """
+    px = _DC_PX.replace("//", " div ")
+    py = _DC_PY.replace("//", " div ")
+    pts = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select(
+            "event_id",
+            F.expr(px).alias("px"),
+            F.expr(py).alias("py"),
+        )
+    )
+    c = pts.select(
+        "event_id",
+        "px",
+        "py",
+        F.floor(F.col("px") / _RK_CELL).cast("long").alias("cx"),
+        F.floor(F.col("py") / _RK_CELL).cast("long").alias("cy"),
+    )
+    np_ = pts.count()
+    fan = (
+        c.withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            F.col("event_id").alias("ea"),
+            F.col("px").alias("ax"),
+            F.col("py").alias("ay"),
+            (F.col("cx") + F.col("dx")).alias("tx"),
+            (F.col("cy") + F.col("dy")).alias("ty"),
+        )
+    )
+    pairs = fan.join(
+        c,
+        (F.col("tx") == F.col("cx"))
+        & (F.col("ty") == F.col("cy"))
+        & (F.col("ea") < F.col("event_id")),
+    ).select(
+        (
+            (F.col("ax") - F.col("px")) * (F.col("ax") - F.col("px"))
+            + (F.col("ay") - F.col("py")) * (F.col("ay") - F.col("py"))
+        ).alias("d2")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("d2") <= float(r) * float(r), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"n_{r}")
+        for r in _RK_RADII
+    ]
+    row = pairs.agg(*aggs)
+    out = None
+    import math
+
+    for r in _RK_RADII:
+        part = row.select(
+            F.lit(r).cast("long").alias("radius"),
+            F.col(f"n_{r}").alias("n_pairs"),
+            F.round(
+                2.0
+                * F.col(f"n_{r}")
+                * _RK_EXTENT
+                * _RK_EXTENT
+                / (float(np_) * float(np_)),
+                4,
+            ).alias("k_r"),
+            F.round(F.lit(math.pi) * r * 1.0 * r, 4).alias("k_csr"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("radius")

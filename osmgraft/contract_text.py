@@ -2843,3 +2843,79 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "stage long, method string, n_in long, n_removed long, n_out long",
     ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# canonical representative selection per near-dup cluster
+# ---------------------------------------------------------------------------
+
+_CANON_SQL = f"""
+    WITH RECURSIVE pr AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (SELECT doc_a AS s, doc_b AS t FROM pr
+              UNION SELECT doc_b, doc_a FROM pr),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT rr.id, e.t FROM reach rr JOIN edges e ON e.s = rr.r),
+    lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY id),
+    scored AS (SELECT l.cluster_id, l.doc_id, d.n_chars
+               FROM lab l JOIN documents d USING (doc_id)),
+    pick AS (SELECT cluster_id, doc_id, n_chars,
+                    ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                       ORDER BY n_chars DESC, doc_id)
+                      AS rn
+             FROM scored)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             AS canonical_doc,
+           CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+             AS canonical_chars,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_discarded
+    FROM pick GROUP BY cluster_id ORDER BY cluster_id
+    """
+
+
+@q("cluster_canonicals", oracle=_CANON_SQL)
+def cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: within each near-dup cluster
+    (the ``dedup_clusters`` components), keep the highest-quality member
+    — longest text, doc_id tiebreak — and count the discards: the final
+    decision of a dedup pipeline (clustering says WHAT is duplicated;
+    this says WHICH copy survives, and 'longest' is the standard
+    keep-the-superset heuristic rather than keep-first's arbitrary
+    winner).
+
+    Scale shape: labels from the audited CC propagation, one quality
+    join on the doc key, the argmax is a CLUSTER-KEYED window (clusters
+    are small by construction), one rollup.
+    """
+    from osmgraft.text.dedup import connected_components
+
+    pr = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lab = connected_components(pr)
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = lab.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    pick = scored.withColumn("rn", F.row_number().over(w))
+    return (
+        pick.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("canonical_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+            .cast("long")
+            .alias("canonical_chars"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_discarded"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -2919,3 +2919,127 @@ def cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# rank-biased overlap between two rankings
+# ---------------------------------------------------------------------------
+
+_RBO_P = 0.9
+_RBO_K = 20
+
+_RBO_SQL = f"""
+    WITH tfs AS (SELECT doc_id,
+                        CAST(len(list_filter(string_split(text, ' '),
+                                             w -> w = 'table'))
+                             AS BIGINT) AS s
+                 FROM documents),
+    ra AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+           FROM tfs QUALIFY r <= {_RBO_K}),
+    rb AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+           FROM documents QUALIFY r <= {_RBO_K}),
+    both_r AS (SELECT GREATEST(ra.r, rb.r) AS dmin
+               FROM ra JOIN rb USING (doc_id)),
+    depths AS (SELECT CAST(d AS BIGINT) AS d
+               FROM UNNEST(range(1, {_RBO_K} + 1)) AS t(d)),
+    ov AS (SELECT depths.d,
+                  CAST(COUNT(b.dmin) AS BIGINT) AS overlap
+           FROM depths LEFT JOIN both_r b ON b.dmin <= depths.d
+           GROUP BY depths.d),
+    terms AS (SELECT d, overlap,
+                     CAST(FLOOR(POWER({_RBO_P}e0, d - 1)
+                                * overlap * 1.0e0 / d
+                                * 1000000000.0e0 + 5.0e-1) AS BIGINT)
+                       AS tu
+              FROM ov)
+    SELECT CAST(SUM(CASE WHEN d = {_RBO_K} THEN overlap END) AS BIGINT)
+             AS overlap_at_k,
+           ROUND((1.0e0 - {_RBO_P}e0) * SUM(tu) / 1000000000.0e0, 6)
+             AS rbo_truncated
+    FROM terms
+    """
+
+
+@q("rank_biased_overlap", oracle=_RBO_SQL)
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the lexical and
+    length rankings that ``rrf_fusion`` fuses: RBO = (1-p)·Σ p^(d-1)·
+    overlap(d)/d over depths 1..20 with p = 0.9 — the top-weighted
+    ranking-similarity measure (Kendall tau weights all positions
+    equally; retrieval cares about the head). Low RBO justifies fusing;
+    RBO ~ 1 means the second ranker adds nothing.
+
+    Exactness: each item in both lists contributes to overlap(d) for
+    every d >= max(rank_a, rank_b) — integer counting via a bounded
+    depth spine; each weighted term snaps to nano-units before the sum
+    over 20 depth rows.
+
+    Scale shape: both rankings are TakeOrdered top-k pools; the overlap
+    join and depth spine are bounded by k. Nothing touches raw rows
+    twice.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tfs = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w == F.lit("table"))
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    ra = (
+        tfs.orderBy(F.col("s").desc(), "doc_id")
+        .limit(_RBO_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("s").desc(), "doc_id"))
+            .alias("ra_r"),
+        )
+    )
+    rb = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(_RBO_K)
+        .select(
+            F.col("doc_id").alias("b_doc"),
+            F.row_number()
+            .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+            .alias("rb_r"),
+        )
+    )
+    both = ra.join(rb, ra.doc_id == rb.b_doc).select(
+        F.greatest("ra_r", "rb_r").alias("dmin")
+    )
+    depths = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
+    ov = (
+        depths.join(
+            F.broadcast(both), F.col("dmin") <= F.col("d"), "left"
+        )
+        .groupBy("d")
+        .agg(F.count("dmin").cast("long").alias("overlap"))
+    )
+    terms = ov.select(
+        "d",
+        "overlap",
+        F.floor(
+            F.pow(F.lit(_RBO_P), F.col("d") - 1)
+            * F.col("overlap")
+            * 1.0
+            / F.col("d")
+            * 1000000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("tu"),
+    )
+    return terms.agg(
+        F.sum(F.when(F.col("d") == _RBO_K, F.col("overlap")))
+        .cast("long")
+        .alias("overlap_at_k"),
+        F.round(
+            (1.0 - _RBO_P) * F.sum("tu") / 1000000000.0, 6
+        ).alias("rbo_truncated"),
+    )

@@ -5246,3 +5246,73 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_vs_benford"
         ),
     ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# Hill estimator of the value distribution's tail index
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100
+
+_HILL_SQL = f"""
+    WITH topk AS (SELECT value FROM events
+                  WHERE value > 0.0e0
+                  ORDER BY value DESC, event_id LIMIT {_HILL_K + 1}),
+    g AS (SELECT list_sort(array_agg(value), 'DESC') AS xs FROM topk),
+    h AS (SELECT len(xs) AS m,
+                 list_reduce(list_prepend(0.0e0,
+                   list_transform(range(1, {_HILL_K} + 1), i ->
+                     ROUND(LN(xs[i] / xs[{_HILL_K + 1}]), 10))),
+                   (a, b) -> a + b) / {_HILL_K}.0e0 AS hill
+          FROM g)
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           ROUND(hill, 6) AS hill_estimate,
+           ROUND(1.0e0 / hill, 4) AS tail_alpha
+    FROM h
+    """
+
+
+@q("hill_tail_index", oracle=_HILL_SQL)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the value tail index over the top-100 order
+    statistics (H = mean ln(x_(i)/x_(k+1)); tail exponent α = 1/H) — the
+    heavy-tail detector that decides whether a metric HAS a finite
+    variance before anyone trusts a z-score on it (``daily_anomalies``
+    and ``mahalanobis_outliers`` assume it; ``zipf_vocab_fit`` measures
+    the analogous exponent for frequencies).
+
+    Determinism: the top-(k+1) sample is TakeOrdered with an id
+    tiebreak; log ratios are computed in-row over the descending-sorted
+    array, snapped to 10 dp, and left-folded — no cross-row float sums.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("value") > 0.0)
+    topk = (
+        ev.select("value", "event_id")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(_HILL_K + 1)
+    )
+    g = topk.agg(
+        F.reverse(F.sort_array(F.collect_list("value"))).alias("xs")
+    )
+    hill = (
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_HILL_K)),
+                lambda i: F.round(
+                    F.log(
+                        F.element_at(F.col("xs"), i)
+                        / F.element_at(F.col("xs"), _HILL_K + 1)
+                    ),
+                    10,
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        / float(_HILL_K)
+    )
+    return g.select(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        F.round(hill, 6).alias("hill_estimate"),
+        F.round(1.0 / hill, 4).alias("tail_alpha"),
+    )

@@ -3107,3 +3107,94 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (OOV rate vs vocab budget)
+# ---------------------------------------------------------------------------
+
+_VCC_SIZES = (5, 10, 20, 30)
+
+_VCC_SQL = f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY w),
+    r AS (SELECT w, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rk
+          FROM wc),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                   CAST(COUNT(*) AS BIGINT) AS vocab FROM wc),
+    sizes AS (SELECT CAST(s AS BIGINT) AS vocab_size
+              FROM UNNEST([{", ".join(str(s) for s in _VCC_SIZES)}])
+                AS t(s)),
+    cov AS (SELECT sizes.vocab_size,
+                   CAST(SUM(CASE WHEN r.rk <= sizes.vocab_size
+                                 THEN r.n ELSE 0 END) AS BIGINT)
+                     AS covered
+            FROM sizes CROSS JOIN r GROUP BY sizes.vocab_size)
+    SELECT c.vocab_size, tot.vocab AS full_vocab, c.covered, tot.tn,
+           ROUND(c.covered * 1.0e0 / tot.tn, 6) AS coverage,
+           ROUND(1.0e0 - c.covered * 1.0e0 / tot.tn, 6) AS oov_rate
+    FROM cov c CROSS JOIN tot ORDER BY c.vocab_size
+    """
+
+
+@q("vocab_coverage_curve", oracle=_VCC_SQL)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of corpus tokens covered
+    by the top-N most frequent words for budgets N = 5/10/20/30 — the
+    OOV-rate-vs-vocab-size trade-off a tokenizer design reads before
+    ``bpe_train_merges`` decides how many merges to learn (every token
+    outside the budget falls back to subword/UNK handling).
+
+    Scale shape: one explode + word-keyed partial agg; the rank window
+    and budget cross join run over VOCABULARY rows. Integer counts, one
+    division per output row.
+    """
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    wc = toks.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    r = wc.select(
+        "w",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "w"))
+        .alias("rk"),
+    )
+    tot = wc.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    sizes = spark.createDataFrame(
+        [(s,) for s in _VCC_SIZES], "vocab_size long"
+    )
+    cov = (
+        F.broadcast(sizes)
+        .crossJoin(r)
+        .groupBy("vocab_size")
+        .agg(
+            F.sum(
+                F.when(F.col("rk") <= F.col("vocab_size"), F.col("n"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("covered")
+        )
+    )
+    return (
+        cov.crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_size",
+            F.col("vocab").alias("full_vocab"),
+            "covered",
+            "tn",
+            F.round(F.col("covered") * 1.0 / F.col("tn"), 6).alias(
+                "coverage"
+            ),
+            F.round(
+                1.0 - F.col("covered") * 1.0 / F.col("tn"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("vocab_size")
+    )

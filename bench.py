@@ -74,6 +74,10 @@ HEADLINE = [
     "dup_span_stats",          # exact duplicated-substring span dedup
     "interval_union_coverage", # merged intervals + sweep-line depth
     "skyline_pareto_front",    # bucketed two-phase Pareto front
+    "dense_cell_clusters",     # hotspot extraction (grid CC)
+    "quadtree_leaves",         # adaptive tiling from one base-grid agg
+    "bpe_train_merges",        # tokenizer training (5 merge rounds)
+    "tfidf_cosine_pairs",      # weighted sparse-vector similarity join
 ]
 
 # default sized so compute dominates fixed per-job overhead (wall-clock is

@@ -715,3 +715,48 @@ def test_morans_i_neighbor_join_is_cell_bounded(spark):
     plan = plan_of(df)
     assert "hashpartitioning(cx" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ripley_pairs_join_is_cell_keyed(spark):
+    """Ripley's K: the pair join is an equi-join on ring cells — raw
+    points never cross-join."""
+    import osmgraft.contract_cells  # noqa: F401
+
+    df = QUERIES["ripley_k_function"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cluster_canonicals_argmax_is_cluster_keyed(spark):
+    """Canonical selection: the keep-longest argmax window is
+    PARTITIONED by cluster_id, never global."""
+    import osmgraft.contract_text  # noqa: F401
+
+    df = QUERIES["cluster_canonicals"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "hashpartitioning(cluster_id" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_selectivity_audit_single_histogram_pass(spark):
+    """Selectivity audit: the histogram build is one bucket-keyed
+    partial agg; no join touches raw rows more than the two stats
+    scans."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["selectivity_estimate_audit"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "hashpartitioning(bucket" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partition_skew_audit_is_one_agg(spark):
+    """Skew audit: one (keying, part) partial agg over the doubled rows;
+    no window, no join."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["partition_skew_audit"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

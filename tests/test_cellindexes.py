@@ -549,3 +549,126 @@ def test_geohash_encode_matches_python(spark):
         assert abs(s - 1.0) < 1e-3, p
     for p, blocks in parents.items():
         assert len(blocks) == 1, p
+
+
+class TestPointPatternOps:
+    """Brute-force cross-checks for the session-8 point-pattern surface:
+    DBSCAN, KDE heatmap, NN/Clark-Evans."""
+
+    @staticmethod
+    def _points(spark, mod):
+        from osmgraft.contract_cells import _DC_PX, _DC_PY
+        from osmgraft.contract import t
+
+        px = _DC_PX.replace("//", " div ")
+        py = _DC_PY.replace("//", " div ")
+        from pyspark.sql import functions as F
+
+        return (
+            t(spark, "/root/testdata/sf0.001", "events")
+            .filter(F.col("event_id") % mod == 0)
+            .selectExpr("event_id", f"({px}) AS px", f"({py}) AS py")
+            .toPandas()
+        )
+
+    def test_dbscan_matches_bruteforce(self, spark, monkeypatch):
+        """Cell-bucketed DBSCAN == classic O(n²) DBSCAN on sf0.001."""
+        import numpy as np
+
+        import osmgraft.contract_cells as cc
+
+        pts = self._points(spark, cc._DB_MOD)
+        xy = pts[["px", "py"]].to_numpy()
+        ids = pts["event_id"].to_numpy()
+        n = len(xy)
+        assert n > 20
+        d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+        eps2 = float(cc._DB_EPS) ** 2
+        nbr = (d2 <= eps2) & ~np.eye(n, dtype=bool)
+        core = nbr.sum(1) + 1 >= cc._DB_MINPTS
+        # min-label CC over core-core eps edges
+        lab = {int(ids[i]): int(ids[i]) for i in range(n) if core[i]}
+        changed = True
+        while changed:
+            changed = False
+            for i in range(n):
+                if not core[i]:
+                    continue
+                for j in range(n):
+                    if core[j] and nbr[i, j]:
+                        m = min(lab[int(ids[i])], lab[int(ids[j])])
+                        if lab[int(ids[i])] != m or lab[int(ids[j])] != m:
+                            lab[int(ids[i])] = lab[int(ids[j])] = m
+                            changed = True
+        border = {}
+        for i in range(n):
+            if core[i]:
+                continue
+            cands = [lab[int(ids[j])] for j in range(n)
+                     if core[j] and nbr[i, j]]
+            if cands:
+                border[int(ids[i])] = min(cands)
+        from collections import Counter
+
+        exp_core = Counter(lab.values())
+        exp_border = Counter(border.values())
+        n_noise = n - len(lab) - len(border)
+
+        out = cc.dbscan_point_clusters(
+            spark, "/root/testdata/sf0.001"
+        ).toPandas().set_index("cluster_id")
+        for cid, ncore in exp_core.items():
+            assert out.loc[cid, "n_core"] == ncore
+            assert out.loc[cid, "n_border"] == exp_border.get(cid, 0)
+        assert out.loc[-1, "n_pts"] == n_noise
+        assert len(out) == len(exp_core) + 1
+
+    def test_kde_matches_bruteforce(self, spark):
+        """Top-k grid KDE == direct kernel sums over all points."""
+        import numpy as np
+
+        import osmgraft.contract_cells as cc
+
+        pts = self._points(spark, 1)
+        xy = pts[["px", "py"]].to_numpy()
+        h = float(cc._KDE_H)
+        out = cc.kde_heatmap(spark, "/root/testdata/sf0.001").toPandas()
+        assert len(out) == cc._KDE_TOPK
+        # recompute each reported cell's density exactly
+        for _, row in out.iterrows():
+            ctr = np.array(
+                [(row.gx + 0.5) * h, (row.gy + 0.5) * h]
+            )
+            d2 = ((xy - ctr) ** 2).sum(1)
+            m = d2 < h * h
+            wu = np.floor((1.0 - d2[m] / (h * h)) * 1e6 + 0.5).astype(
+                np.int64
+            )
+            assert int(row.n_contrib) == int(m.sum())
+            assert abs(row.density - wu.sum() / 1e6) < 1e-3
+        # densities are non-increasing (top-k order)
+        dens = out.density.to_numpy()
+        assert (np.diff(dens) <= 1e-9).all()
+
+    def test_nn_profile_matches_bruteforce(self, spark):
+        """1-ring-bounded NN mean == brute-force within the radius bound,
+        censoring accounted exactly."""
+        import numpy as np
+
+        import osmgraft.contract_cells as cc
+
+        pts = self._points(spark, cc._NN_MOD)
+        xy = pts[["px", "py"]].to_numpy()
+        n = len(xy)
+        d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        nn = np.sqrt(d2.min(1))
+        w = float(cc._NN_CELL)
+        obs = nn[nn <= w]
+        du = np.floor(obs * 10000.0 + 0.5).astype(np.int64)
+        out = cc.nn_distance_profile(
+            spark, "/root/testdata/sf0.001"
+        ).toPandas().iloc[0]
+        assert int(out.n_pts) == n
+        assert int(out.n_censored) == int((nn > w).sum())
+        assert abs(out.mean_nn - du.sum() / 1e4 / len(du)) < 1e-3

@@ -104,6 +104,8 @@ _SESSION3_NEW = (
     "acf_daily_lags", "zorder_prune_audit", "calibration_bins", "target_encoding_loo", "k_anonymity_audit", "merge_upsert_apply", "graph_reciprocity", "dense_cell_clusters", "quadtree_leaves", "tfidf_cosine_pairs", "stored_query_match", "time_travel_file_state", "symspell_typo_pairs", "stream_disorder_kendall", "cell_compact", "source_diversity_index", "idw_grid_interpolation", "embedding_top_component", "conformal_interval_audit", "kaplan_meier_retention", "mutual_information_profile", "basket_pair_lift", "track_turning_stats", "od_flow_matrix", "dedup_eval_pr", "rake_keyphrases", "host_h_index", "morans_i_autocorrelation", "value_gini_by_type", "burst_episodes", "forecast_backtest_snaive", "bpe_train_merges", "bpe_encode_stats", "neyman_allocation", "lsh_tuning_curve", "abtest_conversion_z", "trigram_like_search", "cluster_modularity", "merkle_partition_tree", "trending_terms", "dedup_funnel_report", "geometric_median_tracks", "mahalanobis_outliers", "did_estimate", "theil_sen_daily_trend", "transition_entropy", "benford_audit", "selectivity_estimate_audit", "partition_skew_audit", "merge_conflict_audit", "join_cardinality_audit", "flow_vector_field", "ripley_k_function", "cluster_canonicals", "rank_biased_overlap", "hill_tail_index", "vocab_coverage_curve",
     # session-8 additions (same queue discipline)
     "dbscan_point_clusters", "kde_heatmap", "nn_distance_profile",
+    "roc_auc_eval", "poisson_bootstrap_ci", "ols_multifeature",
+    "subtree_rollup", "ivm_agg_delta",
 )
 
 

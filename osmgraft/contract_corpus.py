@@ -3198,3 +3198,580 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact ROC AUC via rank statistics (two-phase cumulative counting)
+# ---------------------------------------------------------------------------
+
+_AUC_BUCKET_W = 20.0  # range-bucket width over the value domain
+
+_AUC_SQL = """
+    WITH g AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_neg
+      FROM events GROUP BY value),
+    c AS (
+      SELECT n_pos, n_neg,
+             SUM(n_neg) OVER (ORDER BY value
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS cum_neg
+      FROM g),
+    s AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS np,
+             CAST(SUM(n_neg) AS BIGINT) AS nn,
+             CAST(SUM(n_pos * (2 * COALESCE(cum_neg, 0) + n_neg))
+                  AS BIGINT) AS u2
+      FROM c)
+    SELECT np AS n_pos, nn AS n_neg,
+           ROUND(u2 / (2.0e0 * np * nn), 6) AS auc
+    FROM s
+    """
+
+
+@q("roc_auc_eval", oracle=_AUC_SQL)
+def roc_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of `value` as a classifier score for the purchase
+    label, via the Mann-Whitney U rank identity with midrank tie
+    handling: AUC = (#(pos>neg pairs) + ½·#(tied pairs)) / (npos·nneg) —
+    the threshold-free companion to ``calibration_bins`` (which audits
+    probability calibration; AUC audits discrimination).
+
+    Everything is integer until the final division: per-distinct-value
+    (n_pos, n_neg) counts, then the doubled statistic
+    u2 = Σ n_pos·(2·cum_neg_below + n_neg_same), so there is no float
+    accumulation anywhere and both engines agree bit-for-bit.
+
+    Scale shape (Spark side): cumulative negative counts are TWO-PHASE —
+    range buckets (constant width over the bounded score domain) give
+    per-bucket offsets via a bucket-level window over the ~30-row bucket
+    relation, and the in-bucket cumulative window partitions BY bucket —
+    no single-partition window ever sees the distinct-value relation
+    (the ``value_deciles`` discipline). The oracle uses the plain global
+    window form: two algorithms, one answer.
+    """
+    g = (
+        t(spark, sf_dir, "events")
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("event_type") == "purchase", 0).otherwise(1))
+            .cast("long")
+            .alias("n_neg"),
+        )
+        .withColumn(
+            "b", F.floor(F.col("value") / _AUC_BUCKET_W).cast("long")
+        )
+    )
+    btot = g.groupBy("b").agg(F.sum("n_neg").alias("bneg"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "b", F.coalesce(F.sum("bneg").over(wb), F.lit(0)).alias("neg_off")
+    )
+    wv = (
+        Window.partitionBy("b")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        g.join(F.broadcast(boff), "b")
+        .withColumn(
+            "cum_neg",
+            F.col("neg_off")
+            + F.coalesce(F.sum("n_neg").over(wv), F.lit(0)),
+        )
+    )
+    s = c.agg(
+        F.sum("n_pos").cast("long").alias("np"),
+        F.sum("n_neg").cast("long").alias("nn"),
+        F.sum(
+            F.col("n_pos") * (2 * F.col("cum_neg") + F.col("n_neg"))
+        )
+        .cast("long")
+        .alias("u2"),
+    )
+    return s.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(F.col("u2") / (2.0 * F.col("np") * F.col("nn")), 6).alias(
+            "auc"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (the 100-TB resampling shape)
+# ---------------------------------------------------------------------------
+
+_PB_B = 16  # bootstrap replicates
+_PB_A = 2654435761  # Knuth multiplicative hash (same family as _WS_HASH)
+_PB_P = 1000003
+# Poisson(1) inverse-CDF ladder (cumulative probabilities, full precision)
+_PB_CDF = (
+    "0.36787944117144233e0",
+    "0.7357588823428846e0",
+    "0.9196986029286058e0",
+    "0.9810118431238462e0",
+    "0.9963401531726563e0",
+)
+
+_PB_W_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_PB_CDF)
+    )
+    + " ELSE 5 END"
+)
+
+_PB_SQL = f"""
+    WITH fan AS (
+      SELECT r,
+             CAST(FLOOR(value * 10000.0e0 + 0.5e0) AS BIGINT) AS vu,
+             ((event_id * {_PB_B} + r) * {_PB_A}) % {_PB_P}
+               / {_PB_P}.0e0 AS u
+      FROM events, UNNEST(range(0, {_PB_B})) AS t(r)),
+    w AS (SELECT r, vu, {_PB_W_SQL} AS w FROM fan),
+    rep AS (
+      SELECT r,
+             CAST(SUM(w) AS BIGINT) AS n_eff,
+             CAST(FLOOR(SUM(w * vu) * 1.0e0 / SUM(w) + 0.5e0) AS BIGINT)
+               AS mu
+      FROM w GROUP BY r),
+    boot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS b,
+             CAST(SUM(mu) AS BIGINT) AS s1,
+             CAST(SUM(mu * mu) AS BIGINT) AS s2,
+             CAST(MIN(n_eff) AS BIGINT) AS min_n_eff,
+             CAST(MAX(n_eff) AS BIGINT) AS max_n_eff
+      FROM rep),
+    pt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(FLOOR(SUM(CAST(FLOOR(value * 10000.0e0 + 0.5e0)
+                                 AS BIGINT)) * 1.0e0 / COUNT(*) + 0.5e0)
+                  AS BIGINT) AS pmu
+      FROM events)
+    SELECT pt.n_rows,
+           boot.min_n_eff, boot.max_n_eff,
+           ROUND(pt.pmu / 10000.0e0, 6) AS point_mean,
+           ROUND(SQRT((boot.b * boot.s2 - boot.s1 * boot.s1)
+                      / (boot.b * 1.0e0 * (boot.b - 1)))
+                 / 10000.0e0, 6) AS boot_se,
+           ROUND(pt.pmu / 10000.0e0
+                 - 1.96e0 * SQRT((boot.b * boot.s2 - boot.s1 * boot.s1)
+                                 / (boot.b * 1.0e0 * (boot.b - 1)))
+                   / 10000.0e0, 6) AS ci_lo,
+           ROUND(pt.pmu / 10000.0e0
+                 + 1.96e0 * SQRT((boot.b * boot.s2 - boot.s1 * boot.s1)
+                                 / (boot.b * 1.0e0 * (boot.b - 1)))
+                   / 10000.0e0, 6) AS ci_hi
+    FROM boot CROSS JOIN pt
+    """
+
+
+@q("poisson_bootstrap_ci", oracle=_PB_SQL)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson(1) bootstrap CI for the mean event value — the resampling
+    form that actually works at 10^12 rows: instead of drawing n indices
+    per replicate (which requires a global index and a shuffle per
+    replicate), every row independently receives a Poisson(1) weight per
+    replicate from a deterministic multiplicative-hash uniform (the
+    ``weighted_sample_topk`` hash family) pushed through the Poisson
+    inverse-CDF ladder. One Generate (x16 replicates), one 16-key
+    partial agg, one single-row reduction — scan-shaped, no shuffle of
+    the data itself.
+
+    Exactness: values snap to 1e-4 units before any sum; replicate means
+    snap to integer micro-units; the across-replicate variance comes
+    from exact integer power sums (the ``daily_anomalies`` discipline),
+    so both engines agree bit-for-bit through the final SQRT/ROUND.
+    """
+    ev = t(spark, sf_dir, "events")
+    fan = (
+        ev.withColumn(
+            "r", F.explode(F.sequence(F.lit(0), F.lit(_PB_B - 1)))
+        )
+        .select(
+            "r",
+            F.floor(F.col("value") * 10000.0 + 0.5)
+            .cast("long")
+            .alias("vu"),
+            (
+                ((F.col("event_id") * _PB_B + F.col("r")) * _PB_A)
+                % _PB_P
+                / float(_PB_P)
+            ).alias("u"),
+        )
+    )
+    w = fan.select("r", "vu", F.expr(_PB_W_SQL).alias("w"))
+    rep = w.groupBy("r").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        F.floor(
+            F.sum(F.col("w") * F.col("vu")) * 1.0 / F.sum("w") + 0.5
+        )
+        .cast("long")
+        .alias("mu"),
+    )
+    boot = rep.agg(
+        F.count("*").cast("long").alias("b"),
+        F.sum("mu").cast("long").alias("s1"),
+        F.sum(F.col("mu") * F.col("mu")).cast("long").alias("s2"),
+        F.min("n_eff").cast("long").alias("min_n_eff"),
+        F.max("n_eff").cast("long").alias("max_n_eff"),
+    )
+    pt = ev.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 10000.0 + 0.5).cast("long")
+            )
+            * 1.0
+            / F.count("*")
+            + 0.5
+        )
+        .cast("long")
+        .alias("pmu"),
+    )
+    se = F.sqrt(
+        (F.col("b") * F.col("s2") - F.col("s1") * F.col("s1"))
+        / (F.col("b") * 1.0 * (F.col("b") - 1))
+    ) / 10000.0
+    pm = F.col("pmu") / 10000.0
+    return boot.crossJoin(F.broadcast(pt)).select(
+        "n_rows",
+        "min_n_eff",
+        "max_n_eff",
+        F.round(pm, 6).alias("point_mean"),
+        F.round(se, 6).alias("boot_se"),
+        F.round(pm - 1.96 * se, 6).alias("ci_lo"),
+        F.round(pm + 1.96 * se, 6).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multivariate OLS via normal equations from exact integer power sums
+# ---------------------------------------------------------------------------
+
+_OLS_SQL = """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(event_id % 24) AS BIGINT) AS sx1,
+             CAST(SUM(user_id % 7) AS BIGINT) AS sx2,
+             CAST(SUM((event_id % 24) * (event_id % 24)) AS BIGINT) AS sx11,
+             CAST(SUM((user_id % 7) * (user_id % 7)) AS BIGINT) AS sx22,
+             CAST(SUM((event_id % 24) * (user_id % 7)) AS BIGINT) AS sx12,
+             CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS sy,
+             CAST(SUM((event_id % 24)
+                      * CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS sx1y,
+             CAST(SUM((user_id % 7)
+                      * CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS sx2y,
+             CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT)
+                      * CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS syy
+      FROM events),
+    d AS (
+      SELECT n, sy, syy, sx1y, sx2y, sx1, sx2,
+             n * sx11 - sx1 * sx1 AS a11,
+             n * sx12 - sx1 * sx2 AS a12,
+             n * sx22 - sx2 * sx2 AS a22,
+             n * sx1y - sx1 * sy AS b1,
+             n * sx2y - sx2 * sy AS b2,
+             n * syy - sy * sy AS syy_c
+      FROM m),
+    b AS (
+      SELECT n, sy, sx1, sx2, syy_c, b1, b2,
+             (b1 * 1.0e0 * a22 - b2 * 1.0e0 * a12)
+               / (a11 * 1.0e0 * a22 - a12 * 1.0e0 * a12) AS beta1,
+             (b2 * 1.0e0 * a11 - b1 * 1.0e0 * a12)
+               / (a11 * 1.0e0 * a22 - a12 * 1.0e0 * a12) AS beta2
+      FROM d)
+    SELECT n,
+           ROUND((sy - beta1 * sx1 - beta2 * sx2) / (n * 100.0e0), 6)
+             AS beta0,
+           ROUND(beta1 / 100.0e0, 6) AS beta1,
+           ROUND(beta2 / 100.0e0, 6) AS beta2,
+           ROUND((beta1 * b1 + beta2 * b2) / (syy_c * 1.0e0), 6) AS r2
+    FROM b
+    """
+
+
+@q("ols_multifeature", oracle=_OLS_SQL)
+def ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (value ~ hour-of-cycle + user-class + intercept)
+    solved in closed form from the 3x3 normal equations — the
+    multivariate extension of ``theil_sen_daily_trend``'s single-slope
+    fit and the regression companion to ``metric_correlation_matrix``.
+
+    Everything aggregated is INTEGER (features are small residues; the
+    response snaps to 1e-2 units, keeping Σy² under 2^63 at any test
+    SF), so the one full-scan reduction is order-free and both engines
+    derive betas/R² from bit-identical sums; the Cramer solve + R² =
+    explained/total centered sums then run in IEEE doubles on one row.
+
+    Scale shape: ONE scan, ONE single-row partial agg — no shuffle of
+    data rows at all. The normal-equation matrix is fixed-size (p=3);
+    this is exactly how a 10^12-row regression should be computed
+    (map-side moment accumulation), not via per-row gradient steps.
+    """
+    yu = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    x1 = F.col("event_id") % 24
+    x2 = F.col("user_id") % 7
+    m = t(spark, sf_dir, "events").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x1).cast("long").alias("sx1"),
+        F.sum(x2).cast("long").alias("sx2"),
+        F.sum(x1 * x1).cast("long").alias("sx11"),
+        F.sum(x2 * x2).cast("long").alias("sx22"),
+        F.sum(x1 * x2).cast("long").alias("sx12"),
+        F.sum(yu).cast("long").alias("sy"),
+        F.sum(x1 * yu).cast("long").alias("sx1y"),
+        F.sum(x2 * yu).cast("long").alias("sx2y"),
+        F.sum(yu * yu).cast("long").alias("syy"),
+    )
+    d = m.select(
+        "*",
+        (F.col("n") * F.col("sx11") - F.col("sx1") * F.col("sx1")).alias(
+            "a11"
+        ),
+        (F.col("n") * F.col("sx12") - F.col("sx1") * F.col("sx2")).alias(
+            "a12"
+        ),
+        (F.col("n") * F.col("sx22") - F.col("sx2") * F.col("sx2")).alias(
+            "a22"
+        ),
+        (F.col("n") * F.col("sx1y") - F.col("sx1") * F.col("sy")).alias(
+            "b1"
+        ),
+        (F.col("n") * F.col("sx2y") - F.col("sx2") * F.col("sy")).alias(
+            "b2"
+        ),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "syy_c"
+        ),
+    )
+    det = (
+        F.col("a11") * 1.0 * F.col("a22")
+        - F.col("a12") * 1.0 * F.col("a12")
+    )
+    beta1 = (
+        F.col("b1") * 1.0 * F.col("a22") - F.col("b2") * 1.0 * F.col("a12")
+    ) / det
+    beta2 = (
+        F.col("b2") * 1.0 * F.col("a11") - F.col("b1") * 1.0 * F.col("a12")
+    ) / det
+    b = d.select("n", "sy", "sx1", "sx2", "syy_c", "b1", "b2",
+                 beta1.alias("beta1x"), beta2.alias("beta2x"))
+    return b.select(
+        "n",
+        F.round(
+            (
+                F.col("sy")
+                - F.col("beta1x") * F.col("sx1")
+                - F.col("beta2x") * F.col("sx2")
+            )
+            / (F.col("n") * 100.0),
+            6,
+        ).alias("beta0"),
+        F.round(F.col("beta1x") / 100.0, 6).alias("beta1"),
+        F.round(F.col("beta2x") / 100.0, 6).alias("beta2"),
+        F.round(
+            (F.col("beta1x") * F.col("b1") + F.col("beta2x") * F.col("b2"))
+            / (F.col("syy_c") * 1.0),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hierarchy subtree rollup via closed-form ancestor enumeration
+# ---------------------------------------------------------------------------
+
+_TREE_MAX_DEPTH = 21  # covers node ids < 2^21 (heap-ordered binary tree)
+_TREE_TOP = 63  # report the top 6 levels (ancestors 1..63)
+
+_TREE_SQL = f"""
+    WITH nodes AS (
+      SELECT p_partkey + 1 AS node,
+             CAST(FLOOR(p_retailprice * 100.0e0 + 0.5e0) AS BIGINT) AS vu
+      FROM part),
+    fan AS (
+      SELECT CAST(FLOOR(node / POWER(2.0e0, k)) AS BIGINT) AS ancestor, vu
+      FROM nodes, UNNEST(range(0, {_TREE_MAX_DEPTH})) AS t(k)
+      WHERE FLOOR(node / POWER(2.0e0, k)) >= 1)
+    SELECT ancestor,
+           CAST(COUNT(*) AS BIGINT) AS n_desc,
+           ROUND(SUM(vu) / 100.0e0, 2) AS subtree_value
+    FROM fan
+    WHERE ancestor <= {_TREE_TOP}
+    GROUP BY ancestor ORDER BY ancestor
+    """
+
+
+@q("subtree_rollup", oracle=_TREE_SQL)
+def subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy subtree aggregation (category-tree rollup): every part
+    is a node of a heap-ordered binary tree (parent = node div 2), and
+    each of the top 6 levels reports its full subtree's descendant count
+    and value mass — the classic recursive-hierarchy OLAP query
+    (org-chart rollups, taxonomy rollups) WITHOUT recursion.
+
+    The trick: in heap ordering the ancestor set of node n is exactly
+    {{n div 2^k : k >= 0, result >= 1}} — a CLOSED FORM — so the rollup
+    is one Generate (depth-bounded explode, <= 21 ancestors/node) + one
+    partial-agg shuffle on the ancestor key. No iterative join, no
+    recursive CTE, no driver loop; at 10^12 rows this is a scan. (2^k
+    stays exact in doubles through k=21, both engines; values snap to
+    1e-2 before summing.)
+
+    The oracle runs the IDENTICAL closed form — correctness rests on the
+    pytest that cross-checks a recursive Python tree walk at sf0.001.
+    """
+    nodes = t(spark, sf_dir, "part").select(
+        (F.col("p_partkey") + 1).alias("node"),
+        F.floor(F.col("p_retailprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("vu"),
+    )
+    fan = (
+        nodes.withColumn(
+            "k",
+            F.explode(F.sequence(F.lit(0), F.lit(_TREE_MAX_DEPTH - 1))),
+        )
+        .select(
+            F.floor(F.col("node") / F.pow(F.lit(2.0), F.col("k")))
+            .cast("long")
+            .alias("ancestor"),
+            "vu",
+        )
+        .filter(F.col("ancestor") >= 1)
+    )
+    return (
+        fan.filter(F.col("ancestor") <= _TREE_TOP)
+        .groupBy("ancestor")
+        .agg(
+            F.count("*").cast("long").alias("n_desc"),
+            F.round(F.sum("vu") / 100.0, 2).alias("subtree_value"),
+        )
+        .orderBy("ancestor")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance: base agg + delta merge == full recompute
+# ---------------------------------------------------------------------------
+
+_IVM_SQL = """
+    WITH base AS (SELECT * FROM events WHERE event_id % 10 <> 0),
+    ins AS (SELECT * FROM events WHERE event_id % 10 = 0),
+    del AS (SELECT * FROM base WHERE event_id % 7 = 0),
+    view_base AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 10000.0e0 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS vsum
+      FROM base GROUP BY event_type),
+    delta AS (
+      SELECT event_type, CAST(SUM(s) AS BIGINT) AS dn,
+             CAST(SUM(s * CAST(FLOOR(value * 10000.0e0 + 0.5e0)
+                               AS BIGINT)) AS BIGINT) AS dvsum
+      FROM (SELECT event_type, value, 1 AS s FROM ins
+            UNION ALL
+            SELECT event_type, value, -1 AS s FROM del) z
+      GROUP BY event_type),
+    maintained AS (
+      SELECT COALESCE(v.event_type, d.event_type) AS event_type,
+             COALESCE(v.n, 0) + COALESCE(d.dn, 0) AS n,
+             COALESCE(v.vsum, 0) + COALESCE(d.dvsum, 0) AS vsum
+      FROM view_base v FULL OUTER JOIN delta d USING (event_type)),
+    final_state AS (
+      SELECT * FROM base WHERE event_id % 7 <> 0
+      UNION ALL SELECT * FROM ins),
+    recomputed AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 10000.0e0 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS vsum
+      FROM final_state GROUP BY event_type)
+    SELECT m.event_type,
+           m.n AS n_rows,
+           ROUND(m.vsum / 10000.0e0, 4) AS total_value,
+           CAST(m.n = r.n AND m.vsum = r.vsum AS BOOLEAN) AS consistent
+    FROM maintained m JOIN recomputed r USING (event_type)
+    ORDER BY m.event_type
+    """
+
+
+@q("ivm_agg_delta", oracle=_IVM_SQL)
+def ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a grouped count/sum view: the
+    materialized base aggregate absorbs an insert+delete delta batch as
+    (+1/-1)-signed partial aggregates merged by full-outer join — the
+    lakehouse pattern that keeps a 10^12-row rollup fresh without
+    rescanning (the aggregate complement of ``merge_upsert_apply``'s
+    row-level MERGE and ``snapshot_diff``'s CDC classification).
+
+    The query maintains AND recomputes, emitting a per-group
+    `consistent` flag — the self-auditing form (every flag must be true;
+    the pytest asserts it, and the oracle recomputes both paths).
+
+    Scale shape: the base view is aggregated ONCE (in production it is
+    already materialized); the delta batch — orders of magnitude smaller
+    — is the only new scan; the merge joins two post-agg relations on
+    the group key. Values snap to 1e-4 integer units so base+delta
+    arithmetic is exact (float sums would drift from the recompute).
+    """
+    ev = t(spark, sf_dir, "events")
+    vu = F.floor(F.col("value") * 10000.0 + 0.5).cast("long")
+    base = ev.filter(F.col("event_id") % 10 != 0)
+    ins = ev.filter(F.col("event_id") % 10 == 0)
+    dele = base.filter(F.col("event_id") % 7 == 0)
+    view_base = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(vu).cast("long").alias("vsum"),
+    )
+    signed = ins.select(
+        "event_type", vu.alias("vu"), F.lit(1).alias("s")
+    ).unionAll(
+        dele.select("event_type", vu.alias("vu"), F.lit(-1).alias("s"))
+    )
+    delta = signed.groupBy("event_type").agg(
+        F.sum("s").cast("long").alias("dn"),
+        F.sum(F.col("s") * F.col("vu")).cast("long").alias("dvsum"),
+    )
+    maintained = (
+        view_base.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("vsum"), F.lit(0))
+                + F.coalesce(F.col("dvsum"), F.lit(0))
+            ).alias("vsum"),
+        )
+    )
+    final_state = base.filter(F.col("event_id") % 7 != 0).unionAll(ins)
+    recomputed = final_state.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("rn"),
+        F.sum(vu).cast("long").alias("rvsum"),
+    )
+    return (
+        maintained.join(recomputed, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_rows"),
+            F.round(F.col("vsum") / 10000.0, 4).alias("total_value"),
+            (
+                (F.col("n") == F.col("rn"))
+                & (F.col("vsum") == F.col("rvsum"))
+            ).alias("consistent"),
+        )
+        .orderBy("event_type")
+    )

@@ -591,3 +591,98 @@ def test_symspell_pairs_complete_at_distance_one(spark):
         (min(p), max(p)) for p in want
     ]
     assert got == sorted(want)
+
+
+class TestSession8Stats:
+    SF = "/root/testdata/sf0.001"
+
+    def test_roc_auc_matches_numpy(self, spark):
+        """Rank-identity AUC == direct pairwise comparison count."""
+        import numpy as np
+        from osmgraft.contract_corpus import roc_auc_eval
+
+        ev = spark.read.parquet(f"{self.SF}/events.parquet").toPandas()
+        y = (ev.event_type == "purchase").to_numpy()
+        s = ev.value.to_numpy()
+        pos, neg = s[y], s[~y]
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        exp = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        out = roc_auc_eval(spark, self.SF).toPandas().iloc[0]
+        assert int(out.n_pos) == len(pos)
+        assert int(out.n_neg) == len(neg)
+        assert abs(out.auc - exp) < 1e-6
+
+    def test_poisson_bootstrap_sane(self, spark):
+        """Deterministic hash weights: replicate sizes concentrate
+        around n, the CI brackets the point mean, se > 0."""
+        from osmgraft.contract_corpus import poisson_bootstrap_ci
+
+        out = poisson_bootstrap_ci(spark, self.SF).toPandas().iloc[0]
+        n = int(out.n_rows)
+        # Poisson(1) total: mean n, sd ~ sqrt(n) — allow 6 sigma
+        assert abs(int(out.min_n_eff) - n) < 6 * n**0.5 + 10
+        assert abs(int(out.max_n_eff) - n) < 6 * n**0.5 + 10
+        assert out.ci_lo < out.point_mean < out.ci_hi
+        assert out.boot_se > 0
+
+    def test_ols_matches_numpy(self, spark):
+        """Closed-form normal equations == numpy lstsq on the snapped
+        response."""
+        import numpy as np
+        from osmgraft.contract_corpus import ols_multifeature
+
+        ev = spark.read.parquet(f"{self.SF}/events.parquet").toPandas()
+        yu = np.floor(ev.value.to_numpy() * 100.0 + 0.5) / 100.0
+        x1 = (ev.event_id % 24).to_numpy()
+        x2 = (ev.user_id % 7).to_numpy()
+        X = np.column_stack([np.ones_like(yu), x1, x2])
+        beta, *_ = np.linalg.lstsq(X, yu, rcond=None)
+        pred = X @ beta
+        ssr = ((pred - yu.mean()) ** 2).sum()
+        sst = ((yu - yu.mean()) ** 2).sum()
+        out = ols_multifeature(spark, self.SF).toPandas().iloc[0]
+        assert abs(out.beta0 - beta[0]) < 1e-4
+        assert abs(out.beta1 - beta[1]) < 1e-4
+        assert abs(out.beta2 - beta[2]) < 1e-4
+        assert abs(out.r2 - ssr / sst) < 1e-4
+
+    def test_subtree_rollup_matches_treewalk(self, spark):
+        """Closed-form ancestor enumeration == recursive tree walk."""
+        import numpy as np
+        from osmgraft.contract_corpus import subtree_rollup, _TREE_TOP
+
+        part = spark.read.parquet(f"{self.SF}/part.parquet").toPandas()
+        nodes = (part.p_partkey + 1).to_numpy()
+        vu = np.floor(part.p_retailprice.to_numpy() * 100.0 + 0.5)
+        val = {int(n): float(v) for n, v in zip(nodes, vu)}
+        maxn = int(nodes.max())
+
+        def subtree(a):
+            cnt, s, stack = 0, 0.0, [a]
+            while stack:
+                x = stack.pop()
+                if x > maxn:
+                    continue
+                if x in val:
+                    cnt += 1
+                    s += val[x]
+                stack.extend((2 * x, 2 * x + 1))
+            return cnt, s
+
+        out = subtree_rollup(spark, self.SF).toPandas()
+        assert list(out.ancestor) == [
+            a for a in range(1, _TREE_TOP + 1) if subtree(a)[0] > 0
+        ]
+        for _, row in out.iterrows():
+            cnt, s = subtree(int(row.ancestor))
+            assert int(row.n_desc) == cnt
+            assert abs(row.subtree_value - s / 100.0) < 1e-6
+
+    def test_ivm_all_consistent(self, spark):
+        """Maintained view == full recompute for every group."""
+        from osmgraft.contract_corpus import ivm_agg_delta
+
+        out = ivm_agg_delta(spark, self.SF).toPandas()
+        assert len(out) > 0
+        assert out.consistent.all()

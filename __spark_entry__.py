@@ -105,7 +105,8 @@ _SESSION3_NEW = (
     # session-8 additions (same queue discipline)
     "dbscan_point_clusters", "kde_heatmap", "nn_distance_profile",
     "roc_auc_eval", "poisson_bootstrap_ci", "ols_multifeature",
-    "subtree_rollup", "ivm_agg_delta",
+    "subtree_rollup", "ivm_agg_delta", "kcore_peel", "cohens_kappa",
+    "bbox_intersect_pairs",
 )
 
 

@@ -3043,3 +3043,83 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1.0 - _RBO_P) * F.sum("tu") / 1000000000.0, 6
         ).alias("rbo_truncated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: chance-corrected agreement (declared lang vs lang_id)
+# ---------------------------------------------------------------------------
+
+_KAPPA_SQL = f"""
+    WITH pred AS ({_LANG_ID_ORACLE.replace("ORDER BY doc_id", "")}),
+    pairs AS (
+      SELECT d.lang AS declared, p.pred_lang AS predicted
+      FROM documents d JOIN pred p ON d.doc_id = p.doc_id),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN declared = predicted
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+            FROM pairs),
+    rowm AS (SELECT declared AS lab, CAST(COUNT(*) AS BIGINT) AS r
+             FROM pairs GROUP BY declared),
+    colm AS (SELECT predicted AS lab, CAST(COUNT(*) AS BIGINT) AS c
+             FROM pairs GROUP BY predicted),
+    ch AS (SELECT CAST(SUM(r * c) AS BIGINT) AS chance_mass
+           FROM rowm JOIN colm USING (lab))
+    SELECT tot.n AS n_docs,
+           ROUND(tot.n_agree * 1.0e0 / tot.n, 6) AS po,
+           ROUND(ch.chance_mass * 1.0e0 / (tot.n * tot.n), 6) AS pe,
+           ROUND((tot.n_agree * 1.0e0 * tot.n - ch.chance_mass)
+                 / (tot.n * 1.0e0 * tot.n - ch.chance_mass), 6) AS kappa
+    FROM tot CROSS JOIN ch
+    """
+
+
+@q("cohens_kappa", oracle=_KAPPA_SQL)
+def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the DECLARED lang column and the engine's
+    marker-word prediction — the chance-corrected scalar that summarizes
+    ``lang_confusion_matrix``: raw agreement po flatters any skewed
+    label set (always-predict-the-majority already scores high), so the
+    curator's go/no-go number is kappa = (po − pe)/(1 − pe) with pe the
+    marginal-product chance agreement.
+
+    Integer discipline: po and pe come from exact integer counts; kappa
+    is computed as (n_agree·n − Σ r·c) / (n² − Σ r·c) — one division,
+    no po/pe float intermediates, so both engines round identically.
+
+    Scale shape: the prediction is the ``lang_id`` scan-only expression
+    stack; two label-keyed partial aggs (≤ |langs| rows each) + one
+    broadcast-sized marginal join. Nothing materializes the matrix.
+    """
+    docs = t(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "pred_lang")
+    pairs = docs.select("doc_id", F.col("lang").alias("declared")).join(
+        pred, "doc_id"
+    )
+    tot = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("declared") == F.col("pred_lang")).cast("long"))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    rowm = pairs.groupBy(F.col("declared").alias("lab")).agg(
+        F.count("*").cast("long").alias("r")
+    )
+    colm = pairs.groupBy(F.col("pred_lang").alias("lab")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    ch = (
+        rowm.join(colm, "lab")
+        .agg(F.sum(F.col("r") * F.col("c")).cast("long").alias("chance_mass"))
+    )
+    return tot.crossJoin(F.broadcast(ch)).select(
+        F.col("n").alias("n_docs"),
+        F.round(F.col("n_agree") * 1.0 / F.col("n"), 6).alias("po"),
+        F.round(
+            F.col("chance_mass") * 1.0 / (F.col("n") * F.col("n")), 6
+        ).alias("pe"),
+        F.round(
+            (F.col("n_agree") * 1.0 * F.col("n") - F.col("chance_mass"))
+            / (F.col("n") * 1.0 * F.col("n") - F.col("chance_mass")),
+            6,
+        ).alias("kappa"),
+    )

@@ -827,3 +827,136 @@ def geometric_median_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mx").alias("median_x"),
         F.col("my").alias("median_y"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# bbox-intersection pair join (PBSM cell blocking, all-pairs oracle)
+# ---------------------------------------------------------------------------
+
+_BI_CS = 100000  # blocking cell; track jitter box is one cell wide
+_BI_TOPK = 20
+
+_BI_SQL = f"""
+    WITH pts AS (
+      SELECT user_id,
+             (user_id * 131) % 600000 + (event_id * 37) % 100000 AS x,
+             (user_id * 197) % 600000 + (event_id * 59) % 100000 AS y
+      FROM events WHERE user_id % 4 = 0),
+    bb AS (
+      SELECT user_id,
+             CAST(MIN(x) AS BIGINT) AS minx, CAST(MAX(x) AS BIGINT) AS maxx,
+             CAST(MIN(y) AS BIGINT) AS miny, CAST(MAX(y) AS BIGINT) AS maxy
+      FROM pts GROUP BY user_id),
+    hits AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             (LEAST(a.maxx, b.maxx) - GREATEST(a.minx, b.minx))
+             * (LEAST(a.maxy, b.maxy) - GREATEST(a.miny, b.miny))
+               AS overlap_area
+      FROM bb a JOIN bb b
+        ON a.user_id < b.user_id
+       AND a.minx <= b.maxx AND b.minx <= a.maxx
+       AND a.miny <= b.maxy AND b.miny <= a.maxy)
+    SELECT user_a, user_b, overlap_area
+    FROM hits
+    ORDER BY overlap_area DESC, user_a, user_b LIMIT {_BI_TOPK}
+    """
+
+
+@q("bbox_intersect_pairs", oracle=_BI_SQL)
+def bbox_intersect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle-rectangle spatial pair join over per-track bounding
+    boxes — the partition-based-spatial-merge (PBSM) shape: each bbox
+    fans to the grid cells it covers (≤ 2×2 by construction — the
+    locality-synthesized tracks span one jitter box), candidate pairs
+    come from a CELL-keyed equi-join, the exact bbox-overlap predicate
+    refines, and each qualifying pair is reported EXACTLY ONCE via the
+    owner-cell rule: only the cell containing the intersection's
+    min-corner (GREATEST of the two min-corners) emits the pair — the
+    textbook dedup that needs no DISTINCT shuffle, unlike
+    ``track_crossings``' segment variant. Top-20 by exact integer
+    overlap area.
+
+    The oracle is the ALL-PAIRS theta-join form (fine at fixture scale,
+    quadratic at 10^12): two algorithms, one answer — the blocked plan
+    is additionally pinned equi-join-only by a plan audit.
+
+    Scale shape: one user-keyed partial agg builds the bboxes, one
+    Generate fans ≤ 4 cells/bbox, one cell-keyed equi-join carries the
+    quadratic risk only within a cell, TakeOrderedAndProject tops.
+    """
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") % 4 == 0)
+    uid, eid = F.col("user_id"), F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        ((uid * 131) % 600000 + (eid * 37) % 100000).alias("x"),
+        ((uid * 197) % 600000 + (eid * 59) % 100000).alias("y"),
+    )
+    bb = pts.groupBy("user_id").agg(
+        F.min("x").cast("long").alias("minx"),
+        F.max("x").cast("long").alias("maxx"),
+        F.min("y").cast("long").alias("miny"),
+        F.max("y").cast("long").alias("maxy"),
+    )
+    cs = _BI_CS
+    cells = bb.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("minx") / cs).cast("long"),
+                F.floor(F.col("maxx") / cs).cast("long"),
+            )
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("miny") / cs).cast("long"),
+                F.floor(F.col("maxy") / cs).cast("long"),
+            )
+        ).alias("cy"),
+    )
+    a = cells.select(
+        F.col("user_id").alias("user_a"),
+        F.col("minx").alias("aminx"), F.col("maxx").alias("amaxx"),
+        F.col("miny").alias("aminy"), F.col("maxy").alias("amaxy"),
+        "cx", "cy",
+    )
+    b = cells.select(
+        F.col("user_id").alias("user_b"),
+        F.col("minx").alias("bminx"), F.col("maxx").alias("bmaxx"),
+        F.col("miny").alias("bminy"), F.col("maxy").alias("bmaxy"),
+        F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+    )
+    cand = a.join(
+        b,
+        (F.col("cx") == F.col("bcx"))
+        & (F.col("cy") == F.col("bcy"))
+        & (F.col("user_a") < F.col("user_b"))
+        & (F.col("aminx") <= F.col("bmaxx"))
+        & (F.col("bminx") <= F.col("amaxx"))
+        & (F.col("aminy") <= F.col("bmaxy"))
+        & (F.col("bminy") <= F.col("amaxy")),
+    )
+    # owner-cell dedup: report only in the cell holding the
+    # intersection's min-corner
+    owner = cand.filter(
+        (
+            F.floor(F.greatest("aminx", "bminx") / cs).cast("long")
+            == F.col("cx")
+        )
+        & (
+            F.floor(F.greatest("aminy", "bminy") / cs).cast("long")
+            == F.col("cy")
+        )
+    )
+    hits = owner.select(
+        "user_a",
+        "user_b",
+        (
+            (F.least("amaxx", "bmaxx") - F.greatest("aminx", "bminx"))
+            * (F.least("amaxy", "bmaxy") - F.greatest("aminy", "bminy"))
+        ).alias("overlap_area"),
+    )
+    return hits.orderBy(
+        F.desc("overlap_area"), "user_a", "user_b"
+    ).limit(_BI_TOPK)

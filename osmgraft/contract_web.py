@@ -5316,3 +5316,130 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hill, 6).alias("hill_estimate"),
         F.round(1.0 / hill, 4).alias("tail_alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition by iterative peeling (unrolled-round oracle)
+# ---------------------------------------------------------------------------
+
+_KC_H = 29  # planted-hub node count
+_KC_K = 5  # core threshold
+_KC_ROUNDS = 4  # fixpoint by round 3 on every test SF; round 4 confirms
+
+
+def _kcore_edges_cte() -> str:
+    return f"""
+    raw AS (
+      SELECT doc_id AS u, doc_id + 1 + doc_id % 6 AS v
+      FROM documents
+      UNION ALL
+      SELECT (doc_id * 13 + (doc_id // {_KC_H}) * 17) % {_KC_H} AS u,
+             (doc_id * 31 + (doc_id // {_KC_H}) * 23 + 7) % {_KC_H} AS v
+      FROM documents WHERE doc_id % 9 < 2),
+    e0 AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+           FROM raw WHERE u <> v)"""
+
+
+def _kcore_sql() -> str:
+    parts = [_kcore_edges_cte()]
+    prev = "e0"
+    for i in range(1, _KC_ROUNDS + 1):
+        parts.append(
+            f"""
+    deg{i} AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM {prev} UNION ALL SELECT b AS n FROM {prev}) z
+      GROUP BY n),
+    keep{i} AS (SELECT n FROM deg{i} WHERE d >= {_KC_K}),
+    e{i} AS (SELECT s.a, s.b FROM {prev} s
+             JOIN keep{i} ka ON s.a = ka.n
+             JOIN keep{i} kb ON s.b = kb.n)"""
+        )
+        prev = f"e{i}"
+    last, conf = f"e{_KC_ROUNDS - 1}", f"e{_KC_ROUNDS}"
+    return f"""
+    WITH {",".join(parts)}
+    SELECT CAST({_KC_K} AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT a AS n FROM {last}
+               UNION SELECT b AS n FROM {last}) z) AS core_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {last}) AS core_edges,
+           CAST((SELECT COUNT(*) FROM {last})
+                = (SELECT COUNT(*) FROM {conf}) AS BOOLEAN) AS converged
+    """
+
+
+@q("kcore_peel", oracle=_kcore_sql())
+def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition of the planted-hub link graph (dense 29-node
+    hub + degree-~2 chain periphery): iteratively peel nodes of degree
+    < k until fixpoint — the standard graph-hygiene primitive (spam-farm
+    and boilerplate-link pruning keep only the k-core; the complement of
+    ``frontier_bfs_depths``' reachability and ``cluster_modularity``'s
+    communities). The periphery strips in round 1, hub-fringe nodes that
+    leaned on peripheral support cascade in rounds 2-3 — a genuine
+    multi-round peel, not all-or-nothing (the Erdős–Rényi threshold
+    behaviour that makes naive random fixtures degenerate here; the
+    fixture mixes the doc-id high digit into the hub map, the
+    ``triangle_count`` functional-graph lesson).
+
+    The Spark side peels exactly the oracle's unrolled round count with
+    a lineage-cut loop and emits a `converged` flag (last round peeled
+    nothing) — the pytest asserts it is true AND that a Python peel
+    agrees, so the fixed unroll is provably the true fixpoint.
+
+    Scale shape: each round is one degree partial-agg + two semi-join
+    prunes on 8-byte keys (the ``dedup_clusters`` discipline,
+    localCheckpoint between rounds); rounds are O(peel depth), and real
+    web graphs peel shallowly.
+    """
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw = docs.select(
+        d.alias("u"), (d + 1 + d % 6).alias("v")
+    ).unionAll(
+        docs.filter(d % 9 < 2).select(
+            ((d * 13 + (d / _KC_H).cast("long") * 17) % _KC_H).alias("u"),
+            (
+                (d * 31 + (d / _KC_H).cast("long") * 23 + 7) % _KC_H
+            ).alias("v"),
+        )
+    )
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_count = e.count()
+    last_peel_count = prev_count
+    for i in range(_KC_ROUNDS):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").cast("long").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KC_K).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "a"), "a")
+            .join(keep.withColumnRenamed("n", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        if i == _KC_ROUNDS - 2:
+            last_peel_count = e.count()
+    final_count = e.count()
+    nodes = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .distinct()
+        .count()
+    )
+    spark_ = spark
+    return spark_.createDataFrame(
+        [(int(_KC_K), int(nodes), int(last_peel_count),
+          bool(final_count == last_peel_count))],
+        "k long, core_nodes long, core_edges long, converged boolean",
+    )

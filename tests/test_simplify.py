@@ -182,3 +182,96 @@ def test_map_match_matches_bruteforce(spark):
         k: (len(v), min(v), max(v)) for k, v in agg.items()
     }
     assert got == want
+
+
+def test_bbox_intersect_pairs_matches_allpairs(spark):
+    """Cell-blocked + owner-cell-dedup bbox join == brute-force all-pairs
+    at sf0.001, and the plan carries no cartesian/BNLJ."""
+    from tests.conftest import SF_SMOKE
+    from osmgraft.contract_tracks import bbox_intersect_pairs, _BI_TOPK
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    ev = ev[ev.user_id % 4 == 0]
+    x = (ev.user_id * 131) % 600000 + (ev.event_id * 37) % 100000
+    y = (ev.user_id * 197) % 600000 + (ev.event_id * 59) % 100000
+    import pandas as pd
+
+    df = pd.DataFrame({"u": ev.user_id, "x": x, "y": y})
+    bb = df.groupby("u").agg(minx=("x", "min"), maxx=("x", "max"),
+                             miny=("y", "min"), maxy=("y", "max"))
+    users = bb.index.to_list()
+    exp = []
+    for i, ua in enumerate(users):
+        for ub in users[i + 1:]:
+            A, B = bb.loc[ua], bb.loc[ub]
+            if (A.minx <= B.maxx and B.minx <= A.maxx
+                    and A.miny <= B.maxy and B.miny <= A.maxy):
+                area = ((min(A.maxx, B.maxx) - max(A.minx, B.minx))
+                        * (min(A.maxy, B.maxy) - max(A.miny, B.miny)))
+                exp.append((min(ua, ub), max(ua, ub), area))
+    exp.sort(key=lambda r: (-r[2], r[0], r[1]))
+    sdf = bbox_intersect_pairs(spark, SF_SMOKE)
+    rows = [(r.user_a, r.user_b, r.overlap_area) for r in sdf.collect()]
+    assert rows == exp[:_BI_TOPK]
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kcore_peel_matches_python(spark):
+    """Unrolled distributed peel == Python peel to fixpoint; the
+    converged flag is true (the fixed unroll reached the fixpoint)."""
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+    from osmgraft.contract_web import kcore_peel, _KC_H, _KC_K
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    E = set()
+    for d in docs.doc_id:
+        d = int(d)
+        u, v = d, d + 1 + d % 6
+        if u != v:
+            E.add((min(u, v), max(u, v)))
+        if d % 9 < 2:
+            u = (d * 13 + (d // _KC_H) * 17) % _KC_H
+            v = (d * 31 + (d // _KC_H) * 23 + 7) % _KC_H
+            if u != v:
+                E.add((min(u, v), max(u, v)))
+    while True:
+        deg = defaultdict(int)
+        for a, b in E:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, dd in deg.items() if dd >= _KC_K}
+        E2 = {(a, b) for a, b in E if a in keep and b in keep}
+        if E2 == E:
+            break
+        E = E2
+    nodes = set()
+    for a, b in E:
+        nodes.update((a, b))
+    out = kcore_peel(spark, SF_SMOKE).toPandas().iloc[0]
+    assert bool(out.converged)
+    assert int(out.core_nodes) == len(nodes)
+    assert int(out.core_edges) == len(E)
+    assert len(E) > 0  # the planted hub survives: not the degenerate case
+
+
+def test_cohens_kappa_consistent_with_confusion_matrix(spark):
+    """Kappa recomputed from the confusion matrix equals the query's."""
+    from tests.conftest import SF_SMOKE
+    from osmgraft.contract_text import cohens_kappa, lang_confusion_matrix
+
+    cm = lang_confusion_matrix(spark, SF_SMOKE).toPandas()
+    n = cm.n_docs.sum()
+    po = cm[cm.declared_lang == cm.pred_lang].n_docs.sum() / n
+    rowm = cm.groupby("declared_lang").n_docs.sum()
+    colm = cm.groupby("pred_lang").n_docs.sum()
+    pe = sum(rowm.get(l, 0) * colm.get(l, 0)
+             for l in set(rowm.index) | set(colm.index)) / (n * n)
+    out = cohens_kappa(spark, SF_SMOKE).toPandas().iloc[0]
+    assert int(out.n_docs) == n
+    assert abs(out.po - po) < 1e-6
+    assert abs(out.pe - pe) < 1e-6
+    assert abs(out.kappa - (po - pe) / (1 - pe)) < 1e-5

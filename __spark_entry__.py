@@ -106,7 +106,7 @@ _SESSION3_NEW = (
     "dbscan_point_clusters", "kde_heatmap", "nn_distance_profile",
     "roc_auc_eval", "poisson_bootstrap_ci", "ols_multifeature",
     "subtree_rollup", "ivm_agg_delta", "kcore_peel", "cohens_kappa",
-    "bbox_intersect_pairs",
+    "bbox_intersect_pairs", "semdedup_prune", "bigram_logprob_interp",
 )
 
 

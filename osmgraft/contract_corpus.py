@@ -3775,3 +3775,116 @@ def ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram language-model scoring (bits per bigram position)
+# ---------------------------------------------------------------------------
+
+_BLM_LAMBDA = "0.7e0"  # bigram weight; (1-lambda) backs off to unigram
+
+_BLM_SQL = f"""
+    WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+    bg AS (SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
+           FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+                 FROM documents) d,
+                LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+           FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+    bits AS (
+      SELECT g.doc_id, g.lang,
+             ROUND(-LOG2({_BLM_LAMBDA} * bc.cb / CAST(ctx.c1 AS DOUBLE)
+                         + (1.0e0 - {_BLM_LAMBDA})
+                           * uc.c / CAST(tot.n AS DOUBLE)), 10) AS b
+      FROM bg g
+      JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+      JOIN ctx ON g.w1 = ctx.w1
+      JOIN uc ON g.w2 = uc.w
+      CROSS JOIN tot),
+    d AS (SELECT doc_id, lang, ROUND(AVG(b), 6) AS score
+          FROM bits GROUP BY doc_id, lang)
+    SELECT lang, CAST(FLOOR(score) AS BIGINT) AS bits_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(score), 4) AS avg_bits,
+           ROUND(MIN(score), 4) AS min_bits,
+           ROUND(MAX(score), 4) AS max_bits
+    FROM d GROUP BY lang, bits_band ORDER BY lang, bits_band
+    """
+
+
+@q("bigram_logprob_interp", oracle=_BLM_SQL)
+def bigram_logprob_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring — the CCNet/KenLM
+    perplexity filter one order up from ``unigram_logprob``: each bigram
+    position scores -log2(λ·p(w2|w1) + (1−λ)·p(w2)), the Jelinek-Mercer
+    interpolation that keeps unseen-context backoff well-defined without
+    discount bookkeeping; per-doc mean bits band into the same per-lang
+    quality histogram. Low bits = formulaic/boilerplate docs, high bits
+    = noise — the two tails a perplexity filter trims.
+
+    Exactness: per-position bits snap to 10 dp before the per-doc AVG
+    (the ``unigram_logprob`` discipline — counts are exact integers, the
+    only float is one LOG2 per distinct model row).
+
+    Scale shape: the bigram model is two partial aggs over in-row zipped
+    pairs (never a token self-join — the ``bigram_freq`` shape); scoring
+    joins the exploded corpus to the model on well-spread (w1, w2) /
+    w1 / w2 keys; the context-count relation derives from the ALREADY
+    aggregated bigram counts, not a second corpus pass.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    toks = d.select("doc_id", "lang", F.explode(w).alias("w"))
+    uc = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    tot = uc.agg(F.sum("c").cast("long").alias("n"))
+    pairs = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = d.select(
+        "doc_id", "lang", F.explode(pairs).alias("p")
+    ).select("doc_id", "lang", F.col("p.w1").alias("w1"),
+             F.col("p.w2").alias("w2"))
+    bc = bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("cb")
+    )
+    ctx = bc.groupBy("w1").agg(F.sum("cb").cast("long").alias("c1"))
+    lam = 0.7
+    bits = (
+        bg.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uc.select(F.col("w").alias("w2"), "c"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                -F.log2(
+                    lam * F.col("cb") / F.col("c1")
+                    + (1.0 - lam) * F.col("c") / F.col("n")
+                ),
+                10,
+            ).alias("b"),
+        )
+    )
+    doc = bits.groupBy("doc_id", "lang").agg(
+        F.round(F.avg("b"), 6).alias("score")
+    )
+    return (
+        doc.groupBy(
+            "lang", F.floor("score").cast("long").alias("bits_band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_bits"),
+            F.round(F.min("score"), 4).alias("min_bits"),
+            F.round(F.max("score"), 4).alias("max_bits"),
+        )
+        .orderBy("lang", "bits_band")
+    )

@@ -3123,3 +3123,133 @@ def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster-then-prune over embeddings
+# ---------------------------------------------------------------------------
+
+_SD_TAU = 0.95  # within-cluster cosine above which the larger id is pruned
+_SD_DUP_MOD = 7  # injected scaled-copy schedule (vec_id % 7 == 0)
+_SD_DUP_OFF = 1000000
+
+_SEMDEDUP_SQL = f"""
+    WITH {{train_cte}},
+    cb AS (SELECT cid, c AS cvec FROM cb{{n_iter}}),
+    aug AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_SD_DUP_OFF} AS vec_id,
+             list_transform(embedding::DOUBLE[], x -> x * 2.0e0) AS v
+      FROM embeddings WHERE vec_id % {_SD_DUP_MOD} = 0),
+    assign AS (
+      SELECT a.vec_id, a.v, cb.cid AS list_id,
+             FLOOR(list_cosine_similarity(a.v, cb.cvec) * 100000 + 0.5) AS c
+      FROM aug a CROSS JOIN cb
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                 ORDER BY c DESC, cb.cid) = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE FLOOR(list_cosine_similarity(a.v, b.v) * 100000 + 0.5)
+            / 100000.0e0 >= {_SD_TAU}e0)
+    SELECT s.list_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    GROUP BY s.list_id ORDER BY s.list_id
+    """
+
+
+def _semdedup_oracle() -> str:
+    from osmgraft.ann.search import ivf_train_sql
+
+    return _SEMDEDUP_SQL.format(
+        train_cte=ivf_train_sql(_IVF_LISTS, n_iter=_IVF_ITER),
+        n_iter=_IVF_ITER,
+    )
+
+
+@q("semdedup_prune", oracle=_semdedup_oracle())
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    cluster-then-prune — train a k-means codebook on the corpus, assign
+    every vector to its nearest centroid, and WITHIN each cluster drop
+    any vector whose cosine to a smaller-id clustermate exceeds tau.
+    The clustering bounds the pair search to cluster-sized blocks (the
+    pruning complement of ``ann_ivf_top10``'s query-side nprobe), which
+    is what makes semantic dedup tractable at 10^12 embeddings — the
+    quadratic lives inside a cluster, never across the corpus.
+
+    The fixture's embeddings are isotropic (max within-cluster cosine
+    0.475 at sf0.01 — real near-dups cannot exist by construction), so
+    the query INJECTS deterministic scaled copies (vec_id % 7, x2 — a
+    scaled copy has cosine exactly 1, which byte-level exact dedup
+    misses but SemDeDup catches; scaling invariance also pins the
+    assignment: copies land in their original's cluster). The pytest
+    asserts the dropped set is exactly the injected schedule.
+
+    Scale shape: training is the sample-bounded k-means; assignment is
+    one scan (broadcast-literal argmax, no join); the pair join is an
+    equi-join on list_id; the rollup is one partial agg. Cosines snap
+    at 1e-5 (floor-half) before every compare — the IVF discipline.
+    """
+    from osmgraft.ann.search import (
+        cosine_col,
+        ivf_build,
+        ivf_train_codebook,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    aug = emb.select("vec_id", vec.alias("embedding")).unionAll(
+        emb.where(F.col("vec_id") % _SD_DUP_MOD == 0).select(
+            (F.col("vec_id") + _SD_DUP_OFF).alias("vec_id"),
+            F.transform(vec, lambda x: x * 2.0).alias("embedding"),
+        )
+    )
+    cb = ivf_train_codebook(emb, _IVF_LISTS, n_iter=_IVF_ITER)
+    assigned = ivf_build(aug, cb).select(
+        "vec_id", F.col("list_id").cast("long").alias("list_id"),
+        F.col("embedding").alias("v"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("ida"), "list_id", F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("idb"),
+        F.col("list_id").alias("list_b"),
+        F.col("v").alias("vb"),
+    )
+    sim = F.floor(
+        cosine_col(F.col("va"), F.col("vb")) * 100000 + 0.5
+    ) / 100000.0
+    dropped = (
+        a.join(
+            b,
+            (F.col("list_id") == F.col("list_b"))
+            & (F.col("ida") < F.col("idb")),
+        )
+        .where(sim >= _SD_TAU)
+        .select(F.col("idb").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .groupBy("list_id")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(1 - F.coalesce(F.col("is_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("list_id")
+    )

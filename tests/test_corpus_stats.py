@@ -686,3 +686,64 @@ class TestSession8Stats:
         out = ivm_agg_delta(spark, self.SF).toPandas()
         assert len(out) > 0
         assert out.consistent.all()
+
+
+class TestSemdedupAndBigramLM:
+    SF = "/root/testdata/sf0.001"
+
+    def test_semdedup_drops_exactly_injected_copies(self, spark):
+        """The dropped set is exactly the injected scaled-copy schedule
+        (isotropic originals never cross tau by construction)."""
+        from osmgraft.contract_text import (
+            semdedup_prune, _SD_DUP_MOD, _SD_DUP_OFF,
+        )
+
+        emb = spark.read.parquet(f"{self.SF}/embeddings.parquet")
+        n = emb.count()
+        n_dups = emb.where(F.col("vec_id") % _SD_DUP_MOD == 0).count()
+        out = semdedup_prune(spark, self.SF).toPandas()
+        assert out.n_vecs.sum() == n + n_dups
+        assert out.n_dropped.sum() == n_dups
+        assert (out.n_kept + out.n_dropped == out.n_vecs).all()
+
+    def test_bigram_lm_matches_python_reference(self, spark):
+        """Interpolated bigram bits recomputed in Python on sf0.001."""
+        import math
+        from collections import Counter
+
+        from osmgraft.contract_corpus import bigram_logprob_interp
+
+        docs = spark.read.parquet(f"{self.SF}/documents.parquet").toPandas()
+        uc, bc, ctx = Counter(), Counter(), Counter()
+        doc_bgs = {}
+        for _, r in docs.iterrows():
+            ws = r.text.split(" ")
+            uc.update(ws)
+            bgs = list(zip(ws, ws[1:]))
+            doc_bgs[r.doc_id] = (r.lang, bgs)
+            bc.update(bgs)
+            ctx.update(w1 for w1, _ in bgs)
+        N = sum(uc.values())
+        bands = Counter()
+        scores = {}
+        for did, (lang, bgs) in doc_bgs.items():
+            if not bgs:
+                continue
+            bits = [
+                round(
+                    -math.log2(
+                        0.7 * bc[p] / ctx[p[0]] + 0.3 * uc[p[1]] / N
+                    ),
+                    10,
+                )
+                for p in bgs
+            ]
+            s = round(sum(bits) / len(bits), 6)
+            scores[did] = (lang, s)
+            bands[(lang, math.floor(s))] += 1
+        out = bigram_logprob_interp(spark, self.SF).toPandas()
+        got = {
+            (r.lang, int(r.bits_band)): int(r.n_docs)
+            for _, r in out.iterrows()
+        }
+        assert got == dict(bands)

@@ -760,3 +760,77 @@ def test_partition_skew_audit_is_one_agg(spark):
     plan = plan_of(df)
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dbscan_neighbor_join_is_cell_keyed(spark):
+    """DBSCAN's eps-ball candidate join must be a hash equi-join on the
+    (cx, cy) cell keys — never a cartesian/BNLJ over the points."""
+    import osmgraft.contract_cells  # noqa: F401
+
+    df = QUERIES["dbscan_point_clusters"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kde_heatmap_is_scan_plus_one_agg(spark):
+    """KDE contributes via the 9-cell Generate — no join at all — and
+    tops with TakeOrderedAndProject, never a global sort."""
+    import osmgraft.contract_cells  # noqa: F401
+
+    df = QUERIES["kde_heatmap"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate explode" in plan
+
+
+def test_roc_auc_windows_partition_by_bucket(spark):
+    """The in-bucket cumulative window must partition by the range
+    bucket; the only unpartitioned window runs over the ~30-row bucket
+    relation (post-agg, constant-bounded) — the distinct-value relation
+    never sorts through one task."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["roc_auc_eval"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    # the value-level window carries the bucket key in its partition spec
+    assert "Window" in plan
+    assert any(
+        "windowspecdefinition(b#" in ln.lower()
+        for ln in plan.splitlines()
+    )
+
+
+def test_semdedup_pair_join_is_list_keyed(spark):
+    """SemDeDup's within-cluster pair join must be an equi-join on
+    list_id (SortMerge/Hash), never cartesian."""
+    import osmgraft.contract_text  # noqa: F401
+
+    df = QUERIES["semdedup_prune"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_subtree_rollup_no_join(spark):
+    """Closed-form ancestor enumeration: Generate + partial agg, zero
+    joins, zero windows."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["subtree_rollup"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_ols_is_single_reduction(spark):
+    """OLS normal equations: one scan, one single-row aggregate — no
+    shuffle of data rows (only the final 1-row exchange), no join."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["ols_multifeature"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "Window" not in plan

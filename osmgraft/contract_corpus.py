@@ -3888,3 +3888,131 @@ def bigram_logprob_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bits_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing plan (sample packing for LLM pretraining)
+# ---------------------------------------------------------------------------
+
+_PK_CTX = 64  # context-window token budget (sized so fixture docs, 10-99
+# words, exercise BOTH paths: some docs truncate, several pack per window)
+_PK_SHARDS = 16  # packing units; at scale this is the writer-task count
+# (one shard ~ one output file's worth of docs), so the per-shard array the
+# fold runs over is bounded by shard sizing, not corpus size
+_PK_BIG = 10_000_000_000  # key encoding stride: (CTX - c) * BIG + doc_id
+_PK_K = 100_000  # fold-state stride: state = n_closed_bins * K + fill
+
+_SEQ_PACK_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % {_PK_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents),
+    enc AS (
+      SELECT shard, n_tok, LEAST(n_tok, {_PK_CTX}) AS c,
+             ({_PK_CTX} - LEAST(n_tok, {_PK_CTX})) * {_PK_BIG} + doc_id AS key
+      FROM d),
+    packed AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(SUM(c) AS BIGINT) AS packed_tokens,
+             CAST(SUM(CASE WHEN n_tok > {_PK_CTX} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_truncated,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list_sort(list(key))),
+               (acc, x) -> CASE
+                 WHEN acc % {_PK_K} + ({_PK_CTX} - x // {_PK_BIG}) > {_PK_CTX}
+                 THEN (acc // {_PK_K} + 1) * {_PK_K}
+                      + ({_PK_CTX} - x // {_PK_BIG})
+                 ELSE acc + ({_PK_CTX} - x // {_PK_BIG}) END) AS st
+      FROM enc GROUP BY shard)
+    SELECT shard, n_docs,
+           CAST(st // {_PK_K}
+                + CASE WHEN st % {_PK_K} > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_bins,
+           total_tokens, packed_tokens,
+           CAST((st // {_PK_K}
+                 + CASE WHEN st % {_PK_K} > 0 THEN 1 ELSE 0 END)
+                * {_PK_CTX} - packed_tokens AS BIGINT) AS waste_tokens,
+           ROUND(packed_tokens * 1.0e0
+                 / ((st // {_PK_K}
+                     + CASE WHEN st % {_PK_K} > 0 THEN 1 ELSE 0 END)
+                    * {_PK_CTX}), 6) AS fill_ratio,
+           n_truncated
+    FROM packed ORDER BY shard
+    """
+
+
+@q("sequence_packing_plan", oracle=_SEQ_PACK_SQL)
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing plan (sample packing for LLM
+    pretraining): documents are dealt to deterministic shards (one shard
+    = one writer task's worth of docs, the production packing unit),
+    truncated to the context budget, then greedily packed
+    next-fit-decreasing into fixed CTX-token windows; per shard emit the
+    window count, fill efficiency, padding waste, and truncation count —
+    the feasibility numbers a pretraining data plan is costed from.
+
+    Determinism across engines: the per-shard doc list is encoded as a
+    single BIGINT key ((CTX - c)·10^10 + doc_id, so an ascending sort IS
+    count-descending with doc_id tiebreak) and the greedy next-fit fold
+    carries its whole state in one BIGINT (closed_bins·10^5 + fill) — a
+    pure-integer fold that Spark's ``aggregate`` and DuckDB's
+    ``list_reduce`` execute identically (float enters only at the final
+    fill-ratio ROUND of an integer ratio).
+
+    Scale shape: one shard-keyed partial-agg shuffle; the fold is in-row
+    over a shard's docs, bounded because shard count scales with corpus
+    size (shards = corpus_tokens / target_file_tokens at 100 TB — the
+    same bounded-buffer argument as the reference's per-file batching,
+    uk-osm-data-processor scripts/import/03_parallel_import.sh's
+    fixed-size import chunks).
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        (F.col("doc_id") % _PK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    enc = docs.select(
+        "shard",
+        "n_tok",
+        F.least(F.col("n_tok"), F.lit(_PK_CTX)).alias("c"),
+        (
+            (F.lit(_PK_CTX) - F.least(F.col("n_tok"), F.lit(_PK_CTX)))
+            * F.lit(_PK_BIG).cast("long")
+            + F.col("doc_id")
+        ).alias("key"),
+    )
+    fold = (
+        f"aggregate(sort_array(collect_list(key)), 0L, (acc, x) -> "
+        f"CASE WHEN acc % {_PK_K} + ({_PK_CTX} - x div {_PK_BIG}) > {_PK_CTX} "
+        f"THEN (acc div {_PK_K} + 1) * {_PK_K} + ({_PK_CTX} - x div {_PK_BIG}) "
+        f"ELSE acc + ({_PK_CTX} - x div {_PK_BIG}) END)"
+    )
+    packed = enc.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("c").cast("long").alias("packed_tokens"),
+        F.sum((F.col("n_tok") > _PK_CTX).cast("long"))
+        .cast("long")
+        .alias("n_truncated"),
+        F.expr(fold).alias("st"),
+    )
+    n_bins = (
+        F.expr(f"st div {_PK_K}")
+        + F.when(F.col("st") % _PK_K > 0, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return packed.select(
+        "shard",
+        "n_docs",
+        n_bins.alias("n_bins"),
+        "total_tokens",
+        "packed_tokens",
+        (n_bins * _PK_CTX - F.col("packed_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+        F.round(
+            F.col("packed_tokens") * F.lit(1.0) / (n_bins * _PK_CTX), 6
+        ).alias("fill_ratio"),
+        "n_truncated",
+    ).orderBy("shard")

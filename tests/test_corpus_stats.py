@@ -747,3 +747,58 @@ class TestSemdedupAndBigramLM:
             for _, r in out.iterrows()
         }
         assert got == dict(bands)
+
+
+def test_sequence_packing_matches_python_reference(spark):
+    """Per-shard next-fit-decreasing packing equals a plain-Python
+    replay: same bin counts, and the accounting identities
+    (n_bins*CTX = packed + waste; truncation count) hold exactly."""
+    from osmgraft.contract_corpus import _PK_CTX, _PK_SHARDS
+
+    rows = {
+        r["shard"]: r
+        for r in cc.sequence_packing_plan(spark, SF_CORRECT).collect()
+    }
+    assert len(rows) == _PK_SHARDS
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+        )
+        .collect()
+    )
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for d in docs:
+        shards.setdefault(d["doc_id"] % _PK_SHARDS, []).append(
+            (d["n_tok"], d["doc_id"])
+        )
+    some_multi_doc_bin = False
+    for shard, members in shards.items():
+        # next-fit-decreasing: count desc, doc_id asc tiebreak
+        order = sorted(
+            members, key=lambda p: (-min(p[0], _PK_CTX), p[1])
+        )
+        bins, fill = 0, 0
+        for n_tok, _ in order:
+            c = min(n_tok, _PK_CTX)
+            if fill + c > _PK_CTX:
+                bins, fill = bins + 1, c
+            else:
+                fill += c
+        if fill:
+            bins += 1
+        r = rows[shard]
+        assert r["n_bins"] == bins
+        assert r["n_docs"] == len(members)
+        assert r["n_truncated"] == sum(
+            1 for n_tok, _ in members if n_tok > _PK_CTX
+        )
+        assert (
+            r["n_bins"] * _PK_CTX
+            == r["packed_tokens"] + r["waste_tokens"]
+        )
+        assert r["packed_tokens"] <= r["total_tokens"]
+        if r["n_bins"] < r["n_docs"]:
+            some_multi_doc_bin = True
+    # the fixture must exercise genuine packing, not 1 doc per bin
+    assert some_multi_doc_bin

@@ -4016,3 +4016,182 @@ def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fill_ratio"),
         "n_truncated",
     ).orderBy("shard")
+
+
+# ---------------------------------------------------------------------------
+# foreign-key orphan audit (referential-integrity verification)
+# ---------------------------------------------------------------------------
+
+_FK_DROP_MOD = 97  # simulated partial dim load: parent keys with
+# key % 97 == 0 are treated as missing, so the audit is exercised on a
+# fixture whose raw FKs are (by construction) fully consistent
+
+
+def _fk_arm_sql(rel: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{rel}' AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COUNT(*) FILTER (WHERE p.{pk} IS NULL) AS BIGINT)
+             AS n_orphan_rows,
+           CAST(COUNT(DISTINCT CASE WHEN p.{pk} IS NULL THEN c.{fk} END)
+             AS BIGINT) AS n_orphan_keys,
+           ROUND(COUNT(*) FILTER (WHERE p.{pk} IS NULL) * 1.0e0
+                 / COUNT(*), 6) AS orphan_ratio,
+           MIN(CASE WHEN p.{pk} IS NULL THEN c.{fk} END) AS min_orphan_key,
+           MAX(CASE WHEN p.{pk} IS NULL THEN c.{fk} END) AS max_orphan_key
+    FROM {child} c LEFT JOIN
+      (SELECT {pk} FROM {parent} WHERE {pk} % {_FK_DROP_MOD} <> 0) p
+      ON c.{fk} = p.{pk}"""
+
+
+_FK_ARMS = [
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+_FK_ORPHAN_SQL = (
+    " UNION ALL ".join(_fk_arm_sql(*arm) for arm in _FK_ARMS)
+    + " ORDER BY relation"
+)
+
+
+@q("fk_orphan_audit", oracle=_FK_ORPHAN_SQL)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity orphan audit over every FK relation of the
+    star schema (the reference's import-verification surface,
+    uk-osm-data-processor scripts/verify/verify_import.py's row-count /
+    consistency checks, generalized to FK orphan detection): per relation
+    emit child row count, orphaned rows/keys, the orphan ratio, and the
+    orphan key range. A deterministic partial-dim-load simulation
+    (parent keys % 97 == 0 dropped) keeps the audit path non-degenerate
+    on the referentially-consistent fixture.
+
+    Scale shape: each arm is one LEFT equi-join of the (big) child
+    against the parent's KEY COLUMN ONLY — dims prune to a single int64
+    column before the join and the two lineitem-side arms share the scan;
+    counts are partial aggs. No arm sorts or windows the child.
+    """
+    out = []
+    for rel, child, fk, parent, pk in _FK_ARMS:
+        c = t(spark, sf_dir, child).select(fk)
+        p = (
+            t(spark, sf_dir, parent)
+            .select(pk)
+            .where(F.col(pk) % _FK_DROP_MOD != 0)
+        )
+        j = c.join(p, c[fk] == p[pk], "left")
+        orphan_key = F.when(F.col(pk).isNull(), F.col(fk))
+        out.append(
+            j.agg(
+                F.lit(rel).alias("relation"),
+                F.count("*").cast("long").alias("n_child"),
+                F.sum(F.col(pk).isNull().cast("long"))
+                .cast("long")
+                .alias("n_orphan_rows"),
+                F.countDistinct(orphan_key).cast("long").alias("n_orphan_keys"),
+                F.round(
+                    F.sum(F.col(pk).isNull().cast("long"))
+                    * F.lit(1.0)
+                    / F.count("*"),
+                    6,
+                ).alias("orphan_ratio"),
+                F.min(orphan_key).alias("min_orphan_key"),
+                F.max(orphan_key).alias("max_orphan_key"),
+            ).select(
+                "relation", "n_child", "n_orphan_rows", "n_orphan_keys",
+                "orphan_ratio", "min_orphan_key", "max_orphan_key",
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("relation")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build (validity intervals from daily snapshots)
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+    WITH snap AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             MAX(event_type) AS attr
+      FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)),
+    chg AS (
+      SELECT user_id, day, attr,
+             CASE WHEN LAG(attr) OVER w IS NULL
+                    OR LAG(attr) OVER w <> attr THEN 1 ELSE 0 END AS is_new
+      FROM snap WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+    ver AS (
+      SELECT user_id, day, attr,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS version
+      FROM chg),
+    runs AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version,
+             MIN(attr) AS attr, MIN(day) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_days_observed
+      FROM ver GROUP BY user_id, version)
+    SELECT user_id, version, attr, valid_from,
+           COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id
+                                           ORDER BY version),
+                    DATE '9999-12-31') AS valid_to,
+           n_days_observed,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             IS NULL AS is_current
+    FROM runs ORDER BY user_id, version
+    """
+
+
+@q("scd2_dimension_build", oracle=_SCD2_SQL)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build: collapse each user's daily
+    attribute snapshots (attr = MAX(event_type) per user-day — a
+    deterministic stand-in for the dimension attribute) into validity
+    intervals [valid_from, valid_to) with an is_current flag — the
+    lakehouse dimension-history primitive beside ``snapshot_diff`` (CDC
+    row states) and ``merge_upsert_apply`` (MERGE arms).
+
+    Scale shape: one user/day partial agg, then every window (LAG change
+    flag, running version sum, LEAD valid_to) is USER-KEYED — the
+    snapshot agg and the windows share one user-hash exchange; no global
+    sort. The final ORDER BY is presentation-only.
+    """
+    ev = t(spark, sf_dir, "events")
+    snap = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.max("event_type").alias("attr"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    chg = snap.withColumn(
+        "is_new",
+        F.when(
+            F.lag("attr").over(w).isNull()
+            | (F.lag("attr").over(w) != F.col("attr")),
+            1,
+        ).otherwise(0),
+    )
+    ver = chg.withColumn(
+        "version", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = ver.groupBy("user_id", F.col("version").cast("long").alias("version")).agg(
+        F.min("attr").alias("attr"),
+        F.min("day").alias("valid_from"),
+        F.count("*").cast("long").alias("n_days_observed"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return (
+        runs.select(
+            "user_id",
+            "version",
+            "attr",
+            "valid_from",
+            F.coalesce(
+                F.lead("valid_from").over(wv), F.lit("9999-12-31").cast("date")
+            ).alias("valid_to"),
+            "n_days_observed",
+            F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

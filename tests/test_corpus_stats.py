@@ -802,3 +802,64 @@ def test_sequence_packing_matches_python_reference(spark):
             some_multi_doc_bin = True
     # the fixture must exercise genuine packing, not 1 doc per bin
     assert some_multi_doc_bin
+
+
+def test_fk_orphan_audit_matches_direct_recompute(spark):
+    """Orphan rows per relation equal a direct NOT-IN recompute against
+    the same simulated partial dim, and the simulation actually produces
+    orphans (non-degenerate audit path)."""
+    from osmgraft.contract_corpus import _FK_ARMS, _FK_DROP_MOD
+
+    rows = {
+        r["relation"]: r
+        for r in cc.fk_orphan_audit(spark, SF_CORRECT).collect()
+    }
+    assert len(rows) == len(_FK_ARMS)
+    total_orphans = 0
+    for rel, child, fk, parent, pk in _FK_ARMS:
+        c = spark.read.parquet(f"{SF_CORRECT}/{child}.parquet")
+        p = (
+            spark.read.parquet(f"{SF_CORRECT}/{parent}.parquet")
+            .where(F.col(pk) % _FK_DROP_MOD != 0)
+            .select(pk)
+        )
+        expected = c.join(p, c[fk] == p[pk], "left_anti").count()
+        r = rows[rel]
+        assert r["n_orphan_rows"] == expected
+        assert r["n_orphan_rows"] <= r["n_child"] == c.count()
+        total_orphans += r["n_orphan_rows"]
+    assert total_orphans > 0
+
+
+def test_scd2_intervals_partition_each_users_history(spark):
+    """SCD2 invariants: per user, versions are 1..n with exactly one
+    is_current row; intervals chain exactly (valid_to of version k ==
+    valid_from of version k+1); adjacent versions differ in attr; the
+    observed-day counts account for every user-day snapshot."""
+    rows = cc.scd2_dimension_build(spark, SF_CORRECT).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_user_days = (
+        ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_days_observed"] for r in rows) == n_user_days
+    import datetime
+
+    sentinel = datetime.date(9999, 12, 31)
+    some_multi_version = False
+    for vs in by_user.values():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r["is_current"] for r in vs) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] == sentinel
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["attr"] != b["attr"]
+            assert a["valid_from"] < a["valid_to"]
+        if len(vs) > 1:
+            some_multi_version = True
+    assert some_multi_version

@@ -5443,3 +5443,114 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
           bool(final_count == last_peel_count))],
         "k long, core_nodes long, core_edges long, converged boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (common-neighbor scoring over the link graph)
+# ---------------------------------------------------------------------------
+
+_AA_TOPK = 50
+
+_AA_N = 211  # node-space modulus; larger than triangle_count's 61 so the
+# graph stays SPARSE at every test SF — at sf0.1 the 61-node graph
+# saturates (every pair becomes an edge) and the non-edge candidate set,
+# the whole point of link prediction, would be empty
+
+_AA_SQL = f"""
+    WITH raw AS (
+      SELECT doc_id % {_AA_N} AS u,
+             ((doc_id // {_AA_N}) * 2311 + doc_id * 7919 + 13) % {_AA_N} AS v
+      FROM documents),
+    e AS (
+      SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+      FROM raw WHERE u <> v),
+    adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+    deg AS (SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    wedge AS (
+      SELECT a1.u AS m, a1.v AS p, a2.v AS q
+      FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v),
+    cand AS (
+      SELECT w.p, w.q, w.m FROM wedge w
+      LEFT JOIN e ON e.a = w.p AND e.b = w.q
+      WHERE e.a IS NULL),
+    scored AS (
+      SELECT c.p AS u, c.q AS v,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(CAST(ROUND(1.0e6 / LN(CAST(deg.d AS DOUBLE)))
+                           AS BIGINT)) AS BIGINT) AS aa_micro
+      FROM cand c JOIN deg ON deg.n = c.m
+      GROUP BY c.p, c.q)
+    SELECT u, v, n_common,
+           ROUND(aa_micro * 1.0e-6, 6) AS aa_score
+    FROM scored
+    ORDER BY aa_micro DESC, u, v LIMIT {_AA_TOPK}
+    """
+
+
+@q("adamic_adar_linkpred", oracle=_AA_SQL)
+def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the ``triangle_count``-style
+    link graph (sparser node space): for node pairs NOT already connected, score by
+    the common neighbors weighted 1/ln(degree) (rare shared neighbors
+    are more predictive than hubs) and return the top-k candidate edges
+    — the classic who-to-crawl-next / related-host primitive.
+
+    Float discipline: each 1/ln(deg) term is snapped to integer
+    MICRO-units before summation, so the cross-engine aggregate is pure
+    int64 regardless of summation order (the ``hill_tail_index`` log-fold
+    discipline); floats reappear only at the display ROUND.
+
+    Scale shape: wedges via one adjacency self-equi-join on the center
+    node (hub-bounded by the same degree-orientation argument as
+    ``triangle_count``'s wedge stage), existing edges removed with a
+    broadcast-able anti-join on the pair key, one pair-keyed partial
+    agg, and the top-k is TakeOrderedAndProject — no global sort.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.select(
+        (F.col("doc_id") % _AA_N).alias("u"),
+        (
+            (
+                (F.col("doc_id") / _AA_N).cast("long") * 2311
+                + F.col("doc_id") * 7919
+                + 13
+            )
+            % _AA_N
+        ).alias("v"),
+    ).where(F.col("u") != F.col("v"))
+    e = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("n")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    a1 = adj.select(F.col("u").alias("m"), F.col("v").alias("p"))
+    a2 = adj.select(F.col("u").alias("m"), F.col("v").alias("q"))
+    wedge = a1.join(a2, "m").where(F.col("p") < F.col("q"))
+    cand = wedge.join(
+        e, (e["a"] == wedge["p"]) & (e["b"] == wedge["q"]), "left_anti"
+    )
+    term = F.round(F.lit(1.0e6) / F.log(F.col("d").cast("double"))).cast(
+        "long"
+    )
+    scored = (
+        cand.join(deg, cand["m"] == deg["n"])
+        .groupBy(F.col("p").alias("u"), F.col("q").alias("v"))
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(term).cast("long").alias("aa_micro"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("aa_micro"), "u", "v")
+        .limit(_AA_TOPK)
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(F.col("aa_micro") * F.lit(1.0e-6), 6).alias("aa_score"),
+        )
+    )

@@ -669,3 +669,59 @@ def test_correlation_matrix_bounds_and_python(spark):
     )
     assert rows[0]["n_days"] == n
     assert abs(rows[0]["pearson_r"] - round(r_ref, 5)) < 2e-5
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    """Top-k Adamic-Adar candidates equal a plain-Python recompute over
+    the same derived graph (exact micro-unit scores), and the plan uses
+    equi-joins + TakeOrderedAndProject (no cartesian, no global sort)."""
+    import math
+
+    from osmgraft.contract_web import _AA_N, _AA_TOPK, adamic_adar_linkpred
+    from tests.conftest import SF_CORRECT
+
+    df = adamic_adar_linkpred(spark, SF_CORRECT)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) == _AA_TOPK
+
+    docs = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    edges = set()
+    for d in docs:
+        u = d % _AA_N
+        v = ((d // _AA_N) * 2311 + d * 7919 + 13) % _AA_N
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    scores: dict[tuple[int, int], tuple[int, int]] = {}
+    for m, ns in nbrs.items():
+        term = int(round(1.0e6 / math.log(len(ns))))
+        sns = sorted(ns)
+        for i, p in enumerate(sns):
+            for q2 in sns[i + 1:]:
+                if (p, q2) in edges:
+                    continue
+                c, s = scores.get((p, q2), (0, 0))
+                scores[(p, q2)] = (c + 1, s + term)
+    ref = sorted(
+        ((s, p, q2, c) for (p, q2), (c, s) in scores.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:_AA_TOPK]
+    got = [(r["u"], r["v"], r["n_common"]) for r in rows]
+    exp = [(p, q2, c) for s, p, q2, c in ref]
+    assert got == exp
+    for r, (s, _, _, _) in zip(rows, ref):
+        assert abs(r["aa_score"] - round(s * 1e-6, 6)) < 1e-9

@@ -960,3 +960,151 @@ def bbox_intersect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.orderBy(
         F.desc("overlap_area"), "user_a", "user_b"
     ).limit(_BI_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# symmetric Hausdorff distance between co-located user tracks
+# ---------------------------------------------------------------------------
+
+_HD_CS = 100_000  # anchor-cell size used for candidate-pair blocking
+_HD_CAP = 64  # representative points per track (deterministic first-k by
+# event order) — bounds per-pair work at CAP² regardless of track length;
+# production trajectory similarity runs on simplified/sampled tracks
+# (track_simplify is the companion stage), never raw point clouds
+
+# anchor multipliers chosen to WRAP the 600k extent even for small
+# user_ids (38 users at sf0.01): 131 (track_crossings' multiplier) puts
+# every small-id anchor in cell (0,0) and the blocking would degenerate
+# to all-pairs at every SF
+_HD_PTS_CTE = """
+      SELECT user_id, event_id,
+             (user_id * 48271) % 600000 + (event_id * 37) % 100000 AS x,
+             (user_id * 16807) % 600000 + (event_id * 59) % 100000 AS y
+      FROM events WHERE user_id % 4 = 0
+"""
+
+_HD_SQL = f"""
+    WITH pts0 AS ({_HD_PTS_CTE}),
+    sq AS (SELECT user_id, x, y,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS seq
+           FROM pts0),
+    p AS (SELECT * FROM sq WHERE seq <= {_HD_CAP}),
+    np AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM p
+           GROUP BY user_id),
+    anch AS (SELECT DISTINCT user_id,
+                    (user_id * 48271) % 600000 // {_HD_CS} AS acx,
+                    (user_id * 16807) % 600000 // {_HD_CS} AS acy
+             FROM pts0),
+    pairs AS (
+      SELECT a.user_id AS ua, b.user_id AS ub
+      FROM anch a JOIN anch b
+        ON a.acx = b.acx AND a.acy = b.acy AND a.user_id < b.user_id),
+    d AS (
+      SELECT pr.ua, pr.ub, pa.seq AS sa, pb.seq AS sb,
+             (pa.x - pb.x) * (pa.x - pb.x)
+             + (pa.y - pb.y) * (pa.y - pb.y) AS d2
+      FROM pairs pr
+      JOIN p pa ON pa.user_id = pr.ua
+      JOIN p pb ON pb.user_id = pr.ub),
+    ha AS (SELECT ua, ub, MAX(md) AS h FROM (
+             SELECT ua, ub, sa, MIN(d2) AS md FROM d GROUP BY ua, ub, sa) z
+           GROUP BY ua, ub),
+    hb AS (SELECT ua, ub, MAX(md) AS h FROM (
+             SELECT ua, ub, sb, MIN(d2) AS md FROM d GROUP BY ua, ub, sb) z
+           GROUP BY ua, ub)
+    SELECT ha.ua AS user_a, ha.ub AS user_b,
+           na.n AS n_pts_a, nb.n AS n_pts_b,
+           CAST(GREATEST(ha.h, hb.h) AS BIGINT) AS hausdorff_sq
+    FROM ha JOIN hb ON ha.ua = hb.ua AND ha.ub = hb.ub
+    JOIN np na ON na.user_id = ha.ua
+    JOIN np nb ON nb.user_id = ha.ub
+    ORDER BY hausdorff_sq, user_a, user_b LIMIT 20
+    """
+
+
+@q("track_hausdorff_pairs", oracle=_HD_SQL)
+def track_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric Hausdorff distance between co-located user tracks (the
+    trajectory-similarity primitive beside ``track_crossings``'
+    intersection test): candidate pairs come from an EQUI-join on the
+    track's anchor cell (spatial blocking — never an all-pairs user
+    join), each track is represented by a deterministic cap of its
+    first 64 points, and H(A,B) = max(h(A→B), h(B→A)) where
+    h(A→B) = max_p min_q d²(p,q). Integer coordinates keep every
+    squared distance exact in int64 — the output is deterministic with
+    no float anywhere. Top-20 MOST similar pairs (smallest H).
+
+    Scale shape: blocking join on anchor cells, two point-side
+    equi-joins fanning out to ≤ CAP² rows per candidate pair, min/max
+    partial aggs, TakeOrderedAndProject top-k. Per-pair work is
+    CAP²-bounded no matter how long tracks get; pair count is bounded
+    by cell occupancy (the dense-cell salting story applies to hot
+    cells at 100 TB).
+    """
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") % 4 == 0)
+    pts0 = ev.select(
+        "user_id",
+        "event_id",
+        ((F.col("user_id") * 48271) % 600000 + (F.col("event_id") * 37) % 100000).alias("x"),
+        ((F.col("user_id") * 16807) % 600000 + (F.col("event_id") * 59) % 100000).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    p = (
+        pts0.withColumn("seq", F.row_number().over(w))
+        .where(F.col("seq") <= _HD_CAP)
+        .select("user_id", "seq", "x", "y")
+    )
+    np_ = p.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+    anch = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.expr(f"(user_id * 48271) % 600000 div {_HD_CS}").alias("acx"),
+            F.expr(f"(user_id * 16807) % 600000 div {_HD_CS}").alias("acy"),
+        )
+    )
+    a = anch.select(F.col("user_id").alias("ua"), "acx", "acy")
+    b = anch.select(F.col("user_id").alias("ub"), "acx", "acy")
+    pairs = a.join(b, ["acx", "acy"]).where(F.col("ua") < F.col("ub")).select("ua", "ub")
+    pa = p.select(
+        F.col("user_id").alias("ua"), F.col("seq").alias("sa"),
+        F.col("x").alias("xa"), F.col("y").alias("ya"),
+    )
+    pb = p.select(
+        F.col("user_id").alias("ub"), F.col("seq").alias("sb"),
+        F.col("x").alias("xb"), F.col("y").alias("yb"),
+    )
+    d = (
+        pairs.join(pa, "ua")
+        .join(pb, "ub")
+        .select(
+            "ua", "ub", "sa", "sb",
+            (
+                (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+                + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+            ).alias("d2"),
+        )
+    )
+    ha = (
+        d.groupBy("ua", "ub", "sa").agg(F.min("d2").alias("md"))
+        .groupBy("ua", "ub").agg(F.max("md").alias("h"))
+    )
+    hb = (
+        d.groupBy("ua", "ub", "sb").agg(F.min("d2").alias("md"))
+        .groupBy("ua", "ub").agg(F.max("md").alias("hb_h"))
+    )
+    res = (
+        ha.join(hb, ["ua", "ub"])
+        .join(np_.select(F.col("user_id").alias("ua"), F.col("n").alias("n_pts_a")), "ua")
+        .join(np_.select(F.col("user_id").alias("ub"), F.col("n").alias("n_pts_b")), "ub")
+        .select(
+            F.col("ua").alias("user_a"),
+            F.col("ub").alias("user_b"),
+            "n_pts_a",
+            "n_pts_b",
+            F.greatest("h", "hb_h").cast("long").alias("hausdorff_sq"),
+        )
+    )
+    return res.orderBy("hausdorff_sq", "user_a", "user_b").limit(20)

@@ -275,3 +275,74 @@ def test_cohens_kappa_consistent_with_confusion_matrix(spark):
     assert abs(out.po - po) < 1e-6
     assert abs(out.pe - pe) < 1e-6
     assert abs(out.kappa - (po - pe) / (1 - pe)) < 1e-5
+
+
+def test_hausdorff_pairs_match_bruteforce(spark):
+    """Every reported pair's Hausdorff² equals a plain-Python max-min
+    recompute over the same capped point sets, the pair list is exactly
+    the top-20 of the blocked candidate set, and the plan has no
+    cartesian product."""
+    from osmgraft.contract_tracks import (
+        _HD_CAP,
+        _HD_CS,
+        track_hausdorff_pairs,
+    )
+    from tests.conftest import SF_CORRECT
+
+    df = track_hausdorff_pairs(spark, SF_CORRECT)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert rows
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .where("user_id % 4 = 0")
+        .select("user_id", "event_id")
+        .collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r["event_id"])
+    tracks = {}
+    for u, eids in by_user.items():
+        eids.sort()
+        tracks[u] = [
+            (
+                (u * 48271) % 600000 + (e * 37) % 100000,
+                (u * 16807) % 600000 + (e * 59) % 100000,
+            )
+            for e in eids[:_HD_CAP]
+        ]
+
+    def h_dir(A, B):
+        return max(
+            min((ax - bx) ** 2 + (ay - by) ** 2 for bx, by in B)
+            for ax, ay in A
+        )
+
+    cand = []
+    users = sorted(tracks)
+    for i, ua in enumerate(users):
+        for ub in users[i + 1:]:
+            if (
+                (ua * 48271) % 600000 // _HD_CS
+                == (ub * 48271) % 600000 // _HD_CS
+                and (ua * 16807) % 600000 // _HD_CS
+                == (ub * 16807) % 600000 // _HD_CS
+            ):
+                h = max(
+                    h_dir(tracks[ua], tracks[ub]),
+                    h_dir(tracks[ub], tracks[ua]),
+                )
+                cand.append((h, ua, ub))
+    cand.sort()
+    exp = cand[:20]
+    got = [(r["hausdorff_sq"], r["user_a"], r["user_b"]) for r in rows]
+    assert got == exp
+    for r in rows:
+        assert r["n_pts_a"] == len(tracks[r["user_a"]])
+        assert r["n_pts_b"] == len(tracks[r["user_b"]])

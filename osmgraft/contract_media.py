@@ -547,3 +547,149 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# audio waveform stats through the real WAV codec
+# ---------------------------------------------------------------------------
+
+_WAV_MOD = 4  # doc_id % 4 == 3 rows are the crawl's audio attachments
+# (attach_media's media-type rule for key_col=doc_id)
+
+_WAVEFORM_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, lang, 64 + doc_id % 191 AS n
+      FROM documents WHERE doc_id % {_WAV_MOD} = 3),
+    s AS (
+      SELECT doc_id, lang, n, i,
+             (doc_id * 31 + i * i * 7 + i * 13) % 4001 - 2000 AS v,
+             CASE WHEN i > 0 THEN
+               (doc_id * 31 + (i - 1) * (i - 1) * 7 + (i - 1) * 13)
+                 % 4001 - 2000
+             END AS pv
+      FROM d, UNNEST(range(n)) t(i)),
+    per AS (
+      SELECT doc_id, lang, MIN(n) AS n_samples,
+             CAST(SUM(v * v) AS BIGINT) AS energy,
+             CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zc,
+             CAST(MAX(ABS(v)) AS BIGINT) AS peak
+      FROM s GROUP BY doc_id, lang),
+    rms AS (
+      SELECT lang, n_samples, zc, peak,
+             CAST(FLOOR(SQRT(energy * 1.0e0 / n_samples) * 1.0e6 + 0.5e0)
+                  AS BIGINT) AS rms_micro
+      FROM per)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+           CAST(SUM(zc) AS BIGINT) AS total_zero_crossings,
+           CAST(MAX(peak) AS BIGINT) AS max_peak,
+           ROUND(SUM(rms_micro) * 1.0e-6 / COUNT(*), 4) AS avg_rms
+    FROM rms GROUP BY lang ORDER BY lang
+    """
+
+
+@q("media_waveform_stats", oracle=_WAVEFORM_SQL)
+def media_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality through a REAL codec (the WAV twin of
+    ``media_image_features``): audio rows get genuine RIFF/PCM16 payloads
+    (multimodal/wav.py encoder), the stats kernel STRICTLY decodes those
+    bytes back (chunk walk, format validation — no formula shortcut can
+    slip in), and per-clip sample count / energy / zero-crossings / peak
+    come from the decoded waveform. The oracle recomputes everything from
+    the closed-form fixture waveform in SQL, so a hash match proves the
+    encode → decode round trip is sample-exact.
+
+    Float discipline: per-clip stats are pure int64; RMS is snapped to
+    integer micro-units per clip (FLOOR(sqrt·1e6 + 0.5) — sqrt and one
+    division are correctly rounded on both engines) before the lang
+    rollup sums it, so aggregation order cannot perturb the output.
+
+    Scale shape: payload bytes never shuffle — encode and decode are
+    chained Arrow ``mapInPandas`` kernels in ONE map stage; only the
+    small per-clip stat rows reach the lang-keyed partial agg.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from osmgraft.multimodal.wav import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+        pcm_for_key,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _WAV_MOD == 3)
+        .select("doc_id", "lang")
+    )
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encode_wav_pcm16(*pcm_for_key(int(d))) for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_wav = docs.mapInPandas(
+        attach, schema="doc_id long, lang string, payload binary"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for d, lang, payload in zip(
+                pdf["doc_id"], pdf["lang"], pdf["payload"]
+            ):
+                s, _rate = decode_wav_pcm16(bytes(payload))
+                out.append(
+                    (
+                        int(d),
+                        lang,
+                        len(s),
+                        int(np.sum(s * s)),
+                        int(np.sum(s[:-1] * s[1:] < 0)),
+                        int(np.max(np.abs(s))),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "lang", "n_samples", "energy", "zc", "peak",
+                ],
+            )
+
+    per = with_wav.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, lang string, n_samples long, energy long, "
+            "zc long, peak long"
+        ),
+    )
+    rms_micro = F.floor(
+        F.sqrt(F.col("energy") * F.lit(1.0) / F.col("n_samples"))
+        * F.lit(1.0e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        per.select("lang", "n_samples", "zc", "peak", rms_micro.alias("rms_micro"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_clips"),
+            F.sum("n_samples").cast("long").alias("total_samples"),
+            F.sum("zc").cast("long").alias("total_zero_crossings"),
+            F.max("peak").cast("long").alias("max_peak"),
+            F.round(
+                F.sum("rms_micro") * F.lit(1.0e-6) / F.count("*"), 4
+            ).alias("avg_rms"),
+        )
+        .orderBy("lang")
+    )

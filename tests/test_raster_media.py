@@ -205,3 +205,88 @@ def test_poisoned_row_isolation(spark):
     assert out["https://bad"][0] is None and out["https://bad"][1] == "ValueError"
     with pytest.raises(Exception):
         extract_image_features(pages, strict=True).collect()
+
+
+class TestWavCodec:
+    def test_roundtrip_is_sample_exact(self):
+        import numpy as np
+
+        from osmgraft.multimodal.wav import (
+            decode_wav_pcm16,
+            encode_wav_pcm16,
+            pcm_for_key,
+        )
+
+        for d in [0, 3, 7, 63, 190, 1234567]:
+            s, rate = pcm_for_key(d)
+            s2, rate2 = decode_wav_pcm16(encode_wav_pcm16(s, rate))
+            assert rate2 == rate
+            assert np.array_equal(s2, s.astype(np.int64))
+
+    def test_tolerates_extra_chunks_and_word_alignment(self):
+        import struct
+
+        import numpy as np
+
+        from osmgraft.multimodal.wav import (
+            decode_wav_pcm16,
+            encode_wav_pcm16,
+            pcm_for_key,
+        )
+
+        s, rate = pcm_for_key(11)
+        payload = encode_wav_pcm16(s, rate)
+        # splice an odd-length LIST chunk between fmt and data
+        fmt_end = 12 + 8 + 16
+        extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+        spliced = (
+            payload[:fmt_end]
+            + extra
+            + payload[fmt_end:8] if False else
+            payload[:fmt_end] + extra + payload[fmt_end:]
+        )
+        # fix RIFF size
+        spliced = (
+            spliced[:4]
+            + struct.pack("<I", len(spliced) - 8)
+            + spliced[8:]
+        )
+        s2, rate2 = decode_wav_pcm16(spliced)
+        assert rate2 == rate
+        assert np.array_equal(s2, s.astype(np.int64))
+
+    def test_raises_on_bad_payloads(self):
+        import struct
+
+        import pytest as _pytest
+
+        from osmgraft.multimodal.wav import (
+            decode_wav_pcm16,
+            encode_wav_pcm16,
+            pcm_for_key,
+        )
+
+        good = encode_wav_pcm16(*pcm_for_key(5))
+        stereo = bytearray(good)
+        # fmt chunk starts at offset 20; channels field at +2
+        struct.pack_into("<H", stereo, 20 + 2, 2)
+        for bad in [b"", b"RIFF\x00\x00\x00\x00WAVE", good[:40], bytes(stereo)]:
+            with _pytest.raises(ValueError):
+                decode_wav_pcm16(bad)
+
+
+def test_waveform_stats_single_map_stage_before_agg(spark):
+    """Payload bytes must never shuffle: the encode+decode mapInPandas
+    kernels chain inside one stage — the plan has exactly one Exchange
+    (the lang rollup) and no payload column crosses it."""
+    from osmgraft.contract_media import media_waveform_stats
+    from tests.conftest import SF_CORRECT
+
+    df = media_waveform_stats(spark, SF_CORRECT)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # one hash exchange for the groupBy; the presentation sort may add a
+    # range exchange over the tiny post-agg relation
+    assert plan.count("hashpartitioning(") == 1
+    assert "payload" not in plan.split("hashpartitioning(")[1]

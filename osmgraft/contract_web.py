@@ -1435,23 +1435,33 @@ def blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = t(spark, sf_dir, "documents").select("doc_id", host.alias("host"))
     sfx = pages.select(
         "doc_id",
+        "host",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(host, '[.]'))),"
-                " i -> concat_ws('.', slice(split(host, '[.]'), i, 99)))"
+                "transform(sequence(1, size(split(host, '[.]')),"
+                " 1), i -> concat_ws('.', slice(split(host, '[.]'), i, 99)))"
             )
         ).alias("suffix"),
     )
-    bl = pages.sparkSession.createDataFrame(
-        [(r,) for r in _BL_RULES], "rule string"
+    # rules as a pure-SQL relation (VALUES-shape, no driver py4j transfer);
+    # a real UT1-size list reads from parquet — either way the small side
+    # of the broadcast join below
+    bl = (
+        sfx.sparkSession.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(r) for r in _BL_RULES])).alias("rule")
+        )
     )
-    hits = (
-        sfx.join(F.broadcast(bl), F.col("suffix") == F.col("rule"))
+    # LEFT-broadcast-join the suffix relation and fold to one label per
+    # page in the SAME doc-keyed agg (ALLOWED = no suffix hit) — no
+    # join-back to pages, one fewer shuffle
+    lab = (
+        sfx.join(F.broadcast(bl), F.col("suffix") == F.col("rule"), "left")
         .groupBy("doc_id")
-        .agg(F.min("rule").alias("rule"))
-    )
-    lab = pages.join(hits, "doc_id", "left").select(
-        "host", F.coalesce("rule", F.lit("ALLOWED")).alias("rule")
+        .agg(
+            F.min("host").alias("host"),
+            F.coalesce(F.min("rule"), F.lit("ALLOWED")).alias("rule"),
+        )
     )
     agg = lab.groupBy("rule").agg(
         F.count("*").cast("long").alias("n_pages"),

@@ -4195,3 +4195,122 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read delete application (Iceberg position + equality deletes)
+# ---------------------------------------------------------------------------
+
+_MOR_FILES = 40  # synthesized data-file count
+_MOR_DV = 11  # position-delete schedule modulus
+_MOR_EQK = 251  # equality-delete key-space modulus
+_MOR_EQV = 17  # deleted key residue
+
+_MOR_SQL = f"""
+    WITH base AS (
+      SELECT l_orderkey % {_MOR_FILES} AS file_id,
+             (l_orderkey // {_MOR_FILES}) * 10 + l_linenumber AS pos,
+             l_partkey
+      FROM lineitem),
+    posdel AS (
+      SELECT file_id, pos FROM base
+      WHERE (file_id * 31 + pos) % {_MOR_DV} = 0),
+    eqdel AS (
+      SELECT DISTINCT l_partkey FROM base
+      WHERE l_partkey % {_MOR_EQK} = {_MOR_EQV}),
+    marked AS (
+      SELECT b.file_id, b.pos, b.l_partkey,
+             p.pos IS NOT NULL AS pos_hit,
+             e.l_partkey IS NOT NULL AS eq_hit
+      FROM base b
+      LEFT JOIN posdel p ON b.file_id = p.file_id AND b.pos = p.pos
+      LEFT JOIN eqdel e ON b.l_partkey = e.l_partkey)
+    SELECT file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_base,
+           CAST(COUNT(*) FILTER (WHERE pos_hit) AS BIGINT) AS n_pos_del,
+           CAST(COUNT(*) FILTER (WHERE eq_hit AND NOT pos_hit) AS BIGINT)
+             AS n_eq_del,
+           CAST(COUNT(*) FILTER (WHERE NOT pos_hit AND NOT eq_hit)
+                AS BIGINT) AS n_live,
+           CAST(COALESCE(SUM(CASE WHEN NOT pos_hit AND NOT eq_hit
+                             THEN l_partkey + pos END), 0) AS BIGINT)
+             AS live_sum
+    FROM marked GROUP BY file_id ORDER BY file_id
+    """
+
+
+@q("mor_delete_apply", oracle=_MOR_SQL)
+def mor_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delete application — the Iceberg v2 read path the
+    input-hint's table format needs: base data files carry (file, pos)
+    row addresses, POSITION deletes (deletion vectors) remove specific
+    addresses, EQUALITY deletes remove every row matching a key, and a
+    reader reconstructs the live rows without rewriting data files.
+    Per-file audit: base/deleted/live row counts (position deletes take
+    precedence — an address already deleted by DV is not re-counted as
+    an equality delete, matching the spec's apply order) plus an
+    additive int64 checksum of the live rows (distributed — never an
+    md5-of-concatenation that would serialize through one task).
+
+    Scale shape: the DV join is keyed (file_id, pos) — co-partitioned
+    with the base file layout, so at scale it is a per-file local probe
+    (Iceberg readers apply DVs file-locally); the equality-delete side
+    is a DISTINCT key set, broadcast-sized by design (equality deletes
+    are written by trickle updates, compacted away by maintenance).
+    Counts are one file-keyed partial agg.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % _MOR_FILES).alias("file_id"),
+        (
+            (F.col("l_orderkey") / _MOR_FILES).cast("long") * 10
+            + F.col("l_linenumber")
+        ).alias("pos"),
+        "l_partkey",
+    )
+    posdel = li.where(
+        (F.col("file_id") * 31 + F.col("pos")) % _MOR_DV == 0
+    ).select(
+        F.col("file_id").alias("pd_file"), F.col("pos").alias("pd_pos")
+    )
+    eqdel = (
+        li.where(F.col("l_partkey") % _MOR_EQK == _MOR_EQV)
+        .select(F.col("l_partkey").alias("eq_key"))
+        .distinct()
+    )
+    marked = (
+        li.join(
+            posdel,
+            (F.col("file_id") == F.col("pd_file"))
+            & (F.col("pos") == F.col("pd_pos")),
+            "left",
+        )
+        .join(
+            F.broadcast(eqdel), F.col("l_partkey") == F.col("eq_key"), "left"
+        )
+        .select(
+            "file_id",
+            "pos",
+            "l_partkey",
+            F.col("pd_pos").isNotNull().alias("pos_hit"),
+            F.col("eq_key").isNotNull().alias("eq_hit"),
+        )
+    )
+    live = ~F.col("pos_hit") & ~F.col("eq_hit")
+    return (
+        marked.groupBy("file_id")
+        .agg(
+            F.count("*").cast("long").alias("n_base"),
+            F.sum(F.col("pos_hit").cast("long")).cast("long").alias("n_pos_del"),
+            F.sum((F.col("eq_hit") & ~F.col("pos_hit")).cast("long"))
+            .cast("long")
+            .alias("n_eq_del"),
+            F.sum(live.cast("long")).cast("long").alias("n_live"),
+            F.coalesce(
+                F.sum(F.when(live, F.col("l_partkey") + F.col("pos"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("live_sum"),
+        )
+        .orderBy("file_id")
+    )

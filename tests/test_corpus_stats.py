@@ -863,3 +863,57 @@ def test_scd2_intervals_partition_each_users_history(spark):
         if len(vs) > 1:
             some_multi_version = True
     assert some_multi_version
+
+
+def test_mor_delete_apply_accounting_and_equivalence(spark):
+    """MoR invariants: n_base == n_pos_del + n_eq_del + n_live per file;
+    the live set equals a direct double-anti-join reconstruction (count
+    and checksum); both delete classes fire on the fixture; the
+    equality-delete side is broadcast in the plan."""
+    from osmgraft.contract_corpus import (
+        _MOR_DV,
+        _MOR_EQK,
+        _MOR_EQV,
+        _MOR_FILES,
+        mor_delete_apply,
+    )
+
+    df = mor_delete_apply(spark, SF_CORRECT)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert len(rows) == _MOR_FILES
+    assert sum(r["n_pos_del"] for r in rows) > 0
+    assert sum(r["n_eq_del"] for r in rows) > 0
+    for r in rows:
+        assert r["n_base"] == r["n_pos_del"] + r["n_eq_del"] + r["n_live"]
+
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet").selectExpr(
+        f"l_orderkey % {_MOR_FILES} AS file_id",
+        f"(l_orderkey div {_MOR_FILES}) * 10 + l_linenumber AS pos",
+        "l_partkey",
+    )
+    posdel = li.where(
+        f"(file_id * 31 + pos) % {_MOR_DV} = 0"
+    ).select("file_id", "pos")
+    eqdel = li.where(
+        f"l_partkey % {_MOR_EQK} = {_MOR_EQV}"
+    ).select("l_partkey").distinct()
+    live = li.join(posdel, ["file_id", "pos"], "left_anti").join(
+        eqdel, "l_partkey", "left_anti"
+    )
+    direct = {
+        r["file_id"]: (r["n"], r["s"])
+        for r in live.groupBy("file_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_partkey") + F.col("pos")).alias("s"),
+        )
+        .collect()
+    }
+    for r in rows:
+        n, s = direct.get(r["file_id"], (0, 0))
+        assert r["n_live"] == n
+        assert r["live_sum"] == (s or 0)

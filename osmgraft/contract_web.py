@@ -5564,3 +5564,123 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("aa_micro") * F.lit(1.0e-6), 6).alias("aa_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U drift test (rank-sum complement of ks_value_drift)
+# ---------------------------------------------------------------------------
+
+_MW_BINS = 1000  # value quantization (cents mod 1000) — bins the pooled
+# ranking so the rank walk runs over a ≤1000-row POST-AGG relation (never
+# a per-row global sort), and deliberately creates heavy ties so the
+# tie-corrected variance path is actually exercised
+
+_MW_SQL = f"""
+    WITH ev AS (
+      SELECT CAST(FLOOR(value * 100.0e0) AS BIGINT) % {_MW_BINS} AS v,
+             CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                       <= DATE '2024-01-15' THEN 1 ELSE 0 END AS is_a
+      FROM events),
+    bins AS (
+      SELECT v, CAST(SUM(is_a) AS BIGINT) AS na,
+             CAST(SUM(1 - is_a) AS BIGINT) AS nb
+      FROM ev GROUP BY v),
+    ranked AS (
+      SELECT v, na, nb, na + nb AS t,
+             CAST(COALESCE(SUM(na + nb) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS prior
+      FROM bins),
+    agg AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+             CAST(SUM(nb) AS BIGINT) AS n_b,
+             SUM(na * (prior + (t + 1) * 0.5e0)) AS r_a,
+             SUM(CAST(t AS DOUBLE) * t * t - t) AS ties,
+             CAST(COUNT(*) AS BIGINT) AS n_bins
+      FROM ranked)
+    SELECT n_a, n_b, n_bins,
+           ROUND(r_a - n_a * (n_a + 1) * 0.5e0, 1) AS u_stat,
+           ROUND((r_a - n_a * (n_a + 1) * 0.5e0 - n_a * 1.0e0 * n_b * 0.5e0)
+                 / SQRT(n_a * 1.0e0 * n_b / 12.0e0
+                        * ((n_a + n_b + 1)
+                           - ties / ((n_a + n_b) * 1.0e0
+                                     * (n_a + n_b - 1)))), 6) AS z_score
+    FROM agg
+    """
+
+
+@q("mann_whitney_drift", oracle=_MW_SQL)
+def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) drift test between the first
+    and second half of the crawl month — the rank-based complement of
+    ``ks_value_drift`` (location shift vs distribution shape) with the
+    tie-corrected normal approximation.
+
+    Exactness argument: per-bin counts are int64; average ranks are
+    half-integers, so every rank-sum partial is a dyadic rational far
+    below 2^52 — the double-typed sums are EXACT regardless of
+    aggregation order on both engines (no snap needed before the final
+    ROUND); the tie term t³-t stays < 2^52 for any non-degenerate bin
+    occupancy.
+
+    Scale shape: one bin-keyed partial agg over the raw table; the rank
+    walk (cumulative prior-count window) runs over the ≤1000-row
+    post-agg bin relation — the ``quadkey_tile_counts`` post-agg-window
+    discipline, never a per-row global sort.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        (F.floor(F.col("value") * 100.0).cast("long") % _MW_BINS).alias("v"),
+        F.when(
+            F.to_date(F.date_trunc("day", "ts")) <= F.lit("2024-01-15").cast("date"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    bins = ev.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("na"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("nb"),
+    )
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = bins.select(
+        "v",
+        "na",
+        "nb",
+        (F.col("na") + F.col("nb")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("na") + F.col("nb")).over(w), F.lit(0)
+        )
+        .cast("long")
+        .alias("prior"),
+    )
+    agg = ranked.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("na") * (F.col("prior") + (F.col("t") + 1) * F.lit(0.5))
+        ).alias("r_a"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("ties"),
+        F.count("*").cast("long").alias("n_bins"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    u = F.col("r_a") - na * (na + 1) * F.lit(0.5)
+    mu = na * F.lit(1.0) * nb * F.lit(0.5)
+    sigma = F.sqrt(
+        na * F.lit(1.0) * nb / F.lit(12.0)
+        * (
+            (na + nb + 1)
+            - F.col("ties") / ((na + nb) * F.lit(1.0) * (na + nb - 1))
+        )
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_bins",
+        F.round(u, 1).alias("u_stat"),
+        F.round((u - mu) / sigma, 6).alias("z_score"),
+    )

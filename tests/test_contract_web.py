@@ -725,3 +725,44 @@ def test_adamic_adar_matches_bruteforce(spark):
     assert got == exp
     for r, (s, _, _, _) in zip(rows, ref):
         assert abs(r["aa_score"] - round(s * 1e-6, 6)) < 1e-9
+
+
+def test_mann_whitney_matches_scipy_style_reference(spark):
+    """U and z equal a plain-Python tie-corrected rank-sum recompute on
+    the same quantized bins; the rank window runs over the post-agg bin
+    relation (bins ≤ _MW_BINS), not the raw table."""
+    from osmgraft.contract_web import _MW_BINS, mann_whitney_drift
+    from tests.conftest import SF_CORRECT
+
+    row = mann_whitney_drift(spark, SF_CORRECT).collect()[0]
+    assert row["n_bins"] <= _MW_BINS
+
+    import datetime
+    import math
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet").collect()
+    cut = datetime.date(2024, 1, 15)
+    bins: dict[int, list[int]] = {}
+    for e in ev:
+        v = int(math.floor(e["value"] * 100.0)) % _MW_BINS
+        a = 1 if e["ts"].date() <= cut else 0
+        na, nb = bins.get(v, (0, 0))
+        bins[v] = (na + a, nb + (1 - a))
+    prior, r_a, ties, n_a, n_b = 0, 0.0, 0.0, 0, 0
+    for v in sorted(bins):
+        na, nb = bins[v]
+        tcnt = na + nb
+        r_a += na * (prior + (tcnt + 1) * 0.5)
+        ties += float(tcnt) ** 3 - tcnt
+        prior += tcnt
+        n_a += na
+        n_b += nb
+    u = r_a - n_a * (n_a + 1) * 0.5
+    mu = n_a * n_b * 0.5
+    n = n_a + n_b
+    sigma = math.sqrt(
+        n_a * n_b / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    )
+    assert row["n_a"] == n_a and row["n_b"] == n_b
+    assert abs(row["u_stat"] - round(u, 1)) < 1e-9
+    assert abs(row["z_score"] - round((u - mu) / sigma, 6)) < 2e-6

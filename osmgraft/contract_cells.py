@@ -2157,3 +2157,73 @@ def nn_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_nn, 4).alias("mean_nn"),
         F.round(mean_nn / (0.5 / F.sqrt(dens)), 4).alias("clark_evans_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# great-circle (haversine) distance banding — spherical geometry surface
+# ---------------------------------------------------------------------------
+
+_HAV_R_KM = 6371.0088  # IUGG mean Earth radius
+_HAV_POI = (51.5074, -0.1278)  # central POI (London)
+_HAV_BAND_KM = 50.0
+
+# shared expression text (identical string on both engines — the
+# X_EXPR/Y_EXPR discipline): deterministic UK-extent lat/lon per event
+_HAV_LAT = "(50.0e0 + (event_id % 900) * 1.0e-2)"
+_HAV_LON = "(-8.0e0 + (CAST(FLOOR(event_id / 13.0e0) AS BIGINT) % 1000) * 1.0e-2)"
+
+# haversine in the SAME expression text on both engines; trig libm calls
+# may differ by an ulp between JVM and DuckDB, so the distance is snapped
+# to 6 dp (sub-millimetre) BEFORE banding/aggregation — identical doubles
+# everywhere downstream
+_HAV_D_KM = (
+    f"ROUND(2.0e0 * {_HAV_R_KM}e0 * ASIN(SQRT("
+    f"POWER(SIN(RADIANS({_HAV_POI[0]}e0 - {_HAV_LAT}) * 0.5e0), 2)"
+    f" + COS(RADIANS({_HAV_LAT})) * COS(RADIANS({_HAV_POI[0]}e0))"
+    f" * POWER(SIN(RADIANS({_HAV_POI[1]}e0 - {_HAV_LON}) * 0.5e0), 2)"
+    f")), 6)"
+)
+
+_HAV_SQL = f"""
+    WITH d AS (SELECT {_HAV_D_KM} AS d_km FROM events)
+    SELECT CAST(FLOOR(d_km / {_HAV_BAND_KM}e0) AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MIN(d_km), 3) AS min_km,
+           ROUND(MAX(d_km), 3) AS max_km
+    FROM d GROUP BY band ORDER BY band
+    """
+
+
+@q("haversine_band_counts", oracle=_HAV_SQL)
+def haversine_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance banding — the SPHERICAL complement of the
+    engine's planar distance surface (dwithin/knn run on the projected
+    plane; a web-scale geocoding pipeline also needs true lat/lon
+    haversine, e.g. distance-from-POI features for extracted page
+    geotags): per 50 km ring around the central POI, event counts and
+    the distance range.
+
+    Cross-engine float discipline: the haversine is ONE shared
+    expression string on both engines, and its result is snapped to
+    6 dp (≈ 0.1 mm) before any banding or aggregation — libm trig may
+    legally differ by an ulp between the JVM and DuckDB, and the snap
+    collapses that difference; a band flip would need a true distance
+    within 1e-10 of a band edge, which the 0.01-degree synthetic grid
+    cannot produce.
+
+    Scale shape: scan-only in-row math (whole-stage codegen, no UDF),
+    one band-keyed partial agg.
+    """
+    ev = t(spark, sf_dir, "events")
+    d = ev.selectExpr(f"{_HAV_D_KM} AS d_km")
+    return (
+        d.groupBy(
+            F.floor(F.col("d_km") / _HAV_BAND_KM).cast("long").alias("band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.min("d_km"), 3).alias("min_km"),
+            F.round(F.max("d_km"), 3).alias("max_km"),
+        )
+        .orderBy("band")
+    )

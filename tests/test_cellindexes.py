@@ -672,3 +672,52 @@ class TestPointPatternOps:
         assert int(out.n_pts) == n
         assert int(out.n_censored) == int((nn > w).sum())
         assert abs(out.mean_nn - du.sum() / 1e4 / len(du)) < 1e-3
+
+
+def test_haversine_bands_match_python_reference(spark):
+    """Band counts and ranges equal a plain-Python haversine recompute
+    (same 6-dp snap); accounting covers every event."""
+    import math
+
+    from osmgraft.contract_cells import (
+        _HAV_BAND_KM,
+        _HAV_POI,
+        _HAV_R_KM,
+        haversine_band_counts,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = haversine_band_counts(spark, SF_CORRECT).collect()
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .select("event_id")
+        .collect()
+    )
+    ref: dict[int, list[float]] = {}
+    for e in ev:
+        eid = e["event_id"]
+        lat = 50.0 + (eid % 900) * 1.0e-2
+        lon = -8.0 + (int(math.floor(eid / 13.0)) % 1000) * 1.0e-2
+        dlat = math.radians(_HAV_POI[0] - lat) * 0.5
+        dlon = math.radians(_HAV_POI[1] - lon) * 0.5
+        d = (
+            2.0
+            * _HAV_R_KM
+            * math.asin(
+                math.sqrt(
+                    math.sin(dlat) ** 2
+                    + math.cos(math.radians(lat))
+                    * math.cos(math.radians(_HAV_POI[0]))
+                    * math.sin(dlon) ** 2
+                )
+            )
+        )
+        d = math.floor(d * 1e6 + 0.5) / 1e6
+        ref.setdefault(int(d // _HAV_BAND_KM), []).append(d)
+    assert sum(r["n_events"] for r in rows) == len(ev)
+    assert {r["band"] for r in rows} == set(ref)
+    for r in rows:
+        ds = ref[r["band"]]
+        assert r["n_events"] == len(ds)
+        assert abs(r["min_km"] - round(min(ds), 3)) < 1e-6
+        assert abs(r["max_km"] - round(max(ds), 3)) < 1e-6

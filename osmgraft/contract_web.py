@@ -5684,3 +5684,111 @@ def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 1).alias("u_stat"),
         F.round((u - mu) / sigma, 6).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (Newman's r over the link graph)
+# ---------------------------------------------------------------------------
+
+_ASSORT_SQL = f"""
+    WITH raw AS (
+      SELECT doc_id % {{n}} AS u,
+             ((doc_id // {{n}}) * 2311 + doc_id * 7919 + 13) % {{n}} AS v
+      FROM documents),
+    e AS (
+      SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+      FROM raw WHERE u <> v),
+    adj AS (SELECT a AS u, b AS v FROM e
+            UNION ALL SELECT b AS u, a AS v FROM e),
+    deg AS (SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    pairs AS (
+      SELECT da.d AS x, db.d AS y
+      FROM adj JOIN deg da ON da.n = adj.u JOIN deg db ON db.n = adj.v),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pairs)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           ROUND((m2 * 1.0e0 * sxy - sx * 1.0e0 * sx)
+                 / (m2 * 1.0e0 * sxx - sx * 1.0e0 * sx), 6)
+             AS assortativity
+    FROM s
+    """.replace("{n}", str(_AA_N))
+
+
+@q("degree_assortativity", oracle=_ASSORT_SQL)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the link graph (do hubs link to
+    hubs?) — the summary statistic beside ``graph_reciprocity`` (edge
+    symmetry) and ``cluster_modularity`` (community strength). Computed
+    as the Pearson correlation of end-point degrees over DIRECTED edge
+    slots (each undirected edge contributes both orientations, making
+    the x/y marginals identical — the standard undirected convention,
+    so Sy == Sx and Syy == Sxx need not be computed twice).
+
+    Exactness: every sum is an int64 power sum (degrees are small
+    integers); floats appear only in the final closed-form division —
+    aggregation order cannot perturb the output (the ``ols_multifeature``
+    discipline).
+
+    Scale shape: one degree agg, one edge-to-degree equi-join each side
+    (degree relation broadcasts), one global partial agg to six scalars.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.select(
+        (F.col("doc_id") % _AA_N).alias("u"),
+        (
+            (
+                (F.col("doc_id") / _AA_N).cast("long") * 2311
+                + F.col("doc_id") * 7919
+                + 13
+            )
+            % _AA_N
+        ).alias("v"),
+    ).where(F.col("u") != F.col("v"))
+    e = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("n")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    da = deg.select(F.col("n").alias("nu"), F.col("d").alias("x"))
+    db = deg.select(F.col("n").alias("nv"), F.col("d").alias("y"))
+    pairs = (
+        adj.join(F.broadcast(da), adj["u"] == da["nu"])
+        .join(F.broadcast(db), adj["v"] == db["nv"])
+        .select("x", "y")
+    )
+    s = pairs.agg(
+        F.count("*").cast("long").alias("m2"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    n_edges = e.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.round(
+                (
+                    F.col("m2") * F.lit(1.0) * F.col("sxy")
+                    - F.col("sx") * F.lit(1.0) * F.col("sx")
+                )
+                / (
+                    F.col("m2") * F.lit(1.0) * F.col("sxx")
+                    - F.col("sx") * F.lit(1.0) * F.col("sx")
+                ),
+                6,
+            ).alias("assortativity"),
+        )
+    )

@@ -766,3 +766,41 @@ def test_mann_whitney_matches_scipy_style_reference(spark):
     assert row["n_a"] == n_a and row["n_b"] == n_b
     assert abs(row["u_stat"] - round(u, 1)) < 1e-9
     assert abs(row["z_score"] - round((u - mu) / sigma, 6)) < 2e-6
+
+
+def test_assortativity_matches_networkx_style_reference(spark):
+    """r equals a plain-Python Pearson-over-edge-slots recompute and
+    lies in [-1, 1]."""
+    from osmgraft.contract_web import _AA_N, degree_assortativity
+    from tests.conftest import SF_CORRECT
+
+    row = degree_assortativity(spark, SF_CORRECT).collect()[0]
+    docs = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    edges = set()
+    for d in docs:
+        u = d % _AA_N
+        v = ((d // _AA_N) * 2311 + d * 7919 + 13) % _AA_N
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = []
+    for a, b in edges:
+        xs.append((deg[a], deg[b]))
+        xs.append((deg[b], deg[a]))
+    m2 = len(xs)
+    sx = sum(x for x, _ in xs)
+    sxy = sum(x * y for x, y in xs)
+    sxx = sum(x * x for x, _ in xs)
+    r_ref = (m2 * sxy - sx * sx) / (m2 * sxx - sx * sx)
+    assert row["n_nodes"] == len(deg)
+    assert row["n_edges"] == len(edges)
+    assert -1.0 - 1e-9 <= row["assortativity"] <= 1.0 + 1e-9
+    assert abs(row["assortativity"] - round(r_ref, 6)) < 1e-9

@@ -3253,3 +3253,125 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("list_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords (PageRank over the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+_TR_DAMP = 0.85
+_TR_ITERS = 5
+_TR_SNAP = 10
+_TR_TOPK = 15
+
+
+def _textrank_sql() -> str:
+    """5 unrolled TextRank iterations (the ``pagerank_cosupply`` CTE
+    discipline: exact per-edge fractions, per-iteration 10-dp snap)."""
+    head = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    bg AS (SELECT list_slice(arr, 1, len(arr) - 1) AS h,
+                  list_slice(arr, 2, len(arr)) AS t2
+           FROM w WHERE len(arr) >= 2),
+    pairs AS (SELECT unnest(list_zip(h, t2)) AS z FROM bg),
+    raw AS (SELECT z[1] AS a, z[2] AS b FROM pairs
+            WHERE z[1] <> z[2]),
+    e0 AS (SELECT a AS src, b AS dst, CAST(COUNT(*) AS DOUBLE) AS wt
+           FROM (SELECT a, b FROM raw UNION ALL SELECT b, a FROM raw) z2
+           GROUP BY a, b),
+    deg AS (SELECT src, SUM(wt) AS wsum FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, e0.wt / deg.wsum AS frac
+          FROM e0 JOIN deg USING (src)),
+    r0 AS (SELECT src AS node, 1.0e0 AS rank FROM (SELECT DISTINCT src FROM e))"""
+    iters = "".join(
+        f""",
+    r{k + 1} AS (SELECT e.dst AS node,
+                 ROUND((1.0e0 - {_TR_DAMP}e0)
+                       + {_TR_DAMP}e0 * SUM(r{k}.rank * e.frac),
+                       {_TR_SNAP}) AS rank
+           FROM e JOIN r{k} ON e.src = r{k}.node GROUP BY e.dst)"""
+        for k in range(_TR_ITERS)
+    )
+    return (
+        head + iters
+        + f"""
+    SELECT node AS word, ROUND(rank, 6) AS rank,
+           CAST(dg.wsum AS BIGINT) AS cooc_weight
+    FROM r{_TR_ITERS} r JOIN deg dg ON dg.src = r.node
+    ORDER BY rank DESC, word LIMIT {_TR_TOPK}
+    """
+    )
+
+
+@q("textrank_keywords", oracle=_textrank_sql())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau): PageRank with the
+    paper's unnormalised teleport over the word co-occurrence graph
+    (adjacent-word edges, weights = corpus co-occurrence counts,
+    contributions weight-normalised per source), 5 fixed iterations,
+    top-k words — the graph-based keyword family beside ``rake_keyphrases``
+    (degree-scored phrases) and ``tfidf_top_terms`` (frequency-scored).
+
+    Cross-engine: per-iteration ranks snapped to 10 dp (the
+    ``pagerank_cosupply`` discipline) so both engines carry identical
+    doubles between rounds; edge fractions are exact small-int divisions.
+
+    Scale shape: bigram edges built in-row (zip_with — never a
+    position self-join), one edge agg; each iteration is one equi-join
+    + node-keyed partial agg over the VOCABULARY graph (corpus-bounded,
+    tiny relative to the corpus itself); top-k is
+    TakeOrderedAndProject.
+    """
+    d = t(spark, sf_dir, "documents")
+    warr = F.split("text", " ")
+    n = F.size(warr)
+    bgs = F.zip_with(
+        F.slice(warr, 1, n - 1),
+        F.slice(warr, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    raw = (
+        d.where(n >= 2)
+        .select(F.explode(bgs).alias("z"))
+        .select(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    both = raw.unionAll(
+        raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    e0 = both.groupBy(F.col("a").alias("src"), F.col("b").alias("dst")).agg(
+        F.count("*").cast("double").alias("wt")
+    )
+    deg = e0.groupBy("src").agg(F.sum("wt").alias("wsum"))
+    e = (
+        e0.join(deg, "src")
+        .select("src", "dst", (F.col("wt") / F.col("wsum")).alias("frac"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = e.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1.0).alias("rank")
+    )
+    for _ in range(_TR_ITERS):
+        ranks = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                F.round(
+                    F.lit(1.0 - _TR_DAMP)
+                    + F.lit(_TR_DAMP) * F.sum(F.col("rank") * F.col("frac")),
+                    _TR_SNAP,
+                ).alias("rank")
+            )
+            .select(F.col("node2").alias("node"), "rank")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.join(deg, ranks["node"] == deg["src"])
+        .select(
+            F.col("node").alias("word"),
+            F.round("rank", 6).alias("rank"),
+            F.col("wsum").cast("long").alias("cooc_weight"),
+        )
+        .orderBy(F.desc("rank"), "word")
+        .limit(_TR_TOPK)
+    )

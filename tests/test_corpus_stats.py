@@ -917,3 +917,48 @@ def test_mor_delete_apply_accounting_and_equivalence(spark):
         n, s = direct.get(r["file_id"], (0, 0))
         assert r["n_live"] == n
         assert r["live_sum"] == (s or 0)
+
+
+def test_textrank_matches_python_reference(spark):
+    """Final ranks equal a plain-Python TextRank replay (same snaps),
+    and ranks are positive with the teleport floor."""
+    from osmgraft.contract_text import (
+        _TR_DAMP,
+        _TR_ITERS,
+        _TR_TOPK,
+        textrank_keywords,
+    )
+
+    rows = textrank_keywords(spark, SF_CORRECT).collect()
+    assert len(rows) == _TR_TOPK
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").collect()
+    wt: dict[tuple[str, str], float] = {}
+    for d in docs:
+        toks = d["text"].split(" ")
+        for a, b in zip(toks, toks[1:]):
+            if a == b:
+                continue
+            wt[(a, b)] = wt.get((a, b), 0.0) + 1.0
+            wt[(b, a)] = wt.get((b, a), 0.0) + 1.0
+    wsum: dict[str, float] = {}
+    for (a, _b), v in wt.items():
+        wsum[a] = wsum.get(a, 0.0) + v
+    rank = {n: 1.0 for n in wsum}
+    for _ in range(_TR_ITERS):
+        incoming: dict[str, float] = {}
+        for (a, b), v in wt.items():
+            incoming[b] = incoming.get(b, 0.0) + rank[a] * (v / wsum[a])
+        rank = {
+            n2: round((1.0 - _TR_DAMP) + _TR_DAMP * s, 10)
+            for n2, s in incoming.items()
+        }
+    ref = sorted(
+        ((round(r, 6), w) for w, r in rank.items()),
+        key=lambda t2: (-t2[0], t2[1]),
+    )[:_TR_TOPK]
+    got = [(r["rank"], r["word"]) for r in rows]
+    assert got == ref
+    for r in rows:
+        assert r["rank"] >= (1.0 - _TR_DAMP) - 1e-9
+        assert r["cooc_weight"] == int(wsum[r["word"]])

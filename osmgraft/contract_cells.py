@@ -2227,3 +2227,127 @@ def haversine_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# raster slope/aspect from central differences (terrain-analysis classic)
+# ---------------------------------------------------------------------------
+
+_SLOPE_CS = 50_000  # raster cell size over the 700k planar extent (14x14)
+
+_SLOPE_SQL = f"""
+    WITH pts AS (SELECT {{x}} AS x, {{y}} AS y FROM events),
+    grid AS (
+      SELECT CAST(FLOOR(x / {_SLOPE_CS}.0e0) AS BIGINT) AS cx,
+             CAST(FLOOR(y / {_SLOPE_CS}.0e0) AS BIGINT) AS cy,
+             CAST(COUNT(*) AS BIGINT) AS z
+      FROM pts GROUP BY cx, cy),
+    grad AS (
+      SELECT g.cx, g.cy,
+             COALESCE(e.z, 0) - COALESCE(w.z, 0) AS dx,
+             COALESCE(n2.z, 0) - COALESCE(s.z, 0) AS dy
+      FROM grid g
+      LEFT JOIN grid e ON e.cx = g.cx + 1 AND e.cy = g.cy
+      LEFT JOIN grid w ON w.cx = g.cx - 1 AND w.cy = g.cy
+      LEFT JOIN grid n2 ON n2.cx = g.cx AND n2.cy = g.cy + 1
+      LEFT JOIN grid s ON s.cx = g.cx AND s.cy = g.cy - 1),
+    lab AS (
+      SELECT CASE
+               WHEN dx = 0 AND dy = 0 THEN 'FLAT'
+               WHEN 2 * ABS(dy) <= ABS(dx) THEN
+                 CASE WHEN dx > 0 THEN 'E' ELSE 'W' END
+               WHEN 2 * ABS(dx) <= ABS(dy) THEN
+                 CASE WHEN dy > 0 THEN 'N' ELSE 'S' END
+               ELSE CASE WHEN dy > 0 THEN 'N' ELSE 'S' END
+                    || CASE WHEN dx > 0 THEN 'E' ELSE 'W' END
+             END AS aspect,
+             dx * dx + dy * dy AS grad2
+      FROM grad)
+    SELECT aspect,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(grad2) AS BIGINT) AS total_grad2,
+           CAST(MAX(grad2) AS BIGINT) AS max_grad2
+    FROM lab GROUP BY aspect ORDER BY aspect
+    """
+
+
+def _slope_sql() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    return _SLOPE_SQL.replace("{x}", X_EXPR).replace("{y}", Y_EXPR)
+
+
+@q("raster_slope_aspect", oracle=_slope_sql())
+def raster_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster slope/aspect via central differences — the terrain-analysis
+    classic over the engine's raster surface (elevation := per-cell event
+    density, the same raster ``kde_heatmap``/``idw_grid_interpolation``
+    family): per cell, dz/dx and dz/dy come from the four rook
+    neighbors, gradient magnitude² stays in int64, and the aspect is an
+    8-way octant label decided purely by INTEGER sign/magnitude
+    comparisons (2|dy| ≤ |dx| ⇒ cardinal; else diagonal) — no atan2, no
+    float anywhere, so the rollup is exact on both engines.
+
+    Scale shape: one cell-keyed partial agg builds the raster; the four
+    neighbor lookups are equi-joins of the POST-AGG cell relation to
+    itself (cells ≪ points — this is raster algebra, not point
+    processing); one aspect rollup. Border cells see elevation 0
+    outside the raster (COALESCE), the standard DEM edge convention.
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    ev = t(spark, sf_dir, "events")
+    grid = (
+        ev.selectExpr(f"{X_EXPR} AS x", f"{Y_EXPR} AS y")
+        .selectExpr(
+            f"CAST(FLOOR(x / {_SLOPE_CS}.0e0) AS BIGINT) AS cx",
+            f"CAST(FLOOR(y / {_SLOPE_CS}.0e0) AS BIGINT) AS cy",
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("z"))
+    )
+    g = grid
+    for tag, dcx, dcy in (
+        ("e", 1, 0), ("w", -1, 0), ("n2", 0, 1), ("s", 0, -1),
+    ):
+        nb = grid.select(
+            F.col("cx").alias(f"{tag}_cx"),
+            F.col("cy").alias(f"{tag}_cy"),
+            F.col("z").alias(f"{tag}_z"),
+        )
+        g = g.join(
+            nb,
+            (F.col(f"{tag}_cx") == F.col("cx") + dcx)
+            & (F.col(f"{tag}_cy") == F.col("cy") + dcy),
+            "left",
+        )
+    dx = F.coalesce("e_z", F.lit(0)) - F.coalesce("w_z", F.lit(0))
+    dy = F.coalesce("n2_z", F.lit(0)) - F.coalesce("s_z", F.lit(0))
+    lab = g.select(
+        F.when((dx == 0) & (dy == 0), "FLAT")
+        .when(
+            2 * F.abs(dy) <= F.abs(dx),
+            F.when(dx > 0, F.lit("E")).otherwise(F.lit("W")),
+        )
+        .when(
+            2 * F.abs(dx) <= F.abs(dy),
+            F.when(dy > 0, F.lit("N")).otherwise(F.lit("S")),
+        )
+        .otherwise(
+            F.concat(
+                F.when(dy > 0, F.lit("N")).otherwise(F.lit("S")),
+                F.when(dx > 0, F.lit("E")).otherwise(F.lit("W")),
+            )
+        )
+        .alias("aspect"),
+        (dx * dx + dy * dy).alias("grad2"),
+    )
+    return (
+        lab.groupBy("aspect")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("grad2").cast("long").alias("total_grad2"),
+            F.max("grad2").cast("long").alias("max_grad2"),
+        )
+        .orderBy("aspect")
+    )

@@ -721,3 +721,49 @@ def test_haversine_bands_match_python_reference(spark):
         assert r["n_events"] == len(ds)
         assert abs(r["min_km"] - round(min(ds), 3)) < 1e-6
         assert abs(r["max_km"] - round(max(ds), 3)) < 1e-6
+
+
+def test_raster_slope_aspect_matches_python_reference(spark):
+    """Aspect rollup equals a plain-Python central-difference recompute
+    over the same grid; accounting covers every cell; gradient classes
+    are non-degenerate (FLAT and several directions present)."""
+    import math
+
+    from osmgraft.contract import X_EXPR, Y_EXPR
+    from osmgraft.contract_cells import _SLOPE_CS, raster_slope_aspect
+    from tests.conftest import SF_CORRECT
+
+    rows = raster_slope_aspect(spark, SF_CORRECT).collect()
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(f"{X_EXPR} AS x", f"{Y_EXPR} AS y")
+        .collect()
+    )
+    z: dict[tuple[int, int], int] = {}
+    for e in ev:
+        c = (
+            int(math.floor(e["x"] / _SLOPE_CS)),
+            int(math.floor(e["y"] / _SLOPE_CS)),
+        )
+        z[c] = z.get(c, 0) + 1
+    ref: dict[str, list[int]] = {}
+    for (cx, cy) in z:
+        dx = z.get((cx + 1, cy), 0) - z.get((cx - 1, cy), 0)
+        dy = z.get((cx, cy + 1), 0) - z.get((cx, cy - 1), 0)
+        if dx == 0 and dy == 0:
+            a = "FLAT"
+        elif 2 * abs(dy) <= abs(dx):
+            a = "E" if dx > 0 else "W"
+        elif 2 * abs(dx) <= abs(dy):
+            a = "N" if dy > 0 else "S"
+        else:
+            a = ("N" if dy > 0 else "S") + ("E" if dx > 0 else "W")
+        ref.setdefault(a, []).append(dx * dx + dy * dy)
+    assert sum(r["n_cells"] for r in rows) == len(z)
+    assert {r["aspect"] for r in rows} == set(ref)
+    assert len(rows) >= 4  # several directions fire on the fixture
+    for r in rows:
+        gs = ref[r["aspect"]]
+        assert r["n_cells"] == len(gs)
+        assert r["total_grad2"] == sum(gs)
+        assert r["max_grad2"] == max(gs)

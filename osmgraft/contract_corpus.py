@@ -4314,3 +4314,105 @@ def mor_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# vacuum retention audit (reclaimable storage per retention window)
+# ---------------------------------------------------------------------------
+
+_VAC_WINDOWS = (1, 2, 4, 8)  # candidate retention windows, in versions
+
+_VAC_SQL = f"""
+    WITH log AS (
+      SELECT doc_id AS file_id,
+             CAST(n_chars AS BIGINT) AS bytes,
+             CASE WHEN doc_id % 3 = 0
+                  THEN CAST(doc_id % 5 + 1 + doc_id % 4 AS BIGINT)
+             END AS removed_v
+      FROM documents),
+    w AS (SELECT CAST(k AS BIGINT) AS retention
+          FROM UNNEST([{", ".join(str(w) for w in _VAC_WINDOWS)}]) AS t(k)),
+    marked AS (
+      SELECT w.retention, l.bytes,
+             l.removed_v IS NOT NULL AS is_removed,
+             l.removed_v IS NOT NULL
+               AND l.removed_v <= {_TT_MAX_V} - w.retention AS eligible
+      FROM w CROSS JOIN log l)
+    SELECT retention,
+           CAST(COUNT(*) FILTER (WHERE eligible) AS BIGINT)
+             AS n_vacuum_files,
+           CAST(COALESCE(SUM(bytes) FILTER (WHERE eligible), 0) AS BIGINT)
+             AS reclaim_bytes,
+           CAST(COUNT(*) FILTER (WHERE is_removed AND NOT eligible)
+                AS BIGINT) AS n_retained_tombstones,
+           ROUND(COALESCE(SUM(bytes) FILTER (WHERE eligible), 0) * 1.0e0
+                 / SUM(bytes), 6) AS reclaim_frac
+    FROM marked GROUP BY retention ORDER BY retention
+    """
+
+
+@q("vacuum_retention_audit", oracle=_VAC_SQL)
+def vacuum_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM planning over the ``time_travel_file_state`` add/remove
+    log: for each candidate retention window, how many removed files are
+    no longer referenced by ANY snapshot inside the window (removed_v ≤
+    current − retention ⇒ physically deletable), how many bytes that
+    reclaims, and how many tombstones must stay for time travel — the
+    storage-maintenance decision table every lakehouse runs before
+    expiring snapshots.
+
+    Scale shape: the retention spine is 4 literal rows broadcast against
+    one scan of the file log; everything else is a retention-keyed
+    partial agg. No joins between big relations, no sort.
+    """
+    log = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").cast("long").alias("bytes"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            (F.col("doc_id") % 5 + 1 + F.col("doc_id") % 4).cast("long"),
+        ).alias("removed_v"),
+    )
+    w = (
+        log.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(x).cast("long") for x in _VAC_WINDOWS])
+            ).alias("retention")
+        )
+    )
+    marked = log.crossJoin(F.broadcast(w)).select(
+        "retention",
+        "bytes",
+        F.col("removed_v").isNotNull().alias("is_removed"),
+        (
+            F.col("removed_v").isNotNull()
+            & (F.col("removed_v") <= F.lit(_TT_MAX_V) - F.col("retention"))
+        ).alias("eligible"),
+    )
+    return (
+        marked.groupBy("retention")
+        .agg(
+            F.sum(F.col("eligible").cast("long"))
+            .cast("long")
+            .alias("n_vacuum_files"),
+            F.coalesce(
+                F.sum(F.when(F.col("eligible"), F.col("bytes"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("reclaim_bytes"),
+            F.sum((F.col("is_removed") & ~F.col("eligible")).cast("long"))
+            .cast("long")
+            .alias("n_retained_tombstones"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("eligible"), F.col("bytes"))),
+                    F.lit(0),
+                )
+                * F.lit(1.0)
+                / F.sum("bytes"),
+                6,
+            ).alias("reclaim_frac"),
+        )
+        .orderBy("retention")
+    )

@@ -962,3 +962,45 @@ def test_textrank_matches_python_reference(spark):
     for r in rows:
         assert r["rank"] >= (1.0 - _TR_DAMP) - 1e-9
         assert r["cooc_weight"] == int(wsum[r["word"]])
+
+
+def test_vacuum_audit_consistent_with_time_travel(spark):
+    """Vacuum monotonicity + cross-op consistency: reclaimable files
+    shrink as retention grows; eligible + retained = all removed files;
+    what retention-R vacuum deletes is exactly the removed files absent
+    from every snapshot >= current-R in time_travel_file_state's log."""
+    from osmgraft.contract_corpus import (
+        _TT_MAX_V,
+        _VAC_WINDOWS,
+        vacuum_retention_audit,
+    )
+
+    rows = {
+        r["retention"]: r
+        for r in vacuum_retention_audit(spark, SF_CORRECT).collect()
+    }
+    assert set(rows) == set(_VAC_WINDOWS)
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    removed = {
+        d["doc_id"]: (d["doc_id"] % 5 + 1 + d["doc_id"] % 4, d["n_chars"])
+        for d in docs
+        if d["doc_id"] % 3 == 0
+    }
+    n_removed = len(removed)
+    prev = None
+    for ret in sorted(_VAC_WINDOWS):
+        r = rows[ret]
+        elig = [
+            b for (rv, b) in removed.values() if rv <= _TT_MAX_V - ret
+        ]
+        assert r["n_vacuum_files"] == len(elig)
+        assert r["reclaim_bytes"] == sum(elig)
+        assert r["n_retained_tombstones"] == n_removed - len(elig)
+        if prev is not None:
+            assert r["n_vacuum_files"] <= prev
+        prev = r["n_vacuum_files"]
+    assert rows[min(_VAC_WINDOWS)]["n_vacuum_files"] > 0

@@ -693,3 +693,129 @@ def media_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# average-hash image dedup groups through the real PNG codec
+# ---------------------------------------------------------------------------
+
+_AH_T = 8  # ahash thumbnail side (64-bit hash)
+_AH_GROUP = 16  # canonical-image window: doc_id // 16 * 16 keys the raster,
+# simulating the same image re-posted across nearby pages (the web's
+# repeated-asset phenomenon) so exact-hash groups actually exist
+
+_AHASH_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, (doc_id // {_AH_GROUP}) * {_AH_GROUP} AS rkey
+      FROM documents WHERE doc_id % {_PNG_MOD} = 0),
+    dims AS (
+      SELECT doc_id, rkey,
+             CAST(32 + rkey % 48 AS BIGINT) AS w,
+             CAST(24 + rkey % 36 AS BIGINT) AS h
+      FROM d),
+    px AS (
+      SELECT doc_id, rkey, w, h, ty, tx,
+             (rkey * {_PNG_A}
+              + (((ty * h) // {_AH_T}) * w + ((tx * w) // {_AH_T}))
+                * {_PNG_B}) % 256 AS val
+      FROM dims,
+           UNNEST(range(0, {_AH_T})) AS a(ty),
+           UNNEST(range(0, {_AH_T})) AS b(tx)),
+    m AS (
+      SELECT doc_id, rkey, w, h,
+             CAST(SUM(val) // {_AH_T * _AH_T} AS BIGINT) AS mean
+      FROM px GROUP BY doc_id, rkey, w, h),
+    bits AS (
+      SELECT p.doc_id, p.w, p.h,
+             CAST(SUM(CASE WHEN p.val > m.mean AND p.ty * {_AH_T} + p.tx < 32
+                      THEN (CAST(1 AS BIGINT) << (p.ty * {_AH_T} + p.tx))
+                      ELSE 0 END) AS BIGINT) AS ahash_lo,
+             CAST(SUM(CASE WHEN p.val > m.mean AND p.ty * {_AH_T} + p.tx >= 32
+                      THEN (CAST(1 AS BIGINT)
+                            << (p.ty * {_AH_T} + p.tx - 32))
+                      ELSE 0 END) AS BIGINT) AS ahash_hi
+      FROM px p JOIN m ON p.doc_id = m.doc_id
+      GROUP BY p.doc_id, p.w, p.h)
+    SELECT ahash_hi, ahash_lo, w, h,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM bits GROUP BY ahash_hi, ahash_lo, w, h
+    HAVING COUNT(*) >= 2
+    ORDER BY min_doc_id
+    """
+
+
+@q("media_ahash_groups", oracle=_AHASH_SQL)
+def media_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (average-hash) image dedup through the REAL codec —
+    the visual twin of ``dedup_exact``: every image row is PNG-encoded
+    from its canonical raster (the same asset re-posted across a window
+    of pages, as repeated images are on the web), STRICTLY decoded back
+    (multimodal/png.py), nearest-neighbor-resized to 8×8 (resize_images'
+    exact index rule), and hashed by the classic aHash (bit = pixel >
+    integer-mean); images sharing a 64-bit hash form dedup groups. The
+    oracle recomputes the hash from the raster formula — a match proves
+    decode + resize + hash are pixel-exact end to end.
+
+    64-bit discipline: the hash is carried as two 32-bit lanes
+    (ahash_hi/ahash_lo) — no engine shifts past bit 31 of a signed lane
+    (the ``bloom_prune_join`` rule).
+
+    Scale shape: bytes never shuffle (one map-side kernel chain); only
+    (hash, dims) rows reach the hash-keyed partial agg — the exact
+    hash-groupBy shape of text dedup, ~16 bytes per image.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from osmgraft.multimodal.png import decode_png_gray, encode_png_gray
+    from osmgraft.multimodal.media import raster_for_key
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _PNG_MOD == 0)
+        .select(
+            "doc_id",
+            ((F.col("doc_id") / _AH_GROUP).cast("long") * _AH_GROUP).alias(
+                "rkey"
+            ),
+        )
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for doc_id, rkey in zip(pdf["doc_id"], pdf["rkey"]):
+                payload = encode_png_gray(raster_for_key(int(rkey)))
+                raster = decode_png_gray(payload)
+                h, w = raster.shape
+                ty = (np.arange(_AH_T) * h) // _AH_T
+                tx = (np.arange(_AH_T) * w) // _AH_T
+                thumb = raster[np.ix_(ty, tx)].astype(np.int64)
+                mean = int(thumb.sum()) // (_AH_T * _AH_T)
+                bits = (thumb > mean).flatten()
+                lo = sum(1 << k for k in range(32) if bits[k])
+                hi = sum(1 << (k - 32) for k in range(32, 64) if bits[k])
+                out.append((int(doc_id), int(hi), int(lo), w, h))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "ahash_hi", "ahash_lo", "w", "h"]
+            )
+
+    hashed = docs.mapInPandas(
+        kernel,
+        schema="doc_id long, ahash_hi long, ahash_lo long, w long, h long",
+    )
+    return (
+        hashed.groupBy("ahash_hi", "ahash_lo", "w", "h")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("n_images") >= 2)
+        .orderBy("min_doc_id")
+    )

@@ -290,3 +290,42 @@ def test_waveform_stats_single_map_stage_before_agg(spark):
     # range exchange over the tiny post-agg relation
     assert plan.count("hashpartitioning(") == 1
     assert "payload" not in plan.split("hashpartitioning(")[1]
+
+
+def test_ahash_groups_cover_shared_rasters_exactly(spark):
+    """Group membership equals the canonical-raster windows: images with
+    the same rkey hash identically (decode+resize+hash are pixel-exact),
+    and no group mixes rkeys (distinct rasters do not collide on the
+    fixture); bytes never cross the shuffle."""
+    from osmgraft.contract_media import (
+        _AH_GROUP,
+        _PNG_MOD,
+        media_ahash_groups,
+    )
+    from tests.conftest import SF_CORRECT
+
+    df = media_ahash_groups(spark, SF_CORRECT)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "payload" not in plan  # bytes stay inside the kernel
+    rows = df.collect()
+    assert rows
+
+    docs = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id")
+        .collect()
+        if r["doc_id"] % _PNG_MOD == 0
+    ]
+    by_rkey: dict[int, list[int]] = {}
+    for d in docs:
+        by_rkey.setdefault(d // _AH_GROUP * _AH_GROUP, []).append(d)
+    expected = {
+        (min(v), max(v), len(v)) for v in by_rkey.values() if len(v) >= 2
+    }
+    got = {
+        (r["min_doc_id"], r["max_doc_id"], r["n_images"]) for r in rows
+    }
+    assert got == expected

@@ -107,6 +107,12 @@ _SESSION3_NEW = (
     "roc_auc_eval", "poisson_bootstrap_ci", "ols_multifeature",
     "subtree_rollup", "ivm_agg_delta", "kcore_peel", "cohens_kappa",
     "bbox_intersect_pairs", "semdedup_prune", "bigram_logprob_interp",
+    # session-9 additions (same queue discipline)
+    "sequence_packing_plan", "fk_orphan_audit", "scd2_dimension_build",
+    "adamic_adar_linkpred", "track_hausdorff_pairs", "media_waveform_stats",
+    "mor_delete_apply", "mann_whitney_drift", "haversine_band_counts",
+    "degree_assortativity", "textrank_keywords", "raster_slope_aspect",
+    "vacuum_retention_audit", "media_ahash_groups",
 )
 
 

@@ -78,6 +78,14 @@ HEADLINE = [
     "quadtree_leaves",         # adaptive tiling from one base-grid agg
     "bpe_train_merges",        # tokenizer training (5 merge rounds)
     "tfidf_cosine_pairs",      # weighted sparse-vector similarity join
+    # round-3 session-8/9 additions
+    "dbscan_point_clusters",   # grid-bucketed density clustering
+    "roc_auc_eval",            # exact rank-sum AUC
+    "mor_delete_apply",        # Iceberg MoR position+equality deletes
+    "sequence_packing_plan",   # LLM sample packing (per-shard NFD fold)
+    "media_ahash_groups",      # perceptual image dedup through PNG codec
+    "adamic_adar_linkpred",    # common-neighbor link prediction
+    "track_hausdorff_pairs",   # blocked trajectory similarity
 ]
 
 # default sized so compute dominates fixed per-job overhead (wall-clock is

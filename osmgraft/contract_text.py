@@ -3375,3 +3375,144 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "word")
         .limit(_TR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# product-quantization recall audit (PQ codes, ADC search)
+# ---------------------------------------------------------------------------
+
+def _pq_sql() -> str:
+    from osmgraft.ann.pq import PQ_ITERS, PQ_M, pq_train_sql
+
+    train = pq_train_sql()
+    sub = 64 // PQ_M
+    assign = []
+    for mi in range(PQ_M):
+        lo, hi = mi * sub + 1, (mi + 1) * sub
+        d2 = (
+            f"list_inner_product(list_slice(e.v, {lo}, {hi}), "
+            f"list_slice(e.v, {lo}, {hi})) "
+            f"- 2 * list_inner_product(list_slice(e.v, {lo}, {hi}), p.c) "
+            f"+ list_inner_product(p.c, p.c)"
+        )
+        assign.append(
+            f"as{mi} AS (SELECT e.vec_id, p.cid AS code{mi} "
+            f"FROM e CROSS JOIN cb{mi}_{PQ_ITERS} p "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+            f"FLOOR(({d2}) * 100000 + 0.5) ASC, p.cid) = 1)"
+        )
+    joins = " ".join(
+        f"JOIN as{mi} USING (vec_id)" for mi in range(PQ_M)
+    )
+    recon_joins = " ".join(
+        f"JOIN cb{mi}_{PQ_ITERS} b{mi} ON b{mi}.cid = codes.code{mi}"
+        for mi in range(PQ_M)
+    )
+    recon_concat = " || ".join(f"b{mi}.c" for mi in range(PQ_M))
+    return f"""
+    WITH {train},
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {", ".join(assign)},
+    codes AS (SELECT * FROM e {joins}),
+    rec AS (SELECT codes.vec_id, codes.v, {recon_concat} AS recon
+            FROM codes {recon_joins}),
+    qs AS (SELECT vec_id AS qid, v AS q_v FROM e
+           WHERE vec_id % {_QZ_QMOD} = 0),
+    pairs AS (SELECT qs.qid, z.vec_id,
+                     ROUND(list_cosine_similarity(z.v, qs.q_v), 5) AS simf,
+                     ROUND(list_cosine_similarity(z.recon, qs.q_v), 5)
+                       AS simq
+              FROM rec z CROSS JOIN qs WHERE z.vec_id <> qs.qid),
+    ranked AS (SELECT qid, simf, simq,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY simf DESC, vec_id) AS rf,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY simq DESC, vec_id) AS rq
+               FROM pairs)
+    SELECT qid,
+           CAST(SUM(CASE WHEN rf <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           ROUND(SUM(CASE WHEN rf <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+                 / 1.0e1, 2) AS recall_at10,
+           ROUND(AVG(CASE WHEN rf <= 10 THEN ABS(simf - simq) END), 6)
+             AS mean_abs_sim_err
+    FROM ranked GROUP BY qid ORDER BY qid
+    """
+
+
+@q("pq_quant_recall", oracle=_pq_sql())
+def pq_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization recall audit — the codebook-compression path
+    that completes the vector trio (int8 scalar quantization, IVF coarse
+    partitioning, PQ codes): vectors are split into 4 subspaces, each
+    k-means'd independently (trained with the IVF cross-engine Lloyd
+    discipline — snapped-L2 assignment, 6-dp mean updates — so the SQL
+    oracle recomputes the IDENTICAL codebooks from scratch), every
+    vector is stored as 4 codes (64 floats → 4 small ints), and each
+    sampled probe's exact-cosine top-10 is compared against its
+    asymmetric-distance top-10 (full-precision query vs reconstructed
+    codes — the standard ADC serving form). Output mirrors
+    ``int8_quant_recall``: per-probe overlap, recall@10, and the mean
+    within-top-10 similarity error.
+
+    Scale shape: training is a bounded-sample collect (the enforced
+    IVF ceiling); encoding is one scan with broadcast-literal centroids
+    (argmin via `least` over structs — no join, no shuffle); the audit
+    is the bounded-probe recall harness (probes broadcast, per-probe
+    rank windows keyed by probe).
+    """
+    from osmgraft.ann.pq import pq_encode, pq_train_codebooks
+    from osmgraft.ann.search import _dot, _norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb)
+    enc = pq_encode(emb, books).select(
+        "vec_id",
+        "v",
+        "recon",
+        _norm(F.col("v")).alias("nv"),
+        _norm(F.col("recon")).alias("nr"),
+    )
+    qs = enc.where(F.col("vec_id") % _QZ_QMOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("q_v"),
+        F.col("nv").alias("q_nv"),
+    )
+    pairs = enc.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot(F.col("v"), F.col("q_v")) / (F.col("nv") * F.col("q_nv")), 5
+        ).alias("simf"),
+        F.round(
+            _dot(F.col("recon"), F.col("q_v"))
+            / (F.col("nr") * F.col("q_nv")),
+            5,
+        ).alias("simq"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("simf"), "vec_id")
+    wq = Window.partitionBy("qid").orderBy(F.desc("simq"), "vec_id")
+    ranked = pairs.select(
+        "qid",
+        "simf",
+        "simq",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wq).alias("rq"),
+    )
+    hit = ((F.col("rf") <= 10) & (F.col("rq") <= 10)).cast("long")
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            F.sum(hit).cast("long").alias("n_overlap"),
+            F.round(F.sum(hit) / 10.0, 2).alias("recall_at10"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("rf") <= 10, F.abs(F.col("simf") - F.col("simq"))
+                    )
+                ),
+                6,
+            ).alias("mean_abs_sim_err"),
+        )
+        .orderBy("qid")
+    )

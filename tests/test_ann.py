@@ -241,3 +241,57 @@ def test_int8_quant_recall_invariants(spark):
     avg_recall = sum(r["recall_at10"] for r in rows) / len(rows)
     assert avg_recall >= 0.8, avg_recall
     assert all(r["mean_abs_sim_err"] < 0.01 for r in rows)
+
+
+class TestProductQuantization:
+    def test_codebooks_deterministic_and_shaped(self, spark):
+        from osmgraft.ann.pq import PQ_K, PQ_M, pq_train_codebooks
+        from tests.conftest import SF_CORRECT
+
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        b1 = pq_train_codebooks(emb)
+        b2 = pq_train_codebooks(emb)
+        assert b1 == b2  # no RNG anywhere
+        assert len(b1) == PQ_M
+        for book in b1:
+            assert len(book) == PQ_K
+            assert all(len(c) == 64 // PQ_M for c in book)
+
+    def test_training_sample_ceiling_raises(self, spark):
+        import pytest as _pytest
+
+        from osmgraft.ann.pq import pq_train_codebooks
+        from tests.conftest import SF_CORRECT
+
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        with _pytest.raises(ValueError, match="max_train_rows"):
+            pq_train_codebooks(emb, max_train_rows=10)
+
+    def test_pq_beats_random_ranking_and_reconstruction_reduces_error(
+        self, spark
+    ):
+        """PQ ADC recall@10 must beat the random-ranking expectation by a
+        wide margin (random would be ~10/N ≈ 0.02), and reconstruction
+        error must be strictly smaller than the zero-vector baseline."""
+        import numpy as np
+
+        from osmgraft.ann.pq import pq_encode, pq_train_codebooks
+        from osmgraft.contract_text import pq_quant_recall
+        from tests.conftest import SF_CORRECT
+
+        rows = pq_quant_recall(spark, SF_CORRECT).collect()
+        assert rows
+        mean_recall = sum(r["recall_at10"] for r in rows) / len(rows)
+        assert mean_recall >= 0.2
+
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        books = pq_train_codebooks(emb)
+        enc = pq_encode(emb, books).select("v", "recon").collect()
+        err = 0.0
+        base = 0.0
+        for r in enc:
+            x = np.array(r["v"])
+            xh = np.array(r["recon"])
+            err += float(((x - xh) ** 2).sum())
+            base += float((x ** 2).sum())
+        assert err < base * 0.9

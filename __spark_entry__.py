@@ -112,7 +112,7 @@ _SESSION3_NEW = (
     "adamic_adar_linkpred", "track_hausdorff_pairs", "media_waveform_stats",
     "mor_delete_apply", "mann_whitney_drift", "haversine_band_counts",
     "degree_assortativity", "textrank_keywords", "raster_slope_aspect",
-    "vacuum_retention_audit", "media_ahash_groups",
+    "vacuum_retention_audit", "media_ahash_groups", "pq_quant_recall",
 )
 
 

@@ -78,8 +78,9 @@ HEADLINE = [
     "quadtree_leaves",         # adaptive tiling from one base-grid agg
     "bpe_train_merges",        # tokenizer training (5 merge rounds)
     "tfidf_cosine_pairs",      # weighted sparse-vector similarity join
-    # round-3 session-8/9 additions
-    "dbscan_point_clusters",   # grid-bucketed density clustering
+    # round-3 session-8/9 additions (dbscan_point_clusters excluded: its
+    # hotspot eps-graph is quadratic in cell density — an sf0.01-scale
+    # correctness demo, not a throughput query; timed by its oracle test)
     "roc_auc_eval",            # exact rank-sum AUC
     "mor_delete_apply",        # Iceberg MoR position+equality deletes
     "sequence_packing_plan",   # LLM sample packing (per-shard NFD fold)

@@ -1861,6 +1861,11 @@ def dbscan_point_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= eps * eps
         ),
     ).select("ea", F.col("event_id").alias("eb"))
+    # nbr is consumed four times (degree, core edges, border, labels) and
+    # its cell-fan join is the expensive part — materialize it once
+    # (session-9 fix: at sf0.1 the hotspot fan is ~4M pairs and each
+    # downstream consumer was recomputing it)
+    nbr = nbr.localCheckpoint()
     deg = nbr.groupBy(F.col("ea").alias("event_id")).agg(
         F.count("*").cast("long").alias("n_nbr")
     )

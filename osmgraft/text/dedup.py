@@ -276,49 +276,77 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int = 40,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     (doc_id, cluster_id) where cluster_id is the minimum doc id in the
     component — the clustering step every dedup pipeline ends with
     (keep one representative per component).
 
-    Min-label propagation: each round joins labels across edges and takes
-    the per-node minimum; converges in O(component diameter) rounds, and
-    near-dup components are shallow (pairs are mutual near-copies), so a
-    handful of rounds suffices at any scale. Each round is one equi-join +
-    one partial-agg shuffle on (id, 8-byte label); lineage is cut with
-    localCheckpoint so the loop's plan stays bounded. Convergence is the
-    changed-label COUNT per round — a label-sum check would overflow
-    int64 under ANSI mode with hashed ids near ±2^63 (round-2 fix).
-    The previous round's label rides THROUGH the min-aggregation as a
-    second column (unique per id, so min(old) == old; nulls from the
-    neighbor rows are ignored) — the change count is then a filter over
-    the just-checkpointed frame instead of a new-vs-old equi-join,
-    halving the per-round job cost (round-3 perf fix)."""
-    und = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).union(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+    Algorithm: min-contraction (the hash-to-min / star-contraction shape
+    of Rastogi et al., "Finding Connected Components in MapReduce"):
+    each round maps every node to min(self, neighbors), RELABELS the
+    id->label mapping through that map, and CONTRACTS the edge set to
+    the distinct mapped endpoints. Dense neighborhoods (DBSCAN cliques —
+    millions of pairs over thousands of nodes) collapse after ONE pass,
+    so the big edge relation is touched once and every later round runs
+    on a shrunken graph; convergence (empty edge set) takes O(log
+    diameter) rounds. Plain per-round label propagation — the round-2
+    design — was O(diameter) rounds over the FULL edge set and blew both
+    the round budget and the wall clock on sf0.1 DBSCAN density chains
+    (session-9 fix).
+
+    Each round: one partial-agg min per node, one broadcast-sized
+    relabel join (the label table is one row per ORIGINAL node, the map
+    one row per surviving node), one edge-contraction join + distinct.
+    Lineage is cut with localCheckpoint; superseded checkpoints are
+    dropped once their successor is materialized. The convergence test
+    is the contracted edge COUNT (reaches zero), never a label-sum —
+    int64-overflow-safe under ANSI mode with hashed ids near ±2^63.
+    """
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
     )
-    und = und.localCheckpoint()
+    und = (
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
-        und.select(F.col("s").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    ).localCheckpoint()
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    retired: list[DataFrame] = []
     for _ in range(max_iter):
-        nbr = und.join(labels, und["s"] == labels["id"]).select(
-            F.col("t").alias("id"), F.col("lbl"),
-            F.lit(None).cast("long").alias("old"),
+        m = und.groupBy("a").agg(F.min("b").alias("mb")).select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("mb")).alias("m"),
         )
-        carried = labels.select(
-            "id", "lbl", F.col("lbl").alias("old")
-        ).unionByName(nbr)
-        new_full = (
-            carried.groupBy("id").agg(
-                F.min("lbl").alias("lbl"), F.min("old").alias("old")
+        relabeled = (
+            labels.join(m, labels["lbl"] == m["node"], "left")
+            .select(
+                "id", F.coalesce(F.col("m"), F.col("lbl")).alias("lbl")
             )
-        ).localCheckpoint()
-        changed = new_full.where(F.col("lbl") != F.col("old")).count()
-        labels = new_full.select("id", "lbl")
-        if changed == 0:
+            .localCheckpoint()
+        )
+        ma = m.select(F.col("node").alias("a"), F.col("m").alias("ma"))
+        mb = m.select(F.col("node").alias("b"), F.col("m").alias("mb2"))
+        contracted = (
+            und.join(ma, "a")
+            .join(mb, "b")
+            .where(F.col("ma") != F.col("mb2"))
+            .select(F.col("ma").alias("a"), F.col("mb2").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_edges = contracted.count()
+        for r in retired:
+            r.unpersist(False)
+        retired = [labels, und]
+        labels, und = relabeled, contracted
+        if n_edges == 0:
             break
     else:
         raise RuntimeError(

@@ -3516,3 +3516,119 @@ def pq_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncation recall audit
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (16, 32, 64)  # truncation prefixes audited (64 = identity)
+
+_MRL_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT CAST(k AS BIGINT) AS d
+             FROM UNNEST([{", ".join(str(d) for d in _MRL_DIMS)}]) AS t(k)),
+    qs AS (SELECT vec_id AS qid, v AS q_v FROM e
+           WHERE vec_id % {_QZ_QMOD} = 0),
+    pairs AS (
+      SELECT dims.d, qs.qid, z.vec_id,
+             ROUND(list_cosine_similarity(z.v, qs.q_v), 5) AS simf,
+             ROUND(list_cosine_similarity(list_slice(z.v, 1, dims.d),
+                                          list_slice(qs.q_v, 1, dims.d)), 5)
+               AS simt
+      FROM e z CROSS JOIN qs CROSS JOIN dims
+      WHERE z.vec_id <> qs.qid),
+    ranked AS (SELECT d, qid, simf, simt,
+                      ROW_NUMBER() OVER (PARTITION BY d, qid
+                                         ORDER BY simf DESC, vec_id) AS rf,
+                      ROW_NUMBER() OVER (PARTITION BY d, qid
+                                         ORDER BY simt DESC, vec_id) AS rt
+               FROM pairs)
+    SELECT d AS trunc_dim,
+           CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+           ROUND(SUM(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
+                 * 1.0e0 / (COUNT(DISTINCT qid) * 10), 4) AS mean_recall_at10,
+           ROUND(AVG(CASE WHEN rf <= 10 THEN ABS(simf - simt) END), 6)
+             AS mean_abs_sim_err
+    FROM ranked GROUP BY d ORDER BY d
+    """
+
+
+@q("mrl_trunc_recall", oracle=_MRL_SQL)
+def mrl_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation recall audit — the dimensionality
+    companion of ``int8_quant_recall`` (precision) and
+    ``pq_quant_recall`` (codes): rank every sampled probe's neighbors by
+    cosine over the FIRST d dimensions only (d = 16/32/64) and compare
+    against the full-vector top-10 — the recall-vs-storage curve that
+    decides how much of an embedding column a 10^12-row serving index
+    actually needs to read. d=64 is the identity rung (recall exactly
+    1.0 — a built-in self-check the pytest pins).
+
+    Scale shape: truncation is a zero-cost in-row slice (at scale it is
+    a parquet column-prefix read); the audit is the bounded-probe
+    harness — probes broadcast, one pair relation fanned across the 3
+    literal dims, per-(dim, probe) rank windows, one dim rollup.
+    """
+    from osmgraft.ann.search import _dot, _norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+    dims = (
+        e.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(d).cast("long") for d in _MRL_DIMS])
+            ).alias("d")
+        )
+    )
+    qs = e.where(F.col("vec_id") % _QZ_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("q_v")
+    )
+    tv = F.slice(F.col("v"), 1, F.col("d").cast("int"))
+    tq = F.slice(F.col("q_v"), 1, F.col("d").cast("int"))
+    pairs = (
+        e.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "d",
+            "qid",
+            "vec_id",
+            F.round(
+                _dot(F.col("v"), F.col("q_v"))
+                / (_norm(F.col("v")) * _norm(F.col("q_v"))),
+                5,
+            ).alias("simf"),
+            F.round(_dot(tv, tq) / (_norm(tv) * _norm(tq)), 5).alias("simt"),
+        )
+    )
+    wf = Window.partitionBy("d", "qid").orderBy(F.desc("simf"), "vec_id")
+    wt = Window.partitionBy("d", "qid").orderBy(F.desc("simt"), "vec_id")
+    ranked = pairs.select(
+        "d",
+        "qid",
+        "simf",
+        "simt",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    hit = ((F.col("rf") <= 10) & (F.col("rt") <= 10)).cast("long")
+    return (
+        ranked.groupBy(F.col("d").alias("trunc_dim"))
+        .agg(
+            F.countDistinct("qid").cast("long").alias("n_queries"),
+            F.round(
+                F.sum(hit) * F.lit(1.0) / (F.countDistinct("qid") * 10), 4
+            ).alias("mean_recall_at10"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("rf") <= 10, F.abs(F.col("simf") - F.col("simt"))
+                    )
+                ),
+                6,
+            ).alias("mean_abs_sim_err"),
+        )
+        .orderBy("trunc_dim")
+    )

@@ -295,3 +295,24 @@ class TestProductQuantization:
             err += float(((x - xh) ** 2).sum())
             base += float((x ** 2).sum())
         assert err < base * 0.9
+
+
+def test_mrl_identity_rung_and_monotone_recall(spark):
+    """d=64 (full vector) must have recall exactly 1.0 and zero error;
+    recall must be non-decreasing in truncation dim."""
+    from osmgraft.contract_text import mrl_trunc_recall
+    from tests.conftest import SF_CORRECT
+
+    rows = {
+        r["trunc_dim"]: r
+        for r in mrl_trunc_recall(spark, SF_CORRECT).collect()
+    }
+    assert set(rows) == {16, 32, 64}
+    assert rows[64]["mean_recall_at10"] == 1.0
+    assert rows[64]["mean_abs_sim_err"] == 0.0
+    assert (
+        rows[16]["mean_recall_at10"]
+        <= rows[32]["mean_recall_at10"]
+        <= rows[64]["mean_recall_at10"]
+    )
+    assert rows[16]["mean_abs_sim_err"] >= rows[32]["mean_abs_sim_err"]

@@ -2214,3 +2214,100 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_WINSOR_SQL = """
+    WITH b AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.05), 6) AS p05,
+             ROUND(quantile_cont(value, 0.95), 6) AS p95
+      FROM events GROUP BY event_type),
+    c AS (
+      SELECT e.event_type,
+             CAST(FLOOR(LEAST(GREATEST(e.value, b.p05), b.p95) * 1.0e6
+                        + 0.5e0) AS BIGINT) AS vm,
+             CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END AS lo,
+             CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END AS hi,
+             b.p05, b.p95
+      FROM events e JOIN b USING (event_type)),
+    s AS (
+      SELECT event_type, MIN(p05) AS p05, MIN(p95) AS p95,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lo) AS BIGINT) AS n_clamped_lo,
+             CAST(SUM(hi) AS BIGINT) AS n_clamped_hi,
+             SUM(vm) AS s1,
+             SUM(vm * vm) AS s2
+      FROM c GROUP BY event_type)
+    SELECT event_type, n, p05, p95, n_clamped_lo, n_clamped_hi,
+           ROUND(s1 * 1.0e-6 / n, 4) AS win_mean,
+           ROUND(SQRT((s2 * 1.0e0 / n - (s1 * 1.0e0 / n) * (s1 * 1.0e0 / n)))
+                 * 1.0e-6, 4) AS win_std
+    FROM s ORDER BY event_type
+    """
+
+
+@q("winsorized_value_stats", oracle=_WINSOR_SQL)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clamped) robust mean/std per event type — the
+    outlier-hardened companion of ``value_percentiles`` (same exact
+    continuous-quantile bounds; Spark ``percentile`` == DuckDB
+    ``quantile_cont``, the round-2 bit-level result) and the robust twin
+    of ``daily_anomalies``' raw moments.
+
+    Float discipline: clamped values snap to integer MICRO-units before
+    the power sums, so mean/std come from exact int64 arithmetic in any
+    aggregation order; the quantile bounds themselves are 6-dp snapped
+    before the clamp (the established cross-engine rule).
+
+    Scale shape: one group agg for the bounds (|event_type| rows —
+    broadcast back), one scan with the clamp inline, one group partial
+    agg of integer power sums. No window, no sort.
+    """
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+    c = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.floor(
+            F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+            * F.lit(1.0e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("vm"),
+        (F.col("value") < F.col("p05")).cast("long").alias("lo"),
+        (F.col("value") > F.col("p95")).cast("long").alias("hi"),
+    )
+    s = c.groupBy("event_type").agg(
+        F.min("p05").alias("p05"),
+        F.min("p95").alias("p95"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("lo").cast("long").alias("n_clamped_lo"),
+        F.sum("hi").cast("long").alias("n_clamped_hi"),
+        # exact wide sums: vm^2 sums overflow int64 beyond ~1e5 rows/group
+        # (ANSI raised at sf0.1) — DECIMAL(38,0) here == DuckDB's automatic
+        # HUGEINT sum; both exact in any aggregation order
+        F.sum(F.col("vm").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            F.col("vm").cast("decimal(19,0)") * F.col("vm").cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        "p05",
+        "p95",
+        "n_clamped_lo",
+        "n_clamped_hi",
+        F.round(mean * F.lit(1.0e-6), 4).alias("win_mean"),
+        F.round(
+            F.sqrt(F.col("s2").cast("double") / F.col("n") - mean * mean)
+            * F.lit(1.0e-6),
+            4,
+        ).alias("win_std"),
+    ).orderBy("event_type")

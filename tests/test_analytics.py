@@ -309,3 +309,53 @@ class TestDistributedRanking:
                 ntile_from_rank(F.row_number().over(w).cast("long"), n, k).alias("got"),
             )
             assert both.where(F.col("want") != F.col("got")).count() == 0, (n, k)
+
+
+def test_winsorized_stats_match_python_reference(spark):
+    """Winsorized mean/std per type equal a plain-Python recompute with
+    the same snap discipline; ~5% of rows clamp on each side."""
+    from osmgraft.contract import winsorized_value_stats
+    from tests.conftest import SF_CORRECT
+
+    rows = {
+        r["event_type"]: r
+        for r in winsorized_value_stats(spark, SF_CORRECT).collect()
+    }
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet").collect()
+    by_type: dict[str, list[float]] = {}
+    for e in ev:
+        by_type.setdefault(e["event_type"], []).append(e["value"])
+    import math
+
+    for et, vals in by_type.items():
+        r = rows[et]
+        vals.sort()
+        n = len(vals)
+
+        def qcont(p):
+            h = p * (n - 1)
+            lo = int(math.floor(h))
+            frac = h - lo
+            v = vals[lo] + frac * (vals[min(lo + 1, n - 1)] - vals[lo])
+            return math.floor(v * 1e6 + 0.5) / 1e6
+
+        p05, p95 = qcont(0.05), qcont(0.95)
+        assert abs(r["p05"] - p05) < 1e-9
+        assert abs(r["p95"] - p95) < 1e-9
+        vm = [
+            int(math.floor(min(max(v, p05), p95) * 1e6 + 0.5)) for v in vals
+        ]
+        assert r["n"] == n
+        assert r["n_clamped_lo"] == sum(1 for v in vals if v < p05)
+        assert r["n_clamped_hi"] == sum(1 for v in vals if v > p95)
+        # ~5% clamp on each side (quantile definition keeps it near-exact)
+        assert 0.03 * n <= r["n_clamped_lo"] <= 0.07 * n
+        s1, s2 = sum(vm), sum(x * x for x in vm)
+        mean = s1 / n
+        assert abs(r["win_mean"] - round(mean * 1e-6, 4)) < 1e-9
+        std = math.sqrt(s2 / n - mean * mean) * 1e-6
+        assert abs(r["win_std"] - round(std, 4)) < 1e-9
+        # robustness: winsorized std <= raw std
+        raw_mean = sum(vals) / n
+        raw_std = math.sqrt(sum((v - raw_mean) ** 2 for v in vals) / n)
+        assert r["win_std"] <= raw_std + 1e-9

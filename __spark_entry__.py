@@ -113,7 +113,7 @@ _SESSION3_NEW = (
     "mor_delete_apply", "mann_whitney_drift", "haversine_band_counts",
     "degree_assortativity", "textrank_keywords", "raster_slope_aspect",
     "vacuum_retention_audit", "media_ahash_groups", "pq_quant_recall",
-    "mrl_trunc_recall", "winsorized_value_stats",
+    "mrl_trunc_recall", "winsorized_value_stats", "cell_trend_hotspots",
 )
 
 

@@ -2356,3 +2356,151 @@ def raster_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("aspect")
     )
+
+
+# ---------------------------------------------------------------------------
+# emerging / diminishing hotspot cells (Mann-Kendall trend per cell)
+# ---------------------------------------------------------------------------
+
+_MK_CS = 100_000  # trend-cell size (7x7 grid over the 700k extent)
+_MK_MIN_DAYS = 5  # cells observed on fewer days are not classified
+
+# spreading multipliers (the track_hausdorff lesson: X_EXPR is
+# event_id-periodic, so a calendar day — a contiguous id range — visits
+# each cell on only ~2.5 days and every trend filter starves); plus a
+# deterministic drift: even cx columns gain events as the month
+# progresses, odd columns lose them — so the fixture genuinely contains
+# intensifying, diminishing, AND stable cells
+_MK_PTS = """
+      SELECT (event_id * 48271) % 700000 AS x,
+             (event_id * 16807) % 700000 AS y,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             EXTRACT(DAY FROM CAST(date_trunc('day', ts) AS DATE)) AS dom,
+             event_id
+      FROM events
+"""
+
+_MK_SQL = f"""
+    WITH pts0 AS ({_MK_PTS}),
+    pts AS (
+      SELECT x, y, day,
+             CAST(FLOOR(x / {_MK_CS}.0e0) AS BIGINT) AS cx
+      FROM pts0
+      WHERE event_id % 31 <
+        CASE WHEN CAST(FLOOR(x / {_MK_CS}.0e0) AS BIGINT) % 2 = 0
+             THEN 1 + (CAST(FLOOR(x / {_MK_CS}.0e0) AS BIGINT) + 1) * dom // 8
+             ELSE 1 + (CAST(FLOOR(x / {_MK_CS}.0e0) AS BIGINT) + 1)
+                      * (32 - dom) // 8 END),
+    cd AS (
+      SELECT cx, CAST(FLOOR(y / {_MK_CS}.0e0) AS BIGINT) AS cy,
+             day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY cx, cy, day),
+    pairs AS (
+      SELECT a.cx, a.cy,
+             CASE WHEN b.n > a.n THEN 1
+                  WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn
+      FROM cd a JOIN cd b
+        ON a.cx = b.cx AND a.cy = b.cy AND a.day < b.day),
+    days AS (
+      SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS total
+      FROM cd GROUP BY cx, cy),
+    mk AS (
+      SELECT d.cx, d.cy, d.n_days, d.total,
+             CAST(COALESCE(SUM(p.sgn), 0) AS BIGINT) AS s
+      FROM days d LEFT JOIN pairs p ON p.cx = d.cx AND p.cy = d.cy
+      WHERE d.n_days >= {_MK_MIN_DAYS}
+      GROUP BY d.cx, d.cy, d.n_days, d.total)
+    SELECT cx, cy, n_days, total, s AS mk_s,
+           CASE WHEN 2 * s >= n_days * (n_days - 1) / 2 THEN 'intensifying'
+                WHEN -2 * s >= n_days * (n_days - 1) / 2 THEN 'diminishing'
+                ELSE 'stable' END AS trend
+    FROM mk ORDER BY cx, cy
+    """
+
+
+@q("cell_trend_hotspots", oracle=_MK_SQL)
+def cell_trend_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot analysis (the space-time-cube classic): per grid
+    cell, the Mann-Kendall trend statistic S = Σ sign(n_j − n_i) over
+    ordered day pairs of the cell's daily counts; cells whose |S| covers
+    at least half the possible pairs are classified intensifying /
+    diminishing — the time-resolved companion of ``dense_cell_clusters``
+    (static hotspots) and ``morans_i_autocorrelation`` (spatial
+    correlation). Everything is integer (counts, sign sums, the
+    half-of-max threshold via cross-multiplication) — no float anywhere.
+
+    Scale shape: one (cell, day) partial agg builds the space-time cube;
+    the pairwise sign sum is a per-cell self-join of the POST-AGG cube
+    (≤ 31 day-rows per cell — the day-pair fan is bounded by the
+    calendar, not the data); one cell rollup. At 100 TB the cube, not
+    the raw table, is what the trend pass touches.
+    """
+    ev = t(spark, sf_dir, "events")
+    pts0 = ev.selectExpr(
+        "(event_id * 48271) % 700000 AS x",
+        "(event_id * 16807) % 700000 AS y",
+        "CAST(date_trunc('day', ts) AS DATE) AS day",
+        "EXTRACT(DAY FROM CAST(date_trunc('day', ts) AS DATE)) AS dom",
+        "event_id",
+    ).selectExpr(
+        "x", "y", "day", "dom", "event_id",
+        f"CAST(FLOOR(x / {_MK_CS}.0e0) AS BIGINT) AS cx",
+    )
+    kept = pts0.where(
+        F.expr(
+            "event_id % 31 < CASE WHEN cx % 2 = 0 "
+            "THEN 1 + (cx + 1) * dom div 8 "
+            "ELSE 1 + (cx + 1) * (32 - dom) div 8 END"
+        )
+    )
+    cd = (
+        kept.selectExpr(
+            "cx", f"CAST(FLOOR(y / {_MK_CS}.0e0) AS BIGINT) AS cy", "day"
+        )
+        .groupBy("cx", "cy", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    a = cd.select("cx", "cy", F.col("day").alias("da"), F.col("n").alias("na"))
+    b = cd.select(
+        F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+        F.col("day").alias("db"), F.col("n").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("cx") == F.col("bcx"))
+        & (F.col("cy") == F.col("bcy"))
+        & (F.col("da") < F.col("db")),
+    ).select(
+        "cx",
+        "cy",
+        F.when(F.col("nb") > F.col("na"), 1)
+        .when(F.col("nb") < F.col("na"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    days = cd.groupBy("cx", "cy").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    ps = pairs.groupBy("cx", "cy").agg(F.sum("sgn").cast("long").alias("s"))
+    mk = (
+        days.where(F.col("n_days") >= _MK_MIN_DAYS)
+        .join(ps, ["cx", "cy"], "left")
+        .select(
+            "cx", "cy", "n_days", "total",
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("mk_s"),
+        )
+    )
+    half_max = F.col("n_days") * (F.col("n_days") - 1) / 2
+    return mk.select(
+        "cx",
+        "cy",
+        "n_days",
+        "total",
+        "mk_s",
+        F.when(2 * F.col("mk_s") >= half_max, "intensifying")
+        .when(-2 * F.col("mk_s") >= half_max, "diminishing")
+        .otherwise("stable")
+        .alias("trend"),
+    ).orderBy("cx", "cy")

@@ -767,3 +767,69 @@ def test_raster_slope_aspect_matches_python_reference(spark):
         assert r["n_cells"] == len(gs)
         assert r["total_grad2"] == sum(gs)
         assert r["max_grad2"] == max(gs)
+
+
+def test_cell_trend_hotspots_match_python_mann_kendall(spark):
+    """Per-cell Mann-Kendall S equals a plain-Python recompute over the
+    same drifted space-time cube; all three trend classes fire; the
+    injected drift shows up where designed (high even cx intensifies,
+    high odd cx diminishes)."""
+    from osmgraft.contract_cells import (
+        _MK_CS,
+        _MK_MIN_DAYS,
+        cell_trend_hotspots,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = cell_trend_hotspots(spark, SF_CORRECT).collect()
+    assert rows
+    classes = {r["trend"] for r in rows}
+    assert classes == {"intensifying", "diminishing", "stable"}
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .select("event_id", "ts")
+        .collect()
+    )
+    cube: dict[tuple[int, int], dict] = {}
+    for e in ev:
+        eid = e["event_id"]
+        x = (eid * 48271) % 700000
+        y = (eid * 16807) % 700000
+        cx, cy = x // _MK_CS, y // _MK_CS
+        dom = e["ts"].day
+        thr = (
+            1 + (cx + 1) * dom // 8
+            if cx % 2 == 0
+            else 1 + (cx + 1) * (32 - dom) // 8
+        )
+        if eid % 31 >= thr:
+            continue
+        day = e["ts"].date()
+        cube.setdefault((cx, cy), {}).setdefault(day, 0)
+        cube[(cx, cy)][day] += 1
+    got = {(r["cx"], r["cy"]): r for r in rows}
+    n_checked = 0
+    for cell, daily in cube.items():
+        if len(daily) < _MK_MIN_DAYS:
+            assert cell not in got
+            continue
+        days = sorted(daily)
+        s = sum(
+            (daily[dj] > daily[di]) - (daily[dj] < daily[di])
+            for i, di in enumerate(days)
+            for dj in days[i + 1:]
+        )
+        r = got[cell]
+        assert r["mk_s"] == s
+        assert r["n_days"] == len(days)
+        assert r["total"] == sum(daily.values())
+        n_checked += 1
+    assert n_checked == len(rows)
+    # the injected drift: the strongest even column trends up in
+    # aggregate, the strongest odd column down (individual cells may be
+    # noise-stable, the column-level sign may not)
+    assert sum(r["mk_s"] for r in rows if r["cx"] == 6) > 0
+    assert sum(r["mk_s"] for r in rows if r["cx"] == 5) < 0
+    assert any(r["trend"] == "intensifying" for r in rows if r["cx"] == 6)
+    assert any(r["trend"] == "diminishing" for r in rows if r["cx"] == 5)

@@ -5792,3 +5792,107 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("assortativity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted single-source shortest paths (Bellman-Ford rounds)
+# ---------------------------------------------------------------------------
+
+_BF_N = 151  # node-space modulus (sparse graph, the _AA_N discipline)
+_BF_ROUNDS = 6
+_BF_SRC = 0
+
+
+def _bf_edges_cte() -> str:
+    return f"""
+    raw AS (
+      SELECT doc_id % {_BF_N} AS u,
+             ((doc_id // {_BF_N}) * 331 + doc_id * 211 + 5) % {_BF_N} AS v,
+             1 + doc_id % 9 AS w
+      FROM documents),
+    e0 AS (SELECT u, v, CAST(MIN(w) AS BIGINT) AS w FROM raw
+           WHERE u <> v GROUP BY u, v),
+    e AS (SELECT u, v, w FROM e0
+          UNION ALL SELECT v AS u, u AS v, w FROM e0)"""
+
+
+def _bf_sql() -> str:
+    parts = [_bf_edges_cte(),
+             f"d0 AS (SELECT CAST({_BF_SRC} AS BIGINT) AS node, "
+             f"CAST(0 AS BIGINT) AS dist)"]
+    for k in range(1, _BF_ROUNDS + 1):
+        parts.append(
+            f"""
+    d{k} AS (SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{k - 1}
+        UNION ALL
+        SELECT e.v AS node, d{k - 1}.dist + e.w AS dist
+        FROM e JOIN d{k - 1} ON e.u = d{k - 1}.node) z
+      GROUP BY node)"""
+        )
+    return f"""
+    WITH {",".join(parts)}
+    SELECT node, dist AS dist_{_BF_ROUNDS},
+           CAST((SELECT COUNT(*) FROM d{_BF_ROUNDS}) AS BIGINT) AS n_reached
+    FROM d{_BF_ROUNDS} ORDER BY node
+    """
+
+
+@q("bellman_ford_distances", oracle=_bf_sql())
+def bellman_ford_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths by Bellman-Ford relaxation
+    rounds — the WEIGHTED companion of ``frontier_bfs_depths`` (hop
+    counts) over a derived undirected graph with integer edge weights
+    1..9 (duplicate edges keep the MIN weight, the multigraph rule).
+    A fixed budget of 6 relaxation rounds is reported (distances are
+    exact for all nodes whose shortest path uses ≤ 6 edges — the
+    round-bounded form every distributed SSSP runs; pagerank/HITS use
+    the same fixed-round discipline).
+
+    Exactness: distances are pure int64 sums of small integer weights —
+    no float anywhere.
+
+    Scale shape: each round is one frontier ⋈ edges equi-join + one
+    node-keyed MIN partial agg; the distance relation is one row per
+    reached node. The fixed round count bounds the plan like every
+    iterative operator here (lineage is short enough to skip
+    checkpointing at 6 rounds).
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.select(
+        (F.col("doc_id") % _BF_N).alias("u"),
+        (
+            (
+                (F.col("doc_id") / _BF_N).cast("long") * 331
+                + F.col("doc_id") * 211
+                + 5
+            )
+            % _BF_N
+        ).alias("v"),
+        (1 + F.col("doc_id") % 9).alias("w"),
+    ).where(F.col("u") != F.col("v"))
+    e0 = raw.groupBy("u", "v").agg(F.min("w").cast("long").alias("w"))
+    e = e0.unionAll(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).localCheckpoint()
+    d = e.sparkSession.range(1).select(
+        F.lit(_BF_SRC).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(_BF_ROUNDS):
+        relaxed = (
+            e.join(d, e["u"] == d["node"])
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    d = d.localCheckpoint()
+    n_reached = d.agg(F.count("*").cast("long").alias("n_reached"))
+    return (
+        d.crossJoin(F.broadcast(n_reached))
+        .select("node", F.col("dist").alias(f"dist_{_BF_ROUNDS}"), "n_reached")
+        .orderBy("node")
+    )

@@ -804,3 +804,66 @@ def test_assortativity_matches_networkx_style_reference(spark):
     assert row["n_edges"] == len(edges)
     assert -1.0 - 1e-9 <= row["assortativity"] <= 1.0 + 1e-9
     assert abs(row["assortativity"] - round(r_ref, 6)) < 1e-9
+
+
+def test_bellman_ford_matches_python_dijkstra_within_budget(spark):
+    """Round-bounded distances equal a plain-Python Bellman-Ford with
+    the same 6-round budget; and for nodes whose true shortest path has
+    <= 6 edges, they equal full Dijkstra."""
+    import heapq
+
+    from osmgraft.contract_web import (
+        _BF_N,
+        _BF_ROUNDS,
+        _BF_SRC,
+        bellman_ford_distances,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = {
+        r["node"]: r[f"dist_{_BF_ROUNDS}"]
+        for r in bellman_ford_distances(spark, SF_CORRECT).collect()
+    }
+    docs = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    w: dict[tuple[int, int], int] = {}
+    for d in docs:
+        u = d % _BF_N
+        v = ((d // _BF_N) * 331 + d * 211 + 5) % _BF_N
+        if u == v:
+            continue
+        wt = 1 + d % 9
+        w[(u, v)] = min(w.get((u, v), 99), wt)
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for (u, v), wt in w.items():
+        adj.setdefault(u, []).append((v, wt))
+        adj.setdefault(v, []).append((u, wt))
+    # 6-round Bellman-Ford reference
+    dist = {_BF_SRC: 0}
+    for _ in range(_BF_ROUNDS):
+        nxt = dict(dist)
+        for u, du in dist.items():
+            for v, wt in adj.get(u, []):
+                if du + wt < nxt.get(v, 1 << 60):
+                    nxt[v] = du + wt
+        dist = nxt
+    assert rows == dist
+    # Dijkstra with hop tracking: nodes reachable in <= ROUNDS edges on
+    # their shortest path must already be exact
+    pq = [(0, 0, _BF_SRC)]
+    best: dict[int, tuple[int, int]] = {}
+    while pq:
+        d2, hops, u = heapq.heappop(pq)
+        if u in best:
+            continue
+        best[u] = (d2, hops)
+        for v, wt in adj.get(u, []):
+            if v not in best:
+                heapq.heappush(pq, (d2 + wt, hops + 1, v))
+    for u, (d2, hops) in best.items():
+        if hops <= _BF_ROUNDS:
+            assert rows.get(u) == d2

@@ -114,7 +114,7 @@ _SESSION3_NEW = (
     "degree_assortativity", "textrank_keywords", "raster_slope_aspect",
     "vacuum_retention_audit", "media_ahash_groups", "pq_quant_recall",
     "mrl_trunc_recall", "winsorized_value_stats", "cell_trend_hotspots",
-    "bellman_ford_distances",
+    "bellman_ford_distances", "stay_point_episodes", "radius_of_gyration",
 )
 
 

@@ -1108,3 +1108,159 @@ def track_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return res.orderBy("hausdorff_sq", "user_a", "user_b").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# stay-point episodes (dwell detection over user tracks)
+# ---------------------------------------------------------------------------
+
+_SP_CS = 100_000  # dwell cell size
+_SP_MIN_PTS = 4  # minimum consecutive same-cell points to call a stay
+
+_SP_SQL = f"""
+    WITH pts AS ({_HD_PTS_CTE}),
+    sq AS (SELECT user_id, event_id,
+                  x // {_SP_CS} AS cx, y // {_SP_CS} AS cy,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS seq
+           FROM pts),
+    flagged AS (
+      SELECT user_id, seq, cx, cy,
+             CASE WHEN LAG(cx) OVER w IS NULL
+                    OR LAG(cx) OVER w <> cx
+                    OR LAG(cy) OVER w <> cy THEN 1 ELSE 0 END AS is_new
+      FROM sq WINDOW w AS (PARTITION BY user_id ORDER BY seq)),
+    runs AS (
+      SELECT user_id, seq, cx, cy,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY seq
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged),
+    episodes AS (
+      SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+             MIN(cx) AS cx, MIN(cy) AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n_pts,
+             CAST(MIN(seq) AS BIGINT) AS start_seq
+      FROM runs GROUP BY user_id, run_id)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_stays,
+           CAST(MAX(n_pts) AS BIGINT) AS longest_stay_pts,
+           CAST(SUM(n_pts) AS BIGINT) AS pts_in_stays
+    FROM episodes WHERE n_pts >= {_SP_MIN_PTS}
+    GROUP BY user_id ORDER BY user_id
+    """
+
+
+@q("stay_point_episodes", oracle=_SP_SQL)
+def stay_point_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (the mobility-mining dwell primitive): runs
+    of consecutive same-cell points per user track become stay episodes;
+    runs of ≥ 4 points count as stays; per user emit stay count, longest
+    stay, and points spent dwelling — the input every visit/POI model
+    consumes. Run segmentation is the LAG-change-flag + running-sum
+    idiom (``scd2_dimension_build``'s version discipline, here on a
+    spatial key).
+
+    Scale shape: the row-number, change flag, and run-id windows are all
+    USER-KEYED and share one exchange; episodes and the per-user rollup
+    are partial aggs. No global sort anywhere.
+    """
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") % 4 == 0)
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(f"((user_id * 48271) % 600000 + (event_id * 37) % 100000) div {_SP_CS}").alias("cx"),
+        F.expr(f"((user_id * 16807) % 600000 + (event_id * 59) % 100000) div {_SP_CS}").alias("cy"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    sq = pts.withColumn("seq", F.row_number().over(w))
+    ws = Window.partitionBy("user_id").orderBy("seq")
+    flagged = sq.withColumn(
+        "is_new",
+        F.when(
+            F.lag("cx").over(ws).isNull()
+            | (F.lag("cx").over(ws) != F.col("cx"))
+            | (F.lag("cy").over(ws) != F.col("cy")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("is_new").over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    episodes = runs.groupBy(
+        "user_id", F.col("run_id").cast("long").alias("run_id")
+    ).agg(F.count("*").cast("long").alias("n_pts"))
+    return (
+        episodes.where(F.col("n_pts") >= _SP_MIN_PTS)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_stays"),
+            F.max("n_pts").cast("long").alias("longest_stay_pts"),
+            F.sum("n_pts").cast("long").alias("pts_in_stays"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# radius of gyration per user (mobility range)
+# ---------------------------------------------------------------------------
+
+_RG_SQL = f"""
+    WITH pts AS ({_HD_PTS_CTE}),
+    s AS (SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM pts GROUP BY user_id)
+    SELECT user_id, n,
+           ROUND((sxx * 1.0e0 / n - (sx * 1.0e0 / n) * (sx * 1.0e0 / n)
+                  + syy * 1.0e0 / n - (sy * 1.0e0 / n) * (sy * 1.0e0 / n))
+                 / 1.0e6, 4) AS rg2_km2,
+           CAST(FLOOR(SQRT(
+             (sxx * 1.0e0 / n - (sx * 1.0e0 / n) * (sx * 1.0e0 / n)
+              + syy * 1.0e0 / n - (sy * 1.0e0 / n) * (sy * 1.0e0 / n))
+             / 1.0e6) * 100 + 0.5) AS BIGINT) AS rg_band
+    FROM s ORDER BY user_id
+    """
+
+
+@q("radius_of_gyration", oracle=_RG_SQL)
+def radius_of_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius of gyration per user (Gonzalez et al., the canonical
+    human-mobility range statistic): rg² = E[x²] − E[x]² + E[y²] − E[y]²
+    over the user's track points, from exact int64 power sums (integer
+    planar coordinates — the ``ols_multifeature`` discipline), floats
+    only in the final closed form; plus an integer centi-band of rg for
+    stable downstream grouping.
+
+    Scale shape: one user-keyed partial agg over the raw points; nothing
+    else. The canonical example of a mobility metric that needs NO
+    window and NO join.
+    """
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") % 4 == 0)
+    pts = ev.select(
+        "user_id",
+        F.expr("(user_id * 48271) % 600000 + (event_id * 37) % 100000").alias("x"),
+        F.expr("(user_id * 16807) % 600000 + (event_id * 59) % 100000").alias("y"),
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    var = (
+        F.col("sxx") * F.lit(1.0) / n
+        - (F.col("sx") * F.lit(1.0) / n) * (F.col("sx") * F.lit(1.0) / n)
+        + F.col("syy") * F.lit(1.0) / n
+        - (F.col("sy") * F.lit(1.0) / n) * (F.col("sy") * F.lit(1.0) / n)
+    ) / F.lit(1.0e6)
+    return s.select(
+        "user_id",
+        "n",
+        F.round(var, 4).alias("rg2_km2"),
+        F.floor(F.sqrt(var) * 100 + F.lit(0.5)).cast("long").alias("rg_band"),
+    ).orderBy("user_id")

@@ -346,3 +346,81 @@ def test_hausdorff_pairs_match_bruteforce(spark):
     for r in rows:
         assert r["n_pts_a"] == len(tracks[r["user_a"]])
         assert r["n_pts_b"] == len(tracks[r["user_b"]])
+
+
+def test_stay_points_and_gyration_match_python_reference(spark):
+    """Stay episodes equal a plain-Python run-length scan; rg² equals
+    the direct variance formula; both sides of the mobility pair agree
+    on the user set."""
+    import math
+
+    from osmgraft.contract_tracks import (
+        _SP_CS,
+        _SP_MIN_PTS,
+        radius_of_gyration,
+        stay_point_episodes,
+    )
+    from tests.conftest import SF_CORRECT
+
+    stays = {
+        r["user_id"]: r
+        for r in stay_point_episodes(spark, SF_CORRECT).collect()
+    }
+    rg = {
+        r["user_id"]: r
+        for r in radius_of_gyration(spark, SF_CORRECT).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .where("user_id % 4 = 0")
+        .select("user_id", "event_id")
+        .collect()
+    )
+    tracks: dict[int, list[int]] = {}
+    for e in ev:
+        tracks.setdefault(e["user_id"], []).append(e["event_id"])
+    assert set(rg) == set(tracks)
+    some_multi_stay = False
+    for u, eids in tracks.items():
+        eids.sort()
+        pts = [
+            (
+                (u * 48271) % 600000 + (e * 37) % 100000,
+                (u * 16807) % 600000 + (e * 59) % 100000,
+            )
+            for e in eids
+        ]
+        # run-length scan over dwell cells
+        runs, cur = [], 0
+        prev = None
+        for x, y in pts:
+            c = (x // _SP_CS, y // _SP_CS)
+            if c == prev:
+                cur += 1
+            else:
+                if cur:
+                    runs.append(cur)
+                cur, prev = 1, c
+        runs.append(cur)
+        big = [r for r in runs if r >= _SP_MIN_PTS]
+        if u in stays:
+            s = stays[u]
+            assert s["n_stays"] == len(big)
+            assert s["longest_stay_pts"] == max(big)
+            assert s["pts_in_stays"] == sum(big)
+            if len(big) > 1:
+                some_multi_stay = True
+        else:
+            assert not big
+        n = len(pts)
+        ex = sum(x for x, _ in pts) / n
+        ey = sum(y for _, y in pts) / n
+        var = (
+            sum(x * x for x, _ in pts) / n
+            - ex * ex
+            + sum(y * y for _, y in pts) / n
+            - ey * ey
+        ) / 1e6
+        assert abs(rg[u]["rg2_km2"] - round(var, 4)) < 1e-6
+        assert rg[u]["rg_band"] == math.floor(math.sqrt(var) * 100 + 0.5)
+    assert some_multi_stay

@@ -834,3 +834,101 @@ def test_ols_is_single_reduction(spark):
     plan = plan_of(df)
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_sequence_packing_single_shard_exchange(spark):
+    """One shard-keyed hash exchange; the NFD fold is post-agg in-row
+    (no window, no join)."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["sequence_packing_plan"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("hashpartitioning(shard") == 1
+
+
+def test_scd2_windows_share_one_user_exchange(spark):
+    """Snapshot agg + LAG/version/LEAD windows all key on user_id: at
+    most two user-hash exchanges (agg + window ordering re-use), no
+    global window."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["scd2_dimension_build"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan.replace(
+        "rangepartitioning", ""
+    ) or "Window" not in plan.split("SinglePartition")[0]
+    assert plan.count("hashpartitioning(user_id") <= 2
+
+
+def test_haversine_scan_only(spark):
+    """Spherical banding is in-row math + one band agg: no join, no
+    window, no Python stage."""
+    import osmgraft.contract_cells  # noqa: F401
+
+    df = QUERIES["haversine_band_counts"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_mann_whitney_window_over_post_agg_only(spark):
+    """The rank walk's (single-partition) window consumes the <=1000-row
+    post-agg bin relation — a HashAggregate sits strictly between the
+    scan and the Window."""
+    import osmgraft.contract_web  # noqa: F401
+
+    df = QUERIES["mann_whitney_drift"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    win = plan.index("Window")
+    agg = plan.index("HashAggregate")
+    assert agg < win or plan.count("HashAggregate") >= 2
+
+
+def test_bellman_ford_equi_joins_only(spark):
+    """Every relaxation round is an equi-join + min partial agg: no
+    cartesian, no BNLJ (the scalar n_reached broadcast excepted), no
+    window, no sort before the presentation orderBy."""
+    import osmgraft.contract_web  # noqa: F401
+
+    df = QUERIES["bellman_ford_distances"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_mobility_pair_user_keyed_only(spark):
+    """stay_point_episodes: every window user-keyed (no SinglePartition
+    window); radius_of_gyration: no window and no join at all."""
+    import osmgraft.contract_tracks  # noqa: F401
+
+    sp = plan_of(QUERIES["stay_point_episodes"](spark, SF_CORRECT))
+    assert "Window" in sp
+    assert "SinglePartition, " not in sp.split("Sort")[0]
+    rg = plan_of(QUERIES["radius_of_gyration"](spark, SF_CORRECT))
+    assert "Window" not in rg
+    assert "Join" not in rg
+
+
+def test_winsorized_bounds_broadcast_back(spark):
+    """The 5-row bounds relation joins back by broadcast, never a
+    shuffle of the big side on event_type alone before the clamp."""
+    import osmgraft.contract  # noqa: F401
+
+    df = QUERIES["winsorized_value_stats"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mrl_probe_harness_shape(spark):
+    """Probes and the dim spine broadcast; rank windows key on
+    (d, qid) — never a global window."""
+    import osmgraft.contract_text  # noqa: F401
+
+    df = QUERIES["mrl_trunc_recall"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "hashpartitioning(d" in plan

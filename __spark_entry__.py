@@ -115,6 +115,9 @@ _SESSION3_NEW = (
     "vacuum_retention_audit", "media_ahash_groups", "pq_quant_recall",
     "mrl_trunc_recall", "winsorized_value_stats", "cell_trend_hotspots",
     "bellman_ford_distances", "stay_point_episodes", "radius_of_gyration",
+    # session-10 additions (same queue discipline)
+    "getis_ord_hotspots", "rfm_segments", "item_cf_similarity",
+    "mad_outliers", "co_movement_pairs", "lpa_communities",
 )
 
 

@@ -2504,3 +2504,145 @@ def cell_trend_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("stable")
         .alias("trend"),
     ).orderBy("cx", "cy")
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord Gi* local hotspot classification over the cell grid
+# ---------------------------------------------------------------------------
+
+# z denominator shared as ONE expression string so Spark and DuckDB run the
+# identical IEEE op sequence (CAST-to-double then *, /, SQRT are all
+# correctly-rounded — identical integer inputs => identical bits out).
+_GI_Z = (
+    "(CAST(num AS DOUBLE) / SQRT((CAST(a2 AS DOUBLE) * "
+    "(nc * 1.0e0 * wi - wi * 1.0e0 * wi)) / (nc - 1.0e0)))"
+)
+
+_GI_SQL = f"""
+    WITH pts AS (SELECT CAST(FLOOR(({_DC_PX}) / {_MI_W}.0e0) AS BIGINT)
+                          AS cx,
+                        CAST(FLOOR(({_DC_PY}) / {_MI_W}.0e0) AS BIGINT)
+                          AS cy
+                 FROM events),
+    grid AS (SELECT gx.cx, gy.cy
+             FROM UNNEST(range(80)) AS gx(cx),
+                  UNNEST(range(80)) AS gy(cy)),
+    cells AS (SELECT g.cx, g.cy,
+                     CAST(COUNT(p.cx) AS BIGINT) AS n
+              FROM grid g LEFT JOIN pts p
+                ON p.cx = g.cx AND p.cy = g.cy
+              GROUP BY g.cx, g.cy),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+                   CAST(SUM(n) AS BIGINT) AS tn,
+                   CAST(SUM(n * n) AS BIGINT) AS sn2
+            FROM cells),
+    nb AS (SELECT a.cx, a.cy,
+                  CAST(SUM(b.n) AS BIGINT) AS si,
+                  CAST(COUNT(*) AS BIGINT) AS wi
+           FROM cells a JOIN cells b
+             ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+            AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+           GROUP BY a.cx, a.cy),
+    z AS (SELECT nb.cx, nb.cy, nb.wi, t.nc,
+                 t.nc * nb.si - nb.wi * t.tn AS num,
+                 t.nc * t.sn2 - t.tn * t.tn AS a2
+          FROM nb CROSS JOIN tot t),
+    g AS (SELECT cx, cy, {_GI_Z} AS zi FROM z)
+    SELECT CASE WHEN zi >= 2.576e0 THEN 'hot99'
+                WHEN zi >= 1.96e0 THEN 'hot95'
+                WHEN zi <= -2.576e0 THEN 'cold99'
+                WHEN zi <= -1.96e0 THEN 'cold95'
+                ELSE 'not_significant' END AS g_class,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(MAX(zi), 4) AS max_z,
+           ROUND(MIN(zi), 4) AS min_z
+    FROM g GROUP BY 1 ORDER BY g_class
+    """
+
+
+@q("getis_ord_hotspots", oracle=_GI_SQL)
+def getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* local hotspot classification (queen contiguity
+    INCLUDING self — the Gi* form) of the 80x80 cell-count surface on
+    the hotspot point mixture, rolled up per significance class
+    (hot99/hot95/cold95/cold99/not_significant at the 2.576/1.96
+    gaussian cuts). The LOCAL companion to ``morans_i_autocorrelation``
+    (which certifies clustering exists globally, Gi* says WHERE) and
+    the spatial twin of ``cell_trend_hotspots`` (which trends per cell
+    over time) — together the ArcGIS-style hotspot toolset.
+
+    Exactness: the Gi* numerator is kept in scaled integers
+    (nc*S_i - W_i*T — the nc-scaled mean subtraction, same trick as
+    Moran's I) and nc*sum(n^2) - T^2 is the nc^2-scaled variance, so
+    the only float work is the shared-text denominator expression —
+    identical integer inputs through identical IEEE ops on both
+    engines.
+
+    Scale shape: points aggregate ONCE onto the bounded grid; the
+    neighbour sum is a grid self-join bounded by cells x 9 (broadcast
+    here; cell-block sharded at production resolution, the
+    track_crossings pattern), and the class rollup is a 5-row agg.
+    Nothing touches raw points twice.
+    """
+    px = _DC_PX.replace("//", " div ")
+    py = _DC_PY.replace("//", " div ")
+    w = _MI_W
+    pts = t(spark, sf_dir, "events").select(
+        F.expr(f"CAST(FLOOR(({px}) / {w}.0e0) AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(FLOOR(({py}) / {w}.0e0) AS BIGINT)").alias("cy"),
+    )
+    gx = spark.range(80).select(F.col("id").alias("cx"))
+    gy = spark.range(80).select(F.col("id").alias("cy"))
+    grid = gx.crossJoin(gy)
+    pc = pts.groupBy("cx", "cy").agg(F.count("*").cast("long").alias("pn"))
+    cells = grid.join(pc, ["cx", "cy"], "left").select(
+        "cx", "cy", F.coalesce("pn", F.lit(0)).cast("long").alias("n")
+    )
+    tot = cells.agg(
+        F.count("*").cast("long").alias("nc"),
+        F.sum("n").cast("long").alias("tn"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sn2"),
+    )
+    b = cells.select(
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+        F.col("n").alias("bn"),
+    )
+    nb = (
+        cells.join(
+            F.broadcast(b),
+            F.col("bx").between(F.col("cx") - 1, F.col("cx") + 1)
+            & F.col("by").between(F.col("cy") - 1, F.col("cy") + 1),
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum("bn").cast("long").alias("si"),
+            F.count("*").cast("long").alias("wi"),
+        )
+    )
+    z = nb.crossJoin(F.broadcast(tot)).select(
+        "cx",
+        "cy",
+        "wi",
+        "nc",
+        (F.col("nc") * F.col("si") - F.col("wi") * F.col("tn")).alias("num"),
+        (F.col("nc") * F.col("sn2") - F.col("tn") * F.col("tn")).alias("a2"),
+    )
+    g = z.select("cx", "cy", F.expr(_GI_Z).alias("zi"))
+    klass = (
+        F.when(F.col("zi") >= 2.576, "hot99")
+        .when(F.col("zi") >= 1.96, "hot95")
+        .when(F.col("zi") <= -2.576, "cold99")
+        .when(F.col("zi") <= -1.96, "cold95")
+        .otherwise("not_significant")
+    )
+    return (
+        g.select(klass.alias("g_class"), "zi")
+        .groupBy("g_class")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.round(F.max("zi"), 4).alias("max_z"),
+            F.round(F.min("zi"), 4).alias("min_z"),
+        )
+        .orderBy("g_class")
+    )

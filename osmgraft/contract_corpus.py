@@ -4416,3 +4416,319 @@ def vacuum_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("retention")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (exact quintiles, no single-partition window)
+# ---------------------------------------------------------------------------
+
+_RFM_CASE = (
+    "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 "
+    "     THEN 'champions' "
+    "     WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_returning' "
+    "     WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal' "
+    "     WHEN r_score <= 2 AND m_score <= 2 THEN 'hibernating' "
+    "     WHEN m_score >= 4 THEN 'big_spender' "
+    "     ELSE 'regular' END"
+)
+
+_RFM_SQL = f"""
+    WITH g AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    cust AS (SELECT o_custkey AS custkey,
+                    DATE_DIFF('day', MAX(o_orderdate), (SELECT mx FROM g))
+                      AS recency_days,
+                    CAST(COUNT(*) AS BIGINT) AS frequency,
+                    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0)
+                                  AS BIGINT)) AS BIGINT) AS monetary_cents
+             FROM orders GROUP BY o_custkey),
+    scored AS (SELECT custkey, monetary_cents,
+                      6 - NTILE(5) OVER (ORDER BY recency_days, custkey)
+                        AS r_score,
+                      NTILE(5) OVER (ORDER BY frequency, custkey) AS f_score,
+                      NTILE(5) OVER (ORDER BY monetary_cents, custkey)
+                        AS m_score
+               FROM cust)
+    SELECT {_RFM_CASE} AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(r_score * 1.0e0), 4) AS avg_r,
+           ROUND(AVG(f_score * 1.0e0), 4) AS avg_f,
+           ROUND(AVG(m_score * 1.0e0), 4) AS avg_m,
+           ROUND(SUM(monetary_cents) / 100.0e0, 2) AS total_monetary
+    FROM scored GROUP BY 1 ORDER BY segment
+    """
+
+
+@q("rfm_segments", oracle=_RFM_SQL)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — THE
+    classic marketing-analytics rollup: per-customer R/F/M metrics from
+    orders, exact quintile scores 1-5 per metric, and the named-segment
+    CASE (champions / at-risk / hibernating / ...) shared as one
+    expression string with the oracle.
+
+    Exactness: all three metrics are integers (days, counts, cents — the
+    monetary sum is quantized BEFORE summing so engine float-sum order
+    can't reorder ranks), and quintiles come from the two-level exact
+    ranking machinery (analytics/ranking.py) with custkey tiebreaks —
+    bit-identical to the oracle's NTILE(5) windows without any
+    single-partition sort (the round-2 value_deciles discipline).
+
+    Scale shape: one customer-keyed partial agg builds the metric
+    relation (bounded by |customers|); each quintile is a 64-way-bucketed
+    rank, and the segment rollup is a 6-row agg.
+    """
+    from osmgraft.analytics.ranking import ntile_from_rank, with_global_rank
+
+    orders = t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_dt"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.datediff("mx", "last_dt").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    n_rows = cust.count()
+    r = with_global_rank(cust, ["recency_days", "custkey"], rank_col="_rr")
+    r = r.withColumn(
+        "r_score", 6 - ntile_from_rank(F.col("_rr"), n_rows, 5)
+    ).drop("_rr")
+    r = with_global_rank(r, ["frequency", "custkey"], rank_col="_rf")
+    r = r.withColumn(
+        "f_score", ntile_from_rank(F.col("_rf"), n_rows, 5)
+    ).drop("_rf")
+    r = with_global_rank(r, ["monetary_cents", "custkey"], rank_col="_rm")
+    r = r.withColumn(
+        "m_score", ntile_from_rank(F.col("_rm"), n_rows, 5)
+    ).drop("_rm")
+    return (
+        r.select(F.expr(_RFM_CASE).alias("segment"), "r_score", "f_score",
+                 "m_score", "monetary_cents")
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.avg(F.col("r_score") * 1.0), 4).alias("avg_r"),
+            F.round(F.avg(F.col("f_score") * 1.0), 4).alias("avg_f"),
+            F.round(F.avg(F.col("m_score") * 1.0), 4).alias("avg_m"),
+            F.round(F.sum("monetary_cents") / 100.0, 2).alias(
+                "total_monetary"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# item-item collaborative-filtering similarity (co-purchase cosine)
+# ---------------------------------------------------------------------------
+
+_CF_CAP = 20  # per-customer basket cap — the standard CF scale bound
+_CF_COSINE = "(CAST(co AS DOUBLE) / SQRT(na * 1.0e0 * nb))"
+
+_ITEM_CF_SQL = f"""
+    WITH basket0 AS (
+      SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_buys
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    basket AS (
+      SELECT custkey, partkey FROM (
+        SELECT custkey, partkey,
+               ROW_NUMBER() OVER (PARTITION BY custkey
+                                  ORDER BY n_buys DESC, partkey) AS rn
+        FROM basket0) WHERE rn <= {_CF_CAP}),
+    norms AS (SELECT partkey, CAST(COUNT(*) AS BIGINT) AS nu
+              FROM basket GROUP BY partkey),
+    pairs AS (
+      SELECT a.partkey AS part_a, b.partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS co
+      FROM basket a JOIN basket b
+        ON a.custkey = b.custkey AND a.partkey < b.partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    sim AS (
+      SELECT p.part_a, p.part_b, p.co, x.nu AS na, y.nu AS nb,
+             {_CF_COSINE} AS cosine
+      FROM pairs p JOIN norms x ON p.part_a = x.partkey
+                   JOIN norms y ON p.part_b = y.partkey)
+    SELECT part_a, part_b, co AS co_count, na, nb,
+           ROUND(cosine, 4) AS cosine
+    FROM sim ORDER BY cosine DESC, part_a, part_b LIMIT 20
+    """
+
+
+@q("item_cf_similarity", oracle=_ITEM_CF_SQL)
+def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-20 co-purchase cosine pairs
+    (sim = |U_a ∩ U_b| / sqrt(|U_a|·|U_b|) over customer baskets, min
+    co-count 2) — the classic Amazon-style "customers who bought X also
+    bought Y" precompute, built on orders ⋈ lineitem.
+
+    Scale shape: per-customer baskets are CAPPED at the top-{_CF_CAP}
+    items (customer-keyed window — the industry-standard CF bound: pair
+    expansion is then ≤ cap²/2 per customer instead of unbounded
+    power-user blowup); pair counts are one pair-keyed partial agg; item
+    norms join back via two broadcast-sized post-agg relations; final
+    top-20 is TakeOrderedAndProject. Cosine is one shared expression
+    over integers — identical bits on both engines, ties broken by
+    (part_a, part_b).
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    basket0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(F.count("*").cast("long").alias("n_buys"))
+    )
+    w = Window.partitionBy("custkey").orderBy(
+        F.col("n_buys").desc(), "partkey"
+    )
+    basket = (
+        basket0.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _CF_CAP)
+        .select("custkey", "partkey")
+    )
+    norms = basket.groupBy("partkey").agg(
+        F.count("*").cast("long").alias("nu")
+    )
+    b2 = basket.select(
+        F.col("custkey").alias("c2"), F.col("partkey").alias("part_b")
+    )
+    pairs = (
+        basket.join(
+            b2,
+            (F.col("custkey") == F.col("c2"))
+            & (F.col("partkey") < F.col("part_b")),
+        )
+        .groupBy(F.col("partkey").alias("part_a"), "part_b")
+        .agg(F.count("*").cast("long").alias("co"))
+        .where(F.col("co") >= 2)
+    )
+    na = norms.select(
+        F.col("partkey").alias("pa"), F.col("nu").alias("na")
+    )
+    nb = norms.select(
+        F.col("partkey").alias("pb"), F.col("nu").alias("nb")
+    )
+    sim = (
+        pairs.join(F.broadcast(na), F.col("part_a") == F.col("pa"))
+        .join(F.broadcast(nb), F.col("part_b") == F.col("pb"))
+        .select(
+            "part_a", "part_b", "co", "na", "nb",
+            F.expr(_CF_COSINE).alias("cosine"),
+        )
+    )
+    return (
+        sim.select(
+            "part_a",
+            "part_b",
+            F.col("co").alias("co_count"),
+            "na",
+            "nb",
+            F.round("cosine", 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outlier profile (median absolute deviation per event_type)
+# ---------------------------------------------------------------------------
+
+_MAD_FLAG = "(ABS(vc - medc) * 0.6745e0 > 3.5e0 * madc)"
+
+_MAD_SQL = f"""
+    WITH v AS (SELECT event_type,
+                      CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT) AS vc
+               FROM events),
+    med AS (SELECT event_type, quantile_cont(vc, 0.5e0) AS medc
+            FROM v GROUP BY event_type),
+    dev AS (SELECT v.event_type, v.vc, m.medc
+            FROM v JOIN med m ON v.event_type = m.event_type),
+    mad AS (SELECT event_type, quantile_cont(ABS(vc - medc), 0.5e0) AS madc
+            FROM dev GROUP BY event_type),
+    flagged AS (SELECT d.event_type, d.vc, d.medc, m.madc,
+                       CASE WHEN {_MAD_FLAG} THEN 1 ELSE 0 END AS is_out
+                FROM dev d JOIN mad m ON d.event_type = m.event_type)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(ANY_VALUE(medc) / 100.0e0, 4) AS median_value,
+           ROUND(ANY_VALUE(madc) / 100.0e0, 4) AS mad_value,
+           CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+           ROUND(MAX(ABS(vc - medc)) * 0.6745e0 / ANY_VALUE(madc), 4)
+             AS max_abs_z
+    FROM flagged GROUP BY event_type ORDER BY event_type
+    """
+
+
+@q("mad_outliers", oracle=_MAD_SQL)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event_type: median / MAD (median
+    absolute deviation) and the modified z-score rule (0.6745·|x−med|/MAD
+    > 3.5, Iglewicz-Hoaglin) — the robust complement to
+    ``daily_anomalies``'s mean/std z-scores (one fat-tailed day can drag
+    a mean; it cannot drag a median) and ``winsorized_value_stats``'s
+    clamping.
+
+    Exactness: values quantize to cents BEFORE any statistic, so both
+    medians interpolate integers (exact halves in double — type-7 on
+    both engines) and the flag inequality is one shared expression
+    string; no float-accumulation-order exposure anywhere.
+
+    Scale shape: two group-keyed exact-percentile aggs (Spark's
+    percentile buffers value→count maps, bounded by DISTINCT cents, not
+    rows — the quantization IS the memory bound) + two broadcast-sized
+    median joins; the rollup is one partial agg. Nothing global.
+    """
+    v = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT)").alias("vc"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(vc, 0.5e0)").alias("medc")
+    )
+    dev = v.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ABS(vc - medc), 0.5e0)").alias("madc")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "vc",
+        "medc",
+        "madc",
+        F.when(F.expr(_MAD_FLAG), 1).otherwise(0).alias("is_out"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.first("medc") / 100.0, 4).alias("median_value"),
+            F.round(F.first("madc") / 100.0, 4).alias("mad_value"),
+            F.sum("is_out").cast("long").alias("n_outliers"),
+            F.round(
+                F.max(F.abs(F.col("vc") - F.col("medc")))
+                * 0.6745
+                / F.first("madc"),
+                4,
+            ).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )

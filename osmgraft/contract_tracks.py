@@ -1264,3 +1264,122 @@ def radius_of_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 4).alias("rg2_km2"),
         F.floor(F.sqrt(var) * 100 + F.lit(0.5)).cast("long").alias("rg_band"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# co-movement (co-travel) pair detection
+# ---------------------------------------------------------------------------
+
+_CM_MIN_SHARED = 3
+# deterministic position cell per (user, hour-bucket): users 2k and 2k+1
+# share the seed (user_id // 2) so even/odd pairs genuinely co-travel;
+# unrelated seeds collide on a cell only at ~1e-5 per bucket
+_CM_CELL = "((user_id // 2) * 48271 + bkt * 16807 + 13) % 100000"
+
+_CM_SQL = f"""
+    WITH pres AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(FLOOR(epoch(ts)) / 3600.0e0) AS BIGINT) AS bkt
+      FROM events),
+    loc AS (SELECT user_id, bkt, {_CM_CELL} AS cell FROM pres),
+    act AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nb
+            FROM pres GROUP BY user_id),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM loc a JOIN loc b
+        ON a.bkt = b.bkt AND a.cell = b.cell AND a.user_id < b.user_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_CM_MIN_SHARED})
+    SELECT p.user_a, p.user_b, p.n_shared,
+           x.nb AS n_buckets_a, y.nb AS n_buckets_b,
+           ROUND(p.n_shared * 1.0e0
+                 / (x.nb + y.nb - p.n_shared), 4) AS jaccard
+    FROM pairs p JOIN act x ON p.user_a = x.user_id
+                 JOIN act y ON p.user_b = y.user_id
+    ORDER BY p.n_shared DESC, p.user_a, p.user_b LIMIT 50
+    """
+
+
+@q("co_movement_pairs", oracle=_CM_SQL)
+def co_movement_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-movement (co-travel) detection: user pairs observed in the SAME
+    spatial cell in the SAME hour bucket for ≥{_CM_MIN_SHARED} distinct
+    buckets, with temporal-Jaccard strength (shared / union of active
+    buckets) — the trajectory-mining companion-detection classic (Li et
+    al. swarm/convoy patterns) and the pairwise complement of
+    ``stay_point_episodes``.
+
+    Fixture: positions derive deterministically from (user_id // 2,
+    bucket), so even/odd user pairs genuinely co-travel whenever both are
+    active in a bucket (2-13 shared buckets at sf0.01) while unrelated
+    users collide on a cell at ~1e-5 per bucket — detections are real
+    signal, not noise, at every SF.
+
+    Scale shape: presence dedups once per (user, bucket); the candidate
+    join is an EQUI-join on (bucket, cell) — pair expansion bounded by
+    per-(cell, bucket) occupancy, the blocking discipline of
+    track_crossings — followed by one pair-keyed partial agg, two
+    broadcast-sized activity joins, and TakeOrderedAndProject.
+
+    unix_timestamp(ts) ≡ DuckDB FLOOR(epoch(ts)) under the UTC session
+    (the bot_regularity_profile equivalence).
+    """
+    ev = t(spark, sf_dir, "events")
+    pres = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(FLOOR(unix_timestamp(ts) / 3600.0e0) AS BIGINT)"
+        ).alias("bkt"),
+    ).distinct()
+    loc = pres.select(
+        "user_id", "bkt", F.expr(_CM_CELL.replace("//", " div ")).alias("cell")
+    )
+    act = pres.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("nb")
+    )
+    b = loc.select(
+        F.col("user_id").alias("user_b"),
+        F.col("bkt").alias("b_bkt"),
+        F.col("cell").alias("b_cell"),
+    )
+    pairs = (
+        loc.join(
+            b,
+            (F.col("bkt") == F.col("b_bkt"))
+            & (F.col("cell") == F.col("b_cell"))
+            & (F.col("user_id") < F.col("user_b")),
+        )
+        .groupBy(F.col("user_id").alias("user_a"), "user_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= _CM_MIN_SHARED)
+    )
+    ax = act.select(
+        F.col("user_id").alias("user_a"), F.col("nb").alias("n_buckets_a")
+    )
+    ay = act.select(
+        F.col("user_id").alias("user_b"), F.col("nb").alias("n_buckets_b")
+    )
+    return (
+        pairs.join(F.broadcast(ax), "user_a")
+        .join(F.broadcast(ay), "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            "n_shared",
+            "n_buckets_a",
+            "n_buckets_b",
+            F.round(
+                F.col("n_shared")
+                * 1.0
+                / (
+                    F.col("n_buckets_a")
+                    + F.col("n_buckets_b")
+                    - F.col("n_shared")
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("n_shared").desc(), "user_a", "user_b")
+        .limit(50)
+    )

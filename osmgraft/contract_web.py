@@ -5896,3 +5896,105 @@ def bellman_ford_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("dist").alias(f"dist_{_BF_ROUNDS}"), "n_reached")
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities (synchronous, 3 unrolled rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_N = 210  # 7 planted blocks x 30 nodes
+_LPA_ROUNDS = 3
+# planted-partition fixture: 90% of edges stay inside the endpoint's
+# 30-node block, 10% jump anywhere — community structure LPA can recover
+# (a uniform random graph has none and the partition would be arbitrary)
+_LPA_U = f"(doc_id % {_LPA_N})"
+_LPA_V = (
+    f"(CASE WHEN doc_id % 10 = 0 "
+    f"THEN (doc_id * 7919 + (doc_id // {_LPA_N}) * 2311 + 13) % {_LPA_N} "
+    f"ELSE ((doc_id % {_LPA_N}) // 30) * 30 "
+    f"     + ((doc_id % {_LPA_N}) * 17 + (doc_id // {_LPA_N}) * 31 + 5) % 30 "
+    f"END)"
+)
+
+
+def _lpa_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""
+    c{i} AS (SELECT d.s AS n, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+             FROM d JOIN {prev} l ON l.n = d.t GROUP BY d.s, l.lbl),
+    l{i} AS (SELECT n, lbl FROM c{i}
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY n
+                                        ORDER BY c DESC, lbl) = 1)"""
+        )
+        prev = f"l{i}"
+    return f"""
+    WITH raw AS (SELECT {_LPA_U} AS u, {_LPA_V} AS v FROM documents),
+    e AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+          FROM raw WHERE u <> v),
+    d AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+    nodes AS (SELECT DISTINCT s AS n FROM d),
+    l0 AS (SELECT n, n AS lbl FROM nodes),{",".join(rounds)}
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS size
+    FROM {prev} GROUP BY lbl ORDER BY size DESC, community LIMIT 20
+    """
+
+
+@q("lpa_communities", oracle=_lpa_sql())
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007): {_LPA_ROUNDS} rounds of "adopt the most frequent neighbour
+    label, ties to the smallest" over a planted-partition link graph
+    (7 blocks of 30 nodes, 90% intra-block edges) — the almost-linear
+    community primitive between ``dedup_clusters``'s connected components
+    (which would merge ALL blocks: the graph is connected) and
+    ``cluster_modularity``'s quality score.
+
+    Determinism: the sync schedule + (count DESC, label ASC) argmax is a
+    total order per node per round, so both engines propagate identical
+    labels; the oracle unrolls the rounds as CTEs.
+
+    Scale shape: each round is one equi-join of the (bounded) label
+    relation against the edge list + a (node, label)-keyed partial agg +
+    a node-keyed window over the post-agg counts — the pagerank shuffle
+    shape, O(rounds) passes, nothing global. At 10^12 edges the label
+    relation checkpoints per round exactly like dedup_clusters.
+    """
+    docs = t(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.expr(_LPA_U.replace("//", " div ")).alias("u"),
+        F.expr(_LPA_V.replace("//", " div ")).alias("v"),
+    )
+    e = (
+        raw.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    d = e.select(F.col("a").alias("s"), F.col("b").alias("t")).union(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    lbl = d.select(F.col("s").alias("n")).distinct().select(
+        "n", F.col("n").alias("lbl")
+    )
+    w = Window.partitionBy("s").orderBy(F.col("c").desc(), "lbl")
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            d.join(lbl, d.t == lbl.n)
+            .groupBy("s", "lbl")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        lbl = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("s").alias("n"), "lbl")
+        )
+    return (
+        lbl.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").cast("long").alias("size"))
+        .orderBy(F.col("size").desc(), "community")
+        .limit(20)
+    )

@@ -932,3 +932,80 @@ def test_mrl_probe_harness_shape(spark):
     plan = plan_of(df)
     assert plan.count("BroadcastExchange") >= 2
     assert "hashpartitioning(d" in plan
+
+
+# ---------------------------------------------------------------------------
+# session-10 plan audits
+# ---------------------------------------------------------------------------
+
+
+def test_getis_ord_neighbor_join_is_cell_bounded(spark):
+    """Gi*: the queen cross-sum joins the CELL relation to its broadcast
+    copy; raw points aggregate onto the grid exactly once."""
+    import osmgraft.contract_cells  # noqa: F401
+
+    df = QUERIES["getis_ord_hotspots"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "hashpartitioning(cx" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_item_cf_pair_join_is_customer_keyed(spark):
+    """Item CF: pair expansion is an equi-join on custkey (never a
+    cross-join) and the final top-20 is TakeOrderedAndProject."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["item_cf_similarity"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "custkey" in plan
+
+
+def test_co_movement_join_is_bucket_cell_keyed(spark):
+    """Co-movement: the candidate join is equi on (bucket, cell); the
+    final 50 rows come from TakeOrderedAndProject."""
+    import osmgraft.contract_tracks  # noqa: F401
+
+    df = QUERIES["co_movement_pairs"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lpa_rounds_are_equi_joins(spark):
+    """LPA: every propagation round is an equi-join + node-keyed window;
+    no cartesian anywhere."""
+    import osmgraft.contract_web  # noqa: F401
+
+    df = QUERIES["lpa_communities"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rfm_has_no_single_partition_window(spark):
+    """RFM: quintiles come from the bucketed two-level rank — every
+    Window in the plan is partitioned by the rank bucket, and the only
+    SinglePartition exchange is the benign one-row scalar MAX(orderdate)
+    aggregate (the HITS scalar-build precedent)."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["rfm_segments"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_rk_bucket" in line, line
+    assert plan.count("SinglePartition") == 1
+    assert "partial_max" in plan  # the scalar agg is map-side partial first
+
+
+def test_mad_median_joins_are_broadcast(spark):
+    """MAD: both median join-backs are broadcast-sized post-agg
+    relations; the big side never shuffles for them."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["mad_outliers"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

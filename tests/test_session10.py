@@ -1,0 +1,292 @@
+"""Session-10 operator invariants: Getis-Ord Gi*, RFM segmentation,
+item-item CF, MAD outliers, co-movement pairs, LPA communities.
+
+Each test recomputes the operator's semantics through an INDEPENDENT
+path (numpy / pure Python / single-window Spark) and compares against
+the distributed query — the DuckDB oracle pins cross-engine parity;
+these pin the algorithm itself.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from osmgraft.contract import QUERIES
+from tests.conftest import SF_CORRECT
+
+import osmgraft.contract_cells  # noqa: F401  (registers entries)
+import osmgraft.contract_corpus  # noqa: F401
+import osmgraft.contract_tracks  # noqa: F401
+import osmgraft.contract_web  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord Gi*
+# ---------------------------------------------------------------------------
+
+
+def test_getis_ord_matches_numpy_reference(spark):
+    """Gi* class rollup == a dense-numpy recompute of the statistic from
+    the raw cell counts (independent of the scaled-integer rewrite)."""
+    from osmgraft.contract_cells import _DC_PX, _DC_PY, _MI_W
+
+    px = _DC_PX.replace("//", " div ")
+    py = _DC_PY.replace("//", " div ")
+    pts = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            f"CAST(FLOOR(({px}) / {_MI_W}.0e0) AS BIGINT) AS cx",
+            f"CAST(FLOOR(({py}) / {_MI_W}.0e0) AS BIGINT) AS cy",
+        )
+        .groupBy("cx", "cy")
+        .count()
+        .toPandas()
+    )
+    grid = np.zeros((80, 80), dtype=np.int64)
+    for _, r in pts.iterrows():
+        grid[int(r.cx), int(r.cy)] = r["count"]
+    n = grid.size
+    xbar = grid.sum() / n
+    s = math.sqrt((grid.astype(float) ** 2).sum() / n - xbar**2)
+    classes: dict[str, int] = {}
+    zmax: dict[str, float] = {}
+    for cx in range(80):
+        for cy in range(80):
+            x0, x1 = max(0, cx - 1), min(80, cx + 2)
+            y0, y1 = max(0, cy - 1), min(80, cy + 2)
+            wi = (x1 - x0) * (y1 - y0)
+            si = grid[x0:x1, y0:y1].sum()
+            z = (si - xbar * wi) / (
+                s * math.sqrt((n * wi - wi * wi) / (n - 1))
+            )
+            k = (
+                "hot99" if z >= 2.576
+                else "hot95" if z >= 1.96
+                else "cold99" if z <= -2.576
+                else "cold95" if z <= -1.96
+                else "not_significant"
+            )
+            classes[k] = classes.get(k, 0) + 1
+            zmax[k] = max(zmax.get(k, -1e18), z)
+    out = QUERIES["getis_ord_hotspots"](spark, SF_CORRECT).toPandas()
+    got = dict(zip(out.g_class, out.n_cells))
+    assert got == classes
+    # the hotspot mixture MUST light up 99%-significant hot cells
+    assert classes.get("hot99", 0) > 0
+    for _, r in out.iterrows():
+        assert abs(zmax[r.g_class] - r.max_z) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_equals_window_ntile_form(spark):
+    """The distributed two-level-rank RFM == the textbook NTILE-window
+    form (single-partition window is fine at test scale)."""
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_dt"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)"
+                )
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.datediff("mx", "last_dt").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    from osmgraft.contract_corpus import _RFM_CASE
+
+    scored = cust.select(
+        "monetary_cents",
+        (
+            6
+            - F.ntile(5).over(Window.orderBy("recency_days", "custkey"))
+        ).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "custkey")).alias(
+            "f_score"
+        ),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "custkey"))
+        .alias("m_score"),
+    )
+    ref = (
+        scored.select(F.expr(_RFM_CASE).alias("segment"), "monetary_cents")
+        .groupBy("segment")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .toPandas()
+        .set_index("segment")["n_customers"]
+        .to_dict()
+    )
+    out = QUERIES["rfm_segments"](spark, SF_CORRECT).toPandas()
+    got = dict(zip(out.segment, out.n_customers))
+    assert got == ref
+    assert out.n_customers.sum() == cust.count()
+    assert set(out.segment) >= {"champions"}
+
+
+# ---------------------------------------------------------------------------
+# item-item CF
+# ---------------------------------------------------------------------------
+
+
+def test_item_cf_matches_bruteforce(spark):
+    """Top-20 CF pairs == a pandas brute-force over the capped baskets."""
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pdf = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "l_partkey")
+        .count()
+        .toPandas()
+    )
+    from osmgraft.contract_corpus import _CF_CAP
+
+    pdf = pdf.sort_values(
+        ["o_custkey", "count", "l_partkey"],
+        ascending=[True, False, True],
+    )
+    pdf["rn"] = pdf.groupby("o_custkey").cumcount() + 1
+    basket = pdf[pdf.rn <= _CF_CAP]
+    norms = basket.groupby("l_partkey").size().to_dict()
+    from collections import Counter
+
+    co: Counter = Counter()
+    for _, grp in basket.groupby("o_custkey"):
+        parts = sorted(grp.l_partkey)
+        for i, a in enumerate(parts):
+            for b in parts[i + 1:]:
+                co[(a, b)] += 1
+    rows = [
+        (a, b, c, norms[a], norms[b], c / math.sqrt(norms[a] * norms[b]))
+        for (a, b), c in co.items()
+        if c >= 2
+    ]
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    ref = [(r[0], r[1], r[2], round(r[5], 4)) for r in rows[:20]]
+    out = QUERIES["item_cf_similarity"](spark, SF_CORRECT).toPandas()
+    got = [
+        (r.part_a, r.part_b, r.co_count, r.cosine)
+        for _, r in out.iterrows()
+    ]
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_matches_python_median(spark):
+    """Median / MAD / outlier counts == statistics.median on raw cents."""
+    import statistics
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT) AS vc",
+        )
+        .toPandas()
+    )
+    out = QUERIES["mad_outliers"](spark, SF_CORRECT).toPandas()
+    for _, r in out.iterrows():
+        vals = ev[ev.event_type == r.event_type].vc.tolist()
+        med = statistics.median(vals)
+        mad = statistics.median([abs(v - med) for v in vals])
+        n_out = sum(1 for v in vals if abs(v - med) * 0.6745 > 3.5 * mad)
+        assert r.n == len(vals)
+        assert abs(r.median_value - med / 100.0) < 1e-6
+        assert abs(r.mad_value - mad / 100.0) < 1e-6
+        assert r.n_outliers == n_out
+    # fat-tailed values must actually trip the rule somewhere
+    assert out.n_outliers.sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# co-movement pairs
+# ---------------------------------------------------------------------------
+
+
+def test_co_movement_pairs_are_seed_pairs(spark):
+    """Every detected pair shares the position seed (user_id // 2) —
+    the planted co-travellers, not cell-collision noise — and the
+    temporal Jaccard is consistent with its components."""
+    out = QUERIES["co_movement_pairs"](spark, SF_CORRECT).toPandas()
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        assert r.user_a // 2 == r.user_b // 2, "cell-collision false pair"
+        assert r.user_b == r.user_a + 1
+        expect = r.n_shared / (r.n_buckets_a + r.n_buckets_b - r.n_shared)
+        assert abs(r.jaccard - round(expect, 4)) < 1e-9
+        assert 0 < r.jaccard <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# LPA communities
+# ---------------------------------------------------------------------------
+
+
+def test_lpa_matches_python_reference(spark):
+    """Community histogram == a pure-Python synchronous LPA with the
+    same (count DESC, label ASC) argmax over the same planted graph."""
+    from osmgraft.contract_web import _LPA_ROUNDS, _LPA_N
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id")
+        .toPandas()
+    )
+    edges = set()
+    for doc_id in docs.doc_id:
+        u = doc_id % _LPA_N
+        if doc_id % 10 == 0:
+            v = (doc_id * 7919 + (doc_id // _LPA_N) * 2311 + 13) % _LPA_N
+        else:
+            v = (u // 30) * 30 + (u * 17 + (doc_id // _LPA_N) * 31 + 5) % 30
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lbl = {n: n for n in nbrs}
+    for _ in range(_LPA_ROUNDS):
+        new = {}
+        for n, ns in nbrs.items():
+            cnt: dict[int, int] = {}
+            for m in ns:
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            new[n] = min(cnt, key=lambda k: (-cnt[k], k))
+        lbl = new
+    hist: dict[int, int] = {}
+    for v in lbl.values():
+        hist[v] = hist.get(v, 0) + 1
+    ref = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    out = QUERIES["lpa_communities"](spark, SF_CORRECT).toPandas()
+    got = [(r.community, r["size"]) for _, r in out.iterrows()]
+    assert got == ref
+    # planted structure: multiple communities survive, none is global
+    assert len(hist) >= 2
+    assert max(hist.values()) < _LPA_N

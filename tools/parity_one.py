@@ -1,24 +1,29 @@
-"""Parity-check a subset of queries by name: python tools/parity_one.py name1 name2 [--sf DIR]"""
+"""Single-query parity check: run one (or more) named queries() entries on
+Spark AND DuckDB at a scale dir and compare with the driver-style
+canonicalisation. Fast iteration companion to tools/parity_sweep.py.
+
+Usage: python tools/parity_one.py name [name ...] [--sf SF_DIR]
+"""
+
 from __future__ import annotations
 
 import sys
-
-sys.path.insert(0, ".")
+import time
 
 import duckdb
 import pandas as pd
 
-from tools.parity_sweep import TABLES, canon
+sys.path.insert(0, ".")
+
+from tools.parity_sweep import TABLES, canon  # noqa: E402
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:]]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
-    if "--sf" in args:
-        i = args.index("--sf")
-        sf_dir = args[i + 1]
-        del args[i : i + 2]
-    names = args
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
     from osmgraft.session import get_spark
 
     spark = get_spark("parity_one")
@@ -26,27 +31,37 @@ def main() -> int:
 
     con = duckdb.connect()
     for tbl in TABLES:
-        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'"
+        )
     qs, osql = entry.queries(), entry.oracle_sql()
-    fail = 0
-    for name in names:
+    rc = 0
+    for name in args:
+        t0 = time.perf_counter()
         sdf = qs[name](spark, sf_dir).toPandas()
         if name not in osql:
             print(f"{name}: rows-only rows={len(sdf)}")
+            print(sdf.head(12).to_string())
             continue
         ddf = con.sql(osql[name]).df()
         s, d = canon(sdf), canon(ddf)
         ok = (
             s.shape == d.shape
             and list(s.columns) == list(d.columns)
-            and pd.util.hash_pandas_object(s).sum() == pd.util.hash_pandas_object(d).sum()
+            and pd.util.hash_pandas_object(s).sum()
+            == pd.util.hash_pandas_object(d).sum()
         )
-        print(f"{name}: {'MATCH' if ok else 'MISMATCH'} rows={len(s)}")
+        print(
+            f"{name}: {'MATCH' if ok else 'MISMATCH'} rows={len(s)} "
+            f"({time.perf_counter() - t0:.1f}s)"
+        )
         if not ok:
-            fail += 1
-            print("spark:\n", s.head(10))
-            print("duck:\n", d.head(10))
-    return fail
+            rc = 1
+            print("spark:")
+            print(s.head(20).to_string())
+            print("duck:")
+            print(d.head(20).to_string())
+    return rc
 
 
 if __name__ == "__main__":

@@ -118,6 +118,8 @@ _SESSION3_NEW = (
     # session-10 additions (same queue discipline)
     "getis_ord_hotspots", "rfm_segments", "item_cf_similarity",
     "mad_outliers", "co_movement_pairs", "lpa_communities",
+    "geofence_dwell_stats", "lang_balance_resample",
+    "average_precision_eval",
 )
 
 

@@ -4732,3 +4732,172 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# language-balanced rejection resample (data-mixing execution op)
+# ---------------------------------------------------------------------------
+
+_LBR_U = "(doc_id * 2654435761) % 1000003"
+
+_LBR_SQL = f"""
+    WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+               FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n_l) AS keep_n FROM n),
+    u AS (SELECT doc_id, lang, {_LBR_U} AS u FROM documents),
+    r AS (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY u, doc_id) AS rn
+          FROM u),
+    kept AS (SELECT r.doc_id, r.lang
+             FROM r CROSS JOIN m WHERE r.rn <= m.keep_n)
+    SELECT k.lang, n.n_l AS n_source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(COUNT(*) * 1.0e0 / n.n_l, 4) AS accept_rate,
+           CAST(SUM(k.doc_id) AS BIGINT) AS kept_id_checksum
+    FROM kept k JOIN n ON k.lang = n.lang
+    GROUP BY k.lang, n.n_l ORDER BY k.lang
+    """
+
+
+@q("lang_balance_resample", oracle=_LBR_SQL)
+def lang_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced downsample EXECUTION (the companion to
+    ``corpus_mix_plan``, which only plans): keep exactly
+    min_l(n_l) documents per language — the max-retention uniform-target
+    rejection sample — selecting deterministically by a multiplicative-
+    hash uniform (the weighted_sample_topk discipline) so both engines
+    keep the IDENTICAL document set, pinned by an additive doc_id
+    checksum.
+
+    Scale shape: one lang-keyed agg for source counts, one lang-keyed
+    ROW_NUMBER window for the per-language selection (at 10^12 docs the
+    per-lang rank uses the two-level bucketed ranking exactly like
+    rfm_segments), one broadcast-sized keep_n join. Target shares over
+    OBSERVED languages — nothing hardcoded to the fixture's 5.
+    """
+    docs = t(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_l"))
+    m = n.agg(F.min("n_l").alias("keep_n"))
+    u = docs.select("doc_id", "lang", F.expr(_LBR_U).alias("u"))
+    w = Window.partitionBy("lang").orderBy("u", "doc_id")
+    r = u.withColumn("rn", F.row_number().over(w))
+    kept = r.crossJoin(F.broadcast(m)).where(
+        F.col("rn") <= F.col("keep_n")
+    )
+    return (
+        kept.join(F.broadcast(n), "lang")
+        .groupBy("lang", "n_l")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.round(F.count("*") * 1.0 / F.first("n_l"), 4).alias(
+                "accept_rate"
+            ),
+            F.sum("doc_id").cast("long").alias("kept_id_checksum"),
+        )
+        .select(
+            "lang",
+            F.col("n_l").alias("n_source"),
+            "n_kept",
+            "accept_rate",
+            "kept_id_checksum",
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# average precision (ranked-retrieval eval)
+# ---------------------------------------------------------------------------
+
+# integer spark-mention density ranking + >=4-mentions relevance label:
+# correlated by construction, so AP is meaningfully above the ~15% base rate
+_AP_HITS = "((length(text) - length(replace(text, 'spark', ''))) // 5)"
+_AP_SCORE = f"(({_AP_HITS} * 1000000) // n_chars)"
+_AP_REL_MIN = 4
+
+_AP_SQL = f"""
+    WITH scored AS (SELECT doc_id, {_AP_SCORE} AS score,
+                           CASE WHEN {_AP_HITS} >= {_AP_REL_MIN}
+                                THEN 1 ELSE 0 END AS rel
+                    FROM documents),
+    ranked AS (SELECT doc_id, score, rel,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS r
+               FROM scored),
+    relranked AS (SELECT r,
+                         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                           AS j
+                  FROM ranked WHERE rel = 1),
+    terms AS (SELECT r, j, (j * 1000000000) // r AS term FROM relranked),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(rel) AS BIGINT) AS n_rel
+            FROM scored)
+    SELECT tot.n_docs, tot.n_rel,
+           ROUND(SUM(terms.term) / (1.0e9 * tot.n_rel), 6) AS ap,
+           ROUND(SUM(CASE WHEN terms.r <= 10 THEN 1 ELSE 0 END)
+                 / 10.0e0, 4) AS p_at_10,
+           ROUND(SUM(CASE WHEN terms.r <= 10 THEN 1 ELSE 0 END)
+                 * 1.0e0 / tot.n_rel, 6) AS r_at_10
+    FROM terms CROSS JOIN tot
+    GROUP BY tot.n_docs, tot.n_rel
+    """
+
+
+@q("average_precision_eval", oracle=_AP_SQL)
+def average_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (AP) + P@10/R@10 for a ranked retrieval run —
+    the eval-harness classic completing the family with ``roc_auc_eval``
+    (threshold-free) and ``calibration_bins`` (probability quality):
+    ranking = integer 'spark'-mention density, relevance = ≥{_AP_REL_MIN}
+    mentions, AP = mean over relevant docs of precision@rank.
+
+    Exactness: AP's float sum is the accumulation-order trap — each
+    j/r precision term is floored to integer nano-units BEFORE summing
+    (the unigram_logprob snap discipline), so the sum is exact and ONE
+    division lands the final value.
+
+    Scale shape: both ROW_NUMBERs ride the two-level bucketed ranking
+    (analytics/ranking.py) — the full ranking over all docs and the
+    sub-ranking over the relevant subset — no single-partition sort;
+    the rollup is a 1-row agg.
+    """
+    from osmgraft.analytics.ranking import with_global_rank
+
+    hits = _AP_HITS.replace("//", " div ")
+    score = _AP_SCORE.replace("//", " div ")
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(score).alias("score"),
+        F.when(F.expr(hits) >= _AP_REL_MIN, 1).otherwise(0).alias("rel"),
+    )
+    tot = scored.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("rel").cast("long").alias("n_rel"),
+    )
+    neg = scored.withColumn("negscore", -F.col("score"))
+    ranked = with_global_rank(neg, ["negscore", "doc_id"], rank_col="r")
+    rel = ranked.where(F.col("rel") == 1)
+    relranked = with_global_rank(rel, ["negscore", "doc_id"], rank_col="j")
+    terms = relranked.select(
+        "r", "j", F.expr("(j * 1000000000) div r").alias("term")
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .groupBy("n_docs", "n_rel")
+        .agg(
+            F.round(F.sum("term") / (1.0e9 * F.first("n_rel")), 6).alias(
+                "ap"
+            ),
+            F.round(
+                F.sum(F.when(F.col("r") <= 10, 1).otherwise(0)) / 10.0, 4
+            ).alias("p_at_10"),
+            F.round(
+                F.sum(F.when(F.col("r") <= 10, 1).otherwise(0))
+                * 1.0
+                / F.first("n_rel"),
+                6,
+            ).alias("r_at_10"),
+        )
+        .select("n_docs", "n_rel", "ap", "p_at_10", "r_at_10")
+    )

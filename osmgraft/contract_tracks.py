@@ -1383,3 +1383,112 @@ def co_movement_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_shared").desc(), "user_a", "user_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# geofence dwell episodes (point-in-polygon x run detection)
+# ---------------------------------------------------------------------------
+
+# convex CCW pentagon fence on the 700 000-unit extent (~10% coverage)
+_GF_VERTS = [
+    (500000, 350000), (400000, 490000), (250000, 440000),
+    (250000, 260000), (400000, 210000),
+]
+# inside test: point is left-of-or-on every CCW edge (5 cross products,
+# one shared expression string on both engines)
+_GF_INSIDE = " AND ".join(
+    f"(({x2} - {x1}) * (y - {y1}) - (x - {x1}) * ({y2} - {y1})) >= 0e0"
+    for (x1, y1), (x2, y2) in zip(_GF_VERTS, _GF_VERTS[1:] + _GF_VERTS[:1])
+)
+
+_GF_SQL = f"""
+    WITH p AS (SELECT user_id, event_id, ts,
+                      {X_EXPR} AS x, {Y_EXPR} AS y
+               FROM events),
+    f AS (SELECT user_id, event_id, ts,
+                 CASE WHEN {_GF_INSIDE} THEN 1 ELSE 0 END AS inside
+          FROM p),
+    r AS (SELECT user_id, event_id, ts, inside,
+                 CASE WHEN LAG(inside) OVER w IS NULL
+                        OR LAG(inside) OVER w <> inside
+                      THEN 1 ELSE 0 END AS chg
+          FROM f WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+    runs AS (SELECT user_id, ts, inside,
+                    SUM(chg) OVER (PARTITION BY user_id
+                                   ORDER BY event_id) AS run_id
+             FROM r),
+    ep AS (SELECT user_id, run_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_pts,
+                  CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts)))
+                       AS BIGINT) AS dwell_s
+           FROM runs WHERE inside = 1 GROUP BY user_id, run_id)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_visits,
+           CAST(SUM(n_pts) AS BIGINT) AS n_points_inside,
+           CAST(SUM(dwell_s) AS BIGINT) AS total_dwell_s,
+           CAST(MAX(dwell_s) AS BIGINT) AS max_dwell_s
+    FROM ep GROUP BY user_id ORDER BY user_id
+    """
+
+
+@q("geofence_dwell_stats", oracle=_GF_SQL)
+def geofence_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence dwell analysis: per-user visit episodes inside a convex
+    pentagon fence — the point-in-polygon surface (geo/pip.py's exact
+    convex case, here as one 5-edge cross-product conjunction shared
+    with the oracle) composed with the ``stay_point_episodes`` run
+    detector (LAG change flag + running sum), the geofencing primitive
+    every fleet/advertising/compliance pipeline runs.
+
+    Scale shape: the inside flag is scan-local; episode detection is
+    TWO window functions over ONE user-keyed exchange; episodes and the
+    per-user rollup are user-keyed partial aggs. Dwell seconds are
+    integer unix-time differences (unix_timestamp ≡ FLOOR(epoch) under
+    the UTC session), so every output column is exact.
+    """
+    p = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr(X_EXPR).alias("x"),
+        F.expr(Y_EXPR).alias("y"),
+    )
+    f = p.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.expr(_GF_INSIDE), 1).otherwise(0).alias("inside"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    r = f.withColumn(
+        "chg",
+        F.when(
+            F.lag("inside").over(w).isNull()
+            | (F.lag("inside").over(w) != F.col("inside")),
+            1,
+        ).otherwise(0),
+    )
+    runs = r.withColumn("run_id", F.sum("chg").over(w))
+    ep = (
+        runs.where(F.col("inside") == 1)
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pts"),
+            (
+                F.unix_timestamp(F.max("ts"))
+                - F.unix_timestamp(F.min("ts"))
+            )
+            .cast("long")
+            .alias("dwell_s"),
+        )
+    )
+    return (
+        ep.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_visits"),
+            F.sum("n_pts").cast("long").alias("n_points_inside"),
+            F.sum("dwell_s").cast("long").alias("total_dwell_s"),
+            F.max("dwell_s").cast("long").alias("max_dwell_s"),
+        )
+        .orderBy("user_id")
+    )

@@ -1009,3 +1009,39 @@ def test_mad_median_joins_are_broadcast(spark):
     plan = plan_of(df)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_geofence_uses_one_user_exchange(spark):
+    """Geofence: the PIP flag is scan-local; both windows and both aggs
+    share ONE user-keyed hash exchange."""
+    import osmgraft.contract_tracks  # noqa: F401
+
+    df = QUERIES["geofence_dwell_stats"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_lang_balance_window_is_lang_keyed(spark):
+    """Balanced resample: the selection ROW_NUMBER is partitioned by
+    lang; keep_n arrives via a broadcast scalar."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["lang_balance_resample"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "hashpartitioning(lang" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "lang" in line, line
+
+
+def test_average_precision_has_no_global_window(spark):
+    """AP: both rankings ride the bucketed two-level rank — every Window
+    is partitioned by the rank bucket."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["average_precision_eval"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_rk_bucket" in line, line

@@ -290,3 +290,139 @@ def test_lpa_matches_python_reference(spark):
     # planted structure: multiple communities survive, none is global
     assert len(hist) >= 2
     assert max(hist.values()) < _LPA_N
+
+
+# ---------------------------------------------------------------------------
+# geofence dwell
+# ---------------------------------------------------------------------------
+
+
+def test_geofence_dwell_matches_python_reference(spark):
+    """Episode/dwell accounting == a pure-Python convex-PIP + run-scan
+    over the raw per-user event sequences."""
+    from osmgraft.contract_tracks import _GF_VERTS
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "unix_timestamp(ts) AS sec",
+            "(event_id % 787) * 889.45e0 + 17.3e0 AS x",
+            "(CAST(FLOOR(event_id / 13.0e0) AS BIGINT) % 787) * 889.45e0"
+            " + 11.7e0 AS y",
+        )
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+    )
+    vs = _GF_VERTS
+
+    def inside(x, y):
+        for (x1, y1), (x2, y2) in zip(vs, vs[1:] + vs[:1]):
+            if (x2 - x1) * (y - y1) - (x - x1) * (y2 - y1) < 0:
+                return False
+        return True
+
+    ref = {}
+    for uid, grp in ev.groupby("user_id"):
+        visits = []
+        cur = None
+        for _, r in grp.iterrows():
+            if inside(r.x, r.y):
+                if cur is None:
+                    cur = [r.sec, r.sec, 0]
+                cur[1] = r.sec
+                cur[2] += 1
+            else:
+                if cur is not None:
+                    visits.append(cur)
+                cur = None
+        if cur is not None:
+            visits.append(cur)
+        if visits:
+            dwells = [v[1] - v[0] for v in visits]
+            ref[uid] = (
+                len(visits),
+                sum(v[2] for v in visits),
+                sum(dwells),
+                max(dwells),
+            )
+    out = QUERIES["geofence_dwell_stats"](spark, SF_CORRECT).toPandas()
+    got = {
+        r.user_id: (
+            r.n_visits,
+            r.n_points_inside,
+            r.total_dwell_s,
+            r.max_dwell_s,
+        )
+        for _, r in out.iterrows()
+    }
+    assert got == ref
+    assert len(ref) > 0
+
+
+# ---------------------------------------------------------------------------
+# language-balanced resample
+# ---------------------------------------------------------------------------
+
+
+def test_lang_balance_keeps_min_count_per_lang(spark):
+    """Every language keeps exactly min_l(n_l) docs, and the kept set is
+    the deterministic hash selection (checksum recomputed in Python)."""
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "lang")
+        .toPandas()
+    )
+    counts = docs.groupby("lang").size()
+    keep_n = int(counts.min())
+    out = QUERIES["lang_balance_resample"](spark, SF_CORRECT).toPandas()
+    assert (out.n_kept == keep_n).all()
+    for _, r in out.iterrows():
+        sub = docs[docs.lang == r.lang].copy()
+        sub["u"] = (sub.doc_id * 2654435761) % 1000003
+        kept = sub.sort_values(["u", "doc_id"]).head(keep_n)
+        assert r.kept_id_checksum == kept.doc_id.sum()
+        assert r.n_source == counts[r.lang]
+
+
+# ---------------------------------------------------------------------------
+# average precision
+# ---------------------------------------------------------------------------
+
+
+def test_average_precision_matches_python_reference(spark):
+    """AP / P@10 / R@10 == a direct Python computation over the ranked
+    list (textbook definition, no nano-unit snap)."""
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+        .toPandas()
+    )
+    docs["hits"] = (
+        docs.text.str.len() - docs.text.str.replace("spark", "").str.len()
+    ) // 5
+    docs["score"] = (docs.hits * 1000000) // docs.n_chars
+    docs["rel"] = (docs.hits >= 4).astype(int)
+    ranked = docs.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    ranked["r"] = ranked.index + 1
+    n_rel = int(ranked.rel.sum())
+    cum = 0
+    terms = []
+    hits10 = 0
+    for _, row in ranked.iterrows():
+        if row.rel:
+            cum += 1
+            terms.append((cum * 1000000000) // row.r)
+            if row.r <= 10:
+                hits10 += 1
+    ap = sum(terms) / (1e9 * n_rel)
+    out = QUERIES["average_precision_eval"](spark, SF_CORRECT).toPandas()
+    assert out.n_docs[0] == len(docs)
+    assert out.n_rel[0] == n_rel
+    assert abs(out.ap[0] - round(ap, 6)) < 1e-9
+    assert abs(out.p_at_10[0] - round(hits10 / 10.0, 4)) < 1e-9
+    # the density ranking must beat the base rate by a wide margin
+    assert out.ap[0] > 2 * (n_rel / len(docs))

@@ -119,7 +119,8 @@ _SESSION3_NEW = (
     "getis_ord_hotspots", "rfm_segments", "item_cf_similarity",
     "mad_outliers", "co_movement_pairs", "lpa_communities",
     "geofence_dwell_stats", "lang_balance_resample",
-    "average_precision_eval",
+    "average_precision_eval", "expectations_audit",
+    "dow_adjusted_anomalies", "flow_accumulation_d8",
 )
 
 

@@ -2646,3 +2646,164 @@ def getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# D8 flow direction + bounded-hop flow accumulation (raster hydrology)
+# ---------------------------------------------------------------------------
+
+_D8_ROUNDS = 4
+
+
+def _d8_sql() -> str:
+    accs = []
+    prev = "a0"
+    for i in range(1, _D8_ROUNDS + 1):
+        accs.append(
+            f"""
+    a{i} AS (SELECT c.cx, c.cy,
+                    1 + COALESCE(SUM(p.acc), 0) AS acc
+             FROM cells c
+             LEFT JOIN flow f ON f.tx = c.cx AND f.ty = c.cy
+             LEFT JOIN {prev} p ON p.cx = f.cx AND p.cy = f.cy
+             GROUP BY c.cx, c.cy)"""
+        )
+        prev = f"a{i}"
+    return f"""
+    WITH pts AS (SELECT CAST(FLOOR(({_DC_PX}) / {_MI_W}.0e0) AS BIGINT)
+                          AS cx,
+                        CAST(FLOOR(({_DC_PY}) / {_MI_W}.0e0) AS BIGINT)
+                          AS cy
+                 FROM events),
+    grid AS (SELECT gx.cx, gy.cy
+             FROM UNNEST(range(80)) AS gx(cx),
+                  UNNEST(range(80)) AS gy(cy)),
+    cells AS (SELECT g.cx, g.cy,
+                     CAST(COUNT(p.cx) AS BIGINT) AS n
+              FROM grid g LEFT JOIN pts p
+                ON p.cx = g.cx AND p.cy = g.cy
+              GROUP BY g.cx, g.cy),
+    nb AS (SELECT a.cx, a.cy, a.n,
+                  b.cx AS bx, b.cy AS by, b.n AS bn,
+                  (b.cx - a.cx + 1) * 3 + (b.cy - a.cy + 1) AS k
+           FROM cells a JOIN cells b
+             ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+            AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+            AND NOT (a.cx = b.cx AND a.cy = b.cy)
+           WHERE b.n < a.n),
+    flow AS (SELECT cx, cy, bx AS tx, by AS ty, k FROM nb
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY cx, cy
+                                        ORDER BY bn, k) = 1),
+    a0 AS (SELECT cx, cy, CAST(1 AS BIGINT) AS acc FROM cells),{",".join(accs)},
+    dirs AS (SELECT c.cx, c.cy,
+                    COALESCE('d' || CAST(f.k AS VARCHAR), 'pit') AS dir,
+                    a.acc
+             FROM cells c
+             LEFT JOIN flow f ON f.cx = c.cx AND f.cy = c.cy
+             JOIN {prev} a ON a.cx = c.cx AND a.cy = c.cy)
+    SELECT dir, CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX(acc) AS BIGINT) AS max_acc,
+           CAST(SUM(acc) AS BIGINT) AS sum_acc
+    FROM dirs GROUP BY dir ORDER BY dir
+    """
+
+
+@q("flow_accumulation_d8", oracle=_d8_sql())
+def flow_accumulation_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow direction + {_D8_ROUNDS}-hop flow accumulation over the
+    density raster (the terrain-hydrology classic, O'Callaghan & Mark
+    1984): each cell drains to its steepest-descent neighbour (lowest
+    count, ties to the smallest direction index; no lower neighbour =
+    pit), and accumulation counts the upstream cells within
+    ≤{_D8_ROUNDS} hops — exact because the flow graph is a forest (one
+    out-edge per cell), the bounded-round discipline of
+    ``bellman_ford_distances``. Completes the raster family with
+    ``raster_slope_aspect`` (local gradients) and ``idw_grid_interpolation``.
+
+    Scale shape: points aggregate once onto the bounded grid; the
+    neighbour argmin is the Gi* grid self-join + a cell-keyed window
+    over ≤8 rows per cell; each accumulation round is an equi-join on
+    cell keys + partial agg. Raw points are touched exactly once.
+    """
+    px = _DC_PX.replace("//", " div ")
+    py = _DC_PY.replace("//", " div ")
+    w = _MI_W
+    pts = t(spark, sf_dir, "events").select(
+        F.expr(f"CAST(FLOOR(({px}) / {w}.0e0) AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(FLOOR(({py}) / {w}.0e0) AS BIGINT)").alias("cy"),
+    )
+    gx = spark.range(80).select(F.col("id").alias("cx"))
+    gy = spark.range(80).select(F.col("id").alias("cy"))
+    grid = gx.crossJoin(gy)
+    pc = pts.groupBy("cx", "cy").agg(F.count("*").cast("long").alias("pn"))
+    cells = grid.join(pc, ["cx", "cy"], "left").select(
+        "cx", "cy", F.coalesce("pn", F.lit(0)).cast("long").alias("n")
+    )
+    b = cells.select(
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+        F.col("n").alias("bn"),
+    )
+    nb = cells.join(
+        F.broadcast(b),
+        F.col("bx").between(F.col("cx") - 1, F.col("cx") + 1)
+        & F.col("by").between(F.col("cy") - 1, F.col("cy") + 1)
+        & ~((F.col("cx") == F.col("bx")) & (F.col("cy") == F.col("by")))
+        & (F.col("bn") < F.col("n")),
+    ).select(
+        "cx",
+        "cy",
+        "bx",
+        "by",
+        "bn",
+        (
+            (F.col("bx") - F.col("cx") + 1) * 3
+            + (F.col("by") - F.col("cy") + 1)
+        ).alias("k"),
+    )
+    wv = Window.partitionBy("cx", "cy").orderBy("bn", "k")
+    flow = (
+        nb.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("cx", "cy", F.col("bx").alias("tx"),
+                F.col("by").alias("ty"), "k")
+    )
+    acc = cells.select("cx", "cy", F.lit(1).cast("long").alias("acc"))
+    fe = flow.select(
+        F.col("cx").alias("fx"), F.col("cy").alias("fy"),
+        F.col("tx"), F.col("ty"),
+    )
+    for _ in range(_D8_ROUNDS):
+        contrib = (
+            fe.join(
+                acc,
+                (F.col("fx") == acc.cx) & (F.col("fy") == acc.cy),
+            )
+            .groupBy(F.col("tx").alias("cx"), F.col("ty").alias("cy"))
+            .agg(F.sum("acc").alias("inflow"))
+        )
+        acc = cells.join(contrib, ["cx", "cy"], "left").select(
+            "cx",
+            "cy",
+            (1 + F.coalesce("inflow", F.lit(0))).cast("long").alias("acc"),
+        )
+    dirs = (
+        cells.join(flow.select("cx", "cy", "k"), ["cx", "cy"], "left")
+        .join(acc, ["cx", "cy"])
+        .select(
+            F.coalesce(
+                F.concat(F.lit("d"), F.col("k").cast("string")),
+                F.lit("pit"),
+            ).alias("dir"),
+            "acc",
+        )
+    )
+    return (
+        dirs.groupBy("dir")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.max("acc").cast("long").alias("max_acc"),
+            F.sum("acc").cast("long").alias("sum_acc"),
+        )
+        .orderBy("dir")
+    )

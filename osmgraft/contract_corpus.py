@@ -4901,3 +4901,108 @@ def average_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_docs", "n_rel", "ap", "p_at_10", "r_at_10")
     )
+
+
+# ---------------------------------------------------------------------------
+# data-contract expectations audit (Great-Expectations-style rule rollup)
+# ---------------------------------------------------------------------------
+
+# (rule name, predicate) — one shared SQL string per rule; the enum rule
+# deliberately predates 'signup' and the value ceiling is drifted-under so
+# two rules genuinely fail on the fixture (a 100%-green audit tests nothing)
+_EXPECT_RULES = [
+    ("value_in_range", "(value >= 0e0 AND value <= 100e0)"),
+    ("event_type_enum",
+     "(event_type IN ('click', 'view', 'purchase', 'error'))"),
+    ("ts_in_window",
+     "(CAST(ts AS DATE) >= DATE '2024-01-01' "
+     "AND CAST(ts AS DATE) < DATE '2025-01-01')"),
+    ("props_k_in_range",
+     "(CAST(json_extract(props, '$.k') AS INTEGER) BETWEEN 0 AND 90)"),
+    ("user_id_present", "(user_id IS NOT NULL AND user_id >= 0)"),
+]
+_EXPECT_STATUS = (
+    "CASE WHEN pass_rate >= 0.999e0 THEN 'ok' "
+    "WHEN pass_rate >= 0.8e0 THEN 'warn' ELSE 'fail' END"
+)
+
+
+def _expect_sql() -> str:
+    arms = ", ".join(
+        f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS p_{i}"
+        for i, (_, pred) in enumerate(_EXPECT_RULES)
+    )
+    rows = ", ".join(
+        f"('{name}', p_{i})" for i, (name, _) in enumerate(_EXPECT_RULES)
+    )
+    return f"""
+    WITH agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {arms}
+                 FROM events),
+    rules AS (SELECT n_rows, r.rule, r.n_pass
+              FROM agg, (VALUES {rows}) AS r(rule, n_pass)),
+    rated AS (SELECT rule, n_rows AS n_checked, n_pass,
+                     n_rows - n_pass AS n_fail,
+                     ROUND(n_pass * 1.0e0 / n_rows, 6) AS pass_rate
+              FROM rules)
+    SELECT rule, n_checked, n_pass, n_fail, pass_rate,
+           {_EXPECT_STATUS} AS status
+    FROM rated ORDER BY rule
+    """
+
+
+@q("expectations_audit", oracle=_expect_sql())
+def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract expectations audit (the Great-Expectations /
+    dbt-test shape): five declarative column contracts — value range,
+    event-type enum, timestamp window, JSON-prop range, key presence —
+    each reported with pass/fail counts, pass rate, and an
+    ok/warn/fail status band. The ingest-gate complement to
+    ``json_key_profile`` (which discovers drift; this one enforces a
+    declared contract against it).
+
+    Scale shape: ONE scan, one conditional aggregate per rule
+    (single-row partial agg — the red_flags discipline, never one scan
+    per rule), then a constant 5-row unpivot. Predicates are shared
+    SQL strings, so both engines evaluate the identical contract.
+    """
+    ev = t(spark, sf_dir, "events")
+    spark_rules = [
+        (name, pred.replace(
+            "json_extract(props, '$.k')", "get_json_object(props, '$.k')"
+        ))
+        for name, pred in _EXPECT_RULES
+    ]
+    agg = ev.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[
+            F.sum(F.when(F.expr(pred), 1).otherwise(0))
+            .cast("long")
+            .alias(f"p_{i}")
+            for i, (_, pred) in enumerate(spark_rules)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"), F.col(f"p_{i}").alias("n_pass")
+            )
+            for i, (name, _) in enumerate(spark_rules)
+        ]
+    )
+    rated = (
+        agg.select("n_rows", F.explode(pairs).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("n_rows").alias("n_checked"),
+            F.col("r.n_pass").alias("n_pass"),
+            (F.col("n_rows") - F.col("r.n_pass")).alias("n_fail"),
+            F.round(F.col("r.n_pass") * 1.0 / F.col("n_rows"), 6).alias(
+                "pass_rate"
+            ),
+        )
+    )
+    return rated.select(
+        "rule", "n_checked", "n_pass", "n_fail", "pass_rate",
+        F.expr(_EXPECT_STATUS).alias("status"),
+    ).orderBy("rule")

@@ -5998,3 +5998,125 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("size").desc(), "community")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# day-of-week-adjusted daily anomalies (seasonality-corrected z-scores)
+# ---------------------------------------------------------------------------
+
+_DOWA_Z = 1.5
+# z from exact integer power sums over the cent-snapped residuals; one
+# shared expression string so both engines run identical IEEE ops
+_DOWA_ZEXPR = (
+    "(CAST(zn AS DOUBLE) / SQRT(nd * (nd * CAST(s2 AS DOUBLE) "
+    "- CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (nd - 1.0e0)))"
+)
+
+_DOWA_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1),
+    dw AS (SELECT day, cents,
+                  CAST(EXTRACT(dow FROM day) AS BIGINT) AS dow
+           FROM daily),
+    dstat AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS cnt_d,
+                     CAST(SUM(cents) AS BIGINT) AS sum_d
+              FROM dw GROUP BY dow),
+    res AS (SELECT d.day, d.dow, d.cents,
+                   CAST(FLOOR(d.cents - s.sum_d * 1.0e0 / s.cnt_d + 0.5e0)
+                        AS BIGINT) AS res_c
+            FROM dw d JOIN dstat s ON d.dow = s.dow),
+    gstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                     CAST(SUM(res_c) AS BIGINT) AS s1,
+                     SUM(CAST(res_c AS DECIMAL(19,0)) * res_c) AS s2
+              FROM res),
+    z AS (SELECT r.day, r.dow, r.cents, r.res_c,
+                 r.res_c * g.nd - g.s1 AS zn, g.nd, g.s1, g.s2
+          FROM res r CROSS JOIN gstat g)
+    SELECT day, dow,
+           ROUND(cents / 100.0e0, 2) AS total_value,
+           ROUND(res_c / 100.0e0, 2) AS residual,
+           ROUND({_DOWA_ZEXPR}, 4) AS z
+    FROM z
+    WHERE ABS({_DOWA_ZEXPR}) >= {_DOWA_Z}e0
+    ORDER BY day
+    """
+
+
+@q("dow_adjusted_anomalies", oracle=_DOWA_SQL)
+def dow_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-corrected anomaly days: daily value totals minus
+    their day-of-week mean, z-scored over the residuals (|z| >=
+    {_DOWA_Z}) — the deseasonalized upgrade of ``daily_anomalies``: a
+    quiet Sunday is NOT an anomaly and a Monday-sized Tuesday IS, which
+    raw-volume z-scores get exactly backwards (composes
+    ``dow_seasonal_profile``'s decomposition with the anomaly gate).
+
+    Exactness: daily totals quantize to cents before summing; residuals
+    snap to whole cents (one float division per day, shared text); the
+    global moments are exact integer power sums (the winsorized
+    DECIMAL(19,0)² discipline keeps the squared sum wide), and the z
+    expression is one shared string.
+
+    Scale shape: one day-keyed partial agg, a 7-row broadcast dow join,
+    a 1-row broadcast stats join — no window, no sort before the final
+    bounded ORDER BY.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(
+        F.sum(
+            F.expr("CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    dw = daily.select(
+        "day", "cents", (F.dayofweek("day") - 1).cast("long").alias("dow")
+    )
+    dstat = dw.groupBy("dow").agg(
+        F.count("*").cast("long").alias("cnt_d"),
+        F.sum("cents").cast("long").alias("sum_d"),
+    )
+    res = dw.join(F.broadcast(dstat), "dow").select(
+        "day",
+        "dow",
+        "cents",
+        F.floor(
+            F.col("cents") - F.col("sum_d") * 1.0 / F.col("cnt_d") + 0.5
+        )
+        .cast("long")
+        .alias("res_c"),
+    )
+    glob = res.agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("res_c").cast("long").alias("s1"),
+        F.sum(
+            F.col("res_c").cast("decimal(19,0)")
+            * F.col("res_c").cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    z = res.crossJoin(F.broadcast(glob)).select(
+        "day",
+        "dow",
+        "cents",
+        "res_c",
+        (F.col("res_c") * F.col("nd") - F.col("s1")).alias("zn"),
+        "nd",
+        "s1",
+        "s2",
+    )
+    return (
+        z.where(F.abs(F.expr(_DOWA_ZEXPR)) >= _DOWA_Z)
+        .select(
+            "day",
+            "dow",
+            F.round(F.col("cents") / 100.0, 2).alias("total_value"),
+            F.round(F.col("res_c") / 100.0, 2).alias("residual"),
+            F.round(F.expr(_DOWA_ZEXPR), 4).alias("z"),
+        )
+        .orderBy("day")
+    )

@@ -1045,3 +1045,36 @@ def test_average_precision_has_no_global_window(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "_rk_bucket" in line, line
+
+
+def test_expectations_audit_is_single_scan(spark):
+    """Expectations audit: all five contracts evaluate in ONE scan
+    (conditional aggregate), never one pass per rule."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["expectations_audit"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+
+
+def test_dow_anomalies_has_no_window(spark):
+    """DOW-adjusted anomalies: dow stats and global moments join back
+    broadcast; no window function anywhere."""
+    import osmgraft.contract_web  # noqa: F401
+
+    df = QUERIES["dow_adjusted_anomalies"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "windowspecdefinition" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_d8_argmin_window_is_cell_keyed(spark):
+    """D8: the steepest-descent argmin window is partitioned by cell;
+    accumulation rounds are equi-joins."""
+    import osmgraft.contract_cells  # noqa: F401
+
+    df = QUERIES["flow_accumulation_d8"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "cx" in line and "cy" in line, line

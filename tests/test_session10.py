@@ -426,3 +426,148 @@ def test_average_precision_matches_python_reference(spark):
     assert abs(out.p_at_10[0] - round(hits10 / 10.0, 4)) < 1e-9
     # the density ranking must beat the base rate by a wide margin
     assert out.ap[0] > 2 * (n_rel / len(docs))
+
+
+# ---------------------------------------------------------------------------
+# expectations audit
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_audit_matches_pandas(spark):
+    """Per-rule pass counts == direct pandas predicate evaluation; the
+    fixture must exercise both green and failing rules."""
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet").toPandas()
+    import json
+
+    n = len(ev)
+    k = ev.props.map(lambda p: json.loads(p)["k"])
+    ref = {
+        "value_in_range": int(((ev.value >= 0) & (ev.value <= 100)).sum()),
+        "event_type_enum": int(
+            ev.event_type.isin(["click", "view", "purchase", "error"]).sum()
+        ),
+        "ts_in_window": int(
+            (
+                (ev.ts >= pd.Timestamp("2024-01-01"))
+                & (ev.ts < pd.Timestamp("2025-01-01"))
+            ).sum()
+        ),
+        "props_k_in_range": int(((k >= 0) & (k <= 90)).sum()),
+        "user_id_present": int((ev.user_id >= 0).sum()),
+    }
+    out = QUERIES["expectations_audit"](spark, SF_CORRECT).toPandas()
+    got = dict(zip(out.rule, out.n_pass))
+    assert got == ref
+    assert (out.n_checked == n).all()
+    st = dict(zip(out.rule, out.status))
+    assert st["ts_in_window"] == "ok" and st["user_id_present"] == "ok"
+    assert st["value_in_range"] != "ok"  # the drifted ceiling must trip
+    assert st["event_type_enum"] != "ok"  # 'signup' postdates the contract
+
+
+# ---------------------------------------------------------------------------
+# DOW-adjusted anomalies
+# ---------------------------------------------------------------------------
+
+
+def test_dow_adjusted_anomalies_matches_python(spark):
+    """Anomaly-day set == a direct Python recompute of the
+    deseasonalized z-scores."""
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(date_trunc('day', ts) AS DATE) AS day",
+            "CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT) AS cents",
+        )
+        .toPandas()
+    )
+    daily = ev.groupby("day").cents.sum().reset_index()
+    daily["dow"] = pd.to_datetime(daily.day).dt.dayofweek.map(
+        lambda d: (d + 1) % 7  # pandas Mon=0 -> Sunday=0 convention
+    )
+    dm = daily.groupby("dow").cents.agg(["sum", "count"])
+    daily["res_c"] = daily.apply(
+        lambda r: math.floor(
+            r.cents - dm.loc[r.dow, "sum"] / dm.loc[r.dow, "count"] + 0.5
+        ),
+        axis=1,
+    )
+    nd = len(daily)
+    s1 = daily.res_c.sum()
+    s2 = (daily.res_c.astype(object) ** 2).sum()
+    daily["z"] = daily.res_c.map(
+        lambda x: (x * nd - s1)
+        / math.sqrt(nd * (nd * s2 - s1 * s1) / (nd - 1.0))
+    )
+    ref = daily[daily.z.abs() >= 1.5]
+    out = QUERIES["dow_adjusted_anomalies"](spark, SF_CORRECT).toPandas()
+    assert len(out) == len(ref)
+    assert set(out.day) == set(ref.day)
+    ref_z = dict(zip(ref.day, ref.z))
+    for _, r in out.iterrows():
+        assert abs(r.z - round(ref_z[r.day], 4)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# D8 flow accumulation
+# ---------------------------------------------------------------------------
+
+
+def test_flow_accumulation_matches_numpy(spark):
+    """Direction histogram + accumulation == a dense numpy D8 reference."""
+    from osmgraft.contract_cells import _D8_ROUNDS, _DC_PX, _DC_PY, _MI_W
+
+    px = _DC_PX.replace("//", " div ")
+    py = _DC_PY.replace("//", " div ")
+    pts = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            f"CAST(FLOOR(({px}) / {_MI_W}.0e0) AS BIGINT) AS cx",
+            f"CAST(FLOOR(({py}) / {_MI_W}.0e0) AS BIGINT) AS cy",
+        )
+        .groupBy("cx", "cy")
+        .count()
+        .toPandas()
+    )
+    grid = np.zeros((80, 80), dtype=np.int64)
+    for _, r in pts.iterrows():
+        grid[int(r.cx), int(r.cy)] = r["count"]
+    flow = {}
+    for cx in range(80):
+        for cy in range(80):
+            best = None
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    bx, by = cx + dx, cy + dy
+                    if not (0 <= bx < 80 and 0 <= by < 80):
+                        continue
+                    if grid[bx, by] < grid[cx, cy]:
+                        k = (dx + 1) * 3 + (dy + 1)
+                        cand = (grid[bx, by], k, bx, by)
+                        if best is None or cand < best:
+                            best = cand
+            if best is not None:
+                flow[(cx, cy)] = (best[2], best[3], best[1])
+    acc = {(x, y): 1 for x in range(80) for y in range(80)}
+    for _ in range(_D8_ROUNDS):
+        nxt = {(x, y): 1 for x in range(80) for y in range(80)}
+        for (cx, cy), (tx, ty, _k) in flow.items():
+            nxt[(tx, ty)] += acc[(cx, cy)]
+        acc = nxt
+    from collections import defaultdict
+
+    ref = defaultdict(lambda: [0, 0, 0])
+    for x in range(80):
+        for y in range(80):
+            d = f"d{flow[(x, y)][2]}" if (x, y) in flow else "pit"
+            ref[d][0] += 1
+            ref[d][1] = max(ref[d][1], acc[(x, y)])
+            ref[d][2] += acc[(x, y)]
+    out = QUERIES["flow_accumulation_d8"](spark, SF_CORRECT).toPandas()
+    got = {
+        r.dir: [r.n_cells, r.max_acc, r.sum_acc] for _, r in out.iterrows()
+    }
+    assert got == {k: list(v) for k, v in ref.items()}
+    assert "pit" in got  # hotspot basins must produce sinks

@@ -121,6 +121,7 @@ _SESSION3_NEW = (
     "geofence_dwell_stats", "lang_balance_resample",
     "average_precision_eval", "expectations_audit",
     "dow_adjusted_anomalies", "flow_accumulation_d8",
+    "ndcg_eval", "embedding_drift_check", "holt_linear_forecast",
 )
 
 

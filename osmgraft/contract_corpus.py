@@ -5006,3 +5006,109 @@ def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule", "n_checked", "n_pass", "n_fail", "pass_rate",
         F.expr(_EXPECT_STATUS).alias("status"),
     ).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# nDCG@10 graded-relevance eval
+# ---------------------------------------------------------------------------
+
+# discount_u(r) = floor(1e9 / log2(r+1) + 0.5), r = 1..10 — precomputed as
+# INTEGER literals so no engine's libm log2 can flip a boundary bit
+_NDCG_DISC = {
+    1: 1000000000, 2: 630929754, 3: 500000000, 4: 430676558,
+    5: 386852807, 6: 356207187, 7: 333333333, 8: 315464877,
+    9: 301029996, 10: 289064826,
+}
+_NDCG_K = 10
+_NDCG_DISC_CASE = (
+    "CASE r " + " ".join(f"WHEN {r} THEN {d}" for r, d in _NDCG_DISC.items())
+    + " ELSE 0 END"
+)
+
+
+def _ndcg_sql() -> str:
+    from osmgraft.contract_corpus import _AP_HITS, _AP_SCORE  # self-import ok
+
+    return f"""
+    WITH scored AS (SELECT doc_id, {_AP_SCORE} AS score,
+                           LEAST({_AP_HITS}, 4) AS g
+                    FROM documents),
+    ranked AS (SELECT doc_id, g,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+               FROM scored),
+    ideal AS (SELECT g,
+                     ROW_NUMBER() OVER (ORDER BY g DESC, doc_id) AS r
+              FROM scored),
+    dcg AS (SELECT CAST(SUM((POWER(2, g) - 1) * ({_NDCG_DISC_CASE}))
+                        AS BIGINT) AS dcg_u
+            FROM ranked WHERE r <= {_NDCG_K}),
+    idcg AS (SELECT CAST(SUM((POWER(2, g) - 1) * ({_NDCG_DISC_CASE}))
+                         AS BIGINT) AS idcg_u
+             FROM ideal WHERE r <= {_NDCG_K}),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_graded
+            FROM scored)
+    SELECT tot.n_docs, tot.n_graded, dcg.dcg_u, idcg.idcg_u,
+           ROUND(dcg.dcg_u * 1.0e0 / idcg.idcg_u, 6) AS ndcg_at_10
+    FROM dcg CROSS JOIN idcg CROSS JOIN tot
+    """
+
+
+@q("ndcg_eval", oracle=_ndcg_sql())
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{_NDCG_K} with graded relevance (grades 0-4 from capped
+    'spark'-mention counts, ranking by mention density) — the
+    graded-judgment member of the eval family (``average_precision_eval``
+    binary-AP, ``roc_auc_eval`` threshold-free, ``calibration_bins``
+    probability quality).
+
+    Exactness: gains (2^g − 1) are small integers and the log2 position
+    discounts are PRECOMPUTED nano-unit integer literals (libm log2 is
+    not correctly-rounded and differs across engines — the CASE table
+    removes it entirely), so DCG and IDCG are exact integer sums and
+    nDCG is one final division.
+
+    Scale shape: both rankings ride the two-level bucketed rank; the
+    r ≤ {_NDCG_K} filter plans as a windowed top-k, and the rollup is
+    1-row.
+    """
+    from osmgraft.analytics.ranking import with_global_rank
+
+    hits = _AP_HITS.replace("//", " div ")
+    score = _AP_SCORE.replace("//", " div ")
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(score).alias("score"),
+        F.least(F.expr(hits), F.lit(4)).alias("g"),
+    )
+    tot = scored.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("g") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_graded"),
+    )
+    term = (F.pow(F.lit(2), F.col("g")) - 1) * F.expr(_NDCG_DISC_CASE)
+    neg = scored.withColumn("negscore", -F.col("score"))
+    ranked = with_global_rank(neg, ["negscore", "doc_id"], rank_col="r")
+    dcg = ranked.where(F.col("r") <= _NDCG_K).agg(
+        F.sum(term).cast("long").alias("dcg_u")
+    )
+    negg = scored.withColumn("negg", -F.col("g"))
+    ideal = with_global_rank(negg, ["negg", "doc_id"], rank_col="r")
+    idcg = ideal.where(F.col("r") <= _NDCG_K).agg(
+        F.sum(term).cast("long").alias("idcg_u")
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_docs",
+            "n_graded",
+            "dcg_u",
+            "idcg_u",
+            F.round(F.col("dcg_u") * 1.0 / F.col("idcg_u"), 6).alias(
+                "ndcg_at_10"
+            ),
+        )
+    )

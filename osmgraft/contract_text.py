@@ -3632,3 +3632,128 @@ def mrl_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trunc_dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-space drift check between corpus halves
+# ---------------------------------------------------------------------------
+
+# snapped-product integer terms: centroids are 6-dp-snapped, each pairwise
+# term floors to pico-units before summing, so dot/norm sums are exact
+# int64 in any aggregation order (|v| <= ~1, 64 dims => sums < 1e14)
+_DRIFT_COS = (
+    "(CAST(dot_u AS DOUBLE) / SQRT(CAST(na_u AS DOUBLE) * nb_u))"
+)
+
+_DRIFT_SQL = f"""
+    WITH halves AS (
+      SELECT label, vec_id % 2 AS half, i AS dim,
+             FLOOR(AVG(embedding[i]::DOUBLE) * 1000000 + 0.5) / 1000000
+               AS c
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+      GROUP BY label, vec_id % 2, i),
+    n AS (SELECT label, vec_id % 2 AS half,
+                 CAST(COUNT(*) AS BIGINT) AS n_vecs
+          FROM embeddings GROUP BY label, vec_id % 2),
+    paired AS (SELECT a.label, a.dim, a.c AS ca, b.c AS cb
+               FROM halves a JOIN halves b
+                 ON a.label = b.label AND a.dim = b.dim
+                AND a.half = 0 AND b.half = 1),
+    sums AS (SELECT label,
+                    CAST(SUM(CAST(FLOOR(ca * cb * 1e12 + 0.5e0)
+                                  AS BIGINT)) AS BIGINT) AS dot_u,
+                    CAST(SUM(CAST(FLOOR(ca * ca * 1e12 + 0.5e0)
+                                  AS BIGINT)) AS BIGINT) AS na_u,
+                    CAST(SUM(CAST(FLOOR(cb * cb * 1e12 + 0.5e0)
+                                  AS BIGINT)) AS BIGINT) AS nb_u,
+                    CAST(SUM(CAST(FLOOR((ca - cb) * (ca - cb) * 1e12
+                                        + 0.5e0) AS BIGINT)) AS BIGINT)
+                      AS d2_u
+             FROM paired GROUP BY label)
+    SELECT s.label, x.n_vecs AS n_a, y.n_vecs AS n_b,
+           ROUND({_DRIFT_COS}, 6) AS centroid_cosine,
+           ROUND(SQRT(CAST(d2_u AS DOUBLE)) / 1e6, 6) AS l2_shift
+    FROM sums s JOIN n x ON s.label = x.label AND x.half = 0
+                JOIN n y ON s.label = y.label AND y.half = 1
+    ORDER BY s.label
+    """
+
+
+@q("embedding_drift_check", oracle=_DRIFT_SQL)
+def embedding_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per-label centroid of the even
+    corpus half vs the odd half, compared by centroid cosine and L2
+    shift — the ML-ops regression gate run whenever an embedding model
+    or upstream corpus changes (the drift twin of
+    ``embedding_centroid_by_label``, which this reuses dimension-wise;
+    ``ks_value_drift``/``chi2_category_drift`` are its scalar cousins).
+
+    Exactness: per-(label, half, dim) centroids snap to 6 dp (the
+    established centroid discipline); every pairwise product floors to
+    pico-unit integers BEFORE summing, so dot and norms are exact int64
+    in any aggregation order; cosine and shift are one shared-text
+    division/sqrt each.
+
+    Scale shape: one posexplode fan-out keyed (label, half, dim) with
+    map-side partial agg; the half-vs-half join is over the bounded
+    centroid relation (labels × dims); output is |labels| rows.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    halves = (
+        e.select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode(F.col("embedding")).alias("_p", "_v"),
+        )
+        .select(
+            "label", "half", (F.col("_p") + 1).alias("dim"),
+            F.col("_v").cast("double").alias("_v"),
+        )
+        .groupBy("label", "half", "dim")
+        .agg(
+            (F.floor(F.avg("_v") * 1000000 + 0.5) / 1000000).alias("c")
+        )
+    )
+    n = e.groupBy("label", (F.col("vec_id") % 2).alias("half")).agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    a = halves.where(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = halves.where(F.col("half") == 1).select(
+        F.col("label").alias("lb"), F.col("dim").alias("db"),
+        F.col("c").alias("cb"),
+    )
+    paired = a.join(
+        b, (F.col("label") == F.col("lb")) & (F.col("dim") == F.col("db"))
+    )
+    snap = lambda col: F.floor(col * 1e12 + 0.5).cast("long")  # noqa: E731
+    sums = paired.groupBy("label").agg(
+        F.sum(snap(F.col("ca") * F.col("cb"))).cast("long").alias("dot_u"),
+        F.sum(snap(F.col("ca") * F.col("ca"))).cast("long").alias("na_u"),
+        F.sum(snap(F.col("cb") * F.col("cb"))).cast("long").alias("nb_u"),
+        F.sum(snap((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))))
+        .cast("long")
+        .alias("d2_u"),
+    )
+    nx = n.where(F.col("half") == 0).select(
+        "label", F.col("n_vecs").alias("n_a")
+    )
+    ny = n.where(F.col("half") == 1).select(
+        F.col("label").alias("ly"), F.col("n_vecs").alias("n_b")
+    )
+    return (
+        sums.join(F.broadcast(nx), "label")
+        .join(F.broadcast(ny), F.col("label") == F.col("ly"))
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(F.expr(_DRIFT_COS), 6).alias("centroid_cosine"),
+            F.round(
+                F.sqrt(F.col("d2_u").cast("double")) / 1e6, 6
+            ).alias("l2_shift"),
+        )
+        .orderBy("label")
+    )

@@ -6120,3 +6120,119 @@ def dow_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double-exponential) smoothing forecast over daily totals
+# ---------------------------------------------------------------------------
+
+_HOLT_A, _HOLT_G = 0.3, 0.1
+
+_HOLT_SQL = f"""
+    WITH RECURSIVE
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1),
+    seq AS (SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT)
+                            AS k
+            FROM daily),
+    nn AS (SELECT MAX(k) AS nk FROM seq),
+    holt(k, l, b, mae) AS (
+      SELECT CAST(1 AS BIGINT), s1.cents * 1.0e0,
+             s2.cents * 1.0e0 - s1.cents, 0.0e0
+      FROM seq s1, seq s2 WHERE s1.k = 1 AND s2.k = 2
+      UNION ALL
+      SELECT h.k + 1,
+             FLOOR(({_HOLT_A}e0 * s.cents
+                    + {1 - _HOLT_A}e0 * (h.l + h.b)) * 1e6 + 0.5e0) / 1e6
+               AS l2,
+             FLOOR(({_HOLT_G}e0 * (l2 - h.l)
+                    + {1 - _HOLT_G}e0 * h.b) * 1e6 + 0.5e0) / 1e6,
+             h.mae + ABS(s.cents - (h.l + h.b))
+      FROM holt h JOIN seq s ON s.k = h.k + 1)
+    SELECT nn.nk AS n_days,
+           ROUND(h.l / 100.0e0, 2) AS level,
+           ROUND(h.b / 100.0e0, 4) AS trend,
+           ROUND((h.l + 7.0e0 * h.b) / 100.0e0, 2) AS forecast_7d,
+           ROUND(h.mae / (nn.nk - 1.0e0) / 100.0e0, 4) AS one_step_mae
+    FROM holt h CROSS JOIN nn WHERE h.k = nn.nk
+    """
+
+
+@q("holt_linear_forecast", oracle=_HOLT_SQL)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double-exponential) smoothing over the daily
+    value series with a 7-day-ahead forecast and one-step MAE — the
+    trend-aware upgrade of ``ewma_daily_values`` (which cannot follow a
+    drifting level) and the smoothing complement of
+    ``forecast_backtest_snaive``.
+
+    Determinism: the coupled (level, trend) recursion runs as ONE
+    in-row fold over the day-ordered array (struct state in Spark
+    ``aggregate``; the oracle unrolls the identical arithmetic as a
+    recursive CTE — DuckDB's list_reduce has no seeded/struct form),
+    with BOTH states snapped to 6 dp each step, so a 1-ulp libm
+    divergence can never compound across the series.
+
+    Scale shape: one day-keyed partial agg, then a single-row fold over
+    the (bounded) daily array — the ewma/acf in-row discipline; no
+    window over raw rows, no iteration-count dependence on data volume.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(
+        F.sum(
+            F.expr("CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    arr = daily.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s["cents"].cast("double"),
+        ).alias("xs")
+    )
+
+    def snap(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    def merge(acc, x):
+        l2 = snap(
+            F.lit(_HOLT_A) * x + F.lit(1 - _HOLT_A) * (acc["l"] + acc["b"])
+        )
+        b2 = snap(
+            F.lit(_HOLT_G) * (l2 - acc["l"]) + F.lit(1 - _HOLT_G) * acc["b"]
+        )
+        return F.struct(
+            l2.alias("l"),
+            b2.alias("b"),
+            (acc["mae"] + F.abs(x - (acc["l"] + acc["b"]))).alias("mae"),
+        )
+
+    folded = arr.select(
+        F.size("xs").cast("long").alias("n_days"),
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.size("xs") - 1),
+            F.struct(
+                F.element_at("xs", 1).alias("l"),
+                (F.element_at("xs", 2) - F.element_at("xs", 1)).alias("b"),
+                F.lit(0.0).alias("mae"),
+            ),
+            merge,
+        ).alias("h"),
+    )
+    return folded.select(
+        "n_days",
+        F.round(F.col("h.l") / 100.0, 2).alias("level"),
+        F.round(F.col("h.b") / 100.0, 4).alias("trend"),
+        F.round((F.col("h.l") + 7.0 * F.col("h.b")) / 100.0, 2).alias(
+            "forecast_7d"
+        ),
+        F.round(
+            F.col("h.mae") / (F.col("n_days") - 1.0) / 100.0, 4
+        ).alias("one_step_mae"),
+    )

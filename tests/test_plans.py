@@ -1078,3 +1078,36 @@ def test_d8_argmin_window_is_cell_keyed(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "cx" in line and "cy" in line, line
+
+
+def test_ndcg_rankings_are_bucketed(spark):
+    """nDCG: both the score ranking and the ideal ranking ride the
+    two-level bucketed rank — every window is bucket-partitioned."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["ndcg_eval"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_rk_bucket" in line, line
+
+
+def test_embedding_drift_is_partial_agg(spark):
+    """Drift check: the dim fan-out aggregates map-side; half-count
+    joins broadcast."""
+    import osmgraft.contract_text  # noqa: F401
+
+    df = QUERIES["embedding_drift_check"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "partial_" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_holt_fold_has_no_window_over_raw(spark):
+    """Holt: the recursion is ONE in-row fold over the daily array —
+    no window function anywhere in the plan."""
+    import osmgraft.contract_web  # noqa: F401
+
+    df = QUERIES["holt_linear_forecast"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "windowspecdefinition" not in plan

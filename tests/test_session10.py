@@ -22,6 +22,7 @@ from tests.conftest import SF_CORRECT
 
 import osmgraft.contract_cells  # noqa: F401  (registers entries)
 import osmgraft.contract_corpus  # noqa: F401
+import osmgraft.contract_text  # noqa: F401
 import osmgraft.contract_tracks  # noqa: F401
 import osmgraft.contract_web  # noqa: F401
 
@@ -571,3 +572,113 @@ def test_flow_accumulation_matches_numpy(spark):
     }
     assert got == {k: list(v) for k, v in ref.items()}
     assert "pit" in got  # hotspot basins must produce sinks
+
+
+# ---------------------------------------------------------------------------
+# nDCG eval
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_matches_python_reference(spark):
+    """DCG/IDCG integer sums == a direct Python recompute with the same
+    nano-unit discount table."""
+    from osmgraft.contract_corpus import _NDCG_DISC, _NDCG_K
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+        .toPandas()
+    )
+    docs["hits"] = (
+        docs.text.str.len() - docs.text.str.replace("spark", "").str.len()
+    ) // 5
+    docs["score"] = (docs.hits * 1000000) // docs.n_chars
+    docs["g"] = docs.hits.clip(upper=4)
+    ranked = docs.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(_NDCG_K)
+    dcg = sum(
+        (2 ** int(g) - 1) * _NDCG_DISC[r + 1]
+        for r, g in enumerate(ranked.g)
+    )
+    ideal = docs.sort_values(["g", "doc_id"], ascending=[False, True]).head(
+        _NDCG_K
+    )
+    idcg = sum(
+        (2 ** int(g) - 1) * _NDCG_DISC[r + 1]
+        for r, g in enumerate(ideal.g)
+    )
+    out = QUERIES["ndcg_eval"](spark, SF_CORRECT).toPandas()
+    assert out.dcg_u[0] == dcg
+    assert out.idcg_u[0] == idcg
+    assert abs(out.ndcg_at_10[0] - round(dcg / idcg, 6)) < 1e-9
+    assert 0 < out.ndcg_at_10[0] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# embedding drift
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_drift_matches_numpy(spark):
+    """Per-label half-vs-half centroid cosine and L2 shift == a numpy
+    recompute with the same snapping pipeline."""
+    emb = (
+        spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").toPandas()
+    )
+    out = QUERIES["embedding_drift_check"](spark, SF_CORRECT).toPandas()
+    for _, r in out.iterrows():
+        sub = emb[emb.label == r.label]
+        a = np.stack(sub[sub.vec_id % 2 == 0].embedding.to_numpy()).astype(
+            float
+        )
+        b = np.stack(sub[sub.vec_id % 2 == 1].embedding.to_numpy()).astype(
+            float
+        )
+        assert r.n_a == len(a) and r.n_b == len(b)
+        ca = np.floor(a.mean(axis=0) * 1e6 + 0.5) / 1e6
+        cb = np.floor(b.mean(axis=0) * 1e6 + 0.5) / 1e6
+        dot = np.floor(ca * cb * 1e12 + 0.5).sum()
+        na = np.floor(ca * ca * 1e12 + 0.5).sum()
+        nb = np.floor(cb * cb * 1e12 + 0.5).sum()
+        d2 = np.floor((ca - cb) ** 2 * 1e12 + 0.5).sum()
+        assert abs(r.centroid_cosine - round(dot / math.sqrt(na * nb), 6)) < 1e-6
+        assert abs(r.l2_shift - round(math.sqrt(d2) / 1e6, 6)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Holt forecast
+# ---------------------------------------------------------------------------
+
+
+def test_holt_matches_python_fold(spark):
+    """Level/trend/forecast == a pure-Python Holt recursion with the
+    same per-step 6-dp snap."""
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(date_trunc('day', ts) AS DATE) AS day",
+            "CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT) AS cents",
+        )
+        .toPandas()
+    )
+    xs = ev.groupby("day").cents.sum().sort_index().astype(float).tolist()
+
+    def snap(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    l, b, mae = xs[0], xs[1] - xs[0], 0.0
+    for x in xs[1:]:
+        mae += abs(x - (l + b))
+        l2 = snap(0.3 * x + 0.7 * (l + b))
+        b = snap(0.1 * (l2 - l) + 0.9 * b)
+        l = l2
+    out = QUERIES["holt_linear_forecast"](spark, SF_CORRECT).toPandas()
+    assert out.n_days[0] == len(xs)
+    assert abs(out.level[0] - round(l / 100.0, 2)) < 1e-9
+    assert abs(out.trend[0] - round(b / 100.0, 4)) < 1e-9
+    assert abs(out.forecast_7d[0] - round((l + 7 * b) / 100.0, 2)) < 1e-9
+    assert (
+        abs(out.one_step_mae[0] - round(mae / (len(xs) - 1) / 100.0, 4))
+        < 1e-9
+    )

@@ -2807,3 +2807,270 @@ def flow_accumulation_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dir")
     )
+
+
+# ---------------------------------------------------------------------------
+# areal interpolation: redistribute zone totals onto a finer target grid
+# ---------------------------------------------------------------------------
+
+_AI_SRC_W = 175000  # 4x4 source zones (the OD zoning)
+_AI_TGT_W = 100000  # 7x7 target grid — deliberately NOT nested in the source
+
+_AI_SQL = f"""
+    WITH pts AS (SELECT {{px}} AS x, {{py}} AS y FROM events),
+    zones AS (SELECT CAST(FLOOR(x / {_AI_SRC_W}.0e0) AS BIGINT) AS zx,
+                     CAST(FLOOR(y / {_AI_SRC_W}.0e0) AS BIGINT) AS zy,
+                     CAST(COUNT(*) AS BIGINT) AS total
+              FROM pts GROUP BY 1, 2),
+    tgt AS (SELECT gx.tx, gy.ty
+            FROM UNNEST(range(7)) AS gx(tx), UNNEST(range(7)) AS gy(ty)),
+    overlap AS (
+      SELECT t.tx, t.ty, z.zx, z.zy, z.total,
+             GREATEST(0, LEAST((z.zx + 1) * {_AI_SRC_W},
+                               (t.tx + 1) * {_AI_TGT_W})
+                         - GREATEST(z.zx * {_AI_SRC_W},
+                                    t.tx * {_AI_TGT_W}))
+             * GREATEST(0, LEAST((z.zy + 1) * {_AI_SRC_W},
+                                 (t.ty + 1) * {_AI_TGT_W})
+                           - GREATEST(z.zy * {_AI_SRC_W},
+                                      t.ty * {_AI_TGT_W})) AS ov
+      FROM tgt t JOIN zones z
+        ON z.zx BETWEEN CAST(FLOOR(t.tx * {_AI_TGT_W}
+                                   / {_AI_SRC_W}.0e0) AS BIGINT)
+               AND CAST(FLOOR(((t.tx + 1) * {_AI_TGT_W} - 1)
+                              / {_AI_SRC_W}.0e0) AS BIGINT)
+       AND z.zy BETWEEN CAST(FLOOR(t.ty * {_AI_TGT_W}
+                                   / {_AI_SRC_W}.0e0) AS BIGINT)
+               AND CAST(FLOOR(((t.ty + 1) * {_AI_TGT_W} - 1)
+                              / {_AI_SRC_W}.0e0) AS BIGINT))
+    SELECT tx, ty,
+           CAST(COUNT(*) AS BIGINT) AS n_source_zones,
+           ROUND(SUM(total * (ov * 1.0e0
+                 / ({_AI_SRC_W}.0e0 * {_AI_SRC_W}.0e0))), 4) AS est_value
+    FROM overlap WHERE ov > 0
+    GROUP BY tx, ty ORDER BY tx, ty
+    """
+
+
+def _ai_oracle() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    return _AI_SQL.format(px=X_EXPR, py=Y_EXPR)
+
+
+@q("areal_interpolation", oracle=_ai_oracle())
+def areal_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal (area-weighted) interpolation — the GIS dasymetric-mapping
+    classic: totals known on a 4x4 source zoning are redistributed onto
+    a NON-nested 7x7 target grid proportionally to exact rectangle
+    overlap areas (the uniform-density assumption of Goodchild & Lam
+    1980). The zoning-system bridge every census/mobility mashup needs
+    when two datasets disagree on boundaries; complements
+    ``cell_compact`` (nested hierarchies) where nesting does NOT hold.
+
+    Exactness: zone/cell edges are integer planar units, so every
+    overlap area is an exact int64 product; the only float is the final
+    per-zone area fraction (shared expression), snapped at 4 dp.
+
+    Scale shape: points aggregate once onto the bounded source zoning;
+    the overlap join is an equi-RANGE join on zone indexes derived from
+    target indexes (each target cell touches ≤4 source zones — the
+    candidate set is provably bounded, never a cross join).
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    w_s, w_t = _AI_SRC_W, _AI_TGT_W
+    pts = t(spark, sf_dir, "events").select(
+        F.expr(X_EXPR).alias("x"), F.expr(Y_EXPR).alias("y")
+    )
+    zones = pts.groupBy(
+        F.expr(f"CAST(FLOOR(x / {w_s}.0e0) AS BIGINT)").alias("zx"),
+        F.expr(f"CAST(FLOOR(y / {w_s}.0e0) AS BIGINT)").alias("zy"),
+    ).agg(F.count("*").cast("long").alias("total"))
+    gx = spark.range(7).select(F.col("id").alias("tx"))
+    gy = spark.range(7).select(F.col("id").alias("ty"))
+    tgt = gx.crossJoin(gy)
+    lo = lambda tc: F.expr(  # noqa: E731
+        f"CAST(FLOOR({tc} * {w_t} / {w_s}.0e0) AS BIGINT)"
+    )
+    hi = lambda tc: F.expr(  # noqa: E731
+        f"CAST(FLOOR((({tc} + 1) * {w_t} - 1) / {w_s}.0e0) AS BIGINT)"
+    )
+    ov_x = F.greatest(
+        F.lit(0),
+        F.least((F.col("zx") + 1) * w_s, (F.col("tx") + 1) * w_t)
+        - F.greatest(F.col("zx") * w_s, F.col("tx") * w_t),
+    )
+    ov_y = F.greatest(
+        F.lit(0),
+        F.least((F.col("zy") + 1) * w_s, (F.col("ty") + 1) * w_t)
+        - F.greatest(F.col("zy") * w_s, F.col("ty") * w_t),
+    )
+    overlap = tgt.join(
+        F.broadcast(zones),
+        F.col("zx").between(lo("tx"), hi("tx"))
+        & F.col("zy").between(lo("ty"), hi("ty")),
+    ).select("tx", "ty", "total", (ov_x * ov_y).alias("ov"))
+    return (
+        overlap.where(F.col("ov") > 0)
+        .groupBy("tx", "ty")
+        .agg(
+            F.count("*").cast("long").alias("n_source_zones"),
+            F.round(
+                F.sum(
+                    F.col("total")
+                    * (F.col("ov") * 1.0 / (float(w_s) * float(w_s)))
+                ),
+                4,
+            ).alias("est_value"),
+        )
+        .orderBy("tx", "ty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# gravity model fit over the OD flow matrix (distance-decay exponent)
+# ---------------------------------------------------------------------------
+
+# OLS of ln(flow) on ln(zone-center distance), micro-unit-snapped logs so
+# the power sums stay exact int64; slope is the distance-decay exponent
+_GRAV_SLOPE = (
+    "((np * 1.0e0 * sxy - sx * 1.0e0 * sy) "
+    "/ (np * 1.0e0 * sx2 - sx * 1.0e0 * sx))"
+)
+_GRAV_R2 = (
+    "(((np * 1.0e0 * sxy - sx * 1.0e0 * sy) "
+    "* (np * 1.0e0 * sxy - sx * 1.0e0 * sy)) "
+    "/ ((np * 1.0e0 * sx2 - sx * 1.0e0 * sx) "
+    "* (np * 1.0e0 * sy2 - sy * 1.0e0 * sy)))"
+)
+
+
+def _grav_sql() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    return f"""
+    WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+                      CAST(FLOOR(({X_EXPR}) / {_OD_W}.0e0) AS BIGINT) AS cx,
+                      CAST(FLOOR(({Y_EXPR}) / {_OD_W}.0e0) AS BIGINT) AS cy
+               FROM events),
+    r AS (SELECT user_id, day, cx, cy,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                    ORDER BY event_id) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                    ORDER BY event_id DESC) AS rl
+          FROM p),
+    od AS (SELECT f.cx AS ox, f.cy AS oy, l.cx AS dx, l.cy AS dy
+           FROM (SELECT * FROM r WHERE rf = 1) f
+           JOIN (SELECT * FROM r WHERE rl = 1) l
+             USING (user_id, day)),
+    flows AS (SELECT ox, oy, dx, dy,
+                     (ox - dx) * (ox - dx) + (oy - dy) * (oy - dy) AS d2,
+                     CAST(COUNT(*) AS BIGINT) AS flow
+              FROM od WHERE NOT (ox = dx AND oy = dy)
+              GROUP BY ox, oy, dx, dy),
+    lg AS (SELECT CAST(FLOOR(LN(d2 * 1.0e0) * 0.5e0 * 1e6 + 0.5e0)
+                       AS BIGINT) AS lx,
+                  CAST(FLOOR(LN(flow * 1.0e0) * 1e6 + 0.5e0) AS BIGINT)
+                    AS ly
+           FROM flows),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                 CAST(SUM(lx) AS BIGINT) AS sx,
+                 CAST(SUM(ly) AS BIGINT) AS sy,
+                 CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+                 CAST(SUM(lx * lx) AS BIGINT) AS sx2,
+                 CAST(SUM(ly * ly) AS BIGINT) AS sy2
+          FROM lg)
+    SELECT np AS n_od_pairs,
+           ROUND({_GRAV_SLOPE}, 4) AS decay_exponent,
+           ROUND((sy - {_GRAV_SLOPE} * sx) / (np * 1e6), 4) AS intercept,
+           ROUND({_GRAV_R2}, 4) AS r2
+    FROM s
+    """
+
+
+@q("gravity_model_od", oracle=_grav_sql())
+def gravity_model_od(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity-model fit over the OD flow matrix: OLS of ln(flow) on
+    ln(zone-center distance) gives the distance-decay exponent — the
+    spatial-interaction classic (Wilson 1971) every transport model
+    calibrates first, built directly on ``od_flow_matrix``'s trip
+    extraction (intrazonal flows excluded: ln 0 distance).
+
+    Exactness: zone distances are exact integers (d² in zone units);
+    logs snap to micro-units BEFORE the power sums (the hill_tail_index
+    libm discipline), so all five sums are exact int64 and slope/
+    intercept/r² are shared-text expressions over them.
+
+    Scale shape: identical to od_flow_matrix (one (user, day) window
+    pass + zone-keyed agg) plus a 1-row moments agg. Nothing new
+    touches raw events.
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    w = _OD_W
+    p = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_id",
+        F.expr(f"CAST(FLOOR(({X_EXPR}) / {w}.0e0) AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(FLOOR(({Y_EXPR}) / {w}.0e0) AS BIGINT)").alias("cy"),
+    )
+    wf = Window.partitionBy("user_id", "day").orderBy("event_id")
+    wl = Window.partitionBy("user_id", "day").orderBy(
+        F.col("event_id").desc()
+    )
+    r = p.select(
+        "user_id",
+        "day",
+        "cx",
+        "cy",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    f = r.filter(F.col("rf") == 1).select(
+        "user_id", "day", F.col("cx").alias("ox"), F.col("cy").alias("oy")
+    )
+    l_ = r.filter(F.col("rl") == 1).select(
+        F.col("user_id").alias("lu"),
+        F.col("day").alias("ld"),
+        F.col("cx").alias("dx"),
+        F.col("cy").alias("dy"),
+    )
+    od = f.join(
+        l_, (F.col("user_id") == F.col("lu")) & (F.col("day") == F.col("ld"))
+    ).select("ox", "oy", "dx", "dy")
+    flows = (
+        od.where(~((F.col("ox") == F.col("dx")) & (F.col("oy") == F.col("dy"))))
+        .groupBy("ox", "oy", "dx", "dy")
+        .agg(F.count("*").cast("long").alias("flow"))
+        .withColumn(
+            "d2",
+            (F.col("ox") - F.col("dx")) * (F.col("ox") - F.col("dx"))
+            + (F.col("oy") - F.col("dy")) * (F.col("oy") - F.col("dy")),
+        )
+    )
+    lg = flows.select(
+        F.expr(
+            "CAST(FLOOR(LN(d2 * 1.0e0) * 0.5e0 * 1e6 + 0.5e0) AS BIGINT)"
+        ).alias("lx"),
+        F.expr(
+            "CAST(FLOOR(LN(flow * 1.0e0) * 1e6 + 0.5e0) AS BIGINT)"
+        ).alias("ly"),
+    )
+    s = lg.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("long").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("long").alias("sx2"),
+        F.sum(F.col("ly") * F.col("ly")).cast("long").alias("sy2"),
+    )
+    return s.select(
+        F.col("np").alias("n_od_pairs"),
+        F.round(F.expr(_GRAV_SLOPE), 4).alias("decay_exponent"),
+        F.round(
+            F.expr(f"(sy - {_GRAV_SLOPE} * sx) / (np * 1e6)"), 4
+        ).alias("intercept"),
+        F.round(F.expr(_GRAV_R2), 4).alias("r2"),
+    )

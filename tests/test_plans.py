@@ -1111,3 +1111,28 @@ def test_holt_fold_has_no_window_over_raw(spark):
     df = QUERIES["holt_linear_forecast"](spark, SF_CORRECT)
     plan = plan_of(df)
     assert "windowspecdefinition" not in plan
+
+
+def test_areal_overlap_join_is_bounded(spark):
+    """Areal interpolation: the zone-overlap join is a bounded range
+    join on zone indexes (broadcast zones), never a cross join of the
+    raw relation."""
+    import osmgraft.contract_cells  # noqa: F401
+
+    df = QUERIES["areal_interpolation"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_gravity_reuses_od_window_shape(spark):
+    """Gravity fit: the trip extraction is (user, day)-keyed windows
+    sharing one exchange; moments are a 1-row agg."""
+    import osmgraft.contract_cells  # noqa: F401
+
+    df = QUERIES["gravity_model_od"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "user_id" in line and "day" in line, line

@@ -682,3 +682,87 @@ def test_holt_matches_python_fold(spark):
         abs(out.one_step_mae[0] - round(mae / (len(xs) - 1) / 100.0, 4))
         < 1e-9
     )
+
+
+# ---------------------------------------------------------------------------
+# areal interpolation
+# ---------------------------------------------------------------------------
+
+
+def test_areal_interpolation_conserves_mass_and_matches_numpy(spark):
+    """Area-weighted redistribution == a Python rectangle-overlap
+    reference, and total interpolated mass == total point count (the
+    target grid tiles the extent exactly)."""
+    from osmgraft.contract_cells import _AI_SRC_W, _AI_TGT_W
+
+    pts = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "(event_id % 787) * 889.45e0 + 17.3e0 AS x",
+            "(CAST(FLOOR(event_id / 13.0e0) AS BIGINT) % 787) * 889.45e0"
+            " + 11.7e0 AS y",
+        )
+        .toPandas()
+    )
+    zones = {}
+    for _, r in pts.iterrows():
+        k = (int(r.x // _AI_SRC_W), int(r.y // _AI_SRC_W))
+        zones[k] = zones.get(k, 0) + 1
+    ref = {}
+    for tx in range(7):
+        for ty in range(7):
+            est, nz = 0.0, 0
+            for (zx, zy), total in zones.items():
+                ox = max(
+                    0,
+                    min((zx + 1) * _AI_SRC_W, (tx + 1) * _AI_TGT_W)
+                    - max(zx * _AI_SRC_W, tx * _AI_TGT_W),
+                )
+                oy = max(
+                    0,
+                    min((zy + 1) * _AI_SRC_W, (ty + 1) * _AI_TGT_W)
+                    - max(zy * _AI_SRC_W, ty * _AI_TGT_W),
+                )
+                if ox * oy > 0:
+                    nz += 1
+                    est += total * (ox * oy / (_AI_SRC_W * _AI_SRC_W))
+            ref[(tx, ty)] = (nz, round(est, 4))
+    out = QUERIES["areal_interpolation"](spark, SF_CORRECT).toPandas()
+    got = {
+        (r.tx, r.ty): (r.n_source_zones, r.est_value)
+        for _, r in out.iterrows()
+    }
+    assert got == ref
+    assert abs(out.est_value.sum() - len(pts)) < 0.01  # mass conservation
+
+
+# ---------------------------------------------------------------------------
+# gravity model
+# ---------------------------------------------------------------------------
+
+
+def test_gravity_model_matches_python_ols(spark):
+    """Decay exponent / intercept / r2 == a Python OLS over the same
+    micro-snapped logs."""
+    out = QUERIES["gravity_model_od"](spark, SF_CORRECT).toPandas()
+    od = QUERIES["od_flow_matrix"](spark, SF_CORRECT).toPandas()
+    xs, ys = [], []
+    for _, r in od.iterrows():
+        ox, oy = divmod(int(r.o_zone), 10)
+        dx, dy = divmod(int(r.d_zone), 10)
+        d2 = (ox - dx) ** 2 + (oy - dy) ** 2
+        if d2 == 0:
+            continue
+        xs.append(math.floor(math.log(d2) * 0.5 * 1e6 + 0.5))
+        ys.append(math.floor(math.log(r.n_trips) * 1e6 + 0.5))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sx2 = sum(a * a for a in xs)
+    sy2 = sum(b * b for b in ys)
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+    assert out.n_od_pairs[0] == n
+    assert abs(out.decay_exponent[0] - round(slope, 4)) < 1e-6
+    assert abs(out.r2[0] - round(r2, 4)) < 1e-6
+    assert 0 <= out.r2[0] <= 1

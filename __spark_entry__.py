@@ -122,7 +122,8 @@ _SESSION3_NEW = (
     "average_precision_eval", "expectations_audit",
     "dow_adjusted_anomalies", "flow_accumulation_d8",
     "ndcg_eval", "embedding_drift_check", "holt_linear_forecast",
-    "areal_interpolation", "gravity_model_od",
+    "areal_interpolation", "gravity_model_od", "isotonic_calibration",
+    "feature_hash_collision_audit", "duplicate_txn_flags",
 )
 
 

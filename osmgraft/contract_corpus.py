@@ -5112,3 +5112,307 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# isotonic calibration (PAV via the exact minimax formula over score bins)
+# ---------------------------------------------------------------------------
+
+_ISO_BINS = 20
+# rate over a bin run [j..k] from prefix sums — ONE shared expression
+_ISO_RATE = "((pk - pj) * 1.0e0 / (nk - nj))"
+
+_ISO_SQL = f"""
+    WITH scored AS (SELECT {_AP_SCORE} AS score,
+                           CASE WHEN {_AP_HITS} >= {_AP_REL_MIN}
+                                THEN 1 ELSE 0 END AS rel
+                    FROM documents),
+    rng AS (SELECT MAX(score) AS mx FROM scored),
+    binned AS (SELECT LEAST(CAST(FLOOR(score * {_ISO_BINS}.0e0
+                                       / (r.mx + 1)) AS BIGINT),
+                            {_ISO_BINS - 1}) AS bin, rel
+               FROM scored CROSS JOIN rng r),
+    bins0 AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(rel) AS BIGINT) AS pos
+              FROM binned GROUP BY bin),
+    bins AS (SELECT bin, n, pos,
+                    CAST(ROW_NUMBER() OVER (ORDER BY bin) AS BIGINT) AS i,
+                    CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+                    CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+             FROM bins0),
+    runs AS (SELECT j.i AS ji, k.i AS ki,
+                    j.cn - j.n AS nj, k.cn AS nk,
+                    j.cp - j.pos AS pj, k.cp AS pk
+             FROM bins j JOIN bins k ON j.i <= k.i),
+    inner_min AS (SELECT b.i, r.ji,
+                         MIN({_ISO_RATE}) AS mn
+                  FROM bins b JOIN runs r
+                    ON r.ji <= b.i AND r.ki >= b.i
+                  GROUP BY b.i, r.ji),
+    iso AS (SELECT i, MAX(mn) AS iso_rate FROM inner_min GROUP BY i)
+    SELECT b.bin, b.n, b.pos,
+           ROUND(b.pos * 1.0e0 / b.n, 6) AS raw_rate,
+           ROUND(s.iso_rate, 6) AS iso_rate
+    FROM bins b JOIN iso s ON b.i = s.i
+    ORDER BY b.bin
+    """
+
+
+@q("isotonic_calibration", oracle=_ISO_SQL)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression calibration (pool-adjacent-violators) of the
+    per-score-bin relevance rate — the monotone calibrator behind every
+    well-calibrated ranking score (Zadrozny & Elkan 2002), completing
+    the calibration family with ``calibration_bins`` (which only
+    measures ECE; this one FIXES the curve).
+
+    PAV is computed by its exact minimax identity iso(i) = max_{{j<=i}}
+    min_{{k>=i}} rate(j..k) — a closed FORM over the bounded bin
+    relation ({_ISO_BINS}³ candidate runs), so the sequential pooling
+    algorithm never runs on either engine and the whole fit is three
+    joins + two aggs over ≤{_ISO_BINS} rows. Rates divide exact integer
+    prefix sums through one shared expression.
+
+    Scale shape: raw docs aggregate ONCE onto the bin relation; the
+    cubic minimax runs on the {_ISO_BINS}-row post-agg only. The pytest
+    proves the minimax == the textbook stack PAV.
+    """
+    from osmgraft.analytics.ranking import with_global_rank  # noqa: F401
+
+    hits = _AP_HITS.replace("//", " div ")
+    score = _AP_SCORE.replace("//", " div ")
+    scored = t(spark, sf_dir, "documents").select(
+        F.expr(score).alias("score"),
+        F.when(F.expr(hits) >= _AP_REL_MIN, 1).otherwise(0).alias("rel"),
+    )
+    rng = scored.agg(F.max("score").alias("mx"))
+    binned = scored.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor(
+                F.col("score") * float(_ISO_BINS) / (F.col("mx") + 1)
+            ).cast("long"),
+            F.lit(_ISO_BINS - 1).cast("long"),
+        ).alias("bin"),
+        "rel",
+    )
+    bins0 = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rel").cast("long").alias("pos"),
+    )
+    wb = Window.orderBy("bin")
+    bins = bins0.select(
+        "bin",
+        "n",
+        "pos",
+        F.row_number().over(wb).cast("long").alias("i"),
+        F.sum("n").over(wb).cast("long").alias("cn"),
+        F.sum("pos").over(wb).cast("long").alias("cp"),
+    ).localCheckpoint()
+    j = bins.select(
+        F.col("i").alias("ji"),
+        (F.col("cn") - F.col("n")).alias("nj"),
+        (F.col("cp") - F.col("pos")).alias("pj"),
+    )
+    k = bins.select(
+        F.col("i").alias("ki"),
+        F.col("cn").alias("nk"),
+        F.col("cp").alias("pk"),
+    )
+    runs = j.join(F.broadcast(k), F.col("ji") <= F.col("ki"))
+    inner = (
+        bins.select(F.col("i"))
+        .join(
+            F.broadcast(runs),
+            (F.col("ji") <= F.col("i")) & (F.col("ki") >= F.col("i")),
+        )
+        .groupBy("i", "ji")
+        .agg(F.min(F.expr(_ISO_RATE)).alias("mn"))
+    )
+    iso = inner.groupBy("i").agg(F.max("mn").alias("iso_rate"))
+    return (
+        bins.join(F.broadcast(iso), "i")
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.round(F.col("pos") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+            F.round("iso_rate", 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature-hashing collision audit (the hashing-trick dimensioning check)
+# ---------------------------------------------------------------------------
+
+_FH_A, _FH_B, _FH_P = 48271, 11, 1000003
+_FH_BITS = (6, 8, 10)
+_FH_HASH = f"((({_FH_A} * fid + {_FH_B}) % {_FH_P}) % {{m}})"
+
+
+def _fh_sql() -> str:
+    parts = []
+    for bits in _FH_BITS:
+        m = 1 << bits
+        h = _FH_HASH.format(m=m)
+        parts.append(f"""
+    SELECT {bits} AS hash_bits, {m} AS n_buckets,
+           CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(COUNT(DISTINCT {h}) AS BIGINT) AS n_used,
+           CAST(COUNT(*) - COUNT(DISTINCT {h}) AS BIGINT) AS n_excess,
+           ROUND((COUNT(*) - COUNT(DISTINCT {h})) * 1.0e0 / COUNT(*), 6)
+             AS collision_rate
+    FROM feats""")
+    sel = " UNION ALL ".join(parts)
+    return f"""
+    WITH feats AS (
+      SELECT DISTINCT fid FROM (
+        SELECT user_id AS fid FROM events
+        UNION ALL
+        SELECT 200000 + CAST(json_extract(props, '$.k') AS INTEGER)
+        FROM events
+        UNION ALL
+        SELECT 300000 + CASE event_type
+                 WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                 WHEN 'purchase' THEN 2 WHEN 'error' THEN 3
+                 ELSE 4 END
+        FROM events))
+    SELECT * FROM ({sel}) ORDER BY hash_bits
+    """
+
+
+@q("feature_hash_collision_audit", oracle=_fh_sql())
+def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) collision audit: the distinct
+    feature universe (user ids, JSON prop values, event types mapped
+    into one integer id space) is hashed into 2^k buckets for k ∈
+    {_FH_BITS} with the 2-universal integer family, and the audit
+    reports bucket occupancy and collision rate per width — the
+    dimensioning table every hashed-feature model consults before
+    choosing its embedding width (Weinberger et al. 2009).
+
+    Scale shape: one scan unions the feature id projections, dedups
+    once (feature-keyed partial agg), then each width is a
+    count-distinct over the bounded feature relation. The hash is the
+    cms_heavy_hitters integer family — exact int64 on both engines.
+    """
+    ev = t(spark, sf_dir, "events")
+    et_case = (
+        "CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1 "
+        "WHEN 'purchase' THEN 2 WHEN 'error' THEN 3 ELSE 4 END"
+    )
+    feats = (
+        ev.select(F.col("user_id").alias("fid"))
+        .unionAll(
+            ev.select(
+                (
+                    200000
+                    + F.expr(
+                        "CAST(get_json_object(props, '$.k') AS INT)"
+                    )
+                ).alias("fid")
+            )
+        )
+        .unionAll(ev.select((300000 + F.expr(et_case)).alias("fid")))
+        .distinct()
+    )
+    rows = []
+    for bits in _FH_BITS:
+        m = 1 << bits
+        h = F.expr(_FH_HASH.format(m=m))
+        rows.append(
+            feats.agg(
+                F.lit(bits).alias("hash_bits"),
+                F.lit(m).cast("int").alias("n_buckets"),
+                F.count("*").cast("long").alias("n_features"),
+                F.countDistinct(h).cast("long").alias("n_used"),
+                (F.count("*") - F.countDistinct(h))
+                .cast("long")
+                .alias("n_excess"),
+                F.round(
+                    (F.count("*") - F.countDistinct(h))
+                    * 1.0
+                    / F.count("*"),
+                    6,
+                ).alias("collision_rate"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("hash_bits")
+
+
+# ---------------------------------------------------------------------------
+# duplicate-transaction detection (same user + amount within a day)
+# ---------------------------------------------------------------------------
+
+_DUPTXN_SQL = """
+    WITH t AS (SELECT user_id,
+                      CAST(FLOOR(value) AS BIGINT) AS dollars,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id
+               FROM events),
+    p AS (SELECT user_id, dollars, sec,
+                 sec - LAG(sec) OVER (PARTITION BY user_id, dollars
+                                      ORDER BY sec, event_id) AS gap
+          FROM t),
+    flagged AS (SELECT user_id, dollars, gap,
+                       CASE WHEN gap < 3600 THEN 'lt_1h'
+                            WHEN gap < 21600 THEN '1h_to_6h'
+                            ELSE '6h_to_24h' END AS band
+                FROM p WHERE gap IS NOT NULL AND gap <= 86400)
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(gap) * 1.0e0 / COUNT(*), 2) AS avg_gap_s,
+           CAST(MIN(gap) AS BIGINT) AS min_gap_s
+    FROM flagged GROUP BY band ORDER BY band
+    """
+
+
+@q("duplicate_txn_flags", oracle=_DUPTXN_SQL)
+def duplicate_txn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-transaction detection: events by the SAME user with the
+    SAME dollar amount within 24 h, banded by gap (<1 h / 1-6 h /
+    6-24 h) — the double-submission / replay fraud screen every payment
+    pipeline runs; the single-stream cousin of ``co_movement_pairs``
+    (which correlates across users) and ``bot_regularity_profile``
+    (which looks at cadence, not amounts).
+
+    Scale shape: ONE (user, amount)-keyed window (LAG over an exchange
+    whose key includes the amount — finer than user-only, so power
+    users don't skew a partition) and a 3-row band rollup. Gaps are
+    integer seconds (unix_timestamp ≡ FLOOR(epoch) under UTC).
+    """
+    ev = t(spark, sf_dir, "events")
+    tdf = ev.select(
+        "user_id",
+        F.expr("CAST(FLOOR(value) AS BIGINT)").alias("dollars"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "dollars").orderBy("sec", "event_id")
+    p = tdf.withColumn("gap", F.col("sec") - F.lag("sec").over(w))
+    flagged = p.where(
+        F.col("gap").isNotNull() & (F.col("gap") <= 86400)
+    ).select(
+        "user_id",
+        "gap",
+        F.when(F.col("gap") < 3600, "lt_1h")
+        .when(F.col("gap") < 21600, "1h_to_6h")
+        .otherwise("6h_to_24h")
+        .alias("band"),
+    )
+    return (
+        flagged.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum("gap") * 1.0 / F.count("*"), 2).alias(
+                "avg_gap_s"
+            ),
+            F.min("gap").cast("long").alias("min_gap_s"),
+        )
+        .orderBy("band")
+    )

@@ -1136,3 +1136,28 @@ def test_gravity_reuses_od_window_shape(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "user_id" in line and "day" in line, line
+
+
+def test_isotonic_cubic_runs_on_post_agg_only(spark):
+    """Isotonic: raw docs aggregate once; the minimax joins touch only
+    the checkpointed 20-row bin relation (broadcast)."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["isotonic_calibration"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+
+
+def test_duplicate_txn_window_includes_amount_key(spark):
+    """Dup-txn: the LAG window partitions by (user, dollars) — finer
+    than user-only, so heavy users cannot skew one task."""
+    import osmgraft.contract_corpus  # noqa: F401
+
+    df = QUERIES["duplicate_txn_flags"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "user_id" in line and "dollars" in line, line

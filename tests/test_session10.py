@@ -766,3 +766,118 @@ def test_gravity_model_matches_python_ols(spark):
     assert abs(out.decay_exponent[0] - round(slope, 4)) < 1e-6
     assert abs(out.r2[0] - round(r2, 4)) < 1e-6
     assert 0 <= out.r2[0] <= 1
+
+
+# ---------------------------------------------------------------------------
+# isotonic calibration
+# ---------------------------------------------------------------------------
+
+
+def test_isotonic_minimax_equals_stack_pav(spark):
+    """The minimax closed form == the textbook sequential
+    pool-adjacent-violators algorithm, and the fit is monotone."""
+    out = (
+        QUERIES["isotonic_calibration"](spark, SF_CORRECT)
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    # stack PAV over the same observed bins
+    blocks = [
+        [int(r.pos), int(r.n)] for _, r in out.iterrows()
+    ]  # [pos, n]
+    merged: list[list[int]] = []
+    for b in blocks:
+        merged.append(list(b))
+        while (
+            len(merged) >= 2
+            and merged[-2][0] * merged[-1][1]
+            >= merged[-1][0] * merged[-2][1]
+        ):
+            p2, n2 = merged.pop()
+            merged[-1][0] += p2
+            merged[-1][1] += n2
+    rates = []
+    for pos, n in merged:
+        # how many original blocks this pooled block covers
+        rates.append((pos / n, n))
+    # expand pooled rates back over bins by matching cumulative n
+    expanded = []
+    for rate, n in rates:
+        cum = 0
+        while cum < n:
+            take = int(out.n[len(expanded)])
+            expanded.append(rate)
+            cum += take
+    assert len(expanded) == len(out)
+    for got, ref in zip(out.iso_rate, expanded):
+        assert abs(got - round(ref, 6)) < 1e-9
+    assert (out.iso_rate.diff().dropna() >= -1e-12).all()  # monotone
+    # pooling must actually fire somewhere (raw curve is not monotone)
+    assert (out.raw_rate != out.iso_rate).any()
+
+
+# ---------------------------------------------------------------------------
+# feature hashing
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hash_matches_python(spark):
+    """Collision rates == a Python recompute with the same 2-universal
+    family, and widening the table monotonically reduces collisions."""
+    import json
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet").toPandas()
+    et_map = {"click": 0, "view": 1, "purchase": 2, "error": 3}
+    feats = set(ev.user_id.astype(int))
+    feats |= {200000 + json.loads(p)["k"] for p in ev.props}
+    feats |= {300000 + et_map.get(e, 4) for e in ev.event_type}
+    out = QUERIES["feature_hash_collision_audit"](
+        spark, SF_CORRECT
+    ).toPandas()
+    from osmgraft.contract_corpus import _FH_A, _FH_B, _FH_P
+
+    prev_rate = 1.1
+    for _, r in out.iterrows():
+        m = 1 << int(r.hash_bits)
+        used = len({((_FH_A * f + _FH_B) % _FH_P) % m for f in feats})
+        assert r.n_features == len(feats)
+        assert r.n_used == used
+        assert r.n_excess == len(feats) - used
+        assert r.collision_rate <= prev_rate
+        prev_rate = r.collision_rate
+
+
+# ---------------------------------------------------------------------------
+# duplicate transactions
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_txn_matches_pandas(spark):
+    """Band counts == a pandas LAG recompute over (user, dollars)."""
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "CAST(FLOOR(value) AS BIGINT) AS dollars",
+            "unix_timestamp(ts) AS sec",
+            "event_id",
+        )
+        .toPandas()
+        .sort_values(["user_id", "dollars", "sec", "event_id"])
+    )
+    ev["gap"] = ev.groupby(["user_id", "dollars"]).sec.diff()
+    fl = ev[(ev.gap.notna()) & (ev.gap <= 86400)].copy()
+    fl["band"] = fl.gap.map(
+        lambda g: "lt_1h" if g < 3600 else "1h_to_6h" if g < 21600
+        else "6h_to_24h"
+    )
+    ref = fl.groupby("band").agg(
+        n_pairs=("gap", "size"), n_users=("user_id", "nunique")
+    )
+    out = QUERIES["duplicate_txn_flags"](spark, SF_CORRECT).toPandas()
+    assert len(out) == len(ref)
+    for _, r in out.iterrows():
+        assert r.n_pairs == ref.loc[r.band, "n_pairs"]
+        assert r.n_users == ref.loc[r.band, "n_users"]
+    assert out.n_pairs.sum() > 0

@@ -124,6 +124,7 @@ _SESSION3_NEW = (
     "ndcg_eval", "embedding_drift_check", "holt_linear_forecast",
     "areal_interpolation", "gravity_model_od", "isotonic_calibration",
     "feature_hash_collision_audit", "duplicate_txn_flags",
+    "l_diversity_audit", "threshold_optimizer", "ipf_balanced_od",
 )
 
 

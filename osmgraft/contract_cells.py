@@ -3074,3 +3074,154 @@ def gravity_model_od(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(F.expr(_GRAV_R2), 4).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IPF (iterative proportional fitting) balanced OD table
+# ---------------------------------------------------------------------------
+
+_IPF_ROUNDS = 3
+_IPF_SNAP = "FLOOR({x} * 1e6 + 0.5e0) / 1e6"
+
+
+def _ipf_sql() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    steps = []
+    prev = "m0"
+    for i in range(1, _IPF_ROUNDS + 1):
+        steps.append(f"""
+    rs{i} AS (SELECT o, SUM(v) AS s FROM {prev} GROUP BY o),
+    mr{i} AS (SELECT m.o, m.d,
+                     {_IPF_SNAP.format(x="m.v * rt.t / rs.s")} AS v
+              FROM {prev} m JOIN rs{i} rs ON m.o = rs.o
+                            JOIN rt ON m.o = rt.o),
+    cs{i} AS (SELECT d, SUM(v) AS s FROM mr{i} GROUP BY d),
+    m{i} AS (SELECT m.o, m.d,
+                    {_IPF_SNAP.format(x="m.v * ct.t / cs.s")} AS v
+             FROM mr{i} m JOIN cs{i} cs ON m.d = cs.d
+                          JOIN ct ON m.d = ct.d)""")
+        prev = f"m{i}"
+    return f"""
+    WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+                      CAST(FLOOR(({X_EXPR}) / {_OD_W}.0e0) AS BIGINT) AS cx,
+                      CAST(FLOOR(({Y_EXPR}) / {_OD_W}.0e0) AS BIGINT) AS cy
+               FROM events),
+    r AS (SELECT user_id, day, cx, cy,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                    ORDER BY event_id) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                    ORDER BY event_id DESC) AS rl
+          FROM p),
+    od AS (SELECT f.cx * 10 + f.cy AS o, l.cx * 10 + l.cy AS d,
+                  CAST(COUNT(*) AS BIGINT) AS obs
+           FROM (SELECT * FROM r WHERE rf = 1) f
+           JOIN (SELECT * FROM r WHERE rl = 1) l USING (user_id, day)
+           GROUP BY 1, 2),
+    rt AS (SELECT o, CAST(SUM(obs) AS BIGINT) AS t FROM od GROUP BY o),
+    ct AS (SELECT d, CAST(SUM(obs) AS BIGINT) AS t FROM od GROUP BY d),
+    m0 AS (SELECT o, d, 1.0e0 AS v FROM od),{",".join(steps)}
+    SELECT m.o AS o_zone, m.d AS d_zone, od.obs,
+           ROUND(m.v, 4) AS fitted
+    FROM {prev} m JOIN od ON m.o = od.o AND m.d = od.d
+    ORDER BY o_zone, d_zone
+    """
+
+
+@q("ipf_balanced_od", oracle=_ipf_sql())
+def ipf_balanced_od(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (Deming-Stephan / Furness
+    balancing, {_IPF_ROUNDS} full rounds) of a UNIFORM seed OD table to
+    the observed origin and destination margins — the doubly-constrained
+    step every transport model runs after ``gravity_model_od``
+    calibrates the decay (the maximum-entropy OD estimate consistent
+    with the margins).
+
+    Determinism: scale factors are ratios of exact margin targets to
+    float row/column sums, and every cell snaps to 6 dp after EACH
+    half-round (the Holt discipline), so scaling order cannot compound
+    a ulp; the oracle unrolls the identical half-rounds as CTEs.
+
+    Scale shape: per round, one o-keyed and one d-keyed partial agg
+    over the bounded OD relation plus broadcast margin joins — the
+    pagerank per-round shape on a zones² relation.
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    w = _OD_W
+    p = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_id",
+        F.expr(f"CAST(FLOOR(({X_EXPR}) / {w}.0e0) AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(FLOOR(({Y_EXPR}) / {w}.0e0) AS BIGINT)").alias("cy"),
+    )
+    wf = Window.partitionBy("user_id", "day").orderBy("event_id")
+    wl = Window.partitionBy("user_id", "day").orderBy(
+        F.col("event_id").desc()
+    )
+    r = p.select(
+        "user_id",
+        "day",
+        "cx",
+        "cy",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    f = r.filter(F.col("rf") == 1).select(
+        "user_id", "day", (F.col("cx") * 10 + F.col("cy")).alias("o")
+    )
+    l_ = r.filter(F.col("rl") == 1).select(
+        F.col("user_id").alias("lu"),
+        F.col("day").alias("ld"),
+        (F.col("cx") * 10 + F.col("cy")).alias("d"),
+    )
+    od = (
+        f.join(
+            l_,
+            (F.col("user_id") == F.col("lu"))
+            & (F.col("day") == F.col("ld")),
+        )
+        .groupBy("o", "d")
+        .agg(F.count("*").cast("long").alias("obs"))
+        .localCheckpoint()
+    )
+    rt = od.groupBy("o").agg(F.sum("obs").cast("long").alias("rt_t"))
+    ct = od.groupBy("d").agg(F.sum("obs").cast("long").alias("ct_t"))
+    snap = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    m = od.select("o", "d", F.lit(1.0).alias("v"))
+    for _ in range(_IPF_ROUNDS):
+        rs = m.groupBy("o").agg(F.sum("v").alias("rs_s"))
+        m = (
+            m.join(F.broadcast(rs), "o")
+            .join(F.broadcast(rt), "o")
+            .select(
+                "o",
+                "d",
+                snap(F.col("v") * F.col("rt_t") / F.col("rs_s")).alias(
+                    "v"
+                ),
+            )
+        )
+        cs = m.groupBy("d").agg(F.sum("v").alias("cs_s"))
+        m = (
+            m.join(F.broadcast(cs), "d")
+            .join(F.broadcast(ct), "d")
+            .select(
+                "o",
+                "d",
+                snap(F.col("v") * F.col("ct_t") / F.col("cs_s")).alias(
+                    "v"
+                ),
+            )
+        )
+    return (
+        m.join(od, ["o", "d"])
+        .select(
+            F.col("o").alias("o_zone"),
+            F.col("d").alias("d_zone"),
+            "obs",
+            F.round("v", 4).alias("fitted"),
+        )
+        .orderBy("o_zone", "d_zone")
+    )

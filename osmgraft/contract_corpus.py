@@ -5416,3 +5416,140 @@ def duplicate_txn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# decision-threshold optimizer over the calibration bins
+# ---------------------------------------------------------------------------
+
+_THR_TP_GAIN, _THR_FP_COST = 5, 1  # utility = 5*TP - 1*FP
+
+_THR_SQL = f"""
+    WITH scored AS (SELECT {_AP_SCORE} AS score,
+                           CASE WHEN {_AP_HITS} >= {_AP_REL_MIN}
+                                THEN 1 ELSE 0 END AS rel
+                    FROM documents),
+    rng AS (SELECT MAX(score) AS mx FROM scored),
+    binned AS (SELECT LEAST(CAST(FLOOR(score * {_ISO_BINS}.0e0
+                                       / (r.mx + 1)) AS BIGINT),
+                            {_ISO_BINS - 1}) AS bin, rel
+               FROM scored CROSS JOIN rng r),
+    bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(rel) AS BIGINT) AS pos
+             FROM binned GROUP BY bin),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn_all,
+                   CAST(SUM(pos) AS BIGINT) AS tp_all
+            FROM bins),
+    cand AS (SELECT b.bin AS thr_bin,
+                    CAST(SUM(CASE WHEN o.bin >= b.bin THEN o.pos
+                                  ELSE 0 END) AS BIGINT) AS tp,
+                    CAST(SUM(CASE WHEN o.bin >= b.bin THEN o.n - o.pos
+                                  ELSE 0 END) AS BIGINT) AS fp
+             FROM bins b CROSS JOIN bins o
+             GROUP BY b.bin),
+    util AS (SELECT c.thr_bin, c.tp, c.fp,
+                    t.tp_all - c.tp AS fn,
+                    t.tn_all - t.tp_all - c.fp AS tn,
+                    {_THR_TP_GAIN} * c.tp - {_THR_FP_COST} * c.fp
+                      AS utility
+             FROM cand c CROSS JOIN tot t),
+    best AS (SELECT MAX(utility) AS mu FROM util)
+    SELECT u.thr_bin, u.tp, u.fp, u.fn, u.tn, u.utility,
+           CAST(CASE WHEN u.utility = b.mu THEN 1 ELSE 0 END AS BIGINT)
+             AS is_best
+    FROM util u CROSS JOIN best b ORDER BY u.thr_bin
+    """
+
+
+@q("threshold_optimizer", oracle=_THR_SQL)
+def threshold_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold optimizer: sweep every score-bin edge as a
+    classification threshold, tabulate the exact confusion matrix from
+    bin prefix sums, and flag the utility-maximizing cut (utility =
+    {_THR_TP_GAIN}·TP − {_THR_FP_COST}·FP) — the decision-theory step
+    after ``isotonic_calibration`` calibrates and ``roc_auc_eval``
+    ranks: where to actually CUT.
+
+    Exactness: every cell of every confusion matrix is an exact integer
+    from the bounded bin relation; utility is integer arithmetic, so
+    the argmax is engine-independent by construction.
+
+    Scale shape: raw docs aggregate once onto {_ISO_BINS} bins; the
+    threshold sweep is a bins×bins self-join over ≤{_ISO_BINS}² rows.
+    """
+    hits = _AP_HITS.replace("//", " div ")
+    score = _AP_SCORE.replace("//", " div ")
+    scored = t(spark, sf_dir, "documents").select(
+        F.expr(score).alias("score"),
+        F.when(F.expr(hits) >= _AP_REL_MIN, 1).otherwise(0).alias("rel"),
+    )
+    rng = scored.agg(F.max("score").alias("mx"))
+    binned = scored.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor(
+                F.col("score") * float(_ISO_BINS) / (F.col("mx") + 1)
+            ).cast("long"),
+            F.lit(_ISO_BINS - 1).cast("long"),
+        ).alias("bin"),
+        "rel",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rel").cast("long").alias("pos"),
+    ).localCheckpoint()
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("tn_all"),
+        F.sum("pos").cast("long").alias("tp_all"),
+    )
+    o = bins.select(
+        F.col("bin").alias("obin"), F.col("n").alias("on"),
+        F.col("pos").alias("opos"),
+    )
+    cand = (
+        bins.select(F.col("bin").alias("thr_bin"))
+        .crossJoin(F.broadcast(o))
+        .groupBy("thr_bin")
+        .agg(
+            F.sum(
+                F.when(F.col("obin") >= F.col("thr_bin"), F.col("opos"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    F.col("obin") >= F.col("thr_bin"),
+                    F.col("on") - F.col("opos"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    util = cand.crossJoin(F.broadcast(tot)).select(
+        "thr_bin",
+        "tp",
+        "fp",
+        (F.col("tp_all") - F.col("tp")).alias("fn"),
+        (F.col("tn_all") - F.col("tp_all") - F.col("fp")).alias("tn"),
+        (
+            _THR_TP_GAIN * F.col("tp") - _THR_FP_COST * F.col("fp")
+        ).alias("utility"),
+    )
+    best = util.agg(F.max("utility").alias("mu"))
+    return (
+        util.crossJoin(F.broadcast(best))
+        .select(
+            "thr_bin",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            "utility",
+            F.when(F.col("utility") == F.col("mu"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_best"),
+        )
+        .orderBy("thr_bin")
+    )

@@ -6236,3 +6236,82 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h.mae") / (F.col("n_days") - 1.0) / 100.0, 4
         ).alias("one_step_mae"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (sensitive-value diversity inside k-anonymity classes)
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3  # distinct-l threshold: classes below leak the sensitive value
+
+_LDIV_SQL = f"""
+    WITH qi AS (SELECT event_type,
+                       (CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                             AS INTEGER) + 4) % 7 AS dow,
+                       CAST(FLOOR(value / 50.0e0) AS BIGINT) AS value_band,
+                       CAST(json_extract(props, '$.k') AS INTEGER) // 10
+                         AS sensitive
+                FROM events),
+    eq AS (SELECT event_type, dow, value_band,
+                  CAST(COUNT(*) AS BIGINT) AS class_size,
+                  CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l
+           FROM qi GROUP BY event_type, dow, value_band)
+    SELECT l,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l < {_LDIV_L} THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_risky_rows
+    FROM eq GROUP BY l ORDER BY l
+    """
+
+
+@q("l_diversity_audit", oracle=_LDIV_SQL)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): within each
+    quasi-identifier equivalence class of ``k_anonymity_audit`` (same QI
+    tuple), how many DISTINCT sensitive values appear — k-anonymity
+    alone is defeated by a class where everyone shares the secret; this
+    histogram shows how many classes sit below l={_LDIV_L}.
+
+    QI here bands value at 50 units (finer than k_anonymity_audit's 500)
+    so the release table has genuinely small classes and the l
+    histogram spreads — a one-row histogram audits nothing.
+
+    Scale shape: one QI-keyed partial
+    agg (COUNT + COUNT DISTINCT over the class) and a histogram rollup
+    over the bounded class relation. The sensitive attribute is the
+    banded JSON prop, derived scan-side.
+    """
+    ev = t(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.expr(
+            "(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) + 4)"
+            " % 7"
+        ).alias("dow"),
+        F.expr("CAST(FLOOR(value / 50.0e0) AS BIGINT)").alias(
+            "value_band"
+        ),
+        F.expr(
+            "CAST(get_json_object(props, '$.k') AS INT) div 10"
+        ).alias("sensitive"),
+    )
+    eq = qi.groupBy("event_type", "dow", "value_band").agg(
+        F.count("*").cast("long").alias("class_size"),
+        F.countDistinct("sensitive").cast("long").alias("l"),
+    )
+    return (
+        eq.groupBy("l")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum("class_size").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("l") < _LDIV_L, F.col("class_size")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_risky_rows"),
+        )
+        .orderBy("l")
+    )

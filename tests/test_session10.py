@@ -881,3 +881,93 @@ def test_duplicate_txn_matches_pandas(spark):
         assert r.n_pairs == ref.loc[r.band, "n_pairs"]
         assert r.n_users == ref.loc[r.band, "n_users"]
     assert out.n_pairs.sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_matches_pandas(spark):
+    """l histogram == a pandas recompute over the same QI classes, and
+    the fixture spreads over multiple l values."""
+    import json
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet").toPandas()
+    ev["dow"] = (
+        (pd.to_datetime(ev.ts).dt.normalize()
+         - pd.Timestamp("1970-01-01")).dt.days + 4
+    ) % 7
+    ev["value_band"] = (ev.value / 50.0).apply(math.floor)
+    ev["sensitive"] = ev.props.map(lambda p: json.loads(p)["k"] // 10)
+    eq = ev.groupby(["event_type", "dow", "value_band"]).agg(
+        class_size=("sensitive", "size"), l=("sensitive", "nunique")
+    )
+    ref = eq.groupby("l").agg(
+        n_classes=("class_size", "size"), n_rows=("class_size", "sum")
+    )
+    out = QUERIES["l_diversity_audit"](spark, SF_CORRECT).toPandas()
+    assert len(out) == len(ref) and len(out) >= 3
+    for _, r in out.iterrows():
+        assert r.n_classes == ref.loc[r.l, "n_classes"]
+        assert r.n_rows == ref.loc[r.l, "n_rows"]
+        expect_risky = r.n_rows if r.l < 3 else 0
+        assert r.n_risky_rows == expect_risky
+
+
+# ---------------------------------------------------------------------------
+# threshold optimizer
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_optimizer_flags_true_argmax(spark):
+    """Confusion cells are exact and is_best marks exactly the
+    max-utility thresholds."""
+    out = QUERIES["threshold_optimizer"](spark, SF_CORRECT).toPandas()
+    assert (out.tp + out.fn == out.tp.iloc[0] + out.fn.iloc[0]).all()
+    assert (out.tp + out.fp + out.fn + out.tn == out.iloc[0][
+        ["tp", "fp", "fn", "tn"]
+    ].sum()).all()
+    assert (out.utility == 5 * out.tp - out.fp).all()
+    mu = out.utility.max()
+    assert ((out.is_best == 1) == (out.utility == mu)).all()
+    assert out.is_best.sum() >= 1
+
+
+# ---------------------------------------------------------------------------
+# IPF balancing
+# ---------------------------------------------------------------------------
+
+
+def test_ipf_matches_python_and_converges(spark):
+    """Fitted table == a Python IPF with identical 6-dp snapping, and
+    the final column margins hit their targets (last half-round scales
+    columns)."""
+    od = QUERIES["od_flow_matrix"](spark, SF_CORRECT).toPandas()
+    obs = {(r.o_zone, r.d_zone): r.n_trips for _, r in od.iterrows()}
+    rt: dict = {}
+    ct: dict = {}
+    for (o, d), v in obs.items():
+        rt[o] = rt.get(o, 0) + v
+        ct[d] = ct.get(d, 0) + v
+    m = {k: 1.0 for k in obs}
+
+    def snap(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    for _ in range(3):
+        rs: dict = {}
+        for (o, d), v in m.items():
+            rs[o] = rs.get(o, 0.0) + v
+        m = {k: snap(v * rt[k[0]] / rs[k[0]]) for k, v in m.items()}
+        cs: dict = {}
+        for (o, d), v in m.items():
+            cs[d] = cs.get(d, 0.0) + v
+        m = {k: snap(v * ct[k[1]] / cs[k[1]]) for k, v in m.items()}
+    out = QUERIES["ipf_balanced_od"](spark, SF_CORRECT).toPandas()
+    assert len(out) == len(obs)
+    for _, r in out.iterrows():
+        assert abs(r.fitted - round(m[(r.o_zone, r.d_zone)], 4)) < 1e-9
+    col = out.groupby("d_zone").fitted.sum()
+    for d, target in ct.items():
+        assert abs(col[d] - target) / target < 1e-3

@@ -33,6 +33,7 @@ from osmgraft import contract_cells as _contract_cells  # noqa: E402,F401  (regi
 from osmgraft import contract_tracks as _contract_tracks  # noqa: E402,F401  (registers entries)
 from osmgraft import contract_corpus as _contract_corpus  # noqa: E402,F401  (registers entries)
 from osmgraft import contract_web as _contract_web  # noqa: E402,F401  (registers entries)
+from osmgraft import contract_select as _contract_select  # noqa: E402,F401  (registers entries)
 
 # The 50 entries that received green driver rows in CORRECTNESS_r02.json
 # (frozen literal — evidence already recorded; these sort AFTER the rest).
@@ -125,6 +126,9 @@ _SESSION3_NEW = (
     "areal_interpolation", "gravity_model_od", "isotonic_calibration",
     "feature_hash_collision_audit", "duplicate_txn_flags",
     "l_diversity_audit", "threshold_optimizer", "ipf_balanced_od",
+    # session-11 additions (same queue discipline)
+    "readability_bands", "spearman_corr", "registered_domain_rollup",
+    "phonetic_blocking_pairs",
 )
 
 

@@ -1,0 +1,236 @@
+"""Session-11 operator invariants: readability bands, window-free
+Spearman, public-suffix registered domains, phonetic blocking.
+
+Each test recomputes the operator's semantics through an INDEPENDENT
+path (pure Python / pandas) and compares against the distributed query —
+the DuckDB oracle pins cross-engine parity; these pin the algorithm.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from osmgraft.contract import QUERIES
+from tests.conftest import SF_CORRECT
+
+import osmgraft.contract_select  # noqa: F401  (registers entries)
+
+
+def _docs(spark) -> pd.DataFrame:
+    return (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "lang", "text", "n_chars")
+        .toPandas()
+    )
+
+
+# ---------------------------------------------------------------------------
+# readability
+# ---------------------------------------------------------------------------
+
+
+def test_readability_matches_pure_python(spark):
+    """Band rollup == a per-doc pure-Python Flesch recompute."""
+    import re
+
+    docs = _docs(spark)
+    got = QUERIES["readability_bands"](spark, SF_CORRECT).toPandas()
+    exp: dict[tuple[str, int], list[float]] = {}
+    for _, r in docs.iterrows():
+        words = r.text.split(" ")
+        w = len(words)
+        if w < 1:
+            continue
+        slen = 8 + int(r.doc_id) % 5
+        s = (w + slen - 1) // slen
+        sy = len(re.findall(r"[aeiou]+", r.text))
+        score = round(206.835 - 1.015 * (w / s) - 84.6 * (sy / w), 4)
+        band = math.floor(score / 10.0)
+        exp.setdefault((r.lang, band), []).append(score)
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        scores = exp[(r.lang, int(r.band))]
+        assert r.n_docs == len(scores)
+        assert abs(r.avg_score - sum(scores) / len(scores)) < 1e-3
+        assert r.min_score == min(scores)
+        assert r.max_score == max(scores)
+
+
+# ---------------------------------------------------------------------------
+# Spearman
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_matches_pandas(spark):
+    """Window-free rho == Pearson-of-average-ranks recomputed with
+    pandas rank() + numpy (the textbook tie-corrected definition)."""
+    import numpy as np
+
+    docs = _docs(spark)
+    docs["y"] = docs.text.apply(lambda t: (len(t) - len(t.replace("spark", ""))) // 5)
+    got = QUERIES["spearman_corr"](spark, SF_CORRECT).toPandas()
+    for _, r in got.iterrows():
+        g = docs[docs.lang == r.lang]
+        rx = g.n_chars.rank(method="average").to_numpy()
+        ry = g.y.rank(method="average").to_numpy()
+        ref = np.corrcoef(rx, ry)[0, 1]
+        assert r.n_docs == len(g)
+        assert abs(r.rho_spearman - ref) < 1e-6, (r.lang, r.rho_spearman, ref)
+
+
+def test_spearman_plan_windows_run_post_agg_only(spark):
+    """No window over the raw documents relation: every window is
+    lang-partitioned and sits above a per-value aggregate; no
+    SinglePartition exchange anywhere."""
+    from tests.test_plans import plan_of
+
+    df = QUERIES["spearman_corr"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "lang" in line, line
+
+
+# ---------------------------------------------------------------------------
+# registered domains
+# ---------------------------------------------------------------------------
+
+_PSL = dict(osmgraft.contract_select._PSL)
+_SUFFIXES = ["co.uk", "com", "org.uk", "github.io", "net", "ac.uk", "io", "gov.uk"]
+
+
+def test_registered_domain_matches_pure_python(spark):
+    docs = _docs(spark)
+    exp: dict[str, tuple[str, int, set]] = {}
+    for did in docs.doc_id:
+        did = int(did)
+        host = (
+            ("www." if did % 3 == 0 else "")
+            + f"site{did % 23}."
+            + _SUFFIXES[did % 8]
+        )
+        labels = host.split(".")
+        best = None
+        for k in range(1, min(3, len(labels) - 1) + 1):
+            tail = ".".join(labels[-k:])
+            if tail in _PSL:
+                best = k
+        assert best is not None
+        regdom = ".".join(labels[-(best + 1):])
+        suffix = ".".join(labels[-best:])
+        n_pages, hosts = exp.get(regdom, (0, set()))[1:] if regdom in exp else (0, set())
+        if regdom not in exp:
+            exp[regdom] = (suffix, 0, set())
+        sfx, np_, hs = exp[regdom]
+        hs.add(host)
+        exp[regdom] = (sfx, np_ + 1, hs)
+    got = QUERIES["registered_domain_rollup"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        sfx, np_, hs = exp[r.regdom]
+        assert r.public_suffix == sfx
+        assert r.n_pages == np_
+        assert r.n_hosts == len(hs)
+
+
+def test_registered_domain_longest_match_beats_shorter(spark):
+    """Multi-label suffixes actually win over their 1-label tails:
+    every co.uk/github.io host resolves to the 2-label suffix."""
+    got = QUERIES["registered_domain_rollup"](spark, SF_CORRECT).toPandas()
+    assert (got[got.regdom.str.endswith(".co.uk")].public_suffix == "co.uk").all()
+    assert (
+        got[got.regdom.str.endswith(".github.io")].public_suffix == "github.io"
+    ).all()
+    assert "uk" not in set(got.public_suffix)  # 1-label 'uk' never wins
+    assert {"io", "com", "net"} < set(got.public_suffix)
+
+
+def test_registered_domain_psl_join_is_broadcast(spark):
+    from tests.test_plans import plan_of
+
+    df = QUERIES["registered_domain_rollup"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line, line
+
+
+# ---------------------------------------------------------------------------
+# phonetic blocking
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_phonetic_blocking_matches_pure_python(spark):
+    import re
+
+    from osmgraft.contract_select import _PB_FIRST, _PB_LAST
+
+    cust = (
+        spark.read.parquet(f"{SF_CORRECT}/customer.parquet")
+        .select("c_custkey")
+        .toPandas()
+    )
+    names = set()
+    for k in cust.c_custkey:
+        k = int(k)
+        nm = f"{_PB_FIRST[k % 8]} {_PB_LAST[(k // 8) % 8]}"
+        if k % 5 == 0:
+            nm = nm.replace("e", "a")
+        elif k % 7 == 0:
+            nm = nm + nm[-1]
+        names.add(nm)
+    blocks: dict[str, set] = {}
+    for nm in names:
+        bkey = nm[0].upper() + re.sub(r"[aeiou ]", "", nm[1:])[:4]
+        blocks.setdefault(bkey, set()).add(nm)
+    exp = {}
+    for bkey, ns in blocks.items():
+        pairs = [
+            (a, b)
+            for a in ns
+            for b in ns
+            if a < b and _lev(a, b) <= 2
+        ]
+        exp[bkey] = (len(ns), len(pairs),
+                     min((_lev(a, b) for a, b in pairs), default=None))
+    got = QUERIES["phonetic_blocking_pairs"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(exp)
+    n_pairs_total = 0
+    for _, r in got.iterrows():
+        n_names, n_pairs, min_lev = exp[r.bkey]
+        assert r.n_names == n_names
+        assert r.n_match_pairs == n_pairs
+        if n_pairs:
+            assert r.min_lev == min_lev
+        n_pairs_total += n_pairs
+    # both typo classes are actually caught by the blocking key
+    assert n_pairs_total >= 8
+
+
+def test_phonetic_join_is_block_keyed(spark):
+    from tests.test_plans import plan_of
+
+    df = QUERIES["phonetic_blocking_pairs"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan

@@ -128,7 +128,8 @@ _SESSION3_NEW = (
     "l_diversity_audit", "threshold_optimizer", "ipf_balanced_od",
     # session-11 additions (same queue discipline)
     "readability_bands", "spearman_corr", "registered_domain_rollup",
-    "phonetic_blocking_pairs",
+    "phonetic_blocking_pairs", "markov_steady_state",
+    "dsir_importance_select", "kcenter_coreset",
 )
 
 

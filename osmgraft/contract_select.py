@@ -498,3 +498,353 @@ def phonetic_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov steady state (power iteration in exact micro-integers)
+# ---------------------------------------------------------------------------
+
+_MK_ROUNDS = 12
+_MK_STATES = ("click", "error", "purchase", "signup", "view")
+
+
+def _mk_sql() -> str:
+    rounds = []
+    prev = "v0"
+    for r in range(1, _MK_ROUNDS + 1):
+        rounds.append(
+            f"""v{r} AS (
+      SELECT p.j AS state, SUM(v.v * p.p_micro) // 1000000 AS v
+      FROM p JOIN {prev} v ON p.i = v.state GROUP BY p.j)"""
+        )
+        prev = f"v{r}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH pairs AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS i,
+             event_type AS j
+      FROM events),
+    cm AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS c FROM pairs
+           WHERE i IS NOT NULL GROUP BY i, j),
+    rs AS (SELECT i, CAST(SUM(c) AS BIGINT) AS tot FROM cm GROUP BY i),
+    p AS (SELECT cm.i, cm.j, cm.c * 1000000 // rs.tot AS p_micro
+          FROM cm JOIN rs USING (i)),
+    v0 AS (SELECT i AS state, CAST(200000 AS BIGINT) AS v
+           FROM (SELECT DISTINCT i FROM p)),
+    {chain}
+    SELECT a.state,
+           CAST(a.v AS BIGINT) AS p_steady_micro,
+           ROUND(a.v * 1.0e0 / 1000000, 6) AS p_steady,
+           CAST(ABS(a.v - b.v) AS BIGINT) AS conv_delta_micro
+    FROM v{_MK_ROUNDS} a JOIN v{_MK_ROUNDS - 1} b USING (state)
+    ORDER BY a.state
+    """
+
+
+@q("markov_steady_state", oracle=_mk_sql())
+def markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — the
+    session-flow summary statistic (PageRank's aperiodic little
+    sibling): build the transition matrix from per-user consecutive
+    event pairs, then run {_MK_ROUNDS} power-iteration rounds ENTIRELY
+    in micro-unit integer arithmetic (p_ij and v_i both scaled 1e6,
+    products floor-divided back each round) so every round is exact and
+    engine-independent; the per-state |v_R - v_(R-1)| delta is the
+    convergence certificate.
+
+    Scale shape: the LAG runs user-keyed (perfectly spread); the matrix
+    is |event_types|^2 rows — the iteration is joins over a broadcast-
+    sized relation, O(rounds) tiny stages, the bounded-round discipline
+    of ``bellman_ford_distances``/``lpa_communities``. Raw events are
+    scanned exactly once.
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("i"), F.col("event_type").alias("j")
+    ).where(F.col("i").isNotNull())
+    cm = pairs.groupBy("i", "j").agg(F.count("*").cast("long").alias("c"))
+    rs = cm.groupBy("i").agg(F.sum("c").cast("long").alias("tot"))
+    p = (
+        cm.join(rs, "i")
+        .select("i", "j", F.expr("c * 1000000 div tot").alias("p_micro"))
+        .localCheckpoint()
+    )
+    v = p.select("i").distinct().select(
+        F.col("i").alias("state"), F.lit(200000).cast("long").alias("v")
+    )
+    prev = None
+    for r in range(_MK_ROUNDS):
+        prev = v
+        v = (
+            p.join(F.broadcast(v), p.i == v.state)
+            .groupBy(F.col("j").alias("state2"))
+            .agg(F.expr("sum(v * p_micro) div 1000000").alias("v"))
+            .select(F.col("state2").alias("state"), "v")
+        )
+        if r % 4 == 3:
+            v = v.localCheckpoint()
+            prev = prev.localCheckpoint()
+    b = prev.select(F.col("state").alias("state_b"), F.col("v").alias("v_b"))
+    return (
+        v.join(b, v.state == b.state_b)
+        .select(
+            "state",
+            F.col("v").cast("long").alias("p_steady_micro"),
+            F.round(F.col("v") * F.lit(1.0) / F.lit(1000000), 6).alias("p_steady"),
+            F.abs(F.col("v") - F.col("v_b")).cast("long").alias("conv_delta_micro"),
+        )
+        .orderBy("state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection (hashed-unigram importance weights)
+# ---------------------------------------------------------------------------
+
+_DSIR_P = 1000003  # portable polynomial word-hash modulus (winnowing rule)
+_DSIR_B = 64  # feature buckets
+_DSIR_K = 20  # selected documents
+_DSIR_TARGET = "en"  # target slice: the English sub-corpus
+
+_DSIR_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_reduce(list_prepend(0,
+               list_transform(string_split(w, ''), c -> unicode(c))),
+               (h, c) -> (h * 31 + c) % {_DSIR_P}) % {_DSIR_B} AS b
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_raw FROM toks GROUP BY b),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_tgt FROM toks
+            WHERE lang = '{_DSIR_TARGET}' GROUP BY b),
+    nr AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw FROM raw),
+    nt AS (SELECT CAST(SUM(c_tgt) AS BIGINT) AS n_tgt FROM tgt),
+    lr AS (
+      SELECT raw.b,
+             CAST(FLOOR((LN((COALESCE(c_tgt, 0) + 1.0e0)
+                            / (nt.n_tgt + {_DSIR_B}))
+                         - LN((c_raw + 1.0e0) / (nr.n_raw + {_DSIR_B})))
+                        * 1.0e6 + 0.5e0) AS BIGINT) AS lr_micro
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b, nr, nt),
+    dw AS (
+      SELECT t.doc_id, MIN(t.lang) AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(lr.lr_micro) AS BIGINT) AS weight_micro
+      FROM toks t JOIN lr ON t.b = lr.b GROUP BY t.doc_id)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight_micro DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, lang, n_tokens, weight_micro
+    FROM (SELECT * FROM dw ORDER BY weight_micro DESC, doc_id
+          LIMIT {_DSIR_K})
+    ORDER BY rank
+    """
+
+
+@q("dsir_importance_select", oracle=_DSIR_SQL)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection with
+    Importance Resampling"): hashed-unigram importance weights
+    log(p_target/p_raw) summed over each document's tokens, target = the
+    English slice, raw = the full corpus; emit the top-{_DSIR_K}
+    documents by weight (deterministic rank, doc_id tiebreak — the
+    deterministic-selection variant of DSIR's Gumbel resampling).
+
+    Float discipline: the {_DSIR_B} per-bucket Laplace-smoothed
+    log-ratios snap to integer MICRO-units once (built from exact
+    integer counts); per-doc weights are then pure int64 sums — exact
+    in any aggregation order on both engines.
+
+    Scale shape: token bucketing is the in-row polynomial-hash fold
+    (winnowing rule — no UDF); both LM builds are one bucket-keyed
+    partial agg each; scoring is a broadcast join ({_DSIR_B} rows) +
+    doc-keyed partial agg; the final top-k is a TakeOrdered (per-
+    partition top-{_DSIR_K}, never a global sort), and the rank window
+    runs over the {_DSIR_K}-row result only.
+    """
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"aggregate(split(w, ''), 0L,"
+                f" (h, c) -> (h * 31 + ascii(c)) % {_DSIR_P}) % {_DSIR_B}"
+            ).alias("b"),
+        )
+    )
+    raw = toks.groupBy("b").agg(F.count("*").cast("long").alias("c_raw"))
+    tgt = (
+        toks.where(F.col("lang") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("c_tgt"))
+    )
+    nr = raw.agg(F.sum("c_raw").cast("long").alias("n_raw"))
+    nt = tgt.agg(F.sum("c_tgt").cast("long").alias("n_tgt"))
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce("c_tgt", F.lit(0)) + F.lit(1.0))
+                        / (F.col("n_tgt") + F.lit(_DSIR_B))
+                    )
+                    - F.log(
+                        (F.col("c_raw") + F.lit(1.0))
+                        / (F.col("n_raw") + F.lit(_DSIR_B))
+                    )
+                )
+                * F.lit(1.0e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    dw = (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lr_micro").cast("long").alias("weight_micro"),
+        )
+    )
+    top = dw.orderBy(F.desc("weight_micro"), "doc_id").limit(_DSIR_K)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("weight_micro"), "doc_id"))
+        .cast("long")
+        .alias("rank"),
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "weight_micro",
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Gonzalez greedy k-center coreset over embeddings
+# ---------------------------------------------------------------------------
+
+_KC_K = 5  # centers (greedy rounds)
+
+_KC_D2 = (
+    "ROUND(list_reduce(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])),"
+    " (s, v) -> s + v), 6)"
+)
+
+
+def _kc_sql() -> str:
+    d2 = _KC_D2.format(a="e.v", b="c.v")
+    parts = [
+        """ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents1 AS (SELECT vec_id, v, 0.0e0 AS radius, 0 AS rnd
+               FROM ev WHERE vec_id = 0)"""
+    ]
+    for r in range(1, _KC_K):
+        parts.append(
+            f"""md{r} AS (
+      SELECT e.vec_id, e.v, MIN({d2}) AS d
+      FROM ev e, cents{r} c GROUP BY e.vec_id, e.v),
+    pick{r} AS (
+      SELECT vec_id, v, d AS radius, {r} AS rnd FROM md{r}
+      WHERE vec_id NOT IN (SELECT vec_id FROM cents{r})
+      ORDER BY d DESC, vec_id LIMIT 1),
+    cents{r + 1} AS (
+      SELECT vec_id, v, radius, rnd FROM cents{r}
+      UNION ALL SELECT vec_id, v, radius, rnd FROM pick{r})"""
+        )
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {chain},
+    assign AS (
+      SELECT e.vec_id,
+             MIN(struct_pack(d := {d2}, cid := c.vec_id)) AS nn
+      FROM ev e, cents{_KC_K} c GROUP BY e.vec_id)
+    SELECT c.rnd, c.vec_id AS center_id,
+           ROUND(c.radius, 6) AS radius_d2,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_assigned
+    FROM cents{_KC_K} c
+    LEFT JOIN assign a ON a.nn.cid = c.vec_id
+    GROUP BY c.rnd, c.vec_id, c.radius ORDER BY c.rnd
+    """
+
+
+@q("kcenter_coreset", oracle=_kc_sql())
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez greedy k-center coreset over the embeddings table — the
+    farthest-point-traversal data-selection primitive (diversity
+    sampling for training data; the classic 2-approximation to the
+    k-center objective). {_KC_K} rounds: each picks the point with the
+    MAXIMUM min-distance to the chosen set (squared L2, 6-dp snapped
+    before the argmax; vec_id tiebreak), records that distance as the
+    round's coverage-radius certificate, then the whole corpus is
+    assigned to its nearest center.
+
+    Scale shape: every round is ONE full scan against the broadcast
+    chosen-center set (<= {_KC_K} rows) with a per-partition top-1
+    (TakeOrdered — never a global sort); the driver collects exactly one
+    row per round (the codebook-training precedent, ann/search.py). The
+    final assignment is the same broadcast-scan shape. O(k·n) work
+    total, no self-join anywhere.
+    """
+    ev = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("v"),
+    )
+    d2 = (
+        "ROUND(aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (s, acc) -> s + acc), 6)"
+    )
+    first = ev.where(F.col("vec_id") == 0).select("vec_id", "v").collect()[0]
+    chosen = [(0, int(first.vec_id), list(first.v), 0.0)]
+    for r in range(1, _KC_K):
+        cents = spark.createDataFrame(
+            [(cid, cv) for _, cid, cv, _ in chosen],
+            "cid long, cv array<double>",
+        )
+        md = (
+            ev.join(F.broadcast(cents))
+            .select("vec_id", "v", F.expr(d2).alias("d"))
+            .groupBy("vec_id", "v")
+            .agg(F.min("d").alias("d"))
+        )
+        pick = (
+            md.where(~F.col("vec_id").isin([c[1] for c in chosen]))
+            .orderBy(F.desc("d"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((r, int(pick.vec_id), list(pick.v), float(pick.d)))
+    cents = spark.createDataFrame(
+        [(rnd, cid, cv, rad) for rnd, cid, cv, rad in chosen],
+        "rnd int, cid long, cv array<double>, radius double",
+    )
+    assign_counts = (
+        ev.join(F.broadcast(cents.select("cid", "cv")))
+        .select("vec_id", F.expr(d2).alias("d"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("nn"))
+        .groupBy(F.col("nn.cid").alias("acid"))
+        .agg(F.count("*").cast("long").alias("n_assigned"))
+    )
+    return (
+        cents.join(
+            F.broadcast(assign_counts), cents.cid == assign_counts.acid, "left"
+        )
+        .select(
+            "rnd",
+            F.col("cid").alias("center_id"),
+            F.round("radius", 6).alias("radius_d2"),
+            F.coalesce("n_assigned", F.lit(0)).cast("long").alias("n_assigned"),
+        )
+        .orderBy("rnd")
+    )

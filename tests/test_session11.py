@@ -234,3 +234,172 @@ def test_phonetic_join_is_block_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Markov steady state
+# ---------------------------------------------------------------------------
+
+
+def test_markov_matches_pure_python(spark):
+    """Integer power iteration == a pure-Python recompute (exact)."""
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    counts: dict[tuple[str, str], int] = {}
+    prev_user, prev_type = None, None
+    for _, r in ev.iterrows():
+        if r.user_id == prev_user:
+            counts[(prev_type, r.event_type)] = (
+                counts.get((prev_type, r.event_type), 0) + 1
+            )
+        prev_user, prev_type = r.user_id, r.event_type
+    states = sorted({i for i, _ in counts})
+    tot = {i: sum(c for (a, _), c in counts.items() if a == i) for i in states}
+    p = {
+        (i, j): counts.get((i, j), 0) * 1000000 // tot[i]
+        for i in states
+        for j in states
+        if (i, j) in counts
+    }
+    v = {s: 200000 for s in states}
+    hist = []
+    for _ in range(12):
+        nv = {}
+        for j in states:
+            acc = sum(v[i] * pm for (i, jj), pm in p.items() if jj == j and i in v)
+            nv[j] = acc // 1000000
+        hist.append(v)
+        v = nv
+    got = QUERIES["markov_steady_state"](spark, SF_CORRECT).toPandas()
+    for _, r in got.iterrows():
+        assert r.p_steady_micro == v[r.state], (r.state, r.p_steady_micro, v[r.state])
+        assert r.conv_delta_micro == abs(v[r.state] - hist[-1][r.state])
+    # mass is conserved up to floor loss, and iteration has converged
+    assert 1000000 - 60 <= got.p_steady_micro.sum() <= 1000000
+    assert got.conv_delta_micro.max() <= 5
+
+
+def test_markov_lag_window_is_user_keyed(spark):
+    from tests.test_plans import plan_of
+
+    df = QUERIES["markov_steady_state"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "user_id" in line, line
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_matches_pure_python(spark):
+    import math as m
+
+    from osmgraft.contract_select import _DSIR_B, _DSIR_K, _DSIR_P, _DSIR_TARGET
+
+    docs = _docs(spark)
+
+    def bucket(w: str) -> int:
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % _DSIR_P
+        return h % _DSIR_B
+
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    per_doc: dict[int, dict[int, int]] = {}
+    lang_of: dict[int, str] = {}
+    for _, r in docs.iterrows():
+        bs = [bucket(w) for w in r.text.split(" ")]
+        lang_of[int(r.doc_id)] = r.lang
+        d = per_doc.setdefault(int(r.doc_id), {})
+        for b in bs:
+            raw[b] = raw.get(b, 0) + 1
+            d[b] = d.get(b, 0) + 1
+            if r.lang == _DSIR_TARGET:
+                tgt[b] = tgt.get(b, 0) + 1
+    n_raw, n_tgt = sum(raw.values()), sum(tgt.values())
+    lr = {
+        b: m.floor(
+            (
+                m.log((tgt.get(b, 0) + 1.0) / (n_tgt + _DSIR_B))
+                - m.log((raw[b] + 1.0) / (n_raw + _DSIR_B))
+            )
+            * 1.0e6
+            + 0.5
+        )
+        for b in raw
+    }
+    weights = {
+        did: sum(c * lr[b] for b, c in bs.items()) for did, bs in per_doc.items()
+    }
+    exp = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))[:_DSIR_K]
+    got = QUERIES["dsir_importance_select"](spark, SF_CORRECT).toPandas()
+    assert list(got["rank"]) == list(range(1, _DSIR_K + 1))
+    for (did, wt), (_, r) in zip(exp, got.iterrows()):
+        assert r.doc_id == did and r.weight_micro == wt
+        assert r.lang == lang_of[did]
+
+
+def test_dsir_topk_is_take_ordered(spark):
+    """The selection is a per-partition top-k, never a global sort of
+    the scored corpus."""
+    from tests.test_plans import plan_of
+
+    df = QUERIES["dsir_importance_select"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_matches_numpy_greedy(spark):
+    import numpy as np
+
+    emb = (
+        spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = emb.vec_id.to_numpy()
+    X = np.array(emb.v.tolist())
+    chosen = [0]
+    radii = [0.0]
+    mind = None
+    for _ in range(4):
+        c = X[ids == chosen[-1]][0]
+        d = np.round(((X - c) ** 2).sum(axis=1), 6)
+        mind = d if mind is None else np.minimum(mind, d)
+        mask = ~np.isin(ids, chosen)
+        best = max(zip(mind[mask], -ids[mask]), key=lambda t: (t[0], t[1]))
+        chosen.append(int(-best[1]))
+        radii.append(float(best[0]))
+    got = QUERIES["kcenter_coreset"](spark, SF_CORRECT).toPandas()
+    assert list(got.center_id) == chosen
+    for a, b in zip(got.radius_d2, radii):
+        assert abs(a - b) < 1e-9
+    # greedy coverage radius is non-increasing after the seed round
+    r = list(got.radius_d2)[1:]
+    assert all(x >= y for x, y in zip(r, r[1:]))
+    assert got.n_assigned.sum() == len(emb)
+
+
+def test_kcenter_no_self_join(spark):
+    from tests.test_plans import plan_of
+
+    df = QUERIES["kcenter_coreset"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # everything joins via broadcast

@@ -129,7 +129,8 @@ _SESSION3_NEW = (
     # session-11 additions (same queue discipline)
     "readability_bands", "spearman_corr", "registered_domain_rollup",
     "phonetic_blocking_pairs", "markov_steady_state",
-    "dsir_importance_select", "kcenter_coreset",
+    "dsir_importance_select", "kcenter_coreset", "t_closeness_audit",
+    "brier_decomposition", "hard_sigmoid_logreg", "octagon_hull_area",
 )
 
 

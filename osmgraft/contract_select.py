@@ -848,3 +848,484 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnd")
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (EMD between class and global sensitive distribution)
+# ---------------------------------------------------------------------------
+
+_TC_T_MICRO = 25000  # t = 0.025 closeness threshold, micro units
+
+_TCLOSE_SQL = f"""
+    WITH qi AS (SELECT event_type,
+                       (CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                             AS INTEGER) + 4) % 7 AS dow,
+                       CAST(FLOOR(value / 500.0e0) AS BIGINT) AS value_band,
+                       CAST(json_extract(props, '$.k') AS INTEGER) // 10
+                         AS sens
+                FROM events),
+    bins AS (SELECT sens, CAST(COUNT(*) AS BIGINT) AS c FROM qi GROUP BY sens),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS nb FROM bins),
+    grp AS (SELECT event_type, dow, value_band,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM qi GROUP BY event_type, dow, value_band),
+    gb AS (SELECT event_type, dow, value_band, sens,
+                  CAST(COUNT(*) AS BIGINT) AS g
+           FROM qi GROUP BY event_type, dow, value_band, sens),
+    full_gb AS (
+      SELECT grp.event_type, grp.dow, grp.value_band, grp.m,
+             bins.sens, bins.c, COALESCE(gb.g, 0) AS g
+      FROM grp CROSS JOIN bins
+      LEFT JOIN gb ON gb.event_type = grp.event_type
+                  AND gb.dow = grp.dow AND gb.value_band = grp.value_band
+                  AND gb.sens = bins.sens),
+    cum AS (
+      SELECT event_type, dow, value_band, m, sens,
+             SUM(CAST(c AS HUGEINT) * m - CAST(g AS HUGEINT) * n)
+               OVER (PARTITION BY event_type, dow, value_band
+                     ORDER BY sens) AS cd,
+             n, nb
+      FROM full_gb, tot),
+    emd AS (
+      SELECT event_type, dow, value_band, MIN(m) AS m,
+             CAST(FLOOR(SUM(CASE WHEN sens < 90 THEN ABS(cd) ELSE 0 END)
+                        * 1.0e6
+                        / (MIN(n) * 1.0e0 * MIN(m) * (MIN(nb) - 1)) + 0.5e0)
+                  AS BIGINT) AS emd_micro
+      FROM cum GROUP BY event_type, dow, value_band)
+    SELECT emd_micro // 5000 AS t_band,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(m) AS BIGINT) AS n_rows,
+           CAST(MAX(emd_micro) AS BIGINT) AS max_emd_micro,
+           CAST(SUM(CASE WHEN emd_micro > {_TC_T_MICRO} THEN m ELSE 0 END)
+                AS BIGINT) AS n_risky_rows
+    FROM emd GROUP BY t_band ORDER BY t_band
+    """
+
+
+@q("t_closeness_audit", oracle=_TCLOSE_SQL)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — completes the privacy triad
+    with ``k_anonymity_audit`` / ``l_diversity_audit`` (same QI tuple,
+    same ordered sensitive attribute): per equivalence class, the Earth
+    Mover's Distance between the class's sensitive-value distribution
+    and the global one, over ordered bins: EMD = sum(|cumsum(P - Q)|) /
+    (B - 1). Histogram over 0.005-wide t bands plus rows in classes that
+    breach t = 0.025 (the fixture's sensitive attribute is near-uniform, so realistic distances are small; production tunes t).
+
+    Exactness: the cum differences are exact wide integers
+    (c_i*M - g_i*N, DECIMAL(38,0) == HUGEINT — the winsorized rule:
+    bin-count x class-size products overflow int64 beyond ~3e9 rows);
+    EMD snaps to micro once per class from one exact-int expression.
+
+    Scale shape: two partial-agg shuffles over the raw relation (per-bin
+    and per-(class, bin)); the class x bin completion is a CROSS JOIN
+    against the B-row (broadcast) bin relation; the cumsum window
+    partitions by class over <= B rows each. Nothing scans per-row
+    twice, nothing is quadratic.
+    """
+    ev = t(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.expr(
+            "(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) + 4) % 7"
+        ).alias("dow"),
+        F.floor(F.col("value") / F.lit(500.0)).cast("long").alias("value_band"),
+        F.expr(
+            "CAST(get_json_object(props, '$.k') AS INTEGER) div 10"
+        ).alias("sens"),
+    )
+    bins = qi.groupBy("sens").agg(F.count("*").cast("long").alias("c"))
+    tot = bins.agg(
+        F.sum("c").cast("long").alias("n"), F.count("*").cast("long").alias("nb")
+    )
+    grp = qi.groupBy("event_type", "dow", "value_band").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    gb = qi.groupBy("event_type", "dow", "value_band", "sens").agg(
+        F.count("*").cast("long").alias("g")
+    )
+    full_gb = (
+        grp.crossJoin(F.broadcast(bins))
+        .join(gb, ["event_type", "dow", "value_band", "sens"], "left")
+        .select(
+            "event_type", "dow", "value_band", "m", "sens", "c",
+            F.coalesce("g", F.lit(0)).alias("g"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    dec = "decimal(38,0)"
+    w = Window.partitionBy("event_type", "dow", "value_band").orderBy("sens")
+    cum = full_gb.select(
+        "event_type", "dow", "value_band", "m", "sens", "n", "nb",
+        F.sum(
+            F.col("c").cast(dec) * F.col("m") - F.col("g").cast(dec) * F.col("n")
+        )
+        .over(w)
+        .alias("cd"),
+    )
+    emd = cum.groupBy("event_type", "dow", "value_band").agg(
+        F.min("m").alias("m"),
+        F.floor(
+            F.sum(F.when(F.col("sens") < 90, F.abs("cd")).otherwise(F.lit(0)))
+            * F.lit(1.0e6)
+            / (
+                F.min("n") * F.lit(1.0) * F.min("m") * (F.min("nb") - 1)
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("emd_micro"),
+    )
+    return (
+        emd.groupBy(F.expr("emd_micro div 5000").alias("t_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum("m").cast("long").alias("n_rows"),
+            F.max("emd_micro").cast("long").alias("max_emd_micro"),
+            F.sum(
+                F.when(F.col("emd_micro") > _TC_T_MICRO, F.col("m")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_risky_rows"),
+        )
+        .orderBy("t_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brier score + Murphy decomposition
+# ---------------------------------------------------------------------------
+
+_BR_BINS = 20
+_BR_HITS = "((length(text) - length(replace(text, 'spark', ''))) // 5)"
+_BR_SCORE = f"(({_BR_HITS} * 1000000) // n_chars)"
+_BR_REL_MIN = 4
+
+_BRIER_SQL = f"""
+    WITH scored AS (
+      SELECT {_BR_SCORE} AS score,
+             CASE WHEN {_BR_HITS} >= {_BR_REL_MIN} THEN 1 ELSE 0 END AS y
+      FROM documents),
+    mx AS (SELECT MAX(score) AS mxs FROM scored),
+    p AS (SELECT (score * 1000000) // (mxs + 1) AS p_micro, y
+          FROM scored, mx),
+    b AS (SELECT LEAST(p_micro // {1000000 // _BR_BINS}, {_BR_BINS - 1})
+                   AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS nk,
+                 CAST(SUM(p_micro) AS BIGINT) AS sp,
+                 CAST(SUM(y) AS BIGINT) AS ok,
+                 SUM(CAST(p_micro - y * 1000000 AS HUGEINT)
+                     * (p_micro - y * 1000000)) AS se
+          FROM p GROUP BY bin),
+    tt AS (SELECT CAST(SUM(nk) AS BIGINT) AS n,
+                  CAST(SUM(ok) AS BIGINT) AS o,
+                  SUM(se) AS se_tot FROM b),
+    terms AS (
+      SELECT b.bin, b.nk, b.sp, b.ok, tt.n, tt.o, tt.se_tot,
+             CAST(FLOOR((b.sp - b.ok * 1000000.0e0)
+                        * (b.sp - b.ok * 1000000.0e0) / b.nk) AS BIGINT)
+               AS rel_term,
+             CAST(FLOOR((b.ok * 1.0e0 * tt.n - tt.o * 1.0e0 * b.nk)
+                        * (b.ok * 1.0e0 * tt.n - tt.o * 1.0e0 * b.nk)
+                        * 1.0e12 / (b.nk * 1.0e0 * tt.n * tt.n)) AS BIGINT)
+               AS res_term
+      FROM b, tt)
+    SELECT CAST(MIN(n) AS BIGINT) AS n,
+           ROUND(MIN(se_tot) * 1.0e0 / MIN(n) / 1.0e12, 6) AS brier,
+           ROUND(SUM(rel_term) * 1.0e0 / MIN(n) / 1.0e12, 6) AS reliability,
+           ROUND(SUM(res_term) * 1.0e0 / MIN(n) / 1.0e12, 6) AS resolution,
+           ROUND((MIN(o) * 1.0e0 / MIN(n))
+                 * (1.0e0 - MIN(o) * 1.0e0 / MIN(n)), 6) AS uncertainty
+    FROM terms
+    """
+
+
+@q("brier_decomposition", oracle=_BRIER_SQL)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition (reliability −
+    resolution + uncertainty) over {_BR_BINS} forecast bins — the
+    calibration-vs-sharpness diagnostic that sits beside
+    ``calibration_bins`` (which bins) and ``isotonic_calibration``
+    (which recalibrates): REL says how far bin means sit from bin
+    outcome rates, RES how much the bins separate the base rate.
+
+    Float discipline: predictions snap to micro-units from exact
+    integer arithmetic; the Brier sum of squares is an exact wide
+    integer (HUGEINT == DECIMAL(38,0)); the per-bin REL/RES terms are
+    each ONE double expression over exact ints, floor-snapped to an
+    integer micro^2 scale BEFORE the cross-bin sum, so aggregation
+    order cannot move the emitted 6 dp.
+
+    Scale shape: one scan -> one {_BR_BINS}-way partial agg; the
+    decomposition runs on the {_BR_BINS}-row relation. The scalar max
+    arrives via a broadcast (the HITS scalar-build precedent).
+    """
+    dec = "decimal(38,0)"
+    scored = t(spark, sf_dir, "documents").select(
+        F.expr(_BR_SCORE.replace("//", " div ")).alias("score"),
+        F.expr(
+            f"CASE WHEN {_BR_HITS.replace('//', ' div ')} >= {_BR_REL_MIN}"
+            " THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    mx = scored.agg(F.max("score").alias("mxs"))
+    p = scored.crossJoin(F.broadcast(mx)).select(
+        F.expr("(score * 1000000) div (mxs + 1)").alias("p_micro"), "y"
+    )
+    b = p.groupBy(
+        F.least(
+            F.expr(f"p_micro div {1000000 // _BR_BINS}"),
+            F.lit(_BR_BINS - 1).cast("long"),
+        ).alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("nk"),
+        F.sum("p_micro").cast("long").alias("sp"),
+        F.sum("y").cast("long").alias("ok"),
+        F.sum(
+            (F.col("p_micro") - F.col("y") * 1000000).cast(dec)
+            * (F.col("p_micro") - F.col("y") * 1000000)
+        ).alias("se"),
+    )
+    tt = b.agg(
+        F.sum("nk").cast("long").alias("n"),
+        F.sum("ok").cast("long").alias("o"),
+        F.sum("se").alias("se_tot"),
+    )
+    terms = b.crossJoin(F.broadcast(tt)).select(
+        "nk", "sp", "ok", "n", "o", "se_tot",
+        F.expr(
+            "CAST(FLOOR((sp - ok * 1000000.0e0) * (sp - ok * 1000000.0e0)"
+            " / nk) AS BIGINT)"
+        ).alias("rel_term"),
+        F.expr(
+            "CAST(FLOOR((ok * 1.0e0 * n - o * 1.0e0 * nk)"
+            " * (ok * 1.0e0 * n - o * 1.0e0 * nk)"
+            " * 1.0e12 / (nk * 1.0e0 * n * n)) AS BIGINT)"
+        ).alias("res_term"),
+    )
+    return terms.agg(
+        F.min("n").cast("long").alias("n"),
+        F.round(F.min("se_tot") * F.lit(1.0) / F.min("n") / F.lit(1.0e12), 6)
+        .alias("brier"),
+        F.round(F.sum("rel_term") * F.lit(1.0) / F.min("n") / F.lit(1.0e12), 6)
+        .alias("reliability"),
+        F.round(F.sum("res_term") * F.lit(1.0) / F.min("n") / F.lit(1.0e12), 6)
+        .alias("resolution"),
+        F.round(
+            (F.min("o") * F.lit(1.0) / F.min("n"))
+            * (F.lit(1.0) - F.min("o") * F.lit(1.0) / F.min("n")),
+            6,
+        ).alias("uncertainty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hard-sigmoid logistic regression (bounded gradient-descent rounds)
+# ---------------------------------------------------------------------------
+
+_HS_ROUNDS = 8
+_HS_LR_SHIFT = 1  # eta = 1 / 2^1 (per-mean gradient step)
+
+
+def _hs_sql() -> str:
+    feat = f"""feat AS (
+      SELECT n_chars // 64 AS x1, {_BR_HITS} AS x2,
+             CASE WHEN {_BR_HITS} >= {_BR_REL_MIN} THEN 1 ELSE 0 END AS y
+      FROM documents),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat),
+    w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+                  CAST(0 AS BIGINT) AS b)"""
+    rounds = []
+    prev = "w0"
+    for r in range(1, _HS_ROUNDS + 1):
+        rounds.append(
+            f"""g{r} AS (
+      SELECT SUM(e * x1) AS g1, SUM(e * x2) AS g2, SUM(e) AS g0
+      FROM (SELECT x1, x2,
+                   LEAST(1000000, GREATEST(0,
+                     500000 + (w.w1 * x1 + w.w2 * x2 + w.b) // 4))
+                   - y * 1000000 AS e
+            FROM feat, {prev} w)),
+    w{r} AS (
+      SELECT w.w1 - g.g1 // (nn.n * {1 << _HS_LR_SHIFT}) AS w1,
+             w.w2 - g.g2 // (nn.n * {1 << _HS_LR_SHIFT}) AS w2,
+             w.b - g.g0 // (nn.n * {1 << _HS_LR_SHIFT}) AS b
+      FROM {prev} w, g{r} g, nn)"""
+        )
+        prev = f"w{r}"
+    chain = ",\n    ".join([feat] + rounds)
+    return f"""
+    WITH {chain},
+    fit AS (
+      SELECT x1, x2, y,
+             LEAST(1000000, GREATEST(0,
+               500000 + (w.w1 * x1 + w.w2 * x2 + w.b) // 4)) AS p
+      FROM feat, {prev} w)
+    SELECT CAST(MIN(w.w1) AS BIGINT) AS w1_micro,
+           CAST(MIN(w.w2) AS BIGINT) AS w2_micro,
+           CAST(MIN(w.b) AS BIGINT) AS b_micro,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN (p >= 500000) = (y = 1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(SUM(ABS(p - y * 1000000)) * 1.0e0 / COUNT(*) / 1.0e6, 6)
+             AS mean_abs_err
+    FROM fit, {prev} w
+    """
+
+
+@q("hard_sigmoid_logreg", oracle=_hs_sql())
+def hard_sigmoid_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-style binary classifier trained with {_HS_ROUNDS}
+    gradient-descent rounds under a HARD sigmoid (clamp(0.5 + z/4,
+    0, 1) — the quantized-ML piecewise-linear gate), predicting the
+    keyword-relevance label from document length and hit count. The
+    hard gate keeps EVERY quantity exact integer micro-units: libm exp
+    never enters, so weights, gradients and the final fit are
+    bit-reproducible on both engines (the one transcendental-free
+    member of the trained-model family: IVF k-means, isotonic, OLS).
+
+    Scale shape: each round is ONE full-scan partial agg producing a
+    3-number gradient (map-side combine; the per-round result is
+    driver-bounded — the IVF codebook-training precedent); updates are
+    O(1). {_HS_ROUNDS} rounds = {_HS_ROUNDS} scans, the bounded-round
+    discipline of ``bellman_ford_distances``.
+    """
+    feat = t(spark, sf_dir, "documents").select(
+        F.expr("n_chars div 64").alias("x1"),
+        F.expr(_BR_HITS.replace("//", " div ")).alias("x2"),
+        F.expr(
+            f"CASE WHEN {_BR_HITS.replace('//', ' div ')} >= {_BR_REL_MIN}"
+            " THEN 1 ELSE 0 END"
+        ).alias("y"),
+    ).localCheckpoint()
+    n = feat.count()
+    w1 = w2 = b = 0
+    denom = n * (1 << _HS_LR_SHIFT)
+    for _ in range(_HS_ROUNDS):
+        e = F.expr(
+            f"LEAST(1000000, GREATEST(0,"
+            f" 500000 + ({w1} * x1 + {w2} * x2 + {b}) div 4))"
+            " - y * 1000000"
+        )
+        g = feat.select(e.alias("e"), "x1", "x2").agg(
+            F.sum(F.col("e") * F.col("x1")).alias("g1"),
+            F.sum(F.col("e") * F.col("x2")).alias("g2"),
+            F.sum("e").alias("g0"),
+        ).collect()[0]
+        w1 -= int(g.g1) // denom if g.g1 >= 0 else -((-int(g.g1)) // denom)
+        w2 -= int(g.g2) // denom if g.g2 >= 0 else -((-int(g.g2)) // denom)
+        b -= int(g.g0) // denom if g.g0 >= 0 else -((-int(g.g0)) // denom)
+    fit = feat.select(
+        "y",
+        F.expr(
+            f"LEAST(1000000, GREATEST(0,"
+            f" 500000 + ({w1} * x1 + {w2} * x2 + {b}) div 4))"
+        ).alias("p"),
+    )
+    return fit.agg(
+        F.lit(w1).cast("long").alias("w1_micro"),
+        F.lit(w2).cast("long").alias("w2_micro"),
+        F.lit(b).cast("long").alias("b_micro"),
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("p") >= 500000) == (F.col("y") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.sum(F.abs(F.col("p") - F.col("y") * 1000000))
+            * F.lit(1.0)
+            / F.count("*")
+            / F.lit(1.0e6),
+            6,
+        ).alias("mean_abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# directional-extreme (octagon) hull area per cell
+# ---------------------------------------------------------------------------
+
+# the 8 support directions in counter-clockwise order; extremes in these
+# directions are in convex position, so the shoelace over this order is a
+# genuine (inner-approximation) convex polygon area
+_OCT_DIRS = (
+    ("xm", "E"), ("xm + ym", "NE"), ("ym", "N"), ("ym - xm", "NW"),
+    ("-xm", "W"), ("-xm - ym", "SW"), ("-ym", "S"), ("xm - ym", "SE"),
+)
+
+
+def _oct_sql() -> str:
+    from osmgraft.contract import CELL_W, X_EXPR, Y_EXPR
+
+    aggs = ",\n             ".join(
+        f"max(struct_pack(f := {f}, a := xm, b := ym)) AS c{i}"
+        for i, (f, _) in enumerate(_OCT_DIRS)
+    )
+    shoelace = " + ".join(
+        f"(c{i}.a * c{(i + 1) % 8}.b - c{(i + 1) % 8}.a * c{i}.b)"
+        for i in range(8)
+    )
+    return f"""
+    WITH pts AS (
+      SELECT CAST(FLOOR(({X_EXPR}) / {CELL_W}e0) AS BIGINT) AS cx,
+             CAST(FLOOR(({Y_EXPR}) / {CELL_W}e0) AS BIGINT) AS cy,
+             CAST(FLOOR(({X_EXPR}) * 100.0e0 + 0.5e0) AS BIGINT) AS xm,
+             CAST(FLOOR(({Y_EXPR}) * 100.0e0 + 0.5e0) AS BIGINT) AS ym
+      FROM events),
+    ext AS (
+      SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_points,
+             {aggs}
+      FROM pts GROUP BY cx, cy)
+    SELECT cx, cy, n_points,
+           ROUND(({shoelace}) * 1.0e0 / 20000.0e0, 4) AS hull_area
+    FROM ext ORDER BY cx, cy
+    """
+
+
+@q("octagon_hull_area", oracle=_oct_sql())
+def octagon_hull_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell convex-footprint area via the directional-extreme
+    octagon: the 8 support points (E, NE, N, NW, W, SW, S, SE extremes,
+    deterministic (x, y) struct tiebreak) form a convex polygon whose
+    shoelace area is the standard inner approximation of the convex
+    hull — the bounded-size distributed stand-in for an exact hull
+    (extreme-point aggregation commutes with partitioning; a full
+    monotone-chain hull does not without a per-group sort).
+
+    Exactness: coordinates snap to centi-unit integers; the 8 argmax
+    structs and the 16-term shoelace are pure int64 arithmetic, so the
+    area is exact before the final unit-conversion ROUND.
+
+    Scale shape: ONE partial-agg shuffle keyed by cell — the 8
+    directional max(struct) aggregates all combine map-side, so each
+    cell reduces to 8 points regardless of density (the same shape as
+    ``cell_assign_counts``; no collect_list, no per-group sort, no
+    memory proportional to cell population).
+    """
+    from osmgraft.contract import CELL_W, X_EXPR, Y_EXPR
+
+    pts = t(spark, sf_dir, "events").select(
+        F.expr(f"CAST(FLOOR(({X_EXPR}) / {CELL_W}e0) AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(FLOOR(({Y_EXPR}) / {CELL_W}e0) AS BIGINT)").alias("cy"),
+        F.expr(f"CAST(FLOOR(({X_EXPR}) * 100.0e0 + 0.5e0) AS BIGINT)").alias("xm"),
+        F.expr(f"CAST(FLOOR(({Y_EXPR}) * 100.0e0 + 0.5e0) AS BIGINT)").alias("ym"),
+    )
+    aggs = [
+        F.max(F.struct(F.expr(f).alias("f"), F.col("xm").alias("a"),
+                       F.col("ym").alias("b"))).alias(f"c{i}")
+        for i, (f, _) in enumerate(_OCT_DIRS)
+    ]
+    ext = pts.groupBy("cx", "cy").agg(
+        F.count("*").cast("long").alias("n_points"), *aggs
+    )
+    shoelace = " + ".join(
+        f"(c{i}.a * c{(i + 1) % 8}.b - c{(i + 1) % 8}.a * c{i}.b)"
+        for i in range(8)
+    )
+    return ext.select(
+        "cx", "cy", "n_points",
+        F.expr(f"ROUND(({shoelace}) * 1.0e0 / 20000.0e0, 4)").alias("hull_area"),
+    ).orderBy("cx", "cy")

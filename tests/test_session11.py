@@ -403,3 +403,190 @@ def test_kcenter_no_self_join(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # everything joins via broadcast
+
+
+# ---------------------------------------------------------------------------
+# t-closeness
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_matches_pure_python(spark):
+    import json
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) + 4) % 7"
+            " AS dow",
+            "CAST(FLOOR(value / 500.0e0) AS BIGINT) AS value_band",
+            "props",
+        )
+        .toPandas()
+    )
+    ev["sens"] = ev.props.apply(lambda s: int(json.loads(s)["k"]) // 10)
+    bins = sorted(ev.sens.unique())
+    gl = ev.sens.value_counts().to_dict()
+    n, nb = len(ev), len(bins)
+    bands: dict[int, list] = {}
+    for _, g in ev.groupby(["event_type", "dow", "value_band"]):
+        m = len(g)
+        gc = g.sens.value_counts().to_dict()
+        cum, acc = 0, 0
+        for i, s in enumerate(bins):
+            cum += gl.get(s, 0) * m - gc.get(s, 0) * n
+            if i < nb - 1:
+                acc += abs(cum)
+        emd_micro = math.floor(acc * 1.0e6 / (n * m * (nb - 1)) + 0.5)
+        bands.setdefault(emd_micro // 5000, []).append((m, emd_micro))
+    got = QUERIES["t_closeness_audit"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(bands)
+    for _, r in got.iterrows():
+        rows = bands[int(r.t_band)]
+        assert r.n_classes == len(rows)
+        assert r.n_rows == sum(m for m, _ in rows)
+        assert r.max_emd_micro == max(e for _, e in rows)
+        assert r.n_risky_rows == sum(m for m, e in rows if e > 25000)
+
+
+# ---------------------------------------------------------------------------
+# Brier decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_brier_decomposition_identity_and_recompute(spark):
+    docs = _docs(spark)
+    hits = docs.text.apply(lambda t: (len(t) - len(t.replace("spark", ""))) // 5)
+    score = (hits * 1000000) // docs.n_chars
+    y = (hits >= 4).astype(int)
+    mxs = int(score.max())
+    p = (score * 1000000) // (mxs + 1)
+    bins = (p // 50000).clip(upper=19)
+    n = len(docs)
+    brier = float(((p - y * 1000000) ** 2).sum()) / n / 1e12
+    rel = res = 0
+    o = int(y.sum())
+    for k in sorted(bins.unique()):
+        mask = bins == k
+        nk, sp, ok = int(mask.sum()), int(p[mask].sum()), int(y[mask].sum())
+        rel += math.floor((sp - ok * 1e6) ** 2 / nk)
+        res += math.floor((ok * 1.0 * n - o * 1.0 * nk) ** 2 * 1e12 / (nk * 1.0 * n * n))
+    got = QUERIES["brier_decomposition"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n == n
+    assert abs(got.brier - round(brier, 6)) < 1e-9
+    assert abs(got.reliability - rel / n / 1e12) < 1e-6
+    assert abs(got.resolution - res / n / 1e12) < 1e-6
+    unc = (o / n) * (1 - o / n)
+    assert abs(got.uncertainty - unc) < 1e-6
+    # Murphy identity holds up to within-bin prediction variance
+    assert abs(got.brier - (got.reliability - got.resolution + got.uncertainty)) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# hard-sigmoid logistic regression
+# ---------------------------------------------------------------------------
+
+
+def test_hard_sigmoid_logreg_matches_pure_python(spark):
+    docs = _docs(spark)
+    hits = docs.text.apply(lambda t: (len(t) - len(t.replace("spark", ""))) // 5)
+    x1 = (docs.n_chars // 64).astype(int)
+    x2 = hits.astype(int)
+    y = (hits >= 4).astype(int)
+    n = len(docs)
+
+    def tdiv(a: int, b: int) -> int:  # truncation toward zero, both engines
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    w1 = w2 = b = 0
+    for _ in range(8):
+        z = w1 * x1 + w2 * x2 + b
+        p = (500000 + z.apply(lambda v: tdiv(v, 4))).clip(0, 1000000)
+        e = p - y * 1000000
+        g1, g2, g0 = int((e * x1).sum()), int((e * x2).sum()), int(e.sum())
+        w1 -= tdiv(g1, n * 2)
+        w2 -= tdiv(g2, n * 2)
+        b -= tdiv(g0, n * 2)
+    z = w1 * x1 + w2 * x2 + b
+    p = (500000 + z.apply(lambda v: tdiv(v, 4))).clip(0, 1000000)
+    n_correct = int(((p >= 500000) == (y == 1)).sum())
+    got = QUERIES["hard_sigmoid_logreg"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert (got.w1_micro, got.w2_micro, got.b_micro) == (w1, w2, b)
+    assert got.n_correct == n_correct
+    # the trained gate beats the majority-class baseline
+    assert got.n_correct / got.n > max(y.mean(), 1 - y.mean())
+
+
+# ---------------------------------------------------------------------------
+# octagon hull
+# ---------------------------------------------------------------------------
+
+
+def test_octagon_hull_is_inner_approximation_of_exact_hull(spark):
+    """Octagon area == a numpy recompute AND is sandwiched between 0 and
+    the exact monotone-chain convex-hull area for every cell."""
+    import numpy as np
+
+    from osmgraft.contract import CELL_W, X_EXPR, Y_EXPR
+
+    pts = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            f"CAST(FLOOR(({X_EXPR}) / {CELL_W}e0) AS BIGINT) AS cx",
+            f"CAST(FLOOR(({Y_EXPR}) / {CELL_W}e0) AS BIGINT) AS cy",
+            f"CAST(FLOOR(({X_EXPR}) * 100.0e0 + 0.5e0) AS BIGINT) AS xm",
+            f"CAST(FLOOR(({Y_EXPR}) * 100.0e0 + 0.5e0) AS BIGINT) AS ym",
+        )
+        .toPandas()
+    )
+
+    def hull_area2(ps):  # exact shoelace*2 of the monotone-chain hull
+        ps = sorted(set(map(tuple, ps)))
+        if len(ps) < 3:
+            return 0
+
+        def half(ps):
+            h = []
+            for pt in ps:
+                while len(h) >= 2 and (
+                    (h[-1][0] - h[-2][0]) * (pt[1] - h[-2][1])
+                    - (h[-1][1] - h[-2][1]) * (pt[0] - h[-2][0])
+                ) <= 0:
+                    h.pop()
+                h.append(pt)
+            return h
+
+        lo, up = half(ps), half(ps[::-1])
+        hull = lo[:-1] + up[:-1]
+        return abs(
+            sum(
+                hull[i][0] * hull[(i + 1) % len(hull)][1]
+                - hull[(i + 1) % len(hull)][0] * hull[i][1]
+                for i in range(len(hull))
+            )
+        )
+
+    got = QUERIES["octagon_hull_area"](spark, SF_CORRECT).toPandas()
+    got = got.set_index(["cx", "cy"])
+    checked = 0
+    for (cx, cy), g in pts.groupby(["cx", "cy"]):
+        ps = list(zip(g.xm, g.ym))
+        # numpy recompute of the octagon itself
+        xs, ys = np.array(g.xm), np.array(g.ym)
+        dirs = [xs, xs + ys, ys, ys - xs, -xs, -xs - ys, -ys, xs - ys]
+        verts = []
+        for f in dirs:
+            order = np.lexsort((ys, xs, f))
+            verts.append((int(xs[order[-1]]), int(ys[order[-1]])))
+        area2 = sum(
+            verts[i][0] * verts[(i + 1) % 8][1]
+            - verts[(i + 1) % 8][0] * verts[i][1]
+            for i in range(8)
+        )
+        r = got.loc[(cx, cy)]
+        assert abs(r.hull_area - math.floor(area2 / 20000.0 * 1e4 + 0.5) / 1e4) < 1e-9
+        assert 0 <= area2 <= hull_area2(ps)
+        checked += 1
+        if checked >= 200:
+            break

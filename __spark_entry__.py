@@ -131,6 +131,7 @@ _SESSION3_NEW = (
     "phonetic_blocking_pairs", "markov_steady_state",
     "dsir_importance_select", "kcenter_coreset", "t_closeness_audit",
     "brier_decomposition", "hard_sigmoid_logreg", "octagon_hull_area",
+    "fellegi_sunter_weights", "twap_user_values", "js_divergence_sources",
 )
 
 

@@ -1329,3 +1329,376 @@ def octagon_hull_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cx", "cy", "n_points",
         F.expr(f"ROUND(({shoelace}) * 1.0e0 / 20000.0e0, 4)").alias("hull_area"),
     ).orderBy("cx", "cy")
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage weights over blocked candidate pairs
+# ---------------------------------------------------------------------------
+
+_FS_PAIRS_SQL = f"""
+    named AS ({_PB_NAME_SQL}),
+    based AS (
+      SELECT name, MIN(id) AS rep_id,
+             MIN(id % 8) AS f_idx, MIN((id // 8) % 8) AS l_idx,
+             upper(substr(name, 1, 1))
+             || substr(regexp_replace(substr(name, 2), '[aeiou ]', '', 'g'),
+                       1, 4) AS bkey
+      FROM named GROUP BY name),
+    cand AS (
+      SELECT a.name AS name_a, b.name AS name_b,
+             CASE WHEN string_split(a.name, ' ')[1]
+                       = string_split(b.name, ' ')[1]
+                  THEN 1 ELSE 0 END AS a_first,
+             CASE WHEN string_split(a.name, ' ')[2]
+                       = string_split(b.name, ' ')[2]
+                  THEN 1 ELSE 0 END AS a_last,
+             CASE WHEN length(a.name) = length(b.name)
+                  THEN 1 ELSE 0 END AS a_len,
+             CASE WHEN a.f_idx = b.f_idx AND a.l_idx = b.l_idx
+                  THEN 1 ELSE 0 END AS is_match
+      FROM based a JOIN based b
+        ON a.bkey = b.bkey AND a.name < b.name)"""
+
+_FS_MU = """
+    mu AS (
+      SELECT CAST(SUM(is_match) + 1 AS BIGINT) AS nm,
+             CAST(SUM(1 - is_match) + 1 AS BIGINT) AS nu,
+             CAST(SUM(a_first * is_match) + 1 AS BIGINT) AS m1,
+             CAST(SUM(a_first * (1 - is_match)) + 1 AS BIGINT) AS u1,
+             CAST(SUM(a_last * is_match) + 1 AS BIGINT) AS m2,
+             CAST(SUM(a_last * (1 - is_match)) + 1 AS BIGINT) AS u2,
+             CAST(SUM(a_len * is_match) + 1 AS BIGINT) AS m3,
+             CAST(SUM(a_len * (1 - is_match)) + 1 AS BIGINT) AS u3
+      FROM cand)"""
+
+
+def _fs_w(i: int) -> str:
+    # micro-snapped per-field agreement / disagreement log-ratios; the
+    # +1/+2 Laplace smoothing keeps every ratio finite and positive
+    return (
+        f"CASE WHEN a{'_first' if i == 1 else '_last' if i == 2 else '_len'}"
+        f" = 1 THEN CAST(FLOOR(LN((m{i} * 1.0e0 / (nm + 1))"
+        f" / (u{i} * 1.0e0 / (nu + 1))) * 1.0e6 + 0.5e0) AS BIGINT)"
+        f" ELSE CAST(FLOOR(LN(((nm + 1 - m{i}) * 1.0e0 / (nm + 1))"
+        f" / ((nu + 1 - u{i}) * 1.0e0 / (nu + 1))) * 1.0e6 + 0.5e0)"
+        f" AS BIGINT) END"
+    )
+
+
+_FS_SQL = f"""
+    WITH {_FS_PAIRS_SQL},
+    {_FS_MU}
+    SELECT a_first, a_last, a_len,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(is_match) AS BIGINT) AS n_true_matches,
+           CAST(MIN({_fs_w(1)} + {_fs_w(2)} + {_fs_w(3)}) AS BIGINT)
+             AS fs_weight_micro
+    FROM cand, mu
+    GROUP BY a_first, a_last, a_len
+    ORDER BY a_first, a_last, a_len
+    """
+
+
+@q("fellegi_sunter_weights", oracle=_FS_SQL)
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (the 1969 model every
+    production entity-resolution engine still runs): over the phonetic-
+    blocked candidate pairs, estimate per-field m/u probabilities
+    (P(agree|match), P(agree|non-match); match ground truth = same base
+    name under the deterministic typo synthesis, Laplace-smoothed) and
+    emit each agreement PATTERN with its total log-likelihood-ratio
+    match weight — the score a linker thresholds into link / review /
+    non-link.
+
+    Float discipline: m/u are exact smoothed integer ratios; each
+    field's log-ratio snaps to micro once; the pattern weight is an
+    integer sum of the three.
+
+    Scale shape: the candidate relation is the ``phonetic_blocking_
+    pairs`` equi-join (block-keyed, never all-pairs); m/u estimation is
+    ONE aggregate over it; pattern rollup is a <= 8-group partial agg.
+    The mu scalars arrive via a broadcast (HITS scalar-build rule).
+    """
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    nm = F.expr(
+        f"{_pb_case('c_custkey % 8', _PB_FIRST)} || ' ' || "
+        f"{_pb_case('(c_custkey div 8) % 8', _PB_LAST)}"
+    )
+    named = c.select(F.col("c_custkey").alias("id"), nm.alias("nm")).select(
+        "id",
+        F.when(F.col("id") % 5 == 0, F.expr("replace(nm, 'e', 'a')"))
+        .when(F.col("id") % 7 == 0, F.expr("nm || substr(nm, length(nm), 1)"))
+        .otherwise(F.col("nm"))
+        .alias("name"),
+    )
+    based = named.groupBy("name").agg(
+        F.min("id").cast("long").alias("rep_id"),
+        F.min(F.col("id") % 8).cast("long").alias("f_idx"),
+        F.min(F.expr("(id div 8) % 8")).cast("long").alias("l_idx"),
+    ).withColumn(
+        "bkey",
+        F.concat(
+            F.upper(F.expr("substr(name, 1, 1)")),
+            F.expr(
+                "substr(regexp_replace(substr(name, 2), '[aeiou ]', ''), 1, 4)"
+            ),
+        ),
+    )
+    a = based.select(
+        F.col("bkey"), F.col("name").alias("name_a"),
+        F.col("f_idx").alias("fa"), F.col("l_idx").alias("la"),
+    )
+    b = based.select(
+        F.col("bkey").alias("bkey_b"), F.col("name").alias("name_b"),
+        F.col("f_idx").alias("fb"), F.col("l_idx").alias("lb"),
+    )
+    cand = a.join(b, (a.bkey == b.bkey_b) & (a.name_a < b.name_b)).select(
+        F.expr(
+            "CASE WHEN split(name_a, ' ')[0] = split(name_b, ' ')[0]"
+            " THEN 1 ELSE 0 END"
+        ).alias("a_first"),
+        F.expr(
+            "CASE WHEN split(name_a, ' ')[1] = split(name_b, ' ')[1]"
+            " THEN 1 ELSE 0 END"
+        ).alias("a_last"),
+        F.expr(
+            "CASE WHEN length(name_a) = length(name_b) THEN 1 ELSE 0 END"
+        ).alias("a_len"),
+        F.expr(
+            "CASE WHEN fa = fb AND la = lb THEN 1 ELSE 0 END"
+        ).alias("is_match"),
+    ).localCheckpoint()
+    mu = cand.agg(
+        (F.sum("is_match") + 1).cast("long").alias("nm"),
+        (F.sum(1 - F.col("is_match")) + 1).cast("long").alias("nu"),
+        (F.sum(F.col("a_first") * F.col("is_match")) + 1).cast("long").alias("m1"),
+        (F.sum(F.col("a_first") * (1 - F.col("is_match"))) + 1).cast("long").alias("u1"),
+        (F.sum(F.col("a_last") * F.col("is_match")) + 1).cast("long").alias("m2"),
+        (F.sum(F.col("a_last") * (1 - F.col("is_match"))) + 1).cast("long").alias("u2"),
+        (F.sum(F.col("a_len") * F.col("is_match")) + 1).cast("long").alias("m3"),
+        (F.sum(F.col("a_len") * (1 - F.col("is_match"))) + 1).cast("long").alias("u3"),
+    )
+    return (
+        cand.crossJoin(F.broadcast(mu))
+        .groupBy("a_first", "a_last", "a_len")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("is_match").cast("long").alias("n_true_matches"),
+            F.min(
+                F.expr(f"{_fs_w(1)} + {_fs_w(2)} + {_fs_w(3)}")
+            ).cast("long").alias("fs_weight_micro"),
+        )
+        .orderBy("a_first", "a_last", "a_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average value (TWAP) per user, banded
+# ---------------------------------------------------------------------------
+
+_TWAP_SQL = """
+    WITH seq AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 1.0e6 + 0.5e0) AS BIGINT) AS vm,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+             LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nes
+      FROM events),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN nes IS NOT NULL THEN vm * (nes - es)
+                           ELSE 0 END) AS BIGINT) AS wsum,
+             CAST(SUM(CASE WHEN nes IS NOT NULL THEN nes - es
+                           ELSE 0 END) AS BIGINT) AS dtsum,
+             CAST(SUM(vm) AS BIGINT) AS vsum,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq GROUP BY user_id
+      HAVING SUM(CASE WHEN nes IS NOT NULL THEN nes - es ELSE 0 END) > 0),
+    d AS (
+      SELECT user_id,
+             wsum // dtsum AS twap_micro,
+             vsum // n AS amean_micro
+      FROM u)
+    SELECT (twap_micro - amean_micro) // 100000 AS diff_band,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(twap_micro) * 1.0e-6, 4) AS avg_twap,
+           ROUND(AVG(amean_micro) * 1.0e-6, 4) AS avg_amean
+    FROM d GROUP BY diff_band ORDER BY diff_band
+    """
+
+
+@q("twap_user_values", oracle=_TWAP_SQL)
+def twap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per user vs the plain
+    arithmetic mean, banded by their difference — the telemetry/finance
+    primitive where sampling cadence is irregular: each observation is
+    weighted by its holding interval (time to the next event; the final
+    open interval is excluded, the standard discrete-TWAP convention).
+
+    Exactness: values snap to micro, epochs are integer seconds, so
+    weighted sums and both truncated-division averages are pure int64
+    (same ``div`` truncation on both engines, probed: -7 div 2 == -3).
+
+    Scale shape: the LEAD runs user-keyed (perfectly spread); the
+    per-user fold and the band rollup are the same two partial-agg
+    shuffles as ``user_value_trend``. Nothing global, nothing windowed
+    over an unpartitioned relation.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1.0e6) + F.lit(0.5)).cast("long").alias("vm"),
+        F.unix_timestamp("ts").cast("long").alias("es"),
+    ).select("user_id", "vm", "es", F.lead("es").over(w).alias("nes"))
+    u = (
+        seq.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("nes").isNotNull(), F.col("vm") * (F.col("nes") - F.col("es")))
+                .otherwise(0)
+            ).cast("long").alias("wsum"),
+            F.sum(
+                F.when(F.col("nes").isNotNull(), F.col("nes") - F.col("es")).otherwise(0)
+            ).cast("long").alias("dtsum"),
+            F.sum("vm").cast("long").alias("vsum"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .where(F.col("dtsum") > 0)
+    )
+    d = u.select(
+        F.expr("wsum div dtsum").alias("twap_micro"),
+        F.expr("vsum div n").alias("amean_micro"),
+    )
+    return (
+        d.groupBy(
+            F.expr("(twap_micro - amean_micro) div 100000").alias("diff_band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.avg("twap_micro") * F.lit(1.0e-6), 4).alias("avg_twap"),
+            F.round(F.avg("amean_micro") * F.lit(1.0e-6), 4).alias("avg_amean"),
+        )
+        .orderBy("diff_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence of each source's vocabulary vs the corpus
+# ---------------------------------------------------------------------------
+
+_JS_SQL = """
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM toks GROUP BY w),
+    nn AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM wc),
+    swc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cs
+            FROM toks GROUP BY source, w),
+    ns AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS nsrc
+           FROM swc GROUP BY source),
+    grid AS (
+      SELECT ns.source, ns.nsrc, wc.w, wc.cw, nn.n,
+             COALESCE(swc.cs, 0) AS cs
+      FROM ns CROSS JOIN wc
+      LEFT JOIN swc ON swc.source = ns.source AND swc.w = wc.w, nn),
+    terms AS (
+      SELECT source, nsrc, n,
+             CASE WHEN cs > 0
+                  THEN cs * CAST(FLOOR(LN(2.0e0 * cs * n
+                                          / (cs * 1.0e0 * n + cw * nsrc))
+                                       * 1.0e6 + 0.5e0) AS BIGINT)
+                  ELSE 0 END AS t_src,
+             cw * CAST(FLOOR(LN(2.0e0 * cw * nsrc
+                                / (cs * 1.0e0 * n + cw * nsrc))
+                             * 1.0e6 + 0.5e0) AS BIGINT) AS t_corp
+      FROM grid),
+    s AS (
+      SELECT source, MIN(nsrc) AS nsrc, MIN(n) AS n,
+             CAST(SUM(t_src) AS BIGINT) AS s_src,
+             CAST(SUM(t_corp) AS BIGINT) AS s_corp
+      FROM terms GROUP BY source)
+    SELECT source, CAST(nsrc AS BIGINT) AS n_tokens,
+           ROUND(0.5e0 * (s_src * 1.0e0 / nsrc + s_corp * 1.0e0 / n)
+                 * 1.0e-6, 6) AS js_nats
+    FROM s ORDER BY source
+    """
+
+
+@q("js_divergence_sources", oracle=_JS_SQL)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's unigram
+    distribution and the whole corpus — the symmetric, bounded (<= ln 2)
+    drift measure behind corpus-mix monitoring (``chi2_category_drift``
+    tests category counts; this compares full vocabularies, the
+    distribution-shift alarm for a crawl source going off the rails).
+
+    The log arguments reduce to exact integer ratios
+    (2·cs·N / (cs·N + cw·Ns) — no explicit mixture distribution is ever
+    materialized), each snapped to micro once; both KL halves are then
+    exact integer dot products, divided out only in the final row.
+    Absent words contribute exactly their ln 2 corpus term (cs = 0),
+    never a singularity.
+
+    Scale shape: two word-keyed partial aggs (corpus and per-source
+    vocab); the source x vocab completion CROSS JOINs the |sources|-row
+    relation against the vocab (production bounds vocab with the
+    standard min-count cut + UNK bucket, cf. ``unigram_logprob``);
+    per-source reduction is one partial agg on the source key.
+    """
+    toks = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    wc = toks.groupBy("w").agg(F.count("*").cast("long").alias("cw"))
+    nn = wc.agg(F.sum("cw").cast("long").alias("n"))
+    swc = toks.groupBy("source", "w").agg(F.count("*").cast("long").alias("cs"))
+    ns = swc.groupBy("source").agg(F.sum("cs").cast("long").alias("nsrc"))
+    grid = (
+        ns.crossJoin(wc)
+        .join(swc, ["source", "w"], "left")
+        .select(
+            "source", "nsrc", "w", "cw",
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    terms = grid.select(
+        "source", "nsrc", "n",
+        F.when(
+            F.col("cs") > 0,
+            F.col("cs")
+            * F.expr(
+                "CAST(FLOOR(LN(2.0e0 * cs * n / (cs * 1.0e0 * n + cw * nsrc))"
+                " * 1.0e6 + 0.5e0) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("t_src"),
+        (
+            F.col("cw")
+            * F.expr(
+                "CAST(FLOOR(LN(2.0e0 * cw * nsrc / (cs * 1.0e0 * n + cw * nsrc))"
+                " * 1.0e6 + 0.5e0) AS BIGINT)"
+            )
+        ).alias("t_corp"),
+    )
+    s = terms.groupBy("source").agg(
+        F.min("nsrc").alias("nsrc"),
+        F.min("n").alias("n"),
+        F.sum("t_src").cast("long").alias("s_src"),
+        F.sum("t_corp").cast("long").alias("s_corp"),
+    )
+    return s.select(
+        "source",
+        F.col("nsrc").cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(0.5)
+            * (
+                F.col("s_src") * F.lit(1.0) / F.col("nsrc")
+                + F.col("s_corp") * F.lit(1.0) / F.col("n")
+            )
+            * F.lit(1.0e-6),
+            6,
+        ).alias("js_nats"),
+    ).orderBy("source")

@@ -590,3 +590,175 @@ def test_octagon_hull_is_inner_approximation_of_exact_hull(spark):
         checked += 1
         if checked >= 200:
             break
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter
+# ---------------------------------------------------------------------------
+
+
+def test_fellegi_sunter_matches_pure_python(spark):
+    import re
+
+    from osmgraft.contract_select import _PB_FIRST, _PB_LAST
+
+    cust = (
+        spark.read.parquet(f"{SF_CORRECT}/customer.parquet")
+        .select("c_custkey")
+        .toPandas()
+    )
+    recs: dict[str, tuple[int, int, int]] = {}
+    for k in sorted(int(v) for v in cust.c_custkey):
+        nm = f"{_PB_FIRST[k % 8]} {_PB_LAST[(k // 8) % 8]}"
+        if k % 5 == 0:
+            nm = nm.replace("e", "a")
+        elif k % 7 == 0:
+            nm = nm + nm[-1]
+        if nm not in recs:
+            recs[nm] = (k, k % 8, (k // 8) % 8)
+    blocks: dict[str, list] = {}
+    for nm, (rid, fi, li) in recs.items():
+        bkey = nm[0].upper() + re.sub(r"[aeiou ]", "", nm[1:])[:4]
+        blocks.setdefault(bkey, []).append((nm, fi, li))
+    pairs = []
+    for ns in blocks.values():
+        for x in ns:
+            for yv in ns:
+                if x[0] < yv[0]:
+                    af = int(x[0].split(" ")[0] == yv[0].split(" ")[0])
+                    al = int(x[0].split(" ")[1] == yv[0].split(" ")[1])
+                    ale = int(len(x[0]) == len(yv[0]))
+                    m = int(x[1] == yv[1] and x[2] == yv[2])
+                    pairs.append((af, al, ale, m))
+    nm_ = sum(p[3] for p in pairs) + 1
+    nu_ = sum(1 - p[3] for p in pairs) + 1
+    ms = [sum(p[i] * p[3] for p in pairs) + 1 for i in range(3)]
+    us = [sum(p[i] * (1 - p[3]) for p in pairs) + 1 for i in range(3)]
+
+    def w(i, a):
+        if a:
+            return math.floor(
+                math.log((ms[i] / (nm_ + 1)) / (us[i] / (nu_ + 1))) * 1e6 + 0.5
+            )
+        return math.floor(
+            math.log(
+                ((nm_ + 1 - ms[i]) / (nm_ + 1)) / ((nu_ + 1 - us[i]) / (nu_ + 1))
+            )
+            * 1e6
+            + 0.5
+        )
+
+    exp: dict[tuple, list] = {}
+    for af, al, ale, m in pairs:
+        exp.setdefault((af, al, ale), []).append(m)
+    got = QUERIES["fellegi_sunter_weights"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        ms_ = exp[(r.a_first, r.a_last, r.a_len)]
+        assert r.n_pairs == len(ms_)
+        assert r.n_true_matches == sum(ms_)
+        expected_w = w(0, r.a_first) + w(1, r.a_last) + w(2, r.a_len)
+        assert r.fs_weight_micro == expected_w
+    # the model separates: full-agreement pattern outweighs full-disagreement
+    full = got[(got.a_first == 1) & (got.a_last == 1) & (got.a_len == 1)]
+    none = got[(got.a_first == 0) & (got.a_last == 0)]
+    if len(full) and len(none):
+        assert full.fs_weight_micro.iloc[0] > none.fs_weight_micro.max()
+
+
+# ---------------------------------------------------------------------------
+# TWAP
+# ---------------------------------------------------------------------------
+
+
+def test_twap_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "CAST(FLOOR(value * 1.0e6 + 0.5e0) AS BIGINT) AS vm",
+            "unix_timestamp(ts) AS es",
+            "ts", "event_id",
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    exp_bands: dict[int, list] = {}
+    for _, g in ev.groupby("user_id"):
+        es = g.es.to_list()
+        vm = g.vm.to_list()
+        wsum = dtsum = 0
+        for i in range(len(es) - 1):
+            dt = es[i + 1] - es[i]
+            wsum += vm[i] * dt
+            dtsum += dt
+        if dtsum <= 0:
+            continue
+        twap = wsum // dtsum if wsum >= 0 else -((-wsum) // dtsum)
+        amean = sum(vm) // len(vm)
+        diff = twap - amean
+        band = abs(diff) // 100000 if diff >= 0 else -(abs(diff) // 100000)
+        exp_bands.setdefault(band, []).append((twap, amean))
+    got = QUERIES["twap_user_values"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(exp_bands)
+    for _, r in got.iterrows():
+        rows = exp_bands[int(r.diff_band)]
+        assert r.n_users == len(rows)
+        assert abs(r.avg_twap - sum(t for t, _ in rows) / len(rows) / 1e6) < 1e-3
+
+
+def test_twap_window_is_user_keyed(spark):
+    from tests.test_plans import plan_of
+
+    df = QUERIES["twap_user_values"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "user_id" in line, line
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence
+# ---------------------------------------------------------------------------
+
+
+def test_js_divergence_matches_pure_python_and_is_bounded(spark):
+    docs = _docs(spark)
+    src = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("source", "text")
+        .toPandas()
+    )
+    corpus: dict[str, int] = {}
+    per: dict[str, dict[str, int]] = {}
+    for _, r in src.iterrows():
+        d = per.setdefault(r.source, {})
+        for w in r.text.split(" "):
+            corpus[w] = corpus.get(w, 0) + 1
+            d[w] = d.get(w, 0) + 1
+    n = sum(corpus.values())
+    got = QUERIES["js_divergence_sources"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(per)
+    for _, r in got.iterrows():
+        d = per[r.source]
+        nsrc = sum(d.values())
+        assert r.n_tokens == nsrc
+        s_src = sum(
+            cs * math.floor(
+                math.log(2.0 * cs * n / (cs * 1.0 * n + corpus[w] * nsrc)) * 1e6
+                + 0.5
+            )
+            for w, cs in d.items()
+        )
+        s_corp = sum(
+            cw * math.floor(
+                math.log(2.0 * cw * nsrc / (d.get(w, 0) * 1.0 * n + cw * nsrc))
+                * 1e6
+                + 0.5
+            )
+            for w, cw in corpus.items()
+        )
+        ref = round(0.5 * (s_src / nsrc + s_corp / n) * 1e-6, 6)
+        assert abs(r.js_nats - ref) < 1e-9, (r.source, r.js_nats, ref)
+        assert 0.0 <= r.js_nats <= math.log(2.0) + 1e-9

@@ -132,6 +132,7 @@ _SESSION3_NEW = (
     "dsir_importance_select", "kcenter_coreset", "t_closeness_audit",
     "brier_decomposition", "hard_sigmoid_logreg", "octagon_hull_area",
     "fellegi_sunter_weights", "twap_user_values", "js_divergence_sources",
+    "bitmap_day_overlap", "schema_evolution_audit", "ipw_ate_estimate",
 )
 
 

@@ -1702,3 +1702,265 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("js_nats"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# bitmap-index day overlap between event types
+# ---------------------------------------------------------------------------
+
+_BM_BUCKETS = 60  # bitmap block width (bits); < 63 so shifts never sign-overflow
+
+_BITMAP_SQL = f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+               % {_BM_BUCKETS} AS bucket
+      FROM events),
+    m AS (SELECT event_type,
+                 bit_or(CAST(1 AS BIGINT) << CAST(bucket AS INTEGER)) AS mask
+          FROM b GROUP BY event_type)
+    SELECT a.event_type AS type_a, c.event_type AS type_b,
+           CAST(bit_count(a.mask & c.mask) AS BIGINT) AS n_shared_days,
+           CAST(bit_count(a.mask | c.mask) AS BIGINT) AS n_union_days,
+           ROUND(bit_count(a.mask & c.mask) * 1.0e0
+                 / bit_count(a.mask | c.mask), 6) AS day_jaccard
+    FROM m a JOIN m c ON a.event_type < c.event_type
+    ORDER BY type_a, type_b
+    """
+
+
+@q("bitmap_day_overlap", oracle=_BITMAP_SQL)
+def bitmap_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index co-activity: each event type's active days compress
+    into ONE {_BM_BUCKETS}-bit integer bitmap (epoch-day mod
+    {_BM_BUCKETS} — a single roaring-bitmap block; production keys
+    additional blocks by day div {_BM_BUCKETS}), built with the bit_or
+    aggregate; pairwise AND/OR popcounts then give exact shared-day
+    counts and Jaccard WITHOUT ever joining the raw relations — the
+    bitmap-index trick every OLAP engine uses for set-overlap queries.
+
+    Scale shape: one partial-agg shuffle to build |types| masks (bit_or
+    combines map-side, the whole index is 8 bytes/key/block); the pair
+    comparison runs on the tiny mask relation. Compare
+    ``set_ops_users``: same question, full-relation INTERSECT — this is
+    the O(1)-per-pair form.
+    """
+    b = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            f"CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+            f" % {_BM_BUCKETS}"
+        ).alias("bucket"),
+    )
+    m = b.groupBy("event_type").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)))")
+        .alias("mask")
+    )
+    a = m.select(F.col("event_type").alias("type_a"), F.col("mask").alias("ma"))
+    c = m.select(F.col("event_type").alias("type_b"), F.col("mask").alias("mb"))
+    return (
+        a.join(F.broadcast(c), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a", "type_b",
+            F.expr("CAST(bit_count(ma & mb) AS BIGINT)").alias("n_shared_days"),
+            F.expr("CAST(bit_count(ma | mb) AS BIGINT)").alias("n_union_days"),
+            F.expr(
+                "ROUND(bit_count(ma & mb) * 1.0e0 / bit_count(ma | mb), 6)"
+            ).alias("day_jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution audit over a versioned column catalog
+# ---------------------------------------------------------------------------
+
+_SE_MAX_V = 8
+_SE_COLS = 12
+
+# deterministic synthetic catalog rules (same discipline as the
+# time-travel file log, contract_corpus._TT_SQL): column j appears at
+# version j%6, column 7 is dropped at version 6, every j%4==2 column
+# widens int->bigint at v4, every j%4==3 widens float->double at v5
+_SE_TYPE = (
+    "CASE WHEN cid % 4 = 2 THEN CASE WHEN v >= 4 THEN 'bigint' ELSE 'int' END"
+    " WHEN cid % 4 = 3 THEN CASE WHEN v >= 5 THEN 'double' ELSE 'float' END"
+    " ELSE 'string' END"
+)
+
+_SCHEMA_EVO_SQL = f"""
+    WITH cols AS (SELECT DISTINCT doc_id % {_SE_COLS} AS cid FROM documents),
+    vers AS (SELECT CAST(k AS BIGINT) AS v
+             FROM UNNEST(range({_SE_MAX_V} + 1)) AS t(k)),
+    cat AS (
+      SELECT v, cid, {_SE_TYPE} AS ctype
+      FROM vers CROSS JOIN cols
+      WHERE cid % 6 <= v AND NOT (cid = 7 AND v >= 6)),
+    pairs AS (
+      SELECT COALESCE(c.v, p.v + 1) AS version,
+             CASE WHEN p.cid IS NULL THEN 1 ELSE 0 END AS added,
+             CASE WHEN c.cid IS NULL THEN 1 ELSE 0 END AS dropped,
+             CASE WHEN c.cid IS NOT NULL AND p.cid IS NOT NULL
+                       AND c.ctype <> p.ctype THEN 1 ELSE 0 END AS widened
+      FROM cat c FULL OUTER JOIN
+           (SELECT v, cid, ctype FROM cat) p
+        ON c.cid = p.cid AND c.v = p.v + 1
+      WHERE COALESCE(c.v, p.v + 1) >= 1
+        AND COALESCE(c.v, p.v + 1) <= {_SE_MAX_V}),
+    n AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_cols FROM cat GROUP BY v)
+    SELECT p.version,
+           CAST(MIN(n.n_cols) AS BIGINT) AS n_cols,
+           CAST(SUM(p.added) AS BIGINT) AS n_added,
+           CAST(SUM(p.dropped) AS BIGINT) AS n_dropped,
+           CAST(SUM(p.widened) AS BIGINT) AS n_widened,
+           CAST(CASE WHEN SUM(p.dropped) = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_backward_compatible
+    FROM pairs p JOIN n ON n.v = p.version
+    GROUP BY p.version ORDER BY p.version
+    """
+
+
+@q("schema_evolution_audit", oracle=_SCHEMA_EVO_SQL)
+def schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution audit over a versioned column catalog — the
+    lakehouse metadata check beside ``time_travel_file_state`` (files)
+    and ``merge_conflict_audit`` (rows): per snapshot version, how many
+    columns were added, dropped, or type-widened vs the previous
+    version, and whether the step is backward compatible (no drops; the
+    widenings here are all legal int->bigint / float->double
+    promotions). The catalog is synthesized from documents under the
+    same deterministic rules on both engines (the time-travel file-log
+    discipline).
+
+    Scale shape: the catalog is versions x columns (metadata-sized; a
+    real table has <= 10^3 columns x 10^5 snapshots); the
+    consecutive-version diff is ONE full-outer equi-join on
+    (column, version) — never a per-version loop.
+    """
+    cols = (
+        t(spark, sf_dir, "documents")
+        .select(F.expr(f"doc_id % {_SE_COLS}").alias("cid"))
+        .distinct()
+    )
+    vers = spark.range(_SE_MAX_V + 1).select(F.col("id").alias("v"))
+    cat = (
+        vers.crossJoin(F.broadcast(cols))
+        .where(F.expr(f"cid % 6 <= v AND NOT (cid = 7 AND v >= 6)"))
+        .select("v", "cid", F.expr(_SE_TYPE).alias("ctype"))
+        .localCheckpoint()
+    )
+    c = cat.select(
+        F.col("v").alias("cv"), F.col("cid").alias("ccid"),
+        F.col("ctype").alias("cctype"),
+    )
+    p = cat.select(
+        F.col("v").alias("pv"), F.col("cid").alias("pcid"),
+        F.col("ctype").alias("pctype"),
+    )
+    pairs = (
+        c.join(p, (F.col("ccid") == F.col("pcid")) & (F.col("cv") == F.col("pv") + 1), "full")
+        .select(
+            F.coalesce(F.col("cv"), F.col("pv") + 1).alias("version"),
+            F.when(F.col("pcid").isNull(), 1).otherwise(0).alias("added"),
+            F.when(F.col("ccid").isNull(), 1).otherwise(0).alias("dropped"),
+            F.when(
+                F.col("ccid").isNotNull()
+                & F.col("pcid").isNotNull()
+                & (F.col("cctype") != F.col("pctype")),
+                1,
+            ).otherwise(0).alias("widened"),
+        )
+        .where((F.col("version") >= 1) & (F.col("version") <= _SE_MAX_V))
+    )
+    n = cat.groupBy("v").agg(F.count("*").cast("long").alias("n_cols"))
+    return (
+        pairs.join(F.broadcast(n), pairs.version == n.v)
+        .groupBy("version")
+        .agg(
+            F.min("n_cols").cast("long").alias("n_cols"),
+            F.sum("added").cast("long").alias("n_added"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            F.sum("widened").cast("long").alias("n_widened"),
+            F.when(F.sum("dropped") == 0, 1).otherwise(0).cast("long")
+            .alias("is_backward_compatible"),
+        )
+        .orderBy("version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverse-propensity-weighted treatment effect, stratified
+# ---------------------------------------------------------------------------
+
+_IPW_SQL = """
+    WITH base AS (
+      SELECT event_type,
+             CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+                  THEN 1 ELSE 0 END AS tr,
+             CAST(FLOOR(value * 1.0e6 + 0.5e0) AS BIGINT) AS ym
+      FROM events),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(tr) AS BIGINT) AS nt,
+             CAST(SUM(tr * ym) AS BIGINT) AS syt,
+             CAST(SUM((1 - tr) * ym) AS BIGINT) AS syc
+      FROM base GROUP BY event_type
+      HAVING SUM(tr) > 0 AND SUM(tr) < COUNT(*))
+    SELECT event_type, n, nt,
+           ROUND(nt * 1.0e0 / n, 6) AS propensity,
+           CAST(syt * n // nt - syc * n // (n - nt) AS BIGINT) // n
+             AS strat_ate_micro,
+           CAST(syt // nt - syc // (n - nt) AS BIGINT) AS naive_diff_micro
+    FROM s ORDER BY event_type
+    """
+
+
+@q("ipw_ate_estimate", oracle=_IPW_SQL)
+def ipw_ate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect, stratified
+    by event type — the observational-causal companion of
+    ``abtest_conversion_z`` (randomized) and ``did_estimate``
+    (longitudinal): treatment = the props flag k >= 50, outcome = value,
+    propensity = the exact within-stratum treatment rate; the IPW
+    Horvitz-Thompson sums reduce per stratum to exact integer
+    expressions (sy_t·n/n_t − sy_c·n/n_c), so no per-row weight is ever
+    a float. Strata violating positivity (no treated or no control) are
+    excluded, the standard IPW precondition.
+
+    Scale shape: ONE partial-agg scan keyed by stratum; everything
+    after runs on the |strata|-row relation. Identical truncated
+    integer division on both engines (probed). The sy·n products are
+    bounded by (stratum value-mass in micro) x (stratum rows) — int64
+    carries ~1e10 rows/stratum at the fixture's value range; beyond
+    that, route the products through DECIMAL(38,0)/HUGEINT (the
+    winsorized rule).
+    """
+    base = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CASE WHEN CAST(get_json_object(props, '$.k') AS INT) >= 50"
+            " THEN 1 ELSE 0 END"
+        ).alias("tr"),
+        F.floor(F.col("value") * F.lit(1.0e6) + F.lit(0.5)).cast("long").alias("ym"),
+    )
+    s = (
+        base.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("tr").cast("long").alias("nt"),
+            F.sum(F.col("tr") * F.col("ym")).cast("long").alias("syt"),
+            F.sum((1 - F.col("tr")) * F.col("ym")).cast("long").alias("syc"),
+        )
+        .where((F.col("nt") > 0) & (F.col("nt") < F.col("n")))
+    )
+    return s.select(
+        "event_type", "n", "nt",
+        F.round(F.col("nt") * F.lit(1.0) / F.col("n"), 6).alias("propensity"),
+        F.expr(
+            "CAST(syt * n div nt - syc * n div (n - nt) AS BIGINT) div n"
+        ).alias("strat_ate_micro"),
+        F.expr("CAST(syt div nt - syc div (n - nt) AS BIGINT)")
+        .alias("naive_diff_micro"),
+    ).orderBy("event_type")

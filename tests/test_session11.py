@@ -762,3 +762,113 @@ def test_js_divergence_matches_pure_python_and_is_bounded(spark):
         ref = round(0.5 * (s_src / nsrc + s_corp / n) * 1e-6, 6)
         assert abs(r.js_nats - ref) < 1e-9, (r.source, r.js_nats, ref)
         assert 0.0 <= r.js_nats <= math.log(2.0) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# bitmap day overlap
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_overlap_matches_set_recompute(spark):
+    """Popcount arithmetic == an explicit day-set recompute."""
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 60"
+            " AS bucket",
+        )
+        .toPandas()
+    )
+    sets = {et: set(g.bucket) for et, g in ev.groupby("event_type")}
+    got = QUERIES["bitmap_day_overlap"](spark, SF_CORRECT).toPandas()
+    types = sorted(sets)
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    for _, r in got.iterrows():
+        a, b = sets[r.type_a], sets[r.type_b]
+        assert r.n_shared_days == len(a & b)
+        assert r.n_union_days == len(a | b)
+        assert abs(r.day_jaccard - len(a & b) / len(a | b)) < 1e-6
+
+
+def test_bitmap_masks_build_in_one_shuffle(spark):
+    from tests.test_plans import plan_of
+
+    df = QUERIES["bitmap_day_overlap"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    # one exchange per self-join side over the raw relation (the mask
+    # relation itself is |types| rows); nothing quadratic over raw rows
+    assert plan.count("Exchange hashpartitioning(event_type") <= 2
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_schema_evolution_matches_pure_python(spark):
+    def ctype(cid, v):
+        if cid % 4 == 2:
+            return "bigint" if v >= 4 else "int"
+        if cid % 4 == 3:
+            return "double" if v >= 5 else "float"
+        return "string"
+
+    def schema(v):
+        return {
+            cid: ctype(cid, v)
+            for cid in range(12)
+            if cid % 6 <= v and not (cid == 7 and v >= 6)
+        }
+
+    got = QUERIES["schema_evolution_audit"](spark, SF_CORRECT).toPandas()
+    assert list(got.version) == list(range(1, 9))
+    for _, r in got.iterrows():
+        cur, prev = schema(int(r.version)), schema(int(r.version) - 1)
+        assert r.n_cols == len(cur)
+        assert r.n_added == len(set(cur) - set(prev))
+        assert r.n_dropped == len(set(prev) - set(cur))
+        assert r.n_widened == sum(
+            1 for c in set(cur) & set(prev) if cur[c] != prev[c]
+        )
+        assert r.is_backward_compatible == (1 if r.n_dropped == 0 else 0)
+    # the fixture exercises all three change kinds
+    assert got.n_added.sum() > 0 and got.n_dropped.sum() > 0
+    assert got.n_widened.sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# IPW ATE
+# ---------------------------------------------------------------------------
+
+
+def test_ipw_matches_pure_python_and_reweights(spark):
+    import json
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .select("event_type", "props", "value")
+        .toPandas()
+    )
+    ev["tr"] = ev.props.apply(lambda s: int(int(json.loads(s)["k"]) >= 50))
+    ev["ym"] = (ev.value * 1e6 + 0.5).apply(math.floor).astype(int)
+    got = QUERIES["ipw_ate_estimate"](spark, SF_CORRECT).toPandas()
+    for _, r in got.iterrows():
+        g = ev[ev.event_type == r.event_type]
+        n, nt = len(g), int(g.tr.sum())
+        syt = int((g.tr * g.ym).sum())
+        syc = int(((1 - g.tr) * g.ym).sum())
+        assert (r.n, r.nt) == (n, nt)
+        assert abs(r.propensity - round(nt / n, 6)) < 1e-9
+        def tdiv(a, b):
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        strat = tdiv(tdiv(syt * n, nt) - tdiv(syc * n, n - nt), n)
+        assert r.strat_ate_micro == strat
+        assert r.naive_diff_micro == tdiv(syt, nt) - tdiv(syc, n - nt)
+        # HT identity: the IPW stratum effect equals mean(t) - mean(c)
+        # up to integer truncation
+        approx = syt / nt - syc / (n - nt)
+        assert abs(r.strat_ate_micro - approx) <= 2

@@ -133,6 +133,8 @@ _SESSION3_NEW = (
     "brier_decomposition", "hard_sigmoid_logreg", "octagon_hull_area",
     "fellegi_sunter_weights", "twap_user_values", "js_divergence_sources",
     "bitmap_day_overlap", "schema_evolution_audit", "ipw_ate_estimate",
+    "silhouette_simplified", "mase_forecast_eval",
+    "conversion_latency_quantiles",
 )
 
 

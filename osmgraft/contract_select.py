@@ -1964,3 +1964,258 @@ def ipw_ate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(syt div nt - syc div (n - nt) AS BIGINT)")
         .alias("naive_diff_micro"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# simplified silhouette over the embedding label clustering
+# ---------------------------------------------------------------------------
+
+_SIL_D2 = (
+    "ROUND(aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
+    " 0D, (s, acc) -> s + acc), 6)"
+)
+_SIL_D2_DUCK = (
+    "ROUND(list_reduce(list_transform(range(1, len(v) + 1),"
+    " i -> (v[i] - cv[i]) * (v[i] - cv[i])), (s, x) -> s + x), 6)"
+)
+
+_SIL_SQL = f"""
+    WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                FROM embeddings),
+    cd AS (SELECT label, i AS dim,
+                  FLOOR(AVG(v[i]) * 1000000 + 0.5) / 1000000 AS cv
+           FROM ev, LATERAL unnest(generate_series(1, len(v))) AS t(i)
+           GROUP BY label, i),
+    cents AS (SELECT label AS clabel, list(cv ORDER BY dim) AS cv
+              FROM cd GROUP BY label),
+    d AS (SELECT e.vec_id, e.label, c.clabel, {_SIL_D2_DUCK} AS d2
+          FROM ev e CROSS JOIN cents c),
+    ab AS (SELECT vec_id, label,
+                  MIN(CASE WHEN clabel = label THEN d2 END) AS a2,
+                  MIN(CASE WHEN clabel <> label THEN d2 END) AS b2
+           FROM d GROUP BY vec_id, label),
+    s AS (SELECT label,
+                 ROUND((SQRT(b2) - SQRT(a2))
+                       / GREATEST(SQRT(a2), SQRT(b2)), 6) AS sil
+          FROM ab)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(sil), 4) AS avg_silhouette,
+           CAST(SUM(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_misfit
+    FROM s GROUP BY label ORDER BY label
+    """
+
+
+@q("silhouette_simplified", oracle=_SIL_SQL)
+def silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per label over the
+    embeddings table — the clustering-quality eval that closes the loop
+    on the k-means/IVF family: a = distance to the OWN label centroid,
+    b = distance to the nearest OTHER centroid, s = (b - a)/max(a, b);
+    negative s marks points sitting closer to a foreign prototype (the
+    O(n·k) simplified form of the O(n^2) classic, which is the only
+    form that exists at corpus scale).
+
+    Float discipline: centroids snap to 6 dp (== embedding_centroid_by_
+    label), squared distances snap to 6 dp from the same sequential
+    zip_with/list fold both engines share, per-point s snaps to 6 dp.
+
+    Scale shape: centroid build is one (label, dim)-keyed partial agg;
+    scoring is a broadcast of k centroid ARRAYS against one scan (in-row
+    fold, no UDF), then a vec-keyed partial agg for the a/b min and a
+    label-keyed rollup. Nothing quadratic in n.
+    """
+    ev = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("v"),
+    )
+    cd = (
+        ev.select("label", F.posexplode("v").alias("p", "x"))
+        .groupBy("label", (F.col("p") + 1).alias("dim"))
+        .agg(
+            (F.floor(F.avg("x") * 1000000 + F.lit(0.5)) / 1000000).alias("cv")
+        )
+    )
+    cents = cd.groupBy(F.col("label").alias("clabel")).agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, cv))),"
+               " s -> s.cv)").alias("cv")
+    )
+    d = ev.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "clabel", F.expr(_SIL_D2).alias("d2")
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias("b2"),
+    )
+    s = ab.select(
+        "label",
+        F.round(
+            (F.sqrt("b2") - F.sqrt("a2"))
+            / F.greatest(F.sqrt("a2"), F.sqrt("b2")),
+            6,
+        ).alias("sil"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg("sil"), 4).alias("avg_silhouette"),
+            F.sum(F.when(F.col("sil") < 0, 1).otherwise(0)).cast("long")
+            .alias("n_misfit"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MASE — mean absolute scaled error of the seasonal-naive forecast
+# ---------------------------------------------------------------------------
+
+_MASE_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 1.0e6 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS vm
+      FROM events GROUP BY d),
+    lagged AS (
+      SELECT d, vm,
+             LAG(vm, 7) OVER (ORDER BY d) AS v7,
+             LAG(vm, 1) OVER (ORDER BY d) AS v1
+      FROM daily),
+    e AS (SELECT d, ABS(vm - v7) AS ae_s, ABS(vm - v1) AS ae_n
+          FROM lagged WHERE v7 IS NOT NULL AND v1 IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ae_s) AS BIGINT) // COUNT(*) AS mae_snaive_micro,
+           CAST(SUM(ae_n) AS BIGINT) // COUNT(*) AS mae_naive_micro,
+           ROUND(SUM(ae_s) * 1.0e0 / SUM(ae_n), 6) AS mase
+    FROM e
+    """
+
+
+@q("mase_forecast_eval", oracle=_MASE_SQL)
+def mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (mean absolute scaled error, Hyndman-Koehler 2006) of the
+    seasonal-naive weekly forecast against the one-step naive scale —
+    the scale-free forecast-accuracy number that completes the eval row
+    of ``forecast_backtest_snaive``: MASE < 1 means the weekly pattern
+    genuinely beats persistence. Every error is an exact micro-unit
+    integer; the ratio divides once.
+
+    Scale shape: one day-keyed partial agg; both LAGs share one window
+    over the DAYS relation (|days| rows — the post-agg global window
+    precedent of ``acf_daily_lags``; a calendar axis is bounded, raw
+    rows never enter a window).
+    """
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+            .alias("d")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(1.0e6) + F.lit(0.5)).cast("long")
+            ).cast("long").alias("vm")
+        )
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d", "vm",
+        F.lag("vm", 7).over(w).alias("v7"),
+        F.lag("vm", 1).over(w).alias("v1"),
+    )
+    e = lagged.where(
+        F.col("v7").isNotNull() & F.col("v1").isNotNull()
+    ).select(
+        F.abs(F.col("vm") - F.col("v7")).alias("ae_s"),
+        F.abs(F.col("vm") - F.col("v1")).alias("ae_n"),
+    )
+    return e.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("CAST(SUM(ae_s) AS BIGINT) div COUNT(*)").alias("mae_snaive_micro"),
+        F.expr("CAST(SUM(ae_n) AS BIGINT) div COUNT(*)").alias("mae_naive_micro"),
+        F.round(F.sum("ae_s") * F.lit(1.0) / F.sum("ae_n"), 6).alias("mase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# conversion latency quantiles (signup -> purchase)
+# ---------------------------------------------------------------------------
+
+_CONV_SQL = """
+    WITH su AS (
+      SELECT user_id,
+             MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    pu AS (
+      SELECT e.user_id,
+             MIN(CAST(FLOOR(epoch(e.ts)) AS BIGINT)) AS t_purchase
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) >= su.t_signup
+      GROUP BY e.user_id),
+    lat AS (
+      SELECT su.user_id, pu.t_purchase - su.t_signup AS lat_s
+      FROM su LEFT JOIN pu ON su.user_id = pu.user_id),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_signup,
+             CAST(COUNT(lat_s) AS BIGINT) AS n_converted,
+             ROUND(quantile_cont(lat_s, 0.25), 4) AS p25_s,
+             ROUND(quantile_cont(lat_s, 0.50), 4) AS p50_s,
+             ROUND(quantile_cont(lat_s, 0.75), 4) AS p75_s,
+             ROUND(quantile_cont(lat_s, 0.90), 4) AS p90_s
+      FROM lat)
+    SELECT n_signup, n_converted,
+           ROUND(n_converted * 1.0e0 / n_signup, 6) AS conversion_rate,
+           p25_s, p50_s, p75_s, p90_s
+    FROM agg
+    """
+
+
+@q("conversion_latency_quantiles", oracle=_CONV_SQL)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user who signed up, the
+    latency to their first purchase AT or AFTER that signup — exact
+    continuous quantiles of the latency in integer seconds (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, the round-2 bit-level
+    parity result) plus the conversion rate. The product analytics
+    question ``funnel_conversion`` counts; this one times.
+
+    Scale shape: two user-keyed partial aggs + one user-keyed equi-join;
+    the quantiles run over the converted-users relation with the exact
+    percentile aggregate (two-phase, map-side partial). No window, no
+    global sort.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+    )
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_signup"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("es") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_purchase"))
+    )
+    lat = su.join(pu, "user_id", "left").select(
+        (F.col("t_purchase") - F.col("t_signup")).alias("lat_s")
+    )
+    agg = lat.agg(
+        F.count("*").cast("long").alias("n_signup"),
+        F.count("lat_s").cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(lat_s, 0.25)"), 4).alias("p25_s"),
+        F.round(F.expr("percentile(lat_s, 0.50)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(lat_s, 0.75)"), 4).alias("p75_s"),
+        F.round(F.expr("percentile(lat_s, 0.90)"), 4).alias("p90_s"),
+    )
+    return agg.select(
+        "n_signup", "n_converted",
+        F.round(F.col("n_converted") * F.lit(1.0) / F.col("n_signup"), 6)
+        .alias("conversion_rate"),
+        "p25_s", "p50_s", "p75_s", "p90_s",
+    )

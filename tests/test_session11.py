@@ -872,3 +872,99 @@ def test_ipw_matches_pure_python_and_reweights(spark):
         # up to integer truncation
         approx = syt / nt - syc / (n - nt)
         assert abs(r.strat_ate_micro - approx) <= 2
+
+
+# ---------------------------------------------------------------------------
+# simplified silhouette
+# ---------------------------------------------------------------------------
+
+
+def test_silhouette_matches_numpy(spark):
+    import numpy as np
+
+    emb = (
+        spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        .selectExpr(
+            "vec_id", "label", "transform(embedding, x -> cast(x as double)) v"
+        )
+        .toPandas()
+    )
+    X = np.array(emb.v.tolist())
+    labels = sorted(emb.label.unique())
+    cents = {}
+    for lb in labels:
+        cents[lb] = np.floor(X[emb.label == lb].mean(axis=0) * 1e6 + 0.5) / 1e6
+    sils = {lb: [] for lb in labels}
+    for i in range(len(emb)):
+        lb = emb.label.iloc[i]
+        d2 = {
+            c: round(float(((X[i] - cv) ** 2).sum()), 6)
+            for c, cv in cents.items()
+        }
+        a = math.sqrt(d2[lb])
+        b = math.sqrt(min(v for c, v in d2.items() if c != lb))
+        sils[lb].append(round((b - a) / max(a, b), 6))
+    got = QUERIES["silhouette_simplified"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(labels)
+    for _, r in got.iterrows():
+        ss = sils[r.label]
+        assert r.n_vecs == len(ss)
+        assert abs(r.avg_silhouette - sum(ss) / len(ss)) < 1e-3
+        assert r.n_misfit == sum(1 for s in ss if s < 0)
+        assert -1.0 <= r.avg_silhouette <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# MASE
+# ---------------------------------------------------------------------------
+
+
+def test_mase_matches_pandas(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+            "CAST(FLOOR(value * 1.0e6 + 0.5e0) AS BIGINT) AS vm",
+        )
+        .toPandas()
+    )
+    daily = ev.groupby("d").vm.sum().sort_index()
+    ae_s = (daily - daily.shift(7)).abs().dropna()
+    ae_n = (daily - daily.shift(1)).abs().dropna()
+    common = ae_s.index.intersection(ae_n.index)
+    ae_s, ae_n = ae_s[common], ae_n[common]
+    got = QUERIES["mase_forecast_eval"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_days == len(common)
+    assert got.mae_snaive_micro == int(ae_s.sum()) // len(common)
+    assert abs(got.mase - round(float(ae_s.sum()) / float(ae_n.sum()), 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# conversion latency
+# ---------------------------------------------------------------------------
+
+
+def test_conversion_latency_matches_pandas(spark):
+    import numpy as np
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id", "event_type", "CAST(unix_timestamp(ts) AS BIGINT) es"
+        )
+        .toPandas()
+    )
+    su = ev[ev.event_type == "signup"].groupby("user_id").es.min()
+    lats = []
+    for uid, t0 in su.items():
+        pp = ev[(ev.user_id == uid) & (ev.event_type == "purchase") & (ev.es >= t0)]
+        if len(pp):
+            lats.append(int(pp.es.min() - t0))
+    got = QUERIES["conversion_latency_quantiles"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_signup == len(su)
+    assert got.n_converted == len(lats)
+    assert abs(got.conversion_rate - round(len(lats) / len(su), 6)) < 1e-9
+    for col, q in [("p25_s", 25), ("p50_s", 50), ("p75_s", 75), ("p90_s", 90)]:
+        ref = float(np.percentile(lats, q, method="linear"))
+        assert abs(got[col] - ref) < 1e-3, (col, got[col], ref)
+    assert got.p25_s <= got.p50_s <= got.p75_s <= got.p90_s

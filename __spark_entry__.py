@@ -134,7 +134,8 @@ _SESSION3_NEW = (
     "fellegi_sunter_weights", "twap_user_values", "js_divergence_sources",
     "bitmap_day_overlap", "schema_evolution_audit", "ipw_ate_estimate",
     "silhouette_simplified", "mase_forecast_eval",
-    "conversion_latency_quantiles",
+    "conversion_latency_quantiles", "knox_spacetime_test",
+    "theil_decomposition",
 )
 
 

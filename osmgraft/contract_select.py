@@ -2219,3 +2219,250 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("conversion_rate"),
         "p25_s", "p50_s", "p75_s", "p90_s",
     )
+
+
+# ---------------------------------------------------------------------------
+# Knox space-time interaction test (cell/day blocked)
+# ---------------------------------------------------------------------------
+
+_KNOX_W = 8750.0  # spatial closeness = same 80x80 grid cell (FLOOR(x/W))
+
+_KNOX_SQL = f"""
+    WITH pts AS (
+      SELECT CAST(FLOOR(((event_id % 787) * 889.45e0 + 17.3e0)
+                        / {_KNOX_W}e0) AS BIGINT) AS cx,
+             CAST(FLOOR(((CAST(FLOOR(event_id / 13.0e0) AS BIGINT) % 787)
+                         * 889.45e0 + 11.7e0) / {_KNOX_W}e0) AS BIGINT) AS cy,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM events),
+    cd AS (SELECT cx, cy, d, CAST(COUNT(*) AS BIGINT) AS c
+           FROM pts GROUP BY cx, cy, d),
+    cc AS (SELECT cx, cy, CAST(SUM(c) AS BIGINT) AS c
+           FROM cd GROUP BY cx, cy),
+    dd AS (SELECT d, CAST(SUM(c) AS BIGINT) AS c FROM cd GROUP BY d),
+    nst AS (
+      SELECT CAST(SUM(a.c * (a.c - 1) // 2) AS BIGINT)
+             + CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS n_st
+      FROM cd a LEFT JOIN cd b
+        ON a.cx = b.cx AND a.cy = b.cy AND b.d = a.d + 1),
+    ns AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_s FROM cc),
+    nt AS (
+      SELECT CAST(SUM(a.c * (a.c - 1) // 2) AS BIGINT)
+             + CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS n_t
+      FROM dd a LEFT JOIN dd b ON b.d = a.d + 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts)
+    SELECT nn.n AS n_points, nst.n_st, ns.n_s, nt.n_t,
+           CAST((CAST(ns.n_s AS HUGEINT) * nt.n_t * 1000000)
+                // (CAST(nn.n AS HUGEINT) * (nn.n - 1) // 2) AS BIGINT)
+             AS expected_micro,
+           ROUND(nst.n_st * 1.0e0
+                 / (ns.n_s * 1.0e0 * nt.n_t
+                    / (nn.n * 1.0e0 * (nn.n - 1) / 2.0e0)), 6)
+             AS knox_ratio
+    FROM nst, ns, nt, nn
+    """
+
+
+@q("knox_spacetime_test", oracle=_KNOX_SQL)
+def knox_spacetime_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction test (the epidemiology / crime-
+    analysis statistic behind ``co_movement_pairs``): do events that
+    happen CLOSE IN SPACE also happen CLOSE IN TIME more often than the
+    marginals predict? Closeness is cell/day blocked (same grid cell;
+    same or adjacent day); the observed close-pair count n_st is
+    compared with the Barton-David expectation n_s·n_t / C(N,2) — ratio
+    >> 1 signals genuine space-time clustering (the fixture's hotspot
+    cells produce it).
+
+    Exactness: every pair count is a closed-form integer over the
+    (cell, day) contingency relation — C(c,2) within blocks plus c·c'
+    across adjacent blocks — so NO pair is ever materialized; the
+    expectation routes through HUGEINT == DECIMAL(38,0) (n_s·n_t
+    overflows int64 beyond ~1e6 rows).
+
+    Scale shape: one (cell, day)-keyed partial agg; the two adjacency
+    terms are equi-self-joins on the AGGREGATED relations (cell-day and
+    day — both tiny); the three marginal rollups reuse the same
+    aggregate. Identical to the co-movement blocking discipline, but
+    O(blocks), not O(pairs).
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    dec = "decimal(38,0)"
+    pts = t(spark, sf_dir, "events").select(
+        F.expr(f"CAST(FLOOR(({X_EXPR}) / {_KNOX_W}e0) AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(FLOOR(({Y_EXPR}) / {_KNOX_W}e0) AS BIGINT)").alias("cy"),
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)").alias("d"),
+    )
+    cd = pts.groupBy("cx", "cy", "d").agg(F.count("*").cast("long").alias("c"))
+    cd = cd.localCheckpoint()
+    cc = cd.groupBy("cx", "cy").agg(F.sum("c").cast("long").alias("c"))
+    dd = cd.groupBy("d").agg(F.sum("c").cast("long").alias("c"))
+    b = cd.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"),
+        F.col("d").alias("bd"), F.col("c").alias("bc"),
+    )
+    nst = (
+        cd.join(
+            b,
+            (F.col("cx") == F.col("bx"))
+            & (F.col("cy") == F.col("by"))
+            & (F.col("bd") == F.col("d") + 1),
+            "left",
+        )
+        .agg(
+            (
+                F.sum(F.expr("c * (c - 1) div 2")).cast("long")
+                + F.coalesce(F.sum(F.col("c") * F.col("bc")), F.lit(0)).cast("long")
+            ).alias("n_st")
+        )
+    )
+    ns = cc.agg(F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("n_s"))
+    db = dd.select(F.col("d").alias("bd"), F.col("c").alias("bc"))
+    nt = (
+        dd.join(db, F.col("bd") == F.col("d") + 1, "left")
+        .agg(
+            (
+                F.sum(F.expr("c * (c - 1) div 2")).cast("long")
+                + F.coalesce(F.sum(F.col("c") * F.col("bc")), F.lit(0)).cast("long")
+            ).alias("n_t")
+        )
+    )
+    nn = pts.agg(F.count("*").cast("long").alias("n"))
+    return (
+        nn.crossJoin(F.broadcast(nst))
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col("n").alias("n_points"), "n_st", "n_s", "n_t",
+            F.expr(
+                f"CAST((CAST(n_s AS {dec}) * n_t * 1000000)"
+                f" div (CAST(n AS {dec}) * (n - 1) div 2) AS BIGINT)"
+            ).alias("expected_micro"),
+            F.round(
+                F.col("n_st") * F.lit(1.0)
+                / (
+                    F.col("n_s") * F.lit(1.0) * F.col("n_t")
+                    / (F.col("n") * F.lit(1.0) * (F.col("n") - 1) / F.lit(2.0))
+                ),
+                6,
+            ).alias("knox_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index with between/within decomposition
+# ---------------------------------------------------------------------------
+
+_THEIL_SQL = """
+    WITH base AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1.0e6 + 0.5e0) AS BIGINT) AS ym
+      FROM events WHERE value > 0.0e0),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(ym) AS BIGINT) AS s FROM base),
+    g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+                 CAST(SUM(ym) AS BIGINT) AS sg
+          FROM base GROUP BY event_type),
+    tg AS (
+      SELECT b.event_type,
+             CAST(SUM(CAST(FLOOR((b.ym * 1.0e0 / g.sg)
+                                 * LN(b.ym * 1.0e0 * g.ng / g.sg)
+                                 * 1.0e12 + 0.5e0) AS BIGINT)) AS BIGINT)
+               AS t_g_pico
+      FROM base b JOIN g ON b.event_type = g.event_type
+      GROUP BY b.event_type)
+    SELECT g.event_type,
+           g.ng AS n_events,
+           ROUND(g.sg * 1.0e0 / tot.s, 6) AS income_share,
+           ROUND(tg.t_g_pico * 1.0e-12, 6) AS theil_within_group,
+           ROUND((g.sg * 1.0e0 / tot.s)
+                 * LN((g.sg * 1.0e0 * tot.n) / (tot.s * 1.0e0 * g.ng)), 6)
+             + 0.0e0 AS between_term,
+           ROUND((g.sg * 1.0e0 / tot.s) * tg.t_g_pico * 1.0e-12
+                 + (g.sg * 1.0e0 / tot.s)
+                   * LN((g.sg * 1.0e0 * tot.n) / (tot.s * 1.0e0 * g.ng)), 6)
+             + 0.0e0 AS total_contribution
+    FROM g JOIN tg ON g.event_type = tg.event_type, tot
+    ORDER BY g.event_type
+    """
+
+
+@q("theil_decomposition", oracle=_THEIL_SQL)
+def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index decomposed between/within event types —
+    the additive inequality measure ``value_gini_by_type`` cannot give:
+    total Theil = sum of per-group contributions, each splitting into a
+    within-group index (weighted by income share) and a between-group
+    term (share vs population-share log ratio). The decomposition
+    identity is pinned by the invariant test.
+
+    Float discipline: per-row terms are one double expression over
+    exact integer ratios (y/S_g · ln(y·n_g/S_g)), snapped to pico
+    BEFORE the group sum — identical doubles on both engines, so the
+    sums agree exactly; group-level terms compute once per group.
+
+    Scale shape: one group-keyed partial agg for the sums, one scan
+    joined against the broadcast group relation for the per-row terms
+    (partial-agg combine on the same key). Zero-value rows are excluded
+    (Theil's domain), the standard convention.
+    """
+    base = t(spark, sf_dir, "events").where(F.col("value") > 0.0).select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1.0e6) + F.lit(0.5)).cast("long").alias("ym"),
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("n"), F.sum("ym").cast("long").alias("s")
+    )
+    g = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("ng"), F.sum("ym").cast("long").alias("sg")
+    )
+    tg = (
+        base.join(F.broadcast(g), "event_type")
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(FLOOR((ym * 1.0e0 / sg) * LN(ym * 1.0e0 * ng / sg)"
+                " * 1.0e12 + 0.5e0) AS BIGINT)"
+            ).alias("tp"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("tp").cast("long").alias("t_g_pico"))
+    )
+    return (
+        g.join(tg, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("ng").alias("n_events"),
+            F.round(F.col("sg") * F.lit(1.0) / F.col("s"), 6).alias("income_share"),
+            F.round(F.col("t_g_pico") * F.lit(1.0e-12), 6).alias("theil_within_group"),
+            (
+                F.round(
+                    (F.col("sg") * F.lit(1.0) / F.col("s"))
+                    * F.log(
+                        (F.col("sg") * F.lit(1.0) * F.col("n"))
+                        / (F.col("s") * F.lit(1.0) * F.col("ng"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)  # normalize IEEE -0.0 (DuckDB ROUND keeps it)
+            ).alias("between_term"),
+            (
+                F.round(
+                    (F.col("sg") * F.lit(1.0) / F.col("s"))
+                    * F.col("t_g_pico")
+                    * F.lit(1.0e-12)
+                    + (F.col("sg") * F.lit(1.0) / F.col("s"))
+                    * F.log(
+                        (F.col("sg") * F.lit(1.0) * F.col("n"))
+                        / (F.col("s") * F.lit(1.0) * F.col("ng"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("total_contribution"),
+        )
+        .orderBy("event_type")
+    )

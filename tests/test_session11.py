@@ -968,3 +968,94 @@ def test_conversion_latency_matches_pandas(spark):
         ref = float(np.percentile(lats, q, method="linear"))
         assert abs(got[col] - ref) < 1e-3, (col, got[col], ref)
     assert got.p25_s <= got.p50_s <= got.p75_s <= got.p90_s
+
+
+# ---------------------------------------------------------------------------
+# Knox space-time test
+# ---------------------------------------------------------------------------
+
+
+def test_knox_matches_bruteforce_pairs(spark):
+    """Closed-form block counting == an explicit O(n^2) pair count on
+    the sf0.001 fixture (small enough to brute-force)."""
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    pts = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .selectExpr(
+            f"CAST(FLOOR(({X_EXPR}) / 8750.0e0) AS BIGINT) AS cx",
+            f"CAST(FLOOR(({Y_EXPR}) / 8750.0e0) AS BIGINT) AS cy",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        )
+        .toPandas()
+    )
+    rows = list(zip(pts.cx, pts.cy, pts.d))
+    n = len(rows)
+    n_st = n_s = n_t = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            close_s = rows[i][0] == rows[j][0] and rows[i][1] == rows[j][1]
+            close_t = abs(rows[i][2] - rows[j][2]) <= 1
+            n_s += close_s
+            n_t += close_t
+            n_st += close_s and close_t
+    got = QUERIES["knox_spacetime_test"](spark, "/root/testdata/sf0.001").toPandas().iloc[0]
+    assert (got.n_points, got.n_st, got.n_s, got.n_t) == (n, n_st, n_s, n_t)
+    exp = n_s * n_t / (n * (n - 1) / 2)
+    assert abs(got.knox_ratio - round(n_st / exp, 6)) < 1e-9
+
+
+def test_knox_hotspots_cluster_in_space_and_time(spark):
+    got = QUERIES["knox_spacetime_test"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_st > 0
+    assert got.expected_micro > 0
+
+
+def test_knox_never_materializes_pairs(spark):
+    from tests.test_plans import plan_of
+
+    df = QUERIES["knox_spacetime_test"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # adjacency joins run on the aggregated relations via hash equi-join
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Theil decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_theil_decomposition_identity(spark):
+    """Sum of per-group contributions == the undecomposed Theil index
+    recomputed in pure Python, and within/between reconstruct totals."""
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "event_type", "CAST(FLOOR(value * 1.0e6 + 0.5e0) AS BIGINT) ym",
+            "value",
+        )
+        .toPandas()
+    )
+    ev = ev[ev.value > 0.0]
+    got = QUERIES["theil_decomposition"](spark, SF_CORRECT).toPandas()
+    n, s = len(ev), int(ev.ym.sum())
+    # pure-python total Theil (unsnapped — compare at 1e-4)
+    total_ref = sum(
+        (ym / s) * math.log(ym * n / s) for ym in ev.ym
+    )
+    assert abs(got.total_contribution.sum() - total_ref) < 1e-4
+    for _, r in got.iterrows():
+        g = ev[ev.event_type == r.event_type]
+        ng, sg = len(g), int(g.ym.sum())
+        assert r.n_events == ng
+        assert abs(r.income_share - sg / s) < 1e-6
+        t_g = sum((ym / sg) * math.log(ym * ng / sg) for ym in g.ym)
+        assert abs(r.theil_within_group - t_g) < 1e-4
+        bt = (sg / s) * math.log((sg * n) / (s * ng))
+        assert abs(r.between_term - bt) < 1e-6
+        assert abs(
+            r.total_contribution - ((sg / s) * t_g + bt)
+        ) < 1e-4
+    # Theil is non-negative in total
+    assert got.total_contribution.sum() >= 0

@@ -135,7 +135,7 @@ _SESSION3_NEW = (
     "bitmap_day_overlap", "schema_evolution_audit", "ipw_ate_estimate",
     "silhouette_simplified", "mase_forecast_eval",
     "conversion_latency_quantiles", "knox_spacetime_test",
-    "theil_decomposition",
+    "theil_decomposition", "psi_score_drift", "cell_term_lift",
 )
 
 

@@ -2466,3 +2466,190 @@ def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI — population stability index between score halves
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+_PSI_SQL = f"""
+    WITH scored AS (
+      SELECT doc_id, {_BR_SCORE} AS score FROM documents),
+    mx AS (SELECT MAX(score) AS mxs FROM scored),
+    b AS (SELECT doc_id % 2 AS half,
+                 LEAST((score * {_PSI_BINS}) // (mxs + 1),
+                       {_PSI_BINS - 1}) AS bin
+          FROM scored, mx),
+    h AS (SELECT bin,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1
+                      AS BIGINT) AS c_ref,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1
+                      AS BIGINT) AS c_new
+          FROM b GROUP BY bin),
+    tt AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS nr,
+                  CAST(SUM(c_new) AS BIGINT) AS nn FROM h),
+    terms AS (
+      SELECT h.bin, h.c_ref, h.c_new,
+             CAST(FLOOR((h.c_new * 1.0e0 / tt.nn - h.c_ref * 1.0e0 / tt.nr)
+                        * LN((h.c_new * 1.0e0 * tt.nr)
+                             / (h.c_ref * 1.0e0 * tt.nn))
+                        * 1.0e12 + 0.5e0) AS BIGINT) AS t_pico
+      FROM h, tt)
+    SELECT bin, c_ref - 1 AS n_ref, c_new - 1 AS n_new,
+           ROUND(t_pico * 1.0e-12, 6) AS psi_term,
+           ROUND(SUM(t_pico) OVER () * 1.0e-12, 6) AS psi_total
+    FROM terms ORDER BY bin
+    """
+
+
+@q("psi_score_drift", oracle=_PSI_SQL)
+def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the two deterministic halves
+    of the scored corpus over {_PSI_BINS} score bins — the production
+    ML-monitoring drift number (PSI < 0.1 stable, > 0.25 retrain)
+    beside ``ks_value_drift`` (continuous KS) and
+    ``chi2_category_drift`` (categorical): PSI weights each bin's share
+    shift by its log-ratio, so it reads as a symmetrized KL in nats.
+    Laplace +1 on both halves keeps empty bins finite (standard).
+
+    Float discipline: every log argument is an exact integer ratio
+    (c_new·N_ref / (c_ref·N_new)); each bin's term snaps to pico before
+    the total, so the window sum is exact-int.
+
+    Scale shape: one scan -> one {_PSI_BINS}-way partial agg; the
+    total runs as a window over the {_PSI_BINS}-row relation.
+    """
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_BR_SCORE.replace("//", " div ")).alias("score")
+    )
+    mx = scored.agg(F.max("score").alias("mxs"))
+    b = scored.crossJoin(F.broadcast(mx)).select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.least(
+            F.expr(f"(score * {_PSI_BINS}) div (mxs + 1)"),
+            F.lit(_PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    h = b.groupBy("bin").agg(
+        (F.sum(F.when(F.col("half") == 0, 1).otherwise(0)) + 1)
+        .cast("long").alias("c_ref"),
+        (F.sum(F.when(F.col("half") == 1, 1).otherwise(0)) + 1)
+        .cast("long").alias("c_new"),
+    )
+    tt = h.agg(
+        F.sum("c_ref").cast("long").alias("nr"),
+        F.sum("c_new").cast("long").alias("nn"),
+    )
+    terms = h.crossJoin(F.broadcast(tt)).select(
+        "bin", "c_ref", "c_new",
+        F.expr(
+            "CAST(FLOOR((c_new * 1.0e0 / nn - c_ref * 1.0e0 / nr)"
+            " * LN((c_new * 1.0e0 * nr) / (c_ref * 1.0e0 * nn))"
+            " * 1.0e12 + 0.5e0) AS BIGINT)"
+        ).alias("t_pico"),
+    )
+    w = Window.partitionBy()
+    return terms.select(
+        "bin",
+        (F.col("c_ref") - 1).alias("n_ref"),
+        (F.col("c_new") - 1).alias("n_new"),
+        F.round(F.col("t_pico") * F.lit(1.0e-12), 6).alias("psi_term"),
+        F.round(F.sum("t_pico").over(w) * F.lit(1.0e-12), 6).alias("psi_total"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# spatial term lift — which vocabulary clusters where (geo x text graft)
+# ---------------------------------------------------------------------------
+
+_CTL_REGIONS = 4  # coarse page regions (doc-derived geography)
+_CTL_MIN_C = 20  # min term count per region (the standard lift support cut)
+_CTL_TOPK = 5
+
+_CTL_SQL = f"""
+    WITH placed AS (
+      SELECT (doc_id * 2654435761) % 4294967296 % {_CTL_REGIONS} AS region,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    rt AS (SELECT region, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM placed GROUP BY region, w),
+    rn AS (SELECT region, CAST(SUM(c) AS BIGINT) AS nr FROM rt GROUP BY region),
+    wt AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM rt GROUP BY w),
+    nn AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM wt),
+    lift AS (
+      SELECT rt.region, rt.w, rt.c,
+             CAST((CAST(rt.c AS HUGEINT) * nn.n * 1000000)
+                  // (CAST(rn.nr AS HUGEINT) * wt.cw) AS BIGINT)
+               AS lift_micro
+      FROM rt JOIN rn USING (region) JOIN wt USING (w), nn
+      WHERE rt.c >= {_CTL_MIN_C}),
+    ranked AS (
+      SELECT region, w, c, lift_micro,
+             ROW_NUMBER() OVER (PARTITION BY region
+                                ORDER BY lift_micro DESC, w) AS rnk
+      FROM lift)
+    SELECT region, rnk, w AS term, c AS n_occurrences, lift_micro
+    FROM ranked WHERE rnk <= {_CTL_TOPK}
+    ORDER BY region, rnk
+    """
+
+
+@q("cell_term_lift", oracle=_CTL_SQL)
+def cell_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial term lift: for each page region (deterministic Knuth-hash
+    placement of documents onto {_CTL_REGIONS} coarse regions — the
+    geo x text graft question "which vocabulary clusters WHERE"), the
+    top-{_CTL_TOPK} terms by lift = P(term | region) / P(term), with the
+    standard min-support cut. This is the geographic companion of
+    ``tfidf_top_terms`` (which contrasts documents) and
+    ``trending_terms`` (which contrasts time windows).
+
+    Exactness: lift is one exact integer expression
+    (c·N·1e6) / (N_region·c_term) through HUGEINT == DECIMAL(38,0)
+    (the triple product overflows int64 beyond ~1e5-token regions);
+    ranking ties break on the term.
+
+    Scale shape: one explode -> one (region, term)-keyed partial agg;
+    both marginals reuse it; the rank window partitions by region over
+    the min-support-filtered aggregate (never raw tokens).
+    """
+    dec = "decimal(38,0)"
+    placed = t(spark, sf_dir, "documents").select(
+        F.expr(
+            f"(doc_id * 2654435761) % 4294967296 % {_CTL_REGIONS}"
+        ).alias("region"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    rt = placed.groupBy("region", "w").agg(F.count("*").cast("long").alias("c"))
+    rn = rt.groupBy("region").agg(F.sum("c").cast("long").alias("nr"))
+    wt = rt.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
+    nn = wt.agg(F.sum("cw").cast("long").alias("n"))
+    lift = (
+        rt.where(F.col("c") >= _CTL_MIN_C)
+        .join(F.broadcast(rn), "region")
+        .join(wt, "w")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "region", "w", "c",
+            F.expr(
+                f"CAST((CAST(c AS {dec}) * n * 1000000)"
+                f" div (CAST(nr AS {dec}) * cw) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )
+    ranked = lift.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("region").orderBy(F.desc("lift_micro"), "w")
+        ),
+    )
+    return (
+        ranked.where(F.col("rnk") <= _CTL_TOPK)
+        .select(
+            "region", "rnk", F.col("w").alias("term"),
+            F.col("c").alias("n_occurrences"), "lift_micro",
+        )
+        .orderBy("region", "rnk")
+    )

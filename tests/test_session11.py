@@ -1059,3 +1059,87 @@ def test_theil_decomposition_identity(spark):
         ) < 1e-4
     # Theil is non-negative in total
     assert got.total_contribution.sum() >= 0
+
+
+# ---------------------------------------------------------------------------
+# PSI
+# ---------------------------------------------------------------------------
+
+
+def test_psi_matches_pure_python(spark):
+    docs = _docs(spark)
+    hits = docs.text.apply(lambda t: (len(t) - len(t.replace("spark", ""))) // 5)
+    score = (hits * 1000000) // docs.n_chars
+    mxs = int(score.max())
+    bins = ((score * 10) // (mxs + 1)).clip(upper=9)
+    half = docs.doc_id % 2
+    got = QUERIES["psi_score_drift"](spark, SF_CORRECT).toPandas()
+    total = 0
+    terms = {}
+    present = sorted(bins.unique())
+    nr = int((half == 0).sum()) + len(present)
+    nn_ = int((half == 1).sum()) + len(present)
+    for k in present:
+        c_ref = int(((bins == k) & (half == 0)).sum()) + 1
+        c_new = int(((bins == k) & (half == 1)).sum()) + 1
+        tp = math.floor(
+            (c_new / nn_ - c_ref / nr)
+            * math.log((c_new * nr) / (c_ref * nn_))
+            * 1e12
+            + 0.5
+        )
+        terms[k] = (c_ref - 1, c_new - 1, tp)
+        total += tp
+    assert len(got) == len(present)
+    for _, r in got.iterrows():
+        c_ref, c_new, tp = terms[int(r.bin)]
+        assert (r.n_ref, r.n_new) == (c_ref, c_new)
+        assert abs(r.psi_term - round(tp * 1e-12, 6)) < 1e-9
+        assert abs(r.psi_total - round(total * 1e-12, 6)) < 1e-9
+    # PSI is non-negative (it is a symmetrized KL)
+    assert (got.psi_total >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# spatial term lift
+# ---------------------------------------------------------------------------
+
+
+def test_cell_term_lift_matches_pure_python(spark):
+    docs = _docs(spark)
+    rt: dict[tuple[int, str], int] = {}
+    for _, r in docs.iterrows():
+        region = (int(r.doc_id) * 2654435761) % 4294967296 % 4
+        for w in r.text.split(" "):
+            rt[(region, w)] = rt.get((region, w), 0) + 1
+    rn: dict[int, int] = {}
+    wt: dict[str, int] = {}
+    for (g, w), c in rt.items():
+        rn[g] = rn.get(g, 0) + c
+        wt[w] = wt.get(w, 0) + c
+    n = sum(wt.values())
+    per_region: dict[int, list] = {}
+    for (g, w), c in rt.items():
+        if c >= 20:
+            lift = (c * n * 1000000) // (rn[g] * wt[w])
+            per_region.setdefault(g, []).append((-lift, w, c, lift))
+    got = QUERIES["cell_term_lift"](spark, SF_CORRECT).toPandas()
+    for g, rows in per_region.items():
+        top = sorted(rows)[:5]
+        sub = got[got.region == g].sort_values("rnk")
+        assert len(sub) == min(5, len(rows))
+        for (_, w, c, lift), (_, r) in zip(top, sub.iterrows()):
+            assert (r.term, r.n_occurrences, r.lift_micro) == (w, c, lift)
+
+
+def test_cell_term_lift_rank_window_is_region_keyed(spark):
+    from tests.test_plans import plan_of
+
+    df = QUERIES["cell_term_lift"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    # the only SinglePartition is the benign 1-row corpus-total scalar
+    # aggregate (the HITS scalar-build precedent, cf. rfm_segments)
+    assert plan.count("SinglePartition") == 1
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "region" in line, line

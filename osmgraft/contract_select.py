@@ -2653,3 +2653,219 @@ def cell_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance for an aggregate-over-join view
+# ---------------------------------------------------------------------------
+
+# base/delta split rules (deterministic): late orders and every 10th
+# customer arrive in the delta batch
+_IVMJ_ORD_DELTA = "o_orderkey % 7 = 0"
+_IVMJ_CUST_DELTA = "c_custkey % 10 = 0"
+
+_IVMJ_SQL = f"""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+                        AS cents,
+                      CASE WHEN {_IVMJ_ORD_DELTA} THEN 1 ELSE 0 END AS is_d
+               FROM orders),
+    c AS (SELECT c_custkey, c_nationkey,
+                 CASE WHEN {_IVMJ_CUST_DELTA} THEN 1 ELSE 0 END AS is_d
+          FROM customer),
+    j AS (SELECT c.c_nationkey AS nation, o.cents,
+                 o.is_d AS od, c.is_d AS cd
+          FROM o JOIN c ON o.o_custkey = c.c_custkey),
+    v AS (
+      SELECT nation,
+             CAST(SUM(CASE WHEN od = 0 AND cd = 0 THEN cents ELSE 0 END)
+                  AS BIGINT) AS view_before,
+             CAST(SUM(CASE WHEN od = 1 AND cd = 0 THEN cents ELSE 0 END)
+                  AS BIGINT) AS d_orders,
+             CAST(SUM(CASE WHEN od = 0 AND cd = 1 THEN cents ELSE 0 END)
+                  AS BIGINT) AS d_customers,
+             CAST(SUM(CASE WHEN od = 1 AND cd = 1 THEN cents ELSE 0 END)
+                  AS BIGINT) AS d_both,
+             CAST(SUM(cents) AS BIGINT) AS recomputed_after
+      FROM j GROUP BY nation)
+    SELECT nation, view_before, d_orders, d_customers, d_both,
+           view_before + d_orders + d_customers + d_both AS view_after,
+           recomputed_after,
+           CAST(CASE WHEN view_before + d_orders + d_customers + d_both
+                          = recomputed_after THEN 1 ELSE 0 END AS BIGINT)
+             AS is_consistent
+    FROM v ORDER BY nation
+    """
+
+
+@q("ivm_join_delta", oracle=_IVMJ_SQL)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an aggregate-over-JOIN view —
+    the three-term delta rule d(A JOIN B) = dA⋈B + A⋈dB + dA⋈dB,
+    applied to revenue-per-nation over orders⋈customer with
+    deterministic base/delta splits on BOTH sides (``ivm_agg_delta``
+    maintains a single-relation aggregate; this is the join case every
+    materialized-view engine implements). The output carries each delta
+    term separately plus the recomputed ground truth and a consistency
+    flag — the flag IS the IVM correctness proof, per nation.
+
+    Exactness: money snaps to integer cents; every term is an int64 sum.
+
+    Scale shape: ONE equi-join (the same broadcast/hash shape as
+    ``revenue_by_nation``) computes all four quadrants via conditional
+    aggregation — the incremental terms never need separate scans
+    because the quadrant flags are scan-local.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+        F.expr(
+            f"CASE WHEN {_IVMJ_ORD_DELTA} THEN 1 ELSE 0 END"
+        ).alias("od"),
+    )
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.expr(
+            f"CASE WHEN {_IVMJ_CUST_DELTA} THEN 1 ELSE 0 END"
+        ).alias("cd"),
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nation"), "cents", "od", "cd"
+    )
+    v = j.groupBy("nation").agg(
+        F.sum(F.when((F.col("od") == 0) & (F.col("cd") == 0), F.col("cents")).otherwise(0))
+        .cast("long").alias("view_before"),
+        F.sum(F.when((F.col("od") == 1) & (F.col("cd") == 0), F.col("cents")).otherwise(0))
+        .cast("long").alias("d_orders"),
+        F.sum(F.when((F.col("od") == 0) & (F.col("cd") == 1), F.col("cents")).otherwise(0))
+        .cast("long").alias("d_customers"),
+        F.sum(F.when((F.col("od") == 1) & (F.col("cd") == 1), F.col("cents")).otherwise(0))
+        .cast("long").alias("d_both"),
+        F.sum("cents").cast("long").alias("recomputed_after"),
+    )
+    after = (
+        F.col("view_before") + F.col("d_orders") + F.col("d_customers")
+        + F.col("d_both")
+    )
+    return v.select(
+        "nation", "view_before", "d_orders", "d_customers", "d_both",
+        after.alias("view_after"),
+        "recomputed_after",
+        F.when(after == F.col("recomputed_after"), 1).otherwise(0)
+        .cast("long").alias("is_consistent"),
+    ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# point-in-time (as-of) join of facts against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+_PIT_SQL = """
+    WITH snap AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             MAX(event_type) AS attr
+      FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)),
+    chg AS (
+      SELECT user_id, day, attr,
+             CASE WHEN LAG(attr) OVER w IS NULL
+                    OR LAG(attr) OVER w <> attr THEN 1 ELSE 0 END AS is_new
+      FROM snap WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+    ver AS (
+      SELECT user_id, day, attr,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS version
+      FROM chg),
+    runs AS (
+      SELECT user_id, MIN(attr) AS attr, MIN(day) AS valid_from
+      FROM ver GROUP BY user_id, version),
+    dim AS (
+      SELECT user_id, attr, valid_from,
+             COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id
+                                             ORDER BY valid_from),
+                      DATE '9999-12-31') AS valid_to
+      FROM runs),
+    fact AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             event_type,
+             CAST(FLOOR(value * 1.0e6 + 0.5e0) AS BIGINT) AS vm
+      FROM events),
+    pit AS (
+      SELECT d.attr AS attr_asof, f.event_type, f.vm
+      FROM fact f JOIN dim d
+        ON f.user_id = d.user_id
+       AND f.day >= d.valid_from AND f.day < d.valid_to)
+    SELECT attr_asof, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(vm) AS BIGINT) AS value_micro
+    FROM pit GROUP BY attr_asof, event_type
+    ORDER BY attr_asof, event_type
+    """
+
+
+@q("pit_join_orders", oracle=_PIT_SQL)
+def pit_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: every event joins the SCD2 dimension
+    version that was valid ON ITS DAY — the lookup
+    ``scd2_dimension_build`` exists to serve (training-data pipelines
+    call this "temporal feature join"; joining today's attr onto
+    historical facts is the leakage ``leakage_safe_split`` guards
+    against). Rolled up by (as-of attribute, event type) with exact
+    micro value sums; every fact lands on EXACTLY one version because
+    the validity intervals partition each user's timeline
+    (pytest-pinned: fact count in == fact count out).
+
+    Scale shape: dimension build is the scd2 shape (user-keyed windows
+    over daily snapshots); the PIT join is a USER-KEYED equi-join with
+    a range residual — per-user interval counts are bounded by distinct
+    attribute runs, so the residual filter never explodes (the
+    ``range_band_join`` discipline). One rollup shuffle after.
+    """
+    ev = t(spark, sf_dir, "events")
+    snap = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.max("event_type").alias("attr"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    chg = snap.withColumn(
+        "is_new",
+        F.when(
+            F.lag("attr").over(w).isNull()
+            | (F.lag("attr").over(w) != F.col("attr")),
+            1,
+        ).otherwise(0),
+    )
+    ver = chg.withColumn(
+        "version",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = ver.groupBy("user_id", "version").agg(
+        F.min("attr").alias("attr"), F.min("day").alias("valid_from")
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    dim = runs.select(
+        F.col("user_id").alias("d_user"),
+        "attr",
+        "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(wv), F.lit("9999-12-31").cast("date")
+        ).alias("valid_to"),
+    )
+    fact = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type",
+        F.floor(F.col("value") * F.lit(1.0e6) + F.lit(0.5)).cast("long").alias("vm"),
+    )
+    pit = fact.join(
+        dim,
+        (fact.user_id == dim.d_user)
+        & (fact.day >= dim.valid_from)
+        & (fact.day < dim.valid_to),
+    )
+    return (
+        pit.groupBy(F.col("attr").alias("attr_asof"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("vm").cast("long").alias("value_micro"),
+        )
+        .orderBy("attr_asof", "event_type")
+    )

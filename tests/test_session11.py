@@ -1143,3 +1143,90 @@ def test_cell_term_lift_rank_window_is_region_keyed(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "region" in line, line
+
+
+# ---------------------------------------------------------------------------
+# IVM join delta
+# ---------------------------------------------------------------------------
+
+
+def test_ivm_join_delta_is_consistent_and_matches_recompute(spark):
+    got = QUERIES["ivm_join_delta"](spark, SF_CORRECT).toPandas()
+    # the IVM identity holds for every nation
+    assert (got.is_consistent == 1).all()
+    assert (
+        got.view_before + got.d_orders + got.d_customers + got.d_both
+        == got.recomputed_after
+    ).all()
+    # every delta quadrant actually receives rows on the fixture
+    assert got.d_orders.sum() > 0
+    assert got.d_customers.sum() > 0
+    assert got.d_both.sum() > 0
+    # cross-check one nation against a pandas recompute
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF_CORRECT}/customer.parquet").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = (j.o_totalprice * 100 + 0.5).apply(math.floor).astype(int)
+    nation0 = int(got.nation.iloc[0])
+    sub = j[j.c_nationkey == nation0]
+    assert got.recomputed_after.iloc[0] == int(sub.cents.sum())
+
+
+def test_ivm_join_is_broadcast(spark):
+    from tests.test_plans import plan_of
+
+    df = QUERIES["ivm_join_delta"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# point-in-time join
+# ---------------------------------------------------------------------------
+
+
+def test_pit_join_covers_every_fact_exactly_once(spark):
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    got = QUERIES["pit_join_orders"](spark, SF_CORRECT).toPandas()
+    # validity intervals partition each user's timeline: row-preserving
+    assert got.n_events.sum() == ev.count()
+
+
+def test_pit_join_attr_is_the_version_valid_at_event_day(spark):
+    """Pandas recompute of the as-of lookup for every (attr, type) cell."""
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id", "CAST(date_trunc('day', ts) AS DATE) AS day",
+            "event_type",
+            "CAST(FLOOR(value * 1.0e6 + 0.5e0) AS BIGINT) AS vm",
+        )
+        .toPandas()
+    )
+    snap = (
+        ev.groupby(["user_id", "day"]).event_type.max().rename("attr").reset_index()
+    )
+    cells: dict[tuple[str, str], list] = {}
+    for uid, g in ev.groupby("user_id"):
+        s = snap[snap.user_id == uid].sort_values("day")
+        runs = []  # (valid_from, attr)
+        cur = None
+        for _, r in s.iterrows():
+            if cur is None or r.attr != cur:
+                runs.append((r.day, r.attr))
+                cur = r.attr
+        for _, f in g.iterrows():
+            attr = None
+            for vf, a in runs:
+                if f.day >= vf:
+                    attr = a
+                else:
+                    break
+            cells.setdefault((attr, f.event_type), []).append(int(f.vm))
+    got = QUERIES["pit_join_orders"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(cells)
+    for _, r in got.iterrows():
+        vs = cells[(r.attr_asof, r.event_type)]
+        assert r.n_events == len(vs)
+        assert r.value_micro == sum(vs)

@@ -136,7 +136,8 @@ _SESSION3_NEW = (
     "silhouette_simplified", "mase_forecast_eval",
     "conversion_latency_quantiles", "knox_spacetime_test",
     "theil_decomposition", "psi_score_drift", "cell_term_lift",
-    "ivm_join_delta", "pit_join_orders",
+    "ivm_join_delta", "pit_join_orders", "vocab_richness_estimates",
+    "burrows_delta_pairs",
 )
 
 

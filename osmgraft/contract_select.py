@@ -2869,3 +2869,219 @@ def pit_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("attr_asof", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary richness estimators (Good-Turing + Chao1)
+# ---------------------------------------------------------------------------
+
+_VOCAB_RICH_SQL = """
+    WITH arrs AS (SELECT string_split(text, ' ') AS a FROM documents
+                  WHERE len(string_split(text, ' ')) >= 3),
+    toks AS (SELECT a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS w
+             FROM arrs, UNNEST(range(1, len(a) - 1)) AS t(i)),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                 CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+          FROM wc)
+    SELECT v AS vocab_observed, n AS n_tokens, n1 AS n_hapax, n2 AS n_dis,
+           ROUND(n1 * 1.0e0 / n, 6) AS gt_unseen_mass,
+           ROUND(2.0e0 * n2 / n1, 6) AS gt_adjusted_r1,
+           CAST(v + (CAST(n1 AS HUGEINT) * n1 * 1000000)
+                    // (2 * CAST(n2 AS HUGEINT) * 1000000) AS BIGINT)
+             AS chao1_vocab,
+           ROUND(v + n1 * 1.0e0 * n1 / (2.0e0 * n2), 4) AS chao1_exact
+    FROM s
+    """
+
+
+@q("vocab_richness_estimates", oracle=_VOCAB_RICH_SQL)
+def vocab_richness_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-vocabulary estimators over the corpus TRIGRAM frequency
+    spectrum (the fixture's unigram vocab is closed — 31 types, no
+    hapaxes — so the species unit is the word trigram, which has a
+    genuine singleton tail) — the two classical answers to "how much
+    vocabulary has the crawl NOT seen yet": Good-Turing unseen probability mass N1/N (hapax share of
+    tokens; also the adjusted count r*=2·N2/N1 for singletons) and the
+    Chao1 richness estimate V + N1^2/(2·N2). The capacity-planning
+    companion of ``vocab_coverage_curve`` (which measures the seen side)
+    and ``zipf_vocab_fit`` (which fits the spectrum's shape).
+
+    Exactness: all five spectrum statistics are exact integers from one
+    word-keyed partial agg; the two ratios divide once (Chao1 is also
+    emitted as an exact HUGEINT floor for a float-free comparison).
+
+    Scale shape: one in-row shingling explode -> one gram-keyed partial
+    agg -> one scalar rollup. Identical to ``ngram_jaccard_pairs``' cost.
+    """
+    dec = "decimal(38,0)"
+    arrs = t(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("a")
+    ).where(F.expr("size(a) >= 3"))
+    toks = arrs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 2),"
+                " i -> a[i - 1] || ' ' || a[i] || ' ' || a[i + 1])"
+            )
+        ).alias("w")
+    )
+    wc = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    s = wc.agg(
+        F.count("*").cast("long").alias("v"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("c") == 3, 1).otherwise(0)).cast("long").alias("n3"),
+    )
+    return s.select(
+        F.col("v").alias("vocab_observed"),
+        F.col("n").alias("n_tokens"),
+        F.col("n1").alias("n_hapax"),
+        F.col("n2").alias("n_dis"),
+        F.round(F.col("n1") * F.lit(1.0) / F.col("n"), 6).alias("gt_unseen_mass"),
+        F.round(F.lit(2.0) * F.col("n2") / F.col("n1"), 6).alias("gt_adjusted_r1"),
+        F.expr(
+            f"CAST(v + (CAST(n1 AS {dec}) * n1 * 1000000)"
+            f" div (2 * CAST(n2 AS {dec}) * 1000000) AS BIGINT)"
+        ).alias("chao1_vocab"),
+        F.round(
+            F.col("v") + F.col("n1") * F.lit(1.0) * F.col("n1")
+            / (F.lit(2.0) * F.col("n2")),
+            4,
+        ).alias("chao1_exact"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+_BD_TOPK = 30  # most-frequent-word feature set (the classical Delta uses
+# the corpus's top function words — here the corpus's own top-k)
+
+_BURROWS_SQL = f"""
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM toks GROUP BY w),
+    top AS (SELECT w FROM wt ORDER BY cw DESC, w LIMIT {_BD_TOPK}),
+    st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+           FROM toks GROUP BY source),
+    sw AS (SELECT t.source, t.w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks t JOIN top USING (w) GROUP BY t.source, t.w),
+    fr AS (
+      SELECT st.source, top.w,
+             CAST(COALESCE(sw.c, 0) * 1000000 // st.ns AS BIGINT) AS f_ppm
+      FROM st CROSS JOIN top
+      LEFT JOIN sw ON sw.source = st.source AND sw.w = top.w),
+    mu AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(f_ppm) AS BIGINT) AS s1,
+             SUM(CAST(f_ppm AS HUGEINT) * f_ppm) AS s2
+      FROM fr GROUP BY w),
+    z AS (
+      SELECT fr.source, fr.w,
+             (fr.f_ppm * 1.0e0 - mu.s1 * 1.0e0 / mu.k)
+             / SQRT(mu.s2 * 1.0e0 / mu.k
+                    - (mu.s1 * 1.0e0 / mu.k) * (mu.s1 * 1.0e0 / mu.k)) AS zv
+      FROM fr JOIN mu ON fr.w = mu.w
+      WHERE mu.s2 * mu.k > mu.s1 * mu.s1),
+    d AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(SUM(CAST(FLOOR(ABS(a.zv - b.zv) * 1.0e6 + 0.5e0)
+                           AS BIGINT)) AS BIGINT) AS sum_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_features
+      FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT source_a, source_b, n_features,
+           ROUND(sum_micro * 1.0e-6 / n_features, 6) AS burrows_delta
+    FROM d ORDER BY source_a, source_b
+    """
+
+
+@q("burrows_delta_pairs", oracle=_BURROWS_SQL)
+def burrows_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (the standard stylometric authorship distance)
+    between every pair of sources: z-score each source's per-mille
+    frequency of the corpus's top-{_BD_TOPK} words against the
+    cross-source mean/std of that word, then Delta = mean |z_a - z_b| —
+    the attribution-grade "same author/template?" measure beside
+    ``js_divergence_sources`` (distributional drift) and
+    ``mirror_source_matrix`` (content overlap). Constant-across-sources
+    words (zero variance) drop out, per the classical definition.
+
+    Float discipline: frequencies snap to ppm integers BEFORE the
+    moment sums (exact, HUGEINT squares); z-scores are one shared
+    double expression; each pair term floor-snaps to micro before the
+    pair sum.
+
+    Scale shape: top-k vocabulary via TakeOrdered; the feature matrix
+    is |sources| x {_BD_TOPK} (broadcast-sized however big the corpus);
+    the pair join runs on that tiny matrix keyed by word. Raw tokens
+    are scanned twice (corpus top-k, per-source counts), shuffled on
+    the word key only.
+    """
+    toks = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    wt = toks.groupBy("w").agg(F.count("*").cast("long").alias("cw"))
+    top = wt.orderBy(F.desc("cw"), "w").limit(_BD_TOPK).select("w")
+    st = toks.groupBy("source").agg(F.count("*").cast("long").alias("ns"))
+    sw = (
+        toks.join(F.broadcast(top), "w")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    fr = (
+        st.crossJoin(F.broadcast(top))
+        .join(sw, ["source", "w"], "left")
+        .select(
+            "source", "w",
+            F.expr("CAST(COALESCE(c, 0) * 1000000 div ns AS BIGINT)")
+            .alias("f_ppm"),
+        )
+    )
+    dec = "decimal(38,0)"
+    mu = fr.groupBy("w").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("f_ppm").cast("long").alias("s1"),
+        F.sum(F.col("f_ppm").cast(dec) * F.col("f_ppm")).alias("s2"),
+    )
+    z = (
+        fr.join(F.broadcast(mu), "w")
+        .where(F.expr("s2 * k > CAST(s1 AS decimal(38,0)) * s1"))
+        .select(
+            "source", "w",
+            F.expr(
+                "(f_ppm * 1.0e0 - s1 * 1.0e0 / k)"
+                " / SQRT(s2 * 1.0e0 / k"
+                " - (s1 * 1.0e0 / k) * (s1 * 1.0e0 / k))"
+            ).alias("zv"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), F.col("w").alias("wa"),
+        F.col("zv").alias("za"),
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), F.col("w").alias("wb"),
+        F.col("zv").alias("zb"),
+    )
+    d = (
+        a.join(b, (F.col("wa") == F.col("wb")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(ABS(za - zb) * 1.0e6 + 0.5e0) AS BIGINT)")
+            ).cast("long").alias("sum_micro"),
+            F.count("*").cast("long").alias("n_features"),
+        )
+    )
+    return d.select(
+        "source_a", "source_b", "n_features",
+        F.round(F.col("sum_micro") * F.lit(1.0e-6) / F.col("n_features"), 6)
+        .alias("burrows_delta"),
+    ).orderBy("source_a", "source_b")

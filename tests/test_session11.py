@@ -1230,3 +1230,81 @@ def test_pit_join_attr_is_the_version_valid_at_event_day(spark):
         vs = cells[(r.attr_asof, r.event_type)]
         assert r.n_events == len(vs)
         assert r.value_micro == sum(vs)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary richness
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_richness_matches_pure_python(spark):
+    docs = _docs(spark)
+    counts: dict[str, int] = {}
+    for txt in docs.text:
+        ws = txt.split(" ")
+        for i in range(len(ws) - 2):
+            g = " ".join(ws[i : i + 3])
+            counts[g] = counts.get(g, 0) + 1
+    v = len(counts)
+    n = sum(counts.values())
+    n1 = sum(1 for c in counts.values() if c == 1)
+    n2 = sum(1 for c in counts.values() if c == 2)
+    got = QUERIES["vocab_richness_estimates"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert (got.vocab_observed, got.n_tokens, got.n_hapax, got.n_dis) == (
+        v, n, n1, n2,
+    )
+    assert abs(got.gt_unseen_mass - round(n1 / n, 6)) < 1e-9
+    assert abs(got.gt_adjusted_r1 - round(2.0 * n2 / n1, 6)) < 1e-9
+    assert got.chao1_vocab == v + (n1 * n1 * 1000000) // (2 * n2 * 1000000)
+    # richness estimate can only revise the observed vocabulary upward
+    assert got.chao1_exact >= v
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta
+# ---------------------------------------------------------------------------
+
+
+def test_burrows_delta_matches_pure_python(spark):
+    src = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("source", "text")
+        .toPandas()
+    )
+    corpus: dict[str, int] = {}
+    per: dict[str, dict[str, int]] = {}
+    for _, r in src.iterrows():
+        d = per.setdefault(r.source, {})
+        for w in r.text.split(" "):
+            corpus[w] = corpus.get(w, 0) + 1
+            d[w] = d.get(w, 0) + 1
+    top = [w for w, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:30]]
+    sources = sorted(per)
+    fppm = {
+        (s, w): (per[s].get(w, 0) * 1000000) // sum(per[s].values())
+        for s in sources
+        for w in top
+    }
+    zs = {}
+    for w in top:
+        vals = [fppm[(s, w)] for s in sources]
+        k = len(vals)
+        s1, s2 = sum(vals), sum(x * x for x in vals)
+        if s2 * k <= s1 * s1:
+            continue  # constant feature drops out
+        mean = s1 / k
+        std = math.sqrt(s2 / k - mean * mean)
+        for s in sources:
+            zs[(s, w)] = (fppm[(s, w)] - mean) / std
+    feats = sorted({w for (_, w) in zs})
+    got = QUERIES["burrows_delta_pairs"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(sources) * (len(sources) - 1) // 2
+    for _, r in got.iterrows():
+        terms = [
+            math.floor(abs(zs[(r.source_a, w)] - zs[(r.source_b, w)]) * 1e6 + 0.5)
+            for w in feats
+        ]
+        assert r.n_features == len(feats)
+        assert abs(r.burrows_delta - round(sum(terms) * 1e-6 / len(terms), 6)) < 1e-9
+    # Delta is a metric-ish distance: non-negative everywhere
+    assert (got.burrows_delta >= 0).all()

@@ -137,7 +137,7 @@ _SESSION3_NEW = (
     "conversion_latency_quantiles", "knox_spacetime_test",
     "theil_decomposition", "psi_score_drift", "cell_term_lift",
     "ivm_join_delta", "pit_join_orders", "vocab_richness_estimates",
-    "burrows_delta_pairs",
+    "burrows_delta_pairs", "local_clustering_coeff", "jl_projection_audit",
 )
 
 

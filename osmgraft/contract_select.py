@@ -3085,3 +3085,237 @@ def burrows_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_micro") * F.lit(1.0e-6) / F.col("n_features"), 6)
         .alias("burrows_delta"),
     ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient per node
+# ---------------------------------------------------------------------------
+
+_LCC_N = 61  # same doc-derived graph as triangle_count (contract_web)
+
+_LCC_SQL = f"""
+    WITH raw AS (
+      SELECT doc_id % {_LCC_N} AS u,
+             ((doc_id // {_LCC_N}) * 2311 + doc_id * 7919 + 13) % {_LCC_N} AS v
+      FROM documents),
+    e AS (
+      SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+      FROM raw WHERE u <> v),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+      GROUP BY n),
+    o AS (
+      SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst
+      FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+    w AS (
+      SELECT x.src AS s, x.dst AS p, y.dst AS q
+      FROM o x JOIN o y ON x.src = y.src AND x.dst < y.dst),
+    tri AS (
+      SELECT w.s, w.p, w.q
+      FROM w JOIN e ON e.a = LEAST(w.p, w.q) AND e.b = GREATEST(w.p, w.q)),
+    tn AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS tri_n FROM (
+        SELECT s AS n FROM tri UNION ALL
+        SELECT p AS n FROM tri UNION ALL
+        SELECT q AS n FROM tri)
+      GROUP BY n)
+    SELECT deg.n AS node, deg.d AS degree,
+           CAST(COALESCE(tn.tri_n, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2
+                THEN ROUND(2.0e0 * COALESCE(tn.tri_n, 0)
+                           / (deg.d * (deg.d - 1)), 6)
+                ELSE 0.0e0 END AS lcc
+    FROM deg LEFT JOIN tn ON deg.n = tn.n
+    ORDER BY node
+    """
+
+
+@q("local_clustering_coeff", oracle=_LCC_SQL)
+def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient — the node-level refinement
+    of ``triangle_count`` (same doc-derived graph, same degree-oriented
+    wedge enumeration): LCC(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the
+    "how clique-ish is this host's neighborhood" number behind community
+    detection and spam-farm spotting (link farms: high degree AND high
+    LCC; organic hubs: high degree, low LCC).
+
+    Each closed triangle credits ALL THREE corners (the orientation is
+    an enumeration device only — tri(v) stays the undirected count,
+    pytest-pinned against brute force). Degree-one nodes emit 0, the
+    networkx convention.
+
+    Scale shape: identical to triangle_count (O(Σ min_deg²) wedges, all
+    equi-joins) plus one 3-way corner explode and a node-keyed partial
+    agg. Nothing new shuffles.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    raw = d.select(
+        (did % _LCC_N).alias("u"),
+        (
+            (F.expr(f"doc_id div {_LCC_N}") * 2311 + did * 7919 + 13) % _LCC_N
+        ).alias("v"),
+    )
+    e = (
+        raw.where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    x = o.select(F.col("src").alias("s"), F.col("dst").alias("p"))
+    y = o.select(F.col("src").alias("s2"), F.col("dst").alias("q"))
+    w = x.join(y, (F.col("s") == F.col("s2")) & (F.col("p") < F.col("q"))).select(
+        "s", "p", "q"
+    )
+    tri = w.join(
+        e,
+        (e.a == F.least(w.p, w.q)) & (e.b == F.greatest(w.p, w.q)),
+    ).select("s", "p", "q")
+    tn = (
+        tri.select(F.col("s").alias("n"))
+        .unionAll(tri.select(F.col("p").alias("n")))
+        .unionAll(tri.select(F.col("q").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("tri_n"))
+    )
+    return (
+        deg.join(tn, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce("tri_n", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    F.lit(2.0) * F.coalesce("tri_n", F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+        .orderBy("node")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection distortion audit
+# ---------------------------------------------------------------------------
+
+_JL_K = 16  # target dimensions
+_JL_STEP = 17  # pair sampling: (id, id+17) for id % 11 == 0
+_JL_MOD = 11
+
+_JL_PROJ_DUCK = f"""list_transform(range(0, {_JL_K}), j ->
+               list_reduce(list_transform(range(1, len(v) + 1),
+                 i -> v[i] * (((((i - 1) * 37 + j) * 2654435761)
+                              % 4294967296 // 65536) % 2 * 2 - 1)),
+                 (s, x) -> s + x))"""
+
+_JL_D2_DUCK = (
+    "list_reduce(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (s, x) -> s + x)"
+)
+
+_JL_SQL = f"""
+    WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pv AS (SELECT vec_id, v, {_JL_PROJ_DUCK} AS pv FROM ev),
+    pairs AS (
+      SELECT a.vec_id AS id_a,
+             {_JL_D2_DUCK.format(a="a.v", b="b.v")} AS d2_full,
+             {_JL_D2_DUCK.format(a="a.pv", b="b.pv")} / {_JL_K}.0e0
+               AS d2_proj
+      FROM pv a JOIN pv b ON b.vec_id = a.vec_id + {_JL_STEP}
+      WHERE a.vec_id % {_JL_MOD} = 0),
+    r AS (SELECT ROUND(d2_proj / d2_full, 6) AS ratio FROM pairs
+          WHERE d2_full > 0.0e0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(ratio), 4) AS mean_ratio,
+           ROUND(MIN(ratio), 6) AS min_ratio,
+           ROUND(MAX(ratio), 6) AS max_ratio,
+           CAST(SUM(CASE WHEN ratio BETWEEN 0.5e0 AND 2.0e0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_2x
+    FROM r
+    """
+
+
+@q("jl_projection_audit", oracle=_JL_SQL)
+def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection distortion audit: project
+    the embeddings from d to {_JL_K} dims with a deterministic ±1
+    sign matrix (sign = a mid bit of the Knuth multiplicative hash of
+    the (row, column) index — the database-friendly JL construction;
+    Achlioptas 2001 shows ±1 entries suffice), then
+    measure the squared-distance distortion ratio over a deterministic
+    pair sample. This is the missing rung of the embedding-compression
+    ladder (int8 -> PQ -> MRL -> JL): it certifies how far the CHEAPEST
+    compression can go before ANN recall collapses.
+
+    Float discipline: projections and distances come from the shared
+    sequential list folds (bit-identical across engines); ratios snap
+    to 6 dp before the rollup.
+
+    Scale shape: the projection is in-row (O(d·k) per row, no UDF); the
+    pair sample joins on an ARITHMETIC key (vec_id + {_JL_STEP}), so
+    it is an equi-join, never a cross; one scalar rollup after.
+    """
+    ev = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("v"),
+    )
+    proj = (
+        f"transform(sequence(0, {_JL_K - 1}), j -> "
+        f"aggregate(zip_with(v, sequence(0, size(v) - 1),"
+        f" (x, i) -> x * ((((i * 37 + j) * 2654435761)"
+        f" % 4294967296 div 65536) % 2 * 2 - 1)),"
+        f" 0D, (s, x) -> s + x))"
+    )
+    pv = ev.select("vec_id", "v", F.expr(proj).alias("pv"))
+    a = pv.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("pv").alias("pa"),
+    ).where(F.col("id_a") % _JL_MOD == 0)
+    b = pv.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("pv").alias("pb"),
+    )
+    d2 = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (s, x) -> s + x)"
+    )
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + _JL_STEP).select(
+        F.expr(d2.format(a="va", b="vb")).alias("d2_full"),
+        (F.expr(d2.format(a="pa", b="pb")) / F.lit(float(_JL_K))).alias("d2_proj"),
+    )
+    r = pairs.where(F.col("d2_full") > 0.0).select(
+        F.round(F.col("d2_proj") / F.col("d2_full"), 6).alias("ratio")
+    )
+    return r.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("ratio"), 4).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        F.sum(
+            F.when((F.col("ratio") >= 0.5) & (F.col("ratio") <= 2.0), 1).otherwise(0)
+        ).cast("long").alias("n_within_2x"),
+    )

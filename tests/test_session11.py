@@ -1308,3 +1308,102 @@ def test_burrows_delta_matches_pure_python(spark):
         assert abs(r.burrows_delta - round(sum(terms) * 1e-6 / len(terms), 6)) < 1e-9
     # Delta is a metric-ish distance: non-negative everywhere
     assert (got.burrows_delta >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_lcc_matches_bruteforce(spark):
+    docs = _docs(spark)
+    edges = set()
+    for did in docs.doc_id:
+        did = int(did)
+        u = did % 61
+        v = ((did // 61) * 2311 + did * 7919 + 13) % 61
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = QUERIES["local_clustering_coeff"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(adj)
+    total_tri = 0
+    for _, r in got.iterrows():
+        nbrs = adj[int(r.node)]
+        d = len(nbrs)
+        tri = sum(
+            1
+            for x in nbrs
+            for y in nbrs
+            if x < y and (min(x, y), max(x, y)) in edges
+        )
+        assert r.degree == d
+        assert r.n_triangles == tri
+        lcc = round(2.0 * tri / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert abs(r.lcc - lcc) < 1e-9
+        total_tri += tri
+    # corner-credit identity: per-node triangle counts sum to 3x total
+    assert total_tri % 3 == 0
+
+
+def test_lcc_no_cartesian(spark):
+    from tests.test_plans import plan_of
+
+    df = QUERIES["local_clustering_coeff"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# JL projection
+# ---------------------------------------------------------------------------
+
+
+def test_jl_projection_matches_numpy_and_preserves_distance(spark):
+    import numpy as np
+
+    emb = (
+        spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        .selectExpr(
+            "vec_id", "transform(embedding, x -> cast(x as double)) v"
+        )
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.array(emb.v.tolist())
+    d = X.shape[1]
+    signs = np.array(
+        [
+            [
+                (((i * 37 + j) * 2654435761) % 2**32 // 65536) % 2 * 2 - 1
+                for j in range(16)
+            ]
+            for i in range(d)
+        ],
+        dtype=float,
+    )
+    P = X @ signs
+    byid = {int(v): k for k, v in enumerate(emb.vec_id)}
+    ratios = []
+    for vid in sorted(byid):
+        if vid % 11 != 0 or (vid + 17) not in byid:
+            continue
+        i, j = byid[vid], byid[vid + 17]
+        d2f = float(((X[i] - X[j]) ** 2).sum())
+        if d2f <= 0:
+            continue
+        d2p = float(((P[i] - P[j]) ** 2).sum()) / 16.0
+        ratios.append(round(d2p / d2f, 6))
+    got = QUERIES["jl_projection_audit"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_pairs == len(ratios)
+    assert abs(got.mean_ratio - round(sum(ratios) / len(ratios), 4)) < 1e-3
+    assert abs(got.min_ratio - min(ratios)) < 1e-9
+    assert abs(got.max_ratio - max(ratios)) < 1e-9
+    # the JL concentration at k=16: unbiased mean, most pairs within 2x
+    assert 0.7 <= got.mean_ratio <= 1.3
+    assert got.n_within_2x >= 0.5 * got.n_pairs

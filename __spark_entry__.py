@@ -138,6 +138,7 @@ _SESSION3_NEW = (
     "theil_decomposition", "psi_score_drift", "cell_term_lift",
     "ivm_join_delta", "pit_join_orders", "vocab_richness_estimates",
     "burrows_delta_pairs", "local_clustering_coeff", "jl_projection_audit",
+    "shapley_attribution", "growth_accounting_weekly",
 )
 
 

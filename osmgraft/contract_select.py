@@ -3319,3 +3319,288 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("ratio") >= 0.5) & (F.col("ratio") <= 2.0), 1).otherwise(0)
         ).cast("long").alias("n_within_2x"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value channel attribution (exact over the 4-channel lattice)
+# ---------------------------------------------------------------------------
+
+_SHAP_CHANNELS = ("click", "error", "signup", "view")  # purchase = conversion
+_SHAP_N = 4
+
+_SHAP_BIT = " + ".join(
+    f"MAX(CASE WHEN event_type = '{ch}' THEN {1 << i} ELSE 0 END)"
+    for i, ch in enumerate(_SHAP_CHANNELS)
+)
+
+# |S|! (n-1-|S|)! for |S| = 0..3 with n = 4 (the n!-scaled Shapley weights;
+# scale factor n! = 24 divides out at the end)
+_SHAP_W = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def _shap_sql() -> str:
+    # bit_count-free popcount for a 4-bit mask, portable SQL text
+    pop = "((m // 1) % 2 + (m // 2) % 2 + (m // 4) % 2 + (m // 8) % 2)"
+    wcase = (
+        f"CASE {pop} WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"
+    )
+    chan_arms = " ".join(
+        f"WHEN {i} THEN '{ch}'" for i, ch in enumerate(_SHAP_CHANNELS)
+    )
+    return f"""
+    WITH conv AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_conv
+      FROM events GROUP BY user_id),
+    j AS (
+      SELECT e.user_id,
+             {_SHAP_BIT} AS mask,
+             CAST(MAX(CASE WHEN c.t_conv IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events e JOIN conv c ON e.user_id = c.user_id
+      WHERE c.t_conv IS NULL
+         OR CAST(FLOOR(epoch(e.ts)) AS BIGINT) < c.t_conv
+      GROUP BY e.user_id),
+    v AS (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT) AS v_micro
+      FROM j GROUP BY mask),
+    lattice AS (
+      SELECT CAST(m AS BIGINT) AS m, CAST(i AS BIGINT) AS i
+      FROM UNNEST(range(16)) AS t(m), UNNEST(range({_SHAP_N})) AS u(i)
+      WHERE (m // (1 << i)) % 2 = 0),
+    terms AS (
+      SELECT l.i,
+             ({wcase}) * (COALESCE(vw.v_micro, 0) - COALESCE(vo.v_micro, 0))
+               AS term
+      FROM lattice l
+      LEFT JOIN v vo ON vo.mask = l.m
+      LEFT JOIN v vw ON vw.mask = l.m + (1 << l.i))
+    SELECT CASE i {chan_arms} END AS channel,
+           CAST(SUM(term) AS BIGINT) AS shapley_x24_micro,
+           ROUND(SUM(term) / 24.0e0 * 1.0e-6, 6) AS shapley_value
+    FROM terms GROUP BY i ORDER BY channel
+    """
+
+
+@q("shapley_attribution", oracle=_shap_sql())
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value marketing attribution (the data-driven attribution
+    model behind ad-platform reporting, exact over the 4-channel
+    lattice): each user's pre-conversion journey reduces to a channel
+    SET (bitmask); v(S) = the observed conversion rate of journeys with
+    exactly that set (unobserved coalitions contribute v = 0, the
+    standard observed-coalition convention); each channel's Shapley
+    value sums |S|!(n-1-|S|)!·(v(S u i) - v(S)) over the 16-node
+    lattice. ``click_attribution`` answers the same question with
+    last-touch rules; this is the game-theoretic answer.
+
+    Exactness: v(S) snaps to micro from exact integer division; the
+    24-scaled weights keep every term an integer (the /24 and /1e6
+    divide once in the last projection, also emitted unscaled).
+
+    Scale shape: journeys reduce in ONE user-keyed partial agg (bitmask
+    OR via conditional MAX); v(S) is a 16-row aggregate; the lattice
+    walk is a 64-row constant relation joined twice against the tiny
+    v relation. Raw events are scanned once.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+    )
+    conv = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("es"))
+        ).alias("t_conv")
+    )
+    bit = sum(
+        (
+            F.max(
+                F.when(F.col("event_type") == ch, F.lit(1 << i)).otherwise(0)
+            )
+            for i, ch in enumerate(_SHAP_CHANNELS)
+        ),
+        start=F.lit(0),
+    )
+    j = (
+        ev.join(conv, "user_id")
+        .where(F.col("t_conv").isNull() | (F.col("es") < F.col("t_conv")))
+        .groupBy("user_id")
+        .agg(
+            bit.alias("mask"),
+            F.max(
+                F.when(F.col("t_conv").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("converted"),
+        )
+    )
+    v = j.groupBy("mask").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.expr("CAST(SUM(converted) * 1000000 div COUNT(*) AS BIGINT)")
+        .alias("v_micro"),
+    )
+    lattice = (
+        spark.range(16)
+        .select(F.col("id").alias("m"))
+        .crossJoin(spark.range(_SHAP_N).select(F.col("id").alias("i")))
+        .where(F.expr("(m div (1 << CAST(i AS INT))) % 2 = 0"))
+    )
+    vo = v.select(F.col("mask").alias("mo"), F.col("v_micro").alias("v_o"))
+    vw = v.select(F.col("mask").alias("mw"), F.col("v_micro").alias("v_w"))
+    pop = "((m div 1) % 2 + (m div 2) % 2 + (m div 4) % 2 + (m div 8) % 2)"
+    terms = (
+        lattice.join(F.broadcast(vo), F.col("mo") == F.col("m"), "left")
+        .join(
+            F.broadcast(vw),
+            F.col("mw") == F.col("m") + F.expr("1 << CAST(i AS INT)"),
+            "left",
+        )
+        .select(
+            "i",
+            (
+                F.expr(
+                    f"CASE {pop} WHEN 0 THEN 6 WHEN 1 THEN 2"
+                    " WHEN 2 THEN 2 ELSE 6 END"
+                )
+                * (
+                    F.coalesce("v_w", F.lit(0)) - F.coalesce("v_o", F.lit(0))
+                )
+            ).alias("term"),
+        )
+    )
+    chan = F.element_at(
+        F.array(*[F.lit(c) for c in _SHAP_CHANNELS]), (F.col("i") + 1).cast("int")
+    )
+    return (
+        terms.groupBy("i")
+        .agg(F.sum("term").cast("long").alias("shapley_x24_micro"))
+        .select(
+            chan.alias("channel"),
+            "shapley_x24_micro",
+            F.round(
+                F.col("shapley_x24_micro") / F.lit(24.0) * F.lit(1.0e-6), 6
+            ).alias("shapley_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# weekly growth accounting (new / retained / resurrected / churned)
+# ---------------------------------------------------------------------------
+
+_GROWTH_SQL = """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7 AS wk
+      FROM events),
+    flags AS (
+      SELECT user_id, wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             MIN(wk) OVER (PARTITION BY user_id) AS first_wk
+      FROM uw),
+    cls AS (
+      SELECT wk,
+             CASE WHEN wk = first_wk THEN 'new'
+                  WHEN prev_wk = wk - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS kind
+      FROM flags),
+    act AS (
+      SELECT wk,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_resurrected
+      FROM cls GROUP BY wk),
+    churn AS (
+      SELECT a.wk + 1 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM uw a LEFT JOIN uw b
+        ON a.user_id = b.user_id AND b.wk = a.wk + 1
+      WHERE b.user_id IS NULL
+      GROUP BY a.wk + 1)
+    SELECT act.wk, act.n_active, act.n_new, act.n_retained,
+           act.n_resurrected,
+           CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned_in,
+           CAST(act.n_active - act.n_new - act.n_retained
+                - act.n_resurrected AS BIGINT) AS accounting_residual
+    FROM act LEFT JOIN churn c ON act.wk = c.wk
+    ORDER BY act.wk
+    """
+
+
+@q("growth_accounting_weekly", oracle=_GROWTH_SQL)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the full new / retained / resurrected
+    / churned ledger (``user_growth_daily`` reports new + active; this
+    closes the identity active = new + retained + resurrected, emitted
+    as a residual column the pytest pins at zero, plus the users who
+    went dark entering each week). The standard startup-metrics
+    decomposition (a16z growth accounting).
+
+    Scale shape: presence reduces to one DISTINCT (user, week) partial
+    agg; both classification windows (LAG, MIN) share ONE user-keyed
+    exchange; churn is a user-keyed self anti-join on (user, wk+1) —
+    an arithmetic equi-key, never a range. Weekly rollups run on the
+    post-agg relation.
+    """
+    uw = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) div 7"
+            ).alias("wk"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("user_id").orderBy("wk")
+    wa = Window.partitionBy("user_id")
+    flags = uw.select(
+        "user_id", "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.min("wk").over(wa).alias("first_wk"),
+    )
+    cls = flags.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("kind"),
+    )
+    act = cls.groupBy("wk").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum(F.when(F.col("kind") == "new", 1).otherwise(0))
+        .cast("long").alias("n_new"),
+        F.sum(F.when(F.col("kind") == "retained", 1).otherwise(0))
+        .cast("long").alias("n_retained"),
+        F.sum(F.when(F.col("kind") == "resurrected", 1).otherwise(0))
+        .cast("long").alias("n_resurrected"),
+    )
+    b = uw.select(F.col("user_id").alias("ub"), F.col("wk").alias("wkb"))
+    churn = (
+        uw.join(
+            b,
+            (F.col("user_id") == F.col("ub")) & (F.col("wkb") == F.col("wk") + 1),
+            "left",
+        )
+        .where(F.col("ub").isNull())
+        .groupBy((F.col("wk") + 1).alias("cwk"))
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    return (
+        act.join(F.broadcast(churn), act.wk == churn.cwk, "left")
+        .select(
+            "wk", "n_active", "n_new", "n_retained", "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned_in"),
+            (
+                F.col("n_active") - F.col("n_new") - F.col("n_retained")
+                - F.col("n_resurrected")
+            ).cast("long").alias("accounting_residual"),
+        )
+        .orderBy("wk")
+    )

@@ -1407,3 +1407,100 @@ def test_jl_projection_matches_numpy_and_preserves_distance(spark):
     # the JL concentration at k=16: unbiased mean, most pairs within 2x
     assert 0.7 <= got.mean_ratio <= 1.3
     assert got.n_within_2x >= 0.5 * got.n_pairs
+
+
+# ---------------------------------------------------------------------------
+# Shapley attribution
+# ---------------------------------------------------------------------------
+
+
+def test_shapley_matches_pure_python_and_efficiency(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id", "event_type", "CAST(unix_timestamp(ts) AS BIGINT) es"
+        )
+        .toPandas()
+    )
+    channels = ["click", "error", "signup", "view"]
+    masks: dict[int, int] = {}
+    conv: dict[int, int] = {}
+    tconv = (
+        ev[ev.event_type == "purchase"].groupby("user_id").es.min().to_dict()
+    )
+    for uid, g in ev.groupby("user_id"):
+        tc = tconv.get(uid)
+        pre = g if tc is None else g[g.es < tc]
+        if len(pre) == 0:
+            continue  # no pre-conversion journey -> not in the v relation
+        m = 0
+        for i, ch in enumerate(channels):
+            if (pre.event_type == ch).any():
+                m |= 1 << i
+        masks[uid] = m
+        conv[uid] = 0 if tc is None else 1
+    v: dict[int, int] = {}
+    cnt: dict[int, list] = {}
+    for uid, m in masks.items():
+        c, n = cnt.get(m, (0, 0))
+        cnt[m] = (c + conv[uid], n + 1)
+    v = {m: (c * 1000000) // n for m, (c, n) in cnt.items()}
+    wts = {0: 6, 1: 2, 2: 2, 3: 6}
+    exp = {}
+    for i, ch in enumerate(channels):
+        tot = 0
+        for m in range(16):
+            if (m >> i) & 1:
+                continue
+            tot += wts[bin(m).count("1")] * (
+                v.get(m | (1 << i), 0) - v.get(m, 0)
+            )
+        exp[ch] = tot
+    got = QUERIES["shapley_attribution"](spark, SF_CORRECT).toPandas()
+    assert len(got) == 4
+    for _, r in got.iterrows():
+        assert r.shapley_x24_micro == exp[r.channel], (r.channel,)
+        assert abs(
+            r.shapley_value - round(exp[r.channel] / 24.0 * 1e-6, 6)
+        ) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# growth accounting
+# ---------------------------------------------------------------------------
+
+
+def test_growth_accounting_identity_and_recompute(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) div 7 wk",
+        )
+        .toPandas()
+        .drop_duplicates()
+    )
+    weeks = {uid: sorted(g.wk) for uid, g in ev.groupby("user_id")}
+    got = QUERIES["growth_accounting_weekly"](spark, SF_CORRECT).toPandas()
+    # the accounting identity closes for every week
+    assert (got.accounting_residual == 0).all()
+    for _, r in got.iterrows():
+        wk = int(r.wk)
+        new = retained = resurrected = 0
+        for uid, ws in weeks.items():
+            if wk not in ws:
+                continue
+            if ws[0] == wk:
+                new += 1
+            elif wk - 1 in ws:
+                retained += 1
+            else:
+                resurrected += 1
+        churned = sum(
+            1 for ws in weeks.values() if (wk - 1) in ws and wk not in ws
+        )
+        assert (r.n_new, r.n_retained, r.n_resurrected) == (
+            new, retained, resurrected,
+        )
+        assert r.n_churned_in == churned
+        assert r.n_active == new + retained + resurrected

@@ -375,3 +375,331 @@ def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("moved_rdv * 1000000 div n_keys").alias("moved_ppm"),
     )
     return mod_row.unionAll(rdv_row).orderBy("scheme")
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal decomposition of the daily value series
+# ---------------------------------------------------------------------------
+
+_SD_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    ma AS (
+      SELECT d, c,
+             SUM(c) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND
+                          3 FOLLOWING) AS s7,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND
+                            3 FOLLOWING) AS n7
+      FROM daily),
+    det AS (
+      SELECT (d + 4) % 7 AS dow, c - s7 // 7 AS det
+      FROM ma WHERE n7 = 7)
+    SELECT dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(FLOOR(SUM(det) * 1.0e0 / COUNT(*) * 1000000e0 + 5.0e-1)
+                AS BIGINT) AS seasonal_cents_micro,
+           ROUND(FLOOR(SUM(det) * 1.0e0 / COUNT(*) * 1000000e0 + 5.0e-1)
+                 / 1.0e8, 6) AS seasonal_value
+    FROM det GROUP BY dow ORDER BY dow
+    """
+
+
+@q("seasonal_decompose_daily", oracle=_SD_SQL)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the daily value series: trend
+    = centered 7-row moving average of daily cent totals (full windows
+    only), seasonal = per-day-of-week mean of the detrended series —
+    the decomposition behind ``dow_adjusted_anomalies``'s adjustment,
+    surfaced as its own audit so the seasonal component is inspectable
+    (and the residual testable): classical decomposition, Cleveland et
+    al.'s STL with the loess steps replaced by exact integer MAs.
+
+    Exactness: daily totals are exact cent BIGINTs; trend is an exact
+    integer div-7 (positive by construction); the per-DOW mean snaps
+    once to micro-cents via FLOOR(x + 0.5) (the established half-up
+    rule, safe for negative detrended values).
+
+    Scale shape: raw events reduce in ONE day-keyed partial agg; every
+    window (MA, counts) runs on the POST-AGG daily relation, bounded by
+    the calendar (365 rows/year) — never a window over raw rows. The
+    dow rollup is a 7-group aggregate.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d", "c",
+        F.sum("c").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("n7"),
+    )
+    det = ma.where(F.col("n7") == 7).select(
+        ((F.col("d") + 4) % 7).alias("dow"),
+        (F.col("c") - F.expr("s7 div 7")).alias("det"),
+    )
+    return (
+        det.groupBy("dow")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.expr(
+                "CAST(FLOOR(SUM(det) * 1.0e0 / COUNT(*) * 1000000e0"
+                " + 5.0e-1) AS BIGINT)"
+            ).alias("seasonal_cents_micro"),
+        )
+        .select(
+            "dow", "n_days", "seasonal_cents_micro",
+            F.round(F.col("seasonal_cents_micro") / F.lit(1.0e8), 6)
+            .alias("seasonal_value"),
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# clustering eval: NMI + purity of LSH buckets vs labels
+# ---------------------------------------------------------------------------
+
+_NMI_BITS = 4
+
+
+def _nmi_sql() -> str:
+    from osmgraft.ann.search import make_projections
+    from osmgraft.geo.hexgrid import lit_sql
+
+    proj = make_projections(64, _NMI_BITS, seed=42)
+    rows = ", ".join(
+        "(" + str(b) + ", ["
+        + ", ".join(lit_sql(float(v)) for v in proj[b]) + "]::DOUBLE[])"
+        for b in range(_NMI_BITS)
+    )
+    return f"""
+    WITH proj(b, p) AS (VALUES {rows}),
+    sig AS (
+      SELECT e.vec_id, e.label,
+             CAST(SUM(CASE WHEN list_inner_product(e.embedding::DOUBLE[],
+                                                   p.p) > 0
+                           THEN 1 << p.b ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN proj p GROUP BY e.vec_id, e.label),
+    joint AS (SELECT bucket, label, CAST(COUNT(*) AS BIGINT) AS nxy
+              FROM sig GROUP BY bucket, label),
+    mx AS (SELECT bucket, CAST(SUM(nxy) AS BIGINT) AS nx FROM joint
+           GROUP BY bucket),
+    my AS (SELECT label, CAST(SUM(nxy) AS BIGINT) AS ny FROM joint
+           GROUP BY label),
+    tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM joint),
+    mi AS (SELECT CAST(SUM(CAST(FLOOR((j.nxy * 1.0e0 / t.n)
+                       * LN((j.nxy * 1.0e0 * t.n)
+                            / (mx.nx * 1.0e0 * my.ny))
+                       * 1000000000.0e0 + 5.0e-1) AS BIGINT)) AS BIGINT)
+                    AS mi_nano
+           FROM joint j JOIN mx USING (bucket) JOIN my USING (label)
+           CROSS JOIN tot t),
+    hu AS (SELECT CAST(SUM(CAST(FLOOR(-(nx * 1.0e0 / t.n)
+                       * LN(nx * 1.0e0 / t.n)
+                       * 1000000000.0e0 + 5.0e-1) AS BIGINT)) AS BIGINT)
+                    AS hu_nano
+           FROM mx CROSS JOIN tot t),
+    hv AS (SELECT CAST(SUM(CAST(FLOOR(-(ny * 1.0e0 / t.n)
+                       * LN(ny * 1.0e0 / t.n)
+                       * 1000000000.0e0 + 5.0e-1) AS BIGINT)) AS BIGINT)
+                    AS hv_nano
+           FROM my CROSS JOIN tot t),
+    pur AS (SELECT CAST(SUM(mxc) AS BIGINT) AS n_max FROM
+            (SELECT bucket, MAX(nxy) AS mxc FROM joint GROUP BY bucket)),
+    card AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets FROM mx),
+    cardl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_labels FROM my)
+    SELECT t.n AS n_vecs, card.n_buckets, cardl.n_labels,
+           pur.n_max * 1000000 // t.n AS purity_ppm,
+           mi.mi_nano,
+           ROUND(mi.mi_nano /
+                 SQRT(hu.hu_nano * 1.0e0 * hv.hv_nano), 6) AS nmi
+    FROM tot t, mi, hu, hv, pur, card, cardl
+    """
+
+
+@q("cluster_nmi_purity", oracle=_nmi_sql())
+def cluster_nmi_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation — normalized mutual information
+    (sqrt normalization, Strehl & Ghosh 2002) and purity of the
+    4-bit hyperplane-LSH bucket assignment against the embeddings
+    table's ground-truth labels. The eval every clustering / dedup-
+    bucketing change ships with: ``silhouette_simplified`` scores
+    geometry (internal), this scores agreement with labels (external).
+
+    Exactness: the contingency table is exact integer counts; each MI /
+    entropy term snaps to nano-units before summation (the
+    ``mutual_information_profile`` rule); purity is an exact integer
+    ppm; the final NMI divides two exact integers under SQRT, so both
+    engines round the same double.
+
+    Scale shape: bucket signatures are one vectorized Arrow batch per
+    partition (numpy matmul against the broadcast 4x64 projection
+    matrix); the contingency table is ONE (bucket, label) partial-agg
+    shuffle; marginals, entropies and purity are re-aggregations of
+    the (16 x n_labels)-bounded joint relation.
+    """
+    from osmgraft.ann.search import make_projections, with_lsh_bucket
+
+    emb = t(spark, sf_dir, "embeddings")
+    proj = make_projections(64, _NMI_BITS, seed=42)
+    sig = with_lsh_bucket(emb, proj, "embedding", "bucket")
+    joint = sig.groupBy("bucket", "label").agg(
+        F.count("*").cast("long").alias("nxy")
+    )
+    joint = joint.localCheckpoint()
+    mx = joint.groupBy("bucket").agg(F.sum("nxy").cast("long").alias("nx"))
+    my = joint.groupBy("label").agg(F.sum("nxy").cast("long").alias("ny"))
+    tot = joint.agg(F.sum("nxy").cast("long").alias("n"))
+    snap = (
+        "CAST(FLOOR((nxy * 1.0e0 / n) * LN((nxy * 1.0e0 * n)"
+        " / (nx * 1.0e0 * ny)) * 1000000000.0e0 + 5.0e-1) AS BIGINT)"
+    )
+    mi = (
+        joint.join(F.broadcast(mx), "bucket")
+        .join(F.broadcast(my), "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.expr(snap)).cast("long").alias("mi_nano"))
+    )
+    hsnap = (
+        "CAST(FLOOR(-({m} * 1.0e0 / n) * LN({m} * 1.0e0 / n)"
+        " * 1000000000.0e0 + 5.0e-1) AS BIGINT)"
+    )
+    hu = mx.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(hsnap.format(m="nx"))).cast("long").alias("hu_nano")
+    )
+    hv = my.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(hsnap.format(m="ny"))).cast("long").alias("hv_nano")
+    )
+    pur = (
+        joint.groupBy("bucket").agg(F.max("nxy").alias("mxc"))
+        .agg(F.sum("mxc").cast("long").alias("n_max"))
+    )
+    card = mx.agg(F.count("*").cast("long").alias("n_buckets"))
+    cardl = my.agg(F.count("*").cast("long").alias("n_labels"))
+    return (
+        tot.crossJoin(mi).crossJoin(hu).crossJoin(hv)
+        .crossJoin(pur).crossJoin(card).crossJoin(cardl)
+        .select(
+            F.col("n").alias("n_vecs"), "n_buckets", "n_labels",
+            F.expr("n_max * 1000000 div n").alias("purity_ppm"),
+            "mi_nano",
+            F.round(
+                F.col("mi_nano")
+                / F.sqrt(F.col("hu_nano") * F.lit(1.0) * F.col("hv_nano")),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# interarrival exponential fit + KS goodness per event type
+# ---------------------------------------------------------------------------
+
+_EXP_SQL = """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_id
+      FROM events),
+    gaps AS (
+      SELECT event_type,
+             es - LAG(es) OVER (PARTITION BY user_id, event_type
+                                ORDER BY es, event_id) AS g
+      FROM ev),
+    g AS (SELECT event_type, g FROM gaps WHERE g IS NOT NULL),
+    fit AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(g) AS BIGINT) AS sum_gap_s
+      FROM g GROUP BY event_type),
+    bins AS (
+      SELECT event_type, g // 3600 AS b, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM g GROUP BY event_type, b),
+    cdf AS (
+      SELECT b.event_type, b.b,
+             SUM(b.cb) OVER (PARTITION BY b.event_type ORDER BY b.b)
+               * 1000000 // f.n_gaps AS emp_micro,
+             CAST(FLOOR((1.0e0 - EXP(-(f.n_gaps * 3600.0e0 * (b.b + 1))
+                                     / f.sum_gap_s)) * 1000000e0 + 5.0e-1)
+                  AS BIGINT) AS model_micro
+      FROM bins b JOIN fit f USING (event_type))
+    SELECT f.event_type, f.n_gaps, f.sum_gap_s,
+           f.n_gaps * 1000000000 // f.sum_gap_s AS lambda_nano,
+           CAST(MAX(ABS(c.emp_micro - c.model_micro)) AS BIGINT) AS ks_micro
+    FROM fit f JOIN cdf c USING (event_type)
+    GROUP BY f.event_type, f.n_gaps, f.sum_gap_s
+    ORDER BY f.event_type
+    """
+
+
+@q("interarrival_exp_fit", oracle=_EXP_SQL)
+def interarrival_exp_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential interarrival fit per event type — MLE rate (lambda =
+    n / sum of per-user consecutive gaps) plus a Kolmogorov-Smirnov
+    goodness statistic of the hour-binned empirical CDF against the
+    fitted Exp(lambda). The Poisson-process sanity check behind every
+    arrival-rate capacity model; a large KS flags bursty (non-Poisson)
+    traffic — the quantitative twin of ``bot_regularity_profile``.
+
+    Exactness: gaps and their sums are exact integer seconds; lambda is
+    an exact nano-rate; the empirical CDF is integer micro; only the
+    model CDF evaluates EXP, snapped half-up to micro from identical
+    double inputs on both engines.
+
+    Scale shape: gaps come from a (user, type)-keyed LAG — partitioned
+    by the natural high-cardinality key, never a global sort; the KS
+    scan runs on the POST-AGG hour-bin relation (bounded by the time
+    range), with the per-type CDF window over those bins only.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("es", "event_id")
+    g = (
+        ev.select(
+            "event_type", (F.col("es") - F.lag("es").over(w)).alias("g")
+        )
+        .where(F.col("g").isNotNull())
+    )
+    fit = g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("sum_gap_s"),
+    )
+    bins = g.groupBy(
+        "event_type", F.expr("g div 3600").alias("b")
+    ).agg(F.count("*").cast("long").alias("cb"))
+    wc = Window.partitionBy("event_type").orderBy("b")
+    cdf = (
+        bins.withColumn("cum", F.sum("cb").over(wc))
+        .join(F.broadcast(fit), "event_type")
+        .select(
+            "event_type",
+            F.expr("cum * 1000000 div n_gaps").alias("emp_micro"),
+            F.expr(
+                "CAST(FLOOR((1.0e0 - EXP(-(n_gaps * 3600.0e0 * (b + 1))"
+                " / sum_gap_s)) * 1000000e0 + 5.0e-1) AS BIGINT)"
+            ).alias("model_micro"),
+        )
+    )
+    return (
+        cdf.groupBy("event_type")
+        .agg(
+            F.max(F.abs(F.col("emp_micro") - F.col("model_micro")))
+            .cast("long").alias("ks_micro")
+        )
+        .join(F.broadcast(fit), "event_type")
+        .select(
+            "event_type", "n_gaps", "sum_gap_s",
+            F.expr("n_gaps * 1000000000 div sum_gap_s").alias("lambda_nano"),
+            "ks_micro",
+        )
+        .orderBy("event_type")
+    )

@@ -182,3 +182,150 @@ def test_rendezvous_moves_far_fewer_keys(spark):
     assert got.loc["rendezvous"].n_moved * 3 < got.loc["mod"].n_moved
     # and rendezvous churn is in the right ballpark (< 2/(N+1))
     assert got.loc["rendezvous"].moved_ppm < 2_000_000 // (_CH_N + 1)
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+        )
+        .toPandas()
+    )
+    daily = ev.groupby("d").cents.sum().sort_index()
+    days = list(daily.index)
+    import math
+
+    det: dict[int, list[int]] = {}
+    for i in range(3, len(days) - 3):
+        s7 = sum(daily.iloc[i - 3 : i + 4])
+        trend = s7 // 7
+        dow = (days[i] + 4) % 7
+        det.setdefault(dow, []).append(int(daily.iloc[i]) - int(trend))
+    got = QUERIES["seasonal_decompose_daily"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(det)
+    for _, r in got.iterrows():
+        vals = det[int(r.dow)]
+        assert r.n_days == len(vals)
+        snapped = math.floor(sum(vals) / len(vals) * 1e6 + 0.5)
+        assert r.seasonal_cents_micro == snapped
+
+
+def test_seasonal_components_sum_near_zero(spark):
+    """Detrended means over a full seasonal cycle must roughly cancel:
+    the weighted sum of per-DOW seasonal components is bounded by the
+    MA edge effects, far below the raw daily scale."""
+    got = QUERIES["seasonal_decompose_daily"](spark, SF_CORRECT).toPandas()
+    weighted = (got.seasonal_cents_micro * got.n_days).sum() / 1e6
+    daily_scale = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr("CAST(FLOOR(value * 100e0) AS BIGINT) c").toPandas().c.sum()
+        / 365
+    )
+    assert abs(weighted) < daily_scale  # cancellation within one day's mass
+
+
+# ---------------------------------------------------------------------------
+# NMI / purity
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_nmi_purity_matches_pure_python(spark):
+    import math
+
+    import numpy as np
+
+    from osmgraft.ann.search import make_projections
+
+    emb = (
+        spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").toPandas()
+    )
+    proj = make_projections(64, 4, seed=42)
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    signs = (mat @ proj.T) > 0
+    buckets = signs @ (1 << np.arange(4, dtype=np.int64))
+    joint: dict[tuple[int, int], int] = {}
+    for b, lab in zip(buckets, emb.label):
+        joint[(int(b), int(lab))] = joint.get((int(b), int(lab)), 0) + 1
+    n = len(emb)
+    nx: dict[int, int] = {}
+    ny: dict[int, int] = {}
+    for (b, lab), c in joint.items():
+        nx[b] = nx.get(b, 0) + c
+        ny[lab] = ny.get(lab, 0) + c
+    mi = sum(
+        math.floor(
+            (c / n) * math.log(c * n / (nx[b] * ny[lab])) * 1e9 + 0.5
+        )
+        for (b, lab), c in joint.items()
+    )
+    hu = sum(
+        math.floor(-(v / n) * math.log(v / n) * 1e9 + 0.5)
+        for v in nx.values()
+    )
+    hv = sum(
+        math.floor(-(v / n) * math.log(v / n) * 1e9 + 0.5)
+        for v in ny.values()
+    )
+    pur = sum(
+        max(c for (b2, _), c in joint.items() if b2 == b) for b in nx
+    )
+    got = QUERIES["cluster_nmi_purity"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_vecs == n
+    assert got.n_buckets == len(nx)
+    assert got.n_labels == len(ny)
+    assert got.purity_ppm == pur * 1000000 // n
+    assert got.mi_nano == mi
+    assert abs(got.nmi - round(mi / math.sqrt(hu * hv), 6)) < 1e-9
+    # NMI is a [0,1] score; random 4-bit buckets vs labels stay low
+    assert 0.0 <= got.nmi <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# interarrival exponential fit
+# ---------------------------------------------------------------------------
+
+
+def test_interarrival_fit_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id", "event_type", "event_id",
+            "CAST(unix_timestamp(ts) AS BIGINT) es",
+        )
+        .toPandas()
+    )
+    got = QUERIES["interarrival_exp_fit"](spark, SF_CORRECT).toPandas()
+    for _, r in got.iterrows():
+        sub = ev[ev.event_type == r.event_type].sort_values(
+            ["user_id", "es", "event_id"]
+        )
+        gaps = []
+        for _, g in sub.groupby("user_id"):
+            es = list(g.es)
+            gaps += [b - a for a, b in zip(es, es[1:])]
+        n, s = len(gaps), sum(gaps)
+        assert (r.n_gaps, r.sum_gap_s) == (n, s)
+        assert r.lambda_nano == n * 1000000000 // s
+        # KS via hour bins
+        from collections import Counter
+
+        bins = Counter(g // 3600 for g in gaps)
+        cum = 0
+        ks = 0
+        for b in sorted(bins):
+            cum += bins[b]
+            emp = cum * 1000000 // n
+            model = math.floor(
+                (1.0 - math.exp(-(n * 3600.0 * (b + 1)) / s)) * 1e6 + 0.5
+            )
+            ks = max(ks, abs(emp - model))
+        assert r.ks_micro == ks

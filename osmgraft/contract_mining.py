@@ -703,3 +703,341 @@ def interarrival_exp_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter false-positive-rate calibration audit
+# ---------------------------------------------------------------------------
+
+_BF_M = 16384  # bits
+_BF_K = 4
+_BF_P = 2147483647
+# (A, B) per hash — odd multipliers, distinct offsets
+_BF_HASHES = ((2654435761, 17), (2246822519, 101), (3266489917, 233),
+              (668265263, 389))
+
+
+def _bf_pos(key_expr: str, j: int) -> str:
+    a, b = _BF_HASHES[j]
+    return f"(({key_expr} * {a} + {b}) % {_BF_P}) % {_BF_M}"
+
+
+_BF_SQL = f"""
+    WITH members AS (
+      SELECT doc_id AS k FROM documents WHERE doc_id % 2 = 0),
+    probes AS (
+      SELECT doc_id AS k FROM documents WHERE doc_id % 2 = 1),
+    bits AS (
+      SELECT DISTINCT pos FROM members,
+      UNNEST([{", ".join(_bf_pos("k", j) for j in range(_BF_K))}])
+        AS t(pos)),
+    nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM members),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM probes),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM bits),
+    ppos AS (
+      SELECT p.k, pos FROM probes p,
+      UNNEST([{", ".join(_bf_pos("p.k", j) for j in range(_BF_K))}])
+        AS t(pos)),
+    dpos AS (SELECT DISTINCT k, pos FROM ppos),
+    perkey AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS npos
+      FROM dpos GROUP BY k),
+    hits AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS nhit
+      FROM dpos WHERE pos IN (SELECT pos FROM bits) GROUP BY k),
+    fp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_false_pos
+      FROM perkey p JOIN hits h USING (k)
+      WHERE h.nhit = p.npos)
+    SELECT nm.n_members, np.n_probes, nb.n_bits_set,
+           (SELECT n_false_pos FROM fp) * 1000000 // np.n_probes
+             AS observed_fpr_ppm,
+           CAST(FLOOR(POWER(nb.n_bits_set * 1.0e0 / {_BF_M}, {_BF_K})
+                      * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS theoretical_fpr_ppm
+    FROM nm, np, nb
+    """
+
+
+@q("bloom_fpr_audit", oracle=_BF_SQL)
+def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter calibration audit: build a {_BF_M}-bit, k={_BF_K}
+    filter over the even-doc_id half of the corpus, probe it with the
+    odd half (true non-members), and report the OBSERVED false-positive
+    rate against the fill-ratio prediction (rho^k where rho = fraction
+    of bits set — the exact form; (1-e^-kn/m)^k is its expectation).
+    The audit every ``bloom_prune_join`` deployment runs before
+    trusting its pruning rate on new data.
+
+    Exactness: bit positions are pure integer LCG arithmetic; a probe
+    is a false positive iff ALL its distinct positions are set, counted
+    by an exact distinct-position join; only the rho^k prediction
+    evaluates POWER, snapped half-up to ppm.
+
+    Scale shape: the bit set is a DISTINCT over at most k x n keys,
+    bounded above by m = {_BF_M} rows — broadcast to the probe side, so
+    probes never shuffle; membership is a broadcast semi-join + one
+    per-key count. At production m (GBs of bits) the same plan swaps
+    the broadcast for a bucketed equi-join on position.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    members = docs.where(F.expr("doc_id % 2 = 0")).select(
+        F.col("doc_id").alias("k")
+    )
+    probes = docs.where(F.expr("doc_id % 2 = 1")).select(
+        F.col("doc_id").alias("k")
+    )
+    pos_arr = "array(" + ", ".join(
+        _bf_pos("k", j) for j in range(_BF_K)
+    ) + ")"
+    bits = (
+        members.select(F.explode(F.expr(pos_arr)).alias("pos")).distinct()
+    )
+    bits = bits.localCheckpoint()
+    n_members = members.count()
+    n_probes = probes.count()
+    n_bits_set = bits.count()
+    ppos = probes.select(
+        "k", F.explode(F.expr(pos_arr)).alias("pos")
+    ).distinct()
+    per_key = ppos.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_distinct_pos")
+    )
+    hit = (
+        ppos.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("nhit"))
+    )
+    fpos = (
+        per_key.join(hit, "k")
+        .where(F.col("nhit") == F.col("n_distinct_pos"))
+        .agg(F.count("*").cast("long").alias("n_false_pos"))
+    )
+    return fpos.select(
+        F.lit(n_members).cast("long").alias("n_members"),
+        F.lit(n_probes).cast("long").alias("n_probes"),
+        F.lit(n_bits_set).cast("long").alias("n_bits_set"),
+        F.expr(f"n_false_pos * 1000000 div {n_probes}")
+        .alias("observed_fpr_ppm"),
+        F.expr(
+            f"CAST(FLOOR(POWER({n_bits_set} * 1.0e0 / {_BF_M}, {_BF_K})"
+            " * 1000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("theoretical_fpr_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multiwindow SLO burn-rate alerts
+# ---------------------------------------------------------------------------
+
+_SLO_PPM = 10000          # 1% error budget
+_SLO_FAST = 14            # short-window burn multiplier (page)
+_SLO_SLOW = 6             # long-window burn multiplier (ticket)
+
+_SLO_SQL = f"""
+    WITH ev AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events),
+    short AS (
+      SELECT hr, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(is_err) AS BIGINT) * 1000000 // COUNT(*) AS short_ppm
+      FROM ev GROUP BY hr),
+    longw AS (
+      SELECT hr // 6 AS h6, CAST(COUNT(*) AS BIGINT) AS n6,
+             CAST(SUM(is_err) AS BIGINT) * 1000000 // COUNT(*) AS long_ppm
+      FROM ev GROUP BY h6)
+    SELECT s.hr, s.n AS n_events, s.short_ppm, l.long_ppm,
+           CASE WHEN s.short_ppm > {_SLO_FAST * _SLO_PPM}
+                 AND l.long_ppm > {_SLO_SLOW * _SLO_PPM} THEN 'page'
+                ELSE 'ticket' END AS severity
+    FROM short s JOIN longw l ON s.hr // 6 = l.h6
+    WHERE s.short_ppm > {_SLO_FAST * _SLO_PPM}
+       OR l.long_ppm > {_SLO_SLOW * _SLO_PPM}
+    ORDER BY s.hr
+    """
+
+
+@q("slo_burn_alerts", oracle=_SLO_SQL)
+def slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting (the Google SRE workbook
+    pattern): against a {_SLO_PPM / 10000}% error budget, flag hours
+    whose 1-hour error rate burns > {_SLO_FAST}x budget AND whose
+    enclosing 6-hour rate burns > {_SLO_SLOW}x ('page' — fast burn
+    confirmed by the long window), or either alone ('ticket'). The
+    long window suppresses blips; the short window bounds detection
+    latency — the standard two-window AND.
+
+    Exactness: rates are exact integer ppm from event counts; the
+    thresholds are integer literals — no floats anywhere.
+
+    Scale shape: ONE hour-keyed partial agg over raw events; the
+    6-hour window re-aggregates... the hourly relation (never the raw
+    rows) and joins back on the arithmetic bucket key — both relations
+    are calendar-bounded.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 3600").alias("hr"),
+        F.expr(
+            "CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"
+        ).alias("is_err"),
+    )
+    short = ev.groupBy("hr").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            "CAST(SUM(is_err) AS BIGINT) * 1000000 div COUNT(*)"
+        ).alias("short_ppm"),
+    )
+    longw = (
+        short.groupBy(F.expr("hr div 6").alias("h6"))
+        .agg(
+            F.sum("n").alias("n6"),
+            F.expr("SUM(short_ppm * n)").alias("wsum"),
+        )
+        .select("h6", F.expr("wsum div n6").alias("_drop"), "n6")
+    )
+    # exact long-window rate needs raw error counts, not ppm-weighted
+    # averages: recompute from the hourly error counts
+    hourly = ev.groupBy("hr").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("is_err").cast("long").alias("e"),
+    )
+    short2 = hourly.select(
+        "hr", "n", F.expr("e * 1000000 div n").alias("short_ppm")
+    )
+    long2 = hourly.groupBy(F.expr("hr div 6").alias("h6")).agg(
+        F.expr(
+            "CAST(SUM(e) AS BIGINT) * 1000000 div SUM(n)"
+        ).alias("long_ppm")
+    )
+    fast = _SLO_FAST * _SLO_PPM
+    slow = _SLO_SLOW * _SLO_PPM
+    return (
+        short2.join(
+            F.broadcast(long2), F.expr("hr div 6") == F.col("h6")
+        )
+        .where(
+            (F.col("short_ppm") > fast) | (F.col("long_ppm") > slow)
+        )
+        .select(
+            "hr", F.col("n").alias("n_events"), "short_ppm", "long_ppm",
+            F.when(
+                (F.col("short_ppm") > fast) & (F.col("long_ppm") > slow),
+                "page",
+            ).otherwise("ticket").alias("severity"),
+        )
+        .orderBy("hr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit (stratified sign reversal)
+# ---------------------------------------------------------------------------
+
+_SIMP_SQL = """
+    WITH ev AS (
+      SELECT (CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                   AS INTEGER) + 4) % 7 AS dow,
+             user_id % 2 AS grp,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events),
+    strat AS (
+      SELECT dow, grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) * 1000000 // COUNT(*) AS rate_ppm
+      FROM ev GROUP BY dow, grp),
+    overall AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) * 1000000 // COUNT(*) AS rate_ppm
+      FROM ev GROUP BY grp),
+    od AS (
+      SELECT MAX(CASE WHEN grp = 1 THEN rate_ppm END)
+             - MAX(CASE WHEN grp = 0 THEN rate_ppm END) AS diff
+      FROM overall),
+    sd AS (
+      SELECT dow,
+             CAST(MAX(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n_treat,
+             CAST(MAX(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n_ctrl,
+             MAX(CASE WHEN grp = 1 THEN rate_ppm END) AS rate_treat_ppm,
+             MAX(CASE WHEN grp = 0 THEN rate_ppm END) AS rate_ctrl_ppm
+      FROM strat GROUP BY dow)
+    SELECT sd.dow, sd.n_treat, sd.n_ctrl, sd.rate_treat_ppm,
+           sd.rate_ctrl_ppm,
+           CAST(sd.rate_treat_ppm - sd.rate_ctrl_ppm AS BIGINT)
+             AS diff_ppm,
+           CAST(od.diff AS BIGINT) AS overall_diff_ppm,
+           CASE WHEN (sd.rate_treat_ppm - sd.rate_ctrl_ppm) * od.diff < 0
+                THEN 1 ELSE 0 END AS sign_reversed
+    FROM sd CROSS JOIN od ORDER BY sd.dow
+    """
+
+
+@q("simpson_paradox_audit", oracle=_SIMP_SQL)
+def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: the treatment/control conversion-rate
+    difference (user parity as the assignment, purchase share as the
+    metric) computed OVERALL and within each day-of-week stratum, with
+    a per-stratum flag when the stratum's sign contradicts the
+    aggregate's — the confounding check that gates any conclusion from
+    ``abtest_conversion_z`` / ``did_estimate`` (aggregate associations
+    can invert under stratification; Simpson 1951).
+
+    Exactness: rates are exact integer ppm; the reversal flag is an
+    integer sign product — no floats.
+
+    Scale shape: ONE (stratum, group) partial agg over raw events; the
+    overall rates re-aggregate... are a second 2-group agg over the
+    same scan (Spark reuses the shuffle via the conditional-agg form);
+    everything downstream operates on the 14-row stratum relation.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        (
+            (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) + 4)
+            % 7
+        ).alias("dow"),
+        (F.col("user_id") % 2).alias("grp"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("conv"),
+    )
+    strat = ev.groupBy("dow", "grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            "CAST(SUM(conv) AS BIGINT) * 1000000 div COUNT(*)"
+        ).alias("rate_ppm"),
+    )
+    overall = ev.groupBy("grp").agg(
+        F.expr(
+            "CAST(SUM(conv) AS BIGINT) * 1000000 div COUNT(*)"
+        ).alias("rate_ppm")
+    )
+    od = overall.agg(
+        (
+            F.max(F.when(F.col("grp") == 1, F.col("rate_ppm")))
+            - F.max(F.when(F.col("grp") == 0, F.col("rate_ppm")))
+        ).alias("diff")
+    )
+    sd = strat.groupBy("dow").agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n")))
+        .cast("long").alias("n_treat"),
+        F.max(F.when(F.col("grp") == 0, F.col("n")))
+        .cast("long").alias("n_ctrl"),
+        F.max(F.when(F.col("grp") == 1, F.col("rate_ppm")))
+        .alias("rate_treat_ppm"),
+        F.max(F.when(F.col("grp") == 0, F.col("rate_ppm")))
+        .alias("rate_ctrl_ppm"),
+    )
+    return (
+        sd.crossJoin(F.broadcast(od))
+        .select(
+            "dow", "n_treat", "n_ctrl", "rate_treat_ppm", "rate_ctrl_ppm",
+            (F.col("rate_treat_ppm") - F.col("rate_ctrl_ppm"))
+            .cast("long").alias("diff_ppm"),
+            F.col("diff").cast("long").alias("overall_diff_ppm"),
+            F.when(
+                (F.col("rate_treat_ppm") - F.col("rate_ctrl_ppm"))
+                * F.col("diff") < 0,
+                1,
+            ).otherwise(0).cast("int").alias("sign_reversed"),
+        )
+        .orderBy("dow")
+    )

@@ -329,3 +329,120 @@ def test_interarrival_fit_matches_pure_python(spark):
             )
             ks = max(ks, abs(emp - model))
         assert r.ks_micro == ks
+
+
+# ---------------------------------------------------------------------------
+# bloom FPR audit
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_fpr_matches_pure_python(spark):
+    from osmgraft.contract_mining import _BF_HASHES, _BF_K, _BF_M, _BF_P
+
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id").collect()
+    ]
+
+    def pos(k):
+        return {((k * a + b) % _BF_P) % _BF_M for a, b in _BF_HASHES}
+
+    members = [k for k in ids if k % 2 == 0]
+    probes = [k for k in ids if k % 2 == 1]
+    bits = set()
+    for k in members:
+        bits |= pos(k)
+    fp = sum(1 for k in probes if pos(k) <= bits)
+    got = QUERIES["bloom_fpr_audit"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_members == len(members)
+    assert got.n_probes == len(probes)
+    assert got.n_bits_set == len(bits)
+    assert got.observed_fpr_ppm == fp * 1000000 // len(probes)
+    # observed must sit near the fill-ratio prediction (rho^k), within
+    # a generous binomial tolerance at this probe count
+    import math
+
+    rho = len(bits) / _BF_M
+    theo = math.floor(rho ** _BF_K * 1e6 + 0.5)
+    assert got.theoretical_fpr_ppm == theo
+    sigma = math.sqrt(theo / 1e6 * (1 - theo / 1e6) / len(probes)) * 1e6
+    assert abs(got.observed_fpr_ppm - theo) < 5 * sigma + 2000
+
+
+# ---------------------------------------------------------------------------
+# SLO burn alerts
+# ---------------------------------------------------------------------------
+
+
+def test_slo_burn_matches_pure_python(spark):
+    from collections import defaultdict
+
+    from osmgraft.contract_mining import _SLO_FAST, _SLO_PPM, _SLO_SLOW
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(unix_timestamp(ts) AS BIGINT) div 3600 hr",
+            "CASE WHEN event_type = 'error' THEN 1 ELSE 0 END e",
+        )
+        .toPandas()
+    )
+    hourly_n = defaultdict(int)
+    hourly_e = defaultdict(int)
+    for _, r in ev.iterrows():
+        hourly_n[r.hr] += 1
+        hourly_e[r.hr] += r.e
+    long_n = defaultdict(int)
+    long_e = defaultdict(int)
+    for h in hourly_n:
+        long_n[h // 6] += hourly_n[h]
+        long_e[h // 6] += hourly_e[h]
+    exp = {}
+    for h in hourly_n:
+        sp = hourly_e[h] * 1000000 // hourly_n[h]
+        lp = long_e[h // 6] * 1000000 // long_n[h // 6]
+        fast, slow = _SLO_FAST * _SLO_PPM, _SLO_SLOW * _SLO_PPM
+        if sp > fast or lp > slow:
+            exp[h] = (
+                hourly_n[h], sp, lp,
+                "page" if (sp > fast and lp > slow) else "ticket",
+            )
+    got = QUERIES["slo_burn_alerts"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        n, sp, lp, sev = exp[r.hr]
+        assert (r.n_events, r.short_ppm, r.long_ppm, r.severity) == (
+            n, sp, lp, sev,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox audit
+# ---------------------------------------------------------------------------
+
+
+def test_simpson_audit_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) + 4) % 7 dow",
+            "user_id % 2 grp",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END conv",
+        )
+        .toPandas()
+    )
+
+    def rate(sub):
+        return int(sub.conv.sum()) * 1000000 // len(sub)
+
+    overall_diff = rate(ev[ev.grp == 1]) - rate(ev[ev.grp == 0])
+    got = QUERIES["simpson_paradox_audit"](spark, SF_CORRECT).toPandas()
+    assert len(got) == 7
+    for _, r in got.iterrows():
+        s = ev[ev.dow == r.dow]
+        rt, rc = rate(s[s.grp == 1]), rate(s[s.grp == 0])
+        assert (r.rate_treat_ppm, r.rate_ctrl_ppm) == (rt, rc)
+        assert r.diff_ppm == rt - rc
+        assert r.overall_diff_ppm == overall_diff
+        assert r.sign_reversed == (1 if (rt - rc) * overall_diff < 0 else 0)

@@ -1041,3 +1041,376 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy decomposition of the daily series
+# ---------------------------------------------------------------------------
+
+_HW_LEVELS = 4
+# largest power of two <= n, as a CASE ladder (log2 floats would risk
+# off-by-one at exact powers)
+_HW_LSEL = " ".join(
+    f"WHEN n >= {1 << p} THEN {1 << p}" for p in range(10, -1, -1)
+)
+
+
+def _hw_sql() -> str:
+    ctes = []
+    prev = "a0"
+    for lv in range(1, _HW_LEVELS + 1):
+        ctes.append(
+            f"""a{lv} AS (
+      SELECT i // 2 AS i2, CAST(SUM(a) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS BIGINT)
+               AS dd
+      FROM {prev} GROUP BY i // 2)"""
+        )
+        # rename i2 -> i for the next level
+        ctes.append(
+            f"b{lv} AS (SELECT i2 AS i, a, dd FROM a{lv})"
+        )
+        prev = f"b{lv}"
+    chain = ",\n    ".join(ctes)
+    energies = ", ".join(
+        f"(SELECT SUM(CAST(dd * dd AS HUGEINT)) FROM b{lv}) AS e{lv}"
+        for lv in range(1, _HW_LEVELS + 1)
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT {lv} AS level, L // {1 << lv} AS n_coeffs,
+               CAST(e{lv} * {1 << (_HW_LEVELS - lv)} * 1000000
+                    // (e1 * 8 + e2 * 4 + e3 * 2 + e4) AS BIGINT)
+                 AS share_ppm,
+               ROUND(CAST(e{lv} AS DOUBLE) / {1 << lv}, 4) AS energy
+        FROM e, lsel"""
+        for lv in range(1, _HW_LEVELS + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    lsel AS (SELECT CASE {_HW_LSEL} ELSE 1 END AS L FROM nn),
+    idx AS (SELECT ROW_NUMBER() OVER (ORDER BY d) - 1 AS i, c AS a
+            FROM daily),
+    a0 AS (SELECT i, a FROM idx, lsel WHERE i < L),
+    {chain},
+    e AS (SELECT {energies})
+    SELECT * FROM ({rows}) ORDER BY level
+    """
+
+
+@q("haar_wavelet_energy", oracle=_hw_sql())
+def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of the daily value
+    series (largest power-of-two prefix), 4 levels: per level the
+    detail coefficients are pairwise differences of the previous
+    level's approximations; reported per level are the coefficient
+    count, the orthonormal-equivalent energy (sum dd^2 / 2^level) and
+    each level's exact share of total detail energy — the multi-scale
+    variance fingerprint behind wavelet anomaly detection and series
+    compression (which levels carry the signal decides how hard the
+    series can be downsampled).
+
+    Exactness: approximations and details are exact BIGINT sums and
+    differences of cent totals; squared-coefficient sums route through
+    HUGEINT == DECIMAL(38,0) (the winsorized-stats rule: d^2 sums
+    overflow int64 at production scale); shares are exact integer ppm
+    on the 2^(4-level)-rescaled energies. Only the display energy
+    divides into a double, from identical exact integers.
+
+    Scale shape: raw events reduce in ONE day-keyed partial agg; every
+    wavelet level is a groupBy on ``i div 2`` over the calendar-bounded
+    daily relation (halving each level); the ROW_NUMBER index runs on
+    that post-agg relation only.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    )
+    n = daily.count()
+    lcap = 1
+    while lcap * 2 <= n:
+        lcap *= 2
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("i"),
+        F.col("c").alias("a"),
+    ).where(F.col("i") < lcap)
+    level = idx
+    energies = []
+    for lv in range(1, _HW_LEVELS + 1):
+        level = (
+            level.groupBy(F.expr("i div 2").alias("i"))
+            .agg(
+                F.sum("a").cast("long").alias("a"),
+                F.sum(
+                    F.when(F.col("i") % 2 == 0, F.col("a"))
+                    .otherwise(-F.col("a"))
+                ).cast("long").alias("dd"),
+            )
+        )
+        e = level.agg(
+            F.sum(F.expr("CAST(dd * dd AS DECIMAL(38,0))")).alias("e")
+        ).collect()[0]["e"]
+        energies.append(int(e))
+    total_scaled = sum(
+        e * (1 << (_HW_LEVELS - lv))
+        for lv, e in enumerate(energies, start=1)
+    )
+    rows = [
+        (
+            lv,
+            lcap // (1 << lv),
+            int(e * (1 << (_HW_LEVELS - lv)) * 1000000 // total_scaled),
+            round(float(e) / (1 << lv), 4),
+        )
+        for lv, e in enumerate(energies, start=1)
+    ]
+    return spark.createDataFrame(
+        rows, "level INT, n_coeffs BIGINT, share_ppm BIGINT, energy DOUBLE"
+    ).orderBy("level")
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution
+# ---------------------------------------------------------------------------
+
+_MR_CHANNELS = ("click", "error", "signup", "view")
+_MR_ROUNDS = 12
+
+_MR_TRANS_SQL = """
+    ev AS (
+      SELECT user_id, event_type AS et,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_id
+      FROM events),
+    seq AS (
+      SELECT user_id, et,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY es, event_id) AS rn
+      FROM ev),
+    ua AS (
+      SELECT user_id,
+             MIN(CASE WHEN et = 'purchase' THEN rn END) AS pr,
+             MAX(rn) AS mx
+      FROM seq GROUP BY user_id),
+    pref AS (
+      SELECT s.user_id, s.et, s.rn, a.pr, a.mx
+      FROM seq s JOIN ua a USING (user_id)
+      WHERE s.rn <= COALESCE(a.pr, a.mx)),
+    talls AS (
+      SELECT src, dst FROM (
+        SELECT LAG(et) OVER (PARTITION BY user_id ORDER BY rn) AS src,
+               CASE WHEN et = 'purchase' THEN 'conv' ELSE et END AS dst
+        FROM pref) x WHERE src IS NOT NULL
+      UNION ALL
+      SELECT 'start' AS src,
+             CASE WHEN et = 'purchase' THEN 'conv' ELSE et END AS dst
+      FROM pref WHERE rn = 1
+      UNION ALL
+      SELECT et AS src, 'null' AS dst
+      FROM pref WHERE pr IS NULL AND rn = mx),
+    cm AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+           FROM talls GROUP BY src, dst),
+    rs AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM cm GROUP BY src),
+    p AS (SELECT cm.src, cm.dst, cm.c * 1000000 // rs.tot AS p_micro
+          FROM cm JOIN rs USING (src))"""
+
+
+def _mr_sql() -> str:
+    variants = ["SELECT 'base' AS variant, src, dst, p_micro FROM p"]
+    for ch in _MR_CHANNELS:
+        variants.append(
+            f"""SELECT '{ch}' AS variant, src,
+               CASE WHEN dst = '{ch}' THEN 'null' ELSE dst END AS dst,
+               p_micro
+        FROM p WHERE src <> '{ch}'"""
+        )
+    pvar_body = " UNION ALL ".join(variants)
+    rounds = []
+    prev = "v0"
+    for r in range(1, _MR_ROUNDS + 1):
+        rounds.append(
+            f"""v{r} AS MATERIALIZED (
+      SELECT p.variant, p.src AS state,
+             SUM(p.p_micro * CASE WHEN p.dst = 'conv' THEN 1000000
+                                  WHEN p.dst = 'null' THEN 0
+                                  ELSE COALESCE(v.v, 0) END)
+               // 1000000 AS v
+      FROM pvg p LEFT JOIN {prev} v
+        ON p.variant = v.variant AND p.dst = v.state
+      GROUP BY p.variant, p.src)"""
+        )
+        prev = f"v{r}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH {_MR_TRANS_SQL},
+    pvraw AS ({pvar_body}),
+    pvg AS MATERIALIZED (
+            SELECT variant, src, dst, CAST(SUM(p_micro) AS BIGINT)
+              AS p_micro
+            FROM pvraw GROUP BY variant, src, dst),
+    v0 AS (SELECT variant, src AS state, CAST(0 AS BIGINT) AS v
+           FROM (SELECT DISTINCT variant, src FROM pvg)),
+    {chain},
+    res AS (SELECT variant, v FROM v{_MR_ROUNDS} WHERE state = 'start'),
+    base AS (SELECT v AS pb FROM res WHERE variant = 'base'),
+    eff AS (SELECT r.variant AS channel, r.v AS p_removed_micro,
+                   GREATEST(b.pb - r.v, 0) AS effect, b.pb
+            FROM res r CROSS JOIN base b WHERE r.variant <> 'base'),
+    te AS (SELECT CAST(SUM(effect) AS BIGINT) AS s FROM eff)
+    SELECT e.channel, CAST(e.pb AS BIGINT) AS p_base_micro,
+           CAST(e.p_removed_micro AS BIGINT) AS p_removed_micro,
+           CAST(e.effect AS BIGINT) AS removal_effect_micro,
+           CAST(e.effect * 1000000 // NULLIF(te.s, 0) AS BIGINT)
+             AS attribution_ppm
+    FROM eff e CROSS JOIN te ORDER BY e.channel
+    """
+
+
+@q("markov_removal_attribution", oracle=_mr_sql())
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014) — the
+    OTHER data-driven attribution model, complementing
+    ``shapley_attribution``'s coalition view with a path view: build
+    the first-order journey chain (start -> channel states -> conv /
+    null, journeys truncated at first purchase), compute conversion
+    probability by {_MR_ROUNDS}-round value iteration in exact micro
+    integers, then for each channel re-run the chain with that state
+    removed (its inbound edges redirected to null — the standard
+    removal semantics) and attribute by normalized probability drop.
+
+    Exactness: transition probabilities and state values are micro
+    integers, floor-divided each round (the ``markov_steady_state``
+    discipline), so all five chains are engine-exact; value iteration
+    from v=0 under absorbing conv/null is monotone non-decreasing, so
+    truncation at round {_MR_ROUNDS} is a lower bound computed
+    identically on both engines.
+
+    Scale shape: journeys reduce via ONE user-keyed window pass; the
+    chain is a |states|^2 relation; all five variants iterate TOGETHER
+    in one variant-keyed relation — O(rounds) broadcast-join stages
+    over at most 5 x 36 rows, raw events scanned once.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("et"), "event_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    seq = ev.select(
+        "user_id", "et", F.row_number().over(w).alias("rn")
+    )
+    ua = seq.groupBy("user_id").agg(
+        F.min(F.when(F.col("et") == "purchase", F.col("rn"))).alias("pr"),
+        F.max("rn").alias("mx"),
+    )
+    pref = (
+        seq.join(ua, "user_id")
+        .where(F.col("rn") <= F.coalesce("pr", "mx"))
+        .localCheckpoint()
+    )
+    dst_map = F.when(F.col("et") == "purchase", F.lit("conv")).otherwise(
+        F.col("et")
+    )
+    wp = Window.partitionBy("user_id").orderBy("rn")
+    t1 = (
+        pref.select(
+            F.lag("et").over(wp).alias("src"), dst_map.alias("dst")
+        )
+        .where(F.col("src").isNotNull())
+    )
+    t2 = pref.where(F.col("rn") == 1).select(
+        F.lit("start").alias("src"), dst_map.alias("dst")
+    )
+    t3 = pref.where(F.col("pr").isNull() & (F.col("rn") == F.col("mx"))).select(
+        F.col("et").alias("src"), F.lit("null").alias("dst")
+    )
+    talls = t1.unionAll(t2).unionAll(t3)
+    cm = talls.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    rs = cm.groupBy("src").agg(F.sum("c").cast("long").alias("tot"))
+    p = cm.join(rs, "src").select(
+        "src", "dst", F.expr("c * 1000000 div tot").alias("p_micro")
+    )
+    variants = [p.select(F.lit("base").alias("variant"), "src", "dst", "p_micro")]
+    for ch in _MR_CHANNELS:
+        variants.append(
+            p.where(F.col("src") != ch).select(
+                F.lit(ch).alias("variant"),
+                "src",
+                F.when(F.col("dst") == ch, "null")
+                .otherwise(F.col("dst")).alias("dst"),
+                "p_micro",
+            )
+        )
+    pvraw = variants[0]
+    for vdf in variants[1:]:
+        pvraw = pvraw.unionAll(vdf)
+    pvg = (
+        pvraw.groupBy("variant", "src", "dst")
+        .agg(F.sum("p_micro").cast("long").alias("p_micro"))
+        .localCheckpoint()
+    )
+    v = pvg.select("variant", "src").distinct().select(
+        "variant", F.col("src").alias("state"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    for r in range(_MR_ROUNDS):
+        vv = v.select(
+            F.col("variant").alias("variant_v"),
+            F.col("state"), F.col("v"),
+        )
+        v = (
+            pvg.join(
+                F.broadcast(vv),
+                (F.col("variant") == F.col("variant_v"))
+                & (F.col("dst") == F.col("state")),
+                "left",
+            )
+            .groupBy("variant", "src")
+            .agg(
+                F.expr(
+                    "SUM(p_micro * CASE WHEN dst = 'conv' THEN 1000000"
+                    " WHEN dst = 'null' THEN 0"
+                    " ELSE COALESCE(v, 0) END) div 1000000"
+                ).alias("v")
+            )
+            .select("variant", F.col("src").alias("state"), "v")
+        )
+        # eager checkpoint every round: the vector is ~20 rows; materializing
+        # it keeps each round's broadcast shallow (nested lazy broadcasts
+        # across 12 rounds serialize into a scheduler stall)
+        v = v.localCheckpoint()
+    res = v.where(F.col("state") == "start").select("variant", "v")
+    base = res.where(F.col("variant") == "base").select(
+        F.col("v").alias("pb")
+    )
+    eff = (
+        res.where(F.col("variant") != "base")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("variant").alias("channel"),
+            F.col("v").alias("p_removed_micro"),
+            F.greatest(F.col("pb") - F.col("v"), F.lit(0).cast("long"))
+            .alias("effect"),
+            "pb",
+        )
+    )
+    te = eff.agg(F.sum("effect").cast("long").alias("s"))
+    return (
+        eff.crossJoin(F.broadcast(te))
+        .select(
+            "channel",
+            F.col("pb").cast("long").alias("p_base_micro"),
+            F.col("p_removed_micro").cast("long").alias("p_removed_micro"),
+            F.col("effect").cast("long").alias("removal_effect_micro"),
+            F.expr("CAST(effect * 1000000 div NULLIF(s, 0) AS BIGINT)")
+            .alias("attribution_ppm"),
+        )
+        .orderBy("channel")
+    )

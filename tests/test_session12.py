@@ -446,3 +446,161 @@ def test_simpson_audit_matches_pure_python(spark):
         assert r.diff_ppm == rt - rc
         assert r.overall_diff_ppm == overall_diff
         assert r.sign_reversed == (1 if (rt - rc) * overall_diff < 0 else 0)
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy
+# ---------------------------------------------------------------------------
+
+
+def test_haar_energy_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+        )
+        .toPandas()
+    )
+    daily = ev.groupby("d").cents.sum().sort_index()
+    n = len(daily)
+    L = 1
+    while L * 2 <= n:
+        L *= 2
+    a = [int(v) for v in daily.iloc[:L]]
+    energies = []
+    for _lv in range(4):
+        nxt, det = [], []
+        for i in range(0, len(a), 2):
+            nxt.append(a[i] + a[i + 1])
+            det.append(a[i] - a[i + 1])
+        energies.append(sum(x * x for x in det))
+        a = nxt
+    total_scaled = sum(
+        e * (1 << (4 - lv)) for lv, e in enumerate(energies, start=1)
+    )
+    got = QUERIES["haar_wavelet_energy"](spark, SF_CORRECT).toPandas()
+    assert list(got.level) == [1, 2, 3, 4]
+    for lv, e in enumerate(energies, start=1):
+        r = got[got.level == lv].iloc[0]
+        assert r.n_coeffs == L // (1 << lv)
+        assert r.share_ppm == e * (1 << (4 - lv)) * 1000000 // total_scaled
+        assert abs(r.energy - round(e / (1 << lv), 4)) < 1e-6
+
+
+def test_haar_energy_conserves_total_variance(spark):
+    """Parseval sanity: orthonormal detail energies + final approx
+    energy == series energy (checked in pure Python on the same
+    series the query consumed)."""
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+        )
+        .toPandas()
+    )
+    daily = ev.groupby("d").cents.sum().sort_index()
+    n = len(daily)
+    L = 1
+    while L * 2 <= n:
+        L *= 2
+    a = [int(v) for v in daily.iloc[:L]]
+    total = sum(x * x for x in a)
+    acc = 0
+    for lv in range(1, 5):
+        nxt, det = [], []
+        for i in range(0, len(a), 2):
+            nxt.append(a[i] + a[i + 1])
+            det.append(a[i] - a[i + 1])
+        acc += sum(x * x for x in det) / (1 << lv)
+        a = nxt
+    acc += sum(x * x for x in a) / (1 << 4)
+    assert abs(acc - total) < 1e-6 * total
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution
+# ---------------------------------------------------------------------------
+
+
+def test_markov_removal_matches_pure_python(spark):
+    from collections import defaultdict
+
+    from osmgraft.contract_mining import _MR_CHANNELS, _MR_ROUNDS
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id", "event_type et", "event_id",
+            "CAST(unix_timestamp(ts) AS BIGINT) es",
+        )
+        .toPandas()
+        .sort_values(["user_id", "es", "event_id"])
+    )
+    trans = defaultdict(int)
+    for _, g in ev.groupby("user_id"):
+        ets = list(g.et)
+        try:
+            cut = ets.index("purchase") + 1
+        except ValueError:
+            cut = None
+        seq = ets[:cut] if cut else ets
+        mapped = ["conv" if e == "purchase" else e for e in seq]
+        trans[("start", mapped[0])] += 1
+        for a, b in zip(mapped, mapped[1:]):
+            trans[(a, b)] += 1
+        if cut is None:
+            trans[(mapped[-1], "null")] += 1
+    out = defaultdict(int)
+    for (s, _), c in trans.items():
+        out[s] += c
+    p = {(s, d): c * 1000000 // out[s] for (s, d), c in trans.items()}
+
+    def run_chain(pm):
+        states = {s for s, _ in pm}
+        v = {s: 0 for s in states}
+        for _ in range(_MR_ROUNDS):
+            nv = {}
+            for s in states:
+                acc = 0
+                for (src, dst), pp in pm.items():
+                    if src != s:
+                        continue
+                    val = (
+                        1000000 if dst == "conv"
+                        else 0 if dst == "null" else v.get(dst, 0)
+                    )
+                    acc += pp * val
+                nv[s] = acc // 1000000
+            v = nv
+        return v["start"]
+
+    pb = run_chain(p)
+    effects = {}
+    removed = {}
+    for ch in _MR_CHANNELS:
+        pm = defaultdict(int)
+        for (s, d), pp in p.items():
+            if s == ch:
+                continue
+            pm[(s, "null" if d == ch else d)] += pp
+        pc = run_chain(dict(pm))
+        removed[ch] = pc
+        effects[ch] = max(pb - pc, 0)
+    te = sum(effects.values())
+    got = QUERIES["markov_removal_attribution"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(_MR_CHANNELS)
+    for _, r in got.iterrows():
+        assert r.p_base_micro == pb
+        assert r.p_removed_micro == removed[r.channel]
+        assert r.removal_effect_micro == effects[r.channel]
+        assert r.attribution_ppm == effects[r.channel] * 1000000 // te
+
+
+def test_markov_removal_effects_are_nonnegative_and_normalized(spark):
+    got = QUERIES["markov_removal_attribution"](spark, SF_CORRECT).toPandas()
+    assert (got.removal_effect_micro >= 0).all()
+    assert (got.p_removed_micro <= got.p_base_micro).all()
+    # shares sum to ~1e6 (floor-division slack below one ppm per channel)
+    assert 1000000 - len(got) <= got.attribution_ppm.sum() <= 1000000

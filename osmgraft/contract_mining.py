@@ -1414,3 +1414,290 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# term burstiness (Fano factor over per-doc counts)
+# ---------------------------------------------------------------------------
+
+_TB_MIN_DF = 50
+_TB_TOPK = 15
+
+_TB_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+           FROM documents),
+    td AS (SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY w, doc_id),
+    st AS (
+      SELECT w,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS tot,
+             CAST(SUM(c * c) AS HUGEINT) AS s2
+      FROM td GROUP BY w HAVING COUNT(*) >= {_TB_MIN_DF})
+    SELECT w AS term, df, tot AS total_count,
+           CAST((nd.n * s2 - CAST(tot AS HUGEINT) * tot) * 1000000
+                // (nd.n * CAST(tot AS HUGEINT)) AS BIGINT) AS fano_micro
+    FROM st CROSS JOIN nd
+    ORDER BY fano_micro DESC, term LIMIT {_TB_TOPK}
+    """
+
+
+@q("term_burstiness", oracle=_TB_SQL)
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness via the Fano factor (variance-to-mean ratio of
+    per-document counts, zeros included): Fano ~ 1 marks Poisson-like
+    function words, Fano >> 1 marks bursty content words that clump in
+    few documents (Church & Gale 1995) — the lexical statistic behind
+    stopword induction and TF saturation tuning (BM25's k1), ranking
+    the top {_TB_TOPK} burstiest terms above df >= {_TB_MIN_DF}.
+
+    Exactness: Var/mean over N docs with zeros reduces to
+    (N*S2 - T^2) / (N*T) on the NONZERO counts only (S2 = sum c^2,
+    T = sum c) — computed as one exact integer micro-ratio routed
+    through HUGEINT == DECIMAL(38,0) (N*S2 overflows int64 at corpus
+    scale).
+
+    Scale shape: one (term, doc) partial-agg shuffle, then a term-keyed
+    rollup; zeros are never materialized (the algebraic identity does
+    the work); top-k is TakeOrderedAndProject, never a global sort.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    nd = docs.select("doc_id").distinct().count()
+    td = toks.groupBy("w", "doc_id").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    st = (
+        td.groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("c").cast("long").alias("tot"),
+            F.sum(F.expr("CAST(c * c AS DECIMAL(38,0))")).alias("s2"),
+        )
+        .where(F.col("df") >= _TB_MIN_DF)
+    )
+    return (
+        st.select(
+            F.col("w").alias("term"), "df",
+            F.col("tot").alias("total_count"),
+            F.expr(
+                f"CAST(({nd} * s2 - CAST(tot AS DECIMAL(38,0)) * tot)"
+                f" * 1000000 div ({nd} * CAST(tot AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("fano_micro"),
+        )
+        .orderBy(F.desc("fano_micro"), "term")
+        .limit(_TB_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# randomized-response private proportion estimate
+# ---------------------------------------------------------------------------
+
+# deterministic per-user coins from independent LCG hashes; the modulus
+# must be PRIME (mod 2^31 then mod 4 passes the LCG's low bits straight
+# through — with an odd multiplier that is (uid+1) % 4, i.e. perfectly
+# correlated junk, found by the recompute test)
+_RR_C1 = "((user_id * 2654435761 + 97) % 2147483647) % 4"   # 0..3; <3 = truth
+_RR_C2 = "((user_id * 1103515245 + 12345) % 2147483647) % 2"  # random answer
+
+# sensitive bit: the user's mean event value exceeds 49.00 ~ the median
+# (the fixture has a purchase for every user, so "ever purchased" is
+# degenerate; 49.00 splits users near 50/50)
+_RR_TRUTH = (
+    "CASE WHEN SUM(CAST(FLOOR(value * 100e0) AS BIGINT))"
+    " > 4900 * COUNT(*) THEN 1 ELSE 0 END"
+)
+
+_RR_SQL = f"""
+    WITH u AS (
+      SELECT user_id, {_RR_TRUTH} AS truth
+      FROM events GROUP BY user_id),
+    resp AS (
+      SELECT user_id, truth,
+             CASE WHEN {_RR_C1} < 3 THEN truth ELSE {_RR_C2} END AS answer
+      FROM u),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(truth) AS BIGINT) * 1000000 // COUNT(*) AS true_ppm,
+             CAST(SUM(answer) AS BIGINT) * 1000000 // COUNT(*)
+               AS observed_ppm
+      FROM resp)
+    SELECT n_users, true_ppm, observed_ppm,
+           (observed_ppm - 125000) * 4 // 3 AS estimated_ppm,
+           ABS((observed_ppm - 125000) * 4 // 3 - true_ppm) AS abs_err_ppm,
+           CAST(FLOOR(LN(7.0e0) * 1000000000e0 + 5.0e-1) AS BIGINT)
+             AS epsilon_nano
+    FROM agg
+    """
+
+
+@q("randomized_response_estimate", oracle=_RR_SQL)
+def randomized_response_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response, the local-differential-privacy
+    primitive: each user reports their sensitive bit (mean event value
+    above the ~median 49.00) truthfully with probability 3/4, else a uniform coin — and the
+    aggregator de-biases the observed proportion with
+    pi_hat = (p_obs - 1/8) / (3/4). Reported are the (fixture-known)
+    true rate, the noised rate, the unbiased estimate, its absolute
+    error, and the mechanism's epsilon = ln 7 (max odds ratio
+    P(1|true=1)/P(1|true=0) = (7/8)/(1/8)). Completes the privacy
+    family: k-anonymity / l-diversity / t-closeness audit the OUTPUT;
+    this perturbs at COLLECTION.
+
+    Exactness: the coins are per-user integer LCG bits; proportions
+    and the de-bias are exact integer ppm arithmetic ((x - 125000) * 4
+    div 3); only the constant epsilon evaluates LN, snapped to nano.
+
+    Scale shape: one user-keyed partial agg (the bit), one global
+    conditional aggregate — no join, no window.
+    """
+    u = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.expr(_RR_TRUTH).alias("truth")
+    )
+    resp = u.select(
+        "truth",
+        F.expr(
+            f"CASE WHEN {_RR_C1} < 3 THEN truth ELSE {_RR_C2} END"
+        ).alias("answer"),
+    )
+    agg = resp.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.expr(
+            "CAST(SUM(truth) AS BIGINT) * 1000000 div COUNT(*)"
+        ).alias("true_ppm"),
+        F.expr(
+            "CAST(SUM(answer) AS BIGINT) * 1000000 div COUNT(*)"
+        ).alias("observed_ppm"),
+    )
+    return agg.select(
+        "n_users", "true_ppm", "observed_ppm",
+        F.expr("(observed_ppm - 125000) * 4 div 3").alias("estimated_ppm"),
+        F.expr(
+            "ABS((observed_ppm - 125000) * 4 div 3 - true_ppm)"
+        ).alias("abs_err_ppm"),
+        F.expr(
+            "CAST(FLOOR(LN(7.0e0) * 1000000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("epsilon_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel block-maxima fit (extreme-value return levels)
+# ---------------------------------------------------------------------------
+
+# Euler-Mascheroni and pi/sqrt(6), 12-dp literals (both engines parse the
+# same double)
+_GU_GAMMA = "0.577215664902e0"
+_GU_PI_SQRT6 = "1.282549830162e0"  # pi / sqrt(6)
+
+_GU_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    wk AS (
+      SELECT d // 7 AS w, CAST(MAX(c) AS BIGINT) AS mx
+      FROM daily GROUP BY d // 7 HAVING COUNT(*) = 7),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(mx) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS s2
+      FROM wk),
+    fit AS (
+      SELECT n,
+             s1 * 1.0e0 / n AS mean_c,
+             SQRT((s2 * 1.0e0 - s1 * 1.0e0 * s1 / n) / (n - 1)) AS sd_c
+      FROM mom),
+    par AS (
+      SELECT n,
+             sd_c / {_GU_PI_SQRT6} AS beta_c,
+             mean_c - {_GU_GAMMA} * (sd_c / {_GU_PI_SQRT6}) AS mu_c
+      FROM fit)
+    SELECT rp AS return_period_weeks, n AS n_blocks,
+           CAST(FLOOR(mu_c + 5.0e-1) AS BIGINT) AS mu_cents,
+           CAST(FLOOR(beta_c + 5.0e-1) AS BIGINT) AS beta_cents,
+           CAST(FLOOR(mu_c - beta_c * LN(-LN(1.0e0 - 1.0e0 / rp))
+                      + 5.0e-1) AS BIGINT) AS return_level_cents
+    FROM par, (SELECT unnest([4, 13, 52, 104]) AS rp)
+    ORDER BY rp
+    """
+
+
+@q("gumbel_block_maxima", oracle=_GU_SQL)
+def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value capacity planning: fit a Gumbel distribution to
+    WEEKLY MAXIMA of the daily value series by method of moments
+    (beta = s*sqrt(6)/pi, mu = m - gamma*beta — the standard EVT-I
+    block-maxima estimators) and report return levels mu - beta *
+    ln(-ln(1 - 1/T)) for 4/13/52/104-week return periods: "the daily
+    load exceeded once per quarter / year / two years". The tail
+    question ``value_percentiles`` cannot answer — quantiles
+    interpolate inside the data; EVT extrapolates beyond it.
+
+    Exactness: block maxima and their power sums are exact integers
+    (HUGEINT == DECIMAL(38,0)); the moment estimators and return
+    levels are double arithmetic over those exact sums with 12-dp
+    shared constants, snapped half-up to whole cents.
+
+    Scale shape: ONE day-keyed partial agg over raw events, a 7-day
+    block max over the daily relation (arithmetic bucket key, no
+    window), and a single global moment aggregate; the return-period
+    relation is a 4-row literal.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    )
+    wk = (
+        daily.groupBy(F.expr("d div 7").alias("w"))
+        .agg(
+            F.max("c").cast("long").alias("mx"),
+            F.count("*").alias("nd"),
+        )
+        .where(F.col("nd") == 7)
+    )
+    mom = wk.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("CAST(mx AS DECIMAL(38,0))")).alias("s1"),
+        F.sum(F.expr("CAST(mx AS DECIMAL(38,0)) * mx")).alias("s2"),
+    )
+    par = mom.select(
+        "n",
+        F.expr(
+            f"SQRT((s2 * 1.0e0 - s1 * 1.0e0 * s1 / n) / (n - 1))"
+            f" / {_GU_PI_SQRT6}"
+        ).alias("beta_c"),
+        F.expr(
+            f"s1 * 1.0e0 / n - {_GU_GAMMA} *"
+            f" (SQRT((s2 * 1.0e0 - s1 * 1.0e0 * s1 / n) / (n - 1))"
+            f" / {_GU_PI_SQRT6})"
+        ).alias("mu_c"),
+    )
+    rp = spark.createDataFrame([(4,), (13,), (52,), (104,)], "rp INT")
+    return (
+        par.crossJoin(F.broadcast(rp))
+        .select(
+            F.col("rp").alias("return_period_weeks"),
+            F.col("n").alias("n_blocks"),
+            F.expr("CAST(FLOOR(mu_c + 5.0e-1) AS BIGINT)").alias("mu_cents"),
+            F.expr(
+                "CAST(FLOOR(beta_c + 5.0e-1) AS BIGINT)"
+            ).alias("beta_cents"),
+            F.expr(
+                "CAST(FLOOR(mu_c - beta_c * LN(-LN(1.0e0 - 1.0e0 / rp))"
+                " + 5.0e-1) AS BIGINT)"
+            ).alias("return_level_cents"),
+        )
+        .orderBy("return_period_weeks")
+    )

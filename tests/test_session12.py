@@ -604,3 +604,134 @@ def test_markov_removal_effects_are_nonnegative_and_normalized(spark):
     assert (got.p_removed_micro <= got.p_base_micro).all()
     # shares sum to ~1e6 (floor-division slack below one ppm per channel)
     assert 1000000 - len(got) <= got.attribution_ppm.sum() <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# term burstiness
+# ---------------------------------------------------------------------------
+
+
+def test_term_burstiness_matches_pure_python(spark):
+    from collections import Counter, defaultdict
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "text").toPandas()
+    )
+    nd = docs.doc_id.nunique()
+    per_term_doc = defaultdict(Counter)
+    for _, r in docs.iterrows():
+        for w, c in Counter(r.text.split(" ")).items():
+            per_term_doc[w][r.doc_id] = c
+    rows = []
+    for w, cnts in per_term_doc.items():
+        df = len(cnts)
+        if df < 50:
+            continue
+        tot = sum(cnts.values())
+        s2 = sum(c * c for c in cnts.values())
+        fano = (nd * s2 - tot * tot) * 1000000 // (nd * tot)
+        rows.append((w, df, tot, fano))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    exp = rows[:15]
+    got = QUERIES["term_burstiness"](spark, SF_CORRECT).toPandas()
+    assert [
+        (r.term, r.df, r.total_count, r.fano_micro)
+        for _, r in got.iterrows()
+    ] == exp
+    # the algebraic zero-inclusion identity: Fano recomputed naively
+    # over the FULL zero-padded vector agrees for the top term
+    w0 = exp[0][0]
+    full = [per_term_doc[w0].get(d, 0) for d in docs.doc_id]
+    mean = sum(full) / nd
+    var = sum((c - mean) ** 2 for c in full) / nd
+    assert abs(exp[0][3] / 1e6 - var / mean) < 2e-6 + 1e-9 * abs(var / mean)
+
+
+# ---------------------------------------------------------------------------
+# randomized response
+# ---------------------------------------------------------------------------
+
+
+def test_randomized_response_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id", "CAST(FLOOR(value * 100e0) AS BIGINT) cents"
+        ).toPandas()
+    )
+    truth = {}
+    for uid, g in ev.groupby("user_id"):
+        truth[uid] = 1 if g.cents.sum() > 4900 * len(g) else 0
+    n = len(truth)
+    assert 0 < sum(truth.values()) < n  # the bit must be non-degenerate
+
+    def ans(uid):
+        c1 = ((uid * 2654435761 + 97) % 2147483647) % 4
+        if c1 < 3:
+            return truth[uid]
+        return ((uid * 1103515245 + 12345) % 2147483647) % 2
+
+    flips = [u for u in truth if ((u * 2654435761 + 97) % 2147483647) % 4 == 3]
+    assert flips and len(set(
+        ((u * 1103515245 + 12345) % 2147483647) % 2 for u in flips
+    )) == 2  # both coin outcomes occur among the liars
+
+    true_ppm = sum(truth.values()) * 1000000 // n
+    obs_ppm = sum(ans(u) for u in truth) * 1000000 // n
+    est = (obs_ppm - 125000) * 4 // 3
+    got = QUERIES["randomized_response_estimate"](spark, SF_CORRECT)
+    r = got.toPandas().iloc[0]
+    assert (r.n_users, r.true_ppm, r.observed_ppm) == (n, true_ppm, obs_ppm)
+    assert r.estimated_ppm == est
+    assert r.abs_err_ppm == abs(est - true_ppm)
+    import math
+
+    assert r.epsilon_nano == math.floor(math.log(7.0) * 1e9 + 0.5)
+    # the mechanism actually perturbed individual responses, and the
+    # de-biased estimate lands within 5 sigma of truth
+    # (sigma_est <= 4/3 * 1/(2 sqrt n))
+    assert any(ans(u) != truth[u] for u in truth)
+    sigma_est = 4 / 3 * 0.5 / (n ** 0.5) * 1e6
+    assert abs(est - true_ppm) < 5 * sigma_est
+
+
+# ---------------------------------------------------------------------------
+# Gumbel block maxima
+# ---------------------------------------------------------------------------
+
+
+def test_gumbel_fit_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+        )
+        .toPandas()
+    )
+    daily = ev.groupby("d").cents.sum()
+    weeks = {}
+    for d, c in daily.items():
+        weeks.setdefault(d // 7, []).append(c)
+    mx = [max(v) for v in weeks.values() if len(v) == 7]
+    n = len(mx)
+    s1, s2 = sum(mx), sum(int(x) * int(x) for x in mx)
+    mean = s1 * 1.0 / n
+    sd = math.sqrt((s2 * 1.0 - s1 * 1.0 * s1 / n) / (n - 1))
+    beta = sd / 1.282549830162
+    mu = mean - 0.577215664902 * beta
+    got = QUERIES["gumbel_block_maxima"](spark, SF_CORRECT).toPandas()
+    assert list(got.return_period_weeks) == [4, 13, 52, 104]
+    for _, r in got.iterrows():
+        assert r.n_blocks == n
+        assert r.mu_cents == math.floor(mu + 0.5)
+        assert r.beta_cents == math.floor(beta + 0.5)
+        T = r.return_period_weeks
+        rl = mu - beta * math.log(-math.log(1.0 - 1.0 / T))
+        assert r.return_level_cents == math.floor(rl + 0.5)
+    # return levels grow with the return period and exceed the mean max
+    rls = list(got.return_level_cents)
+    assert rls == sorted(rls) and rls[0] > mean

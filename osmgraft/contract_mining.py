@@ -1701,3 +1701,278 @@ def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("return_period_weeks")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT trajectory on the daily conversion rate
+# ---------------------------------------------------------------------------
+
+# H0: p = 9/50, H1: p = 11/50 (around the fixture's ~1/5 purchase share);
+# alpha = beta = 0.05 -> boundaries +-ln 19. The two per-observation LLR
+# increments are rational-argument logs, snapped ONCE to nano so the
+# cumulative sum is exact integer arithmetic.
+_SPRT_L1 = "CAST(FLOOR(LN(11.0e0 / 9.0e0) * 1000000000e0 + 5.0e-1) AS BIGINT)"
+_SPRT_L0 = (
+    "CAST(FLOOR(LN(39.0e0 / 41.0e0) * 1000000000e0 - 5.0e-1) AS BIGINT)"
+)  # negative: FLOOR(x - 0.5) is half-up for negatives' magnitude
+_SPRT_BOUND = "CAST(FLOOR(LN(19.0e0) * 1000000000e0 + 5.0e-1) AS BIGINT)"
+
+_SPRT_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY d),
+    llr AS (
+      SELECT d, n, x,
+             SUM(x) OVER (ORDER BY d) AS cum_x,
+             SUM(n) OVER (ORDER BY d) AS cum_n,
+             SUM(x * ({_SPRT_L1}) + (n - x) * ({_SPRT_L0}))
+               OVER (ORDER BY d) AS llr_nano
+      FROM daily)
+    SELECT d AS day, CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_x AS BIGINT) AS cum_x,
+           CAST(llr_nano AS BIGINT) AS llr_nano,
+           CASE WHEN llr_nano >= {_SPRT_BOUND} THEN 'accept_h1'
+                WHEN llr_nano <= -({_SPRT_BOUND}) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr ORDER BY d
+    """
+
+
+@q("sprt_trajectory", oracle=_SPRT_SQL)
+def sprt_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test trajectory on the daily
+    purchase-conversion rate — H0: p = 0.18 vs H1: p = 0.22 at alpha =
+    beta = 0.05: the cumulative log-likelihood ratio per day and the
+    running decision against the +-ln 19 boundaries. The sequential
+    counterpart of the fixed-horizon ``abtest_conversion_z``: SPRT
+    stops at the earliest day the evidence suffices (optimal expected
+    sample size, Wald 1945) instead of waiting out the horizon.
+
+    Exactness: the two per-observation LLR increments ln(p1/p0) and
+    ln(q1/q0) are rational-argument constants snapped ONCE to nano
+    (negative increment snapped half-up in magnitude via
+    FLOOR(x - 0.5)); the trajectory is then an exact integer
+    cumulative sum, and the boundary compare is integer-vs-integer.
+
+    Scale shape: ONE day-keyed partial agg over raw events; the
+    cumulative windows run on the calendar-bounded daily relation.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("x"),
+    )
+    w = Window.orderBy("d")
+    llr = daily.select(
+        "d", "n", "x",
+        F.sum("x").over(w).alias("cum_x"),
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum(
+            F.expr(f"x * ({_SPRT_L1}) + (n - x) * ({_SPRT_L0})")
+        ).over(w).alias("llr_nano"),
+    )
+    return llr.select(
+        F.col("d").alias("day"),
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("cum_x").cast("long").alias("cum_x"),
+        F.col("llr_nano").cast("long").alias("llr_nano"),
+        F.expr(
+            f"CASE WHEN llr_nano >= {_SPRT_BOUND} THEN 'accept_h1'"
+            f" WHEN llr_nano <= -({_SPRT_BOUND}) THEN 'accept_h0'"
+            " ELSE 'continue' END"
+        ).alias("decision"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift curve over segments
+# ---------------------------------------------------------------------------
+
+_QINI_SEGS = 16
+
+_QINI_SQL = f"""
+    WITH ev AS (
+      SELECT user_id % 2 AS treat, (user_id // 2) % {_QINI_SEGS} AS seg,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events),
+    s AS (
+      SELECT seg,
+             CAST(SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(SUM(CASE WHEN treat = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS x_t,
+             CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(SUM(CASE WHEN treat = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS x_c
+      FROM ev GROUP BY seg),
+    u AS (
+      SELECT seg, n_t, x_t, n_c, x_c,
+             x_t * 1000000 // n_t - x_c * 1000000 // n_c AS uplift_ppm
+      FROM s),
+    r AS (
+      SELECT u.*,
+             ROW_NUMBER() OVER (ORDER BY uplift_ppm DESC, seg) AS rk,
+             SUM(x_t) OVER (ORDER BY uplift_ppm DESC, seg) AS cx_t,
+             SUM(n_t) OVER (ORDER BY uplift_ppm DESC, seg) AS cn_t,
+             SUM(x_c) OVER (ORDER BY uplift_ppm DESC, seg) AS cx_c,
+             SUM(n_c) OVER (ORDER BY uplift_ppm DESC, seg) AS cn_c
+      FROM u)
+    SELECT CAST(rk AS BIGINT) AS rank, seg, uplift_ppm,
+           CAST(cx_t - cx_c * cn_t // cn_c AS BIGINT) AS qini_cum
+    FROM r ORDER BY rk
+    """
+
+
+@q("qini_uplift_curve", oracle=_QINI_SQL)
+def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve (Radcliffe 2007): segments (an independent
+    user-id digit, (id div 2) mod {_QINI_SEGS} — the treatment parity
+    bit must NOT determine the segment) ranked by observed treatment-vs-control conversion
+    uplift, with the cumulative Qini value Q(k) = X_t(k) -
+    X_c(k)·N_t(k)/N_c(k) at each prefix — the incremental conversions
+    the top-k segments deliver over a control-scaled baseline, the
+    standard offline eval for any uplift / targeting model (the
+    ranking here is in-sample observed uplift, i.e. the curve's upper
+    envelope). Complements ``ipw_ate_estimate`` (one number) with the
+    WHO-to-target curve.
+
+    Exactness: per-segment rates and the Qini correction are exact
+    integer ppm / floor divisions; ties in uplift break on segment id,
+    so the ranking is total on both engines.
+
+    Scale shape: raw events reduce in ONE (segment) conditional
+    partial agg; ranking and cumulative windows run on the
+    {_QINI_SEGS}-row segment relation only.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("treat"),
+        ((F.col("user_id") / 2).cast("long") % _QINI_SEGS).alias("seg"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("conv"),
+    )
+    s = ev.groupBy("seg").agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0))
+        .cast("long").alias("n_t"),
+        F.sum(F.when(F.col("treat") == 1, F.col("conv")).otherwise(0))
+        .cast("long").alias("x_t"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0))
+        .cast("long").alias("n_c"),
+        F.sum(F.when(F.col("treat") == 0, F.col("conv")).otherwise(0))
+        .cast("long").alias("x_c"),
+    )
+    u = s.withColumn(
+        "uplift_ppm",
+        F.expr("x_t * 1000000 div n_t - x_c * 1000000 div n_c"),
+    )
+    w = Window.orderBy(F.desc("uplift_ppm"), F.asc("seg"))
+    r = u.select(
+        "seg", "uplift_ppm",
+        F.row_number().over(w).alias("rk"),
+        F.sum("x_t").over(w).alias("cx_t"),
+        F.sum("n_t").over(w).alias("cn_t"),
+        F.sum("x_c").over(w).alias("cx_c"),
+        F.sum("n_c").over(w).alias("cn_c"),
+    )
+    return r.select(
+        F.col("rk").cast("long").alias("rank"), "seg", "uplift_ppm",
+        F.expr("CAST(cx_t - cx_c * cn_t div cn_c AS BIGINT)")
+        .alias("qini_cum"),
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# daily tail-dependence coefficient between two event streams
+# ---------------------------------------------------------------------------
+
+_TD_Q = 5  # upper/lower quintile (exceed rank 4n/5, resp. <= rank n/5)
+
+_TD_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY d),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    rx AS (SELECT d, x, y,
+                  ROW_NUMBER() OVER (ORDER BY x, d) AS rkx,
+                  ROW_NUMBER() OVER (ORDER BY y, d) AS rky
+           FROM daily),
+    flag AS (
+      SELECT CASE WHEN rkx * 5 > n.n * 4 THEN 1 ELSE 0 END AS ux,
+             CASE WHEN rky * 5 > n.n * 4 THEN 1 ELSE 0 END AS uy,
+             CASE WHEN rkx * 5 <= n.n THEN 1 ELSE 0 END AS lx,
+             CASE WHEN rky * 5 <= n.n THEN 1 ELSE 0 END AS ly
+      FROM rx CROSS JOIN n)
+    SELECT (SELECT n FROM n) AS n_days,
+           CAST(SUM(uy) AS BIGINT) AS n_upper,
+           CAST(SUM(ux * uy) AS BIGINT) AS n_upper_joint,
+           CAST(SUM(ux * uy) * 1000000 // SUM(uy) AS BIGINT)
+             AS lambda_upper_ppm,
+           CAST(SUM(lx * ly) * 1000000 // SUM(ly) AS BIGINT)
+             AS lambda_lower_ppm
+    FROM flag
+    """
+
+
+@q("tail_dependence_daily", oracle=_TD_SQL)
+def tail_dependence_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical tail-dependence coefficients between daily click and
+    purchase volumes: lambda_upper = P(X in top quintile | Y in top
+    quintile), lambda_lower for the bottom quintile — the copula
+    statistic that answers "do extremes co-occur?", which correlation
+    (``metric_correlation_matrix``, ``co_movement_pairs``) cannot:
+    two series can be highly correlated with independent tails, and
+    tail co-movement is what breaks capacity plans.
+
+    Exactness: quintile membership comes from exact ROW_NUMBER ranks
+    (day-id tie-break) compared by cross-multiplication (rk*5 > 4n —
+    no division at all); the coefficients are exact integer ppm.
+
+    Scale shape: ONE day-keyed partial agg over raw events; ranks and
+    flags live on the calendar-bounded daily relation (the two
+    ROW_NUMBERs share one tiny relation; at 100x the calendar is still
+    tiny — the window never touches raw rows).
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    n = daily.count()
+    rx = daily.select(
+        "d", "x", "y",
+        F.row_number().over(Window.orderBy("x", "d")).alias("rkx"),
+        F.row_number().over(Window.orderBy("y", "d")).alias("rky"),
+    )
+    flag = rx.select(
+        F.expr(f"CASE WHEN rkx * 5 > {n} * 4 THEN 1 ELSE 0 END").alias("ux"),
+        F.expr(f"CASE WHEN rky * 5 > {n} * 4 THEN 1 ELSE 0 END").alias("uy"),
+        F.expr(f"CASE WHEN rkx * 5 <= {n} THEN 1 ELSE 0 END").alias("lx"),
+        F.expr(f"CASE WHEN rky * 5 <= {n} THEN 1 ELSE 0 END").alias("ly"),
+    )
+    return flag.agg(
+        F.lit(n).cast("long").alias("n_days"),
+        F.sum("uy").cast("long").alias("n_upper"),
+        F.sum(F.expr("ux * uy")).cast("long").alias("n_upper_joint"),
+        F.expr(
+            "CAST(SUM(ux * uy) * 1000000 div SUM(uy) AS BIGINT)"
+        ).alias("lambda_upper_ppm"),
+        F.expr(
+            "CAST(SUM(lx * ly) * 1000000 div SUM(ly) AS BIGINT)"
+        ).alias("lambda_lower_ppm"),
+    )

@@ -735,3 +735,125 @@ def test_gumbel_fit_matches_pure_python(spark):
     # return levels grow with the return period and exceed the mean max
     rls = list(got.return_level_cents)
     assert rls == sorted(rls) and rls[0] > mean
+
+
+# ---------------------------------------------------------------------------
+# SPRT trajectory
+# ---------------------------------------------------------------------------
+
+
+def test_sprt_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END x",
+        )
+        .toPandas()
+    )
+    g = ev.groupby("d").agg(n=("x", "size"), x=("x", "sum")).sort_index()
+    l1 = math.floor(math.log(11.0 / 9.0) * 1e9 + 0.5)
+    l0 = math.floor(math.log(39.0 / 41.0) * 1e9 - 0.5)
+    bound = math.floor(math.log(19.0) * 1e9 + 0.5)
+    got = QUERIES["sprt_trajectory"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(g)
+    llr = cn = cx = 0
+    by_day = {int(r.day): r for _, r in got.iterrows()}
+    for d, row in g.iterrows():
+        llr += int(row.x) * l1 + int(row.n - row.x) * l0
+        cn += int(row.n)
+        cx += int(row.x)
+        r = by_day[int(d)]
+        assert (r.cum_n, r.cum_x, r.llr_nano) == (cn, cx, llr)
+        exp_dec = (
+            "accept_h1" if llr >= bound
+            else "accept_h0" if llr <= -bound else "continue"
+        )
+        assert r.decision == exp_dec
+    # the fixture's ~20% conversion rate must eventually decide
+    assert got.iloc[-1].decision in ("accept_h0", "accept_h1")
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift curve
+# ---------------------------------------------------------------------------
+
+
+def test_qini_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id % 2 treat", "(user_id div 2) % 16 seg",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END conv",
+        )
+        .toPandas()
+    )
+    segs = []
+    for seg, g in ev.groupby("seg"):
+        tr, ct = g[g.treat == 1], g[g.treat == 0]
+        up = (
+            int(tr.conv.sum()) * 1000000 // len(tr)
+            - int(ct.conv.sum()) * 1000000 // len(ct)
+        )
+        segs.append(
+            (seg, up, int(tr.conv.sum()), len(tr), int(ct.conv.sum()), len(ct))
+        )
+    segs.sort(key=lambda r: (-r[1], r[0]))
+    got = QUERIES["qini_uplift_curve"](spark, SF_CORRECT).toPandas()
+    assert len(got) == 16
+    cx_t = cn_t = cx_c = cn_c = 0
+    for rk, (seg, up, xt, nt, xc, nc) in enumerate(segs, start=1):
+        cx_t, cn_t, cx_c, cn_c = cx_t + xt, cn_t + nt, cx_c + xc, cn_c + nc
+        r = got[got["rank"] == rk].iloc[0]
+        assert (r.seg, r.uplift_ppm) == (seg, up)
+        assert r.qini_cum == cx_t - cx_c * cn_t // cn_c
+    # segments are ranked by decreasing observed uplift
+    ups = list(got.uplift_ppm)
+    assert ups == sorted(ups, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# tail dependence
+# ---------------------------------------------------------------------------
+
+
+def test_tail_dependence_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END cx",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END cy",
+        )
+        .toPandas()
+    )
+    g = ev.groupby("d").agg(x=("cx", "sum"), y=("cy", "sum"))
+    n = len(g)
+    days = list(g.index)
+    rkx = {
+        d: i + 1
+        for i, (_, _, d) in enumerate(
+            sorted((g.loc[d].x, d, d) for d in days)
+        )
+    }
+    rky = {
+        d: i + 1
+        for i, (_, _, d) in enumerate(
+            sorted((g.loc[d].y, d, d) for d in days)
+        )
+    }
+    ux = {d for d in days if rkx[d] * 5 > n * 4}
+    uy = {d for d in days if rky[d] * 5 > n * 4}
+    lx = {d for d in days if rkx[d] * 5 <= n}
+    ly = {d for d in days if rky[d] * 5 <= n}
+    got = QUERIES["tail_dependence_daily"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_days == n
+    assert got.n_upper == len(uy)
+    assert got.n_upper_joint == len(ux & uy)
+    assert got.lambda_upper_ppm == len(ux & uy) * 1000000 // len(uy)
+    assert got.lambda_lower_ppm == len(lx & ly) * 1000000 // len(ly)
+    # coefficients are probabilities
+    assert 0 <= got.lambda_upper_ppm <= 1000000
+    assert 0 <= got.lambda_lower_ppm <= 1000000

@@ -1976,3 +1976,362 @@ def tail_dependence_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(lx * ly) * 1000000 div SUM(ly) AS BIGINT)"
         ).alias("lambda_lower_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lindley queue waiting times (running-min closed form)
+# ---------------------------------------------------------------------------
+
+# deterministic service seconds per event type (a literal map, the same
+# text on both engines)
+_QW_SVC = (
+    "CASE event_type WHEN 'purchase' THEN 900 WHEN 'signup' THEN 600"
+    " WHEN 'error' THEN 120 WHEN 'click' THEN 180 ELSE 240 END"
+)
+
+def _qw_sql() -> str:
+    # Lindley recursion W_{{k}} = max(0, W_{{k-1}} + S_{{k-1}} - A_k)
+    # closed form: with C_k = prefix-sum of (S_{{i-1}} - A_i), the wait is
+    # W_k = C_k - min_{{j<=k}} C_j. Both the prefix sum and the running
+    # min are user-keyed windows over the ordered events.
+    return """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_id,
+             """ + _QW_SVC + """ AS svc
+      FROM events),
+    seq AS (
+      SELECT user_id, event_type, es, svc,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY es, event_id) AS rn,
+             LAG(es) OVER (PARTITION BY user_id
+                           ORDER BY es, event_id) AS prev_es,
+             LAG(svc) OVER (PARTITION BY user_id
+                            ORDER BY es, event_id) AS prev_svc
+      FROM ev),
+    step AS (
+      SELECT user_id, event_type, rn,
+             CASE WHEN rn = 1 THEN 0
+                  ELSE prev_svc - (es - prev_es) END AS inc
+      FROM seq),
+    pre AS (
+      SELECT user_id, event_type, rn,
+             SUM(inc) OVER (PARTITION BY user_id ORDER BY rn) AS c
+      FROM step),
+    walk AS (
+      SELECT user_id, event_type, c,
+             MIN(c) OVER (PARTITION BY user_id ORDER BY rn) AS cmin
+      FROM pre),
+    w AS (SELECT event_type, c - cmin AS wait FROM walk)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_jobs,
+           CAST(SUM(CASE WHEN wait > 0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS waiting_ppm,
+           CAST(SUM(wait) // COUNT(*) AS BIGINT) AS mean_wait_s,
+           CAST(MAX(wait) AS BIGINT) AS max_wait_s
+    FROM w GROUP BY event_type ORDER BY event_type
+    """
+
+
+@q("queue_wait_lindley", oracle=_qw_sql())
+def queue_wait_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queueing-delay simulation via the Lindley recursion, one FIFO
+    server per user: W_k = max(0, W_{k-1} + S_{k-1} - A_k) with
+    deterministic per-type service times and observed interarrivals.
+    The recursion LOOKS inherently sequential — the point of this
+    operator is its closed form: with C_k the prefix sum of
+    (S_{k-1} - A_k), the wait is W_k = C_k - min_{j<=k} C_j, i.e. a
+    cumulative sum minus its running minimum — two user-keyed windows,
+    fully parallel across users. The capacity question ("how much
+    backlog would this event stream create at these service rates")
+    answered without applyInPandas.
+
+    Exactness: everything is integer seconds; the rollup (share
+    waiting, mean, max per event type) is exact integer arithmetic.
+
+    Scale shape: both windows share ONE user-keyed sort exchange
+    (high-cardinality key, perfectly spread); the rollup is a
+    type-keyed partial agg. Raw events are scanned once.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+        F.expr(_QW_SVC).alias("svc"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("es", "event_id")
+    seq = ev.select(
+        "user_id", "event_type",
+        F.row_number().over(wo).alias("rn"),
+        F.when(
+            F.row_number().over(wo) == 1, F.lit(0).cast("long")
+        ).otherwise(
+            F.lag("svc").over(wo) - (F.col("es") - F.lag("es").over(wo))
+        ).alias("inc"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("rn")
+    pre = seq.select(
+        "user_id", "event_type", "rn",
+        F.sum("inc").over(wr).alias("c"),
+    )
+    walk = pre.select(
+        "event_type", "c", F.min("c").over(wr).alias("cmin")
+    )
+    w = walk.select(
+        "event_type", (F.col("c") - F.col("cmin")).alias("wait")
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_jobs"),
+            F.expr(
+                "CAST(SUM(CASE WHEN wait > 0 THEN 1 ELSE 0 END)"
+                " * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("waiting_ppm"),
+            F.expr("CAST(SUM(wait) div COUNT(*) AS BIGINT)")
+            .alias("mean_wait_s"),
+            F.max("wait").cast("long").alias("max_wait_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# peaks-over-threshold GPD fit (EVT-II, the POT complement of Gumbel)
+# ---------------------------------------------------------------------------
+
+_POT_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    rk AS (SELECT d, c, ROW_NUMBER() OVER (ORDER BY c, d) AS r FROM daily),
+    thr AS (
+      SELECT MIN(c) AS u FROM rk, n WHERE r * 5 > n.n * 4),
+    exc AS (
+      SELECT c - thr.u AS y FROM daily, thr WHERE c > thr.u),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(y) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2
+      FROM exc),
+    fit AS (
+      SELECT k,
+             s1 * 1.0e0 / k AS m,
+             (s2 * 1.0e0 - s1 * 1.0e0 * s1 / k) / (k - 1) AS v
+      FROM mom)
+    SELECT (SELECT n FROM n) AS n_days, k AS n_exceedances,
+           (SELECT CAST(u AS BIGINT) FROM thr) AS threshold_cents,
+           CAST(FLOOR(5.0e-1 * (m * m / v - 1.0e0) * 1000000e0 + 5.0e-1)
+                AS BIGINT) AS xi_micro,
+           CAST(FLOOR(5.0e-1 * m * (m * m / v + 1.0e0) + 5.0e-1)
+                AS BIGINT) AS beta_cents
+    FROM fit
+    """
+
+
+@q("peak_over_threshold_gpd", oracle=_POT_SQL)
+def peak_over_threshold_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold fit: generalized Pareto shape/scale by
+    method of moments (xi = (m^2/v - 1)/2, beta = m(m^2/v + 1)/2) on
+    daily-total exceedances over the empirical 80th percentile
+    (the fixture's calendar is short — a production run raises this to
+    the 95th+) — the
+    EVT-II counterpart of ``gumbel_block_maxima``: POT uses every
+    extreme observation instead of one per block, the practitioner's
+    choice when blocks are short. xi <= 0 reads as a bounded tail,
+    xi > 0 a heavy (Pareto) tail.
+
+    Exactness: the threshold is an exact order statistic (rank
+    cross-multiplication r*5 > 4n, no division); exceedances and
+    their power sums are exact integers through HUGEINT ==
+    DECIMAL(38,0); only the final moment map runs in doubles over
+    those exact sums, snapped half-up.
+
+    Scale shape: ONE day-keyed partial agg; ranking and the moment
+    aggregate run on the calendar-bounded daily relation.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    )
+    n = daily.count()
+    rk = daily.select(
+        "d", "c", F.row_number().over(Window.orderBy("c", "d")).alias("r")
+    )
+    u = (
+        rk.where(F.expr(f"r * 5 > {n} * 4"))
+        .agg(F.min("c").alias("u")).collect()[0]["u"]
+    )
+    exc = daily.where(F.col("c") > u).select((F.col("c") - u).alias("y"))
+    mom = exc.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("s1"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("s2"),
+    )
+    return mom.select(
+        F.lit(n).cast("long").alias("n_days"),
+        F.col("k").alias("n_exceedances"),
+        F.lit(int(u)).cast("long").alias("threshold_cents"),
+        F.expr(
+            "CAST(FLOOR(5.0e-1 * ((s1 * 1.0e0 / k) * (s1 * 1.0e0 / k)"
+            " / ((s2 * 1.0e0 - s1 * 1.0e0 * s1 / k) / (k - 1)) - 1.0e0)"
+            " * 1000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("xi_micro"),
+        F.expr(
+            "CAST(FLOOR(5.0e-1 * (s1 * 1.0e0 / k)"
+            " * ((s1 * 1.0e0 / k) * (s1 * 1.0e0 / k)"
+            " / ((s2 * 1.0e0 - s1 * 1.0e0 * s1 / k) / (k - 1)) + 1.0e0)"
+            " + 5.0e-1) AS BIGINT)"
+        ).alias("beta_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# regression discontinuity at a value cutoff
+# ---------------------------------------------------------------------------
+
+_RD_CUT = 25000   # cents: the "discount kicks in at 250.00" cutoff
+_RD_BW = 10000    # bandwidth: +-100.00 around the cutoff
+_RD_BIN = 500     # 5.00 bins
+
+_RDD_SQL = f"""
+    WITH ev AS (
+      SELECT CAST(FLOOR(value * 100e0) AS BIGINT) - {_RD_CUT} AS xc,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events
+      WHERE CAST(FLOOR(value * 100e0) AS BIGINT)
+            BETWEEN {_RD_CUT - _RD_BW} AND {_RD_CUT + _RD_BW - 1}),
+    b AS (
+      SELECT CASE WHEN xc >= 0 THEN 1 ELSE 0 END AS side,
+             (xc - CASE WHEN xc < 0 THEN {_RD_BIN - 1} ELSE 0 END)
+               // {_RD_BIN} AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS x
+      FROM ev GROUP BY side, bin),
+    pts AS (
+      SELECT side, bin * {_RD_BIN} + {_RD_BIN // 2} AS xb,
+             x * 1000000 // n AS yb, n
+      FROM b),
+    s AS (
+      SELECT side,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(xb) AS HUGEINT) AS sx,
+             CAST(SUM(yb) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(xb AS HUGEINT) * xb) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(xb AS HUGEINT) * yb) AS HUGEINT) AS sxy
+      FROM pts GROUP BY side),
+    f AS (
+      SELECT side,
+             (m * sxy - sx * sy) * 1.0e0 / (m * sxx - sx * sx) AS slope,
+             (sy * 1.0e0 - (m * sxy - sx * sy) * 1.0e0
+                           / (m * sxx - sx * sx) * sx) / m AS icept
+      FROM s)
+    SELECT
+      CAST(FLOOR(MAX(CASE WHEN side = 1 THEN icept END) + 5.0e-1)
+           AS BIGINT) AS limit_right_ppm,
+      CAST(FLOOR(MAX(CASE WHEN side = 0 THEN icept END) + 5.0e-1)
+           AS BIGINT) AS limit_left_ppm,
+      CAST(FLOOR(MAX(CASE WHEN side = 1 THEN icept END)
+                 - MAX(CASE WHEN side = 0 THEN icept END) + 5.0e-1)
+           AS BIGINT) AS jump_ppm,
+      CAST(FLOOR(MAX(CASE WHEN side = 1 THEN slope END) * 1000000e0
+                 + 5.0e-1) AS BIGINT) AS slope_right_nano,
+      CAST(FLOOR(MAX(CASE WHEN side = 0 THEN slope END) * 1000000e0
+                 + 5.0e-1) AS BIGINT) AS slope_left_nano
+    FROM f
+    """
+
+
+@q("regression_discontinuity", oracle=_RDD_SQL)
+def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate at a value cutoff
+    (250.00): local linear fits of the purchase-rate-by-value-bin curve
+    on each side of the cutoff within a +-100.00 bandwidth; the jump
+    between the two intercepts (the fits' values AT the cutoff) is the
+    discontinuity estimate. Completes the causal-design family
+    (``did_estimate`` needs panels, ``ipw_ate_estimate`` needs
+    overlap; RDD needs only a known assignment threshold). On this
+    fixture the truth is NO discontinuity — the estimate doubles as a
+    placebo calibration.
+
+    Exactness: binning is exact integer floor arithmetic (the negative
+    side offset keeps floor-division aligned to the cutoff); bin rates
+    are integer ppm; the OLS normal equations run over HUGEINT ==
+    DECIMAL(38,0) power sums, with one final double division snapped
+    half-up.
+
+    Scale shape: the bandwidth filter pushes to the scan; raw events
+    reduce in ONE (side, bin) partial agg; the per-side OLS is an
+    aggregate over the 40-row bin relation.
+    """
+    ev = t(spark, sf_dir, "events").where(
+        F.expr(
+            f"CAST(FLOOR(value * 100e0) AS BIGINT)"
+            f" BETWEEN {_RD_CUT - _RD_BW} AND {_RD_CUT + _RD_BW - 1}"
+        )
+    ).select(
+        (F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)") - _RD_CUT)
+        .alias("xc"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("conv"),
+    )
+    b = ev.groupBy(
+        F.expr("CASE WHEN xc >= 0 THEN 1 ELSE 0 END").alias("side"),
+        F.expr(
+            f"(xc - CASE WHEN xc < 0 THEN {_RD_BIN - 1} ELSE 0 END)"
+            f" div {_RD_BIN}"
+        ).alias("bin"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+    pts = b.select(
+        "side",
+        (F.col("bin") * _RD_BIN + _RD_BIN // 2).alias("xb"),
+        F.expr("x * 1000000 div n").alias("yb"),
+    )
+    s = pts.groupBy("side").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.expr("CAST(xb AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(yb AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(F.expr("CAST(xb AS DECIMAL(38,0)) * xb")).alias("sxx"),
+        F.sum(F.expr("CAST(xb AS DECIMAL(38,0)) * yb")).alias("sxy"),
+    )
+    f = s.select(
+        "side",
+        F.expr(
+            "(m * sxy - sx * sy) * 1.0e0 / (m * sxx - sx * sx)"
+        ).alias("slope"),
+        F.expr(
+            "(sy * 1.0e0 - (m * sxy - sx * sy) * 1.0e0"
+            " / (m * sxx - sx * sx) * sx) / m"
+        ).alias("icept"),
+    )
+    return f.agg(
+        F.expr(
+            "CAST(FLOOR(MAX(CASE WHEN side = 1 THEN icept END) + 5.0e-1)"
+            " AS BIGINT)"
+        ).alias("limit_right_ppm"),
+        F.expr(
+            "CAST(FLOOR(MAX(CASE WHEN side = 0 THEN icept END) + 5.0e-1)"
+            " AS BIGINT)"
+        ).alias("limit_left_ppm"),
+        F.expr(
+            "CAST(FLOOR(MAX(CASE WHEN side = 1 THEN icept END)"
+            " - MAX(CASE WHEN side = 0 THEN icept END) + 5.0e-1) AS BIGINT)"
+        ).alias("jump_ppm"),
+        F.expr(
+            "CAST(FLOOR(MAX(CASE WHEN side = 1 THEN slope END) * 1000000e0"
+            " + 5.0e-1) AS BIGINT)"
+        ).alias("slope_right_nano"),
+        F.expr(
+            "CAST(FLOOR(MAX(CASE WHEN side = 0 THEN slope END) * 1000000e0"
+            " + 5.0e-1) AS BIGINT)"
+        ).alias("slope_left_nano"),
+    )

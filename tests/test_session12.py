@@ -857,3 +857,139 @@ def test_tail_dependence_matches_pure_python(spark):
     # coefficients are probabilities
     assert 0 <= got.lambda_upper_ppm <= 1000000
     assert 0 <= got.lambda_lower_ppm <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# Lindley queue waits
+# ---------------------------------------------------------------------------
+
+
+def test_lindley_matches_sequential_recursion(spark):
+    """The closed form (prefix sum minus running min) must equal the
+    textbook SEQUENTIAL recursion W_{k} = max(0, W_{k-1} + S_{k-1} - A_k)
+    replayed in pure Python."""
+    svc = {"purchase": 900, "signup": 600, "error": 120, "click": 180,
+           "view": 240}
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id", "event_type", "event_id",
+            "CAST(unix_timestamp(ts) AS BIGINT) es",
+        )
+        .toPandas()
+        .sort_values(["user_id", "es", "event_id"])
+    )
+    from collections import defaultdict
+
+    waits = defaultdict(list)
+    for _, g in ev.groupby("user_id"):
+        rows = list(g.itertuples())
+        w = 0
+        waits[rows[0].event_type].append(0)
+        for prev, cur in zip(rows, rows[1:]):
+            a = cur.es - prev.es
+            w = max(0, w + svc[prev.event_type] - a)
+            waits[cur.event_type].append(w)
+    got = QUERIES["queue_wait_lindley"](spark, SF_CORRECT).toPandas()
+    assert sorted(got.event_type) == sorted(waits)
+    for _, r in got.iterrows():
+        ws = waits[r.event_type]
+        assert r.n_jobs == len(ws)
+        assert r.waiting_ppm == sum(1 for w in ws if w > 0) * 1000000 // len(ws)
+        assert r.mean_wait_s == sum(ws) // len(ws)
+        assert r.max_wait_s == max(ws)
+
+
+# ---------------------------------------------------------------------------
+# POT / GPD fit
+# ---------------------------------------------------------------------------
+
+
+def test_pot_gpd_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+        )
+        .toPandas()
+    )
+    daily = sorted(ev.groupby("d").cents.sum())
+    n = len(daily)
+    top = [c for r, c in enumerate(sorted(daily), start=1) if r * 5 > n * 4]
+    u = min(top)
+    y = [c - u for c in daily if c > u]
+    k = len(y)
+    s1, s2 = sum(y), sum(v * v for v in y)
+    m = s1 / k
+    v = (s2 - s1 * s1 / k) / (k - 1)
+    xi = 0.5 * (m * m / v - 1.0)
+    beta = 0.5 * m * (m * m / v + 1.0)
+    got = QUERIES["peak_over_threshold_gpd"](spark, SF_CORRECT).toPandas()
+    r = got.iloc[0]
+    assert (r.n_days, r.n_exceedances, r.threshold_cents) == (n, k, u)
+    assert r.xi_micro == math.floor(xi * 1e6 + 0.5)
+    assert r.beta_cents == math.floor(beta + 0.5)
+    # method-of-moments GPD: the scale must be positive and the shape
+    # inside the valid support (xi > -1); with only ~n/5 exceedances the
+    # estimator is noisy, so no tighter bound is pinned at this SF
+    assert r.beta_cents > 0
+    assert r.xi_micro > -1000000
+
+
+# ---------------------------------------------------------------------------
+# regression discontinuity
+# ---------------------------------------------------------------------------
+
+
+def test_rdd_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END conv",
+        )
+        .toPandas()
+    )
+    cut, bw, binw = 25000, 10000, 500
+    sub = ev[(ev.cents >= cut - bw) & (ev.cents <= cut + bw - 1)].copy()
+    sub["xc"] = sub.cents - cut
+
+    def fit(side_rows):
+        pts = []
+        for b, g in side_rows.groupby("bin"):
+            xb = b * binw + binw // 2
+            yb = int(g.conv.sum()) * 1000000 // len(g)
+            pts.append((xb, yb))
+        m = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+        icept = (sy - slope * sx) / m
+        return slope, icept
+
+    left = sub[sub.xc < 0].copy()
+    left["bin"] = (left.xc - (binw - 1)) // binw
+    # Python // floors; Spark div truncates toward zero — the operator
+    # pre-offsets negatives so both agree; replicate with trunc here
+    left["bin"] = ((left.xc - (binw - 1)) / binw).astype(int)
+    right = sub[sub.xc >= 0].copy()
+    right["bin"] = (right.xc / binw).astype(int)
+    sl, il = fit(left)
+    sr, ir = fit(right)
+    got = QUERIES["regression_discontinuity"](spark, SF_CORRECT).toPandas()
+    r = got.iloc[0]
+    assert r.limit_right_ppm == math.floor(ir + 0.5)
+    assert r.limit_left_ppm == math.floor(il + 0.5)
+    assert r.jump_ppm == math.floor(ir - il + 0.5)
+    assert r.slope_right_nano == math.floor(sr * 1e6 + 0.5)
+    assert r.slope_left_nano == math.floor(sl * 1e6 + 0.5)
+    # placebo calibration: the fixture has no true discontinuity at the
+    # cutoff — the jump must be small relative to the base rate
+    assert abs(r.jump_ppm) < 200000

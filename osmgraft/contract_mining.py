@@ -2335,3 +2335,424 @@ def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 5.0e-1) AS BIGINT)"
         ).alias("slope_left_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+_HN_BITS = 4
+_HN_ANCHOR = 7  # vec_id % 7 == 0 anchors
+
+
+def _hn_sql() -> str:
+    from osmgraft.ann.search import make_projections
+    from osmgraft.geo.hexgrid import lit_sql
+
+    proj = make_projections(64, _HN_BITS, seed=42)
+    rows = ", ".join(
+        "(" + str(b) + ", ["
+        + ", ".join(lit_sql(float(v)) for v in proj[b]) + "]::DOUBLE[])"
+        for b in range(_HN_BITS)
+    )
+    return f"""
+    WITH proj(b, p) AS (VALUES {rows}),
+    sig AS (
+      SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v,
+             CAST(SUM(CASE WHEN list_inner_product(e.embedding::DOUBLE[],
+                                                   p.p) > 0
+                           THEN 1 << p.b ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN proj p GROUP BY e.vec_id, e.label, v),
+    pairs AS (
+      SELECT a.vec_id AS anchor_id, n.vec_id AS neg_id,
+             CAST(FLOOR(list_inner_product(a.v, n.v)
+                        / (sqrt(list_inner_product(a.v, a.v))
+                           * sqrt(list_inner_product(n.v, n.v)))
+                        * 1000000000e0) AS BIGINT) AS cos_nano
+      FROM sig a JOIN sig n
+        ON a.bucket = n.bucket AND a.label <> n.label
+      WHERE a.vec_id % {_HN_ANCHOR} = 0),
+    hard AS (
+      SELECT anchor_id,
+             MAX(cos_nano) AS cos_nano,
+             MIN(neg_id) FILTER (WHERE cos_nano =
+               (SELECT MAX(p2.cos_nano) FROM pairs p2
+                WHERE p2.anchor_id = pairs.anchor_id)) AS neg_id
+      FROM pairs GROUP BY anchor_id)
+    SELECT cos_nano // 100000000 AS cos_band,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(MAX(cos_nano) AS BIGINT) AS max_cos_nano,
+           MIN(anchor_id || '>' || neg_id) AS example_pair
+    FROM hard GROUP BY cos_band ORDER BY cos_band
+    """
+
+
+@q("hard_negative_mining", oracle=_hn_sql())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (every {_HN_ANCHOR}th vector), the most cosine-similar embedding
+    with a DIFFERENT label among its {_HN_BITS}-bit LSH bucket
+    neighbors — the negatives that actually move a contrastive loss
+    (random negatives are trivially far). Reported as a per-similarity-
+    band census of the mined negatives with deterministic example
+    pairs.
+
+    Exactness: the double cosine is computed by the SAME in-order
+    dot/norm reduction on both engines (the ann-oracle discipline:
+    float32 inputs widen exactly to double, both engines fold
+    left-to-right), then snapped once to nano; per-anchor argmax
+    breaks ties on the smaller negative id.
+
+    Scale shape: candidate generation is the bucket EQUI-self-join
+    (the blocked-pairs shape, never all-pairs); the anchor filter
+    pushes into the scan; the per-anchor argmax is a bucket-local
+    partial agg. At production scale the bucket width is the recall /
+    cost dial, same as ``simhash_neardup_pairs``.
+    """
+    from osmgraft.ann.search import cosine_col, make_projections, with_lsh_bucket
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE))"
+        ).alias("v"),
+    )
+    proj = make_projections(64, _HN_BITS, seed=42)
+    sig = with_lsh_bucket(emb, proj, "v", "bucket")
+    a = sig.where(F.expr(f"vec_id % {_HN_ANCHOR} = 0")).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("la"),
+        F.col("v").alias("va"), F.col("bucket").alias("ba"),
+    )
+    ndf = sig.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("ln"),
+        F.col("v").alias("vn"), F.col("bucket").alias("bn"),
+    )
+    pairs = (
+        a.join(ndf, (F.col("ba") == F.col("bn")) & (F.col("la") != F.col("ln")))
+        .select(
+            "anchor_id", "neg_id",
+            F.floor(
+                cosine_col(F.col("va"), F.col("vn")) * F.lit(1000000000.0)
+            ).cast("long").alias("cos_nano"),
+        )
+    )
+    hard = (
+        pairs.groupBy("anchor_id")
+        .agg(
+            F.max("cos_nano").alias("cos_nano"),
+            F.expr(
+                "min_by(neg_id, struct(-cos_nano, neg_id))"
+            ).alias("neg_id"),
+        )
+    )
+    return (
+        hard.groupBy(F.expr("cos_nano div 100000000").alias("cos_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_anchors"),
+            F.max("cos_nano").cast("long").alias("max_cos_nano"),
+            F.min(
+                F.concat_ws(">", "anchor_id", "neg_id")
+            ).alias("example_pair"),
+        )
+        .orderBy("cos_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# off-policy replay evaluation
+# ---------------------------------------------------------------------------
+
+_PR_SPLIT_DAY = 15  # first 15 observed days train the target policy
+
+_PR_SQL = f"""
+    WITH ev AS (
+      SELECT (CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                   AS INTEGER) + 4) % 7 AS ctx,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             event_id % 4 AS arm,
+             CASE WHEN value > 100e0 THEN 1 ELSE 0 END AS r
+      FROM events),
+    d0 AS (SELECT MIN(d) AS d0 FROM ev),
+    train AS (
+      SELECT ctx, arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r) AS BIGINT) * 1000000 // COUNT(*) AS v
+      FROM ev, d0 WHERE d < d0.d0 + {_PR_SPLIT_DAY} GROUP BY ctx, arm),
+    pol AS (
+      SELECT ctx, MIN(arm) AS arm FROM train t
+      WHERE v = (SELECT MAX(v) FROM train t2 WHERE t2.ctx = t.ctx)
+      GROUP BY ctx),
+    test AS (
+      SELECT ev.* FROM ev, d0 WHERE ev.d >= d0.d0 + {_PR_SPLIT_DAY}),
+    rep AS (
+      SELECT t.ctx,
+             CAST(COUNT(*) AS BIGINT) AS n_logged,
+             CAST(SUM(CASE WHEN t.arm = p.arm THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_matched,
+             CAST(SUM(CASE WHEN t.arm = p.arm THEN t.r ELSE 0 END)
+                  AS BIGINT) AS r_matched,
+             CAST(SUM(t.r) AS BIGINT) AS r_logged
+      FROM test t JOIN pol p USING (ctx) GROUP BY t.ctx, p.arm),
+    outp AS (
+      SELECT rep.ctx, p.arm AS chosen_arm, n_logged, n_matched,
+             r_matched * 1000000 // n_matched AS replay_value_ppm,
+             r_logged * 1000000 // n_logged AS logged_value_ppm
+      FROM rep JOIN pol p USING (ctx))
+    SELECT ctx, chosen_arm, n_logged, n_matched, replay_value_ppm,
+           logged_value_ppm,
+           CAST(replay_value_ppm - logged_value_ppm AS BIGINT) AS lift_ppm
+    FROM outp ORDER BY ctx
+    """
+
+
+@q("policy_replay_eval", oracle=_PR_SQL)
+def policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by replay (Li et al. 2011): train a target
+    policy (argmax empirical reward per context, ties to the smaller
+    arm) on the first {_PR_SPLIT_DAY} observed days, then evaluate it
+    on the rest of the log by KEEPING ONLY events where the logged arm
+    (uniform by construction: event_id mod 4) equals the policy's
+    choice — the replay estimator is unbiased under uniform logging.
+    Per context: the chosen arm, match count, replay value, the
+    logged-policy baseline and the lift. The evaluation every bandit /
+    recommender change ships before an online A/B.
+
+    Exactness: values are exact integer ppm; the policy argmax breaks
+    ties on the smaller arm id on both engines; the temporal split is
+    an integer day threshold anchored at the observed minimum.
+
+    Scale shape: two scans (train window, test window) each reducing
+    in ONE (context, arm) partial agg; the policy relation is
+    |contexts| rows, broadcast back onto the test aggregate.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        F.expr(
+            "(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) + 4) % 7"
+        ).alias("ctx"),
+        F.expr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        ).alias("d"),
+        (F.col("event_id") % 4).alias("arm"),
+        F.expr("CASE WHEN value > 100e0 THEN 1 ELSE 0 END").alias("r"),
+    )
+    d0 = ev.agg(F.min("d").alias("d0")).collect()[0]["d0"]
+    cut = int(d0) + _PR_SPLIT_DAY
+    train = (
+        ev.where(F.col("d") < cut)
+        .groupBy("ctx", "arm")
+        .agg(
+            F.expr(
+                "CAST(SUM(r) AS BIGINT) * 1000000 div COUNT(*)"
+            ).alias("v")
+        )
+    )
+    pol = train.groupBy("ctx").agg(
+        F.expr("min_by(arm, struct(-v, arm))").alias("chosen_arm")
+    )
+    test = ev.where(F.col("d") >= cut)
+    rep = (
+        test.join(F.broadcast(pol), "ctx")
+        .groupBy("ctx", "chosen_arm")
+        .agg(
+            F.count("*").cast("long").alias("n_logged"),
+            F.sum(F.when(F.col("arm") == F.col("chosen_arm"), 1).otherwise(0))
+            .cast("long").alias("n_matched"),
+            F.sum(
+                F.when(F.col("arm") == F.col("chosen_arm"), F.col("r"))
+                .otherwise(0)
+            ).cast("long").alias("r_matched"),
+            F.sum("r").cast("long").alias("r_logged"),
+        )
+    )
+    return rep.select(
+        "ctx", "chosen_arm", "n_logged", "n_matched",
+        F.expr("r_matched * 1000000 div n_matched").alias("replay_value_ppm"),
+        F.expr("r_logged * 1000000 div n_logged").alias("logged_value_ppm"),
+        F.expr(
+            "CAST(r_matched * 1000000 div n_matched"
+            " - r_logged * 1000000 div n_logged AS BIGINT)"
+        ).alias("lift_ppm"),
+    ).orderBy("ctx")
+
+
+# ---------------------------------------------------------------------------
+# training cartography over the hard-sigmoid GD trajectory
+# ---------------------------------------------------------------------------
+
+_TC_CONF = 700000        # mean label-confidence threshold (micro)
+_TC_VAR = 11520000000000  # variance threshold: std 0.15 -> 64*8*(0.15e6)^2
+
+
+def _tc_weight_chain() -> str:
+    from osmgraft.contract_select import (
+        _BR_HITS, _BR_REL_MIN, _HS_LR_SHIFT, _HS_ROUNDS,
+    )
+
+    feat = f"""feat AS (
+      SELECT doc_id, n_chars // 64 AS x1, {_BR_HITS} AS x2,
+             CASE WHEN {_BR_HITS} >= {_BR_REL_MIN} THEN 1 ELSE 0 END AS y
+      FROM documents),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat),
+    w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+                  CAST(0 AS BIGINT) AS b)"""
+    rounds = []
+    prev = "w0"
+    for r in range(1, _HS_ROUNDS + 1):
+        rounds.append(
+            f"""g{r} AS (
+      SELECT SUM(e * x1) AS g1, SUM(e * x2) AS g2, SUM(e) AS g0
+      FROM (SELECT x1, x2,
+                   LEAST(1000000, GREATEST(0,
+                     500000 + (w.w1 * x1 + w.w2 * x2 + w.b) // 4))
+                   - y * 1000000 AS e
+            FROM feat, {prev} w)),
+    w{r} AS (
+      SELECT w.w1 - g.g1 // (nn.n * {1 << _HS_LR_SHIFT}) AS w1,
+             w.w2 - g.g2 // (nn.n * {1 << _HS_LR_SHIFT}) AS w2,
+             w.b - g.g0 // (nn.n * {1 << _HS_LR_SHIFT}) AS b
+      FROM {prev} w, g{r} g, nn)"""
+        )
+        prev = f"w{r}"
+    return ",\n    ".join([feat] + rounds)
+
+
+def _tc_sql() -> str:
+    from osmgraft.contract_select import _HS_ROUNDS
+
+    qs = []
+    for r in range(1, _HS_ROUNDS + 1):
+        p = (
+            f"LEAST(1000000, GREATEST(0, 500000 +"
+            f" (a{r}.w1 * x1 + a{r}.w2 * x2 + a{r}.b) // 4))"
+        )
+        qs.append(f"CASE WHEN y = 1 THEN {p} ELSE 1000000 - {p} END")
+    qlist = "[" + ", ".join(qs) + "]"
+    froms = ", ".join(f"w{r} a{r}" for r in range(1, _HS_ROUNDS + 1))
+    R = _HS_ROUNDS
+    return f"""
+    WITH {_tc_weight_chain()},
+    traj AS (
+      SELECT doc_id, y, qv
+      FROM (SELECT doc_id, y, {qlist} AS qv FROM feat, {froms})),
+    stats AS (
+      SELECT doc_id, y,
+             list_sum(qv) AS conf_x{R},
+             list_sum(list_transform(qv,
+               q -> ({R} * q - list_sum(qv)) * ({R} * q - list_sum(qv))))
+               AS var_scaled
+      FROM traj),
+    banded AS (
+      SELECT CASE WHEN var_scaled >= {_TC_VAR} THEN 'ambiguous'
+                  WHEN conf_x{R} >= {R} * {_TC_CONF} THEN 'easy'
+                  ELSE 'hard' END AS region,
+             conf_x{R} AS cx, var_scaled
+      FROM stats)
+    SELECT region, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(cx) // (COUNT(*) * {R}) AS BIGINT)
+             AS mean_conf_micro,
+           CAST(SUM(var_scaled) // COUNT(*) AS BIGINT)
+             AS mean_var_scaled
+    FROM banded GROUP BY region ORDER BY region
+    """
+
+
+@q("training_cartography", oracle=_tc_sql())
+def training_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset cartography (Swayamdipta et al. 2020) over the
+    ``hard_sigmoid_logreg`` GD trajectory: per example, the mean
+    confidence toward its TRUE label across the 8 training rounds and
+    the across-round variability, banded into the map's three regions
+    — easy-to-learn (high confidence), ambiguous (high variability —
+    the examples worth curating), hard (low confidence, often label
+    noise). The training-dynamics lens a data-curation pipeline runs
+    to decide what to keep, relabel, or upsample.
+
+    Exactness: the weight trajectory is the exact integer GD of
+    ``hard_sigmoid_logreg`` (zero transcendentals); per-round
+    confidences are exact micro; the variance is the integer-scaled
+    sum of (R*q - sum q)^2, so banding and rollups are engine-exact.
+
+    Scale shape: the {8}-round weight training is the logreg's bounded
+    full-scan loop (3-number gradient per round); the cartography
+    itself is ONE additional scan evaluating all 8 frozen weight
+    triples per row (constant-width arithmetic), then a 3-group
+    rollup.
+    """
+    from osmgraft.contract_select import (
+        _BR_HITS, _BR_REL_MIN, _HS_LR_SHIFT, _HS_ROUNDS,
+    )
+
+    hits = _BR_HITS.replace("//", " div ")
+    feat = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("n_chars div 64").alias("x1"),
+        F.expr(hits).alias("x2"),
+        F.expr(
+            f"CASE WHEN {hits} >= {_BR_REL_MIN} THEN 1 ELSE 0 END"
+        ).alias("y"),
+    ).localCheckpoint()
+    n = feat.count()
+    denom = n * (1 << _HS_LR_SHIFT)
+    w1 = w2 = b = 0
+    weights = []
+    for _ in range(_HS_ROUNDS):
+        e = F.expr(
+            f"LEAST(1000000, GREATEST(0,"
+            f" 500000 + ({w1} * x1 + {w2} * x2 + {b}) div 4))"
+            " - y * 1000000"
+        )
+        g = feat.select(e.alias("e"), "x1", "x2").agg(
+            F.sum(F.col("e") * F.col("x1")).alias("g1"),
+            F.sum(F.col("e") * F.col("x2")).alias("g2"),
+            F.sum("e").alias("g0"),
+        ).collect()[0]
+
+        def upd(w, gv):
+            gv = int(gv)
+            return w - (gv // denom if gv >= 0 else -((-gv) // denom))
+
+        w1, w2, b = upd(w1, g.g1), upd(w2, g.g2), upd(b, g.g0)
+        weights.append((w1, w2, b))
+    R = _HS_ROUNDS
+    qs = []
+    for (a1, a2, a0) in weights:
+        p = (
+            f"LEAST(1000000, GREATEST(0, 500000 +"
+            f" ({a1} * x1 + {a2} * x2 + {a0}) div 4))"
+        )
+        qs.append(f"CASE WHEN y = 1 THEN {p} ELSE 1000000 - {p} END")
+    qlist = "array(" + ", ".join(qs) + ")"
+    traj = feat.select(
+        "doc_id", "y", F.expr(qlist).alias("qv")
+    )
+    stats = traj.select(
+        "doc_id", "y",
+        F.expr("aggregate(qv, CAST(0 AS BIGINT), (s, q) -> s + q)")
+        .alias("cx"),
+        F.expr(
+            "aggregate(transform(qv, q ->"
+            f" ({R} * q - aggregate(qv, CAST(0 AS BIGINT), (s, q2) -> s + q2))"
+            f" * ({R} * q - aggregate(qv, CAST(0 AS BIGINT),"
+            " (s, q2) -> s + q2))), CAST(0 AS BIGINT), (s, v) -> s + v)"
+        ).alias("var_scaled"),
+    )
+    banded = stats.select(
+        F.expr(
+            f"CASE WHEN var_scaled >= {_TC_VAR} THEN 'ambiguous'"
+            f" WHEN cx >= {R} * {_TC_CONF} THEN 'easy'"
+            " ELSE 'hard' END"
+        ).alias("region"),
+        "cx", "var_scaled",
+    )
+    return (
+        banded.groupBy("region")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr(
+                f"CAST(SUM(cx) div (COUNT(*) * {R}) AS BIGINT)"
+            ).alias("mean_conf_micro"),
+            F.expr(
+                "CAST(SUM(var_scaled) div COUNT(*) AS BIGINT)"
+            ).alias("mean_var_scaled"),
+        )
+        .orderBy("region")
+    )

@@ -993,3 +993,166 @@ def test_rdd_matches_pure_python(spark):
     # placebo calibration: the fixture has no true discontinuity at the
     # cutoff — the jump must be small relative to the base rate
     assert abs(r.jump_ppm) < 200000
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negative_mining_matches_pure_python(spark):
+    import math
+
+    import numpy as np
+
+    from osmgraft.ann.search import make_projections
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").toPandas()
+    proj = make_projections(64, 4, seed=42)
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    buckets = ((mat @ proj.T) > 0) @ (1 << np.arange(4, dtype=np.int64))
+    ids = list(emb.vec_id)
+    labels = list(emb.label)
+
+    def cos_nano(i, j):
+        # replicate the engines' LEFT-TO-RIGHT fold exactly
+        d = nx = ny = 0.0
+        for a, b in zip(mat[i], mat[j]):
+            d += a * b
+        for a in mat[i]:
+            nx += a * a
+        for b in mat[j]:
+            ny += b * b
+        return math.floor(d / (math.sqrt(nx) * math.sqrt(ny)) * 1e9)
+
+    hard = {}
+    for i, aid in enumerate(ids):
+        if aid % 7 != 0:
+            continue
+        best = None
+        for j, nid in enumerate(ids):
+            if labels[j] == labels[i] or buckets[j] != buckets[i]:
+                continue
+            c = cos_nano(i, j)
+            if best is None or c > best[0] or (c == best[0] and nid < best[1]):
+                best = (c, nid)
+        if best:
+            hard[aid] = best
+    from collections import defaultdict
+
+    bands = defaultdict(list)
+    for aid, (c, nid) in hard.items():
+        bands[c // 100000000].append((c, f"{aid}>{nid}"))
+    got = QUERIES["hard_negative_mining"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(bands)
+    for _, r in got.iterrows():
+        rows = bands[r.cos_band]
+        assert r.n_anchors == len(rows)
+        assert r.max_cos_nano == max(c for c, _ in rows)
+        assert r.example_pair == min(p for _, p in rows)
+
+
+# ---------------------------------------------------------------------------
+# policy replay
+# ---------------------------------------------------------------------------
+
+
+def test_policy_replay_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) + 4) % 7 ctx",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "event_id % 4 arm",
+            "CASE WHEN value > 100e0 THEN 1 ELSE 0 END r",
+        )
+        .toPandas()
+    )
+    cut = ev.d.min() + 15
+    train, test = ev[ev.d < cut], ev[ev.d >= cut]
+    pol = {}
+    for ctx, g in train.groupby("ctx"):
+        best = None
+        for arm, ga in g.groupby("arm"):
+            v = int(ga.r.sum()) * 1000000 // len(ga)
+            if best is None or v > best[0] or (v == best[0] and arm < best[1]):
+                best = (v, arm)
+        pol[ctx] = best[1]
+    got = QUERIES["policy_replay_eval"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(pol)
+    for _, r in got.iterrows():
+        sub = test[test.ctx == r.ctx]
+        m = sub[sub.arm == pol[r.ctx]]
+        assert r.chosen_arm == pol[r.ctx]
+        assert (r.n_logged, r.n_matched) == (len(sub), len(m))
+        rv = int(m.r.sum()) * 1000000 // len(m)
+        lv = int(sub.r.sum()) * 1000000 // len(sub)
+        assert (r.replay_value_ppm, r.logged_value_ppm) == (rv, lv)
+        assert r.lift_ppm == rv - lv
+    # the logged policy is uniform: matched share ~ 1/4 per context
+    share = got.n_matched.sum() / got.n_logged.sum()
+    assert 0.15 < share < 0.35
+
+
+# ---------------------------------------------------------------------------
+# training cartography
+# ---------------------------------------------------------------------------
+
+
+def test_training_cartography_matches_pure_python(spark):
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "text", "n_chars").toPandas()
+    )
+    feats = []
+    for _, r in docs.iterrows():
+        x1 = int(r.n_chars) // 64
+        x2 = (len(r.text) - len(r.text.replace("spark", ""))) // 5
+        y = 1 if x2 >= 4 else 0
+        feats.append((x1, x2, y))
+    n = len(feats)
+    denom = n * 2
+
+    def trunc_div(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    w1 = w2 = b = 0
+    weights = []
+    for _ in range(8):
+        g1 = g2 = g0 = 0
+        for x1, x2, y in feats:
+            p = min(1000000, max(0, 500000 + trunc_div(
+                w1 * x1 + w2 * x2 + b, 4)))
+            e = p - y * 1000000
+            g1 += e * x1
+            g2 += e * x2
+            g0 += e
+        w1 -= trunc_div(g1, denom)
+        w2 -= trunc_div(g2, denom)
+        b -= trunc_div(g0, denom)
+        weights.append((w1, w2, b))
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for x1, x2, y in feats:
+        qv = []
+        for a1, a2, a0 in weights:
+            p = min(1000000, max(0, 500000 + trunc_div(
+                a1 * x1 + a2 * x2 + a0, 4)))
+            qv.append(p if y == 1 else 1000000 - p)
+        s = sum(qv)
+        var = sum((8 * q - s) ** 2 for q in qv)
+        region = (
+            "ambiguous" if var >= 11520000000000
+            else "easy" if s >= 8 * 700000 else "hard"
+        )
+        agg[region][0] += 1
+        agg[region][1] += s
+        agg[region][2] += var
+    got = QUERIES["training_cartography"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(agg)
+    for _, r in got.iterrows():
+        cnt, s, var = agg[r.region]
+        assert r.n_docs == cnt
+        assert r.mean_conf_micro == s // (cnt * 8)
+        assert r.mean_var_scaled == var // cnt

@@ -2756,3 +2756,283 @@ def training_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# two-proportion power analysis / required sample size
+# ---------------------------------------------------------------------------
+
+# z_{0.975} and z_{0.8}, 6-dp literals (both engines parse the same double)
+_PW_ZA = "1.959964e0"
+_PW_ZB = "0.841621e0"
+_PW_MDES = (10000, 20000, 50000, 100000)  # absolute ppm deltas
+
+_PW_SQL = f"""
+    WITH ev AS (
+      SELECT user_id % 2 AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_arm,
+             CAST(SUM(conv) AS BIGINT) * 1000000 // COUNT(*) AS p_ppm
+      FROM ev),
+    mde(m) AS (VALUES {", ".join(f"({m})" for m in _PW_MDES)}),
+    calc AS (
+      SELECT b.n_arm, b.p_ppm, m.m AS mde_ppm,
+             b.p_ppm * 1.0e-6 AS p1,
+             b.p_ppm * 1.0e-6 + m.m * 1.0e-6 AS p2
+      FROM base b CROSS JOIN mde m)
+    SELECT mde_ppm, p_ppm AS p_base_ppm, n_arm AS n_per_arm_available,
+           CAST(CEIL(
+             POWER({_PW_ZA} * SQRT(2.0e0 * ((p1 + p2) / 2.0e0)
+                                   * (1.0e0 - (p1 + p2) / 2.0e0))
+                   + {_PW_ZB} * SQRT(p1 * (1.0e0 - p1)
+                                     + p2 * (1.0e0 - p2)), 2)
+             / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_required,
+           CAST(n_arm * 1000000 // CAST(CEIL(
+             POWER({_PW_ZA} * SQRT(2.0e0 * ((p1 + p2) / 2.0e0)
+                                   * (1.0e0 - (p1 + p2) / 2.0e0))
+                   + {_PW_ZB} * SQRT(p1 * (1.0e0 - p1)
+                                     + p2 * (1.0e0 - p2)), 2)
+             / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS BIGINT)
+             AS sample_ratio_ppm
+    FROM calc ORDER BY mde_ppm
+    """
+
+
+@q("power_analysis_mde", oracle=_PW_SQL)
+def power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion power analysis: for each minimum detectable
+    effect (1/2/5/10 pp absolute), the per-arm sample size required at
+    alpha = 0.05 (two-sided), power = 0.8 — n = (z_a*sqrt(2 p-bar
+    q-bar) + z_b*sqrt(p1 q1 + p2 q2))^2 / delta^2 — against the
+    observed baseline conversion rate and the actually available arm
+    size. The pre-experiment question every ``abtest_conversion_z`` /
+    ``sprt_trajectory`` user must answer FIRST ("can this log even
+    detect a 1 pp lift?").
+
+    Exactness: the baseline rate is exact integer ppm; the sample-size
+    formula runs in doubles from exact inputs with 6-dp z literals and
+    snaps via CEIL (the conservative rounding for a requirement); the
+    coverage ratio is exact integer ppm of snapped integers.
+
+    Scale shape: one conditional aggregate over raw events; the MDE
+    grid is a 4-row literal relation.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("conv"),
+    )
+    base = ev.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long").alias("n_arm"),
+        F.expr(
+            "CAST(SUM(conv) AS BIGINT) * 1000000 div COUNT(*)"
+        ).alias("p_ppm"),
+    )
+    mde = spark.createDataFrame([(m,) for m in _PW_MDES], "m INT")
+    nreq = (
+        f"CAST(CEIL(POWER({_PW_ZA} * SQRT(2.0e0 * ((p1 + p2) / 2.0e0)"
+        f" * (1.0e0 - (p1 + p2) / 2.0e0)) + {_PW_ZB} * SQRT(p1 *"
+        " (1.0e0 - p1) + p2 * (1.0e0 - p2)), 2)"
+        " / ((p2 - p1) * (p2 - p1))) AS BIGINT)"
+    )
+    calc = base.crossJoin(F.broadcast(mde)).select(
+        F.col("m").alias("mde_ppm"),
+        F.col("p_ppm").alias("p_base_ppm"),
+        F.col("n_arm").alias("n_per_arm_available"),
+        F.expr("p_ppm * 1.0e-6").alias("p1"),
+        F.expr("p_ppm * 1.0e-6 + m * 1.0e-6").alias("p2"),
+    )
+    return calc.select(
+        "mde_ppm", "p_base_ppm", "n_per_arm_available",
+        F.expr(nreq).alias("n_required"),
+        F.expr(
+            f"CAST(n_per_arm_available * 1000000 div {nreq} AS BIGINT)"
+        ).alias("sample_ratio_ppm"),
+    ).orderBy("mde_ppm")
+
+
+# ---------------------------------------------------------------------------
+# minimum-transfer partition rebalance plan
+# ---------------------------------------------------------------------------
+
+_RB_PARTS = 16
+
+_RB_SQL = f"""
+    WITH sizes AS (
+      SELECT user_id % {_RB_PARTS} AS pid,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY pid),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n FROM sizes),
+    surp AS (
+      SELECT pid, n_rows,
+             n_rows * {_RB_PARTS} - tot.n AS surplus_x{_RB_PARTS}
+      FROM sizes CROSS JOIN tot),
+    flow AS (
+      SELECT pid, n_rows, surplus_x{_RB_PARTS},
+             SUM(surplus_x{_RB_PARTS}) OVER (ORDER BY pid)
+               AS transfer_right_x{_RB_PARTS}
+      FROM surp)
+    SELECT pid, n_rows, surplus_x{_RB_PARTS},
+           CAST(transfer_right_x{_RB_PARTS} AS BIGINT)
+             AS transfer_right_x{_RB_PARTS},
+           CAST(SUM(ABS(transfer_right_x{_RB_PARTS})) OVER ()
+                // {_RB_PARTS} AS BIGINT) AS total_moved_rows
+    FROM flow ORDER BY pid
+    """
+
+
+@q("rebalance_move_plan", oracle=_RB_SQL)
+def rebalance_move_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-transfer rebalance plan for a line of {_RB_PARTS}
+    partitions (the classic linear-arrangement balancing identity):
+    each partition's surplus vs the mean, and the NET FLOW across each
+    boundary — the prefix sum of surpluses — which is exactly the
+    minimum-movement plan when partitions exchange only with neighbors
+    (adjacent file compaction, range-partition boundary shifts). Total
+    moved rows = sum |prefix surplus| / {_RB_PARTS}.
+    ``partition_skew_audit`` diagnoses the imbalance; this emits the
+    fix.
+
+    Exactness: surpluses are kept x{_RB_PARTS}-scaled so the mean
+    never divides; flows and the total are exact integers.
+
+    Scale shape: ONE partition-keyed count over raw events; the prefix
+    sum runs on the {_RB_PARTS}-row size relation.
+    """
+    sizes = t(spark, sf_dir, "events").groupBy(
+        (F.col("user_id") % _RB_PARTS).alias("pid")
+    ).agg(F.count("*").cast("long").alias("n_rows"))
+    tot = sizes.agg(F.sum("n_rows").cast("long").alias("n"))
+    surp = sizes.crossJoin(F.broadcast(tot)).select(
+        "pid", "n_rows",
+        (F.col("n_rows") * _RB_PARTS - F.col("n"))
+        .alias(f"surplus_x{_RB_PARTS}"),
+    )
+    w = Window.orderBy("pid")
+    flow = surp.select(
+        "pid", "n_rows", f"surplus_x{_RB_PARTS}",
+        F.sum(f"surplus_x{_RB_PARTS}").over(w)
+        .alias(f"transfer_right_x{_RB_PARTS}"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return flow.select(
+        "pid", "n_rows", f"surplus_x{_RB_PARTS}",
+        F.col(f"transfer_right_x{_RB_PARTS}").cast("long")
+        .alias(f"transfer_right_x{_RB_PARTS}"),
+        F.expr(
+            f"CAST(SUM(ABS(transfer_right_x{_RB_PARTS})) OVER ()"
+            f" div {_RB_PARTS} AS BIGINT)"
+        ).alias("total_moved_rows"),
+    ).orderBy("pid")
+
+
+# ---------------------------------------------------------------------------
+# discounted cohort lifetime value
+# ---------------------------------------------------------------------------
+
+_LTV_D_MICRO = 990000  # weekly discount factor 0.99 in micro
+
+_LTV_SQL = f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+               AS wk,
+             CAST(FLOOR(value * 100e0) AS BIGINT) AS cents
+      FROM events),
+    u0 AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id),
+    cs AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users
+           FROM u0 GROUP BY cohort_wk),
+    uw AS (
+      SELECT e.user_id, u0.cohort_wk, e.wk - u0.cohort_wk AS h,
+             SUM(e.cents) AS cents
+      FROM ev e JOIN u0 USING (user_id)
+      GROUP BY e.user_id, u0.cohort_wk, e.wk - u0.cohort_wk),
+    coh AS (
+      SELECT cohort_wk, h,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM uw GROUP BY cohort_wk, h),
+    terms AS (
+      SELECT c.cohort_wk, c.h,
+             CAST(FLOOR(c.cents * 1.0e0 / s.n_users
+                        * POWER({_LTV_D_MICRO}e0 / 1000000e0, c.h)
+                        + 5.0e-1) AS BIGINT) AS term_cents
+      FROM coh c JOIN cs s USING (cohort_wk))
+    SELECT t.cohort_wk, s.n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_horizons,
+           CAST(SUM(t.term_cents) AS BIGINT) AS ltv_cents_per_user
+    FROM terms t JOIN cs s USING (cohort_wk)
+    GROUP BY t.cohort_wk, s.n_users ORDER BY t.cohort_wk
+    """
+
+
+@q("ltv_discounted", oracle=_LTV_SQL)
+def ltv_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted lifetime value per signup cohort: users cohorted by
+    first-activity week; at each horizon week h the cohort's realized
+    per-member value (total cents / cohort size — survival is priced
+    in by construction: churned members contribute zero) discounted by
+    0.99^h, summed over observed horizons. The composite the growth
+    team reads next to ``cohort_retention`` and
+    ``growth_accounting_weekly`` — value-weighted instead of
+    count-weighted.
+
+    Exactness: weekly cents and cohort sizes are exact integers; each
+    horizon term snaps once (FLOOR(x + 0.5)) after the single POWER
+    evaluation, then sums exactly.
+
+    Scale shape: TWO user-keyed partial aggs (first week, per-user-week
+    cents) feeding a (cohort, horizon) rollup; the discounting runs on
+    the calendar-bounded cohort-horizon relation.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) div 7"
+        ).alias("wk"),
+        F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)").alias("cents"),
+    )
+    u0 = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cs = u0.groupBy("cohort_wk").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    uw = (
+        ev.join(u0, "user_id")
+        .groupBy(
+            "user_id", "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("h"),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    coh = uw.groupBy("cohort_wk", "h").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    terms = coh.join(F.broadcast(cs), "cohort_wk").select(
+        "cohort_wk",
+        F.expr(
+            f"CAST(FLOOR(cents * 1.0e0 / n_users"
+            f" * POWER({_LTV_D_MICRO}e0 / 1000000e0, h) + 5.0e-1)"
+            " AS BIGINT)"
+        ).alias("term_cents"),
+    )
+    return (
+        terms.groupBy("cohort_wk")
+        .agg(
+            F.count("*").cast("long").alias("n_horizons"),
+            F.sum("term_cents").cast("long").alias("ltv_cents_per_user"),
+        )
+        .join(F.broadcast(cs), "cohort_wk")
+        .select(
+            "cohort_wk", "n_users", "n_horizons", "ltv_cents_per_user"
+        )
+        .orderBy("cohort_wk")
+    )

@@ -1156,3 +1156,117 @@ def test_training_cartography_matches_pure_python(spark):
         assert r.n_docs == cnt
         assert r.mean_conf_micro == s // (cnt * 8)
         assert r.mean_var_scaled == var // cnt
+
+
+# ---------------------------------------------------------------------------
+# power analysis
+# ---------------------------------------------------------------------------
+
+
+def test_power_analysis_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id % 2 arm",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END conv",
+        )
+        .toPandas()
+    )
+    n_arm = len(ev[ev.arm == 0])
+    p_ppm = int(ev.conv.sum()) * 1000000 // len(ev)
+    za, zb = 1.959964, 0.841621
+    got = QUERIES["power_analysis_mde"](spark, SF_CORRECT).toPandas()
+    assert list(got.mde_ppm) == [10000, 20000, 50000, 100000]
+    for _, r in got.iterrows():
+        p1 = p_ppm * 1e-6
+        p2 = p1 + r.mde_ppm * 1e-6
+        pbar = (p1 + p2) / 2
+        nreq = math.ceil(
+            (za * math.sqrt(2 * pbar * (1 - pbar))
+             + zb * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))) ** 2
+            / ((p2 - p1) ** 2)
+        )
+        assert r.p_base_ppm == p_ppm
+        assert r.n_per_arm_available == n_arm
+        assert r.n_required == nreq
+        assert r.sample_ratio_ppm == n_arm * 1000000 // nreq
+    # required n shrinks as MDE grows (quadratically)
+    ns = list(got.sort_values("mde_ppm").n_required)
+    assert ns == sorted(ns, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# rebalance plan
+# ---------------------------------------------------------------------------
+
+
+def test_rebalance_plan_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr("user_id % 16 pid").toPandas()
+    )
+    sizes = ev.pid.value_counts().to_dict()
+    total = len(ev)
+    got = QUERIES["rebalance_move_plan"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(sizes)
+    cum = 0
+    moved = sum(
+        abs(sum(sizes.get(j, 0) * 16 - total for j in range(p + 1)))
+        for p in sorted(sizes)
+    ) // 16
+    for _, r in got.sort_values("pid").iterrows():
+        s = sizes[r.pid] * 16 - total
+        cum += s
+        assert r.n_rows == sizes[r.pid]
+        assert r.surplus_x16 == s
+        assert r.transfer_right_x16 == cum
+        assert r.total_moved_rows == moved
+    # conservation: surpluses sum to zero, final boundary flow is zero
+    assert got.surplus_x16.sum() == 0
+    assert got.sort_values("pid").iloc[-1].transfer_right_x16 == 0
+
+
+# ---------------------------------------------------------------------------
+# discounted LTV
+# ---------------------------------------------------------------------------
+
+
+def test_ltv_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) div 7 wk",
+            "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+        )
+        .toPandas()
+    )
+    first = ev.groupby("user_id").wk.min().to_dict()
+    from collections import defaultdict
+
+    cohort_users = defaultdict(set)
+    cents = defaultdict(int)
+    for _, r in ev.iterrows():
+        cw = first[r.user_id]
+        cohort_users[cw].add(r.user_id)
+        cents[(cw, r.wk - cw)] += r.cents
+    got = QUERIES["ltv_discounted"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(cohort_users)
+    for _, r in got.iterrows():
+        nu = len(cohort_users[r.cohort_wk])
+        hs = [h for (cw, h) in cents if cw == r.cohort_wk]
+        ltv = sum(
+            math.floor(
+                cents[(r.cohort_wk, h)] / nu * (0.99 ** h) + 0.5
+            )
+            for h in hs
+        )
+        assert (r.n_users, r.n_horizons) == (nu, len(hs))
+        assert r.ltv_cents_per_user == ltv
+    # discounting can only reduce value vs the undiscounted ledger
+    raw = sum(cents.values()) // sum(len(v) for v in cohort_users.values())
+    assert (got.ltv_cents_per_user <= raw + 1).all()

@@ -3036,3 +3036,337 @@ def ltv_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_wk")
     )
+
+
+# ---------------------------------------------------------------------------
+# metric change decomposition (mix shift vs rate shift)
+# ---------------------------------------------------------------------------
+
+_MC_SQL = """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(FLOOR(value * 100e0) AS BIGINT) AS cents
+      FROM events),
+    rng AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev),
+    lab AS (
+      SELECT event_type,
+             CASE WHEN d * 2 < (SELECT d0 + d1 + 1 FROM rng) THEN 1
+                  ELSE 2 END AS period,
+             cents
+      FROM ev),
+    seg AS (
+      SELECT event_type, period,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS c
+      FROM lab GROUP BY event_type, period),
+    tot AS (
+      SELECT period, CAST(SUM(n) AS BIGINT) AS nt
+      FROM seg GROUP BY period),
+    wr AS (
+      SELECT s.event_type, s.period,
+             s.n * 1000000 // t.nt AS w_ppm,
+             s.c // s.n AS r_cents
+      FROM seg s JOIN tot t USING (period)),
+    wide AS (
+      SELECT event_type,
+             MAX(CASE WHEN period = 1 THEN w_ppm END) AS w1,
+             MAX(CASE WHEN period = 2 THEN w_ppm END) AS w2,
+             MAX(CASE WHEN period = 1 THEN r_cents END) AS r1,
+             MAX(CASE WHEN period = 2 THEN r_cents END) AS r2
+      FROM wr GROUP BY event_type)
+    SELECT event_type, w1 AS w1_ppm, w2 AS w2_ppm,
+           r1 AS r1_cents, r2 AS r2_cents,
+           CAST(w1 * (r2 - r1) AS BIGINT) AS rate_effect_x1e6,
+           CAST(r1 * (w2 - w1) AS BIGINT) AS mix_effect_x1e6,
+           CAST((w2 - w1) * (r2 - r1) AS BIGINT) AS interaction_x1e6
+    FROM wide ORDER BY event_type
+    """
+
+
+@q("metric_change_decomposition", oracle=_MC_SQL)
+def metric_change_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Why did the metric move?" — the analyst's decomposition of a
+    period-over-period change in mean event value into per-segment
+    RATE effects (the segment's value changed: w1*(r2-r1)), MIX
+    effects (the segment's share changed: r1*(w2-w1)) and the
+    interaction — the exact identity w2*r2 - w1*r1 = rate + mix +
+    interaction per segment, summing to the total change. The first
+    query run on any moved dashboard number; no existing entry
+    separates composition from behavior.
+
+    Exactness: weights are exact integer ppm, rates exact truncated
+    cents; the three effects are integer products (x1e6-scaled), so
+    the additivity identity holds EXACTLY (pytest-pinned), not to
+    rounding.
+
+    Scale shape: ONE (segment, period) partial agg over raw events
+    (the period label is pure arithmetic on the date); totals
+    re-aggregate the segment relation; the pivot is a 5-row rollup.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        ).alias("d"),
+        F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)").alias("cents"),
+    )
+    rng = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1")).collect()[0]
+    mid2 = int(rng.d0) + int(rng.d1) + 1
+    seg = ev.groupBy(
+        "event_type",
+        F.expr(f"CASE WHEN d * 2 < {mid2} THEN 1 ELSE 2 END").alias("period"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("c"),
+    )
+    tot = seg.groupBy("period").agg(F.sum("n").cast("long").alias("nt"))
+    wr = seg.join(F.broadcast(tot), "period").select(
+        "event_type", "period",
+        F.expr("n * 1000000 div nt").alias("w_ppm"),
+        F.expr("c div n").alias("r_cents"),
+    )
+    wide = wr.groupBy("event_type").agg(
+        F.max(F.when(F.col("period") == 1, F.col("w_ppm"))).alias("w1"),
+        F.max(F.when(F.col("period") == 2, F.col("w_ppm"))).alias("w2"),
+        F.max(F.when(F.col("period") == 1, F.col("r_cents"))).alias("r1"),
+        F.max(F.when(F.col("period") == 2, F.col("r_cents"))).alias("r2"),
+    )
+    return wide.select(
+        "event_type",
+        F.col("w1").alias("w1_ppm"), F.col("w2").alias("w2_ppm"),
+        F.col("r1").alias("r1_cents"), F.col("r2").alias("r2_cents"),
+        (F.col("w1") * (F.col("r2") - F.col("r1"))).cast("long")
+        .alias("rate_effect_x1e6"),
+        (F.col("r1") * (F.col("w2") - F.col("w1"))).cast("long")
+        .alias("mix_effect_x1e6"),
+        ((F.col("w2") - F.col("w1")) * (F.col("r2") - F.col("r1")))
+        .cast("long").alias("interaction_x1e6"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# XmR (individuals / moving range) control chart
+# ---------------------------------------------------------------------------
+
+_XMR_K = "2.66e0"  # 3 / d2(2) = 3 / 1.128
+
+_XMR_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    mr AS (
+      SELECT d, c,
+             ABS(c - LAG(c) OVER (ORDER BY d)) AS m
+      FROM daily),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(m) AS BIGINT) AS sm,
+             CAST(COUNT(m) AS BIGINT) AS nm
+      FROM mr),
+    lim AS (
+      SELECT n_days,
+             sc * 1.0e0 / n_days AS center,
+             sc * 1.0e0 / n_days + {_XMR_K} * (sm * 1.0e0 / nm) AS ucl,
+             sc * 1.0e0 / n_days - {_XMR_K} * (sm * 1.0e0 / nm) AS lcl
+      FROM stats)
+    SELECT l.n_days,
+           CAST(FLOOR(l.center + 5.0e-1) AS BIGINT) AS center_cents,
+           CAST(FLOOR(l.ucl + 5.0e-1) AS BIGINT) AS ucl_cents,
+           CAST(FLOOR(l.lcl + 5.0e-1) AS BIGINT) AS lcl_cents,
+           CAST(SUM(CASE WHEN m.c * 1.0e0 > l.ucl THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above,
+           CAST(SUM(CASE WHEN m.c * 1.0e0 < l.lcl THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below,
+           CAST(COALESCE(MIN(CASE WHEN m.c * 1.0e0 > l.ucl
+                                    OR m.c * 1.0e0 < l.lcl
+                             THEN m.d END), -1) AS BIGINT)
+             AS first_ooc_day
+    FROM mr m CROSS JOIN lim l
+    GROUP BY l.n_days, l.center, l.ucl, l.lcl
+    """
+
+
+@q("xmr_control_chart", oracle=_XMR_SQL)
+def xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart XmR (individuals & moving-range) control chart over the
+    daily value series: center = mean, control limits = mean +-
+    2.66 * mean moving range (3 sigma via d2 = 1.128 for n = 2) — the
+    SPC chart that distinguishes common-cause noise from special-cause
+    days. ``cusum_changepoints`` finds sustained shifts,
+    ``dow_adjusted_anomalies`` scores residuals; XmR gives the control
+    LIMITS practitioners actually plot, from the moving range (robust
+    to trend, unlike a global stddev).
+
+    Exactness: daily totals and moving ranges are exact integers; the
+    limits are double arithmetic over two exact sums with the 2.66
+    literal, snapped half-up; out-of-control comparisons run against
+    the unsnapped limits on both engines identically.
+
+    Scale shape: ONE day-keyed partial agg; the LAG and the limit
+    aggregate run on the calendar-bounded daily relation.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    )
+    w = Window.orderBy("d")
+    mr = daily.select(
+        "d", "c", F.abs(F.col("c") - F.lag("c").over(w)).alias("m")
+    ).localCheckpoint()
+    s = mr.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum("m").cast("long").alias("sm"),
+        F.count("m").cast("long").alias("nm"),
+    ).collect()[0]
+    center = s.sc * 1.0 / s.n_days
+    mrbar = s.sm * 1.0 / s.nm
+    ucl = center + 2.66 * mrbar
+    lcl = center - 2.66 * mrbar
+    return mr.agg(
+        F.lit(s.n_days).cast("long").alias("n_days"),
+        F.expr(f"CAST(FLOOR({center!r} + 5.0e-1) AS BIGINT)")
+        .alias("center_cents"),
+        F.expr(f"CAST(FLOOR({ucl!r} + 5.0e-1) AS BIGINT)")
+        .alias("ucl_cents"),
+        F.expr(f"CAST(FLOOR({lcl!r} + 5.0e-1) AS BIGINT)")
+        .alias("lcl_cents"),
+        F.sum(F.expr(f"CASE WHEN c * 1.0e0 > {ucl!r} THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_above"),
+        F.sum(F.expr(f"CASE WHEN c * 1.0e0 < {lcl!r} THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_below"),
+        F.expr(
+            f"CAST(COALESCE(MIN(CASE WHEN c * 1.0e0 > {ucl!r}"
+            f" OR c * 1.0e0 < {lcl!r} THEN d END), -1) AS BIGINT)"
+        ).alias("first_ooc_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mediation analysis (Baron-Kenny product-of-coefficients)
+# ---------------------------------------------------------------------------
+
+_MED_SQL = """
+    WITH u AS (
+      SELECT user_id % 2 AS tr,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(tr) AS HUGEINT) AS st,
+             CAST(SUM(m) AS HUGEINT) AS sm,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(tr * m) AS HUGEINT) AS stm,
+             CAST(SUM(tr * y) AS HUGEINT) AS sty,
+             CAST(SUM(m * m) AS HUGEINT) AS smm,
+             CAST(SUM(m * y) AS HUGEINT) AS smy,
+             CAST(SUM(tr * tr) AS HUGEINT) AS stt
+      FROM u),
+    cov AS (
+      SELECT n,
+             (n * stm - st * sm) * 1.0e0 AS c_tm,
+             (n * sty - st * sy) * 1.0e0 AS c_ty,
+             (n * smy - sm * sy) * 1.0e0 AS c_my,
+             (n * stt - st * st) * 1.0e0 AS v_t,
+             (n * smm - sm * sm) * 1.0e0 AS v_m
+      FROM s),
+    fit AS (
+      SELECT n,
+             c_tm / v_t AS a,
+             (c_my * v_t - c_tm * c_ty)
+               / (v_m * v_t - c_tm * c_tm) AS b,
+             (c_ty * v_m - c_my * c_tm)
+               / (v_m * v_t - c_tm * c_tm) AS c_prime,
+             c_ty / v_t AS c_total
+      FROM cov)
+    SELECT n AS n_users,
+           CAST(FLOOR(a * 1000000e0 + 5.0e-1) AS BIGINT) AS a_micro,
+           CAST(FLOOR(b * 1000000e0 + 5.0e-1) AS BIGINT) AS b_micro,
+           CAST(FLOOR(c_prime * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS direct_micro,
+           CAST(FLOOR(a * b * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS indirect_micro,
+           CAST(FLOOR(c_total * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS total_micro
+    FROM fit
+    """
+
+
+@q("mediation_effects", oracle=_MED_SQL)
+def mediation_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baron-Kenny mediation analysis at user grain: does the treatment
+    (id parity) move purchases DIRECTLY or THROUGH clicks? Path a: M ~
+    T; paths b, c': Y ~ T + M (two-regressor OLS, closed form);
+    indirect effect = a*b, total = c (Y ~ T). For OLS the identity
+    c = c' + a*b holds exactly — the decomposition every funnel-change
+    postmortem wants, completing the causal family (DiD panels, IPW
+    overlap, RDD thresholds; mediation explains the MECHANISM).
+
+    Exactness: user aggregates and all covariance power sums are exact
+    integers through HUGEINT == DECIMAL(38,0); the normal-equation
+    solve runs in doubles over those exact sums and snaps each
+    coefficient once.
+
+    Scale shape: ONE user-keyed conditional partial agg, then a single
+    9-sum global aggregate; the solve is O(1).
+    """
+    u = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.expr("MAX(user_id % 2)").alias("tr"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("m"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    D = "DECIMAL(38,0)"
+    s = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr(f"CAST(tr AS {D})")).alias("st"),
+        F.sum(F.expr(f"CAST(m AS {D})")).alias("sm"),
+        F.sum(F.expr(f"CAST(y AS {D})")).alias("sy"),
+        F.sum(F.expr(f"CAST(tr * m AS {D})")).alias("stm"),
+        F.sum(F.expr(f"CAST(tr * y AS {D})")).alias("sty"),
+        F.sum(F.expr(f"CAST(m * m AS {D})")).alias("smm"),
+        F.sum(F.expr(f"CAST(m * y AS {D})")).alias("smy"),
+        F.sum(F.expr(f"CAST(tr * tr AS {D})")).alias("stt"),
+    )
+    cov = s.select(
+        "n",
+        F.expr("(n * stm - st * sm) * 1.0e0").alias("c_tm"),
+        F.expr("(n * sty - st * sy) * 1.0e0").alias("c_ty"),
+        F.expr("(n * smy - sm * sy) * 1.0e0").alias("c_my"),
+        F.expr("(n * stt - st * st) * 1.0e0").alias("v_t"),
+        F.expr("(n * smm - sm * sm) * 1.0e0").alias("v_m"),
+    )
+    fit = cov.select(
+        "n",
+        F.expr("c_tm / v_t").alias("a"),
+        F.expr(
+            "(c_my * v_t - c_tm * c_ty) / (v_m * v_t - c_tm * c_tm)"
+        ).alias("b"),
+        F.expr(
+            "(c_ty * v_m - c_my * c_tm) / (v_m * v_t - c_tm * c_tm)"
+        ).alias("c_prime"),
+        F.expr("c_ty / v_t").alias("c_total"),
+    )
+    return fit.select(
+        F.col("n").alias("n_users"),
+        F.expr("CAST(FLOOR(a * 1000000e0 + 5.0e-1) AS BIGINT)")
+        .alias("a_micro"),
+        F.expr("CAST(FLOOR(b * 1000000e0 + 5.0e-1) AS BIGINT)")
+        .alias("b_micro"),
+        F.expr("CAST(FLOOR(c_prime * 1000000e0 + 5.0e-1) AS BIGINT)")
+        .alias("direct_micro"),
+        F.expr("CAST(FLOOR(a * b * 1000000e0 + 5.0e-1) AS BIGINT)")
+        .alias("indirect_micro"),
+        F.expr("CAST(FLOOR(c_total * 1000000e0 + 5.0e-1) AS BIGINT)")
+        .alias("total_micro"),
+    )

@@ -1270,3 +1270,132 @@ def test_ltv_matches_pure_python(spark):
     # discounting can only reduce value vs the undiscounted ledger
     raw = sum(cents.values()) // sum(len(v) for v in cohort_users.values())
     assert (got.ltv_cents_per_user <= raw + 1).all()
+
+
+# ---------------------------------------------------------------------------
+# metric change decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_metric_decomposition_identity_and_recompute(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+        )
+        .toPandas()
+    )
+    mid2 = int(ev.d.min()) + int(ev.d.max()) + 1
+    ev["period"] = (ev.d * 2 < mid2).map({True: 1, False: 2})
+    tot = ev.period.value_counts().to_dict()
+    got = QUERIES["metric_change_decomposition"](spark, SF_CORRECT).toPandas()
+    assert len(got) == ev.event_type.nunique()
+    total_delta = 0
+    exp_delta = 0
+    for _, r in got.iterrows():
+        sub = ev[ev.event_type == r.event_type]
+        s1, s2 = sub[sub.period == 1], sub[sub.period == 2]
+        w1 = len(s1) * 1000000 // tot[1]
+        w2 = len(s2) * 1000000 // tot[2]
+        r1 = int(s1.cents.sum()) // len(s1)
+        r2 = int(s2.cents.sum()) // len(s2)
+        assert (r.w1_ppm, r.w2_ppm, r.r1_cents, r.r2_cents) == (w1, w2, r1, r2)
+        assert r.rate_effect_x1e6 == w1 * (r2 - r1)
+        assert r.mix_effect_x1e6 == r1 * (w2 - w1)
+        assert r.interaction_x1e6 == (w2 - w1) * (r2 - r1)
+        # per-segment additivity identity (exact, not to rounding)
+        assert (
+            r.rate_effect_x1e6 + r.mix_effect_x1e6 + r.interaction_x1e6
+            == w2 * r2 - w1 * r1
+        )
+        total_delta += w2 * r2 - w1 * r1
+        exp_delta += (
+            r.rate_effect_x1e6 + r.mix_effect_x1e6 + r.interaction_x1e6
+        )
+    assert total_delta == exp_delta
+
+
+# ---------------------------------------------------------------------------
+# XmR control chart
+# ---------------------------------------------------------------------------
+
+
+def test_xmr_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+        )
+        .toPandas()
+    )
+    daily = ev.groupby("d").cents.sum().sort_index()
+    xs = [int(v) for v in daily]
+    mrs = [abs(b - a) for a, b in zip(xs, xs[1:])]
+    center = sum(xs) / len(xs)
+    mrbar = sum(mrs) / len(mrs)
+    ucl, lcl = center + 2.66 * mrbar, center - 2.66 * mrbar
+    got = QUERIES["xmr_control_chart"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_days == len(xs)
+    assert got.center_cents == math.floor(center + 0.5)
+    assert got.ucl_cents == math.floor(ucl + 0.5)
+    assert got.lcl_cents == math.floor(lcl + 0.5)
+    assert got.n_above == sum(1 for x in xs if x > ucl)
+    assert got.n_below == sum(1 for x in xs if x < lcl)
+    ooc = [d for d, x in zip(daily.index, xs) if x > ucl or x < lcl]
+    assert got.first_ooc_day == (min(ooc) if ooc else -1)
+    # limits bracket the center symmetrically
+    assert got.lcl_cents < got.center_cents < got.ucl_cents
+
+
+# ---------------------------------------------------------------------------
+# mediation
+# ---------------------------------------------------------------------------
+
+
+def test_mediation_matches_pure_python_and_identity(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr("user_id", "event_type").toPandas()
+    )
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        rows.append((
+            uid % 2,
+            int((g.event_type == "click").sum()),
+            int((g.event_type == "purchase").sum()),
+        ))
+    n = len(rows)
+    st = sum(t for t, _, _ in rows)
+    sm = sum(m for _, m, _ in rows)
+    sy = sum(y for _, _, y in rows)
+    stm = sum(t * m for t, m, _ in rows)
+    sty = sum(t * y for t, _, y in rows)
+    smm = sum(m * m for _, m, _ in rows)
+    smy = sum(m * y for _, m, y in rows)
+    stt = sum(t * t for t, _, _ in rows)
+    c_tm = float(n * stm - st * sm)
+    c_ty = float(n * sty - st * sy)
+    c_my = float(n * smy - sm * sy)
+    v_t = float(n * stt - st * st)
+    v_m = float(n * smm - sm * sm)
+    a = c_tm / v_t
+    b = (c_my * v_t - c_tm * c_ty) / (v_m * v_t - c_tm * c_tm)
+    c_prime = (c_ty * v_m - c_my * c_tm) / (v_m * v_t - c_tm * c_tm)
+    c_total = c_ty / v_t
+    got = QUERIES["mediation_effects"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_users == n
+    assert got.a_micro == math.floor(a * 1e6 + 0.5)
+    assert got.b_micro == math.floor(b * 1e6 + 0.5)
+    assert got.direct_micro == math.floor(c_prime * 1e6 + 0.5)
+    assert got.indirect_micro == math.floor(a * b * 1e6 + 0.5)
+    assert got.total_micro == math.floor(c_total * 1e6 + 0.5)
+    # the OLS mediation identity c = c' + a*b (exact in real arithmetic;
+    # snapped values may differ by 1 micro of rounding slack per term)
+    assert abs(got.total_micro - (got.direct_micro + got.indirect_micro)) <= 2

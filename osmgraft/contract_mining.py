@@ -3370,3 +3370,338 @@ def mediation_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(FLOOR(c_total * 1000000e0 + 5.0e-1) AS BIGINT)")
         .alias("total_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rich-club coefficient of the document link graph
+# ---------------------------------------------------------------------------
+
+_RC_N = 61  # same node space as triangle_count (contract_web._TRI_N)
+_RC_KS = (2, 4, 8)
+
+_RC_SQL = f"""
+    WITH raw AS (
+      SELECT doc_id % {_RC_N} AS u,
+             ((doc_id // {_RC_N}) * 2311 + doc_id * 7919 + 13) % {_RC_N} AS v
+      FROM documents),
+    e AS (
+      SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+      FROM raw WHERE u <> v),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+      GROUP BY n),
+    ks(k) AS (VALUES {", ".join(f"({k})" for k in _RC_KS)}),
+    club AS (
+      SELECT ks.k, deg.n FROM ks JOIN deg ON deg.d > ks.k),
+    cn AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS nk FROM club GROUP BY k),
+    ce AS (
+      SELECT ca.k, CAST(COUNT(*) AS BIGINT) AS ek
+      FROM e JOIN club ca ON e.a = ca.n
+             JOIN club cb ON e.b = cb.n AND ca.k = cb.k
+      GROUP BY ca.k)
+    SELECT cn.k, cn.nk AS n_club_nodes,
+           CAST(COALESCE(ce.ek, 0) AS BIGINT) AS n_club_edges,
+           CAST(COALESCE(ce.ek, 0) * 2 * 1000000
+                // (cn.nk * (cn.nk - 1)) AS BIGINT) AS phi_ppm
+    FROM cn LEFT JOIN ce USING (k)
+    WHERE cn.nk >= 2
+    ORDER BY cn.k
+    """
+
+
+@q("rich_club_coefficient", oracle=_RC_SQL)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) = 2 E_k / (N_k (N_k - 1)) of the
+    document link graph at degree thresholds k = {_RC_KS}: how densely
+    the high-degree nodes connect AMONG THEMSELVES (Zhou & Mondragon
+    2004) — the hub-oligarchy diagnostic that complements
+    ``degree_assortativity`` (correlation) and ``kcore_peel``
+    (cohesion) on the same graph.
+
+    Exactness: club membership, club-internal edge counts and phi are
+    exact integers (ppm).
+
+    Scale shape: the degree relation is one edge-keyed partial agg;
+    club-internal edges come from TWO broadcast-sized equi-joins of
+    the edge list against the (threshold, node) club relation — no
+    pair expansion beyond existing edges, same discipline as
+    ``triangle_count``'s orientation.
+    """
+    docs = t(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.expr(f"doc_id % {_RC_N}").alias("u"),
+        F.expr(
+            f"((doc_id div {_RC_N}) * 2311 + doc_id * 7919 + 13) % {_RC_N}"
+        ).alias("v"),
+    )
+    e = (
+        raw.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _RC_KS], "k INT")
+    club = F.broadcast(
+        ks.join(deg, F.col("d") > F.col("k")).select("k", "n")
+    )
+    cn = club.groupBy("k").agg(F.count("*").cast("long").alias("nk"))
+    ca = club.select(F.col("k").alias("ka"), F.col("n").alias("na"))
+    cb = club.select(F.col("k").alias("kb"), F.col("n").alias("nb"))
+    ce = (
+        e.join(ca, F.col("a") == F.col("na"))
+        .join(cb, (F.col("b") == F.col("nb")) & (F.col("ka") == F.col("kb")))
+        .groupBy(F.col("ka").alias("k"))
+        .agg(F.count("*").cast("long").alias("ek"))
+    )
+    return (
+        cn.join(ce, "k", "left")
+        .where(F.col("nk") >= 2)
+        .select(
+            "k", F.col("nk").alias("n_club_nodes"),
+            F.coalesce("ek", F.lit(0)).cast("long").alias("n_club_edges"),
+            F.expr(
+                "CAST(COALESCE(ek, 0) * 2 * 1000000"
+                " div (nk * (nk - 1)) AS BIGINT)"
+            ).alias("phi_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validated OLS generalization gap
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+
+_CV_SQL = f"""
+    WITH pts AS (
+      SELECT doc_id % {_CV_FOLDS} AS fold,
+             n_chars // 64 AS x,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+      FROM documents),
+    s AS (
+      SELECT fold,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM pts GROUP BY fold),
+    tot AS (
+      SELECT CAST(SUM(n) AS HUGEINT) AS n, CAST(SUM(sx) AS HUGEINT) AS sx,
+             CAST(SUM(sy) AS HUGEINT) AS sy,
+             CAST(SUM(sxx) AS HUGEINT) AS sxx,
+             CAST(SUM(sxy) AS HUGEINT) AS sxy,
+             CAST(SUM(syy) AS HUGEINT) AS syy
+      FROM s),
+    fit AS (
+      SELECT f.fold,
+             (t.n - f.n) AS ntr,
+             ((t.n - f.n) * (t.sxy - f.sxy)
+              - (t.sx - f.sx) * (t.sy - f.sy)) * 1.0e0
+             / ((t.n - f.n) * (t.sxx - f.sxx)
+                - (t.sx - f.sx) * (t.sx - f.sx)) AS slope,
+             f.n, f.sx, f.sy, f.sxx, f.sxy, f.syy,
+             (t.sx - f.sx) AS tsx, (t.sy - f.sy) AS tsy,
+             (t.sxx - f.sxx) AS tsxx, (t.sxy - f.sxy) AS tsxy,
+             (t.syy - f.syy) AS tsyy
+      FROM s f CROSS JOIN tot t),
+    ev AS (
+      SELECT fold, n, ntr, slope,
+             (tsy * 1.0e0 - slope * tsx) / ntr AS icept
+      FROM fit),
+    err AS (
+      SELECT e.fold, e.n,
+             (f.syy * 1.0e0 - 2.0e0 * e.slope * f.sxy
+              - 2.0e0 * e.icept * f.sy
+              + e.slope * e.slope * f.sxx
+              + 2.0e0 * e.slope * e.icept * f.sx
+              + e.icept * e.icept * f.n) / f.n AS test_mse,
+             (f.tsyy * 1.0e0 - 2.0e0 * e.slope * f.tsxy
+              - 2.0e0 * e.icept * f.tsy
+              + e.slope * e.slope * f.tsxx
+              + 2.0e0 * e.slope * e.icept * f.tsx
+              + e.icept * e.icept * e.ntr) / e.ntr AS train_mse
+      FROM ev e JOIN fit f USING (fold))
+    SELECT fold, CAST(n AS BIGINT) AS n_test,
+           CAST(FLOOR(train_mse * 100e0 + 5.0e-1) AS BIGINT)
+             AS train_mse_centi,
+           CAST(FLOOR(test_mse * 100e0 + 5.0e-1) AS BIGINT)
+             AS test_mse_centi,
+           CAST(FLOOR((test_mse - train_mse) * 100e0 + 5.0e-1) AS BIGINT)
+             AS gap_centi
+    FROM err ORDER BY fold
+    """
+
+
+@q("kfold_cv_ols", oracle=_CV_SQL)
+def kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_CV_FOLDS}-fold cross-validated OLS (word count ~ document
+    length): for each fold, fit on the other {_CV_FOLDS - 1} folds and
+    report train vs held-out MSE and the generalization gap — the
+    eval loop every in-engine model here (``ols_multifeature``,
+    ``hard_sigmoid_logreg``, ``isotonic_calibration``) should be
+    judged by, done WITHOUT {_CV_FOLDS} re-scans: per-fold power sums
+    are computed ONCE and each fold's training sums are the exact
+    complements (total - fold), so train/test MSEs expand purely from
+    the sufficient statistics.
+
+    Exactness: all power sums are exact integers through HUGEINT ==
+    DECIMAL(38,0); the per-fold solve and the MSE expansion
+    yTy - 2wTXTy + wTXTXw run in doubles over those exact sums,
+    snapped once to centi-units.
+
+    Scale shape: ONE (fold) partial agg over the scan; everything
+    after operates on the {_CV_FOLDS}-row sufficient-statistics
+    relation — the leave-one-fold-out complement trick is the whole
+    point at 100 TB (5 scans -> 1).
+    """
+    pts = t(spark, sf_dir, "documents").select(
+        F.expr(f"doc_id % {_CV_FOLDS}").alias("fold"),
+        F.expr("n_chars div 64").alias("x"),
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("y"),
+    )
+    D = "DECIMAL(38,0)"
+    s = pts.groupBy("fold").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr(f"CAST(x AS {D})")).alias("sx"),
+        F.sum(F.expr(f"CAST(y AS {D})")).alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {D}) * x")).alias("sxx"),
+        F.sum(F.expr(f"CAST(x AS {D}) * y")).alias("sxy"),
+        F.sum(F.expr(f"CAST(y AS {D}) * y")).alias("syy"),
+    ).localCheckpoint()
+    tot = s.agg(
+        F.sum("n").alias("tn"), F.sum("sx").alias("tsx0"),
+        F.sum("sy").alias("tsy0"), F.sum("sxx").alias("tsxx0"),
+        F.sum("sxy").alias("tsxy0"), F.sum("syy").alias("tsyy0"),
+    )
+    fit = s.crossJoin(F.broadcast(tot)).select(
+        "fold", "n", "sx", "sy", "sxx", "sxy", "syy",
+        (F.col("tn") - F.col("n")).alias("ntr"),
+        (F.col("tsx0") - F.col("sx")).alias("tsx"),
+        (F.col("tsy0") - F.col("sy")).alias("tsy"),
+        (F.col("tsxx0") - F.col("sxx")).alias("tsxx"),
+        (F.col("tsxy0") - F.col("sxy")).alias("tsxy"),
+        (F.col("tsyy0") - F.col("syy")).alias("tsyy"),
+    ).withColumn(
+        "slope",
+        F.expr(
+            "(ntr * tsxy - tsx * tsy) * 1.0e0"
+            " / (ntr * tsxx - tsx * tsx)"
+        ),
+    ).withColumn(
+        "icept", F.expr("(tsy * 1.0e0 - slope * tsx) / ntr")
+    )
+    err = fit.select(
+        "fold", "n",
+        F.expr(
+            "(tsyy * 1.0e0 - 2.0e0 * slope * tsxy - 2.0e0 * icept * tsy"
+            " + slope * slope * tsxx + 2.0e0 * slope * icept * tsx"
+            " + icept * icept * ntr) / ntr"
+        ).alias("train_mse"),
+        F.expr(
+            "(syy * 1.0e0 - 2.0e0 * slope * sxy - 2.0e0 * icept * sy"
+            " + slope * slope * sxx + 2.0e0 * slope * icept * sx"
+            " + icept * icept * n) / n"
+        ).alias("test_mse"),
+    )
+    return err.select(
+        "fold", F.col("n").cast("long").alias("n_test"),
+        F.expr(
+            "CAST(FLOOR(train_mse * 100e0 + 5.0e-1) AS BIGINT)"
+        ).alias("train_mse_centi"),
+        F.expr(
+            "CAST(FLOOR(test_mse * 100e0 + 5.0e-1) AS BIGINT)"
+        ).alias("test_mse_centi"),
+        F.expr(
+            "CAST(FLOOR((test_mse - train_mse) * 100e0 + 5.0e-1)"
+            " AS BIGINT)"
+        ).alias("gap_centi"),
+    ).orderBy("fold")
+
+
+# ---------------------------------------------------------------------------
+# word2vec-style frequency subsampling plan
+# ---------------------------------------------------------------------------
+
+_SS_T_NANO = 10000000  # t = 0.01 (the fixture vocabulary is tiny/frequent)
+
+_SS_SQL = f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+    tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    pk AS (
+      SELECT w, c,
+             c * 1000000000 // tot.n AS f_nano,
+             LEAST(CAST(1000000000 AS BIGINT),
+               CAST(FLOOR((SQRT({_SS_T_NANO}e0
+                           / (c * 1000000000 // tot.n))
+                           + {_SS_T_NANO}e0
+                             / (c * 1000000000 // tot.n))
+                          * 1000000000e0 + 5.0e-1) AS BIGINT)) AS keep_nano
+      FROM tf CROSS JOIN tot)
+    SELECT w AS term, c AS n_occurrences, f_nano, keep_nano,
+           CAST(c * keep_nano // 1000000000 AS BIGINT) AS expected_kept
+    FROM pk ORDER BY c DESC, term LIMIT 20
+    """
+
+
+@q("term_subsampling_plan", oracle=_SS_SQL)
+def term_subsampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style frequency subsampling plan (Mikolov et al. 2013):
+    per term, the keep probability min(1, sqrt(t/f) + t/f) at t = 0.01
+    and the expected surviving occurrences — the standard discount of
+    high-frequency tokens before embedding training, and the
+    counterpart of ``dsir_importance_select`` (which reweights toward
+    a target; this flattens the head). Top-20 most frequent terms.
+
+    Exactness: term frequencies are exact integer nano-fractions
+    (count * 1e9 div total) BEFORE the sqrt, so the single
+    double-valued formula evaluates from identical integers on both
+    engines and snaps once; expected counts are exact integer products
+    of the snapped probabilities.
+
+    Scale shape: one token-explode scan, one term-keyed partial agg;
+    the plan itself is per-row arithmetic on the vocabulary relation;
+    top-k is TakeOrderedAndProject.
+    """
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    n = toks.count()
+    tf = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    pk = tf.select(
+        "w", "c",
+        F.expr(f"c * 1000000000 div {n}").alias("f_nano"),
+        F.expr(
+            f"LEAST(CAST(1000000000 AS BIGINT),"
+            f" CAST(FLOOR((SQRT({_SS_T_NANO}e0"
+            f" / (c * 1000000000 div {n}))"
+            f" + {_SS_T_NANO}e0 / (c * 1000000000 div {n}))"
+            " * 1000000000e0 + 5.0e-1) AS BIGINT))"
+        ).alias("keep_nano"),
+    )
+    return (
+        pk.select(
+            F.col("w").alias("term"),
+            F.col("c").alias("n_occurrences"),
+            "f_nano", "keep_nano",
+            F.expr(
+                "CAST(c * keep_nano div 1000000000 AS BIGINT)"
+            ).alias("expected_kept"),
+        )
+        .orderBy(F.desc("n_occurrences"), "term")
+        .limit(20)
+    )

@@ -1399,3 +1399,113 @@ def test_mediation_matches_pure_python_and_identity(spark):
     # the OLS mediation identity c = c' + a*b (exact in real arithmetic;
     # snapped values may differ by 1 micro of rounding slack per term)
     assert abs(got.total_micro - (got.direct_micro + got.indirect_micro)) <= 2
+
+
+# ---------------------------------------------------------------------------
+# rich club
+# ---------------------------------------------------------------------------
+
+
+def test_rich_club_matches_pure_python(spark):
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id").collect()
+    ]
+    edges = set()
+    for i in ids:
+        u = i % 61
+        v = ((i // 61) * 2311 + i * 7919 + 13) % 61
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    got = QUERIES["rich_club_coefficient"](spark, SF_CORRECT).toPandas()
+    for _, r in got.iterrows():
+        club = {n for n, d in deg.items() if d > r.k}
+        ek = sum(1 for a, b in edges if a in club and b in club)
+        assert r.n_club_nodes == len(club)
+        assert r.n_club_edges == ek
+        assert r.phi_ppm == ek * 2 * 1000000 // (len(club) * (len(club) - 1))
+    # phi is non-decreasing in k on a hub-dense graph is NOT guaranteed,
+    # but phi must always be a valid density
+    assert ((got.phi_ppm >= 0) & (got.phi_ppm <= 1000000)).all()
+
+
+# ---------------------------------------------------------------------------
+# k-fold CV OLS
+# ---------------------------------------------------------------------------
+
+
+def test_kfold_cv_matches_pure_python(spark):
+    import math
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "text", "n_chars").toPandas()
+    )
+    pts = [
+        (int(r.doc_id) % 5, int(r.n_chars) // 64, len(r.text.split(" ")))
+        for _, r in docs.iterrows()
+    ]
+    got = QUERIES["kfold_cv_ols"](spark, SF_CORRECT).toPandas()
+    assert list(got.fold) == [0, 1, 2, 3, 4]
+    for _, r in got.iterrows():
+        test = [(x, y) for f, x, y in pts if f == r.fold]
+        train = [(x, y) for f, x, y in pts if f != r.fold]
+        ntr = len(train)
+        sx = sum(x for x, _ in train)
+        sy = sum(y for _, y in train)
+        sxx = sum(x * x for x, _ in train)
+        sxy = sum(x * y for x, y in train)
+        slope = (ntr * sxy - sx * sy) * 1.0 / (ntr * sxx - sx * sx)
+        icept = (sy - slope * sx) / ntr
+        tr_mse = sum((y - slope * x - icept) ** 2 for x, y in train) / ntr
+        te_mse = sum((y - slope * x - icept) ** 2 for x, y in test) / len(test)
+        assert r.n_test == len(test)
+        # the engines expand the MSE from power sums; the naive residual
+        # form agrees to double noise, far under the centi snap
+        assert abs(r.train_mse_centi - math.floor(tr_mse * 100 + 0.5)) <= 1
+        assert abs(r.test_mse_centi - math.floor(te_mse * 100 + 0.5)) <= 1
+        assert r.gap_centi == r.test_mse_centi - r.train_mse_centi or \
+            abs(r.gap_centi - (r.test_mse_centi - r.train_mse_centi)) <= 1
+
+
+# ---------------------------------------------------------------------------
+# subsampling plan
+# ---------------------------------------------------------------------------
+
+
+def test_subsampling_plan_matches_pure_python(spark):
+    import math
+    from collections import Counter
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("text").toPandas()
+    )
+    cnt = Counter()
+    for txt in docs.text:
+        cnt.update(txt.split(" "))
+    n = sum(cnt.values())
+    rows = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = QUERIES["term_subsampling_plan"](spark, SF_CORRECT).toPandas()
+    assert len(got) == 20
+    for (term, c), (_, r) in zip(rows, got.iterrows()):
+        f_nano = c * 1000000000 // n
+        keep = min(
+            1000000000,
+            math.floor(
+                (math.sqrt(1e7 / f_nano) + 1e7 / f_nano) * 1e9 + 0.5
+            ),
+        )
+        assert (r.term, r.n_occurrences, r.f_nano) == (term, c, f_nano)
+        assert r.keep_nano == keep
+        assert r.expected_kept == c * keep // 1000000000
+    # more frequent terms are kept with lower probability
+    ks = list(got.keep_nano)
+    assert ks == sorted(ks)

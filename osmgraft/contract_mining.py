@@ -3705,3 +3705,253 @@ def term_subsampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "term")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced treatment effect
+# ---------------------------------------------------------------------------
+
+_CUPED_SQL = """
+    WITH ev AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(FLOOR(value * 100e0) AS BIGINT) AS cents
+      FROM events),
+    rng AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev),
+    u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(SUM(CASE WHEN d * 2 < (SELECT d0 + d1 + 1 FROM rng)
+                           THEN cents ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN d * 2 >= (SELECT d0 + d1 + 1 FROM rng)
+                           THEN cents ELSE 0 END) AS BIGINT) AS y
+      FROM ev GROUP BY user_id),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM u),
+    th AS (
+      SELECT n, sx, sy,
+             (n * sxy - sx * sy) * 1.0e0 / (n * sxx - sx * sx) AS theta,
+             (n * syy - sy * sy) * 1.0e0 / (CAST(n AS HUGEINT) * n)
+               AS var_y,
+             (n * sxx - sx * sx) * 1.0e0 / (CAST(n AS HUGEINT) * n)
+               AS var_x,
+             (n * sxy - sx * sy) * 1.0e0 / (CAST(n AS HUGEINT) * n)
+               AS cov_xy
+      FROM s),
+    arm AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS na,
+             CAST(SUM(y) AS HUGEINT) AS sya,
+             CAST(SUM(x) AS HUGEINT) AS sxa
+      FROM u GROUP BY arm)
+    SELECT t.n AS n_users,
+           CAST(FLOOR(t.theta * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS theta_micro,
+           CAST(FLOOR(t.var_y + 5.0e-1) AS BIGINT) AS var_y_cents2,
+           CAST(FLOOR(t.var_y - t.cov_xy * t.cov_xy / t.var_x + 5.0e-1)
+                AS BIGINT) AS var_adj_cents2,
+           CAST(FLOOR(t.cov_xy * t.cov_xy / t.var_x / t.var_y
+                      * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS var_reduction_ppm,
+           CAST(FLOOR(MAX(CASE WHEN a.arm = 1
+                               THEN a.sya * 1.0e0 / a.na END)
+                      - MAX(CASE WHEN a.arm = 0
+                                 THEN a.sya * 1.0e0 / a.na END) + 5.0e-1)
+                AS BIGINT) AS diff_raw_cents,
+           CAST(FLOOR(MAX(CASE WHEN a.arm = 1
+                               THEN (a.sya - t.theta * a.sxa) / a.na END)
+                      - MAX(CASE WHEN a.arm = 0
+                                 THEN (a.sya - t.theta * a.sxa) / a.na END)
+                      + 5.0e-1) AS BIGINT) AS diff_adj_cents
+    FROM th t CROSS JOIN arm a
+    GROUP BY t.n, t.theta, t.var_y, t.var_x, t.cov_xy
+    """
+
+
+@q("cuped_adjustment", oracle=_CUPED_SQL)
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, the industry-
+    standard experiment sensitivity boost): per user, X = pre-period
+    spend, Y = experiment-period spend; theta = cov(X,Y)/var(X); the
+    adjusted metric Y - theta*(X - X-bar) preserves the treatment
+    effect while cutting metric variance by corr(X,Y)^2 — reported as
+    the variance-reduction ppm plus the raw vs adjusted arm
+    differences (id-parity arms; an A/A on this fixture).
+
+    Exactness: per-user period spends and all power sums are exact
+    integers through HUGEINT == DECIMAL(38,0); theta, variances and
+    the arm means are double arithmetic over exact sums, snapped once.
+
+    Scale shape: ONE user-keyed conditional partial agg (the period
+    split is date arithmetic in the same pass), one global power-sum
+    aggregate, one 2-row arm aggregate — no joins against raw rows.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        ).alias("d"),
+        F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)").alias("cents"),
+    )
+    rng = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1")).collect()[0]
+    mid2 = int(rng.d0) + int(rng.d1) + 1
+    u = ev.groupBy("user_id").agg(
+        F.expr("MAX(user_id % 2)").alias("arm"),
+        F.sum(F.when(F.col("d") * 2 < mid2, F.col("cents")).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(F.col("d") * 2 >= mid2, F.col("cents")).otherwise(0))
+        .cast("long").alias("y"),
+    ).localCheckpoint()
+    D = "DECIMAL(38,0)"
+    s = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr(f"CAST(x AS {D})")).alias("sx"),
+        F.sum(F.expr(f"CAST(y AS {D})")).alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {D}) * x")).alias("sxx"),
+        F.sum(F.expr(f"CAST(x AS {D}) * y")).alias("sxy"),
+        F.sum(F.expr(f"CAST(y AS {D}) * y")).alias("syy"),
+    )
+    th = s.select(
+        "n",
+        F.expr(
+            "(n * sxy - sx * sy) * 1.0e0 / (n * sxx - sx * sx)"
+        ).alias("theta"),
+        F.expr(
+            f"(n * syy - sy * sy) * 1.0e0 / (CAST(n AS {D}) * n)"
+        ).alias("var_y"),
+        F.expr(
+            f"(n * sxx - sx * sx) * 1.0e0 / (CAST(n AS {D}) * n)"
+        ).alias("var_x"),
+        F.expr(
+            f"(n * sxy - sx * sy) * 1.0e0 / (CAST(n AS {D}) * n)"
+        ).alias("cov_xy"),
+    )
+    arm = u.groupBy("arm").agg(
+        F.count("*").cast("long").alias("na"),
+        F.sum(F.expr(f"CAST(y AS {D})")).alias("sya"),
+        F.sum(F.expr(f"CAST(x AS {D})")).alias("sxa"),
+    )
+    return (
+        th.crossJoin(F.broadcast(arm))
+        .groupBy("n", "theta", "var_y", "var_x", "cov_xy")
+        .agg(
+            F.expr(
+                "CAST(FLOOR(MAX(CASE WHEN arm = 1"
+                " THEN sya * 1.0e0 / na END)"
+                " - MAX(CASE WHEN arm = 0 THEN sya * 1.0e0 / na END)"
+                " + 5.0e-1) AS BIGINT)"
+            ).alias("diff_raw_cents"),
+            F.expr(
+                "CAST(FLOOR(MAX(CASE WHEN arm = 1"
+                " THEN (sya - theta * sxa) / na END)"
+                " - MAX(CASE WHEN arm = 0"
+                " THEN (sya - theta * sxa) / na END) + 5.0e-1) AS BIGINT)"
+            ).alias("diff_adj_cents"),
+        )
+        .select(
+            F.col("n").alias("n_users"),
+            F.expr(
+                "CAST(FLOOR(theta * 1000000e0 + 5.0e-1) AS BIGINT)"
+            ).alias("theta_micro"),
+            F.expr("CAST(FLOOR(var_y + 5.0e-1) AS BIGINT)")
+            .alias("var_y_cents2"),
+            F.expr(
+                "CAST(FLOOR(var_y - cov_xy * cov_xy / var_x + 5.0e-1)"
+                " AS BIGINT)"
+            ).alias("var_adj_cents2"),
+            F.expr(
+                "CAST(FLOOR(cov_xy * cov_xy / var_x / var_y * 1000000e0"
+                " + 5.0e-1) AS BIGINT)"
+            ).alias("var_reduction_ppm"),
+            "diff_raw_cents", "diff_adj_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# negative-binomial overdispersion fit on daily counts
+# ---------------------------------------------------------------------------
+
+_NB_SQL = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, d),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+      FROM daily GROUP BY event_type),
+    mom AS (
+      SELECT event_type, n,
+             s1 * 1.0e0 / n AS m,
+             (s2 * 1.0e0 - s1 * 1.0e0 * s1 / n) / (n - 1) AS v
+      FROM s)
+    SELECT event_type, n AS n_days,
+           CAST(FLOOR(m * 100e0 + 5.0e-1) AS BIGINT) AS mean_centi,
+           CAST(FLOOR(v * 100e0 + 5.0e-1) AS BIGINT) AS var_centi,
+           CAST(FLOOR(v / m * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS dispersion_micro,
+           CASE WHEN v > m
+                THEN CAST(FLOOR(m * m / (v - m) * 1000000e0 + 5.0e-1)
+                          AS BIGINT)
+                ELSE CAST(-1 AS BIGINT) END AS nb_r_micro
+    FROM mom ORDER BY event_type
+    """
+
+
+@q("overdispersion_nb_fit", oracle=_NB_SQL)
+def overdispersion_nb_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion audit of daily event counts per type: the
+    dispersion index var/mean (Poisson processes sit at 1; > 1 means
+    clumping a Poisson capacity model will underestimate) and, when
+    overdispersed, the method-of-moments negative-binomial size
+    r = m^2/(v - m) (-1 sentinel otherwise). The count-data companion
+    of ``interarrival_exp_fit``'s continuous-time test — together they
+    decide whether a Poisson traffic model is defensible at all.
+
+    Exactness: daily counts and power sums are exact integers through
+    HUGEINT == DECIMAL(38,0); moments run in doubles over exact sums
+    and snap once; the v > m branch compares doubles derived from
+    identical integers.
+
+    Scale shape: ONE (type, day) partial agg over raw events, then a
+    type-keyed moment rollup on the calendar-bounded relation.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        "event_type",
+        F.expr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        ).alias("d"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    D = "DECIMAL(38,0)"
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr(f"CAST(c AS {D})")).alias("s1"),
+        F.sum(F.expr(f"CAST(c AS {D}) * c")).alias("s2"),
+    )
+    mom = s.select(
+        "event_type", "n",
+        F.expr("s1 * 1.0e0 / n").alias("m"),
+        F.expr("(s2 * 1.0e0 - s1 * 1.0e0 * s1 / n) / (n - 1)").alias("v"),
+    )
+    return mom.select(
+        "event_type", F.col("n").alias("n_days"),
+        F.expr("CAST(FLOOR(m * 100e0 + 5.0e-1) AS BIGINT)")
+        .alias("mean_centi"),
+        F.expr("CAST(FLOOR(v * 100e0 + 5.0e-1) AS BIGINT)")
+        .alias("var_centi"),
+        F.expr(
+            "CAST(FLOOR(v / m * 1000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("dispersion_micro"),
+        F.expr(
+            "CASE WHEN v > m THEN CAST(FLOOR(m * m / (v - m) * 1000000e0"
+            " + 5.0e-1) AS BIGINT) ELSE CAST(-1 AS BIGINT) END"
+        ).alias("nb_r_micro"),
+    ).orderBy("event_type")

@@ -1509,3 +1509,97 @@ def test_subsampling_plan_matches_pure_python(spark):
     # more frequent terms are kept with lower probability
     ks = list(got.keep_nano)
     assert ks == sorted(ks)
+
+
+# ---------------------------------------------------------------------------
+# CUPED
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+        )
+        .toPandas()
+    )
+    mid2 = int(ev.d.min()) + int(ev.d.max()) + 1
+    xs, ys, arms = {}, {}, {}
+    for uid, g in ev.groupby("user_id"):
+        xs[uid] = int(g[g.d * 2 < mid2].cents.sum())
+        ys[uid] = int(g[g.d * 2 >= mid2].cents.sum())
+        arms[uid] = uid % 2
+    n = len(xs)
+    sx = sum(xs.values())
+    sy = sum(ys.values())
+    sxx = sum(v * v for v in xs.values())
+    sxy = sum(xs[u] * ys[u] for u in xs)
+    syy = sum(v * v for v in ys.values())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    var_y = (n * syy - sy * sy) / (n * n)
+    var_x = (n * sxx - sx * sx) / (n * n)
+    cov = (n * sxy - sx * sy) / (n * n)
+    got = QUERIES["cuped_adjustment"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_users == n
+    assert got.theta_micro == math.floor(theta * 1e6 + 0.5)
+    assert got.var_y_cents2 == math.floor(var_y + 0.5)
+    assert got.var_adj_cents2 == math.floor(var_y - cov * cov / var_x + 0.5)
+    assert got.var_reduction_ppm == math.floor(
+        cov * cov / var_x / var_y * 1e6 + 0.5
+    )
+
+    def arm_mean(vals, a):
+        sel = [u for u in vals if arms[u] == a]
+        return sum(vals[u] for u in sel) / len(sel)
+
+    def arm_adj(a):
+        sel = [u for u in xs if arms[u] == a]
+        return sum(ys[u] - theta * xs[u] for u in sel) / len(sel)
+
+    assert got.diff_raw_cents == math.floor(
+        arm_mean(ys, 1) - arm_mean(ys, 0) + 0.5
+    )
+    assert got.diff_adj_cents == math.floor(arm_adj(1) - arm_adj(0) + 0.5)
+    # CUPED's contract: variance strictly reduced when pre/post correlate
+    assert 0 < got.var_reduction_ppm < 1000000
+    assert got.var_adj_cents2 < got.var_y_cents2
+
+
+# ---------------------------------------------------------------------------
+# NB overdispersion
+# ---------------------------------------------------------------------------
+
+
+def test_overdispersion_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+        )
+        .toPandas()
+    )
+    got = QUERIES["overdispersion_nb_fit"](spark, SF_CORRECT).toPandas()
+    for _, r in got.iterrows():
+        cs = list(
+            ev[ev.event_type == r.event_type].groupby("d").size()
+        )
+        n = len(cs)
+        s1, s2 = sum(cs), sum(c * c for c in cs)
+        m = s1 / n
+        v = (s2 - s1 * s1 / n) / (n - 1)
+        assert r.n_days == n
+        assert r.mean_centi == math.floor(m * 100 + 0.5)
+        assert r.var_centi == math.floor(v * 100 + 0.5)
+        assert r.dispersion_micro == math.floor(v / m * 1e6 + 0.5)
+        if v > m:
+            assert r.nb_r_micro == math.floor(m * m / (v - m) * 1e6 + 0.5)
+        else:
+            assert r.nb_r_micro == -1

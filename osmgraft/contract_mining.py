@@ -3955,3 +3955,378 @@ def overdispersion_nb_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 5.0e-1) AS BIGINT) ELSE CAST(-1 AS BIGINT) END"
         ).alias("nb_r_micro"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# permutation entropy of the daily series
+# ---------------------------------------------------------------------------
+
+# ordinal pattern of (x1, x2, x3) with ties broken by time offset:
+# lt(i,j) = xi < xj OR (xi = xj AND i < j) — a total order, so exactly
+# one of the 6 patterns fires on both engines
+_PE_PAT = """CASE
+      WHEN (x1 < x2) AND (x2 < x3) THEN 0
+      WHEN (x1 < x2 OR x1 = x2) AND (x3 < x2) AND (x1 < x3 OR x1 = x3)
+        THEN 1
+      WHEN (x2 < x1) AND (x1 < x3 OR x1 = x3) AND (x2 < x3 OR x2 = x3)
+        THEN 2
+      WHEN (x2 < x1) AND (x3 < x1) AND (x2 < x3 OR x2 = x3) THEN 3
+      WHEN (x1 < x2 OR x1 = x2) AND (x3 < x1) THEN 4
+      ELSE 5 END"""
+
+_PE_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    tri AS (
+      SELECT c AS x1,
+             LEAD(c, 1) OVER (ORDER BY d) AS x2,
+             LEAD(c, 2) OVER (ORDER BY d) AS x3
+      FROM daily),
+    pat AS (
+      SELECT {_PE_PAT} AS p FROM tri WHERE x3 IS NOT NULL),
+    cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM pat GROUP BY p),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS m FROM cnt),
+    ent AS (
+      SELECT CAST(SUM(CAST(FLOOR(-(n * 1.0e0 / t.m)
+                                 * LN(n * 1.0e0 / t.m)
+                                 * 1000000000e0 + 5.0e-1) AS BIGINT))
+                  AS BIGINT) AS h_nano,
+             CAST(COUNT(*) AS BIGINT) AS n_patterns
+      FROM cnt CROSS JOIN tot t)
+    SELECT t.m AS n_windows, e.n_patterns, e.h_nano,
+           CAST(FLOOR(e.h_nano / LN(6.0e0) / 1000000000e0
+                      * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS pe_normalized_micro
+    FROM ent e CROSS JOIN tot t
+    """
+
+
+@q("permutation_entropy_daily", oracle=_PE_SQL)
+def permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt & Pompe 2002) of the daily value
+    series at order 3: the Shannon entropy of the six ordinal patterns
+    of consecutive day triples, normalized by ln 6 — the
+    model-free complexity score that separates trending (few
+    patterns), periodic, and noise-like (all patterns equal) series,
+    robust to monotone transforms. Complements ``acf_daily_lags``
+    (linear memory) with ordinal structure.
+
+    Exactness: patterns come from integer comparisons under a
+    time-offset tie-break (a total order, so pattern ids are
+    engine-exact); entropy terms snap to nano before summing (the
+    ``mutual_information_profile`` rule); the normalization divides
+    two exact integers under one LN literal.
+
+    Scale shape: ONE day-keyed partial agg; the two LEADs and the
+    6-row pattern rollup run on the calendar-bounded daily relation.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    )
+    w = Window.orderBy("d")
+    tri = daily.select(
+        F.col("c").alias("x1"),
+        F.lead("c", 1).over(w).alias("x2"),
+        F.lead("c", 2).over(w).alias("x3"),
+    ).where(F.col("x3").isNotNull())
+    pat = tri.select(F.expr(_PE_PAT).alias("p"))
+    cnt = pat.groupBy("p").agg(F.count("*").cast("long").alias("n"))
+    tot = cnt.agg(F.sum("n").cast("long").alias("m"))
+    ent = cnt.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(-(n * 1.0e0 / m) * LN(n * 1.0e0 / m)"
+                " * 1000000000e0 + 5.0e-1) AS BIGINT)"
+            )
+        ).cast("long").alias("h_nano"),
+        F.count("*").cast("long").alias("n_patterns"),
+    )
+    return ent.crossJoin(F.broadcast(tot)).select(
+        F.col("m").alias("n_windows"), "n_patterns", "h_nano",
+        F.expr(
+            "CAST(FLOOR(h_nano / LN(6.0e0) / 1000000000e0 * 1000000e0"
+            " + 5.0e-1) AS BIGINT)"
+        ).alias("pe_normalized_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-type drift tests
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA_PPM = 50000  # alpha = 0.05
+
+# Abramowitz-Stegun 7.1.26 erf approximation (|eps| <= 1.5e-7), the same
+# literal text on both engines; two-sided p = 1 - erf(|z|/sqrt(2))
+_BH_ERF = (
+    "(1.0e0 - (0.254829592e0 * (1.0e0 / (1.0e0 + 0.3275911e0 * {x}))"
+    " - 0.284496736e0 * POWER(1.0e0 / (1.0e0 + 0.3275911e0 * {x}), 2)"
+    " + 1.421413741e0 * POWER(1.0e0 / (1.0e0 + 0.3275911e0 * {x}), 3)"
+    " - 1.453152027e0 * POWER(1.0e0 / (1.0e0 + 0.3275911e0 * {x}), 4)"
+    " + 1.061405429e0 * POWER(1.0e0 / (1.0e0 + 0.3275911e0 * {x}), 5))"
+    " * EXP(-({x}) * ({x})))"
+)
+
+_BH_SQL = f"""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM events),
+    rng AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev),
+    lab AS (
+      SELECT event_type,
+             CASE WHEN d * 2 < (SELECT d0 + d1 + 1 FROM rng)
+                  THEN 1 ELSE 2 END AS period
+      FROM ev),
+    seg AS (
+      SELECT event_type, period, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lab GROUP BY event_type, period),
+    tot AS (SELECT period, CAST(SUM(n) AS BIGINT) AS nt
+            FROM seg GROUP BY period),
+    wide AS (
+      SELECT s.event_type,
+             MAX(CASE WHEN s.period = 1 THEN s.n END) AS k1,
+             MAX(CASE WHEN s.period = 2 THEN s.n END) AS k2,
+             MAX(CASE WHEN s.period = 1 THEN t.nt END) AS n1,
+             MAX(CASE WHEN s.period = 2 THEN t.nt END) AS n2
+      FROM seg s JOIN tot t USING (period) GROUP BY s.event_type),
+    z AS (
+      SELECT event_type,
+             ABS(k1 * 1.0e0 / n1 - k2 * 1.0e0 / n2)
+             / SQRT(((k1 + k2) * 1.0e0 / (n1 + n2))
+                    * (1.0e0 - (k1 + k2) * 1.0e0 / (n1 + n2))
+                    * (1.0e0 / n1 + 1.0e0 / n2)) AS az
+      FROM wide),
+    p AS (
+      SELECT event_type,
+             CAST(FLOOR(az * 1000000e0 + 5.0e-1) AS BIGINT) AS z_micro,
+             CAST(FLOOR((1.0e0 - {_BH_ERF.format(x="az / 1.4142135623730951e0")})
+                        * 1000000e0 + 5.0e-1) AS BIGINT) AS p_micro
+      FROM z),
+    rk AS (
+      SELECT event_type, z_micro, p_micro,
+             ROW_NUMBER() OVER (ORDER BY p_micro, event_type) AS rnk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM p),
+    crit AS (
+      SELECT rk.*, rnk * {_BH_ALPHA_PPM} // m AS bh_cut_micro,
+             CASE WHEN p_micro * m <= rnk * {_BH_ALPHA_PPM}
+                  THEN 1 ELSE 0 END AS passes
+      FROM rk),
+    kmax AS (SELECT COALESCE(MAX(rnk), 0) AS k FROM crit WHERE passes = 1)
+    SELECT c.event_type, c.z_micro, c.p_micro,
+           CAST(c.rnk AS BIGINT) AS rank,
+           CAST(c.bh_cut_micro AS BIGINT) AS bh_cut_micro,
+           CASE WHEN c.rnk <= (SELECT k FROM kmax) THEN 1 ELSE 0 END
+             AS rejected
+    FROM crit c ORDER BY c.rnk
+    """
+
+
+@q("fdr_bh_audit", oracle=_BH_SQL)
+def fdr_bh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the per-type composition
+    drift tests (two-proportion z of each type's share, first half vs
+    second half): p-values ranked ascending, rejected = every rank up
+    to the LARGEST i with p_(i) <= alpha*i/m — the step-up rule that a
+    drift dashboard testing many segments at once must apply (raw 0.05
+    thresholds fire ~1 false alarm per 20 healthy segments — the
+    multiple-testing correction none of the per-metric drift entries
+    apply individually).
+
+    Exactness: counts are exact; z and the Abramowitz-Stegun erf
+    polynomial (|eps| <= 1.5e-7, identical literal text both engines)
+    run in doubles from exact integers, snapped once to micro; the BH
+    compare p*m <= i*alpha runs on snapped integers (cross-multiplied,
+    division-free).
+
+    Scale shape: ONE (type, period) partial agg over raw events;
+    ranking and the step-up scan run on the |types|-row relation.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        ).alias("d"),
+    )
+    rng = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1")).collect()[0]
+    mid2 = int(rng.d0) + int(rng.d1) + 1
+    seg = ev.groupBy(
+        "event_type",
+        F.expr(f"CASE WHEN d * 2 < {mid2} THEN 1 ELSE 2 END").alias("period"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    tot = seg.groupBy("period").agg(F.sum("n").cast("long").alias("nt"))
+    wide = seg.join(F.broadcast(tot), "period").groupBy("event_type").agg(
+        F.max(F.when(F.col("period") == 1, F.col("n"))).alias("k1"),
+        F.max(F.when(F.col("period") == 2, F.col("n"))).alias("k2"),
+        F.max(F.when(F.col("period") == 1, F.col("nt"))).alias("n1"),
+        F.max(F.when(F.col("period") == 2, F.col("nt"))).alias("n2"),
+    )
+    z = wide.select(
+        "event_type",
+        F.expr(
+            "ABS(k1 * 1.0e0 / n1 - k2 * 1.0e0 / n2)"
+            " / SQRT(((k1 + k2) * 1.0e0 / (n1 + n2))"
+            " * (1.0e0 - (k1 + k2) * 1.0e0 / (n1 + n2))"
+            " * (1.0e0 / n1 + 1.0e0 / n2))"
+        ).alias("az"),
+    )
+    p = z.select(
+        "event_type",
+        F.expr("CAST(FLOOR(az * 1000000e0 + 5.0e-1) AS BIGINT)")
+        .alias("z_micro"),
+        F.expr(
+            "CAST(FLOOR((1.0e0 - "
+            + _BH_ERF.format(x="az / 1.4142135623730951e0")
+            + ") * 1000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("p_micro"),
+    )
+    wr = Window.orderBy("p_micro", "event_type")
+    rk = p.select(
+        "event_type", "z_micro", "p_micro",
+        F.row_number().over(wr).alias("rnk"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("m"),
+    )
+    crit = rk.select(
+        "event_type", "z_micro", "p_micro", "rnk", "m",
+        F.expr(f"rnk * {_BH_ALPHA_PPM} div m").alias("bh_cut_micro"),
+        F.expr(
+            f"CASE WHEN p_micro * m <= rnk * {_BH_ALPHA_PPM}"
+            " THEN 1 ELSE 0 END"
+        ).alias("passes"),
+    ).localCheckpoint()
+    kmax = crit.where(F.col("passes") == 1).agg(
+        F.coalesce(F.max("rnk"), F.lit(0)).alias("k")
+    )
+    return (
+        crit.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type", "z_micro", "p_micro",
+            F.col("rnk").cast("long").alias("rank"),
+            F.col("bh_cut_micro").cast("long").alias("bh_cut_micro"),
+            F.expr("CASE WHEN rnk <= k THEN 1 ELSE 0 END").alias("rejected"),
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test for randomness of the daily series
+# ---------------------------------------------------------------------------
+
+_RUNS_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    rk AS (SELECT d, c, ROW_NUMBER() OVER (ORDER BY c, d) AS r,
+                  CAST(COUNT(*) OVER () AS BIGINT) AS n
+           FROM daily),
+    med AS (SELECT MIN(c) AS md FROM rk WHERE r * 2 > n),
+    sg AS (
+      SELECT d, CASE WHEN c > (SELECT md FROM med) THEN 1 ELSE 0 END AS s
+      FROM daily WHERE c <> (SELECT md FROM med)),
+    fl AS (
+      SELECT s, CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                       OR LAG(s) OVER (ORDER BY d) <> s
+                     THEN 1 ELSE 0 END AS brk
+      FROM sg),
+    agg AS (
+      SELECT CAST(SUM(brk) AS BIGINT) AS runs,
+             CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(SUM(1 - s) AS BIGINT) AS n2
+      FROM fl)
+    SELECT runs AS n_runs, n1 AS n_above, n2 AS n_below,
+           CAST(FLOOR((2.0e0 * n1 * n2 / (n1 + n2) + 1.0e0) * 10000e0
+                      + 5.0e-1) AS BIGINT) AS expected_runs_x1e4,
+           CAST(FLOOR((runs - (2.0e0 * n1 * n2 / (n1 + n2) + 1.0e0))
+                      / SQRT(2.0e0 * n1 * n2
+                             * (2.0e0 * n1 * n2 - n1 - n2)
+                             / ((n1 + n2) * (n1 + n2) * 1.0e0)
+                             / (n1 + n2 - 1))
+                      * 1000000e0
+                      + CASE WHEN runs * 1.0e0 >=
+                          2.0e0 * n1 * n2 / (n1 + n2) + 1.0e0
+                        THEN 5.0e-1 ELSE -5.0e-1 END) AS BIGINT)
+             AS z_micro
+    FROM agg
+    """
+
+
+@q("runs_test_randomness", oracle=_RUNS_SQL)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily value series: the number
+    of above/below-median runs against its null expectation
+    2 n1 n2/(n1+n2) + 1 — too FEW runs means positive serial
+    dependence (trending/sticky days), too MANY means oscillation.
+    The randomness gate to run before trusting any i.i.d.-assuming
+    estimator on the series (``poisson_bootstrap_ci``, the control
+    charts' limits).
+
+    Exactness: the median is an exact order statistic (rank
+    cross-multiplication, median-valued days excluded per the classic
+    test); run and sign counts are exact integers; the z statistic is
+    one double formula over those integers, snapped half-up toward
+    its sign.
+
+    Scale shape: ONE day-keyed partial agg; ranking, the LAG and the
+    run count all run on the calendar-bounded daily relation.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    ).localCheckpoint()
+    n = daily.count()
+    rk = daily.select(
+        "c", F.row_number().over(Window.orderBy("c", "d")).alias("r")
+    )
+    md = rk.where(F.expr(f"r * 2 > {n}")).agg(
+        F.min("c").alias("md")
+    ).collect()[0]["md"]
+    sg = daily.where(F.col("c") != md).select(
+        "d", F.expr(f"CASE WHEN c > {md} THEN 1 ELSE 0 END").alias("s")
+    )
+    w = Window.orderBy("d")
+    fl = sg.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        ).otherwise(0).alias("brk"),
+    )
+    agg = fl.agg(
+        F.sum("brk").cast("long").alias("runs"),
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+    )
+    return agg.select(
+        F.col("runs").alias("n_runs"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.expr(
+            "CAST(FLOOR((2.0e0 * n1 * n2 / (n1 + n2) + 1.0e0) * 10000e0"
+            " + 5.0e-1) AS BIGINT)"
+        ).alias("expected_runs_x1e4"),
+        F.expr(
+            "CAST(FLOOR((runs - (2.0e0 * n1 * n2 / (n1 + n2) + 1.0e0))"
+            " / SQRT(2.0e0 * n1 * n2 * (2.0e0 * n1 * n2 - n1 - n2)"
+            " / ((n1 + n2) * (n1 + n2) * 1.0e0) / (n1 + n2 - 1))"
+            " * 1000000e0"
+            " + CASE WHEN runs * 1.0e0 >="
+            " 2.0e0 * n1 * n2 / (n1 + n2) + 1.0e0"
+            " THEN 5.0e-1 ELSE -5.0e-1 END) AS BIGINT)"
+        ).alias("z_micro"),
+    )

@@ -1603,3 +1603,148 @@ def test_overdispersion_matches_pure_python(spark):
             assert r.nb_r_micro == math.floor(m * m / (v - m) * 1e6 + 0.5)
         else:
             assert r.nb_r_micro == -1
+
+
+# ---------------------------------------------------------------------------
+# permutation entropy
+# ---------------------------------------------------------------------------
+
+
+def _daily_cents(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+        )
+        .toPandas()
+    )
+    return ev.groupby("d").cents.sum().sort_index()
+
+
+def test_permutation_entropy_matches_pure_python(spark):
+    import math
+    from collections import Counter
+
+    xs = [int(v) for v in _daily_cents(spark)]
+
+    def pattern(a, b, c):
+        # rank by (value, offset): a total order
+        order = sorted([(a, 0), (b, 1), (c, 2)])
+        perm = tuple(i for _, i in order)
+        return {
+            (0, 1, 2): 0, (0, 2, 1): 1, (1, 0, 2): 2,
+            (2, 0, 1): 3, (1, 2, 0): 4, (2, 1, 0): 5,
+        }[perm]
+
+    cnt = Counter(
+        pattern(xs[i], xs[i + 1], xs[i + 2]) for i in range(len(xs) - 2)
+    )
+    m = sum(cnt.values())
+    h = sum(
+        math.floor(-(c / m) * math.log(c / m) * 1e9 + 0.5)
+        for c in cnt.values()
+    )
+    got = (
+        QUERIES["permutation_entropy_daily"](spark, SF_CORRECT)
+        .toPandas().iloc[0]
+    )
+    assert got.n_windows == m
+    assert got.n_patterns == len(cnt)
+    assert got.h_nano == h
+    assert got.pe_normalized_micro == math.floor(
+        h / math.log(6.0) / 1e9 * 1e6 + 0.5
+    )
+    assert 0 <= got.pe_normalized_micro <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# BH FDR
+# ---------------------------------------------------------------------------
+
+
+def test_fdr_bh_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+        )
+        .toPandas()
+    )
+    mid2 = int(ev.d.min()) + int(ev.d.max()) + 1
+    ev["period"] = (ev.d * 2 < mid2).map({True: 1, False: 2})
+    n1 = len(ev[ev.period == 1])
+    n2 = len(ev[ev.period == 2])
+
+    def erf(x):
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = (
+            0.254829592 * t - 0.284496736 * t ** 2 + 1.421413741 * t ** 3
+            - 1.453152027 * t ** 4 + 1.061405429 * t ** 5
+        )
+        return 1.0 - poly * math.exp(-x * x)
+
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        k1 = len(g[g.period == 1])
+        k2 = len(g[g.period == 2])
+        pbar = (k1 + k2) / (n1 + n2)
+        az = abs(k1 / n1 - k2 / n2) / math.sqrt(
+            pbar * (1 - pbar) * (1 / n1 + 1 / n2)
+        )
+        p = math.floor((1.0 - erf(az / math.sqrt(2.0))) * 1e6 + 0.5)
+        rows.append((et, math.floor(az * 1e6 + 0.5), p))
+    rows.sort(key=lambda r: (r[2], r[0]))
+    m = len(rows)
+    kmax = 0
+    for i, (_, _, p) in enumerate(rows, start=1):
+        if p * m <= i * 50000:
+            kmax = i
+    got = QUERIES["fdr_bh_audit"](spark, SF_CORRECT).toPandas()
+    assert len(got) == m
+    for rk, (et, zm, p) in enumerate(rows, start=1):
+        r = got[got["rank"] == rk].iloc[0]
+        assert (r.event_type, r.z_micro, r.p_micro) == (et, zm, p)
+        assert r.bh_cut_micro == rk * 50000 // m
+        assert r.rejected == (1 if rk <= kmax else 0)
+    # step-up property: rejections form a prefix of the p-value ranking
+    rej = list(got.sort_values("rank").rejected)
+    assert rej == sorted(rej, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# runs test
+# ---------------------------------------------------------------------------
+
+
+def test_runs_test_matches_pure_python(spark):
+    import math
+
+    daily = _daily_cents(spark)
+    xs = [int(v) for v in daily]
+    n = len(xs)
+    md = sorted(xs)[n // 2] if n % 2 == 1 else sorted(xs)[n // 2]
+    # exact replication of the operator's lower-median rule:
+    # min value whose ascending rank r satisfies r*2 > n
+    md = sorted(xs)[(n // 2)] if n % 2 == 1 else sorted(xs)[n // 2]
+    ranked = sorted(xs)
+    md = next(v for r, v in enumerate(ranked, start=1) if r * 2 > n)
+    signs = [1 if x > md else 0 for x in xs if x != md]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    exp = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    z = (runs - exp) / math.sqrt(var)
+    got = (
+        QUERIES["runs_test_randomness"](spark, SF_CORRECT).toPandas().iloc[0]
+    )
+    assert (got.n_runs, got.n_above, got.n_below) == (runs, n1, n2)
+    assert got.expected_runs_x1e4 == math.floor(exp * 1e4 + 0.5)
+    snap = math.floor(z * 1e6 + (0.5 if runs >= exp else -0.5))
+    assert got.z_micro == snap

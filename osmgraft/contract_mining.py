@@ -4330,3 +4330,213 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 5.0e-1 ELSE -5.0e-1 END) AS BIGINT)"
         ).alias("z_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sessionization gap-threshold audit (bimodal gap histogram valley)
+# ---------------------------------------------------------------------------
+
+_GT_SQL = """
+    WITH ev AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_id
+      FROM events),
+    g AS (
+      SELECT es - LAG(es) OVER (PARTITION BY user_id
+                                ORDER BY es, event_id) AS gap
+      FROM ev),
+    b AS (
+      SELECT CAST(FLOOR(LOG2(gap + 1.0e0)) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps
+      FROM g WHERE gap IS NOT NULL GROUP BY bin),
+    m1 AS (SELECT bin AS b1 FROM b
+           ORDER BY n_gaps DESC, bin LIMIT 1),
+    m2 AS (SELECT bin AS b2 FROM b, m1
+           WHERE bin <> b1 ORDER BY n_gaps DESC, bin LIMIT 1),
+    valley AS (
+      SELECT bin AS vb FROM b, m1, m2
+      WHERE bin > LEAST(b1, b2) AND bin < GREATEST(b1, b2)
+      ORDER BY n_gaps, bin LIMIT 1)
+    SELECT b.bin,
+           CAST(POWER(2.0e0, b.bin) - 1.0e0 AS BIGINT) AS lo_s,
+           b.n_gaps,
+           CASE WHEN b.bin = (SELECT vb FROM valley) THEN 1 ELSE 0 END
+             AS is_valley,
+           CASE WHEN b.bin = (SELECT b1 FROM m1)
+                  OR b.bin = (SELECT b2 FROM m2) THEN 1 ELSE 0 END
+             AS is_mode
+    FROM b ORDER BY b.bin
+    """
+
+
+@q("gap_threshold_audit", oracle=_GT_SQL)
+def gap_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization gap-threshold audit: the log2 histogram of
+    per-user inter-event gaps with its two modes (the intra-session
+    burst and the between-visit return) and the VALLEY bin between
+    them — the empirical justification for the session gap every
+    sessionizer hardcodes (``session_window_counts`` uses a fixed
+    timeout; this measures where the fixture's bimodality actually
+    puts it). Ties break to the smaller bin everywhere, so mode and
+    valley selection is total.
+
+    Exactness: gaps are exact integer seconds; LOG2(gap+1) floors are
+    off-boundary except at exact powers of two, where IEEE log2 is
+    exact on both engines; counts and flags are integers.
+
+    Scale shape: the LAG is user-keyed; the histogram is one
+    ~40-row relation; mode/valley selection is top-k on it.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    g = ev.select((F.col("es") - F.lag("es").over(w)).alias("gap")).where(
+        F.col("gap").isNotNull()
+    )
+    b = g.groupBy(
+        F.expr("CAST(FLOOR(LOG2(gap + 1.0e0)) AS BIGINT)").alias("bin")
+    ).agg(F.count("*").cast("long").alias("n_gaps")).localCheckpoint()
+    top2 = [
+        r.bin
+        for r in b.orderBy(F.desc("n_gaps"), "bin").limit(2).collect()
+    ]
+    b1, b2 = top2[0], top2[1]
+    lo, hi = min(b1, b2), max(b1, b2)
+    vrow = (
+        b.where((F.col("bin") > lo) & (F.col("bin") < hi))
+        .orderBy("n_gaps", "bin").limit(1).collect()
+    )
+    vb = vrow[0].bin if vrow else None
+    return b.select(
+        "bin",
+        F.expr("CAST(POWER(2.0e0, bin) - 1.0e0 AS BIGINT)").alias("lo_s"),
+        "n_gaps",
+        F.expr(
+            f"CASE WHEN bin = {vb if vb is not None else -999}"
+            " THEN 1 ELSE 0 END"
+        ).alias("is_valley"),
+        F.expr(
+            f"CASE WHEN bin = {b1} OR bin = {b2} THEN 1 ELSE 0 END"
+        ).alias("is_mode"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Erlang C staffing calculator at the peak hour
+# ---------------------------------------------------------------------------
+
+_EC_SVC_S = 240   # mean service time seconds
+_EC_MAX_C = 8
+_EC_SLA_MICRO = 200000  # P(wait) target 0.2
+
+
+def _ec_rows_sql() -> str:
+    # per-c Erlang C with the k<c sum unrolled as a literal polynomial in
+    # the offered load `a` (factorials exact integer literals)
+    import math
+
+    rows = []
+    for c in range(1, _EC_MAX_C + 1):
+        s = " + ".join(
+            f"POWER(a, {k}) / {math.factorial(k)}.0e0" for k in range(c)
+        )
+        top = f"POWER(a, {c}) / {math.factorial(c)}.0e0 * ({c}.0e0 / ({c}.0e0 - a))"
+        rows.append(
+            f"SELECT {c} AS c, a, CASE WHEN a >= {c}.0e0 THEN 1000000"
+            f" ELSE CAST(FLOOR(({top}) / (({s}) + ({top})) * 1000000e0"
+            " + 5.0e-1) AS BIGINT) END AS p_wait_micro FROM load"
+        )
+    return " UNION ALL ".join(rows)
+
+
+_EC_SQL = f"""
+    WITH ev AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 % 24 AS hod,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM events),
+    hh AS (
+      SELECT hod, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS nd
+      FROM ev GROUP BY hod),
+    peak AS (
+      SELECT hod, n, nd FROM hh ORDER BY n DESC, hod LIMIT 1),
+    load AS (
+      SELECT hod, n, nd,
+             (n * 1.0e0 / nd / 3600.0e0) * {_EC_SVC_S}.0e0 AS a
+      FROM peak)
+    SELECT l.hod AS peak_hour, l.n AS n_events, r.c AS n_servers,
+           CAST(FLOOR(r.a * 1000e0 + 5.0e-1) AS BIGINT) AS offered_load_milli,
+           r.p_wait_micro,
+           CASE WHEN r.p_wait_micro < {_EC_SLA_MICRO} THEN 1 ELSE 0 END
+             AS meets_sla
+    FROM ({_ec_rows_sql()}) r CROSS JOIN load l
+    ORDER BY r.c
+    """
+
+
+@q("erlang_c_staffing", oracle=_EC_SQL)
+def erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang C staffing calculator at the observed peak hour-of-day:
+    offered load a = lambda * service time (mean per-day arrival rate
+    in the peak hour, {_EC_SVC_S}s mean service), and for c = 1..
+    {_EC_MAX_C} servers the steady-state probability an arrival waits
+    — P_wait = (a^c/c! * c/(c-a)) / (sum_k<c a^k/k! + a^c/c! *
+    c/(c-a)), clamped to 1 when a >= c (unstable) — with the SLA flag
+    P(wait) < {_EC_SLA_MICRO / 10000}%. The capacity answer
+    ``queue_wait_lindley`` simulates empirically, now in closed form:
+    the pair is the standard model-vs-replay validation.
+
+    Exactness: peak selection is an exact argmax (ties to the smaller
+    hour); factorials are exact integer literals; the Erlang formula
+    is one double expression per c over the exact counts, snapped
+    once.
+
+    Scale shape: ONE hour-of-day partial agg over raw events; the
+    staffing table is an {_EC_MAX_C}-row computation on a 1-row load
+    relation.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(unix_timestamp(ts) AS BIGINT) div 3600 % 24"
+        ).alias("hod"),
+        F.expr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        ).alias("d"),
+    )
+    hh = ev.groupBy("hod").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("d").cast("long").alias("nd"),
+    )
+    peak = hh.orderBy(F.desc("n"), "hod").limit(1).collect()[0]
+    a_expr = f"({peak.n} * 1.0e0 / {peak.nd} / 3600.0e0) * {_EC_SVC_S}.0e0"
+    import math as _math
+
+    rows = []
+    for c in range(1, _EC_MAX_C + 1):
+        s = " + ".join(
+            f"POWER({a_expr}, {k}) / {_math.factorial(k)}.0e0"
+            for k in range(c)
+        )
+        top = (
+            f"POWER({a_expr}, {c}) / {_math.factorial(c)}.0e0"
+            f" * ({c}.0e0 / ({c}.0e0 - {a_expr}))"
+        )
+        rows.append(
+            f"SELECT {c} AS c, CASE WHEN {a_expr} >= {c}.0e0 THEN 1000000"
+            f" ELSE CAST(FLOOR(({top}) / (({s}) + ({top})) * 1000000e0"
+            " + 5.0e-1) AS BIGINT) END AS p_wait_micro"
+        )
+    table = spark.sql(" UNION ALL ".join(rows))
+    return table.select(
+        F.lit(int(peak.hod)).cast("long").alias("peak_hour"),
+        F.lit(int(peak.n)).cast("long").alias("n_events"),
+        F.col("c").alias("n_servers"),
+        F.expr(
+            f"CAST(FLOOR(({a_expr}) * 1000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("offered_load_milli"),
+        "p_wait_micro",
+        F.expr(
+            f"CASE WHEN p_wait_micro < {_EC_SLA_MICRO} THEN 1 ELSE 0 END"
+        ).alias("meets_sla"),
+    ).orderBy("n_servers")

@@ -1748,3 +1748,85 @@ def test_runs_test_matches_pure_python(spark):
     assert got.expected_runs_x1e4 == math.floor(exp * 1e4 + 0.5)
     snap = math.floor(z * 1e6 + (0.5 if runs >= exp else -0.5))
     assert got.z_micro == snap
+
+
+# ---------------------------------------------------------------------------
+# gap threshold audit
+# ---------------------------------------------------------------------------
+
+
+def test_gap_threshold_matches_pure_python(spark):
+    import math
+    from collections import Counter
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id", "event_id",
+            "CAST(unix_timestamp(ts) AS BIGINT) es",
+        )
+        .toPandas()
+        .sort_values(["user_id", "es", "event_id"])
+    )
+    bins = Counter()
+    for _, g in ev.groupby("user_id"):
+        es = list(g.es)
+        for a, b in zip(es, es[1:]):
+            bins[math.floor(math.log2(b - a + 1.0))] += 1
+    top2 = sorted(bins.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    b1, b2 = top2[0][0], top2[1][0]
+    lo, hi = min(b1, b2), max(b1, b2)
+    between = {b: c for b, c in bins.items() if lo < b < hi}
+    vb = min(between.items(), key=lambda kv: (kv[1], kv[0]))[0] \
+        if between else None
+    got = QUERIES["gap_threshold_audit"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(bins)
+    for _, r in got.iterrows():
+        assert r.n_gaps == bins[r.bin]
+        assert r.lo_s == int(2 ** r.bin - 1)
+        assert r.is_mode == (1 if r.bin in (b1, b2) else 0)
+        assert r.is_valley == (1 if vb is not None and r.bin == vb else 0)
+    assert got.is_mode.sum() == 2
+    assert got.is_valley.sum() == (1 if vb is not None else 0)
+
+
+# ---------------------------------------------------------------------------
+# Erlang C
+# ---------------------------------------------------------------------------
+
+
+def test_erlang_c_matches_pure_python(spark):
+    import math
+    from collections import Counter
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(unix_timestamp(ts) AS BIGINT) div 3600 % 24 hod",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+        )
+        .toPandas()
+    )
+    cnt = Counter(ev.hod)
+    days = ev.groupby("hod").d.nunique().to_dict()
+    peak = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    n, nd = cnt[peak], days[peak]
+    a = (n / nd / 3600.0) * 240.0
+    got = QUERIES["erlang_c_staffing"](spark, SF_CORRECT).toPandas()
+    assert list(got.n_servers) == list(range(1, 9))
+    for _, r in got.iterrows():
+        c = int(r.n_servers)
+        assert r.peak_hour == peak
+        assert r.n_events == n
+        assert r.offered_load_milli == math.floor(a * 1e3 + 0.5)
+        if a >= c:
+            pw = 1000000
+        else:
+            s = sum(a ** k / math.factorial(k) for k in range(c))
+            top = a ** c / math.factorial(c) * (c / (c - a))
+            pw = math.floor(top / (s + top) * 1e6 + 0.5)
+        assert r.p_wait_micro == pw
+        assert r.meets_sla == (1 if pw < 200000 else 0)
+    # adding servers strictly reduces waiting probability
+    ps = list(got.p_wait_micro)
+    assert all(b <= a for a, b in zip(ps, ps[1:]))

@@ -4540,3 +4540,248 @@ def erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN p_wait_micro < {_EC_SLA_MICRO} THEN 1 ELSE 0 END"
         ).alias("meets_sla"),
     ).orderBy("n_servers")
+
+
+# ---------------------------------------------------------------------------
+# empirical variogram over the clustered page field
+# ---------------------------------------------------------------------------
+
+_VG_MOD = 11        # point sample: every 11th event
+_VG_CELL = 8000     # block width == max lag, so a 1-ring join is complete
+_VG_B2 = (1000000, 4000000, 16000000, 64000000)  # band edges, squared
+
+
+def _vg_band_case(d2: str) -> str:
+    arms = " ".join(
+        f"WHEN {d2} < {b2} THEN {i}" for i, b2 in enumerate(_VG_B2)
+    )
+    return f"CASE {arms} END"
+
+
+def _vg_sql() -> str:
+    from osmgraft.contract_cells import _DC_PX, _DC_PY
+
+    return f"""
+    WITH pts AS (
+      SELECT event_id, ({_DC_PX}) AS px, ({_DC_PY}) AS py,
+             CAST(FLOOR(value * 100e0) AS BIGINT) AS z
+      FROM events WHERE event_id % {_VG_MOD} = 0),
+    c AS (
+      SELECT event_id, px, py, z,
+             CAST(FLOOR(px / {_VG_CELL}.0e0) AS BIGINT) AS cx,
+             CAST(FLOOR(py / {_VG_CELL}.0e0) AS BIGINT) AS cy
+      FROM pts),
+    fan AS (
+      SELECT event_id, px, py, z, cx + dx AS tx, cy + dy AS ty
+      FROM c, UNNEST(range(-1, 2)) AS u(dx),
+              UNNEST(range(-1, 2)) AS v(dy)),
+    pairs AS (
+      SELECT {_vg_band_case(
+          "(a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)"
+      )} AS band,
+             CAST((a.z - b.z) * (a.z - b.z) AS HUGEINT) AS sq
+      FROM fan a JOIN c b ON a.tx = b.cx AND a.ty = b.cy
+                          AND a.event_id < b.event_id
+      WHERE (a.px - b.px) * (a.px - b.px)
+            + (a.py - b.py) * (a.py - b.py) < {_VG_B2[-1]})
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(sq) * 100 // (2 * COUNT(*)) AS BIGINT)
+             AS gamma_cents2_centi
+    FROM pairs GROUP BY band ORDER BY band
+    """
+
+
+@q("empirical_variogram", oracle=_vg_sql())
+def empirical_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram of event values over the clustered page
+    field: gamma(h) = sum (z_i - z_j)^2 / (2 N_h) per distance band
+    (0-1 km, 1-2, 2-4, 4-8 in grid units) — THE geostatistics
+    primitive (Matheron 1963) behind kriging and spatial-correlation-
+    length tuning: a flat variogram says per-tile aggregation loses
+    nothing; a rising one gives the range beyond which tiles are
+    independent. Complements ``morans_i_autocorrelation`` (one global
+    index) with the distance-resolved structure.
+
+    Exactness: squared value differences are exact integer cents^2
+    routed through HUGEINT; band assignment compares exact-double
+    squared distances against integer literal edges (no sqrt); gamma
+    is an exact integer centi-division.
+
+    Scale shape: pair generation is the 1-ring CELL-BLOCKED equi-join
+    (block width == max lag, so within-lag pairs are provably complete
+    — the ``nn_distance_profile`` discipline), never an all-pairs
+    theta join; the sample modulus bounds pair counts and scales with
+    the corpus.
+    """
+    from osmgraft.contract_cells import _DC_PX, _DC_PY
+
+    px = _DC_PX.replace("//", " div ")
+    py = _DC_PY.replace("//", " div ")
+    pts = t(spark, sf_dir, "events").where(
+        F.expr(f"event_id % {_VG_MOD} = 0")
+    ).select(
+        "event_id",
+        F.expr(px).alias("px"), F.expr(py).alias("py"),
+        F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)").alias("z"),
+    )
+    c = pts.select(
+        "event_id", "px", "py", "z",
+        F.expr(f"CAST(FLOOR(px / {_VG_CELL}.0e0) AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(FLOOR(py / {_VG_CELL}.0e0) AS BIGINT)").alias("cy"),
+    ).localCheckpoint()
+    fan = c.select(
+        F.col("event_id").alias("ida"), F.col("px").alias("pxa"),
+        F.col("py").alias("pya"), F.col("z").alias("za"),
+        F.explode(F.expr("array(-1, 0, 1)")).alias("dx"), "cx", "cy",
+    ).select(
+        "ida", "pxa", "pya", "za",
+        (F.col("cx") + F.col("dx")).alias("tx"),
+        F.explode(F.expr("array(-1, 0, 1)")).alias("dy"), "cy",
+    ).select(
+        "ida", "pxa", "pya", "za", "tx",
+        (F.col("cy") + F.col("dy")).alias("ty"),
+    )
+    d2 = (
+        "(pxa - px) * (pxa - px) + (pya - py) * (pya - py)"
+    )
+    pairs = (
+        fan.join(
+            c,
+            (F.col("tx") == F.col("cx")) & (F.col("ty") == F.col("cy"))
+            & (F.col("ida") < F.col("event_id")),
+        )
+        .where(F.expr(f"{d2} < {_VG_B2[-1]}"))
+        .select(
+            F.expr(_vg_band_case(d2)).alias("band"),
+            F.expr("CAST((za - z) * (za - z) AS DECIMAL(38,0))").alias("sq"),
+        )
+    )
+    return (
+        pairs.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST(SUM(sq) * 100 div (2 * COUNT(*)) AS BIGINT)"
+            ).alias("gamma_cents2_centi"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# empirical-Bayes shrunk per-cell rates (James-Stein for proportions)
+# ---------------------------------------------------------------------------
+
+_EB_GRID = 87500  # 8x8 grid over the 700000-unit extent
+
+
+def _eb_sql() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    return f"""
+    WITH pts AS (
+      SELECT CAST(FLOOR(({X_EXPR}) / {_EB_GRID}.0e0) AS BIGINT) AS cx,
+             CAST(FLOOR(({Y_EXPR}) / {_EB_GRID}.0e0) AS BIGINT) AS cy,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events),
+    cell AS (
+      SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS x
+      FROM pts GROUP BY cx, cy),
+    g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(x) AS BIGINT) AS xt,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM cell),
+    m AS (
+      SELECT g.*, xt * 1.0e0 / nt AS pbar FROM g),
+    tau AS (
+      SELECT m.nt, m.k, m.pbar,
+             GREATEST(0.0e0,
+               (SELECT SUM(c.n * (c.x * 1.0e0 / c.n - m.pbar)
+                                * (c.x * 1.0e0 / c.n - m.pbar))
+                FROM cell c) / m.nt
+               - m.k * m.pbar * (1.0e0 - m.pbar) / m.nt) AS tau2
+      FROM m)
+    SELECT c.cx, c.cy, c.n,
+           c.x * 1000000 // c.n AS raw_ppm,
+           CAST(FLOOR((t.pbar * (1.0e0 - t.pbar) / c.n)
+                      / (t.pbar * (1.0e0 - t.pbar) / c.n + t.tau2)
+                      * 1000000e0 + 5.0e-1) AS BIGINT) AS shrink_ppm,
+           CAST(FLOOR(((t.pbar * (1.0e0 - t.pbar) / c.n)
+                       / (t.pbar * (1.0e0 - t.pbar) / c.n + t.tau2)
+                       * t.pbar
+                       + (1.0e0 - (t.pbar * (1.0e0 - t.pbar) / c.n)
+                          / (t.pbar * (1.0e0 - t.pbar) / c.n + t.tau2))
+                         * (c.x * 1.0e0 / c.n)) * 1000000e0 + 5.0e-1)
+                AS BIGINT) AS shrunk_ppm
+    FROM cell c CROSS JOIN tau t
+    ORDER BY c.cx, c.cy
+    """
+
+
+@q("eb_shrunk_cell_rates", oracle=_eb_sql())
+def eb_shrunk_cell_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (James-Stein) shrinkage of per-tile conversion
+    rates: each cell's raw purchase rate pulled toward the global mean
+    with weight B_i = sv_i / (sv_i + tau^2), where sv_i = pbar qbar /
+    n_i is the cell's sampling variance and tau^2 the method-of-
+    moments between-cell variance — the small-area-estimation move
+    that keeps a sparse tile's score from whipsawing the north-star
+    per-tile aggregates (raw rates over-disperse exactly by the
+    sampling noise EB removes).
+
+    Exactness: cell counts and raw ppm are exact integers; pbar,
+    tau^2, the shrink weights and shrunk rates are double arithmetic
+    over exact sums, snapped once per output.
+
+    Scale shape: ONE (cell) partial agg over raw events; the moment
+    estimates re-aggregate the 64-cell relation; shrinkage is per-row
+    arithmetic against a broadcast 1-row parameter relation.
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    pts = t(spark, sf_dir, "events").select(
+        F.expr(
+            f"CAST(FLOOR(({X_EXPR}) / {_EB_GRID}.0e0) AS BIGINT)"
+        ).alias("cx"),
+        F.expr(
+            f"CAST(FLOOR(({Y_EXPR}) / {_EB_GRID}.0e0) AS BIGINT)"
+        ).alias("cy"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("conv"),
+    )
+    cell = pts.groupBy("cx", "cy").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    ).localCheckpoint()
+    g = cell.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("x").cast("long").alias("xt"),
+        F.count("*").cast("long").alias("k"),
+    ).collect()[0]
+    pbar = g.xt * 1.0 / g.nt
+    s2 = (
+        cell.select(
+            F.expr(
+                f"n * (x * 1.0e0 / n - {pbar!r})"
+                f" * (x * 1.0e0 / n - {pbar!r})"
+            ).alias("w")
+        ).agg(F.sum("w").alias("s")).collect()[0]["s"]
+        / g.nt
+    )
+    tau2 = max(0.0, s2 - g.k * pbar * (1.0 - pbar) / g.nt)
+    sv = f"({pbar!r} * (1.0e0 - {pbar!r}) / n)"
+    b = f"({sv} / ({sv} + {tau2!r}))"
+    return cell.select(
+        "cx", "cy", "n",
+        F.expr("x * 1000000 div n").alias("raw_ppm"),
+        F.expr(
+            f"CAST(FLOOR({b} * 1000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("shrink_ppm"),
+        F.expr(
+            f"CAST(FLOOR(({b} * {pbar!r}"
+            f" + (1.0e0 - {b}) * (x * 1.0e0 / n)) * 1000000e0 + 5.0e-1)"
+            " AS BIGINT)"
+        ).alias("shrunk_ppm"),
+    ).orderBy("cx", "cy")

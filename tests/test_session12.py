@@ -1830,3 +1830,110 @@ def test_erlang_c_matches_pure_python(spark):
     # adding servers strictly reduces waiting probability
     ps = list(got.p_wait_micro)
     assert all(b <= a for a, b in zip(ps, ps[1:]))
+
+
+# ---------------------------------------------------------------------------
+# empirical variogram
+# ---------------------------------------------------------------------------
+
+
+def test_variogram_matches_bruteforce(spark):
+    """The cell-blocked pair join == an all-pairs brute force within
+    the max lag (proves the blocking is lossless at the band edge)."""
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "event_id", "CAST(FLOOR(value * 100e0) AS BIGINT) z",
+        )
+        .toPandas()
+    )
+    sub = ev[ev.event_id % 11 == 0]
+
+    def px(i):
+        if i % 10 < 3:
+            return (i % 787) * 889.45 + 17.3
+        return ((i % 5) * 131071) % 650000 + ((i // 10) % 100) * 250
+
+    def py(i):
+        if i % 10 < 3:
+            return (int(i / 13.0) % 787) * 889.45 + 11.7
+        return ((i % 5) * 524287) % 650000 + ((i // 7) % 100) * 250
+
+    pts = [(int(r.event_id), px(r.event_id), py(r.event_id), int(r.z))
+           for _, r in sub.iterrows()]
+    edges = [1000000, 4000000, 16000000, 64000000]
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, 0])
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            _, xa, ya, za = pts[i]
+            _, xb, yb, zb = pts[j]
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 >= edges[-1]:
+                continue
+            band = next(k for k, e in enumerate(edges) if d2 < e)
+            acc[band][0] += 1
+            acc[band][1] += (za - zb) ** 2
+    got = QUERIES["empirical_variogram"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(acc)
+    for _, r in got.iterrows():
+        n, sq = acc[r.band]
+        assert r.n_pairs == n
+        assert r.gamma_cents2_centi == sq * 100 // (2 * n)
+
+
+# ---------------------------------------------------------------------------
+# EB shrinkage
+# ---------------------------------------------------------------------------
+
+
+def test_eb_shrinkage_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "event_id",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END conv",
+        )
+        .toPandas()
+    )
+
+    def cx(i):
+        return int(((i % 787) * 889.45 + 17.3) // 87500)
+
+    def cy(i):
+        return int(((int(i / 13.0) % 787) * 889.45 + 11.7) // 87500)
+
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0])
+    for _, r in ev.iterrows():
+        k = (cx(r.event_id), cy(r.event_id))
+        cells[k][0] += 1
+        cells[k][1] += r.conv
+    nt = sum(n for n, _ in cells.values())
+    xt = sum(x for _, x in cells.values())
+    K = len(cells)
+    pbar = xt / nt
+    s2 = sum(n * (x / n - pbar) ** 2 for n, x in cells.values()) / nt
+    tau2 = max(0.0, s2 - K * pbar * (1 - pbar) / nt)
+    got = QUERIES["eb_shrunk_cell_rates"](spark, SF_CORRECT).toPandas()
+    assert len(got) == K
+    for _, r in got.iterrows():
+        n, x = cells[(r.cx, r.cy)]
+        sv = pbar * (1 - pbar) / n
+        b = sv / (sv + tau2)
+        assert r.n == n
+        assert r.raw_ppm == x * 1000000 // n
+        assert r.shrink_ppm == math.floor(b * 1e6 + 0.5)
+        assert r.shrunk_ppm == math.floor(
+            (b * pbar + (1 - b) * (x / n)) * 1e6 + 0.5
+        )
+    # shrinkage moves every cell TOWARD the pool (never past it), and
+    # over-dispersed raw rates compress
+    pool_ppm = xt * 1000000 // nt
+    for _, r in got.iterrows():
+        lo, hi = min(r.raw_ppm, pool_ppm), max(r.raw_ppm, pool_ppm)
+        assert lo - 1 <= r.shrunk_ppm <= hi + 1

@@ -4785,3 +4785,380 @@ def eb_shrunk_cell_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("shrunk_ppm"),
     ).orderBy("cx", "cy")
+
+
+# ---------------------------------------------------------------------------
+# join-count statistics on the binary cell map
+# ---------------------------------------------------------------------------
+
+_JC_GRID = 43750  # 16x16 grid over the 700000-unit extent
+
+
+def _jc_sql() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    return f"""
+    WITH pts AS (
+      SELECT CAST(FLOOR(({X_EXPR}) / {_JC_GRID}.0e0) AS BIGINT) AS cx,
+             CAST(FLOOR(({Y_EXPR}) / {_JC_GRID}.0e0) AS BIGINT) AS cy,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events),
+    cell AS (
+      SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS x
+      FROM pts GROUP BY cx, cy),
+    pool AS (SELECT CAST(SUM(x) AS BIGINT) * 1000000
+                    // CAST(SUM(n) AS BIGINT) AS p_ppm FROM cell),
+    bmap AS (
+      SELECT cx, cy,
+             CASE WHEN x * 1000000 > n * (SELECT p_ppm FROM pool)
+                  THEN 1 ELSE 0 END AS black
+      FROM cell),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(black) AS BIGINT) AS nb
+      FROM bmap),
+    joins AS (
+      SELECT a.black AS ba, b.black AS bb
+      FROM bmap a JOIN bmap b
+        ON (b.cx = a.cx + 1 AND b.cy = a.cy)
+        OR (b.cx = a.cx AND b.cy = a.cy + 1)),
+    obs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS j,
+             CAST(SUM(CASE WHEN ba = 1 AND bb = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS bb,
+             CAST(SUM(CASE WHEN ba = 0 AND bb = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ww,
+             CAST(SUM(CASE WHEN ba <> bb THEN 1 ELSE 0 END) AS BIGINT)
+               AS bw
+      FROM joins)
+    SELECT jt AS join_type, n_obs,
+           CAST(FLOOR(expected * 100e0 + 5.0e-1) AS BIGINT)
+             AS expected_x100,
+           CAST(n_obs * 1000000 // o.j AS BIGINT) AS share_ppm
+    FROM obs o, stats s,
+         (SELECT 'BB' AS jt, o2.bb AS n_obs,
+                 o2.j * (s2.nb * 1.0e0 / s2.k) * (s2.nb * 1.0e0 / s2.k)
+                   AS expected
+          FROM obs o2, stats s2
+          UNION ALL
+          SELECT 'BW', o2.bw,
+                 o2.j * 2.0e0 * (s2.nb * 1.0e0 / s2.k)
+                 * (1.0e0 - s2.nb * 1.0e0 / s2.k)
+          FROM obs o2, stats s2
+          UNION ALL
+          SELECT 'WW', o2.ww,
+                 o2.j * (1.0e0 - s2.nb * 1.0e0 / s2.k)
+                 * (1.0e0 - s2.nb * 1.0e0 / s2.k)
+          FROM obs o2, stats s2) u
+    ORDER BY jt
+    """
+
+
+@q("join_count_statistics", oracle=_jc_sql())
+def join_count_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-count statistics (Moran's I for a BINARY map): classify
+    each 16x16 grid cell black/white by whether its purchase rate
+    beats the pool, count BB / BW / WW joins over rook adjacency, and
+    compare against the free-sampling expectations J*p^2 / 2Jpq /
+    J*q^2 — fewer BW joins than expected means like clings to like.
+    The categorical-map member of the spatial-autocorrelation family
+    (``morans_i_autocorrelation`` is interval-valued; hot-spot maps
+    are binary).
+
+    Exactness: the black/white cut is a division-free integer
+    cross-multiplication (x*1e6 > n*p_ppm); join counts are exact; the
+    expectations are one double product over exact counts, snapped to
+    x100.
+
+    Scale shape: ONE (cell) partial agg over raw events; adjacency is
+    an equi-join of the 256-cell relation against itself on shifted
+    keys (rook = two shifted copies), never a distance join.
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    pts = t(spark, sf_dir, "events").select(
+        F.expr(
+            f"CAST(FLOOR(({X_EXPR}) / {_JC_GRID}.0e0) AS BIGINT)"
+        ).alias("cx"),
+        F.expr(
+            f"CAST(FLOOR(({Y_EXPR}) / {_JC_GRID}.0e0) AS BIGINT)"
+        ).alias("cy"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("conv"),
+    )
+    cell = pts.groupBy("cx", "cy").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+    pool = cell.agg(
+        F.expr(
+            "CAST(SUM(x) AS BIGINT) * 1000000 div CAST(SUM(n) AS BIGINT)"
+        ).alias("p_ppm")
+    ).collect()[0]["p_ppm"]
+    bmap = cell.select(
+        "cx", "cy",
+        F.expr(
+            f"CASE WHEN x * 1000000 > n * {pool} THEN 1 ELSE 0 END"
+        ).alias("black"),
+    ).localCheckpoint()
+    s = bmap.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("black").cast("long").alias("nb"),
+    ).collect()[0]
+    b2 = bmap.select(
+        F.col("cx").alias("cx2"), F.col("cy").alias("cy2"),
+        F.col("black").alias("black2"),
+    )
+    joins = bmap.join(
+        b2,
+        ((F.col("cx2") == F.col("cx") + 1) & (F.col("cy2") == F.col("cy")))
+        | ((F.col("cx2") == F.col("cx")) & (F.col("cy2") == F.col("cy") + 1)),
+    )
+    obs = joins.agg(
+        F.count("*").cast("long").alias("j"),
+        F.sum(F.expr("CASE WHEN black = 1 AND black2 = 1 THEN 1 ELSE 0 END"))
+        .cast("long").alias("bb"),
+        F.sum(F.expr("CASE WHEN black = 0 AND black2 = 0 THEN 1 ELSE 0 END"))
+        .cast("long").alias("ww"),
+        F.sum(F.expr("CASE WHEN black <> black2 THEN 1 ELSE 0 END"))
+        .cast("long").alias("bw"),
+    ).collect()[0]
+    p = s.nb * 1.0 / s.k
+    rows = [
+        ("BB", int(obs.bb), obs.j * p * p),
+        ("BW", int(obs.bw), obs.j * 2.0 * p * (1.0 - p)),
+        ("WW", int(obs.ww), obs.j * (1.0 - p) * (1.0 - p)),
+    ]
+    import math as _math
+
+    out = [
+        (
+            jt, n,
+            int(_math.floor(e * 100.0 + 0.5)),
+            n * 1000000 // int(obs.j),
+        )
+        for jt, n, e in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "join_type STRING, n_obs BIGINT, expected_x100 BIGINT,"
+        " share_ppm BIGINT",
+    ).orderBy("join_type")
+
+
+# ---------------------------------------------------------------------------
+# recurrence quantification of the daily series
+# ---------------------------------------------------------------------------
+
+_RQ_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    idx AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, c FROM daily),
+    eps AS (
+      SELECT (MAX(c) - MIN(c)) // 10 AS e FROM idx),
+    rec AS (
+      SELECT a.i AS ia, b.i AS ib
+      FROM idx a JOIN idx b ON b.i > a.i
+      WHERE ABS(a.c - b.c) <= (SELECT e FROM eps)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM idx),
+    diag AS (
+      SELECT r.ia, r.ib,
+             CASE WHEN EXISTS (SELECT 1 FROM rec r2
+                               WHERE r2.ia = r.ia + 1
+                                 AND r2.ib = r.ib + 1)
+                    OR EXISTS (SELECT 1 FROM rec r3
+                               WHERE r3.ia = r.ia - 1
+                                 AND r3.ib = r.ib - 1)
+                  THEN 1 ELSE 0 END AS on_diag
+      FROM rec r)
+    SELECT n.m AS n_days,
+           (SELECT CAST(e AS BIGINT) FROM eps) AS eps_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_recurrent,
+           CAST(COUNT(*) * 2 * 1000000 // (n.m * (n.m - 1)) AS BIGINT)
+             AS recurrence_ppm,
+           CAST(SUM(on_diag) * 1000000 // COUNT(*) AS BIGINT)
+             AS determinism_ppm
+    FROM diag CROSS JOIN n GROUP BY n.m
+    """
+
+
+@q("recurrence_quantification", oracle=_RQ_SQL)
+def recurrence_quantification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurrence quantification analysis of the daily value series:
+    recurrence rate (share of day pairs whose values land within
+    eps = range/10 of each other) and determinism (share of recurrent
+    pairs lying on a diagonal of length >= 2 — i.e. the NEXT day pair
+    recurs too), the two headline RQA metrics (Webber & Zbilut):
+    deterministic dynamics light up diagonals, noise scatters points.
+    The phase-space cousin of ``permutation_entropy_daily``.
+
+    Exactness: eps is an exact integer range division; recurrence is
+    integer |difference| <= eps; diagonal membership is an exact
+    semi-join on shifted index pairs; both rates are integer ppm.
+
+    Scale shape: the pair join runs on the CALENDAR-BOUNDED daily
+    relation (n days -> n^2/2 pairs of 16-byte rows — at 10 years
+    that is ~6.7M pairs, trivially partitioned); raw events reduce
+    first in one day-keyed agg.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "c"
+    ).localCheckpoint()
+    row = idx.agg(
+        F.expr("(MAX(c) - MIN(c)) div 10").alias("e"),
+        F.count("*").alias("m"),
+    ).collect()[0]
+    eps, m = int(row.e), int(row.m)
+    b = idx.select(F.col("i").alias("ib"), F.col("c").alias("cb"))
+    rec = (
+        idx.join(b, F.col("ib") > F.col("i"))
+        .where(F.abs(F.col("c") - F.col("cb")) <= eps)
+        .select(F.col("i").alias("ia"), "ib")
+        .localCheckpoint()
+    )
+    nxt = rec.select(
+        (F.col("ia") - 1).alias("pa"), (F.col("ib") - 1).alias("pb")
+    ).distinct()
+    prv = rec.select(
+        (F.col("ia") + 1).alias("qa"), (F.col("ib") + 1).alias("qb")
+    ).distinct()
+    diag = (
+        rec.join(
+            nxt, (F.col("ia") == F.col("pa")) & (F.col("ib") == F.col("pb")),
+            "left",
+        )
+        .join(
+            prv, (F.col("ia") == F.col("qa")) & (F.col("ib") == F.col("qb")),
+            "left",
+        )
+        .select(
+            F.when(
+                F.col("pa").isNotNull() | F.col("qa").isNotNull(), 1
+            ).otherwise(0).alias("on_diag")
+        )
+    )
+    return diag.agg(
+        F.lit(m).cast("long").alias("n_days"),
+        F.lit(eps).cast("long").alias("eps_cents"),
+        F.count("*").cast("long").alias("n_recurrent"),
+        F.expr(
+            f"CAST(COUNT(*) * 2 * 1000000 div ({m} * ({m} - 1)) AS BIGINT)"
+        ).alias("recurrence_ppm"),
+        F.expr(
+            "CAST(SUM(on_diag) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("determinism_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_PB_SQL = """
+    WITH ev AS (
+      SELECT user_id, event_type AS et,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_id
+      FROM events),
+    seq AS (
+      SELECT user_id, et,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY es, event_id) AS rn
+      FROM ev),
+    ua AS (
+      SELECT user_id,
+             MIN(CASE WHEN et = 'purchase' THEN rn END) AS pr
+      FROM seq GROUP BY user_id),
+    touch AS (
+      SELECT s.user_id, s.et, s.rn, a.pr - 1 AS len
+      FROM seq s JOIN ua a USING (user_id)
+      WHERE a.pr IS NOT NULL AND s.rn < a.pr),
+    credit AS (
+      SELECT et, user_id,
+             CASE WHEN len = 1 THEN 1000000
+                  WHEN len = 2 THEN 500000
+                  WHEN rn = 1 THEN 400000
+                  WHEN rn = len THEN 400000
+                  ELSE 200000 // (len - 2) END AS w
+      FROM touch)
+    SELECT et AS channel,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_journeys,
+           CAST(SUM(w) AS BIGINT) AS credit_micro,
+           CAST(SUM(w) * 1000000 // (SELECT SUM(w) FROM credit)
+                AS BIGINT) AS credit_share_ppm
+    FROM credit GROUP BY et ORDER BY et
+    """
+
+
+@q("position_based_attribution", oracle=_PB_SQL)
+def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: within each
+    converting journey (events before the first purchase), 40% credit
+    to the first touch, 40% to the last, 20% split evenly across the
+    middle (whole journey to a single touch; 50/50 for two). The
+    rules-based industry standard that completes the attribution
+    family's three-way comparison — ``shapley_attribution`` (game
+    theory), ``markov_removal_attribution`` (path model), and this
+    (position heuristic) now answer the same question on the same
+    journeys.
+
+    Exactness: credits are exact micro integers (the middle split
+    truncates via div — documented; totals normalize at the end), so
+    shares are exact integer ppm.
+
+    Scale shape: journeys reduce via ONE user-keyed window pass; the
+    credit rollup is a channel-keyed partial agg; the normalizing
+    total is a scalar re-aggregation of the credit relation.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("et"), "event_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    seq = ev.select("user_id", "et", F.row_number().over(w).alias("rn"))
+    ua = seq.groupBy("user_id").agg(
+        F.min(F.when(F.col("et") == "purchase", F.col("rn"))).alias("pr")
+    )
+    touch = (
+        seq.join(ua, "user_id")
+        .where(F.col("pr").isNotNull() & (F.col("rn") < F.col("pr")))
+        .select(
+            "user_id", "et", "rn", (F.col("pr") - 1).alias("len")
+        )
+    )
+    credit = touch.select(
+        "et", "user_id",
+        F.expr(
+            "CASE WHEN len = 1 THEN 1000000"
+            " WHEN len = 2 THEN 500000"
+            " WHEN rn = 1 THEN 400000"
+            " WHEN rn = len THEN 400000"
+            " ELSE 200000 div (len - 2) END"
+        ).alias("w"),
+    ).localCheckpoint()
+    tot = credit.agg(F.sum("w").alias("tw")).collect()[0]["tw"]
+    return (
+        credit.groupBy(F.col("et").alias("channel"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_journeys"),
+            F.sum("w").cast("long").alias("credit_micro"),
+        )
+        .select(
+            "channel", "n_journeys", "credit_micro",
+            F.expr(
+                f"CAST(credit_micro * 1000000 div {int(tot)} AS BIGINT)"
+            ).alias("credit_share_ppm"),
+        )
+        .orderBy("channel")
+    )

@@ -1937,3 +1937,141 @@ def test_eb_shrinkage_matches_pure_python(spark):
     for _, r in got.iterrows():
         lo, hi = min(r.raw_ppm, pool_ppm), max(r.raw_ppm, pool_ppm)
         assert lo - 1 <= r.shrunk_ppm <= hi + 1
+
+
+# ---------------------------------------------------------------------------
+# join counts
+# ---------------------------------------------------------------------------
+
+
+def test_join_counts_matches_pure_python(spark):
+    import math
+    from collections import defaultdict
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "event_id",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END conv",
+        )
+        .toPandas()
+    )
+    cells = defaultdict(lambda: [0, 0])
+    for _, r in ev.iterrows():
+        i = r.event_id
+        cx = int(((i % 787) * 889.45 + 17.3) // 43750)
+        cy = int(((int(i / 13.0) % 787) * 889.45 + 11.7) // 43750)
+        cells[(cx, cy)][0] += 1
+        cells[(cx, cy)][1] += r.conv
+    nt = sum(n for n, _ in cells.values())
+    xt = sum(x for _, x in cells.values())
+    p_ppm = xt * 1000000 // nt
+    black = {
+        k: 1 if x * 1000000 > n * p_ppm else 0
+        for k, (n, x) in cells.items()
+    }
+    bb = ww = bw = j = 0
+    for (cx, cy), ba in black.items():
+        for nb in ((cx + 1, cy), (cx, cy + 1)):
+            if nb not in black:
+                continue
+            j += 1
+            bbv = black[nb]
+            if ba and bbv:
+                bb += 1
+            elif not ba and not bbv:
+                ww += 1
+            else:
+                bw += 1
+    k = len(black)
+    nbk = sum(black.values())
+    p = nbk / k
+    exp = {
+        "BB": j * p * p, "BW": j * 2 * p * (1 - p),
+        "WW": j * (1 - p) * (1 - p),
+    }
+    n_obs = {"BB": bb, "BW": bw, "WW": ww}
+    got = QUERIES["join_count_statistics"](spark, SF_CORRECT).toPandas()
+    assert len(got) == 3
+    for _, r in got.iterrows():
+        assert r.n_obs == n_obs[r.join_type]
+        assert r.expected_x100 == math.floor(exp[r.join_type] * 100 + 0.5)
+        assert r.share_ppm == n_obs[r.join_type] * 1000000 // j
+    assert got.n_obs.sum() == j
+
+
+# ---------------------------------------------------------------------------
+# RQA
+# ---------------------------------------------------------------------------
+
+
+def test_rqa_matches_pure_python(spark):
+    daily = _daily_cents(spark)
+    xs = [int(v) for v in daily]
+    m = len(xs)
+    eps = (max(xs) - min(xs)) // 10
+    rec = set()
+    for i in range(m):
+        for jj in range(i + 1, m):
+            if abs(xs[i] - xs[jj]) <= eps:
+                rec.add((i + 1, jj + 1))
+    diag = sum(
+        1 for (a, b) in rec
+        if (a + 1, b + 1) in rec or (a - 1, b - 1) in rec
+    )
+    got = (
+        QUERIES["recurrence_quantification"](spark, SF_CORRECT)
+        .toPandas().iloc[0]
+    )
+    assert (got.n_days, got.eps_cents, got.n_recurrent) == (m, eps, len(rec))
+    assert got.recurrence_ppm == len(rec) * 2 * 1000000 // (m * (m - 1))
+    assert got.determinism_ppm == diag * 1000000 // len(rec)
+
+
+# ---------------------------------------------------------------------------
+# position-based attribution
+# ---------------------------------------------------------------------------
+
+
+def test_position_attribution_matches_pure_python(spark):
+    from collections import defaultdict
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id", "event_type et", "event_id",
+            "CAST(unix_timestamp(ts) AS BIGINT) es",
+        )
+        .toPandas()
+        .sort_values(["user_id", "es", "event_id"])
+    )
+    credit = defaultdict(int)
+    users = defaultdict(set)
+    total = 0
+    for uid, g in ev.groupby("user_id"):
+        ets = list(g.et)
+        if "purchase" not in ets:
+            continue
+        pr = ets.index("purchase")
+        journey = ets[:pr]
+        L = len(journey)
+        for pos, ch in enumerate(journey, start=1):
+            if L == 1:
+                w = 1000000
+            elif L == 2:
+                w = 500000
+            elif pos == 1 or pos == L:
+                w = 400000
+            else:
+                w = 200000 // (L - 2)
+            credit[ch] += w
+            users[ch].add(uid)
+            total += w
+    got = QUERIES["position_based_attribution"](spark, SF_CORRECT).toPandas()
+    assert sorted(got.channel) == sorted(credit)
+    for _, r in got.iterrows():
+        assert r.n_journeys == len(users[r.channel])
+        assert r.credit_micro == credit[r.channel]
+        assert r.credit_share_ppm == credit[r.channel] * 1000000 // total
+    # shares form a full distribution (truncation slack < 1 ppm/channel)
+    assert 1000000 - len(got) <= got.credit_share_ppm.sum() <= 1000000

@@ -5162,3 +5162,278 @@ def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# secretary-rule (1/e optimal stopping) evaluation on logged sequences
+# ---------------------------------------------------------------------------
+
+def _sec_sql() -> str:
+    return """
+    WITH ev AS (
+      SELECT user_id, CAST(FLOOR(value * 100e0) AS BIGINT) AS cents,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_id
+      FROM events),
+    seq AS (
+      SELECT user_id, cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY es, event_id) AS rn
+      FROM ev),
+    ua AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) * 37 // 100 AS BIGINT) AS k,
+             MAX(cents) AS best_all
+      FROM seq GROUP BY user_id),
+    skipmax AS (
+      SELECT s.user_id,
+             COALESCE(MAX(CASE WHEN s.rn <= u.k THEN s.cents END), -1)
+               AS best_skip
+      FROM seq s JOIN ua u USING (user_id) GROUP BY s.user_id),
+    pick AS (
+      SELECT s.user_id,
+             MIN(CASE WHEN s.rn > u.k AND s.cents > m.best_skip
+                      THEN s.rn END) AS pick_rn
+      FROM seq s JOIN ua u USING (user_id)
+                 JOIN skipmax m USING (user_id)
+      GROUP BY s.user_id),
+    res AS (
+      SELECT u.user_id, u.n, u.best_all,
+             COALESCE(p.pick_rn, u.n) AS chosen_rn,
+             CASE WHEN p.pick_rn IS NULL THEN 1 ELSE 0 END AS forced,
+             MAX(CASE WHEN s.rn = COALESCE(p.pick_rn, u.n)
+                      THEN s.cents END) AS chosen_cents
+      FROM ua u JOIN pick p USING (user_id) JOIN seq s USING (user_id)
+      GROUP BY u.user_id, u.n, u.best_all, p.pick_rn),
+    base AS (
+      SELECT s.user_id,
+             CAST(SUM(CASE WHEN s.cents = u.best_all THEN 1 ELSE 0 END)
+                  * 1000000 // MAX(u.n) AS BIGINT) AS p_rand_ppm
+      FROM seq s JOIN ua u USING (user_id) GROUP BY s.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN r.chosen_cents = r.best_all
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+           CAST(SUM(CASE WHEN r.chosen_cents = r.best_all
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS success_ppm,
+           CAST(SUM(r.forced) AS BIGINT) AS n_forced_last,
+           CAST(SUM(b.p_rand_ppm) // COUNT(*) AS BIGINT)
+             AS random_baseline_ppm
+    FROM res r JOIN base b USING (user_id)
+    """
+
+
+@q("secretary_rule_eval", oracle=_sec_sql())
+def secretary_rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal-stopping (secretary / 1/e rule) evaluation on each
+    user's logged value sequence: skip the first floor(0.37 n) events,
+    then accept the first value strictly beating the skipped best
+    (forced to the last event otherwise) — and score how often that
+    picks the sequence's true maximum, against the 1/n random
+    baseline. The classic online-decision benchmark (theory: ~37%
+    success for distinct values); the shape every accept/reject-
+    without-recall policy (cache admission, bid acceptance) is
+    evaluated in.
+
+    Exactness: everything is integer comparisons and counts; ties
+    never count as "better" (strict >), so the rule is deterministic;
+    the baseline is the exact per-user share of maximum-valued events.
+
+    Scale shape: ONE user-keyed window pass builds ranks; the skip
+    max, the pick, and the scoring are user-keyed partial aggs over
+    that relation — no cross-user operation until the final scalar
+    rollup.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)").alias("cents"),
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    seq = ev.select(
+        "user_id", "cents", F.row_number().over(w).alias("rn")
+    ).localCheckpoint()
+    ua = seq.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("CAST(COUNT(*) * 37 div 100 AS BIGINT)").alias("k"),
+        F.max("cents").alias("best_all"),
+    )
+    skipmax = (
+        seq.join(ua, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rn") <= F.col("k"), F.col("cents"))),
+                F.lit(-1),
+            ).alias("best_skip")
+        )
+    )
+    pick = (
+        seq.join(ua, "user_id").join(skipmax, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("rn") > F.col("k"))
+                    & (F.col("cents") > F.col("best_skip")),
+                    F.col("rn"),
+                )
+            ).alias("pick_rn")
+        )
+    )
+    res = (
+        ua.join(pick, "user_id").join(seq, "user_id")
+        .groupBy("user_id", "n", "best_all", "pick_rn")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.coalesce("pick_rn", "n"),
+                    F.col("cents"),
+                )
+            ).alias("chosen_cents")
+        )
+        .select(
+            "user_id", "best_all", "chosen_cents",
+            F.when(F.col("pick_rn").isNull(), 1).otherwise(0)
+            .alias("forced"),
+        )
+    )
+    base = (
+        seq.join(ua, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN cents = best_all THEN 1 ELSE 0 END)"
+                " * 1000000 div MAX(n) AS BIGINT)"
+            ).alias("p_rand_ppm")
+        )
+    )
+    return res.join(base, "user_id").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(
+            F.when(F.col("chosen_cents") == F.col("best_all"), 1).otherwise(0)
+        ).cast("long").alias("n_success"),
+        F.expr(
+            "CAST(SUM(CASE WHEN chosen_cents = best_all THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("success_ppm"),
+        F.sum("forced").cast("long").alias("n_forced_last"),
+        F.expr(
+            "CAST(SUM(p_rand_ppm) div COUNT(*) AS BIGINT)"
+        ).alias("random_baseline_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# peak concurrency (max overlapping service intervals)
+# ---------------------------------------------------------------------------
+
+_PC_DUR = 240  # service interval [es, es+240)
+
+_PC_SQL = f"""
+    WITH ev AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) + {_PC_DUR} AS e
+      FROM events),
+    base AS (
+      SELECT (s + {_PC_DUR}) // 3600 AS hr, CAST(COUNT(*) AS BIGINT) AS b
+      FROM ev WHERE s // 3600 <> (s + {_PC_DUR} - 1) // 3600
+      GROUP BY hr),
+    bounds AS (
+      SELECT s // 3600 AS hr, s AS tt, 1 AS delta FROM ev
+      UNION ALL
+      SELECT e // 3600 AS hr, e AS tt, -1 AS delta FROM ev
+      WHERE e % 3600 <> 0),
+    sweep AS (
+      SELECT hr,
+             SUM(delta) OVER (PARTITION BY hr
+                              ORDER BY tt, delta
+                              ROWS UNBOUNDED PRECEDING) AS run
+      FROM bounds),
+    hpk AS (
+      SELECT s.hr, CAST(MAX(s.run) AS BIGINT) AS peak_in_hour,
+             CAST(COALESCE(MAX(b.b), 0) AS BIGINT) AS carried_in
+      FROM sweep s LEFT JOIN base b ON s.hr = b.hr
+      GROUP BY s.hr)
+    SELECT hr AS hour, carried_in,
+           peak_in_hour + carried_in AS peak_concurrency
+    FROM hpk
+    ORDER BY peak_concurrency DESC, hr LIMIT 5
+    """
+
+
+@q("peak_concurrency", oracle=_PC_SQL)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency: the maximum number of simultaneously active
+    {_PC_DUR}s service intervals, per hour, top-5 hours — the
+    provisioning number (max sessions in flight) that
+    ``interval_union_coverage`` (busy time) and ``erlang_c_staffing``
+    (steady-state model) don't give. Computed as the classic +1/-1
+    boundary sweep, DECOMPOSED per hour: intervals crossing an hour
+    boundary contribute a carried-in base count to the next hour
+    (each interval crosses at most one boundary since {_PC_DUR} <
+    3600), so the running-sum window is HOUR-keyed, never global.
+
+    Exactness: integer second boundaries; ties at the same timestamp
+    order ends (-1) before starts (+1) — the half-open [s, e)
+    convention — identically on both engines; a carried interval's end
+    fires as a -1 INSIDE its hour (so the carried base decays
+    correctly), and ends landing exactly on an hour boundary are
+    dropped (the interval was never active in that hour); peaks and
+    carries are exact integers.
+
+    Scale shape: the boundary relation is 2 rows/event reduced by an
+    hour-keyed window (bounded rows per hour at any scale by the
+    arrival rate; a minute-keyed refinement with the same carry trick
+    is the documented 100x dial); the carry base is ONE arithmetic-key
+    partial agg.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("s"),
+        F.expr(
+            f"CAST(unix_timestamp(ts) AS BIGINT) + {_PC_DUR}"
+        ).alias("e"),
+    )
+    base = (
+        ev.where(
+            F.expr(f"s div 3600 <> (s + {_PC_DUR} - 1) div 3600")
+        )
+        .groupBy(F.expr(f"(s + {_PC_DUR}) div 3600").alias("hr"))
+        .agg(F.count("*").cast("long").alias("b"))
+    )
+    starts = ev.select(
+        F.expr("s div 3600").alias("hr"), F.col("s").alias("tt"),
+        F.lit(1).alias("delta"),
+    )
+    ends = ev.where(
+        F.expr("e % 3600 <> 0")
+    ).select(
+        F.expr("e div 3600").alias("hr"), F.col("e").alias("tt"),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = starts.unionAll(ends)
+    w = (
+        Window.partitionBy("hr")
+        .orderBy("tt", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = bounds.select("hr", F.sum("delta").over(w).alias("run"))
+    hpk = (
+        sweep.groupBy("hr")
+        .agg(F.max("run").cast("long").alias("peak_in_hour"))
+        .join(F.broadcast(base), "hr", "left")
+        .select(
+            "hr",
+            F.coalesce("b", F.lit(0)).cast("long").alias("carried_in"),
+            "peak_in_hour",
+        )
+    )
+    return (
+        hpk.select(
+            F.col("hr").alias("hour"), "carried_in",
+            (F.col("peak_in_hour") + F.col("carried_in"))
+            .alias("peak_concurrency"),
+        )
+        .orderBy(F.desc("peak_concurrency"), "hour")
+        .limit(5)
+    )

@@ -2075,3 +2075,88 @@ def test_position_attribution_matches_pure_python(spark):
         assert r.credit_share_ppm == credit[r.channel] * 1000000 // total
     # shares form a full distribution (truncation slack < 1 ppm/channel)
     assert 1000000 - len(got) <= got.credit_share_ppm.sum() <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# secretary rule
+# ---------------------------------------------------------------------------
+
+
+def test_secretary_rule_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id", "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+            "CAST(unix_timestamp(ts) AS BIGINT) es", "event_id",
+        )
+        .toPandas()
+        .sort_values(["user_id", "es", "event_id"])
+    )
+    succ = forced = users = 0
+    base_sum = 0
+    for _, g in ev.groupby("user_id"):
+        vals = [int(v) for v in g.cents]
+        n = len(vals)
+        k = n * 37 // 100
+        best_skip = max(vals[:k]) if k else -1
+        pick = next(
+            (i for i in range(k, n) if vals[i] > best_skip), None
+        )
+        if pick is None:
+            pick = n - 1
+            forced += 1
+        if vals[pick] == max(vals):
+            succ += 1
+        users += 1
+        base_sum += vals.count(max(vals)) * 1000000 // n
+    got = (
+        QUERIES["secretary_rule_eval"](spark, SF_CORRECT).toPandas().iloc[0]
+    )
+    assert got.n_users == users
+    assert got.n_success == succ
+    assert got.success_ppm == succ * 1000000 // users
+    assert got.n_forced_last == forced
+    assert got.random_baseline_ppm == base_sum // users
+    # the rule must beat random selection on these long sequences
+    assert got.success_ppm > got.random_baseline_ppm
+
+
+# ---------------------------------------------------------------------------
+# peak concurrency
+# ---------------------------------------------------------------------------
+
+
+def test_peak_concurrency_matches_bruteforce_sweep(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr("CAST(unix_timestamp(ts) AS BIGINT) s")
+        .toPandas()
+    )
+    bounds = []
+    for s in ev.s:
+        bounds.append((int(s), 1))
+        bounds.append((int(s) + 240, -1))
+    bounds.sort(key=lambda b: (b[0], b[1]))  # ends before starts at ties
+    run = 0
+    per_hour = {}
+    for tt, d in bounds:
+        run += d
+        h = tt // 3600 if d == 1 else (tt - 1) // 3600
+        # track the max ACTIVE count; attribute a start's new level to
+        # its own hour, an end's level to the hour the interval was
+        # still active in
+        per_hour[h] = max(per_hour.get(h, 0), run)
+    got = QUERIES["peak_concurrency"](spark, SF_CORRECT).toPandas()
+    # global invariant: the top hour's peak equals the global sweep max
+    global_max = 0
+    run = 0
+    for tt, d in bounds:
+        run += d
+        global_max = max(global_max, run)
+    assert got.iloc[0].peak_concurrency == global_max
+    # every reported hour's peak equals the brute-force per-hour max
+    for _, r in got.iterrows():
+        assert r.peak_concurrency == per_hour[r.hour]
+    # ordering: descending peaks, ties by hour
+    pcs = list(got.peak_concurrency)
+    assert pcs == sorted(pcs, reverse=True)

@@ -5437,3 +5437,148 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("peak_concurrency"), "hour")
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# hub-removal robustness of the document link graph
+# ---------------------------------------------------------------------------
+
+_HR_KS = (0, 2, 4)
+
+
+def _hr_variant_sql(k: int) -> str:
+    # nodes/edges of the graph with the top-k hubs (degree desc, id asc)
+    # removed; reachability closure -> component sizes
+    return f"""
+      SELECT {k} AS k_removed,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes{k}) AS n_nodes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e{k}) AS n_edges,
+             CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_components,
+             CAST(MAX(csz) * 1000000
+                  // (SELECT COUNT(*) FROM nodes{k}) AS BIGINT)
+               AS largest_cc_ppm
+      FROM (SELECT comp, CAST(COUNT(*) AS BIGINT) AS csz
+            FROM lab{k} GROUP BY comp)"""
+
+
+def _hr_sql() -> str:
+    parts = []
+    for k in _HR_KS:
+        parts.append(f"""
+    hubs{k} AS (SELECT n FROM deg ORDER BY d DESC, n LIMIT {k}),
+    nodes{k} AS (SELECT n FROM deg WHERE n NOT IN (SELECT n FROM hubs{k})),
+    e{k} AS (SELECT a, b FROM e
+             WHERE a NOT IN (SELECT n FROM hubs{k})
+               AND b NOT IN (SELECT n FROM hubs{k})),
+    und{k} AS (SELECT a AS s, b AS t FROM e{k}
+               UNION SELECT b, a FROM e{k}),
+    reach{k}(id, r) AS (
+      SELECT n, n FROM nodes{k}
+      UNION
+      SELECT rr.id, u.t FROM reach{k} rr JOIN und{k} u ON u.s = rr.r),
+    lab{k} AS (SELECT id, MIN(r) AS comp FROM reach{k} GROUP BY id)""")
+    chain = ",".join(parts)
+    union = " UNION ALL ".join(_hr_variant_sql(k) for k in _HR_KS)
+    return f"""
+    WITH RECURSIVE raw AS (
+      SELECT doc_id % {_RC_N} AS u,
+             ((doc_id // {_RC_N}) * 2311 + doc_id * 7919 + 13) % {_RC_N} AS v
+      FROM documents),
+    e AS (
+      SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+      FROM raw WHERE u <> v),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+      GROUP BY n),
+    {chain}
+    SELECT * FROM ({union}) ORDER BY k_removed
+    """
+
+
+@q("hub_removal_robustness", oracle=_hr_sql())
+def hub_removal_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-attack robustness of the document link graph: remove
+    the top-k hubs (k = {_HR_KS}, degree-ranked, ties to the smaller
+    id) and report how the component structure degrades — component
+    count and the largest component's share of surviving nodes. The
+    scale-free-network fragility curve (Albert, Jeong & Barabasi
+    2000): hub-dense graphs shatter under targeted removal long before
+    random failure hurts — the capacity-planning argument for
+    replicating hub shards. Components come from the SAME distributed
+    min-contraction engine as ``dedup_clusters``
+    (text/dedup.connected_components); the oracle recomputes each
+    variant's transitive closure with a recursive CTE, proving the
+    iterative algorithm converged on every variant.
+
+    Exactness: degrees, hub selection, component labels and shares are
+    all integer-exact.
+
+    Scale shape: the hub set is a top-k (broadcast); each variant's CC
+    run is the O(log diameter) min-contraction over the filtered edge
+    relation; the node space is fixed by the graph derivation, not the
+    corpus, so variant count x CC cost is bounded.
+    """
+    from osmgraft.text.dedup import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.expr(f"doc_id % {_RC_N}").alias("u"),
+        F.expr(
+            f"((doc_id div {_RC_N}) * 2311 + doc_id * 7919 + 13) % {_RC_N}"
+        ).alias("v"),
+    )
+    e = (
+        raw.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+        .localCheckpoint()
+    )
+    rows = []
+    for k in _HR_KS:
+        hubs = {
+            r.n for r in deg.orderBy(F.desc("d"), "n").limit(k).collect()
+        }
+        nodes = deg.where(~F.col("n").isin(hubs)) if hubs else deg
+        ek = (
+            e.where(
+                ~F.col("a").isin(hubs) & ~F.col("b").isin(hubs)
+            )
+            if hubs else e
+        )
+        n_nodes = nodes.count()
+        n_edges = ek.count()
+        comp = connected_components(
+            ek.select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        )
+        # isolated nodes (degree > 0 pre-removal, all edges removed)
+        # keep their own label
+        iso = nodes.join(
+            comp.select(F.col("doc_id").alias("n")), "n", "left_anti"
+        ).select(F.col("n").alias("doc_id"), F.col("n").alias("cluster_id"))
+        allc = comp.select("doc_id", "cluster_id").unionAll(iso)
+        sizes = allc.groupBy("cluster_id").agg(F.count("*").alias("csz"))
+        agg = sizes.agg(
+            F.count("*").cast("long").alias("n_components"),
+            F.max("csz").cast("long").alias("mx"),
+        ).collect()[0]
+        rows.append(
+            (
+                k, n_nodes, n_edges, int(agg.n_components),
+                int(agg.mx) * 1000000 // n_nodes,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "k_removed INT, n_nodes BIGINT, n_edges BIGINT,"
+        " n_components BIGINT, largest_cc_ppm BIGINT",
+    ).orderBy("k_removed")

@@ -2160,3 +2160,60 @@ def test_peak_concurrency_matches_bruteforce_sweep(spark):
     # ordering: descending peaks, ties by hour
     pcs = list(got.peak_concurrency)
     assert pcs == sorted(pcs, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# hub removal robustness
+# ---------------------------------------------------------------------------
+
+
+def test_hub_removal_matches_pure_python(spark):
+    from collections import Counter
+
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id").collect()
+    ]
+    edges = set()
+    for i in ids:
+        u = i % 61
+        v = ((i // 61) * 2311 + i * 7919 + 13) % 61
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    got = QUERIES["hub_removal_robustness"](spark, SF_CORRECT).toPandas()
+    assert list(got.k_removed) == [0, 2, 4]
+    prev_share = None
+    for _, r in got.iterrows():
+        hubs = set(
+            n for n, _ in sorted(
+                deg.items(), key=lambda kv: (-kv[1], kv[0])
+            )[: r.k_removed]
+        )
+        nodes = [n for n in deg if n not in hubs]
+        ek = [(a, b) for a, b in edges if a not in hubs and b not in hubs]
+        # union-find
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in ek:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps = Counter(find(n) for n in nodes)
+        assert r.n_nodes == len(nodes)
+        assert r.n_edges == len(ek)
+        assert r.n_components == len(comps)
+        assert r.largest_cc_ppm == max(comps.values()) * 1000000 // len(nodes)
+        prev_share = r.largest_cc_ppm
+    # removing hubs cannot grow the giant component's share above k=0's
+    assert got.iloc[-1].largest_cc_ppm <= got.iloc[0].largest_cc_ppm + 1

@@ -5582,3 +5582,361 @@ def hub_removal_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_removed INT, n_nodes BIGINT, n_edges BIGINT,"
         " n_components BIGINT, largest_cc_ppm BIGINT",
     ).orderBy("k_removed")
+
+
+# ---------------------------------------------------------------------------
+# W-pattern detection (MATCH_RECOGNIZE emulation via run-length encoding)
+# ---------------------------------------------------------------------------
+
+_WP_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    delta AS (
+      SELECT d, c - LAG(c) OVER (ORDER BY d) AS dv
+      FROM daily),
+    sgn AS (
+      SELECT d, dv, CASE WHEN dv > 0 THEN 1 ELSE -1 END AS s
+      FROM delta WHERE dv IS NOT NULL AND dv <> 0),
+    brk AS (
+      SELECT d, dv, s,
+             CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                    OR LAG(s) OVER (ORDER BY d) <> s
+                  THEN 1 ELSE 0 END AS nb
+      FROM sgn),
+    grp AS (
+      SELECT d, dv, s,
+             SUM(nb) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM brk),
+    runs AS (
+      SELECT run_id, MAX(s) AS s,
+             MIN(d) AS start_d, MAX(d) AS end_d,
+             CAST(SUM(dv) AS BIGINT) AS move
+      FROM grp GROUP BY run_id),
+    w AS (
+      SELECT r1.start_d AS start_day,
+             LEAD(r1.end_d, 3) OVER (ORDER BY r1.run_id) AS end_day,
+             r1.s AS s1,
+             LEAD(r1.s, 1) OVER (ORDER BY r1.run_id) AS s2,
+             LEAD(r1.s, 2) OVER (ORDER BY r1.run_id) AS s3,
+             LEAD(r1.s, 3) OVER (ORDER BY r1.run_id) AS s4,
+             r1.move AS m1,
+             LEAD(r1.move, 1) OVER (ORDER BY r1.run_id) AS m2,
+             LEAD(r1.move, 2) OVER (ORDER BY r1.run_id) AS m3,
+             LEAD(r1.move, 3) OVER (ORDER BY r1.run_id) AS m4
+      FROM runs r1)
+    SELECT start_day, end_day,
+           CAST(LEAST(-m1, -m3) AS BIGINT) AS min_drop_cents,
+           CAST(m2 + m4 AS BIGINT) AS total_rise_cents
+    FROM w
+    WHERE s1 = -1 AND s2 = 1 AND s3 = -1 AND s4 = 1
+    ORDER BY start_day
+    """
+
+
+@q("w_pattern_detect", oracle=_WP_SQL)
+def w_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching — the SQL:2016 MATCH_RECOGNIZE
+    ``PATTERN (DOWN+ UP+ DOWN+ UP+)`` ("W" double-bottom) — emulated
+    with the standard Spark rewrite, since Spark SQL lacks
+    MATCH_RECOGNIZE: (1) sign the daily deltas, (2) RUN-LENGTH encode
+    via a change-flag cumulative sum (the gaps-and-islands idiom),
+    (3) slide a 4-run window over the run relation and filter the
+    -,+,-,+ signature. Emits each match's span, the shallower of its
+    two drops, and the combined recovery — the variable-length
+    pattern that naive per-row LAG chains cannot express.
+
+    Exactness: deltas, signs, run aggregates and match attributes are
+    all exact integers; zero deltas are excluded from runs (the
+    classic strict-pattern convention).
+
+    Scale shape: ONE day-keyed partial agg; signing, run encoding and
+    the 4-run LEAD window all run on the calendar-bounded daily / run
+    relations.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    )
+    w = Window.orderBy("d")
+    delta = daily.select(
+        "d", (F.col("c") - F.lag("c").over(w)).alias("dv")
+    ).where(F.col("dv").isNotNull() & (F.col("dv") != 0))
+    sgn = delta.select(
+        "d", "dv",
+        F.when(F.col("dv") > 0, 1).otherwise(-1).alias("s"),
+    )
+    brk = sgn.select(
+        "d", "dv", "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        ).otherwise(0).alias("nb"),
+    )
+    grp = brk.select(
+        "d", "dv", "s",
+        F.sum("nb").over(
+            Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("run_id"),
+    )
+    runs = grp.groupBy("run_id").agg(
+        F.max("s").alias("s"),
+        F.min("d").alias("start_d"),
+        F.max("d").alias("end_d"),
+        F.sum("dv").cast("long").alias("move"),
+    )
+    wr = Window.orderBy("run_id")
+    ww = runs.select(
+        F.col("start_d").alias("start_day"),
+        F.lead("end_d", 3).over(wr).alias("end_day"),
+        F.col("s").alias("s1"),
+        F.lead("s", 1).over(wr).alias("s2"),
+        F.lead("s", 2).over(wr).alias("s3"),
+        F.lead("s", 3).over(wr).alias("s4"),
+        F.col("move").alias("m1"),
+        F.lead("move", 1).over(wr).alias("m2"),
+        F.lead("move", 2).over(wr).alias("m3"),
+        F.lead("move", 3).over(wr).alias("m4"),
+    )
+    return (
+        ww.where(
+            (F.col("s1") == -1) & (F.col("s2") == 1)
+            & (F.col("s3") == -1) & (F.col("s4") == 1)
+        )
+        .select(
+            "start_day", "end_day",
+            F.least(-F.col("m1"), -F.col("m3")).cast("long")
+            .alias("min_drop_cents"),
+            (F.col("m2") + F.col("m4")).cast("long")
+            .alias("total_rise_cents"),
+        )
+        .orderBy("start_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# newsvendor stocking decision
+# ---------------------------------------------------------------------------
+
+_NV_CU = 300  # underage cost, cents per unit short
+_NV_CO = 100  # overage cost, cents per unit over
+
+_NV_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS dem
+      FROM events GROUP BY d),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dem) AS BIGINT) AS sd FROM daily),
+    rk AS (SELECT dem, ROW_NUMBER() OVER (ORDER BY dem, d) AS r
+           FROM daily),
+    qs AS (
+      SELECT MIN(dem) AS q FROM rk, n
+      WHERE r * ({_NV_CU} + {_NV_CO}) >= n.n * {_NV_CU}),
+    qm AS (SELECT sd // n AS q FROM n),
+    cost AS (
+      SELECT 'critical_ratio' AS policy, qs.q AS stock,
+             CAST(SUM(GREATEST(dem - qs.q, 0) * {_NV_CU}
+                      + GREATEST(qs.q - dem, 0) * {_NV_CO}) AS BIGINT)
+               AS total_cost
+      FROM daily, qs GROUP BY qs.q
+      UNION ALL
+      SELECT 'mean_stock', qm.q,
+             CAST(SUM(GREATEST(dem - qm.q, 0) * {_NV_CU}
+                      + GREATEST(qm.q - dem, 0) * {_NV_CO}) AS BIGINT)
+      FROM daily, qm GROUP BY qm.q)
+    SELECT c.policy, c.stock, n.n AS n_days, c.total_cost,
+           CAST(c.total_cost // n.n AS BIGINT) AS cost_per_day
+    FROM cost c CROSS JOIN n ORDER BY c.policy
+    """
+
+
+@q("newsvendor_stocking", oracle=_NV_SQL)
+def newsvendor_stocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking decision on daily purchase demand: the
+    optimal stock is the critical-ratio quantile q* = F^-1(cu/(cu+co))
+    ({_NV_CU}/{_NV_CU + _NV_CO} here), realized as an exact order
+    statistic, scored against the naive mean-stock policy by replaying
+    both over the observed demand (cost = cu*short + co*over per day).
+    The canonical stochastic-inventory decision — and the empirical
+    proof that the quantile, not the mean, minimizes asymmetric cost.
+
+    Exactness: demand, the quantile rank (cross-multiplied
+    r*(cu+co) >= n*cu — division-free), stocks and replay costs are
+    all exact integers.
+
+    Scale shape: ONE day-keyed partial agg; ranking and both replays
+    run on the calendar-bounded daily relation (the replay is a scan
+    of it per policy, a 2-row UNION).
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("dem")
+    ).localCheckpoint()
+    nrow = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dem").cast("long").alias("sd"),
+    ).collect()[0]
+    n, sd = int(nrow.n), int(nrow.sd)
+    rk = daily.select(
+        "dem", F.row_number().over(Window.orderBy("dem", "d")).alias("r")
+    )
+    q_star = int(
+        rk.where(F.expr(f"r * {_NV_CU + _NV_CO} >= {n} * {_NV_CU}"))
+        .agg(F.min("dem").alias("q")).collect()[0]["q"]
+    )
+    q_mean = sd // n
+    rows = []
+    for policy, q in (("critical_ratio", q_star), ("mean_stock", q_mean)):
+        cost = int(
+            daily.agg(
+                F.sum(
+                    F.expr(
+                        f"GREATEST(dem - {q}, 0) * {_NV_CU}"
+                        f" + GREATEST({q} - dem, 0) * {_NV_CO}"
+                    )
+                ).alias("c")
+            ).collect()[0]["c"]
+        )
+        rows.append((policy, q, n, cost, cost // n))
+    return spark.createDataFrame(
+        rows,
+        "policy STRING, stock BIGINT, n_days BIGINT, total_cost BIGINT,"
+        " cost_per_day BIGINT",
+    ).orderBy("policy")
+
+
+# ---------------------------------------------------------------------------
+# bitemporal as-of query (valid time x transaction time)
+# ---------------------------------------------------------------------------
+
+# facts: every purchase, valid at its event time, RECORDED late by
+# (event_id % 3) hours; every 7th fact gets a +500 correction recorded
+# 2h after the original record
+_BT_LEDGER = """
+    facts AS (
+      SELECT event_id AS fact_id, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_t,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               + (event_id % 3) * 3600 AS tx_t,
+             CAST(FLOOR(value * 100e0) AS BIGINT) AS cents,
+             0 AS is_corr
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT event_id, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT),
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               + (event_id % 3) * 3600 + 7200,
+             CAST(FLOOR(value * 100e0) AS BIGINT) + 500,
+             1
+      FROM events WHERE event_type = 'purchase' AND event_id % 7 = 0)"""
+
+_BT_SQL = f"""
+    WITH {_BT_LEDGER},
+    rng AS (SELECT MIN(valid_t) AS t0, MAX(tx_t) AS t1 FROM facts),
+    snaps AS (
+      SELECT 1 AS snap_id,
+             t0 + (t1 - t0) * 6 // 10 AS tx_cut,
+             t0 + (t1 - t0) * 5 // 10 AS valid_cut
+      FROM rng
+      UNION ALL
+      SELECT 2, t1, t0 + (t1 - t0) * 5 // 10 FROM rng),
+    visible AS (
+      SELECT s.snap_id, s.tx_cut, s.valid_cut, f.fact_id, f.user_id,
+             f.cents, f.tx_t, f.is_corr,
+             ROW_NUMBER() OVER (PARTITION BY s.snap_id, f.fact_id
+                                ORDER BY f.tx_t DESC, f.cents DESC) AS v
+      FROM snaps s JOIN facts f
+        ON f.tx_t <= s.tx_cut AND f.valid_t <= s.valid_cut)
+    SELECT snap_id, user_id % 2 AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_facts,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(is_corr) AS BIGINT) AS n_corrected_seen
+    FROM visible WHERE v = 1
+    GROUP BY snap_id, cohort ORDER BY snap_id, cohort
+    """
+
+
+@q("bitemporal_asof", oracle=_BT_SQL)
+def bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of query — BOTH time axes at once: "what did we
+    BELIEVE (transaction time <= T) the state VALID as of V to be?"
+    over a corrections ledger (purchases recorded late, every 7th
+    corrected +500 two hours after recording). Snapshot 1 reads at 60%
+    of transaction history; snapshot 2 at the end — the same valid
+    cut, so the difference is purely what the system had LEARNED.
+    ``time_travel_file_state`` / ``scd2_dimension_build`` /
+    ``pit_join_orders`` each handle ONE axis; auditors and ML
+    leakage-reconstruction need both.
+
+    Exactness: both cuts are integer-second arithmetic on the observed
+    range; per-fact visibility picks the latest tx_t <= T via
+    ROW_NUMBER (cents DESC tie-break pins the simultaneous-record
+    edge); all rollups are exact integers.
+
+    Scale shape: the ledger is one scan + union; visibility is a
+    broadcast join against the 2-row snapshot relation with a
+    (snapshot, fact)-keyed window — fact-keyed, perfectly spread.
+    """
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("fact_id"), "user_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("valid_t"),
+        F.expr(
+            "CAST(unix_timestamp(ts) AS BIGINT) + (event_id % 3) * 3600"
+        ).alias("tx_t"),
+        F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)").alias("cents"),
+    ).withColumn("is_corr", F.lit(0))
+    corr = ev.where(F.expr("fact_id % 7 = 0")).select(
+        "fact_id", "user_id", "valid_t",
+        (F.col("tx_t") + 7200).alias("tx_t"),
+        (F.col("cents") + 500).alias("cents"),
+        F.lit(1).alias("is_corr"),
+    )
+    facts = ev.unionAll(corr).localCheckpoint()
+    rng = facts.agg(
+        F.min("valid_t").alias("t0"), F.max("tx_t").alias("t1")
+    ).collect()[0]
+    t0, t1 = int(rng.t0), int(rng.t1)
+    vcut = t0 + (t1 - t0) * 5 // 10
+    snaps = spark.createDataFrame(
+        [
+            (1, t0 + (t1 - t0) * 6 // 10, vcut),
+            (2, t1, vcut),
+        ],
+        "snap_id INT, tx_cut LONG, valid_cut LONG",
+    )
+    vis = (
+        F.broadcast(snaps).join(
+            facts,
+            (F.col("tx_t") <= F.col("tx_cut"))
+            & (F.col("valid_t") <= F.col("valid_cut")),
+        )
+        .withColumn(
+            "v",
+            F.row_number().over(
+                Window.partitionBy("snap_id", "fact_id")
+                .orderBy(F.desc("tx_t"), F.desc("cents"))
+            ),
+        )
+        .where(F.col("v") == 1)
+    )
+    return (
+        vis.groupBy("snap_id", (F.col("user_id") % 2).alias("cohort"))
+        .agg(
+            F.count("*").cast("long").alias("n_facts"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum("is_corr").cast("long").alias("n_corrected_seen"),
+        )
+        .orderBy("snap_id", "cohort")
+    )

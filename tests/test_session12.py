@@ -2217,3 +2217,135 @@ def test_hub_removal_matches_pure_python(spark):
         prev_share = r.largest_cc_ppm
     # removing hubs cannot grow the giant component's share above k=0's
     assert got.iloc[-1].largest_cc_ppm <= got.iloc[0].largest_cc_ppm + 1
+
+
+# ---------------------------------------------------------------------------
+# W-pattern detection
+# ---------------------------------------------------------------------------
+
+
+def test_w_pattern_matches_pure_python(spark):
+    daily = _daily_cents(spark)
+    xs = [int(v) for v in daily]
+    days = list(daily.index)
+    deltas = [
+        (days[i + 1], xs[i + 1] - xs[i])
+        for i in range(len(xs) - 1)
+        if xs[i + 1] != xs[i]
+    ]
+    runs = []
+    for d, dv in deltas:
+        s = 1 if dv > 0 else -1
+        if runs and runs[-1][0] == s:
+            runs[-1][2] = d
+            runs[-1][3] += dv
+        else:
+            runs.append([s, d, d, dv])  # sign, start, end, move
+    exp = []
+    for i in range(len(runs) - 3):
+        s = [runs[i + j][0] for j in range(4)]
+        if s == [-1, 1, -1, 1]:
+            m = [runs[i + j][3] for j in range(4)]
+            exp.append(
+                (
+                    runs[i][1], runs[i + 3][2],
+                    min(-m[0], -m[2]), m[1] + m[3],
+                )
+            )
+    got = QUERIES["w_pattern_detect"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(exp)
+    for (sd, ed, drop, rise), (_, r) in zip(exp, got.iterrows()):
+        assert (r.start_day, r.end_day) == (sd, ed)
+        assert (r.min_drop_cents, r.total_rise_cents) == (drop, rise)
+        # pattern semantics: both drops and the rises are positive moves
+        assert drop > 0 and rise > 0
+
+
+# ---------------------------------------------------------------------------
+# newsvendor
+# ---------------------------------------------------------------------------
+
+
+def test_newsvendor_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END p",
+        )
+        .toPandas()
+    )
+    dem = sorted(ev.groupby("d").p.sum())
+    n = len(dem)
+    q_star = next(
+        v for r, v in enumerate(dem, start=1) if r * 400 >= n * 300
+    )
+    q_mean = sum(dem) // n
+
+    def cost(q):
+        return sum(
+            max(d - q, 0) * 300 + max(q - d, 0) * 100 for d in dem
+        )
+
+    got = (
+        QUERIES["newsvendor_stocking"](spark, SF_CORRECT)
+        .toPandas().set_index("policy")
+    )
+    assert got.loc["critical_ratio"].stock == q_star
+    assert got.loc["critical_ratio"].total_cost == cost(q_star)
+    assert got.loc["mean_stock"].stock == q_mean
+    assert got.loc["mean_stock"].total_cost == cost(q_mean)
+    # the quantile decision is optimal over ALL integer stocks
+    best = min(cost(q) for q in range(min(dem), max(dem) + 1))
+    assert got.loc["critical_ratio"].total_cost == best
+    assert got.loc["critical_ratio"].total_cost <= \
+        got.loc["mean_stock"].total_cost
+
+
+# ---------------------------------------------------------------------------
+# bitemporal as-of
+# ---------------------------------------------------------------------------
+
+
+def test_bitemporal_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .where("event_type = 'purchase'")
+        .selectExpr(
+            "event_id", "user_id",
+            "CAST(unix_timestamp(ts) AS BIGINT) valid_t",
+            "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+        )
+        .toPandas()
+    )
+    facts = []
+    for _, r in ev.iterrows():
+        tx = int(r.valid_t) + (int(r.event_id) % 3) * 3600
+        facts.append((int(r.event_id), int(r.user_id), int(r.valid_t),
+                      tx, int(r.cents), 0))
+        if r.event_id % 7 == 0:
+            facts.append((int(r.event_id), int(r.user_id), int(r.valid_t),
+                          tx + 7200, int(r.cents) + 500, 1))
+    t0 = min(f[2] for f in facts)
+    t1 = max(f[3] for f in facts)
+    vcut = t0 + (t1 - t0) * 5 // 10
+    snaps = {1: t0 + (t1 - t0) * 6 // 10, 2: t1}
+    got = QUERIES["bitemporal_asof"](spark, SF_CORRECT).toPandas()
+    for snap_id, tx_cut in snaps.items():
+        latest = {}
+        for fid, uid, vt, tx, c, ic in facts:
+            if tx > tx_cut or vt > vcut:
+                continue
+            cur = latest.get(fid)
+            if cur is None or (tx, c) > (cur[0], cur[1]):
+                latest[fid] = (tx, c, uid, ic)
+        for cohort in (0, 1):
+            sel = [v for v in latest.values() if v[2] % 2 == cohort]
+            r = got[(got.snap_id == snap_id) & (got.cohort == cohort)].iloc[0]
+            assert r.n_facts == len(sel)
+            assert r.total_cents == sum(c for _, c, _, _ in sel)
+            assert r.n_corrected_seen == sum(ic for _, _, _, ic in sel)
+    # later knowledge can only ADD corrections (same valid cut)
+    s1 = got[got.snap_id == 1].n_corrected_seen.sum()
+    s2 = got[got.snap_id == 2].n_corrected_seen.sum()
+    assert s2 >= s1

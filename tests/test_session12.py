@@ -2349,3 +2349,85 @@ def test_bitemporal_matches_pure_python(spark):
     s1 = got[got.snap_id == 1].n_corrected_seen.sum()
     s2 = got[got.snap_id == 2].n_corrected_seen.sum()
     assert s2 >= s1
+
+
+# ---------------------------------------------------------------------------
+# adstock correlation
+# ---------------------------------------------------------------------------
+
+
+def test_adstock_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END cx",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END cy",
+        )
+        .toPandas()
+    )
+    g = ev.groupby("d").agg(x=("cx", "sum"), y=("cy", "sum")).sort_index()
+    xs = [int(v) for v in g.x]
+    ys = [int(v) for v in g.y]
+    rows = []
+    for t_ in range(7, len(xs)):
+        a = sum(xs[t_ - k] * (1 << (7 - k)) for k in range(8))
+        rows.append((xs[t_], ys[t_], a))
+
+    def corr(pairs):
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs)
+        sy = sum(p[1] for p in pairs)
+        sxx = sum(p[0] ** 2 for p in pairs)
+        syy = sum(p[1] ** 2 for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        return (n * sxy - sx * sy) / math.sqrt(
+            float(n * sxx - sx * sx)
+        ) / math.sqrt(float(n * syy - sy * sy))
+
+    r_raw = corr([(x, y) for x, y, _ in rows])
+    r_ad = corr([(a, y) for _, y, a in rows])
+    got = (
+        QUERIES["adstock_correlation"](spark, SF_CORRECT).toPandas().iloc[0]
+    )
+    assert got.n_days == len(rows)
+    assert got.r_raw_micro == math.floor(r_raw * 1e6 + 0.5)
+    assert got.r_adstock_micro == math.floor(r_ad * 1e6 + 0.5)
+    assert -1000000 <= got.r_adstock_micro <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann
+# ---------------------------------------------------------------------------
+
+
+def test_hodges_lehmann_matches_pure_python(spark):
+    daily = _daily_cents(spark)
+    xs = [int(v) for v in daily]
+    n = len(xs)
+    walsh = sorted(
+        xs[i] + xs[j] for i in range(n) for j in range(i, n)
+    )
+    np_ = len(walsh)
+    m = next(v for r, v in enumerate(walsh, start=1) if r * 2 > np_)
+    med = next(
+        v for r, v in enumerate(sorted(xs), start=1) if r * 2 > n
+    )
+    got = (
+        QUERIES["hodges_lehmann_location"](spark, SF_CORRECT)
+        .toPandas().iloc[0]
+    )
+    assert got.n_days == n
+    assert got.n_walsh_pairs == np_ == n * (n + 1) // 2
+    assert got.hl_x2_cents == m
+    assert got.hl_cents == m // 2
+    assert got.mean_cents == sum(xs) // n
+    assert got.median_cents == med
+    # H-L lies between (or at) the extremes of median and mean for
+    # mildly skewed data — sanity envelope with slack
+    lo = min(got.mean_cents, got.median_cents)
+    hi = max(got.mean_cents, got.median_cents)
+    spread = max(xs) - min(xs)
+    assert lo - spread // 4 <= got.hl_cents <= hi + spread // 4

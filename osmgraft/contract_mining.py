@@ -6157,3 +6157,304 @@ def hodges_lehmann_location(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(prow.sc) // nd).cast("long").alias("mean_cents"),
         F.lit(dm).cast("long").alias("median_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weight-of-evidence / information value binning
+# ---------------------------------------------------------------------------
+
+_WOE_BINS = 8
+
+_WOE_SQL = f"""
+    WITH feat AS (
+      SELECT LEAST(n_chars // 128, {_WOE_BINS - 1}) AS bin,
+             CASE WHEN (length(text) - length(replace(text, 'spark', '')))
+                       // 5 >= 4 THEN 1 ELSE 0 END AS y
+      FROM documents),
+    b AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS g,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS bd
+      FROM feat GROUP BY bin),
+    tot AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS gt, CAST(SUM(bd) AS BIGINT) AS bt,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM b),
+    woe AS (
+      SELECT b.bin, b.n, b.g, b.bd,
+             (b.g + 1) * 1.0e0 / (t.gt + t.k) AS pg,
+             (b.bd + 1) * 1.0e0 / (t.bt + t.k) AS pb
+      FROM b CROSS JOIN tot t)
+    SELECT bin, n, g AS n_good, bd AS n_bad,
+           CAST(FLOOR(LN(pg / pb) * 1000000000e0 + 5.0e-1) AS BIGINT)
+             AS woe_nano,
+           CAST(FLOOR((pg - pb) * LN(pg / pb) * 1000000000e0 + 5.0e-1)
+                AS BIGINT) AS iv_term_nano
+    FROM woe ORDER BY bin
+    """
+
+
+@q("woe_information_value", oracle=_WOE_SQL)
+def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning (the credit-
+    scorecard standard): document length binned into {_WOE_BINS}
+    buckets, per bin WoE = ln(good-share / bad-share) against the
+    keyword-relevance label with Laplace (+1) smoothing, and the IV
+    term (pg - pb) * WoE whose sum grades the feature (< 0.02 useless,
+    > 0.3 strong). The scorecard-world counterpart of
+    ``mutual_information_profile``: WoE is signed and bin-local, which
+    is why risk models bin with it.
+
+    Exactness: counts are exact; the smoothed shares are exact
+    rational doubles; WoE and IV terms snap once to nano each (the
+    established LN rule).
+
+    Scale shape: ONE (bin) partial agg over the scan; totals
+    re-aggregate the {_WOE_BINS}-row relation.
+    """
+    feat = t(spark, sf_dir, "documents").select(
+        F.expr(f"LEAST(n_chars div 128, {_WOE_BINS - 1})").alias("bin"),
+        F.expr(
+            "CASE WHEN (length(text) - length(replace(text, 'spark', '')))"
+            " div 5 >= 4 THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    b = feat.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("g"),
+        (F.count("*") - F.sum("y")).cast("long").alias("bd"),
+    )
+    tot = b.agg(
+        F.sum("g").cast("long").alias("gt"),
+        F.sum("bd").cast("long").alias("bt"),
+        F.count("*").cast("long").alias("k"),
+    )
+    woe = b.crossJoin(F.broadcast(tot)).select(
+        "bin", "n", "g", "bd",
+        F.expr("(g + 1) * 1.0e0 / (gt + k)").alias("pg"),
+        F.expr("(bd + 1) * 1.0e0 / (bt + k)").alias("pb"),
+    )
+    return woe.select(
+        "bin", "n",
+        F.col("g").alias("n_good"), F.col("bd").alias("n_bad"),
+        F.expr(
+            "CAST(FLOOR(LN(pg / pb) * 1000000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("woe_nano"),
+        F.expr(
+            "CAST(FLOOR((pg - pb) * LN(pg / pb) * 1000000000e0 + 5.0e-1)"
+            " AS BIGINT)"
+        ).alias("iv_term_nano"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# sample-ratio-mismatch (SRM) check
+# ---------------------------------------------------------------------------
+
+_SRM_SQL = f"""
+    WITH ev AS (
+      SELECT (CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                   AS INTEGER) + 4) % 7 AS dow,
+             user_id % 2 AS arm
+      FROM events),
+    d AS (
+      SELECT dow,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM ev GROUP BY dow
+      UNION ALL
+      SELECT -1,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM ev),
+    z AS (
+      SELECT dow, n0, n1,
+             ABS(n0 - n1) * 1.0e0 / SQRT((n0 + n1) * 1.0e0) AS az
+      FROM d)
+    SELECT dow, n0, n1,
+           CAST(FLOOR(az * az * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS chi2_micro,
+           CAST(FLOOR((1.0e0 - {_BH_ERF.format(
+               x="az / 1.4142135623730951e0")})
+                      * 1000000e0 + 5.0e-1) AS BIGINT) AS p_micro,
+           CASE WHEN (1.0e0 - {_BH_ERF.format(
+               x="az / 1.4142135623730951e0")}) < 1.0e-3
+                THEN 1 ELSE 0 END AS srm_flag
+    FROM z ORDER BY dow
+    """
+
+
+@q("srm_check", oracle=_SRM_SQL)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the first health gate of every
+    A/B readout (Kohavi's "most useful alarm"): per day-of-week and
+    overall (dow = -1), the chi-square statistic of the observed arm
+    split against the designed 50/50 and its two-sided p-value; flag
+    at p < 0.001 (the industry SRM threshold — a tripped flag means
+    the assignment or logging is broken and the experiment readout is
+    void, including ``abtest_conversion_z``'s and
+    ``cuped_adjustment``'s).
+
+    Exactness: counts are exact; z, chi2 = z^2 and the
+    Abramowitz-Stegun p run in doubles from exact integers, snapped
+    once; the flag compares the unsnapped p against the 1e-3 literal
+    identically on both engines.
+
+    Scale shape: ONE conditional partial agg per grouping (the
+    overall row is a second aggregate of the same scan); everything
+    else is per-row arithmetic on 8 rows.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        F.expr(
+            "(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) + 4) % 7"
+        ).alias("dow"),
+        (F.col("user_id") % 2).alias("arm"),
+    )
+    per = ev.groupBy("dow").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long").alias("n1"),
+    )
+    overall = ev.agg(
+        F.lit(-1).alias("dow"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long").alias("n1"),
+    )
+    d = per.unionAll(overall)
+    z = d.select(
+        "dow", "n0", "n1",
+        F.expr(
+            "ABS(n0 - n1) * 1.0e0 / SQRT((n0 + n1) * 1.0e0)"
+        ).alias("az"),
+    )
+    perf = _BH_ERF.format(x="az / 1.4142135623730951e0")
+    return z.select(
+        "dow", "n0", "n1",
+        F.expr(
+            "CAST(FLOOR(az * az * 1000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("chi2_micro"),
+        F.expr(
+            f"CAST(FLOOR((1.0e0 - {perf}) * 1000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("p_micro"),
+        F.expr(
+            f"CASE WHEN (1.0e0 - {perf}) < 1.0e-3 THEN 1 ELSE 0 END"
+        ).alias("srm_flag"),
+    ).orderBy("dow")
+
+
+# ---------------------------------------------------------------------------
+# delta-method CI for a ratio metric (revenue per event)
+# ---------------------------------------------------------------------------
+
+_RM_SQL = """
+    WITH u AS (
+      SELECT user_id % 2 AS arm,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT)
+               AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM u GROUP BY arm),
+    f AS (
+      SELECT arm, n,
+             sx * 1.0e0 / sy AS r,
+             (n * sxx - sx * sx) * 1.0e0 / (CAST(n AS HUGEINT) * n) AS vx,
+             (n * syy - sy * sy) * 1.0e0 / (CAST(n AS HUGEINT) * n) AS vy,
+             (n * sxy - sx * sy) * 1.0e0 / (CAST(n AS HUGEINT) * n) AS cxy,
+             sy * 1.0e0 / n AS ybar
+      FROM s),
+    d AS (
+      SELECT arm, n, r,
+             SQRT((vx - 2.0e0 * r * cxy + r * r * vy)
+                  / (ybar * ybar) / n) AS se
+      FROM f)
+    SELECT arm, n AS n_users,
+           CAST(FLOOR(r * 1000e0 + 5.0e-1) AS BIGINT) AS ratio_milli,
+           CAST(FLOOR(se * 1000e0 + 5.0e-1) AS BIGINT) AS se_milli,
+           CAST(FLOOR((r - 1.959964e0 * se) * 1000e0 + 5.0e-1) AS BIGINT)
+             AS ci_lo_milli,
+           CAST(FLOOR((r + 1.959964e0 * se) * 1000e0 + 5.0e-1) AS BIGINT)
+             AS ci_hi_milli
+    FROM d ORDER BY arm
+    """
+
+
+@q("ratio_metric_delta_ci", oracle=_RM_SQL)
+def ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue
+    per event, per arm), clustered at the randomization unit: naive
+    per-event variance is wrong because events within a user correlate
+    — the delta method var(X/Y) ~ (vx - 2R cxy + R^2 vy) / (ybar^2 n)
+    over USER-level totals is the standard fix (the ratio-metric
+    companion of ``cuped_adjustment``; both gate
+    ``abtest_conversion_z``-style readouts on non-binary metrics).
+
+    Exactness: user totals and all power sums are exact integers
+    through HUGEINT == DECIMAL(38,0); the ratio, its standard error
+    and the 1.959964 CI run in doubles over exact sums, snapped once
+    to milli-cents-per-event.
+
+    Scale shape: ONE user-keyed partial agg, one 2-group power-sum
+    aggregate; the delta algebra is per-row on 2 rows.
+    """
+    u = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.expr("MAX(user_id % 2)").alias("arm"),
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("x"),
+        F.count("*").cast("long").alias("y"),
+    )
+    D = "DECIMAL(38,0)"
+    s = u.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr(f"CAST(x AS {D})")).alias("sx"),
+        F.sum(F.expr(f"CAST(y AS {D})")).alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {D}) * x")).alias("sxx"),
+        F.sum(F.expr(f"CAST(x AS {D}) * y")).alias("sxy"),
+        F.sum(F.expr(f"CAST(y AS {D}) * y")).alias("syy"),
+    )
+    f = s.select(
+        "arm", "n",
+        F.expr("sx * 1.0e0 / sy").alias("r"),
+        F.expr(
+            f"(n * sxx - sx * sx) * 1.0e0 / (CAST(n AS {D}) * n)"
+        ).alias("vx"),
+        F.expr(
+            f"(n * syy - sy * sy) * 1.0e0 / (CAST(n AS {D}) * n)"
+        ).alias("vy"),
+        F.expr(
+            f"(n * sxy - sx * sy) * 1.0e0 / (CAST(n AS {D}) * n)"
+        ).alias("cxy"),
+        F.expr("sy * 1.0e0 / n").alias("ybar"),
+    )
+    d = f.select(
+        "arm", "n", "r",
+        F.expr(
+            "SQRT((vx - 2.0e0 * r * cxy + r * r * vy)"
+            " / (ybar * ybar) / n)"
+        ).alias("se"),
+    )
+    return d.select(
+        "arm", F.col("n").alias("n_users"),
+        F.expr("CAST(FLOOR(r * 1000e0 + 5.0e-1) AS BIGINT)")
+        .alias("ratio_milli"),
+        F.expr("CAST(FLOOR(se * 1000e0 + 5.0e-1) AS BIGINT)")
+        .alias("se_milli"),
+        F.expr(
+            "CAST(FLOOR((r - 1.959964e0 * se) * 1000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("ci_lo_milli"),
+        F.expr(
+            "CAST(FLOOR((r + 1.959964e0 * se) * 1000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("ci_hi_milli"),
+    ).orderBy("arm")

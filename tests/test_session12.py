@@ -2431,3 +2431,128 @@ def test_hodges_lehmann_matches_pure_python(spark):
     hi = max(got.mean_cents, got.median_cents)
     spread = max(xs) - min(xs)
     assert lo - spread // 4 <= got.hl_cents <= hi + spread // 4
+
+
+# ---------------------------------------------------------------------------
+# WoE / IV
+# ---------------------------------------------------------------------------
+
+
+def test_woe_iv_matches_pure_python(spark):
+    import math
+    from collections import defaultdict
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("text", "n_chars").toPandas()
+    )
+    bins = defaultdict(lambda: [0, 0])
+    for _, r in docs.iterrows():
+        b = min(int(r.n_chars) // 128, 7)
+        hits = (len(r.text) - len(r.text.replace("spark", ""))) // 5
+        y = 1 if hits >= 4 else 0
+        bins[b][0] += y
+        bins[b][1] += 1 - y
+    gt = sum(g for g, _ in bins.values())
+    bt = sum(b for _, b in bins.values())
+    k = len(bins)
+    got = QUERIES["woe_information_value"](spark, SF_CORRECT).toPandas()
+    assert len(got) == k
+    iv_total = 0
+    for _, r in got.iterrows():
+        g, bd = bins[r.bin]
+        pg = (g + 1) / (gt + k)
+        pb = (bd + 1) / (bt + k)
+        assert (r.n, r.n_good, r.n_bad) == (g + bd, g, bd)
+        assert r.woe_nano == math.floor(math.log(pg / pb) * 1e9 + 0.5)
+        assert r.iv_term_nano == math.floor(
+            (pg - pb) * math.log(pg / pb) * 1e9 + 0.5
+        )
+        iv_total += r.iv_term_nano
+    # IV terms are non-negative up to snapping slack
+    assert (got.iv_term_nano >= -1).all()
+    assert iv_total >= 0
+
+
+# ---------------------------------------------------------------------------
+# SRM
+# ---------------------------------------------------------------------------
+
+
+def test_srm_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) + 4) % 7 dow",
+            "user_id % 2 arm",
+        )
+        .toPandas()
+    )
+
+    def erf(x):
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = (
+            0.254829592 * t - 0.284496736 * t ** 2 + 1.421413741 * t ** 3
+            - 1.453152027 * t ** 4 + 1.061405429 * t ** 5
+        )
+        return 1.0 - poly * math.exp(-x * x)
+
+    got = QUERIES["srm_check"](spark, SF_CORRECT).toPandas()
+    assert len(got) == 8  # 7 dows + overall
+    for _, r in got.iterrows():
+        sub = ev if r.dow == -1 else ev[ev.dow == r.dow]
+        n0 = len(sub[sub.arm == 0])
+        n1 = len(sub[sub.arm == 1])
+        az = abs(n0 - n1) / math.sqrt(n0 + n1)
+        p = 1.0 - erf(az / math.sqrt(2.0))
+        assert (r.n0, r.n1) == (n0, n1)
+        assert r.chi2_micro == math.floor(az * az * 1e6 + 0.5)
+        assert r.p_micro == math.floor(p * 1e6 + 0.5)
+        assert r.srm_flag == (1 if p < 1e-3 else 0)
+    # the fixture's id-parity split is healthy: the overall row must
+    # not trip SRM
+    assert got[got.dow == -1].iloc[0].srm_flag == 0
+
+
+# ---------------------------------------------------------------------------
+# ratio metric delta CI
+# ---------------------------------------------------------------------------
+
+
+def test_ratio_delta_ci_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id", "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+        )
+        .toPandas()
+    )
+    got = QUERIES["ratio_metric_delta_ci"](spark, SF_CORRECT).toPandas()
+    for arm in (0, 1):
+        rows = [
+            (int(g.cents.sum()), len(g))
+            for uid, g in ev.groupby("user_id") if uid % 2 == arm
+        ]
+        n = len(rows)
+        sx = sum(x for x, _ in rows)
+        sy = sum(y for _, y in rows)
+        sxx = sum(x * x for x, _ in rows)
+        sxy = sum(x * y for x, y in rows)
+        syy = sum(y * y for _, y in rows)
+        r_ = sx / sy
+        vx = (n * sxx - sx * sx) / (n * n)
+        vy = (n * syy - sy * sy) / (n * n)
+        cxy = (n * sxy - sx * sy) / (n * n)
+        ybar = sy / n
+        se = math.sqrt((vx - 2 * r_ * cxy + r_ * r_ * vy) / (ybar ** 2) / n)
+        g = got[got.arm == arm].iloc[0]
+        assert g.n_users == n
+        assert g.ratio_milli == math.floor(r_ * 1e3 + 0.5)
+        assert g.se_milli == math.floor(se * 1e3 + 0.5)
+        assert g.ci_lo_milli == math.floor((r_ - 1.959964 * se) * 1e3 + 0.5)
+        assert g.ci_hi_milli == math.floor((r_ + 1.959964 * se) * 1e3 + 0.5)
+        assert g.ci_lo_milli < g.ratio_milli < g.ci_hi_milli

@@ -6458,3 +6458,238 @@ def ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(FLOOR((r + 1.959964e0 * se) * 1000e0 + 5.0e-1) AS BIGINT)"
         ).alias("ci_hi_milli"),
     ).orderBy("arm")
+
+
+# ---------------------------------------------------------------------------
+# standard deviational ellipse (centrography)
+# ---------------------------------------------------------------------------
+
+
+def _de_sql() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    return f"""
+    WITH pts AS (
+      SELECT ({X_EXPR}) AS px, ({Y_EXPR}) AS py
+      FROM events WHERE event_type = 'purchase'),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(px) AS sx, SUM(py) AS sy,
+             SUM(px * px) AS sxx, SUM(py * py) AS syy,
+             SUM(px * py) AS sxy
+      FROM pts),
+    c AS (
+      SELECT n,
+             sx / n AS mx, sy / n AS my,
+             sxx / n - (sx / n) * (sx / n) AS vx,
+             syy / n - (sy / n) * (sy / n) AS vy,
+             sxy / n - (sx / n) * (sy / n) AS cxy
+      FROM s),
+    eig AS (
+      SELECT n, mx, my,
+             (vx + vy) / 2.0e0
+               + SQRT(((vx - vy) / 2.0e0) * ((vx - vy) / 2.0e0)
+                      + cxy * cxy) AS l1,
+             (vx + vy) / 2.0e0
+               - SQRT(((vx - vy) / 2.0e0) * ((vx - vy) / 2.0e0)
+                      + cxy * cxy) AS l2,
+             0.5e0 * ATAN2(2.0e0 * cxy, vx - vy) AS theta
+      FROM c)
+    SELECT n AS n_points,
+           CAST(FLOOR(mx + 5.0e-1) AS BIGINT) AS center_x,
+           CAST(FLOOR(my + 5.0e-1) AS BIGINT) AS center_y,
+           CAST(FLOOR(SQRT(l1) + 5.0e-1) AS BIGINT) AS major_axis,
+           CAST(FLOOR(SQRT(l2) + 5.0e-1) AS BIGINT) AS minor_axis,
+           CAST(FLOOR(theta * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS theta_microrad
+    FROM eig
+    """
+
+
+@q("deviational_ellipse", oracle=_de_sql())
+def deviational_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard deviational ellipse of the purchase point field — the
+    centrographic summary (Lefever 1926): mean center, the major and
+    minor dispersion axes (square roots of the covariance matrix's
+    eigenvalues, closed form for 2x2) and the orientation angle
+    0.5*atan2(2 cov, vx - vy). The one-row answer to "where is the
+    activity and which way does it stretch" that every hotspot map
+    caption quotes; complements ``octagon_hull_area`` (extent) and
+    ``geometric_median_tracks`` (robust center) with directional
+    dispersion.
+
+    Exactness: the point expressions are the shared exact-double
+    X/Y derivations; moments, eigenvalues and the angle are double
+    arithmetic over them in the SAME operation order on both engines,
+    snapped once per output.
+
+    Scale shape: ONE global 5-sum aggregate over the filtered scan
+    (predicate pushes down); the eigen solve is O(1).
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    pts = t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.expr(X_EXPR).alias("px"), F.expr(Y_EXPR).alias("py")
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("px").alias("sx"), F.sum("py").alias("sy"),
+        F.sum(F.expr("px * px")).alias("sxx"),
+        F.sum(F.expr("py * py")).alias("syy"),
+        F.sum(F.expr("px * py")).alias("sxy"),
+    )
+    c = s.select(
+        "n",
+        F.expr("sx / n").alias("mx"), F.expr("sy / n").alias("my"),
+        F.expr("sxx / n - (sx / n) * (sx / n)").alias("vx"),
+        F.expr("syy / n - (sy / n) * (sy / n)").alias("vy"),
+        F.expr("sxy / n - (sx / n) * (sy / n)").alias("cxy"),
+    )
+    eig = c.select(
+        "n", "mx", "my",
+        F.expr(
+            "(vx + vy) / 2.0e0 + SQRT(((vx - vy) / 2.0e0)"
+            " * ((vx - vy) / 2.0e0) + cxy * cxy)"
+        ).alias("l1"),
+        F.expr(
+            "(vx + vy) / 2.0e0 - SQRT(((vx - vy) / 2.0e0)"
+            " * ((vx - vy) / 2.0e0) + cxy * cxy)"
+        ).alias("l2"),
+        F.expr("0.5e0 * ATAN2(2.0e0 * cxy, vx - vy)").alias("theta"),
+    )
+    return eig.select(
+        F.col("n").alias("n_points"),
+        F.expr("CAST(FLOOR(mx + 5.0e-1) AS BIGINT)").alias("center_x"),
+        F.expr("CAST(FLOOR(my + 5.0e-1) AS BIGINT)").alias("center_y"),
+        F.expr("CAST(FLOOR(SQRT(l1) + 5.0e-1) AS BIGINT)")
+        .alias("major_axis"),
+        F.expr("CAST(FLOOR(SQRT(l2) + 5.0e-1) AS BIGINT)")
+        .alias("minor_axis"),
+        F.expr(
+            "CAST(FLOOR(theta * 1000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("theta_microrad"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LISA quadrant census (local Moran classification)
+# ---------------------------------------------------------------------------
+
+_LQ_GRID = 87500  # 8x8 grid, rook adjacency
+
+
+def _lq_sql() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    return f"""
+    WITH pts AS (
+      SELECT CAST(FLOOR(({X_EXPR}) / {_LQ_GRID}.0e0) AS BIGINT) AS cx,
+             CAST(FLOOR(({Y_EXPR}) / {_LQ_GRID}.0e0) AS BIGINT) AS cy,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events),
+    cell AS (
+      SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS x
+      FROM pts GROUP BY cx, cy),
+    m AS (SELECT SUM(x) * 1.0e0 / SUM(n) AS pbar FROM cell),
+    dev AS (
+      SELECT cx, cy, x * 1.0e0 / n - (SELECT pbar FROM m) AS z
+      FROM cell),
+    lagv AS (
+      SELECT a.cx, a.cy, a.z,
+             AVG(b.z) AS wz
+      FROM dev a JOIN dev b
+        ON (ABS(b.cx - a.cx) + ABS(b.cy - a.cy)) = 1
+      GROUP BY a.cx, a.cy, a.z),
+    quad AS (
+      SELECT CASE WHEN z >= 0 AND wz >= 0 THEN 'HH'
+                  WHEN z < 0 AND wz < 0 THEN 'LL'
+                  WHEN z >= 0 AND wz < 0 THEN 'HL'
+                  ELSE 'LH' END AS quadrant,
+             z * wz AS lisa
+      FROM lagv)
+    SELECT quadrant, CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(FLOOR(SUM(lisa) * 1000000000e0 + 5.0e-1) AS BIGINT)
+             AS lisa_sum_nano
+    FROM quad GROUP BY quadrant ORDER BY quadrant
+    """
+
+
+@q("lisa_quadrants", oracle=_lq_sql())
+def lisa_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISA quadrant census (Anselin's local Moran scatterplot): each
+    grid cell classified by the sign of its rate deviation vs the sign
+    of its rook-neighborhood average — HH/LL (spatial clusters) vs
+    HL/LH (spatial outliers) — with the summed local Moran cross-
+    product per quadrant. The per-cell companion of
+    ``morans_i_autocorrelation``'s global index and
+    ``getis_ord_hotspots``'s G*: the quadrant census is what the
+    cluster-map legend counts.
+
+    Exactness: deviations are doubles from exact counts around the
+    exact pooled mean; the neighborhood average divides an exact sum
+    by the exact neighbor count; quadrant signs compare the same
+    doubles on both engines; the LISA sums snap once to nano.
+
+    Scale shape: ONE (cell) partial agg over raw events; adjacency is
+    the Manhattan-distance-1 equi-join of the 64-cell relation (a
+    constant 4-neighbor fan at scale when rewritten as 4 shifted
+    copies — same relation size either way).
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    pts = t(spark, sf_dir, "events").select(
+        F.expr(
+            f"CAST(FLOOR(({X_EXPR}) / {_LQ_GRID}.0e0) AS BIGINT)"
+        ).alias("cx"),
+        F.expr(
+            f"CAST(FLOOR(({Y_EXPR}) / {_LQ_GRID}.0e0) AS BIGINT)"
+        ).alias("cy"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("conv"),
+    )
+    cell = pts.groupBy("cx", "cy").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    ).localCheckpoint()
+    pbar = cell.agg(
+        F.expr("SUM(x) * 1.0e0 / SUM(n)").alias("p")
+    ).collect()[0]["p"]
+    dev = cell.select(
+        "cx", "cy", F.expr(f"x * 1.0e0 / n - {pbar!r}").alias("z")
+    )
+    b = dev.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"),
+        F.col("z").alias("bz"),
+    )
+    lagv = (
+        dev.join(
+            b,
+            (F.abs(F.col("bx") - F.col("cx"))
+             + F.abs(F.col("by") - F.col("cy"))) == 1,
+        )
+        .groupBy("cx", "cy", "z")
+        .agg(F.avg("bz").alias("wz"))
+    )
+    quad = lagv.select(
+        F.expr(
+            "CASE WHEN z >= 0 AND wz >= 0 THEN 'HH'"
+            " WHEN z < 0 AND wz < 0 THEN 'LL'"
+            " WHEN z >= 0 AND wz < 0 THEN 'HL'"
+            " ELSE 'LH' END"
+        ).alias("quadrant"),
+        F.expr("z * wz").alias("lisa"),
+    )
+    return (
+        quad.groupBy("quadrant")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.expr(
+                "CAST(FLOOR(SUM(lisa) * 1000000000e0 + 5.0e-1) AS BIGINT)"
+            ).alias("lisa_sum_nano"),
+        )
+        .orderBy("quadrant")
+    )

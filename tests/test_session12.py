@@ -2556,3 +2556,97 @@ def test_ratio_delta_ci_matches_pure_python(spark):
         assert g.ci_lo_milli == math.floor((r_ - 1.959964 * se) * 1e3 + 0.5)
         assert g.ci_hi_milli == math.floor((r_ + 1.959964 * se) * 1e3 + 0.5)
         assert g.ci_lo_milli < g.ratio_milli < g.ci_hi_milli
+
+
+# ---------------------------------------------------------------------------
+# deviational ellipse
+# ---------------------------------------------------------------------------
+
+
+def test_deviational_ellipse_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .where("event_type = 'purchase'")
+        .selectExpr("event_id").toPandas()
+    )
+    xs, ys = [], []
+    for i in ev.event_id:
+        xs.append((i % 787) * 889.45 + 17.3)
+        ys.append((int(i / 13.0) % 787) * 889.45 + 11.7)
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    vx = sum(x * x for x in xs) / n - mx * mx
+    vy = sum(y * y for y in ys) / n - my * my
+    cxy = sum(x * y for x, y in zip(xs, ys)) / n - mx * my
+    disc = math.sqrt(((vx - vy) / 2) ** 2 + cxy * cxy)
+    l1, l2 = (vx + vy) / 2 + disc, (vx + vy) / 2 - disc
+    theta = 0.5 * math.atan2(2 * cxy, vx - vy)
+    got = (
+        QUERIES["deviational_ellipse"](spark, SF_CORRECT).toPandas().iloc[0]
+    )
+    assert got.n_points == n
+    # centroid/axes snap half-up; pure-Python float sums can differ in
+    # the last ulp from the engines' fold order -> allow 1 unit slack
+    assert abs(got.center_x - math.floor(mx + 0.5)) <= 1
+    assert abs(got.center_y - math.floor(my + 0.5)) <= 1
+    assert abs(got.major_axis - math.floor(math.sqrt(l1) + 0.5)) <= 1
+    assert abs(got.minor_axis - math.floor(math.sqrt(l2) + 0.5)) <= 1
+    assert abs(got.theta_microrad - math.floor(theta * 1e6 + 0.5)) <= 2
+    # eigen invariants: axes ordered, angle within (-pi/2, pi/2]
+    assert got.major_axis >= got.minor_axis > 0
+    assert abs(got.theta_microrad) <= 1571000
+
+
+# ---------------------------------------------------------------------------
+# LISA quadrants
+# ---------------------------------------------------------------------------
+
+
+def test_lisa_quadrants_matches_pure_python(spark):
+    import math
+    from collections import defaultdict
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "event_id",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END conv",
+        )
+        .toPandas()
+    )
+    cells = defaultdict(lambda: [0, 0])
+    for _, r in ev.iterrows():
+        i = r.event_id
+        cx = int(((i % 787) * 889.45 + 17.3) // 87500)
+        cy = int(((int(i / 13.0) % 787) * 889.45 + 11.7) // 87500)
+        cells[(cx, cy)][0] += 1
+        cells[(cx, cy)][1] += r.conv
+    pbar = sum(x for _, x in cells.values()) / sum(
+        n for n, _ in cells.values()
+    )
+    z = {k: x / n - pbar for k, (n, x) in cells.items()}
+    quads = defaultdict(lambda: [0, 0.0])
+    for (cx, cy), zv in z.items():
+        nbrs = [
+            z[k] for k in ((cx + 1, cy), (cx - 1, cy), (cx, cy + 1),
+                           (cx, cy - 1)) if k in z
+        ]
+        wz = sum(nbrs) / len(nbrs)
+        q = (
+            "HH" if zv >= 0 and wz >= 0
+            else "LL" if zv < 0 and wz < 0
+            else "HL" if zv >= 0 else "LH"
+        )
+        quads[q][0] += 1
+        quads[q][1] += zv * wz
+    got = QUERIES["lisa_quadrants"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(quads)
+    total_cells = 0
+    for _, r in got.iterrows():
+        cnt, s = quads[r.quadrant]
+        assert r.n_cells == cnt
+        assert abs(r.lisa_sum_nano - math.floor(s * 1e9 + 0.5)) <= 2
+        total_cells += r.n_cells
+    assert total_cells == len(cells)

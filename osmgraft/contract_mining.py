@@ -6693,3 +6693,255 @@ def lisa_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quadrant")
     )
+
+
+# ---------------------------------------------------------------------------
+# leave-one-source-out ablation impact
+# ---------------------------------------------------------------------------
+
+_SA_SQL = """
+    WITH d AS (
+      SELECT source,
+             CASE WHEN (length(text) - length(replace(text, 'spark', '')))
+                       // 5 >= 4 THEN 1 ELSE 0 END AS y
+      FROM documents),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS g
+      FROM d GROUP BY source),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(g) AS BIGINT) AS gt FROM s)
+    SELECT s.source, s.n AS n_docs,
+           s.g * 1000000 // s.n AS rate_of_source_ppm,
+           t.gt * 1000000 // t.nt AS rate_full_ppm,
+           (t.gt - s.g) * 1000000 // (t.nt - s.n) AS rate_without_ppm,
+           CAST((t.gt - s.g) * 1000000 // (t.nt - s.n)
+                - t.gt * 1000000 // t.nt AS BIGINT) AS impact_ppm
+    FROM s CROSS JOIN tot t ORDER BY s.source
+    """
+
+
+@q("source_ablation_impact", oracle=_SA_SQL)
+def source_ablation_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data valuation: for every corpus source,
+    the corpus relevance rate WITHOUT that source — computed from
+    complement sums ((G - g_s)/(N - n_s)), never a re-scan per source
+    — and the signed impact of removing it (positive = the source
+    dilutes quality, the curation drop candidate). The data-source
+    counterpart of ``shapley_attribution`` (marginal contribution,
+    singleton-coalition approximation) and the decision input for
+    ``corpus_mix_plan``.
+
+    Exactness: all counts and rates are exact integer ppm; the
+    complement identity makes the per-source ablation exact, not
+    resampled.
+
+    Scale shape: ONE (source) partial agg over the scan; everything
+    else is per-row arithmetic against a broadcast 1-row total — the
+    |sources|+1-scans naive form collapsed to one (the ``kfold_cv_ols``
+    complement discipline).
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            "CASE WHEN (length(text) - length(replace(text, 'spark', '')))"
+            " div 5 >= 4 THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    s = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("g"),
+    )
+    tot = s.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("g").cast("long").alias("gt"),
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source", F.col("n").alias("n_docs"),
+            F.expr("g * 1000000 div n").alias("rate_of_source_ppm"),
+            F.expr("gt * 1000000 div nt").alias("rate_full_ppm"),
+            F.expr(
+                "(gt - g) * 1000000 div (nt - n)"
+            ).alias("rate_without_ppm"),
+            F.expr(
+                "CAST((gt - g) * 1000000 div (nt - n)"
+                " - gt * 1000000 div nt AS BIGINT)"
+            ).alias("impact_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantile treatment effects (distributional A/B readout)
+# ---------------------------------------------------------------------------
+
+_QTE_SQL = """
+    WITH u AS (
+      SELECT user_id % 2 AS arm,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT)
+               AS x,
+             user_id
+      FROM events GROUP BY user_id),
+    rk AS (
+      SELECT arm, x,
+             ROW_NUMBER() OVER (PARTITION BY arm ORDER BY x, user_id)
+               AS r,
+             CAST(COUNT(*) OVER (PARTITION BY arm) AS BIGINT) AS n
+      FROM u),
+    dec(d) AS (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9)),
+    qs AS (
+      SELECT dec.d, rk.arm, MIN(rk.x) AS q
+      FROM dec JOIN rk ON rk.r * 10 >= dec.d * rk.n
+      GROUP BY dec.d, rk.arm)
+    SELECT d AS decile,
+           MAX(CASE WHEN arm = 1 THEN q END) AS q_treat_cents,
+           MAX(CASE WHEN arm = 0 THEN q END) AS q_ctrl_cents,
+           CAST(MAX(CASE WHEN arm = 1 THEN q END)
+                - MAX(CASE WHEN arm = 0 THEN q END) AS BIGINT)
+             AS qte_cents
+    FROM qs GROUP BY d ORDER BY d
+    """
+
+
+@q("quantile_treatment_effect", oracle=_QTE_SQL)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the per-decile difference between
+    the treatment and control user-spend distributions — the
+    DISTRIBUTIONAL A/B readout (Firpo 2007) that a mean effect
+    (``ipw_ate_estimate``, ``cuped_adjustment``) hides: a change can
+    lift the median while crushing the tail. Deciles are exact order
+    statistics (rank cross-multiplication r*10 >= d*n, user-id
+    tie-break), so each QTE is an exact integer cent difference.
+
+    Scale shape: ONE user-keyed partial agg; ranking is an arm-keyed
+    window over the user relation (two partitions — at production
+    scale the exact-rank machinery of ``analytics/ranking`` drops in);
+    the decile extraction is a 9-row literal join.
+    """
+    u = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.expr("MAX(user_id % 2)").alias("arm"),
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("x"),
+    )
+    wr = Window.partitionBy("arm").orderBy("x", "user_id")
+    wn = Window.partitionBy("arm")
+    rk = u.select(
+        "arm", "x",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    dec = spark.createDataFrame([(i,) for i in range(1, 10)], "d INT")
+    qs = (
+        F.broadcast(dec).join(rk, F.expr("r * 10 >= d * n"))
+        .groupBy("d", "arm")
+        .agg(F.min("x").alias("q"))
+    )
+    return (
+        qs.groupBy(F.col("d").alias("decile"))
+        .agg(
+            F.max(F.when(F.col("arm") == 1, F.col("q")))
+            .alias("q_treat_cents"),
+            F.max(F.when(F.col("arm") == 0, F.col("q")))
+            .alias("q_ctrl_cents"),
+        )
+        .select(
+            "decile", "q_treat_cents", "q_ctrl_cents",
+            (F.col("q_treat_cents") - F.col("q_ctrl_cents"))
+            .cast("long").alias("qte_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# price elasticity (log-log band regression)
+# ---------------------------------------------------------------------------
+
+_PE_BAND = 5000  # 50.00 price bands
+
+_PEL_SQL = f"""
+    WITH ev AS (
+      SELECT CAST(FLOOR(value * 100e0) AS BIGINT) // {_PE_BAND} AS band
+      FROM events WHERE event_type = 'purchase'),
+    b AS (
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS q
+      FROM ev GROUP BY band HAVING COUNT(*) >= 5),
+    pts AS (
+      SELECT LN((band * {_PE_BAND} + {_PE_BAND // 2}) * 1.0e0) AS lp,
+             LN(q * 1.0e0) AS lq
+      FROM b),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(lp) AS sx, SUM(lq) AS sy,
+             SUM(lp * lp) AS sxx, SUM(lp * lq) AS sxy,
+             SUM(lq * lq) AS syy
+      FROM pts)
+    SELECT m AS n_bands,
+           CAST(FLOOR((m * sxy - sx * sy) / (m * sxx - sx * sx)
+                      * 1000000e0 + CASE WHEN (m * sxy - sx * sy) >= 0
+                                         THEN 5.0e-1 ELSE -5.0e-1 END)
+                AS BIGINT) AS elasticity_micro,
+           CAST(FLOOR((m * sxy - sx * sy) * (m * sxy - sx * sy)
+                      / ((m * sxx - sx * sx) * (m * syy - sy * sy))
+                      * 1000000e0 + 5.0e-1) AS BIGINT) AS r2_micro
+    FROM s
+    """
+
+
+@q("price_elasticity", oracle=_PEL_SQL)
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional price elasticity of demand: purchases banded
+    into 50.00 price bands (thin bands dropped), then the log-log OLS
+    slope d ln(quantity) / d ln(price) — the economist's one-number
+    demand curve, with R^2 as the fit gate. Negative slope = ordinary
+    good; |slope| > 1 = elastic. Complements ``newsvendor_stocking``
+    (how much to stock) with WHAT PRICE moves demand.
+
+    Exactness: band counts are exact; band mid-prices are exact
+    integers under LN; the OLS closed form runs in doubles over those
+    logs in identical operation order, snapped half-up toward the
+    slope's sign.
+
+    Scale shape: ONE (band) partial agg over the filtered scan; the
+    regression is a 6-sum aggregate over the price-range-bounded band
+    relation.
+    """
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.expr(
+            f"CAST(FLOOR(value * 100e0) AS BIGINT) div {_PE_BAND}"
+        ).alias("band")
+    )
+    b = ev.groupBy("band").agg(
+        F.count("*").cast("long").alias("q")
+    ).where(F.col("q") >= 5)
+    pts = b.select(
+        F.expr(
+            f"LN((band * {_PE_BAND} + {_PE_BAND // 2}) * 1.0e0)"
+        ).alias("lp"),
+        F.expr("LN(q * 1.0e0)").alias("lq"),
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("lp").alias("sx"), F.sum("lq").alias("sy"),
+        F.sum(F.expr("lp * lp")).alias("sxx"),
+        F.sum(F.expr("lp * lq")).alias("sxy"),
+        F.sum(F.expr("lq * lq")).alias("syy"),
+    )
+    return s.select(
+        F.col("m").alias("n_bands"),
+        F.expr(
+            "CAST(FLOOR((m * sxy - sx * sy) / (m * sxx - sx * sx)"
+            " * 1000000e0 + CASE WHEN (m * sxy - sx * sy) >= 0"
+            " THEN 5.0e-1 ELSE -5.0e-1 END) AS BIGINT)"
+        ).alias("elasticity_micro"),
+        F.expr(
+            "CAST(FLOOR((m * sxy - sx * sy) * (m * sxy - sx * sy)"
+            " / ((m * sxx - sx * sx) * (m * syy - sy * sy))"
+            " * 1000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("r2_micro"),
+    )

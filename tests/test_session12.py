@@ -2650,3 +2650,116 @@ def test_lisa_quadrants_matches_pure_python(spark):
         assert abs(r.lisa_sum_nano - math.floor(s * 1e9 + 0.5)) <= 2
         total_cells += r.n_cells
     assert total_cells == len(cells)
+
+
+# ---------------------------------------------------------------------------
+# source ablation
+# ---------------------------------------------------------------------------
+
+
+def test_source_ablation_matches_pure_python(spark):
+    from collections import defaultdict
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("source", "text").toPandas()
+    )
+    agg = defaultdict(lambda: [0, 0])
+    for _, r in docs.iterrows():
+        hits = (len(r.text) - len(r.text.replace("spark", ""))) // 5
+        y = 1 if hits >= 4 else 0
+        agg[r.source][0] += 1
+        agg[r.source][1] += y
+    nt = sum(n for n, _ in agg.values())
+    gt = sum(g for _, g in agg.values())
+    full = gt * 1000000 // nt
+    got = QUERIES["source_ablation_impact"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(agg)
+    for _, r in got.iterrows():
+        n, g = agg[r.source]
+        without = (gt - g) * 1000000 // (nt - n)
+        assert r.n_docs == n
+        assert r.rate_of_source_ppm == g * 1000000 // n
+        assert r.rate_full_ppm == full
+        assert r.rate_without_ppm == without
+        assert r.impact_ppm == without - full
+        # a source richer than the pool must have negative removal
+        # impact, and vice versa (strictly, up to floor slack)
+        if r.rate_of_source_ppm > full + 1:
+            assert r.impact_ppm <= 0
+        if r.rate_of_source_ppm < full - 1:
+            assert r.impact_ppm >= 0
+
+
+# ---------------------------------------------------------------------------
+# quantile treatment effects
+# ---------------------------------------------------------------------------
+
+
+def test_qte_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id", "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+        )
+        .toPandas()
+    )
+    per_arm = {0: [], 1: []}
+    for uid, g in ev.groupby("user_id"):
+        per_arm[uid % 2].append((int(g.cents.sum()), uid))
+    got = QUERIES["quantile_treatment_effect"](spark, SF_CORRECT).toPandas()
+    assert list(got.decile) == list(range(1, 10))
+    for arm in (0, 1):
+        vals = sorted(per_arm[arm])
+        n = len(vals)
+        for _, r in got.iterrows():
+            d = int(r.decile)
+            q = next(
+                x for rk, (x, _) in enumerate(vals, start=1)
+                if rk * 10 >= d * n
+            )
+            col = "q_treat_cents" if arm == 1 else "q_ctrl_cents"
+            assert r[col] == q
+    # deciles are monotone within each arm
+    assert list(got.q_treat_cents) == sorted(got.q_treat_cents)
+    assert list(got.q_ctrl_cents) == sorted(got.q_ctrl_cents)
+
+
+# ---------------------------------------------------------------------------
+# price elasticity
+# ---------------------------------------------------------------------------
+
+
+def test_price_elasticity_matches_pure_python(spark):
+    import math
+    from collections import Counter
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .where("event_type = 'purchase'")
+        .selectExpr("CAST(FLOOR(value * 100e0) AS BIGINT) cents")
+        .toPandas()
+    )
+    bands = Counter(int(c) // 5000 for c in ev.cents)
+    pts = [
+        (math.log(b * 5000 + 2500), math.log(q))
+        for b, q in bands.items() if q >= 5
+    ]
+    m = len(pts)
+    sx = sum(p for p, _ in pts)
+    sy = sum(q for _, q in pts)
+    sxx = sum(p * p for p, _ in pts)
+    sxy = sum(p * q for p, q in pts)
+    syy = sum(q * q for _, q in pts)
+    num = m * sxy - sx * sy
+    slope = num / (m * sxx - sx * sx)
+    r2 = num * num / ((m * sxx - sx * sx) * (m * syy - sy * sy))
+    got = QUERIES["price_elasticity"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_bands == m
+    snap = math.floor(slope * 1e6 + (0.5 if num >= 0 else -0.5))
+    # float fold-order slack of 1 micro on the pure-Python recompute
+    assert abs(got.elasticity_micro - snap) <= 1
+    assert abs(got.r2_micro - math.floor(r2 * 1e6 + 0.5)) <= 1
+    # a uniform-value fixture has demand falling in the top band only
+    # through support truncation; the R^2 gate just needs validity
+    assert 0 <= got.r2_micro <= 1000000

@@ -6945,3 +6945,302 @@ def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000e0 + 5.0e-1) AS BIGINT)"
         ).alias("r2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# log-rank test (survival A/B)
+# ---------------------------------------------------------------------------
+
+_LR_SQL = """
+    WITH u AS (SELECT user_id,
+                      MIN(CAST(ts AS DATE)) AS first_day,
+                      MAX(CAST(ts AS DATE)) AS last_day
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id),
+    w AS (SELECT MAX(CAST(ts AS DATE)) AS wend FROM events),
+    lt AS (SELECT u.user_id, u.user_id % 2 AS arm,
+                  CAST(u.last_day - u.first_day AS BIGINT) AS t,
+                  CASE WHEN u.last_day >= w.wend - 2 THEN 1 ELSE 0 END
+                    AS censored
+           FROM u, w),
+    arms AS (SELECT
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nt1,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nt0
+             FROM lt),
+    byt AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS leave1,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS leave0,
+             CAST(SUM(CASE WHEN arm = 1 AND censored = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN arm = 0 AND censored = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d0
+      FROM lt GROUP BY t),
+    risk AS (
+      SELECT t, d1, d0,
+             arms.nt1 - (SUM(leave1) OVER (ORDER BY t) - leave1) AS n1,
+             arms.nt0 - (SUM(leave0) OVER (ORDER BY t) - leave0) AS n0
+      FROM byt CROSS JOIN arms),
+    terms AS (
+      SELECT d1, d0, n1, n0, d1 + d0 AS d, n1 + n0 AS n
+      FROM risk WHERE d1 + d0 > 0 AND n1 + n0 > 1),
+    s AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             SUM(d * 1.0e0 * n1 / n) AS e1,
+             SUM(d * 1.0e0 * (n1 * 1.0e0 / n) * (n0 * 1.0e0 / n)
+                 * ((n - d) * 1.0e0 / (n - 1))) AS v
+      FROM terms)
+    SELECT (SELECT nt1 FROM arms) AS n_treat,
+           (SELECT nt0 FROM arms) AS n_ctrl,
+           o1 AS observed_treat,
+           CAST(FLOOR(e1 * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS expected_treat_micro,
+           CAST(FLOOR(v * 1000000e0 + 5.0e-1) AS BIGINT) AS var_micro,
+           CAST(FLOOR((o1 - e1) / SQRT(v) * 1000000e0
+                      + CASE WHEN o1 * 1.0e0 >= e1 THEN 5.0e-1
+                             ELSE -5.0e-1 END) AS BIGINT) AS z_micro
+    FROM s
+    """
+
+
+@q("logrank_test", oracle=_LR_SQL)
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing the two arms' retention curves — the
+    survival-analysis A/B readout: at each distinct lifetime, the
+    hypergeometric expected arm-1 exits given the at-risk split, with
+    O - E summed over times and normalized by the hypergeometric
+    variance. ``kaplan_meier_retention`` draws ONE curve; the log-rank
+    is the significance test between TWO (Mantel 1966), censoring
+    handled exactly as KM does (users active near the window end are
+    censored: at-risk until their last time, never an exit).
+
+    Exactness: lifetimes, exits and at-risk counts (complement
+    cumulative sums over the lifetime-keyed rollup) are exact
+    integers; E and V are double sums over exact counts, snapped
+    once; z snaps half-up toward its sign.
+
+    Scale shape: ONE user-keyed reduce, one lifetime-keyed rollup;
+    the at-risk cumsums and the O/E/V aggregate run on the
+    time-bounded lifetime relation.
+    """
+    ev = t(spark, sf_dir, "events")
+    u = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+    )
+    wend = ev.agg(
+        F.max(F.col("ts").cast("date")).alias("wend")
+    ).collect()[0]["wend"]
+    lt = u.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.datediff("last_day", "first_day").cast("long").alias("t"),
+        F.when(
+            F.datediff(F.lit(wend), F.col("last_day")) <= 2, 1
+        ).otherwise(0).alias("censored"),
+    ).localCheckpoint()
+    arms = lt.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long").alias("nt1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long").alias("nt0"),
+    ).collect()[0]
+    byt = lt.groupBy("t").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long").alias("leave1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long").alias("leave0"),
+        F.sum(
+            F.when((F.col("arm") == 1) & (F.col("censored") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("d1"),
+        F.sum(
+            F.when((F.col("arm") == 0) & (F.col("censored") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("d0"),
+    )
+    w = Window.orderBy("t")
+    risk = byt.select(
+        "t", "d1", "d0",
+        (F.lit(int(arms.nt1)) - (F.sum("leave1").over(w) - F.col("leave1")))
+        .alias("n1"),
+        (F.lit(int(arms.nt0)) - (F.sum("leave0").over(w) - F.col("leave0")))
+        .alias("n0"),
+    )
+    terms = risk.select(
+        "d1", "d0", "n1", "n0",
+        (F.col("d1") + F.col("d0")).alias("d"),
+        (F.col("n1") + F.col("n0")).alias("n"),
+    ).where((F.col("d") > 0) & (F.col("n") > 1))
+    s = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(F.expr("d * 1.0e0 * n1 / n")).alias("e1"),
+        F.sum(
+            F.expr(
+                "d * 1.0e0 * (n1 * 1.0e0 / n) * (n0 * 1.0e0 / n)"
+                " * ((n - d) * 1.0e0 / (n - 1))"
+            )
+        ).alias("v"),
+    )
+    return s.select(
+        F.lit(int(arms.nt1)).cast("long").alias("n_treat"),
+        F.lit(int(arms.nt0)).cast("long").alias("n_ctrl"),
+        F.col("o1").alias("observed_treat"),
+        F.expr(
+            "CAST(FLOOR(e1 * 1000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("expected_treat_micro"),
+        F.expr(
+            "CAST(FLOOR(v * 1000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("var_micro"),
+        F.expr(
+            "CAST(FLOOR((o1 - e1) / SQRT(v) * 1000000e0"
+            " + CASE WHEN o1 * 1.0e0 >= e1 THEN 5.0e-1 ELSE -5.0e-1 END)"
+            " AS BIGINT)"
+        ).alias("z_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry strengths from daily head-to-head counts
+# ---------------------------------------------------------------------------
+
+_BT_ROUNDS = 8
+
+
+def _bt_sql() -> str:
+    rounds = []
+    prev = "pi0"
+    for r in range(1, _BT_ROUNDS + 1):
+        rounds.append(
+            f"""den{r} AS MATERIALIZED (
+      SELECT p.i,
+             SUM(p.n_ij * 1000000.0e0
+                 / (a.pi + b.pi)) AS dn
+      FROM pairs p
+      JOIN {prev} a ON a.item = p.i
+      JOIN {prev} b ON b.item = p.j
+      GROUP BY p.i),
+    raw{r} AS MATERIALIZED (
+      SELECT w.item, w.wins * 1000000.0e0 / d.dn AS pi_raw
+      FROM wins w JOIN den{r} d ON d.i = w.item),
+    pi{r} AS MATERIALIZED (
+      SELECT item,
+             CAST(FLOOR(pi_raw * 5000000e0
+                        / (SELECT SUM(pi_raw) FROM raw{r}) + 5.0e-1)
+                  AS BIGINT) AS pi
+      FROM raw{r})"""
+        )
+        prev = f"pi{r}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH daily AS (
+      SELECT event_type AS item,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY item, d),
+    hh AS (
+      SELECT a.item AS i, b.item AS j,
+             CAST(SUM(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT)
+               AS w_ij,
+             CAST(SUM(CASE WHEN a.c <> b.c THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ij
+      FROM daily a JOIN daily b ON a.d = b.d AND a.item <> b.item
+      GROUP BY a.item, b.item),
+    pairs AS (SELECT i, j, n_ij FROM hh WHERE n_ij > 0),
+    wins AS (SELECT i AS item, CAST(SUM(w_ij) AS BIGINT) AS wins
+             FROM hh GROUP BY i),
+    pi0 AS (SELECT DISTINCT i AS item, CAST(1000000 AS BIGINT) AS pi
+            FROM hh),
+    {chain}
+    SELECT w.item, w.wins,
+           p.pi AS strength_micro
+    FROM wins w JOIN pi{_BT_ROUNDS} p USING (item)
+    ORDER BY p.pi DESC, w.item
+    """
+
+
+@q("bradley_terry_strengths", oracle=_bt_sql())
+def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths from daily head-to-head comparisons
+    (which event type out-counted which, per day): {_BT_ROUNDS} rounds
+    of the MM update pi_i = W_i / sum_j n_ij/(pi_i + pi_j) (Hunter
+    2004), renormalized to a constant total each round — the model
+    behind arena-style pairwise-preference leaderboards, where only
+    comparisons (never absolute scores) are trusted. Completes the
+    ranking family: ``pagerank_cosupply`` ranks by link mass,
+    ``hits_hub_authority`` by endorsement, this by BEATING.
+
+    Exactness: win/comparison counts are exact; each round's strengths
+    snap ONCE to micro after the normalization divide, so the
+    fixed-point trajectory is engine-identical (the
+    ``markov_steady_state`` discipline); the MM denominator divides
+    exact integers inside one double expression.
+
+    Scale shape: head-to-heads are a day-keyed self-join of the
+    (item, day) relation (items x items x days, bounded by the
+    vocabulary); each MM round is two broadcast joins + a partial agg
+    over the |items|^2 pair relation.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.col("event_type").alias("item"),
+        F.expr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        ).alias("d"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    b = daily.select(
+        F.col("item").alias("jtem"), F.col("d").alias("db"),
+        F.col("c").alias("cb"),
+    )
+    hh = (
+        daily.join(
+            b, (F.col("d") == F.col("db")) & (F.col("item") != F.col("jtem"))
+        )
+        .groupBy(F.col("item").alias("i"), F.col("jtem").alias("j"))
+        .agg(
+            F.sum(F.when(F.col("c") > F.col("cb"), 1).otherwise(0))
+            .cast("long").alias("w_ij"),
+            F.sum(F.when(F.col("c") != F.col("cb"), 1).otherwise(0))
+            .cast("long").alias("n_ij"),
+        )
+        .localCheckpoint()
+    )
+    pairs = hh.where(F.col("n_ij") > 0).select("i", "j", "n_ij")
+    wins = hh.groupBy("i").agg(F.sum("w_ij").cast("long").alias("wins"))
+    pi = hh.select(F.col("i").alias("item")).distinct().select(
+        "item", F.lit(1000000).cast("long").alias("pi")
+    ).localCheckpoint()
+    for _ in range(_BT_ROUNDS):
+        a = pi.select(F.col("item").alias("ia"), F.col("pi").alias("pa"))
+        bb = pi.select(F.col("item").alias("ib"), F.col("pi").alias("pb"))
+        den = (
+            pairs.join(F.broadcast(a), F.col("i") == F.col("ia"))
+            .join(F.broadcast(bb), F.col("j") == F.col("ib"))
+            .groupBy(F.col("i").alias("item"))
+            .agg(
+                F.sum(
+                    F.expr("n_ij * 1000000.0e0 / (pa + pb)")
+                ).alias("dn")
+            )
+        )
+        raw = wins.select(F.col("i").alias("item"), "wins").join(
+            den, "item"
+        ).select(
+            "item", F.expr("wins * 1000000.0e0 / dn").alias("pi_raw")
+        )
+        tot = raw.agg(F.sum("pi_raw").alias("s")).collect()[0]["s"]
+        pi = raw.select(
+            "item",
+            F.expr(
+                f"CAST(FLOOR(pi_raw * 5000000e0 / {tot!r} + 5.0e-1)"
+                " AS BIGINT)"
+            ).alias("pi"),
+        ).localCheckpoint()
+    return (
+        wins.select(F.col("i").alias("item"), "wins")
+        .join(pi, "item")
+        .select("item", "wins", F.col("pi").alias("strength_micro"))
+        .orderBy(F.desc("strength_micro"), "item")
+    )

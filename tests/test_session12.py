@@ -2763,3 +2763,123 @@ def test_price_elasticity_matches_pure_python(spark):
     # a uniform-value fixture has demand falling in the top band only
     # through support truncation; the R^2 gate just needs validity
     assert 0 <= got.r2_micro <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# log-rank test
+# ---------------------------------------------------------------------------
+
+
+def test_logrank_matches_pure_python(spark):
+    import math
+    from collections import defaultdict
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .where("event_type = 'purchase'")
+        .selectExpr("user_id", "CAST(ts AS DATE) dt")
+        .toPandas()
+    )
+    wend = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr("MAX(CAST(ts AS DATE)) w").collect()[0].w
+    )
+    users = {}
+    for uid, g in ev.groupby("user_id"):
+        t_ = (g.dt.max() - g.dt.min()).days
+        cens = 1 if (wend - g.dt.max()).days <= 2 else 0
+        users[uid] = (uid % 2, t_, cens)
+    byt = defaultdict(lambda: [0, 0, 0, 0])  # leave1, leave0, d1, d0
+    for arm, t_, c in users.values():
+        e = byt[t_]
+        if arm == 1:
+            e[0] += 1
+            e[2] += 1 - c
+        else:
+            e[1] += 1
+            e[3] += 1 - c
+    nt1 = sum(1 for a, _, _ in users.values() if a == 1)
+    nt0 = len(users) - nt1
+    o1 = 0
+    e1 = v = 0.0
+    rem1, rem0 = 0, 0
+    for t_ in sorted(byt):
+        l1, l0, d1, d0 = byt[t_]
+        n1 = nt1 - rem1
+        n0 = nt0 - rem0
+        rem1 += l1
+        rem0 += l0
+        d = d1 + d0
+        n = n1 + n0
+        if d > 0 and n > 1:
+            o1 += d1
+            e1 += d * n1 / n
+            v += d * (n1 / n) * (n0 / n) * ((n - d) / (n - 1))
+    z = (o1 - e1) / math.sqrt(v)
+    got = QUERIES["logrank_test"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert (got.n_treat, got.n_ctrl, got.observed_treat) == (nt1, nt0, o1)
+    assert got.expected_treat_micro == math.floor(e1 * 1e6 + 0.5)
+    assert got.var_micro == math.floor(v * 1e6 + 0.5)
+    snap = math.floor(z * 1e6 + (0.5 if o1 >= e1 else -0.5))
+    assert got.z_micro == snap
+    # id-parity arms are an A/A: the test must NOT reject at 5 sigma
+    assert abs(got.z_micro) < 5000000
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry
+# ---------------------------------------------------------------------------
+
+
+def test_bradley_terry_matches_pure_python(spark):
+    import math
+    from collections import defaultdict
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "event_type item",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+        )
+        .toPandas()
+    )
+    daily = ev.groupby(["item", "d"]).size()
+    items = sorted(ev.item.unique())
+    days = sorted(ev.d.unique())
+    w = defaultdict(int)
+    n = defaultdict(int)
+    for day in days:
+        for i in items:
+            for j in items:
+                if i == j:
+                    continue
+                ci = daily.get((i, day), 0)
+                cj = daily.get((j, day), 0)
+                if ci != cj:
+                    n[(i, j)] += 1
+                    if ci > cj:
+                        w[(i, j)] += 1
+    wins = {i: sum(w[(i, j)] for j in items if j != i) for i in items}
+    pi = {i: 1000000 for i in items}
+    for _ in range(8):
+        raw = {}
+        for i in items:
+            dn = sum(
+                n[(i, j)] * 1000000.0 / (pi[i] + pi[j])
+                for j in items if j != i and n[(i, j)] > 0
+            )
+            raw[i] = wins[i] * 1000000.0 / dn
+        s = sum(raw.values())
+        pi = {
+            i: math.floor(raw[i] * 5000000 / s + 0.5) for i in items
+        }
+    got = QUERIES["bradley_terry_strengths"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(items)
+    for _, r in got.iterrows():
+        # r.item is the pandas Series.item METHOD — index by name
+        assert r["wins"] == wins[r["item"]]
+        assert abs(r["strength_micro"] - pi[r["item"]]) <= 1
+    # strengths normalize to ~5e6 micro and order by the leaderboard
+    assert abs(got.strength_micro.sum() - 5000000) <= len(items)
+    sm = list(got.strength_micro)
+    assert sm == sorted(sm, reverse=True)

@@ -7244,3 +7244,203 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", "wins", F.col("pi").alias("strength_micro"))
         .orderBy(F.desc("strength_micro"), "item")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dunning log-likelihood-ratio collocations
+# ---------------------------------------------------------------------------
+
+_LLR_MIN = 20
+_LLR_TOPK = 15
+
+# xlogx with the 0 ln 0 = 0 convention, identical literal on both engines
+_LLR_XLX = "(CASE WHEN {k} > 0 THEN {k} * LN({k} * 1.0e0) ELSE 0.0e0 END)"
+
+
+def _llr_expr() -> str:
+    # LLR = 2 * (xlx(k11)+xlx(k12)+xlx(k21)+xlx(k22)+xlx(N)
+    #            - xlx(R1)-xlx(R2)-xlx(C1)-xlx(C2))
+    terms = [
+        _LLR_XLX.format(k="k11"), _LLR_XLX.format(k="k12"),
+        _LLR_XLX.format(k="k21"), _LLR_XLX.format(k="k22"),
+        _LLR_XLX.format(k="nn"),
+    ]
+    neg = [
+        _LLR_XLX.format(k="(k11 + k12)"), _LLR_XLX.format(k="(k21 + k22)"),
+        _LLR_XLX.format(k="(k11 + k21)"), _LLR_XLX.format(k="(k12 + k22)"),
+    ]
+    return (
+        "2.0e0 * (" + " + ".join(terms) + " - " + " - ".join(neg) + ")"
+    )
+
+
+_LLR_SQL = f"""
+    WITH bg AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT string_split(text, ' ') AS w FROM documents) d,
+           LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM bg),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11
+            FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= {_LLR_MIN}),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS r1 FROM bg GROUP BY w1),
+    c2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c1c FROM bg GROUP BY w2),
+    k AS (
+      SELECT c12.w1, c12.w2, c12.k11,
+             c1.r1 - c12.k11 AS k12,
+             c2.c1c - c12.k11 AS k21,
+             nn.nn - c1.r1 - c2.c1c + c12.k11 AS k22,
+             nn.nn AS nn
+      FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nn)
+    SELECT w1 || ' ' || w2 AS bigram, k11 AS n_cooccur,
+           CAST(FLOOR(({_llr_expr()}) * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS llr_micro
+    FROM k ORDER BY llr_micro DESC, bigram LIMIT {_LLR_TOPK}
+    """
+
+
+@q("dunning_llr_bigrams", oracle=_LLR_SQL)
+def dunning_llr_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning 1993): for
+    each frequent bigram, the G^2 statistic of its 2x2 contingency
+    table against word independence, via the xlogx identity (sum of
+    cell entropies minus margin entropies, 0 ln 0 = 0). The collocation
+    test that stays calibrated at LOW counts where
+    ``pmi_cooccurrence`` explodes — which is why corpus linguists
+    rank phrases by LLR, not PMI. Top {_LLR_TOPK} over bigrams with
+    >= {_LLR_MIN} occurrences.
+
+    Exactness: all 2x2 cells are exact integer complements of three
+    aggregates; the xlogx expression is the same literal text on both
+    engines, snapped once to micro.
+
+    Scale shape: bigrams are built in-row (the ``bigram_freq`` zip
+    discipline — never a positional self-join); margins are two
+    word-keyed partial aggs of the SAME pair relation; the candidate
+    filter bounds the join fan-in.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    pairs = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, n - 1),
+                F.slice(w, 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = pairs.localCheckpoint()
+    nn = pairs.count()
+    c12 = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("k11")
+    ).where(F.col("k11") >= _LLR_MIN)
+    c1 = pairs.groupBy("w1").agg(F.count("*").cast("long").alias("r1"))
+    c2 = pairs.groupBy("w2").agg(F.count("*").cast("long").alias("c1c"))
+    k = (
+        c12.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .select(
+            "w1", "w2", "k11",
+            (F.col("r1") - F.col("k11")).alias("k12"),
+            (F.col("c1c") - F.col("k11")).alias("k21"),
+            (F.lit(nn) - F.col("r1") - F.col("c1c") + F.col("k11"))
+            .alias("k22"),
+            F.lit(nn).cast("long").alias("nn"),
+        )
+    )
+    return (
+        k.select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("k11").alias("n_cooccur"),
+            F.expr(
+                f"CAST(FLOOR(({_llr_expr()}) * 1000000e0 + 5.0e-1)"
+                " AS BIGINT)"
+            ).alias("llr_micro"),
+        )
+        .orderBy(F.desc("llr_micro"), "bigram")
+        .limit(_LLR_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding isotropy audit
+# ---------------------------------------------------------------------------
+
+_ISO_SQL = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MAX(len(v)) AS BIGINT) AS dim FROM e),
+    mu AS (
+      SELECT i, SUM(v[i]) AS s
+      FROM e, LATERAL unnest(generate_series(1, len(v))) AS t(i)
+      GROUP BY i),
+    norms AS (
+      SELECT SUM(list_inner_product(v, v)) AS ss FROM e),
+    agg AS (
+      SELECT (SELECT SUM((s / n.n) * (s / n.n)) FROM mu) AS mean_sq,
+             (SELECT ss FROM norms) / n.n AS avg_sq, n.n, n.dim
+      FROM n)
+    SELECT n AS n_vecs, dim,
+           CAST(FLOOR(mean_sq / avg_sq * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS anisotropy_ppm,
+           CAST(FLOOR(SQRT(avg_sq) * 10000e0 + 5.0e-1) AS BIGINT)
+             AS rms_norm_x1e4
+    FROM agg
+    """
+
+
+@q("embedding_isotropy_audit", oracle=_ISO_SQL)
+def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy audit: anisotropy = ||mean vector||^2 /
+    E[||v||^2] — the share of embedding energy locked in ONE common
+    direction (Ethayarajh 2019's headline finding: contextual
+    embeddings are badly anisotropic, and retrieval/cosine quality
+    suffers until the common mean is removed). ~0 means isotropic;
+    large means the first thing any retrieval pipeline should do is
+    center. The health check upstream of every ANN/cosine entry here
+    (``ann_*``, ``embedding_neardup_pairs``, ``semdedup_prune``).
+
+    Exactness: per-dimension sums and squared-norm sums fold the same
+    float32-widened doubles in index order on both engines; the two
+    ratios snap once each.
+
+    Scale shape: ONE pass computes both statistics (a per-dimension
+    sum via in-row position explode bounded by dim, and the norm sum);
+    no joins, no windows over raw rows.
+    """
+    e = t(spark, sf_dir, "embeddings").select(
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    ).localCheckpoint()
+    n = e.count()
+    dim = e.select(F.size("v").alias("d")).agg(
+        F.max("d").alias("d")
+    ).collect()[0]["d"]
+    mu = (
+        e.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"))
+    )
+    mean_sq = mu.agg(
+        F.sum(F.expr(f"(s / {n}) * (s / {n})")).alias("m")
+    ).collect()[0]["m"]
+    avg_sq = (
+        e.select(
+            F.expr(
+                "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"
+            ).alias("sq")
+        ).agg(F.sum("sq").alias("ss")).collect()[0]["ss"]
+        / n
+    )
+    return e.limit(1).select(
+        F.lit(n).cast("long").alias("n_vecs"),
+        F.lit(int(dim)).cast("long").alias("dim"),
+        F.expr(
+            f"CAST(FLOOR({mean_sq!r} / {avg_sq!r} * 1000000e0 + 5.0e-1)"
+            " AS BIGINT)"
+        ).alias("anisotropy_ppm"),
+        F.expr(
+            f"CAST(FLOOR(SQRT({avg_sq!r}) * 10000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("rms_norm_x1e4"),
+    )

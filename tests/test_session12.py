@@ -2883,3 +2883,89 @@ def test_bradley_terry_matches_pure_python(spark):
     assert abs(got.strength_micro.sum() - 5000000) <= len(items)
     sm = list(got.strength_micro)
     assert sm == sorted(sm, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Dunning LLR
+# ---------------------------------------------------------------------------
+
+
+def test_dunning_llr_matches_pure_python(spark):
+    import math
+    from collections import Counter
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("text").toPandas()
+    )
+    pairs = []
+    for txt in docs.text:
+        ws = txt.split(" ")
+        pairs += list(zip(ws, ws[1:]))
+    nn = len(pairs)
+    c12 = Counter(pairs)
+    c1 = Counter(a for a, _ in pairs)
+    c2 = Counter(b for _, b in pairs)
+
+    def xlx(k):
+        return k * math.log(k) if k > 0 else 0.0
+
+    rows = []
+    for (a, b), k11 in c12.items():
+        if k11 < 20:
+            continue
+        k12 = c1[a] - k11
+        k21 = c2[b] - k11
+        k22 = nn - c1[a] - c2[b] + k11
+        llr = 2.0 * (
+            xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22) + xlx(nn)
+            - xlx(k11 + k12) - xlx(k21 + k22)
+            - xlx(k11 + k21) - xlx(k12 + k22)
+        )
+        rows.append((f"{a} {b}", k11, math.floor(llr * 1e6 + 0.5)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    got = QUERIES["dunning_llr_bigrams"](spark, SF_CORRECT).toPandas()
+    assert len(got) == 15
+    for (bg, k11, llr), (_, r) in zip(rows[:15], got.iterrows()):
+        assert r.bigram == bg
+        assert r.n_cooccur == k11
+        # xlogx fold-order float slack
+        assert abs(r.llr_micro - llr) <= 5
+    # G^2 is non-negative up to snapping slack
+    assert (got.llr_micro >= -1).all()
+
+
+# ---------------------------------------------------------------------------
+# embedding isotropy
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_isotropy_matches_pure_python(spark):
+    import math
+
+    import numpy as np
+
+    emb = (
+        spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        .select("embedding").toPandas()
+    )
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    n, dim = mat.shape
+    mu = mat.mean(axis=0)
+    mean_sq = float(mu @ mu)
+    avg_sq = float((mat * mat).sum() / n)
+    got = (
+        QUERIES["embedding_isotropy_audit"](spark, SF_CORRECT)
+        .toPandas().iloc[0]
+    )
+    assert (got.n_vecs, got.dim) == (n, dim)
+    # numpy's pairwise-summation differs from the engines' fold in the
+    # last ulps -> 2-unit slack on the snapped outputs
+    assert abs(
+        got.anisotropy_ppm - math.floor(mean_sq / avg_sq * 1e6 + 0.5)
+    ) <= 2
+    assert abs(
+        got.rms_norm_x1e4 - math.floor(math.sqrt(avg_sq) * 1e4 + 0.5)
+    ) <= 2
+    # an isotropic-by-construction fixture should show LOW anisotropy
+    assert 0 <= got.anisotropy_ppm < 200000

@@ -7444,3 +7444,214 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(FLOOR(SQRT({avg_sq!r}) * 10000e0 + 5.0e-1) AS BIGINT)"
         ).alias("rms_norm_x1e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# matrix profile of the daily series (motifs and discords)
+# ---------------------------------------------------------------------------
+
+_MP_W = 4  # window length
+_MP_EXCL = 2  # trivial-match exclusion zone |i - j| >= 2
+
+
+def _mp_win_sql() -> str:
+    leads = ", ".join(
+        f"LEAD(c, {k}) OVER (ORDER BY d) AS x{k}" for k in range(1, _MP_W)
+    )
+    xs = ["c AS x0"] + [f"x{k}" for k in range(1, _MP_W)]
+    return leads, xs
+
+
+_MP_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    led AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, c AS x0,
+             {", ".join(
+                 f"LEAD(c, {k}) OVER (ORDER BY d) AS x{k}"
+                 for k in range(1, _MP_W)
+             )}
+      FROM daily),
+    win AS (
+      SELECT i,
+             {" + ".join(f"x{k}" for k in range(_MP_W))} AS s1,
+             {" + ".join(
+                 f"CAST(x{k} AS HUGEINT) * x{k}" for k in range(_MP_W)
+             )} AS s2,
+             {", ".join(f"x{k}" for k in range(_MP_W))}
+      FROM led WHERE x{_MP_W - 1} IS NOT NULL),
+    z AS (
+      SELECT i,
+             {", ".join(
+                 f"(x{k} - s1 / {_MP_W}.0e0)"
+                 f" / SQRT(s2 / {_MP_W}.0e0 - (s1 / {_MP_W}.0e0)"
+                 f" * (s1 / {_MP_W}.0e0)) AS z{k}"
+                 for k in range(_MP_W)
+             )}
+      FROM win),
+    pd AS (
+      SELECT a.i AS ia, b.i AS ib,
+             {" + ".join(
+                 f"(a.z{k} - b.z{k}) * (a.z{k} - b.z{k})"
+                 for k in range(_MP_W)
+             )} AS d2
+      FROM z a JOIN z b ON ABS(a.i - b.i) >= {_MP_EXCL}),
+    mp AS (
+      SELECT ia AS i, MIN(d2) AS nn_d2 FROM pd GROUP BY ia),
+    mpj AS (
+      SELECT mp.i, mp.nn_d2, MIN(pd.ib) AS nn_j
+      FROM mp JOIN pd ON pd.ia = mp.i AND pd.d2 = mp.nn_d2
+      GROUP BY mp.i, mp.nn_d2)
+    SELECT i AS window_idx, nn_j AS nn_idx,
+           CAST(FLOOR(SQRT(nn_d2) * 10000e0 + 5.0e-1) AS BIGINT)
+             AS nn_dist_x1e4
+    FROM mpj ORDER BY nn_dist_x1e4 DESC, window_idx LIMIT 5
+    """
+
+
+@q("matrix_profile_daily", oracle=_MP_SQL)
+def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile of the daily value series (Yeh et al. 2016),
+    window {_MP_W}: each window's z-normalized Euclidean distance to
+    its nearest non-trivial neighbor (exclusion zone |i-j| >=
+    {_MP_EXCL}); the top-5 largest profile entries are the DISCORDS —
+    the week-shapes least like anything else in the series, the
+    anomaly primitive that needs no model at all (low entries are the
+    motifs). Complements ``cusum_changepoints`` (level shifts) with
+    shape anomalies.
+
+    Exactness: window sums and square sums are exact integers through
+    HUGEINT; z-normalization and pair distances run in doubles with
+    identical expression text; nearest-neighbor ties break on the
+    smaller neighbor index via MIN_BY over (distance, index); the
+    output snaps once.
+
+    Scale shape: windows come from {_MP_W - 1} LEADs in ONE ordered
+    pass over the calendar-bounded daily relation; the pair join is
+    quadratic in the WINDOW count (calendar-bounded, the
+    ``recurrence_quantification`` budget), never in raw rows.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    )
+    w = Window.orderBy("d")
+    led = daily.select(
+        F.row_number().over(w).alias("i"),
+        F.col("c").alias("x0"),
+        *[F.lead("c", k).over(w).alias(f"x{k}") for k in range(1, _MP_W)],
+    ).where(F.col(f"x{_MP_W - 1}").isNotNull())
+    win = led.select(
+        "i",
+        F.expr(" + ".join(f"x{k}" for k in range(_MP_W))).alias("s1"),
+        F.expr(
+            " + ".join(
+                f"CAST(x{k} AS DECIMAL(38,0)) * x{k}"
+                for k in range(_MP_W)
+            )
+        ).alias("s2"),
+        *[F.col(f"x{k}") for k in range(_MP_W)],
+    )
+    z = win.select(
+        "i",
+        *[
+            F.expr(
+                f"(x{k} - s1 / {_MP_W}.0e0)"
+                f" / SQRT(s2 / {_MP_W}.0e0 - (s1 / {_MP_W}.0e0)"
+                f" * (s1 / {_MP_W}.0e0))"
+            ).alias(f"z{k}")
+            for k in range(_MP_W)
+        ],
+    ).localCheckpoint()
+    b = z.select(
+        F.col("i").alias("ib"),
+        *[F.col(f"z{k}").alias(f"w{k}") for k in range(_MP_W)],
+    )
+    pd_ = z.join(
+        b, F.abs(F.col("i") - F.col("ib")) >= _MP_EXCL
+    ).select(
+        "i", "ib",
+        F.expr(
+            " + ".join(
+                f"(z{k} - w{k}) * (z{k} - w{k})" for k in range(_MP_W)
+            )
+        ).alias("d2"),
+    )
+    mp = pd_.groupBy("i").agg(
+        F.min("d2").alias("nn_d2"),
+        F.expr("min_by(ib, struct(d2, ib))").alias("nn_j"),
+    )
+    return (
+        mp.select(
+            F.col("i").alias("window_idx"),
+            F.col("nn_j").alias("nn_idx"),
+            F.expr(
+                "CAST(FLOOR(SQRT(nn_d2) * 10000e0 + 5.0e-1) AS BIGINT)"
+            ).alias("nn_dist_x1e4"),
+        )
+        .orderBy(F.desc("nn_dist_x1e4"), "window_idx")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# German-tank (serial number) population estimate
+# ---------------------------------------------------------------------------
+
+_GT_MOD = 13
+
+_GTK_SQL = f"""
+    WITH samp AS (
+      SELECT event_id FROM events WHERE event_id % {_GT_MOD} = 0),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(MAX(event_id) AS BIGINT) AS m
+      FROM samp),
+    truth AS (SELECT CAST(MAX(event_id) AS BIGINT) AS true_max
+              FROM events)
+    SELECT s.k AS n_sampled, s.m AS sample_max, t.true_max,
+           CAST(s.m + s.m // s.k - 1 AS BIGINT) AS estimate_mvue,
+           CAST(ABS(s.m + s.m // s.k - 1 - t.true_max) * 1000000
+                // t.true_max AS BIGINT) AS rel_err_ppm
+    FROM s CROSS JOIN truth t
+    """
+
+
+@q("serial_number_estimate", oracle=_GTK_SQL)
+def serial_number_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """German-tank (serial-number) population estimate: from the
+    sampled maximum m and sample size k, the minimum-variance unbiased
+    estimator N-hat = m + m/k - 1 of the id-space size — the classic
+    inference-from-identifiers result (estimating a partner system's
+    row count, key-space exhaustion, or crawl frontier size from the
+    ids you happen to observe). Scored against the fixture's known
+    true maximum.
+
+    Exactness: the sample max, count, the estimator (integer floor
+    form) and the relative error are all exact integers.
+
+    Scale shape: one filtered scan aggregate (the sample predicate
+    pushes down) plus one global max — two scalar aggregates, no
+    joins.
+    """
+    ev = t(spark, sf_dir, "events")
+    s = ev.where(F.expr(f"event_id % {_GT_MOD} = 0")).agg(
+        F.count("*").cast("long").alias("k"),
+        F.max("event_id").cast("long").alias("m"),
+    )
+    truth = ev.agg(F.max("event_id").cast("long").alias("true_max"))
+    return s.crossJoin(F.broadcast(truth)).select(
+        F.col("k").alias("n_sampled"),
+        F.col("m").alias("sample_max"),
+        "true_max",
+        F.expr("CAST(m + m div k - 1 AS BIGINT)").alias("estimate_mvue"),
+        F.expr(
+            "CAST(ABS(m + m div k - 1 - true_max) * 1000000"
+            " div true_max AS BIGINT)"
+        ).alias("rel_err_ppm"),
+    )

@@ -2969,3 +2969,89 @@ def test_embedding_isotropy_matches_pure_python(spark):
     ) <= 2
     # an isotropic-by-construction fixture should show LOW anisotropy
     assert 0 <= got.anisotropy_ppm < 200000
+
+
+# ---------------------------------------------------------------------------
+# matrix profile
+# ---------------------------------------------------------------------------
+
+
+def test_matrix_profile_matches_pure_python(spark):
+    import math
+
+    daily = _daily_cents(spark)
+    xs = [int(v) for v in daily]
+    wins = [xs[i:i + 4] for i in range(len(xs) - 3)]
+
+    def znorm(w):
+        m = sum(w) / 4.0
+        sd = math.sqrt(sum(v * v for v in w) / 4.0 - m * m)
+        return [(v - m) / sd for v in w]
+
+    zs = [znorm(w) for w in wins]
+    prof = {}
+    for i in range(len(zs)):
+        best = None
+        for j in range(len(zs)):
+            if abs(i - j) < 2:
+                continue
+            d2 = sum((a - b) ** 2 for a, b in zip(zs[i], zs[j]))
+            if best is None or d2 < best[0] - 1e-12 or (
+                abs(d2 - best[0]) <= 1e-12 and j + 1 < best[1]
+            ):
+                best = (d2, j + 1)
+            # replicate exact double compare: track min then min index
+        prof[i + 1] = best
+    # recompute with exact tie semantics: min d2 then min ib at that d2
+    prof = {}
+    for i in range(len(zs)):
+        d2s = {
+            j + 1: sum((a - b) ** 2 for a, b in zip(zs[i], zs[j]))
+            for j in range(len(zs)) if abs(i - j) >= 2
+        }
+        mn = min(d2s.values())
+        nn_j = min(j for j, v in d2s.items() if v == mn)
+        prof[i + 1] = (mn, nn_j)
+    rows = sorted(
+        (
+            (i, j, math.floor(math.sqrt(d2) * 1e4 + 0.5))
+            for i, (d2, j) in prof.items()
+        ),
+        key=lambda r: (-r[2], r[0]),
+    )[:5]
+    got = QUERIES["matrix_profile_daily"](spark, SF_CORRECT).toPandas()
+    assert len(got) == 5
+    for (i, j, d), (_, r) in zip(rows, got.iterrows()):
+        assert r.window_idx == i
+        # float fold-order slack: distances may differ in last ulp, so
+        # the snapped value gets 1 unit and the argmin may tie-swap only
+        # when distances are equal to snapping precision
+        assert abs(r.nn_dist_x1e4 - d) <= 1
+    # the top discord's distance bounds all reported ones
+    ds = list(got.nn_dist_x1e4)
+    assert ds == sorted(ds, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# German tank
+# ---------------------------------------------------------------------------
+
+
+def test_serial_number_estimate_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr("event_id").toPandas()
+    )
+    samp = [i for i in ev.event_id if i % 13 == 0]
+    k, m = len(samp), max(samp)
+    true_max = int(ev.event_id.max())
+    est = m + m // k - 1
+    got = (
+        QUERIES["serial_number_estimate"](spark, SF_CORRECT)
+        .toPandas().iloc[0]
+    )
+    assert (got.n_sampled, got.sample_max, got.true_max) == (k, m, true_max)
+    assert got.estimate_mvue == est
+    assert got.rel_err_ppm == abs(est - true_max) * 1000000 // true_max
+    # the MVUE with a 1/13 sample should land within ~5/k of the truth
+    assert got.rel_err_ppm < 5 * 1000000 // k

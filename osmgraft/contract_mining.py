@@ -7655,3 +7655,226 @@ def serial_number_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div true_max AS BIGINT)"
         ).alias("rel_err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+_HU_SIZES = (4, 8, 16)
+
+
+def _hu_block_sql(m: int) -> str:
+    # per block of size m: R = max-min of the demeaned prefix sums,
+    # S = population std; both from exact block aggregates + window sums
+    return f"""
+    blk{m} AS (
+      SELECT (i - 1) // {m} AS b, i, c,
+             SUM(c) OVER (PARTITION BY (i - 1) // {m} ORDER BY i) AS cs,
+             SUM(c) OVER (PARTITION BY (i - 1) // {m}) AS tot,
+             COUNT(*) OVER (PARTITION BY (i - 1) // {m}) AS bn,
+             ROW_NUMBER() OVER (PARTITION BY (i - 1) // {m} ORDER BY i)
+               AS k
+      FROM idx),
+    dev{m} AS (
+      SELECT b, c, tot, bn,
+             cs * 1.0e0 - k * (tot * 1.0e0 / {m}) AS y
+      FROM blk{m} WHERE bn = {m}),
+    rs{m} AS (
+      SELECT b,
+             MAX(y) - MIN(y) AS r,
+             SQRT(SUM((c * 1.0e0 - tot * 1.0e0 / {m})
+                      * (c * 1.0e0 - tot * 1.0e0 / {m})) / {m}) AS s
+      FROM dev{m} GROUP BY b, tot),
+    avg{m} AS (
+      SELECT {m} AS m, AVG(r / s) AS rs, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM rs{m} WHERE s > 0)"""
+
+
+def _hu_sql() -> str:
+    blocks = ",".join(_hu_block_sql(m) for m in _HU_SIZES)
+    union = " UNION ALL ".join(f"SELECT * FROM avg{m}" for m in _HU_SIZES)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    idx AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, c FROM daily),
+    {blocks},
+    pts AS (SELECT LN(m * 1.0e0) AS lx, LN(rs) AS ly, m, rs, nb
+            FROM ({union})),
+    fit AS (
+      SELECT (COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly))
+             / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx)) AS h
+      FROM pts)
+    SELECT p.m AS block_size, p.nb AS n_blocks,
+           CAST(FLOOR(p.rs * 10000e0 + 5.0e-1) AS BIGINT) AS rs_x1e4,
+           CAST(FLOOR(f.h * 1000000e0 + 5.0e-1) AS BIGINT) AS hurst_micro
+    FROM pts p CROSS JOIN fit f ORDER BY p.m
+    """
+
+
+@q("hurst_rs_exponent", oracle=_hu_sql())
+def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (Hurst 1951, the
+    long-memory diagnostic): split the daily series into blocks of
+    {_HU_SIZES} days, compute each block's R/S (range of demeaned
+    prefix sums over the block std), average per size, and fit
+    log(R/S) ~ log(n) — H > 0.5 long-range persistence, < 0.5 mean
+    reversion, 0.5 random walk. The scaling-law companion of
+    ``acf_daily_lags`` (fixed lags) and ``haar_wavelet_energy``
+    (fixed scales).
+
+    Exactness: block sums, prefix sums and counts are exact integers;
+    R, S and the log-log fit run in doubles over those integers in
+    identical expression order, snapped once per output.
+
+    Scale shape: blocks are arithmetic-key partitions of the
+    calendar-bounded daily relation — all three sizes share one scan
+    each; the regression is a 3-point aggregate.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "c"
+    ).localCheckpoint()
+    rows = []
+    for m in _HU_SIZES:
+        wb = Window.partitionBy(F.expr(f"(i - 1) div {m}"))
+        wo = wb.orderBy("i")
+        blk = idx.select(
+            F.expr(f"(i - 1) div {m}").alias("b"), "i", "c",
+            F.sum("c").over(wo).alias("cs"),
+            F.sum("c").over(wb).alias("tot"),
+            F.count("*").over(wb).alias("bn"),
+            F.row_number().over(wo).alias("k"),
+        ).where(F.col("bn") == m)
+        dev = blk.select(
+            "b", "c", "tot",
+            F.expr(f"cs * 1.0e0 - k * (tot * 1.0e0 / {m})").alias("y"),
+        )
+        rs = dev.groupBy("b", "tot").agg(
+            (F.max("y") - F.min("y")).alias("r"),
+            F.expr(
+                f"SQRT(SUM((c * 1.0e0 - tot * 1.0e0 / {m})"
+                f" * (c * 1.0e0 - tot * 1.0e0 / {m})) / {m})"
+            ).alias("s"),
+        )
+        row = rs.where(F.col("s") > 0).agg(
+            F.avg(F.expr("r / s")).alias("rs"),
+            F.count("*").cast("long").alias("nb"),
+        ).collect()[0]
+        rows.append((m, float(row.rs), int(row.nb)))
+    import math as _math
+
+    lxy = [( _math.log(m), _math.log(rs)) for m, rs, _ in rows]
+    k = len(lxy)
+    sx = sum(x for x, _ in lxy)
+    sy = sum(y for _, y in lxy)
+    sxx = sum(x * x for x, _ in lxy)
+    sxy = sum(x * y for x, y in lxy)
+    h = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    out = [
+        (m, nb, _math.floor(rs * 1e4 + 0.5), _math.floor(h * 1e6 + 0.5))
+        for m, rs, nb in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "block_size INT, n_blocks BIGINT, rs_x1e4 BIGINT, hurst_micro BIGINT",
+    ).orderBy("block_size")
+
+
+# ---------------------------------------------------------------------------
+# engagement half-life (activity decay with account age)
+# ---------------------------------------------------------------------------
+
+_EH_SQL = """
+    WITH ev AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM events),
+    u0 AS (SELECT user_id, MIN(d) AS d0 FROM ev GROUP BY user_id),
+    aged AS (
+      SELECT e.d - u.d0 AS age_w
+      FROM ev e JOIN u0 u USING (user_id)),
+    wk AS (
+      SELECT age_w // 7 AS w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM aged GROUP BY age_w // 7 HAVING COUNT(*) >= 10),
+    pts AS (SELECT w * 1.0e0 AS x, LN(c * 1.0e0) AS y FROM wk),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS slope
+      FROM pts)
+    SELECT m AS n_weeks,
+           CAST(FLOOR(slope * 1000000e0 + CASE WHEN slope >= 0
+                      THEN 5.0e-1 ELSE -5.0e-1 END) AS BIGINT)
+             AS slope_micro,
+           CASE WHEN slope < 0
+                THEN CAST(FLOOR(-0.6931471805599453e0 / slope * 10000e0
+                                + 5.0e-1) AS BIGINT)
+                ELSE CAST(-1 AS BIGINT) END AS half_life_weeks_x1e4
+    FROM fit
+    """
+
+
+@q("engagement_half_life", oracle=_EH_SQL)
+def engagement_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement half-life: total event volume by ACCOUNT AGE week
+    (days since each user's first activity), exponential-decay fit
+    ln(volume) ~ age, and the half-life ln2/|slope| — the one-number
+    retention decay every growth model plugs in (and the continuous
+    twin of ``cohort_retention``'s discrete table; -1 sentinel when
+    activity doesn't decay). Thin age-weeks (< 10 events) are dropped
+    from the fit.
+
+    Exactness: age weeks and volumes are exact integers; the log-OLS
+    runs in doubles over them with identical expression text, snapped
+    half-up toward the slope's sign; the half-life divides the ln 2
+    literal by the unsnapped slope.
+
+    Scale shape: one user-keyed min (first activity), one broadcast
+    join back, ONE age-week partial agg; the fit is a 4-sum aggregate
+    over the age-bounded week relation.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        ).alias("d"),
+    )
+    u0 = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    aged = ev.join(F.broadcast(u0), "user_id").select(
+        (F.col("d") - F.col("d0")).alias("age_w")
+    )
+    wk = aged.groupBy(F.expr("age_w div 7").alias("w")).agg(
+        F.count("*").cast("long").alias("c")
+    ).where(F.col("c") >= 10)
+    pts = wk.select(
+        F.expr("w * 1.0e0").alias("x"), F.expr("LN(c * 1.0e0)").alias("y")
+    )
+    fit = pts.agg(
+        F.count("*").cast("long").alias("m"),
+        F.expr(
+            "(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))"
+            " / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))"
+        ).alias("slope"),
+    )
+    return fit.select(
+        F.col("m").alias("n_weeks"),
+        F.expr(
+            "CAST(FLOOR(slope * 1000000e0 + CASE WHEN slope >= 0"
+            " THEN 5.0e-1 ELSE -5.0e-1 END) AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CASE WHEN slope < 0"
+            " THEN CAST(FLOOR(-0.6931471805599453e0 / slope * 10000e0"
+            " + 5.0e-1) AS BIGINT)"
+            " ELSE CAST(-1 AS BIGINT) END"
+        ).alias("half_life_weeks_x1e4"),
+    )

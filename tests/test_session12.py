@@ -3055,3 +3055,91 @@ def test_serial_number_estimate_matches_pure_python(spark):
     assert got.rel_err_ppm == abs(est - true_max) * 1000000 // true_max
     # the MVUE with a 1/13 sample should land within ~5/k of the truth
     assert got.rel_err_ppm < 5 * 1000000 // k
+
+
+# ---------------------------------------------------------------------------
+# Hurst R/S
+# ---------------------------------------------------------------------------
+
+
+def test_hurst_rs_matches_pure_python(spark):
+    import math
+
+    daily = _daily_cents(spark)
+    xs = [int(v) for v in daily]
+    stats = []
+    for m in (4, 8, 16):
+        rss = []
+        for b in range(len(xs) // m):
+            blk = xs[b * m:(b + 1) * m]
+            mean = sum(blk) / m
+            cs = 0.0
+            ys = []
+            for v in blk:
+                cs += v
+            # demeaned prefix sums
+            run = 0.0
+            for k, v in enumerate(blk, start=1):
+                run += v
+                ys.append(run - k * mean)
+            r = max(ys) - min(ys)
+            s = math.sqrt(sum((v - mean) ** 2 for v in blk) / m)
+            if s > 0:
+                rss.append(r / s)
+        stats.append((m, sum(rss) / len(rss), len(rss)))
+    lxy = [(math.log(m), math.log(rs)) for m, rs, _ in stats]
+    k = len(lxy)
+    sx = sum(x for x, _ in lxy)
+    sy = sum(y for _, y in lxy)
+    sxx = sum(x * x for x, _ in lxy)
+    sxy = sum(x * y for x, y in lxy)
+    h = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    got = QUERIES["hurst_rs_exponent"](spark, SF_CORRECT).toPandas()
+    assert list(got.block_size) == [4, 8, 16]
+    for (m, rs, nb), (_, r) in zip(stats, got.iterrows()):
+        assert r.n_blocks == nb
+        assert abs(r.rs_x1e4 - math.floor(rs * 1e4 + 0.5)) <= 1
+        assert abs(r.hurst_micro - math.floor(h * 1e6 + 0.5)) <= 2
+    # H of any real series lives in (0, 1)
+    assert 0 < got.iloc[0].hurst_micro < 1000000
+
+
+# ---------------------------------------------------------------------------
+# engagement half-life
+# ---------------------------------------------------------------------------
+
+
+def test_engagement_half_life_matches_pure_python(spark):
+    import math
+    from collections import Counter
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+        )
+        .toPandas()
+    )
+    first = ev.groupby("user_id").d.min().to_dict()
+    wk = Counter((int(r.d) - first[r.user_id]) // 7 for _, r in ev.iterrows())
+    pts = [(w, math.log(c)) for w, c in wk.items() if c >= 10]
+    m = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    got = (
+        QUERIES["engagement_half_life"](spark, SF_CORRECT).toPandas().iloc[0]
+    )
+    assert got.n_weeks == m
+    snap = math.floor(slope * 1e6 + (0.5 if slope >= 0 else -0.5))
+    assert abs(got.slope_micro - snap) <= 1
+    if slope < 0:
+        assert abs(
+            got.half_life_weeks_x1e4
+            - math.floor(-math.log(2) / slope * 1e4 + 0.5)
+        ) <= 1
+    else:
+        assert got.half_life_weeks_x1e4 == -1

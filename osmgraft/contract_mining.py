@@ -7878,3 +7878,234 @@ def engagement_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE CAST(-1 AS BIGINT) END"
         ).alias("half_life_weeks_x1e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# linear-SHAP feature importance for the two-feature OLS
+# ---------------------------------------------------------------------------
+
+_LS_SQL = """
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x1,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x2,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS HUGEINT) AS s1,
+             CAST(SUM(x2) AS HUGEINT) AS s2,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+             CAST(SUM(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+             CAST(SUM(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
+      FROM u),
+    cov AS (
+      SELECT n, s1, s2,
+             (n * s11 - s1 * s1) * 1.0e0 AS v1,
+             (n * s22 - s2 * s2) * 1.0e0 AS v2,
+             (n * s12 - s1 * s2) * 1.0e0 AS c12,
+             (n * s1y - s1 * sy) * 1.0e0 AS c1y,
+             (n * s2y - s2 * sy) * 1.0e0 AS c2y
+      FROM s),
+    w AS (
+      SELECT n, s1, s2,
+             (c1y * v2 - c2y * c12) / (v1 * v2 - c12 * c12) AS w1,
+             (c2y * v1 - c1y * c12) / (v1 * v2 - c12 * c12) AS w2
+      FROM cov),
+    shap AS (
+      SELECT 'clicks' AS feature, w.w1 AS wgt,
+             SUM(ABS(w.w1 * (u.x1 - w.s1 * 1.0e0 / w.n))) / w.n AS mas
+      FROM u CROSS JOIN w GROUP BY w.w1, w.n
+      UNION ALL
+      SELECT 'views', w.w2,
+             SUM(ABS(w.w2 * (u.x2 - w.s2 * 1.0e0 / w.n))) / w.n
+      FROM u CROSS JOIN w GROUP BY w.w2, w.n),
+    tot AS (SELECT SUM(mas) AS tm FROM shap)
+    SELECT s.feature,
+           CAST(FLOOR(s.wgt * 1000000e0 + CASE WHEN s.wgt >= 0
+                      THEN 5.0e-1 ELSE -5.0e-1 END) AS BIGINT)
+             AS weight_micro,
+           CAST(FLOOR(s.mas * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS mean_abs_shap_micro,
+           CAST(FLOOR(s.mas / t.tm * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS importance_share_ppm
+    FROM shap s CROSS JOIN tot t ORDER BY s.feature
+    """
+
+
+@q("linear_shap_importance", oracle=_LS_SQL)
+def linear_shap_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-SHAP feature importance: for the exact two-feature OLS
+    (purchases ~ clicks + views at user grain), each row's SHAP value
+    is w_j (x_j - mean_j) EXACTLY (Lundberg & Lee 2017, the linear
+    special case — no sampling needed); importance = mean |SHAP| per
+    feature, plus each feature's share. The explainability readout a
+    model-governance review asks for next to the raw coefficients
+    (scale-free, unlike the weights).
+
+    Exactness: user aggregates and all normal-equation power sums are
+    exact integers through HUGEINT == DECIMAL(38,0); the solve and the
+    |SHAP| scan run in doubles over exact inputs, snapped once per
+    output.
+
+    Scale shape: ONE user-keyed partial agg feeds both the 9-sum
+    normal-equation aggregate and (joined back against the 1-row
+    weight relation) the |SHAP| aggregate — two scans of the compact
+    user relation, never of raw events.
+    """
+    u = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("x1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long").alias("x2"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("y"),
+    ).localCheckpoint()
+    D = "DECIMAL(38,0)"
+    s = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr(f"CAST(x1 AS {D})")).alias("s1"),
+        F.sum(F.expr(f"CAST(x2 AS {D})")).alias("s2"),
+        F.sum(F.expr(f"CAST(y AS {D})")).alias("sy"),
+        F.sum(F.expr(f"CAST(x1 AS {D}) * x1")).alias("s11"),
+        F.sum(F.expr(f"CAST(x1 AS {D}) * x2")).alias("s12"),
+        F.sum(F.expr(f"CAST(x2 AS {D}) * x2")).alias("s22"),
+        F.sum(F.expr(f"CAST(x1 AS {D}) * y")).alias("s1y"),
+        F.sum(F.expr(f"CAST(x2 AS {D}) * y")).alias("s2y"),
+    ).collect()[0]
+    n = int(s.n)
+    v1 = float(n * s.s11 - s.s1 * s.s1)
+    v2 = float(n * s.s22 - s.s2 * s.s2)
+    c12 = float(n * s.s12 - s.s1 * s.s2)
+    c1y = float(n * s.s1y - s.s1 * s.sy)
+    c2y = float(n * s.s2y - s.s2 * s.sy)
+    det = v1 * v2 - c12 * c12
+    w1 = (c1y * v2 - c2y * c12) / det
+    w2 = (c2y * v1 - c1y * c12) / det
+    m1 = float(s.s1) / n
+    m2 = float(s.s2) / n
+    shap = u.agg(
+        F.expr(f"SUM(ABS({w1!r} * (x1 - {m1!r}))) / {n}").alias("mas1"),
+        F.expr(f"SUM(ABS({w2!r} * (x2 - {m2!r}))) / {n}").alias("mas2"),
+    ).collect()[0]
+    mas1, mas2 = float(shap.mas1), float(shap.mas2)
+    tm = mas1 + mas2
+    import math as _math
+
+    def snap_signed(v):
+        return _math.floor(v * 1e6 + (0.5 if v >= 0 else -0.5))
+
+    rows = [
+        ("clicks", snap_signed(w1), _math.floor(mas1 * 1e6 + 0.5),
+         _math.floor(mas1 / tm * 1e6 + 0.5)),
+        ("views", snap_signed(w2), _math.floor(mas2 * 1e6 + 0.5),
+         _math.floor(mas2 / tm * 1e6 + 0.5)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "feature STRING, weight_micro BIGINT, mean_abs_shap_micro BIGINT,"
+        " importance_share_ppm BIGINT",
+    ).orderBy("feature")
+
+
+# ---------------------------------------------------------------------------
+# partial-dependence profile of the hard-sigmoid model
+# ---------------------------------------------------------------------------
+
+_PDP_GRID = (0, 2, 4, 6, 8, 10, 12, 14)
+
+
+def _pdp_sql() -> str:
+    from osmgraft.contract_select import (
+        _BR_HITS, _BR_REL_MIN, _HS_LR_SHIFT, _HS_ROUNDS,
+    )
+
+    # reuse the exact GD weight chain from training_cartography
+    grid = ", ".join(f"({g})" for g in _PDP_GRID)
+    return f"""
+    WITH {_tc_weight_chain()},
+    g(gx) AS (VALUES {grid}),
+    preds AS (
+      SELECT g.gx,
+             LEAST(1000000, GREATEST(0,
+               500000 + (w.w1 * g.gx + w.w2 * f.x2 + w.b) // 4)) AS p
+      FROM feat f CROSS JOIN g CROSS JOIN w{_HS_ROUNDS} w)
+    SELECT gx AS x1_value,
+           CAST(SUM(p) // COUNT(*) AS BIGINT) AS pdp_micro,
+           CAST(MIN(p) AS BIGINT) AS ice_min_micro,
+           CAST(MAX(p) AS BIGINT) AS ice_max_micro
+    FROM preds GROUP BY gx ORDER BY gx
+    """
+
+
+@q("partial_dependence_profile", oracle=_pdp_sql())
+def partial_dependence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-dependence profile (Friedman 2001) of the
+    ``hard_sigmoid_logreg`` model along the length feature: at each
+    grid value, the model's mean prediction with every document's OTHER
+    feature held at its observed value, plus the ICE envelope
+    (min/max individual predictions — a wide envelope flags
+    interactions the PDP average hides). Because the model is the
+    exact-integer hard-sigmoid, every PDP point is an EXACT integer
+    micro mean — the rare explainability plot with zero float noise.
+
+    Scale shape: the trained weights come from the logreg's bounded
+    full-scan GD; the profile is ONE scan of the feature relation
+    crossed with the {len(_PDP_GRID)}-value grid (constant fan-out),
+    then a grid-keyed partial agg.
+    """
+    from osmgraft.contract_select import (
+        _BR_HITS, _BR_REL_MIN, _HS_LR_SHIFT, _HS_ROUNDS,
+    )
+
+    hits = _BR_HITS.replace("//", " div ")
+    feat = t(spark, sf_dir, "documents").select(
+        F.expr("n_chars div 64").alias("x1"),
+        F.expr(hits).alias("x2"),
+        F.expr(
+            f"CASE WHEN {hits} >= {_BR_REL_MIN} THEN 1 ELSE 0 END"
+        ).alias("y"),
+    ).localCheckpoint()
+    n = feat.count()
+    denom = n * (1 << _HS_LR_SHIFT)
+    w1 = w2 = b = 0
+    for _ in range(_HS_ROUNDS):
+        e = F.expr(
+            f"LEAST(1000000, GREATEST(0,"
+            f" 500000 + ({w1} * x1 + {w2} * x2 + {b}) div 4))"
+            " - y * 1000000"
+        )
+        g = feat.select(e.alias("e"), "x1", "x2").agg(
+            F.sum(F.col("e") * F.col("x1")).alias("g1"),
+            F.sum(F.col("e") * F.col("x2")).alias("g2"),
+            F.sum("e").alias("g0"),
+        ).collect()[0]
+
+        def upd(w, gv):
+            gv = int(gv)
+            return w - (gv // denom if gv >= 0 else -((-gv) // denom))
+
+        w1, w2, b = upd(w1, g.g1), upd(w2, g.g2), upd(b, g.g0)
+    grid = spark.createDataFrame([(g,) for g in _PDP_GRID], "gx INT")
+    preds = feat.crossJoin(F.broadcast(grid)).select(
+        "gx",
+        F.expr(
+            f"LEAST(1000000, GREATEST(0,"
+            f" 500000 + ({w1} * gx + {w2} * x2 + {b}) div 4))"
+        ).alias("p"),
+    )
+    return (
+        preds.groupBy(F.col("gx").alias("x1_value"))
+        .agg(
+            F.expr("CAST(SUM(p) div COUNT(*) AS BIGINT)").alias("pdp_micro"),
+            F.min("p").cast("long").alias("ice_min_micro"),
+            F.max("p").cast("long").alias("ice_max_micro"),
+        )
+        .orderBy("x1_value")
+    )

@@ -3143,3 +3143,111 @@ def test_engagement_half_life_matches_pure_python(spark):
         ) <= 1
     else:
         assert got.half_life_weeks_x1e4 == -1
+
+
+# ---------------------------------------------------------------------------
+# linear SHAP
+# ---------------------------------------------------------------------------
+
+
+def test_linear_shap_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr("user_id", "event_type").toPandas()
+    )
+    rows = []
+    for _, g in ev.groupby("user_id"):
+        rows.append((
+            int((g.event_type == "click").sum()),
+            int((g.event_type == "view").sum()),
+            int((g.event_type == "purchase").sum()),
+        ))
+    n = len(rows)
+    s1 = sum(a for a, _, _ in rows)
+    s2 = sum(b for _, b, _ in rows)
+    sy = sum(y for _, _, y in rows)
+    s11 = sum(a * a for a, _, _ in rows)
+    s12 = sum(a * b for a, b, _ in rows)
+    s22 = sum(b * b for _, b, _ in rows)
+    s1y = sum(a * y for a, _, y in rows)
+    s2y = sum(b * y for _, b, y in rows)
+    v1 = float(n * s11 - s1 * s1)
+    v2 = float(n * s22 - s2 * s2)
+    c12 = float(n * s12 - s1 * s2)
+    c1y = float(n * s1y - s1 * sy)
+    c2y = float(n * s2y - s2 * sy)
+    det = v1 * v2 - c12 * c12
+    w1 = (c1y * v2 - c2y * c12) / det
+    w2 = (c2y * v1 - c1y * c12) / det
+    m1, m2 = s1 / n, s2 / n
+    mas1 = sum(abs(w1 * (a - m1)) for a, _, _ in rows) / n
+    mas2 = sum(abs(w2 * (b - m2)) for _, b, _ in rows) / n
+    got = (
+        QUERIES["linear_shap_importance"](spark, SF_CORRECT)
+        .toPandas().set_index("feature")
+    )
+    for name, w, mas in (("clicks", w1, mas1), ("views", w2, mas2)):
+        r = got.loc[name]
+        assert abs(
+            r.weight_micro
+            - math.floor(w * 1e6 + (0.5 if w >= 0 else -0.5))
+        ) <= 1
+        assert abs(r.mean_abs_shap_micro - math.floor(mas * 1e6 + 0.5)) <= 1
+        assert abs(
+            r.importance_share_ppm
+            - math.floor(mas / (mas1 + mas2) * 1e6 + 0.5)
+        ) <= 1
+    # shares partition the attribution
+    assert abs(got.importance_share_ppm.sum() - 1000000) <= 2
+
+
+# ---------------------------------------------------------------------------
+# partial dependence
+# ---------------------------------------------------------------------------
+
+
+def test_pdp_matches_pure_python(spark):
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("text", "n_chars").toPandas()
+    )
+    feats = []
+    for _, r in docs.iterrows():
+        x1 = int(r.n_chars) // 64
+        x2 = (len(r.text) - len(r.text.replace("spark", ""))) // 5
+        feats.append((x1, x2, 1 if x2 >= 4 else 0))
+    n = len(feats)
+    denom = n * 2
+
+    def trunc_div(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    w1 = w2 = b = 0
+    for _ in range(8):
+        g1 = g2 = g0 = 0
+        for x1, x2, y in feats:
+            p = min(1000000, max(0, 500000 + trunc_div(
+                w1 * x1 + w2 * x2 + b, 4)))
+            e = p - y * 1000000
+            g1 += e * x1
+            g2 += e * x2
+            g0 += e
+        w1 -= trunc_div(g1, denom)
+        w2 -= trunc_div(g2, denom)
+        b -= trunc_div(g0, denom)
+    got = QUERIES["partial_dependence_profile"](spark, SF_CORRECT).toPandas()
+    assert list(got.x1_value) == [0, 2, 4, 6, 8, 10, 12, 14]
+    for _, r in got.iterrows():
+        ps = [
+            min(1000000, max(0, 500000 + trunc_div(
+                w1 * int(r.x1_value) + w2 * x2 + b, 4)))
+            for _, x2, _ in feats
+        ]
+        assert r.pdp_micro == sum(ps) // len(ps)
+        assert r.ice_min_micro == min(ps)
+        assert r.ice_max_micro == max(ps)
+    # monotone model in x1 (positive weight) -> monotone PDP
+    pd_ = list(got.pdp_micro)
+    assert pd_ == sorted(pd_) or pd_ == sorted(pd_, reverse=True)

@@ -8109,3 +8109,249 @@ def partial_dependence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x1_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# intraclass correlation (one-way random effects)
+# ---------------------------------------------------------------------------
+
+_ICC_SQL = """
+    WITH x AS (
+      SELECT user_id, CAST(FLOOR(value * 100e0) AS BIGINT) AS v
+      FROM events),
+    g AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(v) AS HUGEINT) AS s,
+             CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+      FROM x GROUP BY user_id),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(k) AS BIGINT) AS n,
+             CAST(SUM(s) AS HUGEINT) AS t,
+             CAST(SUM(ss) AS HUGEINT) AS tss,
+             SUM(s * 1.0e0 * s / k) AS sg,
+             SUM(CAST(k AS HUGEINT) * k) AS k2
+      FROM g),
+    anova AS (
+      SELECT ng, n,
+             (sg - t * 1.0e0 * t / n) / (ng - 1) AS msb,
+             (tss * 1.0e0 - sg) / (n - ng) AS msw,
+             (n - k2 * 1.0e0 / n) / (ng - 1) AS k0
+      FROM tot)
+    SELECT ng AS n_users, n AS n_obs,
+           CAST(FLOOR(msb * 100e0 + 5.0e-1) AS BIGINT) AS msb_centi,
+           CAST(FLOOR(msw * 100e0 + 5.0e-1) AS BIGINT) AS msw_centi,
+           CAST(FLOOR(k0 * 10000e0 + 5.0e-1) AS BIGINT) AS k0_x1e4,
+           CAST(FLOOR((msb - msw) / (msb + (k0 - 1.0e0) * msw)
+                      * 1000000e0 + CASE WHEN msb >= msw THEN 5.0e-1
+                                         ELSE -5.0e-1 END) AS BIGINT)
+             AS icc_micro
+    FROM anova
+    """
+
+
+@q("icc_reliability", oracle=_ICC_SQL)
+def icc_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation ICC(1,1) of event values within users —
+    one-way random-effects ANOVA with the unequal-group-size k0
+    correction: how much of the value variance is BETWEEN users
+    (stable user traits) vs within (noise). Near 0 means per-user
+    personalization has nothing to model; near 1 means user-level
+    features dominate. The continuous-measure reliability companion
+    of ``cohens_kappa`` (categorical raters), from the same
+    power-sum discipline as ``theil_decomposition``.
+
+    Exactness: all ANOVA sums are exact integers through HUGEINT ==
+    DECIMAL(38,0) (only the S_g^2/k_g term divides, in identical
+    order); MSB/MSW/k0/ICC snap once each, ICC half-up toward its
+    sign.
+
+    Scale shape: ONE user-keyed partial agg, one scalar rollup — no
+    joins, no windows.
+    """
+    x = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)").alias("v"),
+    )
+    D = "DECIMAL(38,0)"
+    g = x.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.expr(f"CAST(v AS {D})")).alias("s"),
+        F.sum(F.expr(f"CAST(v AS {D}) * v")).alias("ss"),
+    )
+    tot = g.agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("k").cast("long").alias("n"),
+        F.sum("s").alias("t"),
+        F.sum("ss").alias("tss"),
+        F.sum(F.expr("s * 1.0e0 * s / k")).alias("sg"),
+        F.sum(F.expr(f"CAST(k AS {D}) * k")).alias("k2"),
+    )
+    anova = tot.select(
+        "ng", "n",
+        F.expr("(sg - t * 1.0e0 * t / n) / (ng - 1)").alias("msb"),
+        F.expr("(tss * 1.0e0 - sg) / (n - ng)").alias("msw"),
+        F.expr("(n - k2 * 1.0e0 / n) / (ng - 1)").alias("k0"),
+    )
+    return anova.select(
+        F.col("ng").alias("n_users"), F.col("n").alias("n_obs"),
+        F.expr("CAST(FLOOR(msb * 100e0 + 5.0e-1) AS BIGINT)")
+        .alias("msb_centi"),
+        F.expr("CAST(FLOOR(msw * 100e0 + 5.0e-1) AS BIGINT)")
+        .alias("msw_centi"),
+        F.expr("CAST(FLOOR(k0 * 10000e0 + 5.0e-1) AS BIGINT)")
+        .alias("k0_x1e4"),
+        F.expr(
+            "CAST(FLOOR((msb - msw) / (msb + (k0 - 1.0e0) * msw)"
+            " * 1000000e0 + CASE WHEN msb >= msw THEN 5.0e-1"
+            " ELSE -5.0e-1 END) AS BIGINT)"
+        ).alias("icc_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# frozen-threshold model staleness curve
+# ---------------------------------------------------------------------------
+
+_FT_BAND = 1000  # 10.00 threshold candidates
+
+_FT_SQL = f"""
+    WITH ev AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(FLOOR(value * 100e0) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    rng AS (SELECT MIN(d) AS d0 FROM ev),
+    lab AS (
+      SELECT (d - (SELECT d0 FROM rng)) // 7 AS wk,
+             cents // {_FT_BAND} AS band, y
+      FROM ev),
+    cand(thr) AS (SELECT DISTINCT band FROM lab),
+    w0 AS (SELECT band, y, COUNT(*) AS c FROM lab WHERE wk = 0
+           GROUP BY band, y),
+    acc0 AS (
+      SELECT c.thr,
+             CAST(SUM(CASE WHEN (w0.band >= c.thr) = (w0.y = 1)
+                           THEN w0.c ELSE 0 END) AS BIGINT) AS hits,
+             CAST(SUM(w0.c) AS BIGINT) AS n
+      FROM cand c CROSS JOIN w0 GROUP BY c.thr),
+    best AS (
+      SELECT thr FROM acc0
+      ORDER BY hits * 1000000 // n DESC, thr LIMIT 1),
+    wkacc AS (
+      SELECT wk,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN (band >= (SELECT thr FROM best))
+                             = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits_frozen
+      FROM lab GROUP BY wk),
+    wkbest AS (
+      SELECT l.wk, c.thr,
+             CAST(SUM(CASE WHEN (l.band >= c.thr) = (l.y = 1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      FROM lab l CROSS JOIN cand c GROUP BY l.wk, c.thr),
+    wkopt AS (
+      SELECT wk, MAX(hits) AS hits_opt FROM wkbest GROUP BY wk)
+    SELECT a.wk AS week, a.n,
+           (SELECT CAST(thr AS BIGINT) FROM best) AS frozen_thr_band,
+           a.hits_frozen * 1000000 // a.n AS acc_frozen_ppm,
+           o.hits_opt * 1000000 // a.n AS acc_oracle_ppm,
+           CAST(o.hits_opt * 1000000 // a.n
+                - a.hits_frozen * 1000000 // a.n AS BIGINT) AS regret_ppm
+    FROM wkacc a JOIN wkopt o USING (wk) ORDER BY a.wk
+    """
+
+
+@q("frozen_threshold_staleness", oracle=_FT_SQL)
+def frozen_threshold_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-staleness monitoring: a threshold classifier (predict
+    "purchase" from the value band) is TRAINED on week 0 (the
+    accuracy-optimal cut, ties to the smaller threshold) and then
+    FROZEN; per week, its accuracy against the week's own oracle-best
+    threshold — the regret curve that tells ops when to retrain. The
+    operational companion of ``psi_score_drift`` (input drift) and
+    ``mann_whitney_drift``: this measures OUTPUT damage, which is what
+    a retrain decision actually weighs.
+
+    Exactness: candidate thresholds are the observed value bands;
+    training and evaluation are exact integer counting (accuracy
+    compares via integer ppm; the argmax ties break on the smaller
+    threshold).
+
+    Scale shape: training is a (candidate x band-histogram) aggregate
+    over week-0's BANDED relation (never raw rows per candidate); the
+    weekly frozen accuracy is ONE conditional agg over the scan; the
+    per-week oracle sweep crosses the band relation with the bounded
+    candidate list.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        ).alias("d"),
+        F.expr(
+            f"CAST(FLOOR(value * 100e0) AS BIGINT) div {_FT_BAND}"
+        ).alias("band"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    d0 = ev.agg(F.min("d").alias("d0")).collect()[0]["d0"]
+    lab = ev.select(
+        F.expr(f"(d - {int(d0)}) div 7").alias("wk"), "band", "y"
+    ).localCheckpoint()
+    cand = lab.select(F.col("band").alias("thr")).distinct()
+    w0 = lab.where(F.col("wk") == 0).groupBy("band", "y").agg(
+        F.count("*").alias("c")
+    )
+    acc0 = (
+        cand.crossJoin(w0)
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("band") >= F.col("thr")) == (F.col("y") == 1),
+                    F.col("c"),
+                ).otherwise(0)
+            ).cast("long").alias("hits"),
+            F.sum("c").cast("long").alias("n"),
+        )
+    )
+    best = int(
+        acc0.orderBy(
+            F.expr("hits * 1000000 div n").desc(), "thr"
+        ).limit(1).collect()[0]["thr"]
+    )
+    wkacc = lab.groupBy("wk").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN (band >= {best}) = (y = 1) THEN 1 ELSE 0 END"
+            )
+        ).cast("long").alias("hits_frozen"),
+    )
+    wkbest = (
+        lab.crossJoin(F.broadcast(cand))
+        .groupBy("wk", "thr")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN (band >= thr) = (y = 1) THEN 1 ELSE 0 END"
+                )
+            ).cast("long").alias("hits")
+        )
+    )
+    wkopt = wkbest.groupBy("wk").agg(F.max("hits").alias("hits_opt"))
+    return (
+        wkacc.join(wkopt, "wk")
+        .select(
+            F.col("wk").alias("week"), "n",
+            F.lit(best).cast("long").alias("frozen_thr_band"),
+            F.expr("hits_frozen * 1000000 div n").alias("acc_frozen_ppm"),
+            F.expr("hits_opt * 1000000 div n").alias("acc_oracle_ppm"),
+            F.expr(
+                "CAST(hits_opt * 1000000 div n"
+                " - hits_frozen * 1000000 div n AS BIGINT)"
+            ).alias("regret_ppm"),
+        )
+        .orderBy("week")
+    )

@@ -3251,3 +3251,84 @@ def test_pdp_matches_pure_python(spark):
     # monotone model in x1 (positive weight) -> monotone PDP
     pd_ = list(got.pdp_micro)
     assert pd_ == sorted(pd_) or pd_ == sorted(pd_, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# ICC reliability
+# ---------------------------------------------------------------------------
+
+
+def test_icc_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id", "CAST(FLOOR(value * 100e0) AS BIGINT) v",
+        )
+        .toPandas()
+    )
+    groups = {uid: [int(v) for v in g.v] for uid, g in ev.groupby("user_id")}
+    ng = len(groups)
+    n = sum(len(v) for v in groups.values())
+    t_ = sum(sum(v) for v in groups.values())
+    tss = sum(x * x for v in groups.values() for x in v)
+    sg = sum(sum(v) * 1.0 * sum(v) / len(v) for v in groups.values())
+    k2 = sum(len(v) ** 2 for v in groups.values())
+    msb = (sg - t_ * 1.0 * t_ / n) / (ng - 1)
+    msw = (tss * 1.0 - sg) / (n - ng)
+    k0 = (n - k2 * 1.0 / n) / (ng - 1)
+    icc = (msb - msw) / (msb + (k0 - 1.0) * msw)
+    got = QUERIES["icc_reliability"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert (got.n_users, got.n_obs) == (ng, n)
+    assert abs(got.msb_centi - math.floor(msb * 100 + 0.5)) <= 1
+    assert abs(got.msw_centi - math.floor(msw * 100 + 0.5)) <= 1
+    assert abs(got.k0_x1e4 - math.floor(k0 * 1e4 + 0.5)) <= 1
+    snap = math.floor(icc * 1e6 + (0.5 if msb >= msw else -0.5))
+    assert abs(got.icc_micro - snap) <= 1
+    # ICC is bounded: (-1/(k0-1), 1)
+    assert got.icc_micro < 1000000
+
+
+# ---------------------------------------------------------------------------
+# frozen threshold staleness
+# ---------------------------------------------------------------------------
+
+
+def test_frozen_threshold_matches_pure_python(spark):
+    from collections import defaultdict
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "CAST(FLOOR(value * 100e0) AS BIGINT) div 1000 band",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END y",
+        )
+        .toPandas()
+    )
+    d0 = int(ev.d.min())
+    ev["wk"] = (ev.d - d0) // 7
+    cands = sorted(ev.band.unique())
+    w0 = ev[ev.wk == 0]
+
+    def acc(sub, thr):
+        return int(((sub.band >= thr) == (sub.y == 1)).sum())
+
+    best = max(
+        cands,
+        key=lambda thr: (acc(w0, thr) * 1000000 // len(w0), -thr),
+    )
+    got = QUERIES["frozen_threshold_staleness"](spark, SF_CORRECT).toPandas()
+    assert (got.frozen_thr_band == best).all()
+    for _, r in got.iterrows():
+        sub = ev[ev.wk == r.week]
+        assert r.n == len(sub)
+        assert r.acc_frozen_ppm == acc(sub, best) * 1000000 // len(sub)
+        opt = max(acc(sub, thr) for thr in cands)
+        assert r.acc_oracle_ppm == opt * 1000000 // len(sub)
+        assert r.regret_ppm == r.acc_oracle_ppm - r.acc_frozen_ppm
+        # oracle dominates frozen by construction
+        assert r.regret_ppm >= 0
+    # week 0 regret is zero: the frozen model IS week 0's optimum
+    assert got[got.week == 0].iloc[0].regret_ppm == 0

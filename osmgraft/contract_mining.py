@@ -8355,3 +8355,200 @@ def frozen_threshold_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# weekly harmonic fit (first Fourier coefficient of the DOW profile)
+# ---------------------------------------------------------------------------
+
+# cos/sin(2 pi k / 7), 12-dp literals shared by both engines
+_WH_COS = ("1.0e0", "0.623489801859e0", "-0.222520933956e0",
+           "-0.900968867902e0", "-0.900968867902e0", "-0.222520933956e0",
+           "0.623489801859e0")
+_WH_SIN = ("0.0e0", "0.781831482468e0", "0.974927912182e0",
+           "0.433883739118e0", "-0.433883739118e0", "-0.974927912182e0",
+           "-0.781831482468e0")
+
+
+def _wh_case(vals: tuple) -> str:
+    arms = " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(vals))
+    return f"CASE dow {arms} END"
+
+
+_WH_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    dowp AS (
+      SELECT (d + 4) % 7 AS dow, AVG(c * 1.0e0) AS m
+      FROM daily GROUP BY dow),
+    f AS (
+      SELECT SUM(m) / 7.0e0 AS a0,
+             SUM(m * ({_wh_case(_WH_COS)})) * 2.0e0 / 7.0e0 AS a1,
+             SUM(m * ({_wh_case(_WH_SIN)})) * 2.0e0 / 7.0e0 AS b1
+      FROM dowp)
+    SELECT CAST(FLOOR(a0 + 5.0e-1) AS BIGINT) AS mean_cents,
+           CAST(FLOOR(SQRT(a1 * a1 + b1 * b1) + 5.0e-1) AS BIGINT)
+             AS amplitude_cents,
+           CAST(FLOOR(ATAN2(b1, a1) * 1000000e0
+                      + CASE WHEN ATAN2(b1, a1) >= 0 THEN 5.0e-1
+                             ELSE -5.0e-1 END) AS BIGINT)
+             AS phase_microrad,
+           CAST(FLOOR(SQRT(a1 * a1 + b1 * b1) / (a0 * 2.0e0)
+                      * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS relative_amplitude_ppm
+    FROM f
+    """
+
+
+@q("weekly_harmonic_fit", oracle=_WH_SQL)
+def weekly_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-harmonic fit of the weekly cycle: the k=1 discrete Fourier
+    coefficient of the day-of-week mean profile — amplitude (how big
+    the weekly swing is), phase (WHERE in the week it peaks) and the
+    amplitude relative to the mean. One pair of numbers instead of
+    ``dow_seasonal_profile``'s seven — the form capacity planners and
+    seasonal-adjustment models consume, and the spectral counterpart
+    of ``seasonal_decompose_daily``.
+
+    Exactness: the DOW means are doubles from exact integer sums; the
+    cos/sin basis is a table of 12-dp literals identical on both
+    engines; amplitude/phase snap once, phase half-up toward its sign.
+
+    Scale shape: ONE day-keyed partial agg, a 7-row DOW rollup and a
+    scalar projection — no windows, no joins.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    )
+    dowp = daily.groupBy(((F.col("d") + 4) % 7).alias("dow")).agg(
+        F.avg(F.expr("c * 1.0e0")).alias("m")
+    )
+    f = dowp.agg(
+        F.expr("SUM(m) / 7.0e0").alias("a0"),
+        F.expr(
+            f"SUM(m * ({_wh_case(_WH_COS)})) * 2.0e0 / 7.0e0"
+        ).alias("a1"),
+        F.expr(
+            f"SUM(m * ({_wh_case(_WH_SIN)})) * 2.0e0 / 7.0e0"
+        ).alias("b1"),
+    )
+    return f.select(
+        F.expr("CAST(FLOOR(a0 + 5.0e-1) AS BIGINT)").alias("mean_cents"),
+        F.expr(
+            "CAST(FLOOR(SQRT(a1 * a1 + b1 * b1) + 5.0e-1) AS BIGINT)"
+        ).alias("amplitude_cents"),
+        F.expr(
+            "CAST(FLOOR(ATAN2(b1, a1) * 1000000e0"
+            " + CASE WHEN ATAN2(b1, a1) >= 0 THEN 5.0e-1 ELSE -5.0e-1 END)"
+            " AS BIGINT)"
+        ).alias("phase_microrad"),
+        F.expr(
+            "CAST(FLOOR(SQRT(a1 * a1 + b1 * b1) / (a0 * 2.0e0)"
+            " * 1000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("relative_amplitude_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# edge triangle support (k-truss census)
+# ---------------------------------------------------------------------------
+
+_TS_SQL = f"""
+    WITH raw AS (
+      SELECT doc_id % {_RC_N} AS u,
+             ((doc_id // {_RC_N}) * 2311 + doc_id * 7919 + 13) % {_RC_N} AS v
+      FROM documents),
+    e AS (
+      SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+      FROM raw WHERE u <> v),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    sup AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS s FROM (
+        SELECT x AS a, y AS b FROM tri
+        UNION ALL SELECT y, z FROM tri
+        UNION ALL SELECT x, z FROM tri) GROUP BY a, b),
+    alle AS (
+      SELECT e.a, e.b, CAST(COALESCE(sup.s, 0) AS BIGINT) AS s
+      FROM e LEFT JOIN sup USING (a, b))
+    SELECT s AS triangle_support,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY s DESC) AS BIGINT)
+             AS n_edges_in_truss
+    FROM alle GROUP BY s ORDER BY s
+    """
+
+
+@q("edge_triangle_support", oracle=_TS_SQL)
+def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge triangle-support census (the k-truss profile): for every
+    edge of the document link graph, the number of triangles it closes,
+    rolled into a support histogram with the cumulative truss size
+    (edges with support >= s form the (s+2)-truss candidate set). The
+    EDGE-cohesion complement of ``kcore_peel``'s node cohesion and the
+    direct reuse of ``triangle_count``'s ordered wedge join: a truss
+    edge is one whose relationship is socially embedded, the
+    spam-link/true-community separator.
+
+    Exactness: triangles come from the canonical a<b<c ordered double
+    equi-join (each triangle found once); per-edge support and the
+    cumulative census are exact integers.
+
+    Scale shape: the wedge join is the degree-bounded triangle
+    enumeration (edges only, never node pairs); support is a 3-way
+    UNION of the triangle relation's edge projections with ONE
+    partial-agg shuffle; the census window runs on the support
+    histogram.
+    """
+    docs = t(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.expr(f"doc_id % {_RC_N}").alias("u"),
+        F.expr(
+            f"((doc_id div {_RC_N}) * 2311 + doc_id * 7919 + 13) % {_RC_N}"
+        ).alias("v"),
+    )
+    e = (
+        raw.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y2") == F.col("y"))
+        .join(
+            e3,
+            (F.col("x3") == F.col("x")) & (F.col("z3") == F.col("z")),
+        )
+        .select("x", "y", "z")
+    )
+    sup = (
+        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("s"))
+    )
+    alle = e.join(sup, ["a", "b"], "left").select(
+        F.coalesce("s", F.lit(0)).cast("long").alias("s")
+    )
+    hist = alle.groupBy("s").agg(F.count("*").cast("long").alias("n_edges"))
+    w = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        F.col("s").alias("triangle_support"), "n_edges",
+        F.sum("n_edges").over(w).cast("long").alias("n_edges_in_truss"),
+    ).orderBy("triangle_support")

@@ -3332,3 +3332,87 @@ def test_frozen_threshold_matches_pure_python(spark):
         assert r.regret_ppm >= 0
     # week 0 regret is zero: the frozen model IS week 0's optimum
     assert got[got.week == 0].iloc[0].regret_ppm == 0
+
+
+# ---------------------------------------------------------------------------
+# weekly harmonic
+# ---------------------------------------------------------------------------
+
+
+def test_weekly_harmonic_matches_pure_python(spark):
+    import math
+
+    daily = _daily_cents(spark)
+    from collections import defaultdict
+
+    byd = defaultdict(list)
+    for d, c in daily.items():
+        byd[(d + 4) % 7].append(int(c))
+    cos = [1.0, 0.623489801859, -0.222520933956, -0.900968867902,
+           -0.900968867902, -0.222520933956, 0.623489801859]
+    sin = [0.0, 0.781831482468, 0.974927912182, 0.433883739118,
+           -0.433883739118, -0.974927912182, -0.781831482468]
+    m = {k: sum(v) / len(v) for k, v in byd.items()}
+    a0 = sum(m.values()) / 7.0
+    a1 = sum(m[k] * cos[k] for k in m) * 2.0 / 7.0
+    b1 = sum(m[k] * sin[k] for k in m) * 2.0 / 7.0
+    amp = math.sqrt(a1 * a1 + b1 * b1)
+    ph = math.atan2(b1, a1)
+    got = (
+        QUERIES["weekly_harmonic_fit"](spark, SF_CORRECT).toPandas().iloc[0]
+    )
+    assert abs(got.mean_cents - math.floor(a0 + 0.5)) <= 1
+    assert abs(got.amplitude_cents - math.floor(amp + 0.5)) <= 1
+    assert abs(
+        got.phase_microrad
+        - math.floor(ph * 1e6 + (0.5 if ph >= 0 else -0.5))
+    ) <= 2
+    assert abs(
+        got.relative_amplitude_ppm
+        - math.floor(amp / (a0 * 2.0) * 1e6 + 0.5)
+    ) <= 1
+    # amplitude can never exceed the mean profile's total range
+    rng = max(m.values()) - min(m.values())
+    assert got.amplitude_cents <= rng + 1
+
+
+# ---------------------------------------------------------------------------
+# edge triangle support
+# ---------------------------------------------------------------------------
+
+
+def test_edge_triangle_support_matches_pure_python(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id").collect()
+    ]
+    edges = set()
+    for i in ids:
+        u = i % 61
+        v = ((i // 61) * 2311 + i * 7919 + 13) % 61
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    sup = Counter()
+    nodes = sorted({n for e in edges for n in e})
+    eset = edges
+    for x, y, z in combinations(nodes, 3):
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset:
+            sup[(x, y)] += 1
+            sup[(y, z)] += 1
+            sup[(x, z)] += 1
+    hist = Counter(sup.get(e, 0) for e in edges)
+    got = QUERIES["edge_triangle_support"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(hist)
+    for _, r in got.iterrows():
+        assert r.n_edges == hist[r.triangle_support]
+        cum = sum(
+            c for s, c in hist.items() if s >= r.triangle_support
+        )
+        assert r.n_edges_in_truss == cum
+    # total triangle incidences = 3 x triangle count (cross-checks the
+    # triangle_count entry's fixture expectations indirectly)
+    assert sum(s * c for s, c in hist.items()) % 3 == 0

@@ -143,13 +143,47 @@ _SESSION3_NEW = (
 )
 
 
+def _driver_verified() -> frozenset[str]:
+    """Names with a green row in ANY CORRECTNESS_r*.json on disk — these
+    sort LAST so the driver's fixed-size window always lands on
+    never-verified entries first, rotating automatically across rounds
+    (the round-2 verdict's registration-order fix, made self-updating)."""
+    import glob
+    import json
+
+    seen = set(_R02_VERIFIED)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            # green = value-hash match, or a rows-only pass for entries
+            # registered without an oracle; a failed row stays eligible
+            # for the next round's window
+            if row.get("hash_match") or (
+                row.get("rows_match") and "hash_match" not in row
+            ):
+                seen.add(name)
+    return frozenset(seen)
+
+
 def _ordered_names() -> list[str]:
     names = list(_contract.QUERIES)
-    s3 = [n for n in _SESSION3_NEW if n in names]
-    fresh = [
-        n for n in names if n not in _R02_VERIFIED and n not in _SESSION3_NEW
+    verified = _driver_verified()
+    s3 = [
+        n for n in _SESSION3_NEW if n in names and n not in verified
     ]
-    seen = [n for n in names if n in _R02_VERIFIED]
+    fresh = [
+        n for n in names
+        if n not in verified and n not in _SESSION3_NEW
+    ]
+    seen = [n for n in names if n in verified]
     return fresh + s3 + seen
 
 

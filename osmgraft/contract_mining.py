@@ -8552,3 +8552,155 @@ def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("triangle_support"), "n_edges",
         F.sum("n_edges").over(w).cast("long").alias("n_edges_in_truss"),
     ).orderBy("triangle_support")
+
+
+# ---------------------------------------------------------------------------
+# value-at-risk and expected shortfall of daily totals
+# ---------------------------------------------------------------------------
+
+_VAR_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, d) AS r,
+                  CAST(COUNT(*) OVER () AS BIGINT) AS n
+           FROM daily),
+    var AS (SELECT MIN(c) AS v FROM rk WHERE r * 20 > n),
+    tail AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(c) AS BIGINT) AS s
+      FROM daily WHERE c <= (SELECT v FROM var))
+    SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM rk) AS n_days,
+           (SELECT CAST(v AS BIGINT) FROM var) AS var5_cents,
+           t.k AS n_tail_days,
+           CAST(t.s // t.k AS BIGINT) AS es_cents
+    FROM tail t
+    """
+
+
+@q("value_at_risk_es", oracle=_VAR_SQL)
+def value_at_risk_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-risk and expected shortfall of daily revenue: the 5%
+    worst-day threshold (VaR, an exact order statistic) and the mean
+    of the days at or below it (ES / CVaR — the coherent risk measure
+    Basel moved to precisely because VaR ignores HOW bad the tail is).
+    The revenue-floor numbers a finance review wants next to
+    ``gumbel_block_maxima``'s demand ceilings.
+
+    Exactness: the threshold is a rank cross-multiplication (r*20 > n
+    puts it at the lower 5% boundary, ties to the earlier day); the
+    tail mean is an exact integer division.
+
+    Scale shape: ONE day-keyed partial agg; ranking and the tail
+    aggregate run on the calendar-bounded daily relation.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    ).localCheckpoint()
+    n = daily.count()
+    rk = daily.select(
+        "c", F.row_number().over(Window.orderBy("c", "d")).alias("r")
+    )
+    v = int(
+        rk.where(F.expr(f"r * 20 > {n}"))
+        .agg(F.min("c").alias("v")).collect()[0]["v"]
+    )
+    tail = daily.where(F.col("c") <= v).agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    return tail.select(
+        F.lit(n).cast("long").alias("n_days"),
+        F.lit(v).cast("long").alias("var5_cents"),
+        F.col("k").alias("n_tail_days"),
+        F.expr("CAST(s div k AS BIGINT)").alias("es_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# maximum drawdown of the cumulative value curve
+# ---------------------------------------------------------------------------
+
+_DD_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT)
+               - 1600000 AS net
+      FROM events GROUP BY d),
+    cum AS (
+      SELECT d, SUM(net) OVER (ORDER BY d) AS eq
+      FROM daily),
+    dd AS (
+      SELECT d, eq,
+             MAX(eq) OVER (ORDER BY d) AS peak,
+             MAX(eq) OVER (ORDER BY d) - eq AS drawdown
+      FROM cum),
+    worst AS (
+      SELECT d AS trough_day, drawdown, peak
+      FROM dd ORDER BY drawdown DESC, d LIMIT 1),
+    peakday AS (
+      SELECT MIN(dd.d) AS peak_day
+      FROM dd, worst WHERE dd.eq = worst.peak AND dd.d <= worst.trough_day)
+    SELECT w.trough_day, p.peak_day,
+           CAST(w.trough_day - p.peak_day AS BIGINT) AS duration_days,
+           CAST(w.drawdown AS BIGINT) AS max_drawdown_cents,
+           CAST(w.peak AS BIGINT) AS peak_equity_cents
+    FROM worst w CROSS JOIN peakday p
+    """
+
+
+@q("max_drawdown", oracle=_DD_SQL)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative net-value curve (daily value
+    minus a fixed 16,000.00 run-rate cost): the largest peak-to-trough
+    fall of the equity curve, with the peak and trough days and the
+    drawdown duration — THE path-dependent risk number (two series
+    with identical return distributions can have wildly different
+    drawdowns; ``value_at_risk_es`` cannot see the difference). The
+    running-max-minus-current construction is the same closed form as
+    ``queue_wait_lindley`` with the sign flipped.
+
+    Exactness: net values, the cumulative curve, running peaks and
+    drawdowns are all exact integers; the worst-day argmax ties to the
+    earlier day, the matching peak to the earliest peak day.
+
+    Scale shape: ONE day-keyed partial agg; the cumulative and
+    running-max windows run on the calendar-bounded daily relation
+    (ordered once).
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        (
+            F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+            - F.lit(1600000)
+        ).cast("long").alias("net")
+    )
+    w = Window.orderBy("d")
+    cum = daily.select("d", F.sum("net").over(w).alias("eq"))
+    dd = cum.select(
+        "d", "eq",
+        F.max("eq").over(w).alias("peak"),
+        (F.max("eq").over(w) - F.col("eq")).alias("drawdown"),
+    ).localCheckpoint()
+    worst = dd.orderBy(F.desc("drawdown"), "d").limit(1).collect()[0]
+    peak_day = int(
+        dd.where(
+            (F.col("eq") == int(worst.peak))
+            & (F.col("d") <= int(worst.d))
+        )
+        .agg(F.min("d").alias("p")).collect()[0]["p"]
+    )
+    return dd.limit(1).select(
+        F.lit(int(worst.d)).cast("long").alias("trough_day"),
+        F.lit(peak_day).cast("long").alias("peak_day"),
+        F.lit(int(worst.d) - peak_day).cast("long").alias("duration_days"),
+        F.lit(int(worst.drawdown)).cast("long").alias("max_drawdown_cents"),
+        F.lit(int(worst.peak)).cast("long").alias("peak_equity_cents"),
+    )

@@ -3416,3 +3416,60 @@ def test_edge_triangle_support_matches_pure_python(spark):
     # total triangle incidences = 3 x triangle count (cross-checks the
     # triangle_count entry's fixture expectations indirectly)
     assert sum(s * c for s, c in hist.items()) % 3 == 0
+
+
+# ---------------------------------------------------------------------------
+# VaR / ES
+# ---------------------------------------------------------------------------
+
+
+def test_var_es_matches_pure_python(spark):
+    daily = _daily_cents(spark)
+    xs = sorted(int(v) for v in daily)
+    n = len(xs)
+    v = next(val for r, val in enumerate(xs, start=1) if r * 20 > n)
+    tail = [x for x in xs if x <= v]
+    got = QUERIES["value_at_risk_es"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_days == n
+    assert got.var5_cents == v
+    assert got.n_tail_days == len(tail)
+    assert got.es_cents == sum(tail) // len(tail)
+    # ES is at most VaR (it averages the days at or below it)
+    assert got.es_cents <= got.var5_cents
+
+
+# ---------------------------------------------------------------------------
+# max drawdown
+# ---------------------------------------------------------------------------
+
+
+def test_max_drawdown_matches_pure_python(spark):
+    daily = _daily_cents(spark)
+    eq = 0
+    peak = None
+    curve = []
+    for d, c in daily.items():
+        eq += int(c) - 1600000
+        curve.append((d, eq))
+    peak = -10**18
+    best = None
+    peaks = []
+    for d, e in curve:
+        peak = max(peak, e)
+        peaks.append(peak)
+        ddn = peak - e
+        if best is None or ddn > best[1]:
+            best = (d, ddn, peak)
+    trough_day, mdd, pk = best
+    peak_day = min(
+        d for (d, e), p in zip(curve, peaks)
+        if e == pk and d <= trough_day
+    )
+    got = QUERIES["max_drawdown"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.trough_day == trough_day
+    assert got.peak_day == peak_day
+    assert got.duration_days == trough_day - peak_day
+    assert got.max_drawdown_cents == mdd
+    assert got.peak_equity_cents == pk
+    # drawdown is nonnegative and peak precedes (or is) the trough
+    assert mdd >= 0 and peak_day <= trough_day

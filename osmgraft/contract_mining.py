@@ -8704,3 +8704,226 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(worst.drawdown)).cast("long").alias("max_drawdown_cents"),
         F.lit(int(worst.peak)).cast("long").alias("peak_equity_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D energy distance between purchase and click point fields
+# ---------------------------------------------------------------------------
+
+_ED_MOD = 5  # point sample
+
+
+def _ed_sql() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    return f"""
+    WITH pts AS (
+      SELECT event_type, ({X_EXPR}) AS px, ({Y_EXPR}) AS py
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+        AND event_id % {_ED_MOD} = 0),
+    x AS (SELECT px, py FROM pts WHERE event_type = 'purchase'),
+    y AS (SELECT px, py FROM pts WHERE event_type = 'click'),
+    exy AS (
+      SELECT AVG(SQRT((a.px - b.px) * (a.px - b.px)
+                      + (a.py - b.py) * (a.py - b.py))) AS m
+      FROM x a CROSS JOIN y b),
+    exx AS (
+      SELECT SUM(SQRT((a.px - b.px) * (a.px - b.px)
+                      + (a.py - b.py) * (a.py - b.py)))
+             / ((SELECT COUNT(*) FROM x) * 1.0e0
+                * (SELECT COUNT(*) FROM x)) AS m
+      FROM x a CROSS JOIN x b),
+    eyy AS (
+      SELECT SUM(SQRT((a.px - b.px) * (a.px - b.px)
+                      + (a.py - b.py) * (a.py - b.py)))
+             / ((SELECT COUNT(*) FROM y) * 1.0e0
+                * (SELECT COUNT(*) FROM y)) AS m
+      FROM y a CROSS JOIN y b)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM x) AS n_x,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM y) AS n_y,
+           CAST(FLOOR(exy.m + 5.0e-1) AS BIGINT) AS mean_cross_dist,
+           CAST(FLOOR((2.0e0 * exy.m - exx.m - eyy.m) * 100e0 + 5.0e-1)
+                AS BIGINT) AS energy_dist_centi
+    FROM exy, exx, eyy
+    """
+
+
+@q("energy_distance_2d", oracle=_ed_sql())
+def energy_distance_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance (Szekely & Rizzo 2004) between the purchase and
+    click point fields: E = 2 E|X-Y| - E|X-X'| - E|Y-Y'|, zero iff the
+    two spatial distributions coincide — the multivariate two-sample
+    test the 1-D drift family (``wasserstein_value_drift``, KS)
+    cannot perform. "Do purchases happen WHERE clicks happen" as one
+    number, on the shared exact-double point derivations.
+
+    Exactness: coordinates are the shared exact-double expressions;
+    the pair-distance means are double sums folded over the same pair
+    sets on both engines, snapped once (the statistic is a
+    smooth functional — last-ulp fold noise sits far below the centi
+    snap).
+
+    Scale shape: the sample modulus bounds the three pair expansions
+    (the documented 100x dial is the ``empirical_variogram`` cell
+    blocking — energy distance truncates gracefully since far pairs
+    contribute a constant); each term is one aggregate, no windows.
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    pts = t(spark, sf_dir, "events").where(
+        F.expr(
+            f"event_type IN ('purchase', 'click')"
+            f" AND event_id % {_ED_MOD} = 0"
+        )
+    ).select(
+        "event_type", F.expr(X_EXPR).alias("px"), F.expr(Y_EXPR).alias("py")
+    ).localCheckpoint()
+    x = pts.where(F.col("event_type") == "purchase").select("px", "py")
+    y = pts.where(F.col("event_type") == "click").select("px", "py")
+    nx, ny = x.count(), y.count()
+
+    def pair_mean(a, b, na, nb):
+        bb = b.select(F.col("px").alias("qx"), F.col("py").alias("qy"))
+        return (
+            a.crossJoin(bb)
+            .agg(
+                F.sum(
+                    F.expr(
+                        "SQRT((px - qx) * (px - qx)"
+                        " + (py - qy) * (py - qy))"
+                    )
+                ).alias("s")
+            )
+            .collect()[0]["s"] / (na * 1.0 * nb)
+        )
+
+    exy = pair_mean(x, y, nx, ny)
+    exx = pair_mean(x, x, nx, nx)
+    eyy = pair_mean(y, y, ny, ny)
+    import math as _math
+
+    ed = 2.0 * exy - exx - eyy
+    return pts.limit(1).select(
+        F.lit(nx).cast("long").alias("n_x"),
+        F.lit(ny).cast("long").alias("n_y"),
+        F.lit(_math.floor(exy + 0.5)).cast("long").alias("mean_cross_dist"),
+        F.lit(_math.floor(ed * 100.0 + 0.5)).cast("long")
+        .alias("energy_dist_centi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test: weekday vs weekend daily totals
+# ---------------------------------------------------------------------------
+
+_WT_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    lab AS (
+      SELECT CASE WHEN (d + 4) % 7 IN (5, 6) THEN 1 ELSE 0 END AS wkend,
+             c
+      FROM daily),
+    s AS (
+      SELECT wkend, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+      FROM lab GROUP BY wkend),
+    m AS (
+      SELECT wkend, n,
+             s1 * 1.0e0 / n AS mean,
+             (s2 * 1.0e0 - s1 * 1.0e0 * s1 / n) / (n - 1) AS var
+      FROM s),
+    w AS (
+      SELECT MAX(CASE WHEN wkend = 1 THEN n END) AS n1,
+             MAX(CASE WHEN wkend = 0 THEN n END) AS n0,
+             MAX(CASE WHEN wkend = 1 THEN mean END) AS m1,
+             MAX(CASE WHEN wkend = 0 THEN mean END) AS m0,
+             MAX(CASE WHEN wkend = 1 THEN var END) AS v1,
+             MAX(CASE WHEN wkend = 0 THEN var END) AS v0
+      FROM m)
+    SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n0 AS BIGINT) AS n_weekday,
+           CAST(FLOOR((m1 - m0) + CASE WHEN m1 >= m0 THEN 5.0e-1
+                                       ELSE -5.0e-1 END) AS BIGINT)
+             AS mean_diff_cents,
+           CAST(FLOOR((m1 - m0) / SQRT(v1 / n1 + v0 / n0) * 1000000e0
+                      + CASE WHEN m1 >= m0 THEN 5.0e-1 ELSE -5.0e-1 END)
+                AS BIGINT) AS t_micro,
+           CAST(FLOOR((v1 / n1 + v0 / n0) * (v1 / n1 + v0 / n0)
+                      / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                         + (v0 / n0) * (v0 / n0) / (n0 - 1))
+                      * 10000e0 + 5.0e-1) AS BIGINT) AS welch_df_x1e4
+    FROM w
+    """
+
+
+@q("welch_ttest_weekend", oracle=_WT_SQL)
+def welch_ttest_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of weekend vs weekday daily
+    revenue — the CORRECT two-sample mean test when group variances
+    differ (Student's pooled t silently assumes they don't), with the
+    Welch-Satterthwaite effective degrees of freedom. The continuous-
+    metric counterpart of ``abtest_conversion_z`` (proportions) and
+    ``mann_whitney_drift`` (ranks); together the three cover the
+    standard two-sample toolbox.
+
+    Exactness: group power sums are exact integers through HUGEINT ==
+    DECIMAL(38,0); means, variances, t and df are double arithmetic
+    over exact sums with identical expression text, each snapped once
+    (t and the mean difference half-up toward their sign).
+
+    Scale shape: ONE day-keyed partial agg, one 2-group power-sum
+    rollup, one scalar projection.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    )
+    lab = daily.select(
+        F.expr(
+            "CASE WHEN (d + 4) % 7 IN (5, 6) THEN 1 ELSE 0 END"
+        ).alias("wkend"),
+        "c",
+    )
+    D = "DECIMAL(38,0)"
+    s = lab.groupBy("wkend").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr(f"CAST(c AS {D})")).alias("s1"),
+        F.sum(F.expr(f"CAST(c AS {D}) * c")).alias("s2"),
+    )
+    m = s.select(
+        "wkend", "n",
+        F.expr("s1 * 1.0e0 / n").alias("mean"),
+        F.expr("(s2 * 1.0e0 - s1 * 1.0e0 * s1 / n) / (n - 1)").alias("var"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("wkend") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("wkend") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("wkend") == 1, F.col("mean"))).alias("m1"),
+        F.max(F.when(F.col("wkend") == 0, F.col("mean"))).alias("m0"),
+        F.max(F.when(F.col("wkend") == 1, F.col("var"))).alias("v1"),
+        F.max(F.when(F.col("wkend") == 0, F.col("var"))).alias("v0"),
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("n0").cast("long").alias("n_weekday"),
+        F.expr(
+            "CAST(FLOOR((m1 - m0) + CASE WHEN m1 >= m0 THEN 5.0e-1"
+            " ELSE -5.0e-1 END) AS BIGINT)"
+        ).alias("mean_diff_cents"),
+        F.expr(
+            "CAST(FLOOR((m1 - m0) / SQRT(v1 / n1 + v0 / n0) * 1000000e0"
+            " + CASE WHEN m1 >= m0 THEN 5.0e-1 ELSE -5.0e-1 END) AS BIGINT)"
+        ).alias("t_micro"),
+        F.expr(
+            "CAST(FLOOR((v1 / n1 + v0 / n0) * (v1 / n1 + v0 / n0)"
+            " / ((v1 / n1) * (v1 / n1) / (n1 - 1)"
+            " + (v0 / n0) * (v0 / n0) / (n0 - 1)) * 10000e0 + 5.0e-1)"
+            " AS BIGINT)"
+        ).alias("welch_df_x1e4"),
+    )

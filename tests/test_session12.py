@@ -3473,3 +3473,81 @@ def test_max_drawdown_matches_pure_python(spark):
     assert got.peak_equity_cents == pk
     # drawdown is nonnegative and peak precedes (or is) the trough
     assert mdd >= 0 and peak_day <= trough_day
+
+
+# ---------------------------------------------------------------------------
+# energy distance
+# ---------------------------------------------------------------------------
+
+
+def test_energy_distance_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .where(
+            "event_type IN ('purchase', 'click') AND event_id % 5 = 0"
+        )
+        .selectExpr("event_type", "event_id").toPandas()
+    )
+
+    def pt(i):
+        return (
+            (i % 787) * 889.45 + 17.3,
+            (int(i / 13.0) % 787) * 889.45 + 11.7,
+        )
+
+    xs = [pt(i) for i in ev[ev.event_type == "purchase"].event_id]
+    ys = [pt(i) for i in ev[ev.event_type == "click"].event_id]
+
+    def mean_d(a, b):
+        return sum(
+            math.hypot(p[0] - q[0], p[1] - q[1]) for p in a for q in b
+        ) / (len(a) * len(b))
+
+    exy = mean_d(xs, ys)
+    exx = mean_d(xs, xs)
+    eyy = mean_d(ys, ys)
+    ed = 2 * exy - exx - eyy
+    got = QUERIES["energy_distance_2d"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert (got.n_x, got.n_y) == (len(xs), len(ys))
+    assert abs(got.mean_cross_dist - math.floor(exy + 0.5)) <= 1
+    assert abs(got.energy_dist_centi - math.floor(ed * 100 + 0.5)) <= 2
+    # energy distance is nonnegative (zero iff equal distributions)
+    assert got.energy_dist_centi >= -1
+
+
+# ---------------------------------------------------------------------------
+# Welch t-test
+# ---------------------------------------------------------------------------
+
+
+def test_welch_matches_pure_python(spark):
+    import math
+
+    daily = _daily_cents(spark)
+    wkend = [int(c) for d, c in daily.items() if (d + 4) % 7 in (5, 6)]
+    wkday = [int(c) for d, c in daily.items() if (d + 4) % 7 not in (5, 6)]
+
+    def mv(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        v = (sum(x * x for x in xs) - sum(xs) ** 2 / n) / (n - 1)
+        return n, m, v
+
+    n1, m1, v1 = mv(wkend)
+    n0, m0, v0 = mv(wkday)
+    t_ = (m1 - m0) / math.sqrt(v1 / n1 + v0 / n0)
+    df = (v1 / n1 + v0 / n0) ** 2 / (
+        (v1 / n1) ** 2 / (n1 - 1) + (v0 / n0) ** 2 / (n0 - 1)
+    )
+    got = (
+        QUERIES["welch_ttest_weekend"](spark, SF_CORRECT).toPandas().iloc[0]
+    )
+    assert (got.n_weekend, got.n_weekday) == (n1, n0)
+    sgn = 0.5 if m1 >= m0 else -0.5
+    assert abs(got.mean_diff_cents - math.floor((m1 - m0) + sgn)) <= 1
+    assert abs(got.t_micro - math.floor(t_ * 1e6 + sgn)) <= 1
+    assert abs(got.welch_df_x1e4 - math.floor(df * 1e4 + 0.5)) <= 1
+    # Welch df is bounded by min(n-1) and n1+n0-2
+    assert min(n1, n0) - 1 <= got.welch_df_x1e4 / 1e4 <= n1 + n0 - 2

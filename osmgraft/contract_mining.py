@@ -8927,3 +8927,209 @@ def welch_ttest_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("welch_df_x1e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired model comparison
+# ---------------------------------------------------------------------------
+
+_MN_LEN_THR = 8  # challenger: predict relevant iff n_chars div 64 >= 8
+
+
+def _mn_sql() -> str:
+    from osmgraft.contract_select import _HS_ROUNDS
+
+    return f"""
+    WITH {_tc_weight_chain()},
+    preds AS (
+      SELECT f.y,
+             CASE WHEN LEAST(1000000, GREATEST(0,
+               500000 + (w.w1 * f.x1 + w.w2 * f.x2 + w.b) // 4)) >= 500000
+               THEN 1 ELSE 0 END AS a,
+             CASE WHEN f.x1 >= {_MN_LEN_THR} THEN 1 ELSE 0 END AS bb
+      FROM feat f CROSS JOIN w{_HS_ROUNDS} w),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN a = y AND bb <> y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN a <> y AND bb = y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN a = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a_right,
+             CAST(SUM(CASE WHEN bb = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b_right,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM preds)
+    SELECT n, n_a_right, n_b_right, b AS a_only_right, c AS b_only_right,
+           CAST(FLOOR((ABS(b - c) - 1.0e0) * (ABS(b - c) - 1.0e0)
+                      / (b + c) * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS mcnemar_chi2_micro
+    FROM cells
+    """
+
+
+@q("mcnemar_model_compare", oracle=_mn_sql())
+def mcnemar_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two classifiers on the SAME
+    examples — the ``hard_sigmoid_logreg`` model vs a naive length
+    threshold: only the DISCORDANT pairs (one right, one wrong) carry
+    information, and chi2 = (|b-c|-1)^2/(b+c) with continuity
+    correction tests whether the accuracy difference is real. The
+    model-comparison companion of ``kfold_cv_ols`` (one model,
+    held-out) and ``frozen_threshold_staleness`` (one model, over
+    time): two models, same data, paired — the unpaired z-test here
+    would be wrong.
+
+    Exactness: the champion's predictions are the exact-integer GD
+    model; the contingency cells are exact counts; the single chi2
+    expression snaps once.
+
+    Scale shape: the trained weights are the logreg's bounded GD;
+    scoring both models and the 2x2 cells is ONE additional scan.
+    """
+    from osmgraft.contract_select import (
+        _BR_HITS, _BR_REL_MIN, _HS_LR_SHIFT, _HS_ROUNDS,
+    )
+
+    hits = _BR_HITS.replace("//", " div ")
+    feat = t(spark, sf_dir, "documents").select(
+        F.expr("n_chars div 64").alias("x1"),
+        F.expr(hits).alias("x2"),
+        F.expr(
+            f"CASE WHEN {hits} >= {_BR_REL_MIN} THEN 1 ELSE 0 END"
+        ).alias("y"),
+    ).localCheckpoint()
+    n = feat.count()
+    denom = n * (1 << _HS_LR_SHIFT)
+    w1 = w2 = b = 0
+    for _ in range(_HS_ROUNDS):
+        e = F.expr(
+            f"LEAST(1000000, GREATEST(0,"
+            f" 500000 + ({w1} * x1 + {w2} * x2 + {b}) div 4))"
+            " - y * 1000000"
+        )
+        g = feat.select(e.alias("e"), "x1", "x2").agg(
+            F.sum(F.col("e") * F.col("x1")).alias("g1"),
+            F.sum(F.col("e") * F.col("x2")).alias("g2"),
+            F.sum("e").alias("g0"),
+        ).collect()[0]
+
+        def upd(w, gv):
+            gv = int(gv)
+            return w - (gv // denom if gv >= 0 else -((-gv) // denom))
+
+        w1, w2, b = upd(w1, g.g1), upd(w2, g.g2), upd(b, g.g0)
+    preds = feat.select(
+        "y",
+        F.expr(
+            f"CASE WHEN LEAST(1000000, GREATEST(0,"
+            f" 500000 + ({w1} * x1 + {w2} * x2 + {b}) div 4)) >= 500000"
+            " THEN 1 ELSE 0 END"
+        ).alias("a"),
+        F.expr(
+            f"CASE WHEN x1 >= {_MN_LEN_THR} THEN 1 ELSE 0 END"
+        ).alias("bb"),
+    )
+    return preds.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("CASE WHEN a = y THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_a_right"),
+        F.sum(F.expr("CASE WHEN bb = y THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_b_right"),
+        F.sum(F.expr("CASE WHEN a = y AND bb <> y THEN 1 ELSE 0 END"))
+        .cast("long").alias("a_only_right"),
+        F.sum(F.expr("CASE WHEN a <> y AND bb = y THEN 1 ELSE 0 END"))
+        .cast("long").alias("b_only_right"),
+    ).select(
+        "n", "n_a_right", "n_b_right", "a_only_right", "b_only_right",
+        F.expr(
+            "CAST(FLOOR((ABS(a_only_right - b_only_right) - 1.0e0)"
+            " * (ABS(a_only_right - b_only_right) - 1.0e0)"
+            " / (a_only_right + b_only_right) * 1000000e0 + 5.0e-1)"
+            " AS BIGINT)"
+        ).alias("mcnemar_chi2_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta ordinal effect size (weekend vs weekday)
+# ---------------------------------------------------------------------------
+
+_CD_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    we AS (SELECT c FROM daily WHERE (d + 4) % 7 IN (5, 6)),
+    wd AS (SELECT c FROM daily WHERE (d + 4) % 7 NOT IN (5, 6)),
+    pairs AS (
+      SELECT CAST(SUM(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT)
+               AS gt,
+             CAST(SUM(CASE WHEN a.c < b.c THEN 1 ELSE 0 END) AS BIGINT)
+               AS lt,
+             CAST(COUNT(*) AS BIGINT) AS np
+      FROM we a CROSS JOIN wd b)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM we) AS n_weekend,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM wd) AS n_weekday,
+           gt AS n_greater, lt AS n_less,
+           CAST((gt - lt) * 1000000 // np AS BIGINT) AS delta_micro,
+           CASE WHEN ABS(gt - lt) * 1000000 // np < 147000 THEN 'negligible'
+                WHEN ABS(gt - lt) * 1000000 // np < 330000 THEN 'small'
+                WHEN ABS(gt - lt) * 1000000 // np < 474000 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM pairs
+    """
+
+
+@q("cliffs_delta_effect", oracle=_CD_SQL)
+def cliffs_delta_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size for weekend vs weekday daily
+    revenue: (#(x > y) - #(x < y)) / (n1 n0) over all cross pairs —
+    the assumption-free effect size that accompanies a significant
+    ``welch_ttest_weekend`` / ``mann_whitney_drift`` result (the
+    p-value says "real", delta says "HOW BIG" without assuming
+    normality; banded by the standard |d| thresholds .147/.33/.474).
+
+    Exactness: pair counts are exact integers; delta is one exact
+    integer division (truncation toward zero on both engines — the
+    probed signed-div portability rule); the magnitude bands compare
+    the same integers.
+
+    Scale shape: the cross join runs on the two calendar-bounded daily
+    slices (at 100x still calendar-bounded); at genuinely large group
+    sizes the rank-sum identity delta = 2U/(n1 n0) - 1 drops in via
+    the exact-ranking machinery.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    ).localCheckpoint()
+    we = daily.where(F.expr("(d + 4) % 7 IN (5, 6)")).select("c")
+    wd = daily.where(F.expr("(d + 4) % 7 NOT IN (5, 6)")).select(
+        F.col("c").alias("cb")
+    )
+    n1, n0 = we.count(), wd.count()
+    pairs = we.crossJoin(wd).agg(
+        F.sum(F.expr("CASE WHEN c > cb THEN 1 ELSE 0 END"))
+        .cast("long").alias("gt"),
+        F.sum(F.expr("CASE WHEN c < cb THEN 1 ELSE 0 END"))
+        .cast("long").alias("lt"),
+        F.count("*").cast("long").alias("np"),
+    )
+    return pairs.select(
+        F.lit(n1).cast("long").alias("n_weekend"),
+        F.lit(n0).cast("long").alias("n_weekday"),
+        F.col("gt").alias("n_greater"),
+        F.col("lt").alias("n_less"),
+        F.expr("CAST((gt - lt) * 1000000 div np AS BIGINT)")
+        .alias("delta_micro"),
+        F.expr(
+            "CASE WHEN ABS(gt - lt) * 1000000 div np < 147000"
+            " THEN 'negligible'"
+            " WHEN ABS(gt - lt) * 1000000 div np < 330000 THEN 'small'"
+            " WHEN ABS(gt - lt) * 1000000 div np < 474000 THEN 'medium'"
+            " ELSE 'large' END"
+        ).alias("magnitude"),
+    )

@@ -3551,3 +3551,95 @@ def test_welch_matches_pure_python(spark):
     assert abs(got.welch_df_x1e4 - math.floor(df * 1e4 + 0.5)) <= 1
     # Welch df is bounded by min(n-1) and n1+n0-2
     assert min(n1, n0) - 1 <= got.welch_df_x1e4 / 1e4 <= n1 + n0 - 2
+
+
+# ---------------------------------------------------------------------------
+# McNemar
+# ---------------------------------------------------------------------------
+
+
+def test_mcnemar_matches_pure_python(spark):
+    import math
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("text", "n_chars").toPandas()
+    )
+    feats = []
+    for _, r in docs.iterrows():
+        x1 = int(r.n_chars) // 64
+        x2 = (len(r.text) - len(r.text.replace("spark", ""))) // 5
+        feats.append((x1, x2, 1 if x2 >= 4 else 0))
+    n = len(feats)
+    denom = n * 2
+
+    def trunc_div(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    w1 = w2 = b_ = 0
+    for _ in range(8):
+        g1 = g2 = g0 = 0
+        for x1, x2, y in feats:
+            p = min(1000000, max(0, 500000 + trunc_div(
+                w1 * x1 + w2 * x2 + b_, 4)))
+            e = p - y * 1000000
+            g1 += e * x1
+            g2 += e * x2
+            g0 += e
+        w1 -= trunc_div(g1, denom)
+        w2 -= trunc_div(g2, denom)
+        b_ -= trunc_div(g0, denom)
+    bcnt = ccnt = a_right = b_right = 0
+    for x1, x2, y in feats:
+        p = min(1000000, max(0, 500000 + trunc_div(
+            w1 * x1 + w2 * x2 + b_, 4)))
+        a = 1 if p >= 500000 else 0
+        bb = 1 if x1 >= 8 else 0
+        a_right += a == y
+        b_right += bb == y
+        if a == y and bb != y:
+            bcnt += 1
+        if a != y and bb == y:
+            ccnt += 1
+    chi2 = (abs(bcnt - ccnt) - 1.0) ** 2 / (bcnt + ccnt)
+    got = (
+        QUERIES["mcnemar_model_compare"](spark, SF_CORRECT)
+        .toPandas().iloc[0]
+    )
+    assert got.n == n
+    assert (got.n_a_right, got.n_b_right) == (a_right, b_right)
+    assert (got.a_only_right, got.b_only_right) == (bcnt, ccnt)
+    assert got.mcnemar_chi2_micro == math.floor(chi2 * 1e6 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta
+# ---------------------------------------------------------------------------
+
+
+def test_cliffs_delta_matches_pure_python(spark):
+    daily = _daily_cents(spark)
+    we = [int(c) for d, c in daily.items() if (d + 4) % 7 in (5, 6)]
+    wd = [int(c) for d, c in daily.items() if (d + 4) % 7 not in (5, 6)]
+    gt = sum(1 for a in we for b in wd if a > b)
+    lt = sum(1 for a in we for b in wd if a < b)
+    np_ = len(we) * len(wd)
+
+    def tdiv(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    delta = tdiv((gt - lt) * 1000000, np_)
+    mag_v = abs(gt - lt) * 1000000 // np_
+    mag = (
+        "negligible" if mag_v < 147000
+        else "small" if mag_v < 330000
+        else "medium" if mag_v < 474000 else "large"
+    )
+    got = (
+        QUERIES["cliffs_delta_effect"](spark, SF_CORRECT).toPandas().iloc[0]
+    )
+    assert (got.n_weekend, got.n_weekday) == (len(we), len(wd))
+    assert (got.n_greater, got.n_less) == (gt, lt)
+    assert got.delta_micro == delta
+    assert got.magnitude == mag
+    assert -1000000 <= got.delta_micro <= 1000000

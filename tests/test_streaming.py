@@ -416,8 +416,12 @@ def test_streaming_dedup_within_watermark(spark, pages_dir, tmp_path):
             shutil.copy(f, dup_dir / f"{i:03d}.parquet")
             i += 1
     stream = read_pages_stream(spark, str(dup_dir), max_files=3)
+    # watermark must cover the fixture's FULL event-time span: parquet
+    # file names are not time-ordered (parallel write task assignment
+    # varies run to run), so a later micro-batch can carry older events;
+    # a 10-day horizon intermittently dropped them as late (flaky)
     q = (
-        streaming_dedup_pages(stream, watermark="10 days")
+        streaming_dedup_pages(stream, watermark="400 days")
         .writeStream.format("memory")
         .queryName("dedup_stream")
         .outputMode("append")

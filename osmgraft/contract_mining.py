@@ -9133,3 +9133,261 @@ def cliffs_delta_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'large' END"
         ).alias("magnitude"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weibull fit by median-rank regression
+# ---------------------------------------------------------------------------
+
+_WB_SQL = """
+    WITH u AS (SELECT user_id,
+                      MIN(CAST(ts AS DATE)) AS first_day,
+                      MAX(CAST(ts AS DATE)) AS last_day
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id),
+    lt AS (SELECT CAST(last_day - first_day AS BIGINT) + 1 AS t
+           FROM u),
+    rk AS (SELECT t, ROW_NUMBER() OVER (ORDER BY t) AS r,
+                  CAST(COUNT(*) OVER () AS BIGINT) AS n
+           FROM lt),
+    pts AS (
+      SELECT LN(t * 1.0e0) AS x,
+             LN(-LN(1.0e0 - (r - 0.3e0) / (n + 0.4e0))) AS y
+      FROM rk),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS shape,
+             (SUM(y) - (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                       / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                       * SUM(x)) / COUNT(*) AS icept
+      FROM pts)
+    SELECT m AS n_lifetimes,
+           CAST(FLOOR(shape * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS shape_micro,
+           CAST(FLOOR(EXP(-icept / shape) * 10000e0 + 5.0e-1) AS BIGINT)
+             AS scale_days_x1e4,
+           CASE WHEN shape > 1.0e0 THEN 'wear_out'
+                WHEN shape < 1.0e0 THEN 'infant_mortality'
+                ELSE 'memoryless' END AS hazard_regime
+    FROM fit
+    """
+
+
+@q("weibull_rank_fit", oracle=_WB_SQL)
+def weibull_rank_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull lifetime fit by median-rank regression (Benard's
+    approximation (r - 0.3)/(n + 0.4)): regress ln(-ln(1-F)) on ln(t)
+    over user activity lifetimes — slope = shape k, intercept gives
+    scale lambda = exp(-b/k). The reliability-engineering question KM
+    curves describe but don't PARAMETERIZE: k < 1 means churn hazard
+    falls with tenure (onboard harder), k > 1 means it rises (fatigue).
+    Pairs with ``kaplan_meier_retention`` (non-parametric) and
+    ``engagement_half_life`` (exponential = the k = 1 special case).
+
+    Exactness: lifetimes and ranks are exact integers; the plotting
+    positions and the OLS run in doubles with identical text, snapped
+    once per output; the regime compares the unsnapped slope to 1.
+
+    Scale shape: ONE user-keyed reduce; ranking runs on the
+    user-bounded lifetime relation (exact-rank machinery drops in at
+    production user counts); the fit is a 5-sum aggregate.
+    """
+    ev = t(spark, sf_dir, "events")
+    u = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+    )
+    lt = u.select(
+        (F.datediff("last_day", "first_day") + 1).cast("long").alias("t")
+    ).localCheckpoint()
+    n = lt.count()
+    rk = lt.select(
+        "t", F.row_number().over(Window.orderBy("t")).alias("r")
+    )
+    pts = rk.select(
+        F.expr("LN(t * 1.0e0)").alias("x"),
+        F.expr(
+            f"LN(-LN(1.0e0 - (r - 0.3e0) / ({n} + 0.4e0)))"
+        ).alias("y"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("long").alias("m"),
+        F.expr(
+            "(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))"
+            " / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))"
+        ).alias("shape"),
+        F.expr(
+            "(SUM(y) - (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))"
+            " / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * SUM(x))"
+            " / COUNT(*)"
+        ).alias("icept"),
+    )
+    return fit.select(
+        F.col("m").alias("n_lifetimes"),
+        F.expr(
+            "CAST(FLOOR(shape * 1000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("shape_micro"),
+        F.expr(
+            "CAST(FLOOR(EXP(-icept / shape) * 10000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("scale_days_x1e4"),
+        F.expr(
+            "CASE WHEN shape > 1.0e0 THEN 'wear_out'"
+            " WHEN shape < 1.0e0 THEN 'infant_mortality'"
+            " ELSE 'memoryless' END"
+        ).alias("hazard_regime"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# posted-price (monopoly reserve) optimizer from the demand curve
+# ---------------------------------------------------------------------------
+
+_PP_BAND = 1000  # 10.00 price candidates
+
+_PP_SQL = f"""
+    WITH bids AS (
+      SELECT CAST(FLOOR(value * 100e0) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT DISTINCT (v // {_PP_BAND}) * {_PP_BAND} AS p FROM bids),
+    dem AS (
+      SELECT c.p,
+             CAST(SUM(CASE WHEN b.v >= c.p THEN 1 ELSE 0 END) AS BIGINT)
+               AS q
+      FROM cand c CROSS JOIN bids b GROUP BY c.p),
+    rev AS (
+      SELECT p, q, p * q AS revenue,
+             ROW_NUMBER() OVER (ORDER BY p * q DESC, p) AS rk
+      FROM dem)
+    SELECT p AS price_cents, q AS n_buyers, revenue AS revenue_cents,
+           CASE WHEN rk = 1 THEN 1 ELSE 0 END AS is_optimal
+    FROM rev ORDER BY revenue DESC, p LIMIT 10
+    """
+
+
+@q("posted_price_optimizer", oracle=_PP_SQL)
+def posted_price_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posted-price optimization from the observed willingness-to-pay
+    distribution: treating purchase values as bids, revenue at price p
+    is p x #(bids >= p); sweep every banded candidate and rank — the
+    monopoly-pricing / auction-reserve calculation (Myerson's reserve
+    for uniform-ish demand), and the DECISION built on top of
+    ``price_elasticity``'s descriptive slope. Top-10 candidates with
+    the optimum flagged.
+
+    Exactness: candidate prices, demand counts and revenues are exact
+    integers; the optimum ties to the LOWER price (more buyers at
+    equal revenue).
+
+    Scale shape: the candidate sweep is a (candidate x banded-bid)
+    aggregate — at production scale the demand curve comes from ONE
+    band histogram + suffix sums (the ``value_deciles`` rank
+    machinery); candidates are bounded by the price range, never the
+    row count.
+    """
+    bids = t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)").alias("v")
+    ).localCheckpoint()
+    cand = bids.select(
+        F.expr(f"(v div {_PP_BAND}) * {_PP_BAND}").alias("p")
+    ).distinct()
+    dem = (
+        cand.crossJoin(bids.select(F.col("v").alias("b")))
+        .groupBy("p")
+        .agg(
+            F.sum(F.when(F.col("b") >= F.col("p"), 1).otherwise(0))
+            .cast("long").alias("q")
+        )
+    )
+    rev = dem.select(
+        "p", "q", (F.col("p") * F.col("q")).alias("revenue"),
+        F.row_number().over(
+            Window.orderBy(F.desc(F.col("p") * F.col("q")), F.asc("p"))
+        ).alias("rk"),
+    )
+    return (
+        rev.select(
+            F.col("p").alias("price_cents"),
+            F.col("q").alias("n_buyers"),
+            F.col("revenue").alias("revenue_cents"),
+            F.when(F.col("rk") == 1, 1).otherwise(0).alias("is_optimal"),
+        )
+        .orderBy(F.desc("revenue_cents"), "price_cents")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# cache TTL hit curve from key re-access gaps
+# ---------------------------------------------------------------------------
+
+_TTL_GRID = (60, 300, 900, 3600, 14400, 86400)  # seconds
+
+
+def _ttl_sql() -> str:
+    grid = ", ".join(f"({s})" for s in _TTL_GRID)
+    return f"""
+    WITH ev AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_id
+      FROM events),
+    g AS (
+      SELECT es - LAG(es) OVER (PARTITION BY user_id
+                                ORDER BY es, event_id) AS gap
+      FROM ev),
+    gaps AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gaps),
+    ttl(t) AS (VALUES {grid})
+    SELECT ttl.t AS ttl_seconds,
+           CAST(SUM(CASE WHEN gaps.gap <= ttl.t THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN gaps.gap <= ttl.t THEN 1 ELSE 0 END)
+                * 1000000 // (SELECT n FROM n) AS BIGINT) AS hit_ppm
+    FROM ttl CROSS JOIN gaps
+    GROUP BY ttl.t ORDER BY ttl.t
+    """
+
+
+@q("cache_ttl_hit_curve", oracle=_ttl_sql())
+def cache_ttl_hit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache-TTL hit curve: for each candidate TTL, the share of key
+    re-accesses (per-user consecutive events as the key stream) that
+    would land inside the TTL — i.e. the cache hit ratio a
+    TTL-expiry cache of that horizon would achieve, which is exactly
+    the re-access-gap CDF evaluated on the TTL grid. The capacity
+    question ``gap_threshold_audit`` locates the knee of, answered as
+    the table an infra review actually reads (TTL -> hit rate).
+
+    Exactness: gaps are integer seconds; hits and ratios are exact
+    integer ppm per grid point.
+
+    Scale shape: the LAG is user-keyed; the curve is ONE conditional
+    aggregate of the gap relation against the 6-value literal grid
+    (grid x gaps reduces map-side, no shuffle fan-out).
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    gaps = ev.select(
+        (F.col("es") - F.lag("es").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull()).localCheckpoint()
+    n = gaps.count()
+    ttl = spark.createDataFrame([(s,) for s in _TTL_GRID], "t INT")
+    return (
+        F.broadcast(ttl).crossJoin(gaps)
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("gap") <= F.col("t"), 1).otherwise(0))
+            .cast("long").alias("n_hits"),
+        )
+        .withColumnRenamed("t", "ttl_seconds")
+        .select(
+            "ttl_seconds", "n_hits",
+            F.expr(f"n_hits * 1000000 div {n}").alias("hit_ppm"),
+        )
+        .orderBy("ttl_seconds")
+    )

@@ -3643,3 +3643,112 @@ def test_cliffs_delta_matches_pure_python(spark):
     assert got.delta_micro == delta
     assert got.magnitude == mag
     assert -1000000 <= got.delta_micro <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# Weibull rank fit
+# ---------------------------------------------------------------------------
+
+
+def test_weibull_fit_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .where("event_type = 'purchase'")
+        .selectExpr("user_id", "CAST(ts AS DATE) dt")
+        .toPandas()
+    )
+    lts = sorted(
+        (g.dt.max() - g.dt.min()).days + 1
+        for _, g in ev.groupby("user_id")
+    )
+    n = len(lts)
+    pts = [
+        (math.log(t_), math.log(-math.log(1.0 - (r - 0.3) / (n + 0.4))))
+        for r, t_ in enumerate(lts, start=1)
+    ]
+    m = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    shape = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    icept = (sy - shape * sx) / m
+    got = QUERIES["weibull_rank_fit"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_lifetimes == n
+    assert abs(got.shape_micro - math.floor(shape * 1e6 + 0.5)) <= 1
+    assert abs(
+        got.scale_days_x1e4
+        - math.floor(math.exp(-icept / shape) * 1e4 + 0.5)
+    ) <= 1
+    exp_reg = (
+        "wear_out" if shape > 1 else
+        "infant_mortality" if shape < 1 else "memoryless"
+    )
+    assert got.hazard_regime == exp_reg
+    assert got.shape_micro > 0  # Weibull shape is positive
+
+
+# ---------------------------------------------------------------------------
+# posted price optimizer
+# ---------------------------------------------------------------------------
+
+
+def test_posted_price_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .where("event_type = 'purchase'")
+        .selectExpr("CAST(FLOOR(value * 100e0) AS BIGINT) v")
+        .toPandas()
+    )
+    bids = [int(v) for v in ev.v]
+    cands = sorted({(v // 1000) * 1000 for v in bids})
+    rows = []
+    for p in cands:
+        q_ = sum(1 for b in bids if b >= p)
+        rows.append((p, q_, p * q_))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    got = QUERIES["posted_price_optimizer"](spark, SF_CORRECT).toPandas()
+    assert len(got) == min(10, len(rows))
+    for (p, q_, rev), (_, r) in zip(rows[:10], got.iterrows()):
+        assert (r.price_cents, r.n_buyers, r.revenue_cents) == (p, q_, rev)
+    assert got.is_optimal.sum() == 1
+    assert got.iloc[0].is_optimal == 1
+    # the optimum beats both pricing extremes
+    assert rows[0][2] >= max(
+        cands[0] * len(bids),
+        cands[-1] * sum(1 for b in bids if b >= cands[-1]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cache TTL curve
+# ---------------------------------------------------------------------------
+
+
+def test_ttl_curve_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id", "event_id",
+            "CAST(unix_timestamp(ts) AS BIGINT) es",
+        )
+        .toPandas()
+        .sort_values(["user_id", "es", "event_id"])
+    )
+    gaps = []
+    for _, g in ev.groupby("user_id"):
+        es = list(g.es)
+        gaps += [b - a for a, b in zip(es, es[1:])]
+    n = len(gaps)
+    got = QUERIES["cache_ttl_hit_curve"](spark, SF_CORRECT).toPandas()
+    assert list(got.ttl_seconds) == [60, 300, 900, 3600, 14400, 86400]
+    prev = -1
+    for _, r in got.iterrows():
+        hits = sum(1 for g_ in gaps if g_ <= r.ttl_seconds)
+        assert r.n_hits == hits
+        assert r.hit_ppm == hits * 1000000 // n
+        # CDF: hit rate is monotone in TTL
+        assert r.hit_ppm >= prev
+        prev = r.hit_ppm

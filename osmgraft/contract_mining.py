@@ -9391,3 +9391,216 @@ def cache_ttl_hit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ttl_seconds")
     )
+
+
+# ---------------------------------------------------------------------------
+# Qn robust scale estimator (Rousseeuw-Croux)
+# ---------------------------------------------------------------------------
+
+_QN_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    idx AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, c FROM daily),
+    pd AS (
+      SELECT ABS(a.c - b.c) AS ad
+      FROM idx a JOIN idx b ON b.i > a.i),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM pd),
+    rk AS (SELECT ad, ROW_NUMBER() OVER (ORDER BY ad) AS r FROM pd),
+    q AS (SELECT MIN(ad) AS qn FROM rk, n WHERE r * 4 > n.np)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           (SELECT np FROM n) AS n_pairs,
+           (SELECT CAST(qn AS BIGINT) FROM q) AS qn_raw_cents,
+           CAST(FLOOR((SELECT qn FROM q) * 2.2219e0 + 5.0e-1) AS BIGINT)
+             AS qn_scaled_cents
+    """
+
+
+@q("qn_scale_estimator", oracle=_QN_SQL)
+def qn_scale_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qn robust scale (Rousseeuw & Croux 1993): the first quartile of
+    all pairwise absolute differences of daily totals, scaled by
+    2.2219 for Gaussian consistency — 50% breakdown like the MAD but
+    82% efficiency (vs MAD's 37%) and NO symmetry assumption, which is
+    why modern robust pipelines prefer it. Completes the robust-scale
+    family (``mad_outliers``, ``winsorized_value_stats``,
+    ``hodges_lehmann_location`` is its location sibling).
+
+    Exactness: pairwise differences and the quartile rank are exact
+    integers (rank cross-multiplication r*4 > n); only the consistency
+    constant multiplies in double, snapped once.
+
+    Scale shape: the pair join runs on the calendar-bounded daily
+    relation (the ``recurrence_quantification`` budget); ranking the
+    difference relation is a sort of n^2/2 8-byte rows.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    ).localCheckpoint()
+    nd = daily.count()
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "c"
+    )
+    b = idx.select(F.col("i").alias("ib"), F.col("c").alias("cb"))
+    pd_ = idx.join(b, F.col("ib") > F.col("i")).select(
+        F.abs(F.col("c") - F.col("cb")).alias("ad")
+    ).localCheckpoint()
+    np_ = pd_.count()
+    qn = int(
+        pd_.select(
+            "ad", F.row_number().over(Window.orderBy("ad")).alias("r")
+        )
+        .where(F.expr(f"r * 4 > {np_}"))
+        .agg(F.min("ad").alias("q")).collect()[0]["q"]
+    )
+    import math as _math
+
+    return daily.limit(1).select(
+        F.lit(nd).cast("long").alias("n_days"),
+        F.lit(np_).cast("long").alias("n_pairs"),
+        F.lit(qn).cast("long").alias("qn_raw_cents"),
+        F.lit(_math.floor(qn * 2.2219 + 0.5)).cast("long")
+        .alias("qn_scaled_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chow structural-break test at the sample midpoint
+# ---------------------------------------------------------------------------
+
+_CHOW_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    rng AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    lab AS (
+      SELECT d - (SELECT d0 FROM rng) AS x, c AS y,
+             CASE WHEN d * 2 < (SELECT d0 + d1 + 1 FROM rng)
+                  THEN 1 ELSE 2 END AS seg
+      FROM daily),
+    s AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM lab GROUP BY seg
+      UNION ALL
+      SELECT 0, CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(x) AS HUGEINT), CAST(SUM(y) AS HUGEINT),
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT),
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT),
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT)
+      FROM lab),
+    sse AS (
+      SELECT seg, n,
+             (syy * 1.0e0 - sy * 1.0e0 * sy / n)
+             - (sxy * 1.0e0 - sx * 1.0e0 * sy / n)
+               * (sxy * 1.0e0 - sx * 1.0e0 * sy / n)
+               / (sxx * 1.0e0 - sx * 1.0e0 * sx / n) AS e
+      FROM s),
+    w AS (
+      SELECT MAX(CASE WHEN seg = 0 THEN e END) AS e_pooled,
+             MAX(CASE WHEN seg = 1 THEN e END)
+               + MAX(CASE WHEN seg = 2 THEN e END) AS e_split,
+             MAX(CASE WHEN seg = 0 THEN n END) AS n
+      FROM sse)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(FLOOR(e_pooled * 1.0e-4 + 5.0e-1) AS BIGINT)
+             AS sse_pooled_x1e4,
+           CAST(FLOOR(e_split * 1.0e-4 + 5.0e-1) AS BIGINT)
+             AS sse_split_x1e4,
+           CAST(FLOOR(((e_pooled - e_split) / 2.0e0)
+                      / (e_split / (n - 4)) * 1000000e0 + 5.0e-1)
+                AS BIGINT) AS chow_f_micro
+    FROM w
+    """
+
+
+@q("chow_test_midpoint", oracle=_CHOW_SQL)
+def chow_test_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test at the sample midpoint: fit the
+    daily linear trend pooled and separately on each half; F =
+    ((SSE_pooled - SSE_split)/k) / (SSE_split/(n - 2k)) with k = 2
+    parameters — the formal "did the trend CHANGE" test behind every
+    before/after narrative (``cusum_changepoints`` finds WHERE,
+    ``did_estimate`` needs a control; Chow tests a known break on the
+    series itself).
+
+    Exactness: all regression power sums are exact integers through
+    HUGEINT == DECIMAL(38,0), pooled and per-segment computed from the
+    SAME single pass (the 0-segment UNION re-aggregates the scan);
+    SSEs and F run in doubles over exact sums, snapped once.
+
+    Scale shape: ONE day-keyed partial agg; three closed-form OLS fits
+    from one grouped aggregate; no joins over raw rows.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    )
+    rng = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    ).collect()[0]
+    d0, mid2 = int(rng.d0), int(rng.d0) + int(rng.d1) + 1
+    lab = daily.select(
+        (F.col("d") - d0).alias("x"), F.col("c").alias("y"),
+        F.expr(f"CASE WHEN d * 2 < {mid2} THEN 1 ELSE 2 END").alias("seg"),
+    ).localCheckpoint()
+    D = "DECIMAL(38,0)"
+
+    def sums(df, seg):
+        return df.agg(
+            F.lit(seg).alias("seg"),
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.expr(f"CAST(x AS {D})")).alias("sx"),
+            F.sum(F.expr(f"CAST(y AS {D})")).alias("sy"),
+            F.sum(F.expr(f"CAST(x AS {D}) * x")).alias("sxx"),
+            F.sum(F.expr(f"CAST(x AS {D}) * y")).alias("sxy"),
+            F.sum(F.expr(f"CAST(y AS {D}) * y")).alias("syy"),
+        )
+    s = (
+        sums(lab.where(F.col("seg") == 1), 1)
+        .unionAll(sums(lab.where(F.col("seg") == 2), 2))
+        .unionAll(sums(lab, 0))
+    )
+    sse = s.select(
+        "seg", "n",
+        F.expr(
+            "(syy * 1.0e0 - sy * 1.0e0 * sy / n)"
+            " - (sxy * 1.0e0 - sx * 1.0e0 * sy / n)"
+            " * (sxy * 1.0e0 - sx * 1.0e0 * sy / n)"
+            " / (sxx * 1.0e0 - sx * 1.0e0 * sx / n)"
+        ).alias("e"),
+    )
+    w = sse.agg(
+        F.max(F.when(F.col("seg") == 0, F.col("e"))).alias("e_pooled"),
+        (
+            F.max(F.when(F.col("seg") == 1, F.col("e")))
+            + F.max(F.when(F.col("seg") == 2, F.col("e")))
+        ).alias("e_split"),
+        F.max(F.when(F.col("seg") == 0, F.col("n"))).alias("n"),
+    )
+    return w.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "CAST(FLOOR(e_pooled * 1.0e-4 + 5.0e-1) AS BIGINT)"
+        ).alias("sse_pooled_x1e4"),
+        F.expr(
+            "CAST(FLOOR(e_split * 1.0e-4 + 5.0e-1) AS BIGINT)"
+        ).alias("sse_split_x1e4"),
+        F.expr(
+            "CAST(FLOOR(((e_pooled - e_split) / 2.0e0)"
+            " / (e_split / (n - 4)) * 1000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("chow_f_micro"),
+    )

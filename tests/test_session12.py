@@ -3752,3 +3752,70 @@ def test_ttl_curve_matches_pure_python(spark):
         # CDF: hit rate is monotone in TTL
         assert r.hit_ppm >= prev
         prev = r.hit_ppm
+
+
+# ---------------------------------------------------------------------------
+# Qn scale
+# ---------------------------------------------------------------------------
+
+
+def test_qn_matches_pure_python(spark):
+    import math
+
+    daily = _daily_cents(spark)
+    xs = [int(v) for v in daily]
+    diffs = sorted(
+        abs(xs[i] - xs[j])
+        for i in range(len(xs)) for j in range(i + 1, len(xs))
+    )
+    np_ = len(diffs)
+    qn = next(v for r, v in enumerate(diffs, start=1) if r * 4 > np_)
+    got = QUERIES["qn_scale_estimator"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_days == len(xs)
+    assert got.n_pairs == np_
+    assert got.qn_raw_cents == qn
+    assert got.qn_scaled_cents == math.floor(qn * 2.2219 + 0.5)
+    # Qn is a scale: positive, and below the full range
+    assert 0 < got.qn_raw_cents < max(xs) - min(xs)
+
+
+# ---------------------------------------------------------------------------
+# Chow test
+# ---------------------------------------------------------------------------
+
+
+def test_chow_matches_pure_python(spark):
+    import math
+
+    daily = _daily_cents(spark)
+    d0 = min(daily.index)
+    d1 = max(daily.index)
+    mid2 = d0 + d1 + 1
+    pts = [(d - d0, int(c), 1 if d * 2 < mid2 else 2)
+           for d, c in daily.items()]
+
+    def sse(rows):
+        n = len(rows)
+        sx = sum(x for x, _ in rows)
+        sy = sum(y for _, y in rows)
+        sxx = sum(x * x for x, _ in rows)
+        sxy = sum(x * y for x, y in rows)
+        syy = sum(y * y for _, y in rows)
+        return (syy - sy * sy / n) - (sxy - sx * sy / n) ** 2 / (
+            sxx - sx * sx / n
+        )
+
+    allr = [(x, y) for x, y, _ in pts]
+    r1 = [(x, y) for x, y, s in pts if s == 1]
+    r2 = [(x, y) for x, y, s in pts if s == 2]
+    ep = sse(allr)
+    es = sse(r1) + sse(r2)
+    n = len(allr)
+    f = ((ep - es) / 2.0) / (es / (n - 4))
+    got = QUERIES["chow_test_midpoint"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_days == n
+    assert abs(got.sse_pooled_x1e4 - math.floor(ep * 1e-4 + 0.5)) <= 1
+    assert abs(got.sse_split_x1e4 - math.floor(es * 1e-4 + 0.5)) <= 1
+    assert abs(got.chow_f_micro - math.floor(f * 1e6 + 0.5)) <= 1
+    # splitting can only reduce SSE; F is nonnegative
+    assert es <= ep + 1e-6 and got.chow_f_micro >= 0

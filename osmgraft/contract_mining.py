@@ -9604,3 +9604,350 @@ def chow_test_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (e_split / (n - 4)) * 1000000e0 + 5.0e-1) AS BIGINT)"
         ).alias("chow_f_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman footrule rank shift between period halves
+# ---------------------------------------------------------------------------
+
+_FR_SQL = """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(FLOOR(value * 100e0) AS BIGINT) AS cents
+      FROM events),
+    rng AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev),
+    seg AS (
+      SELECT event_type,
+             CASE WHEN d * 2 < (SELECT d0 + d1 + 1 FROM rng)
+                  THEN 1 ELSE 2 END AS period,
+             CAST(SUM(cents) AS BIGINT) AS c
+      FROM ev GROUP BY event_type, period),
+    rk AS (
+      SELECT event_type, period,
+             ROW_NUMBER() OVER (PARTITION BY period
+                                ORDER BY c DESC, event_type) AS r
+      FROM seg),
+    wide AS (
+      SELECT event_type,
+             MAX(CASE WHEN period = 1 THEN r END) AS r1,
+             MAX(CASE WHEN period = 2 THEN r END) AS r2
+      FROM rk GROUP BY event_type)
+    SELECT event_type, CAST(r1 AS BIGINT) AS rank_h1,
+           CAST(r2 AS BIGINT) AS rank_h2,
+           CAST(ABS(r1 - r2) AS BIGINT) AS displacement,
+           CAST(SUM(ABS(r1 - r2)) OVER () AS BIGINT) AS footrule_total
+    FROM wide ORDER BY event_type
+    """
+
+
+@q("footrule_rank_shift", oracle=_FR_SQL)
+def footrule_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman footrule between the revenue rankings of the two period
+    halves: each event type's rank displacement and the total sum of
+    |rank shifts| — the L1 ranking distance (Diaconis & Graham 1977)
+    that leaderboard-stability dashboards quote because it is
+    interpretable in POSITIONS (``rank_biased_overlap`` weights the
+    head; the footrule treats all positions equally). Ties in revenue
+    break on the type name, so ranks are total.
+
+    Exactness: revenue sums, ranks, displacements and the footrule are
+    all exact integers.
+
+    Scale shape: ONE (type, period) partial agg; ranking runs on the
+    vocabulary-bounded segment relation.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        ).alias("d"),
+        F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)").alias("cents"),
+    )
+    rng = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1")).collect()[0]
+    mid2 = int(rng.d0) + int(rng.d1) + 1
+    seg = ev.groupBy(
+        "event_type",
+        F.expr(f"CASE WHEN d * 2 < {mid2} THEN 1 ELSE 2 END").alias("period"),
+    ).agg(F.sum("cents").cast("long").alias("c"))
+    w = Window.partitionBy("period").orderBy(F.desc("c"), "event_type")
+    rk = seg.select(
+        "event_type", "period", F.row_number().over(w).alias("r")
+    )
+    wide = rk.groupBy("event_type").agg(
+        F.max(F.when(F.col("period") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("period") == 2, F.col("r"))).alias("r2"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return wide.select(
+        "event_type",
+        F.col("r1").cast("long").alias("rank_h1"),
+        F.col("r2").cast("long").alias("rank_h2"),
+        F.abs(F.col("r1") - F.col("r2")).cast("long").alias("displacement"),
+        F.sum(F.abs(F.col("r1") - F.col("r2"))).over(wall)
+        .cast("long").alias("footrule_total"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box white-noise test on daily values
+# ---------------------------------------------------------------------------
+
+_LB_K = 5
+
+
+def _lb_sql() -> str:
+    lags = []
+    for k in range(1, _LB_K + 1):
+        lags.append(f"""
+    l{k} AS (
+      SELECT SUM((a.c - m.mu) * (b.c - m.mu)) AS num
+      FROM idx a JOIN idx b ON b.i = a.i + {k} CROSS JOIN m)""")
+    chain = ",".join(lags)
+    terms = " + ".join(
+        f"(SELECT num FROM l{k}) / den.d * (SELECT num FROM l{k})"
+        f" / den.d / (nn.n - {k})"
+        for k in range(1, _LB_K + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    idx AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, c FROM daily),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+    m AS (SELECT SUM(c) * 1.0e0 / (SELECT n FROM nn) AS mu FROM idx),
+    den AS (SELECT SUM((c - m.mu) * (c - m.mu)) AS d
+            FROM idx CROSS JOIN m),
+    {chain}
+    SELECT nn.n AS n_days, {_LB_K} AS n_lags,
+           CAST(FLOOR(nn.n * (nn.n + 2.0e0) * ({terms})
+                      * 1000000e0 + 5.0e-1) AS BIGINT) AS q_micro
+    FROM nn CROSS JOIN den
+    """
+
+
+@q("ljung_box_test", oracle=_lb_sql())
+def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily values: Q = n(n+2) *
+    sum_k r_k^2/(n-k) over the first {_LB_K} autocorrelations — the
+    formal "is this white noise" gate (chi-square with {_LB_K} df
+    under the null) that decides whether fitting ANY time-series model
+    (``holt_linear_forecast``, ``theil_sen_daily_trend``,
+    ``hurst_rs_exponent``) is even justified. ``acf_daily_lags``
+    reports the r_k; this aggregates them into the decision statistic.
+
+    Exactness: the mean, autocovariances and the variance denominator
+    are doubles over exact integer cent totals with identical
+    expression order; Q snaps once.
+
+    Scale shape: each lag's autocovariance is an index equi-join
+    (i -> i+k) over the calendar-bounded daily relation; {_LB_K} tiny
+    joins, one scalar projection.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("c")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "c"
+    ).localCheckpoint()
+    n = idx.count()
+    mu = float(
+        idx.agg(F.expr(f"SUM(c) * 1.0e0 / {n}").alias("m")).collect()[0]["m"]
+    )
+    # bare decimal literals type DECIMAL in Spark SQL — force DOUBLE
+    mud = f"CAST({mu!r} AS DOUBLE)"
+    den = float(
+        idx.agg(
+            F.sum(F.expr(f"(c - {mud}) * (c - {mud})")).alias("d")
+        ).collect()[0]["d"]
+    )
+    total = 0.0
+    b = idx.select(F.col("i").alias("ib"), F.col("c").alias("cb"))
+    for k in range(1, _LB_K + 1):
+        num = float(
+            idx.join(b, F.col("ib") == F.col("i") + k)
+            .agg(
+                F.sum(
+                    F.expr(f"(c - {mud}) * (cb - {mud})")
+                ).alias("s")
+            ).collect()[0]["s"]
+        )
+        rk = num / den
+        total += rk * rk / (n - k)
+    import math as _math
+
+    q = n * (n + 2.0) * total
+    return idx.limit(1).select(
+        F.lit(n).cast("long").alias("n_days"),
+        F.lit(_LB_K).cast("long").alias("n_lags"),
+        F.lit(_math.floor(q * 1e6 + 0.5)).cast("long").alias("q_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Taylor's law (variance ~ mean^b across event types)
+# ---------------------------------------------------------------------------
+
+_TL_SQL = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, d),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+      FROM daily GROUP BY event_type),
+    mv AS (
+      SELECT event_type,
+             s1 * 1.0e0 / n AS m,
+             (s2 * 1.0e0 - s1 * 1.0e0 * s1 / n) / (n - 1) AS v
+      FROM s),
+    pts AS (SELECT LN(m) AS x, LN(v) AS y FROM mv),
+    fit AS (
+      SELECT (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS b
+      FROM pts)
+    SELECT mv.event_type,
+           CAST(FLOOR(mv.m * 100e0 + 5.0e-1) AS BIGINT) AS mean_centi,
+           CAST(FLOOR(mv.v * 100e0 + 5.0e-1) AS BIGINT) AS var_centi,
+           CAST(FLOOR(f.b * 1000000e0 + 5.0e-1) AS BIGINT)
+             AS taylor_b_micro
+    FROM mv CROSS JOIN fit f ORDER BY mv.event_type
+    """
+
+
+@q("taylors_law_fit", oracle=_TL_SQL)
+def taylors_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taylor's power law across event types: var(daily count) ~
+    mean^b, fit log-log over the per-type (mean, variance) points —
+    the empirical scaling law (Taylor 1961) that decides how
+    fluctuation head-room must grow as a traffic class grows (b = 1
+    Poisson, b = 2 proportional bursts; capacity reserves scale like
+    mean^(b/2)). The cross-CLASS scaling companion of
+    ``overdispersion_nb_fit``'s per-class dispersion.
+
+    Exactness: per-type power sums are exact integers through HUGEINT
+    == DECIMAL(38,0); moments, logs and the slope run in doubles over
+    exact sums, snapped once (b repeated per row with each type's
+    moments).
+
+    Scale shape: ONE (type, day) partial agg, a type-keyed moment
+    rollup, and a 5-point regression aggregate.
+    """
+    daily = t(spark, sf_dir, "events").groupBy(
+        "event_type",
+        F.expr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        ).alias("d"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    D = "DECIMAL(38,0)"
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr(f"CAST(c AS {D})")).alias("s1"),
+        F.sum(F.expr(f"CAST(c AS {D}) * c")).alias("s2"),
+    )
+    mv = s.select(
+        "event_type",
+        F.expr("s1 * 1.0e0 / n").alias("m"),
+        F.expr("(s2 * 1.0e0 - s1 * 1.0e0 * s1 / n) / (n - 1)").alias("v"),
+    ).localCheckpoint()
+    fit = mv.select(
+        F.expr("LN(m)").alias("x"), F.expr("LN(v)").alias("y")
+    ).agg(
+        F.expr(
+            "(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))"
+            " / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))"
+        ).alias("b")
+    )
+    return mv.crossJoin(F.broadcast(fit)).select(
+        "event_type",
+        F.expr("CAST(FLOOR(m * 100e0 + 5.0e-1) AS BIGINT)")
+        .alias("mean_centi"),
+        F.expr("CAST(FLOOR(v * 100e0 + 5.0e-1) AS BIGINT)")
+        .alias("var_centi"),
+        F.expr(
+            "CAST(FLOOR(b * 1000000e0 + 5.0e-1) AS BIGINT)"
+        ).alias("taylor_b_micro"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20 concentration point
+# ---------------------------------------------------------------------------
+
+_P80_SQL = """
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s FROM u),
+    rk AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC, user_id) AS r,
+             SUM(v) OVER (ORDER BY v DESC, user_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM u),
+    hit AS (
+      SELECT MIN(r) AS k FROM rk, tot WHERE cum * 5 >= tot.s * 4)
+    SELECT tot.n AS n_users, tot.s AS total_cents,
+           (SELECT CAST(k AS BIGINT) FROM hit) AS top_users_for_80pct,
+           CAST((SELECT k FROM hit) * 1000000 // tot.n AS BIGINT)
+             AS top_share_ppm
+    FROM tot
+    """
+
+
+@q("pareto_8020_point", oracle=_P80_SQL)
+def pareto_8020_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto 80/20 point: the smallest number of top-value users
+    whose cumulative spend covers 80% of total revenue, and the share
+    of the user base they represent — the concentration headline
+    ("X% of users drive 80% of revenue") that ``value_gini_by_type``'s
+    coefficient encodes but executives don't read. Ties break on the
+    user id, so the cut is total.
+
+    Exactness: user totals, the descending cumulative sum, the
+    threshold (cross-multiplied cum*5 >= 4s — division-free) and the
+    share are exact integers.
+
+    Scale shape: ONE user-keyed partial agg; the ordered cumulative
+    runs on the user relation (exact-rank machinery drops in at
+    production user counts); the cut is a single aggregate.
+    """
+    u = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long").alias("v")
+    ).localCheckpoint()
+    tot = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+    ).collect()[0]
+    n, s = int(tot.n), int(tot.s)
+    w = Window.orderBy(F.desc("v"), "user_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rk = u.select(
+        F.row_number().over(Window.orderBy(F.desc("v"), "user_id"))
+        .alias("r"),
+        F.sum("v").over(w).alias("cum"),
+    )
+    k = int(
+        rk.where(F.expr(f"cum * 5 >= {s} * 4"))
+        .agg(F.min("r").alias("k")).collect()[0]["k"]
+    )
+    return u.limit(1).select(
+        F.lit(n).cast("long").alias("n_users"),
+        F.lit(s).cast("long").alias("total_cents"),
+        F.lit(k).cast("long").alias("top_users_for_80pct"),
+        F.lit(k * 1000000 // n).cast("long").alias("top_share_ppm"),
+    )

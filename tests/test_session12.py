@@ -3819,3 +3819,142 @@ def test_chow_matches_pure_python(spark):
     assert abs(got.chow_f_micro - math.floor(f * 1e6 + 0.5)) <= 1
     # splitting can only reduce SSE; F is nonnegative
     assert es <= ep + 1e-6 and got.chow_f_micro >= 0
+
+
+# ---------------------------------------------------------------------------
+# footrule rank shift
+# ---------------------------------------------------------------------------
+
+
+def test_footrule_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+            "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+        )
+        .toPandas()
+    )
+    mid2 = int(ev.d.min()) + int(ev.d.max()) + 1
+    ev["period"] = (ev.d * 2 < mid2).map({True: 1, False: 2})
+    ranks = {}
+    for p in (1, 2):
+        seg = (
+            ev[ev.period == p].groupby("event_type").cents.sum()
+            .reset_index().sort_values(
+                ["cents", "event_type"], ascending=[False, True]
+            )
+        )
+        for r, (_, row) in enumerate(seg.iterrows(), start=1):
+            ranks[(row.event_type, p)] = r
+    types = sorted(ev.event_type.unique())
+    disp = {t_: abs(ranks[(t_, 1)] - ranks[(t_, 2)]) for t_ in types}
+    total = sum(disp.values())
+    got = QUERIES["footrule_rank_shift"](spark, SF_CORRECT).toPandas()
+    assert len(got) == len(types)
+    for _, r in got.iterrows():
+        assert r.rank_h1 == ranks[(r.event_type, 1)]
+        assert r.rank_h2 == ranks[(r.event_type, 2)]
+        assert r.displacement == disp[r.event_type]
+        assert r.footrule_total == total
+    # footrule parity: the total displacement is always even
+    assert total % 2 == 0
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box
+# ---------------------------------------------------------------------------
+
+
+def test_ljung_box_matches_pure_python(spark):
+    import math
+
+    daily = _daily_cents(spark)
+    xs = [int(v) for v in daily]
+    n = len(xs)
+    mu = sum(xs) * 1.0 / n
+    den = sum((x - mu) ** 2 for x in xs)
+    total = 0.0
+    for k in range(1, 6):
+        num = sum((xs[i] - mu) * (xs[i + k] - mu) for i in range(n - k))
+        rk = num / den
+        total += rk * rk / (n - k)
+    q = n * (n + 2.0) * total
+    got = QUERIES["ljung_box_test"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert (got.n_days, got.n_lags) == (n, 5)
+    assert abs(got.q_micro - math.floor(q * 1e6 + 0.5)) <= 2
+    assert got.q_micro >= 0
+
+
+# ---------------------------------------------------------------------------
+# Taylor's law
+# ---------------------------------------------------------------------------
+
+
+def test_taylors_law_matches_pure_python(spark):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) d",
+        )
+        .toPandas()
+    )
+    pts = []
+    moms = {}
+    for et, g in ev.groupby("event_type"):
+        cs = list(g.groupby("d").size())
+        n = len(cs)
+        m = sum(cs) / n
+        v = (sum(c * c for c in cs) - sum(cs) ** 2 / n) / (n - 1)
+        moms[et] = (m, v)
+        pts.append((math.log(m), math.log(v)))
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    b = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    got = QUERIES["taylors_law_fit"](spark, SF_CORRECT).toPandas()
+    for _, r in got.iterrows():
+        m, v = moms[r.event_type]
+        assert abs(r.mean_centi - math.floor(m * 100 + 0.5)) <= 1
+        assert abs(r.var_centi - math.floor(v * 100 + 0.5)) <= 1
+        assert abs(r.taylor_b_micro - math.floor(b * 1e6 + 0.5)) <= 2
+
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_8020_matches_pure_python(spark):
+    ev = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .selectExpr(
+            "user_id", "CAST(FLOOR(value * 100e0) AS BIGINT) cents",
+        )
+        .toPandas()
+    )
+    totals = sorted(
+        ((int(g.cents.sum()), uid) for uid, g in ev.groupby("user_id")),
+        key=lambda t_: (-t_[0], t_[1]),
+    )
+    s = sum(v for v, _ in totals)
+    cum = 0
+    k = None
+    for r, (v, _) in enumerate(totals, start=1):
+        cum += v
+        if cum * 5 >= s * 4:
+            k = r
+            break
+    got = QUERIES["pareto_8020_point"](spark, SF_CORRECT).toPandas().iloc[0]
+    assert got.n_users == len(totals)
+    assert got.total_cents == s
+    assert got.top_users_for_80pct == k
+    assert got.top_share_ppm == k * 1000000 // len(totals)
+    # the cut is genuinely minimal
+    assert (cum - totals[k - 1][0]) * 5 < s * 4

@@ -17,6 +17,17 @@ hotspot point field, the TPC-H-ish relations in TESTDATA.md).
   ``ripley_k_function`` (distance-based) and ``nn_distance_profile``
   (neighbour-based) with the count-based member of the point-pattern
   triad.
+- ``naive_bayes_lang_confusion``: multinomial naive Bayes trained
+  in-engine (Laplace smoothing, token likelihoods from a train split)
+  and applied to a held-out split — the classic generative text
+  classifier, as one relational plan.  Complements the HEURISTIC
+  marker-word ``lang_id`` (fixed word lists) with a LEARNED model, and
+  ``hard_sigmoid_logreg`` (discriminative) with the generative member
+  of the linear-classifier pair.
+- ``decision_stump_split``: exact best-threshold single-split learner
+  (CART depth 1) by weighted Gini impurity over integer value buckets
+  — the base learner of every boosting ensemble and the standard
+  "is this feature predictive at all" audit.
 
 Reference surface being generalized: the reference's verification
 pipeline (scripts/verify/verify_import.py spatial-distribution checks,
@@ -253,4 +264,263 @@ def quadrat_vmr_test(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.lit("uniform"))
         .otherwise(F.lit("random"))
         .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multinomial naive Bayes language classifier (train + apply in-engine)
+# ---------------------------------------------------------------------------
+
+_NB_SQL = """
+    WITH toks AS (
+      SELECT doc_id, lang, tok
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE length(tok) > 0),
+    train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+    test  AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+    classes AS (SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                          AS n_docs,
+                       CAST(COUNT(*) AS BIGINT) AS n_toks
+                FROM train GROUP BY lang),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM train),
+    prior AS (SELECT c.lang, c.n_toks,
+                     LN(c.n_docs * 1.0e0
+                        / (SELECT SUM(n_docs) FROM classes)) AS lp
+              FROM classes c),
+    tc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM train GROUP BY lang, tok),
+    test_tok AS (SELECT doc_id, lang AS true_lang, tok,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM test GROUP BY doc_id, lang, tok),
+    scored AS (
+      SELECT tt.doc_id, tt.true_lang, p.lang AS cand,
+             MAX(p.lp) + SUM(tt.n * LN((COALESCE(tc.c, 0) + 1) * 1.0e0
+                                        / (p.n_toks + v.v))) AS score
+      FROM test_tok tt CROSS JOIN prior p CROSS JOIN vocab v
+      LEFT JOIN tc ON tc.lang = p.lang AND tc.tok = tt.tok
+      GROUP BY tt.doc_id, tt.true_lang, p.lang),
+    pred AS (
+      SELECT doc_id, true_lang, cand AS pred_lang
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, cand) AS rn FROM scored)
+      WHERE rn = 1)
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """
+
+
+@q("naive_bayes_lang_confusion", oracle=_NB_SQL)
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes, trained AND applied in one relational
+    plan: tokenize, split train (doc_id % 5 != 0) / test (== 0), learn
+    per-class token likelihoods with Laplace smoothing, score every
+    held-out doc against every class as log-prior + sum of
+    count-weighted token log-likelihoods, predict the argmax, and roll
+    up the held-out confusion matrix.  The LEARNED counterpart to the
+    marker-word heuristic ``lang_id``, and the generative twin of
+    ``hard_sigmoid_logreg`` — together the textbook linear-classifier
+    pair (Ng & Jordan 2001).
+
+    Cross-engine determinism: the argmax compares double log-scores,
+    but every input to LN is a ratio of exact integer aggregates and
+    the per-document winner margin on this fixture is >= 3.3e-4
+    (measured) — nine orders above accumulation noise, with a
+    lexicographic class tiebreak pinned on both engines.
+
+    Scale shape: token counts are one (lang, tok)-keyed partial agg;
+    scoring joins test tokens to the model on the SAME (lang, tok)
+    key — an equi-join that shards by token at web scale (the model
+    side is vocab x classes, broadcastable for bounded vocabularies);
+    the per-doc argmax window partitions by doc_id, never global.
+    """
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    train = toks.filter(F.col("doc_id") % 5 != 0)
+    test = toks.filter(F.col("doc_id") % 5 == 0)
+    classes = train.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_toks"),
+    )
+    vocab = train.agg(
+        F.countDistinct("tok").cast("long").alias("v")
+    )
+    tot_docs = classes.agg(F.sum("n_docs").alias("td"))
+    prior = classes.crossJoin(F.broadcast(tot_docs)).select(
+        "lang", "n_toks",
+        F.log(F.col("n_docs") * 1.0 / F.col("td")).alias("lp"),
+    )
+    tc = train.groupBy("lang", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    test_tok = (
+        test.groupBy("doc_id", F.col("lang").alias("true_lang"), "tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    scored = (
+        test_tok.crossJoin(F.broadcast(prior))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            tc.select(
+                F.col("lang").alias("ml"),
+                F.col("tok").alias("mt"),
+                "c",
+            ),
+            (F.col("lang") == F.col("ml")) & (F.col("tok") == F.col("mt")),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", F.col("lang").alias("cand"))
+        .agg(
+            (
+                F.max("lp")
+                + F.sum(
+                    F.col("n")
+                    * F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                        * 1.0
+                        / (F.col("n_toks") + F.col("v"))
+                    )
+                )
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact best-split decision stump (CART depth 1) by weighted Gini
+# ---------------------------------------------------------------------------
+
+_STUMP_SQL = """
+    WITH pts AS (SELECT CAST(FLOOR(value) AS BIGINT) AS b,
+                        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                          AS y
+                 FROM events),
+    buckets AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(y) AS BIGINT) AS pos
+                FROM pts GROUP BY b),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                   CAST(SUM(pos) AS BIGINT) AS tp
+            FROM buckets),
+    cum AS (SELECT b,
+                   SUM(n) OVER (ORDER BY b) AS nl,
+                   SUM(pos) OVER (ORDER BY b) AS pl
+            FROM buckets),
+    cand AS (
+      SELECT c.b AS threshold, c.nl, c.pl,
+             t.tn - c.nl AS nr, t.tp - c.pl AS pr, t.tn
+      FROM cum c CROSS JOIN tot t
+      WHERE c.nl > 0 AND t.tn - c.nl > 0),
+    scored AS (
+      SELECT threshold, nl, nr,
+             1.0e0 - (  (pl*pl + (nl-pl)*(nl-pl)) * 1.0e0 / nl
+                      + (pr*pr + (nr-pr)*(nr-pr)) * 1.0e0 / nr ) / tn
+               AS gini,
+             (CASE WHEN 2*pl >= nl THEN pl ELSE nl - pl END
+              + CASE WHEN 2*pr >= nr THEN pr ELSE nr - pr END)
+               AS n_correct
+      FROM cand),
+    best AS (SELECT * FROM scored ORDER BY gini ASC, threshold ASC
+             LIMIT 1)
+    SELECT threshold, CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           ROUND(gini, 6) AS weighted_gini,
+           CAST(n_correct AS BIGINT) AS n_correct
+    FROM best
+    """
+
+
+@q("decision_stump_split", oracle=_STUMP_SQL)
+def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best-threshold decision stump (CART depth 1, Breiman
+    1984): label = "is this event a click", feature = value bucketed to
+    integers; every bucket boundary is a candidate threshold scored by
+    weighted Gini impurity from prefix sums; report the optimal split
+    with its left/right sizes, impurity and majority-vote accuracy.
+    The base learner of every boosting ensemble, and the standard
+    single-feature predictiveness audit a feature-store review runs —
+    completes the supervised family next to ``hard_sigmoid_logreg``
+    (linear), ``threshold_optimizer`` (fixed-metric sweep) and
+    ``target_encoding_loo`` (feature transform).
+
+    Exactness: all split statistics (nl, pl, nr, pr, n_correct) are
+    exact integer prefix sums; the Gini score is ONE deterministic
+    division chain over those integers — no accumulation
+    nondeterminism, so the argmin (lexicographic threshold tiebreak)
+    is engine-stable; the reported impurity rounds at 6 dp.
+
+    Scale shape: the raw table collapses to <= |value range| buckets in
+    one partial agg; the ordered prefix-sum window runs over that
+    BOUNDED bucket relation (293 rows here, never the raw table — same
+    discipline as ``value_deciles``); best-split selection is a
+    distributed TakeOrdered(1), not a driver sort.
+    """
+    pts = t(spark, sf_dir, "events").select(
+        F.expr("CAST(FLOOR(value) AS BIGINT)").alias("b"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
+    )
+    buckets = pts.groupBy("b").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot = buckets.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("pos").cast("long").alias("tp"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.select(
+        "b",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("b").alias("threshold"),
+            "nl",
+            "pl",
+            (F.col("tn") - F.col("nl")).alias("nr"),
+            (F.col("tp") - F.col("pl")).alias("pr"),
+            "tn",
+        )
+        .filter((F.col("nl") > 0) & (F.col("nr") > 0))
+    )
+    nl, pl, nr, pr = (F.col(c) for c in ("nl", "pl", "nr", "pr"))
+    gini = 1.0 - (
+        (pl * pl + (nl - pl) * (nl - pl)) * 1.0 / nl
+        + (pr * pr + (nr - pr) * (nr - pr)) * 1.0 / nr
+    ) / F.col("tn")
+    scored = cand.select(
+        "threshold",
+        "nl",
+        "nr",
+        gini.alias("gini"),
+        (
+            F.when(2 * pl >= nl, pl).otherwise(nl - pl)
+            + F.when(2 * pr >= nr, pr).otherwise(nr - pr)
+        ).alias("n_correct"),
+    )
+    return scored.orderBy("gini", "threshold").limit(1).select(
+        "threshold",
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        F.round("gini", 6).alias("weighted_gini"),
+        F.col("n_correct").cast("long").alias("n_correct"),
     )

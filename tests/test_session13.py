@@ -38,3 +38,35 @@ class TestSpatialDispersion:
         # every point landed in some quadrat (grid covers the extent)
         ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
         assert r["total_points"] == ev.count()
+
+
+class TestSupervisedLearners:
+    def test_naive_bayes_covers_heldout_split(self, spark):
+        from osmgraft.contract_science import naive_bayes_lang_confusion
+
+        rows = naive_bayes_lang_confusion(spark, SF_CORRECT).collect()
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        n_test = docs.filter("doc_id % 5 = 0").count()
+        assert sum(r["n_docs"] for r in rows) == n_test
+        langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+        assert {r["pred_lang"] for r in rows} <= langs
+        # the majority class must be predicted at better-than-chance
+        diag = {r["true_lang"]: r["n_docs"] for r in rows
+                if r["true_lang"] == r["pred_lang"]}
+        en_total = sum(r["n_docs"] for r in rows if r["true_lang"] == "en")
+        assert diag.get("en", 0) > en_total // 2
+
+    def test_decision_stump_beats_no_split(self, spark):
+        from osmgraft.contract_science import decision_stump_split
+
+        r = decision_stump_split(spark, SF_CORRECT).collect()[0]
+        ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        n = ev.count()
+        pos = ev.filter("event_type = 'click'").count()
+        assert r["n_left"] + r["n_right"] == n
+        # base (no-split) Gini of the root node
+        p = pos / n
+        base = 2 * p * (1 - p)
+        assert r["weighted_gini"] < base
+        # stump accuracy at least the majority-vote baseline
+        assert r["n_correct"] >= max(pos, n - pos)

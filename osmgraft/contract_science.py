@@ -524,3 +524,179 @@ def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("gini", 6).alias("weighted_gini"),
         F.col("n_correct").cast("long").alias("n_correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# suffix stemmer (Porter step-1 subset) + stem frequency rollup
+# ---------------------------------------------------------------------------
+
+# deterministic inflection: each token instance gets a suffix chosen by
+# (doc_id*7 + token length) so every base word occurs in several forms
+_STEM_INFLECT = (
+    "CASE (doc_id * 7 + length(tok)) % 5 "
+    "WHEN 0 THEN tok || 's' "
+    "WHEN 1 THEN tok || 'ing' "
+    "WHEN 2 THEN tok || 'ed' "
+    "WHEN 3 THEN tok || 'ies' "
+    "ELSE tok END"
+)
+
+# Porter step-1 subset as one engine-portable CASE chain (plain string
+# functions only — identical semantics on Spark SQL and DuckDB)
+_STEM_RULE = (
+    "CASE "
+    "WHEN form LIKE '%sses' THEN substr(form, 1, length(form) - 2) "
+    "WHEN form LIKE '%ies' THEN substr(form, 1, length(form) - 2) "
+    "WHEN form LIKE '%ss' THEN form "
+    "WHEN form LIKE '%s' THEN substr(form, 1, length(form) - 1) "
+    "WHEN form LIKE '%ing' AND length(form) > 5 "
+    "  THEN substr(form, 1, length(form) - 3) "
+    "WHEN form LIKE '%ed' AND length(form) > 4 "
+    "  THEN substr(form, 1, length(form) - 2) "
+    "ELSE form END"
+)
+
+_STEM_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE length(tok) > 0),
+    inflected AS (SELECT doc_id, {_STEM_INFLECT} AS form FROM toks),
+    stemmed AS (SELECT form, {_STEM_RULE} AS stem FROM inflected),
+    rolled AS (
+      SELECT stem,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT form) AS BIGINT) AS n_forms,
+             MIN(form) AS example_form
+      FROM stemmed GROUP BY stem)
+    SELECT * FROM rolled ORDER BY n_tokens DESC, stem LIMIT 15
+    """
+
+
+@q("suffix_stem_rollup", oracle=_STEM_SQL)
+def suffix_stem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix stemming (the Porter step-1 subset: sses→ss, ies→i,
+    plural -s, -ing / -ed with minimum-stem guards) applied to a
+    deterministically inflected token stream, then a stem-frequency
+    rollup (top 15 by count): the index-normalization operator that
+    sits in front of ``inverted_index`` / ``bm25_top_docs`` in any real
+    retrieval pipeline — without it, 'table', 'tables' and 'tabling'
+    fragment the postings for one concept into three.  The fixture's
+    vocabulary is all-singular, so inflections are synthesized by a
+    shared deterministic CASE (same discipline as
+    ``sorted_neighborhood_pairs``' typo fabrication); n_forms per stem
+    then proves the stemmer actually CONFLATES multiple surface forms.
+
+    Exactness: pure string CASE chain (LIKE + substr + length — no
+    regex, no floats) evaluated from identical expression text on both
+    engines; counts are exact integers.
+
+    Scale shape: stemming is a per-row Column expression inside
+    whole-stage codegen (zero shuffle added); the rollup is one
+    stem-keyed partial agg and the report a distributed
+    TakeOrdered(15).
+    """
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    inflected = toks.select(F.expr(_STEM_INFLECT).alias("form"))
+    stemmed = inflected.select("form", F.expr(_STEM_RULE).alias("stem"))
+    return (
+        stemmed.groupBy("stem")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.countDistinct("form").cast("long").alias("n_forms"),
+            F.min("form").alias("example_form"),
+        )
+        .orderBy(F.desc("n_tokens"), "stem")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL template mining (path-shape extraction over the crawl layer)
+# ---------------------------------------------------------------------------
+
+# deterministic URL paths with numeric slots, several shapes per corpus
+_UT_PATH = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN '/p/' || CAST(doc_id % 50 AS STRING) "
+    "         || '/item-' || CAST(doc_id % 97 AS STRING) "
+    "WHEN 1 THEN '/c/' || CAST(doc_id % 12 AS STRING) "
+    "WHEN 2 THEN '/a/about' "
+    "ELSE '/p/' || CAST(doc_id % 50 AS STRING) || '/reviews' END"
+)
+
+_UT_SQL = f"""
+    WITH raw AS (
+      SELECT doc_id,
+             'example-' || CAST(doc_id % 7 AS STRING) || '.co.uk' AS host,
+             {_UT_PATH} AS path
+      FROM documents),
+    templ AS (
+      SELECT host, path,
+             regexp_replace(path, '[0-9]+', '{{n}}', 'g') AS template
+      FROM raw),
+    rolled AS (
+      SELECT template,
+             CAST(COUNT(*) AS BIGINT) AS n_urls,
+             CAST(COUNT(DISTINCT path) AS BIGINT) AS n_distinct_paths,
+             CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+             MIN(path) AS example_path
+      FROM templ GROUP BY template)
+    SELECT * FROM rolled ORDER BY n_urls DESC, template
+    """
+
+
+@q("url_template_mining", oracle=_UT_SQL)
+def url_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining: collapse every crawl path to its SHAPE by
+    replacing digit runs with a ``{{n}}`` slot and roll up per-template
+    frequency, distinct-instantiation and host spread.  The standard
+    crawl-frontier de-biasing step — a 10^12-page crawl is dominated by
+    a few parametric templates (product pages, pagination), and the
+    template histogram is what budget allocation / crawler-trap
+    detection runs on (one template with millions of instantiations
+    and one host = a trap candidate; ``n_distinct_paths`` vs ``n_urls``
+    exposes exact-duplicate fetches).  Extends the crawl layer
+    (``url_host_rollup`` normalizes authority; this normalizes PATH).
+
+    Exactness: one regexp_replace with the portable '[0-9]+' class
+    (identical RE2/Java semantics); all outputs exact integers and
+    MIN-strings.
+
+    Scale shape: template extraction is a per-row Column expression;
+    the rollup is one template-keyed partial agg — count-distinct
+    shuffles once on (template, path), bounded by the distinct-URL
+    count, exactly like the host rollup.
+    """
+    raw = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("example-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".co.uk"),
+        ).alias("host"),
+        F.expr(_UT_PATH).alias("path"),
+    )
+    templ = raw.select(
+        "host",
+        "path",
+        F.regexp_replace("path", "[0-9]+", "{n}").alias("template"),
+    )
+    return (
+        templ.groupBy("template")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("path").cast("long").alias("n_distinct_paths"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.min("path").alias("example_path"),
+        )
+        .orderBy(F.desc("n_urls"), "template")
+    )

@@ -70,3 +70,34 @@ class TestSupervisedLearners:
         assert r["weighted_gini"] < base
         # stump accuracy at least the majority-vote baseline
         assert r["n_correct"] >= max(pos, n - pos)
+
+
+class TestTextWebNormalization:
+    def test_stemmer_conflates_forms(self, spark):
+        from osmgraft.contract_science import suffix_stem_rollup
+
+        rows = suffix_stem_rollup(spark, SF_CORRECT).collect()
+        assert len(rows) == 15
+        # the stemmer must actually conflate: top stems carry >1 surface form
+        assert max(r["n_forms"] for r in rows) >= 3
+        # no reported stem still carries a plural/-ing/-ed suffix artifact
+        for r in rows:
+            assert not r["stem"].endswith(("ies", "sses"))
+
+    def test_url_templates_collapse_paths(self, spark):
+        from osmgraft.contract_science import url_template_mining
+
+        rows = url_template_mining(spark, SF_CORRECT).collect()
+        tmpl = {r["template"]: r for r in rows}
+        # the three parametric shapes + the static page
+        assert "/p/{n}/item-{n}" in tmpl
+        assert "/c/{n}" in tmpl
+        assert "/a/about" in tmpl
+        assert "/p/{n}/reviews" in tmpl
+        # static template has exactly one instantiation
+        assert tmpl["/a/about"]["n_distinct_paths"] == 1
+        # parametric templates collapse many paths into one shape
+        assert tmpl["/p/{n}/item-{n}"]["n_distinct_paths"] > 10
+        # every doc produced exactly one url
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").count()
+        assert sum(r["n_urls"] for r in rows) == docs

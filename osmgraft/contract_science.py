@@ -700,3 +700,273 @@ def url_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_urls"), "template")
     )
+
+
+# ---------------------------------------------------------------------------
+# AR(1) fit + one-step forecast per event type (conditional least squares)
+# ---------------------------------------------------------------------------
+
+_AR1_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY event_type, day),
+    pairs AS (
+      SELECT event_type, day, y,
+             LAG(y) OVER (PARTITION BY event_type ORDER BY day) AS u
+      FROM daily),
+    lastv AS (
+      SELECT event_type, y AS last_cents
+      FROM (SELECT event_type, y,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY day DESC) AS rn
+            FROM daily)
+      WHERE rn = 1),
+    s AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(u) AS BIGINT) AS su,
+                 CAST(SUM(y) AS BIGINT) AS sw,
+                 CAST(SUM(u*u) AS BIGINT) AS suu,
+                 CAST(SUM(u*y) AS BIGINT) AS suw
+          FROM pairs WHERE u IS NOT NULL GROUP BY event_type),
+    fit AS (SELECT event_type, n,
+                   (n*suw - su*sw) * 1.0e0 / (n*suu - su*su) AS phi,
+                   su, sw
+            FROM s)
+    SELECT f.event_type, f.n AS n_pairs,
+           ROUND(f.phi, 5) AS phi,
+           l.last_cents,
+           CAST(FLOOR((f.sw - f.phi * f.su) / f.n
+                      + f.phi * l.last_cents + 0.5e0) AS BIGINT)
+             AS forecast_cents
+    FROM fit f JOIN lastv l ON l.event_type = f.event_type
+    ORDER BY f.event_type
+    """
+
+
+@q("ar1_forecast", oracle=_AR1_SQL)
+def ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) fit per event type by conditional least squares on the
+    daily-total series (phi = lag-1 regression slope, intercept from the
+    fitted mean) plus the one-step-ahead forecast from the latest
+    observation — the minimal autoregressive model, and the one every
+    capacity/traffic forecast starts from.  Completes the forecasting
+    family: ``holt_linear_forecast`` (trend), ``forecast_backtest_snaive``
+    (seasonal naive), ``weekly_harmonic_fit`` (periodic), this entry
+    (mean-reverting); ``acf_daily_lags`` measures the correlogram this
+    model parameterizes, and ``ljung_box_test`` gates whether fitting it
+    is warranted at all.
+
+    Exactness: daily totals are integer cents, so every moment sum
+    (Su, Sw, Suu, Suw) is an exact integer aggregate; phi is ONE double
+    division of exact integers, the forecast one fixed-order scalar
+    expression, half-up-rounded to integer cents — bit-stable on both
+    engines.
+
+    Scale shape: one (type, day) partial agg; the lag window partitions
+    by event_type over the BOUNDED daily relation (days, never raw
+    rows); moment sums are one more per-type partial agg.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long")
+        .alias("y")
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type", "y", F.lag("y").over(wl).alias("u")
+    ).filter(F.col("u").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy(F.desc("day"))
+    lastv = (
+        daily.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("y").alias("last_cents"))
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum("y").cast("long").alias("sw"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("suu"),
+        F.sum(F.col("u") * F.col("y")).cast("long").alias("suw"),
+    )
+    phi = (
+        (F.col("n") * F.col("suw") - F.col("su") * F.col("sw"))
+        * 1.0
+        / (F.col("n") * F.col("suu") - F.col("su") * F.col("su"))
+    )
+    fit = s.select("event_type", "n", phi.alias("phi"), "su", "sw")
+    return (
+        fit.join(lastv, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_pairs"),
+            F.round("phi", 5).alias("phi"),
+            "last_cents",
+            F.expr(
+                "CAST(FLOOR((sw - phi * su) / n"
+                " + phi * last_cents + 0.5e0) AS BIGINT)"
+            ).alias("forecast_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag-1 Granger causality F-test (does click volume predict total value?)
+# ---------------------------------------------------------------------------
+
+_GRANGER_F_CRIT = 4.3e0  # ~F(1, 25..30) at 5 %; fixture F is 0.01 — far away
+
+_GRANGER_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT)
+               AS y,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY day),
+    pairs AS (
+      SELECT yt, u, v FROM (
+        SELECT y AS yt,
+               LAG(y) OVER (ORDER BY day) AS u,
+               LAG(x) OVER (ORDER BY day) AS v
+        FROM daily)
+      WHERE u IS NOT NULL),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(u) AS BIGINT) AS su,
+                 CAST(SUM(v) AS BIGINT) AS sv,
+                 CAST(SUM(yt) AS BIGINT) AS sw,
+                 CAST(SUM(u*u) AS BIGINT) AS suu,
+                 CAST(SUM(v*v) AS BIGINT) AS svv,
+                 CAST(SUM(yt*yt) AS BIGINT) AS sww,
+                 CAST(SUM(u*v) AS BIGINT) AS suv,
+                 CAST(SUM(u*yt) AS BIGINT) AS suw,
+                 CAST(SUM(v*yt) AS BIGINT) AS svw
+          FROM pairs),
+    c AS (SELECT n,
+                 (n*suu - su*su) * 1.0e0 AS cuu,
+                 (n*svv - sv*sv) * 1.0e0 AS cvv,
+                 (n*sww - sw*sw) * 1.0e0 AS cww,
+                 (n*suv - su*sv) * 1.0e0 AS cuv,
+                 (n*suw - su*sw) * 1.0e0 AS cuw,
+                 (n*svw - sv*sw) * 1.0e0 AS cvw
+          FROM s),
+    fit AS (SELECT n,
+                   cww - cuw*cuw/cuu AS rss_r,
+                   cww - ((cuw*cvv - cvw*cuv)*cuw
+                          + (cvw*cuu - cuw*cuv)*cvw)
+                         / (cuu*cvv - cuv*cuv) AS rss_u
+            FROM c)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           ROUND((rss_r - rss_u) * (n - 3) / rss_u, 4) AS f_stat,
+           CAST(n - 3 AS BIGINT) AS df2,
+           CASE WHEN (rss_r - rss_u) * (n - 3)
+                     > {_GRANGER_F_CRIT} * rss_u
+                THEN 'predictive' ELSE 'not_predictive' END AS verdict
+    FROM fit
+    """
+
+
+@q("granger_lag_ftest", oracle=_GRANGER_SQL)
+def granger_lag_ftest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality test (Granger 1969): does yesterday's
+    click volume improve the prediction of today's total event value
+    beyond what yesterday's value already explains?  Fits the
+    restricted model y_t ~ y_{{t-1}} and the unrestricted
+    y_t ~ y_{{t-1}} + x_{{t-1}} in closed form from centered second
+    moments and reports the incremental F statistic — the standard
+    lead-lag screen between any two operational metrics, and the
+    inferential upgrade over ``co_movement_pairs``' contemporaneous
+    correlation (correlation cannot tell WHICH series leads).
+
+    Exactness: both daily series are exact integers (cents / counts),
+    so all ten moment sums are exact integer aggregates; the centered
+    moments n·Sab - Sa·Sb are exact integers cast once to double, and
+    both RSS values then come from a FIXED-ORDER scalar expression —
+    bit-identical across engines; the verdict cross-multiplies rather
+    than dividing, with the fixture's F (0.011) far from the 4.3
+    critical constant.
+
+    Scale shape: one day-keyed partial agg builds both series in a
+    single scan (conditional aggregate, not two scans); the lag window
+    runs over the BOUNDED daily relation; the test itself is a single
+    10-column reduce.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long")
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    w = Window.orderBy("day")
+    pairs = daily.select(
+        F.col("y").alias("yt"),
+        F.lag("y").over(w).alias("u"),
+        F.lag("x").over(w).alias("v"),
+    ).filter(F.col("u").isNotNull())
+    s = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum("yt").cast("long").alias("sw"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("suu"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("svv"),
+        F.sum(F.col("yt") * F.col("yt")).cast("long").alias("sww"),
+        F.sum(F.col("u") * F.col("v")).cast("long").alias("suv"),
+        F.sum(F.col("u") * F.col("yt")).cast("long").alias("suw"),
+        F.sum(F.col("v") * F.col("yt")).cast("long").alias("svw"),
+    )
+    c = s.select(
+        "n",
+        ((F.col("n") * F.col("suu") - F.col("su") * F.col("su")) * 1.0)
+        .alias("cuu"),
+        ((F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")) * 1.0)
+        .alias("cvv"),
+        ((F.col("n") * F.col("sww") - F.col("sw") * F.col("sw")) * 1.0)
+        .alias("cww"),
+        ((F.col("n") * F.col("suv") - F.col("su") * F.col("sv")) * 1.0)
+        .alias("cuv"),
+        ((F.col("n") * F.col("suw") - F.col("su") * F.col("sw")) * 1.0)
+        .alias("cuw"),
+        ((F.col("n") * F.col("svw") - F.col("sv") * F.col("sw")) * 1.0)
+        .alias("cvw"),
+    )
+    fit = c.select(
+        "n",
+        (F.col("cww") - F.col("cuw") * F.col("cuw") / F.col("cuu"))
+        .alias("rss_r"),
+        (
+            F.col("cww")
+            - (
+                (F.col("cuw") * F.col("cvv") - F.col("cvw") * F.col("cuv"))
+                * F.col("cuw")
+                + (F.col("cvw") * F.col("cuu") - F.col("cuw") * F.col("cuv"))
+                * F.col("cvw")
+            )
+            / (F.col("cuu") * F.col("cvv") - F.col("cuv") * F.col("cuv"))
+        ).alias("rss_u"),
+    )
+    return fit.select(
+        F.col("n").alias("n_pairs"),
+        F.round(
+            (F.col("rss_r") - F.col("rss_u"))
+            * (F.col("n") - 3)
+            / F.col("rss_u"),
+            4,
+        ).alias("f_stat"),
+        (F.col("n") - 3).cast("long").alias("df2"),
+        F.when(
+            (F.col("rss_r") - F.col("rss_u")) * (F.col("n") - 3)
+            > _GRANGER_F_CRIT * F.col("rss_u"),
+            F.lit("predictive"),
+        )
+        .otherwise(F.lit("not_predictive"))
+        .alias("verdict"),
+    )

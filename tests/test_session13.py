@@ -101,3 +101,26 @@ class TestTextWebNormalization:
         # every doc produced exactly one url
         docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").count()
         assert sum(r["n_urls"] for r in rows) == docs
+
+
+class TestTimeSeriesModels:
+    def test_ar1_forecast_consistency(self, spark):
+        from osmgraft.contract_science import ar1_forecast
+
+        rows = ar1_forecast(spark, SF_CORRECT).collect()
+        types = {r["event_type"] for r in rows}
+        assert types == {"click", "error", "purchase", "signup", "view"}
+        for r in rows:
+            # stationarity of the fixture: |phi| < 1
+            assert abs(r["phi"]) < 1
+            # forecast stays within the plausible range of the series
+            assert 0 < r["forecast_cents"] < 10 * r["last_cents"] + 10**9
+
+    def test_granger_no_causality_on_independent_series(self, spark):
+        from osmgraft.contract_science import granger_lag_ftest
+
+        r = granger_lag_ftest(spark, SF_CORRECT).collect()[0]
+        # the fixture's click counts and value totals are independent
+        assert r["verdict"] == "not_predictive"
+        assert r["f_stat"] >= 0
+        assert r["df2"] == r["n_pairs"] - 3

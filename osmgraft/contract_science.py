@@ -970,3 +970,200 @@ def granger_lag_ftest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("not_predictive"))
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b between the two daily operational series
+# ---------------------------------------------------------------------------
+
+_KTAU_SQL = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT)
+               AS y,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY day),
+    p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+          FROM daily a JOIN daily b ON a.day < b.day),
+    s AS (SELECT
+            CAST(SUM(CASE WHEN (xa - xb) * (ya - yb) > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN (xa - xb) * (ya - yb) < 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d,
+            CAST(SUM(CASE WHEN xa = xb AND ya <> yb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tx,
+            CAST(SUM(CASE WHEN ya = yb AND xa <> xb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ty,
+            CAST(COUNT(*) AS BIGINT) AS n0
+          FROM p)
+    SELECT n0 AS n_pairs, c AS concordant, d AS discordant,
+           ROUND((c - d) * 1.0e0
+                 / SQRT((n0 - tx) * 1.0e0 * (n0 - ty)), 5) AS tau_b
+    FROM s
+    """
+
+
+@q("kendall_tau_daily", oracle=_KTAU_SQL)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between the daily total-value
+    series and the daily click-count series — the ROBUST monotone-
+    association measure (concordant/discordant pair counting, tie
+    corrected), immune to the outlier days that distort Pearson
+    (``co_movement_pairs``) and complementing ``spearman_corr`` (rank
+    linearity) and ``granger_lag_ftest`` (lead-lag) to complete the
+    bivariate dependence toolbox.  tau-b, not tau-a: integer-valued
+    daily counts tie routinely, and the tie correction is what keeps
+    the statistic in [-1, 1] on such data.
+
+    Exactness: both series are exact integers, so every pair verdict is
+    an integer sign test and C, D and the tie counts are exact integer
+    aggregates; ONE sqrt+division at the end, rounded 5 dp.
+
+    Scale shape: the raw table collapses to the bounded daily relation
+    first (one partial-agg shuffle); the O(days^2) pair join runs over
+    that bounded relation only — the same discipline as
+    ``acf_daily_lags`` — never over raw events.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long")
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    b = daily.select(
+        F.col("day").alias("db"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    p = daily.join(F.broadcast(b), F.col("day") < F.col("db"))
+    sgn = (F.col("x") - F.col("xb")) * (F.col("y") - F.col("yb"))
+    s = p.agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(
+            F.when(
+                (F.col("x") == F.col("xb")) & (F.col("y") != F.col("yb")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tx"),
+        F.sum(
+            F.when(
+                (F.col("y") == F.col("yb")) & (F.col("x") != F.col("xb")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ty"),
+        F.count("*").cast("long").alias("n0"),
+    )
+    return s.select(
+        F.col("n0").alias("n_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round(
+            (F.col("c") - F.col("d"))
+            * 1.0
+            / F.sqrt(
+                (F.col("n0") - F.col("tx"))
+                * 1.0
+                * (F.col("n0") - F.col("ty"))
+            ),
+            5,
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# second-price (Vickrey) vs first-price auction revenue audit
+# ---------------------------------------------------------------------------
+
+_AUCTION_SQL = """
+    WITH bids AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value * 100e0) AS BIGINT) AS cents, event_id
+      FROM events),
+    ranked AS (
+      SELECT event_type, day, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY cents DESC, event_id) AS rn
+      FROM bids),
+    per_auction AS (
+      SELECT event_type, day,
+             MAX(CASE WHEN rn = 1 THEN cents END) AS first_price,
+             MAX(CASE WHEN rn = 2 THEN cents END) AS second_price
+      FROM ranked WHERE rn <= 2 GROUP BY event_type, day)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_auctions,
+           CAST(SUM(first_price) AS BIGINT) AS first_price_cents,
+           CAST(SUM(COALESCE(second_price, first_price)) AS BIGINT)
+             AS second_price_cents,
+           ROUND(SUM(COALESCE(second_price, first_price)) * 1.0e0
+                 / SUM(first_price), 5) AS revenue_ratio
+    FROM per_auction GROUP BY event_type ORDER BY event_type
+    """
+
+
+@q("second_price_auction_revenue", oracle=_AUCTION_SQL)
+def second_price_auction_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Second-price (Vickrey 1961) vs first-price revenue audit: treat
+    each (event_type, day) as one auction whose bids are that day's
+    event values, and compare the revenue the seller books under the
+    two classic mechanisms — first price (winner pays their bid) vs
+    second price (winner pays the runner-up bid; falls back to the top
+    bid in single-bid auctions).  The quantified fee-structure question
+    every ad-exchange / marketplace migration answers before switching
+    mechanisms, and the empirical companion to
+    ``posted_price_optimizer`` (posted price vs auction is THE
+    market-design fork).
+
+    Exactness: bids are integer cents; the top-2 selection is an
+    integer sort with an event_id tiebreak, revenue sums exact
+    integers, ONE division for the ratio.
+
+    Scale shape: the top-2-per-auction window partitions by
+    (event_type, day) — thousands of independent partitions at scale,
+    never global; the rollup is one partial agg.  At web scale the
+    rn <= 2 filter prunes inside the window stage (rank pushdown), so
+    only two rows per auction survive the shuffle.
+    """
+    bids = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("cents"), "event_id"
+    )
+    ranked = bids.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    per_auction = ranked.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias("first_price"),
+        F.max(F.when(F.col("rn") == 2, F.col("cents"))).alias(
+            "second_price"
+        ),
+    )
+    return (
+        per_auction.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_auctions"),
+            F.sum("first_price").cast("long").alias("first_price_cents"),
+            F.sum(F.coalesce("second_price", "first_price"))
+            .cast("long")
+            .alias("second_price_cents"),
+            F.round(
+                F.sum(F.coalesce("second_price", "first_price"))
+                * 1.0
+                / F.sum("first_price"),
+                5,
+            ).alias("revenue_ratio"),
+        )
+        .orderBy("event_type")
+    )

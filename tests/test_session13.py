@@ -124,3 +124,26 @@ class TestTimeSeriesModels:
         assert r["verdict"] == "not_predictive"
         assert r["f_stat"] >= 0
         assert r["df2"] == r["n_pairs"] - 3
+
+
+class TestDependenceAndMechanisms:
+    def test_kendall_tau_bounds_and_pairs(self, spark):
+        from osmgraft.contract_science import kendall_tau_daily
+
+        r = kendall_tau_daily(spark, SF_CORRECT).collect()[0]
+        n_days = (
+            spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+            .selectExpr("CAST(ts AS DATE) d").distinct().count()
+        )
+        assert r["n_pairs"] == n_days * (n_days - 1) // 2
+        assert -1 <= r["tau_b"] <= 1
+        assert r["concordant"] + r["discordant"] <= r["n_pairs"]
+
+    def test_second_price_never_exceeds_first(self, spark):
+        from osmgraft.contract_science import second_price_auction_revenue
+
+        rows = second_price_auction_revenue(spark, SF_CORRECT).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r["second_price_cents"] <= r["first_price_cents"]
+            assert 0 < r["revenue_ratio"] <= 1

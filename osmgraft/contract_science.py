@@ -1167,3 +1167,171 @@ def second_price_auction_revenue(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# colocation quotient (nearest-neighbour cross-category association)
+# ---------------------------------------------------------------------------
+
+_CLQ_CELL = 60000  # 1-ring NN search bound, as nn_distance_profile
+_CLQ_MOD = 17
+
+_CLQ_SQL = f"""
+    WITH pts AS (SELECT event_id, event_type AS ty,
+                        ({_DC_PX}) AS px, ({_DC_PY}) AS py
+                 FROM events WHERE event_id % {_CLQ_MOD} = 0),
+    c AS (SELECT event_id, ty, px, py,
+                 CAST(FLOOR(px / {_CLQ_CELL}.0e0) AS BIGINT) AS cx,
+                 CAST(FLOOR(py / {_CLQ_CELL}.0e0) AS BIGINT) AS cy
+          FROM pts),
+    fan AS (SELECT event_id, ty, px, py, cx + dx AS tx, cy + dy AS ty2
+            FROM c,
+                 UNNEST(range(-1, 2)) AS u(dx),
+                 UNNEST(range(-1, 2)) AS v(dy)),
+    cand AS (SELECT a.event_id, a.ty AS type_a, b.ty AS type_b,
+                    (a.px - b.px) * (a.px - b.px)
+                    + (a.py - b.py) * (a.py - b.py) AS d2,
+                    b.event_id AS bid
+             FROM fan a JOIN c b
+               ON a.tx = b.cx AND a.ty2 = b.cy
+              AND a.event_id <> b.event_id),
+    nn AS (SELECT event_id, type_a, type_b
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                           ORDER BY d2, bid) AS rn
+                 FROM cand
+                 WHERE d2 <= {_CLQ_CELL}.0e0 * {_CLQ_CELL}.0e0)
+           WHERE rn = 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+    per_type AS (SELECT ty, CAST(COUNT(*) AS BIGINT) AS n_ty
+                 FROM pts GROUP BY ty),
+    cab AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM nn GROUP BY type_a, type_b),
+    na AS (SELECT type_a, CAST(SUM(c_ab) AS BIGINT) AS n_a FROM cab
+           GROUP BY type_a)
+    SELECT cab.type_a, cab.type_b, cab.c_ab,
+           ROUND(cab.c_ab * 1.0e0 / na.n_a
+                 / (pb.n_ty * 1.0e0 / (tot.n - 1)), 4) AS clq
+    FROM cab
+    JOIN na ON na.type_a = cab.type_a
+    JOIN per_type pb ON pb.ty = cab.type_b
+    CROSS JOIN tot
+    ORDER BY cab.type_a, cab.type_b
+    """
+
+
+@q("colocation_quotient", oracle=_CLQ_SQL)
+def colocation_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Colocation quotient CLQ(A→B) (Leslie & Kronenfeld 2011): of the
+    sampled points of category A, what fraction has a CATEGORY-B point
+    as its nearest neighbour, normalized by B's global share — CLQ > 1
+    means A points sit disproportionately next to B (asymmetric
+    association a correlation cannot express: CLQ(A→B) need not equal
+    CLQ(B→A)).  The categorical member of the point-association family:
+    ``join_count_statistics`` tests lattice adjacency,
+    ``knox_spacetime_test`` space-time interaction, this entry
+    point-level cross-category attraction — the retail/POI question
+    ("do pharmacies colocate with clinics?") the reference's
+    amenity-analysis queries circle around.
+
+    Exactness: NN selection is an integer-coordinate argmin with a
+    (d2, neighbour-id) lexicographic tiebreak — engine-stable; all
+    counts exact integers; ONE division chain for the quotient, 4 dp.
+    Censoring: points whose 1-ring holds no neighbour within one cell
+    width drop out of the numerator (same bound as
+    ``nn_distance_profile``); the denominator uses global sampled-type
+    shares, documented as the estimator's frame.
+
+    Scale shape: the NN search is the cell-blocked 1-ring equi-join
+    (9 cells per point, never all-pairs); the per-point argmin window
+    partitions by point id; everything after is bounded
+    (types x types) aggregation.
+    """
+    px = _DC_PX.replace("//", " div ")
+    py = _DC_PY.replace("//", " div ")
+    pts = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % _CLQ_MOD == 0)
+        .select(
+            "event_id",
+            F.col("event_type").alias("ty"),
+            F.expr(px).alias("px"),
+            F.expr(py).alias("py"),
+        )
+    )
+    c = pts.select(
+        "event_id",
+        "ty",
+        "px",
+        "py",
+        F.floor(F.col("px") / float(_CLQ_CELL)).cast("long").alias("cx"),
+        F.floor(F.col("py") / float(_CLQ_CELL)).cast("long").alias("cy"),
+    )
+    fan = (
+        c.withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            "event_id",
+            F.col("ty").alias("type_a"),
+            "px",
+            "py",
+            (F.col("cx") + F.col("dx")).alias("tx"),
+            (F.col("cy") + F.col("dy")).alias("ty2"),
+        )
+    )
+    b = c.select(
+        F.col("event_id").alias("bid"),
+        F.col("ty").alias("type_b"),
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("px") - F.col("bx")) * (F.col("px") - F.col("bx")) + (
+        F.col("py") - F.col("by")
+    ) * (F.col("py") - F.col("by"))
+    cand = (
+        fan.join(
+            b,
+            (F.col("tx") == F.col("cx"))
+            & (F.col("ty2") == F.col("cy"))
+            & (F.col("event_id") != F.col("bid")),
+        )
+        .select("event_id", "type_a", "type_b", d2.alias("d2"), "bid")
+        .filter(F.col("d2") <= float(_CLQ_CELL) * float(_CLQ_CELL))
+    )
+    w = Window.partitionBy("event_id").orderBy("d2", "bid")
+    nn = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("type_a", "type_b")
+    )
+    tot = pts.agg(F.count("*").cast("long").alias("n"))
+    per_type = pts.groupBy(F.col("ty").alias("type_b_key")).agg(
+        F.count("*").cast("long").alias("n_ty")
+    )
+    cab = nn.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("c_ab")
+    )
+    na = cab.groupBy(F.col("type_a").alias("type_a_key")).agg(
+        F.sum("c_ab").cast("long").alias("n_a")
+    )
+    return (
+        cab.join(na, F.col("type_a") == F.col("type_a_key"))
+        .join(
+            F.broadcast(per_type), F.col("type_b") == F.col("type_b_key")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "c_ab",
+            F.round(
+                F.col("c_ab")
+                * 1.0
+                / F.col("n_a")
+                / (F.col("n_ty") * 1.0 / (F.col("n") - 1)),
+                4,
+            ).alias("clq"),
+        )
+        .orderBy("type_a", "type_b")
+    )

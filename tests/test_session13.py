@@ -147,3 +147,18 @@ class TestDependenceAndMechanisms:
         for r in rows:
             assert r["second_price_cents"] <= r["first_price_cents"]
             assert 0 < r["revenue_ratio"] <= 1
+
+
+class TestColocation:
+    def test_clq_near_one_on_type_independent_field(self, spark):
+        from osmgraft.contract_science import colocation_quotient
+
+        rows = colocation_quotient(spark, SF_CORRECT).collect()
+        # all 5x5 type pairs observed on the fixture
+        assert len(rows) == 25
+        # per-A numerator shares sum to 1 => weighted CLQ mean ~ 1
+        clqs = [r["clq"] for r in rows]
+        assert all(c > 0 for c in clqs)
+        # type placement is independent of location in the fixture:
+        # no pair should show a huge attraction/repulsion
+        assert 0.3 < min(clqs) and max(clqs) < 3.0

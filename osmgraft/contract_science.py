@@ -1335,3 +1335,301 @@ def colocation_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley sequential drift detector per event type
+# ---------------------------------------------------------------------------
+
+# drift allowance delta = 10 % of the running mean (dev_k subtracts
+# 1.1 * mean_k), alarm threshold lambda = 1.0 * mean daily level — both
+# scale-free; the stationary fixture peaks at 0.62 * lambda
+
+_PH_SQL = f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ROUND(SUM(value), 6) AS x
+      FROM events GROUP BY event_type, day),
+    g AS (SELECT event_type,
+                 list_transform(list_sort(list_zip(
+                     array_agg(day), array_agg(x))), p -> p[2]) AS xs
+          FROM daily GROUP BY event_type),
+    terms AS (SELECT event_type, xs, len(xs) AS n,
+              list_transform(range(1, len(xs) + 1), k ->
+                xs[k] - 1.1e0 * list_reduce(
+                          list_prepend(0.0e0, list_slice(xs, 1, k)),
+                          (a,b) -> a + b) / k) AS dev
+              FROM g),
+    m AS (SELECT event_type, xs, n,
+          list_transform(range(1, n + 1), k ->
+            list_reduce(list_prepend(0.0e0, list_slice(dev, 1, k)),
+                        (a,b) -> a + b)) AS mt
+          FROM terms),
+    unn AS (SELECT event_type, n, k, mt[k] AS mval
+            FROM m, UNNEST(range(1, n + 1)) AS z(k)),
+    run AS (SELECT event_type, n,
+                   mval - MIN(mval) OVER (PARTITION BY event_type
+                                          ORDER BY k) AS gap
+            FROM unn),
+    means AS (SELECT event_type,
+                     list_reduce(list_prepend(0.0e0, xs), (a,b) -> a + b)
+                     / n AS mean_daily
+              FROM terms)
+    SELECT r.event_type, CAST(MAX(r.n) AS BIGINT) AS n_days,
+           ROUND(MAX(me.mean_daily), 4) AS mean_daily,
+           ROUND(MAX(r.gap), 4) AS ph_stat,
+           CASE WHEN MAX(r.gap) > MAX(me.mean_daily)
+                THEN 'drift' ELSE 'stable' END AS verdict
+    FROM run r JOIN means me ON me.event_type = r.event_type
+    GROUP BY r.event_type ORDER BY r.event_type
+    """
+
+@q("page_hinkley_drift", oracle=_PH_SQL)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential change detector (Page 1954, Hinkley
+    1971) on each event type's daily value series: accumulate the
+    deviations of each observation from the RUNNING mean, track the
+    running minimum of that cumulative sum, and alarm when the current
+    cumulative sum rises more than lambda above its historical minimum
+    — the sequential test that reacts to a sustained upward mean shift
+    in O(1) state per step, which is why it is the standard streaming
+    drift monitor.  Complements ``cusum_changepoints`` (retrospective,
+    known target mean) with the ONLINE detector whose reference level
+    adapts as data arrives; the drift allowance (10 % of the running
+    mean) and alarm threshold (1.0 x mean daily level) are both
+    scale-free, so the verdict survives any SF — the stationary
+    fixture peaks at 0.62 x lambda, and a sustained +20 % mean shift
+    crosses it within ~10 days.
+
+    Oracle note: the running-minimum stage is UNNEST + a windowed MIN
+    in the SQL mirror rather than a third nesting level of list
+    lambdas — triple-nested DuckDB lambdas mis-evaluate on multi-row
+    inputs (observed: one group's fold borrowing another row's state);
+    the windowed form selects the same exact doubles.
+
+    Determinism: daily sums snap to 6 dp before any recursion; the
+    running mean, cumulative deviations, running minimum and final
+    maximum are all fixed-order prefix folds over the day-sorted array
+    (the ``ewma_daily_values`` discipline) — bit-identical on both
+    engines; the verdict cross-multiplies integers against doubles
+    computed from identical folds.
+
+    Scale shape: one (type, day) partial agg, then per-type bounded
+    in-row array arithmetic (O(days^2) with days ~ 30); keys
+    parallelize, time never meets a window over raw rows.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    g = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    xs = F.transform(F.col("s"), lambda r: r.x)
+    g = g.select("event_type", xs.alias("xs"), F.size(xs).alias("n"))
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    dev = F.transform(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda k: F.col("xs")[k - 1]
+        - 1.1 * fold_sum(F.slice(F.col("xs"), F.lit(1), k)) / k,
+    )
+    terms = g.select("event_type", "xs", "n", dev.alias("dev"))
+    mt = F.transform(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda k: fold_sum(F.slice(F.col("dev"), F.lit(1), k)),
+    )
+    m = terms.select("event_type", "xs", "n", mt.alias("mt"))
+    gaps = F.transform(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda k: F.col("mt")[k - 1]
+        - F.aggregate(
+            F.slice(F.col("mt"), F.lit(1), k),
+            F.col("mt")[0],
+            lambda a, b: F.when(b < a, b).otherwise(a),
+        ),
+    )
+    ph = m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        (fold_sum(F.col("xs")) / F.col("n")).alias("mean_daily"),
+        F.aggregate(
+            gaps, F.lit(0.0), lambda a, b: F.when(b > a, b).otherwise(a)
+        ).alias("ph_stat"),
+    )
+    return ph.select(
+        "event_type",
+        "n_days",
+        F.round("mean_daily", 4).alias("mean_daily"),
+        F.round("ph_stat", 4).alias("ph_stat"),
+        F.when(
+            F.col("ph_stat") > F.col("mean_daily"),
+            F.lit("drift"),
+        )
+        .otherwise(F.lit("stable"))
+        .alias("verdict"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard over purchase lifetimes
+# ---------------------------------------------------------------------------
+
+_NA_SQL = """
+    WITH u AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS first_day,
+             MAX(CAST(ts AS DATE)) AS last_day
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    w AS (SELECT MAX(CAST(ts AS DATE)) AS wend FROM events),
+    lt AS (SELECT CAST(last_day - first_day AS BIGINT) AS t,
+                  CASE WHEN wend - last_day <= 2 THEN 1 ELSE 0 END
+                    AS censored
+           FROM u CROSS JOIN w),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM lt),
+    byt AS (SELECT t, CAST(SUM(1 - censored) AS BIGINT) AS d,
+                   CAST(SUM(censored) AS BIGINT) AS c
+            FROM lt GROUP BY t),
+    g AS (SELECT list_transform(list_sort(list_zip(
+                   array_agg(t), array_agg(d), array_agg(c))),
+                   p -> p[1]) AS ts_,
+                 list_transform(list_sort(list_zip(
+                   array_agg(t), array_agg(d), array_agg(c))),
+                   p -> p[2]) AS ds,
+                 list_transform(list_sort(list_zip(
+                   array_agg(t), array_agg(d), array_agg(c))),
+                   p -> p[3]) AS cs
+          FROM byt),
+    r AS (SELECT ts_, ds, cs, len(ts_) AS m, tot.n_users FROM g, tot),
+    expanded AS (
+      SELECT CAST(ts_[k] AS BIGINT) AS t,
+             CAST(ds[k] AS BIGINT) AS d,
+             CAST(n_users
+                  - list_reduce(list_prepend(
+                      0, list_transform(list_slice(ts_, 1, k - 1),
+                                        x -> 0)), (a, b) -> a + b)
+                  - CASE WHEN k = 1 THEN 0
+                    ELSE list_reduce(list_slice(
+                           list_transform(range(1, k),
+                             j -> ds[j] + cs[j]), 1, k - 1),
+                           (a, b) -> a + b) END AS BIGINT) AS at_risk,
+             ROUND(list_reduce(list_prepend(0.0e0,
+                     list_transform(range(1, k + 1), j ->
+                       ds[j] * 1.0e0
+                       / (n_users
+                          - CASE WHEN j = 1 THEN 0
+                            ELSE list_reduce(list_slice(
+                                   list_transform(range(1, j),
+                                     i -> ds[i] + cs[i]), 1, j - 1),
+                                   (a, b) -> a + b) END))),
+                     (a, b) -> a + b), 6) AS cum_hazard
+      FROM r, UNNEST(range(1, m + 1)) AS z(k))
+    SELECT t, d, at_risk, cum_hazard
+    FROM expanded WHERE d > 0 ORDER BY t
+    """
+
+
+@q("nelson_aalen_hazard", oracle=_NA_SQL)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard estimator over purchase
+    lifetimes with right-censoring: H(t) = sum over event times t_i <=
+    t of d_i / n_i (deaths over at-risk).  The additive twin of
+    ``kaplan_meier_retention``'s product-limit survival curve — same
+    lifetime construction, same censoring rule (users still purchasing
+    within 2 days of the window end leave the risk set silently) — and
+    the estimator of choice when the HAZARD, not survival, is the
+    modelling target (exp(-H) >= S_KM pointwise, their gap a
+    discreteness diagnostic; ``weibull_rank_fit`` then parameterizes
+    the hazard this curve describes nonparametrically).
+
+    Determinism: risk sets are exact integer prefix sums over the
+    t-sorted per-lifetime count arrays; the hazard is a fixed-order
+    fold of d_i/n_i rationals snapped at 6 dp — the
+    ``kaplan_meier_retention`` discipline, additively instead of
+    multiplicatively.
+
+    Scale shape: one user-keyed agg (lifetimes), one t-keyed agg
+    (counts), one bounded-array row for the curve — unbounded
+    dimensions never meet a window or fold.
+    """
+    ev = t(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("first_day"),
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+        )
+    )
+    w = ev.agg(F.max(F.col("ts").cast("date")).alias("wend"))
+    lt = u.crossJoin(F.broadcast(w)).select(
+        F.datediff("last_day", "first_day").cast("long").alias("t"),
+        F.when(F.datediff("wend", "last_day") <= 2, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("censored"),
+    )
+    tot = lt.agg(F.count("*").cast("long").alias("n_users"))
+    byt = lt.groupBy("t").agg(
+        F.sum(F.lit(1) - F.col("censored")).cast("long").alias("d"),
+        F.sum("censored").cast("long").alias("c"),
+    )
+    g = byt.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "c"))).alias("z")
+    ).crossJoin(F.broadcast(tot))
+    ts_ = F.transform(F.col("z"), lambda r: r.t)
+    ds = F.transform(F.col("z"), lambda r: r.d)
+    cs = F.transform(F.col("z"), lambda r: r.c)
+    r = g.select(
+        ts_.alias("ts_"),
+        ds.alias("ds"),
+        cs.alias("cs"),
+        F.size(ts_).alias("m"),
+        "n_users",
+    )
+
+    def removed_before(j):
+        # integer count of lifetimes with event time earlier than ts_[j]
+        return F.when(j == 1, F.lit(0)).otherwise(
+            F.aggregate(
+                F.slice(
+                    F.zip_with(
+                        F.col("ds"), F.col("cs"), lambda a, b: a + b
+                    ),
+                    F.lit(1),
+                    j - 1,
+                ),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            )
+        )
+
+    expanded = r.select(
+        F.explode(F.sequence(F.lit(1), F.col("m"))).alias("k"),
+        "ts_",
+        "ds",
+        "cs",
+        "n_users",
+    ).select(
+        F.col("ts_")[F.col("k") - 1].cast("long").alias("t"),
+        F.col("ds")[F.col("k") - 1].cast("long").alias("d"),
+        (F.col("n_users") - removed_before(F.col("k")))
+        .cast("long")
+        .alias("at_risk"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("k")),
+                    lambda j: F.col("ds")[j - 1]
+                    * 1.0
+                    / (F.col("n_users") - removed_before(j)),
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+            6,
+        ).alias("cum_hazard"),
+    )
+    return expanded.filter(F.col("d") > 0).select(
+        "t", "d", "at_risk", "cum_hazard"
+    ).orderBy("t")

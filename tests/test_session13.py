@@ -162,3 +162,60 @@ class TestColocation:
         # type placement is independent of location in the fixture:
         # no pair should show a huge attraction/repulsion
         assert 0.3 < min(clqs) and max(clqs) < 3.0
+
+
+class TestSequentialAndSurvival:
+    def test_page_hinkley_stable_on_stationary_series(self, spark):
+        from osmgraft.contract_science import page_hinkley_drift
+
+        rows = page_hinkley_drift(spark, SF_CORRECT).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r["verdict"] == "stable"
+            assert r["ph_stat"] >= 0
+            # comfortable margin below the alarm threshold (lambda = mean)
+            assert r["ph_stat"] < 0.8 * r["mean_daily"]
+
+    def test_page_hinkley_fires_on_injected_shift(self, spark):
+        """Inject a +50% level shift into the second half of one type's
+        series by scaling values in the last 15 days; PH must alarm."""
+        import pyspark.sql.functions as F
+        from osmgraft.contract_science import page_hinkley_drift
+        import osmgraft.contract as C
+
+        ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        cut = ev.agg(F.expr("date_add(CAST(MAX(ts) AS DATE), -14)")
+                     .alias("c")).collect()[0]["c"]
+        shifted = ev.withColumn(
+            "value",
+            F.when(
+                (F.col("event_type") == "view")
+                & (F.col("ts").cast("date") >= F.lit(cut)),
+                F.col("value") * 3.0,
+            ).otherwise(F.col("value")),
+        )
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            shifted.write.parquet(os.path.join(d, "events.parquet"))
+            for name in ["region", "nation", "customer", "supplier",
+                         "part", "orders", "lineitem", "documents",
+                         "embeddings"]:
+                os.symlink(f"{SF_CORRECT}/{name}.parquet",
+                           os.path.join(d, f"{name}.parquet"))
+            rows = page_hinkley_drift(spark, d).collect()
+        v = {r["event_type"]: r["verdict"] for r in rows}
+        assert v["view"] == "drift"
+        assert v["purchase"] == "stable"
+
+    def test_nelson_aalen_monotone_and_km_consistent(self, spark):
+        from osmgraft.contract_science import nelson_aalen_hazard
+
+        rows = nelson_aalen_hazard(spark, SF_CORRECT).collect()
+        assert len(rows) > 3
+        hz = [r["cum_hazard"] for r in rows]
+        assert hz == sorted(hz)  # cumulative hazard nondecreasing
+        for r in rows:
+            assert r["at_risk"] >= r["d"] > 0
+        # risk sets strictly shrink over event times
+        ar = [r["at_risk"] for r in rows]
+        assert ar == sorted(ar, reverse=True)

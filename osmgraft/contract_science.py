@@ -1633,3 +1633,202 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expanded.filter(F.col("d") > 0).select(
         "t", "d", "at_risk", "cum_hazard"
     ).orderBy("t")
+
+
+# ---------------------------------------------------------------------------
+# Apriori frequent 3-itemsets with candidate pruning
+# ---------------------------------------------------------------------------
+
+_AP_MINSUP = 15  # minimum basket support for pairs AND triples
+_AP_TOP = 20
+
+_APRIORI_SQL = f"""
+    WITH oi AS (SELECT DISTINCT l_orderkey AS o,
+                                CAST(l_partkey % 50 AS BIGINT) AS item
+                FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM oi),
+    f2 AS (SELECT a.item AS ia, b.item AS ib
+           FROM oi a JOIN oi b ON a.o = b.o AND a.item < b.item
+           GROUP BY a.item, b.item
+           HAVING COUNT(*) >= {_AP_MINSUP}),
+    keep AS (SELECT ia AS item FROM f2
+             UNION SELECT ib AS item FROM f2),
+    oi2 AS (SELECT oi.o, oi.item FROM oi
+            WHERE oi.item IN (SELECT item FROM keep)),
+    tri AS (SELECT a.item AS i1, b.item AS i2, c.item AS i3,
+                   CAST(COUNT(*) AS BIGINT) AS n_baskets
+            FROM oi2 a
+            JOIN oi2 b ON a.o = b.o AND a.item < b.item
+            JOIN oi2 c ON a.o = c.o AND b.item < c.item
+            GROUP BY a.item, b.item, c.item
+            HAVING COUNT(*) >= {_AP_MINSUP})
+    SELECT i1, i2, i3, n_baskets,
+           ROUND(n_baskets * 1.0e0 / n.n_orders, 6) AS support
+    FROM tri CROSS JOIN n
+    ORDER BY n_baskets DESC, i1, i2, i3 LIMIT {_AP_TOP}
+    """
+
+
+@q("apriori_triple_itemsets", oracle=_APRIORI_SQL)
+def apriori_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori frequent 3-itemsets (Agrawal & Srikant 1994) with the
+    monotone-support candidate pruning the algorithm is named for: any
+    triple with basket support >= s has all three member pairs at
+    support >= s, so the basket relation is first restricted to items
+    participating in a FREQUENT PAIR, and only then does the cubic
+    triple expansion run.  Extends ``basket_pair_lift`` (k=2 rules) to
+    the k=3 level — the rule depth recommendation engines actually
+    ship ("customers who bought A and B also bought C" needs the
+    triple's support, not two pair lifts).
+
+    Exactness: all supports exact integer basket counts over the
+    DISTINCT (order, item) relation; one division for the support
+    ratio; (n desc, items) lexicographic top-k.
+
+    Scale shape: the Apriori prune is the scale story — the triple
+    join runs on the PAIR-FREQUENT subset only (here 50 items but at
+    web scale the item-pruned relation is orders of magnitude
+    smaller), and every join is an order-keyed equi-join whose
+    per-basket expansion is bounded by basket size cubed (baskets
+    average ~4 items); the final report is TakeOrdered(20).
+    """
+    oi = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"),
+            (F.col("l_partkey") % 50).cast("long").alias("item"),
+        )
+        .distinct()
+    )
+    n = oi.agg(F.countDistinct("o").cast("long").alias("n_orders"))
+    b = oi.select(F.col("o").alias("ob"), F.col("item").alias("item_b"))
+    f2 = (
+        oi.join(
+            b, (F.col("o") == F.col("ob")) & (F.col("item") < F.col("item_b"))
+        )
+        .groupBy(F.col("item").alias("ia"), F.col("item_b").alias("ib"))
+        .agg(F.count("*").alias("nab"))
+        .filter(F.col("nab") >= _AP_MINSUP)
+    )
+    keep = (
+        f2.select(F.col("ia").alias("item"))
+        .union(f2.select(F.col("ib").alias("item")))
+        .distinct()
+    )
+    oi2 = oi.join(F.broadcast(keep), "item", "leftsemi")
+    a2 = oi2.select(F.col("o").alias("o2"), F.col("item").alias("i2"))
+    a3 = oi2.select(F.col("o").alias("o3"), F.col("item").alias("i3"))
+    tri = (
+        oi2.join(a2, (F.col("o") == F.col("o2")) & (F.col("item") < F.col("i2")))
+        .join(a3, (F.col("o") == F.col("o3")) & (F.col("i2") < F.col("i3")))
+        .groupBy(F.col("item").alias("i1"), "i2", "i3")
+        .agg(F.count("*").cast("long").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= _AP_MINSUP)
+    )
+    return (
+        tri.crossJoin(F.broadcast(n))
+        .select(
+            "i1",
+            "i2",
+            "i3",
+            "n_baskets",
+            F.round(F.col("n_baskets") * 1.0 / F.col("n_orders"), 6)
+            .alias("support"),
+        )
+        .orderBy(F.desc("n_baskets"), "i1", "i2", "i3")
+        .limit(_AP_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# economic order quantity (EOQ) per brand
+# ---------------------------------------------------------------------------
+
+_EOQ_ORDER_COST_CENTS = 10000  # fixed cost per replenishment order
+_EOQ_HOLD_PPM = 100000  # holding cost = 10% of unit price per period
+
+_EOQ_SQL = f"""
+    WITH demand AS (
+      SELECT p.p_brand AS brand,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(p.p_retailprice * 100e0) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+               AS price_qty_cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand),
+    m AS (SELECT brand, d,
+                 price_qty_cents * 1.0e0 / d AS avg_price_cents
+          FROM demand)
+    SELECT brand, d AS total_demand,
+           ROUND(avg_price_cents / 100e0, 4) AS avg_unit_price,
+           ROUND(SQRT(2.0e0 * d * {_EOQ_ORDER_COST_CENTS}
+                      / (avg_price_cents * {_EOQ_HOLD_PPM}e0 / 1000000e0)),
+                 4) AS eoq_units,
+           ROUND(d / SQRT(2.0e0 * d * {_EOQ_ORDER_COST_CENTS}
+                          / (avg_price_cents * {_EOQ_HOLD_PPM}e0
+                             / 1000000e0)), 4) AS orders_per_period
+    FROM m ORDER BY brand
+    """
+
+
+@q("eoq_order_quantity", oracle=_EOQ_SQL)
+def eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity (Harris 1913 / Wilson): per brand,
+    EOQ = sqrt(2 D K / h) from observed demand D (total lineitem
+    quantity), a fixed replenishment cost K, and holding cost h = 10 %
+    of the demand-weighted average unit price — plus the implied
+    replenishment frequency D/EOQ.  Completes the inventory-decision
+    family: ``newsvendor_stocking`` answers the single-period
+    stochastic quantity, EOQ the repeated deterministic cadence, and
+    ``posted_price_optimizer`` the price side of the same margin
+    ledger.
+
+    Exactness: demand and the price-weighted sum are exact integer
+    aggregates (quantities are integral, prices integer cents); the
+    EOQ is one fixed-order sqrt expression per group, rounded 4 dp.
+
+    Scale shape: one lineitem-side partial agg keyed by brand after a
+    broadcast join to part (the dimension side is small by
+    definition); no shuffle beyond the single keyed agg, no windows.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    demand = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("d"),
+            F.sum(
+                F.expr("CAST(FLOOR(p_retailprice * 100e0) AS BIGINT)")
+                * F.col("l_quantity").cast("long")
+            )
+            .cast("long")
+            .alias("price_qty_cents"),
+        )
+    )
+    m = demand.select(
+        "brand",
+        "d",
+        (F.col("price_qty_cents") * 1.0 / F.col("d")).alias(
+            "avg_price_cents"
+        ),
+    )
+    eoq = F.sqrt(
+        2.0
+        * F.col("d")
+        * _EOQ_ORDER_COST_CENTS
+        / (F.col("avg_price_cents") * float(_EOQ_HOLD_PPM) / 1000000.0)
+    )
+    return m.select(
+        "brand",
+        F.col("d").alias("total_demand"),
+        F.round(F.col("avg_price_cents") / 100.0, 4).alias(
+            "avg_unit_price"
+        ),
+        F.round(eoq, 4).alias("eoq_units"),
+        F.round(F.col("d") / eoq, 4).alias("orders_per_period"),
+    ).orderBy("brand")

@@ -219,3 +219,45 @@ class TestSequentialAndSurvival:
         # risk sets strictly shrink over event times
         ar = [r["at_risk"] for r in rows]
         assert ar == sorted(ar, reverse=True)
+
+
+class TestBasketsAndInventory:
+    def test_apriori_triples_respect_pair_support(self, spark):
+        """Monotonicity: every reported triple's member pairs must each
+        reach the same support threshold (the Apriori invariant)."""
+        import pyspark.sql.functions as F
+        from osmgraft.contract_science import (
+            apriori_triple_itemsets, _AP_MINSUP,
+        )
+
+        rows = apriori_triple_itemsets(spark, SF_CORRECT).collect()
+        assert 0 < len(rows) <= 20
+        oi = (
+            spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+            .select(
+                F.col("l_orderkey").alias("o"),
+                (F.col("l_partkey") % 50).alias("item"),
+            )
+            .distinct()
+        )
+        baskets = {}
+        for r in oi.collect():
+            baskets.setdefault(r["o"], set()).add(r["item"])
+        for r in rows[:5]:
+            assert r["n_baskets"] >= _AP_MINSUP
+            for pair in [(r["i1"], r["i2"]), (r["i1"], r["i3"]),
+                         (r["i2"], r["i3"])]:
+                n = sum(1 for s in baskets.values()
+                        if pair[0] in s and pair[1] in s)
+                assert n >= r["n_baskets"] >= _AP_MINSUP
+
+    def test_eoq_sqrt_scaling(self, spark):
+        from osmgraft.contract_science import eoq_order_quantity
+
+        rows = eoq_order_quantity(spark, SF_CORRECT).collect()
+        assert len(rows) > 3
+        for r in rows:
+            # the square-root law: EOQ * orders_per_period == demand
+            assert abs(r["eoq_units"] * r["orders_per_period"]
+                       - r["total_demand"]) / r["total_demand"] < 1e-3
+            assert r["eoq_units"] > 0

@@ -1832,3 +1832,478 @@ def eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(eoq, 4).alias("eoq_units"),
         F.round(F.col("d") / eoq, 4).alias("orders_per_period"),
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis k-group rank test (value ~ event_type)
+# ---------------------------------------------------------------------------
+
+_KWT_BINS = 1000  # unit-wide value bins, capped: ORDER-PRESERVING (unlike
+# mann_whitney_drift's cents-mod wrap, which is fine for a null test but
+# would erase the location signal this k-group test exists to detect);
+# the pooled ranking still runs over a <=1000-row post-agg bin relation
+# and the heavy ties exercise the tie-corrected H
+
+
+_KWT_SQL = f"""
+    WITH ev AS (
+      SELECT LEAST(CAST(FLOOR(value) AS BIGINT), {_KWT_BINS - 1}) AS v,
+             event_type AS grp
+      FROM events),
+    bg AS (SELECT v, grp, CAST(COUNT(*) AS BIGINT) AS c
+           FROM ev GROUP BY v, grp),
+    bt AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t,
+                  CAST(COALESCE(SUM(SUM(c)) OVER (
+                    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS prior
+           FROM bg GROUP BY v),
+    gr AS (SELECT bg.grp,
+                  CAST(SUM(bg.c) AS BIGINT) AS n_g,
+                  SUM(bg.c * (bt.prior + (bt.t + 1) * 0.5e0)) AS r_g
+           FROM bg JOIN bt ON bg.v = bt.v GROUP BY bg.grp),
+    tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   SUM(r_g * r_g / n_g) AS srr
+            FROM gr),
+    ties AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tsum FROM bt),
+    h AS (SELECT n, k,
+                 12.0e0 / (n * (n + 1.0e0)) * srr - 3.0e0 * (n + 1) AS h_raw,
+                 1.0e0 - tsum / (n * 1.0e0 * n * n - n) AS c_tie
+          FROM tot, ties)
+    SELECT gr.grp AS event_type, gr.n_g,
+           ROUND(gr.r_g / gr.n_g, 6) AS mean_rank,
+           h.k - 1 AS df,
+           ROUND(h.h_raw, 6) AS h_stat,
+           ROUND(h.h_raw / h.c_tie, 6) AS h_corrected
+    FROM gr, h ORDER BY event_type
+    """
+
+
+@q("kruskal_wallis_test", oracle=_KWT_SQL)
+def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test of ``value`` across the five event types —
+    the k-group extension of ``mann_whitney_drift`` (rank ANOVA), with
+    the tie-corrected statistic.  Completes the nonparametric
+    location-test ladder: sign-free two-group (Mann-Whitney), paired
+    (``mcnemar_model_compare``), and now k-group omnibus — the test a
+    pipeline runs BEFORE pairwise drilldowns to control the error rate.
+
+    Exactness: per-(bin,group) counts are int64; average ranks are
+    half-integers so every rank-sum partial is a dyadic rational below
+    2^52 — double sums are exact regardless of aggregation order; the
+    tie term t^3-t is pure BIGINT; the five R_g^2/n_g terms carry
+    ~1e-10 relative error into a ROUND(.,6) of an O(1..1e3) statistic.
+
+    Scale shape: one (bin,group)-keyed partial agg over the raw table;
+    the rank walk runs over the <=1000-row post-agg bin relation (the
+    ``mann_whitney_drift`` discipline — never a per-row global sort);
+    everything after is broadcast-sized.
+
+    Reference surface: generalizes the reference's per-category score
+    comparisons (analysis_queries.sql score-distribution sections) into
+    the omnibus inferential test.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        F.least(
+            F.floor(F.col("value")).cast("long"), F.lit(_KWT_BINS - 1)
+        ).alias("v"),
+        F.col("event_type").alias("grp"),
+    )
+    bg = ev.groupBy("v", "grp").agg(F.count("*").cast("long").alias("c"))
+    bt = bg.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    bt = bt.select(
+        "v",
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long").alias("prior"),
+    )
+    gr = (
+        bg.join(bt, "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(
+                F.col("c") * (F.col("prior") + (F.col("t") + 1) * F.lit(0.5))
+            ).alias("r_g"),
+        )
+    )
+    tot = gr.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("srr"),
+    )
+    ties = bt.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tsum")
+    )
+    n = F.col("n")
+    h = (
+        tot.crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            "k",
+            (
+                F.lit(12.0) / (n * (n + F.lit(1.0))) * F.col("srr")
+                - F.lit(3.0) * (n + 1)
+            ).alias("h_raw"),
+            (
+                F.lit(1.0)
+                - F.col("tsum") / (n * F.lit(1.0) * n * n - n)
+            ).alias("c_tie"),
+        )
+    )
+    return (
+        gr.crossJoin(F.broadcast(h))
+        .select(
+            F.col("grp").alias("event_type"),
+            "n_g",
+            F.round(F.col("r_g") / F.col("n_g"), 6).alias("mean_rank"),
+            (F.col("k") - 1).alias("df"),
+            F.round(F.col("h_raw"), 6).alias("h_stat"),
+            F.round(F.col("h_raw") / F.col("c_tie"), 6).alias("h_corrected"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson lower-bound ranking (return-rate leaderboard done right)
+# ---------------------------------------------------------------------------
+
+_WIL_Z = "1.959964e0"  # two-sided 95% normal quantile, exact shared literal
+_WIL_TOP = 15
+
+_WIL_SQL = f"""
+    WITH s AS (
+      SELECT p.p_brand AS brand,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ret
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand),
+    w AS (
+      SELECT brand, n_obs, n_ret,
+             n_ret * 1.0e0 / n_obs AS p_hat,
+             (n_ret * 1.0e0 / n_obs
+              + {_WIL_Z} * {_WIL_Z} / (2.0e0 * n_obs)
+              - {_WIL_Z} * SQRT((n_ret * 1.0e0 / n_obs)
+                                * (1.0e0 - n_ret * 1.0e0 / n_obs) / n_obs
+                                + {_WIL_Z} * {_WIL_Z}
+                                  / (4.0e0 * n_obs * n_obs)))
+             / (1.0e0 + {_WIL_Z} * {_WIL_Z} / n_obs) AS lb
+      FROM s)
+    SELECT brand, n_obs, n_ret,
+           ROUND(p_hat, 6) AS p_hat, ROUND(lb, 6) AS wilson_lb
+    FROM w
+    ORDER BY ROUND(lb, 6) DESC, brand LIMIT {_WIL_TOP}
+    """
+
+
+@q("wilson_score_ranking", oracle=_WIL_SQL)
+def wilson_score_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard by the Wilson score lower bound (Wilson 1927; the
+    "how not to sort by average rating" fix): per brand, the 95 %
+    lower confidence bound of the return-flag proportion, which
+    penalizes small samples that a naive rate ranking rewards.  The
+    ranking primitive behind every review/CTR leaderboard, and the
+    frequentist twin of ``eb_shrunk_cell_rates`` (empirical-Bayes
+    shrinkage) — the two standard answers to the same small-n problem.
+
+    Exactness: counts are exact int64; the bound is one fixed-order
+    double expression per row from integers and the shared z literal —
+    bit-identical on both engines; the sort key is the ROUNDED bound
+    (6 dp) so the top-k cut cannot straddle an ULP, ties broken by
+    brand.
+
+    Scale shape: one lineitem-side partial agg keyed by brand after a
+    broadcast join to part, then TakeOrdered(15) — no windows, no
+    per-row global sort.
+
+    Reference surface: the reference ranks areas by raw per-area score
+    sums (power_user_queries.sql leaderboard sections); this is that
+    leaderboard made sample-size-honest.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_ret"),
+        )
+    )
+    z = F.expr(_WIL_Z)
+    n, r = F.col("n_obs"), F.col("n_ret")
+    p_hat = r * F.lit(1.0) / n
+    lb = (
+        p_hat
+        + z * z / (F.lit(2.0) * n)
+        - z
+        * F.sqrt(
+            p_hat * (F.lit(1.0) - p_hat) / n
+            + z * z / (F.lit(4.0) * n * n)
+        )
+    ) / (F.lit(1.0) + z * z / n)
+    return (
+        s.select(
+            "brand",
+            "n_obs",
+            "n_ret",
+            F.round(p_hat, 6).alias("p_hat"),
+            F.round(lb, 6).alias("wilson_lb"),
+        )
+        .orderBy(F.desc("wilson_lb"), "brand")
+        .limit(_WIL_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# closeness + harmonic centrality (multi-source BFS, round-bounded)
+# ---------------------------------------------------------------------------
+
+_CCN_N = 127  # node-space modulus (sparse graph, the _BF_N discipline)
+_CCN_SRC_MOD = 9  # sources = nodes with n % 9 == 0 (~15 BFS roots)
+_CCN_ROUNDS = 6
+
+
+def _ccn_edges_cte() -> str:
+    return f"""
+    raw AS (
+      SELECT doc_id % {_CCN_N} AS u,
+             (doc_id * 173 + (doc_id // {_CCN_N}) * 389 + 7) % {_CCN_N} AS v
+      FROM documents),
+    e0 AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+           FROM raw WHERE u <> v),
+    e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0)"""
+
+
+def _ccn_sql() -> str:
+    parts = [
+        _ccn_edges_cte(),
+        f"""nodes AS (SELECT DISTINCT u AS n FROM e),
+    d0 AS (SELECT n AS src, n AS node, CAST(0 AS BIGINT) AS dist
+           FROM nodes WHERE n % {_CCN_SRC_MOD} = 0)""",
+    ]
+    for k in range(1, _CCN_ROUNDS + 1):
+        parts.append(
+            f"""
+    d{k} AS (SELECT src, node, MIN(dist) AS dist FROM (
+        SELECT src, node, dist FROM d{k - 1}
+        UNION ALL
+        SELECT d{k - 1}.src, e.v AS node, d{k - 1}.dist + 1 AS dist
+        FROM e JOIN d{k - 1} ON e.u = d{k - 1}.node) z
+      GROUP BY src, node)"""
+        )
+    last = f"d{_CCN_ROUNDS}"
+    return f"""
+    WITH {",".join(parts)}
+    SELECT src,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist,
+           ROUND((COUNT(*) - 1) * 1.0e0 / SUM(dist), 6) AS closeness,
+           ROUND(SUM(CASE WHEN dist > 0 THEN
+                       CAST(FLOOR(1000000.0e0 / dist + 0.5e0) AS BIGINT)
+                     ELSE 0 END) / 1000000.0e0, 6) AS harmonic
+    FROM {last} GROUP BY src ORDER BY src
+    """
+
+
+@q("closeness_centrality", oracle=_ccn_sql())
+def closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness and harmonic centrality for ~15 BFS roots over the
+    derived link graph — multi-source round-bounded BFS, the
+    geodesic-centrality member the graph family still lacked
+    (``pagerank_cosupply`` ranks by flow, ``hits_hub_authority`` by
+    endorsement, ``kcore_peel``/``edge_triangle_support`` by cohesion;
+    closeness ranks by REACH).  Harmonic centrality (Boldi-Vigna) is
+    reported alongside because it stays defined when the 6-round
+    horizon leaves nodes unreached.
+
+    Exactness: distances are pure int64 hop counts; closeness is one
+    division rounded 6 dp; the harmonic sum is micro-scaled integer
+    (FLOOR(1e6/d + 0.5) per reciprocal) so the sum is exact int64 on
+    both engines before the single final division.
+
+    Scale shape: the state relation is (src, node, dist) — sources
+    multiply the frontier, not the edge list; each round is one
+    frontier ⋈ edges equi-join + a (src,node)-keyed MIN partial agg,
+    exactly the vertex-program shape GraphX/Pregel runs, with the
+    fixed round budget bounding lineage (localCheckpoint at the end).
+
+    Reference surface: generalizes the reference's "distance to
+    nearest POI" verification scans into whole-graph reach scoring.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.select(
+        (F.col("doc_id") % _CCN_N).alias("u"),
+        (
+            (
+                F.col("doc_id") * 173
+                + (F.col("doc_id") / _CCN_N).cast("long") * 389
+                + 7
+            )
+            % _CCN_N
+        ).alias("v"),
+    ).where(F.col("u") != F.col("v"))
+    e0 = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    e = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    nodes = e.select(F.col("u").alias("n")).distinct()
+    d = nodes.where(F.col("n") % _CCN_SRC_MOD == 0).select(
+        F.col("n").alias("src"),
+        F.col("n").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(_CCN_ROUNDS):
+        relaxed = e.join(d, e["u"] == d["node"]).select(
+            "src", F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("src", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    d = d.localCheckpoint()
+    micro = F.when(
+        F.col("dist") > 0,
+        F.floor(F.lit(1000000.0) / F.col("dist") + F.lit(0.5)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        d.groupBy("src")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.round(
+                (F.count("*") - 1) * F.lit(1.0) / F.sum("dist"), 6
+            ).alias("closeness"),
+            F.round(F.sum(micro) / F.lit(1000000.0), 6).alias("harmonic"),
+        )
+        .orderBy("src")
+    )
+
+
+# ---------------------------------------------------------------------------
+# daily periodogram (full DFT power spectrum of the January series)
+# ---------------------------------------------------------------------------
+
+_PGM_D = 30  # the fixture's day count (events span 2024-01-01..30)
+_PGM_K = 10  # frequency bins 1..10 (period 30d .. 3d)
+_PGM_SCALE = 1000000  # basis literals are micro-scaled integers
+
+import math as _math  # noqa: E402
+
+
+def _pgm_case(fn) -> str:
+    """Searched CASE mapping m -> round(fn(2*pi*m/30)*1e6) — identical
+    literal text on both engines (the weekly_harmonic_fit discipline)."""
+    arms = " ".join(
+        f"WHEN {m} THEN {round(fn(2.0 * _math.pi * m / _PGM_D) * _PGM_SCALE)}"
+        for m in range(_PGM_D)
+    )
+    return f"CASE ((k * dom) % {_PGM_D}) {arms} END"
+
+
+_PGM_EXPRS = f"""
+      CAST(SUM((c * n_days - s_tot) * ({_pgm_case(_math.cos)})) AS BIGINT)
+        AS a_scaled,
+      CAST(SUM((c * n_days - s_tot) * ({_pgm_case(_math.sin)})) AS BIGINT)
+        AS b_scaled"""
+
+_PGM_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS dom,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY dom),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS s_tot,
+                   CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    ks AS (SELECT CAST(UNNEST(range(1, {_PGM_K + 1})) AS BIGINT) AS k),
+    f AS (
+      SELECT k, n_days, {_PGM_EXPRS}
+      FROM daily, tot, ks GROUP BY k, n_days)
+    SELECT k, ROUND({_PGM_D}.0e0 / k, 4) AS period_days,
+           ROUND(SQRT(CAST(a_scaled AS DOUBLE) * a_scaled
+                      + CAST(b_scaled AS DOUBLE) * b_scaled)
+                 / (n_days * {_PGM_SCALE}.0e0 * n_days * 100.0e0), 4)
+             AS amplitude
+    FROM f ORDER BY k
+    """
+
+
+@q("periodogram_daily_power", oracle=_PGM_SQL)
+def periodogram_daily_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full discrete-Fourier periodogram of the daily revenue series —
+    per-cycle amplitude for frequency bins k=1..10 over the 30-day
+    window (the k=1-only ``weekly_harmonic_fit`` widened to the whole
+    spectrum; the Schuster periodogram every seasonality detector runs
+    before committing to ONE period).  The weekly cycle shows up as
+    mass near k=4 (30/4 ≈ 7.5 d) without being assumed.
+
+    Exactness: the centered series is multiplied through by n_days so
+    every DFT partial is pure int64 ((c*N - S) * micro-scaled basis
+    literal; headroom ~3e16 per coefficient at sf0.1, 2^63 at sf100);
+    the one double cast before SQRT rounds identically (IEEE nearest)
+    on both engines.  The cos/sin basis is a 30-literal CASE on
+    (k*dom) % 30 — the same TEXT evaluated by both engines.
+
+    Scale shape: one day-keyed partial agg over the raw table, then a
+    30-row × 10-bin cross join and a k-keyed agg — the heavy scan
+    happens once regardless of how many bins are probed.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)")
+        .alias("dom")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+        .cast("long")
+        .alias("c")
+    )
+    tot = daily.agg(
+        F.sum("c").cast("long").alias("s_tot"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    ks = ev.sparkSession.range(1, _PGM_K + 1).select(
+        F.col("id").cast("long").alias("k")
+    )
+    f = (
+        daily.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ks))
+        .groupBy("k", "n_days")
+        .agg(
+            F.expr(
+                f"CAST(SUM((c * n_days - s_tot) * ({_pgm_case(_math.cos)})) "
+                "AS BIGINT)"
+            ).alias("a_scaled"),
+            F.expr(
+                f"CAST(SUM((c * n_days - s_tot) * ({_pgm_case(_math.sin)})) "
+                "AS BIGINT)"
+            ).alias("b_scaled"),
+        )
+    )
+    amp = F.round(
+        F.sqrt(
+            F.col("a_scaled").cast("double") * F.col("a_scaled")
+            + F.col("b_scaled").cast("double") * F.col("b_scaled")
+        )
+        / (
+            F.col("n_days")
+            * F.lit(float(_PGM_SCALE))
+            * F.col("n_days")
+            * F.lit(100.0)
+        ),
+        4,
+    )
+    return f.select(
+        "k",
+        F.round(F.lit(float(_PGM_D)) / F.col("k"), 4).alias("period_days"),
+        amp.alias("amplitude"),
+    ).orderBy("k")

@@ -2307,3 +2307,482 @@ def periodogram_daily_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(float(_PGM_D)) / F.col("k"), 4).alias("period_days"),
         amp.alias("amplitude"),
     ).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# line-of-sight viewshed profile (running-max elevation angle along rays)
+# ---------------------------------------------------------------------------
+
+_LOS_CS = 50_000  # same 14x14 raster as raster_slope_aspect
+_LOS_OX, _LOS_OY = 7, 7  # observer cell (raster center)
+_LOS_STEPS = 7  # ray length (to the raster edge)
+# 8 rays: E NE N NW W SW S SE as (dx, dy)
+_LOS_DIRS = [
+    (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1),
+]
+_LOS_DIR_NAMES = ["E", "NE", "N", "NW", "W", "SW", "S", "SE"]
+
+
+def _los_dir_case(vals) -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN {v}" if not isinstance(v, str)
+        else f"WHEN {i} THEN '{v}'"
+        for i, v in enumerate(vals)
+    )
+    return f"CASE d {arms} END"
+
+
+def _los_sql() -> str:
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    dxc = _los_dir_case([dx for dx, _ in _LOS_DIRS])
+    dyc = _los_dir_case([dy for _, dy in _LOS_DIRS])
+    name = _los_dir_case(_LOS_DIR_NAMES)
+    return f"""
+    WITH pts AS (SELECT {X_EXPR} AS x, {Y_EXPR} AS y FROM events),
+    grid AS (
+      SELECT CAST(FLOOR(x / {_LOS_CS}.0e0) AS BIGINT) AS cx,
+             CAST(FLOOR(y / {_LOS_CS}.0e0) AS BIGINT) AS cy,
+             CAST(COUNT(*) AS BIGINT) AS z
+      FROM pts GROUP BY cx, cy),
+    obs AS (SELECT COALESCE(MAX(z), 0) AS z0 FROM grid
+            WHERE cx = {_LOS_OX} AND cy = {_LOS_OY}),
+    rays AS (
+      SELECT CAST(dd.d AS BIGINT) AS d, CAST(ss.s AS BIGINT) AS s,
+             {_LOS_OX} + ({dxc}) * ss.s AS cx,
+             {_LOS_OY} + ({dyc}) * ss.s AS cy
+      FROM (SELECT UNNEST(range(8)) AS d) dd,
+           (SELECT UNNEST(range(1, {_LOS_STEPS + 1})) AS s) ss),
+    prof AS (
+      SELECT r.d, r.s,
+             CAST(FLOOR((COALESCE(g.z, 0) - o.z0) * 1000000.0e0 / r.s)
+                  AS BIGINT) AS ang
+      FROM rays r
+      LEFT JOIN grid g ON g.cx = r.cx AND g.cy = r.cy
+      CROSS JOIN obs o),
+    vis AS (
+      SELECT d, s, ang,
+             CASE WHEN ang > COALESCE(MAX(ang) OVER (
+                    PARTITION BY d ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS visible
+      FROM prof)
+    SELECT {name} AS ray,
+           CAST(COUNT(*) AS BIGINT) AS n_steps,
+           CAST(SUM(visible) AS BIGINT) AS n_visible,
+           CAST(MAX(CASE WHEN visible = 1 THEN s ELSE 0 END) AS BIGINT)
+             AS horizon_step,
+           ROUND(MAX(ang) / 1000000.0e0, 4) AS max_angle
+    FROM vis GROUP BY d ORDER BY {name}
+    """
+
+
+@q("line_of_sight_profile", oracle=_los_sql())
+def line_of_sight_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-of-sight viewshed profile — the GIS visibility classic over
+    the engine's raster surface (elevation := per-cell event density,
+    the ``raster_slope_aspect`` DEM): from the center cell, 8 rays are
+    traced outward and a cell is VISIBLE iff its elevation angle
+    exceeds the running maximum of all closer cells on the ray (the
+    standard R3/ray-sweep visibility rule).  Reports per ray how many
+    cells are visible, where the horizon sits, and the maximum angle —
+    the transect form viewshed tools emit before rasterizing.
+
+    Exactness: elevations are int64 counts; the angle is a micro-scaled
+    FLOOR((z - z0)*1e6 / s) — the dividend is an exact sub-2^53
+    integer, IEEE division is identical on both engines, and the floor
+    snaps before comparison; the running max is pure int64.
+
+    Scale shape: one cell-keyed partial agg builds the raster; the ray
+    relation is a 56-row literal cross join LEFT-joined to the
+    POST-AGG cell relation (raster algebra, never the point table);
+    the running max windows over ≤7 rows per ray partition.
+
+    Reference surface: the reference's spatial verification eyeballs
+    per-area density maxima (verify_import.py density sections);
+    visibility analysis is the canonical derived product of exactly
+    that density raster.
+    """
+    from osmgraft.contract import X_EXPR, Y_EXPR
+
+    ev = t(spark, sf_dir, "events")
+    grid = (
+        ev.selectExpr(f"{X_EXPR} AS x", f"{Y_EXPR} AS y")
+        .selectExpr(
+            f"CAST(FLOOR(x / {_LOS_CS}.0e0) AS BIGINT) AS cx",
+            f"CAST(FLOOR(y / {_LOS_CS}.0e0) AS BIGINT) AS cy",
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("z"))
+    )
+    obs = grid.where(
+        (F.col("cx") == _LOS_OX) & (F.col("cy") == _LOS_OY)
+    ).agg(F.coalesce(F.max("z"), F.lit(0)).alias("z0"))
+    spark_ = ev.sparkSession
+    dirs = spark_.range(8).select(F.col("id").cast("long").alias("d"))
+    steps = spark_.range(1, _LOS_STEPS + 1).select(
+        F.col("id").cast("long").alias("s")
+    )
+    dxc = _los_dir_case([dx for dx, _ in _LOS_DIRS])
+    dyc = _los_dir_case([dy for _, dy in _LOS_DIRS])
+    rays = dirs.crossJoin(steps).selectExpr(
+        "d",
+        "s",
+        f"{_LOS_OX} + ({dxc}) * s AS cx",
+        f"{_LOS_OY} + ({dyc}) * s AS cy",
+    )
+    prof = (
+        rays
+        .join(F.broadcast(grid), ["cx", "cy"], "left")
+        .crossJoin(F.broadcast(obs))
+        .select(
+            "d",
+            "s",
+            F.expr(
+                "CAST(FLOOR((COALESCE(z, 0) - z0) * 1000000.0e0 / s) "
+                "AS BIGINT)"
+            ).alias("ang"),
+        )
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vis = prof.select(
+        "d",
+        "s",
+        "ang",
+        F.when(
+            F.col("ang")
+            > F.coalesce(
+                F.max("ang").over(w), F.lit(-(2**63))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("visible"),
+    )
+    name = _los_dir_case(_LOS_DIR_NAMES)
+    return (
+        vis.groupBy(F.expr(name).alias("ray"))
+        .agg(
+            F.count("*").cast("long").alias("n_steps"),
+            F.sum("visible").cast("long").alias("n_visible"),
+            F.max(
+                F.when(F.col("visible") == 1, F.col("s")).otherwise(0)
+            )
+            .cast("long")
+            .alias("horizon_step"),
+            F.round(F.max("ang") / F.lit(1000000.0), 4).alias("max_angle"),
+        )
+        .orderBy("ray")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test (blocked rank ANOVA: day blocks x event-type treatments)
+# ---------------------------------------------------------------------------
+
+_FRD_SQL = """
+    WITH cell AS (
+      SELECT CAST(CAST(ts AS DATE) AS DATE) AS day, event_type,
+             CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY day, event_type),
+    ranked AS (
+      SELECT day, event_type,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY day
+               ORDER BY cents * 1.0e0 / n, event_type) AS BIGINT) AS r
+      FROM cell),
+    blocks AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_b,
+                      CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+               FROM ranked),
+    rs AS (SELECT event_type, CAST(SUM(r) AS BIGINT) AS rank_sum,
+                  CAST(COUNT(*) AS BIGINT) AS n_blocks
+           FROM ranked GROUP BY event_type),
+    stat AS (
+      SELECT b.n_b, b.k,
+             12.0e0 / (b.n_b * b.k * (b.k + 1.0e0))
+               * SUM(rs.rank_sum * 1.0e0 * rs.rank_sum)
+               - 3.0e0 * b.n_b * (b.k + 1) AS q
+      FROM rs, blocks b GROUP BY b.n_b, b.k)
+    SELECT rs.event_type, rs.rank_sum,
+           ROUND(rs.rank_sum * 1.0e0 / rs.n_blocks, 6) AS mean_rank,
+           s.k - 1 AS df, ROUND(s.q, 6) AS q_stat
+    FROM rs, stat s ORDER BY rs.event_type
+    """
+
+
+@q("friedman_test", oracle=_FRD_SQL)
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (1937) — the BLOCKED companion of
+    ``kruskal_wallis_test``: each crawl day is a block, the five event
+    types are treatments, and the daily mean value is ranked WITHIN the
+    day, removing day-to-day level shifts that would dilute the
+    unblocked omnibus (the repeated-measures design every daily-metric
+    dashboard actually has).  Q = 12/(nk(k+1)) ΣR_j² − 3n(k+1).
+
+    Determinism: the within-day ranking is ROW_NUMBER over (mean,
+    event_type) — a total order both engines share (the daily means
+    come from exact integer cent sums and counts, and the type name
+    breaks any exact tie); rank sums are pure int64.
+
+    Scale shape: one (day,type)-keyed partial agg over the raw table;
+    the ranking windows over k=5 rows per day partition of the
+    POST-AGG relation — never a per-row sort; the statistic is a
+    broadcast-sized fold.
+    """
+    cell = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+            .cast("long")
+            .alias("cents"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("cents") * F.lit(1.0) / F.col("n"), "event_type"
+    )
+    ranked = cell.select(
+        "day", "event_type", F.row_number().over(w).cast("long").alias("r")
+    )
+    blocks = ranked.agg(
+        F.countDistinct("day").cast("long").alias("n_b"),
+        F.countDistinct("event_type").cast("long").alias("k"),
+    )
+    rs = ranked.groupBy("event_type").agg(
+        F.sum("r").cast("long").alias("rank_sum"),
+        F.count("*").cast("long").alias("n_blocks"),
+    )
+    stat = (
+        rs.crossJoin(F.broadcast(blocks))
+        .groupBy("n_b", "k")
+        .agg(
+            (
+                F.lit(12.0)
+                / (F.col("n_b") * F.col("k") * (F.col("k") + F.lit(1.0)))
+                * F.sum(
+                    F.col("rank_sum") * F.lit(1.0) * F.col("rank_sum")
+                )
+                - F.lit(3.0) * F.col("n_b") * (F.col("k") + 1)
+            ).alias("q")
+        )
+    )
+    return (
+        rs.crossJoin(F.broadcast(stat))
+        .select(
+            "event_type",
+            "rank_sum",
+            F.round(
+                F.col("rank_sum") * F.lit(1.0) / F.col("n_blocks"), 6
+            ).alias("mean_rank"),
+            (F.col("k") - 1).alias("df"),
+            F.round(F.col("q"), 6).alias("q_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mojibake / encoding-health audit over the document corpus
+# ---------------------------------------------------------------------------
+
+# Deterministic corruption overlay (the wkb_validity discipline: the audit
+# must FIND defects, so the fixture derives them reproducibly): docs with
+# doc_id % 97 == 0 get the classic UTF-8-as-Latin-1 mojibake ('e' -> 'Ã©'),
+# docs with doc_id % 89 == 0 get a trailing U+FFFD replacement character.
+_MOJ_TEXT = (
+    "CASE WHEN doc_id % 97 = 0 THEN REPLACE(text, 'e', 'Ã©') "
+    "ELSE text END || CASE WHEN doc_id % 89 = 0 THEN '�' ELSE '' END"
+)
+
+_MOJ_SQL = f"""
+    WITH d AS (SELECT source, ({_MOJ_TEXT}) AS t FROM documents),
+    m AS (
+      SELECT source,
+             CASE WHEN t LIKE '%Ã%' THEN 1 ELSE 0 END AS has_moj,
+             CASE WHEN t LIKE '%�%' THEN 1 ELSE 0 END AS has_rep,
+             CAST((LENGTH(t) - LENGTH(REPLACE(t, 'Ã©', ''))) / 2.0e0
+                  AS BIGINT) AS n_moj,
+             LENGTH(t) - LENGTH(REPLACE(t, '�', '')) AS n_rep
+      FROM d)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(has_moj) AS BIGINT) AS mojibake_docs,
+           CAST(SUM(has_rep) AS BIGINT) AS replacement_docs,
+           CAST(SUM(n_moj) AS BIGINT) AS mojibake_chars,
+           CAST(SUM(n_rep) AS BIGINT) AS replacement_chars,
+           ROUND(1.0e0 - SUM(has_moj + has_rep - has_moj * has_rep)
+                         * 1.0e0 / COUNT(*), 6) AS clean_ratio
+    FROM m GROUP BY source ORDER BY source
+    """
+
+
+@q("mojibake_audit", oracle=_MOJ_SQL)
+def mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health audit — the corpus gate every web-text pipeline
+    runs before tokenization: per source, how many documents carry
+    UTF-8-as-Latin-1 mojibake ('Ã©' and friends — the double-decode
+    signature) or U+FFFD replacement characters (lossy transcoding),
+    with occurrence totals and a clean-document ratio.  Complements
+    ``quality_filter_cascade`` (structural quality) and
+    ``pii_scrub_stats`` (content hygiene) with the ENCODING member of
+    the document-health triad; defects are derived deterministically
+    onto the fixture (the ``wkb_validity`` discipline) so the audit
+    provably fires on exactly the planted rows.
+
+    Exactness: pure string ops (LIKE, LENGTH, REPLACE — both engines
+    count characters, not bytes); all counts int64; one final ratio.
+
+    Scale shape: single scan, one source-keyed partial agg — no joins,
+    no windows; at 10^12 pages this is the cheapest possible full-pass
+    shape.
+    """
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "source", f"({_MOJ_TEXT}) AS t"
+    )
+    m = d.selectExpr(
+        "source",
+        "CASE WHEN t LIKE '%Ã%' THEN 1 ELSE 0 END AS has_moj",
+        "CASE WHEN t LIKE '%�%' THEN 1 ELSE 0 END AS has_rep",
+        "CAST((LENGTH(t) - LENGTH(REPLACE(t, 'Ã©', ''))) / 2.0e0 "
+        "AS BIGINT) AS n_moj",
+        "LENGTH(t) - LENGTH(REPLACE(t, '�', '')) AS n_rep",
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("has_moj").cast("long").alias("mojibake_docs"),
+            F.sum("has_rep").cast("long").alias("replacement_docs"),
+            F.sum("n_moj").cast("long").alias("mojibake_chars"),
+            F.sum("n_rep").cast("long").alias("replacement_chars"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(
+                    F.col("has_moj")
+                    + F.col("has_rep")
+                    - F.col("has_moj") * F.col("has_rep")
+                )
+                * F.lit(1.0)
+                / F.count("*"),
+                6,
+            ).alias("clean_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# index advisor (workload-weighted selectivity ranking)
+# ---------------------------------------------------------------------------
+
+# weekly workload: (name, indexed column, weekly frequency, predicate SQL) —
+# the reference's power-user query mix re-expressed as a literal workload
+# (its import scripts hand-create exactly these index classes).
+_IDX_WORKLOAD = [
+    ("click_feed", "event_type", 120, "event_type = 'click'"),
+    ("purchase_report", "event_type", 80, "event_type = 'purchase'"),
+    ("high_value_scan", "value", 50, "value > 100.0e0"),
+    ("daily_digest", "ts", 30, "CAST(ts AS DATE) = DATE '2024-01-15'"),
+    ("user_lookup", "user_id", 10, "user_id % 100 = 7"),
+    ("beta_props", "props", 5, "props LIKE '%beta%'"),
+]
+
+_IDX_ARMS = ", ".join(
+    f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+    for i, (_, _, _, pred) in enumerate(_IDX_WORKLOAD)
+)
+
+_IDX_UNION = " UNION ALL ".join(
+    f"SELECT '{nm}' AS query_name, '{col}' AS column_name, "
+    f"CAST({fq} AS BIGINT) AS weekly_freq, c{i} AS matching_rows, "
+    f"n_rows FROM s"
+    for i, (nm, col, fq, _) in enumerate(_IDX_WORKLOAD)
+)
+
+_IDX_SQL = f"""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {_IDX_ARMS} FROM events),
+    u AS ({_IDX_UNION})
+    SELECT query_name, column_name, weekly_freq, matching_rows,
+           ROUND(matching_rows * 1.0e0 / n_rows, 6) AS selectivity,
+           CAST(weekly_freq * (n_rows - matching_rows) AS BIGINT)
+             AS weekly_rows_skipped,
+           CASE WHEN column_name = 'ts' THEN 'partition_by_day'
+                WHEN matching_rows * 20 <= n_rows AND weekly_freq >= 10
+                  THEN 'index'
+                ELSE 'full_scan_ok' END AS advice
+    FROM u ORDER BY weekly_rows_skipped DESC, query_name
+    """
+
+
+@q("index_advisor", oracle=_IDX_SQL)
+def index_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index advisor: rank a literal weekly query workload by
+    frequency-weighted rows skipped if the predicate column were
+    indexed (selectivity x frequency — the classic advisor objective),
+    and emit the standard three-way advice: secondary index for
+    selective+hot predicates, date partitioning for time filters, full
+    scan otherwise.  Re-expresses the reference's hand-written index
+    DDL (its import scripts create exactly these index classes after
+    load) as a DATA-DRIVEN decision — and in Spark terms the 'index'
+    verdict maps to bucketing/Z-order and 'partition_by_day' to
+    partitionBy, the lakehouse equivalents.
+
+    Exactness: all counts from ONE conditional-aggregate scan (int64);
+    one division per row for selectivity.
+
+    Scale shape: single scan with 6 conditional-agg arms (no per-
+    predicate rescans), a 6-arm UNION over the 1-row aggregate, and a
+    6-row sort — workload size never multiplies the data pass.
+    """
+    ev = t(spark, sf_dir, "events")
+    s = ev.selectExpr("*").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[
+            F.sum(F.when(F.expr(pred), 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+            for i, (_, _, _, pred) in enumerate(_IDX_WORKLOAD)
+        ],
+    )
+    arms = None
+    for i, (nm, col, fq, _) in enumerate(_IDX_WORKLOAD):
+        arm = s.select(
+            F.lit(nm).alias("query_name"),
+            F.lit(col).alias("column_name"),
+            F.lit(fq).cast("long").alias("weekly_freq"),
+            F.col(f"c{i}").alias("matching_rows"),
+            "n_rows",
+        )
+        arms = arm if arms is None else arms.unionAll(arm)
+    return arms.select(
+        "query_name",
+        "column_name",
+        "weekly_freq",
+        "matching_rows",
+        F.round(
+            F.col("matching_rows") * F.lit(1.0) / F.col("n_rows"), 6
+        ).alias("selectivity"),
+        (F.col("weekly_freq") * (F.col("n_rows") - F.col("matching_rows")))
+        .cast("long")
+        .alias("weekly_rows_skipped"),
+        F.when(F.col("column_name") == "ts", "partition_by_day")
+        .when(
+            (F.col("matching_rows") * 20 <= F.col("n_rows"))
+            & (F.col("weekly_freq") >= 10),
+            "index",
+        )
+        .otherwise("full_scan_ok")
+        .alias("advice"),
+    ).orderBy(F.desc("weekly_rows_skipped"), "query_name")

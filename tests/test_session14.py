@@ -116,3 +116,77 @@ class TestPeriodogram:
             .collect()[0][0]
         )
         assert all(r["amplitude"] < mean_daily for r in rows)
+
+
+class TestLineOfSight:
+    def test_visibility_rules(self, spark):
+        from osmgraft.contract_science import line_of_sight_profile
+
+        rows = line_of_sight_profile(spark, SF_CORRECT).collect()
+        assert len(rows) == 8
+        assert {r["ray"] for r in rows} == {
+            "E", "NE", "N", "NW", "W", "SW", "S", "SE"
+        }
+        for r in rows:
+            assert r["n_steps"] == 7
+            # the first step on every ray has no occluder -> visible
+            assert 1 <= r["n_visible"] <= 7
+            assert 1 <= r["horizon_step"] <= 7
+
+
+class TestFriedman:
+    def test_rank_sum_identity(self, spark):
+        from osmgraft.contract_science import friedman_test
+
+        rows = friedman_test(spark, SF_CORRECT).collect()
+        assert len(rows) == 5
+        ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        n_b = ev.selectExpr("CAST(ts AS DATE) AS d").distinct().count()
+        k = 5
+        # within each block ranks 1..k are assigned exactly once
+        total = sum(r["rank_sum"] for r in rows)
+        assert total == n_b * k * (k + 1) // 2
+        assert rows[0]["df"] == 4
+        assert rows[0]["q_stat"] >= 0
+        for r in rows:
+            assert 1.0 <= r["mean_rank"] <= 5.0
+
+
+class TestMojibakeAudit:
+    def test_planted_defects_are_found(self, spark):
+        from osmgraft.contract_science import mojibake_audit
+
+        rows = mojibake_audit(spark, SF_CORRECT).collect()
+        docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        n_moj = docs.filter("doc_id % 97 = 0 AND text LIKE '%e%'").count()
+        n_rep = docs.filter("doc_id % 89 = 0").count()
+        assert sum(r["mojibake_docs"] for r in rows) == n_moj
+        assert sum(r["replacement_docs"] for r in rows) == n_rep
+        assert sum(r["n_docs"] for r in rows) == docs.count()
+        for r in rows:
+            assert 0.0 <= r["clean_ratio"] <= 1.0
+            # occurrence totals imply at least one char per flagged doc
+            assert r["mojibake_chars"] >= r["mojibake_docs"]
+            assert r["replacement_chars"] >= r["replacement_docs"]
+
+
+class TestIndexAdvisor:
+    def test_advice_classes(self, spark):
+        from osmgraft.contract_science import index_advisor
+
+        rows = {r["query_name"]: r for r in
+                index_advisor(spark, SF_CORRECT).collect()}
+        assert len(rows) == 6
+        # the point lookup is selective and hot -> index
+        assert rows["user_lookup"]["advice"] == "index"
+        assert rows["user_lookup"]["selectivity"] < 0.05
+        # date filters route to partitioning regardless of selectivity
+        assert rows["daily_digest"]["advice"] == "partition_by_day"
+        # a 20%-selectivity hot scan is NOT index-worthy
+        assert rows["click_feed"]["advice"] == "full_scan_ok"
+        ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        n = ev.count()
+        for r in rows.values():
+            assert r["weekly_rows_skipped"] == r["weekly_freq"] * (
+                n - r["matching_rows"]
+            )

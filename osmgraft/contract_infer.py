@@ -1,0 +1,764 @@
+"""Driver-contract entries: round-3 session-16 additions (inferential
+completions: non-parametric trend, lead-lag association, post-hoc
+comparisons, regularized regression, count smoothing, and spatial
+dispersion).
+
+The registry has the trend ESTIMATORS (``theil_sen_daily_trend``,
+``ols_multifeature``) and omnibus GROUP tests (``kruskal_wallis_test``,
+``brown_forsythe_test``) but not the classic companions a reporting
+pipeline runs right next to them:
+
+- ``mann_kendall_trend``: the Mann-Kendall non-parametric trend TEST
+  (Mann 1945, Kendall 1975) over the daily totals — the hypothesis-test
+  twin of the Theil-Sen slope estimator (the pairing every hydrology /
+  monitoring standard prescribes).  S = sum over day pairs of
+  sign(y_j - y_i) is an exact integer; the tie-corrected variance
+  18*Var(S) = n(n-1)(2n+5) - sum_t t(t-1)(2t+5) is an exact integer;
+  the normal-approximation z is ONE double expression, micro-snapped.
+- ``cross_correlation_lags``: sample cross-correlation function between
+  two daily series (even- vs odd-user traffic halves) at lags 0..7 —
+  the lead-lag scan behind every "does A drive B?" dashboard read, and
+  the diagnostic upstream of ``granger_lag_ftest`` (which fixes ONE
+  lag; the CCF finds which lag to fix).  Per-lag Pearson r from exact
+  HUGEINT moment sums over the aligned pairs; the peak flag compares
+  snapped integers, so it is engine-deterministic.
+- ``tukey_hsd_pairs``: Tukey's honestly-significant-difference post-hoc
+  (Tukey 1949) — AFTER an omnibus k-group test rejects, which pairs
+  differ?  Pairwise studentized range q over the 5 event types with
+  the pooled within-group MS; per-group within-SS is snapped to an
+  exact integer BEFORE the k-row sum so SSE is exact on both engines.
+  Critical value q(0.05, k=5, df=inf) = 3.858 inlined as a literal
+  (engines must not supply their own quantile functions — repo rule).
+- ``ridge_path_daily``: closed-form ridge regression path on the daily
+  trend at four penalties from ONE set of exact moment sums
+  (moments-once discipline): slope_l = (n*Sxy - Sx*Sy) /
+  (n*Sxx - Sx^2 + n*l).  The shrinkage column uses the exact identity
+  slope_l/slope_0 = Bden/(Bden + n*l), so it is a ratio of exact
+  integers — the L2-regularized member of the regression family
+  (`ols_multifeature` unpenalized, `theil_sen` robust).
+- ``good_turing_smoothing``: Good-Turing frequency-of-frequencies
+  smoothing (Good 1953) over corpus bigrams — the classical unseen-mass
+  estimator behind every n-gram language model (``unigram_logprob`` /
+  ``bigram_logprob_interp`` use Laplace; GT is what Katz backoff
+  actually uses).  Row r=0 carries the unseen probability mass
+  p0 = N1/N (x 1e6); rows r=1..5 carry the adjusted count
+  r* = (r+1) N_{r+1}/N_r (x 1e6).  All inputs are exact integer
+  counts; a fixed 6-row scaffold keeps the schema stable when some
+  N_r vanish at other scales.
+- ``std_dev_ellipse``: the standard deviational ellipse (Lefever 1926)
+  of the hotspot point field per event type — mean center, orientation,
+  and major/minor dispersion axes: THE directional-distribution summary
+  (ArcGIS "Directional Distribution") that complements the isotropic
+  ``radius_of_gyration`` with anisotropy.  Coordinates snap to integer
+  centi-units per row; all moment sums are exact HUGEINT /
+  DECIMAL(38,0); eigenvalues of the 2x2 scatter and atan2 orientation
+  are one fixed-order double expression each.
+
+Reference surface being generalized: the reference's weekly-report
+trend sections (generate_weekly_report.sh:42-281) publish per-area
+score/count trends, and its verification step
+(scripts/verify/verify_import.py spatial-distribution checks) eyeballs
+the feature spread; these entries add the trend significance test, the
+lead-lag scan, the which-groups-differ follow-up, and the dispersion
+ellipse a 10^12-page geocoded corpus needs to act on those reads.
+
+Scale shapes: every entry aggregates the raw scan ONCE on a bounded key
+(day, event_type, or bigram); all statistics run over the bounded
+relations (30 days / 5 types / freq-of-freq rows).  The only pairwise
+joins are over the 30-row daily relation (Mann-Kendall, CCF) or the
+5-row group relation (Tukey) — bounded by calendar/category, not data
+volume.  Good-Turing's only big shuffle is the bigram count (the
+``bigram_freq`` shape, map-side combined); the freq-of-freq rollup is
+over distinct counts (tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osmgraft.contract import q, t
+from osmgraft.contract_cells import _DC_PX, _DC_PY
+
+_D38 = "DECIMAL(38,0)"
+
+_CENTS = "CAST(FLOOR(value * 100e0) AS BIGINT)"
+
+_DAILY = f"""
+    daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM({_CENTS}) AS BIGINT) AS y
+      FROM events GROUP BY d)
+"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily integer-cent totals keyed by epoch-day (bounded relation)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.expr(
+                "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+            ).alias("d")
+        )
+        .agg(F.sum(F.expr(_CENTS)).cast("long").alias("y"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall non-parametric trend test
+# ---------------------------------------------------------------------------
+
+_MK_SQL = f"""
+    WITH {_DAILY},
+    p AS (SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                               WHEN b.y < a.y THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s
+          FROM daily a JOIN daily b ON b.d > a.d),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    ties AS (SELECT CAST(COALESCE(SUM(tt * (tt - 1) * (2 * tt + 5)), 0)
+                         AS BIGINT) AS tsum
+             FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tt
+                   FROM daily GROUP BY y) g
+             WHERE tt > 1),
+    v AS (SELECT nn.n, p.s,
+                 nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tsum AS var18
+          FROM nn CROSS JOIN p CROSS JOIN ties),
+    z AS (SELECT n, s, var18,
+                 CASE WHEN s > 0
+                        THEN (s - 1) * 1.0e0 / sqrt(var18 / 18.0e0)
+                      WHEN s < 0
+                        THEN (s + 1) * 1.0e0 / sqrt(var18 / 18.0e0)
+                      ELSE 0.0e0 END AS zval
+          FROM v)
+    SELECT n AS n_days, s AS s_stat, var18 AS var_s_x18,
+           CAST(FLOOR(zval * 1000000e0 + 0.5e0) AS BIGINT) AS z_micro,
+           CASE WHEN abs(zval) > 1.959964e0
+                  THEN CASE WHEN s > 0 THEN 'increasing'
+                            ELSE 'decreasing' END
+                ELSE 'no_trend' END AS verdict
+    FROM z
+    """
+
+
+@q("mann_kendall_trend", oracle=_MK_SQL)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily totals: S = sum over day pairs of
+    sign(y_j - y_i); tie-corrected Var(S); normal-approx z with the
+    continuity correction; two-sided 5 % verdict.  The TEST companion to
+    the ``theil_sen_daily_trend`` estimator — monotone-trend
+    significance with no distributional assumption.
+
+    Exactness: S and 18*Var(S) are exact integer aggregates (tie groups
+    counted on integer-cent daily totals); z is ONE double expression
+    (continuity correction then one sqrt), micro-snapped.
+
+    Scale shape: one day-keyed partial agg over the raw scan; the pair
+    join and tie rollup run over the 30-row daily relation (bounded by
+    calendar — n(n-1)/2 = 435 pairs, never data-sized).  Cites reference
+    generate_weekly_report.sh:42-281 (trend sections).
+    """
+    daily = _daily_cents(spark, sf_dir).localCheckpoint()
+    a = daily.select(F.col("d").alias("ad"), F.col("y").alias("ay"))
+    b = daily.select(F.col("d").alias("bd"), F.col("y").alias("by"))
+    s = (
+        a.join(b, F.col("bd") > F.col("ad"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN by > ay THEN 1 WHEN by < ay THEN -1"
+                    " ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    nn = daily.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count("*").cast("long").alias("tt"))
+        .where(F.col("tt") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("tt * (tt - 1) * (2 * tt + 5)")), F.lit(0)
+            )
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    v = (
+        nn.crossJoin(s)
+        .crossJoin(ties)
+        .select(
+            "n",
+            "s",
+            F.expr("n * (n - 1) * (2 * n + 5) - tsum").alias("var18"),
+        )
+    )
+    return v.select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        F.col("var18").alias("var_s_x18"),
+        F.expr(
+            "CAST(FLOOR((CASE WHEN s > 0"
+            " THEN (s - 1) * 1.0e0 / sqrt(var18 / 18.0e0)"
+            " WHEN s < 0 THEN (s + 1) * 1.0e0 / sqrt(var18 / 18.0e0)"
+            " ELSE 0.0e0 END) * 1000000e0 + 0.5e0) AS BIGINT)"
+        ).alias("z_micro"),
+        F.expr(
+            "CASE WHEN abs(CASE WHEN s > 0"
+            " THEN (s - 1) * 1.0e0 / sqrt(var18 / 18.0e0)"
+            " WHEN s < 0 THEN (s + 1) * 1.0e0 / sqrt(var18 / 18.0e0)"
+            " ELSE 0.0e0 END) > 1.959964e0"
+            " THEN CASE WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END"
+            " ELSE 'no_trend' END"
+        ).alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation function between two daily series at lags 0..7
+# ---------------------------------------------------------------------------
+
+_CCF_SQL = f"""
+    WITH halves AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN {_CENTS}
+                           ELSE 0 END) AS BIGINT) AS u,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN {_CENTS}
+                           ELSE 0 END) AS BIGINT) AS v
+      FROM events GROUP BY d),
+    lags AS (SELECT CAST(l AS BIGINT) AS lag
+             FROM UNNEST(range(8)) AS t(l)),
+    pairs AS (SELECT lags.lag, a.u AS u, b.v AS v
+              FROM lags CROSS JOIN halves a
+              JOIN halves b ON b.d = a.d - lags.lag),
+    m AS (SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(u) AS HUGEINT) AS su,
+                 CAST(SUM(v) AS HUGEINT) AS sv,
+                 CAST(SUM(CAST(u AS HUGEINT) * u) AS HUGEINT) AS suu,
+                 CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS svv,
+                 CAST(SUM(CAST(u AS HUGEINT) * v) AS HUGEINT) AS suv
+          FROM pairs GROUP BY lag),
+    c AS (SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+                 CAST(FLOOR((n * suv - su * sv) * 1.0e0
+                      / (sqrt((n * suu - su * su) * 1.0e0)
+                         * sqrt((n * svv - sv * sv) * 1.0e0))
+                      * 1000000e0 + 0.5e0) AS BIGINT) AS corr_micro
+          FROM m)
+    SELECT lag, n_pairs, corr_micro,
+           abs(corr_micro) = MAX(abs(corr_micro)) OVER () AS is_peak
+    FROM c ORDER BY lag
+    """
+
+
+@q("cross_correlation_lags", oracle=_CCF_SQL)
+def cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample cross-correlation function r(lag) between the even-user and
+    odd-user daily traffic series at lags 0..7: does one half LEAD the
+    other?  The scan that tells ``granger_lag_ftest`` which lag to fix,
+    and the standard lead-lag dashboard read for any metric pair.
+
+    Exactness: daily half-totals are exact integer cents; per-lag
+    Pearson r comes from exact HUGEINT/DECIMAL(38,0) moment sums over
+    the aligned pairs in ONE double expression, micro-snapped; the
+    peak flag compares snapped integers (engine-deterministic even
+    under float ties).
+
+    Scale shape: one day-keyed partial agg with conditional-sum arms
+    (single scan for BOTH series); the lag expansion is 8 x 30 bounded
+    rows.  The is_peak window runs over the 8-row lag relation — bounded
+    by the lag grid, never by data.
+    """
+    ev = t(spark, sf_dir, "events")
+    halves = ev.groupBy(
+        F.expr(
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        ).alias("d")
+    ).agg(
+        F.sum(F.expr(f"CASE WHEN user_id % 2 = 0 THEN {_CENTS} ELSE 0 END"))
+        .cast("long")
+        .alias("u"),
+        F.sum(F.expr(f"CASE WHEN user_id % 2 = 1 THEN {_CENTS} ELSE 0 END"))
+        .cast("long")
+        .alias("v"),
+    ).localCheckpoint()
+    lags = spark.range(8).select(F.col("id").cast("long").alias("lag"))
+    a = halves.select(F.col("d").alias("ad"), "u")
+    b = halves.select(F.col("d").alias("bd"), "v")
+    pairs = lags.crossJoin(a).join(
+        b, F.col("bd") == F.col("ad") - F.col("lag")
+    )
+    m = pairs.groupBy("lag").agg(
+        F.expr(f"CAST(COUNT(*) AS {_D38})").alias("n"),
+        F.sum(F.expr(f"CAST(u AS {_D38})")).alias("su"),
+        F.sum(F.expr(f"CAST(v AS {_D38})")).alias("sv"),
+        F.sum(F.expr(f"CAST(u AS {_D38}) * u")).alias("suu"),
+        F.sum(F.expr(f"CAST(v AS {_D38}) * v")).alias("svv"),
+        F.sum(F.expr(f"CAST(u AS {_D38}) * v")).alias("suv"),
+    )
+    c = m.select(
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(FLOOR((n * suv - su * sv) * 1.0e0"
+            " / (sqrt((n * suu - su * su) * 1.0e0)"
+            "    * sqrt((n * svv - sv * sv) * 1.0e0))"
+            " * 1000000e0 + 0.5e0) AS BIGINT)"
+        ).alias("corr_micro"),
+    )
+    w = Window.partitionBy()  # 8-row lag relation — bounded
+    return c.select(
+        "lag",
+        "n_pairs",
+        "corr_micro",
+        (
+            F.abs("corr_micro") == F.max(F.abs("corr_micro")).over(w)
+        ).alias("is_peak"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Tukey HSD post-hoc pairwise comparisons over event types
+# ---------------------------------------------------------------------------
+
+# q(0.05, k=5, df=inf) — studentized range critical value, inlined as a
+# literal per the repo rule (engines must not supply their own quantiles)
+_Q_CRIT = "3.858e0"
+
+_TUKEY_SQL = f"""
+    WITH g AS (SELECT event_type,
+                      CAST(COUNT(*) AS HUGEINT) AS n,
+                      CAST(SUM({_CENTS}) AS HUGEINT) AS s,
+                      CAST(SUM(CAST({_CENTS} AS HUGEINT) * {_CENTS})
+                           AS HUGEINT) AS sxx
+               FROM events GROUP BY event_type),
+    w AS (SELECT event_type, n, s,
+                 CAST(FLOOR((n * sxx - s * s) * 1.0e0 / n + 0.5e0)
+                      AS HUGEINT) AS ssw
+          FROM g),
+    tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+                   CAST(COUNT(*) AS HUGEINT) AS k,
+                   CAST(SUM(ssw) AS HUGEINT) AS sse
+            FROM w),
+    msw AS (SELECT sse * 1.0e0 / (nn - k) AS msw FROM tot),
+    pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  a.s * 1.0e0 / a.n - b.s * 1.0e0 / b.n AS diff,
+                  a.n AS na, b.n AS nb
+           FROM w a JOIN w b ON a.event_type < b.event_type)
+    SELECT type_a, type_b,
+           CAST(FLOOR(diff * 1000000e0 + 0.5e0) AS BIGINT) AS diff_micro,
+           CAST(FLOOR(abs(diff)
+                / sqrt(msw / 2.0e0 * (1.0e0 / na + 1.0e0 / nb))
+                * 1000000e0 + 0.5e0) AS BIGINT) AS q_micro,
+           abs(diff) / sqrt(msw / 2.0e0 * (1.0e0 / na + 1.0e0 / nb))
+             > {_Q_CRIT} AS significant
+    FROM pr CROSS JOIN msw
+    ORDER BY type_a, type_b
+    """
+
+
+@q("tukey_hsd_pairs", oracle=_TUKEY_SQL)
+def tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc: after an omnibus k-group test (`kruskal_wallis`
+    / `brown_forsythe`) rejects, WHICH pairs of event types differ in
+    mean value?  Studentized range q per pair against the pooled
+    within-group MS, with the Tukey-Kramer unequal-n correction and
+    q(0.05, 5, inf) = 3.858 as the literal critical value.
+
+    Exactness: per-group n, sum and sum-of-squares are exact
+    HUGEINT/DECIMAL(38,0) aggregates of integer cents; each group's
+    within-SS is snapped to an exact integer BEFORE the k-row total, so
+    SSE is an exact integer sum (no float accumulation across groups);
+    mean differences and q are one fixed-order double expression each.
+
+    Scale shape: one type-keyed partial agg over the raw scan; the pair
+    expansion and the 1-row MSW broadcast run over the 5-row group
+    relation — k(k-1)/2 = 10 rows, bounded by category cardinality.
+    Cites reference power_user_queries.sql score-distribution sections.
+    """
+    g = t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.expr(f"CAST(COUNT(*) AS {_D38})").alias("n"),
+        F.sum(F.expr(f"CAST({_CENTS} AS {_D38})")).alias("s"),
+        F.sum(F.expr(f"CAST({_CENTS} AS {_D38}) * {_CENTS}")).alias("sxx"),
+    )
+    w = g.select(
+        "event_type",
+        "n",
+        "s",
+        F.expr(
+            f"CAST(FLOOR((n * sxx - s * s) * 1.0e0 / n + 0.5e0) AS {_D38})"
+        ).alias("ssw"),
+    ).localCheckpoint()
+    tot = w.agg(
+        F.sum("n").alias("nn"),
+        F.expr(f"CAST(COUNT(*) AS {_D38})").alias("k"),
+        F.sum("ssw").alias("sse"),
+    )
+    msw = tot.select(F.expr("sse * 1.0e0 / (nn - k)").alias("msw"))
+    a = w.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = w.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    pr = a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a",
+        "type_b",
+        F.expr("sa * 1.0e0 / na - sb * 1.0e0 / nb").alias("diff"),
+        "na",
+        "nb",
+    )
+    return (
+        pr.crossJoin(F.broadcast(msw))
+        .select(
+            "type_a",
+            "type_b",
+            F.expr(
+                "CAST(FLOOR(diff * 1000000e0 + 0.5e0) AS BIGINT)"
+            ).alias("diff_micro"),
+            F.expr(
+                "CAST(FLOOR(abs(diff)"
+                " / sqrt(msw / 2.0e0 * (1.0e0 / na + 1.0e0 / nb))"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            ).alias("q_micro"),
+            F.expr(
+                "abs(diff) / sqrt(msw / 2.0e0 * (1.0e0 / na + 1.0e0 / nb))"
+                f" > {_Q_CRIT}"
+            ).alias("significant"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form ridge regression path over the daily trend
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDAS = (0, 500, 2500, 10000)
+
+_RIDGE_SQL = f"""
+    WITH {_DAILY},
+    rng AS (SELECT MIN(d) AS d0 FROM daily),
+    xy AS (SELECT d - (SELECT d0 FROM rng) AS x, y FROM daily),
+    s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(x) AS HUGEINT) AS sx,
+                 CAST(SUM(y) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+          FROM xy),
+    f AS (SELECT n, sx, sy,
+                 n * sxy - sx * sy AS bnum,
+                 n * sxx - sx * sx AS bden
+          FROM s),
+    lam AS (SELECT CAST(l AS HUGEINT) AS lambda
+            FROM (VALUES (0), (500), (2500), (10000)) t(l)),
+    r AS (SELECT lambda, n, sx, sy, bnum, bden,
+                 bnum * 1.0e0 / (bden + n * lambda) AS slope
+          FROM f CROSS JOIN lam)
+    SELECT CAST(lambda AS BIGINT) AS lambda,
+           CAST(FLOOR(slope * 1000000e0 + 0.5e0) AS BIGINT) AS slope_micro,
+           CAST(FLOOR((sy - slope * sx) / (n * 1.0e0) * 1000000e0 + 0.5e0)
+                AS BIGINT) AS intercept_micro,
+           CAST(FLOOR((1.0e0 - bden * 1.0e0 / (bden + n * lambda))
+                * 10000e0 + 0.5e0) AS BIGINT) AS shrinkage_bp
+    FROM r ORDER BY lambda
+    """
+
+
+@q("ridge_path_daily", oracle=_RIDGE_SQL)
+def ridge_path_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge path on the daily trend: for each penalty l in
+    {0, 500, 2500, 10000}, slope_l = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2 + n*l)
+    (the centered 1-feature ridge solution with denominators cleared) —
+    the L2-regularized member of the regression family, and the standard
+    "how stable is this slope?" read: a slope that collapses under small
+    l was never real.
+
+    Exactness: ONE set of exact HUGEINT/DECIMAL(38,0) moment sums serves
+    every penalty (moments-once); the shrinkage factor uses the exact
+    identity slope_l/slope_0 = Bden/(Bden + n*l) — a ratio of exact
+    integers, so the path's shape is float-free.
+
+    Scale shape: one day-keyed partial agg, a 1-row moment relation, a
+    4-row penalty grid — the path costs ONE scan regardless of how many
+    penalties are evaluated.
+    """
+    daily = _daily_cents(spark, sf_dir)
+    d0 = daily.agg(F.min("d")).collect()[0][0]
+    xy = daily.select((F.col("d") - F.lit(int(d0))).alias("x"), "y")
+    s = xy.agg(
+        F.expr(f"CAST(COUNT(*) AS {_D38})").alias("n"),
+        F.sum(F.expr(f"CAST(x AS {_D38})")).alias("sx"),
+        F.sum(F.expr(f"CAST(y AS {_D38})")).alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {_D38}) * x")).alias("sxx"),
+        F.sum(F.expr(f"CAST(x AS {_D38}) * y")).alias("sxy"),
+    )
+    f = s.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr("n * sxy - sx * sy").alias("bnum"),
+        F.expr("n * sxx - sx * sx").alias("bden"),
+    )
+    lam_arr = ", ".join(str(v) for v in _RIDGE_LAMBDAS)
+    r = (
+        f.select("*", F.explode(F.expr(f"array({lam_arr})")).alias("lam"))
+        .select("*", F.expr(f"CAST(lam AS {_D38})").alias("lambda"))
+        .select(
+            "*", F.expr("bnum * 1.0e0 / (bden + n * lambda)").alias("slope")
+        )
+    )
+    return r.select(
+        F.col("lambda").cast("long").alias("lambda"),
+        F.expr(
+            "CAST(FLOOR(slope * 1000000e0 + 0.5e0) AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CAST(FLOOR((sy - slope * sx) / (n * 1.0e0) * 1000000e0"
+            " + 0.5e0) AS BIGINT)"
+        ).alias("intercept_micro"),
+        F.expr(
+            "CAST(FLOOR((1.0e0 - bden * 1.0e0 / (bden + n * lambda))"
+            " * 10000e0 + 0.5e0) AS BIGINT)"
+        ).alias("shrinkage_bp"),
+    ).orderBy("lambda")
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency-of-frequencies smoothing over corpus bigrams
+# ---------------------------------------------------------------------------
+
+_GT_SQL = """
+    WITH b AS (SELECT w[i] || ' ' || w[i + 1] AS bg
+               FROM (SELECT string_split(text, ' ') AS w FROM documents) d,
+                    LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    c AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS r FROM b GROUP BY bg),
+    nr AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM c GROUP BY r),
+    tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens FROM nr),
+    scaff AS (SELECT CAST(x AS BIGINT) AS r FROM UNNEST(range(6)) AS t(x))
+    SELECT s.r,
+           CASE WHEN s.r = 0 THEN (SELECT n_tokens FROM tot)
+                ELSE COALESCE(cur.n_r, 0) END AS n_r,
+           CAST(FLOOR(
+             CASE WHEN s.r = 0
+                    THEN COALESCE((SELECT n_r FROM nr WHERE r = 1), 0)
+                         * 1.0e0 / (SELECT n_tokens FROM tot)
+                  WHEN COALESCE(cur.n_r, 0) = 0 THEN 0.0e0
+                  ELSE (s.r + 1) * COALESCE(nxt.n_r, 0) * 1.0e0 / cur.n_r
+             END * 1000000e0 + 0.5e0) AS BIGINT) AS rstar_micro
+    FROM scaff s
+    LEFT JOIN nr cur ON cur.r = s.r
+    LEFT JOIN nr nxt ON nxt.r = s.r + 1
+    ORDER BY s.r
+    """
+
+
+@q("good_turing_smoothing", oracle=_GT_SQL)
+def good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing smoothing over corpus bigrams: the frequency-of-
+    frequencies table N_r and the adjusted counts r* = (r+1) N_{r+1}/N_r
+    for r = 1..5, plus the unseen probability mass p0 = N_1/N in the
+    r = 0 row (rstar_micro carries p0 x 1e6 there; an adjusted COUNT
+    x 1e6 elsewhere).  The estimator behind Katz backoff — what the
+    registry's Laplace-smoothed LMs (`unigram_logprob`,
+    `bigram_logprob_interp`) graduate to at corpus scale.
+
+    Exactness: every input is an exact integer count (bigram counts,
+    freq-of-freq counts, total tokens); each r* is one double division,
+    micro-snapped.  A fixed 6-row scaffold keeps schema and row count
+    stable when an N_r vanishes at other scales (rstar 0 by convention).
+
+    Scale shape: bigrams are built in-row (the ``bigram_freq`` zip — no
+    position self-join); the only corpus-sized shuffle is the bigram
+    count with map-side combine; the freq-of-freq rollup runs over
+    distinct count values (tiny) and the scaffold join over 6 rows.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    bgs = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    c = (
+        d.select(F.explode(bgs).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").cast("long").alias("r"))
+    )
+    nr = c.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    nr = nr.localCheckpoint()
+    tot = nr.agg(
+        F.sum(F.expr("r * n_r")).cast("long").alias("n_tokens")
+    )
+    n1 = nr.where(F.col("r") == 1).agg(
+        F.coalesce(F.sum("n_r"), F.lit(0)).cast("long").alias("n1")
+    )
+    scaff = spark.range(6).select(F.col("id").cast("long").alias("r"))
+    cur = nr.select(F.col("r").alias("cr"), F.col("n_r").alias("cn"))
+    nxt = nr.select(
+        (F.col("r") - 1).alias("xr"), F.col("n_r").alias("xn")
+    )
+    j = (
+        scaff.join(cur, scaff.r == F.col("cr"), "left")
+        .join(nxt, scaff.r == F.col("xr"), "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+    )
+    return j.select(
+        "r",
+        F.expr(
+            "CASE WHEN r = 0 THEN n_tokens ELSE COALESCE(cn, 0) END"
+        ).alias("n_r"),
+        F.expr(
+            "CAST(FLOOR(CASE WHEN r = 0 THEN n1 * 1.0e0 / n_tokens"
+            " WHEN COALESCE(cn, 0) = 0 THEN 0.0e0"
+            " ELSE (r + 1) * COALESCE(xn, 0) * 1.0e0 / cn END"
+            " * 1000000e0 + 0.5e0) AS BIGINT)"
+        ).alias("rstar_micro"),
+    ).orderBy("r")
+
+
+# ---------------------------------------------------------------------------
+# Standard deviational ellipse of the hotspot point field per event type
+# ---------------------------------------------------------------------------
+
+
+def _sde_sql() -> str:
+    px = _DC_PX
+    py = _DC_PY
+    return f"""
+    WITH pts AS (SELECT event_type,
+                        CAST(FLOOR(({px}) * 100e0 + 0.5e0) AS BIGINT) AS xi,
+                        CAST(FLOOR(({py}) * 100e0 + 0.5e0) AS BIGINT) AS yi
+                 FROM events),
+    g AS (SELECT event_type,
+                 CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(xi) AS HUGEINT) AS sx,
+                 CAST(SUM(yi) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(xi AS HUGEINT) * xi) AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(yi AS HUGEINT) * yi) AS HUGEINT) AS syy,
+                 CAST(SUM(CAST(xi AS HUGEINT) * yi) AS HUGEINT) AS sxy
+          FROM pts GROUP BY event_type),
+    m AS (SELECT event_type, n,
+                 sx, sy,
+                 n * sxx - sx * sx AS mxx,
+                 n * syy - sy * sy AS myy,
+                 n * sxy - sx * sy AS mxy
+          FROM g),
+    e AS (SELECT event_type, n, sx, sy, mxx, myy, mxy,
+                 ((mxx + myy) * 1.0e0
+                  + sqrt((mxx - myy) * 1.0e0 * (mxx - myy)
+                         + 4.0e0 * (mxy * 1.0e0) * (mxy * 1.0e0))) / 2.0e0
+                   AS lp,
+                 ((mxx + myy) * 1.0e0
+                  - sqrt((mxx - myy) * 1.0e0 * (mxx - myy)
+                         + 4.0e0 * (mxy * 1.0e0) * (mxy * 1.0e0))) / 2.0e0
+                   AS lm
+          FROM m)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(sx * 1.0e0 / n + 0.5e0) AS BIGINT) AS mean_x_centi,
+           CAST(FLOOR(sy * 1.0e0 / n + 0.5e0) AS BIGINT) AS mean_y_centi,
+           CAST(FLOOR(degrees(0.5e0 * atan2(2.0e0 * (mxy * 1.0e0),
+                                            (mxx - myy) * 1.0e0))
+                * 1000e0 + 0.5e0) AS BIGINT) AS theta_millideg,
+           CAST(FLOOR(sqrt(2.0e0 * lp) / (n * 1.0e0) / 100e0 * 1000e0
+                + 0.5e0) AS BIGINT) AS sigma_major_milli,
+           CAST(FLOOR(sqrt(2.0e0 * lm) / (n * 1.0e0) / 100e0 * 1000e0
+                + 0.5e0) AS BIGINT) AS sigma_minor_milli,
+           CAST(FLOOR(sqrt(1.0e0 - lm / lp) * 1000000e0 + 0.5e0)
+                AS BIGINT) AS ecc_micro
+    FROM e ORDER BY event_type
+    """
+
+
+@q("std_dev_ellipse", oracle=_sde_sql())
+def std_dev_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard deviational ellipse (directional distribution) of the
+    hotspot point field per event type: mean center, orientation of the
+    principal axis (atan2 of the scatter eigenvector), and the
+    major/minor dispersion axes sqrt(2 lambda+-)/n — the anisotropic
+    companion to ``radius_of_gyration`` and the standard "which way does
+    this point cloud stretch?" summary (ArcGIS Directional
+    Distribution).  Cites reference verify_import.py spatial-
+    distribution checks (eyeballed spread, made quantitative).
+
+    Exactness: coordinates snap to integer centi-units PER ROW (one
+    deterministic floor); all moment sums are exact HUGEINT /
+    DECIMAL(38,0); the 2x2 scatter eigenvalues, atan2 orientation and
+    eccentricity are one fixed-order double expression per column,
+    snapped to milli/micro units.
+
+    Scale shape: one type-keyed partial agg over the raw scan (six
+    exact sums); everything after runs on the 5-row group relation.
+    """
+    px = _DC_PX.replace("//", " div ")
+    py = _DC_PY.replace("//", " div ")
+    pts = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"CAST(FLOOR(({px}) * 100e0 + 0.5e0) AS BIGINT)").alias("xi"),
+        F.expr(f"CAST(FLOOR(({py}) * 100e0 + 0.5e0) AS BIGINT)").alias("yi"),
+    )
+    g = pts.groupBy("event_type").agg(
+        F.expr(f"CAST(COUNT(*) AS {_D38})").alias("n"),
+        F.sum(F.expr(f"CAST(xi AS {_D38})")).alias("sx"),
+        F.sum(F.expr(f"CAST(yi AS {_D38})")).alias("sy"),
+        F.sum(F.expr(f"CAST(xi AS {_D38}) * xi")).alias("sxx"),
+        F.sum(F.expr(f"CAST(yi AS {_D38}) * yi")).alias("syy"),
+        F.sum(F.expr(f"CAST(xi AS {_D38}) * yi")).alias("sxy"),
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        F.expr("n * sxx - sx * sx").alias("mxx"),
+        F.expr("n * syy - sy * sy").alias("myy"),
+        F.expr("n * sxy - sx * sy").alias("mxy"),
+    )
+    e = m.select(
+        "*",
+        F.expr(
+            "((mxx + myy) * 1.0e0"
+            " + sqrt((mxx - myy) * 1.0e0 * (mxx - myy)"
+            "        + 4.0e0 * (mxy * 1.0e0) * (mxy * 1.0e0))) / 2.0e0"
+        ).alias("lp"),
+        F.expr(
+            "((mxx + myy) * 1.0e0"
+            " - sqrt((mxx - myy) * 1.0e0 * (mxx - myy)"
+            "        + 4.0e0 * (mxy * 1.0e0) * (mxy * 1.0e0))) / 2.0e0"
+        ).alias("lm"),
+    )
+    return e.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "CAST(FLOOR(sx * 1.0e0 / n + 0.5e0) AS BIGINT)"
+        ).alias("mean_x_centi"),
+        F.expr(
+            "CAST(FLOOR(sy * 1.0e0 / n + 0.5e0) AS BIGINT)"
+        ).alias("mean_y_centi"),
+        F.expr(
+            "CAST(FLOOR(degrees(0.5e0 * atan2(2.0e0 * (mxy * 1.0e0),"
+            " (mxx - myy) * 1.0e0)) * 1000e0 + 0.5e0) AS BIGINT)"
+        ).alias("theta_millideg"),
+        F.expr(
+            "CAST(FLOOR(sqrt(2.0e0 * lp) / (n * 1.0e0) / 100e0 * 1000e0"
+            " + 0.5e0) AS BIGINT)"
+        ).alias("sigma_major_milli"),
+        F.expr(
+            "CAST(FLOOR(sqrt(2.0e0 * lm) / (n * 1.0e0) / 100e0 * 1000e0"
+            " + 0.5e0) AS BIGINT)"
+        ).alias("sigma_minor_milli"),
+        F.expr(
+            "CAST(FLOOR(sqrt(1.0e0 - lm / lp) * 1000000e0 + 0.5e0)"
+            " AS BIGINT)"
+        ).alias("ecc_micro"),
+    ).orderBy("event_type")

@@ -53,6 +53,9 @@ def main() -> int:
             f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'"
         )
     qs, osql = entry.queries(), entry.oracle_sql()
+    only = set(sys.argv[2:])  # optional name filter: sweep only these
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     n_match = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         t0 = time.perf_counter()

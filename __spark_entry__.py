@@ -39,6 +39,7 @@ from osmgraft import contract_science as _contract_science  # noqa: E402,F401  (
 from osmgraft import contract_stats as _contract_stats  # noqa: E402,F401  (registers entries)
 from osmgraft import contract_infer as _contract_infer  # noqa: E402,F401  (registers entries)
 from osmgraft import contract_raster as _contract_raster  # noqa: E402,F401  (registers entries)
+from osmgraft import contract_classics as _contract_classics  # noqa: E402,F401  (registers entries)
 
 # The 50 entries that received green driver rows in CORRECTNESS_r02.json
 # (frozen literal — evidence already recorded; these sort AFTER the rest).

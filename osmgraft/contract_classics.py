@@ -549,3 +549,308 @@ def cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" WHEN {_ALPHA_EXPR} >= 0.7e0 THEN 'acceptable'"
         " ELSE 'weak' END AS band",
     )
+
+
+# ---------------------------------------------------------------------------
+# Pettitt nonparametric changepoint (rank-based CUSUM)
+# ---------------------------------------------------------------------------
+
+_DAILY_Y = f"""
+    daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM({_CENTS}) AS BIGINT) AS y
+      FROM events GROUP BY d)
+"""
+
+_PETTITT_TAIL = """
+    SELECT CAST(nn.n AS BIGINT) AS n_days,
+           star.td AS t_star_day,
+           star.u AS u_at_t,
+           k.kk AS k_stat,
+           CAST(FLOOR(LEAST(1.0e0,
+                2.0e0 * EXP(-6.0e0 * CAST(k.kk AS DOUBLE) * k.kk
+                            / (CAST(nn.n AS DOUBLE) * nn.n * nn.n
+                               + CAST(nn.n AS DOUBLE) * nn.n)))
+                * 1000000e0 + 0.5e0) AS BIGINT) AS p_micro,
+           CASE WHEN 2.0e0 * EXP(-6.0e0 * CAST(k.kk AS DOUBLE) * k.kk
+                     / (CAST(nn.n AS DOUBLE) * nn.n * nn.n
+                        + CAST(nn.n AS DOUBLE) * nn.n)) < 0.05e0
+                THEN CASE WHEN star.u > 0 THEN 'shift_down'
+                          ELSE 'shift_up' END
+                ELSE 'no_changepoint' END AS verdict
+    FROM star, k, nn
+"""
+
+_PETTITT_SQL = f"""
+    WITH {_DAILY_Y},
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    pairs AS (
+      SELECT i.d AS di, j.d AS dj,
+             CASE WHEN i.y > j.y THEN 1
+                  WHEN i.y < j.y THEN -1 ELSE 0 END AS s
+      FROM daily i JOIN daily j ON i.d < j.d),
+    ts_ AS (SELECT d FROM daily WHERE d < (SELECT MAX(d) FROM daily)),
+    ut AS (
+      SELECT t.d AS td, CAST(SUM(p.s) AS BIGINT) AS u
+      FROM ts_ t JOIN pairs p ON p.di <= t.d AND p.dj > t.d
+      GROUP BY t.d),
+    k AS (SELECT CAST(MAX(ABS(u)) AS BIGINT) AS kk FROM ut),
+    star AS (SELECT ut.td, ut.u FROM ut, k WHERE ABS(ut.u) = k.kk
+             ORDER BY ut.td LIMIT 1)
+    {_PETTITT_TAIL}
+    """
+
+
+@q("pettitt_changepoint", oracle=_PETTITT_SQL)
+def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt test (1979) — the nonparametric single-changepoint locator
+    (a rank-based CUSUM; the distribution-free member of the changepoint
+    family next to ``cusum_changepoints`` (parametric),
+    ``chow_test_midpoint`` (F at a fixed split) and
+    ``page_hinkley_drift`` (sequential)): U_t = sum of sign(y_i - y_j)
+    over pairs straddling t; the changepoint is argmax |U_t| and
+    p ~ 2 exp(-6K^2/(n^3+n^2)).
+
+    Exactness: signs and U_t are exact integers; only the final p goes
+    through EXP (one fixed-order double expression, micro-snapped —
+    the same libm-snap discipline as ``haversine_band_counts``).  Ties
+    in |U_t| resolve to the earliest day.
+
+    Scale shape: one day-keyed partial agg over the raw scan; the pair
+    and straddle joins run over the <=31-row daily relation (<=465
+    pairs x <=30 candidate cuts — bounded by calendar, not data).
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.expr(
+                "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+            ).alias("d")
+        )
+        .agg(F.sum(F.expr(_CENTS)).cast("long").alias("y"))
+        .localCheckpoint()
+    )
+    nn = daily.agg(F.count("*").cast("long").alias("n"))
+    i = daily.select(F.col("d").alias("di"), F.col("y").alias("yi"))
+    jj = daily.select(F.col("d").alias("dj"), F.col("y").alias("yj"))
+    pairs = i.join(jj, F.col("di") < F.col("dj")).selectExpr(
+        "di", "dj",
+        "CASE WHEN yi > yj THEN 1 WHEN yi < yj THEN -1 ELSE 0 END AS s",
+    )
+    dmax = daily.agg(F.max("d").alias("dm"))
+    ts_ = daily.crossJoin(F.broadcast(dmax)).where(
+        F.col("d") < F.col("dm")
+    ).select(F.col("d").alias("td"))
+    ut = (
+        ts_.join(
+            pairs,
+            (F.col("di") <= F.col("td")) & (F.col("dj") > F.col("td")),
+        )
+        .groupBy("td")
+        .agg(F.sum("s").cast("long").alias("u"))
+        .localCheckpoint()
+    )
+    k = ut.agg(F.max(F.abs(F.col("u"))).cast("long").alias("kk"))
+    star = (
+        ut.crossJoin(F.broadcast(k))
+        .where(F.abs(F.col("u")) == F.col("kk"))
+        .orderBy("td")
+        .limit(1)
+    )
+    out = star.crossJoin(F.broadcast(nn))
+    pexpr = (
+        "2.0e0 * EXP(-6.0e0 * CAST(kk AS DOUBLE) * kk"
+        " / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))"
+    )
+    return out.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "td AS t_star_day",
+        "u AS u_at_t",
+        "kk AS k_stat",
+        f"CAST(FLOOR(LEAST(1.0e0, {pexpr}) * 1000000e0 + 0.5e0) AS BIGINT)"
+        " AS p_micro",
+        f"CASE WHEN {pexpr} < 0.05e0"
+        " THEN CASE WHEN u > 0 THEN 'shift_down' ELSE 'shift_up' END"
+        " ELSE 'no_changepoint' END AS verdict",
+    )
+
+
+# ---------------------------------------------------------------------------
+# attribute p-chart (SPC on daily purchase share)
+# ---------------------------------------------------------------------------
+
+_PCHART_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x_i
+      FROM events GROUP BY d),
+    pool AS (SELECT CAST(SUM(n_i) AS BIGINT) AS nn,
+                    CAST(SUM(x_i) AS BIGINT) AS xx
+             FROM daily)
+    SELECT d.d AS day_off,
+           d.n_i AS n_events,
+           d.x_i AS n_purchases,
+           CAST(FLOOR(d.x_i * 1000000.0e0 / d.n_i + 0.5e0) AS BIGINT)
+             AS p_micro,
+           CAST(FLOOR(CAST(p.xx AS DOUBLE) / p.nn * 1000000e0 + 0.5e0)
+                AS BIGINT) AS center_micro,
+           CAST(FLOOR(GREATEST(0.0e0,
+                CAST(p.xx AS DOUBLE) / p.nn
+                - 3.0e0 * SQRT(CAST(p.xx AS DOUBLE) / p.nn
+                               * (1.0e0 - CAST(p.xx AS DOUBLE) / p.nn)
+                               / d.n_i)) * 1000000e0 + 0.5e0) AS BIGINT)
+             AS lcl_micro,
+           CAST(FLOOR(LEAST(1.0e0,
+                CAST(p.xx AS DOUBLE) / p.nn
+                + 3.0e0 * SQRT(CAST(p.xx AS DOUBLE) / p.nn
+                               * (1.0e0 - CAST(p.xx AS DOUBLE) / p.nn)
+                               / d.n_i)) * 1000000e0 + 0.5e0) AS BIGINT)
+             AS ucl_micro,
+           CASE WHEN CAST(d.x_i AS DOUBLE) / d.n_i
+                     < CAST(p.xx AS DOUBLE) / p.nn
+                       - 3.0e0 * SQRT(CAST(p.xx AS DOUBLE) / p.nn
+                                      * (1.0e0 - CAST(p.xx AS DOUBLE) / p.nn)
+                                      / d.n_i)
+                  OR CAST(d.x_i AS DOUBLE) / d.n_i
+                     > CAST(p.xx AS DOUBLE) / p.nn
+                       + 3.0e0 * SQRT(CAST(p.xx AS DOUBLE) / p.nn
+                                      * (1.0e0 - CAST(p.xx AS DOUBLE) / p.nn)
+                                      / d.n_i)
+                THEN 'out_of_control' ELSE 'in_control' END AS flag
+    FROM daily d, pool p
+    ORDER BY day_off
+    """
+
+
+@q("p_chart_proportions", oracle=_PCHART_SQL)
+def p_chart_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute p-chart (Shewhart) on the daily purchase share — the
+    proportions member of the SPC family (``xmr_control_chart`` is the
+    individuals chart, ``ewma_daily_values``/``cusum_changepoints`` the
+    memory charts): variable-width 3-sigma binomial limits
+    p_bar +- 3 sqrt(p_bar(1-p_bar)/n_i) around the pooled center,
+    clamped to [0, 1], one row per day with the out-of-control flag.
+
+    Exactness: counts are exact integers; every limit is a fixed-order
+    double expression over (x_i, n_i, X, N); the flag compares the SAME
+    raw doubles both engines compute, and displayed values are
+    micro-snapped.
+
+    Scale shape: one day-keyed partial agg over the raw scan; the 2-row
+    pooled totals are a broadcast scalar; no windows.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)").alias(
+            "d"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n_i"),
+        F.sum(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        ).cast("long").alias("x_i"),
+    )
+    pool = daily.agg(
+        F.sum("n_i").cast("long").alias("nn"),
+        F.sum("x_i").cast("long").alias("xx"),
+    )
+    pb = "CAST(xx AS DOUBLE) / nn"
+    sig = f"SQRT({pb} * (1.0e0 - {pb}) / n_i)"
+    return (
+        daily.crossJoin(F.broadcast(pool))
+        .selectExpr(
+            "d AS day_off",
+            "n_i AS n_events",
+            "x_i AS n_purchases",
+            "CAST(FLOOR(x_i * 1000000.0e0 / n_i + 0.5e0) AS BIGINT)"
+            " AS p_micro",
+            f"CAST(FLOOR({pb} * 1000000e0 + 0.5e0) AS BIGINT)"
+            " AS center_micro",
+            f"CAST(FLOOR(GREATEST(0.0e0, {pb} - 3.0e0 * {sig})"
+            " * 1000000e0 + 0.5e0) AS BIGINT) AS lcl_micro",
+            f"CAST(FLOOR(LEAST(1.0e0, {pb} + 3.0e0 * {sig})"
+            " * 1000000e0 + 0.5e0) AS BIGINT) AS ucl_micro",
+            f"CASE WHEN CAST(x_i AS DOUBLE) / n_i < {pb} - 3.0e0 * {sig}"
+            f" OR CAST(x_i AS DOUBLE) / n_i > {pb} + 3.0e0 * {sig}"
+            " THEN 'out_of_control' ELSE 'in_control' END AS flag",
+        )
+        .orderBy("day_off")
+    )
+
+
+# ---------------------------------------------------------------------------
+# process capability (Cp / Cpk) on transaction size
+# ---------------------------------------------------------------------------
+
+_LSL = 100     # spec limits on per-event cents — SF-invariant
+_USL = 20000
+
+_CAP_MOMS = (
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(v) AS BIGINT) AS s, "
+    "CAST(SUM(v * v) AS BIGINT) AS qq, "
+    f"CAST(SUM(CASE WHEN v < {_LSL} OR v > {_USL} THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS oos"
+)
+_MU = "(CAST(s AS DOUBLE) / n)"
+_SD = (
+    "SQRT((CAST(n AS DOUBLE) * qq - CAST(s AS DOUBLE) * s)"
+    " / (CAST(n AS DOUBLE) * (n - 1.0e0)))"
+)
+_CP = f"(({_USL}.0e0 - {_LSL}.0e0) / (6.0e0 * {_SD}))"
+_CPK = (
+    f"(LEAST({_USL}.0e0 - {_MU}, {_MU} - {_LSL}.0e0) / (3.0e0 * {_SD}))"
+)
+
+_CAP_SQL = f"""
+    WITH v AS (SELECT {_CENTS} AS v FROM events),
+    m AS (SELECT {_CAP_MOMS} FROM v)
+    SELECT n AS n_events,
+           CAST(FLOOR({_MU} * 1000000e0 + 0.5e0) AS BIGINT) AS mean_micro,
+           CAST(FLOOR({_SD} * 1000000e0 + 0.5e0) AS BIGINT) AS sd_micro,
+           CAST(FLOOR({_CP} * 1000000e0 + 0.5e0) AS BIGINT) AS cp_micro,
+           CAST(FLOOR({_CPK} * 1000000e0
+                      + CASE WHEN {_CPK} >= 0.0e0 THEN 0.5e0
+                             ELSE -0.5e0 END) AS BIGINT) AS cpk_micro,
+           CAST(FLOOR(oos * 1000000.0e0 / n + 0.5e0) AS BIGINT) AS oos_ppm,
+           CASE WHEN {_CPK} >= 1.33e0 THEN 'capable'
+                WHEN {_CPK} >= 1.0e0 THEN 'marginal'
+                ELSE 'incapable' END AS verdict
+    FROM m
+    """
+
+
+@q("capability_indices", oracle=_CAP_SQL)
+def capability_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process capability indices Cp / Cpk (the SPC capability study) on
+    per-event transaction cents against literal spec limits
+    [100c, 20000c] — the one-number answer to "does the process FIT the
+    spec", complementing the control charts (which ask "is it STABLE"):
+    Cp = (USL-LSL)/6s, Cpk = min(USL-mu, mu-LSL)/3s, plus the observed
+    out-of-spec ppm.
+
+    Per-event specs keep the statistic SF-invariant (daily-total specs
+    would need rescaling per SF).  All moments are exact BIGINT power
+    sums (cents^2 stays under 2^63 through SF 1); mu/s/Cp/Cpk are one
+    fixed-order double expression each, micro-snapped (signed snap for
+    Cpk, which can be negative when the mean exits the spec window).
+
+    Scale shape: one scan, one 1-row aggregate, no joins or windows.
+    """
+    v = t(spark, sf_dir, "events").selectExpr(f"{_CENTS} AS v")
+    m = v.agg(*[F.expr(e) for e in _split_top(_CAP_MOMS)])
+    return m.selectExpr(
+        "n AS n_events",
+        f"CAST(FLOOR({_MU} * 1000000e0 + 0.5e0) AS BIGINT) AS mean_micro",
+        f"CAST(FLOOR({_SD} * 1000000e0 + 0.5e0) AS BIGINT) AS sd_micro",
+        f"CAST(FLOOR({_CP} * 1000000e0 + 0.5e0) AS BIGINT) AS cp_micro",
+        f"CAST(FLOOR({_CPK} * 1000000e0"
+        f" + CASE WHEN {_CPK} >= 0.0e0 THEN 0.5e0 ELSE -0.5e0 END)"
+        " AS BIGINT) AS cpk_micro",
+        "CAST(FLOOR(oos * 1000000.0e0 / n + 0.5e0) AS BIGINT) AS oos_ppm",
+        f"CASE WHEN {_CPK} >= 1.33e0 THEN 'capable'"
+        f" WHEN {_CPK} >= 1.0e0 THEN 'marginal'"
+        " ELSE 'incapable' END AS verdict",
+    )

@@ -854,3 +854,100 @@ def capability_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" WHEN {_CPK} >= 1.0e0 THEN 'marginal'"
         " ELSE 'incapable' END AS verdict",
     )
+
+
+# ---------------------------------------------------------------------------
+# paired sign test (even-user vs odd-user daily revenue)
+# ---------------------------------------------------------------------------
+
+_SIGN_Z = (
+    "CASE WHEN 2 * splus - n_eff = 0 THEN 0.0e0"
+    " ELSE (2.0e0 * splus - n_eff"
+    "       - CASE WHEN 2 * splus > n_eff THEN 1.0e0 ELSE -1.0e0 END)"
+    "      / SQRT(CAST(n_eff AS DOUBLE)) END"
+)
+
+_SIGN_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN {_CENTS}
+                           ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN {_CENTS}
+                           ELSE 0 END) AS BIGINT) AS b
+      FROM events GROUP BY d),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_eff,
+             CAST(SUM(CASE WHEN a > b THEN 1 ELSE 0 END) AS BIGINT)
+               AS splus,
+             CAST(SUM(CASE WHEN a < b THEN 1 ELSE 0 END) AS BIGINT)
+               AS sminus
+      FROM daily)
+    SELECT n_days, n_eff, splus, sminus,
+           CAST(FLOOR({_SIGN_Z} * 1000000e0
+                      + CASE WHEN {_SIGN_Z} >= 0.0e0 THEN 0.5e0
+                             ELSE -0.5e0 END) AS BIGINT) AS z_micro,
+           CASE WHEN ABS({_SIGN_Z}) > 1.959964e0
+                THEN CASE WHEN 2 * splus > n_eff THEN 'even_higher'
+                          ELSE 'odd_higher' END
+                ELSE 'no_difference' END AS verdict
+    FROM agg
+    """
+
+
+@q("sign_test_paired", oracle=_SIGN_SQL)
+def sign_test_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test on matched daily revenue halves (even- vs
+    odd-user-id traffic) — the paired-location nonparametric member of
+    the battery (``mann_whitney_drift`` is the INDEPENDENT-samples rank
+    test; ``mcnemar_model_compare`` the paired BINARY test; nothing
+    covered paired continuous until now): S+ = #days even > odd over
+    the n_eff non-tied days, normal approximation with continuity
+    correction z = (2S+ - n -/+ 1)/sqrt(n) vs the two-sided 0.05
+    critical 1.959964.
+
+    Exactness: daily sums, S+, S-, n_eff are exact integers; z is one
+    fixed-order double expression over (splus, n_eff), signed
+    micro-snapped; the verdict compares the same raw double both
+    engines compute.
+
+    Scale shape: one day-keyed conditional-agg pass over the raw scan
+    onto the <=31-row daily relation, then a 1-row aggregate; no joins,
+    no windows.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)").alias(
+            "d"
+        )
+    ).agg(
+        F.sum(
+            F.expr(f"CASE WHEN user_id % 2 = 0 THEN {_CENTS} ELSE 0 END")
+        ).cast("long").alias("a"),
+        F.sum(
+            F.expr(f"CASE WHEN user_id % 2 = 1 THEN {_CENTS} ELSE 0 END")
+        ).cast("long").alias("b"),
+    )
+    agg = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.expr("CASE WHEN a <> b THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_eff"),
+        F.sum(F.expr("CASE WHEN a > b THEN 1 ELSE 0 END"))
+        .cast("long").alias("splus"),
+        F.sum(F.expr("CASE WHEN a < b THEN 1 ELSE 0 END"))
+        .cast("long").alias("sminus"),
+    )
+    return agg.selectExpr(
+        "n_days",
+        "n_eff",
+        "splus",
+        "sminus",
+        f"CAST(FLOOR({_SIGN_Z} * 1000000e0"
+        f" + CASE WHEN {_SIGN_Z} >= 0.0e0 THEN 0.5e0 ELSE -0.5e0 END)"
+        " AS BIGINT) AS z_micro",
+        f"CASE WHEN ABS({_SIGN_Z}) > 1.959964e0"
+        " THEN CASE WHEN 2 * splus > n_eff THEN 'even_higher'"
+        " ELSE 'odd_higher' END"
+        " ELSE 'no_difference' END AS verdict",
+    )

@@ -148,15 +148,51 @@ _SESSION3_NEW = (
 )
 
 
-def _driver_verified() -> frozenset[str]:
-    """Names with a green row in ANY CORRECTNESS_r*.json on disk — these
-    sort LAST so the driver's fixed-size window always lands on
-    never-verified entries first, rotating automatically across rounds
-    (the round-2 verdict's registration-order fix, made self-updating)."""
+# Round-4 driver window (judge's explicit priority list, VERDICT.md "Next
+# round" #3): LLM-pipeline and reference-surface operators first, then the
+# two post-green rewrites (`window_rank`, `value_deciles`) for
+# re-verification, then 12 more brief-relevant never-verified entries to
+# fill the 50-row window.  These are FORCED to the front regardless of
+# prior green rows (re-verification is the point for the two rewrites).
+_R04_WINDOW = (
+    # judge's pick list, in the judge's order
+    "dup_span_stats", "line_dedup_stats", "contamination_check",
+    "semdedup_prune", "html_text_extract", "winnowing_fingerprints",
+    "sequence_packing_plan", "pq_quant_recall", "int8_quant_recall",
+    "mrl_trunc_recall", "media_waveform_stats", "media_ahash_groups",
+    "bpe_train_merges", "bpe_encode_stats", "inverted_index",
+    "bm25_top_docs", "pmi_cooccurrence", "unigram_logprob",
+    "hot_cell_salted_profile", "quadkey_tile_counts", "geohash_cell_counts",
+    "url_host_rollup", "crawl_latest_snapshot", "snapshot_diff",
+    "blocklist_filter_stats", "robots_allow_audit", "leakage_safe_split",
+    "corpus_mix_plan", "dsir_importance_select", "lang_balance_resample",
+    "pii_scrub_stats", "cms_heavy_hitters", "hist_quantile_sketch",
+    "bloom_prune_join", "track_simplify", "map_match_points",
+    # re-verification slots: rewritten after their r02 green rows
+    "window_rank", "value_deciles",
+    # window fill: more LLM/web-corpus operators, never driver-verified
+    "lsh_tuning_curve", "dedup_eval_pr", "dedup_funnel_report",
+    "vocab_coverage_curve", "trigram_like_search", "anchor_text_index",
+    "containment_pairs", "ngram_novelty_decay", "trending_terms",
+    "readability_bands", "zipf_vocab_fit", "lang_confusion_matrix",
+)
+
+
+def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
+    """(verified, terminal_no_oracle) from CORRECTNESS_r*.json on disk.
+
+    verified  — green row in any round (hash match, or rows-only pass for
+                entries recorded without a hash key): sort LAST.
+    terminal  — every recorded row says ``err == "no_oracle"`` and the name
+                never went green: by documented design these can never
+                hash-match, so they must also sort LAST instead of burning
+                window slots every round (round-3 verdict, What's wrong #1).
+    """
     import glob
     import json
 
     seen = set(_R02_VERIFIED)
+    no_oracle = set()
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
@@ -168,28 +204,30 @@ def _driver_verified() -> frozenset[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            # green = value-hash match, or a rows-only pass for entries
-            # registered without an oracle; a failed row stays eligible
-            # for the next round's window
             if row.get("hash_match") or (
                 row.get("rows_match") and "hash_match" not in row
             ):
                 seen.add(name)
-    return frozenset(seen)
+            elif row.get("err") == "no_oracle":
+                no_oracle.add(name)
+    return frozenset(seen), frozenset(no_oracle - seen)
 
 
 def _ordered_names() -> list[str]:
     names = list(_contract.QUERIES)
-    verified = _driver_verified()
-    s3 = [
-        n for n in _SESSION3_NEW if n in names and n not in verified
-    ]
+    verified, terminal = _driver_history()
+    window = [n for n in _R04_WINDOW if n in names]
+    placed = set(window)
     fresh = [
         n for n in names
-        if n not in verified and n not in _SESSION3_NEW
+        if n not in placed and n not in verified and n not in terminal
     ]
-    seen = [n for n in names if n in verified]
-    return fresh + s3 + seen
+    seen = [n for n in names if n not in placed and n in verified]
+    dead = [
+        n for n in names
+        if n not in placed and n in terminal and n not in verified
+    ]
+    return window + fresh + seen + dead
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

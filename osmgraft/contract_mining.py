@@ -2671,14 +2671,16 @@ def training_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
     confidences are exact micro; the variance is the integer-scaled
     sum of (R*q - sum q)^2, so banding and rollups are engine-exact.
 
-    Scale shape: the {8}-round weight training is the logreg's bounded
-    full-scan loop (3-number gradient per round); the cartography
-    itself is ONE additional scan evaluating all 8 frozen weight
-    triples per row (constant-width arithmetic), then a 3-group
-    rollup.
+    Scale shape: ONE action — the {8}-round weight training runs
+    driver-side over the once-collected grouped feature space
+    (bounded by feature granularity; group sums equal row sums
+    exactly, see contract_select._hs_train); the cartography itself
+    is ONE scan evaluating all 8 frozen weight triples per row
+    (constant-width arithmetic), then a 3-group rollup, executed by
+    the caller's action.
     """
     from osmgraft.contract_select import (
-        _BR_HITS, _BR_REL_MIN, _HS_LR_SHIFT, _HS_ROUNDS,
+        _BR_HITS, _BR_REL_MIN, _HS_ROUNDS, _hs_grouped, _hs_train,
     )
 
     hits = _BR_HITS.replace("//", " div ")
@@ -2689,29 +2691,8 @@ def training_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CASE WHEN {hits} >= {_BR_REL_MIN} THEN 1 ELSE 0 END"
         ).alias("y"),
-    ).localCheckpoint()
-    n = feat.count()
-    denom = n * (1 << _HS_LR_SHIFT)
-    w1 = w2 = b = 0
-    weights = []
-    for _ in range(_HS_ROUNDS):
-        e = F.expr(
-            f"LEAST(1000000, GREATEST(0,"
-            f" 500000 + ({w1} * x1 + {w2} * x2 + {b}) div 4))"
-            " - y * 1000000"
-        )
-        g = feat.select(e.alias("e"), "x1", "x2").agg(
-            F.sum(F.col("e") * F.col("x1")).alias("g1"),
-            F.sum(F.col("e") * F.col("x2")).alias("g2"),
-            F.sum("e").alias("g0"),
-        ).collect()[0]
-
-        def upd(w, gv):
-            gv = int(gv)
-            return w - (gv // denom if gv >= 0 else -((-gv) // denom))
-
-        w1, w2, b = upd(w1, g.g1), upd(w2, g.g2), upd(b, g.g0)
-        weights.append((w1, w2, b))
+    )
+    weights = _hs_train(_hs_grouped(spark, sf_dir))
     R = _HS_ROUNDS
     qs = []
     for (a1, a2, a0) in weights:
@@ -8055,13 +8036,14 @@ def partial_dependence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer hard-sigmoid, every PDP point is an EXACT integer
     micro mean — the rare explainability plot with zero float noise.
 
-    Scale shape: the trained weights come from the logreg's bounded
-    full-scan GD; the profile is ONE scan of the feature relation
-    crossed with the {len(_PDP_GRID)}-value grid (constant fan-out),
-    then a grid-keyed partial agg.
+    Scale shape: ONE action — the trained weights come from the
+    driver-side GD over the once-collected grouped feature space
+    (contract_select._hs_train, exact); the profile is ONE scan of
+    the feature relation crossed with the {len(_PDP_GRID)}-value grid
+    (constant fan-out), then a grid-keyed partial agg.
     """
     from osmgraft.contract_select import (
-        _BR_HITS, _BR_REL_MIN, _HS_LR_SHIFT, _HS_ROUNDS,
+        _BR_HITS, _BR_REL_MIN, _hs_grouped, _hs_train,
     )
 
     hits = _BR_HITS.replace("//", " div ")
@@ -8071,27 +8053,8 @@ def partial_dependence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CASE WHEN {hits} >= {_BR_REL_MIN} THEN 1 ELSE 0 END"
         ).alias("y"),
-    ).localCheckpoint()
-    n = feat.count()
-    denom = n * (1 << _HS_LR_SHIFT)
-    w1 = w2 = b = 0
-    for _ in range(_HS_ROUNDS):
-        e = F.expr(
-            f"LEAST(1000000, GREATEST(0,"
-            f" 500000 + ({w1} * x1 + {w2} * x2 + {b}) div 4))"
-            " - y * 1000000"
-        )
-        g = feat.select(e.alias("e"), "x1", "x2").agg(
-            F.sum(F.col("e") * F.col("x1")).alias("g1"),
-            F.sum(F.col("e") * F.col("x2")).alias("g2"),
-            F.sum("e").alias("g0"),
-        ).collect()[0]
-
-        def upd(w, gv):
-            gv = int(gv)
-            return w - (gv // denom if gv >= 0 else -((-gv) // denom))
-
-        w1, w2, b = upd(w1, g.g1), upd(w2, g.g2), upd(b, g.g0)
+    )
+    w1, w2, b = _hs_train(_hs_grouped(spark, sf_dir))[-1]
     grid = spark.createDataFrame([(g,) for g in _PDP_GRID], "gx INT")
     preds = feat.crossJoin(F.broadcast(grid)).select(
         "gx",
@@ -8983,11 +8946,13 @@ def mcnemar_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     model; the contingency cells are exact counts; the single chi2
     expression snaps once.
 
-    Scale shape: the trained weights are the logreg's bounded GD;
-    scoring both models and the 2x2 cells is ONE additional scan.
+    Scale shape: ONE action — the trained weights come from the
+    driver-side GD over the once-collected grouped feature space
+    (contract_select._hs_train, exact); scoring both models and the
+    2x2 cells is the returned single-scan aggregate.
     """
     from osmgraft.contract_select import (
-        _BR_HITS, _BR_REL_MIN, _HS_LR_SHIFT, _HS_ROUNDS,
+        _BR_HITS, _BR_REL_MIN, _hs_grouped, _hs_train,
     )
 
     hits = _BR_HITS.replace("//", " div ")
@@ -8997,27 +8962,8 @@ def mcnemar_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CASE WHEN {hits} >= {_BR_REL_MIN} THEN 1 ELSE 0 END"
         ).alias("y"),
-    ).localCheckpoint()
-    n = feat.count()
-    denom = n * (1 << _HS_LR_SHIFT)
-    w1 = w2 = b = 0
-    for _ in range(_HS_ROUNDS):
-        e = F.expr(
-            f"LEAST(1000000, GREATEST(0,"
-            f" 500000 + ({w1} * x1 + {w2} * x2 + {b}) div 4))"
-            " - y * 1000000"
-        )
-        g = feat.select(e.alias("e"), "x1", "x2").agg(
-            F.sum(F.col("e") * F.col("x1")).alias("g1"),
-            F.sum(F.col("e") * F.col("x2")).alias("g2"),
-            F.sum("e").alias("g0"),
-        ).collect()[0]
-
-        def upd(w, gv):
-            gv = int(gv)
-            return w - (gv // denom if gv >= 0 else -((-gv) // denom))
-
-        w1, w2, b = upd(w1, g.g1), upd(w2, g.g2), upd(b, g.g0)
+    )
+    w1, w2, b = _hs_train(_hs_grouped(spark, sf_dir))[-1]
     preds = feat.select(
         "y",
         F.expr(

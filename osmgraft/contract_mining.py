@@ -44,6 +44,33 @@ from osmgraft.analytics.ranking import with_global_rank
 from osmgraft.contract import q, t
 from osmgraft.contract_select import _PB_NAME_SQL, _PB_FIRST, _PB_LAST, _pb_case
 
+
+def _collect_daily_cents(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Daily cent totals in day order, collected ONCE.
+
+    The daily relation is CALENDAR-bounded (one row per observed day —
+    thousands of rows at any corpus scale, 100 TB included), so the
+    statistics computed over it (autocorrelations, wavelets, robust
+    scale/location, rescaled range) belong on the driver after a single
+    day-keyed partial agg + collect: the per-statistic Spark jobs the
+    prefetch form ran over this tiny relation were pure scheduling
+    overhead (round-3 verdict, What's wrong #4).
+    """
+    rows = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
+            .cast("long").alias("c")
+        )
+        .orderBy("d")
+        .collect()
+    )
+    return [int(r.c) for r in rows]
+
 # ---------------------------------------------------------------------------
 # sorted-neighborhood record-linkage pairs
 # ---------------------------------------------------------------------------
@@ -794,9 +821,15 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         members.select(F.explode(F.expr(pos_arr)).alias("pos")).distinct()
     )
     bits = bits.localCheckpoint()
-    n_members = members.count()
-    n_probes = probes.count()
-    n_bits_set = bits.count()
+    # zero internal actions: member/probe counts and the set-bit count
+    # fold into the final projection as broadcast one-row cross joins
+    halves = docs.agg(
+        F.sum(F.expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_members"),
+        F.sum(F.expr("CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_probes"),
+    )
+    nbits = bits.agg(F.count("*").cast("long").alias("n_bits_set"))
     ppos = probes.select(
         "k", F.explode(F.expr(pos_arr)).alias("pos")
     ).distinct()
@@ -813,16 +846,20 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nhit") == F.col("n_distinct_pos"))
         .agg(F.count("*").cast("long").alias("n_false_pos"))
     )
-    return fpos.select(
-        F.lit(n_members).cast("long").alias("n_members"),
-        F.lit(n_probes).cast("long").alias("n_probes"),
-        F.lit(n_bits_set).cast("long").alias("n_bits_set"),
-        F.expr(f"n_false_pos * 1000000 div {n_probes}")
-        .alias("observed_fpr_ppm"),
-        F.expr(
-            f"CAST(FLOOR(POWER({n_bits_set} * 1.0e0 / {_BF_M}, {_BF_K})"
-            " * 1000000e0 + 5.0e-1) AS BIGINT)"
-        ).alias("theoretical_fpr_ppm"),
+    return (
+        fpos.crossJoin(F.broadcast(halves))
+        .crossJoin(F.broadcast(nbits))
+        .select(
+            "n_members",
+            "n_probes",
+            "n_bits_set",
+            F.expr("n_false_pos * 1000000 div n_probes")
+            .alias("observed_fpr_ppm"),
+            F.expr(
+                f"CAST(FLOOR(POWER(n_bits_set * 1.0e0 / {_BF_M}, {_BF_K})"
+                " * 1000000e0 + 5.0e-1) AS BIGINT)"
+            ).alias("theoretical_fpr_ppm"),
+        )
     )
 
 
@@ -1120,44 +1157,25 @@ def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 2^(4-level)-rescaled energies. Only the display energy
     divides into a double, from identical exact integers.
 
-    Scale shape: raw events reduce in ONE day-keyed partial agg; every
-    wavelet level is a groupBy on ``i div 2`` over the calendar-bounded
-    daily relation (halving each level); the ROW_NUMBER index runs on
-    that post-agg relation only.
+    Scale shape: ONE action — raw events reduce in ONE day-keyed
+    partial agg collected once (_collect_daily_cents, calendar-bounded);
+    the wavelet cascade is exact integer arithmetic on the driver.
     """
-    ev = t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
-        .alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
-        .cast("long").alias("c")
-    )
-    n = daily.count()
+    cs = _collect_daily_cents(spark, sf_dir)
+    n = len(cs)
     lcap = 1
     while lcap * 2 <= n:
         lcap *= 2
-    idx = daily.select(
-        (F.row_number().over(Window.orderBy("d")) - 1).alias("i"),
-        F.col("c").alias("a"),
-    ).where(F.col("i") < lcap)
-    level = idx
+    level = cs[:lcap]
     energies = []
     for lv in range(1, _HW_LEVELS + 1):
-        level = (
-            level.groupBy(F.expr("i div 2").alias("i"))
-            .agg(
-                F.sum("a").cast("long").alias("a"),
-                F.sum(
-                    F.when(F.col("i") % 2 == 0, F.col("a"))
-                    .otherwise(-F.col("a"))
-                ).cast("long").alias("dd"),
-            )
-        )
-        e = level.agg(
-            F.sum(F.expr("CAST(dd * dd AS DECIMAL(38,0))")).alias("e")
-        ).collect()[0]["e"]
-        energies.append(int(e))
+        nxt = []
+        details = []
+        for j in range(0, len(level), 2):
+            nxt.append(level[j] + level[j + 1])
+            details.append(level[j] - level[j + 1])
+        level = nxt
+        energies.append(sum(dd * dd for dd in details))
     total_scaled = sum(
         e * (1 << (_HW_LEVELS - lv))
         for lv, e in enumerate(energies, start=1)
@@ -4873,21 +4891,24 @@ def join_count_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("conv").cast("long").alias("x"),
     )
+    # pool rate folded into the plan as a broadcast one-row cross join
+    # (no driver prefetch); the black/white map is checkpointed once for
+    # the self-join, and ALL output scalars come back in ONE collect
     pool = cell.agg(
         F.expr(
             "CAST(SUM(x) AS BIGINT) * 1000000 div CAST(SUM(n) AS BIGINT)"
         ).alias("p_ppm")
-    ).collect()[0]["p_ppm"]
-    bmap = cell.select(
+    )
+    bmap = cell.crossJoin(F.broadcast(pool)).select(
         "cx", "cy",
         F.expr(
-            f"CASE WHEN x * 1000000 > n * {pool} THEN 1 ELSE 0 END"
+            "CASE WHEN x * 1000000 > n * p_ppm THEN 1 ELSE 0 END"
         ).alias("black"),
     ).localCheckpoint()
-    s = bmap.agg(
+    srow = bmap.agg(
         F.count("*").cast("long").alias("k"),
         F.sum("black").cast("long").alias("nb"),
-    ).collect()[0]
+    )
     b2 = bmap.select(
         F.col("cx").alias("cx2"), F.col("cy").alias("cy2"),
         F.col("black").alias("black2"),
@@ -4897,15 +4918,22 @@ def join_count_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("cx2") == F.col("cx") + 1) & (F.col("cy2") == F.col("cy")))
         | ((F.col("cx2") == F.col("cx")) & (F.col("cy2") == F.col("cy") + 1)),
     )
-    obs = joins.agg(
-        F.count("*").cast("long").alias("j"),
-        F.sum(F.expr("CASE WHEN black = 1 AND black2 = 1 THEN 1 ELSE 0 END"))
-        .cast("long").alias("bb"),
-        F.sum(F.expr("CASE WHEN black = 0 AND black2 = 0 THEN 1 ELSE 0 END"))
-        .cast("long").alias("ww"),
-        F.sum(F.expr("CASE WHEN black <> black2 THEN 1 ELSE 0 END"))
-        .cast("long").alias("bw"),
-    ).collect()[0]
+    obs = (
+        joins.agg(
+            F.count("*").cast("long").alias("j"),
+            F.sum(
+                F.expr("CASE WHEN black = 1 AND black2 = 1 THEN 1 ELSE 0 END")
+            ).cast("long").alias("bb"),
+            F.sum(
+                F.expr("CASE WHEN black = 0 AND black2 = 0 THEN 1 ELSE 0 END")
+            ).cast("long").alias("ww"),
+            F.sum(F.expr("CASE WHEN black <> black2 THEN 1 ELSE 0 END"))
+            .cast("long").alias("bw"),
+        )
+        .crossJoin(srow)
+        .collect()[0]
+    )
+    s = obs
     p = s.nb * 1.0 / s.k
     rows = [
         ("BB", int(obs.bb), obs.j * p * p),
@@ -7394,35 +7422,37 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     ).localCheckpoint()
-    n = e.count()
-    dim = e.select(F.size("v").alias("d")).agg(
-        F.max("d").alias("d")
-    ).collect()[0]["d"]
+    # zero internal actions: counts, the per-dimension mean-square and
+    # the norm sum fold into ONE plan over the checkpointed relation via
+    # broadcast one-row cross joins; every arithmetic step is the same
+    # double expression the prefetch form evaluated
+    cnt = e.agg(
+        F.count("*").cast("long").alias("n"),
+        F.max(F.size("v")).cast("long").alias("dim"),
+    )
     mu = (
         e.select(F.posexplode("v").alias("i", "x"))
         .groupBy("i")
         .agg(F.sum("x").alias("s"))
     )
-    mean_sq = mu.agg(
-        F.sum(F.expr(f"(s / {n}) * (s / {n})")).alias("m")
-    ).collect()[0]["m"]
-    avg_sq = (
-        e.select(
-            F.expr(
-                "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"
-            ).alias("sq")
-        ).agg(F.sum("sq").alias("ss")).collect()[0]["ss"]
-        / n
+    mean_sq = (
+        mu.crossJoin(F.broadcast(cnt))
+        .agg(F.sum(F.expr("(s / n) * (s / n)")).alias("m"))
     )
-    return e.limit(1).select(
-        F.lit(n).cast("long").alias("n_vecs"),
-        F.lit(int(dim)).cast("long").alias("dim"),
+    norm_sum = e.select(
         F.expr(
-            f"CAST(FLOOR({mean_sq!r} / {avg_sq!r} * 1000000e0 + 5.0e-1)"
+            "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"
+        ).alias("sq")
+    ).agg(F.sum("sq").alias("ss"))
+    return cnt.crossJoin(mean_sq).crossJoin(norm_sum).select(
+        F.col("n").alias("n_vecs"),
+        F.col("dim"),
+        F.expr(
+            "CAST(FLOOR(m / (ss / n) * 1000000e0 + 5.0e-1)"
             " AS BIGINT)"
         ).alias("anisotropy_ppm"),
         F.expr(
-            f"CAST(FLOOR(SQRT({avg_sq!r}) * 10000e0 + 5.0e-1) AS BIGINT)"
+            "CAST(FLOOR(SQRT(ss / n) * 10000e0 + 5.0e-1) AS BIGINT)"
         ).alias("rms_norm_x1e4"),
     )
 
@@ -8744,26 +8774,37 @@ def energy_distance_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     x = pts.where(F.col("event_type") == "purchase").select("px", "py")
     y = pts.where(F.col("event_type") == "click").select("px", "py")
-    nx, ny = x.count(), y.count()
 
-    def pair_mean(a, b, na, nb):
+    def pair_sum(a, b, alias):
         bb = b.select(F.col("px").alias("qx"), F.col("py").alias("qy"))
-        return (
-            a.crossJoin(bb)
-            .agg(
-                F.sum(
-                    F.expr(
-                        "SQRT((px - qx) * (px - qx)"
-                        " + (py - qy) * (py - qy))"
-                    )
-                ).alias("s")
-            )
-            .collect()[0]["s"] / (na * 1.0 * nb)
+        return a.crossJoin(bb).agg(
+            F.sum(
+                F.expr(
+                    "SQRT((px - qx) * (px - qx)"
+                    " + (py - qy) * (py - qy))"
+                )
+            ).alias(alias)
         )
 
-    exy = pair_mean(x, y, nx, ny)
-    exx = pair_mean(x, x, nx, nx)
-    eyy = pair_mean(y, y, ny, ny)
+    # ONE action: the three pair-distance sums and both counts combine
+    # into a single one-row cross join (each branch reads the
+    # checkpointed sample once); the scalar tail is driver arithmetic
+    cnt = pts.agg(
+        F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"))
+        .cast("long").alias("nx"),
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .cast("long").alias("ny"),
+    )
+    row = (
+        cnt.crossJoin(pair_sum(x, y, "sxy"))
+        .crossJoin(pair_sum(x, x, "sxx"))
+        .crossJoin(pair_sum(y, y, "syy"))
+        .collect()[0]
+    )
+    nx, ny = int(row.nx), int(row.ny)
+    exy = row.sxy / (nx * 1.0 * ny)
+    exx = row.sxx / (nx * 1.0 * nx)
+    eyy = row.syy / (ny * 1.0 * ny)
     import math as _math
 
     ed = 2.0 * exy - exx - eyy
@@ -9689,51 +9730,28 @@ def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     are doubles over exact integer cent totals with identical
     expression order; Q snaps once.
 
-    Scale shape: each lag's autocovariance is an index equi-join
-    (i -> i+k) over the calendar-bounded daily relation; {_LB_K} tiny
-    joins, one scalar projection.
+    Scale shape: ONE action — the calendar-bounded daily series is
+    collected once (_collect_daily_cents) and all {_LB_K}
+    autocorrelations run driver-side in day order, the same fold order
+    the single-partition window form used.
     """
-    daily = t(spark, sf_dir, "events").groupBy(
-        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
-        .alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
-        .cast("long").alias("c")
-    )
-    idx = daily.select(
-        F.row_number().over(Window.orderBy("d")).alias("i"), "c"
-    ).localCheckpoint()
-    n = idx.count()
-    mu = float(
-        idx.agg(F.expr(f"SUM(c) * 1.0e0 / {n}").alias("m")).collect()[0]["m"]
-    )
-    # bare decimal literals type DECIMAL in Spark SQL — force DOUBLE
-    mud = f"CAST({mu!r} AS DOUBLE)"
-    den = float(
-        idx.agg(
-            F.sum(F.expr(f"(c - {mud}) * (c - {mud})")).alias("d")
-        ).collect()[0]["d"]
-    )
+    cs = _collect_daily_cents(spark, sf_dir)
+    n = len(cs)
+    mu = float(sum(cs)) * 1.0 / n
+    den = sum((c - mu) * (c - mu) for c in cs)
     total = 0.0
-    b = idx.select(F.col("i").alias("ib"), F.col("c").alias("cb"))
     for k in range(1, _LB_K + 1):
-        num = float(
-            idx.join(b, F.col("ib") == F.col("i") + k)
-            .agg(
-                F.sum(
-                    F.expr(f"(c - {mud}) * (cb - {mud})")
-                ).alias("s")
-            ).collect()[0]["s"]
+        num = sum(
+            (cs[i] - mu) * (cs[i + k] - mu) for i in range(n - k)
         )
         rk = num / den
         total += rk * rk / (n - k)
     import math as _math
 
     q = n * (n + 2.0) * total
-    return idx.limit(1).select(
-        F.lit(n).cast("long").alias("n_days"),
-        F.lit(_LB_K).cast("long").alias("n_lags"),
-        F.lit(_math.floor(q * 1e6 + 0.5)).cast("long").alias("q_micro"),
+    return spark.createDataFrame(
+        [(n, _LB_K, _math.floor(q * 1e6 + 0.5))],
+        "n_days BIGINT, n_lags BIGINT, q_micro BIGINT",
     )
 
 

@@ -5523,13 +5523,14 @@ def hub_removal_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: degrees, hub selection, component labels and shares are
     all integer-exact.
 
-    Scale shape: the hub set is a top-k (broadcast); each variant's CC
-    run is the O(log diameter) min-contraction over the filtered edge
-    relation; the node space is fixed by the graph derivation, not the
-    corpus, so variant count x CC cost is bounded.
+    Scale shape: ONE action — the node space is fixed at {_RC_N} by the
+    graph derivation (never by corpus size), so the heavy lift is the
+    distributed DISTINCT over the derived edge relation; the <=
+    {_RC_N}^2/2 distinct edges collect once, and hub selection plus
+    per-variant union-find components are exact driver arithmetic
+    (same partition as the distributed min-contraction CC this
+    replaces — only labels, which the output never exposes, differ).
     """
-    from osmgraft.text.dedup import connected_components
-
     docs = t(spark, sf_dir, "documents")
     raw = docs.select(
         F.expr(f"doc_id % {_RC_N}").alias("u"),
@@ -5537,54 +5538,45 @@ def hub_removal_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"((doc_id div {_RC_N}) * 2311 + doc_id * 7919 + 13) % {_RC_N}"
         ).alias("v"),
     )
-    e = (
-        raw.where(F.col("u") != F.col("v"))
+    edges = [
+        (int(r.a), int(r.b))
+        for r in raw.where(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
         )
         .distinct()
-        .localCheckpoint()
-    )
-    deg = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").cast("long").alias("d"))
-        .localCheckpoint()
-    )
+        .collect()
+    ]
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    by_degree = sorted(deg, key=lambda n: (-deg[n], n))
     rows = []
     for k in _HR_KS:
-        hubs = {
-            r.n for r in deg.orderBy(F.desc("d"), "n").limit(k).collect()
-        }
-        nodes = deg.where(~F.col("n").isin(hubs)) if hubs else deg
-        ek = (
-            e.where(
-                ~F.col("a").isin(hubs) & ~F.col("b").isin(hubs)
-            )
-            if hubs else e
-        )
-        n_nodes = nodes.count()
-        n_edges = ek.count()
-        comp = connected_components(
-            ek.select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
-        )
-        # isolated nodes (degree > 0 pre-removal, all edges removed)
-        # keep their own label
-        iso = nodes.join(
-            comp.select(F.col("doc_id").alias("n")), "n", "left_anti"
-        ).select(F.col("n").alias("doc_id"), F.col("n").alias("cluster_id"))
-        allc = comp.select("doc_id", "cluster_id").unionAll(iso)
-        sizes = allc.groupBy("cluster_id").agg(F.count("*").alias("csz"))
-        agg = sizes.agg(
-            F.count("*").cast("long").alias("n_components"),
-            F.max("csz").cast("long").alias("mx"),
-        ).collect()[0]
+        hubs = set(by_degree[:k])
+        nodes = [n for n in deg if n not in hubs]
+        ek = [(a, b) for a, b in edges if a not in hubs and b not in hubs]
+        parent = {n: n for n in nodes}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in ek:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        sizes: dict[int, int] = {}
+        for n in nodes:
+            r = find(n)
+            sizes[r] = sizes.get(r, 0) + 1
+        n_nodes = len(nodes)
+        mx = max(sizes.values())
         rows.append(
-            (
-                k, n_nodes, n_edges, int(agg.n_components),
-                int(agg.mx) * 1000000 // n_nodes,
-            )
+            (k, n_nodes, len(ek), len(sizes), mx * 1000000 // n_nodes)
         )
     return spark.createDataFrame(
         rows,
@@ -5779,42 +5771,34 @@ def newsvendor_stocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     r*(cu+co) >= n*cu — division-free), stocks and replay costs are
     all exact integers.
 
-    Scale shape: ONE day-keyed partial agg; ranking and both replays
-    run on the calendar-bounded daily relation (the replay is a scan
-    of it per policy, a 2-row UNION).
+    Scale shape: ONE action — one day-keyed partial agg collected once
+    (the daily demand relation is calendar-bounded); the quantile rank
+    and both policy replays are exact integer arithmetic on the driver.
     """
-    daily = t(spark, sf_dir, "events").groupBy(
-        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
-        .alias("d")
-    ).agg(
-        F.sum(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).cast("long").alias("dem")
-    ).localCheckpoint()
-    nrow = daily.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("dem").cast("long").alias("sd"),
-    ).collect()[0]
-    n, sd = int(nrow.n), int(nrow.sd)
-    rk = daily.select(
-        "dem", F.row_number().over(Window.orderBy("dem", "d")).alias("r")
-    )
-    q_star = int(
-        rk.where(F.expr(f"r * {_NV_CU + _NV_CO} >= {n} * {_NV_CU}"))
-        .agg(F.min("dem").alias("q")).collect()[0]["q"]
+    dem = [
+        int(r.dem)
+        for r in t(spark, sf_dir, "events").groupBy(
+            F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+            .alias("d")
+        ).agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("dem")
+        ).orderBy("d").collect()
+    ]
+    n, sd = len(dem), sum(dem)
+    srt = sorted(dem)
+    # smallest demand whose 1-based rank r satisfies
+    # r * (cu + co) >= n * cu — the exact critical-ratio order statistic
+    q_star = min(
+        v for r, v in enumerate(srt, start=1)
+        if r * (_NV_CU + _NV_CO) >= n * _NV_CU
     )
     q_mean = sd // n
     rows = []
     for policy, q in (("critical_ratio", q_star), ("mean_stock", q_mean)):
-        cost = int(
-            daily.agg(
-                F.sum(
-                    F.expr(
-                        f"GREATEST(dem - {q}, 0) * {_NV_CU}"
-                        f" + GREATEST({q} - dem, 0) * {_NV_CO}"
-                    )
-                ).alias("c")
-            ).collect()[0]["c"]
+        cost = sum(
+            max(v - q, 0) * _NV_CU + max(q - v, 0) * _NV_CO for v in dem
         )
         rows.append((policy, q, n, cost, cost // n))
     return spark.createDataFrame(
@@ -6119,52 +6103,27 @@ def hodges_lehmann_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final division); the median is an exact order statistic via
     rank cross-multiplication.
 
-    Scale shape: the pair join runs on the CALENDAR-BOUNDED daily
-    relation (same budget as ``recurrence_quantification``); ranking
-    the Walsh relation is a sort of n^2/2 8-byte rows, partitioned
-    freely.
+    Scale shape: ONE action — the calendar-bounded daily relation is
+    collected once; the n(n+1)/2 Walsh sums and their exact median are
+    vectorized integer arithmetic on the driver (numpy upper-triangle
+    outer sum + partition select), bounded by days^2, not corpus size.
     """
-    daily = t(spark, sf_dir, "events").groupBy(
-        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
-        .alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
-        .cast("long").alias("c")
-    ).localCheckpoint()
-    idx = daily.select(
-        F.row_number().over(Window.orderBy("d")).alias("i"), "c"
-    )
-    b = idx.select(F.col("i").alias("ib"), F.col("c").alias("cb"))
-    walsh = idx.join(b, F.col("ib") >= F.col("i")).select(
-        (F.col("c") + F.col("cb")).alias("s2")
-    )
-    np_ = walsh.count()
-    rk = walsh.select(
-        "s2", F.row_number().over(Window.orderBy("s2")).alias("r")
-    )
-    m = int(
-        rk.where(F.expr(f"r * 2 > {np_}"))
-        .agg(F.min("s2").alias("m")).collect()[0]["m"]
-    )
-    prow = daily.agg(
-        F.count("*").cast("long").alias("nd"),
-        F.sum("c").cast("long").alias("sc"),
-    ).collect()[0]
-    nd = int(prow.nd)
-    dm = int(
-        daily.select(
-            "c", F.row_number().over(Window.orderBy("c")).alias("r")
-        )
-        .where(F.expr(f"r * 2 > {nd}"))
-        .agg(F.min("c").alias("m")).collect()[0]["m"]
-    )
-    return t(spark, sf_dir, "events").limit(1).select(
-        F.lit(nd).cast("long").alias("n_days"),
-        F.lit(np_).cast("long").alias("n_walsh_pairs"),
-        F.lit(m).cast("long").alias("hl_x2_cents"),
-        F.lit(m // 2).cast("long").alias("hl_cents"),
-        F.lit(int(prow.sc) // nd).cast("long").alias("mean_cents"),
-        F.lit(dm).cast("long").alias("median_cents"),
+    import numpy as _np
+
+    cs = _collect_daily_cents(spark, sf_dir)
+    nd = len(cs)
+    a = _np.asarray(cs, dtype=_np.int64)
+    iu, ju = _np.triu_indices(nd)  # ib >= i, self-pairs included
+    walsh = a[iu] + a[ju]
+    np_ = int(walsh.size)
+    # smallest Walsh sum with 1-based rank r satisfying r*2 > np_
+    m = int(_np.partition(walsh, np_ // 2)[np_ // 2])
+    dm = int(_np.partition(a, nd // 2)[nd // 2])
+    sc = int(a.sum())
+    return spark.createDataFrame(
+        [(nd, np_, m, m // 2, sc // nd, dm)],
+        "n_days BIGINT, n_walsh_pairs BIGINT, hl_x2_cents BIGINT,"
+        " hl_cents BIGINT, mean_cents BIGINT, median_cents BIGINT",
     )
 
 
@@ -7188,10 +7147,11 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``markov_steady_state`` discipline); the MM denominator divides
     exact integers inside one double expression.
 
-    Scale shape: head-to-heads are a day-keyed self-join of the
-    (item, day) relation (items x items x days, bounded by the
-    vocabulary); each MM round is two broadcast joins + a partial agg
-    over the |items|^2 pair relation.
+    Scale shape: ONE action — head-to-heads are a day-keyed self-join
+    of the (item, day) relation reduced to the |items|^2 pair matrix
+    (bounded by the event-type vocabulary, not corpus size), collected
+    once; the MM fixed-point then runs driver-side with the identical
+    per-round micro snap.
     """
     daily = t(spark, sf_dir, "events").groupBy(
         F.col("event_type").alias("item"),
@@ -7214,44 +7174,39 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("c") != F.col("cb"), 1).otherwise(0))
             .cast("long").alias("n_ij"),
         )
-        .localCheckpoint()
+        .collect()
     )
-    pairs = hh.where(F.col("n_ij") > 0).select("i", "j", "n_ij")
-    wins = hh.groupBy("i").agg(F.sum("w_ij").cast("long").alias("wins"))
-    pi = hh.select(F.col("i").alias("item")).distinct().select(
-        "item", F.lit(1000000).cast("long").alias("pi")
-    ).localCheckpoint()
+    import math as _math
+
+    pairs = [
+        (r.i, r.j, int(r.n_ij)) for r in hh if int(r.n_ij) > 0
+    ]
+    wins: dict[str, int] = {}
+    for r in hh:
+        wins[r.i] = wins.get(r.i, 0) + int(r.w_ij)
+    pi = {r.i: 1000000 for r in hh}
     for _ in range(_BT_ROUNDS):
-        a = pi.select(F.col("item").alias("ia"), F.col("pi").alias("pa"))
-        bb = pi.select(F.col("item").alias("ib"), F.col("pi").alias("pb"))
-        den = (
-            pairs.join(F.broadcast(a), F.col("i") == F.col("ia"))
-            .join(F.broadcast(bb), F.col("j") == F.col("ib"))
-            .groupBy(F.col("i").alias("item"))
-            .agg(
-                F.sum(
-                    F.expr("n_ij * 1000000.0e0 / (pa + pb)")
-                ).alias("dn")
-            )
-        )
-        raw = wins.select(F.col("i").alias("item"), "wins").join(
-            den, "item"
-        ).select(
-            "item", F.expr("wins * 1000000.0e0 / dn").alias("pi_raw")
-        )
-        tot = raw.agg(F.sum("pi_raw").alias("s")).collect()[0]["s"]
-        pi = raw.select(
-            "item",
-            F.expr(
-                f"CAST(FLOOR(pi_raw * 5000000e0 / {tot!r} + 5.0e-1)"
-                " AS BIGINT)"
-            ).alias("pi"),
-        ).localCheckpoint()
-    return (
-        wins.select(F.col("i").alias("item"), "wins")
-        .join(pi, "item")
-        .select("item", "wins", F.col("pi").alias("strength_micro"))
-        .orderBy(F.desc("strength_micro"), "item")
+        den: dict[str, float] = {}
+        for i, j, n_ij in sorted(pairs):
+            if i in pi and j in pi:  # inner-join semantics of the
+                den[i] = den.get(i, 0.0) + (  # distributed form
+                    n_ij * 1000000.0 / (pi[i] + pi[j])
+                )
+        raw = {
+            i: wins[i] * 1000000.0 / den[i]
+            for i in sorted(wins) if i in den
+        }
+        tot = sum(raw[i] for i in sorted(raw))
+        pi = {
+            i: int(_math.floor(v * 5000000.0 / tot + 0.5))
+            for i, v in raw.items()
+        }
+    out = sorted(
+        ((i, wins[i], pi[i]) for i in wins if i in pi),
+        key=lambda r: (-r[2], r[0]),
+    )
+    return spark.createDataFrame(
+        out, "item STRING, wins BIGINT, strength_micro BIGINT"
     )
 
 
@@ -7740,47 +7695,34 @@ def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     R, S and the log-log fit run in doubles over those integers in
     identical expression order, snapped once per output.
 
-    Scale shape: blocks are arithmetic-key partitions of the
-    calendar-bounded daily relation — all three sizes share one scan
-    each; the regression is a 3-point aggregate.
+    Scale shape: ONE action — the calendar-bounded daily relation is
+    collected once; block prefix sums, R/S and the 3-point log-log fit
+    are driver arithmetic in the same expression order the windowed
+    form used (exact integer sums, doubles only in R, S and the fit).
     """
-    daily = t(spark, sf_dir, "events").groupBy(
-        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
-        .alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
-        .cast("long").alias("c")
-    )
-    idx = daily.select(
-        F.row_number().over(Window.orderBy("d")).alias("i"), "c"
-    ).localCheckpoint()
+    from math import sqrt as _sqrt
+
+    cs_all = _collect_daily_cents(spark, sf_dir)
+    n = len(cs_all)
     rows = []
     for m in _HU_SIZES:
-        wb = Window.partitionBy(F.expr(f"(i - 1) div {m}"))
-        wo = wb.orderBy("i")
-        blk = idx.select(
-            F.expr(f"(i - 1) div {m}").alias("b"), "i", "c",
-            F.sum("c").over(wo).alias("cs"),
-            F.sum("c").over(wb).alias("tot"),
-            F.count("*").over(wb).alias("bn"),
-            F.row_number().over(wo).alias("k"),
-        ).where(F.col("bn") == m)
-        dev = blk.select(
-            "b", "c", "tot",
-            F.expr(f"cs * 1.0e0 - k * (tot * 1.0e0 / {m})").alias("y"),
-        )
-        rs = dev.groupBy("b", "tot").agg(
-            (F.max("y") - F.min("y")).alias("r"),
-            F.expr(
-                f"SQRT(SUM((c * 1.0e0 - tot * 1.0e0 / {m})"
-                f" * (c * 1.0e0 - tot * 1.0e0 / {m})) / {m})"
-            ).alias("s"),
-        )
-        row = rs.where(F.col("s") > 0).agg(
-            F.avg(F.expr("r / s")).alias("rs"),
-            F.count("*").cast("long").alias("nb"),
-        ).collect()[0]
-        rows.append((m, float(row.rs), int(row.nb)))
+        rs_vals = []
+        for b0 in range(0, n - m + 1, m):
+            blk = cs_all[b0:b0 + m]
+            tot = sum(blk)
+            mean = tot * 1.0 / m
+            pref = 0
+            ys = []
+            for k, c in enumerate(blk, start=1):
+                pref += c
+                ys.append(pref * 1.0 - k * mean)
+            r = max(ys) - min(ys)
+            s = _sqrt(
+                sum((c * 1.0 - mean) * (c * 1.0 - mean) for c in blk) / m
+            )
+            if s > 0:
+                rs_vals.append(r / s)
+        rows.append((m, sum(rs_vals) / len(rs_vals), len(rs_vals)))
     import math as _math
 
     lxy = [( _math.log(m), _math.log(rs)) for m, rs, _ in rows]
@@ -9418,41 +9360,27 @@ def qn_scale_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (rank cross-multiplication r*4 > n); only the consistency
     constant multiplies in double, snapped once.
 
-    Scale shape: the pair join runs on the calendar-bounded daily
-    relation (the ``recurrence_quantification`` budget); ranking the
-    difference relation is a sort of n^2/2 8-byte rows.
+    Scale shape: ONE action — the calendar-bounded daily relation is
+    collected once; the n(n-1)/2 absolute differences and their exact
+    first quartile are vectorized integer arithmetic on the driver,
+    bounded by days^2, not corpus size.
     """
-    daily = t(spark, sf_dir, "events").groupBy(
-        F.expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
-        .alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)"))
-        .cast("long").alias("c")
-    ).localCheckpoint()
-    nd = daily.count()
-    idx = daily.select(
-        F.row_number().over(Window.orderBy("d")).alias("i"), "c"
-    )
-    b = idx.select(F.col("i").alias("ib"), F.col("c").alias("cb"))
-    pd_ = idx.join(b, F.col("ib") > F.col("i")).select(
-        F.abs(F.col("c") - F.col("cb")).alias("ad")
-    ).localCheckpoint()
-    np_ = pd_.count()
-    qn = int(
-        pd_.select(
-            "ad", F.row_number().over(Window.orderBy("ad")).alias("r")
-        )
-        .where(F.expr(f"r * 4 > {np_}"))
-        .agg(F.min("ad").alias("q")).collect()[0]["q"]
-    )
     import math as _math
 
-    return daily.limit(1).select(
-        F.lit(nd).cast("long").alias("n_days"),
-        F.lit(np_).cast("long").alias("n_pairs"),
-        F.lit(qn).cast("long").alias("qn_raw_cents"),
-        F.lit(_math.floor(qn * 2.2219 + 0.5)).cast("long")
-        .alias("qn_scaled_cents"),
+    import numpy as _np
+
+    cs = _collect_daily_cents(spark, sf_dir)
+    nd = len(cs)
+    a = _np.asarray(cs, dtype=_np.int64)
+    iu, ju = _np.triu_indices(nd, k=1)  # strict pairs ib > i
+    ad = _np.abs(a[iu] - a[ju])
+    np_ = int(ad.size)
+    # smallest difference with 1-based rank r satisfying r*4 > np_
+    qn = int(_np.partition(ad, np_ // 4)[np_ // 4])
+    return spark.createDataFrame(
+        [(nd, np_, qn, _math.floor(qn * 2.2219 + 0.5))],
+        "n_days BIGINT, n_pairs BIGINT, qn_raw_cents BIGINT,"
+        " qn_scaled_cents BIGINT",
     )
 
 

@@ -1796,10 +1796,17 @@ _DB_SQL = f"""
     """
 
 
-@q("dbscan_point_clusters", oracle=_DB_SQL)
-def dbscan_point_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-level DBSCAN over the hotspot mixture (1-in-17 sample):
-    a point is CORE iff its eps-ball holds >= minPts points (itself
+def grid_dbscan(
+    spark: SparkSession, pts: DataFrame, eps: float, min_pts: int
+) -> DataFrame:
+    """Exact grid DBSCAN (Gunawan 2013) over a (event_id, px, py)
+    relation; see ``dbscan_point_clusters`` for semantics and the
+    scale argument. Factored out so the density^2 cap is testable on
+    pathological fixtures (tests/test_dbscan_grid.py — all points
+    coincident is the worst case the point-level pair join could not
+    survive).
+
+    A point is CORE iff its eps-ball holds >= minPts points (itself
     included), core points within eps connect into clusters, non-core
     points within eps of a core attach as BORDER (to the smallest
     adjacent cluster id — the deterministic tiebreak DBSCAN leaves
@@ -1809,94 +1816,183 @@ def dbscan_point_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared dense cell; eps-ball semantics are the reference's
     density-clustering surface at exact point granularity.
 
-    Exactness: bucket cell == eps gives the 1-ring pair-completeness
-    guarantee (``ripley_k_function``); the eps-ball membership predicate
-    is the identical double expression on both engines; cluster labels
-    are min event ids (order-free).
+    Exactness: the bucket width is eps/sqrt(2), so the CELL DIAMETER is
+    exactly eps — any two same-cell points are mutually eps-neighbors.
+    That turns the hot cell's density^2 pair set into a COUNT (same-cell
+    degree contribution = cell count - 1, no pair enumeration), makes
+    every cell's core set a clique (one component per cell by
+    construction), and reduces core-core connectivity to a cell-level
+    graph with one representative edge per connected cell pair
+    (Gunawan 2013's exact grid DBSCAN). The eps-ball predicate on the
+    remaining cross-cell candidates is the identical double expression
+    the oracle uses; cluster labels are min core event ids (order-free),
+    recovered as the min over each cell component. Output is exactly
+    point-level DBSCAN — only the internal bucketing changed.
 
-    Scale shape: points fan to their 9-cell ring (Generate), the
-    neighbor join is cell-keyed, degree is one partial agg, and the
-    core-core component step is the shared min-label-propagation CC
-    (O(diameter) rounds, lineage-cut). The raw table never self-joins
-    un-bucketed and never sees a global window.
+    Scale shape: eps-graph EDGES are never materialized (the round-3
+    verdict's quadratic flag): cross-cell candidate pairs stream
+    through three join->aggregate passes (degree, cell-pair existence,
+    border min-label) with O(points + cells) state, and the CC runs on
+    the cell graph (<= 24 edges per occupied cell), not on the
+    density^2 point pairs — at sf0.1 that is ~1e3 edges instead of the
+    7.5e6 the point-level CC walked. The occupied-cell relation is
+    bounded by the fixed point extent (~1.6e3 cells at any SF), so the
+    component step is exact driver union-find over two bounded
+    collects.
     """
-    from osmgraft.text.dedup import connected_components
-
-    px = _DC_PX.replace("//", " div ")
-    py = _DC_PY.replace("//", " div ")
-    eps = float(_DB_EPS)
-    pts = (
-        t(spark, sf_dir, "events")
-        .filter(F.col("event_id") % _DB_MOD == 0)
-        .select(
-            "event_id", F.expr(px).alias("px"), F.expr(py).alias("py")
-        )
-    )
+    eps = float(eps)
+    min_pts = int(min_pts)
+    w = eps / float(2.0 ** 0.5)  # cell diameter == eps
     c = pts.select(
         "event_id",
         "px",
         "py",
-        F.floor(F.col("px") / _DB_EPS).cast("long").alias("cx"),
-        F.floor(F.col("py") / _DB_EPS).cast("long").alias("cy"),
+        F.floor(F.col("px") / w).cast("long").alias("cx"),
+        F.floor(F.col("py") / w).cast("long").alias("cy"),
+    ).localCheckpoint()  # O(points); read by every pass below
+    # packed cell id for grouping/CC (coordinates are small; offset
+    # keeps it positive)
+    _cid = "(cx + 1048576) * 4194304 + (cy + 1048576)"
+    cellcnt = (
+        c.groupBy("cx", "cy").agg(F.count("*").cast("long").alias("n_cell"))
     )
+    # cross-cell eps-candidates: 5x5 ring minus the home cell and minus
+    # the four (+-2, +-2) corners — a corner-cell pair needs dx > w AND
+    # dy > w, giving d2 > 2w^2 = eps^2, so corners are unreachable
     fan = (
-        c.withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        c.withColumn("dx", F.explode(F.sequence(F.lit(-2), F.lit(2))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-2), F.lit(2))))
+        .where(
+            ((F.col("dx") != 0) | (F.col("dy") != 0))
+            & ~((F.abs(F.col("dx")) == 2) & (F.abs(F.col("dy")) == 2))
+        )
         .select(
             F.col("event_id").alias("ea"),
             F.col("px").alias("ax"),
             F.col("py").alias("ay"),
+            F.col("cx").alias("acx"),
+            F.col("cy").alias("acy"),
             (F.col("cx") + F.col("dx")).alias("tx"),
             (F.col("cy") + F.col("dy")).alias("ty"),
         )
     )
-    nbr = fan.join(
-        c,
-        (F.col("tx") == F.col("cx"))
-        & (F.col("ty") == F.col("cy"))
-        & (F.col("ea") != F.col("event_id"))
-        & (
-            (F.col("ax") - F.col("px")) * (F.col("ax") - F.col("px"))
-            + (F.col("ay") - F.col("py")) * (F.col("ay") - F.col("py"))
-            <= eps * eps
-        ),
-    ).select("ea", F.col("event_id").alias("eb"))
-    # nbr is consumed four times (degree, core edges, border, labels) and
-    # its cell-fan join is the expensive part — materialize it once
-    # (session-9 fix: at sf0.1 the hotspot fan is ~4M pairs and each
-    # downstream consumer was recomputing it)
-    nbr = nbr.localCheckpoint()
-    deg = nbr.groupBy(F.col("ea").alias("event_id")).agg(
-        F.count("*").cast("long").alias("n_nbr")
+
+    def _cross(right):
+        """Cross-cell eps-neighbor pairs vs `right`, streamed."""
+        return fan.join(
+            right,
+            (F.col("tx") == F.col("cx"))
+            & (F.col("ty") == F.col("cy"))
+            & (
+                (F.col("ax") - F.col("px")) * (F.col("ax") - F.col("px"))
+                + (F.col("ay") - F.col("py")) * (F.col("ay") - F.col("py"))
+                <= eps * eps
+            ),
+        )
+
+    # pass 1 over the candidate stream: cross-cell eps-degree
+    deg_cross = _cross(c).groupBy(F.col("ea").alias("event_id")).agg(
+        F.count("*").cast("long").alias("n_cross")
     )
     core = (
-        c.join(deg, "event_id", "left")
-        .filter(F.coalesce(F.col("n_nbr"), F.lit(0)) + 1 >= _DB_MINPTS)
-        .select("event_id")
+        c.join(cellcnt, ["cx", "cy"])
+        .join(deg_cross, "event_id", "left")
+        .filter(
+            F.col("n_cell") - 1 + F.coalesce(F.col("n_cross"), F.lit(0))
+            + 1 >= min_pts
+        )
+        .select("event_id", "cx", "cy")
+        .localCheckpoint()  # O(points)
     )
-    cedge = (
-        nbr.join(core.withColumnRenamed("event_id", "ea"), "ea")
-        .join(core.withColumnRenamed("event_id", "eb"), "eb")
-        .select(F.col("ea").alias("doc_a"), F.col("eb").alias("doc_b"))
+    # pass 2: every pair (any ea) x (CORE eb) reduced to the compact
+    # per-(point, core-neighbor-cell) relation — O(points x ring), cut
+    # from lineage so the CC iterations and the border step below never
+    # re-stream the quadratic candidate join
+    core_b = c.join(core.select("event_id"), "event_id")
+    pcell = (
+        _cross(core_b)
+        .groupBy(
+            F.col("ea").alias("event_id"),
+            F.col("acx"), F.col("acy"),
+            F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+        )
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "event_id",
+            F.expr(
+                "(acx + 1048576) * 4194304 + (acy + 1048576)"
+            ).alias("cell_a"),
+            F.expr(
+                "(bcx + 1048576) * 4194304 + (bcy + 1048576)"
+            ).alias("cell_b"),
+        )
+        .localCheckpoint()
     )
-    cc = connected_components(cedge).select(
-        F.col("doc_id").alias("event_id"), "cluster_id"
+    core_ids = core.select("event_id")
+    # cell-level core graph: one representative edge per cell pair with
+    # a core-core eps edge (same-cell cores are a clique by the
+    # diameter bound, so cells are the connectivity unit). The occupied
+    # cell count is bounded by the FIXED point extent / w^2 (~1.6e3
+    # cells), not by corpus size, so the component step is exact driver
+    # union-find over two bounded collects — no iterative distributed
+    # CC over a graph that can never grow
+    core_cells = core.select(
+        "event_id", F.expr(_cid).alias("cell_id")
     )
-    lab = core.join(cc, "event_id", "left").select(
-        "event_id",
-        F.coalesce("cluster_id", F.col("event_id")).alias("cluster_id"),
+    reps = {
+        int(r.cell_id): int(r.rep)
+        for r in core_cells.groupBy("cell_id")
+        .agg(F.min("event_id").alias("rep"))
+        .collect()
+    }
+    cedges = (
+        pcell.join(core_ids, "event_id")
+        .select("cell_a", "cell_b")
+        .distinct()
+        .collect()
+    )
+    parent = {cid: cid for cid in reps}
+
+    def _find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in cedges:
+        a, b = _find(int(r.cell_a)), _find(int(r.cell_b))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    comp_min: dict[int, int] = {}
+    for cid, rep in reps.items():
+        root = _find(cid)
+        comp_min[root] = min(comp_min.get(root, rep), rep)
+    cell_label = spark.createDataFrame(
+        [(cid, comp_min[_find(cid)]) for cid in sorted(reps)],
+        "cell_id BIGINT, cluster_id BIGINT",
+    )
+    cell_label = F.broadcast(cell_label)
+    lab = core_cells.join(cell_label, "cell_id").select(
+        "event_id", "cluster_id"
+    )
+    # border: non-core point with >= 1 core eps-neighbor takes the MIN
+    # adjacent cluster id; all cores in one cell share a label, so the
+    # min runs over labeled cells — own cell (always within eps) plus
+    # the cross-cell core-neighbor cells recorded in pcell
+    noncore = c.join(core_ids, "event_id", "left_anti")
+    own = noncore.select(
+        "event_id", F.expr(_cid).alias("cell_id")
+    ).join(cell_label, "cell_id").select("event_id", "cluster_id")
+    cross_lab = (
+        pcell.join(core_ids, "event_id", "left_anti")
+        .select("event_id", F.col("cell_b").alias("cell_id"))
+        .join(cell_label, "cell_id")
+        .select("event_id", "cluster_id")
     )
     border = (
-        nbr.join(core.withColumnRenamed("event_id", "ea"), "ea", "left_anti")
-        .join(
-            lab.select(
-                F.col("event_id").alias("eb"),
-                F.col("cluster_id").alias("eb_cluster"),
-            ),
-            "eb",
-        )
-        .groupBy(F.col("ea").alias("event_id"))
-        .agg(F.min("eb_cluster").alias("cluster_id"))
+        own.unionAll(cross_lab)
+        .groupBy("event_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
     )
     clus = (
         lab.select("cluster_id", F.lit(1).alias("is_core"))
@@ -1925,6 +2021,26 @@ def dbscan_point_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return clus.unionAll(noise).orderBy("cluster_id")
+
+
+@q("dbscan_point_clusters", oracle=_DB_SQL)
+def dbscan_point_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-level DBSCAN over the hotspot mixture (1-in-17 sample) —
+    semantics, exactness and the density^2-cap scale argument live on
+    ``grid_dbscan`` above, which this entry parameterizes with the
+    shared point derivation (eps = {_DB_EPS}, minPts = {_DB_MINPTS}).
+    Reference surface: density clustering at exact point granularity
+    (cf. dense_cell_clusters for the cell-level form)."""
+    px = _DC_PX.replace("//", " div ")
+    py = _DC_PY.replace("//", " div ")
+    pts = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % _DB_MOD == 0)
+        .select(
+            "event_id", F.expr(px).alias("px"), F.expr(py).alias("py")
+        )
+    )
+    return grid_dbscan(spark, pts, float(_DB_EPS), _DB_MINPTS)
 
 
 # ---------------------------------------------------------------------------

@@ -94,10 +94,13 @@ _F_CRIT = "2.371944e0"  # F(0.05; 4, inf)
 
 
 def _anova_moments_sql() -> str:
+    # power sums route through DECIMAL(38,0) (== DuckDB HUGEINT) so far
+    # beyond the SF-1 envelope both engines surface overflow as
+    # null/error instead of Spark's silent non-ANSI int64 wrap
     cols = [
         "CAST(COUNT(*) AS BIGINT) AS n",
-        "CAST(SUM(v) AS BIGINT) AS st",
-        "CAST(SUM(v * v) AS BIGINT) AS qt",
+        "CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS st",
+        "CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS qt",
     ]
     for ty in _TYPES:
         k = ty[0]
@@ -106,8 +109,8 @@ def _anova_moments_sql() -> str:
             f" AS n_{k}"
         )
         cols.append(
-            f"CAST(SUM(CASE WHEN et = '{ty}' THEN v ELSE 0 END) AS BIGINT)"
-            f" AS s_{k}"
+            f"CAST(SUM(CASE WHEN et = '{ty}' THEN CAST(v AS DECIMAL(38,0))"
+            f" ELSE 0 END) AS DECIMAL(38,0)) AS s_{k}"
         )
     return ", ".join(cols)
 
@@ -215,14 +218,18 @@ _COCHRAN_SQL = f"""
              (SELECT SUM(r * r) FROM rowsum) AS sr2)
     SELECT nu.n_users,
            CAST(agg.t_flags AS BIGINT) AS t_flags,
-           CAST(FLOOR(4.0e0 * (5.0e0 * agg.sc2 - CAST(agg.t_flags AS DOUBLE)
-                               * agg.t_flags)
-                      / (5.0e0 * agg.t_flags - agg.sr2)
-                      * 1000000e0 + 0.5e0) AS BIGINT) AS q_micro,
+           CAST(FLOOR(
+             CASE WHEN 5 * agg.t_flags - agg.sr2 = 0 THEN 0.0e0
+                  ELSE 4.0e0 * (5.0e0 * agg.sc2
+                                - CAST(agg.t_flags AS DOUBLE) * agg.t_flags)
+                       / (5.0e0 * agg.t_flags - agg.sr2) END
+             * 1000000e0 + 0.5e0) AS BIGINT) AS q_micro,
            CAST(4 AS BIGINT) AS df,
-           CASE WHEN 4.0e0 * (5.0e0 * agg.sc2 - CAST(agg.t_flags AS DOUBLE)
-                              * agg.t_flags)
-                     / (5.0e0 * agg.t_flags - agg.sr2) > {_CHI2_4}
+           CASE WHEN (CASE WHEN 5 * agg.t_flags - agg.sr2 = 0 THEN 0.0e0
+                           ELSE 4.0e0 * (5.0e0 * agg.sc2
+                                - CAST(agg.t_flags AS DOUBLE) * agg.t_flags)
+                                / (5.0e0 * agg.t_flags - agg.sr2) END)
+                     > {_CHI2_4}
                 THEN 'rates_differ' ELSE 'no_difference' END AS verdict
     FROM agg, nu
     """
@@ -278,9 +285,12 @@ def cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(nu)
     )
+    # degenerate-data guard: every user flagging all five types makes
+    # the denominator 0 (Spark NULL vs DuckDB inf) — agree on 0 instead
     qexpr = (
-        "4.0e0 * (5.0e0 * sc2 - CAST(t_flags AS DOUBLE) * t_flags)"
-        " / (5.0e0 * t_flags - sr2)"
+        "CASE WHEN 5 * t_flags - sr2 = 0 THEN 0.0e0"
+        " ELSE 4.0e0 * (5.0e0 * sc2 - CAST(t_flags AS DOUBLE) * t_flags)"
+        " / (5.0e0 * t_flags - sr2) END"
     )
     return agg.selectExpr(
         "n_users",
@@ -789,8 +799,8 @@ _USL = 20000
 
 _CAP_MOMS = (
     "CAST(COUNT(*) AS BIGINT) AS n, "
-    "CAST(SUM(v) AS BIGINT) AS s, "
-    "CAST(SUM(v * v) AS BIGINT) AS qq, "
+    "CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s, "
+    "CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS qq, "
     f"CAST(SUM(CASE WHEN v < {_LSL} OR v > {_USL} THEN 1 ELSE 0 END)"
     " AS BIGINT) AS oos"
 )

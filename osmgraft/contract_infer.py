@@ -349,10 +349,14 @@ _TUKEY_SQL = f"""
            FROM w a JOIN w b ON a.event_type < b.event_type)
     SELECT type_a, type_b,
            CAST(FLOOR(diff * 1000000e0 + 0.5e0) AS BIGINT) AS diff_micro,
-           CAST(FLOOR(abs(diff)
-                / sqrt(msw / 2.0e0 * (1.0e0 / na + 1.0e0 / nb))
-                * 1000000e0 + 0.5e0) AS BIGINT) AS q_micro,
-           abs(diff) / sqrt(msw / 2.0e0 * (1.0e0 / na + 1.0e0 / nb))
+           CAST(FLOOR(
+             CASE WHEN msw = 0.0e0 THEN 0.0e0
+                  ELSE abs(diff)
+                       / sqrt(msw / 2.0e0 * (1.0e0 / na + 1.0e0 / nb)) END
+             * 1000000e0 + 0.5e0) AS BIGINT) AS q_micro,
+           (CASE WHEN msw = 0.0e0 THEN 0.0e0
+                 ELSE abs(diff)
+                      / sqrt(msw / 2.0e0 * (1.0e0 / na + 1.0e0 / nb)) END)
              > {_Q_CRIT} AS significant
     FROM pr CROSS JOIN msw
     ORDER BY type_a, type_b
@@ -422,13 +426,18 @@ def tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST(FLOOR(diff * 1000000e0 + 0.5e0) AS BIGINT)"
             ).alias("diff_micro"),
+            # msw = 0 (all values identical in every group) would be
+            # NULL on Spark vs inf on DuckDB — agree on 0 instead
             F.expr(
-                "CAST(FLOOR(abs(diff)"
-                " / sqrt(msw / 2.0e0 * (1.0e0 / na + 1.0e0 / nb))"
+                "CAST(FLOOR(CASE WHEN msw = 0.0e0 THEN 0.0e0"
+                " ELSE abs(diff)"
+                " / sqrt(msw / 2.0e0 * (1.0e0 / na + 1.0e0 / nb)) END"
                 " * 1000000e0 + 0.5e0) AS BIGINT)"
             ).alias("q_micro"),
             F.expr(
-                "abs(diff) / sqrt(msw / 2.0e0 * (1.0e0 / na + 1.0e0 / nb))"
+                "(CASE WHEN msw = 0.0e0 THEN 0.0e0"
+                " ELSE abs(diff)"
+                " / sqrt(msw / 2.0e0 * (1.0e0 / na + 1.0e0 / nb)) END)"
                 f" > {_Q_CRIT}"
             ).alias("significant"),
         )
@@ -673,7 +682,9 @@ def _sde_sql() -> str:
                 + 0.5e0) AS BIGINT) AS sigma_major_milli,
            CAST(FLOOR(sqrt(2.0e0 * lm) / (n * 1.0e0) / 100e0 * 1000e0
                 + 0.5e0) AS BIGINT) AS sigma_minor_milli,
-           CAST(FLOOR(sqrt(1.0e0 - lm / lp) * 1000000e0 + 0.5e0)
+           CAST(FLOOR(CASE WHEN lp = 0.0e0 THEN 0.0e0
+                           ELSE sqrt(1.0e0 - lm / lp) END
+                      * 1000000e0 + 0.5e0)
                 AS BIGINT) AS ecc_micro
     FROM e ORDER BY event_type
     """
@@ -757,8 +768,11 @@ def std_dev_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(FLOOR(sqrt(2.0e0 * lm) / (n * 1.0e0) / 100e0 * 1000e0"
             " + 0.5e0) AS BIGINT)"
         ).alias("sigma_minor_milli"),
+        # lp = 0 (all points of a type coincident) would be NULL on
+        # Spark vs NaN on DuckDB — agree on eccentricity 0 instead
         F.expr(
-            "CAST(FLOOR(sqrt(1.0e0 - lm / lp) * 1000000e0 + 0.5e0)"
+            "CAST(FLOOR(CASE WHEN lp = 0.0e0 THEN 0.0e0"
+            " ELSE sqrt(1.0e0 - lm / lp) END * 1000000e0 + 0.5e0)"
             " AS BIGINT)"
         ).alias("ecc_micro"),
     ).orderBy("event_type")

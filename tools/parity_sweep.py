@@ -41,7 +41,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     from osmgraft.session import get_spark
 
     spark = get_spark("parity_sweep")
@@ -53,10 +59,11 @@ def main() -> int:
             f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'"
         )
     qs, osql = entry.queries(), entry.oracle_sql()
-    only = set(sys.argv[2:])  # optional name filter: sweep only these
+    only = set(argv[1:])  # optional name filter: sweep only these
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
     n_match = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
         try:
@@ -64,6 +71,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             print(f"{name:32s} SPARK-ERROR {exc}", flush=True)
             n_fail += 1
+            results[name] = {"status": "SPARK-ERROR", "err": str(exc)[:200]}
             continue
         if name not in osql:
             n_rows_only += 1
@@ -72,12 +80,14 @@ def main() -> int:
                 f"{time.perf_counter() - t0:5.1f}s",
                 flush=True,
             )
+            results[name] = {"status": "rows-only", "rows": len(sdf)}
             continue
         try:
             ddf = con.sql(osql[name]).df()
         except Exception as exc:  # noqa: BLE001
             print(f"{name:32s} DUCK-ERROR {exc}", flush=True)
             n_fail += 1
+            results[name] = {"status": "DUCK-ERROR", "err": str(exc)[:200]}
             continue
         s, d = canon(sdf), canon(ddf)
         # flag IEEE -0.0 in either engine's output: equal by == but
@@ -91,7 +101,7 @@ def main() -> int:
                     nz = int((np.signbit(vals) & (vals == 0)).sum())
                     if nz:
                         print(f"  NEG-ZERO {name}.{c} [{side}] x{nz}", flush=True)
-        ok = (
+        ok = bool(
             s.shape == d.shape
             and list(s.columns) == list(d.columns)
             and pd.util.hash_pandas_object(s).sum()
@@ -104,11 +114,34 @@ def main() -> int:
             f"rows={len(s):7d} {time.perf_counter() - t0:5.1f}s",
             flush=True,
         )
+        results[name] = {
+            "status": "MATCH" if ok else "MISMATCH",
+            "rows": len(s),
+            "sec": round(time.perf_counter() - t0, 2),
+        }
     print(
         f"\nSWEEP {sf_dir}: {n_match} MATCH, {n_rows_only} rows-only, "
         f"{n_fail} FAIL",
         flush=True,
     )
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_match": n_match,
+                    "n_rows_only": n_rows_only,
+                    "n_fail": n_fail,
+                    "results": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+                default=int,
+            )
+        print(f"wrote {json_out}", flush=True)
     return 1 if n_fail else 0
 
 

@@ -177,6 +177,41 @@ _R04_WINDOW = (
     "readability_bands", "zipf_vocab_fit", "lang_confusion_matrix",
 )
 
+# Round-5 driver window, queued behind any still-unverified round-4 names:
+# geo-tier operators first (this graft's tier — cell clustering, spatial
+# stats, rasters), then movement/track analytics, the web/text tail, the
+# retrieval-eval metrics, and lakehouse table-management ops. Window names
+# retire on their first green row (see _ordered_names), so this list only
+# ever surfaces entries that still need driver evidence.
+_R05_WINDOW = (
+    # geo tier
+    "dense_cell_clusters", "quadtree_leaves", "cell_compact",
+    "kde_heatmap", "nn_distance_profile", "morans_i_autocorrelation",
+    "getis_ord_hotspots", "ripley_k_function", "dbscan_point_clusters",
+    "idw_grid_interpolation", "haversine_band_counts",
+    "cell_trend_hotspots", "flow_vector_field", "od_flow_matrix",
+    "areal_interpolation", "gravity_model_od", "raster_slope_aspect",
+    "flow_accumulation_d8",
+    # movement / tracks
+    "track_stats", "track_crossings", "track_turning_stats",
+    "stay_point_episodes", "radius_of_gyration", "geofence_dwell_stats",
+    "co_movement_pairs", "track_hausdorff_pairs",
+    "geometric_median_tracks", "bbox_intersect_pairs",
+    # web/text tail
+    "rrf_fusion", "tfidf_cosine_pairs", "stored_query_match",
+    "symspell_typo_pairs", "rake_keyphrases", "textrank_keywords",
+    "title_editdist_pairs", "mirror_source_matrix",
+    "quantile_normalize_lengths", "embedding_drift_check",
+    "embedding_top_component", "bigram_logprob_interp",
+    # retrieval-eval metrics
+    "roc_auc_eval", "average_precision_eval", "ndcg_eval",
+    "calibration_bins", "isotonic_calibration",
+    # lakehouse / table management
+    "merge_upsert_apply", "scd2_dimension_build",
+    "time_travel_file_state", "compaction_bin_plan",
+    "zonemap_prune_audit",
+)
+
 
 def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
     """(verified, terminal_no_oracle) from CORRECTNESS_r*.json on disk.
@@ -191,7 +226,10 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
     import glob
     import json
 
+    import re
+
     seen = set(_R02_VERIFIED)
+    seen_r4plus = set()
     no_oracle = set()
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
@@ -201,6 +239,8 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
             continue
         if not isinstance(data, dict):
             continue
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
@@ -208,15 +248,34 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
                 row.get("rows_match") and "hash_match" not in row
             ):
                 seen.add(name)
+                if rnd >= 4:
+                    seen_r4plus.add(name)
             elif row.get("err") == "no_oracle":
                 no_oracle.add(name)
+    _driver_history.seen_r4plus = frozenset(seen_r4plus)
     return frozenset(seen), frozenset(no_oracle - seen)
 
 
 def _ordered_names() -> list[str]:
     names = list(_contract.QUERIES)
     verified, terminal = _driver_history()
-    window = [n for n in _R04_WINDOW if n in names]
+    # window names retire on their first green row — without this, a past
+    # round's forced window would re-occupy all 50 slots forever after its
+    # greens land (the same slot-burn failure the no_oracle fix addresses).
+    # Still-unverified names from an older window stay ahead of newer ones.
+    # The two re-verification entries carry stale pre-rewrite greens (r02)
+    # by design: they retire only on a green row recorded in round >= 4.
+    fresh_green = getattr(_driver_history, "seen_r4plus", frozenset())
+    reverify = {"window_rank", "value_deciles"}
+    window = [
+        n for queue in (_R04_WINDOW, _R05_WINDOW) for n in queue
+        if n in names and n not in terminal
+        and (
+            n not in verified
+            if n not in reverify
+            else n not in fresh_green
+        )
+    ]
     placed = set(window)
     fresh = [
         n for n in names

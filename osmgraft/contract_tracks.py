@@ -206,7 +206,9 @@ def track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-track segment intersections (cell-bucketed candidate join)
 # ---------------------------------------------------------------------------
 
-_XC_CS = 100000  # cell size; jitter box is one cell, so a segment spans ≤ 4
+_XC_CS = 50000  # blocking cell size (output-invariant): the jitter box is
+# 100k so a segment spans <= 3 cells per axis (<= 9 copies)
+_XC_SALT = 16  # skew fan-out: hot-cell pair blocks split across 16 tasks
 
 _XC_PTS_CTE = """
       SELECT user_id, event_id,
@@ -235,13 +237,20 @@ _XC_SQL = f"""
            UNNEST(range(LEAST(y1, y2) // {_XC_CS},
                         GREATEST(y1, y2) // {_XC_CS} + 1)) t2(cy)),
     cand AS (
-      SELECT DISTINCT
-             a.user_id AS ua, a.seq AS sa,
+      SELECT a.user_id AS ua, a.seq AS sa,
              a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
              b.user_id AS ub, b.seq AS sb,
              b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
       FROM cells a JOIN cells b
-        ON a.cx = b.cx AND a.cy = b.cy AND a.user_id < b.user_id),
+        ON a.cx = b.cx AND a.cy = b.cy AND a.user_id < b.user_id
+      -- canonical-cell dedup: a pair sharing k cells appears k times in
+      -- the join; keep only the occurrence in the lexicographically
+      -- smallest COMMON cell (= max of the two bbox minima, recomputed
+      -- from the pair's own coordinates) instead of a wide-row DISTINCT
+      WHERE a.cx = GREATEST(LEAST(a.x1, a.x2) // {_XC_CS},
+                            LEAST(b.x1, b.x2) // {_XC_CS})
+        AND a.cy = GREATEST(LEAST(a.y1, a.y2) // {_XC_CS},
+                            LEAST(b.y1, b.y2) // {_XC_CS})),
     hits AS (
       SELECT ua, ub FROM cand
       WHERE SIGN((ax2 - ax1) * (by1 - ay1) - (bx1 - ax1) * (ay2 - ay1))
@@ -329,6 +338,11 @@ def track_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
         F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
     )
+    # canonical-cell dedup (no wide-row DISTINCT): a pair sharing k cells
+    # appears k times in the equi-join; keep only the occurrence in the
+    # lexicographically smallest common cell — max of the two bbox minima,
+    # recomputed from the pair row's own coordinates. Turns an
+    # O(candidate-pairs) hash-dedup shuffle into a codegen filter.
     cand = (
         a.join(
             b,
@@ -336,8 +350,23 @@ def track_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cy") == F.col("bcy"))
             & (F.col("ua") < F.col("ub")),
         )
+        .where(
+            (
+                F.col("cx")
+                == F.greatest(
+                    F.floor(F.least("ax1", "ax2") / cs).cast("long"),
+                    F.floor(F.least("bx1", "bx2") / cs).cast("long"),
+                )
+            )
+            & (
+                F.col("cy")
+                == F.greatest(
+                    F.floor(F.least("ay1", "ay2") / cs).cast("long"),
+                    F.floor(F.least("by1", "by2") / cs).cast("long"),
+                )
+            )
+        )
         .drop("cx", "cy", "bcx", "bcy")
-        .distinct()
     )
     d1 = (F.col("ax2") - F.col("ax1")) * (F.col("by1") - F.col("ay1")) - (
         F.col("bx1") - F.col("ax1")

@@ -77,12 +77,11 @@ HEADLINE = [
     "dense_cell_clusters",     # hotspot extraction (grid CC)
     "quadtree_leaves",         # adaptive tiling from one base-grid agg
     "bpe_train_merges",        # tokenizer training (5 merge rounds)
-    # tfidf_cosine_pairs excluded (session 9): ~18 s steady at sf0.1 —
+    # tfidf_cosine_pairs excluded (session 9): ~13 s steady at sf0.1 —
     # the weighted pair join is data-heavy by design; timed by its
-    # oracle test like pagerank/dbscan
-    # round-3 session-8/9 additions (dbscan_point_clusters excluded: its
-    # hotspot eps-graph is quadratic in cell density — an sf0.01-scale
-    # correctness demo, not a throughput query; timed by its oracle test)
+    # oracle test like pagerank
+    "dbscan_point_clusters",   # exact grid DBSCAN (r04 rewrite: the old
+    # quadratic eps-graph exclusion no longer applies — 3.6 s warm)
     "roc_auc_eval",            # exact rank-sum AUC
     "mor_delete_apply",        # Iceberg MoR position+equality deletes
     "sequence_packing_plan",   # LLM sample packing (per-shard NFD fold)

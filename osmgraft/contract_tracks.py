@@ -272,10 +272,12 @@ def track_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the cell strategy work; the global-random fixture points would
     make every bbox span the map), segments come from a per-user LAG,
     candidate pairs from an EQUI-join on shared grid cells (a segment
-    spans ≤ 4 cells by construction), duplicates from multi-cell overlap
-    removed by DISTINCT before the exact test, and the exact test is the
-    classic orientation predicate — integer coordinates make every cross
-    product EXACT in int64, and comparing SIGN products avoids the
+    spans ≤ 9 cells by construction), duplicates from multi-cell overlap
+    removed by the canonical-cell filter (a pair is tested only in the
+    lexicographically smallest common cell — r04 rewrite; the old
+    wide-row DISTINCT was a 1e8-row hash shuffle), and the exact test is
+    the classic orientation predicate — integer coordinates make every
+    cross product EXACT in int64, and comparing SIGN products avoids the
     d1·d2 overflow (crosses ~5e11; their product would not fit).
 
     Scale shape: the quadratic risk lives only inside a cell (the

@@ -1234,3 +1234,20 @@ def test_peak_concurrency_sweep_is_hour_keyed(spark):
     df = QUERIES["peak_concurrency"](spark, SF_CORRECT)
     plan = plan_of(df)
     assert "SinglePartition" not in plan
+
+
+def test_track_crossings_dedup_is_a_filter_not_a_shuffle(spark):
+    """Multi-cell candidate dedup must be the canonical-cell FILTER
+    (r04 rewrite) — the plan may contain no aggregate-based distinct
+    over the candidate pair stream and no cartesian fallback. The only
+    aggregates allowed are the final (user_a, user_b) rollup."""
+    import osmgraft.contract_tracks  # noqa: F401
+
+    df = QUERIES["track_crossings"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one partial+final pair for the rollup, one for the top-k ordering —
+    # a distinct over the join output would add a third HashAggregate pair
+    # keyed by the 12 candidate columns
+    assert plan.count("HashAggregate") <= 4, plan

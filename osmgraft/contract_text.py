@@ -1600,9 +1600,13 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     )
+    # tf feeds FIVE consumers (df, wt, both candidate sides, the dot
+    # join); without a cut the shingle scan + aggregation re-executes per
+    # consumer (~2 s each at sf0.1 — was the bulk of the 13 s runtime).
+    # At scale this is the standard materialize-the-reused-relation step.
     tf = toks.groupBy("doc_id", "w").agg(
         F.count("*").cast("long").alias("tf")
-    )
+    ).localCheckpoint()
     df = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
     nd = tf.agg(F.countDistinct("doc_id").cast("long").alias("n"))
     wt = (
@@ -1620,6 +1624,8 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("wu"),
         )
+        # three consumers (norms, dot x-side, dot y-side) — cut once
+        .localCheckpoint()
     )
     norms = wt.groupBy("doc_id").agg(
         F.sum(F.col("wu") * F.col("wu")).alias("n2")

@@ -416,12 +416,13 @@ def test_streaming_dedup_within_watermark(spark, pages_dir, tmp_path):
             shutil.copy(f, dup_dir / f"{i:03d}.parquet")
             i += 1
     stream = read_pages_stream(spark, str(dup_dir), max_files=3)
-    # watermark must cover the fixture's FULL event-time span: parquet
-    # file names are not time-ordered (parallel write task assignment
-    # varies run to run), so a later micro-batch can carry older events;
-    # a 10-day horizon intermittently dropped them as late (flaky)
+    # watermark must cover the fixture's FULL event-time span: gen_pages
+    # draws warc_ts over 600 days and micro-batch file order is not
+    # time-ordered (mtime ties break arbitrarily), so a later batch can
+    # carry the oldest events; any horizon < 600 days drops them as late
+    # depending on ordering (400 days lost 48 urls on one tie-break)
     q = (
-        streaming_dedup_pages(stream, watermark="400 days")
+        streaming_dedup_pages(stream, watermark="1000 days")
         .writeStream.format("memory")
         .queryName("dedup_stream")
         .outputMode("append")

@@ -150,38 +150,43 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector its M codes and reconstruction — one scan,
-    centroids as broadcast literals, argmin via `least` over structs
-    (snapped d², lowest-cid ties); no join, no shuffle."""
+    centroids as ONE nested-array literal per subspace, argmin via
+    `array_min` over a transform'd (snapped d², cid) struct array
+    (lexicographic min == lowest-cid ties); no join, no shuffle.
+
+    The codebook rides into the plan as a single nested literal and the
+    argmin as one higher-order expression: the earlier per-centroid
+    Column construction (k·m literal arrays built through py4j) spent
+    ~16 s of single-threaded DRIVER time assembling the plan before any
+    task ran — plan-build cost, invisible to .explain, fatal to a
+    100 TB run only in that it serializes with everything else on the
+    driver. Arithmetic is unchanged: same d² expansion, same
+    floor-snap, same tie-break, so codes and parity are identical."""
     m = len(books)
-    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     dim = len(books[0][0]) * m
     sub = dim // m
-    cols = [F.col(id_col), vec.alias("v")]
+    # cast once in its own projection: inlining transform(embedding)
+    # into every distance term repeats the subtree 3·k·m times in the
+    # analyzed tree and the analyzer pass dominates plan-build time
+    base = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("v"),
+    )
+    cols = [F.col(id_col), F.col("v")]
     recon_parts = []
     for mi, book in enumerate(books):
-        sv = F.slice(vec, mi * sub + 1, sub)
-        scored = [
-            F.struct(
-                F.floor(
-                    (
-                        _d2_col(sv, F.array(*[F.lit(x) for x in c]))
-                    )
-                    * 100000
-                    + 0.5
-                ).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in enumerate(book)
-        ]
-        code = F.least(*scored)["cid"]
+        bk = _book_lit(book)
+        sv = F.slice(F.col("v"), mi * sub + 1, sub)
+        scored = F.transform(
+            F.sequence(F.lit(0), F.lit(len(book) - 1)),
+            _pq_score_fn(bk, sv),
+        )
+        code = F.array_min(scored)["cid"]
         cols.append(code.alias(f"code{mi}"))
         recon_parts.append(
-            F.element_at(
-                F.array(*[F.array(*[F.lit(x) for x in c]) for c in book]),
-                F.col(f"code{mi}") + 1,
-            )
+            F.element_at(bk, F.col(f"code{mi}") + 1)
         )
-    out = embeddings.select(*cols)
+    out = base.select(*cols)
     return out.select(
         id_col, "v", *[f"code{mi}" for mi in range(m)],
         F.concat(*recon_parts).alias("recon"),
@@ -192,3 +197,32 @@ def _d2_col(a, b):
     from osmgraft.ann.search import _dot
 
     return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+
+def _book_lit(book):
+    """One subspace codebook as a single nested-array literal built from
+    ONE SQL string (one py4j round trip; ``F.lit`` on a nested list still
+    issues a py4j call per element). ``repr`` is the shortest exact
+    IEEE-754 round trip and string→DOUBLE casts parse exactly, so the
+    literal values are bit-identical to the trained floats."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
+            + ")"
+            for c in book
+        )
+        + ")"
+    )
+
+
+def _pq_score_fn(bk, sv):
+    """(snapped d², cid) struct for one centroid id — closure keeps the
+    lambda unary (PySpark dispatches higher-order arity by signature)."""
+    return lambda cid: F.struct(
+        F.floor(
+            _d2_col(sv, F.element_at(bk, cid + 1)) * 100000 + 0.5
+        ).alias("d"),
+        cid.alias("cid"),
+    )

@@ -2635,11 +2635,18 @@ def cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: degrees and labels are key-keyed partial aggs; the
     intra-edge count joins the pair list to the label table twice on the
-    doc key; the total is a window over community rows.
+    doc key; the total is a window over community rows. The pair list is
+    ``localCheckpoint``-ed: it feeds the edge-count scalar, the CC
+    labeller, the degree agg AND the intra-edge join — four consumers
+    that would otherwise each re-run the shingle pair join.
     """
     from osmgraft.text.dedup import connected_components
 
-    pr = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pr = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     lab = connected_components(pr)
     m = pr.count()
     edges = pr.select(F.col("doc_a").alias("s")).unionAll(

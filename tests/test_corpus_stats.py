@@ -1004,3 +1004,21 @@ def test_vacuum_audit_consistent_with_time_travel(spark):
             assert r["n_vacuum_files"] <= prev
         prev = r["n_vacuum_files"]
     assert rows[min(_VAC_WINDOWS)]["n_vacuum_files"] > 0
+
+
+def test_pmi_pairs_survive_short_docs_and_match_hand_computation(spark, tmp_path):
+    """Regression for the zip_with pair generator: 1-token and empty
+    documents contribute zero pairs (the old nested-transform form built
+    sequence(0, -1), which descends and crashed), and the PMI value on a
+    corpus engineered past the min-pair gate matches the closed form
+    2*ln(t_words / c_w)."""
+    texts = ["a b"] * 30 + ["solo", ""]
+    spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = cc.pmi_cooccurrence(spark, str(tmp_path)).collect()
+    assert [(r["pair"], r["c_pair"]) for r in rows] == [("a b", 30)]
+    # t_pairs=30, c_w(a)=c_w(b)=30, t_words=62 ("solo" + the empty-string
+    # token each count once) -> pmi = ln((30/30)/((30/62)^2))
+    expected = math.floor(2 * math.log(62 / 30) * 10000 + 0.5) / 10000
+    assert rows[0]["pmi"] == expected

@@ -441,15 +441,22 @@ def test_bm25_topk_is_take_ordered(spark):
 
 
 def test_pmi_pairs_generated_in_row(spark):
-    """PMI pair generation happens inside the row (nested transform →
-    one Generate) — no positional self-join: the plan must contain no
-    CartesianProduct and no join keyed on a position column."""
+    """PMI pair generation happens inside the row (per-offset zip_with of
+    the token array against its shifted self) — no positional self-join.
+    The pair/word counts are localCheckpoint-ed (each feeds a scalar
+    total AND the scoring join), so the returned plan scans ExistingRDD;
+    the audit asserts the scoring stage joins only by broadcast and that
+    the checkpointed inputs are in place (the generation itself executed
+    eagerly inside the checkpoint with no join stage at all)."""
     import osmgraft.contract_corpus  # noqa: F401
 
     df = QUERIES["pmi_cooccurrence"](spark, SF_CORRECT)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
-    assert "Generate" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "ExistingRDD" in plan
+    assert plan.count("BroadcastHashJoin") == 2  # w1, w2 marginals
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # 1-row tp, tw
 
 
 def test_track_simplify_single_user_shuffle(spark):

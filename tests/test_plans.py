@@ -641,8 +641,13 @@ def test_hits_iterations_are_hash_joins(spark):
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
-    # every edge propagation must be a hash equi-join on the node key
-    assert "hashpartitioning(c" in plan and "hashpartitioning(s" in plan
+    # the edge list and each iteration's raw scores are localCheckpoint-ed
+    # (lineage-doubling fix), so iteration joins executed eagerly inside
+    # the checkpoints; the final plan consumes the checkpointed last
+    # iteration and must stay scan + 1-row-broadcast normalise + top-k —
+    # no shuffle or join machinery may remain
+    assert "ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan and "hashpartitioning" not in plan
 
 
 def test_encoding_advisor_runs_partitioned_by_file(spark):

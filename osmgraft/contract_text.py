@@ -1376,8 +1376,13 @@ def title_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower bound on edit distance), so the blocking is lossy ONLY for
     pairs differing in the prefix itself (documented recall trade; the
     standard second pass re-blocks on a suffix key). Levenshtein runs
-    only inside blocks, JVM-side (Spark `levenshtein` ≡ DuckDB
-    `levenshtein` — same Wagner-Fischer definition, oracle-paired).
+    only inside blocks, JVM-side, and with the {_ED_MAX} THRESHOLD
+    argument: Spark computes only the 2k+1 diagonal band and early-exits
+    (returns -1 above the bound), so the per-pair cost is O(L·k) instead
+    of O(L²) — measured 16.9 s → 0.1 s warm at sf0.1 over the same 250 k
+    candidate pairs. Kept pairs carry the exact distance, identical to
+    DuckDB's unbounded `levenshtein` under the same ≤ {_ED_MAX} filter
+    (oracle-paired).
 
     Scale shape: one prefix-keyed equi-join (length band as residual),
     quadratic only within a block (prefix+length keys distribute finely;
@@ -1415,9 +1420,10 @@ def title_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("len_b") <= F.col("len_a") + _ED_MAX)
         & (F.col("doc_a") < F.col("doc_b")),
     ).where(F.col("title_a") != F.col("title_b"))
-    dist = F.levenshtein("title_a", "title_b")
+    # banded levenshtein: -1 above the threshold, exact distance below it
+    dist = F.levenshtein("title_a", "title_b", _ED_MAX)
     return (
-        cand.where(dist <= _ED_MAX)
+        cand.where(dist >= 0)
         .select("doc_a", "doc_b", dist.cast("long").alias("edit_dist"))
         .orderBy("doc_a", "doc_b")
     )

@@ -186,7 +186,10 @@ class TestBlockedNeardupPairs:
         assert blocked.exceptAll(ap).count() == 0
         assert ap.exceptAll(blocked).count() == 0
 
-    def test_blocked_plan_is_equi_join(self, clustered):
+    def test_blocked_plan_is_cell_cogroup(self, clustered):
+        """Refine is a cogrouped GEMM: both sides exchange ONCE on the band
+        cell key and meet in FlatMapCoGroupsInPandas — no nested-loop or
+        cartesian pair expansion anywhere."""
         from osmgraft.ann.pairs import neardup_pairs_blocked
 
         plan = (
@@ -195,7 +198,24 @@ class TestBlockedNeardupPairs:
         )
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
-        assert "HashJoin" in plan or "SortMergeJoin" in plan
+        assert "FlatMapCoGroupsInPandas" in plan
+        assert plan.count("hashpartitioning(_cell") == 2
+
+    def test_blocked_splits_lossless(self, clustered):
+        """Hot-cell skew splitting must not change the result set."""
+        from osmgraft.ann.pairs import neardup_pairs_blocked
+
+        base = {
+            (r.vec_a, r.vec_b, r.cosine_sim)
+            for r in neardup_pairs_blocked(clustered, threshold=0.5).collect()
+        }
+        split = {
+            (r.vec_a, r.vec_b, r.cosine_sim)
+            for r in neardup_pairs_blocked(
+                clustered, threshold=0.5, splits=4
+            ).collect()
+        }
+        assert base == split and len(base) > 50
 
 
 def test_ivf_training_sample_ceiling(spark):

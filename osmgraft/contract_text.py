@@ -967,63 +967,74 @@ def int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no state) — at scale it runs at parquet-write time and the
     int8 column is what IVF/LSH serving reads. The audit is the standard
     bounded-probe brute-force recall harness: |Q| = n/50 sampled probes
-    broadcast against the corpus, two per-probe rank windows over the
-    pair relation (keyed by probe — parallel, never single-partition),
-    one (probe, vec) equi-join for the overlap count.
+    (bounded — the same smallness assumption any broadcast probe set
+    makes) are collected once and scored against the corpus as ONE
+    Arrow-batched numpy GEMM per partition (mapInPandas — the
+    ann/search module's batch-scoring doctrine; the per-pair
+    zip_with/aggregate form rides Catalyst's interpreted higher-order
+    lambdas and measured ~4x slower), then two per-probe rank windows
+    over the pair relation (keyed by probe — parallel, never
+    single-partition) and one conditional agg.
 
     Values stay integer-valued DOUBLEs on both engines (products ≤ 127²
-    over 64 dims are exact in double), so the entire pipeline —
-    quantize, cosine, rank, overlap — is oracle-paired arithmetic.
+    over 64 dims are exact in double), so the quantized branch —
+    quantize, cosine, rank, overlap — is order-free exact arithmetic;
+    the float branch differs from the oracle only below the shared 5-dp
+    rounding.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = t(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     s = F.greatest(
         F.array_max(F.transform(v, lambda y: F.abs(y))), F.lit(1.0e-12)
     )
-    from osmgraft.ann.search import _dot, _norm
-
-    # norms are per-VECTOR, so compute them once per row here — not per
-    # pair inside the cross join (cosine factors as dot/(na·nb); same
-    # float ops on the same values, so the 5-dp rounded sims are
-    # bit-identical to the fused cosine, but each pair pays 2 folds
-    # instead of 4)
     qz = emb.select(
         "vec_id",
         v.alias("v"),
         F.transform(
             v, lambda x: F.floor(x * 127.0 / s + 0.5).cast("double")
         ).alias("qv"),
-    ).select(
-        "vec_id", "v", "qv",
-        _norm(F.col("v")).alias("nv"),
-        _norm(F.col("qv")).alias("nqv"),
     )
-    qs = (
+    probes = (
         qz.where(F.col("vec_id") % _QZ_QMOD == 0)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("v").alias("q_v"),
-            F.col("qv").alias("q_qv"),
-            F.col("nv").alias("q_nv"),
-            F.col("nqv").alias("q_nqv"),
-        )
+        .orderBy("vec_id")
+        .toPandas()
     )
-    pairs = (
-        qz.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(
-                _dot(F.col("v"), F.col("q_v"))
-                / (F.col("nv") * F.col("q_nv")),
-                5,
-            ).alias("simf"),
-            F.round(
-                _dot(F.col("qv"), F.col("q_qv"))
-                / (F.col("nqv") * F.col("q_nqv")),
-                5,
-            ).alias("simq"),
-        )
+    qids = probes["vec_id"].to_numpy()
+    Qv = np.stack(probes["v"].to_numpy())
+    Qqv = np.stack(probes["qv"].to_numpy())
+    q_nv = np.sqrt((Qv * Qv).sum(axis=1))
+    q_nqv = np.sqrt((Qqv * Qqv).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            V = np.stack(pdf["v"].to_numpy())
+            QV = np.stack(pdf["qv"].to_numpy())
+            nv = np.sqrt((V * V).sum(axis=1))
+            nqv = np.sqrt((QV * QV).sum(axis=1))
+            # raw GEMM then divide by the norm outer product — the same
+            # dot/(na*nb) factoring as the oracle; the quantized dot is
+            # exact integer-valued f64, so simq is order-free exact
+            simf = np.round((V @ Qv.T) / np.outer(nv, q_nv), 5)
+            simq = np.round((QV @ Qqv.T) / np.outer(nqv, q_nqv), 5)
+            n, q = simf.shape
+            rep_id = np.repeat(ids, q)
+            rep_qid = np.tile(qids, n)
+            keep = rep_id != rep_qid
+            yield pd.DataFrame(
+                {
+                    "qid": rep_qid[keep],
+                    "vec_id": rep_id[keep],
+                    "simf": simf.ravel()[keep],
+                    "simq": simq.ravel()[keep],
+                }
+            )
+
+    pairs = qz.mapInPandas(
+        score, "qid long, vec_id long, simf double, simq double"
     )
     wf = Window.partitionBy("qid").orderBy(F.desc("simf"), "vec_id")
     wq = Window.partitionBy("qid").orderBy(F.desc("simq"), "vec_id")

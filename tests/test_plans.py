@@ -497,17 +497,19 @@ def test_hist_quantile_sketch_no_value_sort(spark):
     assert "partial_count" in plan or "partial" in plan.lower()
 
 
-def test_int8_quant_recall_broadcasts_probes(spark):
-    """Probe set broadcasts against the corpus; ranking windows are keyed
-    by probe id (no single-partition window); quantization is in-row
-    (no Python eval anywhere)."""
+def test_int8_quant_recall_scores_in_arrow_gemm(spark):
+    """Probe scoring is ONE Arrow-batched numpy GEMM over the corpus
+    (MapInPandas — the ann batch-scoring doctrine; no join at all, the
+    probe matrices ride the closure), ranking windows are keyed by probe
+    id (no single-partition window), and no row-at-a-time Python eval
+    appears anywhere."""
     import osmgraft.contract_text  # noqa: F401
 
     df = QUERIES["int8_quant_recall"](spark, SF_CORRECT)
     plan = plan_of(df)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
     assert "SinglePartition" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_crawl_schedule_window_keyed_by_host(spark):

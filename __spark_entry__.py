@@ -178,15 +178,21 @@ _R04_WINDOW = (
 )
 
 # Round-5 driver window, queued behind any still-unverified round-4 names:
-# geo-tier operators first (this graft's tier — cell clustering, spatial
-# stats, rasters), then movement/track analytics, the web/text tail, the
-# retrieval-eval metrics, and lakehouse table-management ops. Window names
-# retire on their first green row (see _ordered_names), so this list only
-# ever surfaces entries that still need driver evidence.
+# re-verification slots for queries rewritten AFTER their last green row
+# (round-3 verdict, What's missing #3) lead, then geo-tier operators
+# (this graft's tier — cell clustering, spatial stats, rasters), then
+# movement/track analytics, the web/text tail, the retrieval-eval
+# metrics, and lakehouse table-management ops. Window names retire on
+# their first green row (see _ordered_names), so this list only ever
+# surfaces entries that still need driver evidence.
 _R05_WINDOW = (
+    # re-verification: refine rewritten to cogroup GEMM after the r01
+    # green row (retires only on a round >= 5 green)
+    "embedding_neardup_pairs",
     # geo tier
     "dense_cell_clusters", "quadtree_leaves", "cell_compact",
-    "kde_heatmap", "nn_distance_profile", "morans_i_autocorrelation",
+    "kde_heatmap", "nn_distance_profile", "colocation_quotient",
+    "morans_i_autocorrelation",
     "getis_ord_hotspots", "ripley_k_function", "dbscan_point_clusters",
     "idw_grid_interpolation", "haversine_band_counts",
     "cell_trend_hotspots", "flow_vector_field", "od_flow_matrix",
@@ -230,6 +236,7 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
 
     seen = set(_R02_VERIFIED)
     seen_r4plus = set()
+    seen_r5plus = set()
     no_oracle = set()
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
@@ -250,9 +257,12 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
                 seen.add(name)
                 if rnd >= 4:
                     seen_r4plus.add(name)
+                if rnd >= 5:
+                    seen_r5plus.add(name)
             elif row.get("err") == "no_oracle":
                 no_oracle.add(name)
     _driver_history.seen_r4plus = frozenset(seen_r4plus)
+    _driver_history.seen_r5plus = frozenset(seen_r5plus)
     return frozenset(seen), frozenset(no_oracle - seen)
 
 
@@ -263,17 +273,22 @@ def _ordered_names() -> list[str]:
     # round's forced window would re-occupy all 50 slots forever after its
     # greens land (the same slot-burn failure the no_oracle fix addresses).
     # Still-unverified names from an older window stay ahead of newer ones.
-    # The two re-verification entries carry stale pre-rewrite greens (r02)
-    # by design: they retire only on a green row recorded in round >= 4.
-    fresh_green = getattr(_driver_history, "seen_r4plus", frozenset())
-    reverify = {"window_rank", "value_deciles"}
+    # Re-verification entries carry stale pre-rewrite greens by design:
+    # the r04 pair (rewritten round 3) retires on a round >= 4 green, the
+    # r05 entry (refine rewritten round 4) on a round >= 5 green.
+    fresh4 = getattr(_driver_history, "seen_r4plus", frozenset())
+    fresh5 = getattr(_driver_history, "seen_r5plus", frozenset())
+    reverify4 = {"window_rank", "value_deciles"}
+    reverify5 = {"embedding_neardup_pairs"}
     window = [
         n for queue in (_R04_WINDOW, _R05_WINDOW) for n in queue
         if n in names and n not in terminal
         and (
-            n not in verified
-            if n not in reverify
-            else n not in fresh_green
+            n not in fresh4
+            if n in reverify4
+            else n not in fresh5
+            if n in reverify5
+            else n not in verified
         )
     ]
     placed = set(window)

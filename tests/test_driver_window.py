@@ -91,8 +91,21 @@ def test_missed_window_row_requeues():
 
 def test_r05_window_names_are_registered_and_unverified_today():
     verified, terminal = E._driver_history()
+    reverify5 = {"embedding_neardup_pairs"}  # r01 green, rewritten round 4
     for n in E._R05_WINDOW:
         assert n in C.QUERIES, n
-        assert n not in verified, f"{n} already green — drop from _R05_WINDOW"
+        if n not in reverify5:
+            assert n not in verified, f"{n} already green — drop from _R05_WINDOW"
         assert n not in terminal, n
-    assert len(set(E._R05_WINDOW)) == len(E._R05_WINDOW) == 50
+    assert len(set(E._R05_WINDOW)) == len(E._R05_WINDOW) == 52
+
+
+def test_r05_reverify_entry_queued_despite_old_green():
+    """embedding_neardup_pairs carries an r01 green recorded against the
+    pre-GEMM refine: it must lead the r05 queue DESPITE being verified
+    (today no round >= 5 green exists, so it may not sort into `seen`)."""
+    names = E._ordered_names()
+    assert "embedding_neardup_pairs" in names[:60]
+    seen, _terminal = E._driver_history()
+    assert "embedding_neardup_pairs" in seen  # r01 evidence exists
+    assert "embedding_neardup_pairs" not in E._driver_history.seen_r5plus

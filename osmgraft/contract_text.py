@@ -3497,37 +3497,54 @@ def pq_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: training is a bounded-sample collect (the enforced
     IVF ceiling); encoding is one scan with broadcast-literal centroids
     (argmin via `least` over structs — no join, no shuffle); the audit
-    is the bounded-probe recall harness (probes broadcast, per-probe
-    rank windows keyed by probe).
+    is the bounded-probe recall harness — probes collected once and
+    scored against (v, recon) as Arrow-batched numpy GEMMs
+    (mapInPandas, the same batch-scoring form as ``int8_quant_recall``;
+    raw dot over the norm outer product preserves the oracle's
+    dot/(na*nb) factoring), per-probe rank windows keyed by probe.
     """
+    import numpy as np
+    import pandas as pd
+
     from osmgraft.ann.pq import pq_encode, pq_train_codebooks
-    from osmgraft.ann.search import _dot, _norm
 
     emb = t(spark, sf_dir, "embeddings")
     books = pq_train_codebooks(emb)
-    enc = pq_encode(emb, books).select(
-        "vec_id",
-        "v",
-        "recon",
-        _norm(F.col("v")).alias("nv"),
-        _norm(F.col("recon")).alias("nr"),
+    enc = pq_encode(emb, books).select("vec_id", "v", "recon")
+    probes = (
+        enc.where(F.col("vec_id") % _QZ_QMOD == 0)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .toPandas()
     )
-    qs = enc.where(F.col("vec_id") % _QZ_QMOD == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("q_v"),
-        F.col("nv").alias("q_nv"),
-    )
-    pairs = enc.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
-        "qid",
-        "vec_id",
-        F.round(
-            _dot(F.col("v"), F.col("q_v")) / (F.col("nv") * F.col("q_nv")), 5
-        ).alias("simf"),
-        F.round(
-            _dot(F.col("recon"), F.col("q_v"))
-            / (F.col("nr") * F.col("q_nv")),
-            5,
-        ).alias("simq"),
+    qids = probes["vec_id"].to_numpy()
+    Qv = np.stack(probes["v"].to_numpy())
+    q_nv = np.sqrt((Qv * Qv).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            V = np.stack(pdf["v"].to_numpy())
+            R = np.stack(pdf["recon"].to_numpy())
+            nv = np.sqrt((V * V).sum(axis=1))
+            nr = np.sqrt((R * R).sum(axis=1))
+            simf = np.round((V @ Qv.T) / np.outer(nv, q_nv), 5)
+            simq = np.round((R @ Qv.T) / np.outer(nr, q_nv), 5)
+            n, q = simf.shape
+            rep_id = np.repeat(ids, q)
+            rep_qid = np.tile(qids, n)
+            keep = rep_id != rep_qid
+            yield pd.DataFrame(
+                {
+                    "qid": rep_qid[keep],
+                    "vec_id": rep_id[keep],
+                    "simf": simf.ravel()[keep],
+                    "simq": simq.ravel()[keep],
+                }
+            )
+
+    pairs = enc.mapInPandas(
+        score, "qid long, vec_id long, simf double, simq double"
     )
     wf = Window.partitionBy("qid").orderBy(F.desc("simf"), "vec_id")
     wq = Window.partitionBy("qid").orderBy(F.desc("simq"), "vec_id")

@@ -77,9 +77,9 @@ HEADLINE = [
     "dense_cell_clusters",     # hotspot extraction (grid CC)
     "quadtree_leaves",         # adaptive tiling from one base-grid agg
     "bpe_train_merges",        # tokenizer training (5 merge rounds)
-    # tfidf_cosine_pairs excluded (session 9): ~13 s steady at sf0.1 —
-    # the weighted pair join is data-heavy by design; timed by its
-    # oracle test like pagerank
+    "tfidf_cosine_pairs",      # weighted sparse-vector similarity join
+    # (r04 light/heavy posting split: the 13 s pair-x-term expansion
+    # exclusion no longer applies — 3.8 s engine-side at sf0.1)
     "dbscan_point_clusters",   # exact grid DBSCAN (r04 rewrite: the old
     # quadratic eps-graph exclusion no longer applies — 3.6 s warm)
     "roc_auc_eval",            # exact rank-sum AUC

@@ -1548,6 +1548,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TC_RARE_DF = 12  # blocking: candidate pairs must share a term this rare
 _TC_MIN_COS = 0.5
+_TC_LIGHT_DF = 64  # light/heavy posting split (Bayardo et al., WWW'07)
 
 _TC_SQL = f"""
     WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr
@@ -1600,10 +1601,21 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt*sqrt, the integer product would overflow int64) is identical
     expression text on both engines.
 
-    Scale shape: candidates come from a rare-term equi-self-join
-    (df-capped buckets); the dot product is a (pair, term) equi-join on
-    the term key feeding one partial agg — never an all-pairs scan;
-    norms are doc-keyed partial aggs broadcast back by key join.
+    Scale shape — light/heavy posting split (the frequency-based
+    partitioning of Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW 2007): terms with df <= _TC_LIGHT_DF are LIGHT — their
+    dot-product contributions come from a direct posting self-join on
+    the term key, bounded per key by df^2 <= tau^2 and in total by
+    tau * |postings| (linear in the corpus with the tau knob); the same
+    join emits the rare-term (2 <= df <= _TC_RARE_DF <= tau) candidate
+    flag, so one shuffle produces BOTH the candidate set and the light
+    dots — no separate candidate self-join + pair DISTINCT. Terms with
+    df > tau are HEAVY — hot-key df^2 would blow up the self-join, so
+    their contributions ride the old (candidate x heavy-term) equi-join,
+    bounded by |candidates| * heavy-terms-per-doc. Exact under the
+    split: the integer dot is a sum over shared terms and every shared
+    term is counted exactly once on exactly one path; norms are
+    doc-keyed partial aggs over ALL terms joined back by key.
     """
     arrs = t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("arr")
@@ -1617,16 +1629,17 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     )
-    # tf feeds FIVE consumers (df, wt, both candidate sides, the dot
-    # join); without a cut the shingle scan + aggregation re-executes per
-    # consumer (~2 s each at sf0.1 — was the bulk of the 13 s runtime).
-    # At scale this is the standard materialize-the-reused-relation step.
+    # tf feeds df and the weighted posting relation; without a cut the
+    # shingle scan + aggregation re-executes per consumer (~2 s each at
+    # sf0.1). Standard materialize-the-reused-relation step.
     tf = toks.groupBy("doc_id", "w").agg(
         F.count("*").cast("long").alias("tf")
     ).localCheckpoint()
     df = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
     nd = tf.agg(F.countDistinct("doc_id").cast("long").alias("n"))
-    wt = (
+    # weighted postings, carrying df so the light/heavy routing and the
+    # rare-candidate flag are codegen filters, not extra joins
+    wtd = (
         tf.join(df, "w")
         .crossJoin(F.broadcast(nd))
         .select(
@@ -1640,42 +1653,75 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("wu"),
+            "df",
         )
-        # three consumers (norms, dot x-side, dot y-side) — cut once
+        # four consumers (norms, light x/y sides, heavy sides) — cut once
         .localCheckpoint()
     )
-    norms = wt.groupBy("doc_id").agg(
+    norms = wtd.groupBy("doc_id").agg(
         F.sum(F.col("wu") * F.col("wu")).alias("n2")
     )
-    rare = df.filter(
-        (F.col("df") >= 2) & (F.col("df") <= _TC_RARE_DF)
-    ).select("w")
-    ta = tf.select(F.col("doc_id").alias("doc_a"), "w")
-    tb = tf.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
-    cand = (
-        ta.join(rare, "w")
-        .join(tb, F.col("w") == F.col("wb"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    # LIGHT path: bounded posting self-join emits dot contributions AND
+    # the rare-blocking candidate flag in one shuffle (rare => light,
+    # since _TC_RARE_DF <= _TC_LIGHT_DF)
+    light = wtd.filter(F.col("df") <= _TC_LIGHT_DF)
+    xl = light.select(
+        F.col("doc_id").alias("doc_a"), "w",
+        F.col("wu").alias("xu"), F.col("df").alias("xdf"),
     )
-    x = wt.select(
+    yl = light.select(
+        F.col("doc_id").alias("doc_b"), F.col("w").alias("yw"),
+        F.col("wu").alias("yu"),
+    )
+    low = (
+        xl.join(yl, F.col("w") == F.col("yw"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("xu") * F.col("yu")).alias("dot_low"),
+            F.max(
+                (
+                    (F.col("xdf") >= 2) & (F.col("xdf") <= _TC_RARE_DF)
+                ).cast("int")
+            ).alias("has_rare"),
+        )
+        .filter(F.col("has_rare") == 1)
+        .select("doc_a", "doc_b", "dot_low")
+        # two consumers (heavy-path pair list, final sum) — cut once
+        .localCheckpoint()
+    )
+    # HEAVY path: hot terms would make the self-join df^2-quadratic, so
+    # their contributions are gathered per candidate pair instead
+    heavy = wtd.filter(F.col("df") > _TC_LIGHT_DF)
+    xh = heavy.select(
         F.col("doc_id").alias("doc_a"), F.col("w").alias("xw"),
         F.col("wu").alias("xu"),
     )
-    y = wt.select(
+    yh = heavy.select(
         F.col("doc_id").alias("y_doc"), F.col("w").alias("yw"),
         F.col("wu").alias("yu"),
     )
-    dots = (
-        cand.join(x, "doc_a")
+    high = (
+        low.select("doc_a", "doc_b")
+        .join(xh, "doc_a")
         .join(
-            y,
+            yh,
             (F.col("doc_b") == F.col("y_doc"))
             & (F.col("xw") == F.col("yw")),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("xu") * F.col("yu")).alias("dot"))
+        .agg(F.sum(F.col("xu") * F.col("yu")).alias("dot_high"))
+    )
+    dots = (
+        low.join(high, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("dot_low")
+                + F.coalesce(F.col("dot_high"), F.lit(0).cast("long"))
+            ).alias("dot"),
+        )
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))

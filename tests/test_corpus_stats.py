@@ -1022,3 +1022,87 @@ def test_pmi_pairs_survive_short_docs_and_match_hand_computation(spark, tmp_path
     # token each count once) -> pmi = ln((30/30)/((30/62)^2))
     expected = math.floor(2 * math.log(62 / 30) * 10000 + 0.5) / 10000
     assert rows[0]["pmi"] == expected
+
+
+def test_tfidf_cosine_light_heavy_split_is_lossless(spark, monkeypatch):
+    """The shipped tau = _TC_LIGHT_DF = 64 never routes a fixture term
+    heavy (sf0.01 max df is 7), so force the split down to tau = 4 —
+    151 terms go heavy — and require the light+heavy fused dot to equal
+    a single-path DuckDB computation with the same constants. The rare
+    window is lowered with tau (rare ⊆ light is the split's invariant:
+    the candidate flag is only emitted on the light join)."""
+    import duckdb
+
+    from osmgraft import contract_text as ct
+
+    monkeypatch.setattr(ct, "_TC_RARE_DF", 4)
+    monkeypatch.setattr(ct, "_TC_LIGHT_DF", 4)
+    got = (
+        ct.tfidf_cosine_pairs(spark, SF_CORRECT)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    naive = con.sql(
+        f"""
+        WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr
+                      FROM '{SF_CORRECT}/documents.parquet'
+                      WHERE len(string_split(text, ' ')) >= 3),
+        toks AS (SELECT doc_id,
+                        array_to_string(list_slice(arr, k + 1, k + 3), ' ')
+                          AS w
+                 FROM arrs, UNNEST(range(len(arr) - 2)) AS t(k)),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, w),
+        df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+        wt AS (SELECT tf.doc_id, tf.w,
+                      CAST(FLOOR(tf.tf * LN(nd.n * 1.0e0 / df.df)
+                                 * 1000000.0e0 + 5.0e-1) AS BIGINT) AS wu
+               FROM tf JOIN df USING (w) CROSS JOIN nd),
+        norms AS (SELECT doc_id, SUM(wu * wu) AS n2 FROM wt
+                  GROUP BY doc_id),
+        rare AS (SELECT w FROM df WHERE df BETWEEN 2 AND 4),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM tf a JOIN rare USING (w) JOIN tf b USING (w)
+                 WHERE a.doc_id < b.doc_id),
+        dots AS (SELECT c.doc_a, c.doc_b, SUM(x.wu * y.wu) AS dot
+                 FROM cand c
+                 JOIN wt x ON x.doc_id = c.doc_a
+                 JOIN wt y ON y.doc_id = c.doc_b AND y.w = x.w
+                 GROUP BY c.doc_a, c.doc_b)
+        SELECT d.doc_a, d.doc_b,
+               ROUND(d.dot / (SQRT(na.n2 * 1.0e0) * SQRT(nb.n2 * 1.0e0)),
+                     6) AS cosine
+        FROM dots d
+        JOIN norms na ON na.doc_id = d.doc_a
+        JOIN norms nb ON nb.doc_id = d.doc_b
+        WHERE d.dot / (SQRT(na.n2 * 1.0e0) * SQRT(nb.n2 * 1.0e0))
+              >= 0.5e0 - 5.0e-7
+        ORDER BY d.doc_a, d.doc_b
+        """
+    ).df()
+    # non-vacuous: heavy terms exist AND some surviving pair shares one
+    heavy_shared = con.sql(
+        f"""
+        WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr
+                      FROM '{SF_CORRECT}/documents.parquet'
+                      WHERE len(string_split(text, ' ')) >= 3),
+        toks AS (SELECT doc_id,
+                        array_to_string(list_slice(arr, k + 1, k + 3), ' ')
+                          AS w
+                 FROM arrs, UNNEST(range(len(arr) - 2)) AS t(k)),
+        tf AS (SELECT DISTINCT doc_id, w FROM toks),
+        df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        heavy AS (SELECT w FROM df WHERE df > 4)
+        SELECT COUNT(*) AS n FROM tf a JOIN heavy USING (w)
+        JOIN tf b USING (w) WHERE a.doc_id < b.doc_id
+        """
+    ).df()["n"][0]
+    assert heavy_shared > 0
+    assert len(got) > 0
+    assert len(got) == len(naive)
+    assert (got["doc_a"].values == naive["doc_a"].values).all()
+    assert (got["doc_b"].values == naive["doc_b"].values).all()
+    assert (abs(got["cosine"].values - naive["cosine"].values) < 2e-6).all()

@@ -239,26 +239,50 @@ def ivf_build(
 ) -> DataFrame:
     """Assign every vector to an inverted list: (id, list_id, embedding).
 
-    One scan: cosine against each (literal, broadcast) centroid, argmax via
-    `greatest` over structs — no join, no shuffle. Cosines are snapped with
+    One scan, no join, no shuffle: each Arrow batch scores against the
+    whole codebook as one float64 GEMM (``X @ C.T`` / norm outer) in
+    ``mapInPandas``. The per-centroid JVM expression form (k `greatest`
+    structs of interpreted aggregate lambdas) measured ~2 s per 2k
+    vectors at k=8, d=64 — higher-order lambdas are not codegen'd, and
+    the cost is per row x centroid x dim. Cosines are snapped with
     floor(v*1e5 + 0.5) before the argmax so assignment is reproducible
-    across engines — F.round (HALF_UP) and DuckDB ROUND (half-away) break
-    ties differently for negative cosines (ties break to the lowest
-    centroid id)."""
-    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    scored = [
-        F.struct(
-            F.floor(
-                cosine_col(vec, F.array(*[F.lit(x) for x in cv])) * 100000 + 0.5
-            ).alias("c"),
-            F.lit(-cid).alias("nid"),
-        )
-        for cid, cv in codebook
-    ]
-    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
-    return embeddings.select(
-        F.col(id_col), (-best["nid"]).alias("list_id"), F.col(vec_col)
+    across engines — F.round (HALF_UP) and DuckDB ROUND (half-away)
+    break ties differently for negative cosines; ties break to the
+    lowest centroid id (codebook sorted by cid, np.argmax first-max)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cb = sorted(codebook, key=lambda t: t[0])
+    cids = np.asarray([cid for cid, _ in cb], dtype=np.int64)
+    C = np.asarray([cv for _, cv in cb], dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    in_fields = {f.name: f for f in embeddings.schema.fields}
+    out_schema = StructType(
+        [
+            in_fields[id_col],
+            StructField("list_id", LongType(), False),
+            in_fields[vec_col],
+        ]
     )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xn = np.sqrt((X * X).sum(axis=1))
+            # raw dot / norm outer — the oracle's cosine expression
+            S = np.floor((X @ C.T) / np.outer(xn, cn) * 100000 + 0.5)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "list_id": cids[np.argmax(S, axis=1)],
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
 
 def ivf_probe(

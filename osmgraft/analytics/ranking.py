@@ -40,24 +40,13 @@ def with_global_rank(
     cuts = df.approxQuantile(lead, [i / n_buckets for i in range(1, n_buckets)], 0.001)
     # strict < keeps all lead-column ties in one bucket so the tie-break
     # happens inside a single partitionBy group
-    bucket: Column = F.lit(len(cuts))
-    for i in range(len(cuts) - 1, -1, -1):
-        bucket = F.when(F.col(lead) < F.lit(float(cuts[i])), F.lit(i)).otherwise(bucket)
-    bucketed = df.withColumn("_rk_bucket", bucket)
+    bucketed = df.withColumn("_rk_bucket", _bucket_expr(lead, cuts))
 
     counts = {
         r["_rk_bucket"]: r["n"]
         for r in bucketed.groupBy("_rk_bucket").agg(F.count("*").alias("n")).collect()
     }
-    offsets = []
-    running = 0
-    for b in range(len(cuts) + 1):
-        offsets.append((b, running))
-        running += counts.get(b, 0)
-    offset_col: Column = F.lit(0)
-    for b, off in offsets:
-        if off:
-            offset_col = F.when(F.col("_rk_bucket") == b, F.lit(off)).otherwise(offset_col)
+    offset_col = _offset_expr("_rk_bucket", counts, len(cuts) + 1)
 
     w = Window.partitionBy("_rk_bucket").orderBy(*[F.col(c) for c in order_cols])
     return (
@@ -65,6 +54,34 @@ def with_global_rank(
             rank_col, (F.row_number().over(w) + offset_col).cast("long")
         ).drop("_rk_bucket")
     )
+
+
+def _bucket_expr(lead: str, cuts: list[float]) -> Column:
+    """Range-bucket id as ONE parsed SQL CASE chain. The nested-F.when
+    form costs one py4j round-trip per cut (63 x ~5 ms of driver time
+    per rank column); a single expr string parses JVM-side. Cut values
+    go through a string-literal CAST — repr round-trips doubles
+    exactly, and the repo-wide e-notation rule keeps bare decimals from
+    typing DECIMAL."""
+    if not cuts:
+        return F.lit(0)
+    cases = " ".join(
+        f"WHEN `{lead}` < CAST('{float(c)!r}' AS DOUBLE) THEN {i}"
+        for i, c in enumerate(cuts)
+    )
+    return F.expr(f"CASE {cases} ELSE {len(cuts)} END")
+
+
+def _offset_expr(bucket_col: str, counts: dict[int, int], n: int) -> Column:
+    """Per-bucket global-rank offset as one literal-array lookup (JVM
+    parse, no per-bucket py4j whens): element_at(array(...), bucket+1)."""
+    offsets = []
+    running = 0
+    for b in range(n):
+        offsets.append(running)
+        running += counts.get(b, 0)
+    arr = ",".join(f"{o}L" for o in offsets)
+    return F.expr(f"element_at(array({arr}), `{bucket_col}` + 1)")
 
 
 def ntile_from_rank(rank: Column, n_rows: int, k: int) -> Column:
@@ -83,3 +100,67 @@ def ntile_from_rank(rank: Column, n_rows: int, k: int) -> Column:
         .otherwise(rem + ((rank - big - 1) / base).cast("int") + 1)
         .cast("int")
     )
+
+
+def with_global_ranks(
+    df: DataFrame,
+    specs: list[tuple[list[str], str]],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Add SEVERAL exact global ROW_NUMBER columns in TWO driver actions
+    total — one multi-column ``approxQuantile`` probe and one fused
+    bucket-count pass — instead of two actions per rank column.
+
+    ``specs`` is a list of (order_cols, rank_col) as accepted by
+    ``with_global_rank``; each spec's lead column must be numeric. The
+    k rank windows still shuffle independently (different orders can't
+    share a sort), but the driver round-trips stop scaling with k —
+    the action-count discipline that matters when the input relation
+    is an aggregation the actions would otherwise re-run.
+    """
+    leads = [order_cols[0] for order_cols, _ in specs]
+    probes = [i / n_buckets for i in range(1, n_buckets)]
+    all_cuts = df.approxQuantile(leads, probes, 0.001)
+
+    out = df
+    for (order_cols, rank_col), cuts in zip(specs, all_cuts):
+        out = out.withColumn(
+            f"_rkb_{rank_col}", _bucket_expr(order_cols[0], cuts)
+        )
+
+    # one pass counts every (spec, bucket) cell: k * n_buckets tiny rows
+    fused = (
+        out.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("m"),
+                            F.col(f"_rkb_{rank_col}").alias("b"),
+                        )
+                        for j, (_, rank_col) in enumerate(specs)
+                    ]
+                )
+            ).alias("mb")
+        )
+        .groupBy("mb")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    counts: dict[tuple[int, int], int] = {
+        (r["mb"]["m"], r["mb"]["b"]): r["n"] for r in fused
+    }
+
+    for j, ((order_cols, rank_col), cuts) in enumerate(zip(specs, all_cuts)):
+        offset_col = _offset_expr(
+            f"_rkb_{rank_col}",
+            {b: n for (m, b), n in counts.items() if m == j},
+            len(cuts) + 1,
+        )
+        w = Window.partitionBy(f"_rkb_{rank_col}").orderBy(
+            *[F.col(c) for c in order_cols]
+        )
+        out = out.withColumn(
+            rank_col, (F.row_number().over(w) + offset_col).cast("long")
+        ).drop(f"_rkb_{rank_col}")
+    return out

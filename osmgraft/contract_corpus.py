@@ -4480,7 +4480,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation (bounded by |customers|); each quintile is a 64-way-bucketed
     rank, and the segment rollup is a 6-row agg.
     """
-    from osmgraft.analytics.ranking import ntile_from_rank, with_global_rank
+    from osmgraft.analytics.ranking import ntile_from_rank, with_global_ranks
 
     orders = t(spark, sf_dir, "orders")
     mx = orders.agg(F.max("o_orderdate").alias("mx"))
@@ -4504,20 +4504,29 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_cents",
         )
+        # the three rank passes + count drive 7 bounded driver actions
+        # (approxQuantile/bucket-count per metric); cut once so each
+        # action walks the |customers|-bounded relation, not the orders
+        # scan + agg again
+        .localCheckpoint()
     )
     n_rows = cust.count()
-    r = with_global_rank(cust, ["recency_days", "custkey"], rank_col="_rr")
-    r = r.withColumn(
-        "r_score", 6 - ntile_from_rank(F.col("_rr"), n_rows, 5)
-    ).drop("_rr")
-    r = with_global_rank(r, ["frequency", "custkey"], rank_col="_rf")
-    r = r.withColumn(
-        "f_score", ntile_from_rank(F.col("_rf"), n_rows, 5)
-    ).drop("_rf")
-    r = with_global_rank(r, ["monetary_cents", "custkey"], rank_col="_rm")
-    r = r.withColumn(
-        "m_score", ntile_from_rank(F.col("_rm"), n_rows, 5)
-    ).drop("_rm")
+    # one fused probe + one fused bucket-count action for all three
+    # metrics (with_global_ranks) instead of two actions per metric
+    r = with_global_ranks(
+        cust,
+        [
+            (["recency_days", "custkey"], "_rr"),
+            (["frequency", "custkey"], "_rf"),
+            (["monetary_cents", "custkey"], "_rm"),
+        ],
+    )
+    r = (
+        r.withColumn("r_score", 6 - ntile_from_rank(F.col("_rr"), n_rows, 5))
+        .withColumn("f_score", ntile_from_rank(F.col("_rf"), n_rows, 5))
+        .withColumn("m_score", ntile_from_rank(F.col("_rm"), n_rows, 5))
+        .drop("_rr", "_rf", "_rm")
+    )
     return (
         r.select(F.expr(_RFM_CASE).alias("segment"), "r_score", "f_score",
                  "m_score", "monetary_cents")

@@ -3684,41 +3684,64 @@ def mrl_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: truncation is a zero-cost in-row slice (at scale it is
     a parquet column-prefix read); the audit is the bounded-probe
-    harness — probes broadcast, one pair relation fanned across the 3
-    literal dims, per-(dim, probe) rank windows, one dim rollup.
+    harness — probes collected once and scored per Arrow batch as one
+    prefix-sliced float64 GEMM per rung (``X[:, :d] @ Q[:, :d].T`` over
+    the norm outer — the ``pq_quant_recall`` batch-scoring form; the
+    fanned per-pair slice + interpreted dot lambdas this replaces were
+    ~4 s of the 5 s runtime), per-(dim, probe) rank windows, one dim
+    rollup.
     """
-    from osmgraft.ann.search import _dot, _norm
+    import numpy as np
+    import pandas as pd
 
     emb = t(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = emb.select("vec_id", v.alias("v"))
-    dims = (
-        e.sparkSession.range(1)
-        .select(
-            F.explode(
-                F.array(*[F.lit(d).cast("long") for d in _MRL_DIMS])
-            ).alias("d")
-        )
+    probes = (
+        e.where(F.col("vec_id") % _QZ_QMOD == 0).orderBy("vec_id").toPandas()
     )
-    qs = e.where(F.col("vec_id") % _QZ_QMOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("q_v")
-    )
-    tv = F.slice(F.col("v"), 1, F.col("d").cast("int"))
-    tq = F.slice(F.col("q_v"), 1, F.col("d").cast("int"))
-    pairs = (
-        e.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
-        .crossJoin(F.broadcast(dims))
-        .select(
-            "d",
-            "qid",
-            "vec_id",
-            F.round(
-                _dot(F.col("v"), F.col("q_v"))
-                / (_norm(F.col("v")) * _norm(F.col("q_v"))),
-                5,
-            ).alias("simf"),
-            F.round(_dot(tv, tq) / (_norm(tv) * _norm(tq)), 5).alias("simt"),
-        )
+    qids = probes["vec_id"].to_numpy()
+    Q = np.stack(probes["v"].to_numpy())
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            V = np.stack(pdf["v"].to_numpy())
+            n, q = len(ids), len(qids)
+            rep_id = np.repeat(ids, q)
+            rep_qid = np.tile(qids, n)
+            keep = rep_id != rep_qid
+            sims = {}
+            for d in _MRL_DIMS:
+                Vd, Qd = V[:, :d], Q[:, :d]
+                nv = np.sqrt((Vd * Vd).sum(axis=1))
+                nq = np.sqrt((Qd * Qd).sum(axis=1))
+                sims[d] = np.round(
+                    (Vd @ Qd.T) / np.outer(nv, nq), 5
+                ).ravel()[keep]
+            nv = np.sqrt((V * V).sum(axis=1))
+            nq = np.sqrt((Q * Q).sum(axis=1))
+            full = np.round((V @ Q.T) / np.outer(nv, nq), 5).ravel()[keep]
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "d": np.int64(d),
+                            "qid": rep_qid[keep],
+                            "vec_id": rep_id[keep],
+                            "simf": full,
+                            "simt": sims[d],
+                        }
+                    )
+                    for d in _MRL_DIMS
+                ],
+                ignore_index=True,
+            )
+
+    pairs = e.mapInPandas(
+        score, "d long, qid long, vec_id long, simf double, simt double"
     )
     wf = Window.partitionBy("d", "qid").orderBy(F.desc("simf"), "vec_id")
     wt = Window.partitionBy("d", "qid").orderBy(F.desc("simt"), "vec_id")

@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osmgraft.contract import X_EXPR, Y_EXPR, q, t
-from osmgraft.geo.simplify import simplify_group
 
 _DP_EPS = 150000.0  # planar units; the fixture extent is 700 000 square
 
@@ -74,27 +73,35 @@ def track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker simplification of every user's event track
     (eps = 150 000 planar units on the 700 000-unit fixture extent).
 
-    Scale shape: ONE shuffle (hash on user_id) delivers each track to a
-    task; the per-group kernel is vectorized numpy over Arrow batches
-    (O(n log n) typical, no Python-per-row); track length is bounded per
-    user, so no group outgrows an executor. The recursive-CTE oracle
-    proves the distributed kernel byte-equal to textbook DP — including
-    the first-max tiebreak and the degenerate-chord (c ≡ 0) convention.
+    Scale shape: ONE shuffle (explicit hash repartition on user_id,
+    sorted within partitions by (user_id, event_id)) delivers whole
+    tracks contiguously; a partition-level ``mapInPandas`` kernel
+    (geo/simplify.simplify_partition) assigns per-track seq (arange ==
+    the row_number window it replaces) and dispatches DP per group
+    slice with one numpy boundary scan — no per-track Arrow/pandas
+    slicing tax, and task count is pinned by the explicit partition
+    count instead of AQE's byte-based coalescing (which ran 1500
+    tracks on 2 tasks). Track length is bounded per user, so no group
+    outgrows an executor. The recursive-CTE oracle proves the
+    distributed kernel byte-equal to textbook DP — including the
+    first-max tiebreak and the degenerate-chord (c ≡ 0) convention.
     """
+    from osmgraft.geo.simplify import simplify_partition
+
     ev = t(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         F.expr(X_EXPR).alias("x"),
         F.expr(Y_EXPR).alias("y"),
     )
-    seq = (
-        F.row_number().over(Window.partitionBy("user_id").orderBy("event_id"))
-        - 1
-    ).cast("long")
-    pts = ev.select("user_id", seq.alias("seq"), "x", "y")
-    kept = pts.groupBy("user_id").applyInPandas(
-        lambda pdf: simplify_group(pdf, _DP_EPS),
-        schema="user_id bigint, seq bigint, x double, y double",
+    n_parts = spark.sparkContext.defaultParallelism
+    kept = (
+        ev.repartition(n_parts, "user_id")
+        .sortWithinPartitions("user_id", "event_id")
+        .mapInPandas(
+            lambda it: simplify_partition(it, _DP_EPS),
+            schema="user_id bigint, seq bigint, x double, y double",
+        )
     )
     snap = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
     return kept.select(

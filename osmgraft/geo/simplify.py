@@ -67,3 +67,43 @@ def simplify_group(pdf, eps: float):
         eps,
     )
     return pdf.loc[mask]
+
+
+def simplify_partition(batches, eps: float):
+    """``mapInPandas`` kernel over one PARTITION hash-partitioned by
+    user_id and sorted by (user_id, event_id): assigns each track's seq
+    (arange over its sorted rows == the row_number window it replaces)
+    and runs ``dp_keep_mask`` per contiguous group slice.
+
+    The per-group ``applyInPandas`` form paid ~1 ms of Arrow/pandas
+    slicing per track (1500 tracks x 2 AQE-coalesced tasks ≈ 4 s at
+    sf0.1); here group dispatch is one numpy boundary scan per
+    partition and the only per-track cost is the DP kernel itself.
+    Memory is bounded by the partition (one shuffle's worth of rows),
+    the same bound the grouped form had for its largest group-set."""
+    import pandas as pd
+
+    chunks = list(batches)
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    if pdf.empty:
+        return
+    u = pdf["user_id"].to_numpy()
+    x = pdf["x"].to_numpy(dtype=np.float64)
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    ends = np.r_[starts[1:], len(u)]
+    mask = np.empty(len(u), dtype=bool)
+    seq = np.empty(len(u), dtype=np.int64)
+    for s, e in zip(starts, ends):
+        mask[s:e] = dp_keep_mask(x[s:e], y[s:e], eps)
+        seq[s:e] = np.arange(e - s)
+    yield pd.DataFrame(
+        {
+            "user_id": u[mask],
+            "seq": seq[mask],
+            "x": x[mask],
+            "y": y[mask],
+        }
+    )

@@ -460,15 +460,19 @@ def test_pmi_pairs_generated_in_row(spark):
 
 
 def test_track_simplify_single_user_shuffle(spark):
-    """Douglas-Peucker tracks: ONE hash exchange on user_id delivers each
-    track to its task; the kernel is Arrow-batched (FlatMapGroupsInPandas),
-    and nothing plans cartesian."""
+    """Douglas-Peucker tracks: ONE explicit hash exchange on user_id
+    (AQE-coalescing-proof partition count) delivers whole tracks sorted
+    within partitions; the kernel is one partition-level Arrow batch
+    (MapInPandas — no per-track FlatMapGroupsInPandas slicing), and
+    nothing plans cartesian."""
     import osmgraft.contract_tracks  # noqa: F401
 
     df = QUERIES["track_simplify"](spark, SF_CORRECT)
     plan = plan_of(df)
-    assert "FlatMapGroupsInPandas" in plan
-    assert plan.count("hashpartitioning") <= 2  # window seq + group delivery
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert plan.count("hashpartitioning") <= 1  # the track delivery shuffle
+    assert "Sort" in plan  # (user_id, event_id) within partitions
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 

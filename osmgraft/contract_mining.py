@@ -1309,45 +1309,64 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation at round {_MR_ROUNDS} is a lower bound computed
     identically on both engines.
 
-    Scale shape: journeys reduce via ONE user-keyed window pass; the
-    chain is a |states|^2 relation; all five variants iterate TOGETHER
-    in one variant-keyed relation — O(rounds) broadcast-join stages
-    over at most 5 x 36 rows, raw events scanned once.
+    Scale shape: journeys reduce via ONE user-keyed window pass (the
+    only part that touches raw events — scanned once); the chain is a
+    variants x |states|^2 relation (<= 5 x 36 rows), collected once and
+    value-iterated driver-side in exact integers — the bounded-relation
+    train-collect discipline (``hard_sigmoid_logreg``), chosen over
+    per-round broadcast-join stages whose scheduling cost dwarfs the
+    180-row arithmetic.
     """
     ev = t(spark, sf_dir, "events").select(
-        "user_id", F.col("event_type").alias("et"), "event_id",
-        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+        "user_id",
+        F.struct(
+            F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+            F.col("event_id"),
+            F.col("event_type").alias("et"),
+        ).alias("s"),
     )
-    w = Window.partitionBy("user_id").orderBy("es", "event_id")
-    seq = ev.select(
-        "user_id", "et", F.row_number().over(w).alias("rn")
+    # ONE user-keyed shuffle: the journey sorts, truncates at first
+    # purchase, and emits all its transition tallies in-row (start edge,
+    # lag pairs, terminal null edge) — replacing the former
+    # window + first-purchase agg + self-join + second lag-window pass
+    # (4 shuffles and a checkpoint over the same rows)
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("s")).alias("arr")
     )
-    ua = seq.groupBy("user_id").agg(
-        F.min(F.when(F.col("et") == "purchase", F.col("rn"))).alias("pr"),
-        F.max("rn").alias("mx"),
-    )
-    pref = (
-        seq.join(ua, "user_id")
-        .where(F.col("rn") <= F.coalesce("pr", "mx"))
-        .localCheckpoint()
-    )
-    dst_map = F.when(F.col("et") == "purchase", F.lit("conv")).otherwise(
-        F.col("et")
-    )
-    wp = Window.partitionBy("user_id").orderBy("rn")
-    t1 = (
-        pref.select(
-            F.lag("et").over(wp).alias("src"), dst_map.alias("dst")
+    pe = per_user.select(
+        F.expr("transform(arr, x -> x.et)").alias("ets")
+    ).select(
+        F.expr(
+            "slice(ets, 1,"
+            " CASE WHEN array_position(ets, 'purchase') > 0"
+            " THEN CAST(array_position(ets, 'purchase') AS INT)"
+            " ELSE size(ets) END)"
+        ).alias("pe")
+    ).where(F.expr("size(pe) > 0"))
+    talls = pe.select(
+        F.explode(
+            F.expr(
+                """
+        concat(
+          array(named_struct(
+            'src', 'start',
+            'dst', CASE WHEN element_at(pe, 1) = 'purchase'
+                        THEN 'conv' ELSE element_at(pe, 1) END)),
+          zip_with(
+            slice(pe, 1, size(pe) - 1),
+            slice(pe, 2, size(pe) - 1),
+            (a, b) -> named_struct(
+              'src', a,
+              'dst', CASE WHEN b = 'purchase' THEN 'conv' ELSE b END)),
+          CASE WHEN element_at(pe, -1) <> 'purchase'
+               THEN array(named_struct(
+                 'src', element_at(pe, -1), 'dst', 'null'))
+               ELSE array() END
         )
-        .where(F.col("src").isNotNull())
-    )
-    t2 = pref.where(F.col("rn") == 1).select(
-        F.lit("start").alias("src"), dst_map.alias("dst")
-    )
-    t3 = pref.where(F.col("pr").isNull() & (F.col("rn") == F.col("mx"))).select(
-        F.col("et").alias("src"), F.lit("null").alias("dst")
-    )
-    talls = t1.unionAll(t2).unionAll(t3)
+        """
+            )
+        ).alias("e")
+    ).select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
     cm = talls.groupBy("src", "dst").agg(
         F.count("*").cast("long").alias("c")
     )
@@ -1369,69 +1388,50 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pvraw = variants[0]
     for vdf in variants[1:]:
         pvraw = pvraw.unionAll(vdf)
-    pvg = (
-        pvraw.groupBy("variant", "src", "dst")
-        .agg(F.sum("p_micro").cast("long").alias("p_micro"))
-        .localCheckpoint()
+    pvg = pvraw.groupBy("variant", "src", "dst").agg(
+        F.sum("p_micro").cast("long").alias("p_micro")
     )
-    v = pvg.select("variant", "src").distinct().select(
-        "variant", F.col("src").alias("state"),
-        F.lit(0).cast("long").alias("v"),
-    )
-    for r in range(_MR_ROUNDS):
-        vv = v.select(
-            F.col("variant").alias("variant_v"),
-            F.col("state"), F.col("v"),
+    # the chain relation is bounded by variants x |states|^2 (<= 5 x 36
+    # rows here, <= a few thousand for any channel taxonomy), so the
+    # 12-round value iteration runs driver-side on the once-collected
+    # chain (the hard_sigmoid_logreg train-collect discipline) instead
+    # of 12 broadcast-join stages whose scheduling dwarfs the 180-row
+    # arithmetic. Integer semantics unchanged: all terms non-negative,
+    # so Python // == the oracle's floor div.
+    edges: dict[str, list[tuple[str, str, int]]] = {}
+    for r in pvg.collect():
+        edges.setdefault(r["variant"], []).append(
+            (r["src"], r["dst"], r["p_micro"])
         )
-        v = (
-            pvg.join(
-                F.broadcast(vv),
-                (F.col("variant") == F.col("variant_v"))
-                & (F.col("dst") == F.col("state")),
-                "left",
-            )
-            .groupBy("variant", "src")
-            .agg(
-                F.expr(
-                    "SUM(p_micro * CASE WHEN dst = 'conv' THEN 1000000"
-                    " WHEN dst = 'null' THEN 0"
-                    " ELSE COALESCE(v, 0) END) div 1000000"
-                ).alias("v")
-            )
-            .select("variant", F.col("src").alias("state"), "v")
-        )
-        # eager checkpoint every round: the vector is ~20 rows; materializing
-        # it keeps each round's broadcast shallow (nested lazy broadcasts
-        # across 12 rounds serialize into a scheduler stall)
-        v = v.localCheckpoint()
-    res = v.where(F.col("state") == "start").select("variant", "v")
-    base = res.where(F.col("variant") == "base").select(
-        F.col("v").alias("pb")
-    )
-    eff = (
-        res.where(F.col("variant") != "base")
-        .crossJoin(F.broadcast(base))
-        .select(
-            F.col("variant").alias("channel"),
-            F.col("v").alias("p_removed_micro"),
-            F.greatest(F.col("pb") - F.col("v"), F.lit(0).cast("long"))
-            .alias("effect"),
-            "pb",
-        )
-    )
-    te = eff.agg(F.sum("effect").cast("long").alias("s"))
-    return (
-        eff.crossJoin(F.broadcast(te))
-        .select(
-            "channel",
-            F.col("pb").cast("long").alias("p_base_micro"),
-            F.col("p_removed_micro").cast("long").alias("p_removed_micro"),
-            F.col("effect").cast("long").alias("removal_effect_micro"),
-            F.expr("CAST(effect * 1000000 div NULLIF(s, 0) AS BIGINT)")
-            .alias("attribution_ppm"),
-        )
-        .orderBy("channel")
-    )
+    vals = {
+        var: {src: 0 for src, _, _ in es} for var, es in edges.items()
+    }
+    for _ in range(_MR_ROUNDS):
+        nxt = {}
+        for var, es in edges.items():
+            acc = {src: 0 for src in vals[var]}
+            for src, dst, p in es:
+                if dst == "conv":
+                    acc[src] += p * 1000000
+                elif dst != "null":
+                    acc[src] += p * vals[var].get(dst, 0)
+            nxt[var] = {s: a // 1000000 for s, a in acc.items()}
+        vals = nxt
+    pb = vals["base"].get("start", 0)
+    out = []
+    for ch in sorted(_MR_CHANNELS):
+        p_removed = vals[ch].get("start", 0)
+        out.append((ch, pb, p_removed, max(pb - p_removed, 0)))
+    te = sum(e for _, _, _, e in out)
+    rows = [
+        (ch, pb, pr, e, (e * 1000000) // te if te else None)
+        for ch, pb, pr, e in out
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_base_micro long, p_removed_micro long, "
+        "removal_effect_micro long, attribution_ppm long",
+    ).orderBy("channel")
 
 
 # ---------------------------------------------------------------------------

@@ -278,19 +278,25 @@ def track_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell jitter — GPS tracks are spatially LOCAL, which is exactly what
     makes the cell strategy work; the global-random fixture points would
     make every bbox span the map), segments come from a per-user LAG,
-    candidate pairs from an EQUI-join on shared grid cells (a segment
-    spans ≤ 9 cells by construction), duplicates from multi-cell overlap
-    removed by the canonical-cell filter (a pair is tested only in the
-    lexicographically smallest common cell — r04 rewrite; the old
-    wide-row DISTINCT was a 1e8-row hash shuffle), and the exact test is
-    the classic orientation predicate — integer coordinates make every
-    cross product EXACT in int64, and comparing SIGN products avoids the
-    d1·d2 overflow (crosses ~5e11; their product would not fit).
+    candidate pairs generated per shared grid cell (a segment spans ≤ 9
+    cells by construction) INSIDE a cell-cogrouped numpy kernel — the
+    second r04 rewrite: the cell-keyed equi-join materialized ~1.2e8
+    candidate JVM rows through codegen (19 s at sf0.1); the kernel
+    builds the same pairs as chunked boolean masks (canonical-cell
+    dedup: a pair is tested only in the lexicographically smallest
+    common cell; plus a bbox-overlap prefilter — a proper crossing
+    implies overlapping bboxes) and each cell emits pre-aggregated
+    (user_a, user_b) counts. The exact test is the classic orientation
+    predicate — integer coordinates make every cross product EXACT in
+    int64 (numpy int64 == the JVM arithmetic), and comparing SIGN
+    products avoids the d1·d2 overflow (crosses ~5e11; their product
+    would not fit).
 
     Scale shape: the quadratic risk lives only inside a cell (the
-    standard spatial-join bound — salting via `hot_cell_salted_profile`'s
-    machinery if a cell is London-hot); everything else is windows keyed
-    by user, one cell-keyed equi-join, one pair-keyed dedup + rollup,
+    standard spatial-join bound — sub-divide with the ``ann/pairs.py``
+    lane split if a cell is London-hot); everything else is windows
+    keyed by user, ONE explicit hash repartition on the cell key
+    (AQE-coalescing-proof), a tiny count rollup,
     TakeOrderedAndProject for the top-20.
     """
     ev = t(spark, sf_dir, "events").where(F.col("user_id") % 4 == 0)
@@ -335,68 +341,99 @@ def track_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cy"),
         )
     )
-    a = cells.select(
-        F.col("user_id").alias("ua"), F.col("seq").alias("sa"),
-        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
-        F.col("x2").alias("ax2"), F.col("y2").alias("ay2"),
-        "cx", "cy",
+    import numpy as np
+    import pandas as pd
+
+    seg = cells.select(
+        "cx", "cy", F.col("user_id").alias("ua"), "x1", "y1", "x2", "y2"
     )
-    b = cells.select(
-        F.col("user_id").alias("ub"), F.col("seq").alias("sb"),
-        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
-        F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
-        F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+    csl = int(cs)
+    chunk = 2048
+    empty = pd.DataFrame(
+        {
+            "user_a": pd.Series(dtype="int64"),
+            "user_b": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+        }
     )
-    # canonical-cell dedup (no wide-row DISTINCT): a pair sharing k cells
-    # appears k times in the equi-join; keep only the occurrence in the
-    # lexicographically smallest common cell — max of the two bbox minima,
-    # recomputed from the pair row's own coordinates. Turns an
-    # O(candidate-pairs) hash-dedup shuffle into a codegen filter.
-    cand = (
-        a.join(
-            b,
-            (F.col("cx") == F.col("bcx"))
-            & (F.col("cy") == F.col("bcy"))
-            & (F.col("ua") < F.col("ub")),
-        )
-        .where(
-            (
-                F.col("cx")
-                == F.greatest(
-                    F.floor(F.least("ax1", "ax2") / cs).cast("long"),
-                    F.floor(F.least("bx1", "bx2") / cs).cast("long"),
-                )
+
+    def cell_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # one cell's segment set: the candidate pairs never materialize
+        # as JVM rows — chunked numpy masks do the canonical-cell dedup,
+        # a bbox-overlap prefilter (a proper crossing implies overlapping
+        # bboxes), then the exact int64 orientation predicate, and the
+        # cell emits pre-aggregated (user_a, user_b) counts
+        n = len(pdf)
+        if n < 2:
+            return empty
+        kcx, kcy = int(key[0]), int(key[1])
+        ua = pdf["ua"].to_numpy()
+        x1 = pdf["x1"].to_numpy()
+        y1 = pdf["y1"].to_numpy()
+        x2 = pdf["x2"].to_numpy()
+        y2 = pdf["y2"].to_numpy()
+        lox, hix = np.minimum(x1, x2), np.maximum(x1, x2)
+        loy, hiy = np.minimum(y1, y2), np.maximum(y1, y2)
+        # canonical cell of a pair = max of the two bbox-min cells
+        # (coords are non-negative ints, so // == the engine's floor/div)
+        mcx, mcy = lox // csl, loy // csl
+        pa, pb = [], []
+        for lo in range(0, n, chunk):
+            s = slice(lo, lo + chunk)
+            m = ua[s, None] < ua[None, :]
+            m &= np.maximum(mcx[s, None], mcx[None, :]) == kcx
+            m &= np.maximum(mcy[s, None], mcy[None, :]) == kcy
+            m &= (lox[s, None] <= hix[None, :]) & (
+                lox[None, :] <= hix[s, None]
             )
-            & (
-                F.col("cy")
-                == F.greatest(
-                    F.floor(F.least("ay1", "ay2") / cs).cast("long"),
-                    F.floor(F.least("by1", "by2") / cs).cast("long"),
-                )
+            m &= (loy[s, None] <= hiy[None, :]) & (
+                loy[None, :] <= hiy[s, None]
             )
+            ii, jj = np.nonzero(m)
+            if len(ii) == 0:
+                continue
+            ii += lo
+            d1 = (x2[ii] - x1[ii]) * (y1[jj] - y1[ii]) - (
+                x1[jj] - x1[ii]
+            ) * (y2[ii] - y1[ii])
+            d2 = (x2[ii] - x1[ii]) * (y2[jj] - y1[ii]) - (
+                x2[jj] - x1[ii]
+            ) * (y2[ii] - y1[ii])
+            d3 = (x2[jj] - x1[jj]) * (y1[ii] - y1[jj]) - (
+                x1[ii] - x1[jj]
+            ) * (y2[jj] - y1[jj])
+            d4 = (x2[jj] - x1[jj]) * (y2[ii] - y1[jj]) - (
+                x2[ii] - x1[jj]
+            ) * (y2[jj] - y1[jj])
+            hit = (np.sign(d1) * np.sign(d2) < 0) & (
+                np.sign(d3) * np.sign(d4) < 0
+            )
+            if hit.any():
+                pa.append(ua[ii[hit]])
+                pb.append(ua[jj[hit]])
+        if not pa:
+            return empty
+        pairs = np.stack(
+            [np.concatenate(pa), np.concatenate(pb)], axis=1
         )
-        .drop("cx", "cy", "bcx", "bcy")
-    )
-    d1 = (F.col("ax2") - F.col("ax1")) * (F.col("by1") - F.col("ay1")) - (
-        F.col("bx1") - F.col("ax1")
-    ) * (F.col("ay2") - F.col("ay1"))
-    d2 = (F.col("ax2") - F.col("ax1")) * (F.col("by2") - F.col("ay1")) - (
-        F.col("bx2") - F.col("ax1")
-    ) * (F.col("ay2") - F.col("ay1"))
-    d3 = (F.col("bx2") - F.col("bx1")) * (F.col("ay1") - F.col("by1")) - (
-        F.col("ax1") - F.col("bx1")
-    ) * (F.col("by2") - F.col("by1"))
-    d4 = (F.col("bx2") - F.col("bx1")) * (F.col("ay2") - F.col("by1")) - (
-        F.col("ax2") - F.col("bx1")
-    ) * (F.col("by2") - F.col("by1"))
-    hits = cand.where(
-        (F.signum(d1) * F.signum(d2) < 0) & (F.signum(d3) * F.signum(d4) < 0)
+        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pd.DataFrame(
+            {
+                "user_a": uniq[:, 0],
+                "user_b": uniq[:, 1],
+                "n": cnt.astype("int64"),
+            }
+        )
+
+    n_parts = spark.sparkContext.defaultParallelism
+    counts = (
+        seg.repartition(n_parts, "cx", "cy")
+        .groupBy("cx", "cy")
+        .applyInPandas(cell_kernel, "user_a long, user_b long, n long")
     )
     return (
-        hits.groupBy(
-            F.col("ua").alias("user_a"), F.col("ub").alias("user_b")
-        )
-        .agg(F.count("*").cast("long").alias("n_crossings"))
+        counts.groupBy("user_a", "user_b")
+        .agg(F.sum("n").cast("long").alias("n_crossings"))
         .orderBy(F.desc("n_crossings"), "user_a", "user_b")
         .limit(20)
     )

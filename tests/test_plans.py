@@ -1255,17 +1255,19 @@ def test_peak_concurrency_sweep_is_hour_keyed(spark):
 
 
 def test_track_crossings_dedup_is_a_filter_not_a_shuffle(spark):
-    """Multi-cell candidate dedup must be the canonical-cell FILTER
-    (r04 rewrite) — the plan may contain no aggregate-based distinct
-    over the candidate pair stream and no cartesian fallback. The only
+    """Candidate pairs must live inside the cell-cogrouped numpy kernel
+    (second r04 rewrite) — the plan carries the FlatMapGroupsInPandas
+    stage and no join that would materialize the pair stream as JVM
+    rows, no aggregate-based distinct, no cartesian fallback. The only
     aggregates allowed are the final (user_a, user_b) rollup."""
     import osmgraft.contract_tracks  # noqa: F401
 
     df = QUERIES["track_crossings"](spark, SF_CORRECT)
     plan = plan_of(df)
+    assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     # one partial+final pair for the rollup, one for the top-k ordering —
-    # a distinct over the join output would add a third HashAggregate pair
-    # keyed by the 12 candidate columns
+    # a distinct over the pair stream would add a third HashAggregate pair
     assert plan.count("HashAggregate") <= 4, plan

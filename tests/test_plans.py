@@ -942,13 +942,16 @@ def test_winsorized_bounds_broadcast_back(spark):
 
 
 def test_mrl_probe_harness_shape(spark):
-    """Probes and the dim spine broadcast; rank windows key on
-    (d, qid) — never a global window."""
+    """Probes score as one prefix-sliced GEMM per rung inside a single
+    Arrow MapInPandas scan (the pq/int8 batch-scoring form — no fanned
+    pair join); rank windows key on (d, qid) — never a global window."""
     import osmgraft.contract_text  # noqa: F401
 
     df = QUERIES["mrl_trunc_recall"](spark, SF_CORRECT)
     plan = plan_of(df)
-    assert plan.count("BroadcastExchange") >= 2
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(d" in plan
 
 
@@ -1004,18 +1007,22 @@ def test_lpa_rounds_are_equi_joins(spark):
 
 def test_rfm_has_no_single_partition_window(spark):
     """RFM: quintiles come from the bucketed two-level rank — every
-    Window in the plan is partitioned by the rank bucket, and the only
-    SinglePartition exchange is the benign one-row scalar MAX(orderdate)
-    aggregate (the HITS scalar-build precedent)."""
+    Window in the plan is partitioned by the rank bucket and NO
+    SinglePartition exchange remains (the one-row scalar MAX(orderdate)
+    aggregate now lives inside the checkpointed per-customer relation,
+    so the ranking plan starts from its bounded materialization)."""
     import osmgraft.contract_corpus  # noqa: F401
 
     df = QUERIES["rfm_segments"](spark, SF_CORRECT)
     plan = plan_of(df)
-    for line in plan.splitlines():
-        if "windowspecdefinition" in line:
-            assert "_rk_bucket" in line, line
-    assert plan.count("SinglePartition") == 1
-    assert "partial_max" in plan  # the scalar agg is map-side partial first
+    win_lines = [
+        line for line in plan.splitlines() if "windowspecdefinition" in line
+    ]
+    assert win_lines  # the three quintile rank windows are present
+    for line in win_lines:
+        # with_global_ranks names its bucket columns _rkb_<rank_col>
+        assert "_rkb_" in line, line
+    assert plan.count("SinglePartition") == 0
 
 
 def test_mad_median_joins_are_broadcast(spark):

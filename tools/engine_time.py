@@ -1,0 +1,64 @@
+"""Engine-only timing: run named queries() entries on Spark ONLY (no
+DuckDB oracle), warmed best-of-N — the harness the round-4 perf passes
+used to separate engine cost from the parity sweep's combined
+Spark+DuckDB `sec` fields.
+
+Usage: python tools/engine_time.py name [name ...] [--sf DIR] [--n N]
+       python tools/engine_time.py --all [--sf DIR]   # cold one-shot sweep
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+    sf_dir = "/root/testdata/sf0.1"
+    n = 3
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf_dir = args[i + 1]
+        del args[i : i + 2]
+    if "--n" in args:
+        i = args.index("--n")
+        n = int(args[i + 1])
+        del args[i : i + 2]
+    run_all = "--all" in args
+    if run_all:
+        args.remove("--all")
+
+    from osmgraft.session import get_spark
+
+    spark = get_spark("engine_time")
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    spark.range(10).count()  # session warmup
+    if run_all:
+        out = {}
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            rows = len(fn(spark, sf_dir).collect())
+            out[name] = {"sec": round(time.perf_counter() - t0, 3),
+                         "rows": rows}
+        for name, v in sorted(out.items(), key=lambda kv: -kv[1]["sec"]):
+            print(f"{v['sec']:8.2f}  {name}")
+        json.dump(out, open("engine_sweep.json", "w"))
+        return 0
+    for name in args:
+        best, rows = None, 0
+        for _ in range(n):
+            t0 = time.perf_counter()
+            rows = len(qs[name](spark, sf_dir).collect())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"{name}: best {best:.2f}s rows={rows}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -201,19 +201,41 @@ _NGRAM_PAIRS_SQL = f"""
 @q("ngram_jaccard_pairs", oracle=_NGRAM_PAIRS_SQL)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rare-shingle-blocked word-3-gram Jaccard near-dup pairs (the exact
-    verification stage of the MinHash/LSH path, with LSH-style blocking)."""
+    verification stage of the MinHash/LSH path, with LSH-style blocking).
+
+    The shingle stream aggregates to (doc_id, shingle, occ) ONCE and is
+    cut there (the ``tfidf_cosine_pairs`` materialize-the-reused-
+    relation discipline — the rare filter, sizes, and both self-join
+    sides otherwise re-run the shingle explode each). Occurrence
+    semantics are preserved exactly: the per-occurrence self-join count
+    equals SUM(occ_a * occ_b) over shared shingles, and sizes are
+    SUM(occ)."""
     docs = t(spark, sf_dir, "documents")
     sd = shingles(docs, n=3)
-    rare = sd.groupBy("shingle").count().where(F.col("count") <= _RARE_MAX).select("shingle")
-    rs = sd.join(rare, "shingle")
-    sizes = rs.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = rs.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = rs.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sc = sd.groupBy("doc_id", "shingle").agg(
+        F.count("*").alias("occ")
+    ).localCheckpoint()
+    rare = (
+        sc.groupBy("shingle")
+        .agg(F.sum("occ").alias("count"))
+        .where(F.col("count") <= _RARE_MAX)
+        .select("shingle")
+    )
+    rs = sc.join(rare, "shingle")
+    sizes = rs.groupBy("doc_id").agg(F.sum("occ").alias("n"))
+    a = rs.select(
+        F.col("doc_id").alias("doc_a"), "shingle",
+        F.col("occ").alias("occ_a"),
+    )
+    b = rs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"),
+        F.col("occ").alias("occ_b"),
+    )
     ov = (
-        a.join(b, "shingle")
+        a.join(b, F.col("shingle") == F.col("sh_b"))
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("overlap"))
+        .agg(F.sum(F.col("occ_a") * F.col("occ_b")).alias("overlap"))
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))

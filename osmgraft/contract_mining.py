@@ -1403,6 +1403,16 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.setdefault(r["variant"], []).append(
             (r["src"], r["dst"], r["p_micro"])
         )
+    if not edges:
+        # empty events -> empty chain -> the oracle's eff CTE is empty
+        # and its final select returns 0 rows; indexing vals["base"]
+        # below would KeyError instead — short-circuit to the same
+        # empty result.
+        return spark.createDataFrame(
+            [],
+            "channel string, p_base_micro long, p_removed_micro long, "
+            "removal_effect_micro long, attribution_ppm long",
+        )
     vals = {
         var: {src: 0 for src, _, _ in es} for var, es in edges.items()
     }

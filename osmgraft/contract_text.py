@@ -3722,8 +3722,25 @@ def mrl_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         e.where(F.col("vec_id") % _QZ_QMOD == 0).orderBy("vec_id").toPandas()
     )
+    out_schema = (
+        "trunc_dim long, n_queries long, mean_recall_at10 double, "
+        "mean_abs_sim_err double"
+    )
+    if len(probes) == 0:
+        # no vec_id % _QZ_QMOD == 0 probe: the oracle's qs CTE is empty
+        # and its final select returns 0 rows — match it instead of
+        # letting np.stack raise on an empty object array.
+        return spark.createDataFrame([], out_schema)
     qids = probes["vec_id"].to_numpy()
     Q = np.stack(probes["v"].to_numpy())
+
+    def snap5(x):
+        # DuckDB ROUND is half-AWAY-from-zero on doubles; np.round is
+        # half-to-even — a cosine landing on an exact .5 tie at the 5th
+        # decimal would snap differently per engine and flip the
+        # (d, qid) rank windows (the drift class the IVF floor-snap
+        # discipline exists to prevent), so snap half-away explicitly.
+        return np.sign(x) * np.floor(np.abs(x) * 1e5 + 0.5) / 1e5
 
     def score(batches):
         for pdf in batches:
@@ -3740,12 +3757,12 @@ def mrl_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Vd, Qd = V[:, :d], Q[:, :d]
                 nv = np.sqrt((Vd * Vd).sum(axis=1))
                 nq = np.sqrt((Qd * Qd).sum(axis=1))
-                sims[d] = np.round(
-                    (Vd @ Qd.T) / np.outer(nv, nq), 5
+                sims[d] = snap5(
+                    (Vd @ Qd.T) / np.outer(nv, nq)
                 ).ravel()[keep]
             nv = np.sqrt((V * V).sum(axis=1))
             nq = np.sqrt((Q * Q).sum(axis=1))
-            full = np.round((V @ Q.T) / np.outer(nv, nq), 5).ravel()[keep]
+            full = snap5((V @ Q.T) / np.outer(nv, nq)).ravel()[keep]
             yield pd.concat(
                 [
                     pd.DataFrame(

@@ -44,13 +44,36 @@ def test_ordered_names_is_registry_permutation():
     assert sorted(names) == sorted(C.QUERIES)
 
 
-def test_r04_window_fronts_the_ordering_today():
+def test_r04_window_fronts_under_r03_history():
+    """Synthetic r03-era history (no r04 rows yet): the r04 window
+    fronts the ordering. The old ``today`` form of this assertion went
+    stale the moment the driver wrote CORRECTNESS_r04.json (r04 names
+    correctly retire on their greens) — round-4 verdict, What's wrong
+    #1; the epoch now lives in the fixture, not the filesystem."""
+    out = _with_history(set(), set(), set())
+    assert out[: len(E._R04_WINDOW)] == list(E._R04_WINDOW)
+
+
+def test_todays_front_window_is_useful():
+    """Epoch-independent: whatever CORRECTNESS files exist on disk, every
+    slot the driver will actually record (first 50) must be able to
+    produce a useful row — no terminal no_oracle names, and nothing
+    already green unless it is a queued re-verification still awaiting
+    its post-rewrite row."""
     names = E._ordered_names()
-    assert names[: len(names[:50])][:4] == list(E._R04_WINDOW[:4])
-    # every real window slot is oracle-paired or an intended rows-only —
-    # the four terminal no_oracle names must not appear
     verified, terminal = E._driver_history()
-    assert not (set(names[:50]) & set(terminal))
+    fresh4 = E._driver_history.seen_r4plus
+    fresh5 = E._driver_history.seen_r5plus
+    unverified = [n for n in names if n not in verified and n not in terminal]
+    front = names[: min(50, len(unverified))]
+    assert not (set(front) & set(terminal))
+    for n in front:
+        if n in REVERIFY:
+            assert n not in fresh4, n
+        elif n == "embedding_neardup_pairs":
+            assert n not in fresh5, n
+        else:
+            assert n not in verified, n
 
 
 def test_terminal_no_oracle_names_sort_last():
@@ -91,21 +114,29 @@ def test_missed_window_row_requeues():
 
 def test_r05_window_names_are_registered_and_unverified_today():
     verified, terminal = E._driver_history()
+    fresh5 = E._driver_history.seen_r5plus
     reverify5 = {"embedding_neardup_pairs"}  # r01 green, rewritten round 4
     for n in E._R05_WINDOW:
         assert n in C.QUERIES, n
         if n not in reverify5:
-            assert n not in verified, f"{n} already green — drop from _R05_WINDOW"
+            # pre-r05-driver-run: must be unverified; once the r05 file
+            # lands, any green is recorded as a round >= 5 row
+            assert n not in verified or n in fresh5, (
+                f"{n} green before r05 — drop from _R05_WINDOW"
+            )
         assert n not in terminal, n
     assert len(set(E._R05_WINDOW)) == len(E._R05_WINDOW) == 52
 
 
 def test_r05_reverify_entry_queued_despite_old_green():
     """embedding_neardup_pairs carries an r01 green recorded against the
-    pre-GEMM refine: it must lead the r05 queue DESPITE being verified
-    (today no round >= 5 green exists, so it may not sort into `seen`)."""
+    pre-GEMM refine: it must lead the r05 queue DESPITE being verified —
+    until a round >= 5 green retires it (epoch-conditional so the test
+    stays true after the driver writes CORRECTNESS_r05.json)."""
     names = E._ordered_names()
-    assert "embedding_neardup_pairs" in names[:60]
     seen, _terminal = E._driver_history()
     assert "embedding_neardup_pairs" in seen  # r01 evidence exists
-    assert "embedding_neardup_pairs" not in E._driver_history.seen_r5plus
+    if "embedding_neardup_pairs" in E._driver_history.seen_r5plus:
+        assert "embedding_neardup_pairs" not in names[:50]
+    else:
+        assert "embedding_neardup_pairs" in names[:60]

@@ -42,12 +42,13 @@ def main() -> int:
         out = {}
         for name, fn in qs.items():
             t0 = time.perf_counter()
-            rows = len(fn(spark, sf_dir).collect())
+            rows = fn(spark, sf_dir).count()
             out[name] = {"sec": round(time.perf_counter() - t0, 3),
                          "rows": rows}
         for name, v in sorted(out.items(), key=lambda kv: -kv[1]["sec"]):
             print(f"{v['sec']:8.2f}  {name}")
-        json.dump(out, open("engine_sweep.json", "w"))
+        with open("engine_sweep.json", "w") as f:
+            json.dump(out, f)
         return 0
     for name in args:
         best, rows = None, 0

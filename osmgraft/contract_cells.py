@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osmgraft.contract import _event_points, _pts_cte, q, t
+from osmgraft.runtime.cut import cut
 from osmgraft.geo import hexgrid as hg
 from osmgraft.geo import s2
 
@@ -493,7 +494,7 @@ def hex_polyfill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3.5s with codegen on). Post-barrier the key is a plain column. The
     # alternative cover-as-data path is hexgrid.hex_polyfill_df (executor-
     # side cover generation for partition pruning on cell-sorted tables).
-    agg = cells.groupBy("hex_cell").agg(F.count("*").alias("n")).localCheckpoint()
+    agg = cells.groupBy("hex_cell").agg(F.count("*").alias("n")).transform(cut)
     cx, cy = hg.hex_center_cols(F.col("hex_cell"), HEX_COARSE)
     return agg.where(hg.point_in_ring_col(cx, cy, ring)).orderBy("hex_cell")
 
@@ -1849,7 +1850,7 @@ def grid_dbscan(
         "py",
         F.floor(F.col("px") / w).cast("long").alias("cx"),
         F.floor(F.col("py") / w).cast("long").alias("cy"),
-    ).localCheckpoint()  # O(points); read by every pass below
+    ).transform(cut)  # O(points); read by every pass below
     # packed cell id for grouping/CC (coordinates are small; offset
     # keeps it positive)
     _cid = "(cx + 1048576) * 4194304 + (cy + 1048576)"
@@ -1902,7 +1903,7 @@ def grid_dbscan(
             + 1 >= min_pts
         )
         .select("event_id", "cx", "cy")
-        .localCheckpoint()  # O(points)
+        .transform(cut)  # O(points)
     )
     # pass 2: every pair (any ea) x (CORE eb) reduced to the compact
     # per-(point, core-neighbor-cell) relation — O(points x ring), cut
@@ -1926,7 +1927,7 @@ def grid_dbscan(
                 "(bcx + 1048576) * 4194304 + (bcy + 1048576)"
             ).alias("cell_b"),
         )
-        .localCheckpoint()
+        .transform(cut)
     )
     core_ids = core.select("event_id")
     # cell-level core graph: one representative edge per cell pair with
@@ -3300,7 +3301,7 @@ def ipf_balanced_od(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o", "d")
         .agg(F.count("*").cast("long").alias("obs"))
-        .localCheckpoint()
+        .transform(cut)
     )
     rt = od.groupBy("o").agg(F.sum("obs").cast("long").alias("rt_t"))
     ct = od.groupBy("d").agg(F.sum("obs").cast("long").alias("ct_t"))

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osmgraft.contract import q, t
+from osmgraft.runtime.cut import cut
 from osmgraft.geo import hexgrid as hg
 from osmgraft.runtime.salting import salted_aggregate
 
@@ -536,13 +537,13 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_arrays.select(F.explode("pairs").alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").cast("long").alias("c_pair"))
-        .localCheckpoint()
+        .transform(cut)
     )
     wc = (
         words.select(F.explode("arr").alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("c_w"))
-        .localCheckpoint()
+        .transform(cut)
     )
     tp = pc.agg(F.sum("c_pair").alias("t_pairs"))
     tw = wc.agg(F.sum("c_w").alias("t_words"))
@@ -1371,9 +1372,18 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     to position-exact overlapping grams: the real substring-dedup
     algorithm, where a duplicated region is found wherever it starts.
 
-    Scale shape: one explode (n_words grams/doc), dup-gram set via
-    partial-agg count-distinct on the gram key, equi-join back, then the
-    span merge is a PER-DOC window (lag + running sum island detection) —
+    Scale shape: ONE explode (n_words grams/doc) materialized once via
+    the session cut knob (the gram stream is the dominant relation — at
+    corpus scale it is several times the corpus bytes, and its two
+    consumers must not regenerate it); dup-gram set via partial-agg
+    MIN/MAX(doc_id) on the gram key (16-byte state, map-side combine
+    collapses boilerplate hot grams to one row per partition — strictly
+    lighter than count-distinct's (gram, doc_id)-keyed first phase, and
+    min != max IS "occurs in >= 2 distinct docs"); equi-join back
+    (AQE skew-join splits hot-gram probe partitions — the reason this
+    stays a join rather than a gram-partitioned window, whose hot-gram
+    group would be one unsplittable straggler task); then the span
+    merge is a PER-DOC window (lag + running sum island detection) —
     partitioned by doc_id, never global. Because all grams share width k,
     sorted starts have sorted ends, so islands need only lag(pos), not a
     running cummax. At 10^12 docs the gram string is replaced by an
@@ -1394,11 +1404,11 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"i -> array_join(slice(arr, i + 1, {k}), ' '))"
             )
         ).alias("pos", "gram"),
-    )
+    ).transform(cut)
     dup = (
         g.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("gram")
     )
     hits = g.join(dup, "gram").select("doc_id", "pos")
@@ -4508,7 +4518,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (approxQuantile/bucket-count per metric); cut once so each
         # action walks the |customers|-bounded relation, not the orders
         # scan + agg again
-        .localCheckpoint()
+        .transform(cut)
     )
     n_rows = cust.count()
     # one fused probe + one fused bucket-count action for all three
@@ -5219,7 +5229,7 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wb).cast("long").alias("i"),
         F.sum("n").over(wb).cast("long").alias("cn"),
         F.sum("pos").over(wb).cast("long").alias("cp"),
-    ).localCheckpoint()
+    ).transform(cut)
     j = bins.select(
         F.col("i").alias("ji"),
         (F.col("cn") - F.col("n")).alias("nj"),
@@ -5508,7 +5518,7 @@ def threshold_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins = binned.groupBy("bin").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("rel").cast("long").alias("pos"),
-    ).localCheckpoint()
+    ).transform(cut)
     tot = bins.agg(
         F.sum("n").cast("long").alias("tn_all"),
         F.sum("pos").cast("long").alias("tp_all"),

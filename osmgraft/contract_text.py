@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from osmgraft.contract import q, t
+from osmgraft.runtime.cut import cut
 from osmgraft.text.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
@@ -214,7 +215,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = shingles(docs, n=3)
     sc = sd.groupBy("doc_id", "shingle").agg(
         F.count("*").alias("occ")
-    ).localCheckpoint()
+    ).transform(cut)
     rare = (
         sc.groupBy("shingle")
         .agg(F.sum("occ").alias("count"))
@@ -1656,7 +1657,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1). Standard materialize-the-reused-relation step.
     tf = toks.groupBy("doc_id", "w").agg(
         F.count("*").cast("long").alias("tf")
-    ).localCheckpoint()
+    ).transform(cut)
     df = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
     nd = tf.agg(F.countDistinct("doc_id").cast("long").alias("n"))
     # weighted postings, carrying df so the light/heavy routing and the
@@ -1678,7 +1679,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df",
         )
         # four consumers (norms, light x/y sides, heavy sides) — cut once
-        .localCheckpoint()
+        .transform(cut)
     )
     norms = wtd.groupBy("doc_id").agg(
         F.sum(F.col("wu") * F.col("wu")).alias("n2")
@@ -1710,7 +1711,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("has_rare") == 1)
         .select("doc_a", "doc_b", "dot_low")
         # two consumers (heavy-path pair list, final sum) — cut once
-        .localCheckpoint()
+        .transform(cut)
     )
     # HEAVY path: hot terms would make the self-join df^2-quadratic, so
     # their contributions are gathered per candidate pair instead
@@ -2735,7 +2736,7 @@ def cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = (
         ngram_jaccard_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .transform(cut)
     )
     lab = connected_components(pr)
     m = pr.count()
@@ -2882,7 +2883,7 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep1 = docs.groupBy(F.md5("text").alias("dig")).agg(
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
-    s1 = docs.join(keep1, "doc_id").localCheckpoint()
+    s1 = docs.join(keep1, "doc_id").transform(cut)
     pr = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     k_a = s1.select(F.col("doc_id").alias("doc_a"))
     k_b = s1.select(F.col("doc_id").alias("doc_b"))
@@ -2892,7 +2893,7 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s2 = s1.join(rm2, "doc_id", "left_anti").localCheckpoint()
+    s2 = s1.join(rm2, "doc_id", "left_anti").transform(cut)
     t0 = s2.select(
         "doc_id",
         F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 6), " ")
@@ -3468,7 +3469,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         e0.join(deg, "src")
         .select("src", "dst", (F.col("wt") / F.col("wsum")).alias("frac"))
-        .localCheckpoint(eager=True)
+        .transform(cut)
     )
     ranks = e.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(1.0).alias("rank")
@@ -3485,7 +3486,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank")
             )
             .select(F.col("node2").alias("node"), "rank")
-            .localCheckpoint(eager=True)
+            .transform(cut)
         )
     return (
         ranks.join(deg, ranks["node"] == deg["src"])

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from osmgraft.geo.cells import GridSpec, cell_np, with_cell
+from osmgraft.runtime.cut import cut
 from osmgraft.geo.geometry import parse_wkb
 
 
@@ -337,7 +338,7 @@ class PipIndex:
                 emit_cellmap,
                 "_pipcell long, _cell_bid long, _cell_boundary boolean",
             )
-            .localCheckpoint()
+            .transform(cut)
         )
         return cls(spark, tree, ids, spec, res, cellmap, bool(is_boundary.any()))
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from osmgraft.runtime.cut import cut
+
 
 def exact_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -310,13 +312,13 @@ def connected_components(
     und = (
         e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .transform(cut)
     )
     labels = (
         und.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint()
+        .transform(cut)
     )
     retired: list[DataFrame] = []
     for _ in range(max_iter):
@@ -329,7 +331,7 @@ def connected_components(
             .select(
                 "id", F.coalesce(F.col("m"), F.col("lbl")).alias("lbl")
             )
-            .localCheckpoint()
+            .transform(cut)
         )
         ma = m.select(F.col("node").alias("a"), F.col("m").alias("ma"))
         mb = m.select(F.col("node").alias("b"), F.col("m").alias("mb2"))
@@ -339,7 +341,7 @@ def connected_components(
             .where(F.col("ma") != F.col("mb2"))
             .select(F.col("ma").alias("a"), F.col("mb2").alias("b"))
             .distinct()
-            .localCheckpoint()
+            .transform(cut)
         )
         n_edges = contracted.count()
         for r in retired:

@@ -29,6 +29,14 @@ _REWRITTEN = [
     "join_count_statistics", "hurst_rs_exponent", "bloom_fpr_audit",
 ]
 
+# round-5 folds (round-4 verdict What's wrong #2): the calendar-range /
+# split-day prefetches now ride broadcast one-row cross joins inside the
+# single plan — ZERO internal actions
+_FOLDED_R5 = [
+    "policy_replay_eval", "metric_change_decomposition",
+    "cuped_adjustment", "fdr_bh_audit", "footrule_rank_shift",
+]
+
 _ACTIONS = ("collect", "count", "take", "toPandas", "head", "first")
 
 
@@ -72,6 +80,25 @@ def test_rewritten_queries_use_at_most_one_internal_action(spark, name):
     )
     # the returned plan must still be a real distributed DataFrame
     assert df.columns
+
+
+@pytest.mark.parametrize("name", _FOLDED_R5)
+def test_r5_folded_queries_use_zero_internal_actions(spark, name):
+    with _ActionCounter() as ctr:
+        df = contract.QUERIES[name](spark, SF_SMOKE)
+    assert ctr.n == 0, (
+        f"{name} ran {ctr.n} internal driver actions; the calendar "
+        "prefetch was folded into the plan round 5 — budget is 0"
+    )
+    assert df.columns
+
+
+def test_frozen_threshold_staleness_single_train_collect(spark):
+    """The d0 anchor is folded; the documented train-collect (`best`)
+    remains the ONE internal action."""
+    with _ActionCounter() as ctr:
+        contract.QUERIES["frozen_threshold_staleness"](spark, SF_SMOKE)
+    assert ctr.n <= 1
 
 
 def test_no_mining_query_exceeds_two_internal_actions(spark):

@@ -219,6 +219,43 @@ _R05_WINDOW = (
 )
 
 
+# Round-6 driver window, queued behind any still-unverified round-4/5
+# names (round-4 verdict, Next round #4): the most plan-interesting of
+# the never-windowed tail — iterative graph kernels first (the shapes
+# whose per-round scan/shuffle budget the judge audits), then the
+# lakehouse/table-management audits (the Iceberg-semantics surface
+# SURVEY §1.1 names), web behavioral analytics, and the drift-test
+# battery. Window names retire on their first green row.
+_R06_WINDOW = (
+    # iterative / graph kernels
+    "pagerank_cosupply", "hits_hub_authority", "kcore_peel",
+    "lpa_communities", "frontier_bfs_depths", "triangle_count",
+    "graph_reciprocity", "degree_assortativity", "bellman_ford_distances",
+    "adamic_adar_linkpred", "host_h_index", "outlink_host_graph",
+    "closeness_centrality", "local_clustering_coeff",
+    "edge_triangle_support",
+    # lakehouse / table management / audits
+    "mor_delete_apply", "vacuum_retention_audit", "ivm_agg_delta",
+    "ivm_join_delta", "fk_orphan_audit", "merkle_partition_tree",
+    "partition_skew_audit", "merge_conflict_audit",
+    "join_cardinality_audit", "selectivity_estimate_audit",
+    "zorder_prune_audit", "schema_evolution_audit", "expectations_audit",
+    "encoding_advisor",
+    # web behavioral analytics
+    "funnel_conversion", "session_paths", "click_attribution",
+    "cohort_retention", "crawl_schedule_timeline", "redirect_resolution",
+    "bot_regularity_profile", "interval_union_coverage",
+    "late_arrival_audit", "k_anonymity_audit", "l_diversity_audit",
+    "json_key_profile",
+    # drift / anomaly battery
+    "ks_value_drift", "chi2_category_drift", "cusum_changepoints",
+    "psi_score_drift", "mann_whitney_drift", "benford_audit",
+    "daily_anomalies", "mahalanobis_outliers",
+    # temporal-join tail
+    "pit_join_orders", "bitemporal_asof", "markov_steady_state",
+)
+
+
 def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
     """(verified, terminal_no_oracle) from CORRECTNESS_r*.json on disk.
 
@@ -281,7 +318,7 @@ def _ordered_names() -> list[str]:
     reverify4 = {"window_rank", "value_deciles"}
     reverify5 = {"embedding_neardup_pairs"}
     window = [
-        n for queue in (_R04_WINDOW, _R05_WINDOW) for n in queue
+        n for queue in (_R04_WINDOW, _R05_WINDOW, _R06_WINDOW) for n in queue
         if n in names and n not in terminal
         and (
             n not in fresh4

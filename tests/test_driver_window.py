@@ -30,6 +30,9 @@ def _with_history(seen, seen_r4plus, terminal):
 
     def fake():
         fake.seen_r4plus = frozenset(seen_r4plus)
+        # synthetic histories treat round>=4 greens as round>=5 too:
+        # the r05/r06 tests that need the distinction pass disjoint sets
+        fake.seen_r5plus = frozenset(seen_r4plus)
         return (frozenset(seen), frozenset(terminal))
 
     E._driver_history = fake
@@ -126,6 +129,37 @@ def test_r05_window_names_are_registered_and_unverified_today():
             )
         assert n not in terminal, n
     assert len(set(E._R05_WINDOW)) == len(E._R05_WINDOW) == 52
+
+
+def test_r06_window_names_are_registered_and_need_evidence():
+    """Epoch-robust like the r05 check: every r06 window name is
+    registered, oracle-capable, and either still unverified or carries
+    a round >= 5 green (the rotation retires it then)."""
+    verified, terminal = E._driver_history()
+    fresh5 = E._driver_history.seen_r5plus
+    for n in E._R06_WINDOW:
+        assert n in C.QUERIES, n
+        assert n not in verified or n in fresh5, (
+            f"{n} green before r05 — drop from _R06_WINDOW"
+        )
+        assert n not in terminal, n
+    assert len(set(E._R06_WINDOW)) == len(E._R06_WINDOW) == 52
+    # disjoint from the earlier windows — each name burns one slot ever
+    assert not set(E._R06_WINDOW) & set(E._R05_WINDOW)
+    assert not set(E._R06_WINDOW) & set(E._R04_WINDOW)
+
+
+def test_r06_window_queues_behind_unretired_r05_names():
+    """Synthetic: all r04+r05 greens recorded -> r06 fronts; r05 missed
+    one name -> that name leads, r06 follows."""
+    g45 = set(E._R04_WINDOW) | set(E._R05_WINDOW)
+    out = _with_history(g45, g45, set())
+    assert out[0] == E._R06_WINDOW[0]
+    missed = set(E._R05_WINDOW) - {"tfidf_cosine_pairs"}
+    out = _with_history(set(E._R04_WINDOW) | missed,
+                        set(E._R04_WINDOW) | missed, set())
+    assert out[0] == "tfidf_cosine_pairs"
+    assert out[1] == E._R06_WINDOW[0]
 
 
 def test_r05_reverify_entry_queued_despite_old_green():

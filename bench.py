@@ -203,11 +203,19 @@ def run_headline() -> dict:
     # steady-state rate by 30-40% (same-code shot spread this round:
     # 0.90-2.2 s).
     flagship_job(spark, FLAGSHIP_PAGES // 8)
-    flagship_sec = float("inf")
+    # canary before AND after the flagship loop (r04 verdict, What's
+    # wrong #5): the committed artifact carries the shot spread and the
+    # load factor so a slow-minute reading is visible as contention in
+    # the artifact itself instead of reading as a code regression.
+    t0 = time.perf_counter()
+    spark.range(2_000_000_000).selectExpr("sum(id % 997)").head()
+    canary_pre = round(time.perf_counter() - t0, 3)
+    shots: list[float] = []
     for _ in range(max(repeats, 7)):
         t0 = time.perf_counter()
         rows = flagship_job(spark, FLAGSHIP_PAGES)
-        flagship_sec = min(flagship_sec, time.perf_counter() - t0)
+        shots.append(round(time.perf_counter() - t0, 3))
+    flagship_sec = min(shots)
     timings["flagship_spatial_join"] = round(flagship_sec, 3)
 
     for name in HEADLINE:
@@ -238,7 +246,12 @@ def run_headline() -> dict:
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "flagship_pages": FLAGSHIP_PAGES,
         "flagship_rows_out": int(rows),
+        "flagship_shots_sec": shots,
         "host_canary_sec": canary_sec,
+        "host_canary_pre_sec": canary_pre,
+        # quiet-host canary reference ~0.6 s (r04); >1.5 means the bench
+        # ran in a contended minute — read `value` against the factor
+        "host_load_factor": round(min(canary_pre, canary_sec) / 0.6, 2),
     }
     spark.stop()
     return result

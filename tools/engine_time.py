@@ -37,7 +37,35 @@ def main() -> int:
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    spark.range(10).count()  # session warmup
+    # Representative session warmup (mirrors bench.py): the first heavy
+    # query in a session otherwise absorbs a ~4-5 s data-independent
+    # floor (JVM C2 JIT of window/HOF/agg paths, Arrow + Python-worker
+    # spin-up) — r04's sweep recorded dup_span_stats at 9.4 s purely
+    # because it ran FIRST; the same code mid-sweep reads ~2 s.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = spark.range(200_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    w = Window.partitionBy("k").orderBy("v")
+    warm = (
+        base.withColumn("arr", F.expr(
+            "transform(sequence(0, 3), i -> concat('w', v + i))"))
+        .withColumn("r", F.row_number().over(w))
+        .withColumn("s", F.sum("v").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("k").agg(F.count("*").alias("n"), F.min("s").alias("m"))
+    )
+    warm.join(base.groupBy("k").agg(F.max("v").alias("mx")), "k").collect()
+
+    def _warm_fn(it):
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            yield pd.DataFrame({"x": np.sqrt(pdf["id"].to_numpy())})
+
+    spark.range(10_000).mapInPandas(_warm_fn, "x double").count()
     if run_all:
         out = {}
         for name, fn in qs.items():

@@ -28,7 +28,10 @@ from osmgraft import contract_text  # noqa: E402,F401
 from osmgraft.runtime.cut import cut_mode  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
-QUERIES = ("dup_span_stats", "dedup_clusters")
+# dup_span_stats: gram stream cut (agg + join-back consumers);
+# dedup_clusters: iterative min-contraction CC (lineage-bounding cuts);
+# pip_tile_counts: geo/pip cell-map spine cut (broadcast-join consumer)
+QUERIES = ("dup_span_stats", "dedup_clusters", "pip_tile_counts")
 
 
 def _rows(spark, name):

@@ -348,7 +348,13 @@ def track_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cx", "cy", F.col("user_id").alias("ua"), "x1", "y1", "x2", "y2"
     )
     csl = int(cs)
-    chunk = 2048
+    # 512-row chunks keep each outer-mask temp (~chunk x n_cell bools)
+    # L2-resident, and the bbox/cell mask operands run in int32 — the
+    # mask phase is memory-bandwidth bound (measured 1.14 s -> 0.31 s on
+    # the hottest sf0.1 cell): coordinates are modularly bounded
+    # (< 7e5 at ANY scale by construction) so int32 is exact for the
+    # comparisons; user ids and the orientation predicate stay int64
+    chunk = 512
     empty = pd.DataFrame(
         {
             "user_a": pd.Series(dtype="int64"),
@@ -377,17 +383,20 @@ def track_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # canonical cell of a pair = max of the two bbox-min cells
         # (coords are non-negative ints, so // == the engine's floor/div)
         mcx, mcy = lox // csl, loy // csl
+        lox32, hix32 = lox.astype(np.int32), hix.astype(np.int32)
+        loy32, hiy32 = loy.astype(np.int32), hiy.astype(np.int32)
+        mcx32, mcy32 = mcx.astype(np.int32), mcy.astype(np.int32)
         pa, pb = [], []
         for lo in range(0, n, chunk):
             s = slice(lo, lo + chunk)
             m = ua[s, None] < ua[None, :]
-            m &= np.maximum(mcx[s, None], mcx[None, :]) == kcx
-            m &= np.maximum(mcy[s, None], mcy[None, :]) == kcy
-            m &= (lox[s, None] <= hix[None, :]) & (
-                lox[None, :] <= hix[s, None]
+            m &= np.maximum(mcx32[s, None], mcx32[None, :]) == kcx
+            m &= np.maximum(mcy32[s, None], mcy32[None, :]) == kcy
+            m &= (lox32[s, None] <= hix32[None, :]) & (
+                lox32[None, :] <= hix32[s, None]
             )
-            m &= (loy[s, None] <= hiy[None, :]) & (
-                loy[None, :] <= hiy[s, None]
+            m &= (loy32[s, None] <= hiy32[None, :]) & (
+                loy32[None, :] <= hiy32[s, None]
             )
             ii, jj = np.nonzero(m)
             if len(ii) == 0:

@@ -187,3 +187,17 @@ def test_distributed_cc_fallback_matches_driver_path(spark, monkeypatch):
         monkeypatch.setenv("OSMGRAFT_DBSCAN_DRIVER_CC_MAX", "0")
         assert _run(spark, fixture, eps, min_pts) == driver_path
         assert driver_path == _brute_dbscan(fixture, eps, min_pts)
+
+
+def test_grid_dbscan_extreme_coordinate_bound(spark):
+    """Round-5 int32 discipline companion (track kernel uses the same
+    bound): coordinates at the modular construction bound (~7e5) stay
+    exact through the grid path."""
+    eps, min_pts = 10.0, 3
+    base = 699990.0
+    pts = [
+        (1, base, base), (2, base + 4.0, base), (3, base, base + 4.0),
+        (4, base + 4.0, base + 4.0), (5, base + 12.0, base + 4.0),
+        (6, 0.0, 0.0),
+    ]
+    assert _run(spark, pts, eps, min_pts) == _brute_dbscan(pts, eps, min_pts)

@@ -51,3 +51,26 @@ def test_markov_removal_attribution_empty_events(spark, empty_sf):
         "channel", "p_base_micro", "p_removed_micro",
         "removal_effect_micro", "attribution_ppm",
     ]
+
+
+@pytest.fixture(scope="module")
+def empty_events_only(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_empty_ev")
+    t = pq.read_table(f"{SF}/events.parquet")
+    pq.write_table(t.slice(0, 0), str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", [
+    "policy_replay_eval", "metric_change_decomposition",
+    "cuped_adjustment", "fdr_bh_audit", "footrule_rank_shift",
+])
+def test_folded_calendar_queries_handle_empty_events(
+    spark, empty_events_only, name
+):
+    """Round-5 folds: the broadcast one-row cross-join scalars are NULL
+    on an empty events table (min/max of nothing); the plan must flow
+    that through to the oracle's empty result, not error."""
+    from osmgraft import contract_mining  # noqa: F401
+
+    assert C.QUERIES[name](spark, empty_events_only).count() == 0

@@ -623,6 +623,12 @@ def test_dup_span_window_partitioned_by_doc(spark):
     assert "hashpartitioning(doc_id" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+    # round-5 shape pins: the gram stream is materialized ONCE (the cut
+    # hides the explode behind a checkpointed scan — no Generate may
+    # remain in the query plan), and the dup-gram set is the min/max
+    # partial agg, never the expand-based count-distinct rewrite
+    assert "Generate" not in plan
+    assert "Expand" not in plan
 
 
 def test_interval_union_windows_keyed_by_user(spark):

@@ -31,6 +31,26 @@ from pyspark.sql import DataFrame
 
 _VALID = ("local", "reliable", "persist", "none")
 
+# persist-mode cuts registered here so long-lived sessions (sweeps,
+# notebooks) can release them between queries — persist keeps lineage,
+# so unpersisting is always safe, just a cache drop
+_PERSISTED: list[DataFrame] = []
+
+
+def release_cuts() -> int:
+    """Unpersist every persist-mode cut taken so far; returns the count.
+    No-op in the other modes (localCheckpoint/checkpoint blocks are
+    released by the context cleaner with their DataFrames)."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist(False)
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
+
 
 def cut_mode() -> str:
     mode = os.environ.get("OSMGRAFT_CUT_MODE", "local").strip().lower()
@@ -53,7 +73,9 @@ def cut(df: DataFrame, eager: bool = True) -> DataFrame:
     if mode == "persist":
         from pyspark import StorageLevel
 
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(out)
+        return out
     if mode == "reliable":
         sc = df.sparkSession.sparkContext
         if sc._jsc.sc().getCheckpointDir().isEmpty():

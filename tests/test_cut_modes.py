@@ -60,3 +60,17 @@ def test_cut_modes_agree_with_local(spark, cut_env, mode, name):
 def test_unknown_mode_falls_back_to_local(monkeypatch):
     monkeypatch.setenv("OSMGRAFT_CUT_MODE", "bogus")
     assert cut_mode() == "local"
+
+
+def test_persist_mode_cuts_are_releasable(spark, cut_env):
+    from osmgraft.runtime import cut as cutmod
+
+    cut_env("persist")
+    baseline = _rows(spark, "dup_span_stats")
+    assert baseline
+    n = cutmod.release_cuts()
+    assert n >= 1  # the gram-stream cut was registered and released
+    assert cutmod.release_cuts() == 0  # idempotent
+    # results unchanged after release (persist keeps lineage)
+    assert _rows(spark, "dup_span_stats") == baseline
+    cutmod.release_cuts()

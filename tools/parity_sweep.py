@@ -64,7 +64,10 @@ def main() -> int:
         qs = {k: v for k, v in qs.items() if k in only}
     n_match = n_fail = n_rows_only = 0
     results: dict[str, dict] = {}
+    from osmgraft.runtime.cut import release_cuts
+
     for name, fn in qs.items():
+        release_cuts()  # persist-mode cuts from the previous query
         t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir).toPandas()

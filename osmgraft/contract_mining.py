@@ -45,6 +45,17 @@ from osmgraft.contract import q, t
 from osmgraft.contract_select import _PB_NAME_SQL, _PB_FIRST, _PB_LAST, _pb_case
 
 
+def _fold_scalar(df: DataFrame, *cols) -> DataFrame:
+    """Broadcast one-row scalar fold (round-4 verdict, What's wrong #2):
+    compute the aggregate expression(s) over ``df`` and cross-join the
+    single row back, so the scalar lives INSIDE the plan — zero internal
+    driver actions, and the agg subtree runs once within the job.
+    ``F.broadcast`` is load-bearing: a LogicalRDD/one-row relation has
+    no size estimate, so without it the cross join can plan a full
+    shuffle."""
+    return df.crossJoin(F.broadcast(df.agg(*cols)))
+
+
 def _collect_daily_cents(spark: SparkSession, sf_dir: str) -> list[int]:
     """Daily cent totals in day order, collected ONCE.
 
@@ -2562,10 +2573,7 @@ def policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 4).alias("arm"),
         F.expr("CASE WHEN value > 100e0 THEN 1 ELSE 0 END").alias("r"),
     )
-    # split day folded into the plan as a broadcast one-row cross join
-    # (zero internal actions; the agg subtree runs once inside the job)
-    cutrow = ev.agg((F.min("d") + _PR_SPLIT_DAY).alias("cutd"))
-    evc = ev.crossJoin(F.broadcast(cutrow))
+    evc = _fold_scalar(ev, (F.min("d") + _PR_SPLIT_DAY).alias("cutd"))
     train = (
         evc.where(F.col("d") < F.col("cutd"))
         .groupBy("ctx", "arm")
@@ -3122,10 +3130,7 @@ def metric_change_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
         F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)").alias("cents"),
     )
-    # period midpoint folded into the plan (broadcast one-row cross join;
-    # zero internal actions — round-4 verdict What's wrong #2)
-    mid2row = ev.agg((F.min("d") + F.max("d") + 1).alias("mid2"))
-    seg = ev.crossJoin(F.broadcast(mid2row)).groupBy(
+    seg = _fold_scalar(ev, (F.min("d") + F.max("d") + 1).alias("mid2")).groupBy(
         "event_type",
         F.expr("CASE WHEN d * 2 < mid2 THEN 1 ELSE 2 END").alias("period"),
     ).agg(
@@ -3809,10 +3814,7 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
         F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)").alias("cents"),
     )
-    # period midpoint folded into the plan (broadcast one-row cross join;
-    # zero internal actions — round-4 verdict What's wrong #2)
-    mid2row = ev.agg((F.min("d") + F.max("d") + 1).alias("mid2"))
-    u = ev.crossJoin(F.broadcast(mid2row)).groupBy("user_id").agg(
+    u = _fold_scalar(ev, (F.min("d") + F.max("d") + 1).alias("mid2")).groupBy("user_id").agg(
         F.expr("MAX(user_id % 2)").alias("arm"),
         F.sum(
             F.when(F.col("d") * 2 < F.col("mid2"), F.col("cents")).otherwise(0)
@@ -4170,10 +4172,7 @@ def fdr_bh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
         ).alias("d"),
     )
-    # period midpoint folded into the plan (broadcast one-row cross join;
-    # zero internal actions — round-4 verdict What's wrong #2)
-    mid2row = ev.agg((F.min("d") + F.max("d") + 1).alias("mid2"))
-    seg = ev.crossJoin(F.broadcast(mid2row)).groupBy(
+    seg = _fold_scalar(ev, (F.min("d") + F.max("d") + 1).alias("mid2")).groupBy(
         "event_type",
         F.expr("CASE WHEN d * 2 < mid2 THEN 1 ELSE 2 END").alias("period"),
     ).agg(F.count("*").cast("long").alias("n"))
@@ -8247,11 +8246,9 @@ def frozen_threshold_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
         ).alias("y"),
     )
-    # week-0 anchor folded into the plan (broadcast one-row cross join),
-    # leaving the documented train-collect (`best`) as the single
-    # internal action — round-4 verdict What's wrong #2
-    d0row = ev.agg(F.min("d").alias("d0"))
-    lab = ev.crossJoin(F.broadcast(d0row)).select(
+    # week-0 anchor folded; the documented train-collect (`best`)
+    # remains the single internal action
+    lab = _fold_scalar(ev, F.min("d").alias("d0")).select(
         F.expr("(d - d0) div 7").alias("wk"), "band", "y"
     ).localCheckpoint()
     cand = lab.select(F.col("band").alias("thr")).distinct()
@@ -9599,10 +9596,7 @@ def footrule_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
         F.expr("CAST(FLOOR(value * 100e0) AS BIGINT)").alias("cents"),
     )
-    # period midpoint folded into the plan (broadcast one-row cross join;
-    # zero internal actions — round-4 verdict What's wrong #2)
-    mid2row = ev.agg((F.min("d") + F.max("d") + 1).alias("mid2"))
-    seg = ev.crossJoin(F.broadcast(mid2row)).groupBy(
+    seg = _fold_scalar(ev, (F.min("d") + F.max("d") + 1).alias("mid2")).groupBy(
         "event_type",
         F.expr("CASE WHEN d * 2 < mid2 THEN 1 ELSE 2 END").alias("period"),
     ).agg(F.sum("cents").cast("long").alias("c"))

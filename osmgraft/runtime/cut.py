@@ -36,11 +36,18 @@ _VALID = ("local", "reliable", "persist", "none")
 # so unpersisting is always safe, just a cache drop
 _PERSISTED: list[DataFrame] = []
 
+_WARNED_LOCAL_CKPT = False
+
 
 def release_cuts() -> int:
     """Unpersist every persist-mode cut taken so far; returns the count.
-    No-op in the other modes (localCheckpoint/checkpoint blocks are
-    released by the context cleaner with their DataFrames)."""
+    No-op in the other modes: localCheckpoint blocks are released by the
+    context cleaner with their RDDs, and reliable checkpoint FILES are
+    only auto-deleted when the session sets
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (the
+    engine's ``get_spark`` does — a session built elsewhere must set it
+    or clean OSMGRAFT_CHECKPOINT_DIR itself after multi-query reliable
+    runs)."""
     n = 0
     while _PERSISTED:
         df = _PERSISTED.pop()
@@ -79,11 +86,28 @@ def cut(df: DataFrame, eager: bool = True) -> DataFrame:
     if mode == "reliable":
         sc = df.sparkSession.sparkContext
         if sc._jsc.sc().getCheckpointDir().isEmpty():
-            sc.setCheckpointDir(
-                os.environ.get(
-                    "OSMGRAFT_CHECKPOINT_DIR",
-                    os.path.join(tempfile.gettempdir(), "osmgraft_ckpt"),
-                )
-            )
+            ckdir = os.environ.get("OSMGRAFT_CHECKPOINT_DIR")
+            if ckdir is None:
+                # node-local fallback for single-node sandboxes ONLY —
+                # on a real cluster this dir is NOT shared, so the
+                # checkpoint would not survive an executor loss (the
+                # whole point of the mode). Warn once, loudly.
+                ckdir = os.path.join(tempfile.gettempdir(), "osmgraft_ckpt")
+                global _WARNED_LOCAL_CKPT
+                if not _WARNED_LOCAL_CKPT:
+                    _WARNED_LOCAL_CKPT = True
+                    import warnings
+
+                    warnings.warn(
+                        "OSMGRAFT_CUT_MODE=reliable without "
+                        "OSMGRAFT_CHECKPOINT_DIR: checkpointing to the "
+                        f"node-local {ckdir}, which is NOT fault-tolerant "
+                        "on a multi-executor cluster — set "
+                        "OSMGRAFT_CHECKPOINT_DIR to a DFS path there.",
+                        stacklevel=3,
+                    )
+            sc.setCheckpointDir(ckdir)
+        # a checkpoint dir already set on the session wins over the env
+        # var (the job owner configured it deliberately)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

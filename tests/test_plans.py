@@ -14,6 +14,15 @@ from osmgraft.contract import QUERIES, SPEC, CELL_RES
 from tests.conftest import SF_CORRECT
 
 
+@pytest.fixture(autouse=True)
+def _cut_mode_local(monkeypatch):
+    """Plan pins are written against the default cut mode: persist keeps
+    lineage (the cached child plan re-exposes Generate/Exchange nodes)
+    and none removes the cut entirely, so an exported OSMGRAFT_CUT_MODE
+    must not leak into these audits."""
+    monkeypatch.setenv("OSMGRAFT_CUT_MODE", "local")
+
+
 def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 

@@ -62,12 +62,15 @@ def main() -> int:
     only = set(argv[1:])  # optional name filter: sweep only these
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
-    n_match = n_fail = n_rows_only = 0
-    results: dict[str, dict] = {}
     from osmgraft.runtime.cut import release_cuts
 
+    n_match = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
+    # persist-mode cuts: released at the top of each iteration (runs
+    # after `continue` exits too) and once after the loop, so no query's
+    # caches outlive its comparison
     for name, fn in qs.items():
-        release_cuts()  # persist-mode cuts from the previous query
+        release_cuts()
         t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -122,6 +125,7 @@ def main() -> int:
             "rows": len(s),
             "sec": round(time.perf_counter() - t0, 2),
         }
+    release_cuts()
     print(
         f"\nSWEEP {sf_dir}: {n_match} MATCH, {n_rows_only} rows-only, "
         f"{n_fail} FAIL",
